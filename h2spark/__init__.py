@@ -1,0 +1,19 @@
+"""h2spark — a PySpark-native declarative HTML-to-struct extraction engine.
+
+Re-expresses the semantics of the reference library ikenox/h2s-rs
+(/root/reference, a Rust "deserializer from HTML to struct",
+reference src/lib.rs:1) as a Spark-first pipeline:
+
+- ``h2spark.core``   — pure Python, zero Spark imports: an html5lib-style
+  tokenizer + tree builder, a CSS selector engine, the h2s extraction
+  semantics (cardinality, extractors, FromStr-parity parsers, byte-exact
+  error strings). Unit-testable without a SparkSession.
+- ``h2spark.pipeline`` — PySpark: spec -> StructType compiler, vectorized
+  pandas-UDF extraction kernels, span reassembly, size-bucket salted
+  repartitioning, checkpoint manifests + resume.
+- ``h2spark.ops``    — large-scale training-data operators on top of the
+  same tables: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  embedding cosine), similarity search, text analysis, multimodal plumbing.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,31 @@
+"""h2spark.core — pure-Python extraction core (no Spark imports).
+
+Mirrors the reference's ``core/`` vs ``src/`` split
+(/root/reference/core/src/lib.rs:1): everything here runs inside the
+vectorized UDF kernel or in plain unit tests.
+"""
+
+from h2spark.core.dom import Document, Element, Text, Comment, Doctype
+from h2spark.core.treebuilder import parse_document
+from h2spark.core.selector import CssSelector, SelectorParseError
+from h2spark.core.spec import (
+    StructSpec, Field, Scalar, CustomScalar,
+    InnerText, Attr, NthText, NoOp,
+    ONE, OPTION, VEC, ARRAY,
+)
+from h2spark.core.extract import (
+    compile_spec, CompiledStruct, SpecError, apply_struct, extract_html,
+)
+from h2spark.core.flatten import flatten_raw, flatten_document
+
+__all__ = [
+    "Document", "Element", "Text", "Comment", "Doctype",
+    "parse_document",
+    "CssSelector", "SelectorParseError",
+    "StructSpec", "Field", "Scalar", "CustomScalar",
+    "InnerText", "Attr", "NthText", "NoOp",
+    "ONE", "OPTION", "VEC", "ARRAY",
+    "compile_spec", "CompiledStruct", "SpecError", "apply_struct",
+    "extract_html",
+    "flatten_raw", "flatten_document",
+]

@@ -1,0 +1,88 @@
+"""HTML character-reference decoding (tokenizer sub-state machine).
+
+Implements the HTML5 "character reference state" rules from scratch:
+numeric references (decimal/hex) with the spec's invalid-codepoint
+remapping, and named references with longest-prefix matching and the
+legacy no-semicolon / in-attribute rules. The *data table* of named
+references is the public HTML5 table shipped in the Python stdlib
+(``html.entities.html5``); the matching logic here is our own.
+
+The reference engine gets this behavior from html5ever via the scraper
+crate (/root/reference/src/backend/scraper.rs:16-22); parity target is
+"what a spec-conformant parser produces for the corpus".
+"""
+
+from __future__ import annotations
+
+import re
+from html.entities import html5 as _HTML5_ENTITIES
+
+# Spec: numeric reference codepoint remapping (C1 controls -> windows-1252).
+_C1_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+_CHARREF_RE = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[a-zA-Z][a-zA-Z0-9]*;?)"
+)
+
+# Longest named entity (with semicolon) is 32 chars; precompute the set of
+# no-semicolon legacy names for prefix search, longest first.
+_LEGACY_NAMES = sorted(
+    (k for k in _HTML5_ENTITIES if not k.endswith(";")), key=len, reverse=True
+)
+
+
+def _decode_numeric(body: str) -> str:
+    if body[1] in "xX":
+        digits = body[2:].rstrip(";")
+        cp = int(digits, 16)
+    else:
+        digits = body[1:].rstrip(";")
+        cp = int(digits, 10)
+    if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+        return "�"
+    cp = _C1_REMAP.get(cp, cp)
+    return chr(cp)
+
+
+def decode_char_refs(s: str, in_attribute: bool = False) -> str:
+    """Decode character references in a data or attribute-value run."""
+    if "&" not in s:
+        return s
+
+    def repl(m: re.Match) -> str:
+        body = m.group(1)
+        if body[0] == "#":
+            return _decode_numeric(body)
+        # Named reference.
+        if body.endswith(";"):
+            if body in _HTML5_ENTITIES:
+                return _HTML5_ENTITIES[body]
+            # e.g. "&notit;" -> "&not" matched as legacy prefix + "it;"
+            name = body[:-1]
+            for leg in _LEGACY_NAMES:
+                if name.startswith(leg):
+                    if in_attribute:
+                        # legacy-in-attribute: next char alnum or '=' -> no decode
+                        nxt = name[len(leg):len(leg) + 1]
+                        if nxt and (nxt.isalnum() or nxt == "="):
+                            return m.group(0)
+                    return _HTML5_ENTITIES[leg] + body[len(leg):]
+            return m.group(0)
+        # No semicolon: legacy handling.
+        for leg in _LEGACY_NAMES:
+            if body.startswith(leg):
+                end = m.start(1) + len(leg)
+                nxt = s[end:end + 1]
+                if in_attribute and nxt and (nxt.isalnum() or nxt == "="):
+                    return m.group(0)
+                return _HTML5_ENTITIES[leg] + body[len(leg):]
+        return m.group(0)
+
+    return _CHARREF_RE.sub(repl, s)

@@ -1,0 +1,159 @@
+"""DOM node types for the from-scratch HTML parser.
+
+Plays the role of the reference's backend-agnostic HTML traits
+(/root/reference/core/src/html.rs:5-61: HtmlDocument / HtmlElement /
+HtmlNode / TextNode). Node kinds match the reference's ``HtmlNode`` enum
+(core/src/html.rs:38-48): Element | Text | Other (comment, doctype,
+processing instruction all collapse to "other" for ``child_nodes``).
+
+Design notes for the vectorized kernel: nodes use __slots__, children are
+plain lists appended in document order, and each element carries its index
+among element siblings (``elem_idx``) so ``:nth-child`` matching is O(1).
+"""
+
+from __future__ import annotations
+
+
+class Node:
+    __slots__ = ("parent",)
+
+
+class Document(Node):
+    """Whole-document node; ``root_element`` mirrors
+    HtmlDocument::root_element (/root/reference/core/src/html.rs:5-11)."""
+
+    __slots__ = ("children",)
+
+    def __init__(self) -> None:
+        self.parent = None
+        self.children: list[Node] = []
+
+    def root_element(self) -> "Element":
+        for ch in self.children:
+            if isinstance(ch, Element):
+                return ch
+        raise ValueError("document has no root element")
+
+
+class Element(Node):
+    __slots__ = ("tag", "attrs", "children", "elem_idx", "_idx")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
+        self.parent = None
+        self.tag = tag
+        self.attrs: dict[str, str] = attrs if attrs is not None else {}
+        self.children: list[Node] = []
+        # index among *element* siblings (0-based), set on append
+        self.elem_idx = 0
+        # index among all sibling nodes, set on append
+        self._idx = 0
+
+    # --- reference-parity accessors -------------------------------------
+
+    def attribute(self, name: str) -> str | None:
+        """HtmlElement::attribute (/root/reference/core/src/html.rs:24-26)."""
+        return self.attrs.get(name)
+
+    def text_contents(self) -> list[str]:
+        """All descendant text-node strings in document order
+        (HtmlElement::text_contents, /root/reference/core/src/html.rs:17-23;
+        pinned by test src/backend/scraper.rs:173-180)."""
+        out: list[str] = []
+        stack = [iter(self.children)]
+        while stack:
+            for node in stack[-1]:
+                if type(node) is Text:
+                    out.append(node.data)
+                elif type(node) is Element:
+                    stack.append(iter(node.children))
+                    break
+            else:
+                stack.pop()
+        return out
+
+    def inner_text(self) -> str:
+        """ExtractInnerText semantics: concat descendant text, **no
+        separator, no trimming** (/root/reference/core/src/extraction_method.rs:28-41)."""
+        return "".join(self.text_contents())
+
+    def child_nodes(self) -> list[Node]:
+        """Direct children (HtmlElement::child_nodes,
+        /root/reference/core/src/html.rs:27; Other-kind nodes are kept —
+        callers filter by type, matching src/backend/scraper.rs:69-85)."""
+        return list(self.children)
+
+    def iter_descendants(self):
+        """Pre-order DFS over descendant *elements* (excluding self) —
+        the traversal order of ElementRef::select
+        (/root/reference/src/backend/scraper.rs:54-56)."""
+        stack = [iter(self.children)]
+        while stack:
+            for node in stack[-1]:
+                if type(node) is Element:
+                    yield node
+                    stack.append(iter(node.children))
+                    break
+            else:
+                stack.pop()
+
+    def append_child(self, node: Node) -> None:
+        node.parent = self
+        node._idx = len(self.children)
+        if type(node) is Element:
+            node.elem_idx = self._n_elem_children()
+        self.children.append(node)
+
+    def _n_elem_children(self) -> int:
+        # O(1) amortized: elements only ever appended, so the last
+        # element child's elem_idx + 1 is the count.
+        for ch in reversed(self.children):
+            if type(ch) is Element:
+                return ch.elem_idx + 1
+        return 0
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Element {self.tag} attrs={self.attrs} children={len(self.children)}>"
+
+
+class Text(Node):
+    __slots__ = ("data", "_idx")
+
+    def __init__(self, data: str) -> None:
+        self.parent = None
+        self.data = data
+        self._idx = 0
+
+    def get_text(self) -> str:
+        """TextNode::get_text (/root/reference/core/src/html.rs:50-52)."""
+        return self.data
+
+
+class Comment(Node):
+    __slots__ = ("data", "_idx")
+
+    def __init__(self, data: str) -> None:
+        self.parent = None
+        self.data = data
+        self._idx = 0
+
+
+class Doctype(Node):
+    __slots__ = ("name", "_idx")
+
+    def __init__(self, name: str) -> None:
+        self.parent = None
+        self.name = name
+        self._idx = 0
+
+
+def _doc_append(doc: Document, node: Node) -> None:
+    node.parent = doc
+    node._idx = len(doc.children)
+    if type(node) is Element:
+        n = 0
+        for ch in reversed(doc.children):
+            if type(ch) is Element:
+                n = ch.elem_idx + 1
+                break
+        node.elem_idx = n
+    doc.children.append(node)

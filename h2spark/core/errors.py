@@ -1,0 +1,173 @@
+"""Structured extraction errors with byte-exact h2s renderings.
+
+Every ``__str__`` here reproduces a Display impl from
+/root/reference/core/src/display.rs (line refs below); the pytest parity
+suite asserts the exact strings, including the golden doctest error
+(/root/reference/src/lib.rs:100-103):
+
+    articles: [2]: title: mismatched number of selected elements by
+    "h2 > a": expected exactly one element, but no elements found
+
+Errors are *data* in the pipeline: a failed document yields an error
+string column, never a task failure.
+"""
+
+from __future__ import annotations
+
+
+class ExtractErr(Exception):
+    """Base: carries a renderable error chain."""
+
+
+class FieldError(ExtractErr):
+    """core/src/lib.rs:33-37; display.rs:74-78."""
+
+    def __init__(self, field_name: str, error: Exception):
+        self.field_name = field_name
+        self.error = error
+        super().__init__(str(self))
+
+    def __str__(self) -> str:
+        return f"{self.field_name}: {self.error}"
+
+
+# --- cardinality (transformable.rs) -------------------------------------
+
+
+class VecToSingleNoElements(ExtractErr):
+    """display.rs:27-29."""
+
+    def __str__(self) -> str:
+        return "expected exactly one element, but no elements found"
+
+
+class VecToSingleTooMany(ExtractErr):
+    """display.rs:21-26."""
+
+    def __init__(self, found: int):
+        self.found = found
+        super().__init__()
+
+    def __str__(self) -> str:
+        return f"expected exactly one element, but {self.found} elements found"
+
+
+class VecToOptionTooMany(ExtractErr):
+    """display.rs:34-42."""
+
+    def __init__(self, found: int):
+        self.found = found
+        super().__init__()
+
+    def __str__(self) -> str:
+        return f"expected 0 or 1 element, but found {self.found} elements"
+
+
+class VecToArrayUnmatched(ExtractErr):
+    """display.rs:44-55."""
+
+    def __init__(self, expected: int, found: int):
+        self.expected = expected
+        self.found = found
+        super().__init__()
+
+    def __str__(self) -> str:
+        return (
+            f"expected {self.expected} elements, but found {self.found} elements"
+        )
+
+
+# --- stage wrappers (macro_utils.rs / display.rs) -----------------------
+
+
+class TransformError(ExtractErr):
+    """display.rs:95-106. ``selector`` is the selector string for Select
+    fields, or None for Root (renders "mismatched structure: ...",
+    which in practice never occurs — display.rs:108-117)."""
+
+    def __init__(self, selector: str | None, error: Exception):
+        self.selector = selector
+        self.error = error
+        super().__init__()
+
+    def __str__(self) -> str:
+        if self.selector is None:
+            return f"mismatched structure: {self.error}"
+        return (
+            f'mismatched number of selected elements by "{self.selector}": '
+            f"{self.error}"
+        )
+
+
+class ExtractionError(ExtractErr):
+    """display.rs:119-131: '{ctx}: failed to extract value of {method}: {err}'.
+
+    ``context`` renders "" for NoContext and "[i]" for ListIndex
+    (display.rs:181-189) — so One/Option fields produce a leading ": "
+    segment, faithfully replicated.
+    """
+
+    def __init__(self, context: str, method: str, error: Exception):
+        self.context = context
+        self.method = method
+        self.error = error
+        super().__init__()
+
+    def __str__(self) -> str:
+        return (
+            f"{self.context}: failed to extract value of {self.method}: "
+            f"{self.error}"
+        )
+
+
+class ParseError(ExtractErr):
+    """display.rs:133-141: '{ctx}: {inner}'."""
+
+    def __init__(self, context: str, error: Exception):
+        self.context = context
+        self.error = error
+        super().__init__()
+
+    def __str__(self) -> str:
+        return f"{self.context}: {self.error}"
+
+
+# --- extractor-level errors (extraction_method.rs) ----------------------
+
+
+class AttributeNotFound(ExtractErr):
+    """display.rs:64-72."""
+
+    def __init__(self, name: str):
+        self.name = name
+        super().__init__()
+
+    def __str__(self) -> str:
+        return f"an attribute `{self.name}` not found in the target element"
+
+
+class NthTextNotFound(ExtractErr):
+    """display.rs:199-203."""
+
+    def __str__(self) -> str:
+        return "text node of the specified number is not found"
+
+
+class ValueParseError(ExtractErr):
+    """Wraps a Rust-FromStr-parity message (e.g. 'invalid digit found in
+    string') — display.rs:133-141 forwards the inner error verbatim."""
+
+    def __init__(self, message: str):
+        self.message = message
+        super().__init__(message)
+
+    def __str__(self) -> str:
+        return self.message
+
+
+def ctx_list_index(i: int) -> str:
+    """ListIndex display (display.rs:181-185)."""
+    return f"[{i}]"
+
+
+NO_CONTEXT = ""  # NoContext display (display.rs:187-189)

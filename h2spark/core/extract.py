@@ -1,0 +1,265 @@
+"""The per-field extraction pipeline (select → transform → extract →
+parse → finalize) — counterpart of ``process_field``
+(/root/reference/core/src/macro_utils.rs:19-71) plus the generated
+``from_html`` driver (macro/src/lib.rs:123-132).
+
+``compile_spec`` is the driver-side "query compiler": all selectors are
+parsed **once** here (fixing the reference's re-parse-per-call TODO at
+core/src/element_selector.rs:24) and invalid selectors raise at job
+build time, mirroring the macro's compile-time failure
+(macro/src/lib.rs:96-108).
+
+``apply_struct`` is the executor-side kernel: one call per document
+against a DOM element; returns ``(value, raw)`` trees or raises a
+FieldError chain whose ``str()`` is the byte-exact h2s error. ``raw``
+mirrors ``value`` but keeps the pre-parse extracted strings at scalar
+leaves — the flattened span contract (FIXTURES.md §2) renders those.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from h2spark.core.dom import Element, Text
+from h2spark.core.errors import (
+    NO_CONTEXT,
+    AttributeNotFound,
+    ExtractErr,
+    ExtractionError,
+    FieldError,
+    NthTextNotFound,
+    ParseError,
+    TransformError,
+    ValueParseError,
+    VecToArrayUnmatched,
+    VecToOptionTooMany,
+    VecToSingleNoElements,
+    VecToSingleTooMany,
+    ctx_list_index,
+)
+from h2spark.core.parseable import PARSERS
+from h2spark.core.selector import CssSelector
+from h2spark.core.spec import (
+    ARRAY,
+    ONE,
+    OPTION,
+    VEC,
+    Attr,
+    CustomScalar,
+    Field,
+    InnerText,
+    NoOp,
+    NthText,
+    Scalar,
+    StructSpec,
+)
+
+
+class SpecError(ValueError):
+    """Raised at compile time for an invalid spec (the counterpart of a
+    derive-macro compile error, e.g. 'invalid css selector: `...`')."""
+
+
+class CompiledField:
+    __slots__ = (
+        "name", "card", "n", "selector", "selector_src", "extractor",
+        "parser", "nested", "type_name", "spark_type",
+    )
+
+    def __init__(self, f: Field):
+        self.name = f.name
+        self.card = f.card
+        self.n = f.n
+        self.selector_src = f.select
+        if f.select is not None:
+            try:
+                self.selector = CssSelector.parse(f.select)
+            except Exception as e:
+                raise SpecError(f"invalid css selector: `{f.select}`") from e
+        else:
+            self.selector = None
+
+        inner = f.inner
+        self.nested = None
+        self.parser = None
+        if isinstance(inner, StructSpec):
+            self.nested = CompiledStruct(inner)
+            self.type_name = inner.name
+            self.spark_type = None  # derived from nested fields
+            default_extractor = NoOp()
+        elif isinstance(inner, CustomScalar):
+            self.parser = inner.parse
+            self.type_name = inner.name
+            self.spark_type = inner.spark_type
+            default_extractor = InnerText()
+        elif isinstance(inner, Scalar):
+            if inner.type_name not in PARSERS:
+                raise SpecError(
+                    f"field {f.name!r}: unknown scalar type {inner.type_name!r}"
+                )
+            self.parser, self.spark_type = PARSERS[inner.type_name]
+            self.type_name = inner.type_name
+            default_extractor = InnerText()
+        else:
+            raise SpecError(f"field {f.name!r}: bad inner type {inner!r}")
+
+        # extractor dispatch, attr wins (macro/src/lib.rs:115-121)
+        if f.attr is not None:
+            self.extractor = Attr(f.attr)
+        elif f.extractor is not None:
+            self.extractor = f.extractor
+        else:
+            self.extractor = default_extractor
+        if self.nested is not None and not isinstance(self.extractor, NoOp):
+            raise SpecError(
+                f"field {f.name!r}: nested struct requires the no-op extractor"
+            )
+
+
+class CompiledStruct:
+    __slots__ = ("name", "fields")
+
+    def __init__(self, spec: StructSpec):
+        self.name = spec.name
+        self.fields = [CompiledField(f) for f in spec.fields]
+
+
+def compile_spec(spec: StructSpec) -> CompiledStruct:
+    """Validate + compile a spec. Raises SpecError on the driver, before
+    any executor work (SURVEY.md §2.1 #7)."""
+    return CompiledStruct(spec)
+
+
+# --- extractors ---------------------------------------------------------
+
+
+def _extract(extractor, el: Element):
+    kind = type(extractor)
+    if kind is InnerText:
+        return el.inner_text()
+    if kind is Attr:
+        v = el.attrs.get(extractor.name)
+        if v is None:
+            raise AttributeNotFound(extractor.name)
+        return v
+    if kind is NthText:
+        # direct-child text nodes, skip whitespace-only BEFORE indexing,
+        # trim the result (extraction_method.rs:80-91)
+        i = 0
+        for node in el.children:
+            if type(node) is Text:
+                s = node.data
+                if s.strip():
+                    if i == extractor.n:
+                        return s.strip()
+                    i += 1
+        raise NthTextNotFound()
+    # NoOp
+    return el
+
+
+# --- the per-field pipeline ---------------------------------------------
+
+
+def _process_field(cf: CompiledField, source: Element):
+    """process_field (macro_utils.rs:19-71). Returns (value, raw)."""
+    # 1. select (element_selector.rs:13-42)
+    if cf.selector is not None:
+        elements = cf.selector.select(source)
+    else:
+        elements = [source]  # Root: ExactlyOne(element itself)
+
+    # 2. cardinality transform (transformable.rs:19-53)
+    card = cf.card
+    n_found = len(elements)
+    err = None
+    if cf.selector is None:
+        # Root output is already ExactlyOne; identity transform for 'one',
+        # trivial wraps otherwise (never fails: transformable.rs:11-17)
+        pass
+    elif card == ONE:
+        if n_found == 0:
+            err = VecToSingleNoElements()
+        elif n_found > 1:
+            err = VecToSingleTooMany(n_found)
+    elif card == OPTION:
+        if n_found > 1:
+            err = VecToOptionTooMany(n_found)
+    elif card == ARRAY:
+        if n_found != cf.n:
+            err = VecToArrayUnmatched(cf.n, n_found)
+    if err is not None:
+        raise TransformError(cf.selector_src, err)
+
+    listy = card in (VEC, ARRAY)
+
+    # 3+4. context attach + extract (traverse: short-circuit at first
+    # failing element — traversable.rs:6-66)
+    extractor = cf.extractor
+    extracted = []
+    for i, el in enumerate(elements):
+        ctx = ctx_list_index(i) if listy else NO_CONTEXT
+        try:
+            extracted.append((ctx, _extract(extractor, el)))
+        except ExtractErr as e:
+            raise ExtractionError(ctx, extractor.display(), e) from None
+
+    # 5. parse (FromStr or recursive from_html — parseable.rs:15-80)
+    values = []
+    raws = []
+    for ctx, ext in extracted:
+        if cf.nested is not None:
+            try:
+                v, r = apply_struct(cf.nested, ext)
+            except FieldError as e:
+                raise ParseError(ctx, e) from None
+            values.append(v)
+            raws.append(r)
+        else:
+            try:
+                values.append(cf.parser(ext))
+            except ValueParseError as e:
+                raise ParseError(ctx, e) from None
+            raws.append(ext)
+
+    # 6. finalize (field_value.rs:7-62)
+    if listy:
+        return values, raws
+    if card == OPTION:
+        return (values[0], raws[0]) if values else (None, None)
+    return values[0], raws[0]
+
+
+def apply_struct(cs: CompiledStruct, element: Element):
+    """from_html: fields in declaration order, fail-fast, first failure
+    wrapped as FieldError{field_name} (macro/src/lib.rs:123-132).
+
+    Returns ``(value_dict, raw_dict)``.
+    """
+    values: dict[str, Any] = {}
+    raws: dict[str, Any] = {}
+    for cf in cs.fields:
+        try:
+            v, r = _process_field(cf, element)
+        except (TransformError, ExtractionError, ParseError) as e:
+            raise FieldError(cf.name, e) from None
+        values[cf.name] = v
+        raws[cf.name] = r
+    return values, raws
+
+
+def extract_html(cs: CompiledStruct, html: str):
+    """h2s::parse::<T> (/root/reference/src/lib.rs:131-139): parse the
+    document, extract from the <html> root element.
+
+    Returns ``(value_dict, raw_dict, error_string)`` with exactly one of
+    value/error non-None.
+    """
+    from h2spark.core.treebuilder import parse_document
+
+    try:
+        root = parse_document(html).root_element()
+        v, r = apply_struct(cs, root)
+        return v, r, None
+    except FieldError as e:
+        return None, None, str(e)

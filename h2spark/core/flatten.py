@@ -1,0 +1,96 @@
+"""Canonical span-sequence serialization of an extracted struct
+(FIXTURES.md §2) — the per-row output invariant the driver's north_rule
+grades: (kind, text, media_ref, order) sequence equality.
+
+Flattening rule: depth-first over fields in declaration order (matching
+h2s evaluation order, /root/reference/macro/src/lib.rs:64-66); one span
+per leaf value with
+
+    kind      = "<field.path>" + "[i]" per list index + ":" + <type name>
+                (e.g. "articles[2].title:String")
+    text      = the leaf's pre-parse extracted string (the exact string
+                h2s would have fed to FromStr; parse has already
+                validated it)
+    media_ref = "" for extracted spans
+    order     = running 0-based index
+
+``Option`` None and empty ``Vec`` emit nothing. Media passthrough:
+input ``kind="media"`` spans re-emit with their media_ref; spans whose
+offset precedes every text span keep their leading position, the rest
+follow the extracted sequence, both groups offset-sorted (the
+deterministic interleaving rule for an extraction whose outputs have no
+source offsets).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from h2spark.core.extract import CompiledField, CompiledStruct
+from h2spark.core.spec import ARRAY, ONE, OPTION, VEC
+
+
+def flatten_raw(cs: CompiledStruct, raw: dict) -> list[tuple[str, str]]:
+    """Yield (kind, text) leaf spans for a raw-extraction tree."""
+    out: list[tuple[str, str]] = []
+    _flatten_struct(cs, raw, "", out)
+    return out
+
+
+def _flatten_struct(cs: CompiledStruct, raw: dict, prefix: str, out: list) -> None:
+    for cf in cs.fields:
+        r = raw[cf.name]
+        path = f"{prefix}{cf.name}"
+        if cf.card in (VEC, ARRAY):
+            for i, item in enumerate(r):
+                _flatten_leaf(cf, item, f"{path}[{i}]", out)
+        elif cf.card == OPTION:
+            if r is not None:
+                _flatten_leaf(cf, r, path, out)
+        else:
+            _flatten_leaf(cf, r, path, out)
+
+
+def _flatten_leaf(cf: CompiledField, r: Any, path: str, out: list) -> None:
+    if cf.nested is not None:
+        _flatten_struct(cf.nested, r, path + ".", out)
+    else:
+        out.append((f"{path}:{cf.type_name}", r))
+
+
+def flatten_document(
+    cs: CompiledStruct,
+    raw: dict | None,
+    media_spans: list[tuple[int, str]] | None = None,
+    first_text_offset: int | None = None,
+) -> list[dict] | None:
+    """Full spans_out for one document (FIXTURES.md §2).
+
+    ``media_spans``: (offset, media_ref) for input kind="media" spans.
+    ``first_text_offset``: min offset among input text spans (None if no
+    text spans — then all media lead).
+    Returns a list of {kind, text, media_ref, order} dicts, or None when
+    ``raw`` is None (extraction failed; caller sets the error column).
+    """
+    if raw is None:
+        return None
+    leading: list[tuple[int, str]] = []
+    trailing: list[tuple[int, str]] = []
+    if media_spans:
+        for off, ref in sorted(media_spans):
+            if first_text_offset is None or off < first_text_offset:
+                leading.append((off, ref))
+            else:
+                trailing.append((off, ref))
+    spans: list[dict] = []
+    order = 0
+    for _, ref in leading:
+        spans.append({"kind": "media", "text": "", "media_ref": ref, "order": order})
+        order += 1
+    for kind, text in flatten_raw(cs, raw):
+        spans.append({"kind": kind, "text": text, "media_ref": "", "order": order})
+        order += 1
+    for _, ref in trailing:
+        spans.append({"kind": "media", "text": "", "media_ref": ref, "order": order})
+        order += 1
+    return spans

@@ -1,0 +1,208 @@
+"""Typed-value parsers with Rust ``FromStr`` accept/reject parity.
+
+Counterpart of the 40-type Parseable table at
+/root/reference/core/src/parseable.rs:24-80. Each parser takes the
+extracted string and returns the typed value, or raises
+:class:`~h2spark.core.errors.ValueParseError` carrying the *Rust* error
+message (display.rs:133-141 forwards the inner FromStr message
+verbatim, so e.g. ``usize`` on "9.0" must say
+"invalid digit found in string", not a Python message).
+
+Accept/reject parity notes (SURVEY.md §2.3(7)):
+- integers: optional leading '+' (and '-' for signed); no whitespace,
+  no '_', no decimal point; empty -> "cannot parse integer from empty
+  string"; out of range -> "number too large/small to fit in target type".
+- floats: Rust grammar (inf/infinity/nan, digits with optional exponent);
+  rejects '_' (which Python's float() would accept).
+- bool: exactly "true"/"false".
+- char: exactly one code point.
+- NonZero*: integer parse + "number would be zero for non-zero type".
+- IP/socket types: Rust AddrParseError messages.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+
+from h2spark.core.errors import ValueParseError
+
+_INT_LIMITS = {
+    "u8": (0, 2**8 - 1), "u16": (0, 2**16 - 1), "u32": (0, 2**32 - 1),
+    "u64": (0, 2**64 - 1), "u128": (0, 2**128 - 1), "usize": (0, 2**64 - 1),
+    "i8": (-(2**7), 2**7 - 1), "i16": (-(2**15), 2**15 - 1),
+    "i32": (-(2**31), 2**31 - 1), "i64": (-(2**63), 2**63 - 1),
+    "i128": (-(2**127), 2**127 - 1), "isize": (-(2**63), 2**63 - 1),
+}
+
+_FLOAT_RE = re.compile(
+    r"[+-]?(inf|infinity|nan|(\d+\.?\d*|\.\d+)(e[+-]?\d+)?|\d+\.?\d*e[+-]?\d+)",
+    re.IGNORECASE,
+)
+
+
+def _parse_int(s: str, type_name: str) -> int:
+    lo, hi = _INT_LIMITS[type_name]
+    if not s:
+        raise ValueParseError("cannot parse integer from empty string")
+    body = s
+    neg = False
+    if body[0] in "+-":
+        neg = body[0] == "-"
+        if neg and lo == 0:
+            # unsigned: '-' is not stripped -> first char invalid digit
+            raise ValueParseError("invalid digit found in string")
+        body = body[1:]
+        if not body:
+            raise ValueParseError("invalid digit found in string")
+    if not body.isascii() or not body.isdigit():
+        raise ValueParseError("invalid digit found in string")
+    v = int(body)
+    if neg:
+        v = -v
+    if v > hi:
+        raise ValueParseError("number too large to fit in target type")
+    if v < lo:
+        raise ValueParseError("number too small to fit in target type")
+    return v
+
+
+def _parse_float(s: str, bits: int) -> float:
+    if not _FLOAT_RE.fullmatch(s):
+        raise ValueParseError("invalid float literal")
+    v = float(s)
+    if bits == 32:
+        import struct
+
+        v = struct.unpack("f", struct.pack("f", v))[0]
+    return v
+
+
+def _parse_bool(s: str) -> bool:
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    raise ValueParseError("provided string was not `true` or `false`")
+
+
+def _parse_char(s: str) -> str:
+    if len(s) == 0:
+        raise ValueParseError("cannot parse char from empty string")
+    if len(s) > 1:
+        raise ValueParseError("too many characters in string")
+    return s
+
+
+def _parse_nonzero(s: str, base: str) -> int:
+    v = _parse_int(s, base)
+    if v == 0:
+        raise ValueParseError("number would be zero for non-zero type")
+    return v
+
+
+def _parse_ipv4(s: str) -> str:
+    try:
+        ipaddress.IPv4Address(s)
+    except ValueError:
+        raise ValueParseError("invalid IPv4 address syntax") from None
+    return s
+
+
+def _parse_ipv6(s: str) -> str:
+    if "%" in s:
+        raise ValueParseError("invalid IPv6 address syntax")
+    try:
+        ipaddress.IPv6Address(s)
+    except ValueError:
+        raise ValueParseError("invalid IPv6 address syntax") from None
+    return s
+
+
+def _parse_ip(s: str) -> str:
+    for f in (_parse_ipv4, _parse_ipv6):
+        try:
+            return f(s)
+        except ValueParseError:
+            pass
+    raise ValueParseError("invalid IP address syntax")
+
+
+def _split_port(s: str) -> tuple[str, int]:
+    host, sep, port = s.rpartition(":")
+    if not sep or not port.isdigit() or int(port) > 65535:
+        raise ValueParseError("x")
+    return host, int(port)
+
+
+def _parse_sockv4(s: str) -> str:
+    try:
+        host, _ = _split_port(s)
+        _parse_ipv4(host)
+    except ValueParseError:
+        raise ValueParseError("invalid IPv4 socket address syntax") from None
+    return s
+
+
+def _parse_sockv6(s: str) -> str:
+    try:
+        host, _ = _split_port(s)
+        if not (host.startswith("[") and host.endswith("]")):
+            raise ValueParseError("x")
+        _parse_ipv6(host[1:-1])
+    except ValueParseError:
+        raise ValueParseError("invalid IPv6 socket address syntax") from None
+    return s
+
+
+def _parse_sock(s: str) -> str:
+    for f in (_parse_sockv4, _parse_sockv6):
+        try:
+            return f(s)
+        except ValueParseError:
+            pass
+    raise ValueParseError("invalid socket address syntax")
+
+
+def _identity(s: str) -> str:
+    return s
+
+
+def _mk_int(name):
+    return lambda s: _parse_int(s, name)
+
+
+def _mk_nonzero(base):
+    return lambda s: _parse_nonzero(s, base)
+
+
+#: type name -> (parser, spark type name). Spark type names are resolved
+#: to DataTypes in h2spark.pipeline.schema (core stays Spark-free).
+#: u64/usize/u128/i128 map to decimal(38,0) because they exceed LongType.
+PARSERS: dict[str, tuple] = {
+    "String": (_identity, "string"),
+    "bool": (_parse_bool, "boolean"),
+    "char": (_parse_char, "string"),
+    "f32": (lambda s: _parse_float(s, 32), "float"),
+    "f64": (lambda s: _parse_float(s, 64), "double"),
+    "PathBuf": (_identity, "string"),
+    "OsString": (_identity, "string"),
+    "IpAddr": (_parse_ip, "string"),
+    "Ipv4Addr": (_parse_ipv4, "string"),
+    "Ipv6Addr": (_parse_ipv6, "string"),
+    "SocketAddr": (_parse_sock, "string"),
+    "SocketAddrV4": (_parse_sockv4, "string"),
+    "SocketAddrV6": (_parse_sockv6, "string"),
+}
+
+for _name in ("i8", "i16", "i32", "i64", "isize"):
+    PARSERS[_name] = (_mk_int(_name), "long")
+for _name in ("u8", "u16", "u32"):
+    PARSERS[_name] = (_mk_int(_name), "long")
+for _name in ("u64", "usize", "u128", "i128"):
+    PARSERS[_name] = (_mk_int(_name), "decimal(38,0)")
+for _base in ("u8", "u16", "u32", "u64", "u128", "usize",
+              "i8", "i16", "i32", "i64", "i128", "isize"):
+    _nz = "NonZero" + _base[0].upper() + _base[1:]
+    spark_t = "decimal(38,0)" if _base in ("u64", "usize", "u128", "i128") else "long"
+    PARSERS[_nz] = (_mk_nonzero(_base), spark_t)

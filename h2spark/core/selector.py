@@ -1,0 +1,471 @@
+"""CSS selector engine: parser + matcher, from scratch.
+
+Counterpart of the reference's CssSelector trait + scraper/selectors
+backend (/root/reference/core/src/html.rs:31-36,
+src/backend/scraper.rs:91-103). Grammar covers the CSS3 subset the
+selectors-0.24 crate exposes and the corpus uses
+(SURVEY.md §2.1 #6): type, universal, class, id, attribute
+([a], [a=v], [a~=v], [a|=v], [a^=v], [a$=v], [a*=v]), compound,
+descendant / child / adjacent / general-sibling combinators,
+selector lists (commas), and the structural pseudo-classes
+:nth-child / :nth-last-child / :nth-of-type / :nth-last-of-type /
+:first-child / :last-child / :first-of-type / :last-of-type /
+:only-child / :root / :empty / :not(...).
+
+Matching semantics pinned by reference tests
+(src/backend/scraper.rs:133-171): ``select`` yields **descendants only**
+(the scope element itself never matches), in document order, but
+combinators evaluate against the full document tree — ancestors *above*
+the scope element participate (no ``:scope`` anchoring), so a nested
+``select="body"`` from a deep element still sees <body> ancestors.
+
+Invalid selectors raise :class:`SelectorParseError` at parse time,
+mirroring the compile-time validation in the derive macro
+(/root/reference/macro/src/lib.rs:96-108).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from h2spark.core.dom import Element
+
+
+class SelectorParseError(ValueError):
+    """Raised for an invalid CSS selector (ParseFailed,
+    /root/reference/src/backend/scraper.rs:91-103)."""
+
+
+_IDENT_RE = re.compile(r"-?[_a-zA-Z][_a-zA-Z0-9-]*")
+_WS_RE = re.compile(r"[ \t\r\n\f]*")
+_NUM_RE = re.compile(r"[-+]?[0-9]+")
+
+
+# --- compiled representation -------------------------------------------
+
+
+@dataclass(frozen=True)
+class AttrTest:
+    name: str
+    op: str | None  # None(presence) '=' '~=' '|=' '^=' '$=' '*='
+    value: str | None
+
+
+@dataclass(frozen=True)
+class PseudoTest:
+    kind: str           # 'nth-child', 'not', 'empty', ...
+    a: int = 0          # an+b for nth-*
+    b: int = 0
+    inner: tuple = ()   # compiled compounds for :not
+
+
+@dataclass(frozen=True)
+class Compound:
+    tag: str | None          # lowercased type selector, None = universal
+    ids: tuple[str, ...]
+    classes: tuple[str, ...]
+    attrs: tuple[AttrTest, ...]
+    pseudos: tuple[PseudoTest, ...]
+
+
+@dataclass(frozen=True)
+class Complex:
+    # compounds right-to-left; combinators[i] links compounds[i] (right)
+    # to compounds[i+1] (left): ' ', '>', '+', '~'
+    compounds: tuple[Compound, ...]
+    combinators: tuple[str, ...]
+
+
+class CssSelector:
+    """A compiled selector list. Parse once, match many — fixing the
+    reference's re-parse-per-call inefficiency (acknowledged TODO at
+    /root/reference/core/src/element_selector.rs:24)."""
+
+    __slots__ = ("source", "complexes")
+
+    def __init__(self, source: str, complexes: tuple[Complex, ...]):
+        self.source = source
+        self.complexes = complexes
+
+    @classmethod
+    def parse(cls, s: str) -> "CssSelector":
+        return _Parser(s).parse()
+
+    # --- matching -------------------------------------------------------
+
+    def matches(self, el: Element) -> bool:
+        return any(_match_complex(c, el) for c in self.complexes)
+
+    def select(self, scope: Element) -> list[Element]:
+        """All descendants of ``scope`` matching, in document order
+        (HtmlElement::select, /root/reference/core/src/html.rs:21)."""
+        out = []
+        for el in scope.iter_descendants():
+            if self.matches(el):
+                out.append(el)
+        return out
+
+    def __str__(self) -> str:
+        return self.source
+
+
+# --- parser -------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, s: str):
+        self.s = s
+        self.pos = 0
+
+    def error(self, msg: str) -> SelectorParseError:
+        return SelectorParseError(f"invalid css selector: `{self.s}`: {msg}")
+
+    def parse(self) -> CssSelector:
+        complexes = []
+        self._ws()
+        if self.pos >= len(self.s):
+            raise self.error("empty selector")
+        while True:
+            complexes.append(self._complex())
+            self._ws()
+            if self.pos >= len(self.s):
+                break
+            if self.s[self.pos] != ",":
+                raise self.error(f"unexpected {self.s[self.pos]!r}")
+            self.pos += 1
+            self._ws()
+            if self.pos >= len(self.s):
+                raise self.error("dangling comma")
+        return CssSelector(self.s, tuple(complexes))
+
+    def _ws(self) -> None:
+        self.pos = _WS_RE.match(self.s, self.pos).end()
+
+    def _complex(self) -> Complex:
+        compounds = [self._compound()]
+        combinators: list[str] = []
+        while True:
+            start = self.pos
+            self._ws()
+            if self.pos >= len(self.s) or self.s[self.pos] == ",":
+                self.pos = start if self.pos >= len(self.s) else self.pos
+                break
+            c = self.s[self.pos]
+            if c in ">+~":
+                self.pos += 1
+                self._ws()
+                combinators.append(c)
+            elif self.pos > start:
+                combinators.append(" ")
+            else:
+                raise self.error(f"unexpected {c!r}")
+            compounds.append(self._compound())
+        # store right-to-left
+        return Complex(tuple(reversed(compounds)), tuple(reversed(combinators)))
+
+    def _compound(self) -> Compound:
+        s = self.s
+        tag = None
+        ids: list[str] = []
+        classes: list[str] = []
+        attrs: list[AttrTest] = []
+        pseudos: list[PseudoTest] = []
+        matched = False
+        if self.pos < len(s):
+            if s[self.pos] == "*":
+                self.pos += 1
+                matched = True
+            else:
+                m = _IDENT_RE.match(s, self.pos)
+                if m:
+                    tag = m.group(0).lower()
+                    self.pos = m.end()
+                    matched = True
+        while self.pos < len(s):
+            c = s[self.pos]
+            if c == ".":
+                m = _IDENT_RE.match(s, self.pos + 1)
+                if not m:
+                    raise self.error("expected class name after '.'")
+                classes.append(m.group(0))
+                self.pos = m.end()
+                matched = True
+            elif c == "#":
+                m = _IDENT_RE.match(s, self.pos + 1)
+                if not m:
+                    raise self.error("expected id after '#'")
+                ids.append(m.group(0))
+                self.pos = m.end()
+                matched = True
+            elif c == "[":
+                attrs.append(self._attr())
+                matched = True
+            elif c == ":":
+                pseudos.append(self._pseudo())
+                matched = True
+            else:
+                break
+        if not matched:
+            raise self.error("expected a selector")
+        return Compound(tag, tuple(ids), tuple(classes), tuple(attrs), tuple(pseudos))
+
+    def _attr(self) -> AttrTest:
+        s = self.s
+        self.pos += 1  # '['
+        self._ws()
+        m = _IDENT_RE.match(s, self.pos)
+        if not m:
+            raise self.error("expected attribute name")
+        name = m.group(0).lower()
+        self.pos = m.end()
+        self._ws()
+        if self.pos < len(s) and s[self.pos] == "]":
+            self.pos += 1
+            return AttrTest(name, None, None)
+        for op in ("~=", "|=", "^=", "$=", "*=", "="):
+            if s.startswith(op, self.pos):
+                self.pos += len(op)
+                break
+        else:
+            raise self.error("expected ']' or attribute operator")
+        self._ws()
+        if self.pos < len(s) and s[self.pos] in "\"'":
+            q = s[self.pos]
+            end = s.find(q, self.pos + 1)
+            if end < 0:
+                raise self.error("unterminated string")
+            value = s[self.pos + 1:end]
+            self.pos = end + 1
+        else:
+            m = _IDENT_RE.match(s, self.pos)
+            if not m:
+                raise self.error("expected attribute value")
+            value = m.group(0)
+            self.pos = m.end()
+        self._ws()
+        if self.pos >= len(s) or s[self.pos] != "]":
+            raise self.error("expected ']'")
+        self.pos += 1
+        return AttrTest(name, op, value)
+
+    def _pseudo(self) -> PseudoTest:
+        s = self.s
+        self.pos += 1  # ':'
+        if self.pos < len(s) and s[self.pos] == ":":
+            raise self.error("pseudo-elements are not supported")
+        m = _IDENT_RE.match(s, self.pos)
+        if not m:
+            raise self.error("expected pseudo-class name")
+        name = m.group(0).lower()
+        self.pos = m.end()
+        if name in ("first-child", "last-child", "only-child", "root", "empty",
+                    "first-of-type", "last-of-type"):
+            return PseudoTest(name)
+        if name in ("nth-child", "nth-last-child", "nth-of-type",
+                    "nth-last-of-type"):
+            a, b = self._nth_args()
+            return PseudoTest(name, a, b)
+        if name == "not":
+            return PseudoTest("not", inner=self._not_args())
+        raise self.error(f"unsupported pseudo-class :{name}")
+
+    def _nth_args(self) -> tuple[int, int]:
+        s = self.s
+        if self.pos >= len(s) or s[self.pos] != "(":
+            raise self.error("expected '('")
+        end = s.find(")", self.pos)
+        if end < 0:
+            raise self.error("expected ')'")
+        body = s[self.pos + 1:end].strip().lower()
+        self.pos = end + 1
+        return _parse_nth(body, self)
+
+    def _not_args(self) -> tuple:
+        s = self.s
+        if self.pos >= len(s) or s[self.pos] != "(":
+            raise self.error("expected '('")
+        end = s.find(")", self.pos)
+        if end < 0:
+            raise self.error("expected ')'")
+        body = s[self.pos + 1:end]
+        self.pos = end + 1
+        sub = _Parser(body)
+        sub._ws()
+        inner = []
+        while True:
+            inner.append(sub._compound())
+            sub._ws()
+            if sub.pos >= len(body):
+                break
+            if body[sub.pos] != ",":
+                raise self.error(":not() accepts only simple selectors")
+            sub.pos += 1
+            sub._ws()
+        return tuple(inner)
+
+
+def _parse_nth(body: str, p: _Parser) -> tuple[int, int]:
+    if body == "odd":
+        return 2, 1
+    if body == "even":
+        return 2, 0
+    body = body.replace(" ", "")
+    m = re.fullmatch(r"([-+]?\d*)n([-+]\d+)?", body)
+    if m:
+        a_s = m.group(1)
+        a = 1 if a_s in ("", "+") else (-1 if a_s == "-" else int(a_s))
+        b = int(m.group(2)) if m.group(2) else 0
+        return a, b
+    m = re.fullmatch(r"[-+]?\d+", body)
+    if m:
+        return 0, int(body)
+    raise p.error(f"invalid nth expression {body!r}")
+
+
+# --- matcher ------------------------------------------------------------
+
+
+def _elem_children(parent) -> list[Element]:
+    return [c for c in parent.children if type(c) is Element]
+
+
+def _match_nth(a: int, b: int, i: int) -> bool:
+    # exists n >= 0 with i == a*n + b  (i is 1-based index)
+    if a == 0:
+        return i == b
+    if a > 0:
+        return i >= b and (i - b) % a == 0
+    return i <= b and (b - i) % (-a) == 0
+
+
+def _match_compound(cp: Compound, el: Element) -> bool:
+    if cp.tag is not None and el.tag != cp.tag:
+        return False
+    attrs = el.attrs
+    for i in cp.ids:
+        if attrs.get("id") != i:
+            return False
+    if cp.classes:
+        cls = attrs.get("class")
+        if cls is None:
+            return False
+        cset = cls.split()
+        for c in cp.classes:
+            if c not in cset:
+                return False
+    for at in cp.attrs:
+        v = attrs.get(at.name)
+        if v is None:
+            return False
+        if at.op is None:
+            continue
+        val = at.value
+        if at.op == "=":
+            if v != val:
+                return False
+        elif at.op == "~=":
+            if val not in v.split():
+                return False
+        elif at.op == "|=":
+            if not (v == val or v.startswith(val + "-")):
+                return False
+        elif at.op == "^=":
+            if not val or not v.startswith(val):
+                return False
+        elif at.op == "$=":
+            if not val or not v.endswith(val):
+                return False
+        elif at.op == "*=":
+            if not val or val not in v:
+                return False
+    for ps in cp.pseudos:
+        if not _match_pseudo(ps, el):
+            return False
+    return True
+
+
+def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
+    kind = ps.kind
+    if kind == "not":
+        return not any(_match_compound(c, el) for c in ps.inner)
+    if kind == "root":
+        return el.parent is not None and type(el.parent).__name__ == "Document"
+    if kind == "empty":
+        for c in el.children:
+            if type(c) is Element:
+                return False
+            if hasattr(c, "data") and type(c).__name__ == "Text" and c.data:
+                return False
+        return True
+    parent = el.parent
+    if parent is None:
+        return False
+    if kind == "first-child":
+        return el.elem_idx == 0
+    if kind == "nth-child":
+        return _match_nth(ps.a, ps.b, el.elem_idx + 1)
+    sibs = _elem_children(parent)
+    n = len(sibs)
+    if kind == "last-child":
+        return el.elem_idx == n - 1
+    if kind == "only-child":
+        return n == 1
+    if kind == "nth-last-child":
+        return _match_nth(ps.a, ps.b, n - el.elem_idx)
+    # of-type family
+    same = [c for c in sibs if c.tag == el.tag]
+    pos = same.index(el) + 1
+    if kind == "first-of-type":
+        return pos == 1
+    if kind == "last-of-type":
+        return pos == len(same)
+    if kind == "nth-of-type":
+        return _match_nth(ps.a, ps.b, pos)
+    if kind == "nth-last-of-type":
+        return _match_nth(ps.a, ps.b, len(same) - pos + 1)
+    return False
+
+
+def _match_complex(cx: Complex, el: Element) -> bool:
+    compounds = cx.compounds
+    if not _match_compound(compounds[0], el):
+        return False
+    return _match_rest(cx, 0, el)
+
+
+def _match_rest(cx: Complex, i: int, el: Element) -> bool:
+    # compounds[i] already matched at el; try to satisfy compounds[i+1:]
+    if i + 1 >= len(cx.compounds):
+        return True
+    comb = cx.combinators[i]
+    nxt = cx.compounds[i + 1]
+    if comb == ">":
+        p = el.parent
+        if p is None or type(p) is not Element:
+            return False
+        return _match_compound(nxt, p) and _match_rest(cx, i + 1, p)
+    if comb == " ":
+        p = el.parent
+        while p is not None and type(p) is Element:
+            if _match_compound(nxt, p) and _match_rest(cx, i + 1, p):
+                return True
+            p = p.parent
+        return False
+    # sibling combinators
+    p = el.parent
+    if p is None:
+        return False
+    sibs = _elem_children(p)
+    idx = el.elem_idx
+    if comb == "+":
+        if idx == 0:
+            return False
+        prev = sibs[idx - 1]
+        return _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev)
+    # '~'
+    for j in range(idx - 1, -1, -1):
+        prev = sibs[j]
+        if _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev):
+            return True
+    return False

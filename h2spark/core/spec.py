@@ -1,0 +1,128 @@
+"""Declarative extraction specs — the Python counterpart of
+``#[derive(FromHtml)]`` (/root/reference/macro/src/lib.rs:13-134).
+
+A user declares a :class:`StructSpec` (the "query"); ``compile_spec``
+(h2spark.core.extract) validates it — selectors actually parsed, exactly
+like the macro's compile-time check (macro/src/lib.rs:96-108) — and
+produces the interpretable plan the UDF kernel runs per document.
+
+Field attribute semantics (macro/src/lib.rs:28-40,115-121):
+- ``select``   -> Select{selector} element selector; absent -> Root.
+- ``attr``     -> ExtractAttribute (wins over ``extractor``).
+- ``extractor``-> explicit extractor (e.g. ``NthText(1)``).
+- default      -> NoOp for nested-struct fields, InnerText for scalars.
+
+Cardinality (core/src/field_value.rs:7-62, transformable.rs:19-53):
+``one`` (exactly 1), ``option`` (0..1, **2+ is an error**), ``vec``
+(0..n), ``array`` (exactly n).
+
+Tuple structs (tests/derive_macro.rs:152-210) are expressed by using
+positional field names "0", "1", ... — error paths then render e.g.
+``0: ...`` exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Optional, Union
+
+ONE = "one"
+OPTION = "option"
+VEC = "vec"
+ARRAY = "array"
+
+
+@dataclass(frozen=True)
+class Scalar:
+    """A built-in Parseable type, by its Rust name (parseable.py table)."""
+
+    type_name: str  # "String", "usize", "f64", "NonZeroU32", ...
+
+
+@dataclass(frozen=True)
+class CustomScalar:
+    """User Parseable impl (examples/custom_field_value.rs:10-20):
+    a parse function ``str -> value`` raising ValueParseError on failure,
+    plus the Spark type name of the parsed value."""
+
+    name: str
+    parse: Callable[[str], Any]
+    spark_type: str = "string"
+
+
+# --- extractors (core/src/extraction_method.rs) -------------------------
+
+
+@dataclass(frozen=True)
+class InnerText:
+    """ExtractInnerText: descendant text concat, no separator/trim
+    (extraction_method.rs:28-41). Display: 'inner text'."""
+
+    def display(self) -> str:
+        return "inner text"
+
+
+@dataclass(frozen=True)
+class Attr:
+    """ExtractAttribute (extraction_method.rs:43-68).
+    Display: 'attribute={name}'."""
+
+    name: str
+
+    def display(self) -> str:
+        return f"attribute={self.name}"
+
+
+@dataclass(frozen=True)
+class NthText:
+    """ExtractNthText(n): nth non-whitespace *direct-child* text node,
+    trimmed (extraction_method.rs:70-96; the reference's stray dbg! at
+    :79 is intentionally not replicated). Display: 'ExtractNthText(n)'."""
+
+    n: int
+
+    def display(self) -> str:
+        return f"ExtractNthText({self.n})"
+
+
+@dataclass(frozen=True)
+class NoOp:
+    """Pass the element through for nested-struct fields
+    (extraction_method.rs:13-26). Display: 'no-op'."""
+
+    def display(self) -> str:
+        return "no-op"
+
+
+Extractor = Union[InnerText, Attr, NthText, NoOp]
+Inner = Union[Scalar, CustomScalar, "StructSpec"]
+
+
+@dataclass(frozen=True)
+class Field:
+    name: str
+    inner: Inner
+    card: str = ONE               # one | option | vec | array
+    n: Optional[int] = None       # array arity
+    select: Optional[str] = None  # CSS selector; None = Root
+    attr: Optional[str] = None
+    extractor: Optional[Extractor] = None
+
+    def __post_init__(self):
+        if self.card == ARRAY and (self.n is None or self.n < 0):
+            raise ValueError(f"field {self.name!r}: array requires n >= 0")
+        if self.card not in (ONE, OPTION, VEC, ARRAY):
+            raise ValueError(f"field {self.name!r}: bad cardinality {self.card!r}")
+
+
+@dataclass(frozen=True)
+class StructSpec:
+    """The extraction "query": fields evaluated in declaration order,
+    fail-fast (macro/src/lib.rs:64-66,123-132)."""
+
+    name: str
+    fields: tuple[Field, ...] = dc_field(default_factory=tuple)
+
+    def __init__(self, name: str, fields) -> None:
+        object.__setattr__(self, "name", name)
+        object.__setattr__(self, "fields", tuple(fields))

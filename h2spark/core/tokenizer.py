@@ -1,0 +1,205 @@
+"""HTML5 tokenizer, from scratch, regex-accelerated.
+
+Emits the token stream the tree builder consumes:
+
+    ("text", data)                     -- character data, char-refs decoded
+    ("start", name, attrs, self_closing)
+    ("end", name)
+    ("comment", data)
+    ("doctype", name)
+
+State machine follows the WHATWG tokenizer sections the corpus exercises
+(data / tag open / end tag open / tag name / attributes / self-closing /
+markup declaration / comment / doctype / RAWTEXT / RCDATA / PLAINTEXT),
+implemented with scan-ahead regexes instead of per-character dispatch so
+the pure-Python hot path stays fast inside the vectorized UDF. The
+reference delegates this stage to html5ever via scraper
+(/root/reference/src/backend/scraper.rs:16-22); we rebuild it because the
+north_star requires a from-scratch backend.
+
+RAWTEXT elements (script/style/xmp/iframe/noembed/noframes) swallow
+markup until their end tag, no char-ref decoding; RCDATA (title/textarea)
+likewise but with char-ref decoding. The self-closing flag on non-void
+HTML elements is ignored by the tree builder (spec behavior), but rawtext
+entry honors it not at all — matching html5ever, ``<script/>`` still
+enters script data state.
+"""
+
+from __future__ import annotations
+
+import re
+
+from h2spark.core.charref import decode_char_refs
+
+RAWTEXT_ELEMENTS = frozenset(
+    {"script", "style", "xmp", "iframe", "noembed", "noframes"}
+)
+RCDATA_ELEMENTS = frozenset({"title", "textarea"})
+
+_TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f />]*")
+_WS_RE = re.compile(r"[\t\n\f\r ]*")
+_ATTR_NAME_RE = re.compile(r"[^\t\n\f\r />=]+|=")
+_UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\f\r >]*")
+
+
+def tokenize(html: str):
+    """Yield tokens for ``html``. Generator; linear single pass."""
+    s = html
+    n = len(s)
+    pos = 0
+    find = s.find
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            yield ("text", decode_char_refs(s[pos:]))
+            return
+        if lt > pos:
+            yield ("text", decode_char_refs(s[pos:lt]))
+        pos = lt
+        nxt = s[pos + 1] if pos + 1 < n else ""
+
+        if nxt == "/":
+            # end tag open
+            c2 = s[pos + 2] if pos + 2 < n else ""
+            if c2.isalpha():
+                m = _TAG_NAME_RE.match(s, pos + 2)
+                name = m.group(0).lower()
+                # skip to '>' (attributes on end tags are dropped per spec)
+                gt = find(">", m.end())
+                if gt < 0:
+                    return  # eof-in-tag: emit nothing
+                pos = gt + 1
+                yield ("end", name)
+            elif c2 == ">":
+                pos += 3  # missing-end-tag-name: ignore "</>"
+            elif c2 == "":
+                return
+            else:
+                # bogus comment until '>'
+                gt = find(">", pos + 2)
+                if gt < 0:
+                    yield ("comment", s[pos + 2:])
+                    return
+                yield ("comment", s[pos + 2:gt])
+                pos = gt + 1
+        elif nxt == "!":
+            if s.startswith("<!--", pos):
+                end = find("-->", pos + 4)
+                if end < 0:
+                    yield ("comment", s[pos + 4:])
+                    return
+                yield ("comment", s[pos + 4:end])
+                pos = end + 3
+            elif s[pos + 2:pos + 9].lower() == "doctype":
+                gt = find(">", pos + 9)
+                if gt < 0:
+                    body = s[pos + 9:]
+                    pos = n
+                else:
+                    body = s[pos + 9:gt]
+                    pos = gt + 1
+                yield ("doctype", body.strip().split()[0].lower() if body.strip() else "")
+            else:
+                gt = find(">", pos + 2)
+                if gt < 0:
+                    yield ("comment", s[pos + 2:])
+                    return
+                yield ("comment", s[pos + 2:gt])
+                pos = gt + 1
+        elif nxt == "?":
+            # bogus comment (processing instruction)
+            gt = find(">", pos + 2)
+            if gt < 0:
+                yield ("comment", s[pos + 1:])
+                return
+            yield ("comment", s[pos + 1:gt])
+            pos = gt + 1
+        elif nxt.isalpha():
+            tok, pos = _scan_start_tag(s, pos)
+            if tok is None:
+                # eof-in-tag
+                return
+            yield tok
+            name = tok[1]
+            if name in RAWTEXT_ELEMENTS:
+                pos = yield from _scan_rawtext(s, pos, name, decode=False)
+            elif name in RCDATA_ELEMENTS:
+                pos = yield from _scan_rawtext(s, pos, name, decode=True)
+            elif name == "plaintext" and not tok[3]:
+                if pos < n:
+                    yield ("text", s[pos:])
+                return
+        else:
+            # '<' followed by junk: literal text
+            yield ("text", "<")
+            pos += 1
+
+
+def _scan_start_tag(s: str, pos: int):
+    """Parse a start tag at s[pos] == '<'. Returns (token|None, new_pos)."""
+    n = len(s)
+    m = _TAG_NAME_RE.match(s, pos + 1)
+    name = m.group(0).lower()
+    i = m.end()
+    attrs: dict[str, str] = {}
+    self_closing = False
+    while True:
+        i = _WS_RE.match(s, i).end()
+        if i >= n:
+            return None, n  # eof-in-tag
+        c = s[i]
+        if c == ">":
+            i += 1
+            break
+        if c == "/":
+            if s[i + 1:i + 2] == ">":
+                self_closing = True
+                i += 2
+                break
+            i += 1  # unexpected-solidus-in-tag: skip
+            continue
+        am = _ATTR_NAME_RE.match(s, i)
+        if am is None:  # defensive; '>' and '/' handled above
+            i += 1
+            continue
+        aname = am.group(0).lower()
+        i = am.end()
+        i = _WS_RE.match(s, i).end()
+        value = ""
+        if s[i:i + 1] == "=":
+            i = _WS_RE.match(s, i + 1).end()
+            q = s[i:i + 1]
+            if q == '"' or q == "'":
+                endq = s.find(q, i + 1)
+                if endq < 0:
+                    return None, n  # eof-in-attribute-value
+                value = decode_char_refs(s[i + 1:endq], in_attribute=True)
+                i = endq + 1
+            else:
+                vm = _UNQUOTED_VALUE_RE.match(s, i)
+                value = decode_char_refs(vm.group(0), in_attribute=True)
+                i = vm.end()
+        if aname not in attrs:  # duplicate-attribute: first wins
+            attrs[aname] = value
+    return ("start", name, attrs, self_closing), i
+
+
+def _scan_rawtext(s: str, pos: int, name: str, decode: bool):
+    """Consume RAWTEXT/RCDATA content up to the matching end tag.
+
+    Yields the text token and the end tag; returns the new position.
+    """
+    pat = re.compile(r"</" + name + r"(?=[\t\n\f\r />])|</" + name + r"$", re.I)
+    m = pat.search(s, pos)
+    if m is None:
+        data = s[pos:]
+        if data:
+            yield ("text", decode_char_refs(data) if decode else data)
+        return len(s)
+    data = s[pos:m.start()]
+    if data:
+        yield ("text", decode_char_refs(data) if decode else data)
+    gt = s.find(">", m.end())
+    yield ("end", name)
+    return len(s) if gt < 0 else gt + 1

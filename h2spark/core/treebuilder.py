@@ -1,0 +1,408 @@
+"""HTML5 tree construction, from scratch (pragmatic subset).
+
+Implements the WHATWG insertion modes the extraction corpus and typical
+web HTML exercise: initial / before html / before head / in head /
+after head / in body / after body, with implied <html><head><body>
+insertion, void elements, auto-closing (<p>, <li>, <dd>/<dt>, headings,
+<option>, table cells/rows), attribute merging onto existing html/body,
+adjacent-text merging, and comment/doctype placement. Rawtext/RCDATA
+content arrives pre-tokenized (tokenizer handles those states).
+
+Deliberate simplifications (documented, corpus-safe): no foster
+parenting / table insertion modes (table-related tags nest where they
+appear), no adoption agency for misnested formatting tags, no template/
+frameset handling. The reference gets full conformance from html5ever
+via scraper (/root/reference/src/backend/scraper.rs:16-22); parity is
+asserted on the reference's own corpus (fragments like
+``<div seconds="456">123</div>`` gain implied html/body wrappers —
+/root/reference/examples/custom_field_value.rs:30 — and
+``root_element()`` is the <html> element, scraper.rs:30-33).
+"""
+
+from __future__ import annotations
+
+from h2spark.core.dom import Comment, Doctype, Document, Element, Text, _doc_append
+from h2spark.core.tokenizer import RAWTEXT_ELEMENTS, RCDATA_ELEMENTS, tokenize
+
+_TEXT_CONTENT = RAWTEXT_ELEMENTS | RCDATA_ELEMENTS
+
+VOID_ELEMENTS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+_HEAD_ELEMENTS = frozenset(
+    {
+        "base", "basefont", "bgsound", "link", "meta", "title",
+        "noframes", "style", "script", "template",
+    }
+)
+
+# Start tags that close an open <p> (WHATWG "in body" rules).
+_P_CLOSERS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "center", "details",
+        "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+        "footer", "header", "hgroup", "main", "menu", "nav", "ol", "p",
+        "section", "summary", "ul", "h1", "h2", "h3", "h4", "h5", "h6",
+        "pre", "listing", "form", "plaintext", "table", "hr", "xmp",
+    }
+)
+
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Elements that terminate the search when auto-closing <li> / <dd> / <dt>
+# (approximation of the spec's "special" category minus address/div/p).
+_LI_SCOPE_STOP = frozenset({"ul", "ol", "dl", "body", "html", "table", "td", "th"})
+
+_WS = "\t\n\f\r "
+
+
+class _Builder:
+    __slots__ = ("doc", "stack", "mode", "_saw_doctype")
+
+    def __init__(self) -> None:
+        self.doc = Document()
+        self.stack: list[Element] = []
+        self.mode = "initial"
+        self._saw_doctype = False
+
+    # --- helpers --------------------------------------------------------
+
+    def _current(self) -> Element:
+        return self.stack[-1]
+
+    def _append_text(self, data: str) -> None:
+        cur = self._current()
+        if cur.children and type(cur.children[-1]) is Text:
+            cur.children[-1].data += data  # merge adjacent character runs
+        else:
+            cur.append_child(Text(data))
+
+    def _insert_element(self, name: str, attrs: dict, push: bool = True) -> Element:
+        el = Element(name, attrs)
+        self._current().append_child(el)
+        if push and name not in VOID_ELEMENTS:
+            self.stack.append(el)
+        return el
+
+    def _imply_html(self, attrs: dict | None = None) -> None:
+        el = Element("html", attrs or {})
+        _doc_append(self.doc, el)
+        self.stack.append(el)
+
+    def _pop_until(self, name: str) -> bool:
+        """If ``name`` is on the stack, pop through it (implied end tags
+        for everything above). Else no-op. Never pops html/body."""
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t == name:
+                del self.stack[i:]
+                return True
+            if t in ("html", "body") and name not in ("html", "body"):
+                return False
+        return False
+
+    def _close_p(self) -> None:
+        # button-scope approximation: stop at body/html/table cells
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t == "p":
+                del self.stack[i:]
+                return
+            if t in ("body", "html", "table", "td", "th", "button"):
+                return
+
+    def _close_li_like(self, names: frozenset[str] | tuple) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t in names:
+                del self.stack[i:]
+                return
+            if t in _LI_SCOPE_STOP:
+                return
+
+    def _merge_attrs(self, el: Element, attrs: dict) -> None:
+        for k, v in attrs.items():
+            if k not in el.attrs:
+                el.attrs[k] = v
+
+    # --- token dispatch -------------------------------------------------
+
+    def feed(self, tok: tuple) -> None:
+        # "text" insertion mode: a rawtext/RCDATA element is open —
+        # character data appends to it, its end tag closes it.
+        if self.stack and self.stack[-1].tag in _TEXT_CONTENT:
+            kind = tok[0]
+            if kind == "text":
+                self._append_text(tok[1])
+                return
+            self.stack.pop()
+            if kind == "end" and tok[1] in _TEXT_CONTENT:
+                return
+        # Loop to support "reprocess in new mode" without recursion.
+        while True:
+            handler = getattr(self, "_mode_" + self.mode)
+            if handler(tok):
+                return
+
+    # Each mode handler returns True when the token is consumed.
+
+    def _mode_initial(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "doctype":
+            if not self._saw_doctype:
+                _doc_append(self.doc, Doctype(tok[1]))
+                self._saw_doctype = True
+            return True
+        if kind == "comment":
+            _doc_append(self.doc, Comment(tok[1]))
+            return True
+        if kind == "text":
+            stripped = tok[1].lstrip(_WS)
+            if not stripped:
+                return True
+            tok = ("text", stripped)
+        self.mode = "before_html"
+        return self._mode_before_html(tok)
+
+    def _mode_before_html(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "comment":
+            _doc_append(self.doc, Comment(tok[1]))
+            return True
+        if kind == "doctype":
+            return True  # ignored
+        if kind == "text":
+            stripped = tok[1].lstrip(_WS)
+            if not stripped:
+                return True
+            tok = ("text", stripped)
+        if kind == "start" and tok[1] == "html":
+            self._imply_html(tok[2])
+            self.mode = "before_head"
+            return True
+        if kind == "end" and tok[1] not in ("head", "body", "html", "br"):
+            return True  # ignored
+        self._imply_html()
+        self.mode = "before_head"
+        return self._mode_before_head(tok)
+
+    def _mode_before_head(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "comment":
+            self._current().append_child(Comment(tok[1]))
+            return True
+        if kind == "doctype":
+            return True
+        if kind == "text":
+            stripped = tok[1].lstrip(_WS)
+            if not stripped:
+                return True
+            tok = ("text", stripped)
+        if kind == "start" and tok[1] == "html":
+            self._merge_attrs(self.stack[0], tok[2])
+            return True
+        if kind == "start" and tok[1] == "head":
+            self._insert_element("head", tok[2])
+            self.mode = "in_head"
+            return True
+        if kind == "end" and tok[1] not in ("head", "body", "html", "br"):
+            return True
+        self._insert_element("head", {})
+        self.mode = "in_head"
+        return self._mode_in_head(tok)
+
+    def _mode_in_head(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "comment":
+            self._current().append_child(Comment(tok[1]))
+            return True
+        if kind == "doctype":
+            return True
+        if kind == "text":
+            ws_len = len(tok[1]) - len(tok[1].lstrip(_WS))
+            if ws_len:
+                self._append_text(tok[1][:ws_len])
+            rest = tok[1][ws_len:]
+            if not rest:
+                return True
+            tok = ("text", rest)
+        elif kind == "start":
+            name = tok[1]
+            if name == "html":
+                self._merge_attrs(self.stack[0], tok[2])
+                return True
+            if name in _HEAD_ELEMENTS:
+                self._insert_element(name, tok[2])
+                return True
+            if name == "head":
+                return True  # ignored
+        elif kind == "end":
+            if tok[1] == "head":
+                self._pop_until("head")
+                self.mode = "after_head"
+                return True
+            if tok[1] not in ("body", "html", "br"):
+                # end tag whose element may be open in head (title etc.)
+                if self._pop_until(tok[1]):
+                    return True
+                return True
+        # anything else: pop head, reprocess in after_head
+        self._pop_until("head")
+        self.mode = "after_head"
+        return self._mode_after_head(tok)
+
+    def _mode_after_head(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "comment":
+            self._current().append_child(Comment(tok[1]))
+            return True
+        if kind == "doctype":
+            return True
+        if kind == "text":
+            ws_len = len(tok[1]) - len(tok[1].lstrip(_WS))
+            if ws_len:
+                self._append_text(tok[1][:ws_len])
+            rest = tok[1][ws_len:]
+            if not rest:
+                return True
+            tok = ("text", rest)
+        elif kind == "start":
+            name = tok[1]
+            if name == "html":
+                self._merge_attrs(self.stack[0], tok[2])
+                return True
+            if name == "body":
+                self._insert_element("body", tok[2])
+                self.mode = "in_body"
+                return True
+        elif kind == "end" and tok[1] not in ("body", "html", "br"):
+            return True
+        self._insert_element("body", {})
+        self.mode = "in_body"
+        return self._mode_in_body(tok)
+
+    def _mode_in_body(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "text":
+            self._append_text(tok[1])
+            return True
+        if kind == "comment":
+            self._current().append_child(Comment(tok[1]))
+            return True
+        if kind == "doctype":
+            return True
+        if kind == "start":
+            name, attrs = tok[1], tok[2]
+            if name == "html":
+                self._merge_attrs(self.stack[0], attrs)
+                return True
+            if name == "body":
+                body = next(
+                    (e for e in self.stack if e.tag == "body"), None
+                )
+                if body is not None:
+                    self._merge_attrs(body, attrs)
+                return True
+            if name == "head":
+                return True
+            if name in _P_CLOSERS:
+                self._close_p()
+            if name in _HEADINGS and self._current().tag in _HEADINGS:
+                self.stack.pop()
+            if name == "li":
+                self._close_li_like(("li",))
+            elif name in ("dd", "dt"):
+                self._close_li_like(("dd", "dt"))
+            elif name == "option" and self._current().tag == "option":
+                self.stack.pop()
+            elif name == "optgroup":
+                if self._current().tag == "option":
+                    self.stack.pop()
+                if self._current().tag == "optgroup":
+                    self.stack.pop()
+            elif name in ("td", "th"):
+                self._close_li_like(("td", "th"))
+            elif name == "tr":
+                self._close_li_like(("tr", "td", "th"))
+                if self._current().tag == "tr":
+                    self.stack.pop()
+            elif name == "a":
+                # adoption-agency approximation: close an open <a>
+                for i in range(len(self.stack) - 1, -1, -1):
+                    t = self.stack[i].tag
+                    if t == "a":
+                        del self.stack[i:]
+                        break
+                    if t in ("body", "html"):
+                        break
+            self._insert_element(name, attrs)
+            return True
+        if kind == "end":
+            name = tok[1]
+            if name in ("body", "html"):
+                self.mode = "after_body"
+                return True
+            if name == "br":
+                self._insert_element("br", {})
+                return True
+            if name == "p":
+                # spec: no open p -> insert empty <p> then close it
+                for i in range(len(self.stack) - 1, -1, -1):
+                    t = self.stack[i].tag
+                    if t == "p":
+                        del self.stack[i:]
+                        return True
+                    if t in ("body", "html", "button", "table", "td", "th"):
+                        break
+                self._insert_element("p", {})
+                self.stack.pop()
+                return True
+            self._pop_until(name)
+            return True
+        return True
+
+    def _mode_after_body(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "comment":
+            # spec: append to first element (html)
+            self.stack[0].append_child(Comment(tok[1]))
+            return True
+        if kind == "doctype":
+            return True
+        if kind == "text" and not tok[1].strip(_WS):
+            return self._mode_in_body(tok)
+        if kind == "end" and tok[1] == "html":
+            return True
+        # anything else: back to in_body, reprocess
+        self.mode = "in_body"
+        return False
+
+
+def parse_document(html: str) -> Document:
+    """Parse an HTML document string into a DOM tree.
+
+    Spark-free, per-document, error-tolerant: the counterpart of
+    Backend::parse_document (/root/reference/core/src/html.rs:54-61,
+    impl src/backend/scraper.rs:16-22). Always produces an <html> root
+    with head/body implied when missing.
+    """
+    b = _Builder()
+    for tok in tokenize(html):
+        b.feed(tok)
+    if b.mode in ("initial", "before_html"):
+        b._imply_html()
+        b.mode = "before_head"
+    if b.mode == "before_head":
+        b._insert_element("head", {})
+        b.mode = "in_head"
+    if b.mode == "in_head":
+        b._pop_until("head")
+        b.mode = "after_head"
+    if b.mode == "after_head":
+        b._insert_element("body", {})
+        b.mode = "in_body"
+    return b.doc

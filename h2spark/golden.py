@@ -1,0 +1,309 @@
+"""Golden corpus: the reference's own extraction cases, as data.
+
+Each case carries the HTML input, the extraction spec, and the expected
+value (or error string) — ported from the reference's doctest,
+integration tests, and examples (FIXTURES.md §3 maps each case to its
+file:line). Used by the pytest parity gate AND embedded into the
+hint-shaped interleaved-span corpus by h2spark.fixtures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from h2spark.core.spec import (
+    ARRAY,
+    ONE,
+    OPTION,
+    VEC,
+    Field,
+    NthText,
+    Scalar,
+    StructSpec,
+)
+
+# --- README / doctest page (/root/reference/src/lib.rs:35-94) -----------
+
+ARTICLE_SPEC = StructSpec(
+    "Article",
+    [
+        Field("title", Scalar("String"), ONE, select="h2 > a"),
+        Field("view_count", Scalar("usize"), ONE, select="div > span"),
+        Field("url", Scalar("String"), ONE, select="h2 > a", attr="href"),
+        Field("tags", Scalar("String"), VEC, select="ul > li"),
+        Field("first_tag", Scalar("String"), OPTION, select="ul > li:nth-child(1)"),
+    ],
+)
+
+PAGE_SPEC = StructSpec(
+    "Page",
+    [
+        Field("lang", Scalar("String"), ONE, attr="lang"),
+        Field("blog_title", Scalar("String"), ONE, select="div > h1.blog-title"),
+        Field("articles", ARTICLE_SPEC, VEC, select=".articles > div"),
+        Field("footer2", Scalar("String"), ONE, select="body", extractor=NthText(1)),
+    ],
+)
+
+README_HTML = """
+<html lang="en">
+<body>
+  <div>
+      <h1 class="blog-title">My tech blog</h1>
+      <div class="articles">
+          <div>
+              <h2><a href="https://example.com/1">article1</a></h2>
+              <div><span>901</span> Views</div>
+              <ul><li>Tag1</li><li>Tag2</li></ul>
+          </div>
+          <div>
+              <h2><a href="https://example.com/2">article2</a></h2>
+              <div><span>849</span> Views</div>
+              <ul></ul>
+          </div>
+          <div>
+              <h2><a href="https://example.com/3">article3</a></h2>
+              <div><span>103</span> Views</div>
+              <ul><li>Tag3</li></ul>
+          </div>
+      </div>
+  </div>
+  footer1
+  <hr />
+  footer2
+</body>
+</html>
+"""
+
+README_EXPECTED = {
+    "lang": "en",
+    "blog_title": "My tech blog",
+    "articles": [
+        {
+            "title": "article1",
+            "view_count": 901,
+            "url": "https://example.com/1",
+            "tags": ["Tag1", "Tag2"],
+            "first_tag": "Tag1",
+        },
+        {
+            "title": "article2",
+            "view_count": 849,
+            "url": "https://example.com/2",
+            "tags": [],
+            "first_tag": None,
+        },
+        {
+            "title": "article3",
+            "view_count": 103,
+            "url": "https://example.com/3",
+            "tags": ["Tag3"],
+            "first_tag": "Tag3",
+        },
+    ],
+    "footer2": "footer2",
+}
+
+README_ERR_HTML = README_HTML.replace(
+    '<a href="https://example.com/3">article3</a>', ""
+)
+README_ERR_STRING = (
+    'articles: [2]: title: mismatched number of selected elements by '
+    '"h2 > a": expected exactly one element, but no elements found'
+)
+
+# --- tests/derive_macro.rs:3-78 (string_values) -------------------------
+
+STRING_VALUES_SPEC = StructSpec(
+    "Struct1",
+    [
+        Field("a", Scalar("String"), ONE, attr="lang"),
+        Field("b", Scalar("String"), ONE, select=".b"),
+        Field("c", Scalar("String"), ONE, select=".c", attr="id"),
+        Field("d", Scalar("String"), VEC, select=".d"),
+        Field("e", Scalar("String"), OPTION, select=".e"),
+        Field("e_none", Scalar("String"), OPTION, select=".class-that-does-not-exist"),
+        Field("f", Scalar("String"), ARRAY, n=3, select=".f"),
+        Field(
+            "g",
+            StructSpec("Struct2", [Field("h", Scalar("String"), ONE)]),
+            ONE,
+            select=".g",
+        ),
+    ],
+)
+
+STRING_VALUES_HTML = """
+<!DOCTYPE html>
+<html lang="avalue">
+<body>
+
+<div class="b">bvalue</div>
+
+<div class="c" id="cvalue" />
+
+<div class="d">dvalue1</div>
+<div class="d">dvalue2</div>
+<div class="d">dvalue3</div>
+
+<div class="e">evalue</div>
+
+<div class="f">fvalue1</div>
+<div class="f">fvalue2</div>
+<div class="f">fvalue3</div>
+
+<div class="g">hvalue</div>
+
+</body>
+</html>
+    """
+
+STRING_VALUES_EXPECTED = {
+    "a": "avalue",
+    "b": "bvalue",
+    "c": "cvalue",
+    "d": ["dvalue1", "dvalue2", "dvalue3"],
+    "e": "evalue",
+    "e_none": None,
+    "f": ["fvalue1", "fvalue2", "fvalue3"],
+    "g": {"h": "hvalue"},
+}
+
+# --- tests/derive_macro.rs:80-150 (nested_struct) -----------------------
+
+_INNER1 = StructSpec("StructInner1", [Field("a", Scalar("String"), ONE, attr="lang")])
+_INNER2 = StructSpec("StructInner2", [Field("v", Scalar("String"), ONE, select="span")])
+
+NESTED_STRUCT_SPEC = StructSpec(
+    "Struct",
+    [
+        Field("a", _INNER1, ONE),
+        Field("b", _INNER2, ONE, select=".b"),
+        Field("c", _INNER2, VEC, select=".c"),
+        Field("d", _INNER2, OPTION, select=".d"),
+        Field("d_none", _INNER2, OPTION, select=".class-that-does-not-exist"),
+        Field("e", _INNER2, ARRAY, n=3, select=".e"),
+    ],
+)
+
+NESTED_STRUCT_HTML = """
+<!DOCTYPE html>
+<html lang="a">
+<body>
+<div class="b"><span>bvalue</span></div>
+
+<div class="c"><span>cvalue1</span></div>
+<div class="c"><span>cvalue2</span></div>
+<div class="c"><span>cvalue3</span></div>
+
+<div class="d"><span>dvalue</span></div>
+
+<div class="e"><span>evalue1</span></div>
+<div class="e"><span>evalue2</span></div>
+<div class="e"><span>evalue3</span></div>
+</body>
+</html>
+    """
+
+NESTED_STRUCT_EXPECTED = {
+    "a": {"a": "a"},
+    "b": {"v": "bvalue"},
+    "c": [{"v": "cvalue1"}, {"v": "cvalue2"}, {"v": "cvalue3"}],
+    "d": {"v": "dvalue"},
+    "d_none": None,
+    "e": [{"v": "evalue1"}, {"v": "evalue2"}, {"v": "evalue3"}],
+}
+
+# --- tests/derive_macro.rs:152-210 (tuple struct: positional names) -----
+
+STRUCT_UNNAMED_SPEC = StructSpec(
+    "Struct",
+    [
+        Field("0", _INNER1, ONE),
+        Field("1", _INNER2, ONE, select=".b"),
+        Field("2", _INNER2, VEC, select=".c"),
+        Field("3", _INNER2, OPTION, select=".d"),
+        Field("4", _INNER2, OPTION, select=".class-that-does-not-exist"),
+        Field("5", _INNER2, ARRAY, n=3, select=".e"),
+    ],
+)
+
+STRUCT_UNNAMED_EXPECTED = {
+    "0": {"a": "a"},
+    "1": {"v": "bvalue"},
+    "2": [{"v": "cvalue1"}, {"v": "cvalue2"}, {"v": "cvalue3"}],
+    "3": {"v": "dvalue"},
+    "4": None,
+    "5": [{"v": "evalue1"}, {"v": "evalue2"}, {"v": "evalue3"}],
+}
+
+# --- examples/explicit_extractor.rs:20-43 (nth text) --------------------
+
+NTH_TEXT_SPEC = StructSpec(
+    "Fragment",
+    [
+        Field(
+            "inner",
+            StructSpec(
+                "Inner",
+                [
+                    Field("a", Scalar("String"), ONE, extractor=NthText(0)),
+                    Field("b", Scalar("String"), ONE, extractor=NthText(1)),
+                    Field("c", Scalar("String"), ONE, extractor=NthText(2)),
+                ],
+            ),
+            ONE,
+            select="div",
+        ),
+    ],
+)
+
+NTH_TEXT_HTML = """<div>
+             A
+             <ul>
+               <li>X</li>
+               <li>Y</li>
+             </ul>
+             B
+             <p>Z</p>
+             C
+           </div>
+          """
+
+NTH_TEXT_EXPECTED = {"inner": {"a": "A", "b": "B", "c": "C"}}
+
+# --- examples/custom_field_value.rs:22-38 (custom Parseable) ------------
+
+CUSTOM_PARSE_HTML = '<div seconds="456">123</div>'
+
+
+# --- registry for fixture embedding -------------------------------------
+
+
+@dataclass(frozen=True)
+class GoldenCase:
+    case_id: str
+    html: str
+    spec: StructSpec
+    expected: Optional[dict]      # None for error cases
+    error: Optional[str] = None   # expected error string
+
+
+GOLDEN_CASES: tuple[GoldenCase, ...] = (
+    GoldenCase("readme_page", README_HTML, PAGE_SPEC, README_EXPECTED),
+    GoldenCase("readme_err", README_ERR_HTML, PAGE_SPEC, None, README_ERR_STRING),
+    GoldenCase(
+        "string_values", STRING_VALUES_HTML, STRING_VALUES_SPEC,
+        STRING_VALUES_EXPECTED,
+    ),
+    GoldenCase(
+        "nested_struct", NESTED_STRUCT_HTML, NESTED_STRUCT_SPEC,
+        NESTED_STRUCT_EXPECTED,
+    ),
+    GoldenCase(
+        "struct_unnamed", NESTED_STRUCT_HTML, STRUCT_UNNAMED_SPEC,
+        STRUCT_UNNAMED_EXPECTED,
+    ),
+    GoldenCase("nth_text", NTH_TEXT_HTML, NTH_TEXT_SPEC, NTH_TEXT_EXPECTED),
+)

@@ -1,0 +1,191 @@
+"""DOM / tokenizer / tree-builder parity tests.
+
+One test per reference backend test (SURVEY.md §5.1), same inputs,
+same goldens: /root/reference/src/backend/scraper.rs:122-216.
+"""
+
+from h2spark.core.dom import Element, Text
+from h2spark.core.selector import CssSelector, SelectorParseError
+from h2spark.core.treebuilder import parse_document
+
+import pytest
+
+
+def test_selector_parse_ok_and_err():
+    # scraper.rs:122-130
+    CssSelector.parse("div > .a")
+    with pytest.raises(SelectorParseError):
+        CssSelector.parse(":invalid:")
+
+
+def test_select_descendants_in_doc_order():
+    # scraper.rs:133-171
+    doc = parse_document(
+        """
+<!DOCTYPE html>
+<html>
+<body>
+<div class="a">
+    <span>1</span>
+    <span>2</span>
+    <span>3</span>
+</div>
+
+<div class="b">
+    <span>4</span>
+</div>
+
+<span>5</span>
+</body>
+</html>
+        """
+    )
+    root = doc.root_element()
+    a_span = CssSelector.parse("div.a > span").select(root)
+    assert [e.inner_text() for e in a_span] == ["1", "2", "3"]
+
+    b = CssSelector.parse(".b").select(root)[0]
+    b_span = CssSelector.parse("span").select(b)
+    assert len(b_span) == 1
+    assert b_span[0].inner_text() == "4"
+
+
+def test_select_non_scoped_combinators():
+    # scraper (selectors crate) semantics: combinators may climb above
+    # the scope element — SURVEY.md §2.3(4), README.md:23 nested "body".
+    doc = parse_document(
+        '<html><body><div class="x"><span>s</span></div></body></html>'
+    )
+    x = CssSelector.parse(".x").select(doc.root_element())[0]
+    # "body span" from inside .x: body is an ancestor above the scope
+    assert len(CssSelector.parse("body span").select(x)) == 1
+    # the scope element itself never matches
+    assert CssSelector.parse(".x").select(x) == []
+
+
+def test_text_contents_descendants_doc_order():
+    # scraper.rs:173-180
+    doc = parse_document("<html><div>a<div>b</div><div>c</div></div></html>")
+    assert doc.root_element().text_contents() == ["a", "b", "c"]
+
+
+def test_get_attribute():
+    # scraper.rs:182-191
+    doc = parse_document('<html><div id="foo" class="bar" /></html>')
+    elem = CssSelector.parse("div").select(doc.root_element())[0]
+    assert elem.attribute("id") == "foo"
+    assert elem.attribute("class") == "bar"
+    assert elem.attribute("nope") is None
+
+
+def test_child_nodes_classification():
+    # scraper.rs:193-216
+    doc = parse_document("<div><div>a<div></div></div>b<div>c</div>d</div>")
+    outer = CssSelector.parse("div").select(doc.root_element())[0]
+    rendered = []
+    for n in outer.child_nodes():
+        if type(n) is Text:
+            rendered.append(n.get_text())
+        elif type(n) is Element:
+            rendered.append("elem-" + n.inner_text())
+    assert rendered == ["elem-a", "b", "elem-c", "d"]
+
+
+def test_fragment_gets_implied_wrappers():
+    # examples/custom_field_value.rs:30: fragments parse as documents
+    doc = parse_document('<div seconds="456">123</div>')
+    root = doc.root_element()
+    assert root.tag == "html"
+    assert [c.tag for c in root.children if type(c) is Element] == ["head", "body"]
+    div = CssSelector.parse("div").select(root)[0]
+    assert div.attrs == {"seconds": "456"}
+    assert div.inner_text() == "123"
+
+
+def test_root_element_is_html_with_attrs():
+    # tests/derive_macro.rs:8-9,41: attr="lang" on the root reads <html lang>
+    doc = parse_document('<!DOCTYPE html>\n<html lang="avalue"><body></body></html>')
+    assert doc.root_element().attribute("lang") == "avalue"
+
+
+def test_char_refs_and_comments():
+    doc = parse_document(
+        "<p>x &amp; y &lt;3 &copy 2024 &#65;<!-- hidden --></p>"
+    )
+    p = CssSelector.parse("p").select(doc.root_element())[0]
+    assert p.inner_text() == "x & y <3 © 2024 A"
+    # comment is an "other" node: not text, not element
+    kinds = [type(c).__name__ for c in p.child_nodes()]
+    assert kinds == ["Text", "Comment"]
+
+
+def test_rawtext_and_rcdata():
+    doc = parse_document(
+        "<html><head><title>a &amp; b</title>"
+        "<script>if (a < b) { x = '&amp;'; }</script></head>"
+        "<body>t</body></html>"
+    )
+    root = doc.root_element()
+    title = CssSelector.parse("title").select(root)[0]
+    assert title.inner_text() == "a & b"  # RCDATA decodes refs
+    script = CssSelector.parse("script").select(root)[0]
+    assert script.inner_text() == "if (a < b) { x = '&amp;'; }"  # RAWTEXT raw
+
+
+def test_auto_close_p_and_li():
+    doc = parse_document("<body><p>one<p>two<ul><li>a<li>b</ul></body>")
+    root = doc.root_element()
+    ps = CssSelector.parse("p").select(root)
+    assert [p.inner_text() for p in ps] == ["one", "two"]
+    lis = CssSelector.parse("ul > li").select(root)
+    assert [li.inner_text() for li in lis] == ["a", "b"]
+
+
+def test_void_elements_do_not_nest():
+    doc = parse_document("<body>a<hr />b<br>c<img src=x>d</body>")
+    body = CssSelector.parse("body").select(doc.root_element())[0]
+    texts = [n.get_text() for n in body.child_nodes() if type(n) is Text]
+    assert texts == ["a", "b", "c", "d"]
+
+
+def test_attr_value_forms():
+    doc = parse_document(
+        "<div a b=1 c='two' d=\"three four\" e=a&amp;b f='x>y'></div>"
+    )
+    d = CssSelector.parse("div").select(doc.root_element())[0]
+    assert d.attrs == {
+        "a": "", "b": "1", "c": "two", "d": "three four",
+        "e": "a&b", "f": "x>y",
+    }
+
+
+def test_nth_child_and_sibling_selectors():
+    doc = parse_document(
+        "<ul><li>a</li><li>b</li><li>c</li><li>d</li></ul>"
+    )
+    root = doc.root_element()
+    sel = lambda s: [e.inner_text() for e in CssSelector.parse(s).select(root)]
+    assert sel("li:nth-child(1)") == ["a"]
+    assert sel("li:nth-child(2n)") == ["b", "d"]
+    assert sel("li:nth-child(odd)") == ["a", "c"]
+    assert sel("li:first-child") == ["a"]
+    assert sel("li:last-child") == ["d"]
+    assert sel("li:nth-child(n+3)") == ["c", "d"]
+    assert sel("li + li") == ["b", "c", "d"]
+    assert sel("li ~ li") == ["b", "c", "d"]
+    assert sel("li:not(:first-child)") == ["b", "c", "d"]
+
+
+def test_attribute_operators():
+    doc = parse_document(
+        '<body><a href="https://x.test/a.png" rel="no follow"></a>'
+        '<a href="http://y.test/b.jpg" lang="en-US"></a></body>'
+    )
+    root = doc.root_element()
+    sel = lambda s: len(CssSelector.parse(s).select(root))
+    assert sel('a[href^="https"]') == 1
+    assert sel('a[href$=".jpg"]') == 1
+    assert sel('a[href*="test"]') == 2
+    assert sel('a[rel~="follow"]') == 1
+    assert sel('a[lang|="en"]') == 1
+    assert sel("a[href]") == 2

@@ -1,0 +1,231 @@
+"""Extraction-core parity tests: cardinality, extractors, parsers,
+byte-exact error strings, and the full golden corpus
+(SURVEY.md §5; FIXTURES.md §3-4).
+"""
+
+import pytest
+
+from h2spark.core.extract import SpecError, compile_spec, extract_html
+from h2spark.core.parseable import PARSERS
+from h2spark.core.errors import ValueParseError
+from h2spark.core.spec import (
+    ARRAY, ONE, OPTION, VEC, CustomScalar, Field, NthText, Scalar, StructSpec,
+)
+from h2spark.golden import GOLDEN_CASES, CUSTOM_PARSE_HTML
+
+
+# --- golden corpus (tests/derive_macro.rs, src/lib.rs doctest, examples)
+
+
+@pytest.mark.parametrize("case", GOLDEN_CASES, ids=[c.case_id for c in GOLDEN_CASES])
+def test_golden_case(case):
+    cs = compile_spec(case.spec)
+    value, raw, err = extract_html(cs, case.html)
+    if case.error is not None:
+        assert value is None
+        assert err == case.error
+    else:
+        assert err is None, err
+        assert value == case.expected
+
+
+def test_custom_parseable():
+    # examples/custom_field_value.rs:22-38
+    def parse_duration_secs(s: str) -> int:
+        if not s.isdigit():
+            raise ValueParseError("invalid digit found in string")
+        return int(s)
+
+    dur = CustomScalar("Duration", parse_duration_secs, "long")
+    spec = StructSpec(
+        "MyStruct",
+        [
+            Field("duration1", dur, ONE, select="div"),
+            Field("duration2", dur, ONE, select="div", attr="seconds"),
+        ],
+    )
+    value, _, err = extract_html(compile_spec(spec), CUSTOM_PARSE_HTML)
+    assert err is None
+    assert value == {"duration1": 123, "duration2": 456}
+
+
+# --- cardinality matrix (transformable.rs:71-122; display.rs goldens) ---
+
+_CARD_HTML = "<body><i class='zero'></i><b class='two'>x</b><b class='two'>y</b></body>"
+
+
+def _err_of(field):
+    cs = compile_spec(StructSpec("S", [field]))
+    _, _, err = extract_html(cs, _CARD_HTML)
+    return err
+
+
+def test_card_one_no_elements():
+    assert _err_of(Field("f", Scalar("String"), ONE, select=".nope")) == (
+        'f: mismatched number of selected elements by ".nope": '
+        "expected exactly one element, but no elements found"
+    )
+
+
+def test_card_one_too_many():
+    assert _err_of(Field("f", Scalar("String"), ONE, select=".two")) == (
+        'f: mismatched number of selected elements by ".two": '
+        "expected exactly one element, but 2 elements found"
+    )
+
+
+def test_card_option_ok_and_too_many():
+    assert _err_of(Field("f", Scalar("String"), OPTION, select=".nope")) is None
+    assert _err_of(Field("f", Scalar("String"), OPTION, select=".two")) == (
+        'f: mismatched number of selected elements by ".two": '
+        "expected 0 or 1 element, but found 2 elements"
+    )
+
+
+def test_card_vec_never_errors():
+    assert _err_of(Field("f", Scalar("String"), VEC, select=".nope")) is None
+    assert _err_of(Field("f", Scalar("String"), VEC, select=".two")) is None
+
+
+def test_card_array_unmatched():
+    assert _err_of(Field("f", Scalar("String"), ARRAY, n=3, select=".two")) == (
+        'f: mismatched number of selected elements by ".two": '
+        "expected 3 elements, but found 2 elements"
+    )
+    assert _err_of(Field("f", Scalar("String"), ARRAY, n=2, select=".two")) is None
+
+
+def test_attr_not_found_error_string():
+    # display.rs:64-72 + ExtractionError with NoContext -> leading ": "
+    assert _err_of(Field("f", Scalar("String"), ONE, select=".zero", attr="x")) == (
+        "f: : failed to extract value of attribute=x: "
+        "an attribute `x` not found in the target element"
+    )
+
+
+def test_attr_not_found_in_vec_carries_index():
+    assert _err_of(Field("f", Scalar("String"), VEC, select=".two", attr="x")) == (
+        "f: [0]: failed to extract value of attribute=x: "
+        "an attribute `x` not found in the target element"
+    )
+
+
+def test_nth_text_not_found():
+    # display.rs:199-203
+    assert _err_of(
+        Field("f", Scalar("String"), ONE, select=".zero", extractor=NthText(0))
+    ) == (
+        "f: : failed to extract value of ExtractNthText(0): "
+        "text node of the specified number is not found"
+    )
+
+
+def test_parse_error_rendering():
+    # ParseError display "{ctx}: {err}" with NoContext -> "f: : msg"
+    cs = compile_spec(
+        StructSpec("S", [Field("n", Scalar("usize"), ONE, select="b")])
+    )
+    _, _, err = extract_html(cs, "<body><b>9.0</b></body>")
+    assert err == "n: : invalid digit found in string"
+
+
+def test_parse_error_in_vec_carries_index():
+    cs = compile_spec(
+        StructSpec("S", [Field("n", Scalar("usize"), VEC, select="b")])
+    )
+    _, _, err = extract_html(cs, "<body><b>1</b><b>x</b></body>")
+    assert err == "n: [1]: invalid digit found in string"
+
+
+def test_fail_fast_first_field_wins():
+    # declaration order short-circuit (macro/src/lib.rs:123-132)
+    cs = compile_spec(
+        StructSpec(
+            "S",
+            [
+                Field("first", Scalar("String"), ONE, select=".nope"),
+                Field("second", Scalar("usize"), ONE, select=".also-nope"),
+            ],
+        )
+    )
+    _, _, err = extract_html(cs, "<body></body>")
+    assert err.startswith("first: ")
+
+
+def test_inner_text_no_separator_no_trim():
+    # SURVEY.md §2.3(2)
+    cs = compile_spec(StructSpec("S", [Field("t", Scalar("String"), ONE, select=".x")]))
+    value, _, err = extract_html(cs, "<body><div class='x'>a<div>b</div>c</div></body>")
+    assert err is None
+    assert value["t"] == "abc"
+    value, _, _ = extract_html(cs, "<body><div class='x'> padded </div></body>")
+    assert value["t"] == " padded "
+
+
+def test_invalid_selector_raises_at_compile_time():
+    # macro/src/lib.rs:96-108
+    with pytest.raises(SpecError, match="invalid css selector"):
+        compile_spec(
+            StructSpec("S", [Field("f", Scalar("String"), ONE, select=":bad:")])
+        )
+
+
+# --- FromStr parity (parseable.rs:24-80; FIXTURES.md parse-error rows) --
+
+
+@pytest.mark.parametrize(
+    "type_name,input_str,expected",
+    [
+        ("usize", "901", 901),
+        ("usize", "+901", 901),
+        ("usize", "0", 0),
+        ("i64", "-42", -42),
+        ("u8", "255", 255),
+        ("f64", "2.5", 2.5),
+        ("f64", "-1e3", -1000.0),
+        ("f64", "inf", float("inf")),
+        ("f32", "0.5", 0.5),
+        ("bool", "true", True),
+        ("bool", "false", False),
+        ("char", "x", "x"),
+        ("NonZeroU32", "7", 7),
+        ("String", " keep  as-is ", " keep  as-is "),
+        ("Ipv4Addr", "10.0.0.1", "10.0.0.1"),
+        ("IpAddr", "::1", "::1"),
+        ("SocketAddr", "10.0.0.1:80", "10.0.0.1:80"),
+        ("PathBuf", "/a/b", "/a/b"),
+    ],
+)
+def test_parse_accept(type_name, input_str, expected):
+    parser, _ = PARSERS[type_name]
+    assert parser(input_str) == expected
+
+
+@pytest.mark.parametrize(
+    "type_name,input_str,message",
+    [
+        ("usize", "9.0", "invalid digit found in string"),
+        ("usize", "-1", "invalid digit found in string"),
+        ("usize", " 901", "invalid digit found in string"),
+        ("usize", "", "cannot parse integer from empty string"),
+        ("u8", "256", "number too large to fit in target type"),
+        ("i8", "-129", "number too small to fit in target type"),
+        ("i64", "1_0", "invalid digit found in string"),
+        ("f64", "1_0.5", "invalid float literal"),
+        ("f64", "abc", "invalid float literal"),
+        ("bool", "True", "provided string was not `true` or `false`"),
+        ("char", "ab", "too many characters in string"),
+        ("char", "", "cannot parse char from empty string"),
+        ("NonZeroU32", "0", "number would be zero for non-zero type"),
+        ("Ipv4Addr", "1.2.3", "invalid IPv4 address syntax"),
+        ("Ipv4Addr", "01.1.1.1", "invalid IPv4 address syntax"),
+        ("Ipv6Addr", "fe80::1%eth0", "invalid IPv6 address syntax"),
+        ("IpAddr", "nope", "invalid IP address syntax"),
+        ("SocketAddr", "1.2.3.4", "invalid socket address syntax"),
+    ],
+)
+def test_parse_reject(type_name, input_str, message):
+    parser, _ = PARSERS[type_name]
+    with pytest.raises(ValueParseError) as ei:
+        parser(input_str)
+    assert str(ei.value) == message
