@@ -1,0 +1,185 @@
+"""Deterministic generator for the hint-shaped interleaved-doc corpus.
+
+Produces the authoritative input table shape (BASELINE.json input_hint):
+
+    doc_id : string
+    spans  : array<struct<kind:string, text:string, media_ref:string,
+                          offset:int32>>
+
+Rules (FIXTURES.md §1, seed fixed): each document's HTML is split at tag
+boundaries into 1-5+ text spans; 0-3 media spans are interleaved at span
+boundaries; the span array order is then deterministically permuted so
+consumers must sort by offset. Document sizes are log-normal-ish (article
+count drawn from a heavy-tailed distribution) so a few documents are
+~100x the median — the skew fixture driving salted repartitioning.
+
+Two corpora:
+- ``golden_rows()``     — the reference's own test documents (h2spark.golden),
+  one row per case, for span-sequence parity tests.
+- ``synth_corpus(n)``   — README-page-shaped synthetic documents whose
+  expected extraction is known by construction.
+
+No external data; everything derives from the embedded golden HTML and
+a seeded PRNG.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Iterator
+
+from h2spark.golden import GOLDEN_CASES, PAGE_SPEC
+
+_WORDS = (
+    "spark shuffle partition arrow batch vector column row scan filter "
+    "join salt bucket manifest resume lineage codegen pushdown skew "
+    "extract struct field selector tokenizer tree builder span media"
+).split()
+
+
+def split_into_spans(
+    html: str, rng: random.Random, max_text_spans: int = 5, n_media: int = 0
+) -> list[dict]:
+    """Split an HTML string into hint-shaped spans (offset = char pos)."""
+    # candidate split points: after '>' (tag boundaries)
+    points = [i + 1 for i, ch in enumerate(html[:-1]) if ch == ">"]
+    k = min(len(points), rng.randint(1, max_text_spans) - 1)
+    cuts = sorted(rng.sample(points, k)) if k > 0 else []
+    bounds = [0] + cuts + [len(html)]
+    spans: list[dict] = []
+    for a, b in zip(bounds, bounds[1:]):
+        spans.append(
+            {"kind": "text", "text": html[a:b], "media_ref": "", "offset": a}
+        )
+    for m in range(n_media):
+        # media sits at a span boundary; offset nudged to sit between
+        # text offsets deterministically
+        pos = rng.choice(bounds)
+        spans.append(
+            {
+                "kind": "media",
+                "text": "",
+                "media_ref": f"media://obj/{m}/{pos}",
+                "offset": pos,
+            }
+        )
+    rng.shuffle(spans)  # stored unsorted: consumers must sort by offset
+    return spans
+
+
+def golden_rows(seed: int = 42) -> list[dict]:
+    """One hint-shaped row per golden case; doc_id = case id."""
+    rng = random.Random(seed)
+    rows = []
+    for case in GOLDEN_CASES:
+        rows.append(
+            {
+                "doc_id": case.case_id,
+                "spans": split_into_spans(
+                    case.html, rng, n_media=rng.randint(0, 3)
+                ),
+            }
+        )
+    return rows
+
+
+def _synth_page(rng: random.Random, doc_idx: int) -> tuple[str, dict]:
+    """A README-shaped page + its expected PAGE_SPEC extraction value."""
+    # heavy-tailed article count: log-normal-ish via 2**geometric
+    n_articles = max(1, int(rng.lognormvariate(1.2, 0.9)))
+    title = f"Blog {doc_idx} " + " ".join(rng.choices(_WORDS, k=3))
+    articles_html = []
+    articles_expected = []
+    for a in range(n_articles):
+        n_tags = rng.randint(0, 4)
+        tags = [f"tag{doc_idx}-{a}-{t}" for t in range(n_tags)]
+        views = rng.randint(0, 10**6)
+        art_title = f"article {doc_idx}-{a} " + " ".join(rng.choices(_WORDS, k=2))
+        url = f"https://example.test/{doc_idx}/{a}"
+        body_noise = " ".join(rng.choices(_WORDS, k=rng.randint(0, 30)))
+        tags_html = "".join(f"<li>{t}</li>" for t in tags)
+        articles_html.append(
+            f"<div>\n<h2><a href=\"{url}\">{art_title}</a></h2>\n"
+            f"<div><span>{views}</span> Views</div>\n"
+            f"<p>{body_noise}</p>\n"
+            f"<ul>{tags_html}</ul>\n</div>"
+        )
+        articles_expected.append(
+            {
+                "title": art_title,
+                "view_count": views,
+                "url": url,
+                "tags": tags,
+                "first_tag": tags[0] if tags else None,
+            }
+        )
+    lang = rng.choice(["en", "de", "fr", "ja"])
+    html = (
+        f'<html lang="{lang}">\n<body>\n<div>\n'
+        f'<h1 class="blog-title">{title}</h1>\n<div class="articles">\n'
+        + "\n".join(articles_html)
+        + "\n</div>\n</div>\nfooter1\n<hr />\nfooter2\n</body>\n</html>"
+    )
+    expected = {
+        "lang": lang,
+        "blog_title": title,
+        "articles": articles_expected,
+        "footer2": "footer2",
+    }
+    return html, expected
+
+
+def synth_corpus(
+    n_docs: int, seed: int = 42, with_expected: bool = False
+) -> Iterator[dict]:
+    """Yield hint-shaped rows (doc_id, spans[, expected]) deterministically.
+
+    The flagship spec for these documents is ``h2spark.golden.PAGE_SPEC``.
+    """
+    for i in range(n_docs):
+        # per-doc seeding: identical bytes to corpus_df's executor-side
+        # generation at any partition count
+        rng = random.Random(f"{seed}:{i}")
+        html, expected = _synth_page(rng, i)
+        row: dict[str, Any] = {
+            "doc_id": f"doc-{i:08d}",
+            "spans": split_into_spans(html, rng, n_media=rng.randint(0, 3)),
+        }
+        if with_expected:
+            row["expected"] = expected
+        yield row
+
+
+SPANS_SCHEMA_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, n_partitions: int | None = None):
+    """Materialize the synthetic corpus as a Spark DataFrame.
+
+    Rows are generated **on the executors** (one seeded generator per
+    partition slice, same bytes regardless of parallelism) so corpus
+    creation itself scales and never collects on the driver.
+    """
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+
+    def gen_slice(ix):
+        # deterministic per-doc seeding -> identical corpus at any
+        # partition count (required by the two-cluster-size protocol)
+        for i in ix:
+            rng = random.Random(f"{seed}:{i}")
+            html, _ = _synth_page(rng, i)
+            yield (
+                f"doc-{i:08d}",
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in split_into_spans(html, rng, n_media=rng.randint(0, 3))
+                ],
+            )
+
+    rdd = spark.sparkContext.parallelize(range(n_docs), n_partitions).mapPartitions(
+        lambda ix: gen_slice(ix)
+    )
+    return spark.createDataFrame(rdd, SPANS_SCHEMA_DDL)

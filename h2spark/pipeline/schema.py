@@ -1,0 +1,91 @@
+"""Spec -> Spark StructType derivation (driver-side "planner" output).
+
+The counterpart of the derive macro's type-directed codegen
+(/root/reference/macro/src/lib.rs:42-79): the user's StructSpec fixes a
+static Spark schema before any executor work. Mapping per SURVEY.md §1.2:
+
+    one T        -> field of T's type (non-null on success)
+    option T     -> nullable field
+    vec/array T  -> ArrayType(T)
+    nested spec  -> nested StructType
+    u64/usize/u128/i128 (+ NonZero variants) -> DecimalType(38,0)
+    (exceed LongType; canonical decimal strings up to 38 digits)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from h2spark.core.extract import CompiledField, CompiledStruct
+from h2spark.core.spec import ARRAY, OPTION, VEC
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "decimal(38,0)": T.DecimalType(38, 0),
+}
+
+#: The hint-shaped input span element (BASELINE.json input_hint).
+SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+#: Output span element (FIXTURES.md §2): flattened extraction sequence.
+EXTRACTED_SPAN_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("order", T.IntegerType()),
+    ]
+)
+
+#: Full kernel output: exactly one of spans_out / error is non-null.
+EXTRACTED_SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("spans_out", T.ArrayType(EXTRACTED_SPAN_SCHEMA), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _field_type(cf: CompiledField) -> T.DataType:
+    if cf.nested is not None:
+        inner: T.DataType = _struct_type(cf.nested)
+    else:
+        try:
+            inner = _SPARK_TYPES[cf.spark_type]
+        except KeyError:
+            raise ValueError(
+                f"field {cf.name!r}: unknown spark type {cf.spark_type!r}"
+            ) from None
+    if cf.card in (VEC, ARRAY):
+        return T.ArrayType(inner, False)
+    return inner
+
+
+def _struct_type(cs: CompiledStruct) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(cf.name, _field_type(cf), cf.card == OPTION)
+            for cf in cs.fields
+        ]
+    )
+
+
+def spec_to_schema(cs: CompiledStruct) -> T.StructType:
+    """Schema of the typed-value kernel: struct<value: <spec>, error: string>."""
+    return T.StructType(
+        [
+            T.StructField("value", _struct_type(cs), True),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Every knob here is scale-motivated (SURVEY.md §4.2):
+- AQE on: runtime shuffle-partition coalescing + skew splitting.
+- Arrow on: the extraction kernel is a vectorized pandas UDF; Arrow
+  batching is the JVM<->Python transport.
+- maxRecordsPerBatch bounded: documents can be large; caps per-batch
+  memory inside the Python worker.
+- shuffle.partitions defaults to a multiple of cores; at cluster scale
+  this is set per-job (docs-per-partition sizing), AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_archive(path: str | None = None) -> str:
+    """Zip the h2spark package for --py-files shipping.
+
+    On a real cluster the job is submitted as
+    ``spark-submit --py-files h2spark.zip job.py``; in-process sessions
+    get the same effect via ``sc.addPyFile`` (ship_package below), so
+    executor Python workers can import h2spark regardless of cwd.
+    """
+    import h2spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(h2spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), "h2spark-pyfiles.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return path
+
+
+def ship_package(spark: SparkSession) -> None:
+    spark.sparkContext.addPyFile(package_archive())
+
+
+def get_spark(
+    app_name: str = "h2spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("H2SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -1,0 +1,15 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from h2spark.pipeline.session import get_spark
+
+    s = get_spark(
+        app_name="h2spark-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.session.timeZone": "UTC"},
+    )
+    yield s
+    s.stop()

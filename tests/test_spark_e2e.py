@@ -1,0 +1,143 @@
+"""Spark end-to-end: hint-shaped span tables through the pandas-UDF
+kernels, asserting (kind, text, media_ref, order) sequence equality
+against the pure-Python oracle (FIXTURES.md §2; north_rule invariant).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from h2spark.core.extract import compile_spec, extract_html
+from h2spark.core.flatten import flatten_document
+from h2spark.fixtures import (
+    SPANS_SCHEMA_DDL,
+    corpus_df,
+    golden_rows,
+    synth_corpus,
+)
+from h2spark.golden import GOLDEN_CASES, PAGE_SPEC
+from h2spark.pipeline.kernel import (
+    _extract_one,
+    make_extract_spans_udf,
+    make_extract_typed_udf,
+)
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["doc_id"], [tuple(s.values()) for s in r["spans"]]) for r in rows],
+        SPANS_SCHEMA_DDL,
+    )
+
+
+def _expected_spans(case, spans):
+    """Pure-Python oracle: extract from reassembled HTML + media passthrough."""
+    cs = compile_spec(case.spec)
+    media = [(s["offset"], s["media_ref"]) for s in spans if s["kind"] == "media"]
+    texts = [s["offset"] for s in spans if s["kind"] == "text"]
+    first = min(texts) if texts else None
+    _, raw, err = extract_html(
+        cs,
+        "".join(
+            s["text"]
+            for s in sorted(
+                (s for s in spans if s["kind"] == "text"),
+                key=lambda s: s["offset"],
+            )
+        ),
+    )
+    if err is not None:
+        return None, err
+    return flatten_document(cs, raw, media, first), None
+
+
+@pytest.mark.parametrize(
+    "case", GOLDEN_CASES, ids=[c.case_id for c in GOLDEN_CASES]
+)
+def test_golden_case_span_equality_through_spark(spark, case):
+    rows = [r for r in golden_rows() if r["doc_id"] == case.case_id]
+    df = _spans_df(spark, rows)
+    udf = make_extract_spans_udf(case.spec)
+    out = df.select("doc_id", udf("spans").alias("o")).collect()
+    assert len(out) == 1
+    got_spans = out[0]["o"]["spans_out"]
+    got_err = out[0]["o"]["error"]
+    want_spans, want_err = _expected_spans(case, rows[0]["spans"])
+
+    if case.error is not None:
+        assert got_err == case.error == want_err
+        assert got_spans is None
+    else:
+        assert got_err is None
+        got = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in got_spans]
+        want = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in want_spans]
+        assert got == want
+        # media passthrough: every input media ref appears exactly once
+        in_media = sorted(
+            s["media_ref"] for s in rows[0]["spans"] if s["kind"] == "media"
+        )
+        out_media = sorted(s["media_ref"] for s in got_spans if s["kind"] == "media")
+        assert out_media == in_media
+
+
+def test_synth_corpus_typed_values_match_construction(spark):
+    rows = list(synth_corpus(40, with_expected=True))
+    df = _spans_df(spark, rows)
+    udf = make_extract_typed_udf(PAGE_SPEC)
+    got = {
+        r["doc_id"]: r["o"]
+        for r in df.select("doc_id", udf("spans").alias("o")).collect()
+    }
+    for row in rows:
+        o = got[row["doc_id"]]
+        assert o["error"] is None, (row["doc_id"], o["error"])
+        v = o["value"].asDict(recursive=True)
+        exp = row["expected"]
+        assert v["lang"] == exp["lang"]
+        assert v["blog_title"] == exp["blog_title"]
+        assert v["footer2"] == exp["footer2"]
+        assert len(v["articles"]) == len(exp["articles"])
+        for a_got, a_exp in zip(v["articles"], exp["articles"]):
+            assert a_got["title"] == a_exp["title"]
+            assert int(a_got["view_count"]) == a_exp["view_count"]
+            assert a_got["url"] == a_exp["url"]
+            assert a_got["tags"] == a_exp["tags"]
+            assert a_got["first_tag"] == a_exp["first_tag"]
+
+
+def test_corpus_df_identical_at_two_parallelism_levels(spark):
+    """The scaling protocol requires byte-identical input at N and 4N
+    parallelism; corpus generation is per-doc-seeded to guarantee it."""
+    a = corpus_df(spark, 30, n_partitions=2).orderBy("doc_id").collect()
+    b = corpus_df(spark, 30, n_partitions=8).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_driver_and_executor_corpus_agree(spark):
+    rows = {r["doc_id"]: r for r in synth_corpus(10)}
+    got = corpus_df(spark, 10, n_partitions=3).collect()
+    for r in got:
+        want = rows[r["doc_id"]]["spans"]
+        have = [s.asDict() for s in r["spans"]]
+        assert have == want
+
+
+def test_extraction_errors_are_data_not_failures(spark):
+    # a corpupt doc (missing required element) must not kill the job
+    bad = [
+        {
+            "doc_id": "bad-1",
+            "spans": [
+                {"kind": "text", "text": "<html><body></body></html>",
+                 "media_ref": "", "offset": 0}
+            ],
+        }
+    ]
+    df = _spans_df(spark, bad)
+    udf = make_extract_spans_udf(PAGE_SPEC)
+    out = df.select(udf("spans").alias("o")).collect()[0]["o"]
+    assert out["spans_out"] is None
+    # PAGE_SPEC evaluates fields in declaration order: lang fails first
+    assert out["error"] == (
+        "lang: : failed to extract value of attribute=lang: "
+        "an attribute `lang` not found in the target element"
+    )
