@@ -1,0 +1,134 @@
+"""End-to-end extraction job: scan -> resume filter -> salted
+repartition -> vectorized extract -> partitioned write -> manifests.
+
+The Spark lifecycle of one run (SURVEY.md §3.3 "Spark lifecycle"):
+
+    read input (hint-shaped spans table)
+      -> with_ckpt_bucket (pure-hash bucket id)
+      -> anti-join completed manifests           [resume]
+      -> salted repartition on size buckets      [skew]
+      -> extract UDF (Arrow-batched pandas)      [the kernel]
+      -> write parquet partitionBy(ckpt_bucket), dynamic overwrite
+      -> read-back stats per bucket -> commit manifests atomically
+
+Waves: buckets are processed in groups of ``wave_buckets``; each wave
+commits its manifests before the next starts, bounding recompute loss
+to one wave. At sandbox scale each wave re-scans the input (cheap); at
+the 10^12-doc design point the input is Iceberg bucket-partitioned so
+the wave filter prunes the scan (see manifests.py docstring).
+
+Run via spark-submit:  spark-submit --py-files h2spark.zip -m h2spark.pipeline.job
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.core.extract import compile_spec
+from h2spark.core.spec import StructSpec
+from h2spark.pipeline.kernel import make_extract_spans_udf
+from h2spark.pipeline.manifests import (
+    BucketManifest,
+    commit_manifest,
+    completed_buckets,
+    with_ckpt_bucket,
+)
+from h2spark.pipeline.salting import salted_repartition
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    spec: StructSpec,
+    out_dir: str,
+    *,
+    n_buckets: int = 32,
+    wave_buckets: int = 8,
+    n_partitions: int | None = None,
+    input_lineage: str = "",
+    max_waves: int | None = None,
+) -> dict:
+    """Run (or resume) the extraction job. Returns a summary dict.
+
+    ``max_waves`` exists for the resume test: stop after k waves as if
+    the job was killed; a subsequent call resumes without recomputing
+    completed buckets.
+    """
+    cs = compile_spec(spec)  # validates selectors driver-side, once
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
+    job_id = uuid.uuid4().hex[:12]
+
+    docs = with_ckpt_bucket(docs, n_buckets)
+    done = completed_buckets(out_dir)
+    todo = [b for b in range(n_buckets) if b not in done]
+    waves = [
+        todo[i:i + wave_buckets] for i in range(0, len(todo), wave_buckets)
+    ]
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    udf = make_extract_spans_udf(cs)
+    data_dir = f"{out_dir}/data"
+    ran = []
+    for wave in waves:
+        wave_df = docs.where(F.col("ckpt_bucket").isin(wave))
+        wave_df = salted_repartition(wave_df, n_partitions)
+        out = wave_df.select(
+            "doc_id",
+            "ckpt_bucket",
+            udf("spans").alias("o"),
+        ).select(
+            "doc_id",
+            "ckpt_bucket",
+            F.col("o.spans_out").alias("spans_out"),
+            F.col("o.error").alias("error"),
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ckpt_bucket")
+            .parquet(data_dir)
+        )
+        # manifest metrics from what was actually written (read-back is a
+        # cheap columnar scan of only the wave's partitions)
+        stats = (
+            spark.read.parquet(data_dir)
+            .where(F.col("ckpt_bucket").isin(wave))
+            .groupBy("ckpt_bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.coalesce(F.size("spans_out"), F.lit(0))).alias("n_spans"),
+                F.count("error").alias("n_errors"),
+            )
+            .collect()
+        )
+        by_bucket = {r["ckpt_bucket"]: r for r in stats}
+        for b in wave:
+            r = by_bucket.get(b)
+            commit_manifest(
+                out_dir,
+                BucketManifest(
+                    bucket=b,
+                    n_docs=r["n_docs"] if r else 0,
+                    n_spans=int(r["n_spans"]) if r else 0,
+                    n_errors=r["n_errors"] if r else 0,
+                    input_lineage=input_lineage,
+                    spec_name=cs.name,
+                    job_id=job_id,
+                ),
+            )
+        ran.append(wave)
+
+    all_done = completed_buckets(out_dir)
+    return {
+        "job_id": job_id,
+        "resumed_buckets": sorted(done),
+        "ran_waves": ran,
+        "completed": len(all_done),
+        "n_buckets": n_buckets,
+        "n_docs": sum(m.n_docs for m in all_done.values()),
+        "n_spans": sum(m.n_spans for m in all_done.values()),
+        "n_errors": sum(m.n_errors for m in all_done.values()),
+    }

@@ -1,0 +1,109 @@
+"""Per-partition checkpoint manifests + resume (SURVEY.md §4.2).
+
+Structured-Streaming checkpoints don't fit a batch extraction job, so
+resumability is built from two primitives that survive any crash:
+
+1. **Checkpoint buckets**: every document maps to
+   ``ckpt_bucket = pmod(xxhash64(doc_id), n_buckets)`` — a pure function
+   of doc_id, so membership is stable across runs and cluster sizes.
+2. **Manifest files**: after a bucket's output data is fully written,
+   a JSON manifest ``manifests/bucket-NNNNN.json`` is committed via
+   write-to-temp + atomic rename. A manifest existing == that bucket's
+   output is complete and trustworthy. Manifests carry lineage (input
+   path, spec name, job id) and metrics (docs, spans, errors).
+
+Resume: list completed manifests, **anti-join** the input against them
+on ckpt_bucket (broadcast — the completed list is tiny), recompute only
+incomplete buckets. Output written with dynamic partition overwrite so
+re-running an incomplete bucket replaces only that bucket's files:
+idempotent re-runs, no duplicates.
+
+At the 10^12-document design point the input Iceberg table is
+partitioned by bucket(doc_id), so the per-wave input scan prunes to the
+wave's buckets instead of re-scanning the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class BucketManifest:
+    bucket: int
+    n_docs: int
+    n_spans: int
+    n_errors: int
+    input_lineage: str
+    spec_name: str
+    job_id: str
+    status: str = "complete"
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests")
+
+
+def completed_buckets(out_dir: str) -> dict[int, BucketManifest]:
+    """Read all committed manifests. Partial/corrupt files are impossible
+    by construction (atomic rename), but tolerate junk defensively."""
+    mdir = manifest_dir(out_dir)
+    done: dict[int, BucketManifest] = {}
+    if not os.path.isdir(mdir):
+        return done
+    for fn in os.listdir(mdir):
+        if not (fn.startswith("bucket-") and fn.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(mdir, fn)) as f:
+                m = BucketManifest(**json.load(f))
+            if m.status == "complete":
+                done[m.bucket] = m
+        except (ValueError, TypeError, KeyError):
+            continue
+    return done
+
+
+def commit_manifest(out_dir: str, m: BucketManifest) -> None:
+    """Write-then-rename: the manifest appears atomically, only after
+    the bucket's data files are durable."""
+    mdir = manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(asdict(m), f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(mdir, f"bucket-{m.bucket:05d}.json"))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def with_ckpt_bucket(
+    df: DataFrame, n_buckets: int, doc_id_col: str = "doc_id"
+) -> DataFrame:
+    return df.withColumn(
+        "ckpt_bucket",
+        F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def filter_incomplete(spark, df: DataFrame, out_dir: str) -> tuple[DataFrame, list[int]]:
+    """Anti-join input against completed buckets (resume filter).
+
+    Returns (filtered df, sorted completed bucket ids). The completed
+    list is tiny -> broadcast anti-join; with a bucket-partitioned
+    input table this also prunes the scan.
+    """
+    done = sorted(completed_buckets(out_dir))
+    if not done:
+        return df, []
+    done_df = spark.createDataFrame([(b,) for b in done], "ckpt_bucket int")
+    return df.join(F.broadcast(done_df), "ckpt_bucket", "left_anti"), done

@@ -1,0 +1,62 @@
+"""Size-bucket salted repartitioning — the skew defense (SURVEY.md §4.2).
+
+Long-tail HTML skew: document cost is roughly linear in HTML bytes, and
+web corpora are log-normal — a handful of documents are 100-1000x the
+median. A plain hash repartition on doc_id gives every task the same
+*count* of documents but wildly different *bytes*; stragglers dominate
+wall-clock. AQE's skew-join splitting doesn't apply (the extraction is a
+map stage, not a join).
+
+Fix: derive ``size_bucket = floor(log2(doc_bytes))`` and a salt that is
+a **pure function of doc_id** (xxhash64 — never rand(), so re-runs and
+resumes are deterministic), then repartition on (size_bucket, salt).
+Equal-log2-size documents spread uniformly over tasks; no task gets two
+whales by accident.
+
+All Spark-side: F.aggregate over the span array for doc_bytes (no UDF,
+stays in codegen), xxhash64 for the salt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_doc_stats(df: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Add doc_bytes (total text length incl. media refs) and size_bucket."""
+    doc_bytes = F.aggregate(
+        F.col(spans_col),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.length(s["text"])
+        + F.length(s["media_ref"]),
+    )
+    return df.withColumn("doc_bytes", doc_bytes).withColumn(
+        "size_bucket",
+        F.floor(F.log2(F.col("doc_bytes") + F.lit(2))).cast("int"),
+    )
+
+
+def with_salt(df: DataFrame, doc_id_col: str = "doc_id", n_salts: int = 64) -> DataFrame:
+    """Deterministic salt: pmod(xxhash64(doc_id), n_salts)."""
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_salts)).cast("int")
+    )
+
+
+def salted_repartition(
+    df: DataFrame,
+    n_partitions: int,
+    doc_id_col: str = "doc_id",
+    spans_col: str = "spans",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Repartition on (size_bucket, salt) so task byte-cost is uniform.
+
+    Documents of similar size scatter across n_salts partitions; tiny
+    docs and whales never share a long tail. Deterministic across
+    re-runs (salt is a hash, not rand()).
+    """
+    df = with_doc_stats(df, spans_col)
+    df = with_salt(df, doc_id_col, n_salts)
+    return df.repartition(n_partitions, F.col("size_bucket"), F.col("salt"))

@@ -1,0 +1,109 @@
+"""Pipeline hardening tests: salting determinism, manifest protocol,
+kill-and-resume without recomputation (SURVEY.md §5 strategy (d))."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from h2spark.fixtures import corpus_df
+from h2spark.golden import PAGE_SPEC
+from h2spark.pipeline.job import run_extraction_job
+from h2spark.pipeline.manifests import completed_buckets, with_ckpt_bucket
+from h2spark.pipeline.salting import salted_repartition, with_doc_stats
+
+
+def _data_files(out_dir):
+    files = {}
+    data = os.path.join(out_dir, "data")
+    for dirpath, _, fns in os.walk(data):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                files[os.path.relpath(p, data)] = os.path.getmtime(p)
+    return files
+
+
+def test_salt_is_deterministic_pure_function(spark):
+    docs = corpus_df(spark, 50, n_partitions=4)
+    a = salted_repartition(docs, 8).select("doc_id", "size_bucket", "salt")
+    b = salted_repartition(docs, 8).select("doc_id", "size_bucket", "salt")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_size_buckets_reflect_doc_bytes(spark):
+    docs = corpus_df(spark, 50, n_partitions=4)
+    rows = with_doc_stats(docs).select("doc_bytes", "size_bucket").collect()
+    import math
+
+    for r in rows:
+        assert r["size_bucket"] == math.floor(math.log2(r["doc_bytes"] + 2))
+
+
+def test_ckpt_bucket_stable_across_parallelism(spark):
+    a = with_ckpt_bucket(corpus_df(spark, 40, n_partitions=2), 16)
+    b = with_ckpt_bucket(corpus_df(spark, 40, n_partitions=8), 16)
+    assert sorted(map(tuple, a.select("doc_id", "ckpt_bucket").collect())) == \
+        sorted(map(tuple, b.select("doc_id", "ckpt_bucket").collect()))
+
+
+def test_job_runs_and_commits_manifests(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = corpus_df(spark, 60, n_partitions=4)
+    summary = run_extraction_job(
+        spark, docs, PAGE_SPEC, out, n_buckets=8, wave_buckets=8,
+        input_lineage="corpus_df(60, seed=42)",
+    )
+    assert summary["completed"] == 8
+    assert summary["n_docs"] == 60
+    assert summary["n_errors"] == 0
+    assert summary["n_spans"] > 0
+    # output is readable and complete
+    got = spark.read.parquet(f"{out}/data")
+    assert got.count() == 60
+    assert got.where(F.col("spans_out").isNull()).count() == 0
+    # manifests carry lineage
+    ms = completed_buckets(out)
+    assert all(m.input_lineage == "corpus_df(60, seed=42)" for m in ms.values())
+    assert all(m.spec_name == "Page" for m in ms.values())
+
+
+def test_kill_and_resume_without_recompute(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = corpus_df(spark, 60, n_partitions=4)
+
+    # run 1: killed after one wave (2 of 8 buckets per wave -> 1 wave done)
+    s1 = run_extraction_job(
+        spark, docs, PAGE_SPEC, out, n_buckets=8, wave_buckets=2, max_waves=1
+    )
+    assert s1["completed"] == 2
+    files_after_kill = _data_files(out)
+    assert files_after_kill
+
+    # run 2: resumes, completes the rest
+    s2 = run_extraction_job(
+        spark, docs, PAGE_SPEC, out, n_buckets=8, wave_buckets=2
+    )
+    assert s2["resumed_buckets"] == sorted(s1["ran_waves"][0])
+    assert s2["completed"] == 8
+    assert s2["n_docs"] == 60
+
+    # completed buckets were NOT recomputed: their files untouched
+    files_after_resume = _data_files(out)
+    for rel, mtime in files_after_kill.items():
+        assert rel in files_after_resume
+        assert files_after_resume[rel] == mtime, f"{rel} was rewritten"
+
+    # and the final output is complete & correct
+    got = spark.read.parquet(f"{out}/data")
+    assert got.count() == 60
+    assert got.select("doc_id").distinct().count() == 60
+
+
+def test_rerun_of_complete_job_is_noop(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = corpus_df(spark, 30, n_partitions=2)
+    run_extraction_job(spark, docs, PAGE_SPEC, out, n_buckets=4)
+    files = _data_files(out)
+    s = run_extraction_job(spark, docs, PAGE_SPEC, out, n_buckets=4)
+    assert s["ran_waves"] == []
+    assert _data_files(out) == files
