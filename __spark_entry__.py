@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interleaved-span extraction on
+sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
+operator family (SURVEY.md §2) with DuckDB oracle twins where
+SQL-expressible (all but the mapInPandas multimodal stage).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship(spark: SparkSession) -> None:
+    """Executors need the h2spark package regardless of driver cwd."""
+    from h2spark.pipeline.session import ship_package
+
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # already added, or running fully local
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: build the hint-shaped
+    interleaved text+media spans table from documents.parquet, run the
+    vectorized extraction kernel, return the flattened span sequence."""
+    _ship(spark)
+    from h2spark.ops.flagship import q_flagship_extract_spans
+
+    return q_flagship_extract_spans(spark, "/root/testdata/sf0.001")
+
+
+def _all_modules():
+    from h2spark.ops import (
+        dedup,
+        flagship,
+        multimodal,
+        relational,
+        roundtrip,
+        similarity,
+        textstats,
+    )
+
+    return (flagship, roundtrip, relational, textstats, dedup, similarity, multimodal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _all_modules():
+        for name, fn in mod.QUERIES.items():
+            out[name] = (lambda f: lambda spark, sf_dir: (_ship(spark), f(spark, sf_dir))[1])(fn)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _all_modules():
+        out.update(mod.ORACLES)
+    return out

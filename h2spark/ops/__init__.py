@@ -1,0 +1,9 @@
+"""h2spark.ops — large-scale training-data operators.
+
+Each module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, str]`` (DuckDB SQL over the driver's
+pre-registered views). Every operator is written Spark-first: built-in
+pyspark.sql.functions (JVM codegen) wherever expressible, Arrow-batched
+pandas UDFs only where genuinely needed (SimHash alternative path,
+multimodal decode).
+"""

@@ -1,0 +1,379 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Five dedup families, each Spark-first and (except where noted) with an
+exact DuckDB oracle twin:
+
+- exact           — hash-groupBy on normalized text (md5)
+- ngram_jaccard   — word-shingle explode + self-join, exact Jaccard pairs
+- minhash_lsh     — md5-based MinHash signatures, banded LSH bucket join
+- simhash         — 32-bit SimHash from md5 bit votes (generated SQL on
+                    both sides: identical integer arithmetic)
+- embedding       — cosine near-duplicate pairs over embeddings
+
+Scale notes (10^12-doc design point):
+- exact/fingerprint: one shuffle on the hash; AQE coalesces.
+- shingle self-joins are quadratic in the worst case — the LSH variants
+  exist precisely to avoid all-pairs at scale: candidate pairs only
+  within equal (band, band_key) buckets; band keys shuffle-partition
+  evenly because they are hashes.
+- determinism: every hash is md5 of content — no rand(), stable across
+  cluster sizes and engines (the reason md5 is used over xxhash64 here:
+  DuckDB can mirror it bit-for-bit; xxhash64 remains the salting hash
+  in the hot pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_NORM = r"lower(trim(regexp_replace(text, '\\s+', ' ')))"
+_NORM_DUCK = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup --------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.expr(_NORM)).alias("content_hash")
+    return (
+        d.select("doc_id", h)
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({_NORM_DUCK}) AS content_hash,
+       count(*)::BIGINT AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY content_hash
+"""
+
+# --- word shingles (shared by jaccard + minhash) ------------------------
+
+_SHINGLE_N = 4
+
+
+def _with_shingles(d: DataFrame, n: int = _SHINGLE_N) -> DataFrame:
+    """doc_id + exploded distinct word n-gram shingles (codegen only)."""
+    words = F.split(F.expr(_NORM), " ")
+    shingles = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _shingles_cte_duck(n: int = _SHINGLE_N) -> str:
+    return f"""
+words AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_DUCK}, ' ') AS w
+  FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) >= {n} THEN unnest(
+              list_transform(range(1, len(w) - {n} + 2),
+                             i -> array_to_string(w[i:i+{n}-1], ' ')))
+              ELSE array_to_string(w, ' ') END AS shingle
+  FROM words
+)"""
+
+
+# --- n-gram Jaccard pairs ----------------------------------------------
+
+_JACCARD_THRESHOLD = 0.6
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = _with_shingles(d).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b"))
+    j = (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return j.select(
+        "doc_a", "doc_b", F.col("n_common").cast("long").alias("n_common"), "jaccard"
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+WITH {_shingles_cte_duck()},
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+# --- MinHash + LSH ------------------------------------------------------
+
+_N_HASHES = 16
+_BAND_ROWS = 4  # 4 bands of 4 rows
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+
+    signature[s] = min over shingles of md5(s || ':' || shingle)
+    band_key     = md5(concat of the band's 4 signature values)
+    """
+    d = _docs(spark, sf_dir)
+    sh = _with_shingles(d).distinct()
+    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("seed") / _BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+                        lambda s: s["minh"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.band").alias("band"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {_shingles_cte_duck()},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, {_N_HASHES})) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // {_BAND_ROWS}) AS band,
+         md5(string_agg(minh, '|' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+# --- SimHash ------------------------------------------------------------
+
+_SIMHASH_BITS = 32  # 8 md5 hex digits per token vote
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash: majority vote per bit over token md5 hashes.
+
+    Bit extraction from md5 hex digits via strpos/shift/mask — the same
+    integer arithmetic is generated for the DuckDB oracle, so the two
+    engines agree bit-for-bit.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.expr(_NORM), " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    bit_sums = []
+    for j in range(_SIMHASH_BITS):
+        digit = j // 4
+        shift = 3 - (j % 4)
+        bit = (
+            F.shiftright(
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.col("h"), digit + 1, 1),
+                )
+                - 1,
+                shift,
+            ).bitwiseAND(F.lit(1))
+        )
+        bit_sums.append(F.sum(bit).alias(f"b{j}"))
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"), *bit_sums
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(_SIMHASH_BITS):
+        bit_set = (F.col(f"b{j}") * 2 >= F.col("n_tok")).cast("long")
+        acc = acc * 2 + bit_set
+    return (
+        votes.select(
+            "doc_id",
+            acc.alias("simhash"),
+            F.col("n_tok").cast("long").alias("n_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_simhash() -> str:
+    bit_exprs = []
+    for j in range(_SIMHASH_BITS):
+        digit = j // 4
+        shift = 3 - (j % 4)
+        bit_exprs.append(
+            f"sum(((strpos('0123456789abcdef', h[{digit + 1}:{digit + 1}]) - 1) "
+            f">> {shift}) & 1) AS b{j}"
+        )
+    bits = ",\n         ".join(bit_exprs)
+    acc = "0::BIGINT"
+    for j in range(_SIMHASH_BITS):
+        acc = f"({acc}) * 2 + (CASE WHEN b{j} * 2 >= n_tok THEN 1 ELSE 0 END)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array({_NORM_DUCK}, ' '))) AS h
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, count(*) AS n_tok,
+         {bits}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, ({acc})::BIGINT AS simhash, n_tok::BIGINT AS n_tok
+FROM votes
+ORDER BY doc_id
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _oracle_simhash()
+
+# --- embedding cosine near-dup -----------------------------------------
+
+_COS_THRESHOLD = 0.35
+
+
+def _cos_expr(a: str, b: str):
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate({a}, cast(0.0 as double), "
+        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate({b}, cast(0.0 as double), "
+        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    return dot / (na * nb)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs, brute force all-pairs (the exact
+    baseline; the LSH-bucketed scale path is in similarity.py)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(_cos_expr("ea", "eb"), 6)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= _COS_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+ORACLE_DEDUP_EMBEDDING = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+         / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                  FROM (SELECT unnest(a.embedding) AS x)))
+          * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+                  FROM (SELECT unnest(b.embedding) AS y)))) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+FROM pairs
+WHERE round(cosine, 6) >= {_COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
+}

@@ -1,0 +1,111 @@
+"""The flagship query: full interleaved-span extraction end-to-end.
+
+Builds the hint-shaped spans table from the driver's ``documents``
+parquet with pure SQL (text split into thirds stored out of order, one
+media span interleaved), runs the real flattened-extraction kernel
+(offset sort -> HTML reassembly -> DOM -> selectors -> flatten), and
+explodes the resulting span sequence. The DuckDB oracle enumerates the
+expected (kind, text, media_ref, order) rows — 4 per document — so the
+driver's gate checks the complete north_rule invariant per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.core.spec import ONE, Field, Scalar, StructSpec
+from h2spark.pipeline.kernel import make_extract_spans_udf
+
+FLAGSHIP_SPEC = StructSpec(
+    "Doc",
+    [
+        Field("lang_out", Scalar("String"), ONE, attr="lang"),
+        Field("text_out", Scalar("String"), ONE, select="article.main"),
+        Field("src_out", Scalar("String"), ONE, select="footer > span"),
+    ],
+)
+
+
+def docs_to_interleaved_spans(d: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source) -> hint-shaped spans rows.
+
+    HTML = header + escaped text + footer, split into three text spans
+    stored out of order, plus one media span between spans 1 and 2.
+    """
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"),
+        F.lit('"><body><article class="main">'), esc,
+        F.lit("</article><footer><span>"), F.col("source"),
+        F.lit("</span></footer></body></html>"),
+    )
+    n = F.length(html)
+    third = (n / 3).cast("int")
+    part = lambda start, length: F.substring(html, start, length)
+    s0 = F.struct(
+        F.lit("text").alias("kind"),
+        part(F.lit(1), third).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    s1 = F.struct(
+        F.lit("text").alias("kind"),
+        part(third + 1, third).alias("text"),
+        F.lit("").alias("media_ref"),
+        third.alias("offset"),
+    )
+    s2 = F.struct(
+        F.lit("text").alias("kind"),
+        part(third * 2 + 1, n).alias("text"),
+        F.lit("").alias("media_ref"),
+        (third * 2).alias("offset"),
+    )
+    media = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("media://img/"), F.col("doc_id")).alias("media_ref"),
+        (third + 1).alias("offset"),
+    )
+    return (
+        # deliberately out of order: kernels must sort by offset
+        F.array(s2, media, s0, s1).alias("spans")
+    )
+
+
+def q_flagship_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select("doc_id", docs_to_interleaved_spans(d))
+    udf = make_extract_spans_udf(FLAGSHIP_SPEC)
+    out = docs.select("doc_id", udf("spans").alias("o"))
+    return (
+        out.select("doc_id", F.explode("o.spans_out").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.order").cast("long").alias("ord"),
+        )
+        .orderBy("doc_id", "ord")
+    )
+
+
+ORACLE_FLAGSHIP = """
+SELECT doc_id, kind, text, media_ref, ord
+FROM (
+  SELECT doc_id, 'lang_out:String' AS kind, lang AS text, '' AS media_ref, 0::BIGINT AS ord FROM documents
+  UNION ALL
+  SELECT doc_id, 'text_out:String', text, '', 1::BIGINT FROM documents
+  UNION ALL
+  SELECT doc_id, 'src_out:String', source, '', 2::BIGINT FROM documents
+  UNION ALL
+  SELECT doc_id, 'media', '', 'media://img/' || doc_id, 3::BIGINT FROM documents
+)
+ORDER BY doc_id, ord
+"""
+
+
+QUERIES = {"flagship_extract_spans": q_flagship_extract_spans}
+ORACLES = {"flagship_extract_spans": ORACLE_FLAGSHIP}

@@ -1,0 +1,217 @@
+"""Pipeline-level relational operators with DuckDB oracles
+(SURVEY.md §2.2): span reassembly (sort inside row), size bucketing,
+resume anti-join, manifest metric aggregation, and event/session stats.
+
+These are the [P]-level operators of the engine — everything here is
+pure DataFrame API (codegen; no Python), and each has an exact DuckDB
+twin so the driver's gate covers the relational shell too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- span reassembly (array sort + filter + concat inside the row) ------
+
+
+def q_spans_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build hint-shaped spans from documents (thirds, stored out of
+    order, plus a media span), then reassemble: sort_array by offset,
+    keep text spans, concat — must reproduce the original text."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    third = (n / 3).cast("int")
+    s0 = F.struct(
+        F.lit("text").alias("kind"),
+        F.substring(F.col("text"), 1, third).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    s1 = F.struct(
+        F.lit("text").alias("kind"),
+        F.expr("substring(text, cast(length(text)/3 as int) + 1, cast(length(text)/3 as int))").alias("text"),
+        F.lit("").alias("media_ref"),
+        third.alias("offset"),
+    )
+    s2 = F.struct(
+        F.lit("text").alias("kind"),
+        F.expr("substring(text, 2 * cast(length(text)/3 as int) + 1, length(text))").alias("text"),
+        F.lit("").alias("media_ref"),
+        (third * 2).alias("offset"),
+    )
+    media = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("media://img/"), F.col("doc_id")).alias("media_ref"),
+        third.alias("offset"),
+    )
+    # stored deliberately out of order
+    spans = F.array(s2, media, s0, s1)
+    reassembled = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    spans,
+                    lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                    .when(a["offset"] > b["offset"], 1)
+                    .otherwise(
+                        # text sorts before media at equal offset
+                        F.when(a["kind"] < b["kind"], 1)
+                        .when(a["kind"] > b["kind"], -1)
+                        .otherwise(0)
+                    ),
+                ),
+                lambda s: s["kind"] == F.lit("text"),
+            ),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+    return (
+        d.select(
+            "doc_id",
+            (reassembled == F.col("text")).alias("roundtrip_ok"),
+            F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media")))
+            .cast("long")
+            .alias("n_media"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPANS_REASSEMBLY = """
+SELECT doc_id, true AS roundtrip_ok, 1::BIGINT AS n_media
+FROM documents ORDER BY doc_id
+"""
+
+# --- size bucketing (the salting histogram) ------------------------------
+
+
+def q_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = F.floor(F.log2(F.col("n_chars") + F.lit(2))).cast("int")
+    return (
+        d.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+ORACLE_SIZE_BUCKETS = """
+SELECT floor(log2(n_chars + 2))::INT AS size_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY 1 ORDER BY size_bucket
+"""
+
+# --- resume anti-join -----------------------------------------------------
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resume filter shape: input buckets anti-joined against a
+    completed-manifest list (here: the even buckets of 16), broadcast."""
+    d = _docs(spark, sf_dir).withColumn(
+        "ckpt_bucket", F.pmod(F.col("doc_id"), F.lit(16)).cast("int")
+    )
+    completed = spark.createDataFrame(
+        [(b,) for b in range(0, 16, 2)], "ckpt_bucket int"
+    )
+    remaining = d.join(F.broadcast(completed), "ckpt_bucket", "left_anti")
+    return (
+        remaining.groupBy("ckpt_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("ckpt_bucket")
+    )
+
+
+ORACLE_RESUME_ANTI_JOIN = """
+SELECT (doc_id % 16)::INT AS ckpt_bucket,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS first_doc
+FROM documents
+WHERE (doc_id % 16) % 2 = 1
+GROUP BY 1 ORDER BY ckpt_bucket
+"""
+
+# --- manifest metrics -----------------------------------------------------
+
+
+def q_manifest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-bucket stats the job commits into manifests."""
+    d = _docs(spark, sf_dir).withColumn(
+        "ckpt_bucket", F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    )
+    return (
+        d.groupBy("ckpt_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("ckpt_bucket")
+    )
+
+
+ORACLE_MANIFEST_METRICS = """
+SELECT (doc_id % 8)::INT AS ckpt_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_bytes,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM documents GROUP BY 1 ORDER BY ckpt_bucket
+"""
+
+# --- events throughput stats (bench bookkeeping shape) --------------------
+
+
+def q_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_STATS = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "spans_reassembly": q_spans_reassembly,
+    "size_buckets": q_size_buckets,
+    "resume_anti_join": q_resume_anti_join,
+    "manifest_metrics": q_manifest_metrics,
+    "events_stats": q_events_stats,
+}
+
+ORACLES = {
+    "spans_reassembly": ORACLE_SPANS_REASSEMBLY,
+    "size_buckets": ORACLE_SIZE_BUCKETS,
+    "resume_anti_join": ORACLE_RESUME_ANTI_JOIN,
+    "manifest_metrics": ORACLE_MANIFEST_METRICS,
+    "events_stats": ORACLE_EVENTS_STATS,
+}

@@ -1,0 +1,248 @@
+"""End-to-end extraction queries with SQL-provable answers.
+
+The extraction kernel itself (DOM + selectors inside a pandas UDF) is
+not expressible in DuckDB — but its *correctness* is: build an HTML
+document from the ``documents`` table with pure SQL expressions, run the
+real extraction UDF over it in Spark, and the extracted values must
+equal the original columns. The DuckDB oracle is then just a projection
+of ``documents`` — any tokenizer/tree/selector/extractor bug breaks the
+match. This turns the driver's DuckDB gate into a 60k-document
+end-to-end extraction test.
+
+Each query exercises a different operator family (SURVEY.md §2.1):
+inner-text + attributes (#11,#12), typed parses (#22), Vec cardinality
+(#18-20), Option + golden error strings (#19, §1.3), ExtractNthText
+(#13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from h2spark.core.spec import (
+    ONE, OPTION, VEC, Field, NthText, Scalar, StructSpec,
+)
+from h2spark.pipeline.kernel import make_extract_typed_udf
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _esc(col: Column) -> Column:
+    """HTML-escape text content (&, <, > — the refs the decoder undoes)."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+# --- 1. inner text + attribute roundtrip --------------------------------
+
+_RT_TEXT_SPEC = StructSpec(
+    "Doc",
+    [
+        Field("lang_out", Scalar("String"), ONE, attr="lang"),
+        Field("text_out", Scalar("String"), ONE, select="article.main"),
+        Field("src_out", Scalar("String"), ONE, select="footer > span"),
+    ],
+)
+
+
+def q_extract_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><body><article class="main">'),
+        _esc(F.col("text")),
+        F.lit("</article><footer><span>"), F.col("source"),
+        F.lit("</span></footer></body></html>"),
+    )
+    udf = make_extract_typed_udf(_RT_TEXT_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.value.lang_out").alias("lang_out"),
+        F.col("o.value.text_out").alias("text_out"),
+        F.col("o.value.src_out").alias("src_out"),
+    ).orderBy("doc_id")
+
+
+ORACLE_RT_TEXT = """
+SELECT doc_id, lang AS lang_out, text AS text_out, source AS src_out
+FROM documents ORDER BY doc_id
+"""
+
+# --- 2. typed numeric parse roundtrip -----------------------------------
+
+_RT_NUM_SPEC = StructSpec(
+    "Meta",
+    [
+        Field("id_out", Scalar("i64"), ONE, select="#meta > span"),
+        Field("chars_out", Scalar("u32"), ONE, select="#meta", attr="data-chars"),
+        Field("ratio_out", Scalar("f64"), ONE, select="#meta", attr="data-ratio"),
+    ],
+)
+
+
+def q_extract_roundtrip_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ratio = F.round(F.col("n_chars") / F.lit(1000.0), 6)
+    html = F.concat(
+        F.lit('<div id="meta" data-chars="'), F.col("n_chars"),
+        F.lit('" data-ratio="'), ratio.cast("string"),
+        F.lit('"><span>'), F.col("doc_id"), F.lit("</span></div>"),
+    )
+    udf = make_extract_typed_udf(_RT_NUM_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.value.id_out").cast("long").alias("id_out"),
+        F.col("o.value.chars_out").cast("long").alias("chars_out"),
+        F.col("o.value.ratio_out").alias("ratio_out"),
+    ).orderBy("doc_id")
+
+
+ORACLE_RT_NUMBERS = """
+SELECT doc_id, doc_id AS id_out, n_chars AS chars_out,
+       round(n_chars / 1000.0, 6) AS ratio_out
+FROM documents ORDER BY doc_id
+"""
+
+# --- 3. Vec cardinality roundtrip ---------------------------------------
+
+_RT_VEC_SPEC = StructSpec(
+    "Tags",
+    [Field("items", Scalar("String"), VEC, select="ul.tags > li")],
+)
+
+
+def q_extract_roundtrip_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")  # 0..3 items
+    lis = F.when(
+        k > 0,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat(F.lit("<li>item-"), F.col("doc_id"), F.lit("-"), i, F.lit("</li>")),
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit('<ul class="tags">'), lis, F.lit("</ul>"))
+    udf = make_extract_typed_udf(_RT_VEC_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.size("o.value.items").cast("long").alias("n_items"),
+        F.concat_ws(",", "o.value.items").alias("items_csv"),
+    ).orderBy("doc_id")
+
+
+ORACLE_RT_VEC = """
+SELECT doc_id,
+       (doc_id % 4)::BIGINT AS n_items,
+       CASE WHEN doc_id % 4 = 0 THEN ''
+            ELSE array_to_string(
+              list_transform(range(1, (doc_id % 4)::INT + 1),
+                             i -> 'item-' || doc_id || '-' || i), ',') END
+           AS items_csv
+FROM documents ORDER BY doc_id
+"""
+
+# --- 4. Option + golden error strings at scale --------------------------
+
+_RT_OPT_SPEC = StructSpec(
+    "Opt", [Field("v", Scalar("String"), OPTION, select="b.x")]
+)
+
+
+def q_extract_roundtrip_option_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id%3==0 -> two matches (error), %3==1 -> one, %3==2 -> none.
+
+    The oracle reconstructs the exact h2s error string
+    (display.rs:34-42), proving error parity over the whole table.
+    """
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    html = F.concat(
+        F.lit("<div>"),
+        F.when(m == 0, F.lit('<b class="x">a</b><b class="x">b</b>'))
+        .when(m == 1, F.concat(F.lit('<b class="x">val-'), F.col("doc_id"), F.lit("</b>")))
+        .otherwise(F.lit("")),
+        F.lit("</div>"),
+    )
+    udf = make_extract_typed_udf(_RT_OPT_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.value.v").alias("opt_value"),
+        F.col("o.error").alias("err"),
+    ).orderBy("doc_id")
+
+
+ORACLE_RT_OPTION_ERR = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN 'val-' || doc_id ELSE NULL END AS opt_value,
+       CASE WHEN doc_id % 3 = 0 THEN
+         'v: mismatched number of selected elements by "b.x": expected 0 or 1 element, but found 2 elements'
+       ELSE NULL END AS err
+FROM documents ORDER BY doc_id
+"""
+
+# --- 5. ExtractNthText roundtrip ----------------------------------------
+
+_RT_NTH_SPEC = StructSpec(
+    "Nth",
+    [
+        Field(
+            "w",
+            StructSpec(
+                "Inner",
+                [
+                    Field("t0", Scalar("String"), ONE, extractor=NthText(0)),
+                    Field("t1", Scalar("String"), ONE, extractor=NthText(1)),
+                ],
+            ),
+            ONE,
+            select="div.w",
+        )
+    ],
+)
+
+
+def q_extract_roundtrip_nth_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<div class="w"> '), F.col("source"),
+        F.lit(" <i>skip</i> "), F.col("lang"), F.lit(" </div>"),
+    )
+    udf = make_extract_typed_udf(_RT_NTH_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.value.w.t0").alias("t0"),
+        F.col("o.value.w.t1").alias("t1"),
+    ).orderBy("doc_id")
+
+
+ORACLE_RT_NTH = """
+SELECT doc_id, source AS t0, lang AS t1 FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "extract_roundtrip_text": q_extract_roundtrip_text,
+    "extract_roundtrip_numbers": q_extract_roundtrip_numbers,
+    "extract_roundtrip_vec": q_extract_roundtrip_vec,
+    "extract_roundtrip_option_err": q_extract_roundtrip_option_err,
+    "extract_roundtrip_nth_text": q_extract_roundtrip_nth_text,
+}
+
+ORACLES = {
+    "extract_roundtrip_text": ORACLE_RT_TEXT,
+    "extract_roundtrip_numbers": ORACLE_RT_NUMBERS,
+    "extract_roundtrip_vec": ORACLE_RT_VEC,
+    "extract_roundtrip_option_err": ORACLE_RT_OPTION_ERR,
+    "extract_roundtrip_nth_text": ORACLE_RT_NTH,
+}

@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ann_bruteforce_topk — exact cosine top-k for a query set (the
+  correctness baseline): broadcast the (small) query side, cross join,
+  window rank. At scale: queries are always the broadcast side; the
+  corpus side streams — one pass, no shuffle of the big table.
+- ann_ivf_topk — the scale path: a coarse IVF quantizer. K centroid
+  vectors (deterministically the first K vec_ids) are broadcast; every
+  vector is assigned to its nearest centroid (one scan); queries probe
+  only their own cell. At 10^12 vectors the probe touches ~1/K of the
+  corpus; with ``nprobe`` cells it is tunable recall vs cost. Assignment
+  is pure arithmetic -> DuckDB oracle reproduces it exactly.
+
+Cosines are computed in double on both engines with identical
+left-to-right folds, rounded to 6 decimals before ranking so rank order
+is engine-independent; ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+_N_QUERIES = 5     # first N vec_ids are the query set
+_TOP_K = 10
+_N_CENTROIDS = 8   # IVF cells (first N vec_ids double as centroids)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cos(a: str, b: str):
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    nrm = lambda c: F.expr(
+        f"sqrt(aggregate({c}, cast(0.0 as double), "
+        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    return dot / (nrm(a) * nrm(b))
+
+
+_COS_DUCK = """
+ (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+  FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))
+ / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest({a}) AS x)))
+  * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest({b}) AS y))))
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(_cos("qe", "ce"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_BRUTEFORCE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_COS_DUCK.format(a="q.embedding", b="c.embedding")}, 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: rank candidates only within the query's centroid cell."""
+    e = _emb(spark, sf_dir)
+    cent = e.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+    )
+    # assign: argmax cosine over centroids (broadcast; deterministic
+    # tie-break on centroid_id)
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(_cos("embedding", "cent"), 6).alias("ccos"),
+        )
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .where(F.col("arank") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = assigned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("centroid_id").alias("cell"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("centroid_id").alias("cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(_cos("qe", "ce"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.vec_id AS centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({_COS_DUCK.format(a="e.embedding", b="c.embedding")}, 6) DESC,
+                      c.vec_id) AS arank
+    FROM embeddings e
+    JOIN embeddings c ON c.vec_id < {_N_CENTROIDS}
+  ) WHERE arank = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_COS_DUCK.format(a="q.embedding", b="c.embedding")}, 6) AS cosine
+  FROM assigned q JOIN assigned c
+    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES = {
+    "ann_bruteforce_topk": q_ann_bruteforce,
+    "ann_ivf_topk": q_ann_ivf,
+}
+
+ORACLES = {
+    "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
+}

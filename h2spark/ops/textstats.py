@@ -1,0 +1,223 @@
+"""Text analysis operators over the ``documents`` table.
+
+All four are pure DataFrame expressions (whole-stage codegen, no Python
+in the hot path) with exact DuckDB oracle twins:
+
+- token_count    — whitespace tokenization + char stats
+- lang_id        — n-gram/stopword-marker heuristic language ID
+- quality_score  — length/punctuation/stopword-ratio quality heuristic
+- fingerprint    — md5 document fingerprint over normalized text
+
+At 100 TB these are embarrassingly parallel scans: no shuffle except the
+final aggregations, filters/projections push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- token_count --------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    trimmed = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
+           AS n_tokens,
+       length(text)::BIGINT AS n_chars_actual
+FROM documents
+ORDER BY doc_id
+"""
+
+# --- lang_id ------------------------------------------------------------
+
+# marker -> language; counts of ' marker ' occurrences vote for the lang.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "de", "los"),
+}
+
+
+def _marker_hits(text_col, marker: str):
+    # occurrence count via length difference under replace — identical
+    # semantics in Spark and DuckDB, no regex engine differences
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    needle = f" {marker} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    d = d.withColumn("_norm", norm)
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            h = _marker_hits(F.col("_norm"), m)
+            s = h if s is None else s + h
+        score_cols.append(s.alias(f"score_{lang}"))
+    d = d.select("doc_id", "lang", *score_cols)
+    # argmax with deterministic tie-break on language code order
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in _LANG_MARKERS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(_LANG_MARKERS):
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("lang_label"),
+            pred.alias("lang_pred"),
+            best.cast("long").alias("best_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_lang_id() -> str:
+    hits = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"((length(n) - length(replace(n, ' {m} ', ''))) / {len(m) + 2})"
+            for m in markers
+        )
+        hits.append(f"({terms})::BIGINT AS score_{lang}")
+    scores = ",\n       ".join(hits)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in _LANG_MARKERS) + ")"
+    whens = "\n            ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in sorted(_LANG_MARKERS)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         ' ' || lower(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' AS n
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+       {scores}
+  FROM norm
+)
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN {best} = 0 THEN 'und'
+            {whens}
+            END AS lang_pred,
+       {best}::BIGINT AS best_score
+FROM scored
+ORDER BY doc_id
+"""
+
+
+ORACLE_LANG_ID = _oracle_lang_id()
+
+# --- quality_score ------------------------------------------------------
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("double")
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    mean_wlen = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.round(mean_wlen, 4).alias("mean_word_len"),
+            F.round(alpha_ratio, 4).alias("alpha_ratio"),
+            F.round(score, 4).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY = """
+WITH s AS (
+  SELECT doc_id,
+         trim(text) AS t,
+         length(trim(text))::DOUBLE AS n_chars,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE AS n_tokens,
+         length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g'))::DOUBLE AS n_alpha,
+         length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END, 4) AS mean_word_len,
+       round(CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END, 4) AS alpha_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4
+             + (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END) * 0.4
+             + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10, 1.0)) * 0.2,
+             4) AS quality
+FROM s
+ORDER BY doc_id
+"""
+
+# --- fingerprint --------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_count": q_token_count,
+    "text_lang_id": q_lang_id,
+    "text_quality_score": q_quality_score,
+    "text_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "text_token_count": ORACLE_TOKEN_COUNT,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_quality_score": ORACLE_QUALITY,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

@@ -1,0 +1,64 @@
+"""Local Spark-vs-DuckDB comparison mirroring the driver's correctness
+gate (row count + schema + order-insensitive value compare, columns
+sorted by name)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duckdb_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, int):
+        return int(v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return int(v)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+
+def compare_query(spark, sf_dir: str, query_fn, oracle_sql: str):
+    """Return (ok, detail) comparing the Spark query with DuckDB."""
+    sdf = query_fn(spark, sf_dir)
+    scols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(_norm_cell(r[c]) for c in scols) for r in sdf.collect()
+    )
+    con = duckdb_conn(sf_dir)
+    ddf = con.execute(oracle_sql).fetchdf()
+    dcols = sorted(ddf.columns)
+    if scols != dcols:
+        return False, f"schema mismatch: spark={scols} duckdb={dcols}"
+    drows = sorted(
+        tuple(_norm_cell(v) for v in row)
+        for row in ddf[scols].itertuples(index=False, name=None)
+    )
+    if len(srows) != len(drows):
+        return False, f"row count: spark={len(srows)} duckdb={len(drows)}"
+    for i, (a, b) in enumerate(zip(srows, drows)):
+        if a != b:
+            return False, f"row {i} differs:\n  spark ={a}\n  duckdb={b}"
+    return True, f"{len(srows)} rows match"
