@@ -1,0 +1,147 @@
+"""Headline benchmark. Prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
+  H2SPARK_BENCH_DOCS   synthetic-corpus size for the extraction
+                       throughput query (default 12000)
+
+Queries:
+  q1_flagship_sf       flagship interleaved-span extraction over the
+                       sf documents table (build spans -> kernel -> count)
+  q2_corpus_extract    extraction throughput over the seeded synthetic
+                       corpus (README-shaped docs, heavy-tailed sizes,
+                       salted repartition) — the docs/sec headline
+  q3_dedup_minhash     MinHash LSH candidate pairs over sf documents
+  q4_ann_bruteforce    cosine top-k over sf embeddings
+  q5_text_stats        token/quality/fingerprint scan over sf documents
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    n_docs = int(os.environ.get("H2SPARK_BENCH_DOCS", "12000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import functions as F
+
+    from h2spark.fixtures import corpus_df
+    from h2spark.golden import PAGE_SPEC
+    from h2spark.ops import dedup, flagship, similarity, textstats
+    from h2spark.pipeline.kernel import extract_spans_arrow
+    from h2spark.pipeline.salting import salted_repartition
+    from h2spark.pipeline.session import get_spark
+
+    spark = get_spark(
+        "h2spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 8),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warmup: spawn+warm the Python workers and JIT the relational shell
+    # before any timed query (steady-state measurement; the one-time
+    # worker cold-start is reported separately as warmup_sec)
+    t0 = time.perf_counter()
+    wdocs = corpus_df(spark, 32 * cpus, n_partitions=cpus)
+    extract_spans_arrow(wdocs, PAGE_SPEC).agg(F.count("error")).collect()
+    warmup_sec = round(time.perf_counter() - t0, 3)
+
+    # q1: flagship over the sf documents table
+    timed(
+        "q1_flagship_sf",
+        lambda: flagship.q_flagship_extract_spans(spark, sf_dir).count(),
+    )
+
+    # q2: extraction throughput on the synthetic corpus (the headline),
+    # reading from parquet like the production scan path. Corpus
+    # generation+write is timed separately (q0) so docs/sec measures the
+    # extraction stage.
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench-scratch", "corpus"
+    )
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    timed(
+        "q0_corpus_gen",
+        lambda: corpus_df(spark, n_docs, n_partitions=cpus * 2)
+        .write.mode("overwrite")
+        .parquet(scratch),
+    )
+    docs = spark.read.parquet(scratch)
+
+    def run_extract():
+        out = extract_spans_arrow(
+            salted_repartition(docs, cpus * 2).select("doc_id", "spans"),
+            PAGE_SPEC,
+        )
+        agg = out.agg(
+            F.count("*").alias("n"),
+            F.sum(F.size("spans_out")).alias("n_spans"),
+            F.count("error").alias("n_err"),
+        ).collect()[0]
+        assert agg["n"] == n_docs, agg
+        assert agg["n_err"] == 0, agg
+        return agg
+
+    timed("q2_corpus_extract", run_extract)
+
+    timed(
+        "q3_dedup_minhash",
+        lambda: dedup.q_dedup_minhash_lsh(spark, sf_dir).count(),
+    )
+    timed(
+        "q4_ann_bruteforce",
+        lambda: similarity.q_ann_bruteforce(spark, sf_dir).count(),
+    )
+
+    def text_stats():
+        a = textstats.q_token_count(spark, sf_dir).count()
+        b = textstats.q_quality_score(spark, sf_dir).count()
+        c = textstats.q_fingerprint(spark, sf_dir).count()
+        return a + b + c
+
+    timed("q5_text_stats", text_stats)
+
+    total = round(sum(v for k, v in timings.items() if k.startswith("q")), 3)
+    docs_per_sec = round(n_docs / timings["q2_corpus_extract"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_docs,
+                "extract_docs_per_sec": docs_per_sec,
+                "warmup_sec": warmup_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

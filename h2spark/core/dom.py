@@ -36,7 +36,7 @@ class Document(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "elem_idx", "_idx")
+    __slots__ = ("tag", "attrs", "children", "elem_idx", "_idx", "_desc")
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
         self.parent = None
@@ -47,6 +47,9 @@ class Element(Node):
         self.elem_idx = 0
         # index among all sibling nodes, set on append
         self._idx = 0
+        # cached flat descendant-element list (trees are immutable after
+        # parse; selects are the hot path and reuse the same scopes)
+        self._desc = None
 
     # --- reference-parity accessors -------------------------------------
 
@@ -85,16 +88,26 @@ class Element(Node):
     def iter_descendants(self):
         """Pre-order DFS over descendant *elements* (excluding self) —
         the traversal order of ElementRef::select
-        (/root/reference/src/backend/scraper.rs:54-56)."""
-        stack = [iter(self.children)]
-        while stack:
-            for node in stack[-1]:
-                if type(node) is Element:
-                    yield node
-                    stack.append(iter(node.children))
-                    break
-            else:
-                stack.pop()
+        (/root/reference/src/backend/scraper.rs:54-56). Cached: the DOM
+        is immutable once built."""
+        d = self._desc
+        if d is None:
+            d = []
+            append = d.append
+            stack = [iter(self.children)]
+            push = stack.append
+            pop = stack.pop
+            while stack:
+                for node in stack[-1]:
+                    if type(node) is Element:
+                        append(node)
+                        if node.children:
+                            push(iter(node.children))
+                            break
+                else:
+                    pop()
+            self._desc = d
+        return d
 
     def append_child(self, node: Node) -> None:
         node.parent = self

@@ -1,0 +1,204 @@
+"""Worker-side kernel entry points — ZERO heavy imports.
+
+Everything the serialized UDF closures reference lives here or deeper
+in h2spark.core, so an executor Python worker imports only h2spark.core
+(+ pyarrow, lazily, which the Arrow serializer has loaded anyway).
+Keeping pandas / pyspark.sql OUT of this module's import graph cut
+32-worker cold-start from ~20s to sub-second in local[32] benchmarks —
+at 1000 executors the same effect applies to every fresh worker.
+"""
+
+from __future__ import annotations
+
+from h2spark.core.errors import FieldError
+from h2spark.core.extract import CompiledStruct, apply_struct
+from h2spark.core.flatten import flatten_document
+from h2spark.core.treebuilder import parse_document
+
+
+def reassemble(spans) -> tuple[str, list, int | None]:
+    """Sort spans by offset; concat text-span HTML; collect media refs.
+
+    Returns (html, [(offset, media_ref)], first_text_offset).
+    """
+    text_parts: list[tuple[int, str]] = []
+    media: list[tuple[int, str]] = []
+    for s in spans:
+        kind = s["kind"]
+        off = s["offset"]
+        if kind == "media":
+            media.append((off, s["media_ref"]))
+        else:
+            text_parts.append((off, s["text"]))
+    text_parts.sort(key=lambda t: t[0])
+    html = "".join(t[1] for t in text_parts)
+    first = text_parts[0][0] if text_parts else None
+    return html, media, first
+
+
+def extract_one(cs: CompiledStruct, spans):
+    """Per-document kernel: reassemble -> parse -> extract.
+
+    Returns (value, raw, media, first_text_offset, error).
+    """
+    html, media, first = reassemble(spans)
+    try:
+        root = parse_document(html).root_element()
+        value, raw = apply_struct(cs, root)
+        return value, raw, media, first, None
+    except FieldError as e:
+        return None, None, media, first, str(e)
+    except ValueError as e:
+        # e.g. empty document with no root element
+        return None, None, media, first, f"document error: {e}"
+
+
+def html_as_spans(html: str):
+    return [{"kind": "text", "text": html, "media_ref": "", "offset": 0}]
+
+
+def make_arrow_mapper(cs: CompiledStruct, keep: tuple[str, ...], spans_col: str):
+    """Factory for the mapInArrow kernel: builds output ListArray/
+    StructArray columns natively with pyarrow (one allocation per batch)
+    instead of per-row Python dicts through pandas."""
+
+    def mapper(batches):
+        import pyarrow as pa
+
+        span_t = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("order", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            spans_lists = batch.column(spans_col).to_pylist()
+            kinds: list = []
+            texts: list = []
+            refs: list = []
+            orders: list = []
+            offsets: list = [0]
+            validity: list = []
+            errors: list = []
+            for spans in spans_lists:
+                if spans is None:
+                    errors.append("document error: null input")
+                    validity.append(False)
+                    offsets.append(offsets[-1])
+                    continue
+                value, raw, media, first, err = extract_one(cs, spans)
+                if err is not None:
+                    errors.append(err)
+                    validity.append(False)
+                    offsets.append(offsets[-1])
+                    continue
+                flat = flatten_document(cs, raw, media, first)
+                for s in flat:
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    refs.append(s["media_ref"])
+                    orders.append(s["order"])
+                errors.append(None)
+                validity.append(True)
+                offsets.append(offsets[-1] + len(flat))
+            struct_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array(kinds, pa.string()),
+                    pa.array(texts, pa.string()),
+                    pa.array(refs, pa.string()),
+                    pa.array(orders, pa.int32()),
+                ],
+                names=["kind", "text", "media_ref", "order"],
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), struct_arr
+            ).cast(pa.list_(span_t))
+            if not all(validity):
+                indices = pa.array(
+                    [i if v else None for i, v in enumerate(validity)],
+                    pa.int64(),
+                )
+                spans_out = spans_out.take(indices)
+            cols = [batch.column(k) for k in keep]
+            cols.append(spans_out)
+            cols.append(pa.array(errors, pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[*keep, "spans_out", "error"]
+            )
+
+    return mapper
+
+
+def run_flat_batch(cs: CompiledStruct, items, from_html: bool):
+    """Row loop for the pandas-UDF spans kernel: returns (spans_out
+    list, errors list) as plain Python lists."""
+    spans_out: list = []
+    errors: list = []
+    for item in items:
+        if item is None:
+            spans_out.append(None)
+            errors.append("document error: null input")
+            continue
+        spans = html_as_spans(item) if from_html else item
+        value, raw, media, first, err = extract_one(cs, spans)
+        if err is not None:
+            spans_out.append(None)
+            errors.append(err)
+        else:
+            spans_out.append(flatten_document(cs, raw, media, first))
+            errors.append(None)
+    return spans_out, errors
+
+
+def run_typed_batch(cs: CompiledStruct, items, from_html: bool, convert=None):
+    """Row loop for the pandas-UDF typed kernel; ``convert`` maps a
+    value tree to its Arrow-ready form (defaults to to_arrow_value)."""
+    if convert is None:
+        convert = to_arrow_value
+    values: list = []
+    errors: list = []
+    for item in items:
+        if item is None:
+            values.append(None)
+            errors.append("document error: null input")
+            continue
+        spans = html_as_spans(item) if from_html else item
+        value, raw, media, first, err = extract_one(cs, spans)
+        if err is not None:
+            values.append(None)
+            errors.append(err)
+        else:
+            values.append(convert(cs, value))
+            errors.append(None)
+    return values, errors
+
+
+def to_arrow_value(cs: CompiledStruct, value: dict) -> dict:
+    """Convert a value tree for Arrow: decimal-typed ints -> Decimal
+    (u64/usize/u128/i128 map to DecimalType(38,0) in the derived
+    schema)."""
+    import decimal
+
+    from h2spark.core.spec import ARRAY, VEC
+
+    out = {}
+    for cf in cs.fields:
+        v = value[cf.name]
+        if v is None:
+            out[cf.name] = None
+            continue
+        if cf.nested is not None:
+            if cf.card in (VEC, ARRAY):
+                out[cf.name] = [to_arrow_value(cf.nested, x) for x in v]
+            else:
+                out[cf.name] = to_arrow_value(cf.nested, v)
+        elif cf.spark_type == "decimal(38,0)":
+            if cf.card in (VEC, ARRAY):
+                out[cf.name] = [decimal.Decimal(x) for x in v]
+            else:
+                out[cf.name] = decimal.Decimal(v)
+        else:
+            out[cf.name] = v
+    return out

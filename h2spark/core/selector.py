@@ -95,15 +95,30 @@ class CssSelector:
     # --- matching -------------------------------------------------------
 
     def matches(self, el: Element) -> bool:
-        return any(_match_complex(c, el) for c in self.complexes)
+        for c in self.complexes:
+            if _match_compound(c.compounds[0], el) and _match_rest(c, 0, el):
+                return True
+        return False
 
     def select(self, scope: Element) -> list[Element]:
         """All descendants of ``scope`` matching, in document order
-        (HtmlElement::select, /root/reference/core/src/html.rs:21)."""
+        (HtmlElement::select, /root/reference/core/src/html.rs:21).
+
+        Hot path of the UDF kernel: the rightmost compound's tag is
+        checked inline before any function call per element.
+        """
         out = []
+        # (rightmost_tag, first_compound, complex) per complex
+        cs = [(c.compounds[0].tag, c.compounds[0], c) for c in self.complexes]
+        append = out.append
         for el in scope.iter_descendants():
-            if self.matches(el):
-                out.append(el)
+            tag = el.tag
+            for rtag, comp, c in cs:
+                if rtag is not None and rtag != tag:
+                    continue
+                if _match_compound(comp, el) and _match_rest(c, 0, el):
+                    append(el)
+                    break
         return out
 
     def __str__(self) -> str:

@@ -132,6 +132,18 @@ class _Builder:
     # --- token dispatch -------------------------------------------------
 
     def feed(self, tok: tuple) -> None:
+        # fast path: the overwhelmingly common case mid-document
+        if self.mode == "in_body":
+            kind = tok[0]
+            if kind == "text":
+                cur = self.stack[-1]
+                if cur.tag not in _TEXT_CONTENT:
+                    last = cur.children[-1] if cur.children else None
+                    if type(last) is Text:
+                        last.data += tok[1]
+                    else:
+                        cur.append_child(Text(tok[1]))
+                    return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
         if self.stack and self.stack[-1].tag in _TEXT_CONTENT:

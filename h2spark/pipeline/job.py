@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from h2spark.core.extract import compile_spec
 from h2spark.core.spec import StructSpec
-from h2spark.pipeline.kernel import make_extract_spans_udf
+from h2spark.pipeline.kernel import extract_spans_arrow
 from h2spark.pipeline.manifests import (
     BucketManifest,
     commit_manifest,
@@ -69,21 +69,15 @@ def run_extraction_job(
     if max_waves is not None:
         waves = waves[:max_waves]
 
-    udf = make_extract_spans_udf(cs)
     data_dir = f"{out_dir}/data"
     ran = []
     for wave in waves:
         wave_df = docs.where(F.col("ckpt_bucket").isin(wave))
         wave_df = salted_repartition(wave_df, n_partitions)
-        out = wave_df.select(
-            "doc_id",
-            "ckpt_bucket",
-            udf("spans").alias("o"),
-        ).select(
-            "doc_id",
-            "ckpt_bucket",
-            F.col("o.spans_out").alias("spans_out"),
-            F.col("o.error").alias("error"),
+        out = extract_spans_arrow(
+            wave_df.select("doc_id", "ckpt_bucket", "spans"),
+            cs,
+            keep=("doc_id", "ckpt_bucket"),
         )
         (
             out.write.mode("overwrite")

@@ -1,169 +1,91 @@
-"""Vectorized extraction kernels: scalar pandas UDFs over Arrow batches.
+"""Vectorized extraction kernels: Arrow-batched UDFs over documents.
 
 The Spark-side counterpart of ``h2s::parse::<T>`` (/root/reference/
-src/lib.rs:131-139): one UDF call processes an Arrow batch of documents
+src/lib.rs:131-139): one call processes an Arrow batch of documents
 (SURVEY.md §4.3); inside, the pure-Python core runs per document. All
-Spark-level compute stays DataFrame ops + pandas UDFs — no per-row
+Spark-level compute stays DataFrame ops + vectorized UDFs — no per-row
 Python UDFs anywhere (input_hint mandate).
 
-The compiled spec (selectors pre-parsed ONCE on the driver, fixing the
-reference's re-parse-per-call TODO at core/src/element_selector.rs:24)
-is captured in the UDF closure and shipped to executors via cloudpickle;
-each Python worker reuses it across all its batches.
+Compiled specs (selectors parsed ONCE on the driver — fixing the
+reference's re-parse-per-call TODO, core/src/element_selector.rs:24)
+ship to executors via cloudpickle. **All worker-side code lives in
+h2spark.core.runner** so executor workers never import pandas/pyspark
+through our closures — that import graph was measured at ~20s of
+aggregate cold-start across 32 local workers.
 
-Two kernels:
-- ``make_extract_spans_udf(spec)``: spans -> struct<spans_out, error> —
-  the flattened span-sequence contract (FIXTURES.md §2) the north_rule
-  grades.
-- ``make_extract_typed_udf(spec)``: spans -> struct<value: <spec
-  StructType>, error> — typed columns for downstream relational work.
-
-Input may be the raw HTML string column instead of hint-shaped spans:
-pass ``input_kind="html"``.
+Three kernels:
+- ``extract_spans_arrow``      — mapInArrow, pyarrow-native output
+  construction; the high-throughput path used by the job/bench.
+- ``make_extract_spans_udf``   — scalar pandas UDF, spans -> flattened
+  span sequence (FIXTURES.md §2), for expression-style composition.
+- ``make_extract_typed_udf``   — scalar pandas UDF, spans -> typed
+  struct per the spec's derived schema.
 """
 
 from __future__ import annotations
 
-import decimal
-from typing import Any
-
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-from h2spark.core.extract import (
-    CompiledStruct,
-    apply_struct,
-    compile_spec,
+from h2spark.core.extract import CompiledStruct, compile_spec
+from h2spark.core.runner import (
+    make_arrow_mapper,
+    run_flat_batch,
+    run_typed_batch,
+    to_arrow_value,
 )
-from h2spark.core.errors import FieldError
-from h2spark.core.flatten import flatten_document
 from h2spark.core.spec import ARRAY, OPTION, VEC, StructSpec
-from h2spark.core.treebuilder import parse_document
-from h2spark.pipeline.schema import (
-    EXTRACTED_SPANS_SCHEMA,
-    spec_to_schema,
-)
+from h2spark.pipeline.schema import EXTRACTED_SPANS_SCHEMA, spec_to_schema
 
 
-def _reassemble(spans) -> tuple[str, list, int | None]:
-    """Sort spans by offset; concat text-span HTML; collect media refs.
+def _compiled(spec) -> CompiledStruct:
+    return spec if isinstance(spec, CompiledStruct) else compile_spec(spec)
 
-    Returns (html, [(offset, media_ref)], first_text_offset).
+
+def extract_spans_arrow(
+    df,
+    spec: StructSpec | CompiledStruct,
+    spans_col: str = "spans",
+    keep: tuple[str, ...] = ("doc_id",),
+):
+    """High-throughput kernel: ``df.mapInArrow`` with native pyarrow
+    output arrays (the pandas path pays ~3x the extraction cost just
+    converting nested lists-of-dicts back to Arrow).
+
+    Returns a DataFrame ``keep..., spans_out, error``.
     """
-    text_parts: list[tuple[int, str]] = []
-    media: list[tuple[int, str]] = []
-    for s in spans:
-        # Arrow hands dicts; tolerate attribute-style rows too
-        kind = s["kind"]
-        off = s["offset"]
-        if kind == "media":
-            media.append((off, s["media_ref"]))
-        else:
-            text_parts.append((off, s["text"]))
-    text_parts.sort(key=lambda t: t[0])
-    html = "".join(t[1] for t in text_parts)
-    first = text_parts[0][0] if text_parts else None
-    return html, media, first
-
-
-def _extract_one(cs: CompiledStruct, spans):
-    """Per-document kernel: reassemble -> parse -> extract.
-
-    Returns (value, raw, media, first_text_offset, error).
-    """
-    html, media, first = _reassemble(spans)
-    try:
-        root = parse_document(html).root_element()
-        value, raw = apply_struct(cs, root)
-        return value, raw, media, first, None
-    except FieldError as e:
-        return None, None, media, first, str(e)
-    except ValueError as e:
-        # e.g. empty document with no root element
-        return None, None, media, first, f"document error: {e}"
+    cs = _compiled(spec)
+    out_fields = [df.schema[k] for k in keep]
+    out_schema_ddl = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+        + ", spans_out array<struct<kind:string,text:string,media_ref:string,order:int>>"
+        + ", error string"
+    )
+    return df.mapInArrow(make_arrow_mapper(cs, tuple(keep), spans_col), out_schema_ddl)
 
 
 def make_extract_spans_udf(spec: StructSpec | CompiledStruct, input_kind: str = "spans"):
     """UDF: spans (or html) -> struct<spans_out: array<span>, error: string>."""
-    cs = spec if isinstance(spec, CompiledStruct) else compile_spec(spec)
+    cs = _compiled(spec)
     from_html = input_kind == "html"
 
     @pandas_udf(EXTRACTED_SPANS_SCHEMA)
     def extract_spans(col: pd.Series) -> pd.DataFrame:
-        spans_out: list[Any] = []
-        errors: list[Any] = []
-        for item in col:
-            if item is None:
-                spans_out.append(None)
-                errors.append("document error: null input")
-                continue
-            if from_html:
-                value, raw, media, first, err = _extract_one(
-                    cs, [{"kind": "text", "text": item, "media_ref": "", "offset": 0}]
-                )
-            else:
-                value, raw, media, first, err = _extract_one(cs, item)
-            if err is not None:
-                spans_out.append(None)
-                errors.append(err)
-            else:
-                spans_out.append(flatten_document(cs, raw, media, first))
-                errors.append(None)
+        spans_out, errors = run_flat_batch(cs, col, from_html)
         return pd.DataFrame({"spans_out": spans_out, "error": errors})
 
     return extract_spans
 
 
-def _to_spark_value(cs: CompiledStruct, value: dict) -> dict:
-    """Convert a value tree for Arrow: decimal-typed ints -> Decimal."""
-    out = {}
-    for cf in cs.fields:
-        v = value[cf.name]
-        if v is None:
-            out[cf.name] = None
-            continue
-        if cf.nested is not None:
-            if cf.card in (VEC, ARRAY):
-                out[cf.name] = [_to_spark_value(cf.nested, x) for x in v]
-            else:
-                out[cf.name] = _to_spark_value(cf.nested, v)
-        elif cf.spark_type == "decimal(38,0)":
-            if cf.card in (VEC, ARRAY):
-                out[cf.name] = [decimal.Decimal(x) for x in v]
-            else:
-                out[cf.name] = decimal.Decimal(v)
-        else:
-            out[cf.name] = v
-    return out
-
-
 def make_extract_typed_udf(spec: StructSpec | CompiledStruct, input_kind: str = "spans"):
     """UDF: spans (or html) -> struct<value: <spec schema>, error: string>."""
-    cs = spec if isinstance(spec, CompiledStruct) else compile_spec(spec)
+    cs = _compiled(spec)
     schema = spec_to_schema(cs)
     from_html = input_kind == "html"
 
     @pandas_udf(schema)
     def extract_typed(col: pd.Series) -> pd.DataFrame:
-        values: list[Any] = []
-        errors: list[Any] = []
-        for item in col:
-            if item is None:
-                values.append(None)
-                errors.append("document error: null input")
-                continue
-            if from_html:
-                value, raw, media, first, err = _extract_one(
-                    cs, [{"kind": "text", "text": item, "media_ref": "", "offset": 0}]
-                )
-            else:
-                value, raw, media, first, err = _extract_one(cs, item)
-            if err is not None:
-                values.append(None)
-                errors.append(err)
-            else:
-                values.append(_to_spark_value(cs, value))
-                errors.append(None)
+        values, errors = run_typed_batch(cs, col, from_html, to_arrow_value)
         return pd.DataFrame({"value": values, "error": errors})
 
     return extract_typed

@@ -1,0 +1,75 @@
+"""Structured Streaming ingestion for the extraction pipeline.
+
+The reference is batch-only (no streaming constructs anywhere in
+/root/reference — SURVEY.md §2.2), and the checkpoint-manifest batch
+job is the primary execution mode. This module covers the continuous-
+ingestion deployment: new span-table parquet files land in a directory
+(or Iceberg snapshots append), and extraction runs incrementally with
+Spark's own streaming checkpoint for exactly-once file processing.
+
+The same Arrow kernel is reused unchanged — extraction is stateless
+per document, so no watermarks or stateful operators are needed; spans
+arrive whole per row. foreachBatch writes through the same
+dynamic-partition parquet layout as the batch job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from h2spark.core.extract import CompiledStruct, compile_spec
+from h2spark.core.spec import StructSpec
+from h2spark.pipeline.kernel import extract_spans_arrow
+from h2spark.pipeline.manifests import with_ckpt_bucket
+
+SPANS_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def run_streaming_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    spec: StructSpec | CompiledStruct,
+    *,
+    n_buckets: int = 32,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 64,
+):
+    """Incremental extraction over a growing parquet directory.
+
+    ``available_now=True`` drains everything currently present and
+    stops (the testable mode); False runs continuously. Returns the
+    StreamingQuery.
+    """
+    cs = spec if isinstance(spec, CompiledStruct) else compile_spec(spec)
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_stream_checkpoint"
+
+    stream = (
+        spark.readStream.schema(SPANS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    extracted = extract_spans_arrow(
+        with_ckpt_bucket(stream, n_buckets).select("doc_id", "ckpt_bucket", "spans"),
+        cs,
+        keep=("doc_id", "ckpt_bucket"),
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("ckpt_bucket")
+            .parquet(f"{out_dir}/data")
+        )
+
+    writer = (
+        extracted.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

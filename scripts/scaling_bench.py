@@ -1,0 +1,109 @@
+"""Two-cluster-size scaling evidence (BASELINE.md protocol).
+
+No real multi-node cluster exists in this sandbox, so the north_rule's
+"N vs 4N executors, efficiency >= 0.8" criterion is evidenced by running
+the SAME extraction job on the SAME parquet corpus (byte-identical; the
+generator is per-doc seeded) at two local[] parallelism levels.
+
+Writes one JSON line per configuration plus a summary, and is run for
+two pairs: (4, 16) and (8, 32). The (8, 32) pair saturates this
+machine's 32 hardware threads (SMT: pure-Python multiprocessing alone
+scales at ~0.77 from 8 to 32 procs), so the (4, 16) pair — which stays
+on physical cores — is the honest stand-in for the multi-node N->4N
+criterion, and both are reported.
+
+Usage: python scripts/scaling_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+_CHILD = """
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from h2spark.pipeline.session import get_spark
+from h2spark.pipeline.kernel import extract_spans_arrow
+from h2spark.pipeline.salting import salted_repartition
+from h2spark.golden import PAGE_SPEC
+from pyspark.sql import functions as F
+
+cpus = {cpus}
+spark = get_spark("scaling-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus * 2,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({corpus!r})
+out = extract_spans_arrow(
+    salted_repartition(docs, cpus * 2).select("doc_id", "spans"), PAGE_SPEC)
+agg = out.agg(F.count("*").alias("n"), F.count("error").alias("e"))
+agg.collect()  # warmup (workers, page cache)
+best = None
+for _ in range(3):
+    t0 = time.time()
+    r = agg.collect()[0]
+    dt = time.time() - t0
+    assert r["e"] == 0
+    best = dt if best is None or dt < best else best
+print("CHILD_RESULT " + json.dumps({{"cpus": cpus, "sec": round(best, 3),
+      "docs": r["n"], "docs_per_sec": round(r["n"] / best, 1)}}))
+spark.stop()
+"""
+
+
+def run_config(cpus: int, corpus: str) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"no result from local[{cpus}]: {out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 96000
+    corpus = os.path.join(REPO, ".bench-scratch", "scaling-corpus")
+    if not os.path.isdir(corpus):
+        from h2spark.pipeline.session import get_spark
+        from h2spark.fixtures import corpus_df
+
+        spark = get_spark(
+            "scaling-gen", master="local[32]",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        shutil.rmtree(corpus, ignore_errors=True)
+        corpus_df(spark, n_docs, n_partitions=64).write.parquet(corpus)
+        spark.stop()
+
+    results = {}
+    for cpus in (4, 16, 8, 32):
+        results[cpus] = run_config(cpus, corpus)
+        print(json.dumps(results[cpus]))
+
+    def eff(a, b):
+        return round((results[b]["docs_per_sec"] / results[a]["docs_per_sec"]) / 4, 3)
+
+    summary = {
+        "n_docs": n_docs,
+        "results": results,
+        "efficiency_4_to_16": eff(4, 16),
+        "efficiency_8_to_32": eff(8, 32),
+    }
+    print("SUMMARY " + json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
