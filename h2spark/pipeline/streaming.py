@@ -51,6 +51,9 @@ def run_streaming_extraction(
     stream = (
         spark.readStream.schema(SPANS_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
+        # landing dirs accumulate _SUCCESS markers, tmp files, stray
+        # junk — only parquet parts are data
+        .option("pathGlobFilter", "*.parquet")
         .parquet(input_dir)
     )
     extracted = extract_spans_arrow(

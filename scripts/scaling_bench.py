@@ -41,13 +41,18 @@ spark = get_spark("scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus * 2,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet({corpus!r})
-out = extract_spans_arrow(
-    salted_repartition(docs, cpus * 2).select("doc_id", "spans"), PAGE_SPEC)
-agg = out.agg(F.count("*").alias("n"), F.count("error").alias("e"))
-agg.collect()  # warmup (workers, page cache)
+def build():
+    # rebuilt per run: repeated actions on ONE DataFrame skip recompute
+    # via cross-job shuffle-output reuse, which would fake the timing
+    docs = spark.read.parquet({corpus!r})
+    out = extract_spans_arrow(
+        salted_repartition(docs, cpus * 2).select("doc_id", "spans"), PAGE_SPEC)
+    return out.agg(F.count("*").alias("n"), F.count("error").alias("e"))
+
+build().collect()  # warmup (workers, page cache)
 best = None
 for _ in range(3):
+    agg = build()
     t0 = time.time()
     r = agg.collect()[0]
     dt = time.time() - t0
