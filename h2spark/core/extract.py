@@ -45,6 +45,7 @@ from h2spark.core.spec import (
     OPTION,
     VEC,
     Attr,
+    CustomExtractor,
     CustomScalar,
     Field,
     InnerText,
@@ -137,6 +138,8 @@ def _extract(extractor, el: Element):
     kind = type(extractor)
     if kind is InnerText:
         return el.inner_text()
+    if kind is CustomExtractor:
+        return extractor.fn(el)
     if kind is Attr:
         v = el.attrs.get(extractor.name)
         if v is None:
@@ -248,17 +251,21 @@ def apply_struct(cs: CompiledStruct, element: Element):
     return values, raws
 
 
-def extract_html(cs: CompiledStruct, html: str):
+def extract_html(cs: CompiledStruct, html: str, backend=None):
     """h2s::parse::<T> (/root/reference/src/lib.rs:131-139): parse the
-    document, extract from the <html> root element.
+    document, extract from the <html> root element. ``backend`` is a
+    pluggable ``html -> Document`` parser (parse_with_backend,
+    src/lib.rs:141-148); defaults to the built-in tree builder.
 
     Returns ``(value_dict, raw_dict, error_string)`` with exactly one of
     value/error non-None.
     """
     from h2spark.core.treebuilder import parse_document
 
+    if backend is None:
+        backend = parse_document
     try:
-        root = parse_document(html).root_element()
+        root = backend(html).root_element()
         v, r = apply_struct(cs, root)
         return v, r, None
     except FieldError as e:

@@ -94,7 +94,22 @@ class NoOp:
         return "no-op"
 
 
-Extractor = Union[InnerText, Attr, NthText, NoOp]
+@dataclass(frozen=True)
+class CustomExtractor:
+    """User-defined extraction method — the counterpart of implementing
+    the ExtractionMethod trait (extraction_method.rs:6-11). ``fn`` takes
+    the Element and returns the extracted string, raising
+    ExtractErr-family errors on failure; ``name`` is the Display used in
+    error strings ('{ctx}: failed to extract value of {name}: ...')."""
+
+    name: str
+    fn: Callable[[Any], str]
+
+    def display(self) -> str:
+        return self.name
+
+
+Extractor = Union[InnerText, Attr, NthText, NoOp, CustomExtractor]
 Inner = Union[Scalar, CustomScalar, "StructSpec"]
 
 

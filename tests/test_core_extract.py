@@ -229,3 +229,63 @@ def test_parse_reject(type_name, input_str, message):
     with pytest.raises(ValueParseError) as ei:
         parser(input_str)
     assert str(ei.value) == message
+
+
+def test_custom_extractor():
+    # counterpart of implementing ExtractionMethod yourself
+    # (/root/reference/core/src/extraction_method.rs:6-11)
+    from h2spark.core.spec import CustomExtractor
+    from h2spark.core.errors import NthTextNotFound
+
+    def first_word(el):
+        t = el.inner_text().strip()
+        if not t:
+            raise NthTextNotFound()
+        return t.split()[0]
+
+    spec = StructSpec(
+        "S",
+        [Field("w", Scalar("String"), ONE, select="p",
+               extractor=CustomExtractor("FirstWord", first_word))],
+    )
+    v, _, err = extract_html(compile_spec(spec), "<p> hello world </p>")
+    assert err is None and v == {"w": "hello"}
+    _, _, err = extract_html(compile_spec(spec), "<p>  </p>")
+    assert err == (
+        "w: : failed to extract value of FirstWord: "
+        "text node of the specified number is not found"
+    )
+
+
+def test_pluggable_backend():
+    # parse_with_backend counterpart (src/lib.rs:141-148): swap the
+    # document parser while keeping the extraction pipeline
+    from h2spark.core.treebuilder import parse_document
+
+    calls = []
+
+    def counting_backend(html):
+        calls.append(html)
+        return parse_document(html)
+
+    spec = StructSpec("S", [Field("t", Scalar("String"), ONE, select="b")])
+    v, _, err = extract_html(
+        compile_spec(spec), "<b>x</b>", backend=counting_backend
+    )
+    assert err is None and v == {"t": "x"} and len(calls) == 1
+
+
+def test_all_reference_parseable_types_present():
+    # exact type list of core/src/parseable.rs:39-80
+    expected = {
+        "String", "bool", "char",
+        "usize", "u8", "u16", "u32", "u64", "u128",
+        "isize", "i8", "i16", "i32", "i64", "i128",
+        "f32", "f64",
+        "NonZeroU8", "NonZeroU16", "NonZeroU32", "NonZeroU64",
+        "NonZeroU128", "NonZeroUsize", "NonZeroI8", "NonZeroI16",
+        "NonZeroI32", "NonZeroI64", "NonZeroI128", "NonZeroIsize",
+        "PathBuf", "IpAddr", "Ipv4Addr", "Ipv6Addr",
+        "SocketAddr", "SocketAddrV4", "SocketAddrV6", "OsString",
+    }
+    assert set(PARSERS) == expected
