@@ -126,3 +126,54 @@ def run_extraction_job(
         "n_spans": sum(m.n_spans for m in all_done.values()),
         "n_errors": sum(m.n_errors for m in all_done.values()),
     }
+
+
+def _main(argv: list[str] | None = None) -> None:
+    """spark-submit entry point.
+
+    Typical cluster invocation:
+
+        python -m h2spark.pipeline.session package  # build h2spark.zip
+        spark-submit --py-files h2spark.zip \
+            -m h2spark.pipeline.job --input in/ --output out/ \
+            --spec-module myspecs --spec PAGE_SPEC --buckets 256
+
+    ``--spec-module``/``--spec`` name a module-level StructSpec; default
+    is the golden README Page spec.
+    """
+    import argparse
+    import importlib
+    import json
+
+    from h2spark.pipeline.session import get_spark
+
+    p = argparse.ArgumentParser(description="h2spark extraction job")
+    p.add_argument("--input", required=True, help="spans parquet path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--spec-module", default="h2spark.golden")
+    p.add_argument("--spec", default="PAGE_SPEC")
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--wave-buckets", type=int, default=8)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    spec = getattr(importlib.import_module(args.spec_module), args.spec)
+    spark = get_spark("h2spark-job", master=args.master)
+    docs = spark.read.parquet(args.input)
+    summary = run_extraction_job(
+        spark,
+        docs,
+        spec,
+        args.output,
+        n_buckets=args.buckets,
+        wave_buckets=args.wave_buckets,
+        n_partitions=args.partitions,
+        input_lineage=args.input,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    _main()

@@ -73,3 +73,12 @@ def get_spark(
     spark = b.getOrCreate()
     ship_package(spark)
     return spark
+
+
+if __name__ == "__main__":
+    # `python -m h2spark.pipeline.session package` -> writes h2spark.zip
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "package":
+        out = sys.argv[2] if len(sys.argv) > 2 else "h2spark.zip"
+        print(package_archive(out))
