@@ -16,7 +16,6 @@ from h2spark.fixtures import (
 )
 from h2spark.golden import GOLDEN_CASES, PAGE_SPEC
 from h2spark.pipeline.kernel import (
-    _extract_one,
     make_extract_spans_udf,
     make_extract_typed_udf,
 )
