@@ -62,7 +62,7 @@ def tokenize(html: str):
         if nxt == "/":
             # end tag open
             c2 = s[pos + 2] if pos + 2 < n else ""
-            if c2.isalpha():
+            if c2.isascii() and c2.isalpha():
                 m = _TAG_NAME_RE.match(s, pos + 2)
                 name = m.group(0).lower()
                 # skip to '>' (attributes on end tags are dropped per spec)
@@ -115,7 +115,7 @@ def tokenize(html: str):
                 return
             yield ("comment", s[pos + 1:gt])
             pos = gt + 1
-        elif nxt.isalpha():
+        elif nxt.isascii() and nxt.isalpha():
             tok, pos = _scan_start_tag(s, pos)
             if tok is None:
                 # eof-in-tag

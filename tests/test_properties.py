@@ -1,0 +1,97 @@
+"""Property-based robustness tests (hypothesis).
+
+The engine ingests 10^12 arbitrary web documents: the parser must never
+raise, whatever bytes arrive; escaping and span-splitting must round-trip;
+char-ref decoding in data state must agree with the stdlib's
+spec-conformant html.unescape on well-formed references.
+"""
+
+import html as stdlib_html
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from h2spark.core.charref import decode_char_refs
+from h2spark.core.extract import compile_spec, extract_html
+from h2spark.core.runner import extract_one, reassemble
+from h2spark.core.spec import ONE, VEC, Field, Scalar, StructSpec
+from h2spark.core.treebuilder import parse_document
+from h2spark.fixtures import split_into_spans
+
+_SPEC = compile_spec(
+    StructSpec(
+        "S",
+        [
+            Field("body", Scalar("String"), ONE, select="body"),
+            Field("links", Scalar("String"), VEC, select="a"),
+        ],
+    )
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=400))
+def test_parser_never_raises_on_arbitrary_text(s):
+    doc = parse_document(s)
+    root = doc.root_element()
+    assert root.tag == "html"
+    root.text_contents()  # traversal is safe too
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>&=/!-'\"ab \t\n;#x0123", max_size=120))
+def test_parser_never_raises_on_markup_soup(s):
+    v, raw, err = extract_html(_SPEC, s)
+    # extraction either succeeds or yields a structured error string
+    assert (v is None) != (err is None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_escaped_text_roundtrips_through_inner_text(s):
+    esc = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    doc = parse_document(f"<html><body><p id='t'>{esc}</p></body></html>")
+    p = [e for e in doc.root_element().iter_descendants() if e.tag == "p"]
+    # control chars like \r are normalized by real parsers; restrict the
+    # assertion to inputs without them
+    if "\r" not in s and "\x00" not in s:
+        assert p[0].inner_text() == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_characters="&", blacklist_categories=("Cs",)
+        ),
+        max_size=80,
+    ),
+    st.sampled_from(["amp", "lt", "gt", "quot", "copy", "notin", "x1F600"]),
+)
+def test_charref_decode_matches_stdlib(prefix, name):
+    ref = f"&#{name};" if name.startswith("x") else f"&{name};"
+    s = prefix + ref + prefix
+    assert decode_char_refs(s) == stdlib_html.unescape(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 2**32), st.integers(1, 8), st.integers(0, 3))
+def test_span_split_reassembly_roundtrip(seed, max_spans, n_media):
+    rng = random.Random(seed)
+    html = "<html><body><p>" + "x" * rng.randint(0, 50) + "</p></body></html>"
+    spans = split_into_spans(html, rng, max_text_spans=max_spans, n_media=n_media)
+    got_html, media, first = reassemble(spans)
+    assert got_html == html
+    assert len(media) == n_media
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 10**6))
+def test_extract_one_deterministic(seed):
+    rng = random.Random(seed)
+    html = f"<html><body><a>l{seed}</a></body></html>"
+    spans = split_into_spans(html, rng, n_media=seed % 3)
+    a = extract_one(_SPEC, spans)
+    b = extract_one(_SPEC, spans)
+    assert a == b
+    assert a[4] is None  # body+a always present
