@@ -40,6 +40,9 @@ _TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f />]*")
 _WS_RE = re.compile(r"[\t\n\f\r ]*")
 _ATTR_NAME_RE = re.compile(r"[^\t\n\f\r />=]+|=")
 _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\f\r >]*")
+# fast path: attribute-less start tag, e.g. "<div>" / "<h2>" — the
+# overwhelmingly common shape; one regex, no attr scan loop
+_SIMPLE_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
 
 
 def tokenize(html: str):
@@ -116,10 +119,15 @@ def tokenize(html: str):
             yield ("comment", s[pos + 1:gt])
             pos = gt + 1
         elif nxt.isascii() and nxt.isalpha():
-            tok, pos = _scan_start_tag(s, pos)
-            if tok is None:
-                # eof-in-tag
-                return
+            m = _SIMPLE_TAG_RE.match(s, pos)
+            if m is not None:
+                tok = ("start", m.group(1).lower(), {}, False)
+                pos = m.end()
+            else:
+                tok, pos = _scan_start_tag(s, pos)
+                if tok is None:
+                    # eof-in-tag
+                    return
             yield tok
             name = tok[1]
             if name in RAWTEXT_ELEMENTS:

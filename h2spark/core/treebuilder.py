@@ -59,6 +59,17 @@ _LI_SCOPE_STOP = frozenset({"ul", "ol", "dl", "body", "html", "table", "td", "th
 
 _WS = "\t\n\f\r "
 
+# start tags with in-body special handling (auto-close / merge / ignore);
+# everything else takes the plain-insert fast path
+_SPECIAL_START = (
+    _P_CLOSERS
+    | _HEADINGS
+    | {
+        "html", "body", "head", "li", "dd", "dt", "option", "optgroup",
+        "td", "th", "tr", "a",
+    }
+)
+
 
 class _Builder:
     __slots__ = ("doc", "stack", "mode", "_saw_doctype")
@@ -132,7 +143,7 @@ class _Builder:
     # --- token dispatch -------------------------------------------------
 
     def feed(self, tok: tuple) -> None:
-        # fast path: the overwhelmingly common case mid-document
+        # fast paths: the overwhelmingly common cases mid-document
         if self.mode == "in_body":
             kind = tok[0]
             if kind == "text":
@@ -144,6 +155,13 @@ class _Builder:
                     else:
                         cur.append_child(Text(tok[1]))
                     return
+            elif (
+                kind == "start"
+                and tok[1] not in _SPECIAL_START
+                and self.stack[-1].tag not in _TEXT_CONTENT
+            ):
+                self._insert_element(tok[1], tok[2])
+                return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
         if self.stack and self.stack[-1].tag in _TEXT_CONTENT:
@@ -309,6 +327,10 @@ class _Builder:
             return True
         if kind == "start":
             name, attrs = tok[1], tok[2]
+            if name not in _SPECIAL_START:
+                # fast path: ordinary element, no auto-close rules apply
+                self._insert_element(name, attrs)
+                return True
             if name == "html":
                 self._merge_attrs(self.stack[0], attrs)
                 return True
