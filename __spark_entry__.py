@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _all_modules():
     from h2spark.ops import (
+        boilerplate,
         dedup,
         flagship,
         multimodal,
@@ -48,7 +49,10 @@ def _all_modules():
         textstats,
     )
 
-    return (flagship, roundtrip, relational, textstats, dedup, similarity, multimodal)
+    return (
+        flagship, roundtrip, boilerplate, relational, textstats,
+        dedup, similarity, multimodal,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

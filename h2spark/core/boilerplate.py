@@ -1,0 +1,112 @@
+"""Main-content extraction: DOM-heuristic boilerplate stripping.
+
+The north_rule extends the reference's declarative extraction with a
+generic "HTML boilerplate strip" for pages with no known spec: find the
+subtree carrying the article text, drop chrome (nav, header, footer,
+sidebars, link farms).
+
+Classic text-density heuristic (in the Readability/Boilerpipe family,
+reimplemented from first principles on our DOM):
+
+    score(block) = own_text_len * (1 - link_density)^2
+                   + paragraph_bonus * n_paragraph_children
+    link_density = text under <a> descendants / total text
+
+evaluated over candidate container blocks; semantic containers
+(<article>, <main>, [role=main]) get a multiplier. Chrome containers
+(<nav>, <header>, <footer>, <aside>, <script>, <style>) are excluded
+outright. The best-scoring block's whitespace-normalized text is the
+main content.
+
+Worker-side module: imports nothing heavy (runs inside the UDF kernel).
+"""
+
+from __future__ import annotations
+
+import re
+
+from h2spark.core.dom import Document, Element, Text
+
+_CHROME_TAGS = frozenset(
+    {"nav", "header", "footer", "aside", "script", "style", "noscript",
+     "form", "button", "iframe", "svg", "template"}
+)
+# body/html are NOT candidates: they contain the chrome by definition;
+# when no candidate scores, the whole document is the fallback
+_CANDIDATE_TAGS = frozenset({"article", "main", "section", "div", "td"})
+_SEMANTIC_BONUS = {"article": 2.0, "main": 2.0}
+_PARAGRAPH_TAGS = frozenset({"p", "pre", "blockquote", "h1", "h2", "h3"})
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _collect_stats(el: Element, in_link: bool, stats: dict) -> tuple[int, int]:
+    """DFS: returns (text_len, link_text_len) of el's subtree, excluding
+    chrome subtrees; memoizes per element in ``stats``."""
+    text_len = 0
+    link_len = 0
+    for ch in el.children:
+        t = type(ch)
+        if t is Text:
+            n = len(ch.data.strip())
+            text_len += n
+            if in_link:
+                link_len += n
+        elif t is Element:
+            if ch.tag in _CHROME_TAGS:
+                # chrome contributes nothing to content scores
+                _collect_stats(ch, in_link, stats)
+                stats[id(ch)] = (0, 0, True)
+                continue
+            tl, ll = _collect_stats(ch, in_link or ch.tag == "a", stats)
+            stats[id(ch)] = (tl, ll, False)
+            text_len += tl
+            link_len += ll
+    return text_len, link_len
+
+
+def _content_text(el: Element, parts: list) -> None:
+    """Text of the subtree with chrome subtrees removed."""
+    for ch in el.children:
+        t = type(ch)
+        if t is Text:
+            parts.append(ch.data)
+        elif t is Element and ch.tag not in _CHROME_TAGS:
+            _content_text(ch, parts)
+
+
+def extract_main_text(doc: Document | Element) -> str:
+    """Return the page's main-content text, whitespace-normalized.
+
+    Empty string when the page has no scoring content at all.
+    """
+    root = doc.root_element() if isinstance(doc, Document) else doc
+    stats: dict = {}
+    _collect_stats(root, False, stats)
+    stats[id(root)] = stats.get(id(root), (0, 0, False))
+
+    best = None
+    best_score = 0.0
+    for el in root.iter_descendants():
+        if el.tag not in _CANDIDATE_TAGS:
+            continue
+        tl, ll, chrome = stats.get(id(el), (0, 0, False))
+        if chrome or tl == 0:
+            continue
+        link_density = ll / tl if tl else 1.0
+        n_paras = sum(
+            1
+            for c in el.children
+            if type(c) is Element and c.tag in _PARAGRAPH_TAGS
+        )
+        score = tl * (1.0 - link_density) ** 2 + 40.0 * n_paras
+        score *= _SEMANTIC_BONUS.get(el.tag, 1.0)
+        if score > best_score:
+            best_score = score
+            best = el
+    if best is None:
+        # fall back to the whole-document content text
+        best = root
+    parts: list = []
+    _content_text(best, parts)
+    return _WS_RE.sub(" ", "".join(parts)).strip()

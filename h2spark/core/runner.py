@@ -202,3 +202,29 @@ def to_arrow_value(cs: CompiledStruct, value: dict) -> dict:
         else:
             out[cf.name] = v
     return out
+
+
+def main_text_batch(cs_unused, items, from_html: bool):
+    """Row loop for boilerplate-strip: spans/html -> main-content text.
+
+    Returns (texts, errors); parse failures degrade to "" not errors —
+    boilerplate stripping has no spec to violate.
+    """
+    from h2spark.core.boilerplate import extract_main_text
+
+    texts: list = []
+    errors: list = []
+    for item in items:
+        if item is None:
+            texts.append(None)
+            errors.append("document error: null input")
+            continue
+        spans = html_as_spans(item) if from_html else item
+        html, _media, _first = reassemble(spans)
+        try:
+            texts.append(extract_main_text(parse_document(html)))
+            errors.append(None)
+        except ValueError as e:
+            texts.append(None)
+            errors.append(f"document error: {e}")
+    return texts, errors

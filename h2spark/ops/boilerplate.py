@@ -1,0 +1,105 @@
+"""Boilerplate-strip queries: the DOM-heuristic main-content extractor
+run as a table operator, with a DuckDB-provable oracle.
+
+Oracle construction (same pattern as ops/roundtrip.py): wrap each
+document's text into a page whose chrome (link-only nav, link-heavy
+footer) must lose to the <article> under the text-density heuristic.
+The extractor's whitespace-normalized output must equal the normalized
+source text — any scoring, chrome-exclusion, or traversal bug breaks
+the match on 60k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.pipeline.kernel import make_main_text_udf
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _esc(col):
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<html><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a> '
+            '<a href="/c">Contact</a></nav>'
+            '<div class="sidebar"><a href="/x">x</a> <a href="/y">y</a> '
+            '<a href="/z">z</a> promo promo</div>'
+            "<article><p>"
+        ),
+        _esc(F.col("text")),
+        F.lit(
+            "</p></article>"
+            '<footer><a href="/t">Terms</a> <a href="/p">Privacy</a> '
+            "(c) example</footer>"
+            "</body></html>"
+        ),
+    )
+    udf = make_main_text_udf(input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.main_text").alias("main_text"),
+    ).orderBy("doc_id")
+
+
+ORACLE_BOILERPLATE = """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_boilerplate_chrome_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate view: how much of each page the stripper kept —
+    the monitoring metric a production boilerplate stage reports."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a></nav><article><p>'),
+        _esc(F.col("text")),
+        F.lit('</p></article><footer><a href="/t">T</a></footer></body></html>'),
+    )
+    udf = make_main_text_udf(input_kind="html")
+    out = d.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(udf(html)["main_text"]).alias("kept_len"),
+    )
+    bucket = F.floor(F.log2(F.col("raw_len") + F.lit(2))).cast("int")
+    return (
+        out.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("raw_len").cast("long").alias("raw_chars"),
+            F.sum("kept_len").cast("long").alias("kept_chars"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+ORACLE_CHROME_RATIO = """
+SELECT floor(log2(length(text) + 2))::INT AS size_bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS raw_chars,
+       sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))))::BIGINT AS kept_chars
+FROM documents GROUP BY 1 ORDER BY size_bucket
+"""
+
+
+QUERIES = {
+    "boilerplate_strip": q_boilerplate_strip,
+    "boilerplate_chrome_ratio": q_boilerplate_chrome_ratio,
+}
+ORACLES = {
+    "boilerplate_strip": ORACLE_BOILERPLATE,
+    "boilerplate_chrome_ratio": ORACLE_CHROME_RATIO,
+}

@@ -108,3 +108,83 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"multimodal_decode_meta": q_multimodal_meta}
 ORACLES: dict[str, str] = {}  # rows-only: no SQL-expressible oracle
+
+
+# --- PDF / layout parse plumbing (north_rule: "PDF/layout parse") -------
+
+LAYOUT_SCHEMA = (
+    "doc_ref string, n_pages int, blocks array<struct<"
+    "page:int, kind:string, x0:float, y0:float, x1:float, y1:float, "
+    "text:string>>, error string"
+)
+
+
+def parse_pdf_real(pdf_bytes: bytes) -> list:
+    """Real PDF layout parse — NOT IMPLEMENTED in this container.
+
+    Plug in pdfminer/pymupdf here; the mapInPandas plumbing below
+    (batching, nested block schema, error-as-data) is what ships.
+    """
+    raise NotImplementedError(
+        "PDF codecs are not available in this environment; "
+        "use the deterministic layout fake instead"
+    )
+
+
+def _fake_layout(ref: str, data: bytes) -> dict:
+    """Deterministic stand-in for a layout parser: page count and block
+    boxes derived from the bytes, so plumbing tests have stable goldens."""
+    h = hashlib.sha256(data).digest()
+    n_pages = h[0] % 4 + 1
+    blocks = []
+    for p in range(n_pages):
+        for b in range(h[1] % 3 + 1):
+            base = float((h[2 + p] + b * 37) % 500)
+            blocks.append(
+                {
+                    "page": p,
+                    "kind": "text" if b % 2 == 0 else "figure",
+                    "x0": base, "y0": base / 2,
+                    "x1": base + 100.0, "y1": base / 2 + 40.0,
+                    "text": f"block-{ref}-{p}-{b}" if b % 2 == 0 else "",
+                }
+            )
+    return {"doc_ref": ref, "n_pages": n_pages, "blocks": blocks, "error": None}
+
+
+def parse_pdf_layout(df: DataFrame) -> DataFrame:
+    """mapInPandas layout-parse stage over (media_ref, media_bytes)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r, b in zip(pdf["media_ref"], pdf["media_bytes"]):
+                try:
+                    rows.append(_fake_layout(r, bytes(b)))
+                except Exception as e:  # errors are data
+                    rows.append(
+                        {"doc_ref": r, "n_pages": 0, "blocks": None,
+                         "error": f"layout error: {e}"}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(parse, LAYOUT_SCHEMA)
+
+
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query (rows-only): layout-parse plumbing over the
+    synthetic binary table."""
+    lay = parse_pdf_layout(synth_media_df(spark, n=48))
+    return (
+        lay.select(
+            "doc_ref",
+            "n_pages",
+            F.size("blocks").alias("n_blocks"),
+            F.size(F.filter("blocks", lambda b: b["kind"] == F.lit("text")))
+            .alias("n_text_blocks"),
+        )
+        .orderBy("doc_ref")
+    )
+
+
+QUERIES["pdf_layout_parse"] = q_pdf_layout

@@ -89,3 +89,18 @@ def make_extract_typed_udf(spec: StructSpec | CompiledStruct, input_kind: str = 
         return pd.DataFrame({"value": values, "error": errors})
 
     return extract_typed
+
+
+def make_main_text_udf(input_kind: str = "spans"):
+    """UDF: spans (or html) -> struct<main_text, error> — the generic
+    DOM-heuristic boilerplate stripper (no spec required)."""
+    from h2spark.core.runner import main_text_batch
+
+    from_html = input_kind == "html"
+
+    @pandas_udf("struct<main_text:string, error:string>")
+    def main_text(col: pd.Series) -> pd.DataFrame:
+        texts, errors = main_text_batch(None, col, from_html)
+        return pd.DataFrame({"main_text": texts, "error": errors})
+
+    return main_text

@@ -1,0 +1,58 @@
+"""Unit tests for boilerplate strip + layout plumbing."""
+
+from h2spark.core.boilerplate import extract_main_text
+from h2spark.core.treebuilder import parse_document
+
+
+def test_boilerplate_picks_article_over_chrome():
+    html = """
+    <html><body>
+      <nav><a href="/">Home</a> <a href="/about">About</a></nav>
+      <div class="ad"><a href="/buy">BUY NOW</a> <a href="/x">deal</a></div>
+      <article>
+        <p>The actual long-form content of the page lives here and it
+        carries far more plain text than any navigation block.</p>
+      </article>
+      <footer><a href="/terms">Terms</a> (c) corp</footer>
+    </body></html>"""
+    out = extract_main_text(parse_document(html))
+    assert out.startswith("The actual long-form content")
+    assert "Home" not in out and "BUY NOW" not in out and "Terms" not in out
+
+
+def test_boilerplate_semantic_bonus_breaks_ties():
+    html = (
+        "<html><body>"
+        "<div>plain container with words words words words</div>"
+        "<article>article with words words words words</article>"
+        "</body></html>"
+    )
+    out = extract_main_text(parse_document(html))
+    assert out.startswith("article with")
+
+
+def test_boilerplate_empty_page():
+    assert extract_main_text(parse_document("<html><body></body></html>")) == ""
+
+
+def test_boilerplate_link_density_kills_link_farms():
+    html = (
+        "<html><body>"
+        '<div><a href="1">aaaa aaaa</a> <a href="2">bbbb bbbb</a> '
+        '<a href="3">cccc cccc</a></div>'
+        "<div>short real sentence</div>"
+        "</body></html>"
+    )
+    assert extract_main_text(parse_document(html)) == "short real sentence"
+
+
+def test_pdf_layout_stub_raises_and_fake_is_deterministic():
+    import pytest
+
+    from h2spark.ops.multimodal import _fake_layout, parse_pdf_real
+
+    with pytest.raises(NotImplementedError):
+        parse_pdf_real(b"%PDF-1.4")
+    a = _fake_layout("media://pdf/1", b"bytes")
+    b = _fake_layout("media://pdf/1", b"bytes")
+    assert a == b and a["n_pages"] >= 1 and a["blocks"]
