@@ -1,0 +1,138 @@
+"""JSON (de)serialization of extraction specs.
+
+Lets a job carry its "query" as plain data — the distributed analogue of
+the reference's source-level struct declaration: a spec file reviewed in
+a repo, shipped with spark-submit, validated at job build time.
+
+Format:
+
+    {"struct": "Page", "fields": [
+        {"name": "lang",   "type": "String", "attr": "lang"},
+        {"name": "title",  "type": "String", "select": "h1"},
+        {"name": "tags",   "type": "String", "card": "vec", "select": "li"},
+        {"name": "triple", "type": "String", "card": "array", "n": 3,
+         "select": ".t"},
+        {"name": "inner",  "struct": {...nested spec...}, "select": "div",
+         "card": "option"},
+        {"name": "b",      "type": "String", "select": "body",
+         "extractor": {"nth_text": 1}}
+    ]}
+
+``type`` is a Parseable name (parseable.py). Extractors: default by
+type, or {"nth_text": n}. Custom parsers/extractors are code, not data —
+they register by name via ``register_custom`` and are referenced as
+{"custom": "<name>"} / "type": "custom:<name>".
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from h2spark.core.spec import (
+    ARRAY,
+    ONE,
+    OPTION,
+    VEC,
+    CustomExtractor,
+    CustomScalar,
+    Field,
+    NthText,
+    Scalar,
+    StructSpec,
+)
+
+_CUSTOM_PARSERS: dict[str, CustomScalar] = {}
+_CUSTOM_EXTRACTORS: dict[str, CustomExtractor] = {}
+
+
+def register_custom(
+    name: str,
+    *,
+    parser: Callable[[str], Any] | None = None,
+    spark_type: str = "string",
+    extractor: Callable[[Any], str] | None = None,
+) -> None:
+    """Register a custom parser and/or extractor under ``name`` so JSON
+    specs can reference them."""
+    if parser is not None:
+        _CUSTOM_PARSERS[name] = CustomScalar(name, parser, spark_type)
+    if extractor is not None:
+        _CUSTOM_EXTRACTORS[name] = CustomExtractor(name, extractor)
+
+
+def _field_from_dict(d: dict) -> Field:
+    card = d.get("card", "one")
+    if card not in (ONE, OPTION, VEC, ARRAY):
+        raise ValueError(f"field {d.get('name')!r}: bad card {card!r}")
+    if "struct" in d:
+        inner: Any = spec_from_dict(d["struct"])
+    else:
+        t = d["type"]
+        if t.startswith("custom:"):
+            name = t.split(":", 1)[1]
+            if name not in _CUSTOM_PARSERS:
+                raise ValueError(f"unregistered custom parser {name!r}")
+            inner = _CUSTOM_PARSERS[name]
+        else:
+            inner = Scalar(t)
+    extractor = None
+    ex = d.get("extractor")
+    if ex is not None:
+        if isinstance(ex, dict) and "nth_text" in ex:
+            extractor = NthText(int(ex["nth_text"]))
+        elif isinstance(ex, dict) and "custom" in ex:
+            name = ex["custom"]
+            if name not in _CUSTOM_EXTRACTORS:
+                raise ValueError(f"unregistered custom extractor {name!r}")
+            extractor = _CUSTOM_EXTRACTORS[name]
+        else:
+            raise ValueError(f"field {d.get('name')!r}: bad extractor {ex!r}")
+    return Field(
+        name=d["name"],
+        inner=inner,
+        card=card,
+        n=d.get("n"),
+        select=d.get("select"),
+        attr=d.get("attr"),
+        extractor=extractor,
+    )
+
+
+def spec_from_dict(d: dict) -> StructSpec:
+    return StructSpec(d["struct"], [_field_from_dict(f) for f in d["fields"]])
+
+
+def spec_from_json(s: str) -> StructSpec:
+    return spec_from_dict(json.loads(s))
+
+
+def _field_to_dict(f: Field) -> dict:
+    out: dict[str, Any] = {"name": f.name}
+    if isinstance(f.inner, StructSpec):
+        out["struct"] = spec_to_dict(f.inner)
+    elif isinstance(f.inner, CustomScalar):
+        out["type"] = f"custom:{f.inner.name}"
+    else:
+        out["type"] = f.inner.type_name
+    if f.card != ONE:
+        out["card"] = f.card
+    if f.n is not None:
+        out["n"] = f.n
+    if f.select is not None:
+        out["select"] = f.select
+    if f.attr is not None:
+        out["attr"] = f.attr
+    if isinstance(f.extractor, NthText):
+        out["extractor"] = {"nth_text": f.extractor.n}
+    elif isinstance(f.extractor, CustomExtractor):
+        out["extractor"] = {"custom": f.extractor.name}
+    return out
+
+
+def spec_to_dict(spec: StructSpec) -> dict:
+    return {"struct": spec.name, "fields": [_field_to_dict(f) for f in spec.fields]}
+
+
+def spec_to_json(spec: StructSpec, **kwargs) -> str:
+    return json.dumps(spec_to_dict(spec), **kwargs)

@@ -66,7 +66,7 @@ _SPECIAL_START = (
     | _HEADINGS
     | {
         "html", "body", "head", "li", "dd", "dt", "option", "optgroup",
-        "td", "th", "tr", "a",
+        "td", "th", "tr", "tbody", "thead", "tfoot", "a",
     }
 )
 
@@ -360,9 +360,23 @@ class _Builder:
                     self.stack.pop()
             elif name in ("td", "th"):
                 self._close_li_like(("td", "th"))
+                if self._current().tag not in ("tr", "td", "th"):
+                    # implied <tr> (and <tbody> above it) around stray cells
+                    if self._current().tag == "table":
+                        self._insert_element("tbody", {})
+                    if self._current().tag in ("tbody", "thead", "tfoot"):
+                        self._insert_element("tr", {})
             elif name == "tr":
                 self._close_li_like(("tr", "td", "th"))
                 if self._current().tag == "tr":
+                    self.stack.pop()
+                if self._current().tag == "table":
+                    # browsers imply <tbody>: devtools selectors say
+                    # "table > tbody > tr", so must we
+                    self._insert_element("tbody", {})
+            elif name in ("tbody", "thead", "tfoot"):
+                self._close_li_like(("tbody", "thead", "tfoot", "tr", "td", "th"))
+                if self._current().tag in ("tbody", "thead", "tfoot"):
                     self.stack.pop()
             elif name == "a":
                 # adoption-agency approximation: close an open <a>

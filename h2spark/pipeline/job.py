@@ -152,13 +152,21 @@ def _main(argv: list[str] | None = None) -> None:
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--spec-module", default="h2spark.golden")
     p.add_argument("--spec", default="PAGE_SPEC")
+    p.add_argument("--spec-json", default=None,
+                   help="path to a JSON spec file (overrides --spec-module)")
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--wave-buckets", type=int, default=8)
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
-    spec = getattr(importlib.import_module(args.spec_module), args.spec)
+    if args.spec_json:
+        from h2spark.core.specjson import spec_from_json
+
+        with open(args.spec_json) as f:
+            spec = spec_from_json(f.read())
+    else:
+        spec = getattr(importlib.import_module(args.spec_module), args.spec)
     spark = get_spark("h2spark-job", master=args.master)
     docs = spark.read.parquet(args.input)
     summary = run_extraction_job(

@@ -189,3 +189,26 @@ def test_attribute_operators():
     assert sel('a[rel~="follow"]') == 1
     assert sel('a[lang|="en"]') == 1
     assert sel("a[href]") == 2
+
+
+def test_table_implied_tbody():
+    # browsers imply <tbody>; devtools-copied selectors depend on it
+    doc = parse_document(
+        "<table><tr><td>a</td><td>b</td><tr><td>c</td></table>"
+    )
+    root = doc.root_element()
+    rows = CssSelector.parse("table > tbody > tr").select(root)
+    assert [r.inner_text() for r in rows] == ["ab", "c"]
+    cells = CssSelector.parse("tr > td").select(root)
+    assert [c.inner_text() for c in cells] == ["a", "b", "c"]
+
+
+def test_table_explicit_sections_respected():
+    doc = parse_document(
+        "<table><thead><tr><th>h</th></thead>"
+        "<tbody><tr><td>x</td></tbody></table>"
+    )
+    root = doc.root_element()
+    assert len(CssSelector.parse("thead > tr > th").select(root)) == 1
+    assert len(CssSelector.parse("tbody > tr > td").select(root)) == 1
+    assert len(CssSelector.parse("tbody").select(root)) == 1

@@ -56,3 +56,47 @@ def test_pdf_layout_stub_raises_and_fake_is_deterministic():
     a = _fake_layout("media://pdf/1", b"bytes")
     b = _fake_layout("media://pdf/1", b"bytes")
     assert a == b and a["n_pages"] >= 1 and a["blocks"]
+
+
+def test_spec_json_roundtrip_page_spec():
+    from h2spark.core.extract import compile_spec, extract_html
+    from h2spark.core.specjson import spec_from_json, spec_to_json
+    from h2spark.golden import PAGE_SPEC, README_HTML, README_EXPECTED
+
+    j = spec_to_json(PAGE_SPEC, indent=1)
+    spec2 = spec_from_json(j)
+    assert spec2 == PAGE_SPEC  # frozen dataclasses: structural equality
+    v, _, err = extract_html(compile_spec(spec2), README_HTML)
+    assert err is None and v == README_EXPECTED
+
+
+def test_spec_json_custom_registration():
+    from h2spark.core.errors import ValueParseError
+    from h2spark.core.extract import compile_spec, extract_html
+    from h2spark.core.specjson import register_custom, spec_from_dict
+
+    def secs(s):
+        if not s.isdigit():
+            raise ValueParseError("invalid digit found in string")
+        return int(s)
+
+    register_custom("Seconds", parser=secs, spark_type="long")
+    spec = spec_from_dict(
+        {"struct": "S", "fields": [
+            {"name": "d", "type": "custom:Seconds", "select": "div"}]}
+    )
+    v, _, err = extract_html(compile_spec(spec), "<div>123</div>")
+    assert err is None and v == {"d": 123}
+
+
+def test_spec_json_rejects_unknowns():
+    import pytest
+
+    from h2spark.core.specjson import spec_from_dict
+
+    with pytest.raises(ValueError):
+        spec_from_dict({"struct": "S", "fields": [
+            {"name": "x", "type": "custom:nope"}]})
+    with pytest.raises(ValueError):
+        spec_from_dict({"struct": "S", "fields": [
+            {"name": "x", "type": "String", "card": "many"}]})
