@@ -164,32 +164,33 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     sh = _with_shingles(d).distinct()
-    seeds = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
+    # all N signature positions in ONE aggregation: no seed explosion,
+    # a single shuffle on doc_id (16x less shuffle traffic than the
+    # naive (doc, seed) cross-join formulation)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(
+                f"m{s}"
+            )
+            for s in range(_N_HASHES)
+        ]
     )
-    bands = (
-        sig.withColumn("band", (F.col("seed") / _BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    n_bands = _N_HASHES // _BAND_ROWS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s["minh"],
-                    ),
+                    *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -207,7 +208,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    # estimated Jaccard = fraction of agreeing signature positions
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"m{s}").alias(f"a{s}") for s in range(_N_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"m{s}").alias(f"b{s}") for s in range(_N_HASHES)])
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_N_HASHES)
+    )
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_bands",
+            F.round(matches / F.lit(float(_N_HASHES)), 6).alias("est_jaccard"),
+        )
+    )
+    return scored.orderBy("doc_a", "doc_b")
 
 
 ORACLE_DEDUP_MINHASH = f"""
@@ -221,11 +239,23 @@ bands AS (
   SELECT doc_id, (seed // {_BAND_ROWS}) AS band,
          md5(string_agg(minh, '|' ORDER BY seed)) AS band_key
   FROM sig GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.doc_a, p.doc_b, p.n_bands,
+         round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
+               / {float(_N_HASHES)}, 6) AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2, 3
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT doc_a, doc_b, n_bands, est_jaccard FROM est
 ORDER BY doc_a, doc_b
 """
 
