@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
-    n_docs = int(os.environ.get("H2SPARK_BENCH_DOCS", "12000"))
+    n_docs = int(os.environ.get("H2SPARK_BENCH_DOCS", "24000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from pyspark.sql import functions as F

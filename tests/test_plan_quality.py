@@ -1,0 +1,78 @@
+"""Physical-plan quality gates (SURVEY.md §4.2).
+
+The 100 TB story depends on plan shape, not just results: column
+pruning and predicate pushdown must reach the parquet scan, small
+sides must broadcast, and the extraction stage must not silently
+collapse its parallelism. These tests pin that.
+"""
+
+from pyspark.sql import functions as F
+
+from h2spark.ops import relational, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df, spark):
+    jvm = spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _formatted(textstats.q_fingerprint(spark, SF), spark)
+    # fingerprint touches only doc_id + text; the scan must not read
+    # lang/source/n_chars
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    plan = _formatted(df, spark)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_ann_broadcasts_the_query_side(spark):
+    plan = _formatted(similarity.q_ann_bruteforce(spark, SF), spark)
+    assert "Broadcast" in plan  # broadcast join, never a shuffle of corpus
+
+
+def test_resume_anti_join_is_broadcast(spark):
+    plan = _formatted(relational.q_resume_anti_join(spark, SF), spark)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_salted_repartition_keeps_requested_parallelism(spark):
+    from h2spark.fixtures import corpus_df
+    from h2spark.pipeline.salting import salted_repartition
+
+    docs = corpus_df(spark, 400, n_partitions=4)
+    sal = salted_repartition(docs, 16)
+    dist = (
+        sal.select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    counts = {r["p"]: r["count"] for r in dist}
+    # every requested partition is populated (AQE must not coalesce a
+    # user-specified repartition under the CPU-heavy UDF stage)
+    assert len(counts) == 16
+    # and the load is balanced: no partition more than 2x the mean
+    mean = sum(counts.values()) / len(counts)
+    assert max(counts.values()) <= 2 * mean
+
+
+def test_textstats_stay_jvm_side(spark):
+    # no Python evaluation nodes in the pure-expression operators
+    for q in (textstats.q_token_count, textstats.q_quality_score,
+              textstats.q_lang_id, textstats.q_fingerprint):
+        plan = _formatted(q(spark, SF), spark)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
