@@ -8,7 +8,8 @@ resumability is built from two primitives that survive any crash:
    of doc_id, so membership is stable across runs and cluster sizes.
 2. **Manifest files**: after a bucket's output data is fully written,
    a JSON manifest ``manifests/bucket-NNNNN.json`` is committed via
-   write-to-temp + atomic rename. A manifest existing == that bucket's
+   write-to-temp + atomic rename (POSIX/HDFS; on S3-style object
+   stores substitute a conditional PUT — rename is not atomic there). A manifest existing == that bucket's
    output is complete and trustworthy. Manifests carry lineage (input
    path, spec name, job id) and metrics (docs, spans, errors).
 
