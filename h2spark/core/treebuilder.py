@@ -135,6 +135,21 @@ class _Builder:
             if t in _LI_SCOPE_STOP:
                 return
 
+    def _foreign_self_closes(self, tok: tuple) -> bool:
+        """HTML ignores the '/>' flag on non-void elements, EXCEPT in
+        foreign content (svg/math), where <path/> really is empty."""
+        if not tok[3]:
+            return False
+        if tok[1] in ("svg", "math"):
+            return True
+        for e in reversed(self.stack):
+            t = e.tag
+            if t in ("svg", "math"):
+                return True
+            if t in ("body", "html"):
+                return False
+        return False
+
     def _merge_attrs(self, el: Element, attrs: dict) -> None:
         for k, v in attrs.items():
             if k not in el.attrs:
@@ -160,7 +175,9 @@ class _Builder:
                 and tok[1] not in _SPECIAL_START
                 and self.stack[-1].tag not in _TEXT_CONTENT
             ):
-                self._insert_element(tok[1], tok[2])
+                self._insert_element(
+                    tok[1], tok[2], push=not self._foreign_self_closes(tok)
+                )
                 return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
@@ -329,7 +346,9 @@ class _Builder:
             name, attrs = tok[1], tok[2]
             if name not in _SPECIAL_START:
                 # fast path: ordinary element, no auto-close rules apply
-                self._insert_element(name, attrs)
+                self._insert_element(
+                    name, attrs, push=not self._foreign_self_closes(tok)
+                )
                 return True
             if name == "html":
                 self._merge_attrs(self.stack[0], attrs)

@@ -212,3 +212,25 @@ def test_table_explicit_sections_respected():
     assert len(CssSelector.parse("thead > tr > th").select(root)) == 1
     assert len(CssSelector.parse("tbody > tr > td").select(root)) == 1
     assert len(CssSelector.parse("tbody").select(root)) == 1
+
+
+def test_svg_foreign_content_self_closing():
+    # '/>' is real in foreign content: <path/> has no children there
+    doc = parse_document(
+        '<body><svg viewBox="0 0 1 1"><path d="M0 0"/><circle r="1"/>'
+        "</svg><p>after</p></body>"
+    )
+    root = doc.root_element()
+    svg = CssSelector.parse("svg").select(root)[0]
+    kids = [c.tag for c in svg.child_nodes() if type(c) is Element]
+    assert kids == ["path", "circle"]
+    # <p> is OUTSIDE the svg (self-closing honored, svg closed properly)
+    assert CssSelector.parse("svg p").select(root) == []
+    assert len(CssSelector.parse("body > p").select(root)) == 1
+
+
+def test_html_self_closing_still_ignored():
+    # outside foreign content, '<div/>' stays open per HTML5
+    doc = parse_document("<body><div class='a'/><span>in</span></body>")
+    root = doc.root_element()
+    assert len(CssSelector.parse("div.a span").select(root)) == 1
