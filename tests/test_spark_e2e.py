@@ -140,3 +140,53 @@ def test_extraction_errors_are_data_not_failures(spark):
         "lang: : failed to extract value of attribute=lang: "
         "an attribute `lang` not found in the target element"
     )
+
+
+def test_arrow_kernel_matches_pandas_kernel_on_goldens(spark):
+    """The job/bench path (mapInArrow) and the expression path (pandas
+    UDF) must be bit-identical — including error rows and media order."""
+    from h2spark.pipeline.kernel import extract_spans_arrow
+
+    for case in GOLDEN_CASES:
+        rows = [r for r in golden_rows() if r["doc_id"] == case.case_id]
+        df = _spans_df(spark, rows)
+        a = extract_spans_arrow(df, case.spec).select(
+            "doc_id", "spans_out", "error"
+        ).collect()
+        udf = make_extract_spans_udf(case.spec)
+        b = df.select(
+            "doc_id", udf("spans").alias("o")
+        ).select(
+            "doc_id",
+            F.col("o.spans_out").alias("spans_out"),
+            F.col("o.error").alias("error"),
+        ).collect()
+        assert a == b, case.case_id
+
+
+def test_arrow_kernel_matches_pandas_on_random_corpus(spark):
+    rows = list(synth_corpus(120, seed=7))
+    # poison a few docs so the error path is compared too
+    for r in rows[::17]:
+        for s in r["spans"]:
+            if s["kind"] == "text":
+                s["text"] = s["text"].replace("blog-title", "not-title")
+    from h2spark.pipeline.kernel import extract_spans_arrow
+
+    df = _spans_df(spark, rows)
+    a = sorted(
+        map(tuple, extract_spans_arrow(df, PAGE_SPEC).select(
+            "doc_id", "spans_out", "error").collect())
+    )
+    udf = make_extract_spans_udf(PAGE_SPEC)
+    b = sorted(
+        map(tuple, df.select("doc_id", udf("spans").alias("o")).select(
+            "doc_id",
+            F.col("o.spans_out").alias("spans_out"),
+            F.col("o.error").alias("error"),
+        ).collect())
+    )
+    assert a == b
+    errs = [x[2] for x in a if x[2] is not None]
+    assert errs, "poisoned docs must produce error rows"
+    assert all("blog_title" in e for e in errs)
