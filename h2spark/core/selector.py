@@ -50,6 +50,7 @@ class AttrTest:
     name: str
     op: str | None  # None(presence) '=' '~=' '|=' '^=' '$=' '*='
     value: str | None
+    ci: bool = False  # [attr=value i] case-insensitivity flag
 
 
 @dataclass(frozen=True)
@@ -259,10 +260,15 @@ class _Parser:
             value = m.group(0)
             self.pos = m.end()
         self._ws()
+        ci = False
+        if self.pos < len(s) and s[self.pos] in "iIsS":
+            ci = s[self.pos] in "iI"
+            self.pos += 1
+            self._ws()
         if self.pos >= len(s) or s[self.pos] != "]":
             raise self.error("expected ']'")
         self.pos += 1
-        return AttrTest(name, op, value)
+        return AttrTest(name, op, value, ci)
 
     def _pseudo(self) -> PseudoTest:
         s = self.s
@@ -274,8 +280,8 @@ class _Parser:
             raise self.error("expected pseudo-class name")
         name = m.group(0).lower()
         self.pos = m.end()
-        if name in ("first-child", "last-child", "only-child", "root", "empty",
-                    "first-of-type", "last-of-type"):
+        if name in ("first-child", "last-child", "only-child", "only-of-type",
+                    "root", "empty", "first-of-type", "last-of-type"):
             return PseudoTest(name)
         if name in ("nth-child", "nth-last-child", "nth-of-type",
                     "nth-last-of-type"):
@@ -376,6 +382,9 @@ def _match_compound(cp: Compound, el: Element) -> bool:
         if at.op is None:
             continue
         val = at.value
+        if at.ci:
+            v = v.lower()
+            val = val.lower()
         if at.op == "=":
             if v != val:
                 return False
@@ -431,6 +440,8 @@ def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
     # of-type family
     same = [c for c in sibs if c.tag == el.tag]
     pos = same.index(el) + 1
+    if kind == "only-of-type":
+        return len(same) == 1
     if kind == "first-of-type":
         return pos == 1
     if kind == "last-of-type":

@@ -234,3 +234,17 @@ def test_html_self_closing_still_ignored():
     doc = parse_document("<body><div class='a'/><span>in</span></body>")
     root = doc.root_element()
     assert len(CssSelector.parse("div.a span").select(root)) == 1
+
+
+def test_attr_case_insensitive_flag_and_only_of_type():
+    doc = parse_document(
+        '<body><a href="HTTPS://X.TEST/A.PNG"></a>'
+        "<section><p>solo</p><span>s1</span><span>s2</span></section></body>"
+    )
+    root = doc.root_element()
+    sel = lambda s: len(CssSelector.parse(s).select(root))
+    assert sel('a[href^="https" i]') == 1
+    assert sel('a[href^="https"]') == 0  # default is case-sensitive
+    assert sel('a[href^="https" s]') == 0
+    assert sel("p:only-of-type") == 1
+    assert sel("span:only-of-type") == 0
