@@ -57,10 +57,22 @@ def html_as_spans(html: str):
     return [{"kind": "text", "text": html, "media_ref": "", "offset": 0}]
 
 
-def make_arrow_mapper(cs: CompiledStruct, keep: tuple[str, ...], spans_col: str):
+def make_arrow_mapper(
+    cs: CompiledStruct,
+    keep: tuple[str, ...],
+    spans_col: str,
+    max_slice_bytes: int = 32 << 20,
+):
     """Factory for the mapInArrow kernel: builds output ListArray/
     StructArray columns natively with pyarrow (one allocation per batch)
-    instead of per-row Python dicts through pandas."""
+    instead of per-row Python dicts through pandas.
+
+    Incoming batches are re-sliced to ~``max_slice_bytes`` of Arrow data
+    before materializing Python objects: ``maxRecordsPerBatch`` bounds
+    rows, not bytes, and a batch of whale documents would otherwise
+    spike worker memory (row count is a bad proxy for document cost —
+    the same reason the salting doesn't trust it).
+    """
 
     def mapper(batches):
         import pyarrow as pa
@@ -73,7 +85,20 @@ def make_arrow_mapper(cs: CompiledStruct, keep: tuple[str, ...], spans_col: str)
                 ("order", pa.int32()),
             ]
         )
-        for batch in batches:
+
+        def resliced(bs):
+            for b in bs:
+                if b.num_rows == 0:
+                    continue
+                n_slices = max(1, -(-b.nbytes // max_slice_bytes))
+                if n_slices == 1:
+                    yield b
+                    continue
+                step = -(-b.num_rows // n_slices)
+                for off in range(0, b.num_rows, step):
+                    yield b.slice(off, step)
+
+        for batch in resliced(batches):
             spans_lists = batch.column(spans_col).to_pylist()
             kinds: list = []
             texts: list = []

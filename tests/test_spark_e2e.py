@@ -190,3 +190,24 @@ def test_arrow_kernel_matches_pandas_on_random_corpus(spark):
     errs = [x[2] for x in a if x[2] is not None]
     assert errs, "poisoned docs must produce error rows"
     assert all("blog_title" in e for e in errs)
+
+
+def test_arrow_mapper_byte_bounded_slicing(spark):
+    # force tiny slices: every doc in its own slice; results unchanged
+    from h2spark.core.extract import compile_spec
+    from h2spark.core.runner import make_arrow_mapper
+
+    rows = list(synth_corpus(30))
+    df = _spans_df(spark, rows)
+    cs = compile_spec(PAGE_SPEC)
+    small = df.mapInArrow(
+        make_arrow_mapper(cs, ("doc_id",), "spans", max_slice_bytes=1),
+        "doc_id string, spans_out array<struct<kind:string,text:string,"
+        "media_ref:string,order:int>>, error string",
+    )
+    big = df.mapInArrow(
+        make_arrow_mapper(cs, ("doc_id",), "spans"),
+        "doc_id string, spans_out array<struct<kind:string,text:string,"
+        "media_ref:string,order:int>>, error string",
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
