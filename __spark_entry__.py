@@ -42,6 +42,7 @@ def _all_modules():
         boilerplate,
         dedup,
         flagship,
+        golden_e2e,
         multimodal,
         relational,
         roundtrip,
@@ -50,8 +51,8 @@ def _all_modules():
     )
 
     return (
-        flagship, roundtrip, boilerplate, relational, textstats,
-        dedup, similarity, multimodal,
+        flagship, golden_e2e, roundtrip, boilerplate, relational,
+        textstats, dedup, similarity, multimodal,
     )
 
 

@@ -307,3 +307,39 @@ GOLDEN_CASES: tuple[GoldenCase, ...] = (
     ),
     GoldenCase("nth_text", NTH_TEXT_HTML, NTH_TEXT_SPEC, NTH_TEXT_EXPECTED),
 )
+
+
+def expected_flat_spans(case: GoldenCase) -> list:
+    """Flatten a case's *expected* value (transcribed from the reference
+    tests, FIXTURES.md §3) into (kind, text) spans WITHOUT running any
+    extraction — a data walk over spec + expected, usable as an
+    independent oracle for the engine's output."""
+    from h2spark.core.spec import ARRAY, OPTION, VEC
+
+    out: list = []
+
+    def leaf_name(inner) -> str:
+        return inner.name if isinstance(inner, StructSpec) else inner.type_name
+
+    def walk(spec: StructSpec, value: dict, prefix: str) -> None:
+        for f in spec.fields:
+            v = value[f.name]
+            path = f"{prefix}{f.name}"
+            if f.card in (VEC, ARRAY):
+                for i, item in enumerate(v):
+                    _leaf(f, item, f"{path}[{i}]")
+            elif f.card == OPTION:
+                if v is not None:
+                    _leaf(f, v, path)
+            else:
+                _leaf(f, v, path)
+
+    def _leaf(f: Field, v, path: str) -> None:
+        if isinstance(f.inner, StructSpec):
+            walk(f.inner, v, path + ".")
+        else:
+            out.append((f"{path}:{f.inner.type_name}", str(v)))
+
+    assert case.expected is not None
+    walk(case.spec, case.expected, "")
+    return out

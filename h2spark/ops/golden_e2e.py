@@ -1,0 +1,82 @@
+"""The reference's own test corpus, run through Spark, checked by the
+driver's DuckDB gate.
+
+The oracle rows are generated from the *expected values transcribed
+from the Rust tests* (h2spark.golden; FIXTURES.md §3 cites each
+file:line), NOT from our extractor — a pure data walk over
+spec+expected produces the expected (kind, text) sequence, and the
+error case contributes its golden error string. So this query makes
+the north_rule's span-sequence parity an externally-checked row-level
+fact: if the engine's output drifts from the reference semantics on
+any golden document, the driver's CORRECTNESS gate fails.
+
+The cases use different specs; each runs through its own kernel and
+the results union (a handful of fixed documents — negligible cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.golden import GOLDEN_CASES, expected_flat_spans
+from h2spark.pipeline.kernel import extract_spans_arrow
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def q_golden_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for case in GOLDEN_CASES:
+        df = spark.createDataFrame(
+            [(case.case_id, [("text", case.html, "", 0)])],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        out = extract_spans_arrow(df, case.spec, keep=("doc_id",))
+        parts.append(
+            out.select(
+                "doc_id",
+                F.posexplode_outer("spans_out").alias("pos", "s"),
+                "error",
+            ).select(
+                "doc_id",
+                F.coalesce(F.col("s.order"), F.lit(-1)).cast("long").alias("ord"),
+                F.coalesce(F.col("s.kind"), F.lit("")).alias("kind"),
+                F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+                F.coalesce(F.col("error"), F.lit("")).alias("error"),
+            )
+        )
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionAll(p)
+    return result.orderBy("doc_id", "ord")
+
+
+def _oracle_golden() -> str:
+    values = []
+    for case in GOLDEN_CASES:
+        if case.error is not None:
+            values.append(
+                f"({_sql_str(case.case_id)}, -1::BIGINT, '', '', "
+                f"{_sql_str(case.error)})"
+            )
+            continue
+        for i, (kind, text) in enumerate(expected_flat_spans(case)):
+            values.append(
+                f"({_sql_str(case.case_id)}, {i}::BIGINT, "
+                f"{_sql_str(kind)}, {_sql_str(text)}, '')"
+            )
+    rows = ",\n  ".join(values)
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + rows
+        + "\n) AS t(doc_id, ord, kind, text, error)\nORDER BY doc_id, ord"
+    )
+
+
+ORACLE_GOLDEN = _oracle_golden()
+
+QUERIES = {"golden_corpus_parity": q_golden_corpus}
+ORACLES = {"golden_corpus_parity": ORACLE_GOLDEN}
