@@ -215,3 +215,43 @@ ORACLES = {
     "manifest_metrics": ORACLE_MANIFEST_METRICS,
     "events_stats": ORACLE_EVENTS_STATS,
 }
+
+
+# --- time-windowed aggregation (events) ----------------------------------
+
+
+def q_events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via F.window. Group key exported as
+    epoch seconds (timezone-independent: LTZ timestamps are epoch-based
+    internally, so the value matches DuckDB's UTC interpretation of the
+    stored parquet micros regardless of session timezone)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_epoch, event_type
+"""
+
+QUERIES["events_hourly_window"] = q_events_hourly_window
+ORACLES["events_hourly_window"] = ORACLE_EVENTS_HOURLY
