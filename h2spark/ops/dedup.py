@@ -407,3 +407,108 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
 }
+
+
+# --- duplicate clustering (connected components over candidate pairs) ---
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve MinHash candidate pairs into duplicate clusters:
+    connected components by iterative min-label propagation, cluster id
+    = smallest doc_id in the component (the canonical keeper).
+
+    The iteration is a driver-coordinated loop of distributed joins —
+    O(log(diameter)) rounds; each round is one shuffle. At 10^12 docs
+    the pair graph is tiny relative to the corpus (only near-dup
+    candidates), so the loop runs over a small edge table.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(20):  # log2 bound for any realistic component diameter
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("label").alias("nlabel"))
+            .select(F.col("doc_a").alias("doc_id"), "nlabel")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_clusters() -> str:
+    # transitive closure via recursive CTE; component id = min reachable
+    return f"""
+WITH RECURSIVE
+{_shingles_cte_duck().lstrip()},
+sig AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+  FROM shingles CROSS JOIN (SELECT unnest(range(0, {_N_HASHES})) AS seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // {_BAND_ROWS}) AS band,
+         md5(string_agg(minh, '|' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_a, doc_a FROM edges
+  UNION
+  SELECT e.doc_a, reach.r FROM edges e JOIN reach ON e.doc_b = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT c.doc_id, c.cluster_id,
+       (SELECT count(*) FROM comp c2 WHERE c2.cluster_id = c.cluster_id)::BIGINT
+           AS cluster_size
+FROM comp c
+ORDER BY doc_id
+"""
+
+
+ORACLE_DEDUP_CLUSTERS = _oracle_clusters()
+
+QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLES["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
