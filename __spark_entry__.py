@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all_modules():
     from h2spark.ops import (
         boilerplate,
+        curation,
         dedup,
         flagship,
         golden_e2e,
@@ -52,7 +53,7 @@ def _all_modules():
 
     return (
         flagship, golden_e2e, roundtrip, boilerplate, relational,
-        textstats, dedup, similarity, multimodal,
+        textstats, dedup, similarity, curation, multimodal,
     )
 
 

@@ -1,0 +1,82 @@
+"""Corpus curation: the canonical training-data filter pipeline, as one
+composed query — quality gate × language gate × near-dup canonicality.
+
+    keep(doc) = quality(doc) >= 0.5
+              AND lang_id(doc) == 'en'
+              AND doc is the canonical member of its near-dup cluster
+                  (smallest doc_id in its MinHash-LSH component; docs
+                  with no near-dup candidates are their own canonical)
+
+Composes the already-oracled building blocks (textstats.quality,
+textstats.lang_id, dedup.clusters); the DuckDB oracle recomposes the
+same CTEs, so the *composition* — the part a real pipeline gets wrong
+via subtle join/null semantics — is what this query checks at table
+scale. At 10^12 docs this is the shape of the job that decides what a
+model trains on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.ops import dedup, textstats
+
+_QUALITY_MIN = 0.5
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quality = textstats.q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    lang = textstats.q_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    clusters = dedup.q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = (
+        quality.join(lang, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn(
+            "is_canonical",
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")),
+        )
+    )
+    return (
+        d.withColumn(
+            "kept",
+            (F.col("quality") >= _QUALITY_MIN)
+            & (F.col("lang_pred") == "en")
+            & F.col("is_canonical"),
+        )
+        .select("doc_id", "quality", "lang_pred", "is_canonical", "kept")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle() -> str:
+    # recompose the component oracles as CTEs around the same predicate
+    lang_cte = textstats.ORACLE_LANG_ID.strip().rstrip()
+    # strip the trailing ORDER BY of the component oracle
+    lang_cte = lang_cte[: lang_cte.rindex("ORDER BY")].rstrip()
+    quality_cte = textstats.ORACLE_QUALITY.strip()
+    quality_cte = quality_cte[: quality_cte.rindex("ORDER BY")].rstrip()
+    clusters_cte = dedup.ORACLE_DEDUP_CLUSTERS.strip()
+    clusters_cte = clusters_cte[: clusters_cte.rindex("ORDER BY")].rstrip()
+    # the cluster oracle starts with WITH RECURSIVE ... SELECT; wrap each
+    # component as a subquery instead of merging CTE lists
+    return f"""
+SELECT q.doc_id,
+       q.quality,
+       l.lang_pred,
+       (c.cluster_id IS NULL OR c.cluster_id = q.doc_id) AS is_canonical,
+       (q.quality >= {_QUALITY_MIN}
+        AND l.lang_pred = 'en'
+        AND (c.cluster_id IS NULL OR c.cluster_id = q.doc_id)) AS kept
+FROM ({quality_cte}) q
+JOIN ({lang_cte}) l ON l.doc_id = q.doc_id
+LEFT JOIN ({clusters_cte}) c ON c.doc_id = q.doc_id
+ORDER BY q.doc_id
+"""
+
+
+ORACLE_CURATION = _oracle()
+
+QUERIES = {"corpus_curation": q_corpus_curation}
+ORACLES = {"corpus_curation": ORACLE_CURATION}
