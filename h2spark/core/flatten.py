@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Any
 
 from h2spark.core.extract import CompiledField, CompiledStruct
-from h2spark.core.spec import ARRAY, ONE, OPTION, VEC
+from h2spark.core.spec import ARRAY, OPTION, VEC
 
 
 def flatten_raw(cs: CompiledStruct, raw: dict) -> list[tuple[str, str]]:

@@ -10,7 +10,7 @@ hint-shaped interleaved-span corpus by h2spark.fixtures.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Optional
 
 from h2spark.core.spec import (
     ARRAY,

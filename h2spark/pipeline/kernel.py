@@ -34,7 +34,7 @@ from h2spark.core.runner import (
     run_typed_batch,
     to_arrow_value,
 )
-from h2spark.core.spec import ARRAY, OPTION, VEC, StructSpec
+from h2spark.core.spec import StructSpec
 from h2spark.pipeline.schema import EXTRACTED_SPANS_SCHEMA, spec_to_schema
 
 
