@@ -102,7 +102,8 @@ _JACCARD_THRESHOLD = 0.6
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sh = _with_shingles(d).distinct()
+    # rows are already distinct: array_distinct per doc + doc_id in row
+    sh = _with_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -163,7 +164,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_key     = md5(concat of the band's 4 signature values)
     """
     d = _docs(spark, sf_dir)
-    sh = _with_shingles(d).distinct()
+    sh = _with_shingles(d)  # rows already distinct (array_distinct per doc)
     # all N signature positions in ONE aggregation: no seed explosion,
     # a single shuffle on doc_id (16x less shuffle traffic than the
     # naive (doc, seed) cross-join formulation)
