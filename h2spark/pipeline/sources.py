@@ -1,0 +1,61 @@
+"""Document-table sources: Iceberg first, parquet fallback.
+
+The design-point input (BASELINE.json input_hint) is an Iceberg table of
+interleaved text+media documents. Iceberg gives the pipeline:
+- snapshot-isolated scans (the manifest lineage records the snapshot id,
+  so a resume provably reads the same data),
+- partition pruning on bucket(doc_id) (the per-wave resume filter
+  becomes a metadata-only prune instead of a scan+filter),
+- hidden-partitioning so writers don't hand-maintain bucket columns.
+
+This sandbox has no Iceberg runtime jars, so ``load_docs`` probes for
+the Iceberg source and falls back to plain parquet (same schema, same
+downstream plan). On a real cluster, submit with
+``--packages org.apache.iceberg:iceberg-spark-runtime-<ver>`` and pass
+``catalog.db.table``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+SPANS_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load_docs(spark: SparkSession, source: str) -> DataFrame:
+    """Load the hint-shaped docs table from an Iceberg table name or a
+    parquet path, whichever the environment supports."""
+    if not source.endswith(".parquet") and "/" not in source and iceberg_available(spark):
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
+def snapshot_lineage(spark: SparkSession, source: str) -> str:
+    """Lineage string for manifests: Iceberg snapshot id when available,
+    else the path (content-addressed resume needs at least this)."""
+    if iceberg_available(spark) and "/" not in source:
+        try:
+            snap = (
+                spark.read.format("iceberg")
+                .load(f"{source}.snapshots")
+                .orderBy("committed_at", ascending=False)
+                .select("snapshot_id")
+                .first()
+            )
+            return f"iceberg:{source}@{snap['snapshot_id']}"
+        except Exception:
+            pass
+    return f"path:{source}"
