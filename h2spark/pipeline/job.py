@@ -167,8 +167,10 @@ def _main(argv: list[str] | None = None) -> None:
             spec = spec_from_json(f.read())
     else:
         spec = getattr(importlib.import_module(args.spec_module), args.spec)
+    from h2spark.pipeline.sources import load_docs, snapshot_lineage
+
     spark = get_spark("h2spark-job", master=args.master)
-    docs = spark.read.parquet(args.input)
+    docs = load_docs(spark, args.input)
     summary = run_extraction_job(
         spark,
         docs,
@@ -177,7 +179,7 @@ def _main(argv: list[str] | None = None) -> None:
         n_buckets=args.buckets,
         wave_buckets=args.wave_buckets,
         n_partitions=args.partitions,
-        input_lineage=args.input,
+        input_lineage=snapshot_lineage(spark, args.input),
     )
     print(json.dumps(summary))
     spark.stop()
