@@ -40,39 +40,58 @@ _PARAGRAPH_TAGS = frozenset({"p", "pre", "blockquote", "h1", "h2", "h3"})
 _WS_RE = re.compile(r"\s+")
 
 
-def _collect_stats(el: Element, in_link: bool, stats: dict) -> tuple[int, int]:
-    """DFS: returns (text_len, link_text_len) of el's subtree, excluding
-    chrome subtrees; memoizes per element in ``stats``."""
-    text_len = 0
-    link_len = 0
-    for ch in el.children:
-        t = type(ch)
-        if t is Text:
-            n = len(ch.data.strip())
-            text_len += n
-            if in_link:
-                link_len += n
-        elif t is Element:
-            if ch.tag in _CHROME_TAGS:
-                # chrome contributes nothing to content scores
-                _collect_stats(ch, in_link, stats)
-                stats[id(ch)] = (0, 0, True)
-                continue
-            tl, ll = _collect_stats(ch, in_link or ch.tag == "a", stats)
-            stats[id(ch)] = (tl, ll, False)
-            text_len += tl
-            link_len += ll
-    return text_len, link_len
+def _collect_stats(root: Element, stats: dict) -> None:
+    """Iterative post-order pass: per-element (text_len, link_text_len,
+    is_chrome) of the subtree, excluding chrome subtrees. Iterative on
+    purpose — a 10k-deep div chain parses fine and must not blow the
+    recursion limit inside a UDF (errors are data, crashes are not)."""
+    # state: (element, in_link, child_index, acc_text, acc_link)
+    stack = [(root, False, 0, 0, 0)]
+    while stack:
+        el, in_link, i, text_len, link_len = stack.pop()
+        children = el.children
+        advanced = False
+        while i < len(children):
+            ch = children[i]
+            t = type(ch)
+            i += 1
+            if t is Text:
+                n = len(ch.data.strip())
+                text_len += n
+                if in_link:
+                    link_len += n
+            elif t is Element:
+                if ch.tag in _CHROME_TAGS:
+                    stats[id(ch)] = (0, 0, True)
+                    continue
+                # descend: save our state, start the child
+                stack.append((el, in_link, i, text_len, link_len))
+                stack.append((ch, in_link or ch.tag == "a", 0, 0, 0))
+                advanced = True
+                break
+        if advanced:
+            continue
+        # subtree finished
+        stats[id(el)] = (text_len, link_len, False)
+        if stack:
+            # fold into the parent's accumulators
+            p_el, p_link, p_i, p_text, p_linklen = stack.pop()
+            stack.append((p_el, p_link, p_i, p_text + text_len, p_linklen + link_len))
 
 
 def _content_text(el: Element, parts: list) -> None:
-    """Text of the subtree with chrome subtrees removed."""
-    for ch in el.children:
-        t = type(ch)
-        if t is Text:
-            parts.append(ch.data)
-        elif t is Element and ch.tag not in _CHROME_TAGS:
-            _content_text(ch, parts)
+    """Text of the subtree with chrome subtrees removed (iterative)."""
+    stack = [iter(el.children)]
+    while stack:
+        for ch in stack[-1]:
+            t = type(ch)
+            if t is Text:
+                parts.append(ch.data)
+            elif t is Element and ch.tag not in _CHROME_TAGS:
+                stack.append(iter(ch.children))
+                break
+        else:
+            stack.pop()
 
 
 def extract_main_text(doc: Document | Element) -> str:
@@ -82,8 +101,7 @@ def extract_main_text(doc: Document | Element) -> str:
     """
     root = doc.root_element() if isinstance(doc, Document) else doc
     stats: dict = {}
-    _collect_stats(root, False, stats)
-    stats[id(root)] = stats.get(id(root), (0, 0, False))
+    _collect_stats(root, stats)
 
     best = None
     best_score = 0.0

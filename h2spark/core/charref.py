@@ -41,10 +41,13 @@ _LEGACY_NAMES = sorted(
 def _decode_numeric(body: str) -> str:
     if body[1] in "xX":
         digits = body[2:].rstrip(";")
-        cp = int(digits, 16)
+        # clamp absurd lengths before int(): CPython's 4300-digit
+        # conversion limit must not reject the document — spec says
+        # out-of-range -> U+FFFD
+        cp = int(digits, 16) if len(digits) <= 8 else 0x110000
     else:
         digits = body[1:].rstrip(";")
-        cp = int(digits, 10)
+        cp = int(digits, 10) if len(digits) <= 9 else 0x110000
     if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
         return "�"
     cp = _C1_REMAP.get(cp, cp)

@@ -57,6 +57,18 @@ def _parse_int(s: str, type_name: str) -> int:
             raise ValueParseError("invalid digit found in string")
     if not body.isascii() or not body.isdigit():
         raise ValueParseError("invalid digit found in string")
+    if len(body) > 40:
+        # beyond u128's 39 digits; avoid CPython's int() digit limit —
+        # Rust reports overflow for any huge digit string (but leading
+        # zeros don't count toward magnitude)
+        significant = body.lstrip("0")
+        if len(significant) > 40:
+            raise ValueParseError(
+                "number too small to fit in target type"
+                if neg
+                else "number too large to fit in target type"
+            )
+        body = significant or "0"
     v = int(body)
     if neg:
         v = -v

@@ -453,13 +453,6 @@ def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
     return False
 
 
-def _match_complex(cx: Complex, el: Element) -> bool:
-    compounds = cx.compounds
-    if not _match_compound(compounds[0], el):
-        return False
-    return _match_rest(cx, 0, el)
-
-
 def _match_rest(cx: Complex, i: int, el: Element) -> bool:
     # compounds[i] already matched at el; try to satisfy compounds[i+1:]
     if i + 1 >= len(cx.compounds):

@@ -44,6 +44,25 @@ _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\f\r >]*")
 # overwhelmingly common shape; one regex, no attr scan loop
 _SIMPLE_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
 
+_TAG_END_SCAN_RE = re.compile(r"[>\"']")
+
+
+def _skip_tag_end(s: str, i: int) -> int:
+    """Position just past the tag's closing '>', honoring quoted
+    attribute values (a '>' inside quotes does not end the tag).
+    Returns -1 on EOF inside the tag."""
+    while True:
+        m = _TAG_END_SCAN_RE.search(s, i)
+        if m is None:
+            return -1
+        c = m.group(0)
+        if c == ">":
+            return m.end()
+        endq = s.find(c, m.end())
+        if endq < 0:
+            return -1
+        i = endq + 1
+
 
 def tokenize(html: str):
     """Yield tokens for ``html``. Generator; linear single pass."""
@@ -68,11 +87,13 @@ def tokenize(html: str):
             if c2.isascii() and c2.isalpha():
                 m = _TAG_NAME_RE.match(s, pos + 2)
                 name = m.group(0).lower()
-                # skip to '>' (attributes on end tags are dropped per spec)
-                gt = find(">", m.end())
-                if gt < 0:
+                # skip to '>' quote-aware (end-tag attributes are
+                # dropped per spec, but a '>' inside a quoted value
+                # must not terminate the tag)
+                end = _skip_tag_end(s, m.end())
+                if end < 0:
                     return  # eof-in-tag: emit nothing
-                pos = gt + 1
+                pos = end
                 yield ("end", name)
             elif c2 == ">":
                 pos += 3  # missing-end-tag-name: ignore "</>"
@@ -208,6 +229,6 @@ def _scan_rawtext(s: str, pos: int, name: str, decode: bool):
     data = s[pos:m.start()]
     if data:
         yield ("text", decode_char_refs(data) if decode else data)
-    gt = s.find(">", m.end())
+    end = _skip_tag_end(s, m.end())
     yield ("end", name)
-    return len(s) if gt < 0 else gt + 1
+    return len(s) if end < 0 else end

@@ -406,7 +406,9 @@ class _Builder:
                         break
                     if t in ("body", "html"):
                         break
-            self._insert_element(name, attrs)
+            self._insert_element(
+                name, attrs, push=not self._foreign_self_closes(tok)
+            )
             return True
         if kind == "end":
             name = tok[1]

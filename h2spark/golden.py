@@ -318,9 +318,6 @@ def expected_flat_spans(case: GoldenCase) -> list:
 
     out: list = []
 
-    def leaf_name(inner) -> str:
-        return inner.name if isinstance(inner, StructSpec) else inner.type_name
-
     def walk(spec: StructSpec, value: dict, prefix: str) -> None:
         for f in spec.fields:
             v = value[f.name]

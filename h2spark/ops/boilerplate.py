@@ -27,7 +27,9 @@ def _esc(col):
 
 
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # empty/whitespace-only documents have no main content by
+    # definition — excluded on BOTH sides so the oracle stays exact
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
     html = F.concat(
         F.lit(
             "<html><body>"
@@ -55,14 +57,16 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BOILERPLATE = """
 SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
-FROM documents ORDER BY doc_id
+FROM documents
+WHERE length(trim(text)) > 0
+ORDER BY doc_id
 """
 
 
 def q_boilerplate_chrome_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate view: how much of each page the stripper kept —
     the monitoring metric a production boilerplate stage reports."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
     html = F.concat(
         F.lit('<html><body><nav><a href="/">Home</a></nav><article><p>'),
         _esc(F.col("text")),
@@ -91,7 +95,9 @@ SELECT floor(log2(length(text) + 2))::INT AS size_bucket,
        count(*)::BIGINT AS n_docs,
        sum(length(text))::BIGINT AS raw_chars,
        sum(length(trim(regexp_replace(text, '\\s+', ' ', 'g'))))::BIGINT AS kept_chars
-FROM documents GROUP BY 1 ORDER BY size_bucket
+FROM documents
+WHERE length(trim(text)) > 0
+GROUP BY 1 ORDER BY size_bucket
 """
 
 

@@ -418,10 +418,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components by iterative min-label propagation, cluster id
     = smallest doc_id in the component (the canonical keeper).
 
-    The iteration is a driver-coordinated loop of distributed joins —
-    O(log(diameter)) rounds; each round is one shuffle. At 10^12 docs
-    the pair graph is tiny relative to the corpus (only near-dup
-    candidates), so the loop runs over a small edge table.
+    The iteration is a driver-coordinated loop of distributed joins:
+    one-hop min-label propagation, O(component diameter) rounds, run to
+    convergence (changed == 0). At 10^12 docs the pair graph is tiny
+    relative to the corpus (only near-dup candidates), so the loop runs
+    over a small edge table; superseded label caches are unpersisted
+    each round.
     """
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
@@ -433,7 +435,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
-    for _ in range(20):  # log2 bound for any realistic component diameter
+    max_rounds = 1000  # safety bound only; loop exits on convergence
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a)
@@ -454,9 +457,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not converge "
+            f"within {max_rounds} rounds"
+        )
+    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
