@@ -1,0 +1,40 @@
+"""Shared expression helpers for the ops queries (single source of
+truth — these were duplicated per-module and would drift)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def esc_html(col: Column) -> Column:
+    """HTML-escape text content (&, <, > — the references the char-ref
+    decoder undoes, so escape->parse->inner_text round-trips)."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def cos_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two float-array columns, computed in DOUBLE
+    with a left-to-right fold (deterministic, mirrors COS_DUCK)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+    def nrm(c: str) -> Column:
+        return F.expr(
+            f"sqrt(aggregate({c}, cast(0.0 as double), "
+            f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        )
+
+    return dot / (nrm(a) * nrm(b))
+
+
+#: DuckDB twin of cos_expr; format with a=..., b=... column expressions.
+COS_DUCK = """
+ (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+  FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))
+ / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest({a}) AS x)))
+  * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest({b}) AS y))))
+"""

@@ -13,17 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from h2spark.ops._shared import esc_html as _esc
 from h2spark.pipeline.kernel import make_main_text_udf
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _esc(col):
-    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
-    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-    return F.replace(c, F.lit(">"), F.lit("&gt;"))
 
 
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -344,20 +344,7 @@ ORACLE_DEDUP_SIMHASH = _oracle_simhash()
 _COS_THRESHOLD = 0.35
 
 
-def _cos_expr(a: str, b: str):
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    na = F.expr(
-        f"sqrt(aggregate({a}, cast(0.0 as double), "
-        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
-    )
-    nb = F.expr(
-        f"sqrt(aggregate({b}, cast(0.0 as double), "
-        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
-    )
-    return dot / (na * nb)
+from h2spark.ops._shared import cos_expr as _cos_expr
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,9 +32,9 @@ def docs_to_interleaved_spans(d: DataFrame) -> DataFrame:
     HTML = header + escaped text + footer, split into three text spans
     stored out of order, plus one media span between spans 1 and 2.
     """
-    esc = F.col("text")
-    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
-        esc = F.replace(esc, F.lit(a), F.lit(b))
+    from h2spark.ops._shared import esc_html
+
+    esc = esc_html(F.col("text"))
     html = F.concat(
         F.lit('<html lang="'), F.col("lang"),
         F.lit('"><body><article class="main">'), esc,

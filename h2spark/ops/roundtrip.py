@@ -17,7 +17,9 @@ inner-text + attributes (#11,#12), typed parses (#22), Vec cardinality
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.ops._shared import esc_html as _esc
 
 from h2spark.core.spec import (
     ONE, OPTION, VEC, Field, NthText, Scalar, StructSpec,
@@ -27,13 +29,6 @@ from h2spark.pipeline.kernel import make_extract_typed_udf
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _esc(col: Column) -> Column:
-    """HTML-escape text content (&, <, > — the refs the decoder undoes)."""
-    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
-    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
-    return F.replace(c, F.lit(">"), F.lit("&gt;"))
 
 
 # --- 1. inner text + attribute roundtrip --------------------------------

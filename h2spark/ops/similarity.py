@@ -29,24 +29,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _cos(a: str, b: str):
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    nrm = lambda c: F.expr(
-        f"sqrt(aggregate({c}, cast(0.0 as double), "
-        f"(acc, x) -> acc + cast(x as double) * cast(x as double)))"
-    )
-    return dot / (nrm(a) * nrm(b))
-
-
-_COS_DUCK = """
- (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-  FROM (SELECT unnest({a}) AS x, unnest({b}) AS y))
- / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest({a}) AS x)))
-  * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest({b}) AS y))))
-"""
+from h2spark.ops._shared import COS_DUCK as _COS_DUCK, cos_expr as _cos
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
