@@ -1,0 +1,100 @@
+"""Differential testing vs the stdlib HTMLParser on *well-formed* HTML.
+
+html.parser is lenient and not a tree builder, so agreement is only
+guaranteed on well-formed input: properly nested non-void elements,
+quoted attribute values, standard entities. On that domain, our
+tokenizer+tree must produce exactly the same element sequence,
+attributes, and text as the stdlib's event stream — hundreds of random
+documents per run.
+"""
+
+import random
+from html.parser import HTMLParser
+
+from hypothesis import given, settings, strategies as st
+
+from h2spark.core.dom import Element, Text
+from h2spark.core.treebuilder import parse_document
+
+_TAGS = ["div", "span", "p2x", "section", "article", "em", "strong", "x-a"]
+_ATTRS = ["id", "class", "data-x", "title", "lang"]
+_TEXTS = ["hello", "a & b", "x < y", "3 &gt; 2", "café", "  pad  ", "&amp;"]
+
+
+def _gen_html(rng: random.Random, depth: int = 0) -> str:
+    out = []
+    for _ in range(rng.randint(1, 3)):
+        if depth < 4 and rng.random() < 0.6:
+            tag = rng.choice(_TAGS)
+            # distinct attr names: duplicate attributes are outside the
+            # well-formed domain (spec says first wins, stdlib keeps last)
+            names = rng.sample(_ATTRS, rng.randint(0, 2))
+            attrs = "".join(
+                f' {a}="v{rng.randint(0, 9)} &amp; w"' for a in names
+            )
+            out.append(f"<{tag}{attrs}>")
+            out.append(_gen_html(rng, depth + 1))
+            out.append(f"</{tag}>")
+        else:
+            out.append(rng.choice(_TEXTS))
+    return "".join(out)
+
+
+class _Events(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.events = []
+
+    def handle_starttag(self, tag, attrs):
+        self.events.append(("start", tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        self.events.append(("end", tag))
+
+    def handle_data(self, data):
+        if self.events and self.events[-1][0] == "text":
+            self.events[-1] = ("text", self.events[-1][1] + data)
+        else:
+            self.events.append(("text", data))
+
+
+def _our_events(el: Element, out: list) -> None:
+    for ch in el.children:
+        if type(ch) is Text:
+            if out and out[-1][0] == "text":
+                out[-1] = ("text", out[-1][1] + ch.data)
+            else:
+                out.append(("text", ch.data))
+        elif type(ch) is Element:
+            out.append(("start", ch.tag, dict(ch.attrs)))
+            _our_events(ch, out)
+            out.append(("end", ch.tag))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 10**9))
+def test_wellformed_html_matches_stdlib_parser(seed):
+    rng = random.Random(seed)
+    body = _gen_html(rng)
+    doc = f"<html><body>{body}</body></html>"
+
+    ref = _Events()
+    ref.feed(doc)
+    ref.close()
+    # strip the html/body wrapper events from the stdlib stream
+    ref_events = ref.events
+    assert ref_events[0] == ("start", "html", {})
+    assert ref_events[1] == ("start", "body", {})
+    assert ref_events[-1] == ("end", "html")
+    assert ref_events[-2] == ("end", "body")
+    ref_inner = ref_events[2:-2]
+
+    tree = parse_document(doc)
+    our_body = next(
+        c for c in tree.root_element().children
+        if type(c) is Element and c.tag == "body"
+    )
+    ours: list = []
+    _our_events(our_body, ours)
+
+    assert ours == ref_inner, f"seed={seed}\ndoc={doc!r}"
