@@ -40,13 +40,13 @@ _LEGACY_NAMES = sorted(
 
 def _decode_numeric(body: str) -> str:
     if body[1] in "xX":
-        digits = body[2:].rstrip(";")
+        digits = body[2:].rstrip(";").lstrip("0") or "0"
         # clamp absurd lengths before int(): CPython's 4300-digit
         # conversion limit must not reject the document — spec says
-        # out-of-range -> U+FFFD
+        # out-of-range -> U+FFFD (leading zeros don't count)
         cp = int(digits, 16) if len(digits) <= 8 else 0x110000
     else:
-        digits = body[1:].rstrip(";")
+        digits = body[1:].rstrip(";").lstrip("0") or "0"
         cp = int(digits, 10) if len(digits) <= 9 else 0x110000
     if cp == 0 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
         return "�"

@@ -38,6 +38,14 @@ class SelectorParseError(ValueError):
 
 
 _IDENT_RE = re.compile(r"-?[_a-zA-Z][_a-zA-Z0-9-]*")
+# CSS splits class lists / [a~=v] on ASCII whitespace only (the
+# selectors crate does the same; Python str.split would also split on
+# unicode spaces like \xa0 and diverge)
+_CSS_WS_SPLIT = re.compile(r"[ \t\r\n\f]+")
+
+
+def _css_split(v: str) -> list:
+    return [t for t in _CSS_WS_SPLIT.split(v) if t]
 _WS_RE = re.compile(r"[ \t\r\n\f]*")
 _NUM_RE = re.compile(r"[-+]?[0-9]+")
 
@@ -371,7 +379,7 @@ def _match_compound(cp: Compound, el: Element) -> bool:
         cls = attrs.get("class")
         if cls is None:
             return False
-        cset = cls.split()
+        cset = _css_split(cls)
         for c in cp.classes:
             if c not in cset:
                 return False
@@ -389,7 +397,7 @@ def _match_compound(cp: Compound, el: Element) -> bool:
             if v != val:
                 return False
         elif at.op == "~=":
-            if val not in v.split():
+            if val not in _css_split(v):
                 return False
         elif at.op == "|=":
             if not (v == val or v.startswith(val + "-")):

@@ -31,8 +31,10 @@ import re
 
 from h2spark.core.charref import decode_char_refs
 
+# noscript is rawtext because the reference parses with html5ever's
+# default scripting_enabled=true (TreeBuilderOpts default)
 RAWTEXT_ELEMENTS = frozenset(
-    {"script", "style", "xmp", "iframe", "noembed", "noframes"}
+    {"script", "style", "xmp", "iframe", "noembed", "noframes", "noscript"}
 )
 RCDATA_ELEMENTS = frozenset({"title", "textarea"})
 
@@ -44,29 +46,39 @@ _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\f\r >]*")
 # overwhelmingly common shape; one regex, no attr scan loop
 _SIMPLE_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
 
-_TAG_END_SCAN_RE = re.compile(r"[>\"']")
+# comments close on "-->" or the incorrectly-closed "--!>" (spec)
+_COMMENT_END_RE = re.compile(r"--!?>")
+
+# end-tag terminator scan: '>' ends the tag; a quote only opens a value
+# when it FOLLOWS '=' (a bare quote is part of a discarded attr name)
+_TAG_END_SCAN_RE = re.compile(r">|=[ \t\n\f\r]*\"[^\"]*\"|=[ \t\n\f\r]*'[^']*'")
 
 
 def _skip_tag_end(s: str, i: int) -> int:
     """Position just past the tag's closing '>', honoring quoted
-    attribute values (a '>' inside quotes does not end the tag).
+    attribute values (a '>' inside a quoted value does not end the
+    tag; end-tag attributes themselves are discarded per spec).
     Returns -1 on EOF inside the tag."""
     while True:
         m = _TAG_END_SCAN_RE.search(s, i)
         if m is None:
-            return -1
-        c = m.group(0)
-        if c == ">":
+            return -1  # eof-in-tag (incl. unclosed quoted value)
+        if m.group(0) == ">":
             return m.end()
-        endq = s.find(c, m.end())
-        if endq < 0:
-            return -1
-        i = endq + 1
+        i = m.end()
 
 
 def tokenize(html: str):
-    """Yield tokens for ``html``. Generator; linear single pass."""
+    """Yield tokens for ``html``. Generator; linear single pass.
+
+    Input preprocessing per spec: discard a leading BOM (html5ever
+    TokenizerOpts::discard_bom default) and normalize CRLF/CR to LF.
+    """
     s = html
+    if s.startswith("\ufeff"):
+        s = s[1:]
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
     n = len(s)
     pos = 0
     find = s.find
@@ -109,12 +121,21 @@ def tokenize(html: str):
                 pos = gt + 1
         elif nxt == "!":
             if s.startswith("<!--", pos):
-                end = find("-->", pos + 4)
-                if end < 0:
+                # abruptly closed comments: "<!-->" and "<!--->"
+                if s.startswith(">", pos + 4):
+                    yield ("comment", "")
+                    pos += 5
+                    continue
+                if s.startswith("->", pos + 4):
+                    yield ("comment", "")
+                    pos += 6
+                    continue
+                m = _COMMENT_END_RE.search(s, pos + 4)
+                if m is None:
                     yield ("comment", s[pos + 4:])
                     return
-                yield ("comment", s[pos + 4:end])
-                pos = end + 3
+                yield ("comment", s[pos + 4:m.start()])
+                pos = m.end()
             elif s[pos + 2:pos + 9].lower() == "doctype":
                 gt = find(">", pos + 9)
                 if gt < 0:

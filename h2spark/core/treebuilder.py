@@ -53,9 +53,34 @@ _P_CLOSERS = frozenset(
 
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
-# Elements that terminate the search when auto-closing <li> / <dd> / <dt>
-# (approximation of the spec's "special" category minus address/div/p).
-_LI_SCOPE_STOP = frozenset({"ul", "ol", "dl", "body", "html", "table", "td", "th"})
+# The spec's "special" category (the subset of elements this builder can
+# ever have on its stack) — terminates implied-end-tag searches.
+_SPECIAL_CATEGORY = frozenset(
+    {
+        "address", "applet", "area", "article", "aside", "base", "basefont",
+        "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+        "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+        "fieldset", "figcaption", "figure", "footer", "form", "h1", "h2",
+        "h3", "h4", "h5", "h6", "head", "header", "hgroup", "hr", "html",
+        "iframe", "img", "input", "li", "link", "listing", "main", "marquee",
+        "menu", "meta", "nav", "noembed", "noframes", "noscript", "object",
+        "ol", "p", "param", "plaintext", "pre", "script", "section", "select",
+        "source", "style", "summary", "table", "tbody", "td", "template",
+        "textarea", "tfoot", "th", "thead", "title", "tr", "track", "ul",
+        "wbr", "xmp",
+    }
+)
+
+# Elements that terminate the search when auto-closing <li> / <dd> / <dt>:
+# the special category minus address/div/p (WHATWG "in body" li rule).
+_LI_SCOPE_STOP = _SPECIAL_CATEGORY - {"address", "div", "p", "li", "dd", "dt"}
+
+# Scoping elements: a generic end tag must not pop through these
+# ("has an element in scope" boundary).
+_SCOPE_BOUNDARY = frozenset(
+    {"html", "body", "table", "td", "th", "caption", "applet", "marquee",
+     "object", "template"}
+)
 
 _WS = "\t\n\f\r "
 
@@ -105,14 +130,17 @@ class _Builder:
         self.stack.append(el)
 
     def _pop_until(self, name: str) -> bool:
-        """If ``name`` is on the stack, pop through it (implied end tags
-        for everything above). Else no-op. Never pops html/body."""
+        """If ``name`` is *in scope* on the stack, pop through it
+        (implied end tags for everything above). A stray end tag never
+        pops through a scoping boundary (td/table/caption/... — the
+        spec's "has an element in scope" check), so an unbalanced
+        </div> inside a table cell can't destroy the table."""
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
             if t == name:
                 del self.stack[i:]
                 return True
-            if t in ("html", "body") and name not in ("html", "body"):
+            if t in _SCOPE_BOUNDARY and name not in _SCOPE_BOUNDARY:
                 return False
         return False
 

@@ -248,3 +248,47 @@ def test_attr_case_insensitive_flag_and_only_of_type():
     assert sel('a[href^="https" s]') == 0
     assert sel("p:only-of-type") == 1
     assert sel("span:only-of-type") == 0
+
+
+def test_crlf_and_bom_preprocessing():
+    doc = parse_document('﻿<div\r\nclass="x">a\r\nb</div>')
+    x = CssSelector.parse("div.x").select(doc.root_element())
+    assert len(x) == 1 and x[0].inner_text() == "a\nb"
+
+
+def test_abrupt_and_bang_closed_comments():
+    doc = parse_document('<body><!--><div id="a">t</div><!-- x --!><p>y</p></body>')
+    root = doc.root_element()
+    assert len(CssSelector.parse("#a").select(root)) == 1
+    assert CssSelector.parse("p").select(root)[0].inner_text() == "y"
+
+
+def test_stray_end_tag_respects_table_cell_scope():
+    doc = parse_document("<div><table><tr><td>a</div>b</td></tr></table>")
+    td = CssSelector.parse("td").select(doc.root_element())
+    assert [t.inner_text() for t in td] == ["ab"]
+
+
+def test_li_nests_inside_blockquote():
+    doc = parse_document("<ul><li>a<blockquote><li>b")
+    assert len(CssSelector.parse("blockquote li").select(doc.root_element())) == 1
+
+
+def test_noscript_is_rawtext():
+    doc = parse_document('<body><noscript><img src="x.png"></noscript></body>')
+    root = doc.root_element()
+    assert CssSelector.parse("img").select(root) == []
+    ns = CssSelector.parse("noscript").select(root)[0]
+    assert ns.inner_text() == '<img src="x.png">'
+
+
+def test_class_split_is_ascii_whitespace_only():
+    doc = parse_document('<div class="a\xa0b">x</div><i class="a b">y</i>')
+    root = doc.root_element()
+    assert CssSelector.parse(".a").select(root)[0].tag == "i"
+
+
+def test_zero_padded_numeric_charrefs():
+    doc = parse_document("<p>&#x000000041;&#0000000065;</p>")
+    p = CssSelector.parse("p").select(doc.root_element())[0]
+    assert p.inner_text() == "AA"
