@@ -52,10 +52,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    repeats = int(os.environ.get("H2SPARK_BENCH_REPEATS", "2"))
+
+    def timed(name: str, fn, once: bool = False):
+        # best-of-N against the box's wall-clock jitter; fn() rebuilds
+        # its DataFrame per call so no shuffle-output reuse fakes runs
+        best = None
+        out = None
+        for _ in range(1 if once else repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     # warmup: spawn+warm the Python workers and JIT the relational shell
@@ -87,6 +96,7 @@ def main() -> None:
         lambda: corpus_df(spark, n_docs, n_partitions=cpus * 2)
         .write.mode("overwrite")
         .parquet(scratch),
+        once=True,  # a write is not idempotent-timing-safe
     )
     docs = spark.read.parquet(scratch)
 

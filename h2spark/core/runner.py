@@ -19,17 +19,26 @@ from h2spark.core.treebuilder import parse_document
 def reassemble(spans) -> tuple[str, list, int | None]:
     """Sort spans by offset; concat text-span HTML; collect media refs.
 
+    Total over nullable input (the span schema declares every field
+    nullable, and one bad row must set the error column, not kill the
+    task): null span elements are skipped, null text/media_ref read as
+    "", null offsets as 0.
+
     Returns (html, [(offset, media_ref)], first_text_offset).
     """
     text_parts: list[tuple[int, str]] = []
     media: list[tuple[int, str]] = []
     for s in spans:
+        if s is None:
+            continue
         kind = s["kind"]
         off = s["offset"]
+        if off is None:
+            off = 0
         if kind == "media":
-            media.append((off, s["media_ref"]))
+            media.append((off, s["media_ref"] or ""))
         else:
-            text_parts.append((off, s["text"]))
+            text_parts.append((off, s["text"] or ""))
     text_parts.sort(key=lambda t: t[0])
     html = "".join(t[1] for t in text_parts)
     first = text_parts[0][0] if text_parts else None

@@ -31,6 +31,8 @@ from h2spark.core.spec import StructSpec
 from h2spark.pipeline.kernel import extract_spans_arrow
 from h2spark.pipeline.manifests import (
     BucketManifest,
+    JobManifest,
+    check_job_manifest,
     commit_manifest,
     completed_buckets,
     with_ckpt_bucket,
@@ -60,8 +62,21 @@ def run_extraction_job(
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
     job_id = uuid.uuid4().hex[:12]
 
+    # refuse to resume under a different spec or bucket count — either
+    # silently corrupts the output (manifests vouch for the wrong data)
+    check_job_manifest(
+        out_dir,
+        JobManifest(
+            spec_name=cs.name,
+            n_buckets=n_buckets,
+            input_lineage=input_lineage,
+            job_id=job_id,
+        ),
+        spark=spark,
+    )
+
     docs = with_ckpt_bucket(docs, n_buckets)
-    done = completed_buckets(out_dir)
+    done = completed_buckets(out_dir, spark=spark)
     todo = [b for b in range(n_buckets) if b not in done]
     waves = [
         todo[i:i + wave_buckets] for i in range(0, len(todo), wave_buckets)
@@ -85,19 +100,32 @@ def run_extraction_job(
             .partitionBy("ckpt_bucket")
             .parquet(data_dir)
         )
-        # manifest metrics from what was actually written (read-back is a
-        # cheap columnar scan of only the wave's partitions)
-        stats = (
-            spark.read.parquet(data_dir)
-            .where(F.col("ckpt_bucket").isin(wave))
-            .groupBy("ckpt_bucket")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.coalesce(F.size("spans_out"), F.lit(0))).alias("n_spans"),
-                F.count("error").alias("n_errors"),
+        # manifest metrics from what was actually written: read ONLY the
+        # wave's partition directories (a full data_dir read would crash
+        # on an all-empty first wave and re-list every file written so
+        # far on every wave at scale)
+        from h2spark.pipeline.manifests import _FS
+
+        fs = _FS(spark, out_dir)
+        wave_paths = [
+            f"{data_dir}/ckpt_bucket={b}"
+            for b in wave
+            if fs.exists(f"{data_dir}/ckpt_bucket={b}")
+        ]
+        if wave_paths:
+            stats = (
+                spark.read.option("basePath", data_dir)
+                .parquet(*wave_paths)
+                .groupBy("ckpt_bucket")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.coalesce(F.size("spans_out"), F.lit(0))).alias("n_spans"),
+                    F.count("error").alias("n_errors"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        else:
+            stats = []
         by_bucket = {r["ckpt_bucket"]: r for r in stats}
         for b in wave:
             r = by_bucket.get(b)
@@ -112,10 +140,11 @@ def run_extraction_job(
                     spec_name=cs.name,
                     job_id=job_id,
                 ),
+                spark=spark,
             )
         ran.append(wave)
 
-    all_done = completed_buckets(out_dir)
+    all_done = completed_buckets(out_dir, spark=spark)
     return {
         "job_id": job_id,
         "resumed_buckets": sorted(done),
@@ -167,10 +196,16 @@ def _main(argv: list[str] | None = None) -> None:
             spec = spec_from_json(f.read())
     else:
         spec = getattr(importlib.import_module(args.spec_module), args.spec)
-    from h2spark.pipeline.sources import load_docs, snapshot_lineage
+    from h2spark.pipeline.sources import (
+        current_snapshot_id,
+        load_docs,
+        snapshot_lineage,
+    )
 
     spark = get_spark("h2spark-job", master=args.master)
-    docs = load_docs(spark, args.input)
+    # resolve the snapshot ONCE so every wave reads identical data
+    sid = current_snapshot_id(spark, args.input)
+    docs = load_docs(spark, args.input, snapshot_id=sid)
     summary = run_extraction_job(
         spark,
         docs,

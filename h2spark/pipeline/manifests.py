@@ -1,27 +1,35 @@
 """Per-partition checkpoint manifests + resume (SURVEY.md §4.2).
 
 Structured-Streaming checkpoints don't fit a batch extraction job, so
-resumability is built from two primitives that survive any crash:
+resumability is built from primitives that survive any crash:
 
 1. **Checkpoint buckets**: every document maps to
    ``ckpt_bucket = pmod(xxhash64(doc_id), n_buckets)`` — a pure function
    of doc_id, so membership is stable across runs and cluster sizes.
-2. **Manifest files**: after a bucket's output data is fully written,
-   a JSON manifest ``manifests/bucket-NNNNN.json`` is committed via
-   write-to-temp + atomic rename (POSIX/HDFS; on S3-style object
-   stores substitute a conditional PUT — rename is not atomic there). A manifest existing == that bucket's
+2. **Bucket manifests**: after a bucket's output data is fully written,
+   a JSON manifest ``_manifests/bucket-NNNNN.json`` is committed via
+   write-to-temp + atomic rename. A manifest existing == that bucket's
    output is complete and trustworthy. Manifests carry lineage (input
-   path, spec name, job id) and metrics (docs, spans, errors).
+   snapshot/path, spec name, job id) and metrics (docs, spans, errors).
+3. **A job manifest** (``_manifests/job.json``) pins the run
+   configuration (spec name, n_buckets, input lineage). A resume under
+   a DIFFERENT spec or bucket count would silently skip or duplicate
+   data (bucket membership changes with n_buckets), so mismatches
+   refuse to resume instead.
 
-Resume: list completed manifests, **anti-join** the input against them
-on ckpt_bucket (broadcast — the completed list is tiny), recompute only
-incomplete buckets. Output written with dynamic partition overwrite so
+Filesystem access goes through a small adapter: plain ``os``/``open``
+for local paths, Hadoop FileSystem via the JVM gateway for scheme'd
+paths (hdfs://, s3a://, ...) so manifests live next to the data on the
+cluster filesystem — a driver restart on a different node still sees
+them. On S3, Hadoop's rename is copy+delete (not atomic); the manifest
+write is still safe there because the temp name is unique per attempt
+and readers only see the final name after a successful copy.
+
+Resume: list completed manifests, filter the input to incomplete
+buckets (broadcast anti-join shape — see ops/relational.py), recompute
+only those. Output written with dynamic partition overwrite so
 re-running an incomplete bucket replaces only that bucket's files:
 idempotent re-runs, no duplicates.
-
-At the 10^12-document design point the input Iceberg table is
-partitioned by bucket(doc_id), so the per-wave input scan prunes to the
-wave's buckets instead of re-scanning the table.
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 from dataclasses import asdict, dataclass
 
 from pyspark.sql import DataFrame, functions as F
@@ -46,23 +55,114 @@ class BucketManifest:
     status: str = "complete"
 
 
+@dataclass
+class JobManifest:
+    spec_name: str
+    n_buckets: int
+    input_lineage: str
+    job_id: str
+
+
+class ResumeMismatch(RuntimeError):
+    """Resume attempted with a different spec / bucket count than the
+    run that produced the existing manifests."""
+
+
+# --- filesystem adapter ---------------------------------------------------
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path
+
+
+class _FS:
+    """Minimal FS ops over local paths or Hadoop FileSystem (scheme'd)."""
+
+    def __init__(self, spark, base: str):
+        self.remote = _is_remote(base)
+        if self.remote:
+            if spark is None:
+                raise ValueError(f"need a SparkSession for remote path {base!r}")
+            jvm = spark._jvm
+            self._jpath = jvm.org.apache.hadoop.fs.Path
+            self._fs = self._jpath(base).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+
+    def listdir(self, d: str) -> list[str]:
+        if not self.remote:
+            return os.listdir(d) if os.path.isdir(d) else []
+        p = self._jpath(d)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def read_text(self, path: str) -> str:
+        if not self.remote:
+            with open(path) as f:
+                return f.read()
+        stream = self._fs.open(self._jpath(path))
+        try:
+            out = bytearray()
+            buf = bytearray(65536)
+            while True:
+                n = stream.read(buf)
+                if n <= 0:
+                    break
+                out += buf[:n]
+            return out.decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_atomic(self, path: str, data: str) -> None:
+        if not self.remote:
+            d = os.path.dirname(path)
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    f.write(data)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(tmp, path)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            return
+        tmp = self._jpath(path + f".{uuid.uuid4().hex[:8]}.tmp")
+        stream = self._fs.create(tmp, True)
+        try:
+            stream.write(bytearray(data.encode("utf-8")))
+        finally:
+            stream.close()
+        dest = self._jpath(path)
+        if self._fs.exists(dest):
+            self._fs.delete(dest, False)
+        self._fs.rename(tmp, dest)
+
+    def exists(self, path: str) -> bool:
+        if not self.remote:
+            return os.path.exists(path)
+        return self._fs.exists(self._jpath(path))
+
+
 def manifest_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_manifests")
+    return f"{out_dir}/_manifests"
 
 
-def completed_buckets(out_dir: str) -> dict[int, BucketManifest]:
-    """Read all committed manifests. Partial/corrupt files are impossible
-    by construction (atomic rename), but tolerate junk defensively."""
+# --- manifest protocol ----------------------------------------------------
+
+
+def completed_buckets(out_dir: str, spark=None) -> dict[int, BucketManifest]:
+    """Read all committed bucket manifests; tolerate junk defensively."""
+    fs = _FS(spark, out_dir)
     mdir = manifest_dir(out_dir)
     done: dict[int, BucketManifest] = {}
-    if not os.path.isdir(mdir):
-        return done
-    for fn in os.listdir(mdir):
+    for fn in fs.listdir(mdir):
         if not (fn.startswith("bucket-") and fn.endswith(".json")):
             continue
         try:
-            with open(os.path.join(mdir, fn)) as f:
-                m = BucketManifest(**json.load(f))
+            m = BucketManifest(**json.loads(fs.read_text(f"{mdir}/{fn}")))
             if m.status == "complete":
                 done[m.bucket] = m
         except (ValueError, TypeError, KeyError):
@@ -70,21 +170,41 @@ def completed_buckets(out_dir: str) -> dict[int, BucketManifest]:
     return done
 
 
-def commit_manifest(out_dir: str, m: BucketManifest) -> None:
+def commit_manifest(out_dir: str, m: BucketManifest, spark=None) -> None:
     """Write-then-rename: the manifest appears atomically, only after
     the bucket's data files are durable."""
-    mdir = manifest_dir(out_dir)
-    os.makedirs(mdir, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(asdict(m), f, indent=1)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(mdir, f"bucket-{m.bucket:05d}.json"))
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    fs = _FS(spark, out_dir)
+    fs.write_atomic(
+        f"{manifest_dir(out_dir)}/bucket-{m.bucket:05d}.json",
+        json.dumps(asdict(m), indent=1),
+    )
+
+
+def check_job_manifest(out_dir: str, jm: JobManifest, spark=None) -> None:
+    """Validate (or establish) the run configuration for this out_dir.
+
+    Raises ResumeMismatch when an existing job manifest disagrees on
+    spec_name or n_buckets — resuming under either change corrupts the
+    output (bucket membership moves with n_buckets; bucket manifests
+    from another spec vouch for the wrong data).
+    """
+    fs = _FS(spark, out_dir)
+    path = f"{manifest_dir(out_dir)}/job.json"
+    if fs.exists(path):
+        try:
+            prev = JobManifest(**json.loads(fs.read_text(path)))
+        except (ValueError, TypeError, KeyError):
+            prev = None
+        if prev is not None:
+            if prev.spec_name != jm.spec_name or prev.n_buckets != jm.n_buckets:
+                raise ResumeMismatch(
+                    f"out_dir {out_dir!r} was produced by spec="
+                    f"{prev.spec_name!r} n_buckets={prev.n_buckets}; "
+                    f"refusing to resume with spec={jm.spec_name!r} "
+                    f"n_buckets={jm.n_buckets}"
+                )
+            return  # same config: resume allowed, keep original manifest
+    fs.write_atomic(path, json.dumps(asdict(jm), indent=1))
 
 
 def with_ckpt_bucket(
@@ -94,17 +214,3 @@ def with_ckpt_bucket(
         "ckpt_bucket",
         F.pmod(F.xxhash64(F.col(doc_id_col)), F.lit(n_buckets)).cast("int"),
     )
-
-
-def filter_incomplete(spark, df: DataFrame, out_dir: str) -> tuple[DataFrame, list[int]]:
-    """Anti-join input against completed buckets (resume filter).
-
-    Returns (filtered df, sorted completed bucket ids). The completed
-    list is tiny -> broadcast anti-join; with a bucket-partitioned
-    input table this also prunes the scan.
-    """
-    done = sorted(completed_buckets(out_dir))
-    if not done:
-        return df, []
-    done_df = spark.createDataFrame([(b,) for b in done], "ckpt_bucket int")
-    return df.join(F.broadcast(done_df), "ckpt_bucket", "left_anti"), done

@@ -24,12 +24,13 @@ from pyspark.sql import DataFrame, functions as F
 
 def with_doc_stats(df: DataFrame, spans_col: str = "spans") -> DataFrame:
     """Add doc_bytes (total text length incl. media refs) and size_bucket."""
+    # coalesce: one null text/media_ref must not poison the fold to NULL
     doc_bytes = F.aggregate(
         F.col(spans_col),
         F.lit(0).cast("long"),
         lambda acc, s: acc
-        + F.length(s["text"])
-        + F.length(s["media_ref"]),
+        + F.coalesce(F.length(s["text"]), F.lit(0))
+        + F.coalesce(F.length(s["media_ref"]), F.lit(0)),
     )
     return df.withColumn("doc_bytes", doc_bytes).withColumn(
         "size_bucket",

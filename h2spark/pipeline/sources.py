@@ -35,18 +35,37 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def load_docs(spark: SparkSession, source: str) -> DataFrame:
-    """Load the hint-shaped docs table from an Iceberg table name or a
-    parquet path, whichever the environment supports."""
-    if not source.endswith(".parquet") and "/" not in source and iceberg_available(spark):
-        return spark.read.format("iceberg").load(source)
+def is_table_identifier(source: str) -> bool:
+    """An Iceberg catalog identifier looks like db.table / cat.db.table —
+    dotted, no path separators. A bare directory name ("corpus") or any
+    path is storage, not a table."""
+    return (
+        "/" not in source
+        and "\\" not in source
+        and "://" not in source
+        and "." in source
+        and not source.endswith(".parquet")
+    )
+
+
+def load_docs(
+    spark: SparkSession, source: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Load the hint-shaped docs table from an Iceberg table identifier
+    or a parquet path. For Iceberg, pass the ``snapshot_id`` resolved at
+    job start so every wave reads the SAME snapshot (a concurrent
+    writer's commits otherwise change the data mid-job)."""
+    if is_table_identifier(source) and iceberg_available(spark):
+        r = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", str(snapshot_id))
+        return r.load(source)
     return spark.read.parquet(source)
 
 
-def snapshot_lineage(spark: SparkSession, source: str) -> str:
-    """Lineage string for manifests: Iceberg snapshot id when available,
-    else the path (content-addressed resume needs at least this)."""
-    if iceberg_available(spark) and "/" not in source:
+def current_snapshot_id(spark: SparkSession, source: str) -> int | None:
+    """Latest Iceberg snapshot id for a table identifier, else None."""
+    if iceberg_available(spark) and is_table_identifier(source):
         try:
             snap = (
                 spark.read.format("iceberg")
@@ -55,7 +74,16 @@ def snapshot_lineage(spark: SparkSession, source: str) -> str:
                 .select("snapshot_id")
                 .first()
             )
-            return f"iceberg:{source}@{snap['snapshot_id']}"
+            return int(snap["snapshot_id"])
         except Exception:
-            pass
+            return None
+    return None
+
+
+def snapshot_lineage(spark: SparkSession, source: str) -> str:
+    """Lineage string for manifests: Iceberg snapshot id when available,
+    else the path (content-addressed resume needs at least this)."""
+    sid = current_snapshot_id(spark, source)
+    if sid is not None:
+        return f"iceberg:{source}@{sid}"
     return f"path:{source}"

@@ -15,7 +15,7 @@ dynamic-partition parquet layout as the batch job.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from h2spark.core.extract import CompiledStruct, compile_spec
 from h2spark.core.spec import StructSpec
@@ -26,6 +26,24 @@ SPANS_DDL = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
+
+
+def make_batch_writer(out_dir: str):
+    """The idempotent micro-batch sink: a batch re-executed after a
+    crash between sink commit and checkpoint commit OVERWRITES its own
+    ingest_batch partition instead of appending duplicates
+    (exactly-once = replayable source + idempotent sink)."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "ckpt_bucket")
+            .parquet(f"{out_dir}/data")
+        )
+
+    return write_batch
 
 
 def run_streaming_extraction(
@@ -62,15 +80,8 @@ def run_streaming_extraction(
         keep=("doc_id", "ckpt_bucket"),
     )
 
-    def write_batch(batch_df, batch_id: int) -> None:
-        (
-            batch_df.write.mode("append")
-            .partitionBy("ckpt_bucket")
-            .parquet(f"{out_dir}/data")
-        )
-
     writer = (
-        extracted.writeStream.foreachBatch(write_batch)
+        extracted.writeStream.foreachBatch(make_batch_writer(out_dir))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -107,3 +107,59 @@ def test_rerun_of_complete_job_is_noop(spark, tmp_path):
     s = run_extraction_job(spark, docs, PAGE_SPEC, out, n_buckets=4)
     assert s["ran_waves"] == []
     assert _data_files(out) == files
+
+
+def test_resume_refuses_config_mismatch(spark, tmp_path):
+    import pytest
+
+    from h2spark.core.spec import ONE, Field, Scalar, StructSpec
+    from h2spark.pipeline.manifests import ResumeMismatch
+
+    out = str(tmp_path / "out")
+    docs = corpus_df(spark, 20, n_partitions=2)
+    run_extraction_job(spark, docs, PAGE_SPEC, out, n_buckets=4)
+
+    # different bucket count: bucket membership changes -> refuse
+    with pytest.raises(ResumeMismatch):
+        run_extraction_job(spark, docs, PAGE_SPEC, out, n_buckets=8)
+
+    # different spec: manifests vouch for the wrong data -> refuse
+    other = StructSpec("Other", [Field("t", Scalar("String"), ONE, select="body")])
+    with pytest.raises(ResumeMismatch):
+        run_extraction_job(spark, docs, other, out, n_buckets=4)
+
+    # same config: resume is a no-op
+    s = run_extraction_job(spark, docs, PAGE_SPEC, out, n_buckets=4)
+    assert s["ran_waves"] == []
+
+
+def test_job_handles_empty_input(spark, tmp_path):
+    out = str(tmp_path / "out")
+    empty = corpus_df(spark, 1, n_partitions=1).where("doc_id = 'nope'")
+    s = run_extraction_job(spark, empty, PAGE_SPEC, out, n_buckets=4)
+    assert s["completed"] == 4
+    assert s["n_docs"] == 0
+
+
+def test_kernel_total_over_null_span_fields(spark):
+    from h2spark.pipeline.kernel import extract_spans_arrow
+
+    df = spark.createDataFrame(
+        [
+            ("nullel", [None]),
+            ("nullfields", [("text", None, None, None)]),
+            ("mixed", [("text", "<html lang='x'><body></body></html>", "", 0),
+                       (None, None, None, None)]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    from h2spark.core.spec import ONE, Field, Scalar, StructSpec
+
+    spec = StructSpec("S", [Field("lang", Scalar("String"), ONE, attr="lang")])
+    rows = {r["doc_id"]: r for r in extract_spans_arrow(df, spec).collect()}
+    # no task failure; every row has exactly one of spans_out/error
+    for r in rows.values():
+        assert (r["spans_out"] is None) != (r["error"] is None)
+    assert rows["mixed"]["error"] is None
+    assert rows["mixed"]["spans_out"][0]["text"] == "x"

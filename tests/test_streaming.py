@@ -43,6 +43,21 @@ def test_streaming_extraction_incremental(spark, tmp_path):
     q.awaitTermination(120)
     assert spark.read.parquet(f"{out_dir}/data").count() == 30
 
-    # output is partitioned by ckpt_bucket for downstream pruning
-    parts = [p for p in os.listdir(f"{out_dir}/data") if p.startswith("ckpt_bucket=")]
-    assert parts
+    # crash-replay simulation: re-execute a micro-batch through the sink
+    # with the same batch_id (what a restart does when the epoch commit
+    # was lost) — the idempotent sink must overwrite, not duplicate
+    from h2spark.pipeline.streaming import make_batch_writer
+
+    data = spark.read.parquet(f"{out_dir}/data")
+    batch1 = data.where(F.col("ingest_batch") == 1).drop("ingest_batch")
+    writer = make_batch_writer(out_dir)
+    writer(batch1, 1)  # replay
+    replayed = spark.read.parquet(f"{out_dir}/data")
+    assert replayed.count() == 30  # exactly-once: replay overwrote itself
+    assert replayed.select("doc_id").distinct().count() == 30
+
+    # output layout: ingest_batch (idempotent replay unit) / ckpt_bucket
+    batches = [p for p in os.listdir(f"{out_dir}/data") if p.startswith("ingest_batch=")]
+    assert batches
+    inner = os.listdir(os.path.join(f"{out_dir}/data", batches[0]))
+    assert any(p.startswith("ckpt_bucket=") for p in inner)
