@@ -17,6 +17,10 @@ from h2spark.core.extract import (
     compile_spec, CompiledStruct, SpecError, apply_struct, extract_html,
 )
 from h2spark.core.flatten import flatten_raw, flatten_document
+from h2spark.core.boilerplate import extract_main_text
+from h2spark.core.specjson import (
+    register_custom, spec_from_dict, spec_from_json, spec_to_dict, spec_to_json,
+)
 
 __all__ = [
     "Document", "Element", "Text", "Comment", "Doctype",
@@ -28,4 +32,7 @@ __all__ = [
     "compile_spec", "CompiledStruct", "SpecError", "apply_struct",
     "extract_html",
     "flatten_raw", "flatten_document",
+    "extract_main_text",
+    "register_custom", "spec_from_dict", "spec_from_json",
+    "spec_to_dict", "spec_to_json",
 ]
