@@ -221,3 +221,62 @@ ORACLES = {
     "text_quality_score": ORACLE_QUALITY,
     "text_fingerprint": ORACLE_FINGERPRINT,
 }
+
+
+# --- global term statistics (vocabulary / document frequency) ------------
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term statistics: top-50 terms by document frequency
+    with collection frequency — the vocabulary scan every tokenizer/
+    filter-list pipeline starts from. One explode + one shuffle."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = d.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    ).where(F.length("term") > 0)
+    stats = (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            F.count("*").cast("long").alias("coll_freq"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("doc_freq").desc(), F.col("coll_freq").desc(), F.col("term")
+    )
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 50)
+        .select("rank", "term", "doc_freq", "coll_freq")
+        .orderBy("rank")
+    )
+
+
+ORACLE_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+  FROM documents
+),
+stats AS (
+  SELECT term,
+         count(DISTINCT doc_id)::BIGINT AS doc_freq,
+         count(*)::BIGINT AS coll_freq
+  FROM toks WHERE length(term) > 0
+  GROUP BY term
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      ORDER BY doc_freq DESC, coll_freq DESC, term) AS rank
+  FROM stats
+)
+SELECT rank::BIGINT AS rank, term, doc_freq, coll_freq
+FROM ranked WHERE rank <= 50 ORDER BY rank
+"""
+
+QUERIES["text_top_terms"] = q_top_terms
+ORACLES["text_top_terms"] = ORACLE_TOP_TERMS
