@@ -207,6 +207,14 @@ class _Builder:
                     tok[1], tok[2], push=not self._foreign_self_closes(tok)
                 )
                 return
+            elif (
+                kind == "end"
+                and len(self.stack) > 2
+                and self.stack[-1].tag == tok[1]
+            ):
+                # well-formed case: the end tag matches the open element
+                self.stack.pop()
+                return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
         if self.stack and self.stack[-1].tag in _TEXT_CONTENT:
