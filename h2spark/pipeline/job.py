@@ -51,12 +51,19 @@ def run_extraction_job(
     n_partitions: int | None = None,
     input_lineage: str = "",
     max_waves: int | None = None,
+    persist_input: bool = False,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict.
 
     ``max_waves`` exists for the resume test: stop after k waves as if
     the job was killed; a subsequent call resumes without recomputing
     completed buckets.
+
+    ``persist_input``: cache the bucketed input across waves — each
+    wave otherwise re-scans the source (measured 3.2k vs 9.3k docs/s
+    at 250k docs / 4 waves). Only for inputs that fit cluster memory;
+    at the 10^12-doc design point use an Iceberg input partitioned by
+    bucket(doc_id) instead, which prunes each wave's scan for free.
     """
     cs = compile_spec(spec)  # validates selectors driver-side, once
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
@@ -76,6 +83,8 @@ def run_extraction_job(
     )
 
     docs = with_ckpt_bucket(docs, n_buckets)
+    if persist_input:
+        docs = docs.persist()
     done = completed_buckets(out_dir, spark=spark)
     todo = [b for b in range(n_buckets) if b not in done]
     waves = [
@@ -144,6 +153,8 @@ def run_extraction_job(
             )
         ran.append(wave)
 
+    if persist_input:
+        docs.unpersist()
     all_done = completed_buckets(out_dir, spark=spark)
     return {
         "job_id": job_id,
