@@ -4,7 +4,7 @@ Env:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default: all cores)
   H2SPARK_BENCH_DOCS   synthetic-corpus size for the extraction
-                       throughput query (default 12000)
+                       throughput query (default 24000)
 
 Queries:
   q1_flagship_sf       flagship interleaved-span extraction over the

@@ -36,7 +36,7 @@ VOID_ELEMENTS = frozenset(
 _HEAD_ELEMENTS = frozenset(
     {
         "base", "basefont", "bgsound", "link", "meta", "title",
-        "noframes", "style", "script", "template",
+        "noframes", "noscript", "style", "script", "template",
     }
 )
 

@@ -84,6 +84,7 @@ class _FS:
             if spark is None:
                 raise ValueError(f"need a SparkSession for remote path {base!r}")
             jvm = spark._jvm
+            self._jvm = jvm
             self._jpath = jvm.org.apache.hadoop.fs.Path
             self._fs = self._jpath(base).getFileSystem(
                 spark._jsc.hadoopConfiguration()
@@ -101,16 +102,14 @@ class _FS:
         if not self.remote:
             with open(path) as f:
                 return f.read()
+        # py4j passes byte-array ARGUMENTS by value: stream.read(buf)
+        # fills a JVM-side copy and the Python bytearray stays NULs. Use
+        # an API that RETURNS the bytes instead (py4j converts a returned
+        # byte[] to Python bytes).
         stream = self._fs.open(self._jpath(path))
         try:
-            out = bytearray()
-            buf = bytearray(65536)
-            while True:
-                n = stream.read(buf)
-                if n <= 0:
-                    break
-                out += buf[:n]
-            return out.decode("utf-8")
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
         finally:
             stream.close()
 
@@ -184,9 +183,10 @@ def check_job_manifest(out_dir: str, jm: JobManifest, spark=None) -> None:
     """Validate (or establish) the run configuration for this out_dir.
 
     Raises ResumeMismatch when an existing job manifest disagrees on
-    spec_name or n_buckets — resuming under either change corrupts the
-    output (bucket membership moves with n_buckets; bucket manifests
-    from another spec vouch for the wrong data).
+    spec_name, n_buckets, or input_lineage — resuming under any of these
+    changes corrupts the output (bucket membership moves with n_buckets;
+    bucket manifests from another spec or another input snapshot vouch
+    for the wrong data).
     """
     fs = _FS(spark, out_dir)
     path = f"{manifest_dir(out_dir)}/job.json"
@@ -196,12 +196,17 @@ def check_job_manifest(out_dir: str, jm: JobManifest, spark=None) -> None:
         except (ValueError, TypeError, KeyError):
             prev = None
         if prev is not None:
-            if prev.spec_name != jm.spec_name or prev.n_buckets != jm.n_buckets:
+            if (
+                prev.spec_name != jm.spec_name
+                or prev.n_buckets != jm.n_buckets
+                or prev.input_lineage != jm.input_lineage
+            ):
                 raise ResumeMismatch(
                     f"out_dir {out_dir!r} was produced by spec="
-                    f"{prev.spec_name!r} n_buckets={prev.n_buckets}; "
-                    f"refusing to resume with spec={jm.spec_name!r} "
-                    f"n_buckets={jm.n_buckets}"
+                    f"{prev.spec_name!r} n_buckets={prev.n_buckets} "
+                    f"input={prev.input_lineage!r}; refusing to resume "
+                    f"with spec={jm.spec_name!r} n_buckets={jm.n_buckets} "
+                    f"input={jm.input_lineage!r}"
                 )
             return  # same config: resume allowed, keep original manifest
     fs.write_atomic(path, json.dumps(asdict(jm), indent=1))
