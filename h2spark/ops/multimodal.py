@@ -92,8 +92,9 @@ def decode_media_meta(df: DataFrame) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract query (rows-only check: binary synthesis +
-    mapInPandas decode are not expressible in DuckDB SQL)."""
+    """Driver-contract query. The fake decode is deterministic sha256 +
+    modular arithmetic, so DuckDB CAN replay the whole chain (synthesis
+    included) — full rows/schema/hash oracle, not rows-only."""
     meta = decode_media_meta(synth_media_df(spark, n=64))
     return (
         meta.groupBy("kind")
@@ -106,8 +107,30 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of synth_media_df + _fake_decode: the blob is
+# repeat(sha256_hex(ref), id%7+1) utf-8 text, so byte length == char
+# length and DuckDB's sha256(varchar) hashes the same bytes hashlib sees.
+ORACLE_MULTIMODAL_META = """
+WITH base AS (
+  SELECT id,
+         CASE CAST(id % 3 AS INTEGER)
+              WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (id % 7 + 1) AS reps
+  FROM range(0, 64) t(id)
+),
+blobs AS (
+  SELECT kind,
+         repeat(sha256('media://' || kind || '/' || id), reps) AS blob
+  FROM base
+)
+SELECT kind, count(*)::BIGINT AS n_media,
+       sum(length(blob))::BIGINT AS total_bytes,
+       count(DISTINCT sha256(blob))::BIGINT AS n_distinct
+FROM blobs GROUP BY kind ORDER BY kind
+"""
+
 QUERIES = {"multimodal_decode_meta": q_multimodal_meta}
-ORACLES: dict[str, str] = {}  # rows-only: no SQL-expressible oracle
+ORACLES: dict[str, str] = {"multimodal_decode_meta": ORACLE_MULTIMODAL_META}
 
 
 # --- PDF / layout parse plumbing (north_rule: "PDF/layout parse") -------
@@ -172,8 +195,9 @@ def parse_pdf_layout(df: DataFrame) -> DataFrame:
 
 
 def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract query (rows-only): layout-parse plumbing over the
-    synthetic binary table."""
+    """Driver-contract query: layout-parse plumbing over the synthetic
+    binary table. The fake layout derives page/block counts from sha256
+    digest bytes — DuckDB replays the arithmetic (full oracle)."""
     lay = parse_pdf_layout(synth_media_df(spark, n=48))
     return (
         lay.select(
@@ -187,4 +211,36 @@ def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of _fake_layout aggregated per doc: digest byte j is the
+# hex pair at 2j+1..2j+2; n_pages = b0%4+1, blocks/page = b1%3+1, text
+# blocks/page = ceil(bpp/2) (even block indices are 'text').
+ORACLE_PDF_LAYOUT = """
+WITH base AS (
+  SELECT id,
+         CASE CAST(id % 3 AS INTEGER)
+              WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         (id % 7 + 1) AS reps
+  FROM range(0, 48) t(id)
+),
+hh AS (
+  SELECT 'media://' || kind || '/' || id AS doc_ref,
+         sha256(repeat(sha256('media://' || kind || '/' || id), reps)) AS h
+  FROM base
+),
+bytes AS (
+  SELECT doc_ref,
+         (strpos('0123456789abcdef', h[1:1]) - 1) * 16
+           + (strpos('0123456789abcdef', h[2:2]) - 1) AS b0,
+         (strpos('0123456789abcdef', h[3:3]) - 1) * 16
+           + (strpos('0123456789abcdef', h[4:4]) - 1) AS b1
+  FROM hh
+)
+SELECT doc_ref,
+       (b0 % 4 + 1)::INTEGER AS n_pages,
+       ((b0 % 4 + 1) * (b1 % 3 + 1))::INTEGER AS n_blocks,
+       ((b0 % 4 + 1) * ((b1 % 3 + 2) // 2))::INTEGER AS n_text_blocks
+FROM bytes ORDER BY doc_ref
+"""
+
 QUERIES["pdf_layout_parse"] = q_pdf_layout
+ORACLES["pdf_layout_parse"] = ORACLE_PDF_LAYOUT

@@ -4,12 +4,24 @@
   correctness baseline): broadcast the (small) query side, cross join,
   window rank. At scale: queries are always the broadcast side; the
   corpus side streams — one pass, no shuffle of the big table.
-- ann_ivf_topk — the scale path: a coarse IVF quantizer. K centroid
-  vectors (deterministically the first K vec_ids) are broadcast; every
-  vector is assigned to its nearest centroid (one scan); queries probe
-  only their own cell. At 10^12 vectors the probe touches ~1/K of the
-  corpus; with ``nprobe`` cells it is tunable recall vs cost. Assignment
-  is pure arithmetic -> DuckDB oracle reproduces it exactly.
+- ann_ivf_topk — the scale path: a TRAINED coarse IVF quantizer.
+  Deterministic Lloyd's k-means over integer-quantized embeddings
+  (floor(x*1e6)): seeded init from the K vec_ids with the smallest
+  md5(vec_id), a fixed number of iterations, centroids re-quantized to
+  integers each step so every distance is an exact integer dot product —
+  bit-for-bit identical across engines and row orders (float sums are
+  order-dependent; integer sums are not). Each Lloyd step broadcasts the
+  K centroids (driver collect of K rows — the standard Spark k-means
+  shape); assignment is a per-row codegen argmax, no shuffle of the
+  corpus. Queries probe their ``nprobe`` nearest cells and candidates
+  are re-scored with the exact cosine.
+
+  Parameter honesty: the sandbox embeddings are near-uniform on the
+  sphere (within-label cosine ~0.002), the hostile case for any IVF —
+  recall 0.9 needs nprobe=10 of K=16 cells (~62% of the corpus scanned,
+  measured in tests/test_similarity_quality.py). On real clustered
+  embeddings the same code prunes much harder at equal recall; the knobs
+  are (K, nprobe).
 
 Cosines are computed in double on both engines with identical
 left-to-right folds, rounded to 6 decimals before ranking so rank order
@@ -18,11 +30,17 @@ is engine-independent; ties break on vec_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 _N_QUERIES = 5     # first N vec_ids are the query set
 _TOP_K = 10
-_N_CENTROIDS = 8   # IVF cells (first N vec_ids double as centroids)
+_N_CENTROIDS = 16  # IVF cells (trained k-means)
+_IVF_ITERS = 4     # fixed Lloyd iterations (deterministic)
+_NPROBE = 10       # cells probed per query
+_IVF_DIM = 64
+_IVF_SCALE = 1_000_000  # float32 -> integer quantization
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,50 +93,121 @@ ORDER BY query_id, rank
 """
 
 
+_QUANT = (
+    f"transform(embedding, x -> cast(floor(cast(x as double) * {_IVF_SCALE}.0)"
+    " as bigint))"
+)
+
+
+def _cos_to_centroid(qcol: str, cq: list[int]) -> Column:
+    """round-6 cosine between the integer-quantized vector column and a
+    literal integer centroid: dot and norms are EXACT integers, so the
+    value is identical in any engine / any row order."""
+    lits = F.array(*[F.lit(int(v)) for v in cq])
+    dot = F.aggregate(
+        F.zip_with(F.col(qcol), lits, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("double")
+    qn = F.sqrt(
+        F.aggregate(
+            F.col(qcol), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    cn = F.sqrt(F.lit(int(sum(v * v for v in cq))).cast("double"))
+    return F.round(dot / (qn * cn), 6)
+
+
+def _argmax_cell(qcol: str, cents: list[list[int]]) -> Column:
+    """cell id of the max-cosine centroid, ties to the smallest id —
+    a per-row codegen expression, no shuffle, no window."""
+    entries = [
+        F.struct(_cos_to_centroid(qcol, cq).alias("c"), F.lit(-k).alias("nk"))
+        for k, cq in enumerate(cents)
+    ]
+    # max struct = max cosine, then max(-k) = min k
+    return (F.array_max(F.array(*entries))["nk"] * -1).cast("int")
+
+
+def train_ivf_centroids(
+    qe: DataFrame, k: int = _N_CENTROIDS, iters: int = _IVF_ITERS
+) -> list[list[int]]:
+    """Deterministic Lloyd's k-means over quantized vectors; returns K
+    integer centroids. Init: the K vec_ids with the smallest
+    md5(vec_id) (a seeded, order-free sample). Update: per-dim integer
+    sums (order-free), centroid re-quantized via floor(sum/cnt) in
+    double (exact: |sum| < 2^53). Empty cells keep their centroid."""
+    init = (
+        qe.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("q")
+        .collect()
+    )
+    cents = [list(r["q"]) for r in init]
+    for _ in range(iters):
+        assigned = qe.withColumn("cell", _argmax_cell("q", cents))
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[
+                    F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                    for i in range(_IVF_DIM)
+                ],
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: r for r in stats}
+        cents = [
+            [
+                math.floor(float(by_cell[ki][f"s{i}"]) / by_cell[ki]["cnt"])
+                for i in range(_IVF_DIM)
+            ]
+            if ki in by_cell
+            else cents[ki]
+            for ki in range(k)
+        ]
+    return cents
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe: rank candidates only within the query's centroid cell."""
+    """IVF probe with trained centroids: queries rank all K centroids,
+    probe the nprobe nearest cells, and re-score candidates exactly."""
     e = _emb(spark, sf_dir)
-    cent = e.where(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cent")
+    qe = e.select("vec_id", "embedding", F.expr(_QUANT).alias("q"))
+    cents = train_ivf_centroids(qe)
+
+    assigned = qe.select("vec_id", _argmax_cell("q", cents).alias("cell"))
+    # per-query probe list: sort (cosine, -k) desc => cosine desc, k asc
+    probe_entries = F.array(
+        *[
+            F.struct(_cos_to_centroid("q", cq).alias("c"), F.lit(-k).alias("nk"))
+            for k, cq in enumerate(cents)
+        ]
     )
-    # assign: argmax cosine over centroids (broadcast; deterministic
-    # tie-break on centroid_id)
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
+    probes = (
+        qe.where(F.col("vec_id") < _N_QUERIES)
         .select(
-            "vec_id",
-            "embedding",
-            "centroid_id",
-            F.round(_cos("embedding", "cent"), 6).alias("ccos"),
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(probe_entries)), 1, _NPROBE)
+            ).alias("p"),
         )
-        .withColumn(
-            "arank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), F.col("centroid_id")
-                )
-            ),
-        )
-        .where(F.col("arank") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("query_id", (F.col("p.nk") * -1).cast("int").alias("cell"))
     )
-    q = assigned.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("centroid_id").alias("cell"),
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
     )
-    c = assigned.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("ce"),
-        F.col("centroid_id").alias("cell"),
-    )
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ec = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
     scored = (
-        F.broadcast(q)
-        .join(c, "cell")
-        .where(F.col("query_id") != F.col("cand_id"))
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ec, "cand_id")
         .select(
-            "query_id", "cand_id",
-            F.round(_cos("qe", "ce"), 6).alias("cosine"),
+            "query_id", "cand_id", F.round(_cos("qv", "cv"), 6).alias("cosine")
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -131,34 +220,102 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ANN_IVF = f"""
-WITH assigned AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.vec_id AS centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round({_COS_DUCK.format(a="e.embedding", b="c.embedding")}, 6) DESC,
-                      c.vec_id) AS arank
-    FROM embeddings e
-    JOIN embeddings c ON c.vec_id < {_N_CENTROIDS}
-  ) WHERE arank = 1
-),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         round({_COS_DUCK.format(a="q.embedding", b="c.embedding")}, 6) AS cosine
-  FROM assigned q JOIN assigned c
-    ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < {_N_QUERIES}
-),
-ranked AS (
+def _oracle_ann_ivf() -> str:
+    """Generate the DuckDB twin: the same quantization, init, fixed
+    Lloyd iterations, probe and re-score — unrolled as CTE steps."""
+    k, nq, np_, top = _N_CENTROIDS, _N_QUERIES, _NPROBE, _TOP_K
+    int_cos = """round((SELECT sum(x*y) FROM (SELECT unnest(v.q) AS x, unnest(c.cq) AS y))
+             / (sqrt((SELECT sum(x*x) FROM (SELECT unnest(v.q) AS x)))
+              * sqrt((SELECT sum(y*y) FROM (SELECT unnest(c.cq) AS y)))), 6)"""
+    steps = [
+        f"""qtab AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"""cent0 AS (
+  SELECT rn - 1 AS centroid_id, q AS cq FROM (
+    SELECT q, row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM qtab
+  ) WHERE rn <= {k}
+)""",
+    ]
+    for t in range(_IVF_ITERS):
+        steps.append(f"""a{t} AS (
+  SELECT vec_id, q, centroid_id FROM (
+    SELECT vec_id, q, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosim DESC, centroid_id) AS rn
+    FROM (
+      SELECT v.vec_id, v.q, c.centroid_id, {int_cos} AS cosim
+      FROM qtab v CROSS JOIN cent{t} c
+    )
+  ) WHERE rn = 1
+)""")
+        steps.append(f"""u{t} AS (
+  SELECT centroid_id,
+         list(CAST(floor(CAST(s AS DOUBLE) / cnt) AS BIGINT) ORDER BY i) AS cq
+  FROM (
+    SELECT centroid_id, i, sum(qi) AS s, count(*) AS cnt
+    FROM (SELECT centroid_id, generate_subscripts(q, 1) AS i, unnest(q) AS qi
+          FROM a{t})
+    GROUP BY 1, 2
+  ) GROUP BY centroid_id
+)""")
+        steps.append(f"""cent{t + 1} AS (
+  SELECT c.centroid_id, COALESCE(u.cq, c.cq) AS cq
+  FROM cent{t} c LEFT JOIN u{t} u USING (centroid_id)
+)""")
+    ct = f"cent{_IVF_ITERS}"
+    steps.append(f"""afinal AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosim DESC, centroid_id) AS rn
+    FROM (
+      SELECT v.vec_id, c.centroid_id, {int_cos} AS cosim
+      FROM qtab v CROSS JOIN {ct} c
+    )
+  ) WHERE rn = 1
+)""")
+    steps.append(f"""probes AS (
+  SELECT vec_id AS query_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosim DESC, centroid_id) AS rn
+    FROM (
+      SELECT v.vec_id, c.centroid_id, {int_cos} AS cosim
+      FROM qtab v CROSS JOIN {ct} c WHERE v.vec_id < {nq}
+    )
+  ) WHERE rn <= {np_}
+)""")
+    steps.append(f"""scored AS (
+  SELECT p.query_id, a.vec_id AS cand_id,
+         round({_COS_DUCK.format(a="q.embedding", b="d.embedding")}, 6) AS cosine
+  FROM probes p
+  JOIN afinal a ON a.centroid_id = p.cell AND a.vec_id <> p.query_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings d ON d.vec_id = a.vec_id
+)""")
+    steps.append(f"""ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, cand_id) AS rank
   FROM scored
-)
+)""")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
 SELECT query_id, cand_id, cosine, rank::BIGINT AS rank
-FROM ranked WHERE rank <= {_TOP_K}
+FROM ranked WHERE rank <= {top}
 ORDER BY query_id, rank
 """
+    )
+
+
+ORACLE_ANN_IVF = _oracle_ann_ivf()
 
 
 QUERIES = {

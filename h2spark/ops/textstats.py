@@ -229,7 +229,14 @@ ORACLES = {
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level term statistics: top-50 terms by document frequency
     with collection frequency — the vocabulary scan every tokenizer/
-    filter-list pipeline starts from. One explode + one shuffle."""
+    filter-list pipeline starts from. One explode + one shuffle.
+
+    Top-k via ``orderBy(...).limit(50)`` so Catalyst compiles it to
+    TakeOrderedAndProject (per-partition top-50 + driver merge) — a
+    global no-partitionBy Window would move every distinct term (web
+    scale: billions) to ONE partition just to rank the first 50. The
+    rank column is derived on the already-limited 50 rows.
+    """
     d = _docs(spark, sf_dir)
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     toks = d.select(
@@ -242,14 +249,17 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("coll_freq"),
         )
     )
+    top = stats.orderBy(
+        F.col("doc_freq").desc(), F.col("coll_freq").desc(), F.col("term")
+    ).limit(50)
     from pyspark.sql import Window
 
+    # window over <=50 rows post-limit: single tiny partition by design
     w = Window.orderBy(
         F.col("doc_freq").desc(), F.col("coll_freq").desc(), F.col("term")
     )
     return (
-        stats.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "term", "doc_freq", "coll_freq")
         .orderBy("rank")
     )

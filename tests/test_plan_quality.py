@@ -69,6 +69,18 @@ def test_salted_repartition_keeps_requested_parallelism(spark):
     assert max(counts.values()) <= 2 * mean
 
 
+def test_top_terms_is_take_ordered_not_global_window(spark):
+    plan = _formatted(textstats.q_top_terms(spark, SF), spark)
+    # the vocabulary top-50 must be a per-partition top-k + merge, never
+    # a single-partition global sort/window over every distinct term
+    assert "TakeOrderedAndProject" in plan
+    # the only Window sits ABOVE the take-ordered limit (<=50 rows), so
+    # the full vocab never hits a single-partition exchange before it
+    take_pos = plan.index("TakeOrderedAndProject")
+    win_pos = plan.find("Window")
+    assert win_pos == -1 or win_pos < take_pos  # formatted plan lists top-down
+
+
 def test_textstats_stay_jvm_side(spark):
     # no Python evaluation nodes in the pure-expression operators
     for q in (textstats.q_token_count, textstats.q_quality_score,
