@@ -2,8 +2,9 @@
 
 ``entry(spark)`` runs the flagship interleaved-span extraction on
 sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
-operator family (SURVEY.md §2) with DuckDB oracle twins where
-SQL-expressible (all but the mapInPandas multimodal stage).
+operator family (SURVEY.md §2), each with a DuckDB oracle twin (the
+mapInPandas multimodal stages included — their deterministic fake
+codecs are sha256 + modular arithmetic, replayable in SQL).
 """
 
 from __future__ import annotations

@@ -7,10 +7,13 @@ selectors-0.24 crate exposes and the corpus uses
 (SURVEY.md §2.1 #6): type, universal, class, id, attribute
 ([a], [a=v], [a~=v], [a|=v], [a^=v], [a$=v], [a*=v]), compound,
 descendant / child / adjacent / general-sibling combinators,
-selector lists (commas), and the structural pseudo-classes
+selector lists (commas), the structural pseudo-classes
 :nth-child / :nth-last-child / :nth-of-type / :nth-last-of-type /
 :first-child / :last-child / :first-of-type / :last-of-type /
-:only-child / :root / :empty / :not(...).
+:only-child / :root / :empty / :not(...), and the level-4 logical
+pseudo-classes :is(...) / :where(...) (full selector lists) and
+:has(...) (descendant-relative lists, plus single-compound
+child-relative ``:has(> x)``).
 
 Matching semantics pinned by reference tests
 (src/backend/scraper.rs:133-171): ``select`` yields **descendants only**
@@ -67,6 +70,8 @@ class PseudoTest:
     a: int = 0          # an+b for nth-*
     b: int = 0
     inner: tuple = ()   # compiled compounds for :not
+    complexes: tuple = ()  # compiled Complex list for :is/:where/:has
+    rel: str = " "      # :has relative combinator (' ' or '>')
 
 
 @dataclass(frozen=True)
@@ -297,28 +302,67 @@ class _Parser:
             return PseudoTest(name, a, b)
         if name == "not":
             return PseudoTest("not", inner=self._not_args())
+        if name in ("is", "where"):
+            body = self._paren_body()
+            try:
+                inner = _Parser(body).parse().complexes
+            except SelectorParseError as e:
+                raise self.error(f"in :{name}(): {e}") from None
+            return PseudoTest(name, complexes=inner)
+        if name == "has":
+            body = self._paren_body()
+            rel = " "
+            b = body.strip()
+            if b.startswith(">"):
+                rel = ">"
+                b = b[1:].strip()
+            elif b.startswith(("+", "~")):
+                raise self.error(
+                    ":has() sibling-relative selectors are not supported"
+                )
+            try:
+                inner = _Parser(b).parse().complexes
+            except SelectorParseError as e:
+                raise self.error(f"in :has(): {e}") from None
+            if rel == ">" and any(len(c.compounds) > 1 for c in inner):
+                raise self.error(
+                    ":has(> ...) supports single compounds only"
+                )
+            return PseudoTest("has", complexes=inner, rel=rel)
         raise self.error(f"unsupported pseudo-class :{name}")
 
-    def _nth_args(self) -> tuple[int, int]:
+    def _paren_body(self) -> str:
+        """Extract a balanced '(...)' argument (nested parens + quoted
+        strings respected); leaves pos just past the ')'."""
         s = self.s
         if self.pos >= len(s) or s[self.pos] != "(":
             raise self.error("expected '('")
-        end = s.find(")", self.pos)
-        if end < 0:
-            raise self.error("expected ')'")
-        body = s[self.pos + 1:end].strip().lower()
-        self.pos = end + 1
+        depth = 0
+        i = self.pos
+        while i < len(s):
+            c = s[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    body = s[self.pos + 1:i]
+                    self.pos = i + 1
+                    return body
+            elif c in "\"'":
+                j = s.find(c, i + 1)
+                if j < 0:
+                    raise self.error("unterminated string")
+                i = j
+            i += 1
+        raise self.error("expected ')'")
+
+    def _nth_args(self) -> tuple[int, int]:
+        body = self._paren_body().strip().lower()
         return _parse_nth(body, self)
 
     def _not_args(self) -> tuple:
-        s = self.s
-        if self.pos >= len(s) or s[self.pos] != "(":
-            raise self.error("expected '('")
-        end = s.find(")", self.pos)
-        if end < 0:
-            raise self.error("expected ')'")
-        body = s[self.pos + 1:end]
-        self.pos = end + 1
+        body = self._paren_body()
         sub = _Parser(body)
         sub._ws()
         inner = []
@@ -417,10 +461,29 @@ def _match_compound(cp: Compound, el: Element) -> bool:
     return True
 
 
+def _match_complex(c: Complex, el: Element) -> bool:
+    return _match_compound(c.compounds[0], el) and _match_rest(c, 0, el)
+
+
 def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
     kind = ps.kind
     if kind == "not":
         return not any(_match_compound(c, el) for c in ps.inner)
+    if kind in ("is", "where"):
+        return any(_match_complex(c, el) for c in ps.complexes)
+    if kind == "has":
+        # relative-selector approximation consistent with the engine's
+        # select(): the anchor's subtree is searched, combinators may
+        # climb above it (no :scope anchoring — scraper.rs:54-56 parity)
+        if ps.rel == ">":
+            cands = [c for c in el.children if type(c) is Element]
+        else:
+            cands = el.iter_descendants()
+        for d in cands:
+            for c in ps.complexes:
+                if _match_complex(c, d):
+                    return True
+        return False
     if kind == "root":
         return el.parent is not None and type(el.parent).__name__ == "Document"
     if kind == "empty":

@@ -8,15 +8,23 @@ insertion, void elements, auto-closing (<p>, <li>, <dd>/<dt>, headings,
 adjacent-text merging, and comment/doctype placement. Rawtext/RCDATA
 content arrives pre-tokenized (tokenizer handles those states).
 
-Deliberate simplifications (documented, corpus-safe): no foster
-parenting / table insertion modes (table-related tags nest where they
-appear), no adoption agency for misnested formatting tags, no template/
-frameset handling. The reference gets full conformance from html5ever
-via scraper (/root/reference/src/backend/scraper.rs:16-22); parity is
-asserted on the reference's own corpus (fragments like
+Misnested formatting tags run the WHATWG adoption agency algorithm
+(active-formatting-elements list with markers + Noah's Ark,
+reconstruction before character/phrasing insertion), and content that
+is illegal directly inside <table>/<tbody>/<tr> is foster-parented
+before the table — the two behaviors real-web HTML exercises hardest
+(``<b><i>x</b>y</i>``, text in tables). The reference gets the same
+guarantees from html5ever via scraper
+(/root/reference/src/backend/scraper.rs:16-22); parity is asserted on
+the reference's own corpus (fragments like
 ``<div seconds="456">123</div>`` gain implied html/body wrappers —
 /root/reference/examples/custom_field_value.rs:30 — and
 ``root_element()`` is the <html> element, scraper.rs:30-33).
+
+Remaining deliberate simplifications (corpus-safe): no dedicated table
+insertion *modes* (structural table tags are handled via in-body
+auto-close rules + foster parenting rather than a mode machine), no
+template contents tree / frameset handling.
 """
 
 from __future__ import annotations
@@ -91,19 +99,85 @@ _SPECIAL_START = (
     | _HEADINGS
     | {
         "html", "body", "head", "li", "dd", "dt", "option", "optgroup",
-        "td", "th", "tr", "tbody", "thead", "tfoot", "a",
+        "td", "th", "tr", "tbody", "thead", "tfoot",
     }
 )
 
+# WHATWG formatting elements: tracked on the active-formatting-elements
+# list, reconstructed across block boundaries, reconciled by the
+# adoption agency algorithm on misnesting.
+_FORMATTING = frozenset(
+    {"a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+     "strike", "strong", "tt", "u"}
+)
+
+# Start tags that push a marker onto the active formatting list (their
+# contents never reconstruct formatting from outside).
+_MARKER_TAGS = frozenset(
+    {"applet", "caption", "marquee", "object", "template", "td", "th"}
+)
+
+# While one of these is the current node, inserting content that is not
+# legal table structure foster-parents it BEFORE the table.
+_TABLE_CONTEXT = frozenset({"table", "tbody", "tfoot", "thead", "tr"})
+
+# Tags that insert in place even when the current node is table context.
+_TABLE_ALLOWED = frozenset(
+    {"caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead",
+     "tr", "style", "script", "template", "form", "input"}
+)
+
+# table-structural tags: ignored by "in body" when no table is open
+# (WHATWG: "caption, col, colgroup, tbody, td, tfoot, th, thead, tr"
+# start tags in body are parse errors, token ignored)
+_TABLE_STRUCT = frozenset(
+    {"caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead",
+     "tr"}
+)
+
+# anything needing the slow in-body start path
+_SLOW_START = _SPECIAL_START | _FORMATTING | _MARKER_TAGS | _TABLE_STRUCT
+
+# marker sentinel for the active formatting list
+_MARKER = object()
+
+
+def _detach(node) -> None:
+    p = node.parent
+    if p is not None and type(p) is Element:
+        p.children.remove(node)
+    node.parent = None
+
+
+def _reindex(doc: Document) -> None:
+    """Recompute sibling indices after structural moves (adoption
+    agency / foster parenting). Indices are only consumed at select
+    time, so one O(tree) pass at end of parse keeps the hot build path
+    append-only."""
+    stack = [ch for ch in doc.children if type(ch) is Element]
+    while stack:
+        e = stack.pop()
+        n = 0
+        for i, ch in enumerate(e.children):
+            ch._idx = i
+            if type(ch) is Element:
+                ch.elem_idx = n
+                n += 1
+                stack.append(ch)
+
 
 class _Builder:
-    __slots__ = ("doc", "stack", "mode", "_saw_doctype")
+    __slots__ = ("doc", "stack", "mode", "_saw_doctype", "afe", "_moved")
 
     def __init__(self) -> None:
         self.doc = Document()
         self.stack: list[Element] = []
         self.mode = "initial"
         self._saw_doctype = False
+        # active formatting elements (Element | _MARKER), WHATWG 13.2.4.3
+        self.afe: list = []
+        # set on any structural move; triggers one re-index pass
+        self._moved = False
 
     # --- helpers --------------------------------------------------------
 
@@ -129,6 +203,15 @@ class _Builder:
         _doc_append(self.doc, el)
         self.stack.append(el)
 
+    def _pop_from(self, i: int) -> None:
+        """Pop stack[i:], clearing the formatting list to its marker for
+        every marker-scoped element (td/th/caption/object/...) popped —
+        an implicitly closed cell must not leak its formatting context."""
+        for e in self.stack[i:]:
+            if e.tag in _MARKER_TAGS:
+                self._clear_afe_to_marker()
+        del self.stack[i:]
+
     def _pop_until(self, name: str) -> bool:
         """If ``name`` is *in scope* on the stack, pop through it
         (implied end tags for everything above). A stray end tag never
@@ -138,7 +221,7 @@ class _Builder:
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
             if t == name:
-                del self.stack[i:]
+                self._pop_from(i)
                 return True
             if t in _SCOPE_BOUNDARY and name not in _SCOPE_BOUNDARY:
                 return False
@@ -163,6 +246,26 @@ class _Builder:
             if t in _LI_SCOPE_STOP:
                 return
 
+    def _table_in_scope(self) -> bool:
+        for e in reversed(self.stack):
+            t = e.tag
+            if t == "table":
+                return True
+            if t in ("html", "template"):
+                return False
+        return False
+
+    def _clear_to_table_context(self, stop: tuple) -> None:
+        """WHATWG "clear the stack back to a table (row/body) context":
+        pop until the current node is one of ``stop`` — this is what
+        evicts foster-parented phrasing elements from the stack when
+        the next structural table tag arrives."""
+        stack = self.stack
+        while stack[-1].tag not in stop:
+            e = stack.pop()
+            if e.tag in _MARKER_TAGS:
+                self._clear_afe_to_marker()
+
     def _foreign_self_closes(self, tok: tuple) -> bool:
         """HTML ignores the '/>' flag on non-void elements, EXCEPT in
         foreign content (svg/math), where <path/> really is empty."""
@@ -183,6 +286,275 @@ class _Builder:
             if k not in el.attrs:
                 el.attrs[k] = v
 
+    # --- active formatting elements + adoption agency --------------------
+    # (WHATWG 13.2.4.3 "the list of active formatting elements" and
+    # 13.2.6.4.7 "the adoption agency algorithm"; the reference inherits
+    # these from html5ever — /root/reference/src/backend/scraper.rs:16-22)
+
+    def _in_scope(self, name: str) -> bool:
+        for e in reversed(self.stack):
+            if e.tag == name:
+                return True
+            if e.tag in _SCOPE_BOUNDARY:
+                return False
+        return False
+
+    def _push_formatting(self, el: Element) -> None:
+        # Noah's Ark clause: at most 3 identical (tag, attrs) entries
+        # after the last marker; the EARLIEST is dropped.
+        afe = self.afe
+        matches = []
+        for i in range(len(afe) - 1, -1, -1):
+            e = afe[i]
+            if e is _MARKER:
+                break
+            if e.tag == el.tag and e.attrs == el.attrs:
+                matches.append(i)
+        if len(matches) >= 3:
+            del afe[matches[-1]]
+        afe.append(el)
+
+    def _clear_afe_to_marker(self) -> None:
+        afe = self.afe
+        while afe:
+            if afe.pop() is _MARKER:
+                return
+
+    def _reconstruct(self) -> None:
+        """Re-open formatting elements that were implicitly closed by a
+        block boundary: <b>x<p>y</p> — the <p> content re-enters <b>."""
+        afe = self.afe
+        if not afe:
+            return
+        stack = self.stack
+        e = afe[-1]
+        if e is _MARKER or e in stack:
+            return
+        i = len(afe) - 1
+        while i > 0:
+            i -= 1
+            e = afe[i]
+            if e is _MARKER or e in stack:
+                i += 1
+                break
+        for j in range(i, len(afe)):
+            entry = afe[j]
+            afe[j] = self._insert_element_body(
+                entry.tag, dict(entry.attrs), push=True
+            )
+
+    def _any_other_end_tag(self, name: str) -> None:
+        # WHATWG in-body "any other end tag": pop through a matching
+        # open element, but a special-category element blocks the walk
+        # (an unbalanced </i> can't close a <div>).
+        stack = self.stack
+        for i in range(len(stack) - 1, -1, -1):
+            node = stack[i]
+            if node.tag == name:
+                del stack[i:]
+                return
+            if node.tag in _SPECIAL_CATEGORY:
+                return
+
+    def _adoption_agency(self, subject: str) -> None:
+        stack, afe = self.stack, self.afe
+        cur = stack[-1]
+        if cur.tag == subject and cur not in afe:
+            stack.pop()
+            return
+        for _ in range(8):  # outer loop bound per spec
+            fmt = None
+            for i in range(len(afe) - 1, -1, -1):
+                e = afe[i]
+                if e is _MARKER:
+                    break
+                if e.tag == subject:
+                    fmt = e
+                    break
+            if fmt is None:
+                self._any_other_end_tag(subject)
+                return
+            if fmt not in stack:
+                afe.remove(fmt)
+                return
+            in_scope = False
+            for e in reversed(stack):
+                if e is fmt:
+                    in_scope = True
+                    break
+                if e.tag in _SCOPE_BOUNDARY:
+                    break
+            if not in_scope:
+                return  # parse error; ignore token
+            fmt_idx = stack.index(fmt)
+            furthest = None
+            for i in range(fmt_idx + 1, len(stack)):
+                if stack[i].tag in _SPECIAL_CATEGORY:
+                    furthest = stack[i]
+                    furthest_idx = i
+                    break
+            if furthest is None:
+                # nothing special below: plain pop-through
+                del stack[fmt_idx:]
+                afe.remove(fmt)
+                return
+            common = stack[fmt_idx - 1]
+            bookmark = afe.index(fmt)
+            node = last_node = furthest
+            node_idx = furthest_idx
+            inner = 0
+            while True:
+                inner += 1
+                node_idx -= 1
+                node = stack[node_idx]
+                if node is fmt:
+                    break
+                if inner > 3 and node in afe:
+                    k = afe.index(node)
+                    afe.remove(node)
+                    if k < bookmark:
+                        bookmark -= 1
+                if node not in afe:
+                    del stack[node_idx]
+                    continue
+                clone = Element(node.tag, dict(node.attrs))
+                k = afe.index(node)
+                afe[k] = clone
+                stack[node_idx] = clone
+                node = clone
+                if last_node is furthest:
+                    bookmark = k + 1
+                _detach(last_node)
+                node.append_child(last_node)
+                last_node = node
+            _detach(last_node)
+            if common.tag in _TABLE_CONTEXT:
+                self._foster_insert(last_node)
+            else:
+                common.append_child(last_node)
+            clone = Element(fmt.tag, dict(fmt.attrs))
+            for ch in furthest.children:
+                ch.parent = clone
+            clone.children = furthest.children
+            furthest.children = []
+            furthest.append_child(clone)
+            k = afe.index(fmt)
+            afe.remove(fmt)
+            if k < bookmark:
+                bookmark -= 1
+            afe.insert(bookmark, clone)
+            stack.remove(fmt)
+            stack.insert(stack.index(furthest) + 1, clone)
+            self._moved = True
+
+    # --- foster parenting -------------------------------------------------
+
+    def _foster_insert(self, node: Element) -> None:
+        """Insert ``node`` immediately before the last open <table> —
+        where content illegal inside a table lands (WHATWG "foster
+        parenting")."""
+        stack = self.stack
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == "table":
+                table = stack[i]
+                parent = table.parent
+                if type(parent) is Element:
+                    idx = parent.children.index(table)
+                    node.parent = parent
+                    parent.children.insert(idx, node)
+                    self._moved = True
+                else:
+                    stack[i - 1].append_child(node)
+                return
+        stack[-1].append_child(node)  # no table open (shouldn't happen)
+
+    def _foster_text(self, data: str) -> None:
+        stack = self.stack
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == "table":
+                table = stack[i]
+                parent = table.parent
+                if type(parent) is Element:
+                    idx = parent.children.index(table)
+                    prev = parent.children[idx - 1] if idx else None
+                    if type(prev) is Text:
+                        prev.data += data
+                    else:
+                        t = Text(data)
+                        t.parent = parent
+                        parent.children.insert(idx, t)
+                        self._moved = True
+                else:
+                    target = stack[i - 1]
+                    if target.children and type(target.children[-1]) is Text:
+                        target.children[-1].data += data
+                    else:
+                        target.append_child(Text(data))
+                return
+        self._append_text(data)
+
+    # --- body insertion (foster- and formatting-aware) --------------------
+
+    def _insert_element_body(
+        self, name: str, attrs: dict, push: bool = True
+    ) -> Element:
+        el = Element(name, attrs)
+        cur = self.stack[-1]
+        if cur.tag in _TABLE_CONTEXT and name not in _TABLE_ALLOWED:
+            self._foster_insert(el)
+        else:
+            cur.append_child(el)
+        if push and name not in VOID_ELEMENTS:
+            self.stack.append(el)
+        return el
+
+    def _insert_text_in_body(self, data: str) -> None:
+        cur = self.stack[-1]
+        if cur.tag in _TABLE_CONTEXT:
+            if not data.strip(_WS):
+                self._append_text(data)  # ws-only stays inside the table
+                return
+            self._reconstruct()  # may re-open formatting outside the table
+            if self.stack[-1].tag in _TABLE_CONTEXT:
+                self._foster_text(data)
+            else:
+                self._append_text(data)
+            return
+        if self.afe:
+            self._reconstruct()
+        self._append_text(data)
+
+    def _generic_start_in_body(self, tok: tuple) -> None:
+        if self.afe:
+            self._reconstruct()
+        self._insert_element_body(
+            tok[1], tok[2], push=not self._foreign_self_closes(tok)
+        )
+
+    def _start_formatting(self, name: str, attrs: dict) -> None:
+        afe, stack = self.afe, self.stack
+        if name == "a":
+            # an <a> already in the list: run the agency on it first
+            for i in range(len(afe) - 1, -1, -1):
+                e = afe[i]
+                if e is _MARKER:
+                    break
+                if e.tag == "a":
+                    self._adoption_agency("a")
+                    if e in afe:
+                        afe.remove(e)
+                    if e in stack:
+                        stack.remove(e)
+                    break
+        elif name == "nobr":
+            self._reconstruct()
+            if self._in_scope("nobr"):
+                self._adoption_agency("nobr")
+        if afe:
+            self._reconstruct()
+        el = self._insert_element_body(name, attrs, push=True)
+        self._push_formatting(el)
+
     # --- token dispatch -------------------------------------------------
 
     def feed(self, tok: tuple) -> None:
@@ -192,20 +564,26 @@ class _Builder:
             if kind == "text":
                 cur = self.stack[-1]
                 if cur.tag not in _TEXT_CONTENT:
-                    last = cur.children[-1] if cur.children else None
-                    if type(last) is Text:
-                        last.data += tok[1]
+                    if not self.afe and cur.tag not in _TABLE_CONTEXT:
+                        last = cur.children[-1] if cur.children else None
+                        if type(last) is Text:
+                            last.data += tok[1]
+                        else:
+                            cur.append_child(Text(tok[1]))
                     else:
-                        cur.append_child(Text(tok[1]))
+                        self._insert_text_in_body(tok[1])
                     return
             elif (
                 kind == "start"
-                and tok[1] not in _SPECIAL_START
+                and tok[1] not in _SLOW_START
                 and self.stack[-1].tag not in _TEXT_CONTENT
             ):
-                self._insert_element(
-                    tok[1], tok[2], push=not self._foreign_self_closes(tok)
-                )
+                if self.afe or self.stack[-1].tag in _TABLE_CONTEXT:
+                    self._generic_start_in_body(tok)
+                else:
+                    self._insert_element(
+                        tok[1], tok[2], push=not self._foreign_self_closes(tok)
+                    )
                 return
             elif (
                 kind == "end"
@@ -213,7 +591,15 @@ class _Builder:
                 and self.stack[-1].tag == tok[1]
             ):
                 # well-formed case: the end tag matches the open element
-                self.stack.pop()
+                el = self.stack.pop()
+                name = tok[1]
+                if name in _FORMATTING:
+                    # current==subject, nothing below it: the agency
+                    # reduces to pop + drop the list entry
+                    if el in self.afe:
+                        self.afe.remove(el)
+                elif name in _MARKER_TAGS:
+                    self._clear_afe_to_marker()
                 return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
@@ -371,7 +757,7 @@ class _Builder:
     def _mode_in_body(self, tok) -> bool:
         kind = tok[0]
         if kind == "text":
-            self._append_text(tok[1])
+            self._insert_text_in_body(tok[1])
             return True
         if kind == "comment":
             self._current().append_child(Comment(tok[1]))
@@ -380,11 +766,29 @@ class _Builder:
             return True
         if kind == "start":
             name, attrs = tok[1], tok[2]
-            if name not in _SPECIAL_START:
-                # fast path: ordinary element, no auto-close rules apply
-                self._insert_element(
+            if name in _FORMATTING:
+                self._start_formatting(name, attrs)
+                return True
+            if name in _TABLE_STRUCT and not self._table_in_scope():
+                return True  # stray table structure in body: ignored (spec)
+            if name in ("applet", "marquee", "object"):
+                if self.afe:
+                    self._reconstruct()
+                self._insert_element_body(
                     name, attrs, push=not self._foreign_self_closes(tok)
                 )
+                self.afe.append(_MARKER)
+                return True
+            if name in ("caption", "template"):
+                self._insert_element_body(
+                    name, attrs, push=not self._foreign_self_closes(tok)
+                )
+                self.afe.append(_MARKER)
+                return True
+            if name not in _SPECIAL_START:
+                # ordinary element ("any other start tag"): reconstruct
+                # formatting, then insert (foster-aware)
+                self._generic_start_in_body(tok)
                 return True
             if name == "html":
                 self._merge_attrs(self.stack[0], attrs)
@@ -400,6 +804,11 @@ class _Builder:
                 return True
             if name in _P_CLOSERS:
                 self._close_p()
+            if name == "table" and self._current().tag in _TABLE_CONTEXT:
+                # <table> while a table section is current: the open
+                # table is implicitly closed (spec "in table" reprocess);
+                # inside a cell (current=td/th) tables nest instead
+                self._pop_until("table")
             if name in _HEADINGS and self._current().tag in _HEADINGS:
                 self.stack.pop()
             if name == "li":
@@ -414,6 +823,12 @@ class _Builder:
                 if self._current().tag == "optgroup":
                     self.stack.pop()
             elif name in ("td", "th"):
+                # clear back to table-row context: pops fostered
+                # phrasing elements (they stay in the afe list); a table
+                # is guaranteed in scope (stray cells were ignored above)
+                self._clear_to_table_context(
+                    ("tr", "tbody", "thead", "tfoot", "table", "html")
+                )
                 self._close_li_like(("td", "th"))
                 if self._current().tag not in ("tr", "td", "th"):
                     # implied <tr> (and <tbody> above it) around stray cells
@@ -422,6 +837,9 @@ class _Builder:
                     if self._current().tag in ("tbody", "thead", "tfoot"):
                         self._insert_element("tr", {})
             elif name == "tr":
+                self._clear_to_table_context(
+                    ("tbody", "thead", "tfoot", "table", "html")
+                )
                 self._close_li_like(("tr", "td", "th"))
                 if self._current().tag == "tr":
                     self.stack.pop()
@@ -430,21 +848,15 @@ class _Builder:
                     # "table > tbody > tr", so must we
                     self._insert_element("tbody", {})
             elif name in ("tbody", "thead", "tfoot"):
+                self._clear_to_table_context(("table", "html"))
                 self._close_li_like(("tbody", "thead", "tfoot", "tr", "td", "th"))
                 if self._current().tag in ("tbody", "thead", "tfoot"):
                     self.stack.pop()
-            elif name == "a":
-                # adoption-agency approximation: close an open <a>
-                for i in range(len(self.stack) - 1, -1, -1):
-                    t = self.stack[i].tag
-                    if t == "a":
-                        del self.stack[i:]
-                        break
-                    if t in ("body", "html"):
-                        break
-            self._insert_element(
+            self._insert_element_body(
                 name, attrs, push=not self._foreign_self_closes(tok)
             )
+            if name in ("td", "th"):
+                self.afe.append(_MARKER)  # cell contents don't reconstruct
             return True
         if kind == "end":
             name = tok[1]
@@ -452,7 +864,9 @@ class _Builder:
                 self.mode = "after_body"
                 return True
             if name == "br":
-                self._insert_element("br", {})
+                if self.afe:
+                    self._reconstruct()
+                self._insert_element_body("br", {})
                 return True
             if name == "p":
                 # spec: no open p -> insert empty <p> then close it
@@ -463,10 +877,24 @@ class _Builder:
                         return True
                     if t in ("body", "html", "button", "table", "td", "th"):
                         break
-                self._insert_element("p", {})
+                self._insert_element_body("p", {})
                 self.stack.pop()
                 return True
-            self._pop_until(name)
+            if name in _FORMATTING:
+                self._adoption_agency(name)
+                return True
+            if name in _MARKER_TAGS:
+                # marker clearing happens inside _pop_from (covers the
+                # popped element itself plus any nested marker scopes)
+                self._pop_until(name)
+                return True
+            if name in ("table", "tbody", "thead", "tfoot", "tr"):
+                # table-structural end tags pop through open sections
+                # (tbody etc. are special-category, so the generic walk
+                # below would wrongly block </table> on an open <tbody>)
+                self._pop_until(name)
+                return True
+            self._any_other_end_tag(name)
             return True
         return True
 
@@ -510,4 +938,6 @@ def parse_document(html: str) -> Document:
     if b.mode == "after_head":
         b._insert_element("body", {})
         b.mode = "in_body"
+    if b._moved:
+        _reindex(b.doc)
     return b.doc

@@ -595,7 +595,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def duplicate_clusters(
     pairs: DataFrame,
     max_rounds: int = 100,
-    checkpoint_every: int = 10,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Resolve candidate pairs into duplicate clusters: connected
     components by min-label propagation, cluster id = smallest doc_id
@@ -604,13 +604,17 @@ def duplicate_clusters(
     Each round does one-hop neighbor-min propagation AND one pointer
     jump (label <- label-of-label), so a component of diameter d
     converges in O(log d) rounds, not O(d) — a 200-node near-dup chain
-    finishes in ~10 rounds. Every ``checkpoint_every`` rounds the label
-    table is localCheckpoint()ed to truncate lineage: without it the
-    plan is R joins deep after R rounds and the optimizer itself becomes
-    the bottleneck on high-diameter components. At 10^12 docs the pair
-    graph is tiny relative to the corpus (only near-dup candidates), so
-    the loop runs over a small edge table; superseded label caches are
-    unpersisted each round.
+    finishes in ~10 rounds. The label table is localCheckpoint()ed
+    every round (``checkpoint_every``) to truncate LOGICAL lineage:
+    the pointer jump references the propagated labels twice, so without
+    checkpointing the analyzed plan DOUBLES per round and Catalyst
+    itself OOMs after ~10 rounds — cache() alone does not help because
+    caching short-circuits execution, not analysis. The loop already
+    materializes each round for the convergence count, so the
+    checkpoint adds no extra pass. At 10^12 docs the pair graph is tiny
+    relative to the corpus (only near-dup candidates), so the loop runs
+    over a small edge table; superseded label tables are unpersisted
+    each round.
     """
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

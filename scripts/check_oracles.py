@@ -1,0 +1,53 @@
+"""Local pre-flight of the driver's correctness gate: run every
+queries() entry against its oracle_sql() twin at sf0.01 (same compare
+the driver records in CORRECTNESS_r{N}.json). Prints one line per
+query and exits non-zero on any mismatch.
+
+Usage: python scripts/check_oracles.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tests.oracle_utils import compare_query  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from h2spark.pipeline.session import get_spark
+
+    spark = get_spark(
+        "check-oracles",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', 8)}]",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        sql = oracles.get(name)
+        if sql is None:
+            n = fn(spark, sf_dir).count()
+            print(f"{name}: NO-ORACLE rows={n}")
+            continue
+        ok, msg = compare_query(spark, sf_dir, fn, sql)
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} ({msg})")
+        if not ok:
+            bad.append(name)
+    spark.stop()
+    if bad:
+        print("FAILED:", ", ".join(bad))
+        sys.exit(1)
+    print(f"all {len(qs)} queries green")
+
+
+if __name__ == "__main__":
+    main()

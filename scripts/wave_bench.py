@@ -1,0 +1,112 @@
+"""Wave-checkpointing overhead evidence (VERDICT round-1 item 8).
+
+Compares end-to-end extraction-job throughput (docs/s) for:
+
+  single   one wave covering all buckets (the no-checkpoint ceiling)
+  rescan   8 waves over a flat parquet input — every wave re-scans and
+           re-hashes the full input (the round-1 behavior)
+  pruned   8 waves over a ckpt_bucket-partitioned input written by
+           bucketize_input — each wave's isin() filter partition-prunes
+           the scan to its own buckets
+
+Target: pruned within ~1.2x of single. Prints one JSON line; appended
+to BENCH.md by hand. Usage: python scripts/wave_bench.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from h2spark.fixtures import corpus_df  # noqa: E402
+from h2spark.golden import PAGE_SPEC  # noqa: E402
+from h2spark.pipeline.job import bucketize_input, run_extraction_job  # noqa: E402
+from h2spark.pipeline.session import get_spark  # noqa: E402
+
+N_BUCKETS = 32
+SCRATCH = os.path.join(REPO, ".bench-scratch", "wave_bench")
+
+
+def run(spark, docs, out, wave_buckets, bucketed):
+    t0 = time.time()
+    s = run_extraction_job(
+        spark,
+        docs,
+        PAGE_SPEC,
+        out,
+        n_buckets=N_BUCKETS,
+        wave_buckets=wave_buckets,
+        input_lineage="wave-bench",
+        input_is_bucketed=bucketed,
+    )
+    dt = time.time() - t0
+    assert s["n_errors"] == 0
+    return s["n_docs"] / dt, dt
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()))
+    spark = get_spark(
+        "wave-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    flat = f"{SCRATCH}/corpus_flat"
+    corpus_df(spark, n_docs, n_partitions=cpus * 2).write.parquet(flat)
+    bucketed = bucketize_input(
+        spark, spark.read.parquet(flat), f"{SCRATCH}/corpus_bucketed",
+        n_buckets=N_BUCKETS,
+    )
+
+    # warm workers / page cache so the first timed config isn't the
+    # cold one (this box shows 2-3x cold-vs-warm swings)
+    run(spark, spark.read.parquet(flat), f"{SCRATCH}/out_warm",
+        wave_buckets=N_BUCKETS, bucketed=False)
+
+    results = {}
+    # one timed pass each, identical inputs; the job writes its own
+    # output fresh per configuration
+    results["single_docs_per_sec"], results["single_sec"] = run(
+        spark, spark.read.parquet(flat), f"{SCRATCH}/out_single",
+        wave_buckets=N_BUCKETS, bucketed=False,
+    )
+    results["rescan_docs_per_sec"], results["rescan_sec"] = run(
+        spark, spark.read.parquet(flat), f"{SCRATCH}/out_rescan",
+        wave_buckets=N_BUCKETS // n_waves, bucketed=False,
+    )
+    results["pruned_docs_per_sec"], results["pruned_sec"] = run(
+        spark, bucketed, f"{SCRATCH}/out_pruned",
+        wave_buckets=N_BUCKETS // n_waves, bucketed=True,
+    )
+    results["pruned_vs_single_slowdown"] = round(
+        results["single_docs_per_sec"] / results["pruned_docs_per_sec"], 3
+    )
+    results["rescan_vs_single_slowdown"] = round(
+        results["single_docs_per_sec"] / results["rescan_docs_per_sec"], 3
+    )
+    out = {
+        "metric": "wave_checkpoint_overhead",
+        "n_docs": n_docs,
+        "n_waves": n_waves,
+        "cpus": cpus,
+        "n_buckets": N_BUCKETS,
+        **{k: round(v, 1) if "per_sec" in k or "sec" in k else v
+           for k, v in results.items()},
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -176,6 +176,37 @@ def test_nth_child_and_sibling_selectors():
     assert sel("li:not(:first-child)") == ["b", "c", "d"]
 
 
+def test_logical_pseudo_classes_is_where_has():
+    doc = parse_document(
+        '<div class="x"><p>1</p><span>2</span></div>'
+        '<div class="y"><em>3</em></div>'
+        '<section><p>4</p></section>'
+    )
+    root = doc.root_element()
+    sel = lambda s: [e.inner_text() for e in CssSelector.parse(s).select(root)]
+    # :is / :where: full selector lists
+    assert sel(":is(div.x, section) > p") == ["1", "4"]
+    assert sel(":where(div.x, section) > p") == ["1", "4"]
+    assert sel("div:is(.y) em") == ["3"]
+    # :has: descendant-relative and child-relative
+    assert sel("div:has(em)") == ["3"]
+    assert sel("div:has(p, em)") == ["12", "3"]
+    assert sel("div:has(> span)") == ["12"]
+    assert sel("div:has(> em)") == ["3"]
+    assert sel("section:has(span)") == []
+    # nested logical args parse (balanced parens)
+    assert sel("div:has(:is(p, em)):not(.y)") == ["12"]
+    # errors stay compile-time
+    with pytest.raises(SelectorParseError):
+        CssSelector.parse(":is(")
+    with pytest.raises(SelectorParseError):
+        CssSelector.parse(":has(~ div)")
+    with pytest.raises(SelectorParseError):
+        CssSelector.parse(":has(> div span)")
+    with pytest.raises(SelectorParseError):
+        CssSelector.parse(":is(:bogus)")
+
+
 def test_attribute_operators():
     doc = parse_document(
         '<body><a href="https://x.test/a.png" rel="no follow"></a>'

@@ -31,7 +31,7 @@ def test_jaccard_shingle_cap_bounds_hot_keys(spark):
     hot_df = (
         sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
     )
-    assert hot_df == 121  # the hot key exists uncapped...
+    assert hot_df == 120  # the hot key exists uncapped...
     # ...and an uncapped run surfaces boilerplate-only candidate pairs
     # in the common-shingle stage (what melts the shuffle at scale)
     uncapped_common = (
@@ -43,7 +43,7 @@ def test_jaccard_shingle_cap_bounds_hot_keys(spark):
         )
         .count()
     )
-    assert uncapped_common > 120 * 119 / 2  # quadratic in the hot key
+    assert uncapped_common >= 120 * 119 / 2  # quadratic in the hot key
 
 
 def test_cluster_chain_converges_with_bounded_plan(spark):

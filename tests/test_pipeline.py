@@ -67,6 +67,39 @@ def test_job_runs_and_commits_manifests(spark, tmp_path):
     assert all(m.spec_name == "Page" for m in ms.values())
 
 
+def test_bucketized_input_prunes_and_matches(spark, tmp_path):
+    from h2spark.pipeline.job import bucketize_input
+
+    out_a = str(tmp_path / "out_plain")
+    out_b = str(tmp_path / "out_bucketed")
+    docs = corpus_df(spark, 60, n_partitions=4)
+    sa = run_extraction_job(
+        spark, docs, PAGE_SPEC, out_a, n_buckets=8, wave_buckets=2,
+        input_lineage="x",
+    )
+    bdocs = bucketize_input(
+        spark, docs, str(tmp_path / "bucketed_in"), n_buckets=8
+    )
+    # the wave filter must reach the scan as a PARTITION filter (prune),
+    # not a post-scan predicate
+    plan = bdocs.where(F.col("ckpt_bucket").isin([0, 1]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ckpt_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+    sb = run_extraction_job(
+        spark, bdocs, PAGE_SPEC, out_b, n_buckets=8, wave_buckets=2,
+        input_lineage="x", input_is_bucketed=True,
+    )
+    assert sb["completed"] == sa["completed"] == 8
+    assert sb["n_docs"] == sa["n_docs"] == 60
+    a = spark.read.parquet(f"{out_a}/data").select(
+        "doc_id", "spans_out", "error"
+    ).collect()
+    b = spark.read.parquet(f"{out_b}/data").select(
+        "doc_id", "spans_out", "error"
+    ).collect()
+    key = lambda r: r["doc_id"]
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
 def test_kill_and_resume_without_recompute(spark, tmp_path):
     out = str(tmp_path / "out")
     docs = corpus_df(spark, 60, n_partitions=4)

@@ -1,0 +1,238 @@
+"""Adoption agency + foster parenting tree-construction parity.
+
+Expected trees follow the html5lib-tests tree-construction corpus
+(tests1.dat / adoption01.dat cases re-expressed; the reference backend
+inherits these behaviors from html5ever — see
+/root/reference/src/backend/scraper.rs:16-22). Serialization mirrors
+html5lib's indented dump, restricted to elements/text.
+"""
+
+from h2spark.core.dom import Element, Text
+from h2spark.core.treebuilder import parse_document
+
+
+def serialize(html: str) -> str:
+    def walk(n, d, out):
+        if isinstance(n, Element):
+            attrs = "".join(
+                f' {k}="{v}"' for k, v in sorted(n.attrs.items())
+            )
+            out.append("  " * d + f"<{n.tag}{attrs}>")
+            for c in n.children:
+                walk(c, d + 1, out)
+        elif isinstance(n, Text):
+            out.append("  " * d + f'"{n.data}"')
+
+    out: list[str] = []
+    doc = parse_document(html)
+    for ch in doc.children:
+        walk(ch, 0, out)
+    return "\n".join(out)
+
+
+def body_of(html: str) -> str:
+    """The <body> subtree only, dedented under it."""
+    s = serialize(html)
+    lines = s.splitlines()
+    i = lines.index("  <body>")
+    return "\n".join(ln[4:] for ln in lines[i + 1:])
+
+
+# --- adoption agency ------------------------------------------------------
+
+
+def test_aaa_b_i_misnest():
+    # html5lib adoption01.dat: <b><i>x</b>y</i>
+    assert body_of("<b><i>x</b>y</i>") == '<b>\n  <i>\n    "x"\n<i>\n  "y"'
+
+
+def test_aaa_a_div_div():
+    # html5lib tests1.dat: "<a>1<div>2<div>3</a>4"
+    assert body_of("<a>1<div>2<div>3</a>4") == (
+        '<a>\n  "1"\n<div>\n  <a>\n    "2"\n  <div>\n    <a>\n      "3"\n    "4"'
+    )
+
+
+def test_aaa_b_p_reopen():
+    # html5lib adoption01.dat: <b>1<p>2</b>3</p>
+    assert body_of("<b>1<p>2</b>3</p>") == (
+        '<b>\n  "1"\n<p>\n  <b>\n    "2"\n  "3"'
+    )
+
+
+def test_aaa_with_attributes_cloned():
+    out = body_of('<b class="x"><i>1</b>2</i>')
+    assert out == (
+        '<b class="x">\n  <i>\n    "1"\n<i>\n  "2"'
+    )
+
+
+def test_reconstruct_across_block():
+    # formatting re-opens inside the block and after it
+    assert body_of("<b>x<p>y</p>z") == '<b>\n  "x"\n  <p>\n    "y"\n  "z"'
+
+
+def test_a_start_closes_open_a():
+    # second <a> runs the agency on the first
+    assert body_of("<a>1<a>2") == '<a>\n  "1"\n<a>\n  "2"'
+
+
+def test_nobr_closes_open_nobr():
+    assert body_of("<nobr>a<nobr>b") == '<nobr>\n  "a"\n<nobr>\n  "b"'
+
+
+def test_noahs_ark_caps_identical_entries():
+    # 4 unclosed identical <b>: reconstruction after </p> must re-open
+    # at most 3 (the earliest entry is dropped)
+    html = "<p><b><b><b><b>x</p>y"
+    out = body_of(html)
+    # the tail text sits under exactly 3 nested re-opened b's
+    tail = out.split('"x"', 1)[1]
+    assert tail.count("<b>") == 3
+
+
+def test_unbalanced_end_does_not_cross_special():
+    # </i> while only a div is open: ignored, no crash
+    assert body_of("<div>x</i>y</div>") == '<div>\n  "xy"'
+
+
+def test_formatting_inside_td_does_not_leak_out():
+    # td pushes a marker: the open <b> in the first cell must NOT
+    # reconstruct into the second cell
+    out = body_of("<table><tr><td><b>1<td>2</table>")
+    assert out == (
+        '<table>\n  <tbody>\n    <tr>\n      <td>\n        <b>\n'
+        '          "1"\n      <td>\n        "2"'
+    )
+
+
+# --- foster parenting -----------------------------------------------------
+
+
+def test_foster_text_before_table():
+    assert body_of("<table>foo<tr><td>bar</td></tr></table>") == (
+        '"foo"\n<table>\n  <tbody>\n    <tr>\n      <td>\n        "bar"'
+    )
+
+
+def test_foster_element_before_table():
+    assert body_of("<table><div>block</div><tr><td>c</td></tr></table>") == (
+        '<div>\n  "block"\n<table>\n  <tbody>\n    <tr>\n      <td>\n        "c"'
+    )
+
+
+def test_foster_formatting_then_row():
+    # html5lib tests1.dat: <table><b>x<tr><td>y -> b fostered, row intact,
+    # trailing text reconstructs b AFTER the table
+    assert body_of("<table><b>x<tr><td>y</td></tr></table>z") == (
+        '<b>\n  "x"\n<table>\n  <tbody>\n    <tr>\n      <td>\n        "y"\n'
+        '<b>\n  "z"'
+    )
+
+
+def test_whitespace_stays_in_table():
+    out = body_of("<table>  <tr><td>a</td></tr></table>")
+    # ws-only text is legal inside the table element, not fostered
+    assert out.startswith("<table>")
+
+
+def test_foster_merges_adjacent_text():
+    out = body_of("<table>a<tr>b</tr></table>")
+    assert out == (
+        '"ab"\n<table>\n  <tbody>\n    <tr>'
+    )
+
+
+def test_sibling_table_closes_open_table():
+    # <table><table>: the first table is implicitly closed; the second
+    # is its following sibling (never fostered before it)
+    out = body_of("<table><tr><td>a</td></tr><table><tr><td>b</td></tr></table>")
+    first = out.index("<table>")
+    second = out.index("<table>", first + 1)
+    assert out.index('"a"') < second < out.index('"b"')
+
+
+def test_nested_table_inside_cell_stays_nested():
+    out = body_of("<table><tr><td><table><tr><td>x</td></tr></table></td></tr></table>")
+    assert out.count("<table>") == 2
+    # inner table is nested under the outer cell
+    assert out.index('"x"') > out.index("<td>")
+
+
+def test_stray_cells_in_body_are_ignored():
+    # WHATWG in-body: td/tr/tbody with no open table are parse errors,
+    # tokens ignored (html5ever behavior)
+    assert body_of("<td>x</td>y") == '"xy"'
+    assert body_of("a<tr>b") == '"ab"'
+
+
+def test_script_style_not_fostered():
+    out = body_of("<table><style>.x{}</style><tr><td>a</table>")
+    assert out == (
+        '<table>\n  <style>\n    ".x{}"\n  <tbody>\n    <tr>\n      <td>\n        "a"'
+    )
+
+
+# --- misnesting fuzz --------------------------------------------------------
+
+_SOUP_TOKENS = [
+    "<b>", "</b>", "<i>", "</i>", "<em>", "</em>", '<a href="x">', "</a>",
+    "<nobr>", "</nobr>", "<div>", "</div>", "<p>", "</p>", "<span>",
+    "</span>", "<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
+    "<tbody>", "</tbody>", "alpha ", "beta ", "gamma",
+]
+
+
+def test_misnested_soup_invariants():
+    """Random misnested formatting + table soup: the builder must never
+    crash, never lose a character of text, and leave consistent sibling
+    indices after adoption/foster moves (hypothesis-driven)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.sampled_from(_SOUP_TOKENS), min_size=1, max_size=40))
+    def run(parts):
+        doc = parse_document("".join(parts))
+        root = doc.root_element()
+        # character multiset: text merging and foster reordering are
+        # legal, character loss is not (whitespace may be dropped by
+        # head/body transitions, so compare non-ws only)
+        expected = Counter(
+            c
+            for p in parts
+            if not p.startswith("<")
+            for c in p
+            if not c.isspace()
+        )
+        got = Counter(
+            c for t in root.text_contents() for c in t if not c.isspace()
+        )
+        assert got == expected, parts
+        for el in root.iter_descendants():
+            par = el.parent
+            if type(par) is Element:
+                assert par.children[el._idx] is el, parts
+                elems = [c for c in par.children if type(c) is Element]
+                assert elems[el.elem_idx] is el, parts
+
+    run()
+
+
+def test_nth_child_indices_consistent_after_moves():
+    # structural moves must leave sibling indices usable by :nth-child
+    from h2spark.core.selector import CssSelector
+
+    doc = parse_document("<table><b>x<tr><td>y</td></tr></table>z<i>w</i>")
+    body = doc.root_element().iter_descendants()
+    for el in body:
+        par = el.parent
+        if type(par) is Element:
+            elems = [c for c in par.children if type(c) is Element]
+            assert elems[el.elem_idx] is el, (el.tag, el.elem_idx)
+            assert par.children[el._idx] is el
+    # selector engine over the rebuilt indices
+    sel = CssSelector.parse("body > :nth-child(2)")
+    got = [e.tag for e in sel.select(doc.root_element())]
+    assert got == ["table"]
