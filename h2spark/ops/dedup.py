@@ -1,14 +1,18 @@
 """Deduplication operators over ``documents`` / ``embeddings``.
 
-Five dedup families, each Spark-first and (except where noted) with an
-exact DuckDB oracle twin:
+Six dedup families, each Spark-first with an exact DuckDB oracle twin:
 
 - exact           — hash-groupBy on normalized text (md5)
-- ngram_jaccard   — word-shingle explode + self-join, exact Jaccard pairs
+- ngram_jaccard   — word-shingle explode + self-join, exact Jaccard
+                    pairs (shingle doc-frequency cap defuses hot keys)
 - minhash_lsh     — md5-based MinHash signatures, banded LSH bucket join
 - simhash         — 32-bit SimHash from md5 bit votes (generated SQL on
                     both sides: identical integer arithmetic)
-- embedding       — cosine near-duplicate pairs over embeddings
+- embedding       — cosine near-duplicate pairs, all-pairs (the exact
+                    small-scale correctness baseline)
+- embedding_lsh   — signed-random-projection LSH over integer-quantized
+                    embeddings, banded bucket join + exact re-score
+                    (the cosine pair-mining scale path)
 
 Scale notes (10^12-doc design point):
 - exact/fingerprint: one shuffle on the hash; AQE coalesces.

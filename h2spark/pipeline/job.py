@@ -51,9 +51,24 @@ def bucketize_input(
     (the parquet stand-in for the Iceberg ``bucket(doc_id)`` partition
     transform at the 10^12-doc design point). Returns the re-opened,
     prune-ready DataFrame; pass it to run_extraction_job with
-    ``input_is_bucketed=True``."""
+    ``input_is_bucketed=True``.
+
+    The write repartitions ON the bucket column first: without it every
+    upstream task writes a sliver into every bucket directory
+    (tasks x buckets small files) and file-open overhead eats the
+    pruning win. At petabyte scale pair this with
+    ``spark.sql.files.maxRecordsPerFile`` to re-split giant buckets."""
+    from pyspark.sql import functions as F
+
+    files_per_bucket = 4  # keep some scan parallelism inside one wave
+    bucketed = with_ckpt_bucket(docs, n_buckets).withColumn(
+        "_fpart", F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket))
+    )
     (
-        with_ckpt_bucket(docs, n_buckets)
+        bucketed.repartition(
+            n_buckets * files_per_bucket, F.col("ckpt_bucket"), F.col("_fpart")
+        )
+        .drop("_fpart")
         .write.mode("overwrite")
         .partitionBy("ckpt_bucket")
         .parquet(path)
@@ -131,6 +146,8 @@ def run_extraction_job(
 
     data_dir = f"{out_dir}/data"
     ran = []
+    from pyspark.sql import Observation
+
     for wave in waves:
         wave_df = docs.where(F.col("ckpt_bucket").isin(wave))
         wave_df = salted_repartition(wave_df, n_partitions)
@@ -139,48 +156,44 @@ def run_extraction_job(
             cs,
             keep=("doc_id", "ckpt_bucket"),
         )
+        # manifest metrics observed DURING the write pass (per-bucket
+        # conditional aggregates) — the round-1 implementation re-read
+        # each wave's freshly written output to compute them, a full
+        # extra scan per wave that dominated wave overhead
+        obs = Observation(f"wave-{wave[0]}")
+        metric_exprs = []
+        for b in wave:
+            is_b = F.col("ckpt_bucket") == b
+            metric_exprs.append(
+                F.sum(F.when(is_b, 1).otherwise(0)).alias(f"docs_{b}")
+            )
+            metric_exprs.append(
+                F.sum(
+                    F.when(is_b, F.coalesce(F.size("spans_out"), F.lit(0)))
+                    .otherwise(0)
+                ).alias(f"spans_{b}")
+            )
+            metric_exprs.append(
+                F.sum(
+                    F.when(is_b & F.col("error").isNotNull(), 1).otherwise(0)
+                ).alias(f"errs_{b}")
+            )
         (
-            out.write.mode("overwrite")
+            out.observe(obs, metric_exprs[0], *metric_exprs[1:])
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ckpt_bucket")
             .parquet(data_dir)
         )
-        # manifest metrics from what was actually written: read ONLY the
-        # wave's partition directories (a full data_dir read would crash
-        # on an all-empty first wave and re-list every file written so
-        # far on every wave at scale)
-        from h2spark.pipeline.manifests import _FS
-
-        fs = _FS(spark, out_dir)
-        wave_paths = [
-            f"{data_dir}/ckpt_bucket={b}"
-            for b in wave
-            if fs.exists(f"{data_dir}/ckpt_bucket={b}")
-        ]
-        if wave_paths:
-            stats = (
-                spark.read.option("basePath", data_dir)
-                .parquet(*wave_paths)
-                .groupBy("ckpt_bucket")
-                .agg(
-                    F.count("*").alias("n_docs"),
-                    F.sum(F.coalesce(F.size("spans_out"), F.lit(0))).alias("n_spans"),
-                    F.count("error").alias("n_errors"),
-                )
-                .collect()
-            )
-        else:
-            stats = []
-        by_bucket = {r["ckpt_bucket"]: r for r in stats}
+        got = obs.get  # blocks until the write action completes
         for b in wave:
-            r = by_bucket.get(b)
             commit_manifest(
                 out_dir,
                 BucketManifest(
                     bucket=b,
-                    n_docs=r["n_docs"] if r else 0,
-                    n_spans=int(r["n_spans"]) if r else 0,
-                    n_errors=r["n_errors"] if r else 0,
+                    n_docs=int(got[f"docs_{b}"] or 0),
+                    n_spans=int(got[f"spans_{b}"] or 0),
+                    n_errors=int(got[f"errs_{b}"] or 0),
                     input_lineage=input_lineage,
                     spec_name=cs.name,
                     job_id=job_id,
