@@ -90,6 +90,9 @@ _SCOPE_BOUNDARY = frozenset(
      "object", "template"}
 )
 
+# Button-scope boundary (closing <p> must not cross these).
+_BUTTON_SCOPE_STOP = _SCOPE_BOUNDARY | {"button"}
+
 _WS = "\t\n\f\r "
 
 # start tags with in-body special handling (auto-close / merge / ignore);
@@ -119,12 +122,15 @@ _MARKER_TAGS = frozenset(
 
 # While one of these is the current node, inserting content that is not
 # legal table structure foster-parents it BEFORE the table.
-_TABLE_CONTEXT = frozenset({"table", "tbody", "tfoot", "thead", "tr"})
+_TABLE_CONTEXT = frozenset(
+    {"table", "tbody", "tfoot", "thead", "tr", "colgroup"}
+)
 
-# Tags that insert in place even when the current node is table context.
+# Tags that insert in place even when the current node is table context
+# (<input> is special-cased: only type=hidden stays inside the table).
 _TABLE_ALLOWED = frozenset(
     {"caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead",
-     "tr", "style", "script", "template", "form", "input"}
+     "tr", "style", "script", "template", "form"}
 )
 
 # table-structural tags: ignored by "in body" when no table is open
@@ -228,13 +234,16 @@ class _Builder:
         return False
 
     def _close_p(self) -> None:
-        # button-scope approximation: stop at body/html/table cells
+        # button scope: the search never crosses a scoping element
+        # (html/table/td/th/caption/applet/marquee/object/template) or
+        # <button>; pops route through _pop_from so a marker-scoped
+        # element can never be evicted without clearing its afe marker
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
             if t == "p":
-                del self.stack[i:]
+                self._pop_from(i)
                 return
-            if t in ("body", "html", "table", "td", "th", "button"):
+            if t in _BUTTON_SCOPE_STOP:
                 return
 
     def _close_li_like(self, names: frozenset[str] | tuple) -> None:
@@ -500,7 +509,10 @@ class _Builder:
     ) -> Element:
         el = Element(name, attrs)
         cur = self.stack[-1]
-        if cur.tag in _TABLE_CONTEXT and name not in _TABLE_ALLOWED:
+        in_place = name in _TABLE_ALLOWED or (
+            name == "input" and attrs.get("type", "").lower() == "hidden"
+        )
+        if cur.tag in _TABLE_CONTEXT and not in_place:
             self._foster_insert(el)
         else:
             cur.append_child(el)
@@ -779,7 +791,20 @@ class _Builder:
                 )
                 self.afe.append(_MARKER)
                 return True
-            if name in ("caption", "template"):
+            if name == "caption":
+                # a table is guaranteed in scope (stray captions were
+                # ignored above): caption is a child of the table itself
+                self._clear_to_table_context(("table", "html"))
+                self._insert_element(name, attrs)
+                self.afe.append(_MARKER)
+                return True
+            if name in ("colgroup", "col"):
+                self._clear_to_table_context(("table", "html"))
+                if name == "col" and self._current().tag == "table":
+                    self._insert_element("colgroup", {})  # implied
+                self._insert_element(name, attrs)
+                return True
+            if name == "template":
                 self._insert_element_body(
                     name, attrs, push=not self._foreign_self_closes(tok)
                 )
@@ -873,9 +898,9 @@ class _Builder:
                 for i in range(len(self.stack) - 1, -1, -1):
                     t = self.stack[i].tag
                     if t == "p":
-                        del self.stack[i:]
+                        self._pop_from(i)
                         return True
-                    if t in ("body", "html", "button", "table", "td", "th"):
+                    if t in _BUTTON_SCOPE_STOP or t == "body":
                         break
                 self._insert_element_body("p", {})
                 self.stack.pop()

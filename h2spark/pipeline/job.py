@@ -61,8 +61,13 @@ def bucketize_input(
     from pyspark.sql import functions as F
 
     files_per_bucket = 4  # keep some scan parallelism inside one wave
+    # _fpart must be INDEPENDENT of ckpt_bucket: both derive from
+    # xxhash64(doc_id), and h%4 == (h%32)%4 when 4 | 32 — an unseeded
+    # second hash would be constant per bucket (1 file per bucket).
+    # Seeding with an extra literal decorrelates the two.
     bucketed = with_ckpt_bucket(docs, n_buckets).withColumn(
-        "_fpart", F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket))
+        "_fpart",
+        F.pmod(F.xxhash64("doc_id", F.lit("fpart")), F.lit(files_per_bucket)),
     )
     (
         bucketed.repartition(
@@ -105,7 +110,9 @@ def run_extraction_job(
     ``bucket(doc_id)`` table). Each wave's ``isin`` filter then prunes
     the scan to the wave's partitions — no per-wave full re-scan and no
     per-row hash recompute. The bucket column MUST have been computed
-    with the same n_buckets (validated against the job manifest).
+    with the same n_buckets: the value range is validated up front
+    (metadata-only read) and a resume additionally re-checks n_buckets
+    against the job manifest.
     """
     cs = compile_spec(spec)  # validates selectors driver-side, once
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
@@ -132,6 +139,19 @@ def run_extraction_job(
         docs = docs.withColumn(
             "ckpt_bucket", F.col("ckpt_bucket").cast("int")
         )
+        # a bucket-count mismatch would silently skip every bucket
+        # >= n_buckets (waves only cover range(n_buckets)); the bucket
+        # column is a partition column, so this check reads metadata,
+        # not data
+        rng = docs.agg(
+            F.min("ckpt_bucket").alias("lo"), F.max("ckpt_bucket").alias("hi")
+        ).first()
+        if rng["hi"] is not None and (rng["lo"] < 0 or rng["hi"] >= n_buckets):
+            raise ValueError(
+                f"bucketed input has ckpt_bucket range [{rng['lo']}, "
+                f"{rng['hi']}] incompatible with n_buckets={n_buckets}; "
+                "re-bucketize or pass the matching n_buckets"
+            )
     else:
         docs = with_ckpt_bucket(docs, n_buckets)
     if persist_input:

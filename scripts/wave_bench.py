@@ -33,21 +33,30 @@ N_BUCKETS = 32
 SCRATCH = os.path.join(REPO, ".bench-scratch", "wave_bench")
 
 
-def run(spark, docs, out, wave_buckets, bucketed):
-    t0 = time.time()
-    s = run_extraction_job(
-        spark,
-        docs,
-        PAGE_SPEC,
-        out,
-        n_buckets=N_BUCKETS,
-        wave_buckets=wave_buckets,
-        input_lineage="wave-bench",
-        input_is_bucketed=bucketed,
-    )
-    dt = time.time() - t0
-    assert s["n_errors"] == 0
-    return s["n_docs"] / dt, dt
+def run(spark, docs, out, wave_buckets, bucketed, reps=3):
+    """Best-of-``reps`` (the box has 2-3x noise — CLAUDE.md protocol);
+    a FRESH out dir per rep, else the resume machinery would skip all
+    completed buckets and time nothing."""
+    best = None
+    for r in range(reps):
+        t0 = time.time()
+        s = run_extraction_job(
+            spark,
+            docs,
+            PAGE_SPEC,
+            f"{out}-r{r}",
+            n_buckets=N_BUCKETS,
+            wave_buckets=wave_buckets,
+            input_lineage="wave-bench",
+            input_is_bucketed=bucketed,
+        )
+        dt = time.time() - t0
+        assert s["n_errors"] == 0
+        if best is None or dt < best:
+            best = dt
+        shutil.rmtree(f"{out}-r{r}", ignore_errors=True)
+    n_docs = s["n_docs"]
+    return n_docs / best, best
 
 
 def main() -> None:
@@ -72,7 +81,7 @@ def main() -> None:
     # warm workers / page cache so the first timed config isn't the
     # cold one (this box shows 2-3x cold-vs-warm swings)
     run(spark, spark.read.parquet(flat), f"{SCRATCH}/out_warm",
-        wave_buckets=N_BUCKETS, bucketed=False)
+        wave_buckets=N_BUCKETS, bucketed=False, reps=1)
 
     results = {}
     # one timed pass each, identical inputs; the job writes its own

@@ -100,6 +100,41 @@ def test_bucketized_input_prunes_and_matches(spark, tmp_path):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_bucketized_input_rejects_bucket_count_mismatch(spark, tmp_path):
+    import pytest
+
+    from h2spark.pipeline.job import bucketize_input
+
+    docs = corpus_df(spark, 40, n_partitions=4)
+    bdocs = bucketize_input(
+        spark, docs, str(tmp_path / "b64"), n_buckets=64
+    )
+    # running with n_buckets=8 would silently skip buckets 8..63
+    with pytest.raises(ValueError, match="incompatible with n_buckets"):
+        run_extraction_job(
+            spark, bdocs, PAGE_SPEC, str(tmp_path / "out"),
+            n_buckets=8, wave_buckets=8, input_is_bucketed=True,
+        )
+
+
+def test_bucketize_writes_multiple_files_per_bucket(spark, tmp_path):
+    from h2spark.pipeline.job import bucketize_input
+
+    # _fpart must be decorrelated from ckpt_bucket (both hash doc_id):
+    # with enough docs each bucket directory holds >1 file
+    bucketize_input(
+        spark, corpus_df(spark, 400, n_partitions=8),
+        str(tmp_path / "b"), n_buckets=4,
+    )
+    import glob
+
+    counts = [
+        len(glob.glob(str(tmp_path / "b" / f"ckpt_bucket={b}" / "*.parquet")))
+        for b in range(4)
+    ]
+    assert all(c > 1 for c in counts), counts
+
+
 def test_kill_and_resume_without_recompute(spark, tmp_path):
     out = str(tmp_path / "out")
     docs = corpus_df(spark, 60, n_partitions=4)

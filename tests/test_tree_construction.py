@@ -173,6 +173,43 @@ def test_script_style_not_fostered():
     )
 
 
+def test_p_close_respects_button_scope_markers():
+    # closing </p> must not pop through an open marquee/object (button
+    # scope), and must never evict a marker element without clearing
+    # its afe marker (formatting would leak past the boundary)
+    out = body_of("<p><marquee>z<div>w")
+    assert out == '<p>\n  <marquee>\n    "z"\n    <div>\n      "w"'
+    # the inner object survives </p>, and 'c' lands in the outer p
+    # WITHOUT a leaked reconstructed <b> wrapper outside the object
+    out2 = body_of("<object><b><p><object></p></object>c")
+    assert out2 == (
+        '<object>\n  <b>\n    <p>\n      <object>\n        <p>\n      "c"'
+    )
+
+
+def test_input_hidden_stays_in_table_others_foster():
+    assert body_of('<table><input type="text"><tr><td>x</table>').startswith(
+        '<input type="text">\n<table>'
+    )
+    assert body_of('<table><input type="hidden"><tr><td>x</table>').startswith(
+        '<table>\n  <input type="hidden">'
+    )
+
+
+def test_caption_is_table_child():
+    out = body_of("<table><tr><caption>y</caption><td>x</td></tr></table>")
+    lines = out.splitlines()
+    # caption indented directly under table, never inside tr
+    assert "  <caption>" in lines
+
+
+def test_colgroup_col_and_fostered_content():
+    out = body_of("<table><col><tr><td>c</td></tr></table>")
+    assert "<colgroup>\n    <col>" in out  # implied colgroup wraps col
+    out2 = body_of("<table><colgroup><div>x</div><tr><td>c</td></tr></table>")
+    assert out2.startswith("<div>")  # div fostered out of the colgroup
+
+
 # --- misnesting fuzz --------------------------------------------------------
 
 _SOUP_TOKENS = [
