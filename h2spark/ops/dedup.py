@@ -373,6 +373,105 @@ ORDER BY doc_id
 
 ORACLE_DEDUP_SIMHASH = _oracle_simhash()
 
+# --- SimHash near-dup pair mining (banded hamming join) -------------------
+
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4  # 4 bands of 8 bits: pigeonhole guarantees any pair
+#                     within hamming<=3 collides on at least one band
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs from SimHash: candidates collide on one of
+    four 8-bit bands (pigeonhole: <=3 differing bits can dirty at most
+    3 of 4 bands), then the exact hamming distance is computed only on
+    candidates — one bucketed join, never all-pairs.
+
+    Scale note: bucket count per band is 2^(bits/bands) — 256 here,
+    which is coarse at 10^12 docs (n/256 per bucket). The production
+    setting is _SIMHASH_BITS=64 with 4x16-bit bands (65,536-way
+    buckets, same pigeonhole guarantee); everything below is
+    parameterized by the two constants, 32-bit kept as the default for
+    the compact generated oracle."""
+    sh = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    band_bits = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", band_bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    band_bits = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    sim_sql = _oracle_simhash().strip().rstrip()
+    # strip the trailing ORDER BY of the per-doc query; wrap as a CTE
+    sim_sql = sim_sql[: sim_sql.rindex("ORDER BY")]
+    return f"""
+WITH sim AS (
+{sim_sql}
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> ({band_bits} * band)) & {mask} AS bv
+  FROM sim, (SELECT unnest(range(0, {_SIMHASH_BANDS})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_DEDUP_SIMHASH_PAIRS = _oracle_simhash_pairs()
+
 # --- embedding cosine near-dup -----------------------------------------
 
 _COS_THRESHOLD = 0.35
@@ -574,6 +673,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
 }
@@ -583,6 +683,7 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
 }
