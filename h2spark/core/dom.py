@@ -36,7 +36,9 @@ class Document(Node):
 
 
 class Element(Node):
-    __slots__ = ("tag", "attrs", "children", "elem_idx", "_idx", "_desc")
+    __slots__ = (
+        "tag", "attrs", "children", "elem_idx", "_idx", "_desc", "_nelem",
+    )
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
         self.parent = None
@@ -50,6 +52,10 @@ class Element(Node):
         # cached flat descendant-element list (trees are immutable after
         # parse; selects are the hot path and reuse the same scopes)
         self._desc = None
+        # lazy doc-order interval + per-root tag index (selector.py):
+        # v is a descendant of s  iff  s._enter < v._enter <= s._exit
+        # element-child counter: O(1) elem_idx assignment on append
+        self._nelem = 0
 
     # --- reference-parity accessors -------------------------------------
 
@@ -113,16 +119,9 @@ class Element(Node):
         node.parent = self
         node._idx = len(self.children)
         if type(node) is Element:
-            node.elem_idx = self._n_elem_children()
+            node.elem_idx = self._nelem
+            self._nelem += 1
         self.children.append(node)
-
-    def _n_elem_children(self) -> int:
-        # O(1) amortized: elements only ever appended, so the last
-        # element child's elem_idx + 1 is the count.
-        for ch in reversed(self.children):
-            if type(ch) is Element:
-                return ch.elem_idx + 1
-        return 0
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<Element {self.tag} attrs={self.attrs} children={len(self.children)}>"

@@ -119,7 +119,12 @@ class CssSelector:
         (HtmlElement::select, /root/reference/core/src/html.rs:21).
 
         Hot path of the UDF kernel: the rightmost compound's tag is
-        checked inline before any function call per element.
+        checked inline before any function call per element. (A
+        per-document tag index + preorder-interval variant was measured
+        here and reverted: its one-time build cost equals the scans it
+        saves on both small and large documents — the cached _desc scan
+        with an inline tag compare is already near list-iteration
+        speed.)
         """
         out = []
         # (rightmost_tag, first_compound, complex) per complex

@@ -152,6 +152,8 @@ def _detach(node) -> None:
     p = node.parent
     if p is not None and type(p) is Element:
         p.children.remove(node)
+        if type(node) is Element:
+            p._nelem -= 1
     node.parent = None
 
 
@@ -170,6 +172,7 @@ def _reindex(doc: Document) -> None:
                 ch.elem_idx = n
                 n += 1
                 stack.append(ch)
+        e._nelem = n
 
 
 class _Builder:
@@ -445,7 +448,9 @@ class _Builder:
             for ch in furthest.children:
                 ch.parent = clone
             clone.children = furthest.children
+            clone._nelem = furthest._nelem
             furthest.children = []
+            furthest._nelem = 0
             furthest.append_child(clone)
             k = afe.index(fmt)
             afe.remove(fmt)
@@ -471,6 +476,7 @@ class _Builder:
                     idx = parent.children.index(table)
                     node.parent = parent
                     parent.children.insert(idx, node)
+                    parent._nelem += 1
                     self._moved = True
                 else:
                     stack[i - 1].append_child(node)
