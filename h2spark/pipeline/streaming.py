@@ -87,3 +87,181 @@ def run_streaming_extraction(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- watermarked windowed aggregation (late-data semantics) ---------------
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def run_streaming_event_windows(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Tumbling-window event counts with a watermark: rows later than
+    ``watermark`` behind the max seen event time are DROPPED, and a
+    window is emitted (append mode) only once the watermark passes its
+    end — the standard Structured Streaming late-data contract. The
+    batch twin of this aggregation is ops/relational.py's
+    events_hourly_window (oracle-checked); this is its incremental
+    deployment over a growing landing directory."""
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_stream_checkpoint"
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# --- custom stateful operator: sessionization (applyInPandasWithState) ----
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def sessionize_events(
+    events,  # streaming DataFrame with (user_id, ts, value)
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+):
+    """Custom stateful operator the built-ins can't express: per-user
+    sessionization (a session ends after ``gap_minutes`` of
+    inactivity), via applyInPandasWithState with an event-time timeout.
+    Sessions are emitted when the watermark passes last_event + gap —
+    i.e. when no in-order event can extend them anymore.
+
+    State is one (start, last, n, total) tuple per user — O(active
+    users), partitioned by the groupBy key, exactly the shape that
+    scales to 10^9 users on a real cluster."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = []
+        ts_all = []
+        vals = []
+        for pdf in pdfs:
+            ts_all.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+            vals.extend(float(v) for v in pdf["value"])
+        order = sorted(range(len(ts_all)), key=lambda i: ts_all[i])
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start, last, n, total = None, None, 0, 0.0
+        for i in order:
+            t, v = ts_all[i], vals[i]
+            if last is not None and t - last > gap_us:
+                rows.append((start, last, n, total))
+                start, last, n, total = t, t, 1, v
+            else:
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+                total += v
+        state.update((start, last, n, total))
+        state.setTimeoutTimestamp((last // 1000) + gap_minutes * 60 * 1000)
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in rows],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in rows],
+                    "n_events": [n_ for _, _, n_, _ in rows],
+                    "total_value": [tv for _, _, _, tv in rows],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    gap_minutes: int = 30,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental sessionization over a growing events directory."""
+    checkpoint_dir = checkpoint_dir or f"{out_dir}/_stream_checkpoint"
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    sessions = sessionize_events(
+        stream.select("user_id", "ts", "value"), gap_minutes=gap_minutes
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -61,3 +61,89 @@ def test_streaming_extraction_incremental(spark, tmp_path):
     assert batches
     inner = os.listdir(os.path.join(f"{out_dir}/data", batches[0]))
     assert any(p.startswith("ckpt_bucket=") for p in inner)
+
+
+def _write_events(spark, rows, path):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("append").parquet(path)
+
+
+def test_streaming_windows_drop_late_data(spark, tmp_path):
+    from datetime import datetime
+
+    from h2spark.pipeline.streaming import run_streaming_event_windows
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    # batch 1: events in hours 0..2 -> max event time 02:30
+    _write_events(spark, [
+        (0, t(0, 10), 1, "view", 1.0, "{}"),
+        (1, t(0, 40), 1, "view", 2.0, "{}"),
+        (2, t(1, 15), 2, "click", 3.0, "{}"),
+        (3, t(2, 30), 2, "view", 4.0, "{}"),
+    ], in_dir)
+    q = run_streaming_event_windows(
+        spark, in_dir, out_dir, window="1 hour", watermark="1 hour"
+    )
+    q.awaitTermination(120)
+    # batch 2: one on-time event (advances watermark past hour 0-1) and
+    # one LATE event in hour 0 (beyond the 1h watermark -> dropped)
+    _write_events(spark, [
+        (4, t(3, 45), 1, "view", 8.0, "{}"),
+        (5, t(0, 50), 9, "view", 100.0, "{}"),   # late: must be dropped
+    ], in_dir)
+    q = run_streaming_event_windows(
+        spark, in_dir, out_dir, window="1 hour", watermark="1 hour"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(f"{out_dir}/data").collect()
+    }
+    # hour-0 view window was finalized WITHOUT the late event (2 rows,
+    # not 3 — value 100.0 never appears)
+    assert got[(0, "view")] == (2, 3.0)
+    assert (1, "click") in got
+    assert all(v[1] < 100.0 for v in got.values())
+
+
+def test_streaming_sessionization_stateful(spark, tmp_path):
+    from datetime import datetime
+
+    from h2spark.pipeline.streaming import run_streaming_sessions
+
+    in_dir = str(tmp_path / "se_in")
+    out_dir = str(tmp_path / "se_out")
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    # user 1: two sessions separated by a >30min gap; user 2: one session
+    _write_events(spark, [
+        (0, t(0, 0), 1, "view", 1.0, "{}"),
+        (1, t(0, 10), 1, "click", 2.0, "{}"),
+        (2, t(1, 0), 1, "view", 4.0, "{}"),     # >30min after 00:10
+        (3, t(0, 5), 2, "view", 8.0, "{}"),
+        # sentinel far in the future: advances the watermark so all
+        # earlier sessions time out and emit
+        (4, t(9, 0), 99, "view", 0.0, "{}"),
+    ], in_dir)
+    q = run_streaming_sessions(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(180)
+    # second pass: empty delta, but the advanced watermark fires the
+    # event-time timeouts for still-open sessions
+    _write_events(spark, [(5, t(10, 0), 99, "view", 0.0, "{}")], in_dir)
+    q = run_streaming_sessions(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(180)
+    rows = spark.read.parquet(f"{out_dir}/data").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user.get(1, []), key=lambda r: r["session_start"])
+    assert len(u1) == 2
+    assert (u1[0]["n_events"], u1[0]["total_value"]) == (2, 3.0)
+    assert u1[0]["session_start"].minute == 0 and u1[0]["session_end"].minute == 10
+    assert (u1[1]["n_events"], u1[1]["total_value"]) == (1, 4.0)
+    u2 = by_user.get(2, [])
+    assert len(u2) == 1 and u2[0]["n_events"] == 1 and u2[0]["total_value"] == 8.0
