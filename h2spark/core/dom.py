@@ -52,8 +52,6 @@ class Element(Node):
         # cached flat descendant-element list (trees are immutable after
         # parse; selects are the hot path and reuse the same scopes)
         self._desc = None
-        # lazy doc-order interval + per-root tag index (selector.py):
-        # v is a descendant of s  iff  s._enter < v._enter <= s._exit
         # element-child counter: O(1) elem_idx assignment on append
         self._nelem = 0
 

@@ -97,6 +97,30 @@ EVENTS_DDL = (
 )
 
 
+def _read_events_stream(spark: SparkSession, input_dir: str):
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+
+
+def _start_append_writer(df, out_dir: str, checkpoint_dir: str | None,
+                         available_now: bool):
+    writer = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{out_dir}/_stream_checkpoint",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_streaming_event_windows(
     spark: SparkSession,
     input_dir: str,
@@ -114,12 +138,7 @@ def run_streaming_event_windows(
     batch twin of this aggregation is ops/relational.py's
     events_hourly_window (oracle-checked); this is its incremental
     deployment over a growing landing directory."""
-    checkpoint_dir = checkpoint_dir or f"{out_dir}/_stream_checkpoint"
-    stream = (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(input_dir)
-    )
+    stream = _read_events_stream(spark, input_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
@@ -134,15 +153,7 @@ def run_streaming_event_windows(
             "sum_value",
         )
     )
-    writer = (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_dir}/data")
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_append_writer(agg, out_dir, checkpoint_dir, available_now)
 
 
 # --- custom stateful operator: sessionization (applyInPandasWithState) ----
@@ -151,7 +162,8 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"
 )
-_SESSION_STATE_SCHEMA = "start long, last long, n long, total double"
+# buffered events, finalized only when the watermark passes last+gap
+_SESSION_STATE_SCHEMA = "ts array<long>, vals array<double>"
 
 
 def sessionize_events(
@@ -162,70 +174,85 @@ def sessionize_events(
     """Custom stateful operator the built-ins can't express: per-user
     sessionization (a session ends after ``gap_minutes`` of
     inactivity), via applyInPandasWithState with an event-time timeout.
-    Sessions are emitted when the watermark passes last_event + gap —
-    i.e. when no in-order event can extend them anymore.
 
-    State is one (start, last, n, total) tuple per user — O(active
-    users), partitioned by the groupBy key, exactly the shape that
-    scales to 10^9 users on a real cluster."""
+    Semantics (append-mode final): events are BUFFERED in state and
+    nothing is emitted until the watermark passes ``last_event + gap``
+    for the user — at that point no non-late event can extend or merge
+    any buffered session (a future event's ts exceeds the watermark,
+    hence exceeds last+gap, hence starts a new session), so the buffer
+    is sorted, split on gaps, emitted in full, and the state cleared.
+    This makes out-of-order arrivals within the watermark exact: a
+    late-but-not-dropped event lands in the buffer and is sorted into
+    place before any session is finalized.
+
+    State is O(events within the watermark horizon) per ACTIVE user —
+    the price of exact out-of-order sessionization; bounded lateness
+    bounds it. Event times are computed JVM-side (``unix_micros``) so
+    session-timezone settings cannot skew the epoch arithmetic the
+    event-time timeout uses.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # emit session_start/end as wall-clock in the session timezone (the
+    # convention Arrow uses for naive timestamps crossing the boundary)
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n, total = state.get
-            state.remove()
-            yield pd.DataFrame(
+
+        def emit(ts_list, val_list):
+            ts = np.asarray(ts_list, dtype="int64")
+            vals = np.asarray(val_list, dtype="float64")
+            order = np.argsort(ts, kind="stable")
+            ts, vals = ts[order], vals[order]
+            # split points: gap exceeded between consecutive events
+            brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            starts = np.concatenate(([0], brk))
+            ends = np.concatenate((brk, [len(ts)]))
+            def wall(us):
+                return (
+                    pd.to_datetime(pd.Series(us), unit="us", utc=True)
+                    .dt.tz_convert(tz)
+                    .dt.tz_localize(None)
+                )
+            return pd.DataFrame(
                 {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(last, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
-            return
-        rows = []
-        ts_all = []
-        vals = []
-        for pdf in pdfs:
-            ts_all.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-            vals.extend(float(v) for v in pdf["value"])
-        order = sorted(range(len(ts_all)), key=lambda i: ts_all[i])
-        if state.exists:
-            start, last, n, total = state.get
-        else:
-            start, last, n, total = None, None, 0, 0.0
-        for i in order:
-            t, v = ts_all[i], vals[i]
-            if last is not None and t - last > gap_us:
-                rows.append((start, last, n, total))
-                start, last, n, total = t, t, 1, v
-            else:
-                if start is None:
-                    start = t
-                last = t
-                n += 1
-                total += v
-        state.update((start, last, n, total))
-        state.setTimeoutTimestamp((last // 1000) + gap_minutes * 60 * 1000)
-        if rows:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(rows),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in rows],
-                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in rows],
-                    "n_events": [n_ for _, _, n_, _ in rows],
-                    "total_value": [tv for _, _, _, tv in rows],
+                    "user_id": np.full(len(starts), user_id, dtype="int64"),
+                    "session_start": wall(ts[starts]),
+                    "session_end": wall(ts[ends - 1]),
+                    "n_events": (ends - starts).astype("int64"),
+                    "total_value": np.add.reduceat(vals, starts),
                 }
             )
 
+        if state.hasTimedOut:
+            ts_buf, val_buf = state.get
+            state.remove()
+            yield emit(ts_buf, val_buf)
+            return
+        chunks_ts = []
+        chunks_val = []
+        for pdf in pdfs:
+            chunks_ts.append(pdf["ts_us"].to_numpy(dtype="int64"))
+            chunks_val.append(pdf["value"].to_numpy(dtype="float64"))
+        ts = np.concatenate(chunks_ts)
+        vals = np.concatenate(chunks_val)
+        if state.exists:
+            old_ts, old_vals = state.get
+            ts = np.concatenate([np.asarray(old_ts, dtype="int64"), ts])
+            vals = np.concatenate([np.asarray(old_vals, dtype="float64"), vals])
+        state.update((ts.tolist(), vals.tolist()))
+        state.setTimeoutTimestamp(int(ts.max()) // 1000 + gap_ms)
+        return
+
     return (
         events.withWatermark("ts", watermark)
+        .withColumn("ts_us", F.unix_micros("ts"))
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -247,21 +274,8 @@ def run_streaming_sessions(
     available_now: bool = True,
 ):
     """Incremental sessionization over a growing events directory."""
-    checkpoint_dir = checkpoint_dir or f"{out_dir}/_stream_checkpoint"
-    stream = (
-        spark.readStream.schema(EVENTS_DDL)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(input_dir)
-    )
     sessions = sessionize_events(
-        stream.select("user_id", "ts", "value"), gap_minutes=gap_minutes
+        _read_events_stream(spark, input_dir).select("user_id", "ts", "value"),
+        gap_minutes=gap_minutes,
     )
-    writer = (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_dir}/data")
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_append_writer(sessions, out_dir, checkpoint_dir, available_now)

@@ -147,3 +147,41 @@ def test_streaming_sessionization_stateful(spark, tmp_path):
     assert (u1[1]["n_events"], u1[1]["total_value"]) == (1, 4.0)
     u2 = by_user.get(2, [])
     assert len(u2) == 1 and u2[0]["n_events"] == 1 and u2[0]["total_value"] == 8.0
+
+
+def test_sessionization_exact_under_out_of_order_arrival(spark, tmp_path):
+    """The review-found failure mode: an event arriving in a LATER batch
+    with an EARLIER timestamp (inside the watermark) must sort into the
+    session buffer, never rewind session_end or split sessions early."""
+    from datetime import datetime
+
+    from h2spark.pipeline.streaming import run_streaming_sessions
+
+    in_dir = str(tmp_path / "oo_in")
+    out_dir = str(tmp_path / "oo_out")
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    # batch 1: user 1 events at 00:50 then (next batch) one at 00:30 —
+    # out of order but within the 2h watermark
+    _write_events(spark, [(0, t(0, 50), 1, "view", 1.0, "{}")], in_dir)
+    q = run_streaming_sessions(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(180)
+    _write_events(spark, [
+        (1, t(0, 30), 1, "view", 2.0, "{}"),   # earlier ts, later arrival
+        (2, t(1, 10), 1, "view", 4.0, "{}"),   # extends: 20min after 00:50
+        (3, t(9, 0), 99, "view", 0.0, "{}"),   # watermark sentinel
+    ], in_dir)
+    q = run_streaming_sessions(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(180)
+    # timeout pass
+    _write_events(spark, [(4, t(10, 0), 99, "view", 0.0, "{}")], in_dir)
+    q = run_streaming_sessions(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(180)
+    rows = [r for r in spark.read.parquet(f"{out_dir}/data").collect()
+            if r["user_id"] == 1]
+    # ONE session 00:30..01:10 with all three events — no early split,
+    # no rewound end
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["session_start"].hour, r["session_start"].minute) == (0, 30)
+    assert (r["session_end"].hour, r["session_end"].minute) == (1, 10)
+    assert (r["n_events"], r["total_value"]) == (3, 7.0)
