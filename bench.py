@@ -15,6 +15,11 @@ Queries:
   q3_dedup_minhash     MinHash LSH candidate pairs over sf documents
   q4_ann_bruteforce    cosine top-k over sf embeddings
   q5_text_stats        token/quality/fingerprint scan over sf documents
+  q6_dedup_embedding_lsh  bucketed SRP-LSH cosine pair mining (round 2)
+  q7_ann_ivf           trained k-means IVF multi-probe top-k (round 2)
+
+The suite total is therefore not directly comparable to BENCH_r01
+(two more queries); per-query timings are.
 """
 
 from __future__ import annotations
@@ -132,6 +137,17 @@ def main() -> None:
         return a + b + c
 
     timed("q5_text_stats", text_stats)
+
+    # round-2 scale paths: bucketed SRP-LSH cosine pair mining and the
+    # trained k-means IVF probe
+    timed(
+        "q6_dedup_embedding_lsh",
+        lambda: dedup.q_dedup_embedding_lsh(spark, sf_dir).count(),
+    )
+    timed(
+        "q7_ann_ivf",
+        lambda: similarity.q_ann_ivf(spark, sf_dir).count(),
+    )
 
     total = round(sum(v for k, v in timings.items() if k.startswith("q")), 3)
     docs_per_sec = round(n_docs / timings["q2_corpus_extract"], 1)
