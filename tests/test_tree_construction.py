@@ -173,6 +173,22 @@ def test_script_style_not_fostered():
     )
 
 
+def test_end_tag_blocked_by_special_descendant():
+    # html5lib tests1.dat: </cite> with an open <div> below it is
+    # ignored (any-other-end-tag stops at special-category elements)
+    assert body_of("<b>A<cite>B<div>C</cite>D") == (
+        '<b>\n  "A"\n  <cite>\n    "B"\n    <div>\n      "CD"'
+    )
+
+
+def test_aaa_nested_formatting_chain():
+    # html5lib tests1.dat: <p>1<s id="A">2<b id="B">3</p>4</s>5</b>6
+    assert body_of('<p>1<s id="A">2<b id="B">3</p>4</s>5</b>6') == (
+        '<p>\n  "1"\n  <s id="A">\n    "2"\n    <b id="B">\n      "3"\n'
+        '<s id="A">\n  <b id="B">\n    "4"\n<b id="B">\n  "5"\n"6"'
+    )
+
+
 def test_p_close_respects_button_scope_markers():
     # closing </p> must not pop through an open marquee/object (button
     # scope), and must never evict a marker element without clearing
