@@ -290,3 +290,112 @@ FROM ranked WHERE rank <= 50 ORDER BY rank
 
 QUERIES["text_top_terms"] = q_top_terms
 ORACLES["text_top_terms"] = ORACLE_TOP_TERMS
+
+
+# --- winnowing fingerprints (rolling k-gram hashes, window-min select) ---
+
+_WINNOW_K = 4  # tokens per k-gram ("rolling hash" granularity)
+_WINNOW_W = 5  # winnowing window: one fingerprint guaranteed per W grams
+_NORM_DUCK_TS = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): hash every word k-gram ("rolling" hashes in the
+    declarative formulation), then keep each window-of-W minimum — a
+    position-robust fingerprint set that two documents share wherever
+    they share a long-enough passage, unlike the whole-document md5.
+
+    Plan shape: posexplode + per-DOCUMENT windows (partitionBy doc_id)
+    only — no global window, no shuffle beyond the doc_id hash
+    partitioning, so the operator scales per-document exactly like the
+    extraction kernel."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "tok")
+    ).where(F.length("tok") > 0)
+    # re-number positions after the empty-token filter so k-grams are
+    # contiguous over kept tokens (both engines do the same)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    toks = toks.withColumn("p", F.row_number().over(wdoc) - 1)
+    gram = F.concat_ws(
+        " ", F.col("tok"), *[F.lead("tok", i).over(wdoc) for i in range(1, _WINNOW_K)]
+    )
+    # h and the completeness probe must sit in ONE projection: window
+    # expressions introduced after the filter would re-window over the
+    # filtered rows and truncate the tail k-grams
+    grams = (
+        toks.select(
+            "doc_id",
+            "p",
+            F.md5(gram).alias("h"),
+            F.lead("tok", _WINNOW_K - 1).over(wdoc).alias("last_tok"),
+        )
+        .where(F.col("last_tok").isNotNull())
+        .select("doc_id", "p", "h")
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WINNOW_W - 1)
+    grams = grams.withColumn("winmin", F.min("h").over(wmin)).withColumn(
+        "n_grams", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    # a window's selected fingerprint is its minimum; windows only where
+    # fully populated (start position <= n_grams - W)
+    fps = (
+        grams.where(F.col("p") <= F.col("n_grams") - _WINNOW_W)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("winmin").cast("long").alias("n_fps"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_set("winmin")))).alias(
+                "fp_digest"
+            ),
+        )
+    )
+    return fps.orderBy("doc_id")
+
+
+ORACLE_WINNOW = f"""
+WITH toks AS (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id,
+           generate_subscripts(regexp_split_to_array({_NORM_DUCK_TS}, ' '), 1) AS pos,
+           unnest(regexp_split_to_array({_NORM_DUCK_TS}, ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+renum AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, p,
+         md5(concat_ws(' ', tok,
+             {", ".join(f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY p)" for i in range(1, _WINNOW_K))}
+         )) AS h,
+         lead(tok, {_WINNOW_K - 1}) OVER (PARTITION BY doc_id ORDER BY p) AS last_tok
+  FROM renum
+),
+kept AS (
+  SELECT doc_id, p, h FROM grams WHERE last_tok IS NOT NULL
+),
+winmins AS (
+  SELECT doc_id, p,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS winmin,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM kept
+)
+SELECT doc_id,
+       count(DISTINCT winmin)::BIGINT AS n_fps,
+       md5(string_agg(DISTINCT winmin, '' ORDER BY winmin)) AS fp_digest
+FROM winmins
+WHERE p <= n_grams - {_WINNOW_W}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["text_winnow_fingerprint"] = q_winnow_fingerprint
+ORACLES["text_winnow_fingerprint"] = ORACLE_WINNOW
