@@ -191,18 +191,28 @@ ORDER BY doc_id
 # --- fingerprint --------------------------------------------------------
 
 
+def _norm_text():
+    """Canonical token normalization shared by fingerprint / top-terms /
+    winnowing; its DuckDB twin is _NORM_DUCK — a tweak must land in both
+    or the operators disagree on what a token is."""
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+#: DuckDB twin of _norm_text()
+_NORM_DUCK = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     return (
-        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        d.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
         .orderBy("doc_id")
     )
 
 
-ORACLE_FINGERPRINT = """
+ORACLE_FINGERPRINT = f"""
 SELECT doc_id,
-       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       md5({_NORM_DUCK}) AS fingerprint
 FROM documents
 ORDER BY doc_id
 """
@@ -238,9 +248,8 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank column is derived on the already-limited 50 rows.
     """
     d = _docs(spark, sf_dir)
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     toks = d.select(
-        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("term")
     ).where(F.length("term") > 0)
     stats = (
         toks.groupBy("term")
@@ -265,11 +274,10 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOP_TERMS = """
+ORACLE_TOP_TERMS = f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(
-             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+         unnest(regexp_split_to_array({_NORM_DUCK}, ' ')) AS term
   FROM documents
 ),
 stats AS (
@@ -296,7 +304,6 @@ ORACLES["text_top_terms"] = ORACLE_TOP_TERMS
 
 _WINNOW_K = 4  # tokens per k-gram ("rolling hash" granularity)
 _WINNOW_W = 5  # winnowing window: one fingerprint guaranteed per W grams
-_NORM_DUCK_TS = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,9 +320,8 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir)
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     toks = d.select(
-        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "tok")
+        "doc_id", F.posexplode(F.split(_norm_text(), " ")).alias("pos", "tok")
     ).where(F.length("tok") > 0)
     # re-number positions after the empty-token filter so k-grams are
     # contiguous over kept tokens (both engines do the same)
@@ -337,14 +343,22 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("last_tok").isNotNull())
         .select("doc_id", "p", "h")
     )
-    wmin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, _WINNOW_W - 1)
-    grams = grams.withColumn("winmin", F.min("h").over(wmin)).withColumn(
-        "n_grams", F.count("*").over(Window.partitionBy("doc_id"))
+    wg = Window.partitionBy("doc_id").orderBy("p")
+    wmin = wg.rowsBetween(0, _WINNOW_W - 1)
+    # one Window pass: the selected fingerprint per window is its min;
+    # a window is fully populated exactly when lead(h, W-1) exists —
+    # EXCEPT that a document with fewer than W grams must still yield
+    # one fingerprint (min over all its grams: canonical winnowing), so
+    # p == 0 is always kept. Docs with < K tokens have no k-gram and no
+    # row (no fingerprintable content).
+    grams = grams.select(
+        "doc_id",
+        "p",
+        F.min("h").over(wmin).alias("winmin"),
+        F.lead("h", _WINNOW_W - 1).over(wg).alias("wfull"),
     )
-    # a window's selected fingerprint is its minimum; windows only where
-    # fully populated (start position <= n_grams - W)
     fps = (
-        grams.where(F.col("p") <= F.col("n_grams") - _WINNOW_W)
+        grams.where((F.col("p") == 0) | F.col("wfull").isNotNull())
         .groupBy("doc_id")
         .agg(
             F.countDistinct("winmin").cast("long").alias("n_fps"),
@@ -360,8 +374,8 @@ ORACLE_WINNOW = f"""
 WITH toks AS (
   SELECT doc_id, pos, tok FROM (
     SELECT doc_id,
-           generate_subscripts(regexp_split_to_array({_NORM_DUCK_TS}, ' '), 1) AS pos,
-           unnest(regexp_split_to_array({_NORM_DUCK_TS}, ' ')) AS tok
+           generate_subscripts(regexp_split_to_array({_NORM_DUCK}, ' '), 1) AS pos,
+           unnest(regexp_split_to_array({_NORM_DUCK}, ' ')) AS tok
     FROM documents
   ) WHERE length(tok) > 0
 ),
@@ -385,14 +399,14 @@ winmins AS (
   SELECT doc_id, p,
          min(h) OVER (PARTITION BY doc_id ORDER BY p
                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS winmin,
-         count(*) OVER (PARTITION BY doc_id) AS n_grams
+         lead(h, {_WINNOW_W - 1}) OVER (PARTITION BY doc_id ORDER BY p) AS wfull
   FROM kept
 )
 SELECT doc_id,
        count(DISTINCT winmin)::BIGINT AS n_fps,
        md5(string_agg(DISTINCT winmin, '' ORDER BY winmin)) AS fp_digest
 FROM winmins
-WHERE p <= n_grams - {_WINNOW_W}
+WHERE p = 0 OR wfull IS NOT NULL
 GROUP BY doc_id
 ORDER BY doc_id
 """

@@ -70,16 +70,22 @@ def test_srp_lsh_reproduces_exact_pairs(spark):
 
 def test_winnow_fingerprints_detect_shared_passages(spark, tmp_path):
     # two documents sharing a long passage must share winnow
-    # fingerprints; unrelated documents must share none
-    from h2spark.ops import textstats
-    from pyspark.sql import functions as F
+    # fingerprints; unrelated documents must share none; short documents
+    # still get >= 1 fingerprint (canonical winnowing)
+    import hashlib
+    import re
 
+    from h2spark.ops import textstats
+
+    K, W = textstats._WINNOW_K, textstats._WINNOW_W
     passage = "the quick brown fox jumps over the lazy dog again and again"
     rows = [
         (0, f"intro words here {passage} closing remarks now"),
-        (1, f"totally different opening {passage} and another ending"),
+        (1, f"Totally  different opening {passage} and another ending"),
         (2, "unrelated content about spark shuffles and parquet readers "
             "with nothing in common at all whatsoever"),
+        (3, "short doc five tokens only"),       # > K tokens but < K+W-1
+        (4, "too few"),                          # < K tokens: no k-gram
     ]
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
         str(tmp_path / "documents.parquet")
@@ -90,23 +96,24 @@ def test_winnow_fingerprints_detect_shared_passages(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
-    assert set(out) == {0, 1, 2}
-    # recompute the selected fingerprints per doc to compare overlap
-    # (the query exposes digest+count; overlap needs the raw sets)
-    sets = {}
-    for doc_id, text in rows:
-        toks = text.split()
-        import hashlib
+    assert set(out) == {0, 1, 2, 3}  # doc 4 has no k-gram at all
+    assert out[3]["n_fps"] == 1  # min over its < W grams
 
+    # reference computation: SAME normalization and constants as the query
+    def winnow(text):
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
         grams = [
-            hashlib.md5(" ".join(toks[i:i + 4]).encode()).hexdigest()
-            for i in range(len(toks) - 3)
+            hashlib.md5(" ".join(toks[i:i + K]).encode()).hexdigest()
+            for i in range(len(toks) - K + 1)
         ]
-        sets[doc_id] = {
-            min(grams[i:i + 5]) for i in range(len(grams) - 4)
-        }
+        if not grams:
+            return set()
+        if len(grams) < W:
+            return {min(grams)}
+        return {min(grams[i:i + W]) for i in range(len(grams) - W + 1)}
+
+    sets = {doc_id: winnow(text) for doc_id, text in rows}
     assert sets[0] & sets[1], "shared passage must share fingerprints"
     assert not (sets[0] & sets[2])
-    # and the Spark counts agree with the reference computation
-    for doc_id in (0, 1, 2):
+    for doc_id in (0, 1, 2, 3):
         assert out[doc_id]["n_fps"] == len(sets[doc_id])

@@ -88,3 +88,15 @@ def test_textstats_stay_jvm_side(spark):
         plan = _formatted(q(spark, SF), spark)
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+def test_winnow_windows_are_per_document(spark):
+    # the winnowing docstring claims per-DOCUMENT windows only: every
+    # Window must be hash-partitioned on doc_id (never a global
+    # single-partition window) and there must be no Python nodes
+    plan = _formatted(textstats.q_winnow_fingerprint(spark, SF), spark)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan
+    assert "hashpartitioning(doc_id" in plan
+    # a no-partition Window would force Exchange SinglePartition
+    assert "SinglePartition" not in plan
