@@ -18,6 +18,37 @@ def test_ivf_recall_at_10_vs_bruteforce(spark):
     assert recall >= 0.9, f"recall@10 {recall} < 0.9"
 
 
+def test_centroid_dots_udf_matches_expression(spark):
+    # the NumPy-matmul assignment kernel must agree bit-for-bit with
+    # the interpreted expression formulation it replaced (integer dots
+    # are order-free; same double cosine arithmetic after)
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    qe = e.select("vec_id", F.expr(similarity._QUANT).alias("q"))
+    cents = similarity.train_ivf_centroids(
+        spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id", F.expr(similarity._QUANT).alias("q")
+        )
+    )
+    via_expr = qe.select(
+        "vec_id", similarity._argmax_cell("q", cents).alias("cell")
+    )
+    cd = similarity._centroid_dots_udf(cents)("q").alias("cd")
+    entries = F.array(
+        *[
+            F.struct(c.alias("c"), F.lit(-ki).alias("nk"))
+            for ki, c in enumerate(similarity._cent_cos_cols("cd", cents))
+        ]
+    )
+    via_udf = qe.select("vec_id", cd).select(
+        "vec_id", (F.array_max(entries)["nk"] * -1).cast("int").alias("cell")
+    )
+    lhs = {r["vec_id"]: r["cell"] for r in via_expr.collect()}
+    rhs = {r["vec_id"]: r["cell"] for r in via_udf.collect()}
+    assert lhs == rhs
+
+
 def test_ivf_centroids_are_trained_not_first_k(spark):
     # the quantizer must actually move: trained centroids differ from
     # the raw init vectors (guards a regression to the first-K shortcut)
