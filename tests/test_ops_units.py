@@ -58,6 +58,47 @@ def test_pdf_layout_stub_raises_and_fake_is_deterministic():
     assert a == b and a["n_pages"] >= 1 and a["blocks"]
 
 
+def test_image_dims_real_header_parse():
+    import struct
+
+    from h2spark.ops.multimodal import decode_image_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\x0a"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    assert decode_image_dims(png) == (640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert decode_image_dims(gif) == (320, 200)
+    gif87 = b"GIF87a" + struct.pack("<HH", 1, 65535)
+    assert decode_image_dims(gif87) == (1, 65535)
+
+    # JPEG with an APP0 (JFIF) segment BEFORE the SOF0 frame header —
+    # exercises the marker walk, not just a fixed offset
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 1080, 1920
+    ) + b"\x03"
+    assert decode_image_dims(b"\xff\xd8" + app0 + sof0) == (1920, 1080)
+    # progressive JPEG uses SOF2
+    sof2 = b"\xff\xc2" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 10, 20
+    ) + b"\x03"
+    assert decode_image_dims(b"\xff\xd8" + sof2) == (20, 10)
+    # DHT (0xC4) must NOT be mistaken for a frame header
+    dht = b"\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00"
+    assert decode_image_dims(b"\xff\xd8" + dht + sof0) == (1920, 1080)
+
+    # non-images and truncated headers decode to None, never raise
+    assert decode_image_dims(b"") is None
+    assert decode_image_dims(b"plain text") is None
+    assert decode_image_dims(png[:20]) is None
+    assert decode_image_dims(b"GIF89a\x01") is None
+    assert decode_image_dims(b"\xff\xd8\xff\xc0\x00\x05\x08") is None
+
+
 def test_spec_json_roundtrip_page_spec():
     from h2spark.core.extract import compile_spec, extract_html
     from h2spark.core.specjson import spec_from_json, spec_to_json
