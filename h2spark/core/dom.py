@@ -38,6 +38,7 @@ class Document(Node):
 class Element(Node):
     __slots__ = (
         "tag", "attrs", "children", "elem_idx", "_idx", "_desc", "_nelem",
+        "template_contents",
     )
 
     def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
@@ -45,6 +46,10 @@ class Element(Node):
         self.tag = tag
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
+        # <template> only: the detached contents fragment (WHATWG
+        # template contents — parsed, but NOT part of child_nodes /
+        # text_contents / selector traversal)
+        self.template_contents: "Element | None" = None
         # index among *element* siblings (0-based), set on append
         self.elem_idx = 0
         # index among all sibling nodes, set on append

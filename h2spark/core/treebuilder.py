@@ -21,10 +21,16 @@ the reference's own corpus (fragments like
 /root/reference/examples/custom_field_value.rs:30 — and
 ``root_element()`` is the <html> element, scraper.rs:30-33).
 
+<template> elements get WHATWG template-contents semantics: their
+content parses into a detached fragment (``Element.template_contents``)
+that child_nodes / text_contents / selectors never traverse, with the
+"in template" structural-table behavior (tr/td insert directly into the
+fragment, no implied table) and insertion-mode restore on close.
+
 Remaining deliberate simplifications (corpus-safe): no dedicated table
 insertion *modes* (structural table tags are handled via in-body
 auto-close rules + foster parenting rather than a mode machine), no
-template contents tree / frameset handling.
+frameset handling.
 """
 
 from __future__ import annotations
@@ -165,6 +171,8 @@ def _reindex(doc: Document) -> None:
     stack = [ch for ch in doc.children if type(ch) is Element]
     while stack:
         e = stack.pop()
+        if e.template_contents is not None:
+            stack.append(e.template_contents)
         n = 0
         for i, ch in enumerate(e.children):
             ch._idx = i
@@ -176,7 +184,10 @@ def _reindex(doc: Document) -> None:
 
 
 class _Builder:
-    __slots__ = ("doc", "stack", "mode", "_saw_doctype", "afe", "_moved")
+    __slots__ = (
+        "doc", "stack", "mode", "_saw_doctype", "afe", "_moved",
+        "_template_modes",
+    )
 
     def __init__(self) -> None:
         self.doc = Document()
@@ -187,6 +198,11 @@ class _Builder:
         self.afe: list = []
         # set on any structural move; triggers one re-index pass
         self._moved = False
+        # insertion modes saved while template-contents fragments are
+        # open (the spec's stack of template insertion modes, reduced:
+        # content parses with in-body rules, the opener's mode is
+        # restored on </template>)
+        self._template_modes: list[str] = []
 
     # --- helpers --------------------------------------------------------
 
@@ -206,6 +222,48 @@ class _Builder:
         if push and name not in VOID_ELEMENTS:
             self.stack.append(el)
         return el
+
+    def _start_template(self, attrs: dict, in_body: bool) -> None:
+        """WHATWG template semantics: the <template> element itself
+        stays EMPTY in the document tree; its parsed content goes into a
+        detached contents fragment (``Element.template_contents``) that
+        child_nodes / text_contents / selector traversal never enter.
+        The fragment (tag "template" so end-tag/scope machinery sees it)
+        is pushed as the insertion target; the opener's insertion mode
+        is restored when it closes. The reference's scraper backend
+        keeps template children inline (scraper's TreeSink
+        get_template_contents returns the node itself) — this builder
+        follows the spec instead, which is what browsers render and
+        what a boilerplate/extraction pipeline must skip."""
+        if in_body:
+            tmpl = self._insert_element_body("template", attrs, push=False)
+        else:
+            tmpl = self._insert_element("template", attrs, push=False)
+        frag = Element("template")
+        tmpl.template_contents = frag
+        self.stack.append(frag)
+        self.afe.append(_MARKER)
+        self._template_modes.append(self.mode)
+        self.mode = "in_body"
+
+    def _end_template(self) -> bool:
+        """Pop to the innermost open template-contents fragment and
+        restore the opener's insertion mode; no open template: ignored."""
+        if not self._template_modes:
+            return False
+        if self._pop_until("template"):
+            self.mode = self._template_modes.pop()
+        return True
+
+    def _in_template(self) -> bool:
+        """True when the current insertion point is inside an open
+        template-contents fragment (nearer than any <html> root)."""
+        for e in reversed(self.stack):
+            if e.tag == "template":
+                return True
+            if e.tag == "html":
+                return False
+        return False
 
     def _imply_html(self, attrs: dict | None = None) -> None:
         el = Element("html", attrs or {})
@@ -618,6 +676,8 @@ class _Builder:
                         self.afe.remove(el)
                 elif name in _MARKER_TAGS:
                     self._clear_afe_to_marker()
+                    if name == "template" and self._template_modes:
+                        self.mode = self._template_modes.pop()
                 return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
@@ -722,6 +782,9 @@ class _Builder:
             if name == "html":
                 self._merge_attrs(self.stack[0], tok[2])
                 return True
+            if name == "template":
+                self._start_template(tok[2], in_body=False)
+                return True
             if name in _HEAD_ELEMENTS:
                 self._insert_element(name, tok[2])
                 return True
@@ -788,6 +851,24 @@ class _Builder:
                 self._start_formatting(name, attrs)
                 return True
             if name in _TABLE_STRUCT and not self._table_in_scope():
+                if self._in_template():
+                    # WHATWG "in template": structural table tags insert
+                    # directly into the template contents — NO implied
+                    # <table>/<tbody> — with clear-back rules bounded at
+                    # the template fragment (row templates:
+                    # <template><tr><td>… is ubiquitous real-web HTML)
+                    if name in ("td", "th"):
+                        self._close_li_like(("td", "th"))
+                    elif name == "tr":
+                        self._close_li_like(("tr", "td", "th"))
+                    elif name in ("tbody", "thead", "tfoot"):
+                        self._close_li_like(
+                            ("tbody", "thead", "tfoot", "tr", "td", "th")
+                        )
+                    self._insert_element(name, attrs)
+                    if name in ("td", "th"):
+                        self.afe.append(_MARKER)
+                    return True
                 return True  # stray table structure in body: ignored (spec)
             if name in ("applet", "marquee", "object"):
                 if self.afe:
@@ -811,10 +892,7 @@ class _Builder:
                 self._insert_element(name, attrs)
                 return True
             if name == "template":
-                self._insert_element_body(
-                    name, attrs, push=not self._foreign_self_closes(tok)
-                )
-                self.afe.append(_MARKER)
+                self._start_template(attrs, in_body=True)
                 return True
             if name not in _SPECIAL_START:
                 # ordinary element ("any other start tag"): reconstruct
@@ -892,6 +970,8 @@ class _Builder:
         if kind == "end":
             name = tok[1]
             if name in ("body", "html"):
+                if self._in_template():
+                    return True  # ignored inside template contents (spec)
                 self.mode = "after_body"
                 return True
             if name == "br":
@@ -913,6 +993,9 @@ class _Builder:
                 return True
             if name in _FORMATTING:
                 self._adoption_agency(name)
+                return True
+            if name == "template":
+                self._end_template()
                 return True
             if name in _MARKER_TAGS:
                 # marker clearing happens inside _pop_from (covers the
@@ -957,6 +1040,11 @@ def parse_document(html: str) -> Document:
     b = _Builder()
     for tok in tokenize(html):
         b.feed(tok)
+    # EOF with open template-contents fragments: close them and restore
+    # the opener's mode so head/body implication below still runs
+    while b._template_modes:
+        b._pop_until("template")
+        b.mode = b._template_modes.pop()
     if b.mode in ("initial", "before_html"):
         b._imply_html()
         b.mode = "before_head"

@@ -289,3 +289,121 @@ def test_nth_child_indices_consistent_after_moves():
     sel = CssSelector.parse("body > :nth-child(2)")
     got = [e.tag for e in sel.select(doc.root_element())]
     assert got == ["table"]
+
+
+# --- <template> contents (WHATWG template semantics) -----------------------
+
+
+def _tmpl(doc_or_el, *path):
+    """First descendant template element via plain traversal."""
+    stack = list(doc_or_el.children)
+    while stack:
+        n = stack.pop(0)
+        if isinstance(n, Element):
+            if n.tag == "template":
+                return n
+            stack = list(n.children) + stack
+    raise AssertionError("no template element found")
+
+
+def test_template_content_detached_from_child_nodes():
+    doc = parse_document(
+        "<body><template id=t><div class=row>hi</div></template>after"
+    )
+    t = _tmpl(doc)
+    assert t.attrs.get("id") == "t"
+    assert t.children == []          # contents NOT in the document tree
+    assert t.child_nodes() == []
+    frag = t.template_contents
+    assert frag is not None
+    (div,) = [c for c in frag.children if isinstance(c, Element)]
+    assert div.tag == "div" and div.attrs["class"] == "row"
+    assert div.inner_text() == "hi"
+    # document text and selector traversal skip the template contents
+    body = doc.root_element().children[-1]
+    assert body.tag == "body"
+    assert body.inner_text() == "after"
+    assert all(e.tag != "div" for e in doc.root_element().iter_descendants())
+
+
+def test_template_in_head_restores_mode():
+    doc = parse_document(
+        "<head><template><style>x</style><p>tpl</p></template>"
+        "<title>T</title></head><body>real</body>"
+    )
+    html = doc.root_element()
+    head = html.children[0]
+    assert head.tag == "head"
+    t = _tmpl(doc)
+    assert t.parent is head
+    # title parsed in head AFTER the template closed (mode restored)
+    assert [e.tag for e in head.children if isinstance(e, Element)] == [
+        "template", "title"
+    ]
+    frag = t.template_contents
+    tags = [c.tag for c in frag.children if isinstance(c, Element)]
+    assert tags == ["style", "p"]
+    body = html.children[-1]
+    assert body.tag == "body" and body.inner_text() == "real"
+
+
+def test_template_row_fragment_no_implied_table():
+    # WHATWG "in template": tr/td insert directly into the fragment —
+    # no implied <table>/<tbody> (html5lib template.dat behavior)
+    doc = parse_document("<body><template><tr><td>cell</td></tr></template>")
+    frag = _tmpl(doc).template_contents
+    (tr,) = [c for c in frag.children if isinstance(c, Element)]
+    assert tr.tag == "tr"
+    (td,) = [c for c in tr.children if isinstance(c, Element)]
+    assert td.tag == "td" and td.inner_text() == "cell"
+
+
+def test_template_inside_table_not_fostered():
+    # template is legal table content: stays inside the table, and its
+    # contents don't leak into the table or get foster-parented
+    doc = parse_document(
+        "<body><table><template><div>x</div></template><tr><td>1</td></tr></table>"
+    )
+    body = doc.root_element().children[-1]
+    (table,) = [c for c in body.children if isinstance(c, Element)]
+    assert table.tag == "table"
+    t = _tmpl(doc)
+    assert t.parent is table
+    assert t.children == []
+    assert [c.tag for c in t.template_contents.children] == ["div"]
+    assert body.inner_text() == "1"  # nothing fostered before the table
+
+
+def test_template_nested_and_eof_unclosed():
+    doc = parse_document(
+        "<body><template>a<template>b</template>c</template>d"
+    )
+    outer = _tmpl(doc)
+    of = outer.template_contents
+    assert of.inner_text() == "ac"
+    inner = [c for c in of.children if isinstance(c, Element)][0]
+    assert inner.tag == "template"
+    assert inner.template_contents.inner_text() == "b"
+    body = doc.root_element().children[-1]
+    assert body.inner_text() == "d"
+
+    # EOF with the template still open: body is still implied, content
+    # stays in the fragment
+    doc2 = parse_document("<head><template><p>never closed")
+    t2 = _tmpl(doc2)
+    assert t2.template_contents.inner_text() == "never closed"
+    html2 = doc2.root_element()
+    assert [c.tag for c in html2.children if isinstance(c, Element)] == [
+        "head", "body"
+    ]
+
+
+def test_template_contents_invisible_to_selectors():
+    from h2spark.core.selector import CssSelector
+
+    doc = parse_document(
+        "<body><template><p class=x>tpl</p></template><p class=x>real</p>"
+    )
+    sel = CssSelector.parse("p.x")
+    hits = sel.select(doc.root_element())
+    assert [h.inner_text() for h in hits] == ["real"]
