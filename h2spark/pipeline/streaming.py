@@ -170,6 +170,7 @@ def sessionize_events(
     events,  # streaming DataFrame with (user_id, ts, value)
     gap_minutes: int = 30,
     watermark: str = "2 hours",
+    max_buffered_events: int = 100_000,
 ):
     """Custom stateful operator the built-ins can't express: per-user
     sessionization (a session ends after ``gap_minutes`` of
@@ -187,9 +188,19 @@ def sessionize_events(
 
     State is O(events within the watermark horizon) per ACTIVE user —
     the price of exact out-of-order sessionization; bounded lateness
-    bounds it. Event times are computed JVM-side (``unix_micros``) so
-    session-timezone settings cannot skew the epoch arithmetic the
-    event-time timeout uses.
+    bounds it. ``max_buffered_events`` additionally caps the buffer
+    against a single hot user (bot traffic) inside the horizon: on
+    overflow the oldest COMPLETE sessions are force-finalized early
+    and only the trailing still-open session stays buffered. For
+    in-order arrivals the output is unchanged (those sessions were
+    final anyway — pinned by test_sessionization_hot_user_state_cap);
+    the documented degradation is that an out-of-order event belonging
+    to a force-emitted session will start a new session instead of
+    merging. If the trailing session alone exceeds the cap (one
+    unbroken bot session) it is force-closed whole and its
+    continuation becomes a separate session. Event times are computed
+    JVM-side (``unix_micros``) so session-timezone settings cannot
+    skew the epoch arithmetic the event-time timeout uses.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -246,6 +257,27 @@ def sessionize_events(
             old_ts, old_vals = state.get
             ts = np.concatenate([np.asarray(old_ts, dtype="int64"), ts])
             vals = np.concatenate([np.asarray(old_vals, dtype="float64"), vals])
+        if max_buffered_events and len(ts) > max_buffered_events:
+            # hot-user overflow: force-finalize the oldest complete
+            # sessions now; keep only the trailing still-open session
+            order = np.argsort(ts, kind="stable")
+            ts, vals = ts[order], vals[order]
+            brk = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            if len(brk):
+                cut = int(brk[-1])
+                out = emit(ts[:cut], vals[:cut])
+                ts, vals = ts[cut:], vals[cut:]
+            else:
+                # one unbroken giant session: force-close it whole
+                out = emit(ts, vals)
+                ts, vals = ts[:0], vals[:0]
+            if len(ts):
+                state.update((ts.tolist(), vals.tolist()))
+                state.setTimeoutTimestamp(int(ts.max()) // 1000 + gap_ms)
+            elif state.exists:
+                state.remove()
+            yield out
+            return
         state.update((ts.tolist(), vals.tolist()))
         state.setTimeoutTimestamp(int(ts.max()) // 1000 + gap_ms)
         return
@@ -272,10 +304,12 @@ def run_streaming_sessions(
     gap_minutes: int = 30,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    max_buffered_events: int = 100_000,
 ):
     """Incremental sessionization over a growing events directory."""
     sessions = sessionize_events(
         _read_events_stream(spark, input_dir).select("user_id", "ts", "value"),
         gap_minutes=gap_minutes,
+        max_buffered_events=max_buffered_events,
     )
     return _start_append_writer(sessions, out_dir, checkpoint_dir, available_now)

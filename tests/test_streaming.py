@@ -185,3 +185,53 @@ def test_sessionization_exact_under_out_of_order_arrival(spark, tmp_path):
     assert (r["session_start"].hour, r["session_start"].minute) == (0, 30)
     assert (r["session_end"].hour, r["session_end"].minute) == (1, 10)
     assert (r["n_events"], r["total_value"]) == (3, 7.0)
+
+
+def test_sessionization_hot_user_state_cap(spark, tmp_path):
+    """A hot user exceeding max_buffered_events must not bloat state:
+    complete sessions are force-finalized on overflow, and for in-order
+    data the final output is EXACTLY what the uncapped run produces."""
+    from datetime import datetime, timedelta
+
+    from h2spark.pipeline.streaming import run_streaming_sessions
+
+    base = datetime(2024, 1, 1, 0, 0)
+    # user 7: 30 in-order events forming 3 sessions (10 events 1min
+    # apart, then a 40min gap) — far over a cap of 8
+    events = []
+    eid = 0
+    cursor = base
+    for _ in range(3):
+        for _ in range(10):
+            events.append((eid, cursor, 7, "view", 1.0, "{}"))
+            eid += 1
+            cursor += timedelta(minutes=1)
+        cursor += timedelta(minutes=40)
+    sentinel = [(900, base + timedelta(hours=20), 99, "view", 0.0, "{}"),
+                (901, base + timedelta(hours=21), 99, "view", 0.0, "{}")]
+
+    def run(out_name, cap):
+        in_dir = str(tmp_path / f"{out_name}_in")
+        out_dir = str(tmp_path / f"{out_name}_out")
+        _write_events(spark, events + sentinel[:1], in_dir)
+        q = run_streaming_sessions(
+            spark, in_dir, out_dir, gap_minutes=30, max_buffered_events=cap
+        )
+        q.awaitTermination(180)
+        _write_events(spark, sentinel[1:], in_dir)  # timeout pass
+        q = run_streaming_sessions(
+            spark, in_dir, out_dir, gap_minutes=30, max_buffered_events=cap
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r["session_start"], r["session_end"], r["n_events"],
+             r["total_value"])
+            for r in spark.read.parquet(f"{out_dir}/data").collect()
+            if r["user_id"] == 7
+        )
+
+    capped = run("cap", 8)
+    uncapped = run("nocap", 0)
+    assert len(uncapped) == 3
+    assert all(n == 10 and v == 10.0 for _, _, n, v in uncapped)
+    assert capped == uncapped
