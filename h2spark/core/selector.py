@@ -266,11 +266,18 @@ class _Parser:
         self._ws()
         if self.pos < len(s) and s[self.pos] in "\"'":
             q = s[self.pos]
-            end = s.find(q, self.pos + 1)
-            if end < 0:
+            # CSS strings: backslash escapes the next character
+            buf = []
+            j = self.pos + 1
+            while j < len(s) and s[j] != q:
+                if s[j] == "\\" and j + 1 < len(s):
+                    j += 1
+                buf.append(s[j])
+                j += 1
+            if j >= len(s):
                 raise self.error("unterminated string")
-            value = s[self.pos + 1:end]
-            self.pos = end + 1
+            value = "".join(buf)
+            self.pos = j + 1
         else:
             m = _IDENT_RE.match(s, self.pos)
             if not m:
@@ -355,8 +362,18 @@ class _Parser:
                     self.pos = i + 1
                     return body
             elif c in "\"'":
-                j = s.find(c, i + 1)
-                if j < 0:
+                # scan to the closing quote, skipping backslash escapes
+                # (s.find alone would stop at an escaped quote:
+                # :is([title="a\"b"]) )
+                j = i + 1
+                while j < len(s):
+                    if s[j] == "\\":
+                        j += 2
+                        continue
+                    if s[j] == c:
+                        break
+                    j += 1
+                if j >= len(s):
                     raise self.error("unterminated string")
                 i = j
             i += 1
@@ -466,8 +483,13 @@ def _match_compound(cp: Compound, el: Element) -> bool:
     return True
 
 
-def _match_complex(c: Complex, el: Element) -> bool:
-    return _match_compound(c.compounds[0], el) and _match_rest(c, 0, el)
+def _match_complex(c: Complex, el: Element, within: Element | None = None) -> bool:
+    """``within`` (when set) bounds ancestor walks to STRICT descendants
+    of that element — the :scope anchoring :has() needs (div:has(section
+    p) must not match when the only <section> is an ancestor of the
+    div). Sibling combinators never leave the subtree, so only the
+    ancestor walks check it."""
+    return _match_compound(c.compounds[0], el) and _match_rest(c, 0, el, within)
 
 
 def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
@@ -477,16 +499,20 @@ def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
     if kind in ("is", "where"):
         return any(_match_complex(c, el) for c in ps.complexes)
     if kind == "has":
-        # relative-selector approximation consistent with the engine's
-        # select(): the anchor's subtree is searched, combinators may
-        # climb above it (no :scope anchoring — scraper.rs:54-56 parity)
+        # :scope-anchored relative selector: candidates come from the
+        # anchor's subtree AND the inner complex's ancestor walks are
+        # bounded at the anchor (CSS semantics: div:has(section p) only
+        # matches when the <section> is inside the div). Note this is
+        # intentionally STRICTER than the engine's select(), whose
+        # combinators climb above the scope for scraper.rs:54-56 parity
+        # — :has() is an extension the reference doesn't support.
         if ps.rel == ">":
             cands = [c for c in el.children if type(c) is Element]
         else:
             cands = el.iter_descendants()
         for d in cands:
             for c in ps.complexes:
-                if _match_complex(c, d):
+                if _match_complex(c, d, within=el):
                     return True
         return False
     if kind == "root":
@@ -529,7 +555,7 @@ def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
     return False
 
 
-def _match_rest(cx: Complex, i: int, el: Element) -> bool:
+def _match_rest(cx: Complex, i: int, el: Element, within: Element | None = None) -> bool:
     # compounds[i] already matched at el; try to satisfy compounds[i+1:]
     if i + 1 >= len(cx.compounds):
         return True
@@ -537,13 +563,13 @@ def _match_rest(cx: Complex, i: int, el: Element) -> bool:
     nxt = cx.compounds[i + 1]
     if comb == ">":
         p = el.parent
-        if p is None or type(p) is not Element:
+        if p is None or type(p) is not Element or p is within:
             return False
-        return _match_compound(nxt, p) and _match_rest(cx, i + 1, p)
+        return _match_compound(nxt, p) and _match_rest(cx, i + 1, p, within)
     if comb == " ":
         p = el.parent
-        while p is not None and type(p) is Element:
-            if _match_compound(nxt, p) and _match_rest(cx, i + 1, p):
+        while p is not None and type(p) is Element and p is not within:
+            if _match_compound(nxt, p) and _match_rest(cx, i + 1, p, within):
                 return True
             p = p.parent
         return False
@@ -557,10 +583,10 @@ def _match_rest(cx: Complex, i: int, el: Element) -> bool:
         if idx == 0:
             return False
         prev = sibs[idx - 1]
-        return _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev)
+        return _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev, within)
     # '~'
     for j in range(idx - 1, -1, -1):
         prev = sibs[j]
-        if _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev):
+        if _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev, within):
             return True
     return False

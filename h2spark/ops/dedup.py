@@ -914,6 +914,15 @@ def duplicate_clusters(
     relative to the corpus (only near-dup candidates), so the loop runs
     over a small edge table; superseded label tables are unpersisted
     each round.
+
+    Fault tolerance: localCheckpoint() stores blocks on executors
+    WITHOUT replication and truncates lineage, so losing an executor
+    mid-loop makes the label table unrecoverable and fails the job (it
+    must be restarted — correct, just not cheap). On a cluster run set
+    ``sc.setCheckpointDir(...)`` before calling: the loop then uses
+    reliable checkpoint() (HDFS/object-store backed) and survives
+    executor loss at the cost of a write per round. Local mode has one
+    executor (= the driver), where localCheckpoint is strictly better.
     """
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -954,8 +963,14 @@ def duplicate_clusters(
             )
         )
         if (rnd + 1) % checkpoint_every == 0:
-            # truncate lineage: R rounds otherwise nest R join-plans
-            new_labels = jumped.localCheckpoint()
+            # truncate lineage: R rounds otherwise nest R join-plans.
+            # Reliable checkpoint when a checkpoint dir is configured
+            # (survives executor loss); local otherwise (see docstring).
+            sc = jumped.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                new_labels = jumped.checkpoint()
+            else:
+                new_labels = jumped.localCheckpoint()
         else:
             new_labels = jumped.cache()
         changed = (

@@ -110,9 +110,10 @@ def run_extraction_job(
     ``bucket(doc_id)`` table). Each wave's ``isin`` filter then prunes
     the scan to the wave's partitions — no per-wave full re-scan and no
     per-row hash recompute. The bucket column MUST have been computed
-    with the same n_buckets: the value range is validated up front
-    (metadata-only read) and a resume additionally re-checks n_buckets
-    against the job manifest.
+    with the same n_buckets: the value range is validated up front from
+    the partition directory listing (a file listing, not a data scan)
+    and a resume additionally re-checks n_buckets against the job
+    manifest.
     """
     cs = compile_spec(spec)  # validates selectors driver-side, once
     n_partitions = n_partitions or spark.sparkContext.defaultParallelism * 2
@@ -140,16 +141,34 @@ def run_extraction_job(
             "ckpt_bucket", F.col("ckpt_bucket").cast("int")
         )
         # a bucket-count mismatch would silently skip every bucket
-        # >= n_buckets (waves only cover range(n_buckets)); the bucket
-        # column is a partition column, so this check reads metadata,
-        # not data
-        rng = docs.agg(
-            F.min("ckpt_bucket").alias("lo"), F.max("ckpt_bucket").alias("hi")
-        ).first()
-        if rng["hi"] is not None and (rng["lo"] < 0 or rng["hi"] >= n_buckets):
+        # >= n_buckets (waves only cover range(n_buckets)). Derive the
+        # observed bucket range from the partition DIRECTORY names
+        # (inputFiles carries .../ckpt_bucket=N/... for a partitioned
+        # source — a listing, not a data scan; Spark's metadata-only
+        # agg optimization is gone since 3.0, so min/max over the
+        # column would re-read every row group at job start). Inputs
+        # without partition directories (in-memory test frames) fall
+        # back to the aggregation.
+        import re as _re
+
+        seen = {
+            int(m.group(1))
+            for f in docs.inputFiles()
+            for m in [_re.search(r"[/\\]ckpt_bucket=(\d+)[/\\]", f)]
+            if m
+        }
+        if seen:
+            lo, hi = min(seen), max(seen)
+        else:
+            rng = docs.agg(
+                F.min("ckpt_bucket").alias("lo"),
+                F.max("ckpt_bucket").alias("hi"),
+            ).first()
+            lo, hi = rng["lo"], rng["hi"]
+        if hi is not None and (lo < 0 or hi >= n_buckets):
             raise ValueError(
-                f"bucketed input has ckpt_bucket range [{rng['lo']}, "
-                f"{rng['hi']}] incompatible with n_buckets={n_buckets}; "
+                f"bucketed input has ckpt_bucket range [{lo}, "
+                f"{hi}] incompatible with n_buckets={n_buckets}; "
                 "re-bucketize or pass the matching n_buckets"
             )
     else:

@@ -207,6 +207,37 @@ def test_logical_pseudo_classes_is_where_has():
         CssSelector.parse(":is(:bogus)")
 
 
+def test_has_is_scope_anchored():
+    # div:has(section p) must NOT match when the only <section> is an
+    # ANCESTOR of the div (CSS :scope anchoring — the inner complex's
+    # ancestor walk is bounded at the :has anchor)
+    doc = parse_document(
+        "<section><div id=outer><p>above</p></div></section>"
+        "<div id=inner><section><p>below</p></section></div>"
+    )
+    root = doc.root_element()
+    hits = [
+        e.attrs.get("id")
+        for e in CssSelector.parse("div:has(section p)").select(root)
+    ]
+    assert hits == ["inner"]
+    # the plain descendant form still sees subtree-only candidates
+    assert [
+        e.attrs.get("id") for e in CssSelector.parse("div:has(p)").select(root)
+    ] == ["outer", "inner"]
+
+
+def test_paren_body_skips_escaped_quotes():
+    doc = parse_document(
+        '<body><i title=\'a"b\'>yes</i><i title="plain">no</i></body>'
+    )
+    root = doc.root_element()
+    sel = CssSelector.parse(':is([title="a\\"b"])')
+    assert [e.inner_text() for e in sel.select(root)] == ["yes"]
+    with pytest.raises(SelectorParseError):
+        CssSelector.parse(':is([title="unterminated\\"])')
+
+
 def test_attribute_operators():
     doc = parse_document(
         '<body><a href="https://x.test/a.png" rel="no follow"></a>'
