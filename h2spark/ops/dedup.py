@@ -807,7 +807,19 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DEDUP_EMBEDDING_LSH = f"""
+def _oracle_srp_lsh(threshold: float, rows: int, n_bands: int) -> str:
+    """DuckDB twin of cosine_lsh_pairs at any (rows, bands) banding:
+    identical md5 planes, integer bits, band keys, candidate join and
+    exact round-6 rescore — so BOTH the exactness-demo config and the
+    threshold-adaptive scale config are hash-verified end to end."""
+    bits_used = rows * n_bands
+    cos = """(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+      FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
+     / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+              FROM (SELECT unnest(a.embedding) AS x)))
+      * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
+              FROM (SELECT unnest(b.embedding) AS y))))"""
+    return f"""
 WITH qtab AS (
   SELECT vec_id, embedding,
          list_transform(embedding,
@@ -822,7 +834,7 @@ planes AS (
          CASE WHEN (strpos('0123456789abcdef',
                     md5('srp:' || h || ':' || i)[1:1]) - 1) & 1 = 1
               THEN 1 ELSE -1 END AS s
-  FROM (SELECT unnest(range(0, {_SRP_BITS})) AS h),
+  FROM (SELECT unnest(range(0, {bits_used})) AS h),
        (SELECT unnest(range(0, {_SRP_DIM})) AS i)
 ),
 bits AS (
@@ -832,7 +844,7 @@ bits AS (
   GROUP BY f.vec_id, p.h
 ),
 bands AS (
-  SELECT vec_id, (h // {_SRP_ROWS}) AS band,
+  SELECT vec_id, (h // {rows}) AS band,
          string_agg(bit, '' ORDER BY h) AS band_key
   FROM bits GROUP BY vec_id, band
 ),
@@ -843,22 +855,34 @@ cand AS (
 ),
 rescored AS (
   SELECT c.vec_a, c.vec_b,
-         round({{cos}}, 6) AS cosine
+         round({cos}, 6) AS cosine
   FROM cand c
   JOIN embeddings a ON a.vec_id = c.vec_a
   JOIN embeddings b ON b.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cosine FROM rescored
-WHERE cosine >= {_COS_THRESHOLD}
+WHERE cosine >= {threshold}
 ORDER BY vec_a, vec_b
-""".replace(
-    "{cos}",
-    """(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-      FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y))
-     / (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
-              FROM (SELECT unnest(a.embedding) AS x)))
-      * sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))
-              FROM (SELECT unnest(b.embedding) AS y))))""",
+"""
+
+
+ORACLE_DEDUP_EMBEDDING_LSH = _oracle_srp_lsh(
+    _COS_THRESHOLD, _SRP_ROWS, _SRP_BITS // _SRP_ROWS
+)
+
+# the threshold-adaptive SCALE configuration, oracle-verified end to end
+# (banding mirrored in SQL, so the recall trade is part of the checked
+# contract, not a hidden approximation)
+_ADAPTIVE_THRESHOLD = 0.45
+
+
+def q_dedup_embedding_lsh_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_lsh_pairs(e, _ADAPTIVE_THRESHOLD)
+
+
+ORACLE_DEDUP_EMBEDDING_LSH_ADAPTIVE = _oracle_srp_lsh(
+    _ADAPTIVE_THRESHOLD, *srp_params(_ADAPTIVE_THRESHOLD)
 )
 
 
@@ -870,6 +894,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding_cosine": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_lsh_adaptive": q_dedup_embedding_lsh_adaptive,
 }
 
 ORACLES = {
@@ -880,6 +905,7 @@ ORACLES = {
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING,
     "dedup_embedding_lsh": ORACLE_DEDUP_EMBEDDING_LSH,
+    "dedup_embedding_lsh_adaptive": ORACLE_DEDUP_EMBEDDING_LSH_ADAPTIVE,
 }
 
 
