@@ -266,12 +266,20 @@ class _Parser:
         self._ws()
         if self.pos < len(s) and s[self.pos] in "\"'":
             q = s[self.pos]
-            # CSS strings: backslash escapes the next character
+            # CSS strings: '\' + 1-6 hex digits (+ optional single ws
+            # terminator) is a code point; '\' + other char is that char
             buf = []
             j = self.pos + 1
             while j < len(s) and s[j] != q:
                 if s[j] == "\\" and j + 1 < len(s):
                     j += 1
+                    mh = re.match(r"[0-9a-fA-F]{1,6}", s[j:])
+                    if mh:
+                        buf.append(chr(int(mh.group(0), 16)))
+                        j += len(mh.group(0))
+                        if j < len(s) and s[j] in " \t\r\n\f":
+                            j += 1
+                        continue
                 buf.append(s[j])
                 j += 1
             if j >= len(s):
@@ -434,7 +442,9 @@ def _match_nth(a: int, b: int, i: int) -> bool:
     return i <= b and (b - i) % (-a) == 0
 
 
-def _match_compound(cp: Compound, el: Element) -> bool:
+def _match_compound(
+    cp: Compound, el: Element, within: Element | None = None
+) -> bool:
     if cp.tag is not None and el.tag != cp.tag:
         return False
     attrs = el.attrs
@@ -478,7 +488,7 @@ def _match_compound(cp: Compound, el: Element) -> bool:
             if not val or val not in v:
                 return False
     for ps in cp.pseudos:
-        if not _match_pseudo(ps, el):
+        if not _match_pseudo(ps, el, within):
             return False
     return True
 
@@ -489,15 +499,21 @@ def _match_complex(c: Complex, el: Element, within: Element | None = None) -> bo
     p) must not match when the only <section> is an ancestor of the
     div). Sibling combinators never leave the subtree, so only the
     ancestor walks check it."""
-    return _match_compound(c.compounds[0], el) and _match_rest(c, 0, el, within)
+    return _match_compound(c.compounds[0], el, within) and _match_rest(
+        c, 0, el, within
+    )
 
 
-def _match_pseudo(ps: PseudoTest, el: Element) -> bool:
+def _match_pseudo(
+    ps: PseudoTest, el: Element, within: Element | None = None
+) -> bool:
     kind = ps.kind
     if kind == "not":
-        return not any(_match_compound(c, el) for c in ps.inner)
+        return not any(_match_compound(c, el, within) for c in ps.inner)
     if kind in ("is", "where"):
-        return any(_match_complex(c, el) for c in ps.complexes)
+        # :is()/:where() inside :has() must keep the :scope bound —
+        # otherwise :has(:is(section p)) escapes the anchor subtree
+        return any(_match_complex(c, el, within) for c in ps.complexes)
     if kind == "has":
         # :scope-anchored relative selector: candidates come from the
         # anchor's subtree AND the inner complex's ancestor walks are
@@ -565,11 +581,11 @@ def _match_rest(cx: Complex, i: int, el: Element, within: Element | None = None)
         p = el.parent
         if p is None or type(p) is not Element or p is within:
             return False
-        return _match_compound(nxt, p) and _match_rest(cx, i + 1, p, within)
+        return _match_compound(nxt, p, within) and _match_rest(cx, i + 1, p, within)
     if comb == " ":
         p = el.parent
         while p is not None and type(p) is Element and p is not within:
-            if _match_compound(nxt, p) and _match_rest(cx, i + 1, p, within):
+            if _match_compound(nxt, p, within) and _match_rest(cx, i + 1, p, within):
                 return True
             p = p.parent
         return False
@@ -583,10 +599,10 @@ def _match_rest(cx: Complex, i: int, el: Element, within: Element | None = None)
         if idx == 0:
             return False
         prev = sibs[idx - 1]
-        return _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev, within)
+        return _match_compound(nxt, prev, within) and _match_rest(cx, i + 1, prev, within)
     # '~'
     for j in range(idx - 1, -1, -1):
         prev = sibs[j]
-        if _match_compound(nxt, prev) and _match_rest(cx, i + 1, prev, within):
+        if _match_compound(nxt, prev, within) and _match_rest(cx, i + 1, prev, within):
             return True
     return False

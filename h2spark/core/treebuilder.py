@@ -290,6 +290,12 @@ class _Builder:
             if t == name:
                 self._pop_from(i)
                 return True
+            if t == "template":
+                # a template-contents fragment bounds EVERY scope (the
+                # spec puts template in every scope list): </table> etc.
+                # must never pop through it and leak template content
+                # into the document
+                return False
             if t in _SCOPE_BOUNDARY and name not in _SCOPE_BOUNDARY:
                 return False
         return False
@@ -311,7 +317,11 @@ class _Builder:
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
             if t in names:
-                del self.stack[i:]
+                # route through _pop_from: a popped marker-scoped
+                # element (td/th in the in-template path) must clear
+                # the formatting list to its marker or formatting
+                # opened inside the cell leaks past it
+                self._pop_from(i)
                 return
             if t in _LI_SCOPE_STOP:
                 return

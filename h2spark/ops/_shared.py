@@ -42,12 +42,9 @@ def cos_udf():
     for small baselines and plan-shape pins."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def cos_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+    def _fold(a: pd.Series, b: pd.Series):
         import numpy as np
 
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
         A = np.array(a.tolist(), dtype=np.float64)
         B = np.array(b.tolist(), dtype=np.float64)
         dot = np.zeros(len(A))
@@ -57,7 +54,19 @@ def cos_udf():
             dot += A[:, i] * B[:, i]
             na += A[:, i] * A[:, i]
             nb += B[:, i] * B[:, i]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        return dot / (np.sqrt(na) * np.sqrt(nb))
+
+    @pandas_udf("double")
+    def cos_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        null = (a.isna() | b.isna()).to_numpy()
+        if null.any():  # NULL in -> NULL out, as cos_expr
+            out = pd.array([None] * len(a), dtype="Float64")
+            if (~null).any():
+                out[~null] = _fold(a[~null], b[~null])
+            return pd.Series(out)
+        return pd.Series(_fold(a, b))
 
     return cos_pairs
 

@@ -696,43 +696,69 @@ def srp_bucket_volume(e: DataFrame, rows: int, bits: int = _SRP_BITS) -> DataFra
     )
 
 
-def _bucket_rescore_func(threshold: float):
+def _bucket_rescore_func(threshold: float, max_pair_block: int = 4_000_000):
     """applyInPandas kernel: exact cosines for all pairs WITHIN one
     (band, band_key) bucket. The fold is one vectorized add per
     dimension over the pair index arrays — per-pair accumulation order
     matches cos_expr's left-to-right HOF fold, so values are
-    bit-identical to the join+rescore formulation (and the oracle)."""
+    bit-identical to the join+rescore formulation (and the oracle).
+
+    Pair enumeration is BLOCKED: anchor rows are processed in slices so
+    peak memory is O(max_pair_block) regardless of bucket size m — the
+    m(m-1)/2 index arrays of a single np.triu_indices call would be
+    gigabytes for a hot bucket. The bucket's ROWS (m x dim vectors)
+    still materialize in one pandas group — applyInPandas's contract —
+    so coarse-banded corpora should run srp_bucket_volume first and
+    fall back to strategy='join' when max_bucket is executor-sized."""
 
     def rescore(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
-            )
-        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy(dtype="int64")
-        I, J = np.triu_indices(m, 1)
-        dot = np.zeros(len(I))
-        na = np.zeros(len(I))
-        nb = np.zeros(len(I))
-        for d in range(V.shape[1]):
-            dot += V[I, d] * V[J, d]
-            na += V[I, d] * V[I, d]
-            nb += V[J, d] * V[J, d]
-        cos = dot / (np.sqrt(na) * np.sqrt(nb))
-        # keep anything that could round up to the threshold; the exact
-        # Spark-side round(·, 6) >= threshold filter runs after
-        keep = cos >= threshold - 1e-6
-        a, b = ids[I[keep]], ids[J[keep]]
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "vec_a": np.minimum(a, b),
-                "vec_b": np.maximum(a, b),
-                "cosine": cos[keep],
+                "vec_a": np.array([], dtype="int64"),
+                "vec_b": np.array([], dtype="int64"),
+                "cosine": np.array([], dtype="float64"),
             }
         )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        block = max(1, max_pair_block // m)
+        outs = []
+        for lo in range(0, m - 1, block):
+            hi = min(lo + block, m - 1)
+            # pairs (i, j) with lo <= i < hi, i < j < m
+            counts = m - 1 - np.arange(lo, hi)
+            I = np.repeat(np.arange(lo, hi), counts)
+            J = np.concatenate([np.arange(i + 1, m) for i in range(lo, hi)])
+            dot = np.zeros(len(I))
+            na = np.zeros(len(I))
+            nb = np.zeros(len(I))
+            for d in range(V.shape[1]):
+                dot += V[I, d] * V[J, d]
+                na += V[I, d] * V[I, d]
+                nb += V[J, d] * V[J, d]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            # keep anything that could round up to the threshold; the
+            # exact Spark-side round(·, 6) >= threshold filter runs after
+            keep = cos >= threshold - 1e-6
+            if keep.any():
+                a, b = ids[I[keep]], ids[J[keep]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": np.minimum(a, b),
+                            "vec_b": np.maximum(a, b),
+                            "cosine": cos[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
 
     return rescore
 
@@ -765,8 +791,9 @@ def cosine_lsh_pairs(
       candidates) and the corpus is too skewed for whole-bucket pair
       enumeration.
     """
-    if rows is None or bits is None:
-        bits = bits or 256
+    if bits is None:
+        bits = 256
+    if rows is None:
         rows, _ = srp_params(threshold, bits=bits)
     if strategy == "bucket":
         scored = srp_bands(e, rows, bits, with_embedding=True).groupBy(

@@ -180,6 +180,7 @@ def train_ivf_centroids(
     V = np.array([list(r["q"]) for r in rows], dtype=np.int64)
     vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
     round6 = np.vectorize(_round6, otypes=[np.float64])
+    k = min(k, len(V))  # degrade gracefully on tiny corpora
     cents = [[int(x) for x in V[ki]] for ki in range(k)]
     for _ in range(iters):
         C = np.asarray(cents, dtype=np.int64)

@@ -154,7 +154,7 @@ def run_extraction_job(
         seen = {
             int(m.group(1))
             for f in docs.inputFiles()
-            for m in [_re.search(r"[/\\]ckpt_bucket=(\d+)[/\\]", f)]
+            for m in [_re.search(r"[/\\]ckpt_bucket=(-?\d+)[/\\]", f)]
             if m
         }
         if seen:

@@ -354,3 +354,30 @@ def test_zero_padded_numeric_charrefs():
     doc = parse_document("<p>&#x000000041;&#0000000065;</p>")
     p = CssSelector.parse("p").select(doc.root_element())[0]
     assert p.inner_text() == "AA"
+
+
+def test_has_is_wrapper_keeps_scope_anchor():
+    # review finding: :is() nested inside :has() must keep the :scope
+    # bound — :has(:is(section p)) must behave like :has(section p)
+    doc = parse_document(
+        "<section><div id=outer><p>above</p></div></section>"
+        "<div id=inner><section><p>below</p></section></div>"
+    )
+    root = doc.root_element()
+    for sel in ("div:has(:is(section p))", "div:has(section p)"):
+        hits = [e.attrs.get("id") for e in CssSelector.parse(sel).select(root)]
+        assert hits == ["inner"], sel
+
+
+def test_attr_string_css_hex_escapes():
+    doc = parse_document('<body><i title="A">yes</i><i title="4-1">no</i></body>')
+    root = doc.root_element()
+    # \41 (+ terminating space) is "A" per CSS string escapes
+    assert [
+        e.inner_text()
+        for e in CssSelector.parse('[title="\\41 "]').select(root)
+    ] == ["yes"]
+    assert [
+        e.inner_text()
+        for e in CssSelector.parse('[title="\\41"]').select(root)
+    ] == ["yes"]

@@ -253,3 +253,42 @@ def test_winnow_fingerprints_detect_shared_passages(spark, tmp_path):
     assert not (sets[0] & sets[2])
     for doc_id in (0, 1, 2, 3):
         assert out[doc_id]["n_fps"] == len(sets[doc_id])
+
+
+def test_bucket_rescore_blocking_matches_unblocked():
+    # the blocked pair enumeration (O(max_pair_block) memory) must give
+    # the same pairs as one big triu pass — pure-pandas unit test
+    import hashlib
+
+    import pandas as pd
+
+    def h01(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(17)),
+            "embedding": [
+                [h01(f"{v}:{i}") - 0.5 for i in range(8)] for v in range(17)
+            ],
+        }
+    )
+    big = dedup._bucket_rescore_func(-1.0)(pdf)  # threshold -1: all pairs
+    small = dedup._bucket_rescore_func(-1.0, max_pair_block=5)(pdf)
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    assert key(big) == key(small)
+    assert len(big) == 17 * 16 / 2
+
+
+def test_cos_udf_null_embedding_yields_null(spark):
+    from h2spark.ops._shared import cos_expr, cos_udf
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], [1.0, 2.0]), (1, None, [1.0, 2.0])],
+        "i long, ea array<float>, eb array<float>",
+    )
+    rows = df.select(
+        "i", cos_udf()("ea", "eb").alias("u"), cos_expr("ea", "eb").alias("x")
+    ).orderBy("i").collect()
+    assert rows[0]["u"] == rows[0]["x"] and rows[0]["u"] is not None
+    assert rows[1]["u"] is None and rows[1]["x"] is None

@@ -117,6 +117,26 @@ def test_bucketized_input_rejects_bucket_count_mismatch(spark, tmp_path):
         )
 
 
+def test_bucketized_input_rejects_negative_buckets(spark, tmp_path):
+    import pytest
+
+    # buckets computed with signed arithmetic (hash % n, not pmod) write
+    # ckpt_bucket=-1 partition dirs; the directory-listing validation
+    # must see them (regex must match the minus sign)
+    h = F.crc32(F.col("doc_id").cast("string")) % 4
+    docs = corpus_df(spark, 20, n_partitions=2).withColumn(
+        "ckpt_bucket", F.when(h == 0, -1).otherwise(h).cast("int")
+    )
+    path = str(tmp_path / "neg")
+    docs.write.partitionBy("ckpt_bucket").parquet(path)
+    bad = spark.read.parquet(path)
+    with pytest.raises(ValueError, match="incompatible with n_buckets"):
+        run_extraction_job(
+            spark, bad, PAGE_SPEC, str(tmp_path / "out_neg"),
+            n_buckets=4, wave_buckets=4, input_is_bucketed=True,
+        )
+
+
 def test_bucketize_writes_multiple_files_per_bucket(spark, tmp_path):
     from h2spark.pipeline.job import bucketize_input
 

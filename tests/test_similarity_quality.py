@@ -65,3 +65,13 @@ def test_ivf_centroids_are_trained_not_first_k(spark):
     init_set = {tuple(r["q"]) for r in init}
     trained = similarity.train_ivf_centroids(qe)
     assert any(tuple(c) not in init_set for c in trained)
+
+
+def test_ivf_training_degrades_below_k(spark):
+    # corpora smaller than K must train min(K, n) centroids, not crash
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(5)
+    qe = e.select("vec_id", F.expr(similarity._QUANT).alias("q"))
+    cents = similarity.train_ivf_centroids(qe)
+    assert len(cents) == 5

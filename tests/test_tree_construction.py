@@ -407,3 +407,32 @@ def test_template_contents_invisible_to_selectors():
     sel = CssSelector.parse("p.x")
     hits = sel.select(doc.root_element())
     assert [h.inner_text() for h in hits] == ["real"]
+
+
+def test_template_table_end_tag_does_not_pop_fragment():
+    # review finding: </table> (a scope-boundary end tag) inside an open
+    # template must be IGNORED, not pop through the contents fragment —
+    # otherwise hidden template markup leaks into the visible document
+    doc = parse_document("<body><table><template>hidden</table>leak</template></body>x")
+    t = _tmpl(doc)
+    assert t.template_contents.inner_text() == "hiddenleak"
+    body = doc.root_element().children[-1]
+    assert "leak" not in body.inner_text()
+    assert "hidden" not in body.inner_text()
+
+
+def test_template_cell_formatting_does_not_leak():
+    # review finding: auto-closing a td inside a template (via the
+    # in-template structural path) must clear the formatting list to the
+    # cell's marker — <b> opened in a template cell must not wrap later
+    # body text via reconstruction
+    doc = parse_document(
+        "<body><template><tr><td><b>x<td><i><td>y</template>z"
+    )
+    body = doc.root_element().children[-1]
+    assert body.inner_text() == "z"
+    # z is a direct text child of body, not wrapped in reconstructed <b>/<i>
+    from h2spark.core.dom import Text
+    assert any(
+        type(c) is Text and c.data == "z" for c in body.children
+    ), [type(c).__name__ for c in body.children]
