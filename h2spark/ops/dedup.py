@@ -72,10 +72,11 @@ ORDER BY content_hash
 _SHINGLE_N = 4
 
 
-def _with_shingles(d: DataFrame, n: int = _SHINGLE_N) -> DataFrame:
-    """doc_id + exploded distinct word n-gram shingles (codegen only)."""
-    words = F.split(F.expr(_NORM), " ")
-    shingles = F.when(
+def _shingle_expr(words, n: int):
+    """Expression formulation of the n-gram windowing — interpreted
+    Catalyst HOFs, kept as the cross-engine pin for the pandas kernel
+    below (tests/test_dedup_scale.py)."""
+    return F.when(
         F.size(words) >= n,
         F.array_distinct(
             F.transform(
@@ -84,7 +85,45 @@ def _with_shingles(d: DataFrame, n: int = _SHINGLE_N) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", words)))
-    return d.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _shingles_udf(n: int):
+    """pandas UDF: word array -> distinct n-gram shingles. Pure list
+    ops over the JVM-split words (normalization/split stay in codegen,
+    so there is no locale/regex divergence to worry about); replaces
+    the interpreted transform(sequence(), slice+concat_ws) HOF chain
+    that dominated the minhash stage (measured 3.9s of q3's 6.7s at
+    sf0.1). dict.fromkeys preserves first-occurrence order, matching
+    array_distinct."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def shingles(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            w = list(w)
+            if len(w) >= n:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(w[i : i + n])
+                            for i in range(len(w) - n + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([" ".join(w)])
+        return pd.Series(out)
+
+    return shingles
+
+
+def _with_shingles(d: DataFrame, n: int = _SHINGLE_N) -> DataFrame:
+    """doc_id + exploded distinct word n-gram shingles."""
+    words = F.split(F.expr(_NORM), " ")
+    return d.select(
+        "doc_id", F.explode(_shingles_udf(n)(words)).alias("shingle")
+    )
 
 
 def _shingles_cte_duck(n: int = _SHINGLE_N) -> str:
@@ -226,11 +265,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(n_bands)
     ]
+    # each band row CARRIES the full signature array: the self-join then
+    # computes est_jaccard in place and the expensive shingle->signature
+    # chain is built once (self-join reuses the exchange) instead of
+    # three times (bands + two signature re-joins — measured 6.7s -> this
+    # shape at sf0.1; the array is 16 md5 strings per doc, tiny)
     bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        "doc_id",
+        F.array(*[F.col(f"m{s}") for s in range(_N_HASHES)]).alias("sig"),
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        "doc_id", "sig",
+        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
+    # matches = agreeing signature positions (identical on every band
+    # row of a pair, so first() under the groupBy is deterministic)
+    matches = sum(
+        F.when(
+            F.element_at(F.col("a.sig"), s + 1)
+            == F.element_at(F.col("b.sig"), s + 1),
+            1,
+        ).otherwise(0)
+        for s in range(_N_HASHES)
+    )
     pairs = (
         a.join(
             b,
@@ -241,29 +300,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.band").alias("band"),
+            matches.alias("m"),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_bands"))
-    )
-    # estimated Jaccard = fraction of agreeing signature positions
-    sa = sig.select(F.col("doc_id").alias("doc_a"),
-                    *[F.col(f"m{s}").alias(f"a{s}") for s in range(_N_HASHES)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"),
-                    *[F.col(f"m{s}").alias(f"b{s}") for s in range(_N_HASHES)])
-    matches = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(_N_HASHES)
-    )
-    scored = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b", "n_bands",
-            F.round(matches / F.lit(float(_N_HASHES)), 6).alias("est_jaccard"),
+        .agg(
+            F.count("*").cast("long").alias("n_bands"),
+            F.round(F.first("m") / F.lit(float(_N_HASHES)), 6).alias(
+                "est_jaccard"
+            ),
         )
+        .select("doc_a", "doc_b", "n_bands", "est_jaccard")
     )
-    return scored.orderBy("doc_a", "doc_b")
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 ORACLE_DEDUP_MINHASH = f"""

@@ -292,3 +292,25 @@ def test_cos_udf_null_embedding_yields_null(spark):
     ).orderBy("i").collect()
     assert rows[0]["u"] == rows[0]["x"] and rows[0]["u"] is not None
     assert rows[1]["u"] is None and rows[1]["x"] is None
+
+
+def test_shingles_udf_matches_expression_formulation(spark):
+    # cross-engine pin: the pandas shingle kernel must produce exactly
+    # the rows of the interpreted HOF formulation it replaced
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = F.split(F.expr(dedup._NORM), " ")
+    via_expr = (
+        docs.select(
+            "doc_id", F.explode(dedup._shingle_expr(words, 4)).alias("shingle")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("s"))
+    )
+    via_udf = (
+        dedup._with_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("s"))
+    )
+    lhs = {r["doc_id"]: list(r["s"]) for r in via_expr.collect()}
+    rhs = {r["doc_id"]: list(r["s"]) for r in via_udf.collect()}
+    assert lhs == rhs
