@@ -46,6 +46,7 @@ def _all_modules():
         flagship,
         golden_e2e,
         multimodal,
+        pdftext,
         relational,
         roundtrip,
         similarity,
@@ -54,7 +55,7 @@ def _all_modules():
 
     return (
         flagship, golden_e2e, roundtrip, boilerplate, relational,
-        textstats, dedup, similarity, curation, multimodal,
+        textstats, dedup, similarity, curation, multimodal, pdftext,
     )
 
 

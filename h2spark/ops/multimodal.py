@@ -182,6 +182,37 @@ QUERIES = {"multimodal_decode_meta": q_multimodal_meta}
 ORACLES: dict[str, str] = {"multimodal_decode_meta": ORACLE_MULTIMODAL_META}
 
 
+def decode_wav_meta(data: bytes) -> dict | None:
+    """REAL WAV (RIFF/WAVE) header parse — stdlib struct only: channels,
+    sample rate, bits per sample from the fmt chunk; duration from the
+    data chunk length. Returns None for non-WAV bytes."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    n_data = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(data):
+            _, ch, rate = struct.unpack("<HHI", data[i + 8 : i + 16])
+            (bits,) = struct.unpack("<H", data[i + 22 : i + 24])
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            n_data = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    ch, rate, bits = fmt
+    out = {"channels": ch, "sample_rate": rate, "bits_per_sample": bits}
+    if n_data is not None and ch and rate and bits:
+        out["n_frames"] = n_data // (ch * bits // 8)
+        out["duration_ms"] = out["n_frames"] * 1000 // rate
+    return out
+
+
 # --- real image-dimension decode (stdlib header parse, full oracle) ------
 
 IMAGE_DIMS_SCHEMA = "media_ref string, fmt string, width int, height int"
@@ -280,6 +311,89 @@ FROM base ORDER BY media_ref
 
 QUERIES["image_dims_decode"] = q_image_dims
 ORACLES["image_dims_decode"] = ORACLE_IMAGE_DIMS
+
+
+# --- real WAV header decode (stdlib parse, full oracle) ------------------
+
+AUDIO_META_SCHEMA = (
+    "media_ref string, channels int, sample_rate int, "
+    "bits_per_sample int, n_frames long, duration_ms long"
+)
+
+
+def synth_wav_df(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Genuine RIFF/WAVE headers built JVM-side from hex literals +
+    little-endian field arithmetic — replayable in SQL."""
+    df = spark.range(n)
+    ch = (F.col("id") % 2 + 1).cast("long")
+    rate = (F.lit(8000) + (F.col("id") % 5) * 4000).cast("long")
+    dlen = (F.col("id") * 977 % 50000 + 1000).cast("long")
+
+    def le(c, nbytes):
+        return F.concat(
+            *[
+                F.lpad(F.hex(F.shiftright(c, 8 * b) % 256), 2, "0")
+                for b in range(nbytes)
+            ]
+        )
+
+    hexstr = F.concat(
+        F.lit("52494646"), le(dlen + 36, 4), F.lit("57415645"),   # RIFF/WAVE
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),      # fmt, len 16, PCM
+        le(ch, 2), le(rate, 4),
+        le(rate * ch * 2, 4), le(ch * 2, 2), F.lit("1000"),       # byterate/align/16-bit
+        F.lit("64617461"), le(dlen, 4),                           # data chunk
+    )
+    ref = F.concat(F.lit("synth://wav/"), F.col("id").cast("string"))
+    return df.select(ref.alias("media_ref"), F.unhex(hexstr).alias("media_bytes"))
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: REAL WAV header decode (chunk walk over
+    genuine RIFF bytes) with the expected fields replayed as integer
+    arithmetic in DuckDB."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r, b in zip(pdf["media_ref"], pdf["media_bytes"]):
+                m = decode_wav_meta(bytes(b)) or {}
+                rows.append(
+                    {
+                        "media_ref": r,
+                        "channels": m.get("channels"),
+                        "sample_rate": m.get("sample_rate"),
+                        "bits_per_sample": m.get("bits_per_sample"),
+                        "n_frames": m.get("n_frames"),
+                        "duration_ms": m.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return synth_wav_df(spark, n=24).mapInPandas(
+        decode, AUDIO_META_SCHEMA
+    ).orderBy("media_ref")
+
+
+ORACLE_AUDIO_META = """
+WITH base AS (
+  SELECT id,
+         (id % 2 + 1) AS ch,
+         (8000 + (id % 5) * 4000) AS rate,
+         (id * 977 % 50000 + 1000) AS dlen
+  FROM range(0, 24) t(id)
+)
+SELECT 'synth://wav/' || id AS media_ref,
+       ch::INTEGER AS channels,
+       rate::INTEGER AS sample_rate,
+       16::INTEGER AS bits_per_sample,
+       (dlen // (ch * 2))::BIGINT AS n_frames,
+       ((dlen // (ch * 2)) * 1000 // rate)::BIGINT AS duration_ms
+FROM base ORDER BY media_ref
+"""
+
+QUERIES["audio_meta_decode"] = q_audio_meta
+ORACLES["audio_meta_decode"] = ORACLE_AUDIO_META
 
 
 # --- PDF / layout parse plumbing (north_rule: "PDF/layout parse") -------

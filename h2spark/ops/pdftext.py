@@ -1,0 +1,386 @@
+"""REAL (minimal) PDF text/layout extraction — stdlib only.
+
+north_rule names "PDF/layout parse" as a first-class pipeline stage;
+round 2 shipped the mapInPandas plumbing with a deterministic fake
+parser (``multimodal.parse_pdf_layout``) because no PDF library is in
+the container. This module upgrades the parse itself to REAL bytes:
+
+- ``parse_pdf_text(data)`` parses genuine PDF files: linear object scan
+  (no xref table needed — tolerant of damaged or incrementally-updated
+  files), page ordering from the /Pages /Kids array, /Contents stream
+  resolution (single ref or array), FlateDecode via stdlib ``zlib``,
+  and a content-stream tokenizer that tracks the text state the layout
+  needs: BT/ET, Tf (font size), Td/TD/T*/Tm positioning and leading,
+  Tj / ' / TJ show-text with PDF string escapes (\\( \\) \\\\ \\n \\r
+  \\t and octal).
+- ``write_min_pdf(pages)`` emits a genuine single-generation PDF
+  (valid xref + trailer) used to synthesize the test corpus; the
+  parser never sees the writer's internals, only the bytes.
+
+Out of scope (documented, needs a real library — see
+``multimodal.parse_pdf_real``): encryption, object streams
+(/ObjStm), CID/Type0 font decoding (text is emitted as the literal
+string bytes, latin-1), and glyph-width advances (x only changes via
+positioning operators, as in most text-dump tools).
+
+The driver-contract query synthesizes a deterministic corpus with the
+writer, parses it with ``parse_pdf_text`` in a mapInPandas stage, and
+the DuckDB oracle replays the expected (page, x, y, size, text) rows as
+arithmetic — a full rows/schema/hash oracle over real PDF parsing.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# --- parser ---------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
+_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_REF_ARR_RE = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_NUM_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"      # literal string (escapes handled later)
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|[-+]?[0-9]*\.?[0-9]+"      # number
+    rb"|/[^\s\[\]()<>/]*"          # name
+    rb"|\[|\]"
+    rb"|[A-Za-z'\"*]+",            # operator
+)
+
+_ESC = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\x08", b"f": b"\x0c",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_string(tok: bytes) -> str:
+    """Decode a (...) literal string token: escapes + octal, latin-1."""
+    out = bytearray()
+    i = 1
+    end = len(tok) - 1
+    while i < end:
+        c = tok[i : i + 1]
+        if c == b"\\" and i + 1 < end:
+            nxt = tok[i + 1 : i + 2]
+            if nxt in _ESC:
+                out += _ESC[nxt]
+                i += 2
+                continue
+            m = re.match(rb"[0-7]{1,3}", tok[i + 1 : i + 4])
+            if m:
+                out.append(int(m.group(0), 8) & 0xFF)
+                i += 1 + len(m.group(0))
+                continue
+            i += 1  # lone backslash: drop (PDF spec)
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """num -> (dict/body bytes, stream bytes or None), linear scan."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        end = data.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        body = data[m.end() : end]
+        stream = None
+        si = body.find(b"stream")
+        if si >= 0:
+            s = body[si + len(b"stream") :]
+            if s.startswith(b"\r\n"):
+                s = s[2:]
+            elif s.startswith(b"\n") or s.startswith(b"\r"):
+                s = s[1:]
+            se = s.rfind(b"endstream")
+            if se >= 0:
+                stream = s[:se].rstrip(b"\r\n")
+            body = body[:si]
+        objs[num] = (body, stream)
+    return objs
+
+
+def _decode_stream(body: bytes, stream: bytes) -> bytes:
+    if b"/FlateDecode" in body:
+        try:
+            return zlib.decompress(stream)
+        except zlib.error:
+            return b""
+    return stream
+
+
+def parse_pdf_text(data: bytes) -> dict | None:
+    """Parse a PDF into {n_pages, blocks:[{page,x,y,size,text}]};
+    None if the bytes are not a PDF."""
+    if not data.startswith(b"%PDF"):
+        return None
+    objs = _objects(data)
+    # page order: concatenated /Kids of the page-tree nodes, else the
+    # appearance order of /Type /Page objects
+    page_nums: list[int] = []
+    for num, (body, _) in objs.items():
+        if b"/Type" in body and b"/Pages" in body:
+            km = _KIDS_RE.search(body)
+            if km:
+                page_nums += [
+                    int(r.group(1)) for r in _NUM_REF_RE.finditer(km.group(1))
+                ]
+    if not page_nums:
+        page_nums = [
+            num
+            for num, (body, _) in sorted(objs.items())
+            if b"/Type" in body and b"/Page" in body and b"/Pages" not in body
+        ]
+    blocks: list[dict] = []
+    for page_idx, pnum in enumerate(page_nums):
+        if pnum not in objs:
+            continue
+        body, _ = objs[pnum]
+        content_nums: list[int] = []
+        am = _REF_ARR_RE.search(body)
+        if am:
+            content_nums = [
+                int(r.group(1)) for r in _NUM_REF_RE.finditer(am.group(1))
+            ]
+        else:
+            rm = _REF_RE.search(body)
+            if rm:
+                content_nums = [int(rm.group(1))]
+        content = b"".join(
+            _decode_stream(*objs[c])
+            for c in content_nums
+            if c in objs and objs[c][1] is not None
+        )
+        blocks += _parse_content(content, page_idx)
+    return {"n_pages": len(page_nums), "blocks": blocks}
+
+
+def _parse_content(content: bytes, page: int) -> list[dict]:
+    """Tokenize one content stream, tracking the text state (position,
+    leading, font size) and emitting a block per show-text operator."""
+    blocks: list[dict] = []
+    stack: list = []  # operand stack (numbers / strings / arrays)
+    arr: list | None = None
+    x = y = 0.0
+    size = 0.0
+    leading = 0.0
+    in_text = False
+
+    def emit(text: str) -> None:
+        if text:
+            blocks.append(
+                {"page": page, "x": x, "y": y, "size": size, "text": text}
+            )
+
+    for m in _TOKEN_RE.finditer(content):
+        tok = m.group(0)
+        c0 = tok[:1]
+        if c0 == b"(":
+            (arr if arr is not None else stack).append(_pdf_string(tok))
+        elif c0 == b"<":
+            h = re.sub(rb"\s", b"", tok[1:-1])
+            if len(h) % 2:
+                h += b"0"
+            (arr if arr is not None else stack).append(
+                bytes.fromhex(h.decode("ascii")).decode("latin-1")
+            )
+        elif c0 == b"[":
+            arr = []
+        elif c0 == b"]":
+            stack.append(arr or [])
+            arr = None
+        elif c0 in b"-+.0123456789":
+            (arr if arr is not None else stack).append(float(tok))
+        elif c0 == b"/":
+            stack.append(tok.decode("latin-1"))
+        else:
+            op = tok
+            if op == b"BT":
+                in_text = True
+                x = y = 0.0
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf" and len(stack) >= 1:
+                size = float(stack[-1]) if isinstance(stack[-1], float) else size
+            elif op in (b"Td", b"TD") and len(stack) >= 2:
+                tx, ty = stack[-2], stack[-1]
+                if isinstance(tx, float) and isinstance(ty, float):
+                    x += tx
+                    y += ty
+                    if op == b"TD":
+                        leading = -ty
+            elif op == b"Tm" and len(stack) >= 6:
+                e, f = stack[-2], stack[-1]
+                if isinstance(e, float) and isinstance(f, float):
+                    x, y = e, f
+            elif op == b"TL" and stack and isinstance(stack[-1], float):
+                leading = stack[-1]
+            elif op == b"T*":
+                y -= leading
+            elif op == b"Tj" and in_text and stack:
+                if isinstance(stack[-1], str):
+                    emit(stack[-1])
+            elif op == b"'" and in_text and stack:
+                y -= leading
+                if isinstance(stack[-1], str):
+                    emit(stack[-1])
+            elif op == b"TJ" and in_text and stack:
+                if isinstance(stack[-1], list):
+                    emit("".join(s for s in stack[-1] if isinstance(s, str)))
+            stack.clear()
+    return blocks
+
+
+# --- writer (test-corpus synthesis; genuine xref'd PDFs) -------------------
+
+
+def _esc_pdf(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def write_min_pdf(pages: list[list[tuple[float, float, float, str]]],
+                  compress_content: bool = False) -> bytes:
+    """A genuine single-generation PDF: one content stream per page of
+    ``(x, y, size, text)`` lines, valid xref + trailer. The parser is
+    never shown these internals — only the emitted bytes."""
+    objs: list[bytes] = []
+    n = len(pages)
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    )
+    for i in range(n):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {3 + n + i} 0 R >>".encode()
+        )
+    for lines in pages:
+        ops = ["BT"]
+        px = py = 0.0
+        for (lx, ly, sz, text) in lines:
+            ops.append(f"/F1 {sz:g} Tf")
+            ops.append(f"{lx - px:g} {ly - py:g} Td")
+            ops.append(f"({_esc_pdf(text)}) Tj")
+            px, py = lx, ly
+        ops.append("ET")
+        content = " ".join(ops).encode("latin-1")
+        filt = b""
+        if compress_content:
+            content = zlib.compress(content, 6)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(content), filt, content)
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, o in enumerate(objs):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i + 1, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+# --- driver-contract query --------------------------------------------------
+
+PDF_TEXT_SCHEMA = (
+    "doc_ref string, page int, x double, y double, size double, text string"
+)
+
+_N_PDFS = 16
+
+
+def _synth_pages(doc_id: int) -> list[list[tuple[float, float, float, str]]]:
+    """Deterministic corpus shape, mirrored by the SQL oracle: doc i has
+    i%3+1 pages, two lines per page at x=72+10p, y=700-20k-(i%7), size
+    12, text 't-i-p-k' with an escape-bearing suffix on line 1."""
+    n_pages = doc_id % 3 + 1
+    pages = []
+    for p in range(n_pages):
+        lines = []
+        for k in range(2):
+            text = f"t-{doc_id}-{p}-{k}"
+            if k == 1:
+                text += " (esc\\)"
+            lines.append(
+                (72.0 + 10 * p, 700.0 - 20 * k - (doc_id % 7), 12.0, text)
+            )
+        pages.append(lines)
+    return pages
+
+
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF parse end to end: genuine xref'd PDF bytes (content
+    streams Flate-compressed for every 4th doc) -> parse_pdf_text via
+    mapInPandas -> per-line layout rows; DuckDB replays the expected
+    rows as arithmetic."""
+    df = spark.range(_N_PDFS).select(F.col("id").cast("int").alias("doc_id"))
+
+    def build_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                data = write_min_pdf(
+                    _synth_pages(i), compress_content=(i % 4 == 0)
+                )
+                parsed = parse_pdf_text(data)
+                for b in parsed["blocks"]:
+                    rows.append(
+                        {
+                            "doc_ref": f"synth://pdf/{i}",
+                            "page": b["page"],
+                            "x": b["x"],
+                            "y": b["y"],
+                            "size": b["size"],
+                            "text": b["text"],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        df.repartition(4)
+        .mapInPandas(build_and_parse, PDF_TEXT_SCHEMA)
+        .orderBy("doc_ref", "page", F.col("y").desc())
+    )
+
+
+ORACLE_PDF_TEXT = f"""
+WITH base AS (
+  SELECT i, p, k FROM range(0, {_N_PDFS}) t(i),
+       range(0, 3) pp(p), range(0, 2) kk(k)
+  WHERE p < i % 3 + 1
+)
+SELECT 'synth://pdf/' || i AS doc_ref,
+       p::INTEGER AS page,
+       (72 + 10 * p)::DOUBLE AS x,
+       (700 - 20 * k - (i % 7))::DOUBLE AS y,
+       12.0::DOUBLE AS size,
+       't-' || i || '-' || p || '-' || k ||
+           CASE WHEN k = 1 THEN ' (esc\\)' ELSE '' END AS text
+FROM base
+ORDER BY doc_ref, page, y DESC
+"""
+
+QUERIES = {"pdf_text_extract": q_pdf_text}
+ORACLES = {"pdf_text_extract": ORACLE_PDF_TEXT}

@@ -141,3 +141,76 @@ def test_spec_json_rejects_unknowns():
     with pytest.raises(ValueError):
         spec_from_dict({"struct": "S", "fields": [
             {"name": "x", "type": "String", "card": "many"}]})
+
+
+def test_wav_header_parse_matches_stdlib_wave():
+    import io
+    import wave
+
+    from h2spark.ops.multimodal import decode_wav_meta
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    w.writeframes(b"\x00\x00\x01\x01" * 441)
+    w.close()
+    m = decode_wav_meta(buf.getvalue())
+    assert m == {
+        "channels": 2, "sample_rate": 44100, "bits_per_sample": 16,
+        "n_frames": 441, "duration_ms": 10,
+    }
+    assert decode_wav_meta(b"") is None
+    assert decode_wav_meta(b"RIFFxxxxWAVE") is None  # no fmt chunk
+    assert decode_wav_meta(b"not audio at all") is None
+
+
+def test_pdf_parser_operators_and_robustness():
+    from h2spark.ops.pdftext import parse_pdf_text, write_min_pdf
+
+    # hand-built content exercising Tm, TL/T*, ', TJ arrays, hex
+    # strings and octal escapes — operators the writer doesn't emit
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 100 500 Tm (first) Tj "
+        b"14 TL T* (second) Tj (third-quoted) ' "
+        b"[(a) -120 (b) 30 (c)] TJ "
+        b"<48 69> Tj (oct\\101l) Tj ET"
+    )
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << /Length %d >>\nstream\n%s\nendstream endobj\n"
+        b"trailer << /Size 5 /Root 1 0 R >>\n" % (len(content), content)
+    )
+    out = parse_pdf_text(pdf)
+    assert out["n_pages"] == 1
+    got = [(b["x"], b["y"], b["text"]) for b in out["blocks"]]
+    assert got == [
+        (100.0, 500.0, "first"),
+        (100.0, 486.0, "second"),        # T* moved down by TL=14
+        (100.0, 472.0, "third-quoted"),  # ' = T* + Tj
+        (100.0, 472.0, "abc"),           # TJ: strings concat, kerning skipped
+        (100.0, 472.0, "Hi"),            # hex string
+        (100.0, 472.0, "octAl"),         # \101 -> 'A'
+    ]
+
+    # multi-page writer roundtrip with parens/backslashes in text
+    data = write_min_pdf([[(10, 20, 9, "a(b)c\\d")], [(1, 2, 7, "p2")]])
+    p = parse_pdf_text(data)
+    assert p["n_pages"] == 2
+    assert p["blocks"][0]["text"] == "a(b)c\\d"
+    assert p["blocks"][1] == {
+        "page": 1, "x": 1.0, "y": 2.0, "size": 7.0, "text": "p2"
+    }
+
+    # robustness: damage never raises
+    assert parse_pdf_text(b"") is None
+    assert parse_pdf_text(b"not a pdf") is None
+    assert parse_pdf_text(b"%PDF-1.4\ngarbage with no objects") == {
+        "n_pages": 0, "blocks": [],
+    }
+    truncated = data[: len(data) // 2]
+    assert parse_pdf_text(truncated) is not None  # partial parse, no raise
