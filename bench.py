@@ -17,6 +17,8 @@ Queries:
   q5_text_stats        token/quality/fingerprint scan over sf documents
   q6_dedup_embedding_lsh  bucketed SRP-LSH cosine pair mining (round 2)
   q7_ann_ivf           trained k-means IVF multi-probe top-k (round 2)
+  q8_pdf_text_parse    REAL PDF synthesize+parse throughput (round 3;
+                       H2SPARK_BENCH_PDFS docs, default 4000)
 
 The suite total is therefore not directly comparable to BENCH_r01
 (two more queries); per-query timings are.
@@ -148,6 +150,41 @@ def main() -> None:
         "q7_ann_ivf",
         lambda: similarity.q_ann_ivf(spark, sf_dir).count(),
     )
+
+    # q8: REAL PDF text/layout parse throughput (north_rule names
+    # "PDF/layout parse"): synthesize-and-parse genuine xref'd PDFs
+    # (multi-page, every 4th Flate-compressed) in mapInPandas
+    n_pdfs = int(os.environ.get("H2SPARK_BENCH_PDFS", "4000"))
+
+    def run_pdf():
+        import pandas as pd
+        from h2spark.ops.pdftext import (
+            _synth_pages, parse_pdf_text, write_min_pdf,
+        )
+
+        def gen_parse(batches):
+            for pdf in batches:
+                n_blocks = 0
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    data = write_min_pdf(
+                        _synth_pages(i), compress_content=(i % 4 == 0)
+                    )
+                    n_blocks += len(parse_pdf_text(data)["blocks"])
+                yield pd.DataFrame({"n_blocks": [n_blocks]})
+
+        df = spark.range(n_pdfs).select(
+            F.col("id").cast("int").alias("doc_id")
+        ).repartition(cpus)
+        total_blocks = (
+            df.mapInPandas(gen_parse, "n_blocks long")
+            .agg(F.sum("n_blocks"))
+            .collect()[0][0]
+        )
+        assert total_blocks > 0
+        return total_blocks
+
+    timed("q8_pdf_text_parse", run_pdf)
 
     total = round(sum(v for k, v in timings.items() if k.startswith("q")), 3)
     docs_per_sec = round(n_docs / timings["q2_corpus_extract"], 1)

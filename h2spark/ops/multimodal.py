@@ -406,14 +406,18 @@ LAYOUT_SCHEMA = (
 
 
 def parse_pdf_real(pdf_bytes: bytes) -> list:
-    """Real PDF layout parse — NOT IMPLEMENTED in this container.
-
-    Plug in pdfminer/pymupdf here; the mapInPandas plumbing below
-    (batching, nested block schema, error-as-data) is what ships.
+    """FULL-fidelity PDF layout parse — NOT IMPLEMENTED in this
+    container (plug in pdfminer/pymupdf here for encryption, object
+    streams, CID fonts and glyph metrics). A REAL stdlib-only parser
+    for the common case (uncompressed/Flate content streams) ships in
+    :mod:`h2spark.ops.pdftext` (``parse_pdf_text``) with its own
+    full-oracle query; this stub and the deterministic fake below
+    remain for the plumbing tests and the library-backed upgrade path.
     """
     raise NotImplementedError(
-        "PDF codecs are not available in this environment; "
-        "use the deterministic layout fake instead"
+        "full PDF codecs are not available in this environment; "
+        "use h2spark.ops.pdftext.parse_pdf_text (real, minimal) or the "
+        "deterministic layout fake instead"
     )
 
 
