@@ -12,8 +12,8 @@ selector lists (commas), the structural pseudo-classes
 :first-child / :last-child / :first-of-type / :last-of-type /
 :only-child / :root / :empty / :not(...), and the level-4 logical
 pseudo-classes :is(...) / :where(...) (full selector lists) and
-:has(...) (descendant-relative lists, plus single-compound
-child-relative ``:has(> x)``).
+:has(...) with the full relative-selector forms (descendant, ``> x y``,
+``+ x``, ``~ x y``), :scope-anchored per CSS Selectors 4.
 
 Matching semantics pinned by reference tests
 (src/backend/scraper.rs:133-171): ``select`` yields **descendants only**
@@ -71,7 +71,7 @@ class PseudoTest:
     b: int = 0
     inner: tuple = ()   # compiled compounds for :not
     complexes: tuple = ()  # compiled Complex list for :is/:where/:has
-    rel: str = " "      # :has relative combinator (' ' or '>')
+    rels: tuple = ()    # :has per-complex relative combinator (' >+~')
 
 
 @dataclass(frozen=True)
@@ -330,25 +330,39 @@ class _Parser:
                 raise self.error(f"in :{name}(): {e}") from None
             return PseudoTest(name, complexes=inner)
         if name == "has":
+            # relative selector list: each item may lead with an
+            # explicit combinator (':scope > x', ':scope ~ x y', ...);
+            # no combinator means descendant-relative
             body = self._paren_body()
-            rel = " "
-            b = body.strip()
-            if b.startswith(">"):
-                rel = ">"
-                b = b[1:].strip()
-            elif b.startswith(("+", "~")):
-                raise self.error(
-                    ":has() sibling-relative selectors are not supported"
-                )
-            try:
-                inner = _Parser(b).parse().complexes
-            except SelectorParseError as e:
-                raise self.error(f"in :has(): {e}") from None
-            if rel == ">" and any(len(c.compounds) > 1 for c in inner):
-                raise self.error(
-                    ":has(> ...) supports single compounds only"
-                )
-            return PseudoTest("has", complexes=inner, rel=rel)
+            sub = _Parser(body)
+            sub._ws()
+            if sub.pos >= len(body):
+                raise self.error(":has() requires a selector argument")
+            complexes: list = []
+            rels: list[str] = []
+            while True:
+                rel = " "
+                if sub.pos < len(body) and body[sub.pos] in ">+~":
+                    rel = body[sub.pos]
+                    sub.pos += 1
+                    sub._ws()
+                try:
+                    complexes.append(sub._complex())
+                except SelectorParseError as e:
+                    raise self.error(f"in :has(): {e}") from None
+                rels.append(rel)
+                sub._ws()
+                if sub.pos >= len(body):
+                    break
+                if body[sub.pos] != ",":
+                    raise self.error(
+                        f"in :has(): unexpected {body[sub.pos]!r}"
+                    )
+                sub.pos += 1
+                sub._ws()
+            return PseudoTest(
+                "has", complexes=tuple(complexes), rels=tuple(rels)
+            )
         raise self.error(f"unsupported pseudo-class :{name}")
 
     def _paren_body(self) -> str:
@@ -493,14 +507,53 @@ def _match_compound(
     return True
 
 
-def _match_complex(c: Complex, el: Element, within: Element | None = None) -> bool:
+def _has_match(c: Complex, el: Element, rel: str) -> bool:
+    """One :has() relative complex against the anchor ``el``:
+
+    - rel ' ': some descendant matches, ancestor walks bounded at el.
+    - rel '>': same, but the LEFTMOST compound's element must be a
+      direct child of el (':scope > x y').
+    - rel '+'/'~': candidates live in the subtrees of el's following
+      siblings; the leftmost compound's element must be the adjacent
+      (or any later) sibling itself.
+    """
+    if rel in (" ", ">"):
+        pred = None if rel == " " else (lambda q: q.parent is el)
+        for d in el.iter_descendants():
+            if _match_complex(c, d, within=el, leftmost=pred):
+                return True
+        return False
+    p = el.parent
+    if p is None or type(p) is not Element:
+        return False
+    if rel == "+":
+        pred = lambda q: q.parent is p and q.elem_idx == el.elem_idx + 1
+    else:  # '~'
+        pred = lambda q: q.parent is p and q.elem_idx > el.elem_idx
+    for s in _elem_children(p):
+        if s.elem_idx <= el.elem_idx:
+            continue
+        for d in [s] + s.iter_descendants():
+            if _match_complex(c, d, within=p, leftmost=pred):
+                return True
+    return False
+
+
+def _match_complex(
+    c: Complex,
+    el: Element,
+    within: Element | None = None,
+    leftmost=None,
+) -> bool:
     """``within`` (when set) bounds ancestor walks to STRICT descendants
     of that element — the :scope anchoring :has() needs (div:has(section
     p) must not match when the only <section> is an ancestor of the
     div). Sibling combinators never leave the subtree, so only the
-    ancestor walks check it."""
+    ancestor walks check it. ``leftmost`` (when set) is a predicate the
+    element matching the LEFTMOST compound must satisfy (:has child/
+    sibling-relative anchoring)."""
     return _match_compound(c.compounds[0], el, within) and _match_rest(
-        c, 0, el, within
+        c, 0, el, within, leftmost
     )
 
 
@@ -515,21 +568,14 @@ def _match_pseudo(
         # otherwise :has(:is(section p)) escapes the anchor subtree
         return any(_match_complex(c, el, within) for c in ps.complexes)
     if kind == "has":
-        # :scope-anchored relative selector: candidates come from the
-        # anchor's subtree AND the inner complex's ancestor walks are
-        # bounded at the anchor (CSS semantics: div:has(section p) only
-        # matches when the <section> is inside the div). Note this is
-        # intentionally STRICTER than the engine's select(), whose
-        # combinators climb above the scope for scraper.rs:54-56 parity
-        # — :has() is an extension the reference doesn't support.
-        if ps.rel == ">":
-            cands = [c for c in el.children if type(c) is Element]
-        else:
-            cands = el.iter_descendants()
-        for d in cands:
-            for c in ps.complexes:
-                if _match_complex(c, d, within=el):
-                    return True
+        # :scope-anchored relative selectors (CSS semantics —
+        # intentionally stricter than the engine's select(), whose
+        # combinators climb above the scope for scraper.rs:54-56
+        # parity; :has() is an extension the reference lacks).
+        rels = ps.rels or (" ",) * len(ps.complexes)
+        for c, rel in zip(ps.complexes, rels):
+            if _has_match(c, el, rel):
+                return True
         return False
     if kind == "root":
         return el.parent is not None and type(el.parent).__name__ == "Document"
@@ -571,21 +617,28 @@ def _match_pseudo(
     return False
 
 
-def _match_rest(cx: Complex, i: int, el: Element, within: Element | None = None) -> bool:
+def _match_rest(
+    cx: Complex,
+    i: int,
+    el: Element,
+    within: Element | None = None,
+    leftmost=None,
+) -> bool:
     # compounds[i] already matched at el; try to satisfy compounds[i+1:]
     if i + 1 >= len(cx.compounds):
-        return True
+        # el matched the LEFTMOST compound: apply :has anchoring
+        return leftmost is None or leftmost(el)
     comb = cx.combinators[i]
     nxt = cx.compounds[i + 1]
     if comb == ">":
         p = el.parent
         if p is None or type(p) is not Element or p is within:
             return False
-        return _match_compound(nxt, p, within) and _match_rest(cx, i + 1, p, within)
+        return _match_compound(nxt, p, within) and _match_rest(cx, i + 1, p, within, leftmost)
     if comb == " ":
         p = el.parent
         while p is not None and type(p) is Element and p is not within:
-            if _match_compound(nxt, p, within) and _match_rest(cx, i + 1, p, within):
+            if _match_compound(nxt, p, within) and _match_rest(cx, i + 1, p, within, leftmost):
                 return True
             p = p.parent
         return False
@@ -599,10 +652,10 @@ def _match_rest(cx: Complex, i: int, el: Element, within: Element | None = None)
         if idx == 0:
             return False
         prev = sibs[idx - 1]
-        return _match_compound(nxt, prev, within) and _match_rest(cx, i + 1, prev, within)
+        return _match_compound(nxt, prev, within) and _match_rest(cx, i + 1, prev, within, leftmost)
     # '~'
     for j in range(idx - 1, -1, -1):
         prev = sibs[j]
-        if _match_compound(nxt, prev, within) and _match_rest(cx, i + 1, prev, within):
+        if _match_compound(nxt, prev, within) and _match_rest(cx, i + 1, prev, within, leftmost):
             return True
     return False

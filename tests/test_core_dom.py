@@ -200,11 +200,38 @@ def test_logical_pseudo_classes_is_where_has():
     with pytest.raises(SelectorParseError):
         CssSelector.parse(":is(")
     with pytest.raises(SelectorParseError):
-        CssSelector.parse(":has(~ div)")
-    with pytest.raises(SelectorParseError):
-        CssSelector.parse(":has(> div span)")
+        CssSelector.parse(":has()")
     with pytest.raises(SelectorParseError):
         CssSelector.parse(":is(:bogus)")
+
+
+def test_has_relative_combinators():
+    # full relative-selector forms: ':scope > x y', ':scope + x',
+    # ':scope ~ x', ':scope ~ x y' (CSS Selectors 4 semantics)
+    doc = parse_document(
+        "<body>"
+        "<div id=a><section><p>inA</p></section></div>"
+        "<div id=b><p>inB</p></div>"
+        "<aside id=after-b></aside>"
+        "<section id=tail><p>tailp</p></section>"
+        "</body>"
+    )
+    root = doc.root_element()
+    ids = lambda s: [
+        e.attrs.get("id") for e in CssSelector.parse(s).select(root)
+    ]
+    # multi-compound child-relative: section must be a CHILD of the div
+    assert ids("div:has(> section p)") == ["a"]
+    # adjacent sibling: only the element directly before <aside>
+    assert ids("div:has(+ aside)") == ["b"]
+    assert ids("div:has(+ section)") == []
+    # general sibling (+ descendant continuation)
+    assert ids("div:has(~ section p)") == ["a", "b"]
+    assert ids("aside:has(~ section)") == ["after-b"]
+    # sibling anchor is the sibling ITSELF, not its descendants
+    assert ids("div:has(~ p)") == []  # the only later p's are nested
+    # mixed relative list
+    assert ids("div:has(+ aside, > section)") == ["a", "b"]
 
 
 def test_has_is_scope_anchored():
