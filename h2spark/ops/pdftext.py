@@ -103,10 +103,24 @@ def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 s = s[2:]
             elif s.startswith(b"\n") or s.startswith(b"\r"):
                 s = s[1:]
-            se = s.rfind(b"endstream")
-            if se >= 0:
-                stream = s[:se].rstrip(b"\r\n")
             body = body[:si]
+            # /Length is authoritative when present (binary stream data
+            # can END in EOL bytes — Flate output frequently does — so
+            # a blanket rstrip would corrupt it); fall back to the
+            # endstream scan stripping AT MOST the single EOL the spec
+            # puts before the keyword.
+            lm = re.search(rb"/Length\s+(\d+)", body)
+            if lm and int(lm.group(1)) <= len(s):
+                stream = s[: int(lm.group(1))]
+            else:
+                se = s.rfind(b"endstream")
+                if se >= 0:
+                    t = s[:se]
+                    if t.endswith(b"\r\n"):
+                        t = t[:-2]
+                    elif t.endswith(b"\n") or t.endswith(b"\r"):
+                        t = t[:-1]
+                    stream = t
         objs[num] = (body, stream)
     return objs
 

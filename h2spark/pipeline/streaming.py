@@ -156,6 +156,31 @@ def run_streaming_event_windows(
     return _start_append_writer(agg, out_dir, checkpoint_dir, available_now)
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming exact-dedup on ingestion: emit each key's FIRST
+    arrival, drop re-deliveries across micro-batches via
+    ``dropDuplicatesWithinWatermark`` — state for a key is kept only
+    until the watermark passes its event time, so dedup state is
+    bounded by the lateness horizon instead of growing with the stream
+    (the property that matters at 10^12 events; a plain
+    dropDuplicates would pin every key forever). The batch twin is
+    ops/dedup.py's exact dedup (hash-groupBy)."""
+    stream = _read_events_stream(spark, input_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    return _start_append_writer(deduped, out_dir, checkpoint_dir, available_now)
+
+
 # --- custom stateful operator: sessionization (applyInPandasWithState) ----
 
 SESSION_SCHEMA = (

@@ -95,3 +95,45 @@ def test_extract_one_deterministic(seed):
     b = extract_one(_SPEC, spans)
     assert a == b
     assert a[4] is None  # body+a always present
+
+
+_PDF_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0, max_size=40,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(  # pages
+        st.lists(  # lines per page: (x, y, size, text)
+            st.tuples(
+                st.integers(-500, 1000), st.integers(-500, 1000),
+                st.integers(1, 72), _PDF_TEXT,
+            ),
+            min_size=0, max_size=4,
+        ),
+        min_size=1, max_size=3,
+    ),
+    st.booleans(),
+)
+def test_pdf_writer_parser_roundtrip(pages, compress):
+    """Any printable text (parens, backslashes included) at any integer
+    position must survive write_min_pdf -> parse_pdf_text exactly."""
+    from h2spark.ops.pdftext import parse_pdf_text, write_min_pdf
+
+    typed = [[(float(x), float(y), float(sz), txt) for x, y, sz, txt in pg]
+             for pg in pages]
+    out = parse_pdf_text(write_min_pdf(typed, compress_content=compress))
+    assert out["n_pages"] == len(pages)
+    expect = [
+        (p, float(x), float(y), float(sz), txt)
+        for p, pg in enumerate(typed)
+        for (x, y, sz, txt) in pg
+        if txt  # empty strings emit no block
+    ]
+    got = [
+        (b["page"], b["x"], b["y"], b["size"], b["text"])
+        for b in out["blocks"]
+    ]
+    assert got == expect

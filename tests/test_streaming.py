@@ -235,3 +235,34 @@ def test_sessionization_hot_user_state_cap(spark, tmp_path):
     assert len(uncapped) == 3
     assert all(n == 10 and v == 10.0 for _, _, n, v in uncapped)
     assert capped == uncapped
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingestion-time exact dedup: re-delivered event_ids (same or later
+    micro-batch, within the watermark) are dropped; state is bounded by
+    the watermark horizon."""
+    from datetime import datetime
+
+    from h2spark.pipeline.streaming import run_streaming_dedup
+
+    in_dir = str(tmp_path / "dd_in")
+    out_dir = str(tmp_path / "dd_out")
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    # batch 1: events 0,1 plus an in-batch duplicate of 0
+    _write_events(spark, [
+        (0, t(0, 10), 1, "view", 1.0, "{}"),
+        (0, t(0, 10), 1, "view", 1.0, "{}"),   # duplicate delivery
+        (1, t(0, 20), 2, "click", 2.0, "{}"),
+    ], in_dir)
+    q = run_streaming_dedup(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    # batch 2: event 1 re-delivered (cross-batch dup) + a new event
+    _write_events(spark, [
+        (1, t(0, 20), 2, "click", 2.0, "{}"),  # re-delivery: dropped
+        (2, t(0, 40), 1, "view", 4.0, "{}"),
+    ], in_dir)
+    q = run_streaming_dedup(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(f"{out_dir}/data").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [0, 1, 2]
