@@ -436,3 +436,39 @@ def test_template_cell_formatting_does_not_leak():
     assert any(
         type(c) is Text and c.data == "z" for c in body.children
     ), [type(c).__name__ for c in body.children]
+
+
+def test_table_structure_mode_equivalents():
+    """Structural table handling matches the html5lib mode machine on
+    the real-web cases even without dedicated table insertion modes
+    (implied tbody/tr/colgroup, caption closing an open section, nested
+    tables inside cells)."""
+    def body(html):
+        return body_of(html)
+
+    assert body("<table><td>cell</td></table>") == (
+        '<table>\n  <tbody>\n    <tr>\n      <td>\n        "cell"'
+    )
+    assert body("<table><caption>c<td>x</table>") == (
+        '<table>\n  <caption>\n    "c"\n  <tbody>\n    <tr>\n      <td>\n        "x"'
+    )
+    assert body("<table><colgroup><td>x</table>") == (
+        '<table>\n  <colgroup>\n  <tbody>\n    <tr>\n      <td>\n        "x"'
+    )
+    # caption closes the open tbody (which stays as an empty sibling);
+    # the following tr opens a fresh tbody — browser-identical
+    assert body("<table><tbody><caption>cap</caption><tr><td>1</table>") == (
+        '<table>\n  <tbody>\n  <caption>\n    "cap"\n'
+        '  <tbody>\n    <tr>\n      <td>\n        "1"'
+    )
+    assert body("<table><col><tr><td>x</table>") == (
+        '<table>\n  <colgroup>\n    <col>\n  <tbody>\n    <tr>\n      <td>\n        "x"'
+    )
+    assert body("<table><thead><td>x</table>") == (
+        '<table>\n  <thead>\n    <tr>\n      <td>\n        "x"'
+    )
+    assert body("<table><tr><td>a<table><tr><td>b</table></table>") == (
+        '<table>\n  <tbody>\n    <tr>\n      <td>\n        "a"\n'
+        '        <table>\n          <tbody>\n            <tr>\n'
+        '              <td>\n                "b"'
+    )
