@@ -101,7 +101,10 @@ def _shingles_udf(n: int):
     def shingles(words: pd.Series) -> pd.Series:
         out = []
         for w in words:
-            w = list(w)
+            # NULL text -> NULL words array; match the expression
+            # formulation (concat_ws over a null array -> ""), never
+            # crash the stage on one bad row
+            w = [] if w is None else list(w)
             if len(w) >= n:
                 out.append(
                     list(

@@ -196,7 +196,7 @@ def decode_wav_meta(data: bytes) -> dict | None:
     while i + 8 <= len(data):
         cid = data[i : i + 4]
         (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
-        if cid == b"fmt " and i + 24 <= len(data):
+        if cid == b"fmt " and clen >= 16 and i + 24 <= len(data):
             _, ch, rate = struct.unpack("<HHI", data[i + 8 : i + 16])
             (bits,) = struct.unpack("<H", data[i + 22 : i + 24])
             fmt = (ch, rate, bits)

@@ -47,8 +47,7 @@ _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _NUM_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 _TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)"      # literal string (escapes handled later)
-    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"<[0-9A-Fa-f\s]*>"           # hex string
     rb"|[-+]?[0-9]*\.?[0-9]+"      # number
     rb"|/[^\s\[\]()<>/]*"          # name
     rb"|\[|\]"
@@ -61,8 +60,49 @@ _ESC = {
 }
 
 
+def _scan_literal_string(content: bytes, i: int) -> int:
+    """``i`` points at '('; return the index just past the matching ')'
+    — PDF literal strings may contain BALANCED unescaped parentheses
+    (spec 7.3.4.2), which no regex can track."""
+    depth = 1
+    j = i + 1
+    n = len(content)
+    while j < n and depth:
+        c = content[j]
+        if c == 0x5C:  # backslash: skip the escaped char
+            j += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+        j += 1
+    return j
+
+
+def _tokens(content: bytes):
+    """Content-stream tokens: ('str', raw-literal) | ('tok', bytes)."""
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            j = _scan_literal_string(content, i)
+            yield "str", content[i:j]
+            i = j
+            continue
+        m = _TOKEN_RE.match(content, i)
+        if m:
+            yield "tok", m.group(0)
+            i = m.end()
+            continue
+        i += 1  # whitespace / operators we don't model (<< >> etc.)
+
+
 def _pdf_string(tok: bytes) -> str:
-    """Decode a (...) literal string token: escapes + octal, latin-1."""
+    """Decode a (...) literal string token: escapes (incl. \\-EOL line
+    continuation, both chars dropped) + octal, latin-1; balanced inner
+    parens are literal characters."""
     out = bytearray()
     i = 1
     end = len(tok) - 1
@@ -70,6 +110,12 @@ def _pdf_string(tok: bytes) -> str:
         c = tok[i : i + 1]
         if c == b"\\" and i + 1 < end:
             nxt = tok[i + 1 : i + 2]
+            if nxt == b"\r":  # line continuation: \ + EOL dropped
+                i += 3 if tok[i + 2 : i + 3] == b"\n" else 2
+                continue
+            if nxt == b"\n":
+                i += 2
+                continue
             if nxt in _ESC:
                 out += _ESC[nxt]
                 i += 2
@@ -87,41 +133,57 @@ def _pdf_string(tok: bytes) -> str:
 
 
 def _objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
-    """num -> (dict/body bytes, stream bytes or None), linear scan."""
+    """num -> (dict/body bytes, stream bytes or None).
+
+    SEQUENTIAL scan that steps OVER stream payloads: binary (Flate)
+    stream bytes can contain 'N G obj' / 'endobj' byte patterns, so a
+    whole-file finditer would fabricate or clobber objects. /Length is
+    authoritative for the payload size when present (Flate output
+    frequently ENDS in EOL bytes, so a blanket rstrip would corrupt
+    it); the endstream fallback strips AT MOST the single EOL the spec
+    puts before the keyword."""
     objs: dict[int, tuple[bytes, bytes | None]] = {}
-    for m in _OBJ_RE.finditer(data):
+    pos = 0
+    n = len(data)
+    while pos < n:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
         num = int(m.group(1))
-        end = data.find(b"endobj", m.end())
-        if end < 0:
-            continue
-        body = data[m.end() : end]
-        stream = None
-        si = body.find(b"stream")
-        if si >= 0:
-            s = body[si + len(b"stream") :]
-            if s.startswith(b"\r\n"):
-                s = s[2:]
-            elif s.startswith(b"\n") or s.startswith(b"\r"):
-                s = s[1:]
-            body = body[:si]
-            # /Length is authoritative when present (binary stream data
-            # can END in EOL bytes — Flate output frequently does — so
-            # a blanket rstrip would corrupt it); fall back to the
-            # endstream scan stripping AT MOST the single EOL the spec
-            # puts before the keyword.
-            lm = re.search(rb"/Length\s+(\d+)", body)
-            if lm and int(lm.group(1)) <= len(s):
-                stream = s[: int(lm.group(1))]
+        si = data.find(b"stream", m.end())
+        eo = data.find(b"endobj", m.end())
+        if si >= 0 and (eo < 0 or si < eo):
+            body = data[m.end() : si]
+            ds = si + len(b"stream")
+            if data[ds : ds + 2] == b"\r\n":
+                ds += 2
+            elif data[ds : ds + 1] in (b"\n", b"\r"):
+                ds += 1
+            lm = re.search(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)", body)
+            stream = None
+            if lm and ds + int(lm.group(1)) <= n:
+                stream = data[ds : ds + int(lm.group(1))]
+                ee = data.find(b"endstream", ds + len(stream))
             else:
-                se = s.rfind(b"endstream")
-                if se >= 0:
-                    t = s[:se]
+                ee = data.find(b"endstream", ds)
+                if ee >= 0:
+                    t = data[ds:ee]
                     if t.endswith(b"\r\n"):
                         t = t[:-2]
                     elif t.endswith(b"\n") or t.endswith(b"\r"):
                         t = t[:-1]
                     stream = t
-        objs[num] = (body, stream)
+            after = ee + len(b"endstream") if ee >= 0 else (
+                ds + len(stream) if stream is not None else m.end()
+            )
+            eo = data.find(b"endobj", after)
+            objs[num] = (body, stream)
+            pos = (eo + len(b"endobj")) if eo >= 0 else after
+        else:
+            if eo < 0:
+                break
+            objs[num] = (data[m.end() : eo], None)
+            pos = eo + len(b"endobj")
     return objs
 
 
@@ -140,16 +202,34 @@ def parse_pdf_text(data: bytes) -> dict | None:
     if not data.startswith(b"%PDF"):
         return None
     objs = _objects(data)
-    # page order: concatenated /Kids of the page-tree nodes, else the
-    # appearance order of /Type /Page objects
+    # page order: depth-first /Kids walk from the catalog's page-tree
+    # root — intermediate /Pages nodes recurse (multi-level balanced
+    # trees are what iText-class producers emit past ~10 pages), only
+    # /Type /Page leaves count. Fallback: appearance order of leaves.
     page_nums: list[int] = []
+    root = None
     for num, (body, _) in objs.items():
-        if b"/Type" in body and b"/Pages" in body:
+        if b"/Type" in body and b"/Catalog" in body:
+            rm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
+            if rm:
+                root = int(rm.group(1))
+                break
+
+    def _walk(num: int, seen: set) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        body, _ = objs[num]
+        if b"/Pages" in body:
             km = _KIDS_RE.search(body)
             if km:
-                page_nums += [
-                    int(r.group(1)) for r in _NUM_REF_RE.finditer(km.group(1))
-                ]
+                for r in _NUM_REF_RE.finditer(km.group(1)):
+                    _walk(int(r.group(1)), seen)
+        elif b"/Type" in body and b"/Page" in body:
+            page_nums.append(num)
+
+    if root is not None:
+        _walk(root, set())
     if not page_nums:
         page_nums = [
             num
@@ -197,10 +277,9 @@ def _parse_content(content: bytes, page: int) -> list[dict]:
                 {"page": page, "x": x, "y": y, "size": size, "text": text}
             )
 
-    for m in _TOKEN_RE.finditer(content):
-        tok = m.group(0)
+    for kind_, tok in _tokens(content):
         c0 = tok[:1]
-        if c0 == b"(":
+        if kind_ == "str":
             (arr if arr is not None else stack).append(_pdf_string(tok))
         elif c0 == b"<":
             h = re.sub(rb"\s", b"", tok[1:-1])
@@ -245,7 +324,9 @@ def _parse_content(content: bytes, page: int) -> list[dict]:
             elif op == b"Tj" and in_text and stack:
                 if isinstance(stack[-1], str):
                     emit(stack[-1])
-            elif op == b"'" and in_text and stack:
+            elif op in (b"'", b'"') and in_text and stack:
+                # ' = T* + show; " = set word/char spacing + T* + show
+                # (the spacing operands don't affect position tracking)
                 y -= leading
                 if isinstance(stack[-1], str):
                     emit(stack[-1])

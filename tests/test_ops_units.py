@@ -214,3 +214,74 @@ def test_pdf_parser_operators_and_robustness():
     }
     truncated = data[: len(data) // 2]
     assert parse_pdf_text(truncated) is not None  # partial parse, no raise
+
+
+def test_pdf_parser_review_regressions():
+    """Round-3 second-review findings: balanced parens, multi-level
+    page trees, stream payloads containing object-like bytes, the '\"'
+    show-text operator, backslash-EOL line continuation."""
+    from h2spark.ops.pdftext import _pdf_string, parse_pdf_text
+
+    def one_page(content: bytes, extra_objs: bytes = b"") -> bytes:
+        return (
+            b"%%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << /Length %d >>\nstream\n%s\nendstream endobj\n"
+            % (len(content), content)
+        ) + extra_objs
+
+    # balanced unescaped parentheses are literal characters (7.3.4.2)
+    out = parse_pdf_text(one_page(b"BT 1 2 Td (see Figure (1)) Tj ET"))
+    assert [b["text"] for b in out["blocks"]] == ["see Figure (1)"]
+
+    # " operator shows its string (after T*)
+    out = parse_pdf_text(one_page(b'BT 14 TL 0 100 Td 2 1 (quoted) " ET'))
+    assert [(b["y"], b["text"]) for b in out["blocks"]] == [(86.0, "quoted")]
+
+    # object-like bytes INSIDE a stream payload must not clobber objects
+    payload = b"BT 5 5 Td (x 2 0 obj endobj y) Tj ET"
+    out = parse_pdf_text(one_page(payload))
+    assert out["n_pages"] == 1
+    assert [b["text"] for b in out["blocks"]] == ["x 2 0 obj endobj y"]
+
+    # backslash-EOL is a line continuation: BOTH characters dropped
+    assert _pdf_string(b"(li\\\nne)") == "line"
+    assert _pdf_string(b"(li\\\r\nne)") == "line"
+
+    # multi-level page tree: only /Type /Page leaves are pages, in
+    # depth-first /Kids order
+    c1 = b"BT 1 1 Td (p0) Tj ET"
+    c2 = b"BT 1 1 Td (p1) Tj ET"
+    pdf = (
+        b"%%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [5 0 R 6 0 R] /Count 2 >> endobj\n"
+        b"5 0 obj << /Type /Pages /Parent 2 0 R /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"6 0 obj << /Type /Pages /Parent 2 0 R /Kids [4 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 5 0 R /Contents 7 0 R >> endobj\n"
+        b"4 0 obj << /Type /Page /Parent 6 0 R /Contents 8 0 R >> endobj\n"
+        b"7 0 obj << /Length %d >>\nstream\n%s\nendstream endobj\n"
+        b"8 0 obj << /Length %d >>\nstream\n%s\nendstream endobj\n"
+        % (len(c1), c1, len(c2), c2)
+    )
+    out = parse_pdf_text(pdf)
+    assert out["n_pages"] == 2
+    assert [(b["page"], b["text"]) for b in out["blocks"]] == [
+        (0, "p0"), (1, "p1"),
+    ]
+
+
+def test_wav_short_fmt_chunk_rejected():
+    import struct
+
+    from h2spark.ops.multimodal import decode_wav_meta
+
+    # fmt chunk with clen < 16 must not read fields from the next chunk
+    bad = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    assert decode_wav_meta(bad) is None
