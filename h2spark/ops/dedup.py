@@ -237,12 +237,16 @@ _BAND_ROWS = 4  # 4 bands of 4 rows
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return minhash_pairs(d)
+
+
+def minhash_pairs(d: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.
 
     signature[s] = min over shingles of md5(s || ':' || shingle)
     band_key     = md5(concat of the band's 4 signature values)
     """
-    d = _docs(spark, sf_dir)
     sh = _with_shingles(d)  # rows already distinct (array_distinct per doc)
     # all N signature positions in ONE aggregation: no seed explosion,
     # a single shuffle on doc_id (16x less shuffle traffic than the

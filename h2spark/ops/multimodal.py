@@ -50,6 +50,28 @@ def decode_image_dims(data: bytes) -> tuple[int, int] | None:
             w, h = struct.unpack("<HH", data[6:10])
             return w, h
         return None
+    if len(data) >= 26 and data[:2] == b"BM":
+        # BMP: BITMAPINFOHEADER width/height at offsets 18/22, i32 LE
+        # (height may be negative for top-down rows)
+        w, h = struct.unpack("<ii", data[18:26])
+        return w, abs(h)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        chunk = data[12:16]
+        if chunk == b"VP8X" and len(data) >= 30:  # 24-bit minus-one canvas
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return w, h
+        if chunk == b"VP8 " and len(data) >= 30:  # lossy frame header
+            if data[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", data[26:30])
+                return w & 0x3FFF, h & 0x3FFF
+            return None
+        if chunk == b"VP8L" and len(data) >= 25:  # lossless bitstream
+            if data[20:21] != b"\x2f":
+                return None
+            bits = int.from_bytes(data[21:25], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        return None
     if data[:2] == b"\xff\xd8":
         # JPEG: walk the segment markers to the first start-of-frame
         # (SOF0..SOF15 except DHT/JPG/DAC); height then width, u16 BE

@@ -12,7 +12,15 @@ scales at ~0.77 from 8 to 32 procs), so the (4, 16) pair — which stays
 on physical cores — is the honest stand-in for the multi-node N->4N
 criterion, and both are reported.
 
-Usage: python scripts/scaling_bench.py [n_docs]
+Usage: python scripts/scaling_bench.py [n_docs] [--op extract|minhash]
+
+``--op minhash`` measures the SHUFFLE-heavy path instead of the
+map-heavy extraction job: word-shingle explode -> 16-way min-agg
+groupBy -> banded self-join -> pair groupBy over a deterministic text
+corpus with a 10% exact-duplicate rate. Its scaling shows the
+aggregation/join stages (the parts that become network shuffle on a
+real cluster) also hold the N->4N criterion; results go to
+BENCH_SCALING_MINHASH.json.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ from h2spark.golden import PAGE_SPEC
 from pyspark.sql import functions as F
 
 cpus = {cpus}
+op = {op!r}
 spark = get_spark("scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus * 2,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
@@ -44,6 +53,13 @@ spark.sparkContext.setLogLevel("ERROR")
 def build():
     # rebuilt per run: repeated actions on ONE DataFrame skip recompute
     # via cross-job shuffle-output reuse, which would fake the timing
+    if op == "minhash":
+        from h2spark.ops.dedup import minhash_pairs
+        d = spark.read.parquet({corpus!r})
+        n = d.count()
+        return minhash_pairs(d).agg(
+            F.lit(n).alias("n"), F.lit(0).alias("e"),
+            F.count("*").alias("pairs"))
     docs = spark.read.parquet({corpus!r})
     out = extract_spans_arrow(
         salted_repartition(docs, cpus * 2).select("doc_id", "spans"), PAGE_SPEC)
@@ -64,8 +80,8 @@ spark.stop()
 """
 
 
-def run_config(cpus: int, corpus: str) -> dict:
-    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus)
+def run_config(cpus: int, corpus: str, op: str = "extract") -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, corpus=corpus, op=op)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=900
     )
@@ -75,38 +91,88 @@ def run_config(cpus: int, corpus: str) -> dict:
     raise RuntimeError(f"no result from local[{cpus}]: {out.stderr[-2000:]}")
 
 
-def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 96000
-    corpus = os.path.join(REPO, ".bench-scratch", "scaling-corpus")
-    if not os.path.isdir(corpus):
-        from h2spark.pipeline.session import get_spark
-        from h2spark.fixtures import corpus_df
+def _gen_text_corpus(path: str, n_docs: int) -> None:
+    """Deterministic text corpus for the minhash mode: 60 md5-derived
+    words per doc; ids with id%10==1 clone id-1 (10% exact-dup pairs
+    so the banded join has real work)."""
+    from pyspark.sql import functions as F
 
-        spark = get_spark(
-            "scaling-gen", master="local[32]",
-            extra_conf={"spark.ui.showConsoleProgress": "false"},
+    from h2spark.pipeline.session import get_spark
+
+    spark = get_spark(
+        "scaling-gen", master="local[32]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(path, ignore_errors=True)
+    seed = F.when(F.col("id") % 10 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.substring(
+            F.md5(F.concat(seed.cast("string"), F.lit(":"), i.cast("string"))),
+            1, 6,
+        ),
+    )
+    (
+        spark.range(n_docs).repartition(64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", words).alias("text"),
         )
-        spark.sparkContext.setLogLevel("ERROR")
-        shutil.rmtree(corpus, ignore_errors=True)
-        corpus_df(spark, n_docs, n_partitions=64).write.parquet(corpus)
-        spark.stop()
+        .write.parquet(path)
+    )
+    spark.stop()
+
+
+def main() -> None:
+    op = "minhash" if "--op" in sys.argv and "minhash" in sys.argv else "extract"
+    args = [
+        a for a in sys.argv[1:]
+        if not a.startswith("--") and a not in ("extract", "minhash")
+    ]
+    if op == "minhash":
+        n_docs = int(args[0]) if args else 60000
+        corpus = os.path.join(REPO, ".bench-scratch", "scaling-textcorpus")
+        if not os.path.isdir(corpus):
+            _gen_text_corpus(corpus, n_docs)
+        out_file = "BENCH_SCALING_MINHASH.json"
+        configs = (4, 16)
+    else:
+        n_docs = int(args[0]) if args else 96000
+        corpus = os.path.join(REPO, ".bench-scratch", "scaling-corpus")
+        if not os.path.isdir(corpus):
+            from h2spark.fixtures import corpus_df
+            from h2spark.pipeline.session import get_spark
+
+            spark = get_spark(
+                "scaling-gen", master="local[32]",
+                extra_conf={"spark.ui.showConsoleProgress": "false"},
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+            shutil.rmtree(corpus, ignore_errors=True)
+            corpus_df(spark, n_docs, n_partitions=64).write.parquet(corpus)
+            spark.stop()
+        out_file = "BENCH_SCALING.json"
+        configs = (4, 16, 8, 32)
 
     results = {}
-    for cpus in (4, 16, 8, 32):
-        results[cpus] = run_config(cpus, corpus)
+    for cpus in configs:
+        results[cpus] = run_config(cpus, corpus, op)
         print(json.dumps(results[cpus]))
 
     def eff(a, b):
         return round((results[b]["docs_per_sec"] / results[a]["docs_per_sec"]) / 4, 3)
 
     summary = {
+        "op": op,
         "n_docs": n_docs,
         "results": results,
         "efficiency_4_to_16": eff(4, 16),
-        "efficiency_8_to_32": eff(8, 32),
     }
+    if 32 in results:
+        summary["efficiency_8_to_32"] = eff(8, 32)
     print("SUMMARY " + json.dumps(summary))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(REPO, out_file), "w") as f:
         json.dump(summary, f, indent=1)
 
 

@@ -285,3 +285,36 @@ def test_wav_short_fmt_chunk_rejected():
         + b"data" + struct.pack("<I", 8) + b"\x00" * 8
     )
     assert decode_wav_meta(bad) is None
+
+
+def test_image_dims_bmp_and_webp():
+    import struct
+
+    from h2spark.ops.multimodal import decode_image_dims
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 800, -600)
+        + b"\x00" * 28
+    )
+    assert decode_image_dims(bmp) == (800, 600)  # top-down height abs()
+
+    def riff(chunk, payload):
+        return b"RIFF" + struct.pack("<I", 4 + len(payload) + 8) + b"WEBP" \
+            + chunk + struct.pack("<I", len(payload)) + payload
+
+    # VP8 (lossy): start code 9d 01 2a then 14-bit w/h
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 640, 360) + b"\x00")
+    assert decode_image_dims(vp8) == (640, 360)
+    # VP8L (lossless): 0x2f then packed 14-bit minus-one fields
+    bits = (127 - 1) | ((63 - 1) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00")
+    assert decode_image_dims(vp8l) == (127, 63)
+    # VP8X (extended): 24-bit minus-one canvas
+    vp8x = riff(b"VP8X", b"\x00" * 4
+                + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little"))
+    assert decode_image_dims(vp8x) == (1920, 1080)
+    # RIFF/WAV is NOT an image
+    assert decode_image_dims(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
+    assert decode_image_dims(b"BM\x00") is None
