@@ -78,5 +78,51 @@ ORDER BY q.doc_id
 
 ORACLE_CURATION = _oracle()
 
-QUERIES = {"corpus_curation": q_corpus_curation}
-ORACLES = {"corpus_curation": ORACLE_CURATION}
+
+def q_training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-level rollup the whole pipeline exists to answer:
+    documents and BPE-ish tokens per (language, kept) cell after
+    curation — what actually feeds the model vs what was filtered.
+    Composes corpus_curation x text_token_count_bpe; one broadcast-size
+    join + one aggregation."""
+    cur = q_corpus_curation(spark, sf_dir).select("doc_id", "lang_pred", "kept")
+    toks = textstats.q_token_count_bpe(spark, sf_dir).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    return (
+        cur.join(toks, "doc_id")
+        .groupBy("lang_pred", "kept")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang_pred", "kept")
+    )
+
+
+def _oracle_budget() -> str:
+    cur = ORACLE_CURATION.strip()
+    cur = cur[: cur.rindex("ORDER BY")].rstrip()
+    toks = textstats.ORACLE_TOKEN_COUNT_BPE.strip()
+    toks = toks[: toks.rindex("ORDER BY")].rstrip()
+    return f"""
+SELECT cur.lang_pred, cur.kept,
+       count(*)::BIGINT AS n_docs,
+       sum(t.n_bpe_tokens)::BIGINT AS n_tokens
+FROM ({cur}) cur
+JOIN ({toks}) t ON t.doc_id = cur.doc_id
+GROUP BY cur.lang_pred, cur.kept
+ORDER BY cur.lang_pred, cur.kept
+"""
+
+
+ORACLE_TRAINING_TOKEN_BUDGET = _oracle_budget()
+
+QUERIES = {
+    "corpus_curation": q_corpus_curation,
+    "training_token_budget": q_training_token_budget,
+}
+ORACLES = {
+    "corpus_curation": ORACLE_CURATION,
+    "training_token_budget": ORACLE_TRAINING_TOKEN_BUDGET,
+}
