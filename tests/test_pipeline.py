@@ -251,3 +251,28 @@ def test_kernel_total_over_null_span_fields(spark):
         assert (r["spans_out"] is None) != (r["error"] is None)
     assert rows["mixed"]["error"] is None
     assert rows["mixed"]["spans_out"][0]["text"] == "x"
+
+
+def test_source_routing_and_parquet_fallback(spark, tmp_path):
+    from h2spark.pipeline.sources import (
+        current_snapshot_id, iceberg_available, is_table_identifier,
+        load_docs,
+    )
+
+    # identifier classification: dotted names are catalog tables,
+    # anything path-like is storage
+    assert is_table_identifier("cat.db.docs")
+    assert is_table_identifier("db.docs")
+    assert not is_table_identifier("corpus")
+    assert not is_table_identifier("/data/docs.parquet")
+    assert not is_table_identifier("s3://bucket/docs")
+    assert not is_table_identifier("dir/sub.docs")
+
+    # no Iceberg jars in this sandbox: probe is False and the parquet
+    # fallback loads the same schema the Iceberg path would
+    assert iceberg_available(spark) is False
+    assert current_snapshot_id(spark, "cat.db.docs") is None
+    p = str(tmp_path / "docs")
+    corpus_df(spark, 8, n_partitions=2).write.parquet(p)
+    got = load_docs(spark, p)
+    assert got.count() == 8 and "spans" in got.columns

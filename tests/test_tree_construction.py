@@ -472,3 +472,53 @@ def test_table_structure_mode_equivalents():
         '        <table>\n          <tbody>\n            <tr>\n'
         '              <td>\n                "b"'
     )
+
+
+def test_misnested_soup_with_templates_invariants():
+    """The formatting/table soup fuzz extended with <template> tokens:
+    no crash, no character loss (document text + template-contents
+    fragments together hold every character), consistent indices inside
+    fragments too."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    tokens = _SOUP_TOKENS + ["<template>", "</template>"]
+
+    def walk_elements(root):
+        stack = [root]
+        while stack:
+            e = stack.pop()
+            yield e
+            if e.template_contents is not None:
+                stack.append(e.template_contents)
+            for c in e.children:
+                if type(c) is Element:
+                    stack.append(c)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.sampled_from(tokens), min_size=1, max_size=40))
+    def run(parts):
+        doc = parse_document("".join(parts))
+        root = doc.root_element()
+        expected = Counter(
+            c
+            for p in parts
+            if not p.startswith("<")
+            for c in p
+            if not c.isspace()
+        )
+        got = Counter()
+        for el in walk_elements(root):
+            for ch in el.children:
+                if type(ch).__name__ == "Text":
+                    got.update(c for c in ch.data if not c.isspace())
+        assert got == expected, parts
+        for el in walk_elements(root):
+            par = el.parent
+            if type(par) is Element:
+                assert par.children[el._idx] is el, parts
+                elems = [c for c in par.children if type(c) is Element]
+                assert elems[el.elem_idx] is el, parts
+
+    run()
