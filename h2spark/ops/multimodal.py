@@ -418,6 +418,172 @@ QUERIES["audio_meta_decode"] = q_audio_meta
 ORACLES["audio_meta_decode"] = ORACLE_AUDIO_META
 
 
+# --- image resize plan + video frame sampling (plumbing + arithmetic) -----
+#
+# The pixel transforms themselves need PIL/ffmpeg (see the stubs); what
+# a 100 TB pipeline must get RIGHT without them is the Spark-side plan:
+# the dimension arithmetic (aspect-preserving fit, never upscale), the
+# batched mapInPandas shape, and the frame-timestamp selection — all
+# REAL here, computed from genuinely decoded headers, and replayed by
+# the DuckDB oracles.
+
+
+def resize_plan(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into max_side x max_side; never upscales.
+    floor() on the scaled minor side, minimum 1px — the arithmetic a
+    resize kernel would be handed."""
+    if w <= 0 or h <= 0 or (w <= max_side and h <= max_side):
+        return w, h
+    if w >= h:
+        return max_side, max(1, h * max_side // w)
+    return max(1, w * max_side // h), max_side
+
+
+def resize_image_real(data: bytes, target: tuple[int, int]) -> bytes:
+    """Real pixel resample — NOT IMPLEMENTED in this container (plug in
+    PIL.Image.resize here); the plan arithmetic + plumbing around it is
+    what ships and is oracle-verified."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "resize_plan computes the target geometry, the pixel transform "
+        "needs PIL"
+    )
+
+
+_RESIZE_MAX_SIDE = 256
+
+RESIZE_PLAN_SCHEMA = (
+    "media_ref string, fmt string, width int, height int, "
+    "target_w int, target_h int, will_resize boolean"
+)
+
+
+def q_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: decode REAL header bytes -> compute the
+    aspect-preserving resize plan per image (mapInPandas); DuckDB
+    replays the decode-dimension arithmetic AND the fit arithmetic."""
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r, f, b in zip(pdf["media_ref"], pdf["fmt"], pdf["media_bytes"]):
+                dims = decode_image_dims(bytes(b))
+                w, h = dims if dims else (None, None)
+                tw, th = resize_plan(w, h, _RESIZE_MAX_SIDE) if dims else (None, None)
+                rows.append(
+                    {
+                        "media_ref": r, "fmt": f, "width": w, "height": h,
+                        "target_w": tw, "target_h": th,
+                        "will_resize": (w, h) != (tw, th) if dims else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return synth_image_df(spark, n=24).mapInPandas(
+        plan, RESIZE_PLAN_SCHEMA
+    ).orderBy("media_ref")
+
+
+ORACLE_IMAGE_RESIZE_PLAN = f"""
+WITH base AS (
+  SELECT id,
+         CASE CAST(id % 3 AS INTEGER)
+              WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS fmt,
+         (id * 37 % 4000 + 16) AS w,
+         (id * 53 % 2000 + 9) AS h
+  FROM range(0, 24) t(id)
+),
+planned AS (
+  SELECT *,
+    CASE WHEN w <= {_RESIZE_MAX_SIDE} AND h <= {_RESIZE_MAX_SIDE} THEN w
+         WHEN w >= h THEN {_RESIZE_MAX_SIDE}
+         ELSE greatest(1, w * {_RESIZE_MAX_SIDE} // h) END AS tw,
+    CASE WHEN w <= {_RESIZE_MAX_SIDE} AND h <= {_RESIZE_MAX_SIDE} THEN h
+         WHEN w >= h THEN greatest(1, h * {_RESIZE_MAX_SIDE} // w)
+         ELSE {_RESIZE_MAX_SIDE} END AS th
+  FROM base
+)
+SELECT 'synth://' || fmt || '/' || id AS media_ref, fmt,
+       w::INTEGER AS width, h::INTEGER AS height,
+       tw::INTEGER AS target_w, th::INTEGER AS target_h,
+       (w <> tw OR h <> th) AS will_resize
+FROM planned ORDER BY media_ref
+"""
+
+QUERIES["image_resize_plan"] = q_image_resize_plan
+ORACLES["image_resize_plan"] = ORACLE_IMAGE_RESIZE_PLAN
+
+
+# --- video frame sampling ---------------------------------------------------
+
+
+def sample_frame_real(data: bytes, ts_ms: int) -> bytes:
+    """Real frame extraction — NOT IMPLEMENTED in this container (plug
+    in pyav/ffmpeg here); the timestamp-selection arithmetic + plumbing
+    is what ships and is oracle-verified."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; "
+        "frame_timestamps computes the sample plan, decoding needs ffmpeg"
+    )
+
+
+def frame_timestamps(duration_ms: int, n_frames: int) -> list[int]:
+    """Evenly spaced MIDPOINT sampling: k-th of n frames at
+    duration*(2k+1)/(2n) — the standard thumbnail/training-clip plan
+    (avoids the black first frame and credits-end bias)."""
+    if duration_ms <= 0 or n_frames <= 0:
+        return []
+    return [duration_ms * (2 * k + 1) // (2 * n_frames) for k in range(n_frames)]
+
+
+_N_SAMPLE_FRAMES = 4
+
+FRAME_SAMPLE_SCHEMA = "media_ref string, frame_idx int, ts_ms long"
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: per synthetic video (deterministic
+    duration arithmetic), emit the midpoint frame-sampling plan via
+    mapInPandas; DuckDB replays it."""
+    df = spark.range(18).select(
+        F.col("id").cast("int").alias("vid"),
+        (F.col("id") * 7919 % 600000 + 1000).alias("duration_ms"),
+    )
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for v, dur in zip(pdf["vid"], pdf["duration_ms"]):
+                for k, ts in enumerate(
+                    frame_timestamps(int(dur), _N_SAMPLE_FRAMES)
+                ):
+                    rows.append(
+                        {
+                            "media_ref": f"media://video/{int(v)}",
+                            "frame_idx": k,
+                            "ts_ms": ts,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(plan, FRAME_SAMPLE_SCHEMA).orderBy(
+        "media_ref", "frame_idx"
+    )
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = f"""
+SELECT 'media://video/' || id AS media_ref,
+       k::INTEGER AS frame_idx,
+       ((id * 7919 % 600000 + 1000) * (2 * k + 1) // (2 * {_N_SAMPLE_FRAMES}))::BIGINT
+           AS ts_ms
+FROM range(0, 18) t(id), range(0, {_N_SAMPLE_FRAMES}) f(k)
+ORDER BY media_ref, frame_idx
+"""
+
+QUERIES["video_frame_sample"] = q_video_frame_sample
+ORACLES["video_frame_sample"] = ORACLE_VIDEO_FRAME_SAMPLE
+
+
 # --- PDF / layout parse plumbing (north_rule: "PDF/layout parse") -------
 
 LAYOUT_SCHEMA = (

@@ -318,3 +318,33 @@ def test_image_dims_bmp_and_webp():
     # RIFF/WAV is NOT an image
     assert decode_image_dims(b"RIFF\x00\x00\x00\x00WAVEfmt ") is None
     assert decode_image_dims(b"BM\x00") is None
+
+
+def test_resize_plan_and_frame_timestamps():
+    import pytest
+
+    from h2spark.ops.multimodal import (
+        frame_timestamps, resize_image_real, resize_plan, sample_frame_real,
+    )
+
+    # never upscale; aspect preserved via floor; min 1px
+    assert resize_plan(100, 50, 256) == (100, 50)
+    assert resize_plan(512, 256, 256) == (256, 128)
+    assert resize_plan(256, 512, 256) == (128, 256)
+    assert resize_plan(10000, 3, 256) == (256, 1)   # floor would give 0
+    assert resize_plan(300, 300, 256) == (256, 256)
+    assert resize_plan(0, 100, 256) == (0, 100)      # degenerate passthrough
+
+    # midpoint sampling: monotone, in range, exact arithmetic
+    assert frame_timestamps(1000, 4) == [125, 375, 625, 875]
+    assert frame_timestamps(1000, 1) == [500]
+    assert frame_timestamps(0, 4) == []
+    assert frame_timestamps(1000, 0) == []
+    ts = frame_timestamps(599999, 7)
+    assert ts == sorted(ts) and all(0 <= t < 599999 for t in ts)
+
+    # the pixel/codec kernels remain clearly-marked stubs
+    with pytest.raises(NotImplementedError):
+        resize_image_real(b"", (1, 1))
+    with pytest.raises(NotImplementedError):
+        sample_frame_real(b"", 0)
