@@ -50,11 +50,21 @@ def decode_image_dims(data: bytes) -> tuple[int, int] | None:
             w, h = struct.unpack("<HH", data[6:10])
             return w, h
         return None
-    if len(data) >= 26 and data[:2] == b"BM":
-        # BMP: BITMAPINFOHEADER width/height at offsets 18/22, i32 LE
-        # (height may be negative for top-down rows)
-        w, h = struct.unpack("<ii", data[18:26])
-        return w, abs(h)
+    if len(data) >= 22 and data[:2] == b"BM":
+        # BMP: the DIB header-size field at offset 14 selects the
+        # layout — 12 = BITMAPCOREHEADER (u16 w/h at 18/20), >= 40 =
+        # BITMAPINFOHEADER family (i32 w/h at 18/22; height may be
+        # negative for top-down rows). Anything else (including random
+        # blobs that happen to start with ASCII 'BM') is not a BMP.
+        (dib,) = struct.unpack("<I", data[14:18])
+        if dib == 12:
+            w, h = struct.unpack("<HH", data[18:22])
+        elif 40 <= dib <= 124 and len(data) >= 26:  # INFO..V5 headers
+            w, h = struct.unpack("<ii", data[18:26])
+            h = abs(h)
+        else:
+            return None
+        return (w, h) if w > 0 and h > 0 else None
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         chunk = data[12:16]
         if chunk == b"VP8X" and len(data) >= 30:  # 24-bit minus-one canvas
@@ -459,29 +469,34 @@ RESIZE_PLAN_SCHEMA = (
 
 
 def q_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract query: decode REAL header bytes -> compute the
-    aspect-preserving resize plan per image (mapInPandas); DuckDB
-    replays the decode-dimension arithmetic AND the fit arithmetic."""
-
-    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r, f, b in zip(pdf["media_ref"], pdf["fmt"], pdf["media_bytes"]):
-                dims = decode_image_dims(bytes(b))
-                w, h = dims if dims else (None, None)
-                tw, th = resize_plan(w, h, _RESIZE_MAX_SIDE) if dims else (None, None)
-                rows.append(
-                    {
-                        "media_ref": r, "fmt": f, "width": w, "height": h,
-                        "target_w": tw, "target_h": th,
-                        "will_resize": (w, h) != (tw, th) if dims else None,
-                    }
-                )
-            yield pd.DataFrame(rows)
-
-    return synth_image_df(spark, n=24).mapInPandas(
-        plan, RESIZE_PLAN_SCHEMA
-    ).orderBy("media_ref")
+    """Driver-contract query: decode REAL header bytes (the shared
+    decode_image_dims_df stage — one decode path to keep correct), then
+    compute the aspect-preserving fit as codegen column expressions
+    mirroring :func:`resize_plan`; DuckDB replays both."""
+    ms = _RESIZE_MAX_SIDE
+    dims = decode_image_dims_df(synth_image_df(spark, n=24))
+    w, h = F.col("width"), F.col("height")
+    fits = (w <= ms) & (h <= ms)
+    tw = (
+        F.when(fits, w)
+        .when(w >= h, F.lit(ms))
+        .otherwise(F.greatest(F.lit(1), F.floor(w * ms / h)))
+        .cast("int")
+    )
+    th = (
+        F.when(fits, h)
+        .when(w >= h, F.greatest(F.lit(1), F.floor(h * ms / w)))
+        .otherwise(F.lit(ms))
+        .cast("int")
+    )
+    return (
+        dims.select(
+            "media_ref", "fmt", "width", "height",
+            tw.alias("target_w"), th.alias("target_h"),
+            ((w != tw) | (h != th)).alias("will_resize"),
+        )
+        .orderBy("media_ref")
+    )
 
 
 ORACLE_IMAGE_RESIZE_PLAN = f"""

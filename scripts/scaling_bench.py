@@ -50,15 +50,15 @@ spark = get_spark("scaling-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus * 2,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
+n_total = spark.read.parquet({corpus!r}).count() if op == "minhash" else None
 def build():
     # rebuilt per run: repeated actions on ONE DataFrame skip recompute
     # via cross-job shuffle-output reuse, which would fake the timing
     if op == "minhash":
         from h2spark.ops.dedup import minhash_pairs
         d = spark.read.parquet({corpus!r})
-        n = d.count()
         return minhash_pairs(d).agg(
-            F.lit(n).alias("n"), F.lit(0).alias("e"),
+            F.lit(n_total).alias("n"), F.lit(0).alias("e"),
             F.count("*").alias("pairs"))
     docs = spark.read.parquet({corpus!r})
     out = extract_spans_arrow(
@@ -125,22 +125,26 @@ def _gen_text_corpus(path: str, n_docs: int) -> None:
 
 
 def main() -> None:
-    op = "minhash" if "--op" in sys.argv and "minhash" in sys.argv else "extract"
-    args = [
-        a for a in sys.argv[1:]
-        if not a.startswith("--") and a not in ("extract", "minhash")
-    ]
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_docs", nargs="?", type=int, default=None)
+    ap.add_argument("--op", choices=("extract", "minhash"), default="extract")
+    ns = ap.parse_args()
+    op = ns.op
     if op == "minhash":
-        n_docs = int(args[0]) if args else 60000
+        n_docs = ns.n_docs or 60000
         corpus = os.path.join(REPO, ".bench-scratch", "scaling-textcorpus")
-        if not os.path.isdir(corpus):
+        # an explicitly-sized request always regenerates: a cached corpus
+        # of a different size would silently misstate the workload
+        if not os.path.isdir(corpus) or ns.n_docs is not None:
             _gen_text_corpus(corpus, n_docs)
         out_file = "BENCH_SCALING_MINHASH.json"
         configs = (4, 16)
     else:
-        n_docs = int(args[0]) if args else 96000
+        n_docs = ns.n_docs or 96000
         corpus = os.path.join(REPO, ".bench-scratch", "scaling-corpus")
-        if not os.path.isdir(corpus):
+        if not os.path.isdir(corpus) or ns.n_docs is not None:
             from h2spark.fixtures import corpus_df
             from h2spark.pipeline.session import get_spark
 
@@ -165,7 +169,9 @@ def main() -> None:
 
     summary = {
         "op": op,
-        "n_docs": n_docs,
+        # the measured count from the child run, not the CLI request —
+        # the evidence artifact must describe the actual workload
+        "n_docs": results[configs[0]]["docs"],
         "results": results,
         "efficiency_4_to_16": eff(4, 16),
     }

@@ -298,6 +298,21 @@ def test_image_dims_bmp_and_webp():
         + b"\x00" * 28
     )
     assert decode_image_dims(bmp) == (800, 600)  # top-down height abs()
+    # OS/2 BITMAPCOREHEADER (DIB size 12): u16 fields at 18/20
+    core = (
+        b"BM" + struct.pack("<IHHI", 50, 0, 0, 26)
+        + struct.pack("<I", 12) + struct.pack("<HH", 640, 480)
+        + struct.pack("<HH", 1, 24)
+    )
+    assert decode_image_dims(core) == (640, 480)
+    # a text blob starting with 'BM' is NOT a bitmap (DIB size garbage)
+    assert decode_image_dims(b"BM" + b"x" * 40) is None
+    # zero width is invalid
+    zed = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 0, 600) + b"\x00" * 28
+    )
+    assert decode_image_dims(zed) is None
 
     def riff(chunk, payload):
         return b"RIFF" + struct.pack("<I", 4 + len(payload) + 8) + b"WEBP" \
