@@ -150,6 +150,19 @@ _TABLE_STRUCT = frozenset(
 # anything needing the slow in-body start path
 _SLOW_START = _SPECIAL_START | _FORMATTING | _MARKER_TAGS | _TABLE_STRUCT
 
+# plain block containers whose ONLY in-body side effect is closing an
+# open <p>: eligible for the feed() fast path (everything else in
+# _P_CLOSERS — table/hr/li-likes/headings/pre family — has additional
+# rules and stays on the slow path)
+_FAST_P_CLOSERS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "center", "details",
+        "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
+        "footer", "header", "hgroup", "main", "menu", "nav", "ol", "p",
+        "section", "summary", "ul",
+    }
+)
+
 # marker sentinel for the active formatting list
 _MARKER = object()
 
@@ -670,6 +683,21 @@ class _Builder:
                     self._insert_element(
                         tok[1], tok[2], push=not self._foreign_self_closes(tok)
                     )
+                return
+            elif (
+                kind == "start"
+                and tok[1] in _FAST_P_CLOSERS
+                and not self.afe
+                and self.stack[-1].tag not in _TABLE_CONTEXT
+                and self.stack[-1].tag not in _TEXT_CONTENT
+            ):
+                # common block containers: the full in-body dispatch
+                # reduces to close-p + plain insert when no formatting
+                # is active and we're not in table context
+                self._close_p()
+                self._insert_element(
+                    tok[1], tok[2], push=not self._foreign_self_closes(tok)
+                )
                 return
             elif (
                 kind == "end"
