@@ -163,6 +163,16 @@ _FAST_P_CLOSERS = frozenset(
     }
 )
 
+# while one of these is the current node we MAY be inside a <select>,
+# whose content model ignores most start tags (WHATWG "in select") —
+# start-tag fast paths defer to the slow path for the real check
+_SELECT_CTX = frozenset({"select", "optgroup", "option"})
+
+# start tags processed normally inside <select>; everything else is
+# ignored (parse error), except input/keygen/textarea/select which
+# imply </select> first
+_SELECT_SAFE = frozenset({"option", "optgroup", "hr", "script", "template"})
+
 # marker sentinel for the active formatting list
 _MARKER = object()
 
@@ -267,6 +277,18 @@ class _Builder:
         if self._pop_until("template"):
             self.mode = self._template_modes.pop()
         return True
+
+    def _in_select(self) -> bool:
+        """True when a <select> is open with only option/optgroup
+        between it and the current node (the spec's 'in select scope':
+        every other element is a boundary)."""
+        for e in reversed(self.stack):
+            t = e.tag
+            if t == "select":
+                return True
+            if t not in ("option", "optgroup"):
+                return False
+        return False
 
     def _in_template(self) -> bool:
         """True when the current insertion point is inside an open
@@ -676,6 +698,7 @@ class _Builder:
                 kind == "start"
                 and tok[1] not in _SLOW_START
                 and self.stack[-1].tag not in _TEXT_CONTENT
+                and self.stack[-1].tag not in _SELECT_CTX
             ):
                 if self.afe or self.stack[-1].tag in _TABLE_CONTEXT:
                     self._generic_start_in_body(tok)
@@ -690,6 +713,7 @@ class _Builder:
                 and not self.afe
                 and self.stack[-1].tag not in _TABLE_CONTEXT
                 and self.stack[-1].tag not in _TEXT_CONTENT
+                and self.stack[-1].tag not in _SELECT_CTX
             ):
                 # common block containers: the full in-body dispatch
                 # reduces to close-p + plain insert when no formatting
@@ -885,6 +909,16 @@ class _Builder:
             return True
         if kind == "start":
             name, attrs = tok[1], tok[2]
+            if name not in _SELECT_SAFE and self._in_select():
+                # WHATWG "in select": most start tags are ignored
+                # (parse error); input/keygen/textarea/select imply
+                # </select> first, the former three then reprocess
+                if name in ("input", "keygen", "textarea", "select"):
+                    self._pop_until("select")
+                    if name == "select":
+                        return True
+                else:
+                    return True
             if name in _FORMATTING:
                 self._start_formatting(name, attrs)
                 return True

@@ -522,3 +522,32 @@ def test_misnested_soup_with_templates_invariants():
                 assert elems[el.elem_idx] is el, parts
 
     run()
+
+
+def test_select_content_model():
+    """WHATWG 'in select': non-whitelisted start tags are ignored
+    (their text still inserts), input/textarea/nested-select imply
+    </select>, option/optgroup/hr parse normally."""
+    assert body_of("<select><option>a<option>b</select>x") == (
+        '<select>\n  <option>\n    "a"\n  <option>\n    "b"\n"x"'
+    )
+    # <div> ignored; its character data stays in the select
+    assert body_of("<select><div>x</div><option>a</select>") == (
+        '<select>\n  "x"\n  <option>\n    "a"'
+    )
+    # formatting tags ignored inside option (no <b> wrapper)
+    assert body_of("<select><option><b>bold</b>text</select>") == (
+        '<select>\n  <option>\n    "boldtext"'
+    )
+    # a second <select> acts as </select>; the next option is in body
+    assert body_of("<select><option>a<select><option>b") == (
+        '<select>\n  <option>\n    "a"\n<option>\n  "b"'
+    )
+    # <input> closes the select and reprocesses outside it
+    assert body_of("<select><option>a<input type=text>rest") == (
+        '<select>\n  <option>\n    "a"\n<input type="text">\n"rest"'
+    )
+    # option/optgroup OUTSIDE any select still parse as plain elements
+    assert body_of("<option>a<option>b") == (
+        '<option>\n  "a"\n<option>\n  "b"'
+    )
