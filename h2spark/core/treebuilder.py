@@ -27,10 +27,14 @@ that child_nodes / text_contents / selectors never traverse, with the
 "in template" structural-table behavior (tr/td insert directly into the
 fragment, no implied table) and insertion-mode restore on close.
 
+<select> gets the WHATWG "in select" content model: non-whitelisted
+start tags ignored, input/textarea/nested-select imply </select>.
+
 Remaining deliberate simplifications (corpus-safe): no dedicated table
 insertion *modes* (structural table tags are handled via in-body
-auto-close rules + foster parenting rather than a mode machine), no
-frameset handling.
+auto-close rules + foster parenting rather than a mode machine — the
+mode-machine-equivalent behaviors are pinned by goldens), no frameset
+handling.
 """
 
 from __future__ import annotations
