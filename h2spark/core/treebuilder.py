@@ -47,7 +47,7 @@ _TEXT_CONTENT = RAWTEXT_ELEMENTS | RCDATA_ELEMENTS
 VOID_ELEMENTS = frozenset(
     {
         "area", "base", "br", "col", "embed", "hr", "img", "input",
-        "link", "meta", "param", "source", "track", "wbr",
+        "keygen", "link", "meta", "param", "source", "track", "wbr",
     }
 )
 
@@ -155,16 +155,13 @@ _TABLE_STRUCT = frozenset(
 _SLOW_START = _SPECIAL_START | _FORMATTING | _MARKER_TAGS | _TABLE_STRUCT
 
 # plain block containers whose ONLY in-body side effect is closing an
-# open <p>: eligible for the feed() fast path (everything else in
-# _P_CLOSERS — table/hr/li-likes/headings/pre family — has additional
-# rules and stays on the slow path)
-_FAST_P_CLOSERS = frozenset(
-    {
-        "address", "article", "aside", "blockquote", "center", "details",
-        "dialog", "dir", "div", "dl", "fieldset", "figcaption", "figure",
-        "footer", "header", "hgroup", "main", "menu", "nav", "ol", "p",
-        "section", "summary", "ul",
-    }
+# open <p>: eligible for the feed() fast path. Derived from _P_CLOSERS
+# (single source of truth) minus every member with additional in-body
+# rules: headings (sibling auto-close), pre/listing (newline rule),
+# form (table-allowed + pointer semantics), plaintext (tokenizer mode),
+# table (nesting rules), hr (void), xmp (rawtext).
+_FAST_P_CLOSERS = _P_CLOSERS - _HEADINGS - frozenset(
+    {"pre", "listing", "form", "plaintext", "table", "hr", "xmp"}
 )
 
 # while one of these is the current node we MAY be inside a <select>,
@@ -172,10 +169,16 @@ _FAST_P_CLOSERS = frozenset(
 # start-tag fast paths defer to the slow path for the real check
 _SELECT_CTX = frozenset({"select", "optgroup", "option"})
 
-# start tags processed normally inside <select>; everything else is
-# ignored (parse error), except input/keygen/textarea/select which
-# imply </select> first
-_SELECT_SAFE = frozenset({"option", "optgroup", "hr", "script", "template"})
+# start tags processed normally inside <select> (hr gets its own
+# in-select rule: pop option/optgroup, insert as a select child);
+# everything else is ignored (parse error), except
+# input/keygen/textarea/select which imply </select> first
+_SELECT_SAFE = frozenset({"option", "optgroup", "script", "template"})
+
+# end tags processed normally inside <select>; any other end tag is
+# ignored (spec "in select": parse error, ignore) — in particular the
+# adoption agency must never restructure into an open select
+_SELECT_END_SAFE = frozenset({"option", "optgroup", "select", "template"})
 
 # marker sentinel for the active formatting list
 _MARKER = object()
@@ -720,10 +723,12 @@ class _Builder:
                 and self.stack[-1].tag not in _SELECT_CTX
             ):
                 # common block containers: the full in-body dispatch
-                # reduces to close-p + plain insert when no formatting
-                # is active and we're not in table context
+                # reduces to close-p + insert when no formatting is
+                # active. Insert FOSTER-AWARE: closing a fostered <p>
+                # can leave a table as the current node, and the block
+                # must then foster-parent exactly as the slow path does
                 self._close_p()
-                self._insert_element(
+                self._insert_element_body(
                     tok[1], tok[2], push=not self._foreign_self_closes(tok)
                 )
                 return
@@ -916,7 +921,14 @@ class _Builder:
             if name not in _SELECT_SAFE and self._in_select():
                 # WHATWG "in select": most start tags are ignored
                 # (parse error); input/keygen/textarea/select imply
-                # </select> first, the former three then reprocess
+                # </select> first, the former three then reprocess;
+                # hr pops any open option/optgroup and inserts as a
+                # child of the select itself
+                if name == "hr":
+                    while self.stack[-1].tag in ("option", "optgroup"):
+                        self.stack.pop()
+                    self._insert_element("hr", attrs)
+                    return True
                 if name in ("input", "keygen", "textarea", "select"):
                     self._pop_until("select")
                     if name == "select":
@@ -1045,6 +1057,8 @@ class _Builder:
             return True
         if kind == "end":
             name = tok[1]
+            if name not in _SELECT_END_SAFE and self._in_select():
+                return True  # spec "in select": any other end tag ignored
             if name in ("body", "html"):
                 if self._in_template():
                     return True  # ignored inside template contents (spec)

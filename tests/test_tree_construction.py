@@ -551,3 +551,34 @@ def test_select_content_model():
     assert body_of("<option>a<option>b") == (
         '<option>\n  "a"\n<option>\n  "b"'
     )
+
+
+def test_fast_path_blocks_still_foster_after_closing_fostered_p():
+    # review regression: closing a fostered <p> leaves the table as the
+    # current node; the block must foster-parent like the slow path
+    assert body_of("<table><p>x<div>y</div></table>after") == (
+        '<p>\n  "x"\n<div>\n  "y"\n<table>\n"after"'
+    )
+
+
+def test_select_hr_end_tags_and_keygen():
+    # hr inside select: pops option/optgroup, inserts as a select child,
+    # select survives (hr is a p-closer but must not run _close_p here)
+    assert body_of("<p>a<select><hr><option>x") == (
+        '<p>\n  "a"\n  <select>\n    <hr>\n    <option>\n      "x"'
+    )
+    assert body_of("<select><option>a<hr><option>b") == (
+        '<select>\n  <option>\n    "a"\n  <hr>\n  <option>\n    "b"'
+    )
+    # end tags other than option/optgroup/select/template are IGNORED
+    # inside a select: the adoption agency must not restructure into it
+    assert body_of("<b>x<select></b>y") == (
+        '<b>\n  "x"\n  <select>\n    "y"'
+    )
+    assert body_of("<p>a<select></p>z") == (
+        '<p>\n  "a"\n  <select>\n    "z"'
+    )
+    # keygen is void: implies </select>, stays empty, content follows
+    assert body_of("<select>a<keygen>b<div>c") == (
+        '<select>\n  "a"\n<keygen>\n"b"\n<div>\n  "c"'
+    )
