@@ -15,7 +15,12 @@ Queries:
   q3_dedup_minhash     MinHash LSH candidate pairs over sf documents
   q4_ann_bruteforce    cosine top-k over sf embeddings
   q5_text_stats        token/quality/fingerprint scan over sf documents
-  q6_dedup_embedding_lsh  bucketed SRP-LSH cosine pair mining (round 2)
+  q6_dedup_embedding_lsh_adaptive  bucketed SRP-LSH cosine pair mining
+                       at the threshold-ADAPTIVE scale banding (round 4:
+                       the headline advertises the scale path; the
+                       rows=3/96-bit exactness demo stays a
+                       correctness-only query) incl. the auto
+                       strategy pre-flight
   q7_ann_ivf           trained k-means IVF multi-probe top-k (round 2)
   q8_pdf_text_parse    REAL PDF synthesize+parse throughput (round 3;
                        H2SPARK_BENCH_PDFS docs, default 4000)
@@ -140,11 +145,12 @@ def main() -> None:
 
     timed("q5_text_stats", text_stats)
 
-    # round-2 scale paths: bucketed SRP-LSH cosine pair mining and the
-    # trained k-means IVF probe
+    # scale paths: bucketed SRP-LSH cosine pair mining (threshold-
+    # adaptive banding + auto bucket/join pre-flight — the config that
+    # ships at 10^12 docs) and the trained k-means IVF probe
     timed(
-        "q6_dedup_embedding_lsh",
-        lambda: dedup.q_dedup_embedding_lsh(spark, sf_dir).count(),
+        "q6_dedup_embedding_lsh_adaptive",
+        lambda: dedup.q_dedup_embedding_lsh_adaptive(spark, sf_dir).count(),
     )
     timed(
         "q7_ann_ivf",

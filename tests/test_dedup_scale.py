@@ -136,7 +136,8 @@ def test_srp_adaptive_banding_prunes_candidates(spark):
     assert len(exact) > 100  # the clusters genuinely contain near-dups
     assert got == exact
 
-    # the default bucket strategy returns the identical result
+    # the default (auto -> bucket here) strategy returns the identical
+    # result
     bucket = [
         tuple(r) for r in dedup.cosine_lsh_pairs(e, 0.8).collect()
     ]
@@ -147,6 +148,72 @@ def test_srp_adaptive_banding_prunes_candidates(spark):
     total_bucket_pairs = sum(r["n_bucket_pairs"] for r in vol.collect())
     assert total_bucket_pairs < 0.2 * all_pairs * 23  # far below all-pairs/band
     e.unpersist()
+
+
+def test_auto_strategy_guards_mega_bucket(spark):
+    # VERDICT r3 item 1: deliberately coarse banding (rows=1 -> 1-bit
+    # band keys, so each band splits the corpus roughly in half and
+    # every bucket is a mega-bucket). The auto pre-flight must detect
+    # the executor-sized bucket and fall back to the join strategy,
+    # whose per-task memory is bounded regardless of bucket skew —
+    # and the result must stay bit-identical to the bucket kernel.
+    e = _clustered_embeddings(spark, n_clusters=20, per=5).cache()
+    n = e.count()
+
+    # pre-flight sees the mega-bucket: with 1-bit keys max_bucket ~ n/2
+    vol = dedup.srp_bucket_volume(e, rows=1, bits=4).collect()
+    assert max(r["max_bucket"] for r in vol) > n // 3
+
+    # guard trips with a task-sized cap...
+    assert (
+        dedup.choose_srp_strategy(e, rows=1, bits=4, max_bucket_rows=16)
+        == "join"
+    )
+    # ...and stands down when buckets fit
+    assert (
+        dedup.choose_srp_strategy(e, rows=1, bits=4, max_bucket_rows=n)
+        == "bucket"
+    )
+
+    # end-to-end: auto (-> join) completes under the tiny cap and
+    # matches the explicit bucket-kernel result bit-for-bit
+    auto = [
+        tuple(r)
+        for r in dedup.cosine_lsh_pairs(
+            e, 0.8, rows=1, bits=4, max_bucket_rows=16
+        ).collect()
+    ]
+    bucket = [
+        tuple(r)
+        for r in dedup.cosine_lsh_pairs(
+            e, 0.8, rows=1, bits=4, strategy="bucket"
+        ).collect()
+    ]
+    assert auto == bucket
+    assert len(auto) > 0  # the clusters genuinely contain near-dups
+    e.unpersist()
+
+
+def test_simhash64_candidate_rate(spark):
+    # VERDICT r3 item 2: the production 64-bit/4x16-band miner must put
+    # candidates << n(n-1)/2 on a (mostly) random corpus — 65,536-way
+    # buckets per band, vs the 32-bit default's 256. The sf0.01
+    # documents table is 500 mostly-distinct docs plus a planted
+    # near-dup family.
+    from pyspark.sql import Observation
+
+    obs = Observation("simhash64_candidates")
+    sh = dedup.q_dedup_simhash64(spark, "/root/testdata/sf0.01")
+    pairs = dedup.simhash_pairs64(sh, observation=obs)
+    n_pairs = pairs.count()
+    n = sh.count()
+    n_cand = obs.get["n_candidate_pairs"]
+    all_pairs = n * (n - 1) / 2
+    assert n_cand < 0.05 * all_pairs, (
+        f"candidates {n_cand} not << {all_pairs}"
+    )
+    # the genuine near-dups survive banding (pigeonhole at hamming<=3)
+    assert 0 < n_pairs <= n_cand
 
 
 def test_srp_udf_matches_expression_formulation(spark):
