@@ -1,7 +1,15 @@
-"""IVF quality gate: trained centroids must deliver recall@10 >= 0.9 vs
-the brute-force baseline on sf0.01 (VERDICT round-1 item 6). Measured
-0.96 with K=16 / iters=4 / nprobe=10 on the near-uniform sandbox
-embeddings — the hostile case for IVF; see similarity.py docstring."""
+"""IVF quality gates.
+
+- Hostile-uniform pin (VERDICT round-1 item 6): K=16 / nprobe=10 must
+  deliver recall@10 >= 0.9 on the near-uniform sandbox embeddings —
+  the no-cluster-structure worst case, costing ~62% of the corpus
+  (that cost is WHY the knobs exist; measured 0.96).
+- Derived-defaults pruning gate (VERDICT round-3 item 4): on a
+  CLUSTERED corpus the ivf_params defaults (K ~ sqrt(n),
+  recall-targeted nprobe) must hit recall@10 >= 0.9 while scanning a
+  candidate fraction far below the uniform case's 62%."""
+
+import hashlib
 
 from h2spark.ops import similarity
 
@@ -9,13 +17,76 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_ivf_recall_at_10_vs_bruteforce(spark):
-    bf = similarity.q_ann_bruteforce(spark, SF).collect()
-    ivf = similarity.q_ann_ivf(spark, SF).collect()
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bf = similarity.ann_bruteforce_topk(e).collect()
+    ivf = similarity.ann_ivf_topk(e, k=16, nprobe=10).collect()
     truth = {(r.query_id, r.cand_id) for r in bf}
     got = {(r.query_id, r.cand_id) for r in ivf}
     assert len(truth) == similarity._N_QUERIES * similarity._TOP_K
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall@10 {recall} < 0.9"
+
+
+def test_ivf_params_scale_with_corpus():
+    # K ~ sqrt(n): never a fixed 16 at scale
+    k, nprobe = similarity.ivf_params(500)
+    assert k == 22 and nprobe == 4
+    k6, np6 = similarity.ivf_params(10**12)
+    assert k6 == 10**6
+    assert np6 == 4  # recall-derived, independent of K
+    # higher recall target buys more probes
+    assert similarity.ivf_params(10**6, target_recall=0.99)[1] == 7
+    # degenerate corpora stay sane
+    assert similarity.ivf_params(1) == (1, 1)
+
+
+def _clustered_embeddings(spark, n_clusters=20, per=12, dim=64):
+    """Tight md5-seeded clusters (within-cluster cosine ~0.9999) so
+    each query's true top-10 lies inside its own cluster."""
+
+    def h01(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32
+
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = [h01(f"c{c}:{i}") - 0.5 for i in range(dim)]
+        for m in range(per):
+            vec = [
+                float(base[i] + 0.01 * (h01(f"m{c}:{m}:{i}") - 0.5))
+                for i in range(dim)
+            ]
+            rows.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_derived_params_prune_on_clustered_corpus(spark):
+    from pyspark.sql import Observation
+
+    e = _clustered_embeddings(spark).cache()
+    n = e.count()
+    k, nprobe = similarity.ivf_params(n)
+    assert k * nprobe < n  # the derivation is genuinely sub-linear
+
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ann_bruteforce_topk(e).collect()
+    }
+    obs = Observation("ivf_candidates")
+    got = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ann_ivf_topk(
+            e, candidate_observation=obs
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@10 {recall} < 0.9"
+
+    frac = obs.get["n_candidates"] / (similarity._N_QUERIES * (n - 1))
+    # uniform corpora need ~0.62 of the corpus at equal recall; with
+    # cluster structure the derived banding must prune far harder
+    assert frac < 0.40, f"candidate fraction {frac} not << 0.62"
+    e.unpersist()
 
 
 def test_centroid_dots_udf_matches_expression(spark):
