@@ -18,10 +18,83 @@ marked NotImplementedError stub where PIL/ffmpeg would plug in.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# --- codec adapter registry (VERDICT r3 item 7) ---------------------------
+#
+# The four real-codec boundaries — pixel decode, pixel resample, video
+# frame extraction, full-fidelity PDF layout — share ONE plug-in seam:
+# register an adapter per operation and the *_real entry points dispatch
+# to it; unregistered operations raise NotImplementedError at CALL time
+# with the documented environment limitation. This keeps the stub
+# boundary a single function table (and gives deployments with
+# PIL/ffmpeg/pdfminer one obvious place to plug in) instead of four
+# scattered raises. The seam itself is exercised with fake codecs in
+# tests/test_ops_units.py.
+
+CODEC_MEDIA_DECODE = "media.decode"    # bytes -> dict of decoded fields
+CODEC_IMAGE_RESIZE = "image.resize"    # (bytes, (w, h)) -> bytes
+CODEC_VIDEO_FRAME = "video.frame"      # (bytes, ts_ms) -> bytes
+CODEC_PDF_LAYOUT = "pdf.layout"        # bytes -> list of layout blocks
+
+_CODEC_HINTS = {
+    CODEC_MEDIA_DECODE: (
+        "media codecs are not available in this environment; "
+        "use decode_media_meta (deterministic fake) instead"
+    ),
+    CODEC_IMAGE_RESIZE: (
+        "image codecs are not available in this environment; "
+        "resize_plan computes the target geometry, the pixel transform "
+        "needs PIL"
+    ),
+    CODEC_VIDEO_FRAME: (
+        "video codecs are not available in this environment; "
+        "frame_timestamps computes the sample plan, decoding needs ffmpeg"
+    ),
+    CODEC_PDF_LAYOUT: (
+        "full PDF codecs are not available in this environment; "
+        "use h2spark.ops.pdftext.parse_pdf_text (real, minimal) or the "
+        "deterministic layout fake instead"
+    ),
+}
+
+_CODEC_REGISTRY: dict[str, Callable] = {}
+
+
+def register_codec(op: str, fn: Callable) -> None:
+    """Plug a real codec into one of the CODEC_* operations (e.g.
+    ``register_codec(CODEC_IMAGE_RESIZE, pil_resize)``).
+
+    The registry lives in the DRIVER process; Python workers re-import
+    this module and see it empty. A DataFrame stage must therefore
+    resolve its adapter at plan-build time — ``fn = get_codec(op)``
+    outside the UDF body — so the adapter travels in the serialized
+    closure (cloudpickle ships the function, not the module state)."""
+    if op not in _CODEC_HINTS:
+        raise ValueError(f"unknown codec operation {op!r}")
+    _CODEC_REGISTRY[op] = fn
+
+
+def unregister_codec(op: str) -> None:
+    _CODEC_REGISTRY.pop(op, None)
+
+
+def get_codec(op: str) -> Callable:
+    """The registered adapter for ``op``, else a raiser that reports the
+    environment limitation at call time (never at import/plan time)."""
+    fn = _CODEC_REGISTRY.get(op)
+    if fn is not None:
+        return fn
+    hint = _CODEC_HINTS[op]
+
+    def missing(*_a, **_k):
+        raise NotImplementedError(hint)
+
+    return missing
+
 
 MEDIA_META_SCHEMA = (
     "media_ref string, n_bytes long, content_hash string, "
@@ -128,16 +201,12 @@ def synth_media_df(spark: SparkSession, n: int = 64, n_partitions: int = 4) -> D
 
 
 def decode_media_real(media_bytes: bytes) -> dict:
-    """Real codec decode — NOT IMPLEMENTED in this container.
-
-    Plug in PIL.Image.open / soundfile / pyav here; the surrounding
-    mapInPandas plumbing (batching, schema, partitioning) is what this
-    module tests.
-    """
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_media_meta (deterministic fake) instead"
-    )
+    """Real codec decode — dispatches to the CODEC_MEDIA_DECODE adapter
+    (plug in PIL.Image.open / soundfile / pyav via register_codec);
+    raises NotImplementedError while none is registered (this container
+    ships no media libraries). The surrounding mapInPandas plumbing
+    (batching, schema, partitioning) is what this module tests."""
+    return get_codec(CODEC_MEDIA_DECODE)(media_bytes)
 
 
 def _fake_decode(ref: str, data: bytes) -> dict:
@@ -450,14 +519,11 @@ def resize_plan(w: int, h: int, max_side: int) -> tuple[int, int]:
 
 
 def resize_image_real(data: bytes, target: tuple[int, int]) -> bytes:
-    """Real pixel resample — NOT IMPLEMENTED in this container (plug in
-    PIL.Image.resize here); the plan arithmetic + plumbing around it is
-    what ships and is oracle-verified."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "resize_plan computes the target geometry, the pixel transform "
-        "needs PIL"
-    )
+    """Real pixel resample — dispatches to the CODEC_IMAGE_RESIZE
+    adapter (plug in PIL.Image.resize via register_codec); raises
+    NotImplementedError while none is registered. The plan arithmetic +
+    plumbing around it is what ships and is oracle-verified."""
+    return get_codec(CODEC_IMAGE_RESIZE)(data, target)
 
 
 _RESIZE_MAX_SIDE = 256
@@ -533,13 +599,12 @@ ORACLES["image_resize_plan"] = ORACLE_IMAGE_RESIZE_PLAN
 
 
 def sample_frame_real(data: bytes, ts_ms: int) -> bytes:
-    """Real frame extraction — NOT IMPLEMENTED in this container (plug
-    in pyav/ffmpeg here); the timestamp-selection arithmetic + plumbing
-    is what ships and is oracle-verified."""
-    raise NotImplementedError(
-        "video codecs are not available in this environment; "
-        "frame_timestamps computes the sample plan, decoding needs ffmpeg"
-    )
+    """Real frame extraction — dispatches to the CODEC_VIDEO_FRAME
+    adapter (plug in pyav/ffmpeg via register_codec); raises
+    NotImplementedError while none is registered. The
+    timestamp-selection arithmetic + plumbing is what ships and is
+    oracle-verified."""
+    return get_codec(CODEC_VIDEO_FRAME)(data, ts_ms)
 
 
 def frame_timestamps(duration_ms: int, n_frames: int) -> list[int]:
@@ -616,12 +681,10 @@ def parse_pdf_real(pdf_bytes: bytes) -> list:
     :mod:`h2spark.ops.pdftext` (``parse_pdf_text``) with its own
     full-oracle query; this stub and the deterministic fake below
     remain for the plumbing tests and the library-backed upgrade path.
+    Dispatches to the CODEC_PDF_LAYOUT adapter (register_codec); raises
+    NotImplementedError while none is registered.
     """
-    raise NotImplementedError(
-        "full PDF codecs are not available in this environment; "
-        "use h2spark.ops.pdftext.parse_pdf_text (real, minimal) or the "
-        "deterministic layout fake instead"
-    )
+    return get_codec(CODEC_PDF_LAYOUT)(pdf_bytes)
 
 
 def _fake_layout(ref: str, data: bytes) -> dict:

@@ -363,3 +363,71 @@ def test_resize_plan_and_frame_timestamps():
         resize_image_real(b"", (1, 1))
     with pytest.raises(NotImplementedError):
         sample_frame_real(b"", 0)
+
+
+def test_codec_registry_seam():
+    # VERDICT r3 item 7: the four real-codec boundaries are one
+    # function table; registering an adapter flips a *_real entry
+    # point from raising to delegating, unregistering restores the
+    # documented NotImplementedError at CALL time (never import time).
+    import pytest
+
+    from h2spark.ops import multimodal as mm
+
+    def fake_resize(data, target):
+        return bytes([target[0] % 256, target[1] % 256]) + data[:2]
+
+    def fake_frame(data, ts_ms):
+        return ts_ms.to_bytes(4, "big") + data[:2]
+
+    try:
+        mm.register_codec(mm.CODEC_IMAGE_RESIZE, fake_resize)
+        assert mm.resize_image_real(b"\x89PNG", (300, 200)) == b"\x2c\xc8\x89P"
+        # other operations stay stubbed independently
+        with pytest.raises(NotImplementedError):
+            mm.sample_frame_real(b"", 0)
+        mm.register_codec(mm.CODEC_VIDEO_FRAME, fake_frame)
+        assert mm.sample_frame_real(b"RIFF", 7)[:4] == b"\x00\x00\x00\x07"
+    finally:
+        mm.unregister_codec(mm.CODEC_IMAGE_RESIZE)
+        mm.unregister_codec(mm.CODEC_VIDEO_FRAME)
+
+    with pytest.raises(NotImplementedError):
+        mm.resize_image_real(b"", (1, 1))
+    with pytest.raises(ValueError):
+        mm.register_codec("no.such.op", fake_resize)
+
+
+def test_codec_registry_drives_spark_stage(spark):
+    # the seam works through the mapInPandas plumbing: with a fake
+    # decode adapter registered, a binary column flows through
+    # decode_media_real inside an Arrow-batched stage
+    import pandas as pd
+
+    from h2spark.ops import multimodal as mm
+
+    def fake_decode(data):
+        return {"n": len(data), "head": data[:1].decode("latin1")}
+
+    mm.register_codec(mm.CODEC_MEDIA_DECODE, fake_decode)
+    try:
+        df = mm.synth_media_df(spark, 8, n_partitions=2)
+        # resolve DRIVER-side so the adapter ships inside the UDF
+        # closure — Python workers re-import the module and would see
+        # an empty registry (see get_codec docstring)
+        codec = mm.get_codec(mm.CODEC_MEDIA_DECODE)
+
+        def stage(batches):
+            for pdf in batches:
+                out = [codec(b) for b in pdf["media_bytes"]]
+                yield pd.DataFrame(out)
+
+        got = (
+            df.mapInPandas(stage, "n long, head string")
+            .orderBy("n")
+            .collect()
+        )
+        assert len(got) == 8
+        assert all(r["n"] > 0 for r in got)
+    finally:
+        mm.unregister_codec(mm.CODEC_MEDIA_DECODE)
