@@ -172,7 +172,9 @@ def tokenize(html: str):
                     return
             yield tok
             name = tok[1]
-            if name in RAWTEXT_ELEMENTS:
+            if name == "script":
+                pos = yield from _scan_script(s, pos)
+            elif name in RAWTEXT_ELEMENTS:
                 pos = yield from _scan_rawtext(s, pos, name, decode=False)
             elif name in RCDATA_ELEMENTS:
                 pos = yield from _scan_rawtext(s, pos, name, decode=True)
@@ -233,6 +235,62 @@ def _scan_start_tag(s: str, pos: int):
         if aname not in attrs:  # duplicate-attribute: first wins
             attrs[aname] = value
     return ("start", name, attrs, self_closing), i
+
+
+_SCRIPT_EVENT = re.compile(
+    r"<!--|-->|</script(?=[\t\n\f\r />]|$)|<script(?=[\t\n\f\r />]|$)",
+    re.I,
+)
+
+
+def _scan_script(s: str, pos: int):
+    """Consume script data honoring the WHATWG script-data escaped /
+    double-escaped states (13.2.5.18-29): inside ``<!-- <script> ... ``
+    a ``</script>`` is text (double-escaped) and only the one after the
+    inner close (or after ``-->``) ends the element. Single-escaped
+    (``<!--`` without a nested ``<script``) still honors ``</script>``.
+    """
+    state = 0  # 0 = script data, 1 = escaped, 2 = double-escaped
+    i = pos
+    n = len(s)
+    while True:
+        m = _SCRIPT_EVENT.search(s, i)
+        if m is None:
+            if pos < n:
+                yield ("text", s[pos:])
+            return n
+        ev = m.group(0).lower()
+        if ev == "<!--":
+            if state == 0:
+                # "<!--" immediately followed by -*">" never enters the
+                # escaped state (escape-start -> dash-dash -> '>' exits)
+                j = m.end()
+                while j < n and s[j] == "-":
+                    j += 1
+                if j < n and s[j] == ">":
+                    i = j + 1
+                else:
+                    state = 1
+                    i = m.end()
+            else:
+                i = m.end()
+        elif ev == "-->":
+            state = 0
+            i = m.end()
+        elif ev.startswith("</"):
+            if state == 2:
+                state = 1  # inner </script> is text, drops one level
+                i = m.end()
+            else:
+                if pos < m.start():
+                    yield ("text", s[pos:m.start()])
+                end = _skip_tag_end(s, m.end())
+                yield ("end", "script")
+                return n if end < 0 else end
+        else:  # "<script" while escaped: enter double-escaped
+            if state == 1:
+                state = 2
+            i = m.end()
 
 
 def _scan_rawtext(s: str, pos: int, name: str, decode: bool):

@@ -151,8 +151,26 @@ _TABLE_STRUCT = frozenset(
      "tr"}
 )
 
+# start tags that flip the WHATWG frameset-ok flag to "not ok" (13.2.6.4
+# "in body"; <input type=hidden> is exempted at the flip site). Once any
+# of these (or non-whitespace text) lands in the body, a later
+# <frameset> can no longer replace the body.
+_FRAMESET_FLIP = frozenset(
+    {"pre", "listing", "li", "dd", "dt", "button", "applet", "marquee",
+     "object", "table", "area", "br", "embed", "img", "keygen", "wbr",
+     "input", "hr", "textarea", "xmp", "iframe", "select"}
+)
+
 # anything needing the slow in-body start path
-_SLOW_START = _SPECIAL_START | _FORMATTING | _MARKER_TAGS | _TABLE_STRUCT
+_SLOW_START = (
+    _SPECIAL_START | _FORMATTING | _MARKER_TAGS | _TABLE_STRUCT
+    | frozenset({"frameset", "image", "button", "rb", "rtc", "rt", "rp"})
+)
+
+# "generate implied end tags" set (WHATWG 13.2.6.3)
+_IMPLIED_END = frozenset(
+    {"dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"}
+)
 
 # plain block containers whose ONLY in-body side effect is closing an
 # open <p>: eligible for the feed() fast path. Derived from _P_CLOSERS
@@ -216,7 +234,7 @@ def _reindex(doc: Document) -> None:
 class _Builder:
     __slots__ = (
         "doc", "stack", "mode", "_saw_doctype", "afe", "_moved",
-        "_template_modes",
+        "_template_modes", "_frameset_ok", "_form",
     )
 
     def __init__(self) -> None:
@@ -228,6 +246,12 @@ class _Builder:
         self.afe: list = []
         # set on any structural move; triggers one re-index pass
         self._moved = False
+        # WHATWG frameset-ok flag: while True, a <frameset> start tag in
+        # body replaces the (still effectively empty) body element
+        self._frameset_ok = True
+        # WHATWG form element pointer: while set (and no template open)
+        # a nested <form> start tag is ignored entirely
+        self._form = None
         # insertion modes saved while template-contents fragments are
         # open (the spec's stack of template insertion modes, reduced:
         # content parses with in-body rules, the opener's mode is
@@ -689,17 +713,40 @@ class _Builder:
         # fast paths: the overwhelmingly common cases mid-document
         if self.mode == "in_body":
             kind = tok[0]
+            if self._frameset_ok and (
+                (kind == "text" and tok[1].strip(_WS))
+                or (
+                    kind == "start"
+                    and tok[1] in _FRAMESET_FLIP
+                    and not (
+                        tok[1] == "input"
+                        and tok[2].get("type", "").lower() == "hidden"
+                    )
+                )
+            ):
+                self._frameset_ok = False
             if kind == "text":
                 cur = self.stack[-1]
                 if cur.tag not in _TEXT_CONTENT:
+                    data = tok[1]
+                    if (
+                        data[0] == "\n"
+                        and not cur.children
+                        and cur.tag in ("pre", "listing")
+                    ):
+                        # spec: the first newline immediately inside
+                        # <pre>/<listing> is dropped
+                        data = data[1:]
+                        if not data:
+                            return
                     if not self.afe and cur.tag not in _TABLE_CONTEXT:
                         last = cur.children[-1] if cur.children else None
                         if type(last) is Text:
-                            last.data += tok[1]
+                            last.data += data
                         else:
-                            cur.append_child(Text(tok[1]))
+                            cur.append_child(Text(data))
                     else:
-                        self._insert_text_in_body(tok[1])
+                        self._insert_text_in_body(data)
                     return
             elif (
                 kind == "start"
@@ -749,13 +796,25 @@ class _Builder:
                     self._clear_afe_to_marker()
                     if name == "template" and self._template_modes:
                         self.mode = self._template_modes.pop()
+                elif name == "form" and el is self._form:
+                    self._form = None
                 return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
         if self.stack and self.stack[-1].tag in _TEXT_CONTENT:
             kind = tok[0]
             if kind == "text":
-                self._append_text(tok[1])
+                data = tok[1]
+                cur = self.stack[-1]
+                if (
+                    data[0] == "\n"
+                    and cur.tag == "textarea"
+                    and not cur.children
+                ):
+                    # spec: first newline inside <textarea> is dropped
+                    data = data[1:]
+                if data:
+                    self._append_text(data)
                 return
             self.stack.pop()
             if kind == "end" and tok[1] in _TEXT_CONTENT:
@@ -898,7 +957,15 @@ class _Builder:
                 return True
             if name == "body":
                 self._insert_element("body", tok[2])
+                # an EXPLICIT <body> tag forecloses frameset (spec
+                # "after head" body rule); only the implied body keeps
+                # the frameset-ok flag set
+                self._frameset_ok = False
                 self.mode = "in_body"
+                return True
+            if name == "frameset":
+                self._insert_element("frameset", tok[2])
+                self.mode = "in_frameset"
                 return True
         elif kind == "end" and tok[1] not in ("body", "html", "br"):
             return True
@@ -918,6 +985,11 @@ class _Builder:
             return True
         if kind == "start":
             name, attrs = tok[1], tok[2]
+            if name == "image":
+                # spec "in body": <image> is a parse error, processed
+                # exactly as an <img> start tag
+                name = "img"
+                tok = ("start", "img", attrs, tok[3])
             if name not in _SELECT_SAFE and self._in_select():
                 # WHATWG "in select": most start tags are ignored
                 # (parse error); input/keygen/textarea/select imply
@@ -974,13 +1046,75 @@ class _Builder:
                 self.afe.append(_MARKER)
                 return True
             if name in ("colgroup", "col"):
-                self._clear_to_table_context(("table", "html"))
-                if name == "col" and self._current().tag == "table":
-                    self._insert_element("colgroup", {})  # implied
-                self._insert_element(name, attrs)
+                if name == "colgroup":
+                    # a fresh colgroup closes any open one ("in column
+                    # group" anything-else: pop, reprocess in table)
+                    self._clear_to_table_context(("table", "html"))
+                    self._insert_element(name, attrs)
+                else:
+                    # <col> joins the OPEN colgroup ("in column group"
+                    # keeps it current); only a table implies a new one
+                    self._clear_to_table_context(
+                        ("colgroup", "table", "html")
+                    )
+                    if self._current().tag != "colgroup":
+                        self._insert_element("colgroup", {})  # implied
+                    self._insert_element(name, attrs)
                 return True
             if name == "template":
                 self._start_template(attrs, in_body=True)
+                return True
+            if name == "frameset":
+                # WHATWG "in body" frameset: only while frameset-ok —
+                # the body element is ripped out of the tree and
+                # replaced by the frameset (anything whitespace-only
+                # parsed so far vanishes with it); otherwise ignored
+                if not self._frameset_ok or self._in_template():
+                    return True
+                body = next(
+                    (e for e in self.stack if e.tag == "body"), None
+                )
+                if body is None or type(body.parent) is not Element:
+                    return True
+                _detach(body)
+                self._moved = True
+                while self.stack and self.stack[-1].tag != "html":
+                    self.stack.pop()
+                self._insert_element("frameset", attrs)
+                self.mode = "in_frameset"
+                return True
+            if name in ("rb", "rtc", "rt", "rp"):
+                # spec ruby rules: with a ruby in scope, open rb/rt/rp
+                # (and p/option/...) are implied closed first, so ruby
+                # annotation parts become SIBLINGS, never nest (rt/rp
+                # leave an open rtc alone)
+                in_ruby = False
+                for e in reversed(self.stack):
+                    if e.tag == "ruby":
+                        in_ruby = True
+                        break
+                    if e.tag in _SCOPE_BOUNDARY:
+                        break
+                if in_ruby:
+                    skip = ("rtc",) if name in ("rt", "rp") else ()
+                    while (
+                        self.stack[-1].tag in _IMPLIED_END
+                        and self.stack[-1].tag not in skip
+                    ):
+                        self.stack.pop()
+                self._insert_element_body(name, attrs)
+                return True
+            if name == "button":
+                # spec: an open button in (default) scope is closed
+                # first (implied end tags + pop) — buttons never nest
+                for i in range(len(self.stack) - 1, -1, -1):
+                    t = self.stack[i].tag
+                    if t == "button":
+                        self._pop_from(i)
+                        break
+                    if t in _SCOPE_BOUNDARY:
+                        break
+                self._generic_start_in_body(tok)
                 return True
             if name not in _SPECIAL_START:
                 # ordinary element ("any other start tag"): reconstruct
@@ -991,6 +1125,7 @@ class _Builder:
                 self._merge_attrs(self.stack[0], attrs)
                 return True
             if name == "body":
+                self._frameset_ok = False
                 body = next(
                     (e for e in self.stack if e.tag == "body"), None
                 )
@@ -999,13 +1134,42 @@ class _Builder:
                 return True
             if name == "head":
                 return True
+            if name == "form":
+                # WHATWG form element pointer: while a form is open
+                # (and no template is on the stack) a nested <form> is
+                # ignored outright — forms never nest
+                in_tmpl = self._in_template()
+                if self._form is not None and not in_tmpl:
+                    return True
+                self._close_p()
+                if self._current().tag in _TABLE_CONTEXT:
+                    # "in table" form: parse error, insert the form as
+                    # a table child and pop it IMMEDIATELY — subsequent
+                    # content (even <input>) never nests inside it
+                    el = self._insert_element("form", attrs, push=False)
+                else:
+                    el = self._insert_element_body("form", attrs)
+                if not in_tmpl:
+                    self._form = el
+                return True
             if name in _P_CLOSERS:
                 self._close_p()
-            if name == "table" and self._current().tag in _TABLE_CONTEXT:
-                # <table> while a table section is current: the open
-                # table is implicitly closed (spec "in table" reprocess);
-                # inside a cell (current=td/th) tables nest instead
-                self._pop_until("table")
+            if name == "table":
+                # spec "in table"/"in caption" reprocess: a <table>
+                # while one is in table scope implies </table> (and
+                # </caption> first inside a caption); inside a cell or
+                # template fragment tables NEST instead
+                for el in reversed(self.stack):
+                    t = el.tag
+                    if t in ("td", "th", "template", "html"):
+                        break
+                    if t == "caption":
+                        self._pop_until("caption")
+                        self._pop_until("table")
+                        break
+                    if t == "table":
+                        self._pop_until("table")
+                        break
             if name in _HEADINGS and self._current().tag in _HEADINGS:
                 self.stack.pop()
             if name == "li":
@@ -1098,6 +1262,31 @@ class _Builder:
                 # below would wrongly block </table> on an open <tbody>)
                 self._pop_until(name)
                 return True
+            if name in _HEADINGS:
+                # spec: any h1-h6 end tag closes the nearest open
+                # heading of ANY rank (</h3> closes an open <h1>)
+                for i in range(len(self.stack) - 1, -1, -1):
+                    t = self.stack[i].tag
+                    if t in _HEADINGS:
+                        self._pop_from(i)
+                        return True
+                    if t in _SCOPE_BOUNDARY:
+                        return True
+                return True
+            if name == "form" and not self._in_template():
+                # spec </form> (no template open): clear the form
+                # pointer, then REMOVE that element from the stack
+                # without popping anything above it
+                node, self._form = self._form, None
+                if node is None:
+                    return True
+                for e in reversed(self.stack):
+                    if e is node:
+                        self.stack.remove(node)
+                        return True
+                    if e.tag in _SCOPE_BOUNDARY:
+                        return True
+                return True
             self._any_other_end_tag(name)
             return True
         return True
@@ -1117,6 +1306,73 @@ class _Builder:
         # anything else: back to in_body, reprocess
         self.mode = "in_body"
         return False
+
+    # --- frameset modes (WHATWG "in frameset" / "after frameset" /
+    # "after after frameset") ---------------------------------------------
+
+    def _mode_in_frameset(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "text":
+            ws = "".join(c for c in tok[1] if c in _WS)
+            if ws:
+                self._append_text(ws)  # non-ws characters are ignored
+            return True
+        if kind == "comment":
+            self._current().append_child(Comment(tok[1]))
+            return True
+        if kind == "start":
+            name = tok[1]
+            if name == "html":
+                self._merge_attrs(self.stack[0], tok[2])
+            elif name == "frameset":
+                self._insert_element("frameset", tok[2])
+            elif name == "frame":
+                self._insert_element("frame", tok[2], push=False)
+            elif name == "noframes":
+                self._insert_element("noframes", tok[2])  # rawtext
+            return True
+        if kind == "end":
+            if tok[1] == "frameset":
+                if self._current().tag == "frameset":
+                    self.stack.pop()
+                if self._current().tag != "frameset":
+                    self.mode = "after_frameset"
+            return True
+        return True
+
+    def _mode_after_frameset(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "text":
+            ws = "".join(c for c in tok[1] if c in _WS)
+            if ws:
+                self._append_text(ws)
+            return True
+        if kind == "comment":
+            self._current().append_child(Comment(tok[1]))
+            return True
+        if kind == "start":
+            name = tok[1]
+            if name == "html":
+                self._merge_attrs(self.stack[0], tok[2])
+            elif name == "noframes":
+                self._insert_element("noframes", tok[2])
+            return True
+        if kind == "end" and tok[1] == "html":
+            self.mode = "after_after_frameset"
+        return True
+
+    def _mode_after_after_frameset(self, tok) -> bool:
+        if tok[0] == "comment":
+            _doc_append(self.doc, Comment(tok[1]))
+            return True
+        if tok[0] == "start" and tok[1] == "noframes":
+            self._insert_element("noframes", tok[2])
+            return True
+        if tok[0] == "text":
+            ws = "".join(c for c in tok[1] if c in _WS)
+            if ws:
+                self._append_text(ws)
+        return True
 
 
 def parse_document(html: str) -> Document:
