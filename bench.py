@@ -192,6 +192,29 @@ def main() -> None:
 
     timed("q8_pdf_text_parse", run_pdf)
 
+    # single-core kernel throughput: the tokenizer+tree-builder+selector
+    # engine alone (no Spark, no Arrow, no shuffle) — q2 at this doc
+    # count is ~40% fixed pipeline overhead, so engine-level wins are
+    # invisible in its wall time; this number tracks them directly
+    def kernel_1core(n: int = 1500) -> float:
+        from h2spark.core.extract import compile_spec
+        from h2spark.core.runner import extract_one
+        from h2spark.fixtures import synth_corpus
+
+        cs = compile_spec(PAGE_SPEC)
+        span_rows = [r["spans"] for r in synth_corpus(n)]
+        extract_one(cs, span_rows[0])  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for sp in span_rows:
+                assert extract_one(cs, sp)[4] is None
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(n / best, 1)
+
+    docs_per_sec_1core = kernel_1core()
+
     total = round(sum(v for k, v in timings.items() if k.startswith("q")), 3)
     docs_per_sec = round(n_docs / timings["q2_corpus_extract"], 1)
     print(
@@ -204,6 +227,7 @@ def main() -> None:
                 "sf": sf,
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": docs_per_sec,
+                "extract_docs_per_sec_1core": docs_per_sec_1core,
                 "warmup_sec": warmup_sec,
                 "cpus": cpus,
             }

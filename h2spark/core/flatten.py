@@ -94,3 +94,46 @@ def flatten_document(
         spans.append({"kind": "media", "text": "", "media_ref": ref, "order": order})
         order += 1
     return spans
+
+
+def flatten_into(
+    cs: CompiledStruct,
+    raw: dict,
+    media_spans,
+    first_text_offset,
+    kinds: list,
+    texts: list,
+    refs: list,
+    orders: list,
+) -> int:
+    """``flatten_document`` appended column-wise (the Arrow kernel's
+    output shape — no per-span dicts). Returns the span count; ordering
+    and media interleaving are identical to ``flatten_document``."""
+    leading: list[tuple[int, str]] = []
+    trailing: list[tuple[int, str]] = []
+    if media_spans:
+        for off, ref in sorted(media_spans):
+            if first_text_offset is None or off < first_text_offset:
+                leading.append((off, ref))
+            else:
+                trailing.append((off, ref))
+    order = 0
+    for _, ref in leading:
+        kinds.append("media")
+        texts.append("")
+        refs.append(ref)
+        orders.append(order)
+        order += 1
+    for kind, text in flatten_raw(cs, raw):
+        kinds.append(kind)
+        texts.append(text)
+        refs.append("")
+        orders.append(order)
+        order += 1
+    for _, ref in trailing:
+        kinds.append("media")
+        texts.append("")
+        refs.append(ref)
+        orders.append(order)
+        order += 1
+    return order

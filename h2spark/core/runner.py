@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from h2spark.core.errors import FieldError
 from h2spark.core.extract import CompiledStruct, apply_struct
-from h2spark.core.flatten import flatten_document
+from h2spark.core.flatten import flatten_document, flatten_into
 from h2spark.core.treebuilder import parse_document
 
 
@@ -51,6 +51,10 @@ def extract_one(cs: CompiledStruct, spans):
     Returns (value, raw, media, first_text_offset, error).
     """
     html, media, first = reassemble(spans)
+    return _parse_and_extract(cs, html, media, first)
+
+
+def _parse_and_extract(cs: CompiledStruct, html: str, media, first):
     try:
         root = parse_document(html).root_element()
         value, raw = apply_struct(cs, root)
@@ -60,6 +64,29 @@ def extract_one(cs: CompiledStruct, spans):
     except ValueError as e:
         # e.g. empty document with no root element
         return None, None, media, first, f"document error: {e}"
+
+
+def extract_one_flat(cs, kinds, texts, refs, offs, svalid, lo, hi):
+    """``extract_one`` over decomposed span columns: the Arrow kernel
+    reads the ListArray's child arrays once per batch (no per-span
+    dicts) and addresses each document as the [lo, hi) value window.
+    Same null semantics as ``reassemble``."""
+    text_parts: list = []
+    media: list = []
+    for j in range(lo, hi):
+        if svalid is not None and not svalid[j]:
+            continue
+        off = offs[j]
+        if off is None:
+            off = 0
+        if kinds[j] == "media":
+            media.append((off, refs[j] or ""))
+        else:
+            text_parts.append((off, texts[j] or ""))
+    text_parts.sort(key=lambda t: t[0])
+    html = "".join(t[1] for t in text_parts)
+    first = text_parts[0][0] if text_parts else None
+    return _parse_and_extract(cs, html, media, first)
 
 
 def html_as_spans(html: str):
@@ -108,7 +135,21 @@ def make_arrow_mapper(
                     yield b.slice(off, step)
 
         for batch in resliced(batches):
-            spans_lists = batch.column(spans_col).to_pylist()
+            col = batch.column(spans_col)
+            # decompose the ListArray ONCE: child arrays to flat Python
+            # lists (offsets are logical indices into the full child
+            # array, valid for sliced batches too) — ~3x cheaper than
+            # to_pylist()'s dict-per-span materialization
+            row_null = col.is_null().to_pylist() if col.null_count else None
+            loffs = col.offsets.to_pylist()
+            vals = col.values
+            svalid = (
+                vals.is_valid().to_pylist() if vals.null_count else None
+            )
+            s_kinds = vals.field("kind").to_pylist()
+            s_texts = vals.field("text").to_pylist()
+            s_refs = vals.field("media_ref").to_pylist()
+            s_offs = vals.field("offset").to_pylist()
             kinds: list = []
             texts: list = []
             refs: list = []
@@ -116,27 +157,27 @@ def make_arrow_mapper(
             offsets: list = [0]
             validity: list = []
             errors: list = []
-            for spans in spans_lists:
-                if spans is None:
+            for i in range(batch.num_rows):
+                if row_null is not None and row_null[i]:
                     errors.append("document error: null input")
                     validity.append(False)
                     offsets.append(offsets[-1])
                     continue
-                value, raw, media, first, err = extract_one(cs, spans)
+                value, raw, media, first, err = extract_one_flat(
+                    cs, s_kinds, s_texts, s_refs, s_offs, svalid,
+                    loffs[i], loffs[i + 1],
+                )
                 if err is not None:
                     errors.append(err)
                     validity.append(False)
                     offsets.append(offsets[-1])
                     continue
-                flat = flatten_document(cs, raw, media, first)
-                for s in flat:
-                    kinds.append(s["kind"])
-                    texts.append(s["text"])
-                    refs.append(s["media_ref"])
-                    orders.append(s["order"])
+                cnt = flatten_into(
+                    cs, raw, media, first, kinds, texts, refs, orders
+                )
                 errors.append(None)
                 validity.append(True)
-                offsets.append(offsets[-1] + len(flat))
+                offsets.append(offsets[-1] + cnt)
             struct_arr = pa.StructArray.from_arrays(
                 [
                     pa.array(kinds, pa.string()),

@@ -96,11 +96,29 @@ class CssSelector:
     reference's re-parse-per-call inefficiency (acknowledged TODO at
     /root/reference/core/src/element_selector.rs:24)."""
 
-    __slots__ = ("source", "complexes")
+    __slots__ = ("source", "complexes", "_cs", "_fast")
 
     def __init__(self, source: str, complexes: tuple[Complex, ...]):
         self.source = source
         self.complexes = complexes
+        # select() hot-path precomputation (selectors are immutable):
+        # (rightmost_tag, first_compound, complex, is_single_compound)
+        self._cs = tuple(
+            (c.compounds[0].tag, c.compounds[0], c, len(c.compounds) == 1)
+            for c in complexes
+        )
+        # single-complex shapes common enough to special-case entirely
+        fast = None
+        if len(complexes) == 1:
+            c = complexes[0]
+            if len(c.compounds) == 1:
+                cp = c.compounds[0]
+                if not cp.ids and not cp.attrs and not cp.pseudos:
+                    if not cp.classes and cp.tag is not None:
+                        fast = ("tag", cp.tag, None)
+                    elif len(cp.classes) == 1:
+                        fast = ("class", cp.tag, cp.classes[0])
+        self._fast = fast
 
     @classmethod
     def parse(cls, s: str) -> "CssSelector":
@@ -126,16 +144,37 @@ class CssSelector:
         with an inline tag compare is already near list-iteration
         speed.)
         """
+        fast = self._fast
+        if fast is not None:
+            kind, t, klass = fast
+            if kind == "tag":
+                return [
+                    el for el in scope.iter_descendants() if el.tag == t
+                ]
+            # single class selector (optionally tag-qualified): exact
+            # class="x" equality first, token split only on multi-class
+            out = []
+            append = out.append
+            for el in scope.iter_descendants():
+                if t is not None and el.tag != t:
+                    continue
+                cls = el.attrs.get("class")
+                if cls is not None and (
+                    cls == klass or klass in _css_split(cls)
+                ):
+                    append(el)
+            return out
         out = []
-        # (rightmost_tag, first_compound, complex) per complex
-        cs = [(c.compounds[0].tag, c.compounds[0], c) for c in self.complexes]
+        cs = self._cs
         append = out.append
         for el in scope.iter_descendants():
             tag = el.tag
-            for rtag, comp, c in cs:
+            for rtag, comp, c, single in cs:
                 if rtag is not None and rtag != tag:
                     continue
-                if _match_compound(comp, el) and _match_rest(c, 0, el):
+                if _match_compound(comp, el) and (
+                    single or _match_rest(c, 0, el)
+                ):
                     append(el)
                     break
         return out

@@ -45,6 +45,14 @@ _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\f\r >]*")
 # fast path: attribute-less start tag, e.g. "<div>" / "<h2>" — the
 # overwhelmingly common shape; one regex, no attr scan loop
 _SIMPLE_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
+# fast path: plain end tag "</div>" (no stray attrs/whitespace)
+_SIMPLE_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
+# fast path: start tag with one double-quoted attribute and no char
+# refs in the value, e.g. '<a href="/x">' / '<h1 class="t">'
+# (lowercase-only so no .lower() pass is needed; mixed case falls back)
+_ONE_ATTR_TAG_RE = re.compile(
+    r'<([a-z][a-z0-9]*)[ \t\n\f\r]+([a-z_:][a-z0-9_:.-]*)="([^"&]*)">'
+)
 
 # comments close on "-->" or the incorrectly-closed "--!>" (spec)
 _COMMENT_END_RE = re.compile(r"--!?>")
@@ -86,15 +94,22 @@ def tokenize(html: str):
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
-            yield ("text", decode_char_refs(s[pos:]))
+            data = s[pos:]
+            yield ("text", decode_char_refs(data) if "&" in data else data)
             return
         if lt > pos:
-            yield ("text", decode_char_refs(s[pos:lt]))
+            data = s[pos:lt]
+            yield ("text", decode_char_refs(data) if "&" in data else data)
         pos = lt
         nxt = s[pos + 1] if pos + 1 < n else ""
 
         if nxt == "/":
             # end tag open
+            m = _SIMPLE_END_RE.match(s, pos)
+            if m is not None:
+                pos = m.end()
+                yield ("end", m.group(1).lower())
+                continue
             c2 = s[pos + 2] if pos + 2 < n else ""
             if c2.isascii() and c2.isalpha():
                 m = _TAG_NAME_RE.match(s, pos + 2)
@@ -166,10 +181,16 @@ def tokenize(html: str):
                 tok = ("start", m.group(1).lower(), {}, False)
                 pos = m.end()
             else:
-                tok, pos = _scan_start_tag(s, pos)
-                if tok is None:
-                    # eof-in-tag
-                    return
+                m = _ONE_ATTR_TAG_RE.match(s, pos)
+                if m is not None:
+                    tok = ("start", m.group(1), {m.group(2): m.group(3)},
+                           False)
+                    pos = m.end()
+                else:
+                    tok, pos = _scan_start_tag(s, pos)
+                    if tok is None:
+                        # eof-in-tag
+                        return
             yield tok
             name = tok[1]
             if name == "script":

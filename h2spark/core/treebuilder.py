@@ -649,10 +649,10 @@ class _Builder:
     ) -> Element:
         el = Element(name, attrs)
         cur = self.stack[-1]
-        in_place = name in _TABLE_ALLOWED or (
-            name == "input" and attrs.get("type", "").lower() == "hidden"
-        )
-        if cur.tag in _TABLE_CONTEXT and not in_place:
+        if cur.tag in _TABLE_CONTEXT and not (
+            name in _TABLE_ALLOWED
+            or (name == "input" and attrs.get("type", "").lower() == "hidden")
+        ):
             self._foster_insert(el)
         else:
             cur.append_child(el)
@@ -713,33 +713,24 @@ class _Builder:
         # fast paths: the overwhelmingly common cases mid-document
         if self.mode == "in_body":
             kind = tok[0]
-            if self._frameset_ok and (
-                (kind == "text" and tok[1].strip(_WS))
-                or (
-                    kind == "start"
-                    and tok[1] in _FRAMESET_FLIP
-                    and not (
-                        tok[1] == "input"
-                        and tok[2].get("type", "").lower() == "hidden"
-                    )
-                )
-            ):
-                self._frameset_ok = False
             if kind == "text":
                 cur = self.stack[-1]
-                if cur.tag not in _TEXT_CONTENT:
+                curtag = cur.tag
+                if curtag not in _TEXT_CONTENT:
                     data = tok[1]
+                    if self._frameset_ok and data.strip(_WS):
+                        self._frameset_ok = False
                     if (
                         data[0] == "\n"
                         and not cur.children
-                        and cur.tag in ("pre", "listing")
+                        and curtag in ("pre", "listing")
                     ):
                         # spec: the first newline immediately inside
                         # <pre>/<listing> is dropped
                         data = data[1:]
                         if not data:
                             return
-                    if not self.afe and cur.tag not in _TABLE_CONTEXT:
+                    if not self.afe and curtag not in _TABLE_CONTEXT:
                         last = cur.children[-1] if cur.children else None
                         if type(last) is Text:
                             last.data += data
@@ -748,37 +739,45 @@ class _Builder:
                     else:
                         self._insert_text_in_body(data)
                     return
-            elif (
-                kind == "start"
-                and tok[1] not in _SLOW_START
-                and self.stack[-1].tag not in _TEXT_CONTENT
-                and self.stack[-1].tag not in _SELECT_CTX
-            ):
-                if self.afe or self.stack[-1].tag in _TABLE_CONTEXT:
-                    self._generic_start_in_body(tok)
-                else:
-                    self._insert_element(
-                        tok[1], tok[2], push=not self._foreign_self_closes(tok)
-                    )
-                return
-            elif (
-                kind == "start"
-                and tok[1] in _FAST_P_CLOSERS
-                and not self.afe
-                and self.stack[-1].tag not in _TABLE_CONTEXT
-                and self.stack[-1].tag not in _TEXT_CONTENT
-                and self.stack[-1].tag not in _SELECT_CTX
-            ):
-                # common block containers: the full in-body dispatch
-                # reduces to close-p + insert when no formatting is
-                # active. Insert FOSTER-AWARE: closing a fostered <p>
-                # can leave a table as the current node, and the block
-                # must then foster-parent exactly as the slow path does
-                self._close_p()
-                self._insert_element_body(
-                    tok[1], tok[2], push=not self._foreign_self_closes(tok)
-                )
-                return
+            elif kind == "start":
+                name = tok[1]
+                if self._frameset_ok and name in _FRAMESET_FLIP and not (
+                    name == "input"
+                    and tok[2].get("type", "").lower() == "hidden"
+                ):
+                    self._frameset_ok = False
+                curtag = self.stack[-1].tag
+                if curtag not in _TEXT_CONTENT and curtag not in _SELECT_CTX:
+                    if name not in _SLOW_START:
+                        if self.afe or curtag in _TABLE_CONTEXT:
+                            self._generic_start_in_body(tok)
+                        else:
+                            self._insert_element(
+                                name, tok[2],
+                                push=not (
+                                    tok[3] and self._foreign_self_closes(tok)
+                                ),
+                            )
+                        return
+                    if (
+                        name in _FAST_P_CLOSERS
+                        and not self.afe
+                        and curtag not in _TABLE_CONTEXT
+                    ):
+                        # common block containers: the full in-body
+                        # dispatch reduces to close-p + insert when no
+                        # formatting is active. Insert FOSTER-AWARE:
+                        # closing a fostered <p> can leave a table as
+                        # the current node, and the block must then
+                        # foster-parent exactly as the slow path does
+                        self._close_p()
+                        self._insert_element_body(
+                            name, tok[2],
+                            push=not (
+                                tok[3] and self._foreign_self_closes(tok)
+                            ),
+                        )
+                        return
             elif (
                 kind == "end"
                 and len(self.stack) > 2
@@ -1384,8 +1383,9 @@ def parse_document(html: str) -> Document:
     with head/body implied when missing.
     """
     b = _Builder()
+    feed = b.feed
     for tok in tokenize(html):
-        b.feed(tok)
+        feed(tok)
     # EOF with open template-contents fragments: close them and restore
     # the opener's mode so head/body implication below still runs
     while b._template_modes:
