@@ -45,6 +45,7 @@ def _all_modules():
         dedup,
         flagship,
         golden_e2e,
+        markdown,
         multimodal,
         pdftext,
         relational,
@@ -54,8 +55,9 @@ def _all_modules():
     )
 
     return (
-        flagship, golden_e2e, roundtrip, boilerplate, relational,
-        textstats, dedup, similarity, curation, multimodal, pdftext,
+        flagship, golden_e2e, markdown, roundtrip, boilerplate,
+        relational, textstats, dedup, similarity, curation, multimodal,
+        pdftext,
     )
 
 

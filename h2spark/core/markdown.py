@@ -1,0 +1,252 @@
+"""HTML -> Markdown conversion over the from-scratch DOM.
+
+A standard step in LLM training-data pipelines: render extracted HTML
+documents as Markdown for the training corpus. Built on the same
+parser the extraction engine uses (``parse_document``), so the
+conversion inherits its WHATWG conformance (templates invisible,
+script/style rawtext skipped, foster-parented tables normalized).
+
+Dialect: CommonMark-flavored, deterministic —
+
+- ``h1``-``h6``   -> ``#``*n + ' ' + inline text
+- ``p``/``div``   -> paragraph block
+- ``ul``/``ol``   -> ``- `` / ``1. `` items (ordinal per level),
+                     nested lists indented two spaces per depth
+- ``a``           -> ``[text](href)`` (bare text when href missing)
+- ``strong``/``b``-> ``**text**``; ``em``/``i`` -> ``*text*``
+- ``code``        -> `` `text` `` inline; ``pre`` -> fenced block
+- ``blockquote``  -> ``> `` prefixed lines
+- ``img``         -> ``![alt](src)``
+- ``br``          -> hard line break (two trailing spaces + newline)
+- ``hr``          -> ``---``
+- ``table``       -> GitHub pipe table (first row = header)
+- ``script``/``style``/``head``/``template`` contents -> dropped
+
+Whitespace: inline runs collapse to single spaces (HTML rendering
+semantics); blocks join with exactly one blank line. The output is
+stable for a given DOM — it is oracled at table scale by
+re-deriving the expected Markdown declaratively from the columns the
+synthetic HTML was built from (see ops/markdown.py).
+
+No pyspark/pandas imports (core-module rule: everything a UDF closure
+references stays in h2spark.core).
+"""
+
+from __future__ import annotations
+
+import re
+
+from h2spark.core.dom import Comment, Doctype, Element, Text
+from h2spark.core.treebuilder import parse_document
+
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+
+_SKIP = frozenset({"script", "style", "head", "title", "noscript"})
+
+_BLOCKS = frozenset(
+    {"p", "div", "section", "article", "main", "aside", "header",
+     "footer", "nav", "figure", "figcaption", "address", "details",
+     "summary"}
+)
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+
+def _inline(el: Element, out: list) -> None:
+    """Render el's children as inline markdown text into ``out``."""
+    for ch in el.children:
+        t = type(ch)
+        if t is Text:
+            out.append(ch.data)
+        elif t is Element:
+            tag = ch.tag
+            if tag in _SKIP:
+                continue
+            if tag in ("strong", "b"):
+                inner = _inline_str(ch)
+                out.append(f"**{inner}**" if inner else "")
+            elif tag in ("em", "i"):
+                inner = _inline_str(ch)
+                out.append(f"*{inner}*" if inner else "")
+            elif tag == "code":
+                inner = _inline_str(ch)
+                out.append(f"`{inner}`" if inner else "")
+            elif tag == "a":
+                inner = _inline_str(ch)
+                href = ch.attrs.get("href")
+                out.append(f"[{inner}]({href})" if href else inner)
+            elif tag == "img":
+                alt = ch.attrs.get("alt", "")
+                src = ch.attrs.get("src", "")
+                out.append(f"![{alt}]({src})")
+            elif tag == "br":
+                out.append("\x00BR\x00")  # placeholder survives collapse
+            else:
+                _inline(ch, out)
+
+
+def _inline_str(el: Element) -> str:
+    parts: list = []
+    _inline(el, parts)
+    s = _WS_RUN.sub(" ", "".join(parts)).strip()
+    return s.replace("\x00BR\x00", "  \n").replace("  \n ", "  \n")
+
+
+def _render_list(el: Element, depth: int, blocks: list) -> None:
+    ordered = el.tag == "ol"
+    n = 0
+    lines: list = []
+    for ch in el.children:
+        if type(ch) is not Element or ch.tag != "li":
+            continue
+        n += 1
+        marker = f"{n}. " if ordered else "- "
+        pad = "  " * depth
+        # the li minus its sub-lists renders inline; sub-lists are
+        # rendered as indented lines beneath the item
+        sublists: list = []
+        wrapper = Element("span")
+        for g in ch.children:
+            if type(g) is Element and g.tag in ("ul", "ol"):
+                sublists.append(g)
+            else:
+                wrapper.children.append(g)
+        text = _inline_str(wrapper)
+        lines.append(f"{pad}{marker}{text}")
+        for sub in sublists:
+            sub_blocks: list = []
+            _render_list(sub, depth + 1, sub_blocks)
+            lines.extend(sub_blocks[0].split("\n") if sub_blocks else [])
+    if lines:
+        blocks.append("\n".join(lines))
+
+
+def _render_table(el: Element, blocks: list) -> None:
+    rows: list = []
+    def collect(e):
+        for ch in e.children:
+            if type(ch) is not Element:
+                continue
+            if ch.tag == "tr":
+                cells = [
+                    _inline_str(c)
+                    for c in ch.children
+                    if type(c) is Element and c.tag in ("td", "th")
+                ]
+                if cells:
+                    rows.append(cells)
+            elif ch.tag in ("thead", "tbody", "tfoot", "caption"):
+                if ch.tag == "caption":
+                    continue
+                collect(ch)
+    collect(el)
+    if not rows:
+        return
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    out = ["| " + " | ".join(rows[0]) + " |"]
+    out.append("|" + " --- |" * width)
+    for r in rows[1:]:
+        out.append("| " + " | ".join(r) + " |")
+    blocks.append("\n".join(out))
+
+
+def _render(el: Element, blocks: list) -> None:
+    """Accumulate block-level markdown strings for el's children."""
+    pending: list = []  # inline run not yet flushed as a paragraph
+
+    def flush():
+        if pending:
+            s = _WS_RUN.sub(" ", "".join(pending)).strip()
+            s = s.replace("\x00BR\x00 ", "  \n").replace("\x00BR\x00", "  \n")
+            if s:
+                blocks.append(s)
+            pending.clear()
+
+    for ch in el.children:
+        t = type(ch)
+        if t is Text:
+            pending.append(ch.data)
+            continue
+        if t is Comment or t is Doctype:
+            continue
+        if t is not Element:
+            continue
+        tag = ch.tag
+        if tag in _SKIP:
+            continue
+        if tag in _HEADINGS:
+            flush()
+            text = _inline_str(ch)
+            if text:
+                blocks.append("#" * _HEADINGS[tag] + " " + text)
+        elif tag in ("ul", "ol"):
+            flush()
+            _render_list(ch, 0, blocks)
+        elif tag == "pre":
+            flush()
+            code = ch.inner_text()
+            blocks.append(f"```\n{code.rstrip()}\n```")
+        elif tag == "blockquote":
+            flush()
+            inner: list = []
+            _render(ch, inner)
+            if inner:
+                q = "\n\n".join(inner)
+                blocks.append(
+                    "\n".join("> " + ln if ln else ">" for ln in q.split("\n"))
+                )
+        elif tag == "table":
+            flush()
+            _render_table(ch, blocks)
+        elif tag == "hr":
+            flush()
+            blocks.append("---")
+        elif tag in _BLOCKS or tag in ("body", "html", "form", "center"):
+            flush()
+            _render(ch, blocks)
+        else:
+            # any other element: inline content joins the current run
+            pending.append(_inline_run(ch))
+    flush()
+
+
+def _inline_run(ch: Element) -> str:
+    """Inline rendering of one element INCLUDING its own markup."""
+    tag = ch.tag
+    if tag in ("strong", "b"):
+        inner = _inline_str(ch)
+        return f"**{inner}**" if inner else ""
+    if tag in ("em", "i"):
+        inner = _inline_str(ch)
+        return f"*{inner}*" if inner else ""
+    if tag == "code":
+        inner = _inline_str(ch)
+        return f"`{inner}`" if inner else ""
+    if tag == "a":
+        inner = _inline_str(ch)
+        href = ch.attrs.get("href")
+        return f"[{inner}]({href})" if href else inner
+    if tag == "img":
+        return f"![{ch.attrs.get('alt', '')}]({ch.attrs.get('src', '')})"
+    if tag == "br":
+        return "\x00BR\x00"
+    parts: list = []
+    _inline(ch, parts)
+    return "".join(parts)
+
+
+def html_to_markdown(html: str) -> str:
+    """Parse ``html`` and render its body as Markdown."""
+    doc = parse_document(html)
+    root = doc.root_element()
+    body = None
+    for ch in root.children:
+        if type(ch) is Element and ch.tag == "body":
+            body = ch
+            break
+    if body is None:
+        body = root
+    blocks: list = []
+    _render(body, blocks)
+    return "\n\n".join(blocks)

@@ -279,6 +279,24 @@ def to_arrow_value(cs: CompiledStruct, value: dict) -> dict:
     return out
 
 
+def markdown_batch(items) -> tuple:
+    """Row loop for HTML -> Markdown conversion (training-corpus
+    rendering). Returns (markdowns, errors); parse never raises on
+    string input, so errors only flag null rows."""
+    from h2spark.core.markdown import html_to_markdown
+
+    mds: list = []
+    errors: list = []
+    for item in items:
+        if item is None:
+            mds.append(None)
+            errors.append("document error: null input")
+            continue
+        mds.append(html_to_markdown(item))
+        errors.append(None)
+    return mds, errors
+
+
 def main_text_batch(cs_unused, items, from_html: bool):
     """Row loop for boilerplate-strip: spans/html -> main-content text.
 

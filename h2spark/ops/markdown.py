@@ -1,0 +1,96 @@
+"""HTML -> Markdown rendering as a table-scale, SQL-provable query.
+
+LLM training pipelines routinely render crawled HTML as Markdown for
+the training corpus. The converter itself (core/markdown.py, over the
+from-scratch WHATWG parser) is not expressible in DuckDB — but its
+correctness is, with the same roundtrip trick as ops/roundtrip.py:
+build an HTML document from ``documents`` columns with pure SQL
+expressions, convert it with the real parser+renderer in Spark, and
+the output must equal the Markdown string the oracle re-derives
+declaratively from the same columns. Any tokenizer / tree-builder /
+renderer bug (heading levels, list markers, link syntax, hard breaks,
+fences, pipe tables, inline emphasis) breaks the match at table scale.
+
+Scale shape: one scan, zero shuffles — the conversion is a projection
+through an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.pipeline.kernel import make_markdown_udf
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render a synthesized HTML page per document as Markdown.
+
+    The page exercises: h1, bold/em inline runs, ul + ol lists,
+    blockquote, link + hard break (<br>), fenced pre block, pipe
+    table, hr, inline code. Words w1-w3 come from the document text
+    (split on spaces), so the oracle can rebuild the exact expected
+    Markdown with string concatenation.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    w1, w2, w3 = w.getItem(0), w.getItem(1), w.getItem(2)
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id"), F.lit("</h1>"),
+        F.lit("<p>Source <b>"), F.col("source"), F.lit("</b> in <em>"),
+        F.col("lang"), F.lit("</em>.</p>"),
+        F.lit("<ul><li>"), w1, F.lit("</li><li>"), w2,
+        F.lit("</li><li>"), w3, F.lit("</li></ul>"),
+        F.lit("<ol><li>"), w2, F.lit("</li><li>"), w3, F.lit("</li></ol>"),
+        F.lit("<blockquote><p>"), w1, F.lit(" "), w2,
+        F.lit("</p></blockquote>"),
+        F.lit('<p>Visit <a href="https://example.test/'), F.col("doc_id"),
+        F.lit('">'), F.col("source"), F.lit("</a>.<br>Line two.</p>"),
+        F.lit("<pre>"), w1, F.lit("\n"), w2, F.lit("</pre>"),
+        F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>"), w1,
+        F.lit("</td><td>"), w2, F.lit("</td></tr></table>"),
+        F.lit("<hr><p>End <code>"), w3, F.lit("</code>.</p></body></html>"),
+    )
+    udf = make_markdown_udf()
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.markdown").alias("markdown"),
+        F.col("o.error").alias("error"),
+    ).orderBy("doc_id")
+
+
+ORACLE_HTML_TO_MARKDOWN = """
+SELECT
+  doc_id,
+  '# Doc ' || doc_id || chr(10) || chr(10)
+  || 'Source **' || source || '** in *' || lang || '*.'
+  || chr(10) || chr(10)
+  || '- ' || w1 || chr(10) || '- ' || w2 || chr(10) || '- ' || w3
+  || chr(10) || chr(10)
+  || '1. ' || w2 || chr(10) || '2. ' || w3 || chr(10) || chr(10)
+  || '> ' || w1 || ' ' || w2 || chr(10) || chr(10)
+  || 'Visit [' || source || '](https://example.test/' || doc_id || ').'
+  || '  ' || chr(10) || 'Line two.' || chr(10) || chr(10)
+  || '```' || chr(10) || w1 || chr(10) || w2 || chr(10) || '```'
+  || chr(10) || chr(10)
+  || '| k | v |' || chr(10) || '| --- | --- |' || chr(10)
+  || '| ' || w1 || ' | ' || w2 || ' |' || chr(10) || chr(10)
+  || '---' || chr(10) || chr(10)
+  || 'End `' || w3 || '`.' AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM (
+  SELECT doc_id, source, lang,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2,
+         string_split(text, ' ')[3] AS w3
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+QUERIES = {"html_to_markdown": q_html_to_markdown}
+ORACLES = {"html_to_markdown": ORACLE_HTML_TO_MARKDOWN}

@@ -91,6 +91,19 @@ def make_extract_typed_udf(spec: StructSpec | CompiledStruct, input_kind: str = 
     return extract_typed
 
 
+def make_markdown_udf():
+    """UDF: html string -> struct<markdown:string, error:string> —
+    training-corpus Markdown rendering over the real parser."""
+    from h2spark.core.runner import markdown_batch
+
+    @pandas_udf("struct<markdown:string, error:string>")
+    def to_markdown(col: pd.Series) -> pd.DataFrame:
+        mds, errors = markdown_batch(col)
+        return pd.DataFrame({"markdown": mds, "error": errors})
+
+    return to_markdown
+
+
 def make_main_text_udf(input_kind: str = "spans"):
     """UDF: spans (or html) -> struct<main_text, error> — the generic
     DOM-heuristic boilerplate stripper (no spec required)."""

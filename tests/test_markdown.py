@@ -1,0 +1,113 @@
+"""HTML -> Markdown converter unit tests (core/markdown.py).
+
+The table-scale roundtrip oracle (`html_to_markdown`) pins the happy
+path against DuckDB; these pin the messy-HTML edges: nesting, missing
+structure, skipped subtrees, whitespace collapse.
+"""
+
+from h2spark.core.markdown import html_to_markdown as md
+
+
+def test_headings_all_levels():
+    assert md("<h1>a</h1><h2>b</h2><h6>c</h6>") == "# a\n\n## b\n\n###### c"
+
+
+def test_paragraph_whitespace_collapse():
+    assert md("<p>a\n   b\t c</p>") == "a b c"
+
+
+def test_inline_emphasis_nesting():
+    assert md("<p><b>bold <i>both</i></b></p>") == "**bold *both***"
+
+
+def test_link_without_href_is_plain_text():
+    assert md("<p><a>plain</a></p>") == "plain"
+
+
+def test_link_with_href():
+    assert md('<p><a href="/x">t</a></p>') == "[t](/x)"
+
+
+def test_image():
+    assert md('<p><img src="i.png" alt="A"></p>') == "![A](i.png)"
+
+
+def test_unordered_and_ordered_lists():
+    assert md("<ul><li>a<li>b</ul>") == "- a\n- b"
+    assert md("<ol><li>a<li>b</ol>") == "1. a\n2. b"
+
+
+def test_nested_list_indents():
+    assert md("<ul><li>a<ul><li>x</li></ul></li><li>b</li></ul>") == (
+        "- a\n  - x\n- b"
+    )
+
+
+def test_pre_fenced_and_preserves_lines():
+    assert md("<pre>x\n  y</pre>") == "```\nx\n  y\n```"
+
+
+def test_blockquote_multi_paragraph():
+    assert md("<blockquote><p>a</p><p>b</p></blockquote>") == (
+        "> a\n>\n> b"
+    )
+
+
+def test_table_header_and_rows():
+    assert md(
+        "<table><tr><th>A</th></tr><tr><td>1</td></tr></table>"
+    ) == "| A |\n| --- |\n| 1 |"
+
+
+def test_table_ragged_rows_padded():
+    assert md(
+        "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td></tr></table>"
+    ) == "| A | B |\n| --- | --- |\n| 1 |  |"
+
+
+def test_script_style_dropped():
+    assert md("<p>a</p><script>x()</script><style>p{}</style><p>b</p>") == (
+        "a\n\nb"
+    )
+
+
+def test_template_contents_invisible():
+    assert md("<p>a</p><template><p>hidden</p></template>") == "a"
+
+
+def test_br_hard_break():
+    assert md("<p>a<br>b</p>") == "a  \nb"
+
+
+def test_hr_rule():
+    assert md("<p>a</p><hr><p>b</p>") == "a\n\n---\n\nb"
+
+
+def test_div_is_block():
+    assert md("<div>a</div><div>b</div>") == "a\n\nb"
+
+
+def test_unknown_element_inlines():
+    assert md("<p>x <q>y</q> z</p>") == "x y z"
+
+
+def test_empty_document():
+    assert md("") == ""
+
+
+def test_full_document_with_head_skipped():
+    out = md(
+        "<html><head><title>T</title></head>"
+        "<body><h1>H</h1><p>body</p></body></html>"
+    )
+    assert out == "# H\n\nbody"
+
+
+def test_inline_code():
+    assert md("<p>run <code>f(x)</code> now</p>") == "run `f(x)` now"
+
+
+def test_misnested_formatting_still_renders():
+    # adoption agency output feeds the renderer a well-formed tree:
+    # <b>1<i>2</i></b><i>3</i>  ->  **1*2**** + *3*
+    assert md("<p><b>1<i>2</b>3</i></p>") == "**1*2****3*"
