@@ -1185,8 +1185,92 @@ ORACLE_DEDUP_EMBEDDING_LSH_ADAPTIVE = _oracle_srp_lsh(
 )
 
 
+# --- paragraph-level (line) dedup ---------------------------------------
+
+_PARA_W = 8  # words per pseudo-paragraph chunk
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-paragraph stats (CCNet/RefinedWeb-style
+    line dedup): segment every document into paragraphs, hash each, and
+    report per document how many of its paragraphs also appear in OTHER
+    documents — the signal used to strip boilerplate lines before
+    training.
+
+    The sandbox corpus text is single-line, so fixed 8-word windows
+    stand in for paragraph boundaries; the operator is identical for
+    a split on blank lines.
+
+    Scale shape (10^12 docs): explode -> one hash-keyed groupBy
+    (countDistinct docs per paragraph) -> join back on the SAME key
+    (the exchange is reused — both sides hash-partition on
+    chunk_hash) -> one doc-keyed groupBy. Pure codegen, no Python.
+    The paragraph key is an md5, never the paragraph text, so shuffle
+    rows stay narrow.
+    """
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(words) / F.lit(_PARA_W)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * _PARA_W + 1, _PARA_W)
+        ),
+    )
+    ex = d.select(
+        "doc_id", F.explode(chunks).alias("chunk")
+    ).withColumn("chunk_hash", F.md5("chunk")).drop("chunk")
+    freq = ex.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_chunk")
+    )
+    return (
+        ex.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_docs_with_chunk") > 1, 1).otherwise(0)
+            ).cast("long").alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), lst AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(len(words) / {_PARA_W}.0) AS BIGINT)),
+           i -> array_to_string(
+             words[(i * {_PARA_W} + 1):(i * {_PARA_W} + {_PARA_W})], ' '
+           )
+         ) AS chunks
+  FROM base
+), ex AS (
+  SELECT doc_id, md5(unnest(chunks)) AS chunk_hash FROM lst
+), freq AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS nd FROM ex GROUP BY 1
+)
+SELECT ex.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN freq.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+       round(sum(CASE WHEN freq.nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dup_ratio
+FROM ex JOIN freq USING (chunk_hash)
+GROUP BY ex.doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_paragraph": q_paragraph_dedup,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -1199,6 +1283,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_paragraph": ORACLE_PARAGRAPH_DEDUP,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
