@@ -100,3 +100,29 @@ def test_winnow_windows_are_per_document(spark):
     assert "hashpartitioning(doc_id" in plan
     # a no-partition Window would force Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_markdown_render_is_shuffle_free_projection(spark):
+    from h2spark.ops import markdown
+
+    plan = _formatted(markdown.q_html_to_markdown(spark, SF), spark)
+    # one scan -> pandas UDF projection; the only exchange allowed is
+    # the final orderBy's range partitioning (no hash shuffle)
+    assert "Exchange hashpartitioning" not in plan
+    # column pruning: the page builds from doc_id/lang/source/text only
+    assert "n_chars" not in plan
+
+
+def test_paragraph_dedup_reuses_chunk_exchange(spark):
+    from h2spark.ops import dedup
+
+    plan = _formatted(dedup.q_paragraph_dedup(spark, SF), spark)
+    # the big exploded side must not shuffle twice on chunk_hash: either
+    # the small freq side broadcasts (this SF) or the chunk_hash
+    # exchange is planned once / reused (the at-scale SMJ shape)
+    n_chunk_exchanges = plan.count("Exchange hashpartitioning(chunk_hash")
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ReusedExchange" in plan
+        or n_chunk_exchanges <= 1
+    ), plan[:4000]
