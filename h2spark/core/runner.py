@@ -297,6 +297,37 @@ def markdown_batch(items) -> tuple:
     return mds, errors
 
 
+def markdown_spans_batch(items) -> tuple:
+    """Row loop for interleaved spans -> Markdown: reassemble the text
+    spans into HTML, render, and emit media spans as ``![media](ref)``
+    blocks with the SAME leading/trailing placement rule as
+    ``flatten_document`` (offset before the first text span leads,
+    the rest trail, both offset-sorted)."""
+    from h2spark.core.markdown import html_to_markdown
+
+    mds: list = []
+    errors: list = []
+    for item in items:
+        if item is None:
+            mds.append(None)
+            errors.append("document error: null input")
+            continue
+        html, media, first = reassemble(item)
+        blocks: list = []
+        for off, ref in sorted(media):
+            if first is None or off < first:
+                blocks.append(f"![media]({ref})")
+        md = html_to_markdown(html)
+        if md:
+            blocks.append(md)
+        for off, ref in sorted(media):
+            if not (first is None or off < first):
+                blocks.append(f"![media]({ref})")
+        mds.append("\n\n".join(blocks))
+        errors.append(None)
+    return mds, errors
+
+
 def main_text_batch(cs_unused, items, from_html: bool):
     """Row loop for boilerplate-strip: spans/html -> main-content text.
 

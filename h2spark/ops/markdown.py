@@ -92,5 +92,67 @@ FROM (
 ORDER BY doc_id
 """
 
-QUERIES = {"html_to_markdown": q_html_to_markdown}
-ORACLES = {"html_to_markdown": ORACLE_HTML_TO_MARKDOWN}
+def q_interleaved_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown rendering of an INTERLEAVED text+media document — the
+    north-rule input shape: spans (kind, text, media_ref, offset) with
+    a leading image, an HTML text body, and a trailing video ref. Media
+    spans become ``![media](ref)`` blocks placed by the same
+    leading/trailing offset rule the span-flattening kernel uses, so
+    this query pins that rule through a second independent renderer.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    w1, w2 = w.getItem(0), w.getItem(1)
+    page = F.concat(
+        F.lit("<h1>Doc "), F.col("doc_id"), F.lit("</h1><p>"),
+        w1, F.lit(" <b>"), w2, F.lit("</b></p>"),
+    )
+    span = lambda kind, text, ref, off: F.struct(
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        off.cast("int").alias("offset"),
+    )
+    spans = F.array(
+        span("media", F.lit(""),
+             F.concat(F.lit("media://img/"), F.col("doc_id")), F.lit(0)),
+        span("text", page, F.lit(""), F.lit(10)),
+        span("media", F.lit(""),
+             F.concat(F.lit("media://vid/"), F.col("doc_id")),
+             F.lit(1000000)),
+    )
+    udf = make_markdown_udf(input_kind="spans")
+    out = d.select("doc_id", udf(spans).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.markdown").alias("markdown"),
+        F.col("o.error").alias("error"),
+    ).orderBy("doc_id")
+
+
+ORACLE_INTERLEAVED_MARKDOWN = """
+SELECT
+  doc_id,
+  '![media](media://img/' || doc_id || ')' || chr(10) || chr(10)
+  || '# Doc ' || doc_id || chr(10) || chr(10)
+  || w1 || ' **' || w2 || '**' || chr(10) || chr(10)
+  || '![media](media://vid/' || doc_id || ')' AS markdown,
+  CAST(NULL AS VARCHAR) AS error
+FROM (
+  SELECT doc_id,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "html_to_markdown": q_html_to_markdown,
+    "interleaved_markdown": q_interleaved_markdown,
+}
+ORACLES = {
+    "html_to_markdown": ORACLE_HTML_TO_MARKDOWN,
+    "interleaved_markdown": ORACLE_INTERLEAVED_MARKDOWN,
+}

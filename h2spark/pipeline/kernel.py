@@ -91,14 +91,19 @@ def make_extract_typed_udf(spec: StructSpec | CompiledStruct, input_kind: str = 
     return extract_typed
 
 
-def make_markdown_udf():
-    """UDF: html string -> struct<markdown:string, error:string> —
-    training-corpus Markdown rendering over the real parser."""
-    from h2spark.core.runner import markdown_batch
+def make_markdown_udf(input_kind: str = "html"):
+    """UDF: html string (or interleaved spans array) ->
+    struct<markdown:string, error:string> — training-corpus Markdown
+    rendering over the real parser; media spans become image blocks."""
+    from h2spark.core.runner import markdown_batch, markdown_spans_batch
+
+    batch_fn = (
+        markdown_spans_batch if input_kind == "spans" else markdown_batch
+    )
 
     @pandas_udf("struct<markdown:string, error:string>")
     def to_markdown(col: pd.Series) -> pd.DataFrame:
-        mds, errors = markdown_batch(col)
+        mds, errors = batch_fn(col)
         return pd.DataFrame({"markdown": mds, "error": errors})
 
     return to_markdown

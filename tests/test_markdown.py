@@ -111,3 +111,52 @@ def test_misnested_formatting_still_renders():
     # adoption agency output feeds the renderer a well-formed tree:
     # <b>1<i>2</i></b><i>3</i>  ->  **1*2**** + *3*
     assert md("<p><b>1<i>2</b>3</i></p>") == "**1*2****3*"
+
+
+# --- interleaved spans -> markdown (media placement rule) ----------------
+
+
+def _spans_md(spans):
+    from h2spark.core.runner import markdown_spans_batch
+
+    mds, errs = markdown_spans_batch([spans])
+    assert errs == [None]
+    return mds[0]
+
+
+def _t(text, off):
+    return {"kind": "text", "text": text, "media_ref": "", "offset": off}
+
+
+def _m(ref, off):
+    return {"kind": "media", "text": "", "media_ref": ref, "offset": off}
+
+
+def test_spans_markdown_leading_and_trailing_media():
+    out = _spans_md([_m("m://a", 0), _t("<p>x</p>", 10), _m("m://b", 99)])
+    assert out == "![media](m://a)\n\nx\n\n![media](m://b)"
+
+
+def test_spans_markdown_media_only_document():
+    # no text spans: every media ref leads (first_text_offset is None)
+    assert _spans_md([_m("m://b", 5), _m("m://a", 1)]) == (
+        "![media](m://a)\n\n![media](m://b)"
+    )
+
+
+def test_spans_markdown_all_media_after_text():
+    out = _spans_md([_t("<h1>t</h1>", 0), _m("m://x", 50)])
+    assert out == "# t\n\n![media](m://x)"
+
+
+def test_spans_markdown_reassembles_split_html():
+    # text spans concatenate in offset order before parsing
+    out = _spans_md([_t("st</b></p>", 20), _t("<p>fir<b>", 0)])
+    assert out == "fir**st**"
+
+
+def test_spans_markdown_null_row():
+    from h2spark.core.runner import markdown_spans_batch
+
+    mds, errs = markdown_spans_batch([None])
+    assert mds == [None] and errs == ["document error: null input"]
