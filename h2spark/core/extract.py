@@ -197,33 +197,41 @@ def _process_field(cf: CompiledField, source: Element):
     listy = card in (VEC, ARRAY)
 
     # 3+4. context attach + extract (traverse: short-circuit at first
-    # failing element — traversable.rs:6-66)
+    # failing element — traversable.rs:6-66). The list-index context is
+    # only observable in error renderings, so it is built lazily on the
+    # failure path (hot-path: one _extract call per element, no ctx
+    # allocation)
     extractor = cf.extractor
     extracted = []
     for i, el in enumerate(elements):
-        ctx = ctx_list_index(i) if listy else NO_CONTEXT
         try:
-            extracted.append((ctx, _extract(extractor, el)))
+            extracted.append(_extract(extractor, el))
         except ExtractErr as e:
+            ctx = ctx_list_index(i) if listy else NO_CONTEXT
             raise ExtractionError(ctx, extractor.display(), e) from None
 
     # 5. parse (FromStr or recursive from_html — parseable.rs:15-80)
     values = []
-    raws = []
-    for ctx, ext in extracted:
-        if cf.nested is not None:
+    nested = cf.nested
+    if nested is not None:
+        raws = []
+        for i, ext in enumerate(extracted):
             try:
-                v, r = apply_struct(cf.nested, ext)
+                v, r = apply_struct(nested, ext)
             except FieldError as e:
+                ctx = ctx_list_index(i) if listy else NO_CONTEXT
                 raise ParseError(ctx, e) from None
             values.append(v)
             raws.append(r)
-        else:
+    else:
+        parser = cf.parser
+        for i, ext in enumerate(extracted):
             try:
-                values.append(cf.parser(ext))
+                values.append(parser(ext))
             except ValueParseError as e:
+                ctx = ctx_list_index(i) if listy else NO_CONTEXT
                 raise ParseError(ctx, e) from None
-            raws.append(ext)
+        raws = extracted
 
     # 6. finalize (field_value.rs:7-62)
     if listy:

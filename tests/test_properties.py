@@ -137,3 +137,60 @@ def test_pdf_writer_parser_roundtrip(pages, compress):
         for b in out["blocks"]
     ]
     assert got == expect
+
+
+_SOUP_TAGS = [
+    # the round-4 conformance surface: frameset family, form pointer,
+    # ruby, buttons, tables, select, templates, rawtext, renames
+    "form", "button", "ruby", "rb", "rt", "rtc", "rp", "table", "tr",
+    "td", "th", "caption", "colgroup", "col", "tbody", "frameset",
+    "frame", "noframes", "template", "select", "option", "optgroup",
+    "pre", "listing", "textarea", "image", "h1", "h3", "p", "li", "ul",
+    "ol", "b", "i", "a", "script", "style", "br", "div",
+]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 10**9))
+def test_structural_tag_soup_tree_is_consistent(seed):
+    """Random structural tag soup (unbalanced, misnested) must produce
+    a consistent tree: never raises, every node parent-linked, element
+    sibling indices dense, template contents detached."""
+    import random as _random
+
+    from h2spark.core.dom import Element, Text
+    from h2spark.core.treebuilder import parse_document
+
+    rng = _random.Random(seed)
+    parts = []
+    for _ in range(rng.randint(1, 40)):
+        t = rng.choice(_SOUP_TAGS)
+        r = rng.random()
+        if r < 0.45:
+            parts.append(f"<{t}>")
+        elif r < 0.75:
+            parts.append(f"</{t}>")
+        elif r < 0.9:
+            parts.append(rng.choice(["x", " ", "a&amp;b", "\n", "<!--c-->"]))
+        else:
+            parts.append(f'<{t} a="v">')
+    doc = parse_document("".join(parts))
+    root = doc.root_element()
+    assert root.tag == "html"
+
+    def walk(el):
+        n_elem = 0
+        for i, ch in enumerate(el.children):
+            assert ch.parent is el
+            assert ch._idx == i
+            if type(ch) is Element:
+                assert ch.elem_idx == n_elem
+                n_elem += 1
+                walk(ch)
+                if ch.template_contents is not None:
+                    # detached fragment: consistent but not a child
+                    assert ch.template_contents not in el.children
+                    walk(ch.template_contents)
+
+    walk(root)
+    root.text_contents()  # traversal safe
