@@ -30,11 +30,21 @@ fragment, no implied table) and insertion-mode restore on close.
 <select> gets the WHATWG "in select" content model: non-whitelisted
 start tags ignored, input/textarea/nested-select imply </select>.
 
-Remaining deliberate simplifications (corpus-safe): no dedicated table
-insertion *modes* (structural table tags are handled via in-body
-auto-close rules + foster parenting rather than a mode machine — the
-mode-machine-equivalent behaviors are pinned by goldens), no frameset
-handling.
+Frameset documents get the WHATWG in/after/after-after-frameset modes
+with the frameset-ok flag (a <frameset> replaces a still-empty body;
+foreclosed by non-ws text, most flow content, or an explicit <body>).
+The form element pointer, button no-nest, ruby implied end tags, the
+<image> -> <img> rename, pre/listing/textarea leading-newline drop and
+any-rank heading end tags follow the spec; conformance is measured by
+tests/test_html5lib_conformance.py over the vendored corpus
+(tests/html5lib_corpus/, ~200 adjudicated .dat cases, all green).
+
+Remaining deliberate simplifications (corpus-safe, measured by the
+same harness's documented scope): no dedicated table insertion *modes*
+(structural table tags are handled via in-body auto-close rules +
+foster parenting — the mode-machine-equivalent behaviors are pinned by
+the tables.dat cases), no foreign-content namespaces (SVG/MathML parse
+structurally, no tag-name adjustment), name-only doctypes.
 """
 
 from __future__ import annotations
