@@ -458,3 +458,60 @@ ORDER BY doc_id
 
 QUERIES["text_winnow_fingerprint"] = q_winnow_fingerprint
 ORACLES["text_winnow_fingerprint"] = ORACLE_WINNOW
+
+
+# --- unigram log-probability scoring (perplexity-filter analog) ---------
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability — the relational
+    analog of a KenLM perplexity filter: score every document by how
+    typical its words are under the corpus's own unigram distribution
+    (low scores flag gibberish / boilerplate-heavy docs for removal
+    before training).
+
+    Scale shape (10^12 docs): one explode -> word-keyed groupBy for the
+    vocabulary (vocab ≪ corpus, so the scored join BROADCASTS the
+    vocabulary), then one doc-keyed groupBy. The only big shuffle is
+    the vocabulary count; document rows never shuffle twice.
+    """
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = ex.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    scored_vocab = F.broadcast(
+        vocab.crossJoin(F.broadcast(total)).select(
+            "w", F.log10(F.col("c") / F.col("total")).alias("logp")
+        )
+    )
+    return (
+        ex.join(scored_vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), v AS (
+  SELECT w, count(*) AS c FROM ex GROUP BY 1
+), t AS (
+  SELECT sum(c)::DOUBLE AS total FROM v
+)
+SELECT ex.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(avg(log10(v.c / t.total)), 6) AS avg_logprob
+FROM ex JOIN v USING (w), t
+GROUP BY ex.doc_id
+ORDER BY ex.doc_id
+"""
+
+QUERIES["text_unigram_logprob"] = q_unigram_logprob
+ORACLES["text_unigram_logprob"] = ORACLE_UNIGRAM_LOGPROB
