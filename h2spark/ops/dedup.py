@@ -1268,8 +1268,121 @@ ORDER BY doc_id
 """
 
 
+# --- URL canonicalization + dedup ---------------------------------------
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs and dedup on the canonical form.
+
+    Rules (the standard crawl-frontier normalization): lowercase scheme
+    and host, strip default ports (:80/:443), drop the fragment, drop
+    ``utm_*`` tracking params, sort the remaining query params, strip
+    trailing slashes from the path. Three synthesized variants per
+    doc-group (mixed case, explicit :443 + utm param, fragment) must
+    collapse to one canonical URL.
+
+    Pure codegen (string/array expressions only) -> one groupBy on the
+    canonical form; at 10^12 rows this is a single narrow-row shuffle.
+    """
+    d = _docs(spark, sf_dir)
+    grp = (F.col("doc_id") % 97).cast("long")
+    variant = F.col("doc_id") % 3
+    url = (
+        F.when(variant == 0, F.concat(
+            F.lit("https://EXAMPLE.com/p/"), grp, F.lit("?b=2&a=1")))
+        .when(variant == 1, F.concat(
+            F.lit("https://example.com:443/p/"), grp,
+            F.lit("?a=1&b=2&utm_source=x")))
+        .otherwise(F.concat(
+            F.lit("https://example.com/p/"), grp, F.lit("/?a=1&b=2#sec")))
+    )
+    no_frag = F.split(url, "#").getItem(0)
+    scheme = F.lower(F.split(no_frag, "://").getItem(0))
+    rest = F.split(no_frag, "://").getItem(1)
+    hostpath = F.split(rest, r"\?").getItem(0)
+    query = F.when(
+        F.size(F.split(no_frag, r"\?")) > 1,
+        F.split(no_frag, r"\?").getItem(1),
+    ).otherwise(F.lit(""))
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(hostpath, "/.*$", "")), ":(443|80)$", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(hostpath, "^[^/]*", ""), "/+$", ""
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: F.substring(p, 1, 4) != "utm_",
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        d.select(F.col("doc_id"), canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+ORACLE_URL_DEDUP = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://EXAMPLE.com/p/' || (doc_id % 97) || '?b=2&a=1'
+           WHEN 1 THEN 'https://example.com:443/p/' || (doc_id % 97)
+                       || '?a=1&b=2&utm_source=x'
+           ELSE 'https://example.com/p/' || (doc_id % 97) || '/?a=1&b=2#sec'
+         END AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+         string_split(url, '#')[1] AS no_frag
+  FROM urls
+), comps AS (
+  SELECT doc_id,
+         lower(string_split(no_frag, '://')[1]) AS scheme,
+         string_split(string_split(no_frag, '://')[2], '?')[1] AS hostpath,
+         CASE WHEN len(string_split(no_frag, '?')) > 1
+              THEN string_split(no_frag, '?')[2] ELSE '' END AS query
+  FROM parts
+), norm AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_replace(hostpath, '/.*$', '')),
+                        ':(443|80)$', '') AS host,
+         regexp_replace(regexp_replace(hostpath, '^[^/]*', ''),
+                        '/+$', '') AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(query, '&'),
+                                 p -> substr(p, 1, 4) != 'utm_')),
+           '&') AS params
+  FROM comps
+)
+SELECT scheme || '://' || host || path
+       || CASE WHEN params <> '' THEN '?' || params ELSE '' END
+       AS canonical_url,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM norm
+GROUP BY 1
+ORDER BY canonical_url
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_url": q_url_dedup,
     "dedup_paragraph": q_paragraph_dedup,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1283,6 +1396,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_url": ORACLE_URL_DEDUP,
     "dedup_paragraph": ORACLE_PARAGRAPH_DEDUP,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
