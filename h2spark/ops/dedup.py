@@ -1268,6 +1268,62 @@ ORDER BY doc_id
 """
 
 
+# --- benchmark decontamination ------------------------------------------
+
+_DECON_N = 8       # 8-gram overlap, the standard decontamination window
+_DECON_MOD = 10    # deterministic held-out "benchmark" split
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any 8-gram with the held-out eval set (here the deterministic
+    ``doc_id % 10 == 0`` split stands in for the benchmark corpus) —
+    the standard pre-training leakage check.
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so
+    its shingle set BROADCASTS — the 10^12-doc training side streams
+    through a map-side hash join with no shuffle; only the final
+    per-doc rollup exchanges, and it carries only flagged docs.
+    """
+    d = _docs(spark, sf_dir)
+    bench = _with_shingles(
+        d.where(F.col("doc_id") % _DECON_MOD == 0), _DECON_N
+    ).withColumnRenamed("doc_id", "bench_doc_id")
+    train = _with_shingles(
+        d.where(F.col("doc_id") % _DECON_MOD != 0), _DECON_N
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias(
+                "n_shared_shingles"
+            ),
+            F.countDistinct("bench_doc_id").cast("long").alias(
+                "n_bench_docs"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {_shingles_cte_duck(_DECON_N).lstrip()},
+b AS (
+  SELECT doc_id AS bench_doc_id, shingle FROM shingles
+  WHERE doc_id % {_DECON_MOD} = 0
+), t AS (
+  SELECT doc_id, shingle FROM shingles WHERE doc_id % {_DECON_MOD} <> 0
+)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle)::BIGINT AS n_shared_shingles,
+       count(DISTINCT b.bench_doc_id)::BIGINT AS n_bench_docs
+FROM t JOIN b USING (shingle)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # --- URL canonicalization + dedup ---------------------------------------
 
 
@@ -1383,6 +1439,7 @@ ORDER BY canonical_url
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_url": q_url_dedup,
+    "decontaminate": q_decontaminate,
     "dedup_paragraph": q_paragraph_dedup,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1397,6 +1454,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_url": ORACLE_URL_DEDUP,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "dedup_paragraph": ORACLE_PARAGRAPH_DEDUP,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
