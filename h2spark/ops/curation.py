@@ -126,3 +126,51 @@ ORACLES = {
     "corpus_curation": ORACLE_CURATION,
     "training_token_budget": ORACLE_TRAINING_TOKEN_BUDGET,
 }
+
+
+# --- deterministic stratified sampling ----------------------------------
+
+_SAMPLE_K = 20  # docs per language stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the first K documents per
+    language under an md5-of-doc_id ordering — reproducible
+    mixture-building (sample exactly K docs per stratum, same set on
+    every run and at any parallelism).
+
+    Scale note (10^12 docs): partitioning a window by ``lang`` alone
+    makes each language one hot key. The production path pre-filters
+    on a hash prefix (keep md5 < bound where the bound over-samples
+    ~10x the quota) so the per-stratum window sees thousands of rows,
+    not trillions; at sandbox scale the direct window is exact and the
+    pre-filter is unnecessary.
+    """
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= _SAMPLE_K)
+        .orderBy("lang", "sample_rank")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, sample_rank
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {_SAMPLE_K}
+ORDER BY lang, sample_rank
+"""
+
+QUERIES["corpus_stratified_sample"] = q_stratified_sample
+ORACLES["corpus_stratified_sample"] = ORACLE_STRATIFIED_SAMPLE
