@@ -76,8 +76,11 @@ def _skip_tag_end(s: str, i: int) -> int:
         i = m.end()
 
 
-def tokenize(html: str):
-    """Yield tokens for ``html``. Generator; linear single pass.
+def tokenize_into(html: str, emit) -> None:
+    """Tokenize ``html``, calling ``emit(token)`` per token. Linear
+    single pass; the callback form (vs a generator) removes one
+    suspend/resume per token from the parse hot loop — the tree
+    builder passes its ``feed`` method directly.
 
     Input preprocessing per spec: discard a leading BOM (html5ever
     TokenizerOpts::discard_bom default) and normalize CRLF/CR to LF.
@@ -95,11 +98,11 @@ def tokenize(html: str):
         lt = find("<", pos)
         if lt < 0:
             data = s[pos:]
-            yield ("text", decode_char_refs(data) if "&" in data else data)
+            emit(("text", decode_char_refs(data) if "&" in data else data))
             return
         if lt > pos:
             data = s[pos:lt]
-            yield ("text", decode_char_refs(data) if "&" in data else data)
+            emit(("text", decode_char_refs(data) if "&" in data else data))
         pos = lt
         nxt = s[pos + 1] if pos + 1 < n else ""
 
@@ -108,7 +111,7 @@ def tokenize(html: str):
             m = _SIMPLE_END_RE.match(s, pos)
             if m is not None:
                 pos = m.end()
-                yield ("end", m.group(1).lower())
+                emit(("end", m.group(1).lower()))
                 continue
             c2 = s[pos + 2] if pos + 2 < n else ""
             if c2.isascii() and c2.isalpha():
@@ -121,7 +124,7 @@ def tokenize(html: str):
                 if end < 0:
                     return  # eof-in-tag: emit nothing
                 pos = end
-                yield ("end", name)
+                emit(("end", name))
             elif c2 == ">":
                 pos += 3  # missing-end-tag-name: ignore "</>"
             elif c2 == "":
@@ -130,26 +133,26 @@ def tokenize(html: str):
                 # bogus comment until '>'
                 gt = find(">", pos + 2)
                 if gt < 0:
-                    yield ("comment", s[pos + 2:])
+                    emit(("comment", s[pos + 2:]))
                     return
-                yield ("comment", s[pos + 2:gt])
+                emit(("comment", s[pos + 2:gt]))
                 pos = gt + 1
         elif nxt == "!":
             if s.startswith("<!--", pos):
                 # abruptly closed comments: "<!-->" and "<!--->"
                 if s.startswith(">", pos + 4):
-                    yield ("comment", "")
+                    emit(("comment", ""))
                     pos += 5
                     continue
                 if s.startswith("->", pos + 4):
-                    yield ("comment", "")
+                    emit(("comment", ""))
                     pos += 6
                     continue
                 m = _COMMENT_END_RE.search(s, pos + 4)
                 if m is None:
-                    yield ("comment", s[pos + 4:])
+                    emit(("comment", s[pos + 4:]))
                     return
-                yield ("comment", s[pos + 4:m.start()])
+                emit(("comment", s[pos + 4:m.start()]))
                 pos = m.end()
             elif s[pos + 2:pos + 9].lower() == "doctype":
                 gt = find(">", pos + 9)
@@ -159,21 +162,21 @@ def tokenize(html: str):
                 else:
                     body = s[pos + 9:gt]
                     pos = gt + 1
-                yield ("doctype", body.strip().split()[0].lower() if body.strip() else "")
+                emit(("doctype", body.strip().split()[0].lower() if body.strip() else ""))
             else:
                 gt = find(">", pos + 2)
                 if gt < 0:
-                    yield ("comment", s[pos + 2:])
+                    emit(("comment", s[pos + 2:]))
                     return
-                yield ("comment", s[pos + 2:gt])
+                emit(("comment", s[pos + 2:gt]))
                 pos = gt + 1
         elif nxt == "?":
             # bogus comment (processing instruction)
             gt = find(">", pos + 2)
             if gt < 0:
-                yield ("comment", s[pos + 1:])
+                emit(("comment", s[pos + 1:]))
                 return
-            yield ("comment", s[pos + 1:gt])
+            emit(("comment", s[pos + 1:gt]))
             pos = gt + 1
         elif nxt.isascii() and nxt.isalpha():
             m = _SIMPLE_TAG_RE.match(s, pos)
@@ -191,21 +194,21 @@ def tokenize(html: str):
                     if tok is None:
                         # eof-in-tag
                         return
-            yield tok
+            emit(tok)
             name = tok[1]
             if name == "script":
-                pos = yield from _scan_script(s, pos)
+                pos = _scan_script(s, pos, emit)
             elif name in RAWTEXT_ELEMENTS:
-                pos = yield from _scan_rawtext(s, pos, name, decode=False)
+                pos = _scan_rawtext(s, pos, name, False, emit)
             elif name in RCDATA_ELEMENTS:
-                pos = yield from _scan_rawtext(s, pos, name, decode=True)
+                pos = _scan_rawtext(s, pos, name, True, emit)
             elif name == "plaintext" and not tok[3]:
                 if pos < n:
-                    yield ("text", s[pos:])
+                    emit(("text", s[pos:]))
                 return
         else:
             # '<' followed by junk: literal text
-            yield ("text", "<")
+            emit(("text", "<"))
             pos += 1
 
 
@@ -264,7 +267,7 @@ _SCRIPT_EVENT = re.compile(
 )
 
 
-def _scan_script(s: str, pos: int):
+def _scan_script(s: str, pos: int, emit) -> int:
     """Consume script data honoring the WHATWG script-data escaped /
     double-escaped states (13.2.5.18-29): inside ``<!-- <script> ... ``
     a ``</script>`` is text (double-escaped) and only the one after the
@@ -278,7 +281,7 @@ def _scan_script(s: str, pos: int):
         m = _SCRIPT_EVENT.search(s, i)
         if m is None:
             if pos < n:
-                yield ("text", s[pos:])
+                emit(("text", s[pos:]))
             return n
         ev = m.group(0).lower()
         if ev == "<!--":
@@ -304,9 +307,9 @@ def _scan_script(s: str, pos: int):
                 i = m.end()
             else:
                 if pos < m.start():
-                    yield ("text", s[pos:m.start()])
+                    emit(("text", s[pos:m.start()]))
                 end = _skip_tag_end(s, m.end())
-                yield ("end", "script")
+                emit(("end", "script"))
                 return n if end < 0 else end
         else:  # "<script" while escaped: enter double-escaped
             if state == 1:
@@ -314,7 +317,7 @@ def _scan_script(s: str, pos: int):
             i = m.end()
 
 
-def _scan_rawtext(s: str, pos: int, name: str, decode: bool):
+def _scan_rawtext(s: str, pos: int, name: str, decode: bool, emit) -> int:
     """Consume RAWTEXT/RCDATA content up to the matching end tag.
 
     Yields the text token and the end tag; returns the new position.
@@ -324,11 +327,18 @@ def _scan_rawtext(s: str, pos: int, name: str, decode: bool):
     if m is None:
         data = s[pos:]
         if data:
-            yield ("text", decode_char_refs(data) if decode else data)
+            emit(("text", decode_char_refs(data) if decode else data))
         return len(s)
     data = s[pos:m.start()]
     if data:
-        yield ("text", decode_char_refs(data) if decode else data)
+        emit(("text", decode_char_refs(data) if decode else data))
     end = _skip_tag_end(s, m.end())
-    yield ("end", name)
+    emit(("end", name))
     return len(s) if end < 0 else end
+
+
+def tokenize(html: str):
+    """Generator facade over ``tokenize_into`` (tests and tools)."""
+    toks: list = []
+    tokenize_into(html, toks.append)
+    yield from toks

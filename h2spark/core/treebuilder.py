@@ -50,7 +50,9 @@ structurally, no tag-name adjustment), name-only doctypes.
 from __future__ import annotations
 
 from h2spark.core.dom import Comment, Doctype, Document, Element, Text, _doc_append
-from h2spark.core.tokenizer import RAWTEXT_ELEMENTS, RCDATA_ELEMENTS, tokenize
+from h2spark.core.tokenizer import (
+    RAWTEXT_ELEMENTS, RCDATA_ELEMENTS, tokenize_into,
+)
 
 _TEXT_CONTENT = RAWTEXT_ELEMENTS | RCDATA_ELEMENTS
 
@@ -282,7 +284,14 @@ class _Builder:
 
     def _insert_element(self, name: str, attrs: dict, push: bool = True) -> Element:
         el = Element(name, attrs)
-        self._current().append_child(el)
+        cur = self.stack[-1]
+        # append_child inlined (hot path)
+        el.parent = cur
+        ch = cur.children
+        el._idx = len(ch)
+        el.elem_idx = cur._nelem
+        cur._nelem += 1
+        ch.append(el)
         if push and name not in VOID_ELEMENTS:
             self.stack.append(el)
         return el
@@ -665,7 +674,13 @@ class _Builder:
         ):
             self._foster_insert(el)
         else:
-            cur.append_child(el)
+            # append_child inlined (hot path)
+            el.parent = cur
+            ch = cur.children
+            el._idx = len(ch)
+            el.elem_idx = cur._nelem
+            cur._nelem += 1
+            ch.append(el)
         if push and name not in VOID_ELEMENTS:
             self.stack.append(el)
         return el
@@ -741,11 +756,15 @@ class _Builder:
                         if not data:
                             return
                     if not self.afe and curtag not in _TABLE_CONTEXT:
-                        last = cur.children[-1] if cur.children else None
+                        ch = cur.children
+                        last = ch[-1] if ch else None
                         if type(last) is Text:
                             last.data += data
                         else:
-                            cur.append_child(Text(data))
+                            t = Text(data)  # append_child inlined
+                            t.parent = cur
+                            t._idx = len(ch)
+                            ch.append(t)
                     else:
                         self._insert_text_in_body(data)
                     return
@@ -1393,9 +1412,7 @@ def parse_document(html: str) -> Document:
     with head/body implied when missing.
     """
     b = _Builder()
-    feed = b.feed
-    for tok in tokenize(html):
-        feed(tok)
+    tokenize_into(html, b.feed)
     # EOF with open template-contents fragments: close them and restore
     # the opener's mode so head/body implication below still runs
     while b._template_modes:
