@@ -431,3 +431,66 @@ def test_codec_registry_drives_spark_stage(spark):
         assert all(r["n"] > 0 for r in got)
     finally:
         mm.unregister_codec(mm.CODEC_MEDIA_DECODE)
+
+
+def test_arrow_mapper_handles_sliced_batches_and_nulls():
+    """The mapInArrow kernel decomposes the spans ListArray into child
+    arrays; ListArray.offsets index into the FULL child array even for
+    sliced batches — pin that, plus null rows and null span structs."""
+    import pyarrow as pa
+
+    from h2spark.core.extract import compile_spec
+    from h2spark.core.runner import make_arrow_mapper
+    from h2spark.core.spec import ONE, Field, Scalar, StructSpec
+
+    spec = StructSpec("T", [Field("t", Scalar("String"), ONE, select="h1")])
+    cs = compile_spec(spec)
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+
+    def row(html, refs=()):
+        spans = [
+            {"kind": "text", "text": html, "media_ref": "", "offset": 10}
+        ]
+        spans += [
+            {"kind": "media", "text": "", "media_ref": r, "offset": 0}
+            for r in refs
+        ]
+        return spans
+
+    rows = [
+        row("<h1>zero</h1>"),
+        row("<h1>one</h1>", refs=("m://1",)),
+        None,                              # null document row
+        row("<p>missing h1</p>"),          # extraction error row
+        [None, {"kind": "text", "text": "<h1>four</h1>",
+                "media_ref": "", "offset": 0}],  # null span element
+    ]
+    batch = pa.record_batch(
+        [
+            pa.array([f"d{i}" for i in range(len(rows))], pa.string()),
+            pa.array(rows, pa.list_(span_t)),
+        ],
+        names=["doc_id", "spans"],
+    )
+    # slice PAST the first row: offsets no longer start at 0
+    sliced = batch.slice(1, 4)
+    mapper = make_arrow_mapper(cs, ("doc_id",), "spans")
+    out = list(mapper([sliced]))
+    assert len(out) == 1
+    o = out[0]
+    errors = o.column("error").to_pylist()
+    spans_out = o.column("spans_out").to_pylist()
+    assert o.column("doc_id").to_pylist() == ["d1", "d2", "d3", "d4"]
+    assert errors[0] is None
+    # leading media span (offset 0 < first text offset 10) emits first
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in spans_out[0]] == [
+        ("media", "", "m://1"),
+        ("t:String", "one", ""),
+    ]
+    assert errors[1] == "document error: null input" and spans_out[1] is None
+    assert 'mismatched number of selected elements by "h1"' in errors[2]
+    assert errors[3] is None
+    assert [s["text"] for s in spans_out[3]] == ["four"]
