@@ -207,9 +207,13 @@ def main() -> None:
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
+            n_err = 0
             for sp in span_rows:
-                assert extract_one(cs, sp)[4] is None
+                if extract_one(cs, sp)[4] is not None:
+                    n_err += 1
             dt = time.perf_counter() - t0
+            if n_err:
+                raise RuntimeError(f"kernel_1core: {n_err} errors")
             best = dt if best is None or dt < best else best
         return round(n / best, 1)
 

@@ -58,6 +58,25 @@ def _flatten_leaf(cf: CompiledField, r: Any, path: str, out: list) -> None:
         out.append((f"{path}:{cf.type_name}", r))
 
 
+def split_media(
+    media_spans, first_text_offset
+) -> tuple[list[tuple[int, str]], list[tuple[int, str]]]:
+    """THE media placement rule, in one place: spans whose offset
+    precedes every text span lead, the rest trail, both offset-sorted
+    (the deterministic interleaving rule for an extraction whose
+    outputs have no source offsets). Shared by ``flatten_document``,
+    ``flatten_into`` and the Markdown spans renderer."""
+    leading: list[tuple[int, str]] = []
+    trailing: list[tuple[int, str]] = []
+    if media_spans:
+        for off, ref in sorted(media_spans):
+            if first_text_offset is None or off < first_text_offset:
+                leading.append((off, ref))
+            else:
+                trailing.append((off, ref))
+    return leading, trailing
+
+
 def flatten_document(
     cs: CompiledStruct,
     raw: dict | None,
@@ -74,14 +93,7 @@ def flatten_document(
     """
     if raw is None:
         return None
-    leading: list[tuple[int, str]] = []
-    trailing: list[tuple[int, str]] = []
-    if media_spans:
-        for off, ref in sorted(media_spans):
-            if first_text_offset is None or off < first_text_offset:
-                leading.append((off, ref))
-            else:
-                trailing.append((off, ref))
+    leading, trailing = split_media(media_spans, first_text_offset)
     spans: list[dict] = []
     order = 0
     for _, ref in leading:
@@ -109,14 +121,7 @@ def flatten_into(
     """``flatten_document`` appended column-wise (the Arrow kernel's
     output shape — no per-span dicts). Returns the span count; ordering
     and media interleaving are identical to ``flatten_document``."""
-    leading: list[tuple[int, str]] = []
-    trailing: list[tuple[int, str]] = []
-    if media_spans:
-        for off, ref in sorted(media_spans):
-            if first_text_offset is None or off < first_text_offset:
-                leading.append((off, ref))
-            else:
-                trailing.append((off, ref))
+    leading, trailing = split_media(media_spans, first_text_offset)
     order = 0
     for _, ref in leading:
         kinds.append("media")

@@ -53,36 +53,15 @@ _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
 
 
 def _inline(el: Element, out: list) -> None:
-    """Render el's children as inline markdown text into ``out``."""
+    """Render el's children as inline markdown text into ``out``.
+
+    Per-tag markup rules live ONLY in ``_inline_run``."""
     for ch in el.children:
         t = type(ch)
         if t is Text:
             out.append(ch.data)
-        elif t is Element:
-            tag = ch.tag
-            if tag in _SKIP:
-                continue
-            if tag in ("strong", "b"):
-                inner = _inline_str(ch)
-                out.append(f"**{inner}**" if inner else "")
-            elif tag in ("em", "i"):
-                inner = _inline_str(ch)
-                out.append(f"*{inner}*" if inner else "")
-            elif tag == "code":
-                inner = _inline_str(ch)
-                out.append(f"`{inner}`" if inner else "")
-            elif tag == "a":
-                inner = _inline_str(ch)
-                href = ch.attrs.get("href")
-                out.append(f"[{inner}]({href})" if href else inner)
-            elif tag == "img":
-                alt = ch.attrs.get("alt", "")
-                src = ch.attrs.get("src", "")
-                out.append(f"![{alt}]({src})")
-            elif tag == "br":
-                out.append("\x00BR\x00")  # placeholder survives collapse
-            else:
-                _inline(ch, out)
+        elif t is Element and ch.tag not in _SKIP:
+            out.append(_inline_run(ch))
 
 
 def _inline_str(el: Element) -> str:

@@ -300,9 +300,9 @@ def markdown_batch(items) -> tuple:
 def markdown_spans_batch(items) -> tuple:
     """Row loop for interleaved spans -> Markdown: reassemble the text
     spans into HTML, render, and emit media spans as ``![media](ref)``
-    blocks with the SAME leading/trailing placement rule as
-    ``flatten_document`` (offset before the first text span leads,
-    the rest trail, both offset-sorted)."""
+    blocks placed by ``flatten.split_media`` — the one shared encoding
+    of the leading/trailing media rule."""
+    from h2spark.core.flatten import split_media
     from h2spark.core.markdown import html_to_markdown
 
     mds: list = []
@@ -313,16 +313,12 @@ def markdown_spans_batch(items) -> tuple:
             errors.append("document error: null input")
             continue
         html, media, first = reassemble(item)
-        blocks: list = []
-        for off, ref in sorted(media):
-            if first is None or off < first:
-                blocks.append(f"![media]({ref})")
+        leading, trailing = split_media(media, first)
+        blocks: list = [f"![media]({ref})" for _, ref in leading]
         md = html_to_markdown(html)
         if md:
             blocks.append(md)
-        for off, ref in sorted(media):
-            if not (first is None or off < first):
-                blocks.append(f"![media]({ref})")
+        blocks.extend(f"![media]({ref})" for _, ref in trailing)
         mds.append("\n\n".join(blocks))
         errors.append(None)
     return mds, errors

@@ -176,7 +176,9 @@ _FRAMESET_FLIP = frozenset(
 # anything needing the slow in-body start path
 _SLOW_START = (
     _SPECIAL_START | _FORMATTING | _MARKER_TAGS | _TABLE_STRUCT
-    | frozenset({"frameset", "image", "button", "rb", "rtc", "rt", "rp"})
+    | frozenset(
+        {"frameset", "frame", "image", "button", "rb", "rtc", "rt", "rp"}
+    )
 )
 
 # "generate implied end tags" set (WHATWG 13.2.6.3)
@@ -1004,6 +1006,11 @@ class _Builder:
     def _mode_in_body(self, tok) -> bool:
         kind = tok[0]
         if kind == "text":
+            # the flip also lives in feed()'s fast path; this covers
+            # tokens routed here by the mode machine (first body token,
+            # reprocess from other modes)
+            if self._frameset_ok and tok[1].strip(_WS):
+                self._frameset_ok = False
             self._insert_text_in_body(tok[1])
             return True
         if kind == "comment":
@@ -1018,6 +1025,13 @@ class _Builder:
                 # exactly as an <img> start tag
                 name = "img"
                 tok = ("start", "img", attrs, tok[3])
+            if self._frameset_ok and name in _FRAMESET_FLIP and not (
+                name == "input"
+                and attrs.get("type", "").lower() == "hidden"
+            ):
+                # covers mode-machine-routed starts (feed()'s fast-path
+                # flip never saw them) and the <image> -> img rename
+                self._frameset_ok = False
             if name not in _SELECT_SAFE and self._in_select():
                 # WHATWG "in select": most start tags are ignored
                 # (parse error); input/keygen/textarea/select imply
@@ -1110,6 +1124,10 @@ class _Builder:
                     self.stack.pop()
                 self._insert_element("frameset", attrs)
                 self.mode = "in_frameset"
+                return True
+            if name == "frame":
+                # spec "in body": <frame> is in the caption/col/td/...
+                # ignore list (parse error, ignore)
                 return True
             if name in ("rb", "rtc", "rt", "rp"):
                 # spec ruby rules: with a ruby in scope, open rb/rt/rp
@@ -1303,13 +1321,16 @@ class _Builder:
                 return True
             if name == "form" and not self._in_template():
                 # spec </form> (no template open): clear the form
-                # pointer, then REMOVE that element from the stack
-                # without popping anything above it
+                # pointer; if the element is in scope, generate implied
+                # end tags (pop open p/li/dd/...) then REMOVE it from
+                # the stack without popping anything else above it
                 node, self._form = self._form, None
                 if node is None:
                     return True
                 for e in reversed(self.stack):
                     if e is node:
+                        while self.stack[-1].tag in _IMPLIED_END:
+                            self.stack.pop()
                         self.stack.remove(node)
                         return True
                     if e.tag in _SCOPE_BOUNDARY:

@@ -1415,10 +1415,10 @@ WITH urls AS (
   FROM parts
 ), norm AS (
   SELECT doc_id, scheme,
-         regexp_replace(lower(regexp_replace(hostpath, '/.*$', '')),
-                        ':(443|80)$', '') AS host,
-         regexp_replace(regexp_replace(hostpath, '^[^/]*', ''),
-                        '/+$', '') AS path,
+         regexp_replace(lower(regexp_replace(hostpath, '/.*$', '', 'g')),
+                        ':(443|80)$', '', 'g') AS host,
+         regexp_replace(regexp_replace(hostpath, '^[^/]*', '', 'g'),
+                        '/+$', '', 'g') AS path,
          array_to_string(
            list_sort(list_filter(string_split(query, '&'),
                                  p -> substr(p, 1, 4) != 'utm_')),
