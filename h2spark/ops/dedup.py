@@ -1638,3 +1638,68 @@ ORACLE_DEDUP_CLUSTERS = _oracle_clusters()
 
 QUERIES["dedup_clusters"] = q_dedup_clusters
 ORACLES["dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
+
+
+# --- cluster representative selection (which copy to keep) --------------
+
+from h2spark.ops.textstats import ORACLE_QUALITY as ORACLE_QUALITY_REF  # noqa: E402
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick the document to KEEP from every duplicate cluster: highest
+    quality score (textstats), ties broken by lowest doc_id — the
+    decision step that turns dedup clustering into an actual corpus
+    filter. Quality is the 4dp-rounded score, so the argmax is
+    deterministic across engines.
+
+    Scale shape: the cluster table is duplicates-only (≪ corpus), so
+    the quality join and the per-cluster window both run on the small
+    side; the corpus itself never shuffles here.
+    """
+    from pyspark.sql import Window
+
+    from h2spark.ops.textstats import q_quality_score
+
+    clusters = q_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    keep = (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_doc_id"))
+    )
+    return (
+        joined.join(keep, "cluster_id")
+        .select(
+            "doc_id", "cluster_id", "quality", "keep_doc_id",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH c AS ({ORACLE_DEDUP_CLUSTERS}),
+q AS ({ORACLE_QUALITY_REF}),
+j AS (
+  SELECT c.doc_id, c.cluster_id, q.quality FROM c JOIN q USING (doc_id)
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+  ) AS rk FROM j
+), k AS (
+  SELECT cluster_id, doc_id AS keep_doc_id FROM r WHERE rk = 1
+)
+SELECT j.doc_id, j.cluster_id, j.quality, k.keep_doc_id,
+       j.doc_id = k.keep_doc_id AS is_kept
+FROM j JOIN k USING (cluster_id)
+ORDER BY j.doc_id
+"""
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST
