@@ -64,11 +64,22 @@ def _inline(el: Element, out: list) -> None:
             out.append(_inline_run(ch))
 
 
+def _strip_breaks(s: str) -> str:
+    """Drop meaningless hard breaks at block edges (a ``<br>`` with no
+    content after it renders as a stray blank line otherwise)."""
+    while s.startswith("  \n"):
+        s = s[3:]
+    while s.endswith("  \n") or s.endswith(" "):
+        s = s[:-3] if s.endswith("  \n") else s[:-1]
+    return s
+
+
 def _inline_str(el: Element) -> str:
     parts: list = []
     _inline(el, parts)
     s = _WS_RUN.sub(" ", "".join(parts)).strip()
-    return s.replace("\x00BR\x00", "  \n").replace("  \n ", "  \n")
+    s = s.replace("\x00BR\x00", "  \n").replace("  \n ", "  \n")
+    return _strip_breaks(s)
 
 
 def _render_list(el: Element, depth: int, blocks: list) -> None:
@@ -138,7 +149,8 @@ def _render(el: Element, blocks: list) -> None:
         if pending:
             s = _WS_RUN.sub(" ", "".join(pending)).strip()
             s = s.replace("\x00BR\x00 ", "  \n").replace("\x00BR\x00", "  \n")
-            if s:
+            s = _strip_breaks(s)
+            if s.strip():
                 blocks.append(s)
             pending.clear()
 

@@ -194,3 +194,32 @@ def test_structural_tag_soup_tree_is_consistent(seed):
 
     walk(root)
     root.text_contents()  # traversal safe
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(0, 10**9))
+def test_markdown_renderer_never_raises_on_tag_soup(seed):
+    """html_to_markdown over random structural soup: never raises,
+    returns a string with no stray block separators (no 3+ newlines,
+    no leading/trailing blank lines)."""
+    import random as _random
+
+    from h2spark.core.markdown import html_to_markdown
+
+    rng = _random.Random(seed)
+    parts = []
+    for _ in range(rng.randint(1, 30)):
+        t = rng.choice(_SOUP_TAGS)
+        r = rng.random()
+        if r < 0.4:
+            parts.append(f"<{t}>")
+        elif r < 0.7:
+            parts.append(f"</{t}>")
+        elif r < 0.9:
+            parts.append(rng.choice(["x y", " ", "a&amp;b", "\n", "z"]))
+        else:
+            parts.append(f'<{t} href="/h" src="/s" alt="a">')
+    out = html_to_markdown("".join(parts))
+    assert isinstance(out, str)
+    assert "\n\n\n" not in out
+    assert out == out.strip("\n")
