@@ -50,6 +50,7 @@ def _all_modules():
         pdftext,
         relational,
         roundtrip,
+        tableextract,
         similarity,
         textstats,
     )
@@ -57,7 +58,7 @@ def _all_modules():
     return (
         flagship, golden_e2e, markdown, roundtrip, boilerplate,
         relational, textstats, dedup, similarity, curation, multimodal,
-        pdftext,
+        pdftext, tableextract,
     )
 
 

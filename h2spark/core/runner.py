@@ -324,6 +324,28 @@ def markdown_spans_batch(items) -> tuple:
     return mds, errors
 
 
+def tables_batch(items) -> tuple:
+    """Row loop for HTML -> table-records extraction: each row yields
+    a list of (table_idx, row_idx, col_idx, cell) tuples."""
+    from h2spark.core.tables import extract_tables
+
+    recs: list = []
+    errors: list = []
+    for item in items:
+        if item is None:
+            recs.append(None)
+            errors.append("document error: null input")
+            continue
+        recs.append(
+            [
+                {"table_idx": t, "row_idx": r, "col_idx": c, "cell": s}
+                for t, r, c, s in extract_tables(item)
+            ]
+        )
+        errors.append(None)
+    return recs, errors
+
+
 def main_text_batch(cs_unused, items, from_html: bool):
     """Row loop for boilerplate-strip: spans/html -> main-content text.
 

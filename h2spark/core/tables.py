@@ -1,0 +1,63 @@
+"""HTML table -> structured rows extraction.
+
+Table understanding is a standard training-data task: turn each
+``<table>`` in a document into (table_idx, row_idx, col_idx, cell)
+records over the real parser — inheriting its table normalization
+(implied tbody/tr, foster-parented junk already moved out, captions
+excluded). Nested tables are separate records: a row belongs to its
+NEAREST ancestor table only.
+
+No pyspark/pandas imports (core-module rule).
+"""
+
+from __future__ import annotations
+
+import re
+
+from h2spark.core.dom import Element
+from h2spark.core.treebuilder import parse_document
+
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+
+
+def _cell_text(el: Element) -> str:
+    return _WS_RUN.sub(" ", "".join(el.text_contents())).strip()
+
+
+def table_rows(tbl: Element) -> list[list[str]]:
+    """All rows of ``tbl`` (not of nested tables), as cell-text lists.
+    Walks thead/tbody/tfoot/tr; caption content is excluded."""
+    rows: list[list[str]] = []
+
+    def walk(e: Element) -> None:
+        for ch in e.children:
+            if type(ch) is not Element:
+                continue
+            tag = ch.tag
+            if tag == "tr":
+                cells = [
+                    _cell_text(c)
+                    for c in ch.children
+                    if type(c) is Element and c.tag in ("td", "th")
+                ]
+                if cells:
+                    rows.append(cells)
+            elif tag in ("thead", "tbody", "tfoot"):
+                walk(ch)
+
+    walk(tbl)
+    return rows
+
+
+def extract_tables(html: str) -> list[tuple[int, int, int, str]]:
+    """(table_idx, row_idx, col_idx, cell) records for every table in
+    document order; table_idx counts tables in pre-order."""
+    root = parse_document(html).root_element()
+    out: list[tuple[int, int, int, str]] = []
+    for t_idx, tbl in enumerate(
+        el for el in root.iter_descendants() if el.tag == "table"
+    ):
+        for r_idx, row in enumerate(table_rows(tbl)):
+            for c_idx, cell in enumerate(row):
+                out.append((t_idx, r_idx, c_idx, cell))
+    return out

@@ -1,0 +1,77 @@
+"""HTML-table understanding as a table-scale, SQL-provable query.
+
+Turn every ``<table>`` in a document into structured
+(table_idx, row_idx, col_idx, cell) records through the real parser —
+the training-data task behind table-QA / table-to-text corpora. Same
+roundtrip trick as ops/roundtrip.py and ops/markdown.py: the page is
+synthesized from ``documents`` columns in SQL (two tables per doc —
+one with thead/th structure and one messy implied-tbody one), so the
+DuckDB oracle re-derives the exact expected records declaratively.
+The parser must imply tbody/tr correctly, keep caption content out of
+cells, and number the tables in document order for the hash to match.
+
+Scale shape: one scan, one Arrow-batched UDF, one explode — no
+shuffle except the final orderBy's range partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.pipeline.kernel import make_tables_udf
+
+
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.col("text"), " ")
+    w1, w2, w3 = w.getItem(0), w.getItem(1), w.getItem(2)
+    html = F.concat(
+        F.lit("<html><body><h1>t</h1>"
+              "<table><caption>skip me</caption>"
+              "<thead><tr><th>k</th><th>v</th></tr></thead>"
+              "<tbody><tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>source</td><td>"), F.col("source"),
+        F.lit("</td></tr></tbody></table>"
+              "<p>between</p>"
+              "<table><tr><td>"), w1, F.lit("</td><td>"), w2,
+        F.lit("<tr><td>"), w3, F.lit("</table></body></html>"),
+    )
+    udf = make_tables_udf()
+    out = d.select("doc_id", udf(html).alias("o"))
+    return (
+        out.select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.table_idx").alias("table_idx"),
+            F.col("c.row_idx").alias("row_idx"),
+            F.col("c.col_idx").alias("col_idx"),
+            F.col("c.cell").alias("cell"),
+        )
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    )
+
+
+ORACLE_TABLE_EXTRACT = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2,
+         string_split(text, ' ')[3] AS w3
+  FROM documents
+)
+SELECT doc_id, table_idx, row_idx, col_idx, cell FROM (
+  SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx, 'k' AS cell FROM w
+  UNION ALL SELECT doc_id, 0, 0, 1, 'v' FROM w
+  UNION ALL SELECT doc_id, 0, 1, 0, 'lang' FROM w
+  UNION ALL SELECT doc_id, 0, 1, 1, lang FROM w
+  UNION ALL SELECT doc_id, 0, 2, 0, 'source' FROM w
+  UNION ALL SELECT doc_id, 0, 2, 1, source FROM w
+  UNION ALL SELECT doc_id, 1, 0, 0, w1 FROM w
+  UNION ALL SELECT doc_id, 1, 0, 1, w2 FROM w
+  UNION ALL SELECT doc_id, 1, 1, 0, w3 FROM w
+)
+ORDER BY doc_id, table_idx, row_idx, col_idx
+"""
+
+QUERIES = {"table_extract": q_table_extract}
+ORACLES = {"table_extract": ORACLE_TABLE_EXTRACT}

@@ -109,6 +109,22 @@ def make_markdown_udf(input_kind: str = "html"):
     return to_markdown
 
 
+def make_tables_udf():
+    """UDF: html -> struct<cells:array<struct<...>>, error:string> —
+    per-document HTML-table record extraction."""
+    from h2spark.core.runner import tables_batch
+
+    @pandas_udf(
+        "struct<cells:array<struct<table_idx:int,row_idx:int,"
+        "col_idx:int,cell:string>>, error:string>"
+    )
+    def to_tables(col: pd.Series) -> pd.DataFrame:
+        recs, errors = tables_batch(col)
+        return pd.DataFrame({"cells": recs, "error": errors})
+
+    return to_tables
+
+
 def make_main_text_udf(input_kind: str = "spans"):
     """UDF: spans (or html) -> struct<main_text, error> — the generic
     DOM-heuristic boilerplate stripper (no spec required)."""

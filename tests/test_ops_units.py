@@ -494,3 +494,37 @@ def test_arrow_mapper_handles_sliced_batches_and_nulls():
     assert 'mismatched number of selected elements by "h1"' in errors[2]
     assert errors[3] is None
     assert [s["text"] for s in spans_out[3]] == ["four"]
+
+
+def test_table_extract_nested_and_caption():
+    from h2spark.core.tables import extract_tables
+
+    recs = extract_tables(
+        "<table><caption>cap</caption>"
+        "<tr><td>a</td><td><table><tr><td>inner</td></tr></table></td></tr>"
+        "</table>"
+    )
+    # outer table rows exclude the nested table's ROWS, but the outer
+    # cell's text includes the nested content (text_contents semantics);
+    # caption text never becomes a cell
+    by_table = {}
+    for t, r, c, cell in recs:
+        by_table.setdefault(t, []).append((r, c, cell))
+    assert by_table[0] == [(0, 0, "a"), (0, 1, "inner")]
+    assert by_table[1] == [(0, 0, "inner")]
+    assert not any(cell == "cap" for _, _, _, cell in recs)
+
+
+def test_table_extract_ragged_and_th():
+    from h2spark.core.tables import extract_tables
+
+    recs = extract_tables(
+        "<table><tr><th>h1</th><th>h2</th><tr><td>only"
+    )
+    assert recs == [(0, 0, 0, "h1"), (0, 0, 1, "h2"), (0, 1, 0, "only")]
+
+
+def test_table_extract_no_tables():
+    from h2spark.core.tables import extract_tables
+
+    assert extract_tables("<p>nothing</p>") == []
