@@ -45,6 +45,7 @@ def _all_modules():
         dedup,
         flagship,
         golden_e2e,
+        links,
         markdown,
         multimodal,
         pdftext,
@@ -56,7 +57,7 @@ def _all_modules():
     )
 
     return (
-        flagship, golden_e2e, markdown, roundtrip, boilerplate,
+        flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
         relational, textstats, dedup, similarity, curation, multimodal,
         pdftext, tableextract,
     )

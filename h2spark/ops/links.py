@@ -1,0 +1,124 @@
+"""Link-graph extraction — the crawl-pipeline operator family.
+
+Outlinks and anchor text are the backbone of crawl frontiers, link-
+graph features and anchor-text training corpora. Extraction runs
+through the REAL spec engine (a declarative ``Vec`` field over
+``a``/``a[href]`` — operator #19/#21 exercised at table scale), then
+pure-relational rollups. Roundtrip-oracled like ops/roundtrip.py: the
+page is synthesized from ``documents`` columns in SQL, so DuckDB can
+re-derive the expected edges declaratively.
+
+Scale shapes: link extraction is scan -> Arrow UDF -> explode (no
+shuffle); the domain rollup is one groupBy on the host string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.core.spec import VEC, Attr, Field, Scalar, StructSpec
+from h2spark.pipeline.kernel import make_extract_typed_udf
+
+_LINK_SPEC = StructSpec(
+    "Links",
+    [
+        Field("hrefs", Scalar("String"), VEC, select="a", attr="href"),
+        Field("anchors", Scalar("String"), VEC, select="a"),
+    ],
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _page(d: DataFrame):
+    """Three links per document, synthesized from SQL columns."""
+    grp = (F.col("doc_id") % 97).cast("long")
+    alt = (F.col("doc_id") % 7).cast("long")
+    return F.concat(
+        F.lit('<html><body><p>see <a href="https://example.com/p/'), grp,
+        F.lit('">'), F.col("source"), F.lit("</a> and "),
+        F.lit('<a href="https://other.net/'), F.col("lang"), F.lit('">'),
+        F.col("lang"), F.lit("</a> plus "),
+        F.lit('<a href="https://example.com/q/'), alt, F.lit('">q'), alt,
+        F.lit("</a>.</p></body></html>"),
+    )
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, link_idx, href, anchor) edges in document order."""
+    d = _docs(spark, sf_dir)
+    udf = make_extract_typed_udf(_LINK_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(_page(d)).alias("o"))
+    z = F.arrays_zip(F.col("o.value.hrefs"), F.col("o.value.anchors"))
+    return (
+        out.select("doc_id", F.posexplode(z).alias("link_idx", "l"))
+        .select(
+            "doc_id",
+            "link_idx",
+            F.col("l.hrefs").alias("href"),
+            F.col("l.anchors").alias("anchor"),
+        )
+        .orderBy("doc_id", "link_idx")
+    )
+
+
+ORACLE_LINK_EXTRACT = """
+SELECT doc_id, link_idx, href, anchor FROM (
+  SELECT doc_id, 0 AS link_idx,
+         'https://example.com/p/' || (doc_id % 97) AS href,
+         source AS anchor
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'https://other.net/' || lang, lang FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'https://example.com/q/' || (doc_id % 7),
+         'q' || (doc_id % 7)
+  FROM documents
+)
+ORDER BY doc_id, link_idx
+"""
+
+
+def q_domain_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink rollup per target host: edge count, distinct source
+    docs, distinct target URLs — the link-graph summary a crawl
+    scheduler consumes. Built ON the extracted edges (the UDF output),
+    not on the synthesized columns, so the engine stays in the loop."""
+    edges = q_link_extract(spark, sf_dir)
+    host = F.regexp_replace(
+        F.regexp_replace(F.col("href"), "^[a-z]+://", ""), "/.*$", ""
+    )
+    return (
+        edges.select("doc_id", "href", host.alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_src_docs"),
+            F.countDistinct("href").cast("long").alias("n_urls"),
+        )
+        .orderBy("host")
+    )
+
+
+ORACLE_DOMAIN_OUTLINKS = f"""
+WITH edges AS ({ORACLE_LINK_EXTRACT.replace("ORDER BY doc_id, link_idx", "")})
+SELECT regexp_replace(regexp_replace(href, '^[a-z]+://', '', 'g'),
+                      '/.*$', '', 'g') AS host,
+       count(*)::BIGINT AS n_links,
+       count(DISTINCT doc_id)::BIGINT AS n_src_docs,
+       count(DISTINCT href)::BIGINT AS n_urls
+FROM edges
+GROUP BY 1
+ORDER BY host
+"""
+
+QUERIES = {
+    "link_extract": q_link_extract,
+    "domain_outlinks": q_domain_outlinks,
+}
+ORACLES = {
+    "link_extract": ORACLE_LINK_EXTRACT,
+    "domain_outlinks": ORACLE_DOMAIN_OUTLINKS,
+}
