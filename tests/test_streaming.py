@@ -266,3 +266,55 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = spark.read.parquet(f"{out_dir}/data").collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [0, 1, 2]
+
+
+def test_streaming_markdown_and_tables_kernels(spark, tmp_path):
+    """The round-4 kernels (markdown render, table extraction) run
+    unchanged inside Structured Streaming micro-batches and match the
+    batch result — pandas UDFs over a readStream source."""
+    from h2spark.pipeline.kernel import make_markdown_udf, make_tables_udf
+
+    in_dir = str(tmp_path / "md_in")
+    htmls = [
+        (i, f"<h1>Doc {i}</h1><p>body <b>{i}</b></p>"
+            f"<table><tr><td>a{i}</td><td>b{i}</td></tr></table>")
+        for i in range(12)
+    ]
+    spark.createDataFrame(htmls, "doc_id long, html string").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    md_udf = make_markdown_udf()
+    tb_udf = make_tables_udf()
+
+    stream = (
+        spark.readStream.schema("doc_id long, html string").parquet(in_dir)
+        .select(
+            "doc_id",
+            md_udf(F.col("html")).alias("m"),
+            tb_udf(F.col("html")).alias("t"),
+        )
+        .select(
+            "doc_id", F.col("m.markdown").alias("markdown"),
+            F.size("t.cells").alias("n_cells"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("md_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["markdown"], r["n_cells"])
+        for r in spark.sql("select * from md_stream").collect()
+    }
+    assert len(got) == 12
+    for i, _ in htmls:
+        md, n_cells = got[i]
+        assert md == (
+            f"# Doc {i}\n\nbody **{i}**\n\n"
+            f"| a{i} | b{i} |\n| --- | --- |"
+        )
+        assert n_cells == 2
