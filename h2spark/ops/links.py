@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from h2spark.core.spec import VEC, Attr, Field, Scalar, StructSpec
+from h2spark.core.spec import VEC, Field, Scalar, StructSpec
 from h2spark.pipeline.kernel import make_extract_typed_udf
 
 _LINK_SPEC = StructSpec(
@@ -122,3 +122,95 @@ ORACLES = {
     "link_extract": ORACLE_LINK_EXTRACT,
     "domain_outlinks": ORACLE_DOMAIN_OUTLINKS,
 }
+
+
+# --- PageRank (iterative link analysis) ---------------------------------
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic doc->doc graph (each document
+    links to two arithmetic targets; every node has out-degree 2, so
+    there is no dangling mass). Three synchronous iterations with
+    damping 0.85 — the canonical iterative relational computation,
+    expressed as repeated join+groupBy with the rank vector re-derived
+    per round (lineage stays 3 deep; a production run at more
+    iterations would checkpoint like duplicate_clusters does).
+
+    The oracle unrolls the same three iterations in SQL; ranks are
+    rounded to 6dp (per-engine float-sum association differs at 1e-16).
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    n_df = F.broadcast(d.agg(F.count("*").cast("long").alias("n")))
+    docs = d.crossJoin(n_df)
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 13) % F.col("n")).alias("dst"),
+    ).union(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + 5) % F.col("n")).alias("dst"),
+        )
+    )
+    ranks = docs.select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / 2.0).alias("s"))
+        )
+        ranks = (
+            docs.join(contrib, docs.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        "doc_id", F.round("rank", 6).alias("pagerank")
+    ).orderBy("doc_id")
+
+
+def _oracle_pagerank() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        rounds.append(f"""
+c{k} AS (
+  SELECT e.dst AS doc_id, sum({prev}.rank / 2.0) AS s
+  FROM e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY 1
+), r{k} AS (
+  SELECT d.doc_id,
+         {1.0 - _PR_DAMP} / (SELECT n FROM nn)
+         + {_PR_DAMP} * coalesce(c{k}.s, 0.0) AS rank
+  FROM documents d LEFT JOIN c{k} USING (doc_id)
+)""")
+        prev = f"r{k}"
+    return f"""
+WITH nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+e AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (doc_id * 31 + 5) % (SELECT count(*) FROM documents)
+  FROM documents
+),
+r0 AS (SELECT doc_id, 1.0 / (SELECT n FROM nn) AS rank FROM documents),
+{",".join(rounds)}
+SELECT doc_id, round(rank, 6) AS pagerank FROM {prev} ORDER BY doc_id
+"""
+
+
+ORACLE_LINK_PAGERANK = _oracle_pagerank()
+
+QUERIES["link_pagerank"] = q_link_pagerank
+ORACLES["link_pagerank"] = ORACLE_LINK_PAGERANK
