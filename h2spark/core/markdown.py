@@ -75,11 +75,14 @@ def _strip_breaks(s: str) -> str:
 
 
 def _inline_str(el: Element) -> str:
+    """Inline rendering WITHOUT edge-break stripping: a <br> at the
+    edge of a nested inline element must degrade to a separator in the
+    enclosing run (the outer collapse handles it), never vanish.
+    Block constructors apply ``_strip_breaks`` themselves."""
     parts: list = []
     _inline(el, parts)
     s = _WS_RUN.sub(" ", "".join(parts)).strip()
-    s = s.replace("\x00BR\x00", "  \n").replace("  \n ", "  \n")
-    return _strip_breaks(s)
+    return s.replace("\x00BR\x00", "  \n").replace("  \n ", "  \n")
 
 
 def _render_list(el: Element, depth: int, blocks: list) -> None:
@@ -101,7 +104,7 @@ def _render_list(el: Element, depth: int, blocks: list) -> None:
                 sublists.append(g)
             else:
                 wrapper.children.append(g)
-        text = _inline_str(wrapper)
+        text = _strip_breaks(_inline_str(wrapper))
         lines.append(f"{pad}{marker}{text}")
         for sub in sublists:
             sub_blocks: list = []
@@ -112,24 +115,11 @@ def _render_list(el: Element, depth: int, blocks: list) -> None:
 
 
 def _render_table(el: Element, blocks: list) -> None:
-    rows: list = []
-    def collect(e):
-        for ch in e.children:
-            if type(ch) is not Element:
-                continue
-            if ch.tag == "tr":
-                cells = [
-                    _inline_str(c)
-                    for c in ch.children
-                    if type(c) is Element and c.tag in ("td", "th")
-                ]
-                if cells:
-                    rows.append(cells)
-            elif ch.tag in ("thead", "tbody", "tfoot", "caption"):
-                if ch.tag == "caption":
-                    continue
-                collect(ch)
-    collect(el)
+    from h2spark.core.tables import table_rows
+
+    rows = table_rows(
+        el, cell_fn=lambda c: _strip_breaks(_inline_str(c))
+    )
     if not rows:
         return
     width = max(len(r) for r in rows)
@@ -168,7 +158,7 @@ def _render(el: Element, blocks: list) -> None:
             continue
         if tag in _HEADINGS:
             flush()
-            text = _inline_str(ch)
+            text = _strip_breaks(_inline_str(ch))
             if text:
                 blocks.append("#" * _HEADINGS[tag] + " " + text)
         elif tag in ("ul", "ol"):

@@ -24,9 +24,14 @@ def _cell_text(el: Element) -> str:
     return _WS_RUN.sub(" ", "".join(el.text_contents())).strip()
 
 
-def table_rows(tbl: Element) -> list[list[str]]:
-    """All rows of ``tbl`` (not of nested tables), as cell-text lists.
-    Walks thead/tbody/tfoot/tr; caption content is excluded."""
+def table_rows(tbl: Element, cell_fn=None) -> list[list[str]]:
+    """All rows of ``tbl`` (not of nested tables), as cell lists.
+    Walks thead/tbody/tfoot/tr; caption content is excluded. The ONE
+    row-walk shared by table extraction and the Markdown pipe-table
+    renderer — ``cell_fn`` maps a td/th element to its cell value
+    (default: whitespace-collapsed text)."""
+    if cell_fn is None:
+        cell_fn = _cell_text
     rows: list[list[str]] = []
 
     def walk(e: Element) -> None:
@@ -36,7 +41,7 @@ def table_rows(tbl: Element) -> list[list[str]]:
             tag = ch.tag
             if tag == "tr":
                 cells = [
-                    _cell_text(c)
+                    cell_fn(c)
                     for c in ch.children
                     if type(c) is Element and c.tag in ("td", "th")
                 ]

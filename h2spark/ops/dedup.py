@@ -1665,19 +1665,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
     joined = clusters.join(quality, "doc_id")
+    # one window pass: the partition's first row IS the keeper (no
+    # keep-table self-join / second shuffle)
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )
-    keep = (
-        joined.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("cluster_id", F.col("doc_id").alias("keep_doc_id"))
-    )
     return (
-        joined.join(keep, "cluster_id")
-        .select(
-            "doc_id", "cluster_id", "quality", "keep_doc_id",
-            (F.col("doc_id") == F.col("keep_doc_id")).alias("is_kept"),
+        joined.select(
+            "doc_id", "cluster_id", "quality",
+            F.first("doc_id").over(w).alias("keep_doc_id"),
+            (F.row_number().over(w) == 1).alias("is_kept"),
         )
         .orderBy("doc_id")
     )

@@ -133,7 +133,10 @@ _PR_DAMP = 0.85
 def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over a deterministic doc->doc graph (each document
     links to two arithmetic targets; every node has out-degree 2, so
-    there is no dangling mass). Three synchronous iterations with
+    there is no dangling mass — NOTE this relies on doc_id being the
+    dense 0..n-1 sequence the corpus tables use; a sparse id space
+    would need a row_number remap first or arithmetic targets would
+    miss real nodes and leak rank mass). Three synchronous iterations with
     damping 0.85 — the canonical iterative relational computation,
     expressed as repeated join+groupBy with the rank vector re-derived
     per round (lineage stays 3 deep; a production run at more

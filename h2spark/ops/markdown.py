@@ -37,6 +37,9 @@ def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
+    # docs with <3 words would make the concat NULL while the oracle
+    # still emits rows; both sides filter identically
+    d = d.where(F.size(w) >= 3)
     w1, w2, w3 = w.getItem(0), w.getItem(1), w.getItem(2)
     html = F.concat(
         F.lit("<html><body><h1>Doc "), F.col("doc_id"), F.lit("</h1>"),
@@ -88,6 +91,7 @@ FROM (
          string_split(text, ' ')[2] AS w2,
          string_split(text, ' ')[3] AS w3
   FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
 )
 ORDER BY doc_id
 """
@@ -102,6 +106,7 @@ def q_interleaved_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
+    d = d.where(F.size(w) >= 2)  # NULL-word guard, mirrored in oracle
     w1, w2 = w.getItem(0), w.getItem(1)
     page = F.concat(
         F.lit("<h1>Doc "), F.col("doc_id"), F.lit("</h1><p>"),
@@ -143,6 +148,7 @@ FROM (
          string_split(text, ' ')[1] AS w1,
          string_split(text, ' ')[2] AS w2
   FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
 )
 ORDER BY doc_id
 """

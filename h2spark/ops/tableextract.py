@@ -24,6 +24,9 @@ from h2spark.pipeline.kernel import make_tables_udf
 def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = F.split(F.col("text"), " ")
+    # <3-word docs would NULL the concat while the oracle still emits
+    # their 9 rows; both sides filter identically
+    d = d.where(F.size(w) >= 3)
     w1, w2, w3 = w.getItem(0), w.getItem(1), w.getItem(2)
     html = F.concat(
         F.lit("<html><body><h1>t</h1>"
@@ -58,6 +61,7 @@ WITH w AS (
          string_split(text, ' ')[2] AS w2,
          string_split(text, ' ')[3] AS w3
   FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
 )
 SELECT doc_id, table_idx, row_idx, col_idx, cell FROM (
   SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx, 'k' AS cell FROM w

@@ -160,3 +160,10 @@ def test_spans_markdown_null_row():
 
     mds, errs = markdown_spans_batch([None])
     assert mds == [None] and errs == ["document error: null input"]
+
+
+def test_nested_inline_trailing_br_degrades_to_separator():
+    # a <br> at the edge of a nested inline element must not vanish:
+    # the outer run's whitespace collapse turns it into a separator
+    assert md("<p>line1 <b>x<br></b>line2</p>") == "line1 **x **line2"
+    assert md("<p>a <em>e<br></em>after</p>") == "a *e *after"
