@@ -174,3 +174,66 @@ ORDER BY lang, sample_rank
 
 QUERIES["corpus_stratified_sample"] = q_stratified_sample
 ORACLES["corpus_stratified_sample"] = ORACLE_STRATIFIED_SAMPLE
+
+
+# --- training sequence packing ------------------------------------------
+
+_PACK_BLOCK = 512  # tokens per packed training sequence
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents in deterministic
+    order and chunk into fixed 512-token training sequences — each doc
+    gets the sequence id and offset where its tokens start (docs may
+    straddle a boundary; the consumer splits there). Packing is per
+    language shard, the realistic unit (a global order would serialize
+    the window at 10^12 docs; per-shard windows parallelize).
+    """
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(n_tokens).over(w) - n_tokens).alias("start")
+    return (
+        d.select(
+            "doc_id", "lang", n_tokens.alias("n_tokens"), start
+        )
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.floor(F.col("start") / _PACK_BLOCK).cast("long").alias(
+                "seq_id"
+            ),
+            (F.col("start") % _PACK_BLOCK).cast("long").alias(
+                "seq_offset"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+SELECT doc_id, lang, n_tokens,
+       (start // {_PACK_BLOCK})::BIGINT AS seq_id,
+       (start % {_PACK_BLOCK})::BIGINT AS seq_offset
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS start
+  FROM (
+    SELECT doc_id, lang,
+           len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+  )
+)
+ORDER BY doc_id
+"""
+
+QUERIES["training_sequence_packing"] = q_sequence_packing
+ORACLES["training_sequence_packing"] = ORACLE_SEQUENCE_PACKING

@@ -505,3 +505,70 @@ ORACLES = {
     "ann_bruteforce_topk": ORACLE_ANN_BRUTEFORCE,
     "ann_ivf_topk": ORACLE_ANN_IVF,
 }
+
+
+# --- embedding int8 quantization ----------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage transform that shrinks a 100 TB float corpus 4x before
+    ANN indexing. Per-vector absmax scale; values map through
+    floor(v/scale*127 + 0.5) with EXPLICIT double casts so the Spark
+    and DuckDB arithmetic is bit-identical (float->double conversion
+    and each IEEE op are exact in both engines). Zero vectors keep
+    scale 0 and an all-zero code.
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v))
+    ).cast("double")
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    qvec = F.when(
+        absmax == 0.0,
+        F.transform(F.col("embedding"), lambda v: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(
+                v.cast("double") / (absmax / F.lit(127.0)) + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.round(scale, 9).alias("scale"),
+            # comma-joined code string: array cells don't survive the
+            # driver's value-hash comparator
+            F.array_join(
+                F.transform(qvec, lambda q: q.cast("string")), ","
+            ).alias("qvec"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+SELECT vec_id,
+       round(absmax / 127.0, 9) AS scale,
+       array_to_string(
+         CASE WHEN absmax = 0.0
+              THEN list_transform(embedding, v -> '0')
+              ELSE list_transform(
+                embedding,
+                v -> CAST(CAST(floor(v::DOUBLE / (absmax / 127.0) + 0.5)
+                               AS INT) AS VARCHAR)
+              )
+         END, ',') AS qvec
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(v)))::DOUBLE
+           AS absmax
+  FROM embeddings
+)
+ORDER BY vec_id
+"""
+
+QUERIES["embedding_quantize"] = q_embedding_quantize
+ORACLES["embedding_quantize"] = ORACLE_EMBEDDING_QUANTIZE
