@@ -118,6 +118,15 @@ class CssSelector:
                         fast = ("tag", cp.tag, None)
                     elif len(cp.classes) == 1:
                         fast = ("class", cp.tag, cp.classes[0])
+            elif len(c.compounds) == 2 and c.combinators[0] == ">":
+                # "X > t" with a bare rightmost tag: inline tag check +
+                # one parent compound match (h2 > a, ul > li, .x > div)
+                r = c.compounds[0]
+                if (
+                    r.tag is not None and not r.ids and not r.classes
+                    and not r.attrs and not r.pseudos
+                ):
+                    fast = ("child", r.tag, c.compounds[1])
         self._fast = fast
 
     @classmethod
@@ -151,6 +160,16 @@ class CssSelector:
                 return [
                     el for el in scope.iter_descendants() if el.tag == t
                 ]
+            if kind == "child":
+                out = []
+                append = out.append
+                for el in scope.iter_descendants():
+                    if el.tag != t:
+                        continue
+                    p = el.parent
+                    if type(p) is Element and _match_compound(klass, p):
+                        append(el)
+                return out
             # single class selector (optionally tag-qualified): exact
             # class="x" equality first, token split only on multi-class
             out = []
