@@ -1,0 +1,238 @@
+"""REAL PNG pixel codec — pure stdlib (zlib + struct), no PIL.
+
+Upgrades the image pixel path from an environment-limited stub to a
+real decoder for the one mainstream format whose compression is in
+the standard library: full chunk walk, concatenated-IDAT inflate,
+scanline unfiltering (all five filter types 0-4 incl. Paeth), 8-bit
+gray / gray+alpha / RGB / RGBA / palette, plus a matching encoder
+(selectable per-row filters, used by tests and the resize path) and
+deterministic nearest-neighbor resampling.
+
+Scope (documented): bit depth 8, interlace 0 (Adam7 rejected), no
+ancillary-chunk interpretation (tRNS/gAMA ignored). PNG spec refs:
+11.2.2 (IHDR), 9 (filters), 13 (decoder conformance).
+
+No pyspark/pandas imports (core-module rule).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (palette expands to 3 on decode)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    pass
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa = abs(p - a)
+    pb = abs(p - b)
+    pc = abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Decode a PNG -> (width, height, channels, pixels).
+
+    ``pixels`` is row-major, ``channels`` interleaved, 8 bits per
+    sample; palette images decode to expanded RGB (channels=3).
+    Raises PngError on malformed or out-of-scope input.
+    """
+    if data[:8] != _SIG:
+        raise PngError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    palette = None
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise PngError("truncated chunk")
+        pos += 12 + length  # skip CRC (not verified; tolerance over strictness)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise PngError("missing IHDR")
+    if bit_depth != 8:
+        raise PngError(f"unsupported bit depth {bit_depth} (only 8)")
+    if interlace != 0:
+        raise PngError("interlaced PNG not supported")
+    if color_type not in _CHANNELS:
+        raise PngError(f"unsupported color type {color_type}")
+    ch = _CHANNELS[color_type]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngError(f"bad IDAT stream: {e}") from None
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise PngError("IDAT size mismatch")
+    out = bytearray(height * stride)
+    prev_off = -stride
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row_off = y * stride
+        line = raw[pos:pos + stride]
+        pos += stride
+        if ftype == 0:  # None
+            out[row_off:row_off + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                a = out[row_off + i - ch] if i >= ch else 0
+                out[row_off + i] = (line[i] + a) & 0xFF
+        elif ftype == 2:  # Up
+            if y == 0:
+                out[row_off:row_off + stride] = line
+            else:
+                up = row_off + prev_off
+                for i in range(stride):
+                    out[row_off + i] = (line[i] + out[up + i]) & 0xFF
+        elif ftype == 3:  # Average
+            up = row_off + prev_off
+            for i in range(stride):
+                a = out[row_off + i - ch] if i >= ch else 0
+                b = out[up + i] if y > 0 else 0
+                out[row_off + i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            up = row_off + prev_off
+            for i in range(stride):
+                a = out[row_off + i - ch] if i >= ch else 0
+                b = out[up + i] if y > 0 else 0
+                c = out[up + i - ch] if (y > 0 and i >= ch) else 0
+                out[row_off + i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {ftype}")
+    if color_type == 3:
+        if palette is None:
+            raise PngError("palette image without PLTE")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            off = idx * 3
+            if off + 3 > len(palette):
+                raise PngError("palette index out of range")
+            rgb[i * 3:i * 3 + 3] = palette[off:off + 3]
+        return width, height, 3, rgb
+    return width, height, ch, out
+
+
+_COLOR_TYPE_FOR_CH = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(
+    width: int, height: int, channels: int, pixels, row_filter=None
+) -> bytes:
+    """Encode 8-bit interleaved pixels as a PNG. ``row_filter`` maps a
+    row index to the filter type to APPLY (default 0/None rows) —
+    tests use it to exercise every unfilter path in decode_png."""
+    if channels not in _COLOR_TYPE_FOR_CH:
+        raise PngError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise PngError("pixel buffer size mismatch")
+    ch = channels
+    raw = bytearray()
+    for y in range(height):
+        f = row_filter(y) if row_filter is not None else 0
+        row = pixels[y * stride:(y + 1) * stride]
+        prev = pixels[(y - 1) * stride:y * stride] if y > 0 else b""
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:  # Up
+            raw += bytes(
+                (row[i] - (prev[i] if prev else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - ch] if i >= ch else 0)
+                            + (prev[i] if prev else 0)) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:  # Paeth
+            raw += bytes(
+                (row[i] - _paeth(
+                    row[i - ch] if i >= ch else 0,
+                    prev[i] if prev else 0,
+                    prev[i - ch] if (prev and i >= ch) else 0,
+                )) & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise PngError(f"unknown filter type {f}")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE_FOR_CH[channels], 0, 0, 0
+    )
+    return (
+        _SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(
+    width: int, height: int, channels: int, pixels,
+    target_w: int, target_h: int,
+) -> bytearray:
+    """Deterministic nearest-neighbor resample: target (x, y) reads
+    source (x * width // target_w, y * height // target_h)."""
+    out = bytearray(target_w * target_h * channels)
+    stride = width * channels
+    tstride = target_w * channels
+    for ty in range(target_h):
+        sy = ty * height // target_h
+        srow = sy * stride
+        trow = ty * tstride
+        for tx in range(target_w):
+            sx = tx * width // target_w
+            so = srow + sx * channels
+            to = trow + tx * channels
+            out[to:to + channels] = pixels[so:so + channels]
+    return out
+
+
+def resize_png(data: bytes, target_w: int, target_h: int) -> bytes:
+    """Decode -> nearest-resample -> re-encode (the CODEC_IMAGE_RESIZE
+    adapter shape: bytes in, bytes out)."""
+    w, h, ch, px = decode_png(data)
+    return encode_png(
+        target_w, target_h, ch, resize_nearest(w, h, ch, px, target_w, target_h)
+    )

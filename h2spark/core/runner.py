@@ -346,6 +346,33 @@ def tables_batch(items) -> tuple:
     return recs, errors
 
 
+def png_pattern_resize_batch(
+    doc_ids, w: int = 6, h: int = 5, tw: int = 3, th: int = 2
+) -> list:
+    """Row loop proving the REAL PNG pixel path end-to-end: build a
+    deterministic grayscale pattern per doc, ENCODE it as a PNG whose
+    rows cycle through all five filter types, DECODE it back (real
+    zlib inflate + unfiltering), nearest-resample, and emit the
+    resized pixel values — which the SQL oracle re-derives from the
+    pattern formula alone. Any encode/unfilter/resample bug breaks
+    the match."""
+    from h2spark.core.pngcodec import decode_png, encode_png, resize_nearest
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        px = bytes(
+            (d * 31 + x * 7 + y * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        data = encode_png(w, h, 1, px, row_filter=lambda y: y % 5)
+        w2, h2, ch, dec = decode_png(data)
+        rz = resize_nearest(w2, h2, ch, dec, tw, th)
+        outs.append(",".join(str(b) for b in rz))
+    return outs
+
+
 def main_text_batch(cs_unused, items, from_html: bool):
     """Row loop for boilerplate-strip: spans/html -> main-content text.
 

@@ -42,13 +42,14 @@ CODEC_PDF_LAYOUT = "pdf.layout"        # bytes -> list of layout blocks
 
 _CODEC_HINTS = {
     CODEC_MEDIA_DECODE: (
-        "media codecs are not available in this environment; "
-        "use decode_media_meta (deterministic fake) instead"
+        "only PNG pixel decode is available without codec libraries "
+        "(stdlib zlib; h2spark.core.pngcodec); other formats need "
+        "PIL — use decode_media_meta / decode_image_dims meanwhile"
     ),
     CODEC_IMAGE_RESIZE: (
-        "image codecs are not available in this environment; "
-        "resize_plan computes the target geometry, the pixel transform "
-        "needs PIL"
+        "only PNG resize is available without codec libraries "
+        "(stdlib zlib; h2spark.core.pngcodec); other formats need "
+        "PIL — resize_plan still computes the target geometry"
     ),
     CODEC_VIDEO_FRAME: (
         "video codecs are not available in this environment; "
@@ -69,17 +70,63 @@ def register_codec(op: str, fn: Callable) -> None:
     ``register_codec(CODEC_IMAGE_RESIZE, pil_resize)``).
 
     The registry lives in the DRIVER process; Python workers re-import
-    this module and see it empty. A DataFrame stage must therefore
-    resolve its adapter at plan-build time — ``fn = get_codec(op)``
-    outside the UDF body — so the adapter travels in the serialized
-    closure (cloudpickle ships the function, not the module state)."""
+    this module and see only the stdlib PNG defaults, not runtime
+    registrations. A DataFrame stage must therefore resolve its adapter
+    at plan-build time — ``fn = get_codec(op)`` outside the UDF body —
+    so the adapter travels in the serialized closure (cloudpickle ships
+    the function, not the module state)."""
     if op not in _CODEC_HINTS:
         raise ValueError(f"unknown codec operation {op!r}")
     _CODEC_REGISTRY[op] = fn
 
 
 def unregister_codec(op: str) -> None:
-    _CODEC_REGISTRY.pop(op, None)
+    """Remove a runtime registration, restoring the stdlib default
+    adapter where one exists (PNG decode/resize)."""
+    default = _CODEC_DEFAULTS.get(op)
+    if default is not None:
+        _CODEC_REGISTRY[op] = default
+    else:
+        _CODEC_REGISTRY.pop(op, None)
+
+
+def _stdlib_png_media_decode(data: bytes) -> dict:
+    """Default CODEC_MEDIA_DECODE adapter: REAL pixel decode for PNG
+    (pure stdlib); anything else raises the environment hint."""
+    from h2spark.core.pngcodec import PngError, decode_png
+
+    try:
+        w, h, ch, px = decode_png(data)
+    except (PngError, IndexError):
+        raise NotImplementedError(
+            _CODEC_HINTS[CODEC_MEDIA_DECODE]
+        ) from None
+    return {
+        "width": w, "height": h, "channels": ch,
+        "n_pixels": w * h, "pixel_sum": sum(px),
+    }
+
+
+def _stdlib_png_resize(data: bytes, size) -> bytes:
+    """Default CODEC_IMAGE_RESIZE adapter: REAL nearest-neighbor
+    resize for PNG (decode -> resample -> re-encode, pure stdlib)."""
+    from h2spark.core.pngcodec import PngError, resize_png
+
+    try:
+        return resize_png(data, int(size[0]), int(size[1]))
+    except (PngError, IndexError):
+        raise NotImplementedError(
+            _CODEC_HINTS[CODEC_IMAGE_RESIZE]
+        ) from None
+
+
+# stdlib PNG adapters install as the defaults (register_codec replaces
+# them; unregister_codec restores them)
+_CODEC_DEFAULTS: dict[str, Callable] = {
+    CODEC_MEDIA_DECODE: _stdlib_png_media_decode,
+    CODEC_IMAGE_RESIZE: _stdlib_png_resize,
+}
+_CODEC_REGISTRY.update(_CODEC_DEFAULTS)
 
 
 def get_codec(op: str) -> Callable:
@@ -777,3 +824,59 @@ FROM bytes ORDER BY doc_ref
 
 QUERIES["pdf_layout_parse"] = q_pdf_layout
 ORACLES["pdf_layout_parse"] = ORACLE_PDF_LAYOUT
+
+
+# --- REAL PNG pixel path (decode -> unfilter -> resample), oracled ------
+
+_PXL_W, _PXL_H, _PXL_TW, _PXL_TH = 6, 5, 3, 2
+
+
+def q_image_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pixel path on genuine PNG bytes: per document, a
+    deterministic 6x5 grayscale pattern is encoded as a PNG whose rows
+    cycle through ALL FIVE filter types, decoded back with the pure-
+    stdlib codec (zlib inflate + unfiltering), and nearest-resampled
+    to 3x2. The oracle re-derives the six resized pixel values from
+    the pattern formula alone — the first fully-oracled REAL
+    pixel-level decode in the multimodal family (upgrading the
+    environment-limited stub boundary for PNG).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import png_pattern_resize_batch
+
+    @pandas_udf("string")
+    def px_udf(ids: pd.Series) -> pd.Series:
+        return pd.Series(png_pattern_resize_batch(ids))
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", px_udf(F.col("doc_id")).alias("resized_pixels"))
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_pixels() -> str:
+    # resized (tx, ty) reads source (tx*W//TW, ty*H//TH); value =
+    # (doc_id*31 + x*7 + y*13) % 256 — same formula the kernel encodes
+    vals = []
+    for ty in range(_PXL_TH):
+        sy = ty * _PXL_H // _PXL_TH
+        for tx in range(_PXL_TW):
+            sx = tx * _PXL_W // _PXL_TW
+            vals.append(
+                f"CAST((doc_id * 31 + {sx * 7} + {sy * 13}) % 256"
+                " AS VARCHAR)"
+            )
+    joined = " || ',' || ".join(vals)
+    return f"""
+SELECT doc_id, {joined} AS resized_pixels
+FROM documents
+ORDER BY doc_id
+"""
+
+
+ORACLE_IMAGE_PIXELS = _oracle_pixels()
+
+QUERIES["image_pixels_roundtrip"] = q_image_pixels_roundtrip
+ORACLES["image_pixels_roundtrip"] = ORACLE_IMAGE_PIXELS

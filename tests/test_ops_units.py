@@ -528,3 +528,86 @@ def test_table_extract_no_tables():
     from h2spark.core.tables import extract_tables
 
     assert extract_tables("<p>nothing</p>") == []
+
+
+def test_png_codec_roundtrip_all_filters_and_channels():
+    import random
+
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    rng = random.Random(11)
+    for ch in (1, 2, 3, 4):
+        w, h = 13, 9
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for filt in (None, *(lambda y, f=f: f for f in range(5)),
+                     lambda y: y % 5):
+            data = encode_png(w, h, ch, px, row_filter=filt)
+            assert decode_png(data) == (w, h, ch, bytearray(px))
+
+
+def test_png_codec_palette_decode():
+    import struct
+    import zlib
+
+    from h2spark.core.pngcodec import decode_png
+
+    # hand-built 2x2 paletted PNG: indices 0..3 -> distinct RGB entries
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", crc
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = bytes([0, 0, 1, 0, 2, 3])  # filter-0 rows: [0,1] / [2,3]
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = decode_png(data)
+    assert (w, h, ch) == (2, 2, 3)
+    assert bytes(px) == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+    )
+
+
+def test_png_codec_rejects_out_of_scope():
+    import pytest
+
+    from h2spark.core.pngcodec import PngError, decode_png
+
+    with pytest.raises(PngError):
+        decode_png(b"not a png")
+    with pytest.raises(PngError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # missing IHDR
+
+
+def test_png_resize_is_deterministic_nearest():
+    from h2spark.core.pngcodec import decode_png, encode_png, resize_png
+
+    w, h = 6, 4
+    px = bytes((x * 40 + y * 3) % 256 for y in range(h) for x in range(w))
+    out = resize_png(encode_png(w, h, 1, px), 3, 2)
+    w2, h2, ch, rz = decode_png(out)
+    assert (w2, h2, ch) == (3, 2, 1)
+    # target (tx,ty) reads source (tx*6//3, ty*4//2)
+    expected = bytes(
+        px[(ty * 4 // 2) * 6 + (tx * 6 // 3)]
+        for ty in range(2) for tx in range(3)
+    )
+    assert bytes(rz) == expected
+
+
+def test_stdlib_png_codec_is_the_default_adapter():
+    from h2spark.core.pngcodec import encode_png
+    from h2spark.ops import multimodal as mm
+
+    data = encode_png(4, 3, 3, bytes(range(4 * 3 * 3)))
+    meta = mm.get_codec(mm.CODEC_MEDIA_DECODE)(data)
+    assert meta["width"] == 4 and meta["height"] == 3
+    assert meta["channels"] == 3 and meta["pixel_sum"] == sum(range(36))
+    resized = mm.get_codec(mm.CODEC_IMAGE_RESIZE)(data, (2, 2))
+    from h2spark.core.pngcodec import decode_png
+
+    assert decode_png(resized)[:3] == (2, 2, 3)
