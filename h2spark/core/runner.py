@@ -373,6 +373,38 @@ def png_pattern_resize_batch(
     return outs
 
 
+def wav_pattern_stats_batch(doc_ids, n: int = 64, rate: int = 8000) -> list:
+    """Row loop proving the REAL WAV sample path: synthesize a
+    deterministic 16-bit PCM pattern per doc, serialize it as genuine
+    RIFF/WAVE bytes, decode it back with the stdlib-struct parser, and
+    emit (n_samples, abs_sum, peak) — re-derived by the SQL oracle
+    from the pattern formula alone."""
+    import struct
+
+    from h2spark.core.wavcodec import decode_wav_samples
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        samples = [((d * 13 + i * 37) % 2000) - 1000 for i in range(n)]
+        body = struct.pack(f"<{n}h", *samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        decoded = decode_wav_samples(wav)
+        if decoded is None:
+            outs.append((0, 0, 0))
+            continue
+        _, _, got = decoded
+        outs.append(
+            (len(got), sum(abs(s) for s in got), max(abs(s) for s in got))
+        )
+    return outs
+
+
 def main_text_batch(cs_unused, items, from_html: bool):
     """Row loop for boilerplate-strip: spans/html -> main-content text.
 

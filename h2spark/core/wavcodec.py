@@ -1,0 +1,58 @@
+"""REAL WAV (RIFF/WAVE) decode — pure stdlib struct.
+
+Header metadata plus full 16-bit PCM sample decode; with the PNG
+pixel codec (pngcodec.py) this makes image AND audio sample-level
+decode real in this environment. Video frames remain the one genuine
+codec stub. No pyspark/pandas imports (core-module rule).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def decode_wav_meta(data: bytes) -> dict | None:
+    """Channels / sample rate / bits from the fmt chunk; frame count
+    and duration from the data chunk length. None for non-WAV bytes."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    n_data = None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4:i + 8])
+        if cid == b"fmt " and clen >= 16 and i + 24 <= len(data):
+            _, ch, rate = struct.unpack("<HHI", data[i + 8:i + 16])
+            (bits,) = struct.unpack("<H", data[i + 22:i + 24])
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            n_data = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    ch, rate, bits = fmt
+    out = {"channels": ch, "sample_rate": rate, "bits_per_sample": bits}
+    if n_data is not None and ch and rate and bits:
+        out["n_frames"] = n_data // (ch * bits // 8)
+        out["duration_ms"] = out["n_frames"] * 1000 // rate
+    return out
+
+
+def decode_wav_samples(data: bytes) -> tuple[int, int, list[int]] | None:
+    """Full 16-bit PCM sample decode: (sample_rate, channels,
+    interleaved int16 samples). None for non-WAV / non-16-bit-PCM."""
+    meta = decode_wav_meta(data)
+    if meta is None or meta.get("bits_per_sample") != 16:
+        return None
+    i = 12
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        (clen,) = struct.unpack("<I", data[i + 4:i + 8])
+        if cid == b"data":
+            body = data[i + 8:i + 8 + clen]
+            n = len(body) // 2
+            samples = list(struct.unpack(f"<{n}h", body[: n * 2]))
+            return meta["sample_rate"], meta["channels"], samples
+        i += 8 + clen + (clen & 1)
+    return None

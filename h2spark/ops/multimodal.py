@@ -1,7 +1,9 @@
 """Multimodal columns: opaque binary media + typed metadata, with the
 Spark-side plumbing (schema, partitioning, Arrow batch shape) real and
-tested, and the actual codec decode stubbed (image/audio libraries are
-not in this container).
+tested. Image (PNG) and audio (16-bit PCM WAV) decode are REAL and
+pure-stdlib down to the pixel/sample level (core/pngcodec.py,
+core/wavcodec.py); other image formats and video frames remain
+documented codec stubs (no PIL/ffmpeg in this container).
 
 Pattern for a 100 TB corpus: media bytes live as a ``binary`` column
 (or object-store refs) beside typed metadata; decode / feature-extract /
@@ -11,8 +13,9 @@ bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a
 partition of large blobs never materializes at once.
 
 ``decode_media_meta`` is the deterministic fake decoder (parses the
-media_ref and measures bytes); ``decode_media_real`` is the clearly
-marked NotImplementedError stub where PIL/ffmpeg would plug in.
+media_ref and measures bytes); ``decode_media_real`` dispatches
+through the codec registry — stdlib PNG/WAV by default, PIL/ffmpeg
+pluggable, NotImplementedError hints for the rest.
 """
 
 from __future__ import annotations
@@ -331,34 +334,19 @@ ORACLES: dict[str, str] = {"multimodal_decode_meta": ORACLE_MULTIMODAL_META}
 
 
 def decode_wav_meta(data: bytes) -> dict | None:
-    """REAL WAV (RIFF/WAVE) header parse — stdlib struct only: channels,
-    sample rate, bits per sample from the fmt chunk; duration from the
-    data chunk length. Returns None for non-WAV bytes."""
-    import struct
+    """REAL WAV header parse — delegates to core/wavcodec.py (kept
+    here as the public ops-level name)."""
+    from h2spark.core.wavcodec import decode_wav_meta as _m
 
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        return None
-    i = 12
-    fmt = None
-    n_data = None
-    while i + 8 <= len(data):
-        cid = data[i : i + 4]
-        (clen,) = struct.unpack("<I", data[i + 4 : i + 8])
-        if cid == b"fmt " and clen >= 16 and i + 24 <= len(data):
-            _, ch, rate = struct.unpack("<HHI", data[i + 8 : i + 16])
-            (bits,) = struct.unpack("<H", data[i + 22 : i + 24])
-            fmt = (ch, rate, bits)
-        elif cid == b"data":
-            n_data = clen
-        i += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if fmt is None:
-        return None
-    ch, rate, bits = fmt
-    out = {"channels": ch, "sample_rate": rate, "bits_per_sample": bits}
-    if n_data is not None and ch and rate and bits:
-        out["n_frames"] = n_data // (ch * bits // 8)
-        out["duration_ms"] = out["n_frames"] * 1000 // rate
-    return out
+    return _m(data)
+
+
+def decode_wav_samples(data: bytes):
+    """REAL 16-bit PCM sample decode — see core/wavcodec.py."""
+    from h2spark.core.wavcodec import decode_wav_samples as _s
+
+    return _s(data)
+
 
 
 # --- real image-dimension decode (stdlib header parse, full oracle) ------
@@ -880,3 +868,54 @@ ORACLE_IMAGE_PIXELS = _oracle_pixels()
 
 QUERIES["image_pixels_roundtrip"] = q_image_pixels_roundtrip
 ORACLES["image_pixels_roundtrip"] = ORACLE_IMAGE_PIXELS
+
+
+# --- REAL WAV sample path (PCM decode -> stats), oracled ----------------
+
+_WAV_N = 64
+
+
+def q_audio_samples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full audio sample path on genuine RIFF/WAVE bytes: per
+    document a deterministic 16-bit PCM pattern is serialized as a
+    real WAV and decoded back with the stdlib-struct parser
+    (core/wavcodec.py); abs-sum and peak of the decoded samples must
+    match the oracle's re-derivation from the pattern formula —
+    sample-level audio decode, fully oracled.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import wav_pattern_stats_batch
+
+    @pandas_udf("struct<n_samples:int, abs_sum:long, peak:int>")
+    def wav_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = wav_pattern_stats_batch(ids, n=_WAV_N)
+        return pd.DataFrame(
+            rows, columns=["n_samples", "abs_sum", "peak"]
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select("doc_id", wav_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.n_samples").alias("n_samples"),
+        F.col("o.abs_sum").alias("abs_sum"),
+        F.col("o.peak").alias("peak"),
+    ).orderBy("doc_id")
+
+
+ORACLE_AUDIO_SAMPLES = f"""
+SELECT doc_id,
+       {_WAV_N} AS n_samples,
+       list_sum(list_transform(range({_WAV_N}),
+         i -> abs(((doc_id * 13 + i * 37) % 2000) - 1000)))::BIGINT
+         AS abs_sum,
+       list_max(list_transform(range({_WAV_N}),
+         i -> abs(((doc_id * 13 + i * 37) % 2000) - 1000)))::INT
+         AS peak
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["audio_samples_roundtrip"] = q_audio_samples_roundtrip
+ORACLES["audio_samples_roundtrip"] = ORACLE_AUDIO_SAMPLES
