@@ -42,12 +42,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
+# untrusted-input guard: a crafted IHDR must not allocate unbounded
+# memory in an executor (64 MPix ~= 256 MB RGBA — far above any
+# thumbnail/media-span payload, far below task memory)
+MAX_PIXELS = 64 << 20
+
+
+def decode_png(
+    data: bytes, max_pixels: int = MAX_PIXELS
+) -> tuple[int, int, int, bytearray]:
     """Decode a PNG -> (width, height, channels, pixels).
 
     ``pixels`` is row-major, ``channels`` interleaved, 8 bits per
     sample; palette images decode to expanded RGB (channels=3).
-    Raises PngError on malformed or out-of-scope input.
+    Raises PngError on malformed or out-of-scope input, including
+    dimensions above ``max_pixels`` (decompression-bomb guard).
     """
     if data[:8] != _SIG:
         raise PngError("not a PNG (bad signature)")
@@ -82,13 +91,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
         raise PngError("interlaced PNG not supported")
     if color_type not in _CHANNELS:
         raise PngError(f"unsupported color type {color_type}")
+    if width <= 0 or height <= 0 or width * height > max_pixels:
+        raise PngError(f"dimensions {width}x{height} out of bounds")
     ch = _CHANNELS[color_type]
+    stride = width * ch
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: never produce more than the scanline budget
+        # regardless of what the (untrusted) stream claims
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise PngError(f"bad IDAT stream: {e}") from None
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected:
         raise PngError("IDAT size mismatch")
     out = bytearray(height * stride)
     prev_off = -stride

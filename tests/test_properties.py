@@ -221,5 +221,64 @@ def test_markdown_renderer_never_raises_on_tag_soup(seed):
             parts.append(f'<{t} href="/h" src="/s" alt="a">')
     out = html_to_markdown("".join(parts))
     assert isinstance(out, str)
-    assert "\n\n\n" not in out
+    # blank runs are legitimate INSIDE code fences (pre content);
+    # everywhere else blocks join with exactly one blank line
+    import re as _re
+
+    outside_fences = _re.sub(r"```\n.*?\n```", "```", out, flags=_re.S)
+    assert "\n\n\n" not in outside_fences
     assert out == out.strip("\n")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_png_decoder_never_hangs_on_garbage(data):
+    """decode_png over arbitrary bytes: PngError or a valid tuple,
+    never any other exception, never unbounded allocation."""
+    from h2spark.core.pngcodec import PngError, decode_png
+
+    try:
+        w, h, ch, px = decode_png(b"\x89PNG\r\n\x1a\n" + data)
+    except PngError:
+        return
+    assert len(px) == w * h * ch
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 10**9),
+)
+def test_png_roundtrip_property(w, h, ch, seed):
+    import random as _random
+
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    rng = _random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    data = encode_png(w, h, ch, px, row_filter=lambda y: (y + seed) % 5)
+    assert decode_png(data) == (w, h, ch, bytearray(px))
+
+
+def test_png_dimension_bomb_rejected():
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    from h2spark.core.pngcodec import PngError, decode_png
+
+    def chunk(ctype, body):
+        crc = _z.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(
+            ">I", crc
+        )
+
+    # claims 2^30 x 2^30 gray: must be rejected BEFORE allocating
+    ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 0, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(b"\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError):
+        decode_png(data)
