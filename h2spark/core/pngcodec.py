@@ -250,3 +250,43 @@ def resize_png(data: bytes, target_w: int, target_h: int) -> bytes:
     return encode_png(
         target_w, target_h, ch, resize_nearest(w, h, ch, px, target_w, target_h)
     )
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytearray]:
+    """REAL pixel decode for uncompressed 24-bit BMP (the other
+    codec-library-free mainstream format): BGR rows, 4-byte padded,
+    bottom-up (or top-down when height is negative) -> row-major RGB.
+    Raises PngError (shared error type for the stdlib codecs) on
+    anything else."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise PngError("not a BMP")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (dib,) = struct.unpack("<I", data[14:18])
+    if not 40 <= dib <= 124:
+        raise PngError(f"unsupported DIB header size {dib}")
+    width, height = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise PngError(f"dimensions {width}x{height} out of bounds")
+    if bpp != 24 or compression != 0:
+        raise PngError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = pix_off + row_bytes * height
+    if len(data) < need:
+        raise PngError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        src = pix_off + src_y * row_bytes
+        dst = y * width * 3
+        # BGR -> RGB per pixel
+        for x in range(width):
+            s = src + x * 3
+            d = dst + x * 3
+            out[d] = data[s + 2]
+            out[d + 1] = data[s + 1]
+            out[d + 2] = data[s]
+    return width, height, 3, out

@@ -95,15 +95,19 @@ def unregister_codec(op: str) -> None:
 
 def _stdlib_png_media_decode(data: bytes) -> dict:
     """Default CODEC_MEDIA_DECODE adapter: REAL pixel decode for PNG
-    (pure stdlib); anything else raises the environment hint."""
-    from h2spark.core.pngcodec import PngError, decode_png
+    and uncompressed 24-bit BMP (pure stdlib); anything else raises
+    the environment hint."""
+    from h2spark.core.pngcodec import PngError, decode_bmp, decode_png
 
     try:
         w, h, ch, px = decode_png(data)
     except (PngError, IndexError):
-        raise NotImplementedError(
-            _CODEC_HINTS[CODEC_MEDIA_DECODE]
-        ) from None
+        try:
+            w, h, ch, px = decode_bmp(data)
+        except (PngError, IndexError):
+            raise NotImplementedError(
+                _CODEC_HINTS[CODEC_MEDIA_DECODE]
+            ) from None
     return {
         "width": w, "height": h, "channels": ch,
         "n_pixels": w * h, "pixel_sum": sum(px),

@@ -611,3 +611,37 @@ def test_stdlib_png_codec_is_the_default_adapter():
     from h2spark.core.pngcodec import decode_png
 
     assert decode_png(resized)[:3] == (2, 2, 3)
+
+
+def test_bmp_pixel_decode_bottom_up_and_top_down():
+    import struct
+
+    from h2spark.core.pngcodec import decode_bmp
+    from h2spark.ops.multimodal import decode_image_dims, get_codec
+    from h2spark.ops import multimodal as mm
+
+    # 3x2 24-bit BMP, rows padded to 4 bytes (3*3=9 -> 12)
+    def bmp(height_field):
+        rows = [
+            bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]) + b"\x00\x00\x00",
+            bytes([10, 20, 30, 40, 50, 60, 70, 80, 90]) + b"\x00\x00\x00",
+        ]
+        # file stores bottom row first when height positive
+        body = (rows[1] + rows[0]) if height_field > 0 else (rows[0] + rows[1])
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 3, height_field, 1, 24,
+                          0, len(body), 0, 0, 0, 0)
+        )
+        return header + body
+
+    for hf in (2, -2):
+        w, h, ch, px = decode_bmp(bmp(hf))
+        assert (w, h, ch) == (3, 2, 3)
+        # logical row 0: BGR [255,0,0],[0,255,0],[0,0,255] -> RGB
+        assert bytes(px[:9]) == bytes([0, 0, 255, 0, 255, 0, 255, 0, 0])
+        assert bytes(px[9:12]) == bytes([30, 20, 10])
+        assert decode_image_dims(bmp(hf)) == (3, 2)
+
+    meta = get_codec(mm.CODEC_MEDIA_DECODE)(bmp(2))
+    assert (meta["width"], meta["height"], meta["channels"]) == (3, 2, 3)
