@@ -82,7 +82,10 @@ def _inline_str(el: Element) -> str:
     parts: list = []
     _inline(el, parts)
     s = _WS_RUN.sub(" ", "".join(parts)).strip()
-    return s.replace("\x00BR\x00", "  \n").replace("  \n ", "  \n")
+    # break-then-space first, bare break second (same order as flush:
+    # replacing bare breaks first would let the cleanup eat the lead
+    # space of a CONSECUTIVE break)
+    return s.replace("\x00BR\x00 ", "  \n").replace("\x00BR\x00", "  \n")
 
 
 def _render_list(el: Element, depth: int, blocks: list) -> None:

@@ -74,6 +74,8 @@ def decode_png(
             raise PngError("truncated chunk")
         pos += 12 + length  # skip CRC (not verified; tolerance over strictness)
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise PngError(f"bad IHDR length {len(body)}")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -278,15 +280,14 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytearray]:
     if len(data) < need:
         raise PngError("truncated BMP pixel data")
     out = bytearray(width * height * 3)
+    w3 = width * 3
     for y in range(height):
         src_y = y if top_down else height - 1 - y
         src = pix_off + src_y * row_bytes
-        dst = y * width * 3
-        # BGR -> RGB per pixel
-        for x in range(width):
-            s = src + x * 3
-            d = dst + x * 3
-            out[d] = data[s + 2]
-            out[d + 1] = data[s + 1]
-            out[d + 2] = data[s]
+        dst = y * w3
+        row = data[src:src + w3]
+        # BGR -> RGB via three strided assigns (C-level, not per-pixel)
+        out[dst:dst + w3:3] = row[2::3]
+        out[dst + 1:dst + w3:3] = row[1::3]
+        out[dst + 2:dst + w3:3] = row[0::3]
     return width, height, 3, out

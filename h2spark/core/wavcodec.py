@@ -33,7 +33,9 @@ def decode_wav_meta(data: bytes) -> dict | None:
         return None
     ch, rate, bits = fmt
     out = {"channels": ch, "sample_rate": rate, "bits_per_sample": bits}
-    if n_data is not None and ch and rate and bits:
+    # sub-byte frames (e.g. 4-bit ADPCM) have no whole-byte frame size;
+    # report header fields only, never divide by zero
+    if n_data is not None and ch and rate and ch * bits >= 8:
         out["n_frames"] = n_data // (ch * bits // 8)
         out["duration_ms"] = out["n_frames"] * 1000 // rate
     return out

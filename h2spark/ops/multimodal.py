@@ -100,14 +100,20 @@ def _stdlib_png_media_decode(data: bytes) -> dict:
     from h2spark.core.pngcodec import PngError, decode_bmp, decode_png
 
     try:
-        w, h, ch, px = decode_png(data)
-    except (PngError, IndexError):
-        try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            # a PNG signature means PNG or nothing: surface the real
+            # reason (bomb guard, bad depth, corrupt stream) instead of
+            # misdiagnosing it as a missing codec library
+            try:
+                w, h, ch, px = decode_png(data)
+            except PngError as e:
+                raise NotImplementedError(f"PNG decode failed: {e}") from None
+        else:
             w, h, ch, px = decode_bmp(data)
-        except (PngError, IndexError):
-            raise NotImplementedError(
-                _CODEC_HINTS[CODEC_MEDIA_DECODE]
-            ) from None
+    except (PngError, IndexError):
+        raise NotImplementedError(
+            _CODEC_HINTS[CODEC_MEDIA_DECODE]
+        ) from None
     return {
         "width": w, "height": h, "channels": ch,
         "n_pixels": w * h, "pixel_sum": sum(px),

@@ -520,9 +520,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale 0 and an all-zero code.
     """
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    absmax = F.array_max(
-        F.transform(F.col("embedding"), lambda v: F.abs(v))
-    ).cast("double")
+    # absmax computed ONCE as a column: inlining the O(d) array_max
+    # into the quantize lambda would re-evaluate it per element
+    # (Catalyst does not hoist loop-invariant HOF subexpressions)
+    e = e.select(
+        "vec_id", "embedding",
+        F.array_max(
+            F.transform(F.col("embedding"), lambda v: F.abs(v))
+        ).cast("double").alias("absmax"),
+    )
+    absmax = F.col("absmax")
     scale = (absmax / F.lit(127.0)).alias("scale")
     qvec = F.when(
         absmax == 0.0,
