@@ -1,0 +1,212 @@
+"""REAL GIF pixel decode — pure stdlib (LZW in Python).
+
+Completes the codec-library-free image family (PNG: pngcodec.py,
+BMP: pngcodec.decode_bmp): GIF87a/89a first-frame decode — logical
+screen descriptor, global/local color tables, extension-block skip,
+full LZW decompression with code-table growth and CLEAR handling,
+palette expansion to RGB. A matching LZW encoder + minimal GIF writer
+exist for tests (roundtrip fuzz exercises table growth for real).
+
+Scope (documented): first image frame only, no interlace (rejected),
+transparency index ignored (pixels take the palette color). JPEG
+(DCT) and WebP (VP8) stay out of scope — those are real compression
+codecs, not container+LZW.
+
+No pyspark/pandas imports (core-module rule).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from h2spark.core.pngcodec import MAX_PIXELS, PngError
+
+
+def _lzw_decode(data: bytes, min_code: int, max_out: int) -> bytearray:
+    clear = 1 << min_code
+    end = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    raise PngError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PngError("LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise PngError("LZW output exceeds pixel count")
+            prev = entry
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytearray]:
+    """First frame of a GIF -> (width, height, 3, RGB pixels).
+    Raises PngError (shared stdlib-codec error type) otherwise."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise PngError("not a GIF")
+    if len(data) < 13:
+        raise PngError("truncated GIF header")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        gct = data[pos:pos + n]
+        if len(gct) < n:
+            raise PngError("truncated global color table")
+        pos += n
+    n_data = len(data)
+    while pos < n_data:
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < n_data and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > n_data:
+                raise PngError("truncated image descriptor")
+            _l, _t, w, h, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1:pos + 10]
+            )
+            pos += 10
+            if iflags & 0x40:
+                raise PngError("interlaced GIF not supported")
+            pal = gct
+            if iflags & 0x80:
+                n = 3 * (2 << (iflags & 0x07))
+                pal = data[pos:pos + n]
+                if len(pal) < n:
+                    raise PngError("truncated local color table")
+                pos += n
+            if pal is None:
+                raise PngError("GIF frame without a color table")
+            if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+                raise PngError(f"dimensions {w}x{h} out of bounds")
+            if pos >= n_data:
+                raise PngError("missing LZW data")
+            min_code = data[pos]
+            if not 2 <= min_code <= 11:
+                raise PngError(f"bad LZW minimum code size {min_code}")
+            pos += 1
+            lzw = bytearray()
+            while pos < n_data and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if len(idx) < w * h:
+                raise PngError("LZW data underruns the frame")
+            out = bytearray(w * h * 3)
+            npal = len(pal) // 3
+            for i in range(w * h):
+                p = idx[i]
+                if p >= npal:
+                    raise PngError("palette index out of range")
+                out[i * 3:i * 3 + 3] = pal[p * 3:p * 3 + 3]
+            return w, h, 3, out
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise PngError(f"unknown GIF block 0x{b:02x}")
+    raise PngError("GIF contains no image frame")
+
+
+# --- test-support writer -------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Real LZW encoder (table growth, CLEAR/END codes) — exists so
+    the decoder's growth path is fuzz-tested against genuine streams."""
+    clear = 1 << min_code
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    buf = b""
+    for ch in indices:
+        nxt = buf + bytes([ch])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+        buf = bytes([ch])
+    if buf:
+        emit(table[buf])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, palette: bytes, indices: bytes) -> bytes:
+    """Minimal single-frame GIF89a writer (global color table padded
+    to a power of two; non-interlaced)."""
+    npal = len(palette) // 3
+    bits = max(2, (npal - 1).bit_length())
+    padded = palette + b"\x00" * (3 * (1 << bits) - len(palette))
+    flags = 0x80 | (bits - 1)
+    min_code = max(2, bits)
+    lzw = _lzw_encode(indices, min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a" + struct.pack("<HHBBB", width, height, flags, 0, 0)
+        + padded
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code]) + bytes(blocks) + b"\x3B"
+    )

@@ -97,17 +97,23 @@ def _stdlib_png_media_decode(data: bytes) -> dict:
     """Default CODEC_MEDIA_DECODE adapter: REAL pixel decode for PNG
     and uncompressed 24-bit BMP (pure stdlib); anything else raises
     the environment hint."""
+    from h2spark.core.gifcodec import decode_gif
     from h2spark.core.pngcodec import PngError, decode_bmp, decode_png
 
     try:
         if data[:8] == b"\x89PNG\r\n\x1a\n":
-            # a PNG signature means PNG or nothing: surface the real
-            # reason (bomb guard, bad depth, corrupt stream) instead of
-            # misdiagnosing it as a missing codec library
+            # a recognized signature means that format or nothing:
+            # surface the real reason (bomb guard, bad depth, corrupt
+            # stream) instead of misdiagnosing it as a missing library
             try:
                 w, h, ch, px = decode_png(data)
             except PngError as e:
                 raise NotImplementedError(f"PNG decode failed: {e}") from None
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                w, h, ch, px = decode_gif(data)
+            except PngError as e:
+                raise NotImplementedError(f"GIF decode failed: {e}") from None
         else:
             w, h, ch, px = decode_bmp(data)
     except (PngError, IndexError):

@@ -645,3 +645,32 @@ def test_bmp_pixel_decode_bottom_up_and_top_down():
 
     meta = get_codec(mm.CODEC_MEDIA_DECODE)(bmp(2))
     assert (meta["width"], meta["height"], meta["channels"]) == (3, 2, 3)
+
+
+def test_gif_pixel_decode_roundtrip_and_growth():
+    import random
+
+    from h2spark.core.gifcodec import decode_gif, encode_gif
+    from h2spark.ops import multimodal as mm
+
+    rng = random.Random(3)
+    pal = bytes(rng.randrange(256) for _ in range(16 * 3))
+    idx = bytes((x * 3 + y * 7) % 16 for y in range(40) for x in range(50))
+    gif = encode_gif(50, 40, pal, idx)
+    w, h, ch, px = decode_gif(gif)
+    assert (w, h, ch) == (50, 40, 3)
+    assert bytes(px) == b"".join(pal[i * 3:i * 3 + 3] for i in idx)
+    meta = mm.get_codec(mm.CODEC_MEDIA_DECODE)(gif)
+    assert (meta["width"], meta["height"]) == (50, 40)
+
+
+def test_gif_decode_rejects_out_of_scope():
+    import pytest
+
+    from h2spark.core.pngcodec import PngError
+    from h2spark.core.gifcodec import decode_gif
+
+    with pytest.raises(PngError):
+        decode_gif(b"not a gif")
+    with pytest.raises(PngError):
+        decode_gif(b"GIF89a\x01\x00")  # truncated

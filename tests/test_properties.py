@@ -282,3 +282,32 @@ def test_png_dimension_bomb_rejected():
     )
     with pytest.raises(PngError):
         decode_png(data)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16),
+       st.sampled_from([2, 5, 16, 200]), st.integers(0, 10**9))
+def test_gif_roundtrip_property(w, h, npal, seed):
+    import random as _random
+
+    from h2spark.core.gifcodec import decode_gif, encode_gif
+
+    rng = _random.Random(seed)
+    pal = bytes(rng.randrange(256) for _ in range(npal * 3))
+    idx = bytes(rng.randrange(npal) for _ in range(w * h))
+    got = decode_gif(encode_gif(w, h, pal, idx))
+    assert got[:3] == (w, h, 3)
+    assert bytes(got[3]) == b"".join(pal[i * 3:i * 3 + 3] for i in idx)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=200))
+def test_gif_decoder_never_hangs_on_garbage(data):
+    from h2spark.core.pngcodec import PngError
+    from h2spark.core.gifcodec import decode_gif
+
+    try:
+        w, h, ch, px = decode_gif(b"GIF89a" + data)
+    except PngError:
+        return
+    assert len(px) == w * h * ch
