@@ -108,7 +108,7 @@ def test_markdown_render_is_shuffle_free_projection(spark):
     plan = _formatted(markdown.q_html_to_markdown(spark, SF), spark)
     # one scan -> pandas UDF projection; the only exchange allowed is
     # the final orderBy's range partitioning (no hash shuffle)
-    assert "Exchange hashpartitioning" not in plan
+    assert "hashpartitioning(" not in plan
     # column pruning: the page builds from doc_id/lang/source/text only
     assert "n_chars" not in plan
 
@@ -120,9 +120,34 @@ def test_paragraph_dedup_reuses_chunk_exchange(spark):
     # the big exploded side must not shuffle twice on chunk_hash: either
     # the small freq side broadcasts (this SF) or the chunk_hash
     # exchange is planned once / reused (the at-scale SMJ shape)
-    n_chunk_exchanges = plan.count("Exchange hashpartitioning(chunk_hash")
+    n_chunk_exchanges = plan.count("hashpartitioning(chunk_hash")
     assert (
         "BroadcastHashJoin" in plan
         or "ReusedExchange" in plan
         or n_chunk_exchanges <= 1
     ), plan[:4000]
+
+
+def test_quantize_is_scan_only_projection(spark):
+    from h2spark.ops import similarity as sim
+
+    plan = _formatted(sim.q_embedding_quantize(spark, SF), spark)
+    # pure per-row transform: no hash exchange anywhere
+    assert "hashpartitioning(" not in plan
+
+
+def test_sequence_packing_single_window_exchange(spark):
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_sequence_packing(spark, SF), spark)
+    # exactly one hash exchange (the per-lang window); the only other
+    # exchange is the final orderBy's range partitioning
+    assert plan.count("Arguments: hashpartitioning(lang") == 1, plan[:3000]
+    assert plan.count("Exchange") <= 4  # (node + detail) x 2 exchanges
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    from h2spark.ops import dedup
+
+    plan = _formatted(dedup.q_decontaminate(spark, SF), spark)
+    assert "BroadcastHashJoin" in plan
