@@ -237,3 +237,106 @@ ORDER BY doc_id
 
 QUERIES["training_sequence_packing"] = q_sequence_packing
 ORACLES["training_sequence_packing"] = ORACLE_SEQUENCE_PACKING
+
+
+# --- capstone: the full training-export DAG in one query ----------------
+
+_EXPORT_QUALITY = 0.7
+
+
+def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE composed DAG — what the
+    engine exists to run: take the training split (the doc_id%10 bench
+    split held out), gate on quality >= 0.7, keep only exact-dedup
+    cluster keepers, drop benchmark-contaminated documents (8-gram
+    overlap), then assign every survivor its packed 512-token training
+    sequence. Every stage is an already-oracled operator; the oracle
+    composes their SQL twins, so the whole DAG is hash-checked
+    end-to-end.
+
+    Scale shape: quality is a projection; the exact-dedup keeper set
+    and the contaminated set are DISTINCT doc-id tables (small relative
+    to the corpus -> broadcast-able); packing is the per-shard window.
+    """
+    from pyspark.sql import Window
+
+    from h2spark.ops.dedup import q_decontaminate, q_dedup_exact
+    from h2spark.ops.textstats import q_quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    keepers = q_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    contaminated = q_decontaminate(spark, sf_dir).select("doc_id")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    surv = (
+        d.where(F.col("doc_id") % 10 != 0)
+        .select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .join(quality, "doc_id")
+        .where(F.col("quality") >= _EXPORT_QUALITY)
+        .join(F.broadcast(keepers), "doc_id")
+        .join(
+            F.broadcast(contaminated.withColumn("c", F.lit(True))),
+            "doc_id", "left",
+        )
+        .where(F.col("c").isNull())
+        .drop("c")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        surv.select(
+            "doc_id", "lang", "quality", "n_tokens", start.alias("start")
+        )
+        .select(
+            "doc_id", "lang", "quality", "n_tokens",
+            F.floor(F.col("start") / _PACK_BLOCK).cast("long").alias(
+                "seq_id"
+            ),
+            (F.col("start") % _PACK_BLOCK).cast("long").alias(
+                "seq_offset"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_export() -> str:
+    from h2spark.ops.dedup import ORACLE_DECONTAMINATE, ORACLE_DEDUP_EXACT
+    from h2spark.ops.textstats import ORACLE_QUALITY
+
+    return f"""
+WITH q AS ({ORACLE_QUALITY}),
+x AS ({ORACLE_DEDUP_EXACT}),
+c AS ({ORACLE_DECONTAMINATE}),
+surv AS (
+  SELECT d.doc_id, d.lang, q.quality,
+         len(string_split(d.text, ' '))::BIGINT AS n_tokens
+  FROM documents d JOIN q USING (doc_id)
+  WHERE d.doc_id % 10 <> 0
+    AND q.quality >= {_EXPORT_QUALITY}
+    AND d.doc_id IN (SELECT keep_doc_id FROM x)
+    AND d.doc_id NOT IN (SELECT doc_id FROM c)
+), packed AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+  ) - n_tokens AS start
+  FROM surv
+)
+SELECT doc_id, lang, quality, n_tokens,
+       (start // {_PACK_BLOCK})::BIGINT AS seq_id,
+       (start % {_PACK_BLOCK})::BIGINT AS seq_offset
+FROM packed
+ORDER BY doc_id
+"""
+
+
+ORACLE_TRAINING_EXPORT = _oracle_export()
+
+QUERIES["training_export"] = q_training_export
+ORACLES["training_export"] = ORACLE_TRAINING_EXPORT
