@@ -186,6 +186,16 @@ _IMPLIED_END = frozenset(
     {"dd", "dt", "li", "optgroup", "option", "p", "rb", "rp", "rt", "rtc"}
 )
 
+# end tags with the dedicated block rule (WHATWG "in body"): generate
+# implied end tags, then pop through the matching element — unlike the
+# "any other end tag" walk, an open <p>/<li>/... does NOT block these
+_BLOCK_END = frozenset(
+    {"address", "article", "aside", "blockquote", "button", "center",
+     "details", "dialog", "dir", "div", "dl", "fieldset", "figcaption",
+     "figure", "footer", "header", "hgroup", "listing", "main", "menu",
+     "nav", "ol", "pre", "section", "summary", "ul"}
+)
+
 # plain block containers whose ONLY in-body side effect is closing an
 # open <p>: eligible for the feed() fast path. Derived from _P_CLOSERS
 # (single source of truth) minus every member with additional in-body
@@ -1307,6 +1317,27 @@ class _Builder:
                 # (tbody etc. are special-category, so the generic walk
                 # below would wrongly block </table> on an open <tbody>)
                 self._pop_until(name)
+                return True
+            if name in _BLOCK_END or name in ("li", "dd", "dt"):
+                # dedicated block / list-item end rules: with the
+                # element in scope, implied end tags close open
+                # p/li/dd/... first, then pop through it (the generic
+                # walk below would wrongly let an open <p> block </div>)
+                stack = self.stack
+                for i in range(len(stack) - 1, -1, -1):
+                    t = stack[i].tag
+                    if t == name:
+                        while (
+                            stack[-1].tag in _IMPLIED_END
+                            and stack[-1].tag != name
+                        ):
+                            stack.pop()
+                        self._pop_from(i)
+                        return True
+                    if t in _SCOPE_BOUNDARY or (
+                        name == "li" and t in ("ol", "ul")
+                    ):
+                        return True
                 return True
             if name in _HEADINGS:
                 # spec: any h1-h6 end tag closes the nearest open
