@@ -181,6 +181,28 @@ ORACLE_LANG_ID = _oracle_lang_id()
 # --- quality_score ------------------------------------------------------
 
 
+def quality_expr():
+    """The rounded quality score as a reusable Column over ``text`` —
+    exposed so composed pipelines (training_export) can compute quality
+    inline on their own scan instead of self-joining the corpus on
+    doc_id (a full extra shuffle at 10^12 docs)."""
+    t = F.trim(F.col("text"))
+    n_chars = F.length(t).cast("double")
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("double")
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
+    )
+    return F.round(score, 4)
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     t = F.trim(F.col("text"))
@@ -189,21 +211,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(t, r"\s+"))
     ).cast("double")
     n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).cast("double")
-    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
     mean_wlen = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    score = (
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
-        + alpha_ratio * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2
-    )
     return (
         d.select(
             "doc_id",
             F.round(mean_wlen, 4).alias("mean_word_len"),
             F.round(alpha_ratio, 4).alias("alpha_ratio"),
-            F.round(score, 4).alias("quality"),
+            quality_expr().alias("quality"),
         )
         .orderBy("doc_id")
     )

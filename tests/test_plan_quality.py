@@ -136,14 +136,51 @@ def test_quantize_is_scan_only_projection(spark):
     assert "hashpartitioning(" not in plan
 
 
-def test_sequence_packing_single_window_exchange(spark):
+def test_sequence_packing_two_level_scan_shape(spark):
     from h2spark.ops import curation
 
     plan = _formatted(curation.q_sequence_packing(spark, SF), spark)
-    # exactly one hash exchange (the per-lang window); the only other
-    # exchange is the final orderBy's range partitioning
-    assert plan.count("Arguments: hashpartitioning(lang") == 1, plan[:3000]
-    assert plan.count("Exchange") <= 4  # (node + detail) x 2 exchanges
+    # the corpus-side window must partition by (lang, _bucket) — never
+    # by lang alone, which serializes each language through one task
+    assert "hashpartitioning(lang" in plan
+    main_win = plan.index("windowspecdefinition(lang")
+    assert "_bucket" in plan[main_win : main_win + 80], plan[
+        main_win : main_win + 200
+    ]
+    # the bucket-offset side is broadcast back (a langs x buckets table)
+    assert "BroadcastHashJoin" in plan
+    # the full corpus is hash-shuffled exactly once (the window); the
+    # totals branch ships only map-side partial aggregates
+    win_exchanges = plan.count("Arguments: hashpartitioning(lang")
+    assert win_exchanges <= 3, plan[:3000]
+
+
+def test_packed_starts_parallelizes_single_language(spark):
+    # a one-language corpus (the English-at-web-scale hot key) must
+    # spread its prefix sum over many buckets/tasks, and the two-level
+    # result must equal the driver-computed running sum exactly
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.curation import packed_starts
+
+    n = 400
+    rows = [(i, "en", (i * 37) % 90 + 1) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    )
+    out = packed_starts(df, n_buckets=16)
+    got = {r["doc_id"]: r["start"] for r in out.collect()}
+    acc, want = 0, {}
+    for i, _, t in rows:
+        want[i] = acc
+        acc += t
+    assert got == want
+    # the window genuinely fans out: >= 8 populated buckets
+    width = (n - 1) // 16 + 1
+    buckets = df.select(
+        (F.col("doc_id") / width).cast("long").alias("b")
+    ).distinct().count()
+    assert buckets >= 8
 
 
 def test_decontaminate_broadcasts_benchmark_side(spark):
@@ -151,3 +188,25 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
 
     plan = _formatted(dedup.q_decontaminate(spark, SF), spark)
     assert "BroadcastHashJoin" in plan
+
+
+def test_training_export_never_broadcasts_keepers(spark):
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_training_export(spark, SF), spark)
+    # the keeper decision is a window over content_hash — the round-4
+    # version broadcast the (corpus-sized) keeper set into a doc_id
+    # join; no BroadcastExchange may carry keep_doc_id / content_hash
+    assert "hashpartitioning(content_hash" in plan
+    bcast_inputs = [
+        seg for seg in plan.split("\n\n") if "BroadcastExchange" in seg
+    ]
+    assert all(
+        "keep_doc_id" not in seg and "content_hash" not in seg
+        for seg in bcast_inputs
+    ), bcast_inputs
+    # exactly two broadcasts: the benchmark-contamination anti side and
+    # the langs x buckets packing offsets
+    assert plan.count("(BroadcastExchange") <= 2 or plan.count(
+        "BroadcastExchange"
+    ) <= 4
