@@ -478,52 +478,86 @@ ORACLES["text_winnow_fingerprint"] = ORACLE_WINNOW
 # --- unigram log-probability scoring (perplexity-filter analog) ---------
 
 
+_UNI_MIN_COUNT = 2  # words below this count are OOV (floor probability)
+_UNI_BROADCAST_MAX = 5_000_000  # kept-vocab rows above this -> shuffle join
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_logprob(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def unigram_logprob(
+    d: DataFrame,
+    min_count: int = _UNI_MIN_COUNT,
+    broadcast_vocab_max: int = _UNI_BROADCAST_MAX,
+) -> DataFrame:
     """Per-document average unigram log-probability — the relational
     analog of a KenLM perplexity filter: score every document by how
     typical its words are under the corpus's own unigram distribution
     (low scores flag gibberish / boilerplate-heavy docs for removal
     before training).
 
-    Scale shape (10^12 docs): one explode -> word-keyed groupBy for the
-    vocabulary (vocab ≪ corpus, so the scored join BROADCASTS the
-    vocabulary), then one doc-keyed groupBy. The only big shuffle is
-    the vocabulary count; document rows never shuffle twice.
-    """
-    d = _docs(spark, sf_dir)
+    Scale shape (10^12 docs; VERDICT r4 item 3): the raw web
+    vocabulary is UNBOUNDED (typos, IDs, URLs grow into the billions),
+    so the scored vocabulary is floored at ``min_count`` — what real
+    perplexity filters do — and words below it take the OOV floor
+    probability 1/total. The min-count table is what Heaps'-law
+    growth leaves after dropping the hapax tail; if it still exceeds
+    ``broadcast_vocab_max`` rows the join degrades from broadcast to
+    shuffle automatically (the kept-vocab size and the token total
+    come from ONE driver-side aggregate over the vocabulary counts).
+    Document rows never shuffle twice: one explode -> word-keyed
+    vocabulary groupBy, one (possibly broadcast) join, one doc-keyed
+    groupBy."""
     ex = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
     vocab = ex.groupBy("w").agg(F.count("*").alias("c"))
-    total = vocab.agg(F.sum("c").cast("double").alias("total"))
-    scored_vocab = F.broadcast(
-        vocab.crossJoin(F.broadcast(total)).select(
-            "w", F.log10(F.col("c") / F.col("total")).alias("logp")
-        )
+    stats = vocab.agg(
+        F.sum("c").alias("t"),
+        F.sum(
+            F.when(F.col("c") >= min_count, F.lit(1)).otherwise(F.lit(0))
+        ).alias("k"),
+    ).first()
+    total = float(stats["t"] or 0.0)
+    n_kept = int(stats["k"] or 0)
+    scored_vocab = vocab.where(F.col("c") >= min_count).select(
+        "w", F.log10(F.col("c") / F.lit(total)).alias("logp")
     )
+    if n_kept <= broadcast_vocab_max:
+        scored_vocab = F.broadcast(scored_vocab)
+    floor_logp = F.log10(F.lit(1.0) / F.lit(total))
     return (
-        ex.join(scored_vocab, "w")
+        ex.join(scored_vocab, "w", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+            F.round(
+                F.avg(F.coalesce(F.col("logp"), floor_logp)), 6
+            ).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
 
 
-ORACLE_UNIGRAM_LOGPROB = """
+ORACLE_UNIGRAM_LOGPROB = f"""
 WITH ex AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ), v AS (
   SELECT w, count(*) AS c FROM ex GROUP BY 1
 ), t AS (
   SELECT sum(c)::DOUBLE AS total FROM v
+), kept AS (
+  SELECT w, c FROM v WHERE c >= {_UNI_MIN_COUNT}
 )
 SELECT ex.doc_id,
        count(*)::BIGINT AS n_tokens,
-       round(avg(log10(v.c / t.total)), 6) AS avg_logprob
-FROM ex JOIN v USING (w), t
+       round(avg(CASE WHEN kept.c IS NOT NULL
+                      THEN log10(kept.c / t.total)
+                      ELSE log10(1.0 / t.total) END), 6) AS avg_logprob
+FROM ex LEFT JOIN kept USING (w), t
 GROUP BY ex.doc_id
 ORDER BY ex.doc_id
 """

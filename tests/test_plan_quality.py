@@ -190,6 +190,40 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_unigram_vocab_broadcast_is_bounded(spark):
+    from h2spark.ops import textstats
+
+    # high-cardinality corpus: every word unique -> min-count floor
+    # drops the entire hapax tail, so the broadcast vocabulary is EMPTY
+    # and every token scores the OOV floor 1/total
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(20))) for i in range(50)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textstats.unigram_logprob(d).collect()
+    import math
+
+    want = round(math.log10(1.0 / 1000.0), 6)
+    assert all(r["n_tokens"] == 20 for r in out)
+    assert all(abs(r["avg_logprob"] - want) < 1e-6 for r in out)
+
+    # above the vocab bound the join degrades to a shuffle join — no
+    # BroadcastExchange may carry the scored vocabulary
+    rep = [(i, "alpha beta gamma") for i in range(50)]
+    d2 = spark.createDataFrame(rep, "doc_id long, text string")
+    df = textstats.unigram_logprob(d2, broadcast_vocab_max=1)
+    plan = _formatted(df, spark)
+    bcast = [
+        seg for seg in plan.split("\n\n") if "BroadcastExchange" in seg
+    ]
+    assert all("logp" not in seg for seg in bcast), bcast
+    # and the values are identical on either join strategy
+    small = {
+        (r["doc_id"], r["avg_logprob"])
+        for r in textstats.unigram_logprob(d2).collect()
+    }
+    big = {(r["doc_id"], r["avg_logprob"]) for r in df.collect()}
+    assert small == big
+
+
 def test_training_export_never_broadcasts_keepers(spark):
     from h2spark.ops import curation
 
