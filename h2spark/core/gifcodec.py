@@ -45,14 +45,19 @@ def _lzw_decode(data: bytes, min_code: int, max_out: int) -> bytearray:
                 continue
             if code == end:
                 return out
+            # canonical GIF LZW freezes the table at 4096 entries: an
+            # encoder relying on deferred-clear keeps emitting existing
+            # codes without a CLEAR after the table fills (ADVICE r4)
+            grow = len(table) < 4096
             if prev is None:
                 if code >= len(table):
                     raise PngError("bad first LZW code")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
+                if grow:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and grow:
                 entry = prev + prev[:1]
                 table.append(entry)
             else:

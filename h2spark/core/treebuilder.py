@@ -782,13 +782,18 @@ class _Builder:
                     return
             elif kind == "start":
                 name = tok[1]
-                if self._frameset_ok and name in _FRAMESET_FLIP and not (
-                    name == "input"
-                    and tok[2].get("type", "").lower() == "hidden"
-                ):
-                    self._frameset_ok = False
                 curtag = self.stack[-1].tag
                 if curtag not in _TEXT_CONTENT and curtag not in _SELECT_CTX:
+                    # flip only when the fast path actually handles the
+                    # token: starts routed to the mode machine flip in
+                    # _mode_in_body AFTER its in-select check, so tags
+                    # the select rules ignore never foreclose a later
+                    # <frameset> (ADVICE r4)
+                    if self._frameset_ok and name in _FRAMESET_FLIP and not (
+                        name == "input"
+                        and tok[2].get("type", "").lower() == "hidden"
+                    ):
+                        self._frameset_ok = False
                     if name not in _SLOW_START:
                         if self.afe or curtag in _TABLE_CONTEXT:
                             self._generic_start_in_body(tok)
@@ -1035,13 +1040,6 @@ class _Builder:
                 # exactly as an <img> start tag
                 name = "img"
                 tok = ("start", "img", attrs, tok[3])
-            if self._frameset_ok and name in _FRAMESET_FLIP and not (
-                name == "input"
-                and attrs.get("type", "").lower() == "hidden"
-            ):
-                # covers mode-machine-routed starts (feed()'s fast-path
-                # flip never saw them) and the <image> -> img rename
-                self._frameset_ok = False
             if name not in _SELECT_SAFE and self._in_select():
                 # WHATWG "in select": most start tags are ignored
                 # (parse error); input/keygen/textarea/select imply
@@ -1059,6 +1057,18 @@ class _Builder:
                         return True
                 else:
                     return True
+            # flip AFTER the in-select routing: starts the select rules
+            # ignore never touch the frameset-ok flag (WHATWG 13.2.6.4;
+            # the in-body per-tag rules are what clear it). Covers
+            # mode-machine-routed starts (feed()'s fast-path flip only
+            # sees tokens it handles itself), the <image> -> img
+            # rename, and select-implied reprocessing
+            # (input/keygen/textarea fall through to here).
+            if self._frameset_ok and name in _FRAMESET_FLIP and not (
+                name == "input"
+                and attrs.get("type", "").lower() == "hidden"
+            ):
+                self._frameset_ok = False
             if name in _FORMATTING:
                 self._start_formatting(name, attrs)
                 return True

@@ -1331,11 +1331,13 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize crawl URLs and dedup on the canonical form.
 
     Rules (the standard crawl-frontier normalization): lowercase scheme
-    and host, strip default ports (:80/:443), drop the fragment, drop
-    ``utm_*`` tracking params, sort the remaining query params, strip
-    trailing slashes from the path. Three synthesized variants per
-    doc-group (mixed case, explicit :443 + utm param, fragment) must
-    collapse to one canonical URL.
+    and host, strip the scheme's OWN default port (:80 for http, :443
+    for https — ADVICE r4: stripping both unconditionally would treat
+    http://host:443/ as canonical-equal to http://host/), drop the
+    fragment, drop ``utm_*`` tracking params, sort the remaining query
+    params, strip trailing slashes from the path. Three synthesized
+    variants per doc-group (mixed case, explicit :443 + utm param,
+    fragment) must collapse to one canonical URL.
 
     Pure codegen (string/array expressions only) -> one groupBy on the
     canonical form; at 10^12 rows this is a single narrow-row shuffle.
@@ -1360,8 +1362,11 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(no_frag, r"\?")) > 1,
         F.split(no_frag, r"\?").getItem(1),
     ).otherwise(F.lit(""))
-    host = F.regexp_replace(
-        F.lower(F.regexp_replace(hostpath, "/.*$", "")), ":(443|80)$", ""
+    host_raw = F.lower(F.regexp_replace(hostpath, "/.*$", ""))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host_raw, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host_raw, ":443$", ""))
+        .otherwise(host_raw)
     )
     path = F.regexp_replace(
         F.regexp_replace(hostpath, "^[^/]*", ""), "/+$", ""
@@ -1415,8 +1420,14 @@ WITH urls AS (
   FROM parts
 ), norm AS (
   SELECT doc_id, scheme,
-         regexp_replace(lower(regexp_replace(hostpath, '/.*$', '', 'g')),
-                        ':(443|80)$', '', 'g') AS host,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(lower(regexp_replace(hostpath, '/.*$', '', 'g')),
+                                  ':80$', '', 'g')
+              WHEN scheme = 'https'
+              THEN regexp_replace(lower(regexp_replace(hostpath, '/.*$', '', 'g')),
+                                  ':443$', '', 'g')
+              ELSE lower(regexp_replace(hostpath, '/.*$', '', 'g'))
+         END AS host,
          regexp_replace(regexp_replace(hostpath, '^[^/]*', '', 'g'),
                         '/+$', '', 'g') AS path,
          array_to_string(
