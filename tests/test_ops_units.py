@@ -674,3 +674,57 @@ def test_gif_decode_rejects_out_of_scope():
         decode_gif(b"not a gif")
     with pytest.raises(PngError):
         decode_gif(b"GIF89a\x01\x00")  # truncated
+
+
+# --- general pagerank: sparse ids, dangling mass, densification ---------
+
+
+def test_pagerank_sparse_string_ids_with_dangling(spark):
+    """The general operator must be real-graph safe: arbitrary (string)
+    ids, per-node out-degree, and dangling-node mass redistribution —
+    checked against a driver-computed power iteration."""
+    from h2spark.ops.links import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "a"),  # e is dangling (appears only as dst)
+        ("c", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["nid"]: r["rank"]
+        for r in pagerank(df, iters=4, damp=0.85, checkpoint_every=2)
+        .collect()
+    }
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += ranks[s] / out[s]
+        dang = sum(ranks[v] for v in nodes if v not in out)
+        ranks = {
+            v: 0.15 / n + 0.85 * (contrib[v] + dang / n) for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    # total rank mass is conserved (the dangling leak the corpus-shaped
+    # formulation would have is exactly what this guards)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_densify_ids_is_dense_and_deterministic(spark):
+    from h2spark.ops.links import densify_ids
+
+    ids = [(f"url-{i * 101}",) for i in range(257)]
+    df = spark.createDataFrame(ids, "id string")
+    m1 = {r["id"]: r["dense_id"] for r in densify_ids(df).collect()}
+    m2 = {r["id"]: r["dense_id"] for r in densify_ids(df).collect()}
+    assert m1 == m2  # deterministic across runs
+    assert sorted(m1.values()) == list(range(257))  # dense 0..n-1
