@@ -2,8 +2,8 @@
 
 Header metadata plus full 16-bit PCM sample decode; with the PNG
 pixel codec (pngcodec.py) this makes image AND audio sample-level
-decode real in this environment. Video frames remain the one genuine
-codec stub. No pyspark/pandas imports (core-module rule).
+decode real in this environment; avicodec.py does the same for
+uncompressed video frames. No pyspark/pandas imports (core-module rule).
 """
 
 from __future__ import annotations

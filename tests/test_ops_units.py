@@ -728,3 +728,57 @@ def test_densify_ids_is_dense_and_deterministic(spark):
     m2 = {r["id"]: r["dense_id"] for r in densify_ids(df).collect()}
     assert m1 == m2  # deterministic across runs
     assert sorted(m1.values()) == list(range(257))  # dense 0..n-1
+
+
+# --- REAL uncompressed-AVI frame codec ----------------------------------
+
+
+def test_avi_frame_roundtrip_and_timestamp_selection():
+    from h2spark.core.avicodec import (
+        decode_avi_frame, decode_avi_meta, encode_avi,
+    )
+
+    frames = [
+        bytes(((f * 50 + i * 3) % 256) for i in range(10 * 4 * 3))
+        for f in range(5)
+    ]
+    avi = encode_avi(10, 4, frames, fps=10)  # 100ms per frame
+    meta = decode_avi_meta(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (10, 4, 5)
+    assert meta["duration_ms"] == 500
+    for ts, want in [(0, 0), (99, 0), (100, 1), (450, 4), (9999, 4)]:
+        w, h, px = decode_avi_frame(avi, ts)
+        assert (w, h) == (10, 4)
+        assert px == frames[want], ts
+
+
+def test_avi_rejects_out_of_profile():
+    import struct
+
+    import pytest
+
+    from h2spark.core.avicodec import decode_avi_frame, encode_avi
+    from h2spark.core.pngcodec import PngError
+
+    assert decode_avi_frame(b"RIFF\x00\x00\x00\x00WAVE", 0) is None
+    assert decode_avi_frame(b"junk", 0) is None
+    # flip biCompression to a nonzero codec id -> explicit PngError
+    avi = bytearray(encode_avi(4, 4, [bytes(48)], fps=25))
+    i = avi.find(b"strf")
+    struct.pack_into("<I", avi, i + 8 + 16, 0x30387076)  # 'vp80'
+    with pytest.raises(PngError):
+        decode_avi_frame(bytes(avi), 0)
+
+
+def test_video_frame_codec_registry_default():
+    from h2spark.core.avicodec import encode_avi
+    from h2spark.ops import multimodal as mm
+
+    frames = [bytes((f * 9 % 256,)) * 48 for f in range(2)]
+    avi = encode_avi(4, 4, frames, fps=25)
+    got = mm.sample_frame_real(avi, 60)
+    assert got == frames[1]
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.sample_frame_real(b"not a video", 0)
