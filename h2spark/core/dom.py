@@ -38,12 +38,21 @@ class Document(Node):
 class Element(Node):
     __slots__ = (
         "tag", "attrs", "children", "elem_idx", "_idx", "_desc", "_nelem",
-        "template_contents",
+        "template_contents", "ns",
     )
 
-    def __init__(self, tag: str, attrs: dict[str, str] | None = None) -> None:
+    def __init__(
+        self,
+        tag: str,
+        attrs: dict[str, str] | None = None,
+        ns: str | None = None,
+    ) -> None:
         self.parent = None
         self.tag = tag
+        # namespace: None = HTML (the hot-path common case — an
+        # identity check, no string compare), "svg" or "math" for
+        # foreign content (WHATWG 13.2.6.5)
+        self.ns = ns
         self.attrs: dict[str, str] = attrs if attrs is not None else {}
         self.children: list[Node] = []
         # <template> only: the detached contents fragment (WHATWG

@@ -76,11 +76,20 @@ def _skip_tag_end(s: str, i: int) -> int:
         i = m.end()
 
 
-def tokenize_into(html: str, emit) -> None:
+def tokenize_into(html: str, emit, foreign=None) -> None:
     """Tokenize ``html``, calling ``emit(token)`` per token. Linear
     single pass; the callback form (vs a generator) removes one
     suspend/resume per token from the parse hot loop — the tree
     builder passes its ``feed`` method directly.
+
+    ``foreign`` (optional nullary callable) reports whether the tree
+    builder's current node is a foreign (SVG/MathML) element after the
+    just-emitted start tag was processed: the spec's RAWTEXT / RCDATA /
+    script-data / PLAINTEXT switches are tree-builder directives that
+    only fire when the element was inserted by the HTML rules, so
+    ``<svg><title>`` or ``<svg><script>`` tokenize as normal content
+    (WHATWG 13.2.6.5) while ``<svg><foreignObject><title>`` (an HTML
+    integration point) still enters RCDATA.
 
     Input preprocessing per spec: discard a leading BOM (html5ever
     TokenizerOpts::discard_bom default) and normalize CRLF/CR to LF.
@@ -197,15 +206,19 @@ def tokenize_into(html: str, emit) -> None:
             emit(tok)
             name = tok[1]
             if name == "script":
-                pos = _scan_script(s, pos, emit)
+                if foreign is None or not foreign():
+                    pos = _scan_script(s, pos, emit)
             elif name in RAWTEXT_ELEMENTS:
-                pos = _scan_rawtext(s, pos, name, False, emit)
+                if foreign is None or not foreign():
+                    pos = _scan_rawtext(s, pos, name, False, emit)
             elif name in RCDATA_ELEMENTS:
-                pos = _scan_rawtext(s, pos, name, True, emit)
+                if foreign is None or not foreign():
+                    pos = _scan_rawtext(s, pos, name, True, emit)
             elif name == "plaintext" and not tok[3]:
-                if pos < n:
-                    emit(("text", s[pos:]))
-                return
+                if foreign is None or not foreign():
+                    if pos < n:
+                        emit(("text", s[pos:]))
+                    return
         else:
             # '<' followed by junk: literal text
             emit(("text", "<"))

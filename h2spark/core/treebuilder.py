@@ -39,12 +39,19 @@ any-rank heading end tags follow the spec; conformance is measured by
 tests/test_html5lib_conformance.py over the vendored corpus
 (tests/html5lib_corpus/, ~200 adjudicated .dat cases, all green).
 
+Foreign content (SVG/MathML, 13.2.6.5) is namespace-aware since
+round 5: namespace assignment on Element.ns, SVG tag/attribute case
+adjustment, MathML definitionURL, xlink/xml/xmlns attribute
+adjustment, MathML-text + HTML integration points (with ns-aware
+scope boundaries), breakout start tags, honored self-closing flags,
+and tokenizer coordination so foreign script/style/title/textarea
+never enter RAWTEXT/RCDATA (tests/html5lib_corpus/foreign.dat).
+
 Remaining deliberate simplifications (corpus-safe, measured by the
 same harness's documented scope): no dedicated table insertion *modes*
 (structural table tags are handled via in-body auto-close rules +
 foster parenting — the mode-machine-equivalent behaviors are pinned by
-the tables.dat cases), no foreign-content namespaces (SVG/MathML parse
-structurally, no tag-name adjustment), name-only doctypes.
+the tables.dat cases), name-only doctypes.
 """
 
 from __future__ import annotations
@@ -177,7 +184,8 @@ _FRAMESET_FLIP = frozenset(
 _SLOW_START = (
     _SPECIAL_START | _FORMATTING | _MARKER_TAGS | _TABLE_STRUCT
     | frozenset(
-        {"frameset", "frame", "image", "button", "rb", "rtc", "rt", "rp"}
+        {"frameset", "frame", "image", "button", "rb", "rtc", "rt", "rp",
+         "math", "svg"}  # foreign-content entry points (13.2.6.5)
     )
 )
 
@@ -221,6 +229,146 @@ _SELECT_SAFE = frozenset({"option", "optgroup", "script", "template"})
 # ignored (spec "in select": parse error, ignore) — in particular the
 # adoption agency must never restructure into an open select
 _SELECT_END_SAFE = frozenset({"option", "optgroup", "select", "template"})
+
+# --- foreign content (SVG / MathML), WHATWG 13.2.6.5 --------------------
+
+# MathML text integration points: children tokenize per HTML rules
+# (except mglyph/malignmark start tags)
+_MATHML_TEXT_IP = frozenset({"mi", "mo", "mn", "ms", "mtext"})
+
+# SVG HTML integration points (annotation-xml is attribute-dependent,
+# checked in _is_html_ip)
+_SVG_HTML_IP = frozenset({"foreignObject", "desc", "title"})
+
+# start tags that break OUT of foreign content back to HTML parsing
+# (spec's list; <font> only with color/face/size, checked inline)
+_BREAKOUT = frozenset(
+    {
+        "b", "big", "blockquote", "body", "br", "center", "code", "dd",
+        "div", "dl", "dt", "em", "embed", "h1", "h2", "h3", "h4", "h5",
+        "h6", "head", "hr", "i", "img", "li", "listing", "menu", "meta",
+        "nobr", "ol", "p", "pre", "ruby", "s", "small", "span", "strong",
+        "strike", "sub", "sup", "table", "tt", "u", "ul", "var",
+    }
+)
+
+# SVG tag-name case adjustment (the spec's full table)
+_SVG_TAG_ADJUST = {
+    "altglyph": "altGlyph", "altglyphdef": "altGlyphDef",
+    "altglyphitem": "altGlyphItem", "animatecolor": "animateColor",
+    "animatemotion": "animateMotion",
+    "animatetransform": "animateTransform", "clippath": "clipPath",
+    "feblend": "feBlend", "fecolormatrix": "feColorMatrix",
+    "fecomponenttransfer": "feComponentTransfer",
+    "fecomposite": "feComposite", "feconvolvematrix": "feConvolveMatrix",
+    "fediffuselighting": "feDiffuseLighting",
+    "fedisplacementmap": "feDisplacementMap",
+    "fedistantlight": "feDistantLight", "fedropshadow": "feDropShadow",
+    "feflood": "feFlood", "fefunca": "feFuncA", "fefuncb": "feFuncB",
+    "fefuncg": "feFuncG", "fefuncr": "feFuncR",
+    "fegaussianblur": "feGaussianBlur", "feimage": "feImage",
+    "femerge": "feMerge", "femergenode": "feMergeNode",
+    "femorphology": "feMorphology", "feoffset": "feOffset",
+    "fepointlight": "fePointLight",
+    "fespecularlighting": "feSpecularLighting",
+    "fespotlight": "feSpotLight", "fetile": "feTile",
+    "feturbulence": "feTurbulence", "foreignobject": "foreignObject",
+    "glyphref": "glyphRef", "lineargradient": "linearGradient",
+    "radialgradient": "radialGradient", "textpath": "textPath",
+}
+
+# SVG attribute case adjustment (the spec's full table)
+_SVG_ATTR_ADJUST = {
+    "attributename": "attributeName", "attributetype": "attributeType",
+    "basefrequency": "baseFrequency", "baseprofile": "baseProfile",
+    "calcmode": "calcMode", "clippathunits": "clipPathUnits",
+    "diffuseconstant": "diffuseConstant", "edgemode": "edgeMode",
+    "filterunits": "filterUnits", "glyphref": "glyphRef",
+    "gradienttransform": "gradientTransform",
+    "gradientunits": "gradientUnits", "kernelmatrix": "kernelMatrix",
+    "kernelunitlength": "kernelUnitLength", "keypoints": "keyPoints",
+    "keysplines": "keySplines", "keytimes": "keyTimes",
+    "lengthadjust": "lengthAdjust",
+    "limitingconeangle": "limitingConeAngle",
+    "markerheight": "markerHeight", "markerunits": "markerUnits",
+    "markerwidth": "markerWidth",
+    "maskcontentunits": "maskContentUnits", "maskunits": "maskUnits",
+    "numoctaves": "numOctaves", "pathlength": "pathLength",
+    "patterncontentunits": "patternContentUnits",
+    "patterntransform": "patternTransform",
+    "patternunits": "patternUnits", "pointsatx": "pointsAtX",
+    "pointsaty": "pointsAtY", "pointsatz": "pointsAtZ",
+    "preservealpha": "preserveAlpha",
+    "preserveaspectratio": "preserveAspectRatio",
+    "primitiveunits": "primitiveUnits", "refx": "refX", "refy": "refY",
+    "repeatcount": "repeatCount", "repeatdur": "repeatDur",
+    "requiredextensions": "requiredExtensions",
+    "requiredfeatures": "requiredFeatures",
+    "specularconstant": "specularConstant",
+    "specularexponent": "specularExponent",
+    "spreadmethod": "spreadMethod", "startoffset": "startOffset",
+    "stddeviation": "stdDeviation", "stitchtiles": "stitchTiles",
+    "surfacescale": "surfaceScale",
+    "systemlanguage": "systemLanguage", "tablevalues": "tableValues",
+    "targetx": "targetX", "targety": "targetY",
+    "textlength": "textLength", "viewbox": "viewBox",
+    "viewtarget": "viewTarget", "xchannelselector": "xChannelSelector",
+    "ychannelselector": "yChannelSelector", "zoomandpan": "zoomAndPan",
+}
+
+# foreign (namespaced) attribute adjustment: the stored key is the
+# html5lib-tests display form "prefix local" (the DOM stores a
+# (prefix, local, ns) triple; extraction reads attributes by their
+# serialized name, so the display form IS the lookup key here)
+_FOREIGN_ATTR_ADJUST = {
+    "xlink:actuate": "xlink actuate", "xlink:arcrole": "xlink arcrole",
+    "xlink:href": "xlink href", "xlink:role": "xlink role",
+    "xlink:show": "xlink show", "xlink:title": "xlink title",
+    "xlink:type": "xlink type", "xml:lang": "xml lang",
+    "xml:space": "xml space", "xmlns": "xmlns",
+    "xmlns:xlink": "xmlns xlink",
+}
+
+
+def _adjust_foreign_attrs(attrs: dict, ns: str) -> dict:
+    out = {}
+    case = _SVG_ATTR_ADJUST if ns == "svg" else None
+    for k, v in attrs.items():
+        if k in _FOREIGN_ATTR_ADJUST:
+            k = _FOREIGN_ATTR_ADJUST[k]
+        elif case is not None and k in case:
+            k = case[k]
+        elif ns == "math" and k == "definitionurl":
+            k = "definitionURL"
+        out[k] = v
+    return out
+
+
+def _is_mathml_text_ip(el) -> bool:
+    return el.ns == "math" and el.tag in _MATHML_TEXT_IP
+
+
+_FOREIGN_SPECIAL_MATH = _MATHML_TEXT_IP | frozenset({"annotation-xml"})
+
+
+def _foreign_boundary(e) -> bool:
+    """Foreign elements on the spec's scope/special-category lists (the
+    integration points: MathML mi/mo/mn/ms/mtext/annotation-xml, SVG
+    foreignObject/desc/title); every other foreign element is ordinary
+    and transparent to HTML scope searches."""
+    if e.ns == "math":
+        return e.tag in _FOREIGN_SPECIAL_MATH
+    return e.tag in _SVG_HTML_IP
+
+
+def _is_html_ip(el) -> bool:
+    if el.ns == "svg":
+        return el.tag in _SVG_HTML_IP
+    if el.ns == "math" and el.tag == "annotation-xml":
+        enc = el.attrs.get("encoding", "").lower()
+        return enc in ("text/html", "application/xhtml+xml")
+    return False
+
 
 # marker sentinel for the active formatting list
 _MARKER = object()
@@ -383,7 +531,12 @@ class _Builder:
         spec's "has an element in scope" check), so an unbalanced
         </div> inside a table cell can't destroy the table."""
         for i in range(len(self.stack) - 1, -1, -1):
-            t = self.stack[i].tag
+            e = self.stack[i]
+            if e.ns is not None:
+                if _foreign_boundary(e):
+                    return False  # integration points bound every scope
+                continue  # ordinary foreign: transparent, never a match
+            t = e.tag
             if t == name:
                 self._pop_from(i)
                 return True
@@ -403,7 +556,12 @@ class _Builder:
         # <button>; pops route through _pop_from so a marker-scoped
         # element can never be evicted without clearing its afe marker
         for i in range(len(self.stack) - 1, -1, -1):
-            t = self.stack[i].tag
+            e = self.stack[i]
+            if e.ns is not None:
+                if _foreign_boundary(e):
+                    return
+                continue
+            t = e.tag
             if t == "p":
                 self._pop_from(i)
                 return
@@ -412,7 +570,12 @@ class _Builder:
 
     def _close_li_like(self, names: frozenset[str] | tuple) -> None:
         for i in range(len(self.stack) - 1, -1, -1):
-            t = self.stack[i].tag
+            e = self.stack[i]
+            if e.ns is not None:
+                if _foreign_boundary(e):
+                    return
+                continue
+            t = e.tag
             if t in names:
                 # route through _pop_from: a popped marker-scoped
                 # element (td/th in the in-template path) must clear
@@ -443,21 +606,6 @@ class _Builder:
             if e.tag in _MARKER_TAGS:
                 self._clear_afe_to_marker()
 
-    def _foreign_self_closes(self, tok: tuple) -> bool:
-        """HTML ignores the '/>' flag on non-void elements, EXCEPT in
-        foreign content (svg/math), where <path/> really is empty."""
-        if not tok[3]:
-            return False
-        if tok[1] in ("svg", "math"):
-            return True
-        for e in reversed(self.stack):
-            t = e.tag
-            if t in ("svg", "math"):
-                return True
-            if t in ("body", "html"):
-                return False
-        return False
-
     def _merge_attrs(self, el: Element, attrs: dict) -> None:
         for k, v in attrs.items():
             if k not in el.attrs:
@@ -470,6 +618,10 @@ class _Builder:
 
     def _in_scope(self, name: str) -> bool:
         for e in reversed(self.stack):
+            if e.ns is not None:
+                if _foreign_boundary(e):
+                    return False
+                continue
             if e.tag == name:
                 return True
             if e.tag in _SCOPE_BOUNDARY:
@@ -527,6 +679,10 @@ class _Builder:
         stack = self.stack
         for i in range(len(stack) - 1, -1, -1):
             node = stack[i]
+            if node.ns is not None:
+                if _foreign_boundary(node):
+                    return  # integration points are special-category
+                continue  # ordinary foreign elements are not
             if node.tag == name:
                 del stack[i:]
                 return
@@ -559,6 +715,10 @@ class _Builder:
                 if e is fmt:
                     in_scope = True
                     break
+                if e.ns is not None:
+                    if _foreign_boundary(e):
+                        break
+                    continue
                 if e.tag in _SCOPE_BOUNDARY:
                     break
             if not in_scope:
@@ -676,9 +836,12 @@ class _Builder:
     # --- body insertion (foster- and formatting-aware) --------------------
 
     def _insert_element_body(
-        self, name: str, attrs: dict, push: bool = True
+        self, name: str, attrs: dict, push: bool = True,
+        ns: str | None = None,
     ) -> Element:
         el = Element(name, attrs)
+        if ns is not None:
+            el.ns = ns
         cur = self.stack[-1]
         if cur.tag in _TABLE_CONTEXT and not (
             name in _TABLE_ALLOWED
@@ -717,7 +880,7 @@ class _Builder:
         if self.afe:
             self._reconstruct()
         self._insert_element_body(
-            tok[1], tok[2], push=not self._foreign_self_closes(tok)
+            tok[1], tok[2], push=True
         )
 
     def _start_formatting(self, name: str, attrs: dict) -> None:
@@ -746,14 +909,112 @@ class _Builder:
 
     # --- token dispatch -------------------------------------------------
 
+    def _foreign_dispatch(self, tok: tuple) -> bool:
+        """Tree-construction dispatcher for a foreign current node
+        (WHATWG 13.2.6: adjusted current node == current node, no
+        fragment parsing). True = the token was consumed by the
+        foreign-content rules; False = process per the HTML rules
+        (integration point)."""
+        cur = self.stack[-1]
+        kind = tok[0]
+        if kind == "text" or kind == "start":
+            if _is_mathml_text_ip(cur):
+                if kind == "text" or tok[1] not in ("mglyph", "malignmark"):
+                    return False
+            elif cur.ns == "math" and cur.tag == "annotation-xml":
+                if kind == "start" and tok[1] == "svg":
+                    return False
+                if _is_html_ip(cur):
+                    return False
+            elif _is_html_ip(cur):
+                return False
+        self._foreign_token(tok)
+        return True
+
+    def _foreign_token(self, tok: tuple) -> None:
+        """13.2.6.5 'rules for parsing tokens in foreign content'."""
+        kind = tok[0]
+        if kind == "text":
+            data = tok[1]
+            if "\x00" in data:
+                data = data.replace("\x00", "�")
+            if self._frameset_ok and data.strip(_WS):
+                self._frameset_ok = False
+            self._append_text(data)
+            return
+        if kind == "comment":
+            self._current().append_child(Comment(tok[1]))
+            return
+        if kind == "doctype":
+            return  # parse error, ignored
+        stack = self.stack
+        if kind == "start":
+            name, attrs = tok[1], tok[2]
+            if name in _BREAKOUT or (
+                name == "font"
+                and ("color" in attrs or "face" in attrs or "size" in attrs)
+            ):
+                # pop until an integration point / HTML element, then
+                # reprocess per the HTML rules (re-dispatch is safe:
+                # the current node is no longer plain-foreign)
+                while (
+                    stack
+                    and stack[-1].ns is not None
+                    and not _is_mathml_text_ip(stack[-1])
+                    and not _is_html_ip(stack[-1])
+                ):
+                    stack.pop()
+                self.feed(tok)
+                return
+            ns = stack[-1].ns
+            if ns == "svg":
+                name = _SVG_TAG_ADJUST.get(name, name)
+            el = Element(name, _adjust_foreign_attrs(attrs, ns), ns=ns)
+            cur = stack[-1]
+            el.parent = cur
+            ch = cur.children
+            el._idx = len(ch)
+            el.elem_idx = cur._nelem
+            cur._nelem += 1
+            ch.append(el)
+            if not tok[3]:  # self-closing foreign elements ARE empty
+                stack.append(el)
+            return
+        # end tag: walk the stack; a case-insensitive local-name match
+        # pops through; reaching an HTML-namespace ancestor reprocesses
+        # per the HTML rules (with the foreign elements still open —
+        # their scope behavior decides what pops)
+        name = tok[1]
+        i = len(stack) - 1
+        while i >= 0:
+            node = stack[i]
+            if node.tag.lower() == name:
+                del stack[i:]
+                return
+            if i > 0 and stack[i - 1].ns is None:
+                # bypass the dispatcher (current node is still
+                # foreign): hand the token to the mode machine directly
+                while True:
+                    handler = getattr(self, "_mode_" + self.mode)
+                    if handler(tok):
+                        return
+            i -= 1
+
     def feed(self, tok: tuple) -> None:
-        # fast paths: the overwhelmingly common cases mid-document
+        # fast paths: the overwhelmingly common cases mid-document.
+        # Foreign (SVG/MathML) current nodes can only exist while the
+        # mode is in_body (math/svg entry + template contents both live
+        # there), so the dispatcher check rides the fast path's
+        # existing current-node load; the mode-machine fallback below
+        # re-checks for the contrived after-body-with-open-svg cases.
         if self.mode == "in_body":
+            cur = self.stack[-1]
+            if cur.ns is not None and self._foreign_dispatch(tok):
+                return
             kind = tok[0]
             if kind == "text":
-                cur = self.stack[-1]
                 curtag = cur.tag
-                if curtag not in _TEXT_CONTENT:
+                if curtag not in _TEXT_CONTENT or cur.ns is not None:
                     data = tok[1]
                     if self._frameset_ok and data.strip(_WS):
                         self._frameset_ok = False
@@ -782,8 +1043,10 @@ class _Builder:
                     return
             elif kind == "start":
                 name = tok[1]
-                curtag = self.stack[-1].tag
-                if curtag not in _TEXT_CONTENT and curtag not in _SELECT_CTX:
+                curtag = cur.tag
+                if (
+                    curtag not in _TEXT_CONTENT or cur.ns is not None
+                ) and curtag not in _SELECT_CTX:
                     # flip only when the fast path actually handles the
                     # token: starts routed to the mode machine flip in
                     # _mode_in_body AFTER its in-select check, so tags
@@ -798,12 +1061,7 @@ class _Builder:
                         if self.afe or curtag in _TABLE_CONTEXT:
                             self._generic_start_in_body(tok)
                         else:
-                            self._insert_element(
-                                name, tok[2],
-                                push=not (
-                                    tok[3] and self._foreign_self_closes(tok)
-                                ),
-                            )
+                            self._insert_element(name, tok[2], push=True)
                         return
                     if (
                         name in _FAST_P_CLOSERS
@@ -818,10 +1076,7 @@ class _Builder:
                         # foster-parent exactly as the slow path does
                         self._close_p()
                         self._insert_element_body(
-                            name, tok[2],
-                            push=not (
-                                tok[3] and self._foreign_self_closes(tok)
-                            ),
+                            name, tok[2], push=True
                         )
                         return
             elif (
@@ -846,7 +1101,11 @@ class _Builder:
                 return
         # "text" insertion mode: a rawtext/RCDATA element is open —
         # character data appends to it, its end tag closes it.
-        if self.stack and self.stack[-1].tag in _TEXT_CONTENT:
+        if (
+            self.stack
+            and self.stack[-1].tag in _TEXT_CONTENT
+            and self.stack[-1].ns is None
+        ):
             kind = tok[0]
             if kind == "text":
                 data = tok[1]
@@ -866,6 +1125,13 @@ class _Builder:
                 return
         # Loop to support "reprocess in new mode" without recursion.
         while True:
+            stack = self.stack
+            if (
+                stack
+                and stack[-1].ns is not None
+                and self._foreign_dispatch(tok)
+            ):
+                return
             handler = getattr(self, "_mode_" + self.mode)
             if handler(tok):
                 return
@@ -1069,6 +1335,20 @@ class _Builder:
                 and attrs.get("type", "").lower() == "hidden"
             ):
                 self._frameset_ok = False
+            if name in ("math", "svg"):
+                # foreign-content entry (13.2.6 'in body' math/svg):
+                # reconstruct formatting, adjust MathML/SVG + foreign
+                # attributes, insert in the foreign namespace (foster-
+                # aware: <table><svg> fosters before the table); a
+                # self-closing flag is honored
+                if self.afe:
+                    self._reconstruct()
+                ns = name  # namespaces are keyed "math" / "svg"
+                self._insert_element_body(
+                    name, _adjust_foreign_attrs(attrs, ns),
+                    push=not tok[3], ns=ns,
+                )
+                return True
             if name in _FORMATTING:
                 self._start_formatting(name, attrs)
                 return True
@@ -1096,7 +1376,7 @@ class _Builder:
                 if self.afe:
                     self._reconstruct()
                 self._insert_element_body(
-                    name, attrs, push=not self._foreign_self_closes(tok)
+                    name, attrs, push=True
                 )
                 self.afe.append(_MARKER)
                 return True
@@ -1156,6 +1436,10 @@ class _Builder:
                 # leave an open rtc alone)
                 in_ruby = False
                 for e in reversed(self.stack):
+                    if e.ns is not None:
+                        if _foreign_boundary(e):
+                            break
+                        continue
                     if e.tag == "ruby":
                         in_ruby = True
                         break
@@ -1279,9 +1563,7 @@ class _Builder:
                 self._close_li_like(("tbody", "thead", "tfoot", "tr", "td", "th"))
                 if self._current().tag in ("tbody", "thead", "tfoot"):
                     self.stack.pop()
-            self._insert_element_body(
-                name, attrs, push=not self._foreign_self_closes(tok)
-            )
+            self._insert_element_body(name, attrs, push=True)
             if name in ("td", "th"):
                 self.afe.append(_MARKER)  # cell contents don't reconstruct
             return True
@@ -1302,7 +1584,12 @@ class _Builder:
             if name == "p":
                 # spec: no open p -> insert empty <p> then close it
                 for i in range(len(self.stack) - 1, -1, -1):
-                    t = self.stack[i].tag
+                    e = self.stack[i]
+                    if e.ns is not None:
+                        if _foreign_boundary(e):
+                            break
+                        continue
+                    t = e.tag
                     if t == "p":
                         self._pop_from(i)
                         return True
@@ -1335,7 +1622,12 @@ class _Builder:
                 # walk below would wrongly let an open <p> block </div>)
                 stack = self.stack
                 for i in range(len(stack) - 1, -1, -1):
-                    t = stack[i].tag
+                    e = stack[i]
+                    if e.ns is not None:
+                        if _foreign_boundary(e):
+                            return True
+                        continue
+                    t = e.tag
                     if t == name:
                         while (
                             stack[-1].tag in _IMPLIED_END
@@ -1353,7 +1645,12 @@ class _Builder:
                 # spec: any h1-h6 end tag closes the nearest open
                 # heading of ANY rank (</h3> closes an open <h1>)
                 for i in range(len(self.stack) - 1, -1, -1):
-                    t = self.stack[i].tag
+                    e = self.stack[i]
+                    if e.ns is not None:
+                        if _foreign_boundary(e):
+                            return True
+                        continue
+                    t = e.tag
                     if t in _HEADINGS:
                         self._pop_from(i)
                         return True
@@ -1474,7 +1771,13 @@ def parse_document(html: str) -> Document:
     with head/body implied when missing.
     """
     b = _Builder()
-    tokenize_into(html, b.feed)
+    stack = b.stack
+    # rawtext/RCDATA/script/plaintext switches only apply when the tree
+    # builder inserted the element per the HTML rules (13.2.6.5)
+    tokenize_into(
+        html, b.feed,
+        foreign=lambda: bool(stack) and stack[-1].ns is not None,
+    )
     # EOF with open template-contents fragments: close them and restore
     # the opener's mode so head/body implication below still runs
     while b._template_modes:

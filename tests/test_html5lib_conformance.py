@@ -12,8 +12,10 @@ ours and pins it: every vendored case must pass unless listed in
 EXPECTED_FAILURES with a documented divergence.
 
 Scope notes (documented limitations, mirrored in COVERAGE.md):
-- HTML namespace only: ``Element`` carries no namespace, so foreign
-  content (SVG/MathML) cases are out of scope for the corpus.
+- Foreign content (SVG/MathML) is IN scope since round 5: namespaced
+  elements serialize as ``<svg x>`` / ``<math x>`` and adjusted
+  namespaced attributes as ``prefix name="v"``, matching the upstream
+  format.
 - ``Doctype`` stores the name only, so cases with public/system
   identifiers are out of scope.
 - ``#errors`` sections are ignored (the builder does not report parse
@@ -47,7 +49,8 @@ def serialize(doc: Document) -> str:
         pad = "| " + "  " * depth
         t = type(node)
         if t is Element:
-            lines.append(f"{pad}<{node.tag}>")
+            name = node.tag if node.ns is None else f"{node.ns} {node.tag}"
+            lines.append(f"{pad}<{name}>")
             for k in sorted(node.attrs):
                 lines.append(f'| {"  " * (depth + 1)}{k}="{node.attrs[k]}"')
             if node.template_contents is not None:
