@@ -555,6 +555,15 @@ class _Builder:
         # (html/table/td/th/caption/applet/marquee/object/template) or
         # <button>; pops route through _pop_from so a marker-scoped
         # element can never be evicted without clearing its afe marker
+        stack = self.stack
+        e = stack[-1]
+        if e.ns is None:
+            t = e.tag
+            if t == "p":  # the overwhelmingly common shape: <p>…<div>
+                stack.pop()
+                return
+            if t in _BUTTON_SCOPE_STOP:  # body/html/td/…: no p in scope
+                return
         for i in range(len(self.stack) - 1, -1, -1):
             e = self.stack[i]
             if e.ns is not None:
