@@ -162,11 +162,21 @@ class Comment(Node):
 
 
 class Doctype(Node):
-    __slots__ = ("name", "_idx")
+    __slots__ = ("name", "public_id", "system_id", "_idx")
 
-    def __init__(self, name: str) -> None:
+    def __init__(
+        self,
+        name: str,
+        public_id: str | None = None,
+        system_id: str | None = None,
+    ) -> None:
         self.parent = None
         self.name = name
+        # WHATWG 13.2.5.53-67: PUBLIC/SYSTEM identifiers, verbatim
+        # (None = absent, "" = present-but-empty — the distinction
+        # matters for quirks-mode classification and serialization)
+        self.public_id = public_id
+        self.system_id = system_id
         self._idx = 0
 
 

@@ -6,7 +6,7 @@ Emits the token stream the tree builder consumes:
     ("start", name, attrs, self_closing)
     ("end", name)
     ("comment", data)
-    ("doctype", name)
+    ("doctype", name, public_id, system_id)
 
 State machine follows the WHATWG tokenizer sections the corpus exercises
 (data / tag open / end tag open / tag name / attributes / self-closing /
@@ -74,6 +74,44 @@ def _skip_tag_end(s: str, i: int) -> int:
         if m.group(0) == ">":
             return m.end()
         i = m.end()
+
+
+_DT_WS = "\t\n\x0c\r "
+
+
+def _parse_doctype(body: str) -> tuple:
+    """DOCTYPE body (between the keyword and '>') -> (name,
+    public_id, system_id) per WHATWG 13.2.5.53-67: lowercased name,
+    PUBLIC/SYSTEM keywords case-insensitive, identifiers quoted with
+    either quote and captured verbatim (unterminated quotes capture to
+    the token end — the abrupt-identifier error path)."""
+    body = body.strip(_DT_WS)
+    if not body:
+        return ("", None, None)
+    i = 0
+    while i < len(body) and body[i] not in _DT_WS:
+        i += 1
+    name = body[:i].lower()
+    rest = body[i:].lstrip(_DT_WS)
+    pub = sysid = None
+
+    def quoted(srest: str):
+        if not srest or srest[0] not in "\"'":
+            return None, srest
+        q = srest[0]
+        end = srest.find(q, 1)
+        if end < 0:
+            return srest[1:], ""
+        return srest[1:end], srest[end + 1:]
+
+    kw = rest[:6].lower()
+    if kw == "public":
+        rest = rest[6:].lstrip(_DT_WS)
+        pub, rest = quoted(rest)
+        sysid, rest = quoted(rest.lstrip(_DT_WS))
+    elif kw == "system":
+        sysid, rest = quoted(rest[6:].lstrip(_DT_WS))
+    return (name, pub, sysid)
 
 
 def tokenize_into(html: str, emit, foreign=None) -> None:
@@ -164,6 +202,9 @@ def tokenize_into(html: str, emit, foreign=None) -> None:
                 emit(("comment", s[pos + 4:m.start()]))
                 pos = m.end()
             elif s[pos + 2:pos + 9].lower() == "doctype":
+                # a '>' ALWAYS terminates the doctype, even inside a
+                # quoted identifier (spec: abrupt-doctype-*-identifier
+                # errors end the token), so the plain scan is correct
                 gt = find(">", pos + 9)
                 if gt < 0:
                     body = s[pos + 9:]
@@ -171,7 +212,7 @@ def tokenize_into(html: str, emit, foreign=None) -> None:
                 else:
                     body = s[pos + 9:gt]
                     pos = gt + 1
-                emit(("doctype", body.strip().split()[0].lower() if body.strip() else ""))
+                emit(("doctype", *_parse_doctype(body)))
             else:
                 gt = find(">", pos + 2)
                 if gt < 0:

@@ -1151,7 +1151,9 @@ class _Builder:
         kind = tok[0]
         if kind == "doctype":
             if not self._saw_doctype:
-                _doc_append(self.doc, Doctype(tok[1]))
+                _doc_append(
+                    self.doc, Doctype(tok[1], tok[2], tok[3])
+                )
                 self._saw_doctype = True
             return True
         if kind == "comment":

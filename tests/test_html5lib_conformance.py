@@ -16,8 +16,9 @@ Scope notes (documented limitations, mirrored in COVERAGE.md):
   elements serialize as ``<svg x>`` / ``<math x>`` and adjusted
   namespaced attributes as ``prefix name="v"``, matching the upstream
   format.
-- ``Doctype`` stores the name only, so cases with public/system
-  identifiers are out of scope.
+- DOCTYPE public/system identifiers are IN scope since round 5
+  (doctype_ids.dat); quirks-MODE side effects on tree construction
+  remain out of scope (the builder always parses no-quirks).
 - ``#errors`` sections are ignored (the builder does not report parse
   errors; neither does the reference's scraper backend).
 - Fragment cases (``#document-fragment``) are skipped: the engine
@@ -64,7 +65,13 @@ def serialize(doc: Document) -> str:
         elif t is Comment:
             lines.append(f"{pad}<!-- {node.data} -->")
         elif t is Doctype:
-            lines.append(f"{pad}<!DOCTYPE {node.name}>")
+            if node.public_id is not None or node.system_id is not None:
+                lines.append(
+                    f'{pad}<!DOCTYPE {node.name} '
+                    f'"{node.public_id or ""}" "{node.system_id or ""}">'
+                )
+            else:
+                lines.append(f"{pad}<!DOCTYPE {node.name}>")
 
     for ch in doc.children:
         emit(ch, 0)
