@@ -7,7 +7,7 @@ full LZW decompression with code-table growth and CLEAR handling,
 palette expansion to RGB. A matching LZW encoder + minimal GIF writer
 exist for tests (roundtrip fuzz exercises table growth for real).
 
-Scope (documented): first image frame only, no interlace (rejected),
+Scope (documented): first image frame only, interlace supported,
 transparency index ignored (pixels take the palette color). JPEG
 (DCT) and WebP (VP8) stay out of scope — those are real compression
 codecs, not container+LZW.
@@ -102,8 +102,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytearray]:
                 "<HHHHB", data[pos + 1:pos + 10]
             )
             pos += 10
-            if iflags & 0x40:
-                raise PngError("interlaced GIF not supported")
+            interlaced = bool(iflags & 0x40)
             pal = gct
             if iflags & 0x80:
                 n = 3 * (2 << (iflags & 0x07))
@@ -129,6 +128,8 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytearray]:
             idx = _lzw_decode(bytes(lzw), min_code, w * h)
             if len(idx) < w * h:
                 raise PngError("LZW data underruns the frame")
+            if interlaced:
+                idx = _deinterlace(idx, w, h)
             out = bytearray(w * h * 3)
             npal = len(pal) // 3
             for i in range(w * h):
@@ -142,6 +143,22 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytearray]:
         else:
             raise PngError(f"unknown GIF block 0x{b:02x}")
     raise PngError("GIF contains no image frame")
+
+
+def _interlace_rows(height: int) -> list:
+    """GIF89a 4-pass interlace row order: every 8th row from 0, every
+    8th from 4, every 4th from 2, every 2nd from 1."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def _deinterlace(idx, w: int, h: int):
+    out = bytearray(w * h)
+    for stored, y in enumerate(_interlace_rows(h)):
+        out[y * w:(y + 1) * w] = idx[stored * w:(stored + 1) * w]
+    return out
 
 
 # --- test-support writer -------------------------------------------------
@@ -194,14 +211,23 @@ def _lzw_encode(indices: bytes, min_code: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, palette: bytes, indices: bytes) -> bytes:
+def encode_gif(
+    width: int, height: int, palette: bytes, indices: bytes,
+    interlace: bool = False,
+) -> bytes:
     """Minimal single-frame GIF89a writer (global color table padded
-    to a power of two; non-interlaced)."""
+    to a power of two); ``interlace=True`` stores rows in the 4-pass
+    GIF89a order, pairing the decoder's deinterlace path."""
     npal = len(palette) // 3
     bits = max(2, (npal - 1).bit_length())
     padded = palette + b"\x00" * (3 * (1 << bits) - len(palette))
     flags = 0x80 | (bits - 1)
     min_code = max(2, bits)
+    if interlace:
+        indices = b"".join(
+            bytes(indices[y * width:(y + 1) * width])
+            for y in _interlace_rows(height)
+        )
     lzw = _lzw_encode(indices, min_code)
     blocks = bytearray()
     for i in range(0, len(lzw), 255):
@@ -212,6 +238,8 @@ def encode_gif(width: int, height: int, palette: bytes, indices: bytes) -> bytes
     return (
         b"GIF89a" + struct.pack("<HHBBB", width, height, flags, 0, 0)
         + padded
-        + b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + b"\x2C" + struct.pack(
+            "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+        )
         + bytes([min_code]) + bytes(blocks) + b"\x3B"
     )

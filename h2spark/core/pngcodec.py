@@ -8,7 +8,7 @@ gray / gray+alpha / RGB / RGBA / palette, plus a matching encoder
 (selectable per-row filters, used by tests and the resize path) and
 deterministic nearest-neighbor resampling.
 
-Scope (documented): bit depth 8, interlace 0 (Adam7 rejected), no
+Scope (documented): bit depth 8, interlace 0 or Adam7, no
 ancillary-chunk interpretation (tRNS/gAMA ignored). PNG spec refs:
 11.2.2 (IHDR), 9 (filters), 13 (decoder conformance).
 
@@ -46,6 +46,69 @@ def _paeth(a: int, b: int, c: int) -> int:
 # memory in an executor (64 MPix ~= 256 MB RGBA — far above any
 # thumbnail/media-span payload, far below task memory)
 MAX_PIXELS = 64 << 20
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_passes(width: int, height: int):
+    """Non-empty Adam7 passes -> (pass_w, pass_h, x0, y0, xstep, ystep).
+    Empty passes contribute NO scanlines (not even filter bytes)."""
+    out = []
+    for xs, ys, xt, yt in _ADAM7:
+        pw = (width - xs + xt - 1) // xt
+        ph = (height - ys + yt - 1) // yt
+        if pw > 0 and ph > 0:
+            out.append((pw, ph, xs, ys, xt, yt))
+    return out
+
+
+def _unfilter_rows(raw, pos, width, height, ch):
+    """Reverse the per-scanline filters of one (sub-)image starting at
+    ``raw[pos]`` -> (pixels, new_pos). Filtering state is local to the
+    image: each Adam7 pass filters against its own previous scanline."""
+    stride = width * ch
+    out = bytearray(height * stride)
+    prev_off = -stride
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row_off = y * stride
+        line = raw[pos:pos + stride]
+        pos += stride
+        if ftype == 0:  # None
+            out[row_off:row_off + stride] = line
+        elif ftype == 1:  # Sub
+            for i in range(stride):
+                a = out[row_off + i - ch] if i >= ch else 0
+                out[row_off + i] = (line[i] + a) & 0xFF
+        elif ftype == 2:  # Up
+            if y == 0:
+                out[row_off:row_off + stride] = line
+            else:
+                up = row_off + prev_off
+                for i in range(stride):
+                    out[row_off + i] = (line[i] + out[up + i]) & 0xFF
+        elif ftype == 3:  # Average
+            up = row_off + prev_off
+            for i in range(stride):
+                a = out[row_off + i - ch] if i >= ch else 0
+                b = out[up + i] if y > 0 else 0
+                out[row_off + i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            up = row_off + prev_off
+            for i in range(stride):
+                a = out[row_off + i - ch] if i >= ch else 0
+                b = out[up + i] if y > 0 else 0
+                c = out[up + i - ch] if (y > 0 and i >= ch) else 0
+                out[row_off + i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {ftype}")
+    return out, pos
 
 
 def decode_png(
@@ -89,15 +152,21 @@ def decode_png(
         raise PngError("missing IHDR")
     if bit_depth != 8:
         raise PngError(f"unsupported bit depth {bit_depth} (only 8)")
-    if interlace != 0:
-        raise PngError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise PngError(f"unsupported color type {color_type}")
     if width <= 0 or height <= 0 or width * height > max_pixels:
         raise PngError(f"dimensions {width}x{height} out of bounds")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    expected = height * (stride + 1)
+    if interlace == 0:
+        expected = height * (stride + 1)
+    else:
+        expected = sum(
+            ph * (pw * ch + 1)
+            for pw, ph, _xs, _ys, _xt, _yt in _adam7_passes(width, height)
+        )
     try:
         # bounded inflate: never produce more than the scanline budget
         # regardless of what the (untrusted) stream claims
@@ -106,43 +175,22 @@ def decode_png(
         raise PngError(f"bad IDAT stream: {e}") from None
     if len(raw) != expected:
         raise PngError("IDAT size mismatch")
-    out = bytearray(height * stride)
-    prev_off = -stride
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        pos += 1
-        row_off = y * stride
-        line = raw[pos:pos + stride]
-        pos += stride
-        if ftype == 0:  # None
-            out[row_off:row_off + stride] = line
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                a = out[row_off + i - ch] if i >= ch else 0
-                out[row_off + i] = (line[i] + a) & 0xFF
-        elif ftype == 2:  # Up
-            if y == 0:
-                out[row_off:row_off + stride] = line
-            else:
-                up = row_off + prev_off
-                for i in range(stride):
-                    out[row_off + i] = (line[i] + out[up + i]) & 0xFF
-        elif ftype == 3:  # Average
-            up = row_off + prev_off
-            for i in range(stride):
-                a = out[row_off + i - ch] if i >= ch else 0
-                b = out[up + i] if y > 0 else 0
-                out[row_off + i] = (line[i] + ((a + b) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            up = row_off + prev_off
-            for i in range(stride):
-                a = out[row_off + i - ch] if i >= ch else 0
-                b = out[up + i] if y > 0 else 0
-                c = out[up + i - ch] if (y > 0 and i >= ch) else 0
-                out[row_off + i] = (line[i] + _paeth(a, b, c)) & 0xFF
-        else:
-            raise PngError(f"unknown filter type {ftype}")
+    if interlace == 0:
+        out, _pos = _unfilter_rows(raw, 0, width, height, ch)
+    else:
+        # Adam7: seven independently-filtered reduced images scattered
+        # onto the full-resolution grid
+        out = bytearray(height * stride)
+        pos = 0
+        for pw, ph, xs, ys, xt, yt in _adam7_passes(width, height):
+            sub, pos = _unfilter_rows(raw, pos, pw, ph, ch)
+            for j in range(ph):
+                srow = j * pw * ch
+                y = ys + j * yt
+                for i in range(pw):
+                    x = xs + i * xt
+                    off = (y * width + x) * ch
+                    out[off:off + ch] = sub[srow + i * ch:srow + (i + 1) * ch]
     if color_type == 3:
         if palette is None:
             raise PngError("palette image without PLTE")
@@ -160,17 +208,39 @@ _COLOR_TYPE_FOR_CH = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
 def encode_png(
-    width: int, height: int, channels: int, pixels, row_filter=None
+    width: int, height: int, channels: int, pixels, row_filter=None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode 8-bit interleaved pixels as a PNG. ``row_filter`` maps a
     row index to the filter type to APPLY (default 0/None rows) —
-    tests use it to exercise every unfilter path in decode_png."""
+    tests use it to exercise every unfilter path in decode_png.
+    ``interlace=True`` writes Adam7 (each pass filtered
+    independently), pairing the decoder's deinterlace path."""
     if channels not in _COLOR_TYPE_FOR_CH:
         raise PngError(f"unsupported channel count {channels}")
     stride = width * channels
     if len(pixels) != height * stride:
         raise PngError("pixel buffer size mismatch")
     ch = channels
+    if interlace:
+        raw = bytearray()
+        for pw, ph, xs, ys, xt, yt in _adam7_passes(width, height):
+            sub = bytearray(pw * ph * ch)
+            for j in range(ph):
+                y = ys + j * yt
+                for i in range(pw):
+                    x = xs + i * xt
+                    sub[(j * pw + i) * ch:(j * pw + i + 1) * ch] = (
+                        pixels[(y * width + x) * ch:(y * width + x + 1) * ch]
+                    )
+            raw += _filter_rows(sub, pw, ph, ch, row_filter)
+        return _assemble_png(width, height, channels, raw, interlace=1)
+    raw = _filter_rows(pixels, width, height, ch, row_filter)
+    return _assemble_png(width, height, channels, raw, interlace=0)
+
+
+def _filter_rows(pixels, width, height, ch, row_filter):
+    stride = width * ch
     raw = bytearray()
     for y in range(height):
         f = row_filter(y) if row_filter is not None else 0
@@ -206,7 +276,10 @@ def encode_png(
             )
         else:
             raise PngError(f"unknown filter type {f}")
+    return raw
 
+
+def _assemble_png(width, height, channels, raw, interlace):
     def chunk(ctype: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(
@@ -214,7 +287,8 @@ def encode_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, _COLOR_TYPE_FOR_CH[channels], 0, 0, 0
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE_FOR_CH[channels],
+        0, 0, interlace,
     )
     return (
         _SIG

@@ -859,3 +859,37 @@ def test_jpeg_media_decode_registry_path():
     meta = mm.get_codec(mm.CODEC_MEDIA_DECODE)(jpg)
     assert (meta["width"], meta["height"], meta["channels"]) == (8, 8, 1)
     assert meta["pixel_sum"] == 77 * 64
+
+
+# --- interlaced image profiles (Adam7 PNG, 4-pass GIF) ------------------
+
+
+def test_png_adam7_interlace_roundtrip():
+    import random
+
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    rng = random.Random(17)
+    for (w, h, ch) in ((17, 13, 3), (8, 8, 1), (1, 1, 4), (5, 2, 2)):
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        for filt in (None, lambda y: y % 5):
+            p = encode_png(w, h, ch, px, row_filter=filt, interlace=True)
+            gw, gh, gch, out = decode_png(p)
+            assert (gw, gh, gch) == (w, h, ch)
+            assert bytes(out) == px
+
+
+def test_gif_interlace_roundtrip():
+    from h2spark.core.gifcodec import decode_gif, encode_gif
+
+    pal = b"".join(
+        bytes([i * 4 % 256, (i * 7) % 256, (i * 13) % 256])
+        for i in range(64)
+    )
+    for (w, h) in ((23, 17), (8, 1), (30, 9)):
+        idx = bytes((x * 3 + y * 11) % 64 for y in range(h) for x in range(w))
+        g = encode_gif(w, h, pal, idx, interlace=True)
+        gw, gh, gch, out = decode_gif(g)
+        exp = b"".join(pal[3 * i:3 * i + 3] for i in idx)
+        assert (gw, gh, gch) == (w, h, 3)
+        assert bytes(out) == exp
