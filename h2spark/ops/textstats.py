@@ -564,3 +564,215 @@ ORDER BY ex.doc_id
 
 QUERIES["text_unigram_logprob"] = q_unigram_logprob
 ORACLES["text_unigram_logprob"] = ORACLE_UNIGRAM_LOGPROB
+
+
+# --- Gopher-style repetition signals ------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher/RefinedWeb family): the
+    fraction of duplicate words and the mass of the most frequent word
+    bigram per document — high values flag boilerplate loops, SEO spam
+    and degenerate generations before training.
+
+    Scale shape: explode -> (doc_id, gram) groupBy -> doc_id rollup —
+    the keys carry the doc id, so every shuffle is doc-partitioned and
+    skew-free; no corpus-wide state at all.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(_norm_text(), " ")
+    base = d.select("doc_id", words.alias("ws"))
+    wstats = (
+        base.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.countDistinct("w").cast("long").alias("n_distinct_words"),
+        )
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("g"),
+    )
+    gstats = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_count"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    return (
+        wstats.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "n_distinct_words",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_words") / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast(
+                "long"
+            ).alias("top_bigram_count"),
+            F.round(
+                F.when(
+                    F.col("n_bigrams") > 0,
+                    F.col("top_bigram_count") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH ws AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS ws FROM documents
+), wstats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+         count(DISTINCT w)::BIGINT AS n_distinct_words
+  FROM (SELECT doc_id, unnest(ws) AS w FROM ws)
+  GROUP BY doc_id
+), grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM ws, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+  WHERE len(ws) >= 2
+), gstats AS (
+  SELECT doc_id, max(c)::BIGINT AS top_bigram_count,
+         sum(c)::BIGINT AS n_bigrams
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words, w.n_distinct_words,
+       round(1.0 - w.n_distinct_words / w.n_words, 6) AS dup_word_frac,
+       COALESCE(g.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+       round(CASE WHEN g.n_bigrams > 0
+                  THEN g.top_bigram_count / g.n_bigrams
+                  ELSE 0.0 END, 6) AS top_bigram_frac
+FROM wstats w LEFT JOIN gstats g USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+QUERIES["text_repetition"] = q_text_repetition
+ORACLES["text_repetition"] = ORACLE_TEXT_REPETITION
+
+
+# --- BM25 keyword extraction --------------------------------------------
+
+_BM25_K1 = 1.5
+_BM25_B = 0.75
+_BM25_TOP = 3
+
+
+def q_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 keywords per document — the relational keyword
+    extractor (tf saturation + length normalization + rare-term idf)
+    used for dataset exploration, topic tagging and retrieval-based
+    decontamination at corpus scale.
+
+    Scale shape: ONE corpus scan feeds everything — explode ->
+    (doc_id, w) tf groupBy, then document length and document
+    frequency are WINDOWS over the tf table (narrow rows; partitioned
+    by doc_id and by w respectively) rather than joins whose branches
+    would each re-run the corpus explode; avgdl attaches as a 1-row
+    broadcast scalar (sum(tf)/n_docs — algebraically avg document
+    length, computed without a dl materialization). Ranking uses the
+    ROUND-6 score in both engines so rank order is
+    engine-independent (ties break on the word).
+    """
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    ex = d.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("w"))
+    tf = ex.groupBy("doc_id", "w").agg(F.count("*").cast("double").alias("tf"))
+    wd = Window.partitionBy("doc_id")
+    ww = Window.partitionBy("w")
+    avgdl = F.broadcast(
+        tf.agg(
+            (
+                F.sum("tf") / F.countDistinct("doc_id").cast("double")
+            ).alias("avgdl")
+        )
+    )
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(wd))
+        .withColumn("df", F.count(F.lit(1)).over(ww).cast("double"))
+        .crossJoin(avgdl)
+        .select(
+            "doc_id", "w",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1 - _BM25_B
+                        + _BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                6,
+            ).alias("bm25"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= _BM25_TOP)
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_BM25_KEYWORDS = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*)::DOUBLE AS tf FROM ex GROUP BY 1, 2
+), stats AS (
+  SELECT sum(tf) / count(DISTINCT doc_id)::DOUBLE AS avgdl FROM tf
+), scored AS (
+  SELECT doc_id, w,
+         round(ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE
+                         - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1))
+               / (tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl / stats.avgdl)),
+               6) AS bm25
+  FROM (
+    SELECT doc_id, w, tf,
+           sum(tf) OVER (PARTITION BY doc_id) AS dl,
+           count(*) OVER (PARTITION BY w)::DOUBLE AS df
+    FROM tf
+  ), stats
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY bm25 DESC, w) AS rank
+  FROM scored
+)
+SELECT doc_id, w, bm25, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_BM25_TOP}
+ORDER BY doc_id, rank
+"""
+
+QUERIES["text_bm25_keywords"] = q_bm25_keywords
+ORACLES["text_bm25_keywords"] = ORACLE_BM25_KEYWORDS

@@ -244,3 +244,16 @@ def test_training_export_never_broadcasts_keepers(spark):
     assert plan.count("(BroadcastExchange") <= 2 or plan.count(
         "BroadcastExchange"
     ) <= 4
+
+
+def test_repetition_and_bm25_stay_jvm_side(spark):
+    from h2spark.ops import textstats
+
+    for q in (textstats.q_text_repetition, textstats.q_bm25_keywords):
+        plan = _formatted(q(spark, SF), spark)
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+    # bm25: document frequency must derive from the tf table (one
+    # corpus explode feeding everything), never a second corpus scan
+    plan = _formatted(textstats.q_bm25_keywords(spark, SF), spark)
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # docs + count reuse
