@@ -201,6 +201,23 @@ def tokenize_into(html: str, emit, foreign=None) -> None:
                     return
                 emit(("comment", s[pos + 4:m.start()]))
                 pos = m.end()
+            elif (
+                s.startswith("<![CDATA[", pos)
+                and foreign is not None
+                and foreign()
+            ):
+                # CDATA sections are character data, but ONLY when the
+                # adjusted current node is outside the HTML namespace
+                # (WHATWG markup-declaration-open); in HTML content the
+                # bogus-comment branch below applies
+                end = find("]]>", pos + 9)
+                if end < 0:
+                    if pos + 9 < n:
+                        emit(("text", s[pos + 9:]))
+                    return
+                if end > pos + 9:
+                    emit(("text", s[pos + 9:end]))
+                pos = end + 3
             elif s[pos + 2:pos + 9].lower() == "doctype":
                 # a '>' ALWAYS terminates the doctype, even inside a
                 # quoted identifier (spec: abrupt-doctype-*-identifier
