@@ -338,3 +338,72 @@ def run_streaming_sessions(
         max_buffered_events=max_buffered_events,
     )
     return _start_append_writer(sessions, out_dir, checkpoint_dir, available_now)
+
+
+# --- streaming curation filter (quality gate on ingestion) ----------------
+
+DOCS_DDL = "doc_id long, text string, lang string"
+
+
+def curation_gate(
+    df,
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    max_dup_word_frac: float = 0.5,
+):
+    """The per-document curation predicate as a STATELESS streaming
+    transform: inline quality score (textstats.quality_expr — no
+    corpus join), language allowlist, and the per-row repetition gate
+    (duplicate-word fraction via array_distinct, pure codegen). Being
+    stateless it applies identically to a batch DataFrame and a
+    readStream — the ingest-time filter that keeps obviously-bad
+    documents out of the landing zone before the batch dedup passes.
+    """
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.textstats import quality_expr
+
+    words = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    dup_frac = F.lit(1.0) - (
+        F.size(F.array_distinct(words)) / F.size(words)
+    )
+    return (
+        df.withColumn("quality", quality_expr())
+        .withColumn("dup_word_frac", F.round(dup_frac, 6))
+        .where(
+            (F.col("quality") >= quality_min)
+            & F.col("lang").isin(*langs)
+            & (F.col("dup_word_frac") <= max_dup_word_frac)
+        )
+    )
+
+
+def run_streaming_curation(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    quality_min: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    max_dup_word_frac: float = 0.5,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental curation over a growing documents directory: only
+    documents passing the quality/language/repetition gate reach the
+    sink. Stateless — no watermark, no state store; scales to any
+    ingest rate."""
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    gated = curation_gate(
+        stream,
+        quality_min=quality_min,
+        langs=langs,
+        max_dup_word_frac=max_dup_word_frac,
+    )
+    return _start_append_writer(gated, out_dir, checkpoint_dir, available_now)

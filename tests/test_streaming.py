@@ -318,3 +318,38 @@ def test_streaming_markdown_and_tables_kernels(spark, tmp_path):
             f"| a{i} | b{i} |\n| --- | --- |"
         )
         assert n_cells == 2
+
+
+def test_streaming_curation_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from h2spark.pipeline.streaming import curation_gate, run_streaming_curation
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today", "en"),
+        (1, "spam spam spam spam spam spam spam spam", "en"),   # repetition
+        (2, "!!!! ???? ;;;; ::: ,,,, ....", "en"),              # punctuation soup
+        (3, "Der schnelle braune Fuchs springt heute", "de"),   # wrong lang
+        (4, "Plenty of ordinary readable english words arranged in a sentence like form", "en"),
+    ]
+    inp = tmp_path / "docs_in"
+    out = tmp_path / "docs_out"
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("append").parquet(str(inp))
+
+    # the gate is stateless: batch and stream must select the same ids
+    batch_ids = {
+        r["doc_id"] for r in curation_gate(df, quality_min=0.4).collect()
+    }
+    q = run_streaming_curation(
+        spark, str(inp), str(out), quality_min=0.4, available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out) + "/data")
+    stream_ids = {r["doc_id"] for r in got.collect()}
+    assert stream_ids == batch_ids
+    assert 0 in stream_ids and 4 in stream_ids
+    assert 1 not in stream_ids  # repetition gate
+    assert 3 not in stream_ids  # language gate
+    # schema carries the gate's evidence columns
+    assert {"quality", "dup_word_frac"} <= set(got.columns)
