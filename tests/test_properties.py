@@ -8,6 +8,7 @@ spec-conformant html.unescape on well-formed references.
 
 import html as stdlib_html
 import random
+import struct
 
 from hypothesis import given, settings, strategies as st
 
@@ -311,3 +312,73 @@ def test_gif_decoder_never_hangs_on_garbage(data):
     except PngError:
         return
     assert len(px) == w * h * ch
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_jpeg_decoder_never_hangs_on_garbage(data):
+    from h2spark.core.jpegcodec import decode_jpeg
+    from h2spark.core.pngcodec import PngError
+
+    try:
+        w, h, ch, px = decode_jpeg(b"\xff\xd8" + data)
+    except (PngError, IndexError, struct.error):
+        return
+    assert len(px) == w * h * ch
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 16), st.integers(0, 10**9))
+def test_jpeg_dc_exact_roundtrip_property(bw, bh, seed):
+    """Block-constant images with an all-ones quantization table
+    survive the lossy pipeline EXACTLY (DC-only blocks) — at any
+    block-grid size."""
+    import random as _random
+
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = _random.Random(seed)
+    W, H = 8 * min(bw, 6), 8 * min(bh, 5)
+    px = bytearray(W * H)
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            v = rng.randrange(256)
+            for yy in range(8):
+                row = (by * 8 + yy) * W + bx * 8
+                px[row:row + 8] = bytes([v]) * 8
+    jpg = encode_jpeg(W, H, bytes(px), channels=1, qtab_luma=[1] * 64)
+    got = decode_jpeg(jpg)
+    assert got[:3] == (W, H, 1)
+    assert bytes(got[3]) == bytes(px)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_avi_decoder_never_hangs_on_garbage(data):
+    from h2spark.core.avicodec import decode_avi_frame
+    from h2spark.core.pngcodec import PngError
+
+    try:
+        out = decode_avi_frame(b"RIFF\x00\x01\x00\x00AVI " + data, 0)
+    except (PngError, IndexError, struct.error):
+        return
+    assert out is None or len(out[2]) == out[0] * out[1] * 3
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 12), st.integers(1, 8), st.integers(1, 4),
+       st.integers(0, 10**9))
+def test_avi_frame_roundtrip_property(w, h, nf, seed):
+    import random as _random
+
+    from h2spark.core.avicodec import decode_avi_frame, encode_avi
+
+    rng = _random.Random(seed)
+    frames = [
+        bytes(rng.randrange(256) for _ in range(w * h * 3))
+        for _ in range(nf)
+    ]
+    avi = encode_avi(w, h, frames, fps=10)
+    for f in range(nf):
+        got = decode_avi_frame(avi, f * 100 + 50)
+        assert got == (w, h, frames[f])
