@@ -244,18 +244,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_pairs(d: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.
 
-    signature[s] = min over shingles of md5(s || ':' || shingle)
-    band_key     = md5(concat of the band's 4 signature values)
+    signature[s] = min over shingles of g_s(shingle), with the
+    Kirsch-Mitzenmacher family g_s = (h1 + s*h2) mod 2^32 over the two
+    32-bit halves of ONE md5 per shingle — round 5: previously each of
+    the 16 positions hashed the shingle separately (16 md5s/row), and
+    string-valued min() aggregation buffers forced Spark into
+    SortAggregate (sort-based, no hash map); numeric signatures hash
+    once, aggregate via HashAggregate, and shuffle 8-byte longs
+    instead of 32-char strings. The arithmetic stays in [0, 2^36) so
+    neither engine can overflow a BIGINT.
+
+    band_key = md5 of the band's 4 signature values joined as decimal
+    strings.
     """
     sh = _with_shingles(d)  # rows already distinct (array_distinct per doc)
+    h = F.md5(F.col("shingle"))
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     # all N signature positions in ONE aggregation: no seed explosion,
     # a single shuffle on doc_id (16x less shuffle traffic than the
     # naive (doc, seed) cross-join formulation)
-    sig = sh.groupBy("doc_id").agg(
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat_ws(":", F.lit(s), F.col("shingle")))).alias(
-                f"m{s}"
-            )
+            F.min(
+                (F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(4294967296)
+            ).alias(f"m{s}")
             for s in range(_N_HASHES)
         ]
     )
@@ -321,18 +337,26 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
-ORACLE_DEDUP_MINHASH = f"""
-WITH {_shingles_cte_duck()},
-sig AS (
-  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+# shared sig/bands CTEs (minhash + clusters oracles): one md5 per
+# shingle, Kirsch-Mitzenmacher (h1 + seed*h2) mod 2^32 minima — the
+# exact arithmetic of minhash_pairs
+_SIG_BANDS_CTE = f"""sig AS (
+  SELECT doc_id, seed,
+         min((('0x' || substr(md5(shingle), 1, 8))::BIGINT
+              + seed * ('0x' || substr(md5(shingle), 9, 8))::BIGINT)
+             % 4294967296) AS minh
   FROM shingles CROSS JOIN (SELECT unnest(range(0, {_N_HASHES})) AS seed)
   GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, (seed // {_BAND_ROWS}) AS band,
-         md5(string_agg(minh, '|' ORDER BY seed)) AS band_key
+         md5(string_agg(minh::VARCHAR, '|' ORDER BY seed)) AS band_key
   FROM sig GROUP BY doc_id, band
-),
+)"""
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {_shingles_cte_duck()},
+{_SIG_BANDS_CTE},
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_bands
   FROM bands a JOIN bands b
@@ -1610,16 +1634,7 @@ def _oracle_clusters() -> str:
     return f"""
 WITH RECURSIVE
 {_shingles_cte_duck().lstrip()},
-sig AS (
-  SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
-  FROM shingles CROSS JOIN (SELECT unnest(range(0, {_N_HASHES})) AS seed)
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, (seed // {_BAND_ROWS}) AS band,
-         md5(string_agg(minh, '|' ORDER BY seed)) AS band_key
-  FROM sig GROUP BY doc_id, band
-),
+{_SIG_BANDS_CTE},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

@@ -140,7 +140,7 @@ def main() -> None:
         if not os.path.isdir(corpus) or ns.n_docs is not None:
             _gen_text_corpus(corpus, n_docs)
         out_file = "BENCH_SCALING_MINHASH.json"
-        configs = (4, 16)
+        configs = (2, 4, 8, 16)
     else:
         n_docs = ns.n_docs or 96000
         corpus = os.path.join(REPO, ".bench-scratch", "scaling-corpus")
@@ -175,6 +175,8 @@ def main() -> None:
         "results": results,
         "efficiency_4_to_16": eff(4, 16),
     }
+    if 2 in results:
+        summary["efficiency_2_to_8"] = eff(2, 8)
     if 32 in results:
         summary["efficiency_8_to_32"] = eff(8, 32)
     print("SUMMARY " + json.dumps(summary))
