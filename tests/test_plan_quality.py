@@ -257,3 +257,12 @@ def test_repetition_and_bm25_stay_jvm_side(spark):
     # corpus explode feeding everything), never a second corpus scan
     plan = _formatted(textstats.q_bm25_keywords(spark, SF), spark)
     assert plan.count("Location: InMemoryFileIndex") <= 2  # docs + count reuse
+
+
+def test_minhash_aggregates_hash_based(spark):
+    from h2spark.ops import dedup
+
+    plan = _formatted(dedup.q_dedup_minhash_lsh(spark, SF), spark)
+    # numeric signatures keep min() buffers mutable: a regression to
+    # string signatures would re-introduce sort-based aggregation
+    assert "SortAggregate" not in plan, plan[:2000]
