@@ -370,6 +370,107 @@ def _is_html_ip(el) -> bool:
     return False
 
 
+# --- quirks-mode classification (WHATWG 13.2.6.4.1) ----------------------
+#
+# The one tree-construction behavior that depends on the mode: in
+# quirks mode a <table> start tag does NOT close an open <p> (so the
+# table nests inside the paragraph — what no-doctype real-web pages
+# get in every browser, and what html5ever gives the reference).
+
+_QUIRKY_PUBLIC_EXACT = frozenset(
+    s.lower()
+    for s in (
+        "-//W3O//DTD W3 HTML Strict 3.0//EN//",
+        "-/W3C/DTD HTML 4.0 Transitional/EN",
+        "HTML",
+    )
+)
+_QUIRKY_SYSTEM = "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"
+_QUIRKY_PUBLIC_PREFIXES = tuple(
+    s.lower()
+    for s in (
+        "+//Silmaril//dtd html Pro v0r11 19970101//",
+        "-//AS//DTD HTML 3.0 asWedit + extensions//",
+        "-//AdvaSoft Ltd//DTD HTML 3.0 asWedit + extensions//",
+        "-//IETF//DTD HTML 2.0 Level 1//",
+        "-//IETF//DTD HTML 2.0 Level 2//",
+        "-//IETF//DTD HTML 2.0 Strict Level 1//",
+        "-//IETF//DTD HTML 2.0 Strict Level 2//",
+        "-//IETF//DTD HTML 2.0 Strict//",
+        "-//IETF//DTD HTML 2.0//",
+        "-//IETF//DTD HTML 2.1E//",
+        "-//IETF//DTD HTML 3.0//",
+        "-//IETF//DTD HTML 3.2 Final//",
+        "-//IETF//DTD HTML 3.2//",
+        "-//IETF//DTD HTML 3//",
+        "-//IETF//DTD HTML Level 0//",
+        "-//IETF//DTD HTML Level 1//",
+        "-//IETF//DTD HTML Level 2//",
+        "-//IETF//DTD HTML Level 3//",
+        "-//IETF//DTD HTML Strict Level 0//",
+        "-//IETF//DTD HTML Strict Level 1//",
+        "-//IETF//DTD HTML Strict Level 2//",
+        "-//IETF//DTD HTML Strict Level 3//",
+        "-//IETF//DTD HTML Strict//",
+        "-//IETF//DTD HTML//",
+        "-//Metrius//DTD Metrius Presentational//",
+        "-//Microsoft//DTD Internet Explorer 2.0 HTML Strict//",
+        "-//Microsoft//DTD Internet Explorer 2.0 HTML//",
+        "-//Microsoft//DTD Internet Explorer 2.0 Tables//",
+        "-//Microsoft//DTD Internet Explorer 3.0 HTML Strict//",
+        "-//Microsoft//DTD Internet Explorer 3.0 HTML//",
+        "-//Microsoft//DTD Internet Explorer 3.0 Tables//",
+        "-//Netscape Comm. Corp.//DTD HTML//",
+        "-//Netscape Comm. Corp.//DTD Strict HTML//",
+        "-//O'Reilly and Associates//DTD HTML 2.0//",
+        "-//O'Reilly and Associates//DTD HTML Extended 1.0//",
+        "-//O'Reilly and Associates//DTD HTML Extended Relaxed 1.0//",
+        "-//SQ//DTD HTML 2.0 HoTMetaL + extensions//",
+        "-//SoftQuad Software//DTD HoTMetaL PRO 6.0::19990601::"
+        "extensions to HTML 4.0//",
+        "-//SoftQuad//DTD HoTMetaL PRO 4.0::19971010::"
+        "extensions to HTML 4.0//",
+        "-//Spyglass//DTD HTML 2.0 Extended//",
+        "-//Sun Microsystems Corp.//DTD HotJava HTML//",
+        "-//Sun Microsystems Corp.//DTD HotJava Strict HTML//",
+        "-//W3C//DTD HTML 3 1995-03-24//",
+        "-//W3C//DTD HTML 3.2 Draft//",
+        "-//W3C//DTD HTML 3.2 Final//",
+        "-//W3C//DTD HTML 3.2//",
+        "-//W3C//DTD HTML 3.2S Draft//",
+        "-//W3C//DTD HTML 4.0 Frameset//",
+        "-//W3C//DTD HTML 4.0 Transitional//",
+        "-//W3C//DTD HTML Experimental 19960712//",
+        "-//W3C//DTD HTML Experimental 970421//",
+        "-//W3C//DTD W3 HTML//",
+        "-//W3O//DTD W3 HTML 3.0//",
+        "-//WebTechs//DTD Mozilla HTML 2.0//",
+        "-//WebTechs//DTD Mozilla HTML//",
+    )
+)
+_QUIRKY_NO_SYSTEM_PREFIXES = (
+    "-//w3c//dtd html 4.01 frameset//",
+    "-//w3c//dtd html 4.01 transitional//",
+)
+
+
+def _doctype_is_quirky(name: str, pub, sysid) -> bool:
+    if name != "html":
+        return True
+    p = (pub or "").lower()
+    s = (sysid or "").lower()
+    if pub is not None:
+        if p in _QUIRKY_PUBLIC_EXACT:
+            return True
+        if p.startswith(_QUIRKY_PUBLIC_PREFIXES):
+            return True
+        if sysid is None and p.startswith(_QUIRKY_NO_SYSTEM_PREFIXES):
+            return True
+    if s == _QUIRKY_SYSTEM:
+        return True
+    return False
+
+
 # marker sentinel for the active formatting list
 _MARKER = object()
 
@@ -406,7 +507,7 @@ def _reindex(doc: Document) -> None:
 class _Builder:
     __slots__ = (
         "doc", "stack", "mode", "_saw_doctype", "afe", "_moved",
-        "_template_modes", "_frameset_ok", "_form",
+        "_template_modes", "_frameset_ok", "_form", "_quirks",
     )
 
     def __init__(self) -> None:
@@ -424,6 +525,9 @@ class _Builder:
         # WHATWG form element pointer: while set (and no template open)
         # a nested <form> start tag is ignored entirely
         self._form = None
+        # quirks mode: set by the doctype (or its absence) in the
+        # initial insertion mode (13.2.6.4.1)
+        self._quirks = False
         # insertion modes saved while template-contents fragments are
         # open (the spec's stack of template insertion modes, reduced:
         # content parses with in-body rules, the opener's mode is
@@ -1155,6 +1259,10 @@ class _Builder:
                     self.doc, Doctype(tok[1], tok[2], tok[3])
                 )
                 self._saw_doctype = True
+                self._quirks = _doctype_is_quirky(tok[1], tok[2], tok[3])
+            # the doctype leaves the initial mode: a LATER token must
+            # not hit the missing-doctype branch below and flip quirks
+            self.mode = "before_html"
             return True
         if kind == "comment":
             _doc_append(self.doc, Comment(tok[1]))
@@ -1164,6 +1272,7 @@ class _Builder:
             if not stripped:
                 return True
             tok = ("text", stripped)
+        self._quirks = True  # missing doctype
         self.mode = "before_html"
         return self._mode_before_html(tok)
 
@@ -1513,7 +1622,10 @@ class _Builder:
                 if not in_tmpl:
                     self._form = el
                 return True
-            if name in _P_CLOSERS:
+            if name in _P_CLOSERS and not (
+                name == "table" and self._quirks
+            ):
+                # quirks mode: <table> does NOT close an open <p>
                 self._close_p()
             if name == "table":
                 # spec "in table"/"in caption" reprocess: a <table>
