@@ -6,7 +6,7 @@ vectorized UDF kernel or in plain unit tests.
 """
 
 from h2spark.core.dom import Document, Element, Text, Comment, Doctype
-from h2spark.core.treebuilder import parse_document
+from h2spark.core.treebuilder import parse_document, parse_fragment
 from h2spark.core.selector import CssSelector, SelectorParseError
 from h2spark.core.spec import (
     StructSpec, Field, Scalar, CustomScalar,
@@ -25,6 +25,7 @@ from h2spark.core.specjson import (
 __all__ = [
     "Document", "Element", "Text", "Comment", "Doctype",
     "parse_document",
+    "parse_fragment",
     "CssSelector", "SelectorParseError",
     "StructSpec", "Field", "Scalar", "CustomScalar",
     "InnerText", "Attr", "NthText", "NoOp",

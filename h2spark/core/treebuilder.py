@@ -1921,3 +1921,97 @@ def parse_document(html: str) -> Document:
     if b._moved:
         _reindex(b.doc)
     return b.doc
+
+
+# --- fragment parsing (innerHTML-style entry point) ----------------------
+
+# context -> document wrapper opening the right insertion context; the
+# context element is the LAST tag in the chain
+_FRAGMENT_WRAPPERS = {
+    "table": "<table>",
+    "caption": "<table><caption>",
+    "colgroup": "<table><colgroup>",
+    "tbody": "<table><tbody>",
+    "thead": "<table><thead>",
+    "tfoot": "<table><tfoot>",
+    "tr": "<table><tbody><tr>",
+    "td": "<table><tbody><tr><td>",
+    "th": "<table><tbody><tr><th>",
+    "select": "<select>",
+    "optgroup": "<select><optgroup>",
+    "option": "<select><option>",
+    "template": "<template>",
+    "head": "<head>",
+    "frameset": "<frameset>",
+}
+
+
+def parse_fragment(
+    html: str, context: str = "div", context_attrs: dict | None = None
+) -> Element:
+    """Parse ``html`` as the CONTENT of a ``context`` element (the
+    innerHTML entry point) and return a detached Element named after
+    the context whose children are the fragment nodes.
+
+    Implemented as contextual document parsing: the fragment is parsed
+    inside a synthesized document that opens the context's full
+    ancestor chain (``td`` content really parses inside
+    table>tbody>tr>td, ``option`` content inside an open select, raw
+    text contexts enter their tokenizer states), then the context
+    element is detached and returned. This is behaviorally equivalent
+    to WHATWG 13.2.9.4 for fragment content that belongs in its
+    context; the documented approximations are stray ``html``/
+    ``body``/``frameset`` tokens inside the fragment (they interact
+    with the synthesized wrappers rather than being ignored) and the
+    fragment-specific form-pointer rule. The reference exposes no
+    fragment API at all (its parse() wraps snippets in implied
+    html/body — /root/reference/core/src/lib.rs); this entry point is
+    a beyond-reference addition for snippet-level extraction.
+    """
+    ctx = context.lower()
+    attrs = context_attrs or {}
+    attr_s = "".join(
+        f' {k}="{v.replace(chr(34), "&quot;")}"' for k, v in attrs.items()
+    )
+    if ctx in _FRAGMENT_WRAPPERS:
+        chain = _FRAGMENT_WRAPPERS[ctx]
+        if attr_s:
+            # splice the attrs into the LAST opening tag of the chain
+            i = chain.rindex("<")
+            chain = chain[:i] + f"<{ctx}{attr_s}>"
+        doc = parse_document(chain + html)
+    else:
+        doc = parse_document(f"<{ctx}{attr_s}>" + html)
+    # find the context element: first match in document order
+    root = doc.root_element()
+    target = None
+    stack = [root]
+    while stack:
+        el = stack.pop()
+        if el.tag == ctx and el is not root:
+            target = el
+            break
+        for child in reversed(el.children):
+            if type(child) is Element:
+                stack.append(child)
+        if el.template_contents is not None:
+            stack.append(el.template_contents)
+    if target is None:
+        # content destroyed/replaced its context (e.g. a stray
+        # </context> plus frameset games): fall back to the body
+        for el in root.children:
+            if type(el) is Element and el.tag == "body":
+                target = el
+                break
+        else:
+            target = root
+    if ctx == "template" and target.template_contents is not None:
+        target = target.template_contents
+    _detach_for_fragment(target)
+    return target
+
+
+def _detach_for_fragment(el: Element) -> None:
+    el.parent = None
+    el._idx = 0
+    el.elem_idx = 0

@@ -582,3 +582,65 @@ def test_select_hr_end_tags_and_keygen():
     assert body_of("<select>a<keygen>b<div>c") == (
         '<select>\n  "a"\n<keygen>\n"b"\n<div>\n  "c"'
     )
+
+
+# --- fragment parsing (innerHTML entry point) ---------------------------
+
+
+def _frag_tags(el):
+    from h2spark.core.dom import Element, Text
+
+    out = []
+    for c in el.children:
+        if type(c) is Element:
+            out.append(c.tag)
+        elif type(c) is Text:
+            out.append(repr(c.data))
+    return out
+
+
+def test_fragment_common_contexts():
+    from h2spark.core.treebuilder import parse_fragment
+
+    assert _frag_tags(parse_fragment("<li>a<li>b", "ul")) == ["li", "li"]
+    tb = parse_fragment("<tr><td>x</td></tr>", "tbody")
+    assert _frag_tags(tb) == ["tr"]
+    tr = parse_fragment("<td>a<td>b", "tr")
+    assert _frag_tags(tr) == ["td", "td"]
+    sel = parse_fragment("<option>a<option>b", "select")
+    assert _frag_tags(sel) == ["option", "option"]
+    div = parse_fragment("plain <b>bold</b> tail", "div")
+    assert _frag_tags(div) == ["'plain '", "b", "' tail'"]
+
+
+def test_fragment_context_attrs_and_template():
+    from h2spark.core.treebuilder import parse_fragment
+
+    td = parse_fragment("x", "td", context_attrs={"colspan": "2"})
+    assert td.attrs == {"colspan": "2"}
+    tpl = parse_fragment("<p>t</p>", "template")
+    assert _frag_tags(tpl) == ["p"]
+
+
+def test_fragment_rawtext_and_foreign_contexts():
+    from h2spark.core.treebuilder import parse_fragment
+
+    ti = parse_fragment("x <b> y", "title")
+    assert _frag_tags(ti) == ["'x <b> y'"]  # RCDATA: markup is text
+    sc = parse_fragment("if (a<b) { f(); }", "script")
+    assert _frag_tags(sc) == ["'if (a<b) { f(); }'"]
+    svg = parse_fragment('<circle r="1"/><text>t</text>', "svg")
+    assert svg.ns == "svg"
+    kids = [c for c in svg.children if type(c).__name__ == "Element"]
+    assert [c.tag for c in kids] == ["circle", "text"]
+    assert all(c.ns == "svg" for c in kids)
+
+
+def test_fragment_detached_and_selectable():
+    from h2spark.core.selector import CssSelector
+    from h2spark.core.treebuilder import parse_fragment
+
+    frag = parse_fragment('<div class="row"><span>a</span><span>b</span></div>', "div")
+    assert frag.parent is None
+    spans = CssSelector.parse(".row span").select(frag)
+    assert [s.inner_text() for s in spans] == ["a", "b"]
