@@ -266,3 +266,28 @@ def test_minhash_aggregates_hash_based(spark):
     # numeric signatures keep min() buffers mutable: a regression to
     # string signatures would re-introduce sort-based aggregation
     assert "SortAggregate" not in plan, plan[:2000]
+
+
+def test_stratified_sample_two_phase_is_exact(spark):
+    # the hash-prefix pre-filter keeps an ascending PREFIX of the md5
+    # order, so the two-phase sample (shrunken hot keys + rare-stratum
+    # fallback) must equal the direct window bit-for-bit — including a
+    # stratum smaller than k and a bound that passes nothing
+    from h2spark.ops.curation import stratified_sample
+
+    rows = (
+        [(i, "en") for i in range(300)]
+        + [(1000 + i, "kl") for i in range(5)]
+        + [(2000 + i, "de") for i in range(60)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    direct = sorted(
+        (r["lang"], r["sample_rank"], r["doc_id"])
+        for r in stratified_sample(d, 20).collect()
+    )
+    for bound in ("1", "8", "0"):
+        two = sorted(
+            (r["lang"], r["sample_rank"], r["doc_id"])
+            for r in stratified_sample(d, 20, prefilter_bound=bound).collect()
+        )
+        assert two == direct, bound
