@@ -921,12 +921,16 @@ def srp_candidate_pairs(
     rows: int,
     bits: int = _SRP_BITS,
     observation: Observation | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (vec_a, vec_b) pairs sharing >= 1 SRP band — the
     bucketed join; pass an ``Observation`` to surface the candidate-pair
     count after the action (silent quadratic blowups become a metric,
-    not an OOM: compare against n(n-1)/2)."""
-    bands = srp_bands(e, rows, bits)
+    not an OOM: compare against n(n-1)/2). ``bands`` reuses
+    already-materialized band rows (the auto-strategy path) instead of
+    re-running the signature matmul."""
+    if bands is None:
+        bands = srp_bands(e, rows, bits)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -1089,12 +1093,32 @@ def cosine_lsh_pairs(
         bits = 256
     if rows is None:
         rows, _ = srp_params(threshold, bits=bits)
+    bands_all = None
     if strategy == "auto":
-        strategy = choose_srp_strategy(e, rows, bits, max_bucket_rows)
+        # materialize the band rows ONCE (localCheckpoint) so the
+        # pre-flight aggregation and the chosen strategy share them —
+        # previously the signature matmul ran twice on every auto call
+        # (VERDICT r4 minor; ~30% of q6). At extreme scale trade the
+        # (vector x bands) storage back for recompute by passing an
+        # explicit strategy instead of "auto".
+        bands_all = srp_bands(
+            e, rows, bits, with_embedding=True
+        ).localCheckpoint(eager=True)
+        mb_row = (
+            bands_all.groupBy("band", "band_key")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("mb"))
+            .first()
+        )
+        mb = (mb_row["mb"] if mb_row is not None else 0) or 0
+        strategy = "bucket" if mb <= max_bucket_rows else "join"
     if strategy == "bucket":
-        scored = srp_bands(e, rows, bits, with_embedding=True).groupBy(
-            "band", "band_key"
-        ).applyInPandas(
+        bsrc = (
+            bands_all
+            if bands_all is not None
+            else srp_bands(e, rows, bits, with_embedding=True)
+        )
+        scored = bsrc.groupBy("band", "band_key").applyInPandas(
             _bucket_rescore_func(threshold),
             "vec_a long, vec_b long, cosine double",
         )
@@ -1106,7 +1130,12 @@ def cosine_lsh_pairs(
             .distinct()
             .orderBy("vec_a", "vec_b")
         )
-    cand = srp_candidate_pairs(e, rows=rows, bits=bits, observation=observation)
+    cand = srp_candidate_pairs(
+        e, rows=rows, bits=bits, observation=observation,
+        bands=(
+            bands_all.drop("embedding") if bands_all is not None else None
+        ),
+    )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     # vectorized exact re-score: same left-to-right fold as cos_expr,
