@@ -83,7 +83,8 @@ _PRIORITY = [
     "ann_ivf_topk", "ann_bruteforce_topk", "embedding_quantize",
     "corpus_curation", "training_token_budget", "corpus_stratified_sample",
     "training_sequence_packing", "training_export",
-    "text_unigram_logprob", "text_repetition", "text_bm25_keywords",
+    "text_unigram_logprob", "text_bigram_logprob", "text_repetition",
+    "text_bm25_keywords",
     "text_quality_score", "dedup_url", "decontaminate",
     "link_extract", "domain_outlinks", "link_pagerank",
     # core-extraction canaries
@@ -96,7 +97,6 @@ _PRIORITY = [
     "spans_reassembly", "size_buckets", "resume_anti_join",
     "manifest_metrics", "events_stats", "events_hourly_window",
     "text_token_count", "text_token_count_bpe", "text_lang_id",
-    "text_fingerprint",
 ]
 
 

@@ -776,3 +776,95 @@ ORDER BY doc_id, rank
 
 QUERIES["text_bm25_keywords"] = q_bm25_keywords
 ORACLES["text_bm25_keywords"] = ORACLE_BM25_KEYWORDS
+
+
+# --- bigram LM scoring (the step past unigram toward real perplexity) ---
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under the corpus's
+    own bigram MLE — the next step past text_unigram_logprob toward a
+    real perplexity filter: P(w2|w1) = c(w1 w2) / c(w1 as context),
+    scored over each document's own bigrams (every scored bigram is
+    observed, so MLE needs no smoothing). Low scores flag documents
+    whose word TRANSITIONS are atypical even when the words themselves
+    are common — shuffled/templated text that unigram scoring misses.
+
+    Scale shape: one corpus explode into bigram rows; both counts are
+    WINDOWS over that table (partition by bigram, partition by
+    context) — nothing is broadcast, nothing corpus-wide materializes,
+    and every shuffle is keyed by values with bounded skew (a single
+    hot bigram is capped by corpus repetition itself). Documents with
+    fewer than two words emit n_bigrams=0 / avg 0.0 via the left join
+    back to the corpus."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = d.select("doc_id", F.split(_norm_text(), " ").alias("ws"))
+    grams = ws.where(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ).alias("g"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.g").alias("g"))
+    cg = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    scored = grams.select(
+        "doc_id",
+        F.log10(cg.cast("double") / c1.cast("double")).alias("lp"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = f"""
+WITH ws AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS g
+  FROM ws, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+  WHERE len(ws) >= 2
+), scored AS (
+  SELECT doc_id,
+         log10(count(*) OVER (PARTITION BY g)::DOUBLE
+               / count(*) OVER (PARTITION BY w1)::DOUBLE) AS lp
+  FROM grams
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(avg(lp), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(a.avg_logprob, 0.0) AS avg_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES["text_bigram_logprob"] = q_bigram_logprob
+ORACLES["text_bigram_logprob"] = ORACLE_BIGRAM_LOGPROB
