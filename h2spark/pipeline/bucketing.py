@@ -1,0 +1,51 @@
+"""Storage-level bucketing: pay a join's shuffle ONCE at write time.
+
+The curation pipeline re-joins the same corpus-keyed tables every
+round (documents x quality verdicts x dedup verdicts x token counts,
+all on doc_id). Writing them BUCKETED on the join key hash-partitions
+the files on disk, so every subsequent join reads co-located buckets
+and plans a SortMergeJoin with NO Exchange on either side — at 100 TB
+that converts the pipeline's recurring dominant shuffle into a
+one-time write cost (the "bucketing for co-located joins" leg of the
+scale plan, alongside broadcast for small dims and salting for skew).
+
+Bucketed layouts are managed tables (Spark's bucketing metadata lives
+in the catalog, not the parquet footers); the session warehouse
+defaults to gitignored scratch (pipeline/session.py). Matching
+``n_buckets`` AND bucket columns on both sides is what removes the
+exchanges — pick n_buckets once per key domain and reuse it
+(pin-tested by tests/test_pipeline.py::test_bucketed_join_is_shuffle_free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | tuple[str, ...] | str,
+    n_buckets: int,
+    sort_cols: list[str] | tuple[str, ...] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a managed parquet table bucketed (and
+    optionally sorted) on the join key. Sorting within buckets lets the
+    co-located SortMergeJoin skip its per-task sort too."""
+    if isinstance(bucket_cols, str):
+        bucket_cols = (bucket_cols,)
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        int(n_buckets), *bucket_cols
+    )
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = (sort_cols,)
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read of a bucketed table (the bucket spec only applies
+    through the catalog — reading the parquet path directly loses it)."""
+    return spark.table(table)

@@ -46,6 +46,10 @@ def ship_package(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(package_archive())
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
 def get_spark(
     app_name: str = "h2spark",
     master: str | None = None,
@@ -67,6 +71,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("H2SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketed layouts) land in gitignored scratch,
+        # never the repo root; override via extra_conf for real runs
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "H2SPARK_WAREHOUSE",
+                os.path.join(_REPO_ROOT, ".bench-scratch", "spark-warehouse"),
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -276,3 +276,48 @@ def test_source_routing_and_parquet_fallback(spark, tmp_path):
     corpus_df(spark, 8, n_partitions=2).write.parquet(p)
     got = load_docs(spark, p)
     assert got.count() == 8 and "spans" in got.columns
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Tables bucketed+sorted on the join key join with NO Exchange on
+    either side (the pay-the-shuffle-once storage layout): the
+    recurring docs x verdicts join reads co-located buckets."""
+    from pyspark.sql import functions as F
+
+    from h2spark.pipeline.bucketing import read_table, write_bucketed
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("lang_code"),
+    )
+    verdicts = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3 == 0).alias("kept"),
+    )
+    write_bucketed(docs, "bt_docs", "doc_id", 8, sort_cols="doc_id")
+    write_bucketed(verdicts, "bt_verdicts", "doc_id", 8, sort_cols="doc_id")
+    try:
+        a = read_table(spark, "bt_docs")
+        b = read_table(spark, "bt_verdicts")
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "doc_id")
+            jvm = spark._jvm
+            plan = joined._jdf.queryExecution().explainString(
+                jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            assert "SortMergeJoin" in plan, plan[:2000]
+            assert "Exchange" not in plan, plan[:2000]
+            # and the join is correct
+            got = joined.where("kept").count()
+            assert got == 2000 // 3 + 1
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", old_thresh
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_verdicts")
