@@ -1,0 +1,138 @@
+"""WARC (ISO 28500) record parsing — pure stdlib.
+
+The container format web crawls actually arrive in (Common Crawl's
+WARC/1.0): concatenated records, each "WARC/1.0\\r\\n" + named headers
++ CRLF CRLF + Content-Length body + CRLF CRLF, the whole file usually
+stored as concatenated per-record gzip members (which is why a WARC
+file is NOT splittable — the Spark layer reads whole files and
+parallelizes across files, the standard Common Crawl processing
+shape). ``response`` records carry an HTTP response; the HTML body
+follows the HTTP header block.
+
+A paired writer exists for tests. No pyspark/pandas imports
+(core-module rule).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+
+def iter_warc_records(data: bytes):
+    """Yield (headers: dict, body: bytes) for each record in a WARC
+    file's bytes; transparently handles per-record/whole-file gzip.
+    Malformed trailing garbage stops iteration (crawl files truncate)."""
+    if data[:2] == b"\x1f\x8b":
+        # concatenated gzip members: GzipFile reads them all in order
+        try:
+            data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        except (OSError, EOFError):
+            return
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if not data.startswith(b"WARC/", pos):
+            return
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if _:
+                headers[k.strip().decode("latin-1").lower()] = (
+                    v.strip().decode("latin-1")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + 4
+        body = data[body_start:body_start + length]
+        if len(body) < length:
+            return  # truncated final record
+        yield headers, body
+        pos = body_start + length
+
+
+def http_response_body(body: bytes) -> tuple[dict, bytes]:
+    """Split a WARC response record's HTTP payload into (http headers,
+    entity body). Tolerates LF-only header blocks."""
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        i = body.find(sep)
+        if i >= 0:
+            head, ent = body[:i], body[i + len(sep):]
+            break
+    else:
+        return {}, body
+    headers: dict[str, str] = {}
+    for line in head.splitlines()[1:]:
+        k, _, v = line.partition(b":")
+        if _:
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
+            )
+    return headers, ent
+
+
+def iter_html_responses(data: bytes):
+    """(url, warc_date, html_text) for every text/html response record
+    — the rows a crawl-extraction pipeline consumes."""
+    for headers, body in iter_warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        http_headers, ent = http_response_body(body)
+        ctype = http_headers.get("content-type", "")
+        if "html" not in ctype.lower():
+            continue
+        yield (
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            ent.decode("utf-8", errors="replace"),
+        )
+
+
+# --- paired writer (tests / fixtures) ------------------------------------
+
+
+def write_warc_response(
+    url: str, date: str, html: str, status: str = "200 OK"
+) -> bytes:
+    """One uncompressed WARC/1.0 response record."""
+    ent = html.encode("utf-8")
+    http = (
+        f"HTTP/1.1 {status}\r\n"
+        "Content-Type: text/html; charset=UTF-8\r\n"
+        f"Content-Length: {len(ent)}\r\n\r\n"
+    ).encode("latin-1") + ent
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("latin-1")
+    return hdr + http + b"\r\n\r\n"
+
+
+def write_warc_file(
+    records: list[tuple[str, str, str]], per_record_gzip: bool = True
+) -> bytes:
+    """A WARC file from (url, date, html) triples — per-record gzip
+    members by default (the Common Crawl layout)."""
+    out = bytearray()
+    for url, date, html in records:
+        raw = write_warc_response(url, date, html)
+        if per_record_gzip:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(raw)
+            out += buf.getvalue()
+        else:
+            out += raw
+    return bytes(out)

@@ -87,3 +87,47 @@ def snapshot_lineage(spark: SparkSession, source: str) -> str:
     if sid is not None:
         return f"iceberg:{source}@{sid}"
     return f"path:{source}"
+
+
+# --- WARC crawl source (the format web corpora arrive in) -----------------
+
+WARC_DOCS_SCHEMA = "path string, url string, warc_date string, html string"
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """text/html response records from WARC files as (path, url,
+    warc_date, html) rows — the Common Crawl ingestion shape.
+
+    WARC files are concatenated per-record gzip members and therefore
+    NOT splittable; parallelism comes from the FILE axis (Common Crawl
+    ships ~60k x ~1 GB segments per crawl — far more files than
+    executors), so ``binaryFile`` + one Python parse per file is the
+    standard plan. The stdlib record parser lives in core/warc.py; a
+    downstream ``extract_spans_arrow`` over the html column completes
+    crawl -> extraction end-to-end (pinned in tests/test_pipeline.py)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def parse(batches):
+        from h2spark.core.warc import iter_html_responses
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for url, date, html in iter_html_responses(bytes(content)):
+                    rows.append(
+                        {
+                            "path": path,
+                            "url": url,
+                            "warc_date": date,
+                            "html": html,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["path", "url", "warc_date", "html"]
+            )
+
+    return files.mapInPandas(parse, WARC_DOCS_SCHEMA)

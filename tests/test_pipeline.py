@@ -321,3 +321,65 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_verdicts")
+
+
+def test_warc_source_to_extraction(spark, tmp_path):
+    """Crawl ingestion end-to-end: WARC files (per-record gzip, the
+    Common Crawl layout) -> html rows -> the real extraction kernel."""
+    from pyspark.sql import functions as F
+
+    from h2spark.core.spec import ONE, Field, Scalar, StructSpec
+    from h2spark.core.warc import write_warc_file
+    from h2spark.pipeline.kernel import make_extract_typed_udf
+    from h2spark.pipeline.sources import read_warc
+
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    for f in range(3):
+        recs = []
+        for r in range(4):
+            i = f * 4 + r
+            recs.append(
+                (
+                    f"https://example.com/p/{i}",
+                    "2024-01-01T00:00:00Z",
+                    f"<html><body><h1>t{i}</h1><p>body {i}</p></body></html>",
+                )
+            )
+        # mix per-record-gzip and plain files
+        (wdir / f"part-{f}.warc.gz").write_bytes(
+            write_warc_file(recs, per_record_gzip=(f != 1))
+        )
+    docs = read_warc(spark, str(wdir))
+    assert docs.count() == 12
+
+    spec = StructSpec(
+        "Page", [Field("title", Scalar("String"), ONE, select="h1")]
+    )
+    udf = make_extract_typed_udf(spec, input_kind="html")
+    out = docs.select("url", udf(F.col("html")).alias("o")).select(
+        "url", F.col("o.value.title").alias("title"), F.col("o.error")
+    )
+    rows = {r["url"]: r["title"] for r in out.collect()}
+    assert len(rows) == 12
+    assert rows["https://example.com/p/7"] == "t7"
+    assert all(v is not None for v in rows.values())
+
+
+def test_warc_parser_tolerates_truncation_and_non_html():
+    from h2spark.core.warc import (
+        iter_html_responses, write_warc_file, write_warc_response,
+    )
+
+    good = write_warc_file(
+        [("u1", "d1", "<p>one"), ("u2", "d2", "<p>two")],
+        per_record_gzip=False,
+    )
+    # truncate mid-record: the complete first record still parses
+    cut = good[: len(good) - 30]
+    got = list(iter_html_responses(cut))
+    assert [u for u, _, _ in got] == ["u1"]
+    # non-response records are skipped
+    req = good.replace(b"WARC-Type: response", b"WARC-Type: request", 1)
+    assert [u for u, _, _ in iter_html_responses(req)] == ["u2"]
+    assert list(iter_html_responses(b"garbage")) == []
