@@ -265,7 +265,10 @@ def packed_starts(
     if lo is None:  # empty input: no rows to offset
         return df.withColumn("start", F.lit(0).cast("long"))
     width = max(1, (int(hi) - int(lo)) // n_buckets + 1)
-    b = ((F.col("doc_id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    # integer DIV, not float division: (doc_id - lo) / width in double
+    # loses integer exactness past 2^53 and can misbucket boundary ids
+    # at realistic 64-bit id ranges
+    b = F.expr(f"CAST((doc_id - {int(lo)}) DIV {width} AS BIGINT)")
     df = df.withColumn("_bucket", b)
     wl = (
         Window.partitionBy("lang", "_bucket")
