@@ -303,14 +303,24 @@ def _main(argv: list[str] | None = None) -> None:
         spec = getattr(importlib.import_module(args.spec_module), args.spec)
     from h2spark.pipeline.sources import (
         current_snapshot_id,
+        is_table_identifier,
         load_docs,
+        parquet_snapshot_lineage,
+        pin_parquet_files,
         snapshot_lineage,
     )
 
     spark = get_spark("h2spark-job", master=args.master)
-    # resolve the snapshot ONCE so every wave reads identical data
+    # resolve the snapshot ONCE so every wave reads identical data:
+    # Iceberg pins the snapshot id; plain parquet pins the file list
     sid = current_snapshot_id(spark, args.input)
-    docs = load_docs(spark, args.input, snapshot_id=sid)
+    if sid is None and not is_table_identifier(args.input):
+        pinned = pin_parquet_files(spark, args.input)
+        docs = load_docs(spark, args.input, pinned_files=pinned)
+        lineage = parquet_snapshot_lineage(pinned)
+    else:
+        docs = load_docs(spark, args.input, snapshot_id=sid)
+        lineage = snapshot_lineage(spark, args.input)
     summary = run_extraction_job(
         spark,
         docs,
@@ -319,7 +329,7 @@ def _main(argv: list[str] | None = None) -> None:
         n_buckets=args.buckets,
         wave_buckets=args.wave_buckets,
         n_partitions=args.partitions,
-        input_lineage=snapshot_lineage(spark, args.input),
+        input_lineage=lineage,
         input_is_bucketed=args.bucketed_input,
     )
     print(json.dumps(summary))

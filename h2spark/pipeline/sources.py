@@ -49,18 +49,61 @@ def is_table_identifier(source: str) -> bool:
 
 
 def load_docs(
-    spark: SparkSession, source: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    source: str,
+    snapshot_id: int | None = None,
+    pinned_files: list[str] | None = None,
 ) -> DataFrame:
     """Load the hint-shaped docs table from an Iceberg table identifier
     or a parquet path. For Iceberg, pass the ``snapshot_id`` resolved at
     job start so every wave reads the SAME snapshot (a concurrent
-    writer's commits otherwise change the data mid-job)."""
+    writer's commits otherwise change the data mid-job); for plain
+    parquet, pass ``pinned_files`` from :func:`pin_parquet_files` for
+    the same guarantee — each wave otherwise re-lists the directory and
+    a concurrent append changes the data mid-job."""
     if is_table_identifier(source) and iceberg_available(spark):
         r = spark.read.format("iceberg")
         if snapshot_id is not None:
             r = r.option("snapshot-id", str(snapshot_id))
         return r.load(source)
+    if pinned_files is not None:
+        return spark.read.parquet(*pinned_files)
     return spark.read.parquet(source)
+
+
+def pin_parquet_files(spark: SparkSession, source: str) -> list[str]:
+    """Snapshot-pin a parquet directory: ONE driver-side listing of the
+    data files present now (the poor-man's Iceberg snapshot). Every
+    wave then reads exactly these paths — concurrent appends become
+    visible only to the NEXT job, and the sorted list digests into the
+    manifest lineage so a resume can prove it read the same input.
+    Uses the Hadoop FS listing (works for any scheme Spark can read),
+    recursing one partition level like Spark's own parquet listing."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(source)
+    fs = path.getFileSystem(conf)
+    out: list[str] = []
+    stack = [path]
+    while stack:
+        p = stack.pop()
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue  # _SUCCESS, checkpoints, hidden files
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif name.endswith(".parquet"):
+                out.append(st.getPath().toString())
+    return sorted(out)
+
+
+def parquet_snapshot_lineage(files: list[str]) -> str:
+    """Content-addressed lineage for a pinned parquet file list."""
+    import hashlib
+
+    h = hashlib.md5("\n".join(files).encode()).hexdigest()
+    return f"parquet:{len(files)}files@{h}"
 
 
 def current_snapshot_id(spark: SparkSession, source: str) -> int | None:

@@ -383,3 +383,27 @@ def test_warc_parser_tolerates_truncation_and_non_html():
     req = good.replace(b"WARC-Type: response", b"WARC-Type: request", 1)
     assert [u for u, _, _ in iter_html_responses(req)] == ["u2"]
     assert list(iter_html_responses(b"garbage")) == []
+
+
+def test_pinned_parquet_snapshot_isolation(spark, tmp_path):
+    """pin_parquet_files freezes the input file set: a concurrent
+    append is invisible to the running job (the plain-parquet analog of
+    Iceberg's snapshot-id pinning), and the lineage digest changes with
+    the file set so a resume can detect drift."""
+    from h2spark.pipeline.sources import (
+        load_docs, parquet_snapshot_lineage, pin_parquet_files,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.range(100).selectExpr("id AS doc_id").write.parquet(src)
+    pinned = pin_parquet_files(spark, src)
+    lineage1 = parquet_snapshot_lineage(pinned)
+    assert load_docs(spark, src, pinned_files=pinned).count() == 100
+    # concurrent append lands mid-job
+    spark.range(100, 150).selectExpr("id AS doc_id").write.mode(
+        "append"
+    ).parquet(src)
+    assert load_docs(spark, src, pinned_files=pinned).count() == 100
+    assert load_docs(spark, src).count() == 150  # unpinned sees it
+    pinned2 = pin_parquet_files(spark, src)
+    assert parquet_snapshot_lineage(pinned2) != lineage1
