@@ -148,6 +148,10 @@ _SOUP_TAGS = [
     "frame", "noframes", "template", "select", "option", "optgroup",
     "pre", "listing", "textarea", "image", "h1", "h3", "p", "li", "ul",
     "ol", "b", "i", "a", "script", "style", "br", "div",
+    # round-5 surface: foreign content (namespaces, integration points,
+    # breakout), doctype-driven quirks
+    "svg", "math", "mi", "mtext", "annotation-xml", "foreignObject",
+    "desc", "title", "circle", "path", "g", "mglyph", "font",
 ]
 
 
@@ -167,12 +171,24 @@ def test_structural_tag_soup_tree_is_consistent(seed):
     for _ in range(rng.randint(1, 40)):
         t = rng.choice(_SOUP_TAGS)
         r = rng.random()
-        if r < 0.45:
+        if r < 0.43:
             parts.append(f"<{t}>")
-        elif r < 0.75:
+        elif r < 0.72:
             parts.append(f"</{t}>")
-        elif r < 0.9:
+        elif r < 0.87:
             parts.append(rng.choice(["x", " ", "a&amp;b", "\n", "<!--c-->"]))
+        elif r < 0.92:
+            parts.append(
+                rng.choice(
+                    [
+                        "<!DOCTYPE html>",
+                        "<!DOCTYPE html PUBLIC \"-//W3C//DTD HTML 3.2 Final//EN\">",
+                        "<![CDATA[cd<a>ta]]>",
+                        "<path/>", "<circle/>",
+                        '<annotation-xml encoding="text/html">',
+                    ]
+                )
+            )
         else:
             parts.append(f'<{t} a="v">')
     doc = parse_document("".join(parts))
