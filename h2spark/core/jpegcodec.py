@@ -165,6 +165,8 @@ class _HuffDec:
     """Canonical Huffman decoder: (code-length, code) -> symbol."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
+        if len(bits) < 16 or sum(bits) > len(vals):
+            raise PngError("truncated JPEG Huffman table")
         self.lut: dict[tuple[int, int], int] = {}
         code = 0
         k = 0
@@ -249,7 +251,16 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
     """Baseline JPEG -> (width, height, channels, pixels) with
     channels 1 (grayscale) or 3 (RGB). Raises PngError outside the
-    baseline profile."""
+    baseline profile — the contract holds for ARBITRARY bytes: any
+    short-read of a truncated/corrupt stream surfaces as PngError,
+    never a raw IndexError/struct.error."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, ValueError, struct.error):
+        raise PngError("truncated JPEG stream") from None
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, int, bytearray]:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise PngError("not a JPEG")
     qtabs: dict[int, list[int]] = {}
@@ -263,6 +274,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
         if data[i] != 0xFF:
             raise PngError("bad JPEG marker stream")
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            i += 2
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
@@ -347,6 +364,19 @@ def _decode_scan(data, pos, frame, scan, qtabs, hdc, hac, dri):
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
+    try:
+        return _decode_mcus(
+            br, mcux, mcuy, order, comps, qtabs, hdc, hac, dri, pred,
+            mcu_count, planes, w, h, hmax, vmax,
+        )
+    except IndexError:
+        raise PngError("truncated JPEG stream") from None
+
+
+def _decode_mcus(
+    br, mcux, mcuy, order, comps, qtabs, hdc, hac, dri, pred,
+    mcu_count, planes, w, h, hmax, vmax,
+):
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and mcu_count and mcu_count % dri == 0:

@@ -893,3 +893,30 @@ def test_gif_interlace_roundtrip():
         exp = b"".join(pal[3 * i:3 * i + 3] for i in idx)
         assert (gw, gh, gch) == (w, h, 3)
         assert bytes(out) == exp
+
+
+def test_jpeg_error_contract_under_truncation_and_mutation():
+    """decode_jpeg must surface EVERY malformed-stream failure as
+    PngError (the codec contract) — swept over every prefix and random
+    byte flips of a real stream."""
+    import random
+
+    import pytest
+
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from h2spark.core.pngcodec import PngError
+
+    jpg = encode_jpeg(8, 8, bytes([50] * 64), channels=1, qtab_luma=[1] * 64)
+    for cut in range(len(jpg)):
+        try:
+            decode_jpeg(jpg[:cut])
+        except PngError:
+            pass
+    rng = random.Random(3)
+    for _ in range(400):
+        i = rng.randrange(len(jpg))
+        mut = jpg[:i] + bytes([rng.randrange(256)]) + jpg[i + 1:]
+        try:
+            decode_jpeg(mut)
+        except PngError:
+            pass
