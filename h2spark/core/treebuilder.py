@@ -35,9 +35,12 @@ with the frameset-ok flag (a <frameset> replaces a still-empty body;
 foreclosed by non-ws text, most flow content, or an explicit <body>).
 The form element pointer, button no-nest, ruby implied end tags, the
 <image> -> <img> rename, pre/listing/textarea leading-newline drop and
-any-rank heading end tags follow the spec; conformance is measured by
+any-rank heading end tags follow the spec; doctype public/system
+identifiers parse and drive quirks-mode classification (13.2.6.4.1 —
+the quirks table-in-p rule included). Conformance is measured by
 tests/test_html5lib_conformance.py over the vendored corpus
-(tests/html5lib_corpus/, ~200 adjudicated .dat cases, all green).
+(tests/html5lib_corpus/, ~290 adjudicated .dat cases incl. foreign
+content, doctypes, and quirks — all green, EXPECTED_FAILURES empty).
 
 Foreign content (SVG/MathML, 13.2.6.5) is namespace-aware since
 round 5: namespace assignment on Element.ns, SVG tag/attribute case
