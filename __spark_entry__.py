@@ -78,7 +78,7 @@ _PRIORITY = [
     "image_resize_plan", "video_frame_sample", "pdf_layout_parse",
     "image_pixels_roundtrip", "audio_samples_roundtrip",
     "video_frames_roundtrip", "jpeg_pixels_roundtrip",
-    "pdf_text_extract", "table_extract",
+    "pdf_text_extract", "table_extract", "warc_roundtrip",
     # round-5 changed operators
     "ann_ivf_topk", "ann_bruteforce_topk", "embedding_quantize",
     "corpus_curation", "training_token_budget", "corpus_stratified_sample",
@@ -96,7 +96,7 @@ _PRIORITY = [
     "boilerplate_strip", "boilerplate_chrome_ratio",
     "spans_reassembly", "size_buckets", "resume_anti_join",
     "manifest_metrics", "events_stats", "events_hourly_window",
-    "text_token_count", "text_token_count_bpe", "text_lang_id",
+    "text_token_count", "text_token_count_bpe",
 ]
 
 

