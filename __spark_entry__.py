@@ -83,6 +83,7 @@ _PRIORITY = [
     "ann_ivf_topk", "ann_bruteforce_topk", "embedding_quantize",
     "corpus_curation", "training_token_budget", "corpus_stratified_sample",
     "training_sequence_packing", "training_export",
+    "training_budget_selection",
     "text_unigram_logprob", "text_bigram_logprob", "text_repetition",
     "text_bm25_keywords",
     "text_quality_score", "dedup_url", "decontaminate",
@@ -96,7 +97,7 @@ _PRIORITY = [
     "boilerplate_strip", "boilerplate_chrome_ratio",
     "spans_reassembly", "size_buckets", "resume_anti_join",
     "manifest_metrics", "events_stats", "events_hourly_window",
-    "text_token_count", "text_token_count_bpe",
+    "text_token_count",
 ]
 
 

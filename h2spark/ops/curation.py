@@ -465,3 +465,103 @@ ORACLE_TRAINING_EXPORT = _oracle_export()
 
 QUERIES["training_export"] = q_training_export
 ORACLES["training_export"] = ORACLE_TRAINING_EXPORT
+
+
+# --- token-budget-constrained selection ---------------------------------
+
+_BUDGET_TOKENS = 20_000  # sandbox-scale budget (sf0.01 corpus ~60k tokens)
+_BUDGET_BANDS = 32       # quality bands for the two-level prefix scan
+
+
+def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: keep the highest-quality
+    documents whose cumulative token count fits the training budget —
+    the data-mixing step that decides WHICH documents make the cut
+    when the budget is smaller than the corpus (docs are taken in
+    (quality desc, doc_id) order; the document that crosses the budget
+    line is excluded, matching the simple greedy every lab runs first).
+
+    Scale shape: a global value-ordered prefix sum — the classic
+    single-task window — runs TWO-LEVEL like packed_starts, but banded
+    on the ORDER VALUE instead of an id range: quality quantizes into
+    descending bands (order-preserving contiguous runs of the sort
+    order), the within-band window sums token counts in (quality desc,
+    doc_id) order, and the tiny band-total table broadcasts cumulative
+    offsets back. Ties across a band boundary cannot exist (equal
+    quality = equal band), so the composition is bit-identical to the
+    single-window DuckDB formulation."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from h2spark.ops.textstats import quality_expr
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = d.select(
+        "doc_id",
+        quality_expr().alias("quality"),
+        n_tokens.alias("n_tokens"),
+    )
+    # quality is round(x, 4) in [0, 1]: int(q * 10^4) is exact, and the
+    # DESCENDING band index preserves the (quality desc) order
+    band = (
+        F.lit(_BUDGET_BANDS - 1)
+        - F.floor(
+            F.round(F.col("quality") * 10_000, 0).cast("long")
+            * _BUDGET_BANDS
+            / 10_001
+        ).cast("long")
+    )
+    base = base.withColumn("_band", band)
+    wl = (
+        Window.partitionBy("_band")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(wl))
+    totals = base.groupBy("_band").agg(F.sum("n_tokens").alias("_bt"))
+    wo = (
+        Window.orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_band", (F.sum("_bt").over(wo) - F.col("_bt")).alias("_off")
+    )
+    return (
+        cum.join(F.broadcast(offsets), "_band")
+        .select(
+            "doc_id", "quality", "n_tokens",
+            (F.col("_off") + F.col("_cum")).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BUDGET_SELECTION = f"""
+WITH q AS (
+  SELECT doc_id,
+         round(least((CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0) * 0.4
+             + (CASE WHEN length(trim(text)) > 0
+                THEN length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     / length(trim(text)) ELSE 0.0 END) * 0.4
+             + (1.0 - least((CASE WHEN length(trim(text)) > 0
+                THEN length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g'))::DOUBLE
+                     / length(trim(text)) ELSE 0.0 END) * 10, 1.0)) * 0.2,
+             4) AS quality,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, quality, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, quality, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+ORDER BY doc_id
+"""
+
+QUERIES["training_budget_selection"] = q_budget_selection
+ORACLES["training_budget_selection"] = ORACLE_BUDGET_SELECTION
