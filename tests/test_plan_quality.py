@@ -291,3 +291,15 @@ def test_stratified_sample_two_phase_is_exact(spark):
             for r in stratified_sample(d, 20, prefilter_bound=bound).collect()
         )
         assert two == direct, bound
+
+
+def test_budget_selection_banded_window(spark):
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_budget_selection(spark, SF), spark)
+    # the corpus-side cumsum window must partition by the quality band
+    # (a no-partition global window would force SinglePartition over
+    # the whole corpus); only the tiny band-offset table may do that
+    main_win = plan.index("windowspecdefinition(_band")
+    assert main_win >= 0
+    assert "BroadcastHashJoin" in plan  # band offsets broadcast back
