@@ -2,9 +2,11 @@
 
 ``entry(spark)`` runs the flagship interleaved-span extraction on
 sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
-operator family (SURVEY.md §2), each with a DuckDB oracle twin (the
-mapInPandas multimodal stages included — their deterministic fake
-codecs are sha256 + modular arithmetic, replayable in SQL).
+operator family (SURVEY.md §2), each with a DuckDB oracle twin — the
+multimodal/codec stages run REAL pure-stdlib decoders
+(PNG/GIF/BMP/baseline-JPEG pixels, WAV samples, AVI frames, WARC
+records, PDF text) over deterministic pattern inputs whose decoded
+values the SQL oracles re-derive from the construction formulas.
 """
 
 from __future__ import annotations
