@@ -160,9 +160,19 @@ def main() -> None:
         configs = (4, 16, 8, 32)
 
     results = {}
-    for cpus in configs:
-        results[cpus] = run_config(cpus, corpus, op)
-        print(json.dumps(results[cpus]))
+    # TWO full passes over the configs, best child per config: the
+    # child already takes best-of-3 within one JVM, but JVM-to-JVM
+    # drift (JIT, page cache, frequency state) swings a single 4-6s
+    # leg by up to ~30%, which swamps the efficiency ratio; a second
+    # independent process per config bounds that (and interleaving the
+    # passes decorrelates slow windows from any one config)
+    for _pass in range(2):
+        for cpus in configs:
+            r = run_config(cpus, corpus, op)
+            prev = results.get(cpus)
+            if prev is None or r["sec"] < prev["sec"]:
+                results[cpus] = r
+            print(json.dumps(r))
 
     def eff(a, b):
         return round((results[b]["docs_per_sec"] / results[a]["docs_per_sec"]) / 4, 3)
