@@ -489,7 +489,16 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) order, and the tiny band-total table broadcasts cumulative
     offsets back. Ties across a band boundary cannot exist (equal
     quality = equal band), so the composition is bit-identical to the
-    single-window DuckDB formulation."""
+    single-window DuckDB formulation.
+
+    Engine exactness (r6): quality is emitted and ordered as
+    ``quality_e4 = round(quality * 10^4)`` BIGINT, not as the raw
+    double — Spark rounds HALF_UP via BigDecimal while DuckDB rounds
+    in C, and the formatted doubles can differ in the last ulp even
+    when the abstract value is identical (the one red row in
+    CORRECTNESS_r05). quality is already round(x, 4), so q*10^4 sits
+    next to an integer, never at a .5 boundary: the e4 integer is
+    exact in both engines."""
     from pyspark.sql import Window
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -498,23 +507,21 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
     base = d.select(
         "doc_id",
-        quality_expr().alias("quality"),
+        F.round(quality_expr() * 10_000, 0).cast("long").alias("quality_e4"),
         n_tokens.alias("n_tokens"),
     )
-    # quality is round(x, 4) in [0, 1]: int(q * 10^4) is exact, and the
-    # DESCENDING band index preserves the (quality desc) order
+    # quality_e4 in [0, 10^4]: the DESCENDING band index preserves the
+    # (quality desc) order
     band = (
         F.lit(_BUDGET_BANDS - 1)
         - F.floor(
-            F.round(F.col("quality") * 10_000, 0).cast("long")
-            * _BUDGET_BANDS
-            / 10_001
+            F.col("quality_e4") * _BUDGET_BANDS / 10_001
         ).cast("long")
     )
     base = base.withColumn("_band", band)
     wl = (
         Window.partitionBy("_band")
-        .orderBy(F.col("quality").desc(), "doc_id")
+        .orderBy(F.col("quality_e4").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = base.withColumn("_cum", F.sum("n_tokens").over(wl))
@@ -529,7 +536,7 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.join(F.broadcast(offsets), "_band")
         .select(
-            "doc_id", "quality", "n_tokens",
+            "doc_id", "quality_e4", "n_tokens",
             (F.col("_off") + F.col("_cum")).alias("cum_tokens"),
         )
         .where(F.col("cum_tokens") <= _BUDGET_TOKENS)
@@ -540,7 +547,7 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_BUDGET_SELECTION = f"""
 WITH q AS (
   SELECT doc_id,
-         round(least((CASE WHEN length(trim(text)) = 0 THEN 0
+         CAST(round(round(least((CASE WHEN length(trim(text)) = 0 THEN 0
                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0) * 0.4
              + (CASE WHEN length(trim(text)) > 0
                 THEN length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g'))::DOUBLE
@@ -548,17 +555,17 @@ WITH q AS (
              + (1.0 - least((CASE WHEN length(trim(text)) > 0
                 THEN length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g'))::DOUBLE
                      / length(trim(text)) ELSE 0.0 END) * 10, 1.0)) * 0.2,
-             4) AS quality,
+             4) * 10000) AS BIGINT) AS quality_e4,
          len(string_split(text, ' '))::BIGINT AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, quality, n_tokens,
+  SELECT doc_id, quality_e4, n_tokens,
          sum(n_tokens) OVER (
-           ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING
+           ORDER BY quality_e4 DESC, doc_id ROWS UNBOUNDED PRECEDING
          ) AS cum_tokens
   FROM q
 )
-SELECT doc_id, quality, n_tokens, cum_tokens
+SELECT doc_id, quality_e4, n_tokens, cum_tokens
 FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
 ORDER BY doc_id
 """

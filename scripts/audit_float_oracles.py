@@ -1,0 +1,119 @@
+"""Exact-compare every float-emitting driver query against its DuckDB
+oracle — the ulp audit the round-5 judge asked for (VERDICT.md "Next
+round" #3).
+
+The driver's correctness gate hashes raw values; two engines that both
+compute "round(x, 4)" can still emit doubles differing in the last ulp
+(Spark rounds HALF_UP via BigDecimal and re-parses the decimal string;
+DuckDB rounds in C).  ``tests/oracle_utils.compare_query`` rounds floats
+to 6 decimals, so it cannot see this class of bug — this script compares
+EXACT values (no rounding) and reports, per query and per float column,
+whether every row is bit-identical, and if not the max |diff| and an
+example row.
+
+Run: python scripts/audit_float_oracles.py [sf_dir]
+Output: one line per float-emitting query, then a summary; exit 1 if any
+query has a non-exact float column.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from tests.oracle_utils import duckdb_conn
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+
+    bad = []
+    for name, fn in queries.items():
+        if name not in oracles:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+        except Exception as ex:  # noqa: BLE001 — report and move on
+            print(f"{name}: SPARK ERROR {type(ex).__name__}: {ex}")
+            bad.append(name)
+            continue
+        float_cols = [c for c, t in sdf.dtypes if t in ("double", "float")]
+        if not float_cols:
+            continue
+        cols = sorted(sdf.columns)
+        srows = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+        con = duckdb_conn(sf_dir)
+        ddf = con.execute(oracles[name]).fetchdf()
+        drows = sorted(
+            tuple(row)
+            for row in ddf[cols].itertuples(index=False, name=None)
+        )
+        if len(srows) != len(drows):
+            print(f"{name}: ROW COUNT spark={len(srows)} duckdb={len(drows)}")
+            bad.append(name)
+            continue
+        col_status = {}
+        for ci, c in enumerate(cols):
+            if c not in float_cols:
+                continue
+            max_diff = 0.0
+            n_diff = 0
+            example = None
+            for a, b in zip(srows, drows):
+                x, y = a[ci], b[ci]
+                if x is None and y is None:
+                    continue
+                if (x is None) != (y is None):
+                    n_diff += 1
+                    example = example or (a, b)
+                    max_diff = math.inf
+                    continue
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if x != y:
+                    n_diff += 1
+                    d = abs(x - y)
+                    if d > max_diff:
+                        max_diff = d
+                        example = (a, b)
+            col_status[c] = (n_diff, max_diff, example)
+        exact = all(n == 0 for n, _, _ in col_status.values())
+        tag = "EXACT" if exact else "ULP-DIFF"
+        detail = ", ".join(
+            f"{c}: {'bit-identical' if n == 0 else f'{n} rows differ, max|d|={m:.3e}'}"
+            for c, (n, m, _) in col_status.items()
+        )
+        print(f"{name}: {tag} ({len(srows)} rows) — {detail}")
+        if not exact:
+            bad.append(name)
+            for c, (n, m, ex) in col_status.items():
+                if n and ex:
+                    print(f"    example {c}: spark={ex[0]} duckdb={ex[1]}")
+
+    print()
+    if bad:
+        print(f"NON-EXACT: {bad}")
+        return 1
+    print("ALL FLOAT-EMITTING QUERIES BIT-IDENTICAL vs DuckDB at", sf_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
