@@ -53,6 +53,7 @@ def _all_modules():
         pdftext,
         relational,
         roundtrip,
+        scrub,
         tableextract,
         similarity,
         textstats,
@@ -61,7 +62,7 @@ def _all_modules():
     return (
         multimodal, pdftext, tableextract,
         flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
-        relational, textstats, dedup, similarity, curation,
+        relational, textstats, dedup, similarity, curation, scrub,
     )
 
 

@@ -303,3 +303,27 @@ def test_budget_selection_banded_window(spark):
     main_win = plan.index("windowspecdefinition(_band")
     assert main_win >= 0
     assert "BroadcastHashJoin" in plan  # band offsets broadcast back
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark):
+    from h2spark.ops import scrub
+
+    plan = _formatted(scrub.q_pii_scrub(spark, SF), spark)
+    # pure projection: the only Exchange allowed is the presentation
+    # sort's range partitioning; no aggregate, no join, no Python
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("Exchange (") == 1  # orderBy rangepartitioning only
+    assert "rangepartitioning" in plan
+
+
+def test_blocklist_filter_broadcasts_blocklist(spark):
+    from h2spark.ops import scrub
+
+    plan = _formatted(scrub.q_blocklist_filter(spark, SF), spark)
+    # the blocklist side must broadcast; the corpus side must not
+    # shuffle before the join (only the presentation sort exchanges)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
