@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all_modules():
     from h2spark.ops import (
         boilerplate,
+        bpetokens,
         curation,
         dedup,
         flagship,
@@ -62,7 +63,8 @@ def _all_modules():
     return (
         multimodal, pdftext, tableextract,
         flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
-        relational, textstats, dedup, similarity, curation, scrub,
+        relational, textstats, bpetokens, dedup, similarity, curation,
+        scrub,
     )
 
 

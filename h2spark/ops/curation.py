@@ -19,7 +19,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from h2spark.ops import dedup, textstats
+from h2spark.ops import bpetokens, dedup, textstats
+
+# DuckDB replay of the tokenizer-true BPE token count (the unrolled
+# merge chain from h2spark/core/bpe.py) — spliced into the oracle
+# f-strings below so every training query budgets with the same merges
+# the Spark side applies.
+bpe_count = bpetokens.duckdb_bpe_count("text")
+bpe_count_d = bpetokens.duckdb_bpe_count("d.text")
 
 _QUALITY_MIN = 0.5
 
@@ -83,10 +90,11 @@ def q_training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-level rollup the whole pipeline exists to answer:
     documents and BPE-ish tokens per (language, kept) cell after
     curation — what actually feeds the model vs what was filtered.
-    Composes corpus_curation x text_token_count_bpe; one broadcast-size
+    Composes corpus_curation x text_token_count_bpe (r6: tokenizer-true
+    merge-table BPE, h2spark/ops/bpetokens.py); one broadcast-size
     join + one aggregation."""
     cur = q_corpus_curation(spark, sf_dir).select("doc_id", "lang_pred", "kept")
-    toks = textstats.q_token_count_bpe(spark, sf_dir).select(
+    toks = bpetokens.q_token_count_bpe(spark, sf_dir).select(
         "doc_id", "n_bpe_tokens"
     )
     return (
@@ -103,7 +111,7 @@ def q_training_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_budget() -> str:
     cur = ORACLE_CURATION.strip()
     cur = cur[: cur.rindex("ORDER BY")].rstrip()
-    toks = textstats.ORACLE_TOKEN_COUNT_BPE.strip()
+    toks = bpetokens.ORACLE_TOKEN_COUNT_BPE.strip()
     toks = toks[: toks.rindex("ORDER BY")].rstrip()
     return f"""
 SELECT cur.lang_pred, cur.kept,
@@ -312,9 +320,13 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     there). The per-language running sum is the two-level
     :func:`packed_starts` scan, so a single dominant language spreads
     over ``_PACK_BUCKETS`` concurrent tasks rather than serializing
-    through one."""
+    through one.
+
+    r6: token counts are tokenizer-true (merge-table BPE,
+    h2spark/ops/bpetokens.py) — the budget the packer fills is the
+    budget the model trains on."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_tokens = bpetokens.bpe_count_col(F.col("text"))
     packed = packed_starts(
         d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
     )
@@ -344,7 +356,7 @@ FROM (
          ) - n_tokens AS start
   FROM (
     SELECT doc_id, lang,
-           len(string_split(text, ' '))::BIGINT AS n_tokens
+           {bpe_count} AS n_tokens
     FROM documents
   )
 )
@@ -390,7 +402,7 @@ def q_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     contaminated = q_decontaminate(spark, sf_dir).select("doc_id")
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_tokens = bpetokens.bpe_count_col(F.col("text"))
     wk = Window.partitionBy("content_hash")
     surv = (
         d.select(
@@ -441,7 +453,7 @@ x AS ({ORACLE_DEDUP_EXACT}),
 c AS ({ORACLE_DECONTAMINATE}),
 surv AS (
   SELECT d.doc_id, d.lang, q.quality,
-         len(string_split(d.text, ' '))::BIGINT AS n_tokens
+         {bpe_count_d} AS n_tokens
   FROM documents d JOIN q USING (doc_id)
   WHERE d.doc_id % 10 <> 0
     AND q.quality >= {_EXPORT_QUALITY}
@@ -504,7 +516,7 @@ def q_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from h2spark.ops.textstats import quality_expr
 
-    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_tokens = bpetokens.bpe_count_col(F.col("text"))
     base = d.select(
         "doc_id",
         F.round(quality_expr() * 10_000, 0).cast("long").alias("quality_e4"),
@@ -556,7 +568,7 @@ WITH q AS (
                 THEN length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g'))::DOUBLE
                      / length(trim(text)) ELSE 0.0 END) * 10, 1.0)) * 0.2,
              4) * 10000) AS BIGINT) AS quality_e4,
-         len(string_split(text, ' '))::BIGINT AS n_tokens
+         {bpe_count} AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, quality_e4, n_tokens,

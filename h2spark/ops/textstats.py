@@ -50,49 +50,6 @@ FROM documents
 ORDER BY doc_id
 """
 
-# --- BPE-ish token count --------------------------------------------------
-
-# GPT-2-style pretokenizer classes, restricted to ASCII classes so the
-# Java (Spark) and RE2 (DuckDB) regex engines agree exactly: runs of
-# letters, runs of digits, runs of other non-space symbols. This is the
-# "BPE-ish regex" token-budget estimator a training pipeline uses for
-# sizing before the real tokenizer runs (the true BPE vocab merge is a
-# per-model artifact, not an engine operator).
-_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
-
-
-def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
-    return (
-        d.select(
-            "doc_id",
-            F.size(toks).cast("long").alias("n_bpe_tokens"),
-            # alpha/digit/symbol split of the same run classes
-            F.size(
-                F.filter(toks, lambda t: t.rlike("^[A-Za-z]"))
-            ).cast("long").alias("n_word_tokens"),
-            F.size(
-                F.filter(toks, lambda t: t.rlike("^[0-9]"))
-            ).cast("long").alias("n_number_tokens"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-ORACLE_TOKEN_COUNT_BPE = f"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '{_BPE_PAT}'))::BIGINT AS n_bpe_tokens,
-       len(list_filter(regexp_extract_all(text, '{_BPE_PAT}'),
-                       t -> regexp_matches(t, '^[A-Za-z]')))::BIGINT
-           AS n_word_tokens,
-       len(list_filter(regexp_extract_all(text, '{_BPE_PAT}'),
-                       t -> regexp_matches(t, '^[0-9]')))::BIGINT
-           AS n_number_tokens
-FROM documents
-ORDER BY doc_id
-"""
-
 # --- lang_id ------------------------------------------------------------
 
 # marker -> language; counts of ' marker ' occurrences vote for the lang.
@@ -278,7 +235,6 @@ ORDER BY doc_id
 
 QUERIES = {
     "text_token_count": q_token_count,
-    "text_token_count_bpe": q_token_count_bpe,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_fingerprint": q_fingerprint,
@@ -286,7 +242,6 @@ QUERIES = {
 
 ORACLES = {
     "text_token_count": ORACLE_TOKEN_COUNT,
-    "text_token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
     "text_lang_id": ORACLE_LANG_ID,
     "text_quality_score": ORACLE_QUALITY,
     "text_fingerprint": ORACLE_FINGERPRINT,

@@ -1,0 +1,154 @@
+"""Merge-table BPE: trainer determinism, the replace-chain == classic
+per-word BPE equivalence, and the three-engine (Python / Spark codegen
+/ DuckDB) agreement the oracles rely on."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from h2spark.core import bpe
+from h2spark.core.bpe_table import BASE_CHARS, MERGES, N_MERGES
+
+
+def test_trainer_known_example():
+    # "aaab" x3 + "ab" x2: pair (a,a) occurs 2x3=6 (left-to-right
+    # non-overlapping inside "aaa" counts once... no — pairs are counted
+    # over ALL adjacent positions: a-a appears twice per "aaab")
+    wc = {"aaab": 3, "ab": 2}
+    base, merges = bpe.train_from_word_counts(wc, 2)
+    assert base == "ab"
+    vocab = bpe.build_vocab(base, merges)
+    # rank 0 must merge the most frequent adjacent pair
+    a, b = merges[0]
+    assert (vocab[a], vocab[b]) == ("a", "a")
+
+
+def test_trainer_tiebreak_deterministic():
+    # 'ab' and 'cd' pairs both occur twice -> lexicographically smaller
+    # (a, b) must win rank 0
+    wc = {"ab": 2, "cd": 2}
+    base, merges = bpe.train_from_word_counts(wc, 1)
+    vocab = bpe.build_vocab(base, merges)
+    a, b = merges[0]
+    assert (vocab[a], vocab[b]) == ("a", "b")
+
+
+def test_trainer_stops_when_dry():
+    # every word is a distinct single char: no pair ever repeats
+    base, merges = bpe.train_from_word_counts({"a": 5, "b": 3}, 10)
+    # (char, EOW) pairs occur 5x and 3x -> two merges, then their
+    # merged forms are single tokens and nothing repeats
+    assert len(merges) == 2
+
+
+def _classic_encode_ids(text: str) -> list:
+    """Reference BPE: per-word id-list merging in rank order (the
+    Sennrich formulation) — no string-replace tricks. The replace-chain
+    encoder must agree with this exactly."""
+    char_id = {c: i for i, c in enumerate(BASE_CHARS)}
+    eow_id = len(BASE_CHARS)
+    out = []
+    for w in bpe._PRETOKEN_C.findall(text):
+        ids = [char_id[c] for c in w if c in char_id] + [eow_id]
+        for rank, (a, b) in enumerate(MERGES):
+            ids = bpe._apply_pair(ids, a, b, eow_id + 1 + rank)
+        out.extend(ids)
+    return out
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "   ",
+        "the fast table scan",
+        "aaaa",  # overlapping-pair behavior: left-to-right pairs
+        "customer customer customer",
+        "batch0 9batch !batch",  # unknown chars (digits/punct) dropped
+        "xyzzy",  # x/z unknown, y known
+        "a",
+    ],
+)
+def test_replace_chain_equals_classic_bpe(text):
+    assert bpe.encode_ids(text, BASE_CHARS, MERGES) == _classic_encode_ids(text)
+
+
+def test_replace_chain_equals_classic_bpe_fuzz():
+    import random
+
+    rng = random.Random(42)
+    alphabet = BASE_CHARS + "xz09!. "
+    for _ in range(200):
+        text = "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 60))
+        )
+        assert bpe.encode_ids(text, BASE_CHARS, MERGES) == _classic_encode_ids(
+            text
+        ), text
+    # and longer word-shaped texts
+    words = ["table", "scan", "batch", "customer", "xq", "a", "merge"]
+    for _ in range(50):
+        text = " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30)))
+        assert bpe.encode_ids(text, BASE_CHARS, MERGES) == _classic_encode_ids(
+            text
+        ), text
+
+
+def test_duckdb_replay_matches_python():
+    con = duckdb.connect()
+    texts = [
+        "",
+        "the fast table scan",
+        "aaaa",
+        "batch0 9batch !batch",
+        "customer merge window",
+    ]
+    expr = bpe.duckdb_seq_expr("t", BASE_CHARS, MERGES)
+    for t in texts:
+        (got,) = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS t)", [t]
+        ).fetchone()
+        assert got == bpe.encode_pua(t, BASE_CHARS, MERGES), t
+
+
+def test_spark_codegen_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.bpetokens import bpe_seq_col
+
+    texts = [
+        "",
+        "the fast table scan",
+        "aaaa",
+        "batch0 9batch !batch",
+        "customer merge window slow slow slow",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    rows = df.select("text", bpe_seq_col(F.col("text")).alias("s")).collect()
+    for r in rows:
+        assert r["s"] == bpe.encode_pua(r["text"], BASE_CHARS, MERGES), r["text"]
+
+
+def test_embedded_table_reproducible_from_corpus():
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.execute(
+            "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+            " ORDER BY doc_id"
+        ).fetchall()
+    ]
+    base, merges = bpe.train_from_texts(texts, N_MERGES)
+    assert base == BASE_CHARS
+    assert merges == MERGES
+
+
+def test_vocab_decodes_roundtrip():
+    vocab = bpe.build_vocab(BASE_CHARS, MERGES)
+    ids = bpe.encode_ids("the customer table", BASE_CHARS, MERGES)
+    decoded = bpe.decode_ids(ids, vocab)
+    assert decoded.replace(bpe.EOW_DISPLAY, " ").strip() == "the customer table"

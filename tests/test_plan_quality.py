@@ -327,3 +327,16 @@ def test_blocklist_filter_broadcasts_blocklist(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_token_count_is_shuffle_free_codegen(spark):
+    from h2spark.ops import bpetokens
+
+    plan = _formatted(bpetokens.q_token_count_bpe(spark, SF), spark)
+    # the whole merge replay is literal JVM string ops: no UDF, no
+    # join, no aggregate; only the presentation sort exchanges, and the
+    # scan reads just (doc_id, text)
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
