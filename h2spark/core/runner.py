@@ -515,7 +515,13 @@ def jpeg_pattern_roundtrip_batch(doc_ids) -> list:
     decoded per-block values. Block-constant input leaves only the DC
     coefficient (8 * (v-128), float-exact; off-DC terms cancel and
     quantize to 0), so the LOSSY pipeline is exact here and the SQL
-    oracle re-derives the decoded bytes from the pattern formula."""
+    oracle re-derives the decoded bytes from the pattern formula.
+
+    r6: odd doc_ids take the PROGRESSIVE (SOF2) encode path — DC
+    first/refine + banded AC first + G.1.2.3 AC refinement scans —
+    so the driver oracle pins the multi-scan decoder too; the decoded
+    coefficients are identical to baseline by construction, so the
+    same formula oracle covers both profiles."""
     from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
 
     W, H = JPEG_PATTERN_W, JPEG_PATTERN_H
@@ -531,7 +537,10 @@ def jpeg_pattern_roundtrip_batch(doc_ids) -> list:
             for yy in range(8):
                 row = (by * 8 + yy) * W + bx * 8
                 px[row:row + 8] = bytes([v]) * 8
-        jpg = encode_jpeg(W, H, bytes(px), channels=1, qtab_luma=ones)
+        jpg = encode_jpeg(
+            W, H, bytes(px), channels=1, qtab_luma=ones,
+            progressive=bool(d % 2),
+        )
         w, h, ch, dec = decode_jpeg(jpg)
         got = [
             dec[(by * 8) * W + bx * 8]

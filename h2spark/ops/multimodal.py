@@ -1,12 +1,12 @@
 """Multimodal columns: opaque binary media + typed metadata, with the
 Spark-side plumbing (schema, partitioning, Arrow batch shape) real and
-tested. Image (PNG/GIF/BMP/baseline JPEG incl. the full lossy
-DCT+Huffman pipeline), audio (16-bit PCM WAV), and video (uncompressed
-RIFF/AVI) decode are REAL and pure-stdlib down to the
-pixel/sample/frame level (core/pngcodec.py, core/jpegcodec.py,
-core/wavcodec.py, core/avicodec.py); progressive JPEG, WebP (VP8) and
-compressed video remain the documented environment boundary (no
-PIL/ffmpeg in this container).
+tested. Image (PNG/GIF/BMP/JPEG — baseline AND progressive SOF2, the
+full lossy DCT+Huffman+successive-approximation pipeline), audio
+(16-bit PCM WAV), and video (uncompressed RIFF/AVI) decode are REAL
+and pure-stdlib down to the pixel/sample/frame level
+(core/pngcodec.py, core/jpegcodec.py, core/wavcodec.py,
+core/avicodec.py); WebP (VP8) and compressed video remain the
+documented environment boundary (no PIL/ffmpeg in this container).
 
 Pattern for a 100 TB corpus: media bytes live as a ``binary`` column
 (or object-store refs) beside typed metadata; decode / feature-extract /
@@ -48,10 +48,10 @@ CODEC_PDF_LAYOUT = "pdf.layout"        # bytes -> list of layout blocks
 
 _CODEC_HINTS = {
     CODEC_MEDIA_DECODE: (
-        "only PNG/GIF/BMP/baseline-JPEG pixel decode is available "
-        "without codec libraries (stdlib; h2spark.core.pngcodec / "
-        "gifcodec / jpegcodec); progressive JPEG and WebP need PIL — "
-        "use decode_media_meta / decode_image_dims meanwhile"
+        "only PNG/GIF/BMP/JPEG (baseline + progressive) pixel decode "
+        "is available without codec libraries (stdlib; "
+        "h2spark.core.pngcodec / gifcodec / jpegcodec); WebP needs "
+        "PIL — use decode_media_meta / decode_image_dims meanwhile"
     ),
     CODEC_IMAGE_RESIZE: (
         "only PNG resize is available without codec libraries "

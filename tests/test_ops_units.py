@@ -920,3 +920,67 @@ def test_jpeg_error_contract_under_truncation_and_mutation():
             decode_jpeg(mut)
         except PngError:
             pass
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    # the SOF2 scan script transmits the SAME quantized coefficients as
+    # the baseline single scan, so the two decodes must be bit-equal —
+    # this pins every progressive scan kind (DC first/refine, banded AC
+    # first, G.1.2.3 AC refinement) against the baseline path
+    import random
+
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = random.Random(99)
+    for w, h, ch, sub, q in [
+        (24, 16, 1, "444", 90), (17, 9, 1, "444", 40),
+        (16, 16, 3, "444", 85), (24, 16, 3, "420", 70),
+        (19, 13, 3, "420", 25), (1, 1, 1, "444", 90),
+    ]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = encode_jpeg(w, h, px, channels=ch, quality=q, subsample=sub)
+        prog = encode_jpeg(
+            w, h, px, channels=ch, quality=q, subsample=sub,
+            progressive=True,
+        )
+        assert prog[2:4] != base[2:4] or b"\xff\xc2" in prog
+        assert decode_jpeg(prog) == decode_jpeg(base), (w, h, ch, sub, q)
+
+
+def test_jpeg_progressive_dc_exact_roundtrip():
+    # block-constant + all-ones qtab stays EXACT through the
+    # progressive pipeline too (DC bits reassembled across the Al=1
+    # first scan and the Ah=1->Al=0 refinement scan)
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    W, H = 24, 16
+    px = bytearray(W * H)
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            v = (bx * 29 + by * 71 + 13) % 256
+            for yy in range(8):
+                row = (by * 8 + yy) * W + bx * 8
+                px[row:row + 8] = bytes([v]) * 8
+    jpg = encode_jpeg(
+        W, H, bytes(px), channels=1, qtab_luma=[1] * 64, progressive=True,
+    )
+    assert b"\xff\xc2" in jpg  # really SOF2
+    w, h, ch, out = decode_jpeg(jpg)
+    assert (w, h, ch) == (W, H, 1)
+    assert bytes(out) == bytes(px)
+
+
+def test_jpeg_progressive_truncation_is_pngerror():
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from h2spark.core.pngcodec import PngError
+
+    import random
+
+    rng = random.Random(5)
+    px = bytes(rng.randrange(256) for _ in range(24 * 16))
+    prog = encode_jpeg(24, 16, px, channels=1, quality=80, progressive=True)
+    for cut in range(0, len(prog), 11):
+        try:
+            decode_jpeg(prog[:cut])
+        except PngError:
+            pass  # the only exception the contract allows
