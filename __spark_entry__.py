@@ -69,40 +69,47 @@ def _all_modules():
 
 
 # The driver's correctness run covers the FIRST 50 registered queries.
-# Priority order: (1) the family that had never had a driver oracle row
-# before r05 plus everything NEW or CHANGED in round 5 (IVF rework,
-# two-level packing, keeper de-broadcast, unigram floor, URL ports,
-# pagerank generalization, repetition/BM25, video/JPEG codecs), then
-# (2) the core-extraction regression canaries. The rotated-out tail is
-# the dedup/top-terms family — unchanged since round 3/4, green in the
-# r03+r04 driver runs, and still compared against DuckDB every CI run
-# by tests/test_driver_contract.py.
+# Round-6 rotation (VERDICT r5 next-round #5 — alternate, don't
+# accrete): (1) everything NEW or CHANGED in round 6 (real merge-table
+# BPE + the three rebased training queries + the quality_e4 budget fix,
+# PII scrub, blocklist filter, progressive-JPEG roundtrip, WARC gzip
+# skip member), then (2) the 17 dedup/text queries rotated OUT of the
+# r05 window (driver-unchecked since r03/r04), then (3) the
+# core-extraction canaries (the parser changed this round:
+# force-quirks doctypes, fragment attr escaping), then (4) stale
+# fillers. Rotated out for r6: the multimodal/PDF/table codec family,
+# ANN/quantize, the link family and repetition/BM25/bigram — all
+# hash-green in the r05 driver window, unchanged in r6, and still
+# compared against DuckDB every CI run by tests/test_driver_contract.py.
 _PRIORITY = [
-    # never-driver-checked + new codecs (multimodal/PDF/table family)
-    "multimodal_decode_meta", "image_dims_decode", "audio_meta_decode",
-    "image_resize_plan", "video_frame_sample", "pdf_layout_parse",
-    "image_pixels_roundtrip", "audio_samples_roundtrip",
-    "video_frames_roundtrip", "jpeg_pixels_roundtrip",
-    "pdf_text_extract", "table_extract", "warc_roundtrip",
-    # round-5 changed operators
-    "ann_ivf_topk", "ann_bruteforce_topk", "embedding_quantize",
-    "corpus_curation", "training_token_budget", "corpus_stratified_sample",
-    "training_sequence_packing", "training_export",
-    "training_budget_selection",
-    "text_unigram_logprob", "text_bigram_logprob", "text_repetition",
-    "text_bm25_keywords",
-    "text_quality_score", "dedup_url", "decontaminate",
-    "link_extract", "domain_outlinks", "link_pagerank",
-    # core-extraction canaries
+    # (1) new/changed in round 6
+    "text_token_count_bpe", "text_bpe_train",
+    "training_token_budget", "training_sequence_packing",
+    "training_export", "training_budget_selection",
+    "text_pii_scrub", "corpus_blocklist_filter",
+    "jpeg_pixels_roundtrip", "warc_roundtrip",
+    # (2) the r05 rotated-out dedup/text family
+    "text_lang_id", "text_fingerprint", "text_top_terms",
+    "text_winnow_fingerprint",
+    "dedup_exact", "dedup_paragraph", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_simhash_pairs32", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_embedding_lsh_adaptive",
+    "dedup_clusters", "dedup_keep_best",
+    # (3) core-extraction canaries (parser touched in r6)
     "flagship_extract_spans", "golden_corpus_parity",
     "extract_roundtrip_text", "extract_roundtrip_numbers",
     "extract_roundtrip_vec", "extract_roundtrip_option_err",
     "extract_roundtrip_nth_text",
     "html_to_markdown", "interleaved_markdown",
     "boilerplate_strip", "boilerplate_chrome_ratio",
+    # (4) fillers: oldest-checked of the remaining green set
+    "corpus_curation", "corpus_stratified_sample",
+    "dedup_url", "decontaminate",
+    "text_quality_score", "text_token_count",
     "spans_reassembly", "size_buckets", "resume_anti_join",
     "manifest_metrics", "events_stats", "events_hourly_window",
-    "text_token_count",
+    "text_unigram_logprob",
 ]
 
 

@@ -557,7 +557,14 @@ def warc_pattern_roundtrip_batch(doc_ids) -> list:
     2-record WARC file (one html response, one non-html response that
     the reader must skip) with the paired writer, parse it back with
     the stdlib record parser, and emit (n_html, url, text_len) —
-    re-derived by the SQL oracle from the construction formula."""
+    re-derived by the SQL oracle from the construction formula. Both
+    layouts carry the skip record (ADVICE r5): odd doc_ids append it
+    raw to the uncompressed file, even doc_ids append it as an extra
+    gzip member (concatenated members are exactly how Common Crawl
+    stores per-record-gzip WARCs), so the record-skipping path is
+    exercised in the gzip reader too."""
+    import gzip as _gzip
+
     from h2spark.core.warc import iter_html_responses, write_warc_file
 
     outs: list = []
@@ -575,10 +582,9 @@ def warc_pattern_roundtrip_batch(doc_ids) -> list:
         skip = write_warc_response(
             f"https://crawl.test/{d}/img", "2024-01-01T00:00:00Z", "x"
         ).replace(b"Content-Type: text/html", b"Content-Type: image/png")
-        got = list(iter_html_responses(raw + (b"" if d % 2 == 0 else skip)))
         if d % 2 == 0:
-            # gzip member files can't take raw appends; parse alone
-            pass
+            skip = _gzip.compress(skip, mtime=0)
+        got = list(iter_html_responses(raw + skip))
         n_html = len(got)
         url = got[0][0] if got else ""
         text_len = len(got[0][2]) if got else 0

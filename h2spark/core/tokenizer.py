@@ -6,7 +6,7 @@ Emits the token stream the tree builder consumes:
     ("start", name, attrs, self_closing)
     ("end", name)
     ("comment", data)
-    ("doctype", name, public_id, system_id)
+    ("doctype", name, public_id, system_id, force_quirks)
 
 State machine follows the WHATWG tokenizer sections the corpus exercises
 (data / tag open / end tag open / tag name / attributes / self-closing /
@@ -80,38 +80,61 @@ _DT_WS = "\t\n\x0c\r "
 
 
 def _parse_doctype(body: str) -> tuple:
-    """DOCTYPE body (between the keyword and '>') -> (name,
-    public_id, system_id) per WHATWG 13.2.5.53-67: lowercased name,
+    """DOCTYPE body (between the keyword and '>') -> (name, public_id,
+    system_id, force_quirks) per WHATWG 13.2.5.53-67: lowercased name,
     PUBLIC/SYSTEM keywords case-insensitive, identifiers quoted with
     either quote and captured verbatim (unterminated quotes capture to
-    the token end — the abrupt-identifier error path)."""
-    body = body.strip(_DT_WS)
-    if not body:
-        return ("", None, None)
+    the token end — the abrupt-identifier error path).
+
+    force_quirks mirrors the tokenizer's force-quirks flag (ADVICE r5):
+    set for a missing name, a non-PUBLIC/SYSTEM keyword after the name
+    (bogus DOCTYPE), PUBLIC/SYSTEM with a missing or unquoted
+    identifier, an abrupt (unterminated) identifier, and a bare
+    character between the public and system identifiers. Trailing junk
+    AFTER a complete system identifier is a parse error only — no
+    force-quirks, matching 13.2.5.66."""
+    stripped = body.lstrip(_DT_WS)
+    if not stripped:
+        return ("", None, None, True)  # missing-doctype-name
     i = 0
-    while i < len(body) and body[i] not in _DT_WS:
+    while i < len(stripped) and stripped[i] not in _DT_WS:
         i += 1
-    name = body[:i].lower()
-    rest = body[i:].lstrip(_DT_WS)
-    pub = sysid = None
-
-    def quoted(srest: str):
-        if not srest or srest[0] not in "\"'":
-            return None, srest
-        q = srest[0]
-        end = srest.find(q, 1)
-        if end < 0:
-            return srest[1:], ""
-        return srest[1:end], srest[end + 1:]
-
+    name = stripped[:i].lower()
+    rest = stripped[i:].lstrip(_DT_WS)
+    if not rest:
+        return (name, None, None, False)
     kw = rest[:6].lower()
     if kw == "public":
         rest = rest[6:].lstrip(_DT_WS)
-        pub, rest = quoted(rest)
-        sysid, rest = quoted(rest.lstrip(_DT_WS))
-    elif kw == "system":
-        sysid, rest = quoted(rest[6:].lstrip(_DT_WS))
-    return (name, pub, sysid)
+        if not rest or rest[0] not in "\"'":
+            # missing / unquoted public identifier -> bogus + quirks
+            return (name, None, None, True)
+        q = rest[0]
+        end = rest.find(q, 1)
+        if end < 0:
+            return (name, rest[1:], None, True)  # abrupt public id
+        pub = rest[1:end]
+        rest = rest[end + 1:].lstrip(_DT_WS)
+        if not rest:
+            return (name, pub, None, False)
+        if rest[0] not in "\"'":
+            # bare char between public and system ids -> bogus + quirks
+            return (name, pub, None, True)
+        q = rest[0]
+        end = rest.find(q, 1)
+        if end < 0:
+            return (name, pub, rest[1:], True)  # abrupt system id
+        return (name, pub, rest[1:end], False)
+    if kw == "system":
+        rest = rest[6:].lstrip(_DT_WS)
+        if not rest or rest[0] not in "\"'":
+            return (name, None, None, True)
+        q = rest[0]
+        end = rest.find(q, 1)
+        if end < 0:
+            return (name, None, rest[1:], True)  # abrupt system id
+        return (name, None, rest[1:end], False)
+    return (name, None, None, True)  # junk after name: bogus DOCTYPE
 
 
 def tokenize_into(html: str, emit, foreign=None) -> None:
@@ -229,7 +252,11 @@ def tokenize_into(html: str, emit, foreign=None) -> None:
                 else:
                     body = s[pos + 9:gt]
                     pos = gt + 1
-                emit(("doctype", *_parse_doctype(body)))
+                dt = _parse_doctype(body)
+                if gt < 0:
+                    # eof-in-doctype also sets force-quirks (13.2.5.58)
+                    dt = (dt[0], dt[1], dt[2], True)
+                emit(("doctype", *dt))
             else:
                 gt = find(">", pos + 2)
                 if gt < 0:

@@ -50,11 +50,16 @@ scope boundaries), breakout start tags, honored self-closing flags,
 and tokenizer coordination so foreign script/style/title/textarea
 never enter RAWTEXT/RCDATA (tests/html5lib_corpus/foreign.dat).
 
-Remaining deliberate simplifications (corpus-safe, measured by the
+Doctypes parse their public/system identifiers and drive quirks-mode
+classification (including the tokenizer force-quirks flag for
+malformed PUBLIC/SYSTEM bodies); the one modeled quirks side effect is
+the table-in-p rule, pinned by quirks.dat.
+
+Remaining deliberate simplification (corpus-safe, measured by the
 same harness's documented scope): no dedicated table insertion *modes*
 (structural table tags are handled via in-body auto-close rules +
 foster parenting — the mode-machine-equivalent behaviors are pinned by
-the tables.dat cases), name-only doctypes.
+the tables.dat cases).
 """
 
 from __future__ import annotations
@@ -1262,7 +1267,10 @@ class _Builder:
                     self.doc, Doctype(tok[1], tok[2], tok[3])
                 )
                 self._saw_doctype = True
-                self._quirks = _doctype_is_quirky(tok[1], tok[2], tok[3])
+                self._quirks = (
+                    (len(tok) > 4 and tok[4])  # tokenizer force-quirks
+                    or _doctype_is_quirky(tok[1], tok[2], tok[3])
+                )
             # the doctype leaves the initial mode: a LATER token must
             # not hit the missing-doctype branch below and flip quirks
             self.mode = "before_html"
@@ -1973,8 +1981,14 @@ def parse_fragment(
     """
     ctx = context.lower()
     attrs = context_attrs or {}
+    # escape '&' BEFORE '"': a raw value like 'a&amp;b' would otherwise
+    # be decoded by the tokenizer's character-reference handling and the
+    # context element's attrs would differ from the dict passed in
     attr_s = "".join(
-        f' {k}="{v.replace(chr(34), "&quot;")}"' for k, v in attrs.items()
+        ' {}="{}"'.format(
+            k, v.replace("&", "&amp;").replace(chr(34), "&quot;")
+        )
+        for k, v in attrs.items()
     )
     if ctx in _FRAGMENT_WRAPPERS:
         chain = _FRAGMENT_WRAPPERS[ctx]

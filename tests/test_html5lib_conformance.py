@@ -17,8 +17,10 @@ Scope notes (documented limitations, mirrored in COVERAGE.md):
   namespaced attributes as ``prefix name="v"``, matching the upstream
   format.
 - DOCTYPE public/system identifiers are IN scope since round 5
-  (doctype_ids.dat); quirks-MODE side effects on tree construction
-  remain out of scope (the builder always parses no-quirks).
+  (doctype_ids.dat), and quirks-mode CLASSIFICATION is in scope since
+  round 5/6 (quirky public/system ids + the tokenizer force-quirks
+  flag for malformed doctypes); the one modeled quirks side effect on
+  tree construction is the table-in-p rule, pinned by quirks.dat.
 - ``#errors`` sections are ignored (the builder does not report parse
   errors; neither does the reference's scraper backend).
 - Fragment cases (``#document-fragment``) are skipped: the engine

@@ -644,3 +644,18 @@ def test_fragment_detached_and_selectable():
     assert frag.parent is None
     spans = CssSelector.parse(".row span").select(frag)
     assert [s.inner_text() for s in spans] == ["a", "b"]
+
+
+def test_fragment_context_attrs_roundtrip_amp_and_quotes():
+    # ADVICE r5: '&' in a context attr value must survive the
+    # synthesized-wrapper splice verbatim (escaped before the tokenizer
+    # decodes character references), as must quotes and entity-looking
+    # text
+    from h2spark.core.treebuilder import parse_fragment
+
+    attrs = {"title": 'a&amp;b', "data-x": 'q"&lt;&#65;', "y": "&"}
+    el = parse_fragment("<b>hi</b>", "div", attrs)
+    assert el.attrs == attrs
+    # and inside a wrapper-chain context (td splices into the chain)
+    td = parse_fragment("cell", "td", {"colspan": "2", "t": "x&y"})
+    assert td.attrs == {"colspan": "2", "t": "x&y"}
