@@ -823,3 +823,140 @@ ORDER BY d.doc_id
 
 QUERIES["text_bigram_logprob"] = q_bigram_logprob
 ORACLES["text_bigram_logprob"] = ORACLE_BIGRAM_LOGPROB
+
+
+# --- Gopher quality rules (Rae et al. 2021, public) ----------------------
+
+# The document-level heuristic gates every major training pipeline runs
+# before model-based filtering. Thresholds follow the published Gopher
+# rules, adapted to the gates expressible in the Java-regex/RE2 common
+# subset (all pure codegen — scan -> projection, zero shuffles at any
+# corpus size).
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_WLEN = 3.0
+_GOPHER_MAX_MEAN_WLEN = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' or '...' per word
+_GOPHER_MIN_ALPHA_WORDS = 0.80   # words containing >= 1 alphabetic char
+# published rule: >= 2 of the 8; the synthetic corpus has a 31-word
+# vocabulary containing only 'the' from the list, so the sandbox gate
+# is >= 1 (keeps the rule discriminating here; production uses 2)
+_GOPHER_MIN_STOPWORDS = 1
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule gates per document + the combined keep decision.
+
+    Each gate is emitted separately (the way pipeline dashboards track
+    per-rule rejection rates), all as exact integers/booleans — no
+    float output, no ulp exposure. ``kept`` = every gate passes."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    words = F.split(t, r"\s+")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    ).cast("long")
+    n_chars_nospace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    n_symbols = (
+        F.length(F.regexp_replace(t, r"[^#]", ""))
+        + F.regexp_count(t, F.lit(r"\.\.\."))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_stop = sum(
+        F.when(
+            F.concat(F.lit(" "), t, F.lit(" ")).like(f"% {sw} %"), 1
+        ).otherwise(0)
+        for sw in _GOPHER_STOPWORDS
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars_nospace.alias("_ncs"),
+        n_symbols.alias("n_symbols"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+    )
+    # mean word length scaled x100 — integral `div`, never a double
+    # division + floor (the ulp hazard BENCH.md's audit note warns
+    # about: floor(199.999...97) vs DuckDB's exact BIGINT `//`)
+    base = base.withColumn(
+        "mean_wlen_c",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (_ncs * 100) div n_words "
+            "ELSE CAST(0 AS LONG) END"
+        ).cast("long"),
+    )
+    g_words = (F.col("n_words") >= _GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= _GOPHER_MAX_WORDS
+    )
+    g_wlen = (F.col("mean_wlen_c") >= int(_GOPHER_MIN_MEAN_WLEN * 100)) & (
+        F.col("mean_wlen_c") <= int(_GOPHER_MAX_MEAN_WLEN * 100)
+    )
+    g_sym = F.col("n_symbols") * 10 <= F.col("n_words")  # ratio <= 0.1
+    g_alpha = F.col("n_alpha_words") * 100 >= F.col("n_words") * 80
+    g_stop = F.col("n_stopwords") >= _GOPHER_MIN_STOPWORDS
+    return base.select(
+        "doc_id", "n_words", "mean_wlen_c", "n_symbols",
+        "n_alpha_words", "n_stopwords",
+        g_words.alias("gate_words"),
+        g_wlen.alias("gate_wlen"),
+        g_sym.alias("gate_symbols"),
+        g_alpha.alias("gate_alpha"),
+        g_stop.alias("gate_stopwords"),
+        (g_words & g_wlen & g_sym & g_alpha & g_stop).alias("kept"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN (' ' || trim(text) || ' ') LIKE '% {sw} %' "
+    "THEN 1 ELSE 0 END)"
+    for sw in _GOPHER_STOPWORDS
+)
+
+ORACLE_GOPHER_RULES = f"""
+WITH g AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+           AS n_words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT
+           AS n_chars_nospace,
+         (length(regexp_replace(trim(text), '[^#]', '', 'g'))
+          + len(regexp_extract_all(trim(text), '\\.\\.\\.')))::BIGINT
+           AS n_symbols,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT
+           AS n_alpha_words,
+         ({_GOPHER_STOP_SQL})::BIGINT AS n_stopwords
+  FROM documents
+), r AS (
+  SELECT doc_id, n_words,
+         (CASE WHEN n_words > 0
+          THEN (n_chars_nospace * 100) // n_words ELSE 0 END)::BIGINT
+           AS mean_wlen_c,
+         n_symbols, n_alpha_words, n_stopwords
+  FROM g
+)
+SELECT doc_id, n_words, mean_wlen_c, n_symbols, n_alpha_words, n_stopwords,
+       (n_words >= {_GOPHER_MIN_WORDS}
+        AND n_words <= {_GOPHER_MAX_WORDS}) AS gate_words,
+       (mean_wlen_c >= {int(_GOPHER_MIN_MEAN_WLEN * 100)}
+        AND mean_wlen_c <= {int(_GOPHER_MAX_MEAN_WLEN * 100)}) AS gate_wlen,
+       (n_symbols * 10 <= n_words) AS gate_symbols,
+       (n_alpha_words * 100 >= n_words * 80) AS gate_alpha,
+       (n_stopwords >= {_GOPHER_MIN_STOPWORDS}) AS gate_stopwords,
+       (n_words >= {_GOPHER_MIN_WORDS} AND n_words <= {_GOPHER_MAX_WORDS}
+        AND mean_wlen_c >= {int(_GOPHER_MIN_MEAN_WLEN * 100)}
+        AND mean_wlen_c <= {int(_GOPHER_MAX_MEAN_WLEN * 100)}
+        AND n_symbols * 10 <= n_words
+        AND n_alpha_words * 100 >= n_words * 80
+        AND n_stopwords >= {_GOPHER_MIN_STOPWORDS}) AS kept
+FROM r
+ORDER BY doc_id
+"""
+
+QUERIES["text_gopher_rules"] = q_gopher_rules
+ORACLES["text_gopher_rules"] = ORACLE_GOPHER_RULES

@@ -31,12 +31,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Oracles pinned to the driver's correctness scale: text_bpe_train
+    # retrains on sf_dir, and its golden-table oracle is the sf0.01
+    # merge table — at any other scale the trained merges legitimately
+    # differ (that's what training means), so off-scale runs check
+    # rows-only. The hash gate (sf0.01) still compares in full.
+    scale_pinned = {"text_bpe_train"}
+    at_gate_scale = sf_dir.rstrip("/").endswith("sf0.01")
     bad = []
     for name, fn in qs.items():
         sql = oracles.get(name)
         if sql is None:
             n = fn(spark, sf_dir).count()
             print(f"{name}: NO-ORACLE rows={n}")
+            continue
+        if name in scale_pinned and not at_gate_scale:
+            n = fn(spark, sf_dir).count()
+            print(f"{name}: SCALE-PINNED oracle (sf0.01 golden); "
+                  f"rows-only here: {n}")
             continue
         ok, msg = compare_query(spark, sf_dir, fn, sql)
         print(f"{name}: {'OK' if ok else 'MISMATCH'} ({msg})")

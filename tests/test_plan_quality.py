@@ -340,3 +340,13 @@ def test_bpe_token_count_is_shuffle_free_codegen(spark):
     assert "Join" not in plan and "HashAggregate" not in plan
     assert plan.count("Exchange (") == 1
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_gopher_rules_is_shuffle_free_codegen(spark):
+    plan = _formatted(textstats.q_gopher_rules(spark, SF), spark)
+    # all five gates are scan->projection expressions: no UDF, no join,
+    # no aggregate; only the presentation sort exchanges; pruned scan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
