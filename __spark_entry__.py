@@ -73,7 +73,7 @@ def _all_modules():
 # accrete): (1) everything NEW or CHANGED in round 6 (real merge-table
 # BPE + the three rebased training queries + the quality_e4 budget fix,
 # PII scrub, blocklist filter, progressive-JPEG roundtrip, WARC gzip
-# skip member), then (2) the 17 dedup/text queries rotated OUT of the
+# skip member), then (2) the 16 dedup/text queries rotated OUT of the
 # r05 window (driver-unchecked since r03/r04), then (3) the
 # core-extraction canaries (the parser changed this round:
 # force-quirks doctypes, fragment attr escaping), then (4) stale
@@ -88,7 +88,8 @@ _PRIORITY = [
     "training_export", "training_budget_selection",
     "text_pii_scrub", "corpus_blocklist_filter", "text_gopher_rules",
     "jpeg_pixels_roundtrip", "warc_roundtrip",
-    # (2) the r05 rotated-out dedup/text family
+    # (2) the r05 rotated-out dedup/text family (16; the 17th,
+    #     text_token_count_bpe, leads group 1 as an r6 rewrite)
     "text_lang_id", "text_fingerprint", "text_top_terms",
     "text_winnow_fingerprint",
     "dedup_exact", "dedup_paragraph", "dedup_ngram_jaccard",

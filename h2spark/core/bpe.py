@@ -124,9 +124,16 @@ def train_from_word_counts(
                 counts[pair] = counts.get(pair, 0) + c
         if not counts:
             break
+        # ties on (count, decoded strings) still need a total order:
+        # two distinct pairs can decode identically once the vocab
+        # holds duplicate decoded tokens ('abc' via 'ab'+'c' and
+        # 'a'+'bc'), and dict order differs between trainers — the id
+        # pair itself is the final, trainer-independent tie-break
         (a, b), best_n = min(
             counts.items(),
-            key=lambda kv: (-kv[1], vocab[kv[0][0]], vocab[kv[0][1]]),
+            key=lambda kv: (
+                -kv[1], vocab[kv[0][0]], vocab[kv[0][1]], kv[0]
+            ),
         )
         if best_n < 2:
             break
@@ -200,11 +207,15 @@ def duckdb_seq_expr(col: str, base_chars: str, merges: list[tuple[int, int]]) ->
     nested literal ``replace`` calls replaying the merge table in rank
     order (the "unrolled merges" oracle the round-5 judge asked for)."""
     eow = tok_char(len(base_chars))
-    # COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
-    # array_join([]) is '' — pin the Spark behavior
+    # Empty-vs-NULL parity with Spark: array_to_string([]) is NULL in
+    # DuckDB but array_join([]) is '' in Spark, so coalesce the
+    # empty-document case — while a NULL *input* stays NULL in both
+    # engines (Spark's whole chain is null-propagating), so the
+    # coalesce must not fire for NULL text
     expr = (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
         f"coalesce(array_to_string(list_transform(regexp_extract_all({col}, "
-        f"'{PRETOKEN_RE}'), w -> w || '{eow}'), ''), '')"
+        f"'{PRETOKEN_RE}'), w -> w || '{eow}'), ''), '') END"
     )
     for i, c in enumerate(base_chars):
         expr = f"replace({expr}, '{_sq(c)}', '{tok_char(i)}')"

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from h2spark.core import bpe
-from h2spark.core.bpe_table import BASE_CHARS, MERGES
+from h2spark.core.bpe_table import BASE_CHARS, MERGES, N_MERGES
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -129,7 +129,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = wc.orderBy(F.desc("n"), "w").limit(_TRAIN_MAX_WORDS).collect()
     word_counts = {r["w"]: r["n"] for r in top}
     base_chars, merges = bpe.train_from_word_counts(
-        word_counts, bpe_table_n_merges()
+        word_counts, N_MERGES
     )
     vocab = bpe.build_vocab(base_chars, merges)
     rows = [
@@ -139,12 +139,6 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank bigint, lhs string, rhs string, token string"
     ).orderBy("rank")
-
-
-def bpe_table_n_merges() -> int:
-    from h2spark.core.bpe_table import N_MERGES
-
-    return N_MERGES
 
 
 def _train_oracle() -> str:

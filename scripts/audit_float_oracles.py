@@ -58,12 +58,29 @@ def main() -> int:
         if not float_cols:
             continue
         cols = sorted(sdf.columns)
-        srows = sorted(tuple(r[c] for c in cols) for r in sdf.collect())
+
+        # None-safe total order; note the caveat of any sorted-zip
+        # compare (the driver's gate shares it): a diff in a column
+        # that participates in the sort can pair rows shifted, so a
+        # reported per-row diff is evidence of SOME divergence, not
+        # necessarily at that exact row — the EXACT/ULP-DIFF verdict
+        # itself is always right
+        def _key(row):
+            return tuple(
+                (v is None, 0 if v is None else v) for v in row
+            )
+
+        srows = sorted(
+            (tuple(r[c] for c in cols) for r in sdf.collect()), key=_key
+        )
         con = duckdb_conn(sf_dir)
         ddf = con.execute(oracles[name]).fetchdf()
         drows = sorted(
-            tuple(row)
-            for row in ddf[cols].itertuples(index=False, name=None)
+            (
+                tuple(row)
+                for row in ddf[cols].itertuples(index=False, name=None)
+            ),
+            key=_key,
         )
         if len(srows) != len(drows):
             print(f"{name}: ROW COUNT spark={len(srows)} duckdb={len(drows)}")
