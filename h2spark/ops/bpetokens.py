@@ -160,3 +160,93 @@ ORACLE_BPE_TRAIN = _train_oracle()
 
 QUERIES["text_bpe_train"] = q_bpe_train
 ORACLES["text_bpe_train"] = ORACLE_BPE_TRAIN
+
+
+# --- text_rag_chunks: tokenizer-true document chunking -------------------
+
+_CHUNK_TOKENS = 128   # chunk size in BPE tokens
+_CHUNK_OVERLAP = 16   # tokens shared between consecutive chunks
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+def q_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap — the retrieval/RAG
+    indexing stage, budgeted in the SAME tokenizer the training
+    queries use: each document's PUA token sequence (one char per
+    token) splits into 128-token chunks stepping 112, so consecutive
+    chunks share 16 tokens of context.
+
+    Everything is codegen: encode (replace chain) -> sequence() of
+    chunk indices -> explode -> substring/length/md5 per chunk. The
+    md5 of each chunk's token-char substring pins the actual token
+    CONTENT of every chunk against the oracle, not just the arithmetic.
+    Scale shape: scan -> projection -> explode (no shuffle; explode
+    fan-out is bounded by doc length / step).
+
+    Chunk count: 1 chunk when the doc fits, else 1 + ceil((L - C) /
+    step) — the last chunk may be short but always >= overlap+1 tokens.
+    Empty documents produce zero chunks."""
+    d = _docs(spark, sf_dir)
+    seq = bpe_seq_col(F.col("text"))
+    base = d.select("doc_id", seq.alias("_seq")).withColumn(
+        "_len", F.length("_seq").cast("long")
+    )
+    n_chunks = F.when(F.col("_len") <= 0, F.lit(0)).when(
+        F.col("_len") <= _CHUNK_TOKENS, F.lit(1)
+    ).otherwise(
+        F.lit(1)
+        + F.ceil((F.col("_len") - _CHUNK_TOKENS) / F.lit(_CHUNK_STEP))
+    ).cast("long")
+    ch = base.withColumn("_n", n_chunks).where(F.col("_n") > 0)
+    ch = ch.select(
+        "doc_id", "_seq", "_len",
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("chunk_idx"),
+    )
+    start = (F.col("chunk_idx") * _CHUNK_STEP).cast("long")
+    piece = F.substring(
+        F.col("_seq"), (start + 1).cast("int"), _CHUNK_TOKENS
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.length(piece).cast("long").alias("n_tokens"),
+        F.md5(piece).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _rag_oracle() -> str:
+    seq = bpe.duckdb_seq_expr("text", BASE_CHARS, MERGES)
+    return f"""
+WITH s AS (
+  SELECT doc_id, {seq} AS seq FROM documents
+), l AS (
+  SELECT doc_id, seq, length(seq)::BIGINT AS len FROM s
+), n AS (
+  SELECT doc_id, seq, len,
+         (CASE WHEN len <= 0 THEN 0
+               WHEN len <= {_CHUNK_TOKENS} THEN 1
+               ELSE 1 + CAST(ceil((len - {_CHUNK_TOKENS})
+                                  / {_CHUNK_STEP}.0) AS BIGINT)
+          END) AS n_chunks
+  FROM l
+), c AS (
+  SELECT doc_id, seq, len, unnest(range(n_chunks)) AS chunk_idx
+  FROM n WHERE n_chunks > 0
+)
+SELECT doc_id,
+       chunk_idx::BIGINT AS chunk_idx,
+       (chunk_idx * {_CHUNK_STEP})::BIGINT AS start_tok,
+       length(substring(seq, chunk_idx * {_CHUNK_STEP} + 1,
+                        {_CHUNK_TOKENS}))::BIGINT AS n_tokens,
+       md5(substring(seq, chunk_idx * {_CHUNK_STEP} + 1,
+                     {_CHUNK_TOKENS})) AS chunk_hash
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
+ORACLE_RAG_CHUNKS = _rag_oracle()
+
+QUERIES["text_rag_chunks"] = q_rag_chunks
+ORACLES["text_rag_chunks"] = ORACLE_RAG_CHUNKS

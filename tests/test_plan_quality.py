@@ -350,3 +350,16 @@ def test_gopher_rules_is_shuffle_free_codegen(spark):
     assert "Join" not in plan and "HashAggregate" not in plan
     assert plan.count("Exchange (") == 1
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_rag_chunks_is_shuffle_free_explode(spark):
+    from h2spark.ops import bpetokens
+
+    plan = _formatted(bpetokens.q_rag_chunks(spark, SF), spark)
+    # encode + chunk arithmetic + md5 all codegen; explode is the only
+    # fan-out; no join/aggregate/Python; pruned scan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "Generate" in plan  # the explode
+    assert plan.count("Exchange (") == 1  # presentation sort only
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
