@@ -590,3 +590,70 @@ def warc_pattern_roundtrip_batch(doc_ids) -> list:
         text_len = len(got[0][2]) if got else 0
         outs.append((n_html, url, text_len))
     return outs
+
+
+def wav_g711_roundtrip_batch(doc_ids, n: int = 24, rate: int = 8000) -> list:
+    """Row loop proving the REAL G.711 WAV path: per doc synthesize a
+    RIFF/WAVE file whose data chunk is the deterministic byte pattern
+    (doc_id*7 + k*13) % 256 under format tag 7 (mu-law, even doc_ids)
+    or 6 (A-law, odd doc_ids), decode it with the stdlib codec, and
+    emit the expanded int16 samples — the SQL oracle re-derives every
+    sample from the G.711 expansion formula over the same byte
+    construction."""
+    import struct
+
+    from h2spark.core.wavcodec import decode_wav_samples_any
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        tag = 7 if d % 2 == 0 else 6
+        body = bytes((d * 7 + k * 13) % 256 for k in range(n))
+        fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+        wav = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        got = decode_wav_samples_any(wav)
+        srate, ch, samples = got
+        outs.append(
+            (
+                "mulaw" if tag == 7 else "alaw",
+                len(samples),
+                ",".join(str(v) for v in samples),
+            )
+        )
+    return outs
+
+
+def wav_adpcm_roundtrip_batch(doc_ids) -> list:
+    """Row loop proving the REAL IMA-ADPCM WAV path: per doc one mono
+    ADPCM block — header predictor ((doc_id*37) % 4096) - 2048, step
+    index doc_id % 40, eight data bytes (doc_id*11 + j*29) % 256 (16
+    nibbles -> 17 samples with the header sample) — decoded by the
+    stdlib codec; the SQL oracle replays the exact step/index
+    recurrence with a recursive CTE over the same constructions."""
+    import struct
+
+    from h2spark.core.wavcodec import decode_wav_samples_any
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        pred0 = ((d * 37) % 4096) - 2048
+        idx0 = d % 40
+        data = bytes((d * 11 + j * 29) % 256 for j in range(8))
+        body = struct.pack("<hBB", pred0, idx0, 0) + data
+        fmt = struct.pack(
+            "<HHIIHH", 0x11, 1, 8000, 8000 * len(body) // 17,
+            len(body), 4,
+        ) + struct.pack("<HH", 2, 17)
+        wav = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        srate, ch, samples = decode_wav_samples_any(wav)
+        outs.append((len(samples), ",".join(str(v) for v in samples)))
+    return outs

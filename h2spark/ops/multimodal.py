@@ -5,8 +5,10 @@ full lossy DCT+Huffman+successive-approximation pipeline), audio
 (16-bit PCM WAV), and video (uncompressed RIFF/AVI) decode are REAL
 and pure-stdlib down to the pixel/sample/frame level
 (core/pngcodec.py, core/jpegcodec.py, core/wavcodec.py,
-core/avicodec.py); WebP (VP8) and compressed video remain the
-documented environment boundary (no PIL/ffmpeg in this container).
+core/avicodec.py) — audio covers the compressed WAV formats too since
+round 6 (G.711 A-law/mu-law and IMA ADPCM, paired encoders + oracles);
+WebP (VP8) and compressed video remain the documented environment
+boundary (no PIL/ffmpeg in this container).
 
 Pattern for a 100 TB corpus: media bytes live as a ``binary`` column
 (or object-store refs) beside typed metadata; decode / feature-extract /
@@ -1110,3 +1112,150 @@ ORACLE_JPEG_PIXELS = _oracle_jpeg_pixels()
 
 QUERIES["jpeg_pixels_roundtrip"] = q_jpeg_pixels_roundtrip
 ORACLES["jpeg_pixels_roundtrip"] = ORACLE_JPEG_PIXELS
+
+
+# --- compressed audio: G.711 + IMA ADPCM (round 6) -----------------------
+
+
+def q_audio_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The G.711 WAV path on genuine RIFF bytes: per document a
+    deterministic byte pattern is wrapped as a mu-law (even doc_ids)
+    or A-law (odd) WAV and decoded with the stdlib codec
+    (core/wavcodec.py); the oracle re-derives EVERY expanded int16
+    sample from the ITU-T expansion formulas over the same byte
+    construction — compressed telephony audio decode, fully oracled."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import wav_g711_roundtrip_batch
+
+    @pandas_udf("struct<law:string, n_samples:int, samples:string>")
+    def g711_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = wav_g711_roundtrip_batch(ids)
+        return pd.DataFrame(rows, columns=["law", "n_samples", "samples"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select("doc_id", g711_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.law").alias("law"),
+        F.col("o.n_samples").cast("long").alias("n_samples"),
+        F.col("o.samples").alias("samples"),
+    ).orderBy("doc_id")
+
+
+_G711_N = 24
+
+ORACLE_AUDIO_G711 = f"""
+WITH s AS (
+  SELECT doc_id, unnest(range({_G711_N})) AS k FROM documents
+), b AS (
+  SELECT doc_id, k, (doc_id * 7 + k * 13) % 256 AS byte FROM s
+), v AS (
+  SELECT doc_id, k,
+    CASE WHEN doc_id % 2 = 0 THEN
+      CASE WHEN (255 - byte) >= 128
+           THEN -((((((255 - byte) % 16) * 8 + 132)
+                    << (((255 - byte) // 16) % 8)) - 132))
+           ELSE  (((((255 - byte) % 16) * 8 + 132)
+                   << (((255 - byte) // 16) % 8)) - 132)
+      END
+    ELSE
+      CASE WHEN xor(byte, 85) >= 128
+           THEN  (CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
+                       THEN (xor(byte, 85) % 16) * 16 + 8
+                       ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                            << (((xor(byte, 85) // 16) % 8) - 1) END)
+           ELSE -(CASE WHEN ((xor(byte, 85) // 16) % 8) = 0
+                       THEN (xor(byte, 85) % 16) * 16 + 8
+                       ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                            << (((xor(byte, 85) // 16) % 8) - 1) END)
+      END
+    END AS val
+  FROM b
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+       {_G711_N}::BIGINT AS n_samples,
+       string_agg(val::VARCHAR, ',' ORDER BY k) AS samples
+FROM v
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["audio_g711_roundtrip"] = q_audio_g711_roundtrip
+ORACLES["audio_g711_roundtrip"] = ORACLE_AUDIO_G711
+
+
+def q_audio_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMA/DVI ADPCM WAV path: per document one mono ADPCM block
+    (deterministic header predictor/step-index + 16 deterministic
+    nibbles) decoded to 17 int16 samples by the stdlib codec; the
+    oracle replays the EXACT predictor/step-index recurrence — step
+    table, bit-weighted difference, int16 clamp, index clamp — with a
+    recursive CTE over the same constructions. Stateful compressed
+    audio decode, fully oracled."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import wav_adpcm_roundtrip_batch
+
+    @pandas_udf("struct<n_samples:int, samples:string>")
+    def adpcm_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = wav_adpcm_roundtrip_batch(ids)
+        return pd.DataFrame(rows, columns=["n_samples", "samples"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select("doc_id", adpcm_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.n_samples").cast("long").alias("n_samples"),
+        F.col("o.samples").alias("samples"),
+    ).orderBy("doc_id")
+
+
+def _adpcm_oracle() -> str:
+    from h2spark.core.wavcodec import IMA_INDEX_TABLE, IMA_STEP_TABLE
+
+    st_vals = ", ".join(
+        f"({i}, {s})" for i, s in enumerate(IMA_STEP_TABLE)
+    )
+    it_vals = ", ".join(
+        f"({n}, {d})" for n, d in enumerate(IMA_INDEX_TABLE)
+    )
+    return f"""
+WITH RECURSIVE
+st(i, s) AS (SELECT * FROM (VALUES {st_vals}) t(i, s)),
+it(n, d) AS (SELECT * FROM (VALUES {it_vals}) t(n, d)),
+walk(doc_id, k, pred, idx) AS (
+  SELECT doc_id, -1, ((doc_id * 37) % 4096) - 2048, doc_id % 40
+  FROM documents
+  UNION ALL
+  SELECT w.doc_id, w.k + 1,
+         greatest(-32768, least(32767,
+           w.pred + (CASE WHEN w.nib >= 8 THEN -1 ELSE 1 END)
+             * ((st.s // 8) + (w.nib % 2) * (st.s // 4)
+                + ((w.nib // 2) % 2) * (st.s // 2)
+                + ((w.nib // 4) % 2) * st.s))),
+         greatest(0, least(88, w.idx + it.d))
+  FROM (
+    SELECT w0.doc_id, w0.k, w0.pred, w0.idx,
+           (CASE WHEN (w0.k + 1) % 2 = 0
+                 THEN ((w0.doc_id * 11 + ((w0.k + 1) // 2) * 29) % 256) % 16
+                 ELSE ((w0.doc_id * 11 + ((w0.k + 1) // 2) * 29) % 256) // 16
+            END) AS nib
+    FROM walk w0 WHERE w0.k < 15
+  ) w
+  JOIN st ON st.i = w.idx
+  JOIN it ON it.n = w.nib % 8
+)
+SELECT doc_id, 17::BIGINT AS n_samples,
+       string_agg(pred::VARCHAR, ',' ORDER BY k) AS samples
+FROM walk
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+ORACLE_AUDIO_ADPCM = _adpcm_oracle()
+
+QUERIES["audio_adpcm_roundtrip"] = q_audio_adpcm_roundtrip
+ORACLES["audio_adpcm_roundtrip"] = ORACLE_AUDIO_ADPCM

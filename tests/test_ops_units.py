@@ -984,3 +984,90 @@ def test_jpeg_progressive_truncation_is_pngerror():
             decode_jpeg(prog[:cut])
         except PngError:
             pass  # the only exception the contract allows
+
+
+def test_g711_idempotence_all_bytes():
+    # canonical G.711 invariant: encode(decode(b)) == b for every code
+    # (mu-law's lone exception is 0x7F, the negative-zero code, which
+    # decodes to 0 and re-encodes as the positive-zero code 0xFF)
+    from h2spark.core import wavcodec as w
+
+    for b in range(256):
+        if b != 0x7F:
+            assert w.mulaw_encode_sample(w.mulaw_decode_byte(b)) == b, b
+        assert w.alaw_encode_sample(w.alaw_decode_byte(b)) == b, b
+    assert w.mulaw_decode_byte(0xFF) == 0
+    assert w.mulaw_decode_byte(0x7F) == 0
+
+
+def test_g711_quantization_error_bounded():
+    import random
+
+    from h2spark.core import wavcodec as w
+
+    rng = random.Random(11)
+    for _ in range(2000):
+        x = rng.randrange(-32768, 32768)
+        for dec, enc in (
+            (w.mulaw_decode_byte, w.mulaw_encode_sample),
+            (w.alaw_decode_byte, w.alaw_encode_sample),
+        ):
+            y = dec(enc(x))
+            assert abs(x - y) <= max(64, abs(x) / 12), (x, y)
+
+
+def test_adpcm_tracks_smooth_signal():
+    import math
+
+    from h2spark.core import wavcodec as w
+
+    samples = [int(8000 * math.sin(i / 10)) for i in range(2000)]
+    wav = w.encode_wav(
+        8000, 1, samples, fmt=w.WAVE_FORMAT_IMA_ADPCM,
+        adpcm_samples_per_block=505,
+    )
+    rate, ch, dec = w.decode_wav_samples_any(wav)
+    assert (rate, ch) == (8000, 1)
+    assert len(dec) >= len(samples)
+    errs = [abs(a - b) for a, b in zip(samples, dec)]
+    # cold-start attack transient while the step index ramps from 0 is
+    # inherent to IMA ADPCM; steady state must track tightly
+    assert max(errs[50:]) < 300, max(errs[50:])
+
+
+def test_adpcm_stereo_block_layout():
+    import struct
+
+    from h2spark.core import wavcodec as w
+
+    # 4-byte groups alternate channels; constant nibble 0 drifts each
+    # channel by +step/8 per sample from its own header state
+    body = struct.pack("<hBB", 0, 20, 0) + struct.pack("<hBB", 1000, 30, 0)
+    body += bytes(16)  # two groups of nibble-0 data
+    dec = w._adpcm_decode_block(bytes(body), 2)
+    assert len(dec) == 2 * 17
+    left = dec[0::2]
+    right = dec[1::2]
+    assert left[0] == 0 and right[0] == 1000
+    assert all(b - a > 0 for a, b in zip(left, left[1:]))  # monotone drift
+    assert all(b - a > 0 for a, b in zip(right, right[1:]))
+
+
+def test_encode_wav_formats_roundtrip_through_decoder():
+    import random
+
+    from h2spark.core import wavcodec as w
+
+    rng = random.Random(7)
+    xs = [rng.randrange(-32768, 32768) for _ in range(321)]
+    pcm = w.encode_wav(44100, 1, xs, fmt=w.WAVE_FORMAT_PCM)
+    assert w.decode_wav_samples_any(pcm) == (44100, 1, xs)
+    # the legacy 16-bit-only entry point still reads the PCM file
+    assert w.decode_wav_samples(pcm) == (44100, 1, xs)
+    for fmt in (w.WAVE_FORMAT_MULAW, w.WAVE_FORMAT_ALAW):
+        rate, ch, dec = w.decode_wav_samples_any(
+            w.encode_wav(8000, 1, xs, fmt=fmt)
+        )
+        assert len(dec) == len(xs)
+    meta = w.decode_wav_meta(w.encode_wav(8000, 1, xs, fmt=w.WAVE_FORMAT_MULAW))
+    assert meta["bits_per_sample"] == 8 and meta["n_frames"] == len(xs)
