@@ -657,3 +657,51 @@ def wav_adpcm_roundtrip_batch(doc_ids) -> list:
         srate, ch, samples = decode_wav_samples_any(wav)
         outs.append((len(samples), ",".join(str(v) for v in samples)))
     return outs
+
+
+WEBP_PATTERN_W = 12
+WEBP_PATTERN_H = 8
+
+
+def webp_pattern_roundtrip_batch(doc_ids) -> list:
+    """Row loop proving the REAL WebP-lossless path: per doc a
+    deterministic RGBA pattern (r = (doc_id*3 + x*7 + y*11) % 256,
+    g = (doc_id*5 + x*13 + y*3) % 256, b = (doc_id + x + y*17) % 256,
+    a = (doc_id + x*2 + y) % 256) is VP8L-encoded — the bitstream
+    construct rotates with doc_id % 4: plain literals, subtract-green
+    transform, color cache + LZ77, LZ77 with short-distance plane
+    codes — then decoded back (core/vp8lcodec.py). Lossless, so the
+    SQL oracle re-derives the full first row and the whole-image byte
+    sum from the pattern formulas."""
+    from h2spark.core.vp8lcodec import decode_webp, encode_webp_lossless
+
+    W, H = WEBP_PATTERN_W, WEBP_PATTERN_H
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        px = bytearray(W * H * 4)
+        for y in range(H):
+            for x in range(W):
+                o = (y * W + x) * 4
+                px[o] = (d * 3 + x * 7 + y * 11) % 256
+                px[o + 1] = (d * 5 + x * 13 + y * 3) % 256
+                px[o + 2] = (d + x + y * 17) % 256
+                px[o + 3] = (d + x * 2 + y) % 256
+        mode = d % 4
+        opts = [
+            {"lz77": False},
+            {"lz77": False, "subtract_green": True},
+            {"lz77": True, "cache_bits": 5},
+            {"lz77": True, "short_dist": True},
+        ][mode]
+        webp = encode_webp_lossless(W, H, bytes(px), **opts)
+        w, h, ch, dec = decode_webp(webp)
+        outs.append(
+            (
+                w, h, mode,
+                ",".join(str(v) for v in dec[: W * 4]),
+                sum(dec),
+                bytes(dec) == bytes(px),
+            )
+        )
+    return outs

@@ -50,10 +50,11 @@ CODEC_PDF_LAYOUT = "pdf.layout"        # bytes -> list of layout blocks
 
 _CODEC_HINTS = {
     CODEC_MEDIA_DECODE: (
-        "only PNG/GIF/BMP/JPEG (baseline + progressive) pixel decode "
-        "is available without codec libraries (stdlib; "
-        "h2spark.core.pngcodec / gifcodec / jpegcodec); WebP needs "
-        "PIL — use decode_media_meta / decode_image_dims meanwhile"
+        "only PNG/GIF/BMP/JPEG (baseline + progressive) and lossless "
+        "WebP (VP8L) pixel decode is available without codec "
+        "libraries (stdlib; h2spark.core.pngcodec / gifcodec / "
+        "jpegcodec / vp8lcodec); lossy WebP (VP8) needs PIL — use "
+        "decode_media_meta / decode_image_dims meanwhile"
     ),
     CODEC_IMAGE_RESIZE: (
         "only PNG resize is available without codec libraries "
@@ -103,11 +104,13 @@ def unregister_codec(op: str) -> None:
 
 def _stdlib_png_media_decode(data: bytes) -> dict:
     """Default CODEC_MEDIA_DECODE adapter: REAL pixel decode for PNG,
-    GIF, baseline JPEG and uncompressed 24-bit BMP (pure stdlib);
-    anything else raises the environment hint."""
+    GIF, JPEG (baseline + progressive), lossless WebP (VP8L) and
+    uncompressed 24-bit BMP (pure stdlib); anything else raises the
+    environment hint."""
     from h2spark.core.gifcodec import decode_gif
     from h2spark.core.jpegcodec import decode_jpeg
     from h2spark.core.pngcodec import PngError, decode_bmp, decode_png
+    from h2spark.core.vp8lcodec import decode_webp
 
     try:
         if data[:8] == b"\x89PNG\r\n\x1a\n":
@@ -129,6 +132,13 @@ def _stdlib_png_media_decode(data: bytes) -> dict:
             except PngError as e:
                 raise NotImplementedError(
                     f"JPEG decode failed: {e}"
+                ) from None
+        elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            try:
+                w, h, ch, px = decode_webp(data)
+            except PngError as e:
+                raise NotImplementedError(
+                    f"WebP decode failed: {e}"
                 ) from None
         else:
             w, h, ch, px = decode_bmp(data)
@@ -1259,3 +1269,89 @@ ORACLE_AUDIO_ADPCM = _adpcm_oracle()
 
 QUERIES["audio_adpcm_roundtrip"] = q_audio_adpcm_roundtrip
 ORACLES["audio_adpcm_roundtrip"] = ORACLE_AUDIO_ADPCM
+
+
+# --- WebP lossless (VP8L) — round 6 --------------------------------------
+
+
+def q_webp_pixels_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full WebP-lossless path on genuine RIFF/VP8L bytes: per
+    document a deterministic RGBA pattern runs through the pure-stdlib
+    VP8L encoder + decoder (core/vp8lcodec.py — canonical prefix
+    codes via the code-length code, LZ77 back-references incl. the 2-D
+    short-distance map, ARGB color cache, subtract-green transform,
+    rotating by doc_id so the driver window pins every construct);
+    lossless, so the oracle re-derives the decoded first row and the
+    whole-image byte sum from the pattern formulas."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import webp_pattern_roundtrip_batch
+
+    @pandas_udf(
+        "struct<width:int, height:int, mode:int, first_row:string, "
+        "rgba_sum:long, exact:boolean>"
+    )
+    def webp_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = webp_pattern_roundtrip_batch(ids)
+        return pd.DataFrame(
+            rows,
+            columns=["width", "height", "mode", "first_row", "rgba_sum",
+                     "exact"],
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select("doc_id", webp_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.width").cast("long").alias("width"),
+        F.col("o.height").cast("long").alias("height"),
+        F.col("o.mode").cast("long").alias("mode"),
+        F.col("o.first_row").alias("first_row"),
+        F.col("o.rgba_sum").alias("rgba_sum"),
+        F.col("o.exact").alias("exact"),
+    ).orderBy("doc_id")
+
+
+def _oracle_webp_pixels() -> str:
+    from h2spark.core.runner import WEBP_PATTERN_H, WEBP_PATTERN_W
+
+    W, H = WEBP_PATTERN_W, WEBP_PATTERN_H
+    # channel formulas, as functions of (doc_id, x, y)
+    r = "(doc_id * 3 + {x} * 7 + {y} * 11) % 256"
+    g = "(doc_id * 5 + {x} * 13 + {y} * 3) % 256"
+    b = "(doc_id + {x} + {y} * 17) % 256"
+    a = "(doc_id + {x} * 2 + {y}) % 256"
+    first_row = " || ',' || ".join(
+        " || ',' || ".join(
+            f"CAST({c.format(x=x, y=0)} AS VARCHAR)" for c in (r, g, b, a)
+        )
+        for x in range(W)
+    )
+    total = " + ".join(
+        f"list_sum(list_transform(range({W}), x -> "
+        f"{c.format(x='x', y='y')}))"
+        for c in (r, g, b, a)
+    )
+    return f"""
+WITH rows_y AS (
+  SELECT doc_id, unnest(range({H})) AS y FROM documents
+), sums AS (
+  SELECT doc_id, sum({total})::BIGINT AS rgba_sum
+  FROM rows_y GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {W}::BIGINT AS width,
+       {H}::BIGINT AS height,
+       (d.doc_id % 4)::BIGINT AS mode,
+       {first_row} AS first_row,
+       s.rgba_sum,
+       TRUE AS exact
+FROM documents d JOIN sums s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_WEBP_PIXELS = _oracle_webp_pixels()
+
+QUERIES["webp_pixels_roundtrip"] = q_webp_pixels_roundtrip
+ORACLES["webp_pixels_roundtrip"] = ORACLE_WEBP_PIXELS

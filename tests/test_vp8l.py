@@ -1,0 +1,208 @@
+"""WebP-lossless (VP8L) codec: encoder/decoder roundtrips over every
+bitstream construct, hand-built transform streams for all predictor
+modes, and the arbitrary-bytes robustness contract."""
+
+import os
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from h2spark.core import vp8lcodec as V
+from h2spark.core.pngcodec import PngError
+
+
+def _rand_rgba(rng, w, h):
+    return bytes(rng.randrange(256) for _ in range(w * h * 4))
+
+
+@pytest.mark.parametrize(
+    "w,h,opts",
+    [
+        (1, 1, {}),
+        (8, 8, {}),
+        (13, 7, {}),
+        (16, 16, {"subtract_green": True}),
+        (10, 10, {"cache_bits": 4}),
+        (20, 9, {"lz77": True}),
+        (20, 9, {"lz77": True, "short_dist": True}),
+        (33, 21, {"cache_bits": 6, "subtract_green": True}),
+    ],
+)
+def test_roundtrip_random_pixels(w, h, opts):
+    rng = random.Random(w * 1000 + h)
+    px = _rand_rgba(rng, w, h)
+    gw, gh, ch, out = V.decode_webp(V.encode_webp_lossless(w, h, px, **opts))
+    assert (gw, gh, ch) == (w, h, 4)
+    assert bytes(out) == px
+
+
+@pytest.mark.parametrize("ncolors", [1, 2, 3, 5, 16, 17, 200])
+def test_roundtrip_palette_packing(ncolors):
+    # exercises every sub-byte packing width (8/4/2/1 pixels per byte)
+    rng = random.Random(ncolors)
+    w, h = 19, 6
+    cols = [bytes(rng.randrange(256) for _ in range(4)) for _ in range(ncolors)]
+    px = b"".join(cols[rng.randrange(ncolors)] for _ in range(w * h))
+    gw, gh, ch, out = V.decode_webp(
+        V.encode_webp_lossless(w, h, px, palette=True, lz77=False)
+    )
+    assert bytes(out) == px
+
+
+def test_lz77_compresses_and_roundtrips():
+    rng = random.Random(5)
+    w, h = 24, 10
+    row = bytes(rng.randrange(256) for _ in range(4)) * w
+    px = row * h
+    plain = V.encode_webp_lossless(w, h, px, lz77=False)
+    for opts in (
+        {"lz77": True},
+        {"lz77": True, "short_dist": True},
+        {"lz77": True, "cache_bits": 5},
+    ):
+        webp = V.encode_webp_lossless(w, h, px, **opts)
+        assert bytes(V.decode_webp(webp)[3]) == px, opts
+        assert len(webp) < len(plain)  # back-references genuinely used
+
+
+def _residual(pix, w, h, mode_at, bits):
+    mw = (w + (1 << bits) - 1) >> bits
+    res = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pix[i - 1]
+            elif x == 0:
+                pred = pix[i - w]
+            else:
+                m = mode_at((y >> bits) * mw + (x >> bits))
+                left, top, tl = pix[i - 1], pix[i - w], pix[i - w - 1]
+                tr = pix[i - w + 1] if x + 1 < w else pix[i - w]
+                pred = V._predict(m, left, top, tl, tr)
+            r = 0
+            for s in (0, 8, 16, 24):
+                r |= ((((pix[i] >> s) & 0xFF) - ((pred >> s) & 0xFF))
+                      & 0xFF) << s
+            res.append(r)
+    return res
+
+
+def _stream_header(bw, w, h):
+    bw.write(8, 0x2F)
+    bw.write(14, w - 1)
+    bw.write(14, h - 1)
+    bw.write(1, 0)
+    bw.write(3, 0)
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_transform_all_modes(mode):
+    rng = random.Random(mode)
+    w, h, bits = 9, 6, 5
+    pix = [rng.getrandbits(32) for _ in range(w * h)]
+    bw = V._BitWriter()
+    _stream_header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(2, 0)
+    bw.write(3, bits - 2)
+    V._emit_image(bw, [0xFF000000 | (mode << 8)], 1, 1, with_meta_bit=False)
+    bw.write(1, 0)
+    V._emit_image(
+        bw, _residual(pix, w, h, lambda _: mode, bits), w, h,
+        with_meta_bit=True,
+    )
+    gw, gh, got = V._decode_vp8l(bw.flush())
+    assert (gw, gh) == (w, h)
+    assert got == pix
+
+
+def test_predictor_transform_multiblock():
+    rng = random.Random(77)
+    w, h, bits = 13, 11, 2  # 4-px blocks: mode varies per block
+    pix = [rng.getrandbits(32) for _ in range(w * h)]
+    mw = (w + (1 << bits) - 1) >> bits
+    mh = (h + (1 << bits) - 1) >> bits
+    modes = [(bx + by) % 14 for by in range(mh) for bx in range(mw)]
+    bw = V._BitWriter()
+    _stream_header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(2, 0)
+    bw.write(3, bits - 2)
+    V._emit_image(
+        bw, [0xFF000000 | (m << 8) for m in modes], mw, mh,
+        with_meta_bit=False,
+    )
+    bw.write(1, 0)
+    V._emit_image(
+        bw, _residual(pix, w, h, lambda i: modes[i], bits), w, h,
+        with_meta_bit=True,
+    )
+    assert V._decode_vp8l(bw.flush())[2] == pix
+
+
+@pytest.mark.parametrize(
+    "g2r,g2b,r2b", [(0, 0, 0), (16, 200, 7), (255, 128, 1), (90, 3, 250)]
+)
+def test_color_transform(g2r, g2b, r2b):
+    rng = random.Random(g2r + g2b + r2b)
+    w, h, bits = 9, 6, 5
+    pix = [rng.getrandbits(32) for _ in range(w * h)]
+    bw = V._BitWriter()
+    _stream_header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(2, 1)
+    bw.write(3, bits - 2)
+    ct = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    V._emit_image(bw, [ct], 1, 1, with_meta_bit=False)
+    bw.write(1, 0)
+    res = []
+    for p in pix:  # forward: subtract deltas (blue uses the TRUE red)
+        g = (p >> 8) & 0xFF
+        r_t = (((p >> 16) & 0xFF) - V._delta(g2r, g)) & 0xFF
+        b_t = ((p & 0xFF) - V._delta(g2b, g)
+               - V._delta(r2b, (p >> 16) & 0xFF)) & 0xFF
+        res.append((p & 0xFF00FF00) | (r_t << 16) | b_t)
+    V._emit_image(bw, res, w, h, with_meta_bit=True)
+    assert V._decode_vp8l(bw.flush())[2] == pix
+
+
+def test_short_distance_map_shape():
+    # generated neighborhood: 120 unique in-range offsets, ascending
+    # squared distance, nearest neighbors first
+    m = V._DIST_MAP
+    assert len(m) == len(set(m)) == 120
+    d2 = [dx * dx + dy * dy for dx, dy in m]
+    assert d2 == sorted(d2)
+    assert set(m[:4]) == {(1, 0), (0, 1), (1, 1), (-1, 1)}
+
+
+def test_truncation_and_corruption_are_pngerror():
+    rng = random.Random(9)
+    px = _rand_rgba(rng, 16, 16)
+    webp = V.encode_webp_lossless(16, 16, px, cache_bits=4)
+    for cut in range(0, len(webp), 3):
+        try:
+            V.decode_webp(webp[:cut])
+        except PngError:
+            pass
+    for _ in range(200):
+        b = bytearray(webp)
+        for _ in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            V.decode_webp(bytes(b))
+        except PngError:
+            pass
+
+
+def test_lossy_vp8_raises_cleanly():
+    fake = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" \
+        + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
+    with pytest.raises(PngError):
+        V.decode_webp(fake)
