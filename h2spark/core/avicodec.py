@@ -1,12 +1,16 @@
-"""REAL uncompressed-AVI (RIFF) video frame decode — pure stdlib struct.
+"""REAL AVI (RIFF) video frame decode — pure stdlib struct.
 
 Retires the last codec stub (VERDICT r4 item 7): same pattern as
 wavcodec.py — a paired encoder plus a from-spec decoder for the
 uncompressed profile ('AVI ' RIFF form, 'vids' stream, BI_RGB 24-bit
 DIB frames in '00db' chunks, bottom-up BGR rows padded to 32 bits, per
-the Microsoft AVI RIFF File Reference). Compressed video (any nonzero
-biCompression) stays a documented environment boundary behind the
-codec registry. No pyspark/pandas imports (core-module rule).
+the Microsoft AVI RIFF File Reference) — and, since round 6, the
+COMPRESSED Motion-JPEG profile ('MJPG' biCompression, one baseline or
+progressive JPEG per '00dc' chunk, decoded by core/jpegcodec.py). That
+makes compressed video real for the most spec-transparent codec;
+inter-frame codecs (H.26x/VP8/AV1) stay the documented environment
+boundary behind the codec registry. No pyspark/pandas imports
+(core-module rule).
 """
 
 from __future__ import annotations
@@ -29,16 +33,51 @@ def encode_avi(
     height: int,
     frames: list[bytes],
     fps: int = 25,
+    codec: str = "DIB",
+    jpeg_quality: int = 90,
+    jpeg_qtab=None,
+    jpeg_progressive: bool = False,
 ) -> bytes:
-    """Genuine uncompressed AVI from top-down RGB24 frames (the paired
-    encoder — mirrors encode_gif/the WAV writer in runner.py)."""
+    """Genuine AVI from top-down RGB24 frames (the paired encoder —
+    mirrors encode_gif/the WAV writer in runner.py). ``codec='DIB'``
+    writes uncompressed bottom-up DIB frames; ``codec='MJPG'`` writes
+    one JPEG per frame ('00dc' chunks) via core/jpegcodec.py —
+    grayscale frames (r==g==b) encode as 1-channel JPEGs so the
+    all-ones-qtab block-constant exactness trick carries through to
+    compressed video."""
     if width <= 0 or height <= 0 or fps <= 0:
         raise PngError("bad AVI geometry")
+    if codec not in ("DIB", "MJPG"):
+        raise PngError("encode_avi: codec must be DIB or MJPG")
     stride = _row_stride(width)
     movi_items = []
     for fr in frames:
         if len(fr) != width * height * 3:
             raise PngError("frame size mismatch")
+        if codec == "MJPG":
+            from h2spark.core.jpegcodec import encode_jpeg
+
+            gray = all(
+                fr[i] == fr[i + 1] == fr[i + 2]
+                for i in range(0, len(fr), 3)
+            )
+            if gray:
+                body = encode_jpeg(
+                    width, height, bytes(fr[0::3]), channels=1,
+                    quality=jpeg_quality, qtab_luma=jpeg_qtab,
+                    progressive=jpeg_progressive,
+                )
+            else:
+                body = encode_jpeg(
+                    width, height, bytes(fr), channels=3,
+                    quality=jpeg_quality, qtab_luma=jpeg_qtab,
+                    progressive=jpeg_progressive,
+                )
+            movi_items.append(
+                b"00dc" + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b"")
+            )
+            continue
         rows = []
         for y in range(height - 1, -1, -1):  # DIBs store bottom-up
             row = bytearray()
@@ -59,15 +98,18 @@ def encode_avi(
         len(frames), 0, 1, stride * height, width, height,
     ) + b"\x00" * 16
     avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    fcc = b"DIB " if codec == "DIB" else b"MJPG"
     strh_body = struct.pack(
         _STRH,
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", fcc, 0, 0, 0, 0,
         1, fps, 0, len(frames), stride * height, 0, 0,
         0, 0, width, height,
     )
     strh = b"strh" + struct.pack("<I", len(strh_body)) + strh_body
+    bicomp = 0 if codec == "DIB" else 0x47504A4D  # 'MJPG'
     strf_body = struct.pack(
-        _BMIH, 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0
+        _BMIH, 40, width, height, 1, 24, bicomp,
+        stride * height, 0, 0, 0, 0
     )
     strf = b"strf" + struct.pack("<I", len(strf_body)) + strf_body
     strl_body = b"strl" + strh + strf
@@ -140,7 +182,9 @@ def decode_avi_frame(
     meta = decode_avi_meta(data)
     if meta is None:
         return None
-    if meta.get("compression", 0) != 0 or meta.get("bits") != 24:
+    comp = meta.get("compression", 0)
+    mjpeg = comp == 0x47504A4D  # 'MJPG'
+    if (comp != 0 and not mjpeg) or meta.get("bits") != 24:
         raise PngError("compressed/non-24-bit AVI not supported")
     w, h = meta["width"], meta["height"]
     scale, rate = meta.get("scale", 1), meta.get("rate", 0)
@@ -165,6 +209,18 @@ def decode_avi_frame(
     if idx >= len(frames):
         raise PngError("AVI frame index out of range")
     off, clen = frames[idx]
+    if mjpeg:
+        from h2spark.core.jpegcodec import decode_jpeg
+
+        jw, jh, ch, px = decode_jpeg(bytes(data[off:off + clen]))
+        if (jw, jh) != (w, h):
+            raise PngError("MJPEG frame dimensions disagree with AVI")
+        if ch == 3:
+            return w, h, bytes(px)
+        out = bytearray(w * h * 3)
+        for i, v in enumerate(px):  # grayscale -> RGB replicate
+            out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = v
+        return w, h, bytes(out)
     stride = _row_stride(w)
     if clen < stride * h:
         raise PngError("truncated AVI frame")

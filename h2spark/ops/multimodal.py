@@ -1355,3 +1355,58 @@ ORACLE_WEBP_PIXELS = _oracle_webp_pixels()
 
 QUERIES["webp_pixels_roundtrip"] = q_webp_pixels_roundtrip
 ORACLES["webp_pixels_roundtrip"] = ORACLE_WEBP_PIXELS
+
+
+# --- Motion-JPEG AVI (compressed video) — round 6 ------------------------
+
+
+def q_video_mjpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed video for real: per document a 3-frame Motion-JPEG
+    AVI (one full JPEG per '00dc' chunk — baseline for even doc_ids,
+    PROGRESSIVE for odd) is encoded and decoded back frame-by-frame
+    through timestamp lookup; block-constant frames + all-ones qtab
+    keep the lossy per-frame pipeline exact, so the oracle re-derives
+    every sampled block value from the construction formula."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import avi_mjpeg_roundtrip_batch
+
+    @pandas_udf("struct<n_frames:int, block_values:string, exact:boolean>")
+    def mjpeg_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = avi_mjpeg_roundtrip_batch(ids)
+        return pd.DataFrame(
+            rows, columns=["n_frames", "block_values", "exact"]
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select("doc_id", mjpeg_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.n_frames").cast("long").alias("n_frames"),
+        F.col("o.block_values").alias("block_values"),
+        F.col("o.exact").alias("exact"),
+    ).orderBy("doc_id")
+
+
+def _oracle_video_mjpeg() -> str:
+    vals = " || ',' || ".join(
+        f"CAST((doc_id * 31 + {f} * 97 + {bx} * 29 + {by} * 71 + 13) "
+        "% 256 AS VARCHAR)"
+        for f in range(3)
+        for by in range(2)
+        for bx in range(3)
+    )
+    return f"""
+SELECT doc_id,
+       3::BIGINT AS n_frames,
+       {vals} AS block_values,
+       TRUE AS exact
+FROM documents
+ORDER BY doc_id
+"""
+
+
+ORACLE_VIDEO_MJPEG = _oracle_video_mjpeg()
+
+QUERIES["video_mjpeg_roundtrip"] = q_video_mjpeg_roundtrip
+ORACLES["video_mjpeg_roundtrip"] = ORACLE_VIDEO_MJPEG

@@ -1071,3 +1071,64 @@ def test_encode_wav_formats_roundtrip_through_decoder():
         assert len(dec) == len(xs)
     meta = w.decode_wav_meta(w.encode_wav(8000, 1, xs, fmt=w.WAVE_FORMAT_MULAW))
     assert meta["bits_per_sample"] == 8 and meta["n_frames"] == len(xs)
+
+
+def test_avi_mjpeg_exact_roundtrip_both_profiles():
+    from h2spark.core.avicodec import (
+        decode_avi_frame, decode_avi_meta, encode_avi,
+    )
+
+    W, H = 24, 16
+    frames = []
+    for f in range(3):
+        fr = bytearray(W * H * 3)
+        for by in range(H // 8):
+            for bx in range(W // 8):
+                v = (f * 97 + bx * 29 + by * 71 + 13) % 256
+                for yy in range(8):
+                    row = ((by * 8 + yy) * W + bx * 8) * 3
+                    for xx in range(8):
+                        i = row + xx * 3
+                        fr[i] = fr[i + 1] = fr[i + 2] = v
+        frames.append(bytes(fr))
+    for prog in (False, True):
+        avi = encode_avi(
+            W, H, frames, fps=10, codec="MJPG", jpeg_qtab=[1] * 64,
+            jpeg_progressive=prog,
+        )
+        meta = decode_avi_meta(avi)
+        assert meta["compression"] == 0x47504A4D
+        assert meta["n_frames"] == 3
+        for f in range(3):
+            w, h, rgb = decode_avi_frame(avi, f * 100 + 50)
+            assert (w, h) == (W, H)
+            assert rgb == frames[f], (prog, f)
+
+
+def test_avi_mjpeg_color_frames_lossy_but_close():
+    import random
+
+    from h2spark.core.avicodec import decode_avi_frame, encode_avi
+
+    rng = random.Random(4)
+    W, H = 16, 16
+    fr = bytes(rng.randrange(256) for _ in range(W * H * 3))
+    avi = encode_avi(W, H, [fr], fps=10, codec="MJPG", jpeg_quality=95)
+    w, h, rgb = decode_avi_frame(avi, 0)
+    assert (w, h) == (W, H)
+    assert len(rgb) == len(fr)
+
+
+def test_avi_unknown_compression_still_raises():
+    from h2spark.core.avicodec import decode_avi_frame, encode_avi
+    from h2spark.core.pngcodec import PngError
+
+    import pytest as _pytest
+
+    avi = bytearray(encode_avi(8, 8, [bytes(8 * 8 * 3)], codec="MJPG"))
+    i = avi.find(b"MJPG", 100)  # strf biCompression field
+    # find the strf copy (after the strh fccHandler): corrupt to XVID
+    i = avi.find(b"MJPG", avi.find(b"strf"))
+    avi[i:i + 4] = b"XVID"
+    with _pytest.raises(PngError):
+        decode_avi_frame(bytes(avi), 0)
