@@ -611,3 +611,199 @@ ORDER BY vec_id
 
 QUERIES["embedding_quantize"] = q_embedding_quantize
 ORACLES["embedding_quantize"] = ORACLE_EMBEDDING_QUANTIZE
+
+
+# --- product quantization (round 6) --------------------------------------
+#
+# The third leg of the embedding-compression story (int8 scalar
+# quantization and IVF cells being the other two): split each vector
+# into M subspaces, k-means a tiny codebook per subspace, store M
+# 4-bit codes per vector — the memory layout ANN systems page through
+# at 10^12 scale. Everything is INTEGER-exact end to end: vectors are
+# the same floor(x*1e6) quantization IVF uses, L2 distances and
+# centroid floors stay in int64 (|dist| < 2^53), so the DuckDB replay
+# needs no float-rounding contortions at all.
+
+_PQ_M = 8          # subspaces (64-dim embeddings -> 8 dims each)
+_PQ_K = 16         # codes per subspace (4-bit)
+_PQ_ITERS = 2      # Lloyd iterations (unrolled in the oracle)
+_PQ_SAMPLE = 256   # bounded md5-ordered training collect (IVF pattern)
+
+
+def train_pq_codebooks(
+    qe: DataFrame,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = _PQ_ITERS,
+    sample: int = _PQ_SAMPLE,
+) -> list[list[list[int]]]:
+    """Deterministic per-subspace Lloyd k-means over integer
+    subvectors. Training set: the ``sample`` md5-smallest vec_ids
+    (one bounded collect); init: the first ``k`` of the same ordering.
+    Assignment: integer L2 argmin, ties to the smallest code id;
+    update: floor(sum/count) (exact, |sum| < 2^53); empty cells keep
+    their centroid. The DuckDB oracle replays the identical iterations
+    as unrolled CTEs."""
+    import numpy as np
+
+    rows = (
+        qe.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(max(sample, k))
+        .select("q")
+        .collect()
+    )
+    V = np.array([list(r["q"]) for r in rows], dtype=np.int64)
+    d = V.shape[1]
+    sub = d // m
+    books = []
+    for s in range(m):
+        S = V[:, s * sub:(s + 1) * sub]
+        kk = min(k, len(S))
+        cents = S[:kk].copy()
+        for _ in range(iters):
+            dist = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = np.argmin(dist, axis=1)  # first-min = smallest id
+            new = []
+            for ki in range(kk):
+                mem = S[cell == ki]
+                if len(mem):
+                    tot = mem.sum(axis=0)
+                    new.append(
+                        [math.floor(float(x) / len(mem)) for x in tot]
+                    )
+                else:
+                    new.append([int(x) for x in cents[ki]])
+            cents = np.array(new, dtype=np.int64)
+        books.append([[int(x) for x in c] for c in cents])
+    return books
+
+
+def _pq_assign_udf(books: list[list[list[int]]]):
+    """pandas UDF: quantized vector -> (codes string, integer
+    reconstruction error) in one NumPy pass per Arrow batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cent_arrays = [np.array(b, dtype=np.int64) for b in books]
+    sub = cent_arrays[0].shape[1]
+
+    @pandas_udf("struct<codes:string, recon_err:long>")
+    def assign(qs: pd.Series) -> pd.DataFrame:
+        Q = np.array([list(v) for v in qs], dtype=np.int64)
+        n = len(Q)
+        codes = np.zeros((n, len(cent_arrays)), dtype=np.int64)
+        errs = np.zeros(n, dtype=np.int64)
+        for s, cents in enumerate(cent_arrays):
+            S = Q[:, s * sub:(s + 1) * sub]
+            dist = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            c = np.argmin(dist, axis=1)
+            codes[:, s] = c
+            errs += dist[np.arange(n), c]
+        return pd.DataFrame(
+            {
+                "codes": [",".join(str(int(x)) for x in row)
+                          for row in codes],
+                "recon_err": errs,
+            }
+        )
+
+    return assign
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode the corpus: per vector the M 4-bit codebook codes and
+    the exact integer reconstruction error. Scale shape: one bounded
+    256-row training collect, then a single scan + Arrow-batched
+    assignment (codebooks live in the UDF closure) — no shuffle at
+    all before the presentation sort."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qe = e.select("vec_id", F.expr(_QUANT).alias("q"))
+    books = train_pq_codebooks(qe)
+    assign = _pq_assign_udf(books)
+    out = qe.select("vec_id", assign(F.col("q")).alias("o"))
+    return out.select(
+        "vec_id",
+        F.col("o.codes").alias("codes"),
+        F.col("o.recon_err").alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+def _oracle_ann_pq() -> str:
+    m, k, sub = _PQ_M, _PQ_K, 64 // _PQ_M
+    l2 = ("(SELECT sum((x - y) * (x - y)) FROM "
+          "(SELECT unnest(v.sub) AS x, unnest(c.cq) AS y))")
+    steps = [
+        f"""qtab AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}.0) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"""ranked AS (
+  SELECT vec_id, q, row_number() OVER (
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM qtab
+)""",
+        f"""trainsub AS (
+  SELECT vec_id, s.s,
+         list_slice(q, s.s * {sub} + 1, (s.s + 1) * {sub}) AS sub
+  FROM ranked, range({m}) s(s) WHERE rn <= {_PQ_SAMPLE}
+)""",
+        f"""cent0 AS (
+  SELECT s.s, rn - 1 AS centroid_id,
+         list_slice(q, s.s * {sub} + 1, (s.s + 1) * {sub}) AS cq
+  FROM ranked, range({m}) s(s) WHERE rn <= {k}
+)""",
+    ]
+    for t in range(_PQ_ITERS):
+        steps.append(f"""a{t} AS (
+  SELECT vec_id, s, sub, centroid_id FROM (
+    SELECT v.vec_id, v.s, v.sub, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {l2}, c.centroid_id) AS rn
+    FROM trainsub v JOIN cent{t} c USING (s)
+  ) WHERE rn = 1
+)""")
+        steps.append(f"""u{t} AS (
+  SELECT s, centroid_id, list(val ORDER BY i) AS cq FROM (
+    SELECT a.s, a.centroid_id, r.i,
+           CAST(floor(sum(a.sub[r.i + 1])::DOUBLE / count(*)) AS BIGINT)
+             AS val
+    FROM a{t} a, range({sub}) r(i)
+    GROUP BY a.s, a.centroid_id, r.i
+  ) GROUP BY s, centroid_id
+)""")
+        steps.append(f"""cent{t + 1} AS (
+  SELECT p.s, p.centroid_id, coalesce(n.cq, p.cq) AS cq
+  FROM cent{t} p LEFT JOIN u{t} n USING (s, centroid_id)
+)""")
+    final = _PQ_ITERS
+    steps.append(f"""allsub AS (
+  SELECT vec_id, s.s,
+         list_slice(q, s.s * {sub} + 1, (s.s + 1) * {sub}) AS sub
+  FROM qtab, range({m}) s(s)
+)""")
+    steps.append(f"""coded AS (
+  SELECT vec_id, s, centroid_id, dist FROM (
+    SELECT v.vec_id, v.s, c.centroid_id, {l2} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {l2}, c.centroid_id) AS rn
+    FROM allsub v JOIN cent{final} c USING (s)
+  ) WHERE rn = 1
+)""")
+    body = ",\n".join(steps)
+    return f"""
+WITH {body}
+SELECT vec_id,
+       string_agg(centroid_id::VARCHAR, ',' ORDER BY s) AS codes,
+       sum(dist)::BIGINT AS recon_err
+FROM coded
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+ORACLE_ANN_PQ = _oracle_ann_pq()
+
+QUERIES["ann_pq_codes"] = q_ann_pq_codes
+ORACLES["ann_pq_codes"] = ORACLE_ANN_PQ

@@ -363,3 +363,15 @@ def test_rag_chunks_is_shuffle_free_explode(spark):
     assert "Generate" in plan  # the explode
     assert plan.count("Exchange (") == 1  # presentation sort only
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_pq_assignment_is_scan_plus_arrow_only(spark):
+    from h2spark.ops import similarity as sim
+
+    plan = _formatted(sim.q_ann_pq_codes(spark, SF), spark)
+    # one bounded training collect happens at plan-BUILD time; the
+    # remaining plan is scan -> Arrow-batched assignment -> sort: no
+    # join, no aggregate, no hash exchange
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "hashpartitioning(" not in plan

@@ -194,3 +194,40 @@ def test_ivf_training_degrades_below_k(spark):
     qe = e.select("vec_id", F.expr(similarity._QUANT).alias("q"))
     cents = similarity.train_ivf_centroids(qe)
     assert len(cents) == 5
+
+
+def test_pq_codes_reconstruct_better_than_random(spark):
+    # PQ must genuinely cluster: trained-codebook reconstruction error
+    # should beat a fixed-code baseline by a wide margin, and the code
+    # distribution should use many values per subspace
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.similarity import (
+        _QUANT, q_ann_pq_codes, train_pq_codebooks,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = q_ann_pq_codes(spark, sf).collect()
+    errs = np.array([r["recon_err"] for r in out], dtype=np.int64)
+    codes = np.array(
+        [[int(c) for c in r["codes"].split(",")] for r in out]
+    )
+    assert codes.shape[1] == 8
+    # distinct codes actually used in every subspace
+    for s in range(8):
+        assert len(set(codes[:, s])) >= 8, s
+    # baseline: always code 0 (first training vector's subvector)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qe = e.select("vec_id", F.expr(_QUANT).alias("q"))
+    books = train_pq_codebooks(qe)
+    V = np.array(
+        [list(r["q"]) for r in qe.orderBy("vec_id").collect()],
+        dtype=np.int64,
+    )
+    base = np.zeros(len(V), dtype=np.int64)
+    for s, book in enumerate(books):
+        S = V[:, s * 8:(s + 1) * 8]
+        c0 = np.array(book[0], dtype=np.int64)
+        base += ((S - c0[None, :]) ** 2).sum(axis=1)
+    assert errs.sum() * 2 < base.sum(), (errs.sum(), base.sum())
