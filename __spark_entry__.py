@@ -89,7 +89,7 @@ _PRIORITY = [
     "text_pii_scrub", "corpus_blocklist_filter", "text_gopher_rules",
     "text_rag_chunks", "jpeg_pixels_roundtrip", "warc_roundtrip",
     "audio_g711_roundtrip", "audio_adpcm_roundtrip",
-    "webp_pixels_roundtrip", "video_mjpeg_roundtrip", "ann_pq_codes",
+    "webp_pixels_roundtrip", "video_mjpeg_roundtrip", "ann_pq_codes", "ann_pq_topk",
     # (2) the r05 rotated-out dedup/text family (16; the 17th,
     #     text_token_count_bpe, leads group 1 as an r6 rewrite)
     "text_lang_id", "text_fingerprint", "text_top_terms",

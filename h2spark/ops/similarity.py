@@ -807,3 +807,120 @@ ORACLE_ANN_PQ = _oracle_ann_pq()
 
 QUERIES["ann_pq_codes"] = q_ann_pq_codes
 ORACLES["ann_pq_codes"] = ORACLE_ANN_PQ
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC) — the query path that makes
+    the codebooks an ANN method, not just storage: per query vector a
+    per-subspace table of exact integer L2 distances to the 16 codes,
+    then each candidate's approximate distance is the sum of M table
+    lookups selected by its stored codes. Top-k per query by (adc_dist
+    asc, cand_id).
+
+    Scale shape: the corpus side carries only the M-byte code rows
+    (the whole point of PQ at 10^12 vectors); the query side — a few
+    rows wide with an M x K distance table each — broadcasts. Exact
+    integer arithmetic end to end, so the oracle replays training +
+    coding + ADC bit-for-bit.
+
+    Approximation note: recall against exact L2 depends on the data
+    having cluster structure — on a near-uniform corpus distances
+    concentrate and ANY code-based approximation shuffles ranks; the
+    clustered-corpus test (test_similarity_quality.py) pins the
+    high-recall behavior, the driver oracle pins bit-exactness."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_pq_topk(e)
+
+
+def ann_pq_topk(
+    e: DataFrame, n_queries: int = _N_QUERIES, top_k: int = _TOP_K
+) -> DataFrame:
+    qe = e.select("vec_id", F.expr(_QUANT).alias("q"))
+    books = train_pq_codebooks(qe)
+    assign = _pq_assign_udf(books)
+    coded = qe.select("vec_id", assign(F.col("q")).alias("o")).select(
+        "vec_id", F.col("o.codes").alias("codes")
+    )
+    sub = 64 // _PQ_M
+    # query-side ADC tables: dist[s][code] as a flat map built JVM-side
+    # from the broadcast-small query rows
+    qrows = qe.where(F.col("vec_id") < n_queries)
+    tables = []
+    for s in range(_PQ_M):
+        for ci, cent in enumerate(books[s]):
+            d = None
+            for j, cval in enumerate(cent):
+                term = (
+                    F.element_at(F.col("q"), s * sub + j + 1)
+                    - F.lit(int(cval))
+                )
+                term = term * term
+                d = term if d is None else d + term
+            tables.append(d.alias(f"d_{s}_{ci}"))
+    qtab = qrows.select(F.col("vec_id").alias("query_id"), *tables)
+    cand = coded.select(
+        F.col("vec_id").alias("cand_id"),
+        F.split(F.col("codes"), ",").alias("carr"),
+    )
+    joined = F.broadcast(qtab).join(
+        cand, F.col("query_id") != F.col("cand_id")
+    )
+    adc = None
+    for s in range(_PQ_M):
+        code_s = F.element_at(F.col("carr"), s + 1)
+        pick = F.when(code_s == "0", F.col(f"d_{s}_0"))
+        for ci in range(1, _PQ_K):
+            pick = pick.when(code_s == str(ci), F.col(f"d_{s}_{ci}"))
+        adc = pick if adc is None else adc + pick
+    scored = joined.select(
+        "query_id", "cand_id", adc.cast("long").alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_ann_pq_topk() -> str:
+    base = ORACLE_ANN_PQ
+    # reuse the whole replay chain up to `coded`, then ADC + top-k
+    head = base[: base.rindex("SELECT vec_id,")].rstrip().rstrip(",")
+    m, sub = _PQ_M, 64 // _PQ_M
+    return f"""{head},
+codesagg AS (
+  SELECT vec_id,
+         list(centroid_id ORDER BY s) AS codes
+  FROM coded GROUP BY vec_id
+), adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         (SELECT sum(dd) FROM (
+            SELECT (SELECT sum((x - y) * (x - y)) FROM (
+                      SELECT unnest(list_slice(q.q, s.s * {sub} + 1,
+                                               (s.s + 1) * {sub})) AS x,
+                             unnest(ct.cq) AS y)) AS dd
+            FROM range({m}) s(s)
+            JOIN cent{_PQ_ITERS} ct
+              ON ct.s = s.s AND ct.centroid_id = c.codes[s.s + 1]
+         )) AS adc_dist
+  FROM qtab q JOIN codesagg c ON q.vec_id < {_N_QUERIES}
+                             AND q.vec_id <> c.vec_id
+)
+SELECT query_id, cand_id, adc_dist::BIGINT AS adc_dist,
+       rank::BIGINT AS rank
+FROM (
+  SELECT query_id, cand_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, cand_id) AS rank
+  FROM adc
+)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+ORACLE_ANN_PQ_TOPK = _oracle_ann_pq_topk()
+
+QUERIES["ann_pq_topk"] = q_ann_pq_topk
+ORACLES["ann_pq_topk"] = ORACLE_ANN_PQ_TOPK

@@ -375,3 +375,13 @@ def test_pq_assignment_is_scan_plus_arrow_only(spark):
     assert "ArrowEvalPython" in plan
     assert "Join" not in plan and "HashAggregate" not in plan
     assert "hashpartitioning(" not in plan
+
+
+def test_pq_adc_broadcasts_query_tables(spark):
+    from h2spark.ops import similarity as sim
+
+    plan = _formatted(sim.q_ann_pq_topk(spark, SF), spark)
+    # the query-side ADC tables broadcast; the code rows never shuffle
+    # into a sort-merge join
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan

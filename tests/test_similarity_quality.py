@@ -231,3 +231,59 @@ def test_pq_codes_reconstruct_better_than_random(spark):
         c0 = np.array(book[0], dtype=np.int64)
         base += ((S - c0[None, :]) ** 2).sum(axis=1)
     assert errs.sum() * 2 < base.sum(), (errs.sum(), base.sum())
+
+
+def test_pq_adc_clustered_shortlist_and_rerank(spark):
+    # PQ's production contract is shortlist-then-rerank: within a
+    # cluster every vector quantizes to the SAME codes, so ADC cannot
+    # rank cluster members against each other (ties break by id) — but
+    # it must put the right CLUSTER in the shortlist, and an exact
+    # rerank of a modest shortlist must recover the true top-10.
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.similarity import _QUANT, ann_pq_topk
+
+    rng = random.Random(13)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(12)
+    ]
+    rows = []
+    for vid in range(400):
+        c = centers[vid % 12]
+        rows.append(
+            (vid, [v + rng.uniform(-0.05, 0.05) for v in c])
+        )
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    qe = e.select("vec_id", F.expr(_QUANT).alias("q")).orderBy("vec_id")
+    qrows = qe.collect()
+    ids = [r["vec_id"] for r in qrows]
+    V = np.array([list(r["q"]) for r in qrows], dtype=np.int64)
+    truth = {}
+    for qi in range(5):
+        d = ((V - V[qi][None, :]) ** 2).sum(axis=1)
+        order = sorted(
+            (int(dist), ids[j]) for j, dist in enumerate(d) if j != qi
+        )
+        truth[ids[qi]] = {cid for _, cid in order[:10]}
+    short = {}
+    for r in ann_pq_topk(e, top_k=50).collect():
+        short.setdefault(r["query_id"], []).append(r["cand_id"])
+    idx = {v: i for i, v in enumerate(ids)}
+    for qid, cands in short.items():
+        # 1) the ENTIRE same-cluster cohort (~33 vectors, ADC distance
+        #    ~0) ranks into the 50-candidate shortlist ahead of the
+        #    other 11 clusters
+        cohort = {v for v in ids if v % 12 == qid % 12 and v != qid}
+        assert cohort <= set(cands), (qid, len(cohort - set(cands)))
+        # 2) exact rerank of the 50-candidate shortlist recovers the
+        #    true top-10 almost entirely
+        d = ((V[[idx[c] for c in cands]] - V[idx[qid]][None, :]) ** 2
+             ).sum(axis=1)
+        rerank = [c for _, c in sorted(zip(d, cands))][:10]
+        recall = len(set(rerank) & truth[qid]) / 10
+        assert recall >= 0.9, (qid, recall)
