@@ -17,7 +17,7 @@ to one wave. At sandbox scale each wave re-scans the input (cheap); at
 the 10^12-doc design point the input is Iceberg bucket-partitioned so
 the wave filter prunes the scan (see manifests.py docstring).
 
-Run via spark-submit:  spark-submit --py-files h2spark.zip -m h2spark.pipeline.job
+Run via spark-submit:  spark-submit --py-files h2spark.zip scripts/submit_job.py
 """
 
 from __future__ import annotations
@@ -262,9 +262,13 @@ def _main(argv: list[str] | None = None) -> None:
     Typical cluster invocation:
 
         python -m h2spark.pipeline.session package  # build h2spark.zip
-        spark-submit --py-files h2spark.zip \
-            -m h2spark.pipeline.job --input in/ --output out/ \
+        spark-submit --py-files h2spark.zip scripts/submit_job.py \
+            --input in/ --output out/ \
             --spec-module myspecs --spec PAGE_SPEC --buckets 256
+
+    (spark-submit takes an application FILE, not a ``-m`` module —
+    scripts/submit_job.py is that file; tests/test_spark_submit.py
+    drives this exact invocation end to end.)
 
     ``--spec-module``/``--spec`` name a module-level StructSpec; default
     is the golden README Page spec.

@@ -1,0 +1,14 @@
+"""spark-submit launcher for the extraction job (spark-submit has no
+``-m`` module flag — it takes an application FILE; this two-liner is
+that file). The h2spark package itself arrives via --py-files:
+
+    python -m h2spark.pipeline.session package   # build h2spark.zip
+    spark-submit --master yarn --py-files h2spark.zip \
+        scripts/submit_job.py --input in/ --output out/ \
+        --spec-json page_spec.json --buckets 4096
+"""
+
+from h2spark.pipeline.job import _main
+
+if __name__ == "__main__":
+    _main()

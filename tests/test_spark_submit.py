@@ -1,0 +1,51 @@
+"""The real ``spark-submit --py-files`` path (north_rule: "ships as
+spark-submit --py-files jobs"): build h2spark.zip, launch the job via
+the actual spark-submit binary from a cwd OUTSIDE the repo with
+PYTHONPATH scrubbed — so the package can only arrive through
+--py-files — and assert the job commits its manifests and output."""
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="no spark-submit binary"
+)
+def test_spark_submit_py_files_job(spark, tmp_path):
+    from h2spark.fixtures import corpus_df
+    from h2spark.pipeline.session import package_archive
+
+    inp = str(tmp_path / "input")
+    out = str(tmp_path / "out")
+    corpus_df(spark, 40, n_partitions=2).write.parquet(inp)
+    zip_path = package_archive(str(tmp_path / "h2spark.zip"))
+    launcher = str(tmp_path / "launch.py")
+    shutil.copy(os.path.join(REPO, "scripts", "submit_job.py"), launcher)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # the zip must be the only source
+    r = subprocess.run(
+        [
+            "spark-submit", "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path, launcher,
+            "--input", inp, "--output", out,
+            "--buckets", "4", "--wave-buckets", "4",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert '"completed": 4' in r.stdout
+    assert '"n_docs": 40' in r.stdout
+    assert '"n_errors": 0' in r.stdout
+    assert len(glob.glob(out + "/_manifests/*")) >= 4
+    assert glob.glob(out + "/**/*.parquet", recursive=True)
