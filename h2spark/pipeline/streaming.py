@@ -407,3 +407,48 @@ def run_streaming_curation(
         max_dup_word_frac=max_dup_word_frac,
     )
     return _start_append_writer(gated, out_dir, checkpoint_dir, available_now)
+
+
+def token_meter(df):
+    """Round-6 ingest instrumentation as a STATELESS streaming
+    transform: tokenizer-true BPE token counts (the codegen replace
+    chain — h2spark/ops/bpetokens.py) and PII redaction (the scrub
+    regexes — h2spark/ops/scrub.py) applied at ingest time, before
+    anything lands. Pure projections, so batch and readStream produce
+    identical rows; this is the proof that the round-6 codegen
+    operators run unchanged under Structured Streaming."""
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.bpetokens import bpe_count_col
+    from h2spark.ops.scrub import _EMAIL_RE, _IPV4_RE, _PHONE_RE
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>",
+        ),
+        _IPV4_RE, "<IP>",
+    )
+    return df.withColumn(
+        "n_bpe_tokens", bpe_count_col(F.col("text"))
+    ).withColumn("text", scrubbed)
+
+
+def run_streaming_token_meter(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental token metering + PII scrub over a growing documents
+    directory."""
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        token_meter(stream), out_dir, checkpoint_dir, available_now
+    )

@@ -353,3 +353,43 @@ def test_streaming_curation_gate(spark, tmp_path):
     assert 3 not in stream_ids  # language gate
     # schema carries the gate's evidence columns
     assert {"quality", "dup_word_frac"} <= set(got.columns)
+
+
+def test_streaming_token_meter_matches_batch(spark, tmp_path):
+    # the BPE replace chain and the PII regexes are pure projections:
+    # the streamed rows must equal the batch computation byte-for-byte
+    from h2spark.pipeline.streaming import (
+        run_streaming_token_meter, token_meter,
+    )
+
+    rows = [
+        (0, "the customer table scan joins the batch window", "en"),
+        (1, "mail me at bob@example.com or 555-123-4567 ok", "en"),
+        (2, "server at 10.1.2.3 logs the merge", "en"),
+        (3, "", "en"),
+    ]
+    inp = tmp_path / "tm_in"
+    out = tmp_path / "tm_out"
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.coalesce(1).write.mode("append").parquet(str(inp))
+    batch = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["text"])
+        for r in token_meter(df).collect()
+    }
+    q = run_streaming_token_meter(
+        spark, str(inp), str(out), available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["text"])
+        for r in spark.read.parquet(str(out) + "/data").collect()
+    }
+    assert got == batch
+    assert "<EMAIL>" in got[1][1] and "<PHONE>" in got[1][1]
+    assert "<IP>" in got[2][1]
+    assert got[0][0] > 0 and got[3][0] == 0
+    # the BPE counts are the REAL merge-table counts, not whitespace
+    from h2spark.core import bpe
+    from h2spark.core.bpe_table import BASE_CHARS, MERGES
+
+    assert got[0][0] == bpe.count_tokens(rows[0][1], BASE_CHARS, MERGES)
