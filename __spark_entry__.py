@@ -111,7 +111,7 @@ _PRIORITY = [
     # (4) fillers: oldest-checked of the remaining green set
     "corpus_curation", "corpus_stratified_sample",
     "dedup_url", "decontaminate",
-    "text_quality_score", "text_token_count",
+    "text_quality_score", 
 ]
 
 

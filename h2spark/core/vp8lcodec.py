@@ -13,13 +13,14 @@ prefix codes, optional subtract-green and color-indexing transforms).
 
 External-validation note: everything here follows the public "WebP
 Lossless Bitstream Specification". The 120-entry short-distance map is
-generated from the spec's construction (the (dx, dy) neighborhood
-sorted by ascending squared distance) rather than pasted; since no
-WebP files or libwebp exist in this sandbox, streams produced by
-libwebp that use plane codes 1..120 exercise that generated order —
-the paired tests cover both the generated-table path (encoder opts in)
-and the direct ``distance + 120`` path. VP8 (lossy) remains a
-documented boundary (a full DCT video codec).
+generated from the spec's construction — the (dx, dy) neighborhood
+sorted by ascending squared distance with the spec's tie order (larger
+dy first, then positive dx: code 1 = (0,1), code 2 = (1,0)) — and the
+head of the generated table is pinned against the published values in
+tests/test_vp8l.py; no WebP files or libwebp exist in this sandbox, so
+the paired tests additionally cover both the short-distance path
+(encoder opts in) and the direct ``distance + 120`` path. VP8 (lossy)
+remains a documented boundary (a full DCT video codec).
 
 No pyspark/pandas imports (core-module rule).
 """
@@ -209,8 +210,13 @@ def _gen_distance_map() -> list[tuple[int, int]]:
             if dy == 0 and dx <= 0:
                 continue
             pts.append((dx, dy))
-    pts.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], p[1], abs(p[0]),
-                            -p[0]))
+    # spec/libwebp tie order within equal squared distance: larger dy
+    # first (code 1 = (0,1) = one row up, code 2 = (1,0) = one left),
+    # then positive dx before negative (r6 review finding: the first
+    # generation sorted dy ASCENDING, swapping distances 1 and xsize
+    # for every libwebp-produced short-distance stream)
+    pts.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1],
+                            abs(p[0]), -p[0]))
     return pts[:120]
 
 
@@ -382,8 +388,12 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
         out = 0
         for shift in (0, 8, 16, 24):
             ave = (((left >> shift) & 0xFF) + ((top >> shift) & 0xFF)) >> 1
-            v = ave + (ave - ((tl >> shift) & 0xFF)) // 2
-            # spec: clamp(ave + (ave - tl) / 2) with integer truncation
+            d = ave - ((tl >> shift) & 0xFF)
+            # spec: clamp(ave + (ave - tl) / 2) with C truncation
+            # toward zero — Python // floors, off by one for odd
+            # negative deltas (r6 review finding)
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            v = ave + half
             out |= max(0, min(255, v)) << shift
         return out
     raise PngError("VP8L bad predictor mode")
@@ -711,6 +721,8 @@ def encode_webp_lossless(
     """RGBA bytes -> a lossless WebP file. Options select which
     bitstream constructs the stream exercises (transforms, color
     cache, LZ77 with direct or short-distance codes)."""
+    if not 1 <= width <= 16384 or not 1 <= height <= 16384:
+        raise PngError("encode_webp_lossless: dimensions exceed 14 bits")
     if len(rgba) != width * height * 4:
         raise PngError("encode_webp_lossless: pixel buffer mismatch")
     if subtract_green and palette:

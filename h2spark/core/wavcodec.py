@@ -311,6 +311,7 @@ def decode_wav_samples_any(data: bytes) -> tuple[int, int, list[int]] | None:
     i = 12
     fmt = None
     body = None
+    spb = None  # IMA ADPCM wSamplesPerBlock (fmt extension)
     while i + 8 <= len(data):
         cid = data[i:i + 4]
         (clen,) = struct.unpack("<I", data[i + 4:i + 8])
@@ -318,6 +319,8 @@ def decode_wav_samples_any(data: bytes) -> tuple[int, int, list[int]] | None:
             tag, ch, rate = struct.unpack("<HHI", data[i + 8:i + 16])
             align, bits = struct.unpack("<HH", data[i + 20:i + 24])
             fmt = (tag, ch, rate, align, bits)
+            if clen >= 20 and i + 28 <= len(data):
+                (spb,) = struct.unpack("<H", data[i + 26:i + 28])
         elif cid == b"data":
             body = data[i + 8:i + 8 + clen]
         i += 8 + clen + (clen & 1)
@@ -338,6 +341,13 @@ def decode_wav_samples_any(data: bytes) -> tuple[int, int, list[int]] | None:
     if tag == WAVE_FORMAT_IMA_ADPCM and bits == 4 and align > 4 * ch:
         out: list[int] = []
         for off in range(0, len(body) - (4 * ch - 1), align):
-            out.extend(_adpcm_decode_block(body[off:off + align], ch))
+            block = _adpcm_decode_block(body[off:off + align], ch)
+            if spb:
+                # trim encoder pad nibbles: the fmt extension's
+                # wSamplesPerBlock is the true per-block sample count
+                # (r6 review finding — a partially-filled final block
+                # otherwise gains drifting synthetic tail samples)
+                block = block[: spb * ch]
+            out.extend(block)
         return rate, ch, out
     return None

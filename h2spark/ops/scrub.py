@@ -48,6 +48,21 @@ _PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 _IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 
+def scrub_col(col):
+    """The PII redaction chain as a reusable Column (emails first —
+    their local parts contain digits/dots that would otherwise feed
+    the phone/IP patterns — then phones, then IPv4s). Shared by the
+    batch query below and the streaming token meter
+    (h2spark/pipeline/streaming.py)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>",
+        ),
+        _IPV4_RE, "<IP>",
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII redaction (email / phone / IPv4 -> typed tags).
 
@@ -67,13 +82,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" from 10."), (did % 256).cast("string"),
         F.lit(".0."), ((did * 7) % 256).cast("string"), F.lit("."),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"),
-            _PHONE_RE, "<PHONE>",
-        ),
-        _IPV4_RE, "<IP>",
-    )
+    scrubbed = scrub_col(contact)
     return d.select(
         "doc_id",
         F.regexp_count(contact, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),

@@ -420,18 +420,11 @@ def token_meter(df):
     from pyspark.sql import functions as F
 
     from h2spark.ops.bpetokens import bpe_count_col
-    from h2spark.ops.scrub import _EMAIL_RE, _IPV4_RE, _PHONE_RE
+    from h2spark.ops.scrub import scrub_col
 
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-            _PHONE_RE, "<PHONE>",
-        ),
-        _IPV4_RE, "<IP>",
-    )
     return df.withColumn(
         "n_bpe_tokens", bpe_count_col(F.col("text"))
-    ).withColumn("text", scrubbed)
+    ).withColumn("text", scrub_col(F.col("text")))
 
 
 def run_streaming_token_meter(

@@ -1126,8 +1126,7 @@ def test_avi_unknown_compression_still_raises():
     import pytest as _pytest
 
     avi = bytearray(encode_avi(8, 8, [bytes(8 * 8 * 3)], codec="MJPG"))
-    i = avi.find(b"MJPG", 100)  # strf biCompression field
-    # find the strf copy (after the strh fccHandler): corrupt to XVID
+    # the strf biCompression copy (after the strh fccHandler) -> XVID
     i = avi.find(b"MJPG", avi.find(b"strf"))
     avi[i:i + 4] = b"XVID"
     with _pytest.raises(PngError):

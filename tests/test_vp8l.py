@@ -174,12 +174,18 @@ def test_color_transform(g2r, g2b, r2b):
 
 def test_short_distance_map_shape():
     # generated neighborhood: 120 unique in-range offsets, ascending
-    # squared distance, nearest neighbors first
+    # squared distance with the SPEC tie order (larger dy first, then
+    # positive dx) — the head must match the published table exactly:
+    # code 1 = (0,1) = one row up, code 2 = (1,0) = one pixel left
     m = V._DIST_MAP
     assert len(m) == len(set(m)) == 120
     d2 = [dx * dx + dy * dy for dx, dy in m]
     assert d2 == sorted(d2)
-    assert set(m[:4]) == {(1, 0), (0, 1), (1, 1), (-1, 1)}
+    assert m[:10] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1),
+    ]
+    assert m[10:14] == [(2, 2), (-2, 2), (0, 3), (3, 0)]
 
 
 def test_truncation_and_corruption_are_pngerror():
