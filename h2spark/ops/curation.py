@@ -584,3 +584,74 @@ ORDER BY doc_id
 
 QUERIES["training_budget_selection"] = q_budget_selection
 ORACLES["training_budget_selection"] = ORACLE_BUDGET_SELECTION
+
+
+# --- source mixture weights (round 6) ------------------------------------
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static source-mixture reweighting — the data-mixing step that
+    decides how much to over/under-sample each source to hit a target
+    mixture (uniform here; production plugs in DoReMi-style learned
+    targets): per source the tokenizer-true token mass, its natural
+    share, and the sampling weight target/natural. All arithmetic is
+    scaled-integer (e6) with integral division, so the oracle is exact
+    with zero float exposure.
+
+    Scale shape: one groupBy(source) over (source, n_tokens) rows +
+    a 1-row totals cross join (the BM25-avgdl pattern) — a single
+    narrow shuffle at any corpus size."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = (
+        d.select("source", bpetokens.bpe_count_col(F.col("text")).alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("_nsrc"),
+    )
+    out = per.crossJoin(F.broadcast(totals))
+    out = out.withColumn(
+        "natural_e6",
+        F.expr("(n_tokens * 1000000) div _tot").cast("long"),
+    ).withColumn(
+        "target_e6", F.expr("1000000 div _nsrc").cast("long")
+    ).withColumn(
+        "weight_e6",
+        F.expr(
+            "CASE WHEN natural_e6 > 0 "
+            "THEN (target_e6 * 1000000) div natural_e6 "
+            "ELSE CAST(0 AS LONG) END"
+        ).cast("long"),
+    )
+    return out.select(
+        "source", "n_docs", "n_tokens", "natural_e6", "target_e6",
+        "weight_e6",
+    ).orderBy("source")
+
+
+ORACLE_MIX_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum({bpe_count})::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens)::BIGINT AS t, count(*)::BIGINT AS nsrc FROM per
+)
+SELECT source, n_docs, n_tokens,
+       ((n_tokens * 1000000) // t)::BIGINT AS natural_e6,
+       (1000000 // nsrc)::BIGINT AS target_e6,
+       (CASE WHEN (n_tokens * 1000000) // t > 0
+             THEN ((1000000 // nsrc) * 1000000)
+                  // ((n_tokens * 1000000) // t)
+             ELSE 0 END)::BIGINT AS weight_e6
+FROM per, tot
+ORDER BY source
+"""
+
+QUERIES["corpus_mix_weights"] = q_mix_weights
+ORACLES["corpus_mix_weights"] = ORACLE_MIX_WEIGHTS
