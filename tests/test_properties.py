@@ -398,3 +398,81 @@ def test_avi_frame_roundtrip_property(w, h, nf, seed):
     for f in range(nf):
         got = decode_avi_frame(avi, f * 100 + 50)
         assert got == (w, h, frames[f])
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.randoms(use_true_random=False),
+    st.sampled_from([
+        {}, {"subtract_green": True}, {"cache_bits": 4},
+        {"lz77": True}, {"lz77": True, "short_dist": True},
+    ]),
+)
+@settings(max_examples=40, deadline=None)
+def test_vp8l_roundtrip_property(w, h, rnd, opts):
+    from h2spark.core.vp8lcodec import decode_webp, encode_webp_lossless
+
+    px = bytes(rnd.randrange(256) for _ in range(w * h * 4))
+    gw, gh, ch, out = decode_webp(
+        encode_webp_lossless(w, h, px, **opts)
+    )
+    assert (gw, gh, ch) == (w, h, 4)
+    assert bytes(out) == px
+
+
+@given(st.integers(min_value=-32768, max_value=32767))
+@settings(max_examples=300, deadline=None)
+def test_g711_error_bound_property(x):
+    from h2spark.core.wavcodec import (
+        alaw_decode_byte, alaw_encode_sample,
+        mulaw_decode_byte, mulaw_encode_sample,
+    )
+
+    for dec, enc in (
+        (mulaw_decode_byte, mulaw_encode_sample),
+        (alaw_decode_byte, alaw_encode_sample),
+    ):
+        y = dec(enc(x))
+        assert abs(x - y) <= max(64, abs(x) / 12), (x, y)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1, max_size=600,
+    ),
+    st.sampled_from([11, 33, 505]),
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_block_trim_property(samples, spb):
+    # decoded length equals ceil(n/spb)*spb (full blocks, pad nibbles
+    # trimmed by wSamplesPerBlock), never the untrimmed nibble count
+    from h2spark.core.wavcodec import (
+        WAVE_FORMAT_IMA_ADPCM, decode_wav_samples_any, encode_wav,
+    )
+
+    wav = encode_wav(
+        8000, 1, samples, fmt=WAVE_FORMAT_IMA_ADPCM,
+        adpcm_samples_per_block=spb,
+    )
+    rate, ch, dec = decode_wav_samples_any(wav)
+    n_blocks = -(-len(samples) // spb)
+    assert len(dec) == n_blocks * spb
+    assert dec[0] == samples[0]  # header predictor is exact
+
+
+@given(st.text(alphabet="abcdefgh xz09!.", max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_bpe_replace_chain_equals_classic_property(text):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_bpe import _classic_encode_ids
+
+    from h2spark.core import bpe
+    from h2spark.core.bpe_table import BASE_CHARS, MERGES
+
+    assert bpe.encode_ids(text, BASE_CHARS, MERGES) == _classic_encode_ids(
+        text
+    )
