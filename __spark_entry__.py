@@ -92,7 +92,7 @@ _PRIORITY = [
     "text_rag_chunks", "jpeg_pixels_roundtrip", "warc_roundtrip",
     "audio_g711_roundtrip", "audio_adpcm_roundtrip",
     "webp_pixels_roundtrip", "video_mjpeg_roundtrip", "ann_pq_codes", "ann_pq_topk",
-    "corpus_mix_weights",
+    "corpus_mix_weights", "dedup_semantic",
     # (2) the r05 rotated-out dedup/text family (16; the 17th,
     #     text_token_count_bpe, leads group 1 as an r6 rewrite)
     "text_lang_id", "text_fingerprint", "text_top_terms",
@@ -111,7 +111,7 @@ _PRIORITY = [
     "boilerplate_strip", "boilerplate_chrome_ratio",
     # (4) fillers: oldest-checked of the remaining green set
     "corpus_curation", "corpus_stratified_sample",
-    "dedup_url", "decontaminate", 
+    "dedup_url", 
 ]
 
 

@@ -924,3 +924,84 @@ ORACLE_ANN_PQ_TOPK = _oracle_ann_pq_topk()
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk
 ORACLES["ann_pq_topk"] = ORACLE_ANN_PQ_TOPK
+
+
+# --- SemDeDup: cluster-then-exact semantic dedup (round 6) ---------------
+
+_SEM_COS_THRESHOLD = 0.35  # same threshold as the dedup-family pair miners
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): k-means-cluster the
+    embeddings, then find exact cosine near-duplicate pairs ONLY
+    within each cluster — the third pair-mining scale shape beside
+    banded LSH (dedup.py) and all-pairs (correctness baseline):
+    cluster-local quadratic work, no banding recall loss inside a
+    cluster, no cross-cluster pairs by design.
+
+    Output: (cell, vec_a, vec_b, cosine, drop_b) — drop_b marks the
+    greedy SemDeDup decision (keep the smallest vec_id per duplicate
+    relation; b always drops since vec_a < vec_b).
+
+    Scale shape at 10^12 vectors: centroids train on a bounded sample
+    (IVF machinery), assignment is one Arrow-batched matmul pass, and
+    the self-join key is the cell id — cells are ~n/K = O(sqrt n), so
+    per-cell pair work is bounded and shuffles carry only (cell) keys.
+    The DuckDB oracle replays training + assignment (the IVF chain)
+    and the within-cell exact cosine bit-for-bit."""
+    e = _emb(spark, sf_dir)
+    k, _ = ivf_params(e.count())
+    qe = e.select("vec_id", "embedding", F.expr(_QUANT).alias("q"))
+    cents = train_ivf_centroids(qe, k=k)
+    assigned = qe.select(
+        "vec_id", "embedding",
+        _ivf_assign_udf(cents)("q")["cell"].alias("cell"),
+    )
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("_cb"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("cell") == F.col("_cb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    cos = F.round(_cos("ea", "eb"), 6)
+    return (
+        pairs.select(
+            F.col("cell").cast("long").alias("cell"),
+            "vec_a", "vec_b", cos.alias("cosine"),
+            F.lit(True).alias("drop_b"),
+        )
+        .where(F.col("cosine") >= _SEM_COS_THRESHOLD)
+        .orderBy("cell", "vec_a", "vec_b")
+    )
+
+
+def _oracle_dedup_semantic() -> str:
+    base = _oracle_ann_ivf()
+    head = base[: base.index(",\nprobes AS (")]
+    return f"""{head},
+sempairs AS (
+  SELECT a1.centroid_id AS cell, a1.vec_id AS vec_a, a2.vec_id AS vec_b,
+         round({_COS_DUCK.format(a="e1.embedding", b="e2.embedding")}, 6)
+           AS cosine
+  FROM afinal a1
+  JOIN afinal a2 ON a1.centroid_id = a2.centroid_id
+                AND a1.vec_id < a2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+)
+SELECT cell::BIGINT AS cell, vec_a, vec_b, cosine, TRUE AS drop_b
+FROM sempairs
+WHERE cosine >= {_SEM_COS_THRESHOLD}
+ORDER BY cell, vec_a, vec_b
+"""
+
+
+ORACLE_DEDUP_SEMANTIC = _oracle_dedup_semantic()
+
+QUERIES["dedup_semantic"] = q_dedup_semantic
+ORACLES["dedup_semantic"] = ORACLE_DEDUP_SEMANTIC

@@ -287,3 +287,25 @@ def test_pq_adc_clustered_shortlist_and_rerank(spark):
         rerank = [c for _, c in sorted(zip(d, cands))][:10]
         recall = len(set(rerank) & truth[qid]) / 10
         assert recall >= 0.9, (qid, recall)
+
+
+def test_semantic_dedup_pairs_subset_of_bruteforce(spark):
+    # within-cell exact pairs must be a SUBSET of the all-pairs
+    # baseline at the same threshold (identical cosine arithmetic; the
+    # cell restriction only removes cross-cluster pairs), and the
+    # clustering must genuinely bound the work (pairs < all-pairs)
+    from h2spark.ops.dedup import q_dedup_embedding
+    from h2spark.ops.similarity import q_dedup_semantic
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in q_dedup_embedding(spark, sf).collect()
+    }
+    sem = q_dedup_semantic(spark, sf).collect()
+    assert sem  # non-trivial on this corpus
+    for r in sem:
+        key = (r["vec_a"], r["vec_b"])
+        assert key in brute, key
+        assert r["cosine"] == brute[key], key
+    assert len(sem) < len(brute)
