@@ -70,12 +70,13 @@ def _all_modules():
 
 # The driver's correctness run covers the FIRST 50 registered queries.
 # Round-6 rotation (VERDICT r5 next-round #5 — alternate, don't
-# accrete): (1) the 18 queries NEW or CHANGED in round 6 (real
+# accrete): (1) the 20 queries NEW or CHANGED in round 6 (real
 # merge-table BPE + trainer + the three rebased training queries + the
 # quality_e4 budget fix, PII scrub, blocklist filter, Gopher rules,
 # RAG chunking, progressive-JPEG roundtrip, WARC gzip skip member,
 # G.711 + ADPCM audio, WebP lossless, Motion-JPEG video, PQ codes +
-# ADC search), then (2) the 16 dedup/text queries rotated OUT of the
+# ADC search, mixture weights, SemDeDup), then (2) the 16 dedup/text
+# queries rotated OUT of the
 # r05 window (driver-unchecked since r03/r04), then (3) the
 # core-extraction canaries (the parser changed this round:
 # force-quirks doctypes, fragment attr escaping), then (4) stale

@@ -615,9 +615,19 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("_nsrc"),
     )
     out = per.crossJoin(F.broadcast(totals))
+    # two-regime exact integer share (r6 review: n_tokens * 10^6
+    # overflows int64 once a corpus passes ~9.2e12 tokens — the stated
+    # 10^12-doc design point is far beyond that). Small-total corpora
+    # (< 4e9 tokens: the product stays < 4e15) use the exact multiply;
+    # larger ones divide by the pre-scaled total (error <= 1 ppm of
+    # the share, still pure integer and identical in both engines).
     out = out.withColumn(
         "natural_e6",
-        F.expr("(n_tokens * 1000000) div _tot").cast("long"),
+        F.expr(
+            "CASE WHEN _tot < 4000000000 "
+            "THEN (n_tokens * 1000000) div _tot "
+            "ELSE n_tokens div (_tot div 1000000) END"
+        ).cast("long"),
     ).withColumn(
         "target_e6", F.expr("1000000 div _nsrc").cast("long")
     ).withColumn(
@@ -643,11 +653,16 @@ WITH per AS (
   SELECT sum(n_tokens)::BIGINT AS t, count(*)::BIGINT AS nsrc FROM per
 )
 SELECT source, n_docs, n_tokens,
-       ((n_tokens * 1000000) // t)::BIGINT AS natural_e6,
+       (CASE WHEN t < 4000000000 THEN (n_tokens * 1000000) // t
+             ELSE n_tokens // (t // 1000000) END)::BIGINT AS natural_e6,
        (1000000 // nsrc)::BIGINT AS target_e6,
-       (CASE WHEN (n_tokens * 1000000) // t > 0
+       (CASE WHEN (CASE WHEN t < 4000000000
+                        THEN (n_tokens * 1000000) // t
+                        ELSE n_tokens // (t // 1000000) END) > 0
              THEN ((1000000 // nsrc) * 1000000)
-                  // ((n_tokens * 1000000) // t)
+                  // (CASE WHEN t < 4000000000
+                           THEN (n_tokens * 1000000) // t
+                           ELSE n_tokens // (t // 1000000) END)
              ELSE 0 END)::BIGINT AS weight_e6
 FROM per, tot
 ORDER BY source

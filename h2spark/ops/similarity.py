@@ -401,35 +401,27 @@ def ann_ivf_topk(
     )
 
 
-def _oracle_ann_ivf() -> str:
-    """Generate the DuckDB twin: the same quantization, md5-sampled
-    training set, init, fixed Lloyd iterations, probe and re-score —
-    unrolled as CTE steps. K and the training-sample size are scalar
-    subqueries over count(*), mirroring ivf_params' K = round(sqrt(n))
-    exactly (floor(sqrt(n) + 0.5) on IEEE doubles in both engines);
-    nprobe is the recall-derived constant clamped to K with the same
-    least() the Spark side applies (ivf_params returns min(nprobe, k) —
-    ADVICE r4: an unclamped oracle diverges on corpora small enough
-    that K = round(sqrt(n)) < nprobe)."""
-    nq, top = _N_QUERIES, _TOP_K
-    np_ = max(
-        1,
-        math.ceil(
-            math.log(1.0 - _IVF_TARGET_RECALL)
-            / math.log(1.0 - _IVF_CELL_HIT_RATE)
-        ),
-    )
-    k = (
-        "(SELECT greatest(1, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT))"
-        " FROM embeddings)"
-    )
+_IVF_K_SQL = (
+    "(SELECT greatest(1, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT))"
+    " FROM embeddings)"
+)
+_IVF_INT_COS = """round((SELECT sum(x*y) FROM (SELECT unnest(v.q) AS x, unnest(c.cq) AS y))
+             / (sqrt((SELECT sum(x*x) FROM (SELECT unnest(v.q) AS x)))
+              * sqrt((SELECT sum(y*y) FROM (SELECT unnest(c.cq) AS y)))), 6)"""
+
+
+def _ivf_chain_steps() -> list:
+    """The shared DuckDB CTE chain — quantize, md5-sampled training
+    set, init, unrolled Lloyd iterations, full-corpus cell assignment
+    (``afinal``) — consumed by BOTH the IVF and SemDeDup oracles (r6
+    review: composing from this list replaces a fragile substring
+    splice of the generated SQL)."""
+    k = _IVF_K_SQL
     sample = (
         f"(SELECT greatest({_IVF_TRAIN_SAMPLE},"
         " CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM embeddings)"
     )
-    int_cos = """round((SELECT sum(x*y) FROM (SELECT unnest(v.q) AS x, unnest(c.cq) AS y))
-             / (sqrt((SELECT sum(x*x) FROM (SELECT unnest(v.q) AS x)))
-              * sqrt((SELECT sum(y*y) FROM (SELECT unnest(c.cq) AS y)))), 6)"""
+    int_cos = _IVF_INT_COS
     steps = [
         f"""qtab AS (
   SELECT vec_id, embedding,
@@ -490,6 +482,32 @@ def _oracle_ann_ivf() -> str:
     )
   ) WHERE rn = 1
 )""")
+    return steps
+
+
+def _oracle_ann_ivf() -> str:
+    """Generate the DuckDB twin: the shared chain (quantization,
+    md5-sampled training set, init, fixed Lloyd iterations, corpus
+    cell assignment — :func:`_ivf_chain_steps`) plus probe and
+    re-score CTEs. K and the training-sample size are scalar
+    subqueries over count(*), mirroring ivf_params' K = round(sqrt(n))
+    exactly (floor(sqrt(n) + 0.5) on IEEE doubles in both engines);
+    nprobe is the recall-derived constant clamped to K with the same
+    least() the Spark side applies (ivf_params returns min(nprobe, k) —
+    ADVICE r4: an unclamped oracle diverges on corpora small enough
+    that K = round(sqrt(n)) < nprobe)."""
+    nq, top = _N_QUERIES, _TOP_K
+    np_ = max(
+        1,
+        math.ceil(
+            math.log(1.0 - _IVF_TARGET_RECALL)
+            / math.log(1.0 - _IVF_CELL_HIT_RATE)
+        ),
+    )
+    k = _IVF_K_SQL
+    int_cos = _IVF_INT_COS
+    ct = f"cent{_IVF_ITERS}"
+    steps = _ivf_chain_steps()
     steps.append(f"""probes AS (
   SELECT vec_id AS query_id, centroid_id AS cell FROM (
     SELECT vec_id, centroid_id,
@@ -953,10 +971,14 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, _ = ivf_params(e.count())
     qe = e.select("vec_id", "embedding", F.expr(_QUANT).alias("q"))
     cents = train_ivf_centroids(qe, k=k)
+    # persist: the self-join reads the assignment from BOTH sides —
+    # without it the scan + quantize + K-way matmul (the dominant
+    # stage at scale) executes twice (r6 review finding; production
+    # checkpoints the assigned table instead)
     assigned = qe.select(
         "vec_id", "embedding",
         _ivf_assign_udf(cents)("q")["cell"].alias("cell"),
-    )
+    ).persist()
     a = assigned.select(
         F.col("cell"), F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -981,8 +1003,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_semantic() -> str:
-    base = _oracle_ann_ivf()
-    head = base[: base.index(",\nprobes AS (")]
+    head = "WITH " + ",\n".join(_ivf_chain_steps())
     return f"""{head},
 sempairs AS (
   SELECT a1.centroid_id AS cell, a1.vec_id AS vec_a, a2.vec_id AS vec_b,

@@ -1131,3 +1131,25 @@ def test_avi_unknown_compression_still_raises():
     avi[i:i + 4] = b"XVID"
     with _pytest.raises(PngError):
         decode_avi_frame(bytes(avi), 0)
+
+
+def test_mix_weight_formula_large_corpus_regime(spark):
+    # the >= 4e9-token branch must not overflow and must approximate
+    # the exact share to within 1 ppm (pure-Python reference)
+    rows = [("a", 6 * 10**13), ("b", 3 * 10**13), ("c", 1 * 10**13)]
+    tot = sum(t for _, t in rows)
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = (
+        df.withColumn("_tot", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(tot))
+        .selectExpr(
+            "source",
+            "CASE WHEN _tot < 4000000000 THEN (n_tokens * 1000000) div _tot "
+            "ELSE n_tokens div (_tot div 1000000) END AS natural_e6",
+        )
+        .collect()
+    )
+    got = {r["source"]: r["natural_e6"] for r in out}
+    for src, t in rows:
+        exact = t * 1_000_000 // tot
+        assert abs(got[src] - exact) <= 2, (src, got[src], exact)
+        assert got[src] > 0

@@ -406,7 +406,7 @@ def test_avi_frame_roundtrip_property(w, h, nf, seed):
     st.randoms(use_true_random=False),
     st.sampled_from([
         {}, {"subtract_green": True}, {"cache_bits": 4},
-        {"lz77": True}, {"lz77": True, "short_dist": True},
+        {"lz77": False}, {"lz77": True, "short_dist": True},
     ]),
 )
 @settings(max_examples=40, deadline=None)
@@ -465,9 +465,7 @@ def test_adpcm_block_trim_property(samples, spb):
 @given(st.text(alphabet="abcdefgh xz09!.", max_size=200))
 @settings(max_examples=150, deadline=None)
 def test_bpe_replace_chain_equals_classic_property(text):
-    import sys
-
-    sys.path.insert(0, "tests")
+    # tests/ is on sys.path via pytest's rootdir insertion
     from test_bpe import _classic_encode_ids
 
     from h2spark.core import bpe
