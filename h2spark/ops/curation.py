@@ -572,9 +572,9 @@ WITH q AS (
   FROM documents
 ), c AS (
   SELECT doc_id, quality_e4, n_tokens,
-         sum(n_tokens) OVER (
+         (sum(n_tokens) OVER (
            ORDER BY quality_e4 DESC, doc_id ROWS UNBOUNDED PRECEDING
-         ) AS cum_tokens
+         ))::BIGINT AS cum_tokens
   FROM q
 )
 SELECT doc_id, quality_e4, n_tokens, cum_tokens

@@ -57,6 +57,18 @@ _IVF_TRAIN_SAMPLE = 512  # deterministic training sample (md5-smallest)
 _IVF_TARGET_RECALL = 0.9
 _IVF_CELL_HIT_RATE = 0.5  # geometric cell-rank model parameter (see
 #                           ivf_params; conservative for clustered data)
+# Hard cap on derived K (round 7, VERDICT r6 item 6): K = sqrt(n) is
+# uncapped O(sqrt n) centroids shipped in every assignment-UDF closure
+# — at the 10^12 design point that is 10^6 x 64 int64s (~0.5 GB per
+# executor) and O(nK) assignment flops. 65,536 centroids cost 32 MB in
+# the closure (64 dims x 8 B) and keep assignment a single dense
+# matmul per Arrow batch. Beyond the crossover n > _IVF_MAX_K^2
+# (~4.3e9 vectors) cells grow as n/K instead of sqrt(n); the consumers
+# that do per-cell quadratic work absorb that via the hot-cell guard
+# (semantic_pairs splits cells above _SEM_MAX_CELL_ROWS), and probe
+# scan cost grows linearly in cell size exactly as a two-level coarse
+# quantizer's leaf scan would. See BENCH.md round 7.
+_IVF_MAX_K = 65_536
 
 
 def ivf_params(
@@ -69,8 +81,7 @@ def ivf_params(
 
     K = round(sqrt(n)) balances quantizer cost against cell size: cells
     hold ~sqrt(n) vectors, so probe work AND the K-way centroid ranking
-    both grow as sqrt(n) — at 10^12 docs that is K = 10^6 cells of 10^6
-    vectors, never a fixed K=16.
+    both grow as sqrt(n) — never a fixed K=16.
 
     nprobe comes from a geometric cell-rank model: on clustered corpora
     the true neighbor's cell sits at rank r in the query's
@@ -85,8 +96,12 @@ def ivf_params(
     corpus grows. Near-uniform corpora (no cluster structure, the
     sandbox's hostile case) violate the model and need nprobe ~ 0.6*K;
     that configuration stays available via the explicit knobs and is
-    pinned by test_ivf_recall_at_10_vs_bruteforce."""
-    k = max(1, int(math.floor(math.sqrt(max(n, 1)) + 0.5)))
+    pinned by test_ivf_recall_at_10_vs_bruteforce.
+
+    K is additionally capped at ``_IVF_MAX_K`` so the centroid closure
+    stays executor-sized at any corpus scale (see the constant's note
+    for the cell-size consequences past the n > K^2 crossover)."""
+    k = max(1, min(_IVF_MAX_K, int(math.floor(math.sqrt(max(n, 1)) + 0.5))))
     nprobe = max(
         1,
         math.ceil(
@@ -948,6 +963,116 @@ ORACLES["ann_pq_topk"] = ORACLE_ANN_PQ_TOPK
 
 _SEM_COS_THRESHOLD = 0.35  # same threshold as the dedup-family pair miners
 
+# Hot-cell guard bound (round 7, VERDICT r6 item 3): same per-task row
+# bound the SRP family uses (dedup._SRP_MAX_BUCKET_ROWS). A cell above
+# this is split into ceil(m/bound) chunks and paired chunk-against-chunk
+# so no single task ever sees more than ~2x this many vectors.
+_SEM_MAX_CELL_ROWS = 65_536
+
+
+def semantic_cell_volume(assigned: DataFrame) -> DataFrame:
+    """Pre-flight diagnostic for SemDeDup (the :func:`srp_bucket_volume`
+    analogue): per-cell vector count and the implied within-cell exact
+    pair volume m*(m-1)/2 — one cheap aggregation that prices the
+    rescore BEFORE running it. Embedding clusters are notoriously
+    skewed; this is the metric that shows a degenerate mega-cell."""
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("m"))
+        .select(
+            "cell",
+            F.col("m").cast("long").alias("m"),
+            (F.col("m") * (F.col("m") - 1) / 2)
+            .cast("long")
+            .alias("n_cell_pairs"),
+        )
+    )
+
+
+def semantic_pairs(
+    assigned: DataFrame,
+    threshold: float = _SEM_COS_THRESHOLD,
+    max_cell_rows: int = _SEM_MAX_CELL_ROWS,
+) -> DataFrame:
+    """Within-cell exact-cosine pairs with a HOT-CELL GUARD.
+
+    The naive formulation self-joins on the raw cell id, so one
+    degenerate cell of m vectors does all m(m-1)/2 cosine work in a
+    single task — the exact skew hazard ``srp_bucket_volume`` +
+    ``choose_srp_strategy`` already guard in the SRP family
+    (VERDICT r6 item 3). Here the guard is structural rather than a
+    strategy switch: each cell is split into C = ceil(m /
+    ``max_cell_rows``) deterministic chunks (vec_id mod C) and every
+    unordered chunk pair (ti <= tj) becomes its own join-key task, with
+    each vector replicated to the C tasks it participates in (the
+    classic blocked triangle join). Per-task rows are bounded by
+    ~2*``max_cell_rows`` regardless of cell skew; shuffle volume for a
+    hot cell grows by the factor C that bounds its memory. For every
+    cell at or under the bound C == 1 and the plan degenerates to the
+    plain cell self-join, so results are produced by the IDENTICAL
+    join+filter expression tree in both regimes — bit-for-bit equal to
+    the unguarded formulation and the DuckDB oracle.
+
+    A pair lands in exactly one task: members in chunks (ka, kb) meet
+    only at task key (min(ka,kb), max(ka,kb)); the ``ti == tj OR
+    ka != kb`` condition removes the same-chunk pairs that a mixed
+    task (ti < tj) would otherwise duplicate from task (ka, ka)."""
+    sizes = assigned.groupBy("cell").agg(F.count("*").alias("_m"))
+    chunked = (
+        assigned.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "_C",
+            F.ceil(F.col("_m") / F.lit(max_cell_rows)).cast("int"),
+        )
+        .withColumn("_k", F.pmod(F.col("vec_id"), F.col("_C")).cast("int"))
+    )
+    tasks = F.expr(
+        "transform(sequence(0, _C - 1), j -> "
+        "struct(least(_k, j) AS ti, greatest(_k, j) AS tj))"
+    )
+    rep = chunked.select(
+        "cell", "vec_id", "embedding", "_k", F.explode(tasks).alias("_t")
+    ).select(
+        "cell",
+        F.col("_t.ti").alias("_ti"),
+        F.col("_t.tj").alias("_tj"),
+        "vec_id",
+        "embedding",
+        "_k",
+    )
+    a = rep.select(
+        "cell", "_ti", "_tj",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_k").alias("_ka"),
+    )
+    b = rep.select(
+        F.col("cell").alias("_cb"),
+        F.col("_ti").alias("_tib"),
+        F.col("_tj").alias("_tjb"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_k").alias("_kb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cell") == F.col("_cb"))
+        & (F.col("_ti") == F.col("_tib"))
+        & (F.col("_tj") == F.col("_tjb"))
+        & (F.col("vec_a") < F.col("vec_b"))
+        & ((F.col("_ti") == F.col("_tj")) | (F.col("_ka") != F.col("_kb"))),
+    )
+    cos = F.round(_cos("ea", "eb"), 6)
+    return (
+        pairs.select(
+            F.col("cell").cast("long").alias("cell"),
+            "vec_a", "vec_b", cos.alias("cosine"),
+            F.lit(True).alias("drop_b"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("cell", "vec_a", "vec_b")
+    )
+
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): k-means-cluster the
@@ -963,10 +1088,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape at 10^12 vectors: centroids train on a bounded sample
     (IVF machinery), assignment is one Arrow-batched matmul pass, and
-    the self-join key is the cell id — cells are ~n/K = O(sqrt n), so
-    per-cell pair work is bounded and shuffles carry only (cell) keys.
-    The DuckDB oracle replays training + assignment (the IVF chain)
-    and the within-cell exact cosine bit-for-bit."""
+    pairing goes through :func:`semantic_pairs`, whose hot-cell guard
+    splits any cell above ``_SEM_MAX_CELL_ROWS`` into blocked chunk
+    pairs — a degenerate mega-cell (skewed embedding clusters are the
+    norm, not the exception) costs extra shuffle volume instead of one
+    m^2/2 task (VERDICT r6 item 3). The DuckDB oracle replays training
+    + assignment (the IVF chain) and the within-cell exact cosine
+    bit-for-bit."""
     e = _emb(spark, sf_dir)
     k, _ = ivf_params(e.count())
     qe = e.select("vec_id", "embedding", F.expr(_QUANT).alias("q"))
@@ -979,27 +1107,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding",
         _ivf_assign_udf(cents)("q")["cell"].alias("cell"),
     ).persist()
-    a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-    )
-    b = assigned.select(
-        F.col("cell").alias("_cb"), F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-    )
-    pairs = a.join(
-        b, (F.col("cell") == F.col("_cb")) & (F.col("vec_a") < F.col("vec_b"))
-    )
-    cos = F.round(_cos("ea", "eb"), 6)
-    return (
-        pairs.select(
-            F.col("cell").cast("long").alias("cell"),
-            "vec_a", "vec_b", cos.alias("cosine"),
-            F.lit(True).alias("drop_b"),
-        )
-        .where(F.col("cosine") >= _SEM_COS_THRESHOLD)
-        .orderBy("cell", "vec_a", "vec_b")
-    )
+    return semantic_pairs(assigned)
 
 
 def _oracle_dedup_semantic() -> str:

@@ -15,7 +15,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from tests.oracle_utils import compare_query  # noqa: E402
+from tests.oracle_utils import (  # noqa: E402
+    audit_oracle_types,
+    compare_query,
+    duckdb_conn,
+)
 
 
 def main() -> None:
@@ -31,6 +35,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Type audit first: an oracle emitting HUGEINT/DECIMAL/REAL output
+    # hash-diverges at the driver (pandas fetches them as float64/
+    # object) even when every value is equal — the round-5/6 red-row
+    # class.  Fail fast before any Spark work.
+    con = duckdb_conn(sf_dir)
+    type_bad = []
+    for name, sql in oracles.items():
+        hits = audit_oracle_types(con, sql)
+        if hits:
+            type_bad.append((name, hits))
+            print(f"{name}: ORACLE-TYPE {hits}")
+    con.close()
+    if type_bad:
+        print("FAILED (oracle type audit):",
+              ", ".join(n for n, _ in type_bad))
+        sys.exit(1)
     # Oracles pinned to the driver's correctness scale: text_bpe_train
     # retrains on sf_dir, and its golden-table oracle is the sf0.01
     # merge table — at any other scale the trained merges legitimately

@@ -1,17 +1,32 @@
 """Local Spark-vs-DuckDB comparison mirroring the driver's correctness
 gate (row count + schema + order-insensitive value compare, columns
-sorted by name)."""
+sorted by name).
+
+The compare is TYPE-STRICT across the int/float boundary: the driver
+hashes serialized typed values, so a Spark BIGINT column that DuckDB
+types HUGEINT (fetched through pandas as float64) must FAIL here even
+though Python says `18789.0 == 18789`.  That masking shipped the same
+driver-red row two rounds running (rounds 5-6).
+"""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
+import numpy as np
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# DuckDB output types that pandas/Arrow fetch as something Spark never
+# produces from the matching query shape: HUGEINT -> float64/object,
+# DECIMAL -> object/float, REAL/FLOAT -> float32.  An oracle emitting
+# one of these hash-diverges at the driver even when values are equal.
+FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "DECIMAL", "FLOAT", "REAL")
 
 
 def duckdb_conn(sf_dir: str):
@@ -23,20 +38,34 @@ def duckdb_conn(sf_dir: str):
     return con
 
 
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
-    if isinstance(v, int):
-        return int(v)
-    try:
-        import decimal
+def audit_oracle_types(con, sql: str):
+    """Return [(column, duckdb_type)] for oracle output columns whose
+    DuckDB type cannot round-trip through pandas as the Spark-matching
+    dtype (see FORBIDDEN_ORACLE_TYPES).  Empty list = safe."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    bad = []
+    for name, dtype, *_ in rows:
+        up = str(dtype).upper()
+        if any(t in up for t in FORBIDDEN_ORACLE_TYPES):
+            bad.append((name, str(dtype)))
+    return bad
 
-        if isinstance(v, decimal.Decimal):
-            return int(v)
-    except ImportError:  # pragma: no cover
-        pass
+
+def _norm_cell(v):
+    # bool before int: bool is an int subclass.
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "nan")
+        return ("f", round(f, 6))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        # Spark sum(BIGINT) arrives as Decimal; treat as int so it
+        # matches a BIGINT-cast oracle, but NOT a float-typed one.
+        return ("i", int(v))
     return v
 
 

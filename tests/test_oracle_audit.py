@@ -1,0 +1,88 @@
+"""Oracle type-safety gate (no Spark needed).
+
+Rounds 5-6 shipped the same driver-red row twice because DuckDB typed
+an uncast window ``sum(BIGINT)`` as HUGEINT, pandas fetched it as
+float64, and the local comparator's ``18789.0 == 18789`` masked the
+divergence the driver's type-aware hash sees.  These tests pin both
+halves of the fix: the DESCRIBE-based audit rejects engine-divergent
+oracle output types, and the comparator is type-strict across the
+int/float boundary.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from oracle_utils import _norm_cell, audit_oracle_types, duckdb_conn
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_conn(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_audit_rejects_hugeint_aggregate(con):
+    hits = audit_oracle_types(
+        con, "SELECT sum(x) AS s FROM (VALUES (1::BIGINT)) t(x)"
+    )
+    assert hits == [("s", "HUGEINT")]
+
+
+def test_audit_rejects_hugeint_window_sum(con):
+    # The exact round-5/6 bug shape: uncast window sum over BIGINT.
+    hits = audit_oracle_types(
+        con,
+        "SELECT sum(x) OVER (ORDER BY x) AS cum "
+        "FROM (VALUES (1::BIGINT)) t(x)",
+    )
+    assert hits == [("cum", "HUGEINT")]
+
+
+def test_audit_rejects_decimal_and_real(con):
+    hits = audit_oracle_types(
+        con,
+        "SELECT 1.5::DECIMAL(10,2) AS d, 1.5::REAL AS r, "
+        "1.5::DOUBLE AS ok_double, 1::BIGINT AS ok_int",
+    )
+    assert [c for c, _ in hits] == ["d", "r"]
+
+
+def test_audit_passes_bigint_cast(con):
+    hits = audit_oracle_types(
+        con,
+        "SELECT (sum(x) OVER (ORDER BY x))::BIGINT AS cum "
+        "FROM (VALUES (1::BIGINT)) t(x)",
+    )
+    assert hits == []
+
+
+def test_all_registered_oracles_pass_type_audit(con):
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        hits = audit_oracle_types(con, sql)
+        if hits:
+            bad[name] = hits
+    assert not bad, f"engine-divergent oracle output types: {bad}"
+
+
+def test_norm_cell_is_type_strict_int_vs_float():
+    # The masked class: equal values, divergent engine types.
+    assert _norm_cell(18789) != _norm_cell(18789.0)
+    assert _norm_cell(18789) == _norm_cell(18789)
+    assert _norm_cell(18789.0) == _norm_cell(18789.0000004)  # round(.,6)
+    assert _norm_cell(True) != _norm_cell(1)
+
+
+def test_norm_cell_numpy_matches_python():
+    np = pytest.importorskip("numpy")
+    assert _norm_cell(np.int64(7)) == _norm_cell(7)
+    assert _norm_cell(np.float64(7.25)) == _norm_cell(7.25)
+    assert _norm_cell(np.float64(7.0)) != _norm_cell(7)
