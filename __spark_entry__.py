@@ -85,34 +85,37 @@ def _all_modules():
 # hash-green in the r05 driver window, unchanged in r6, and still
 # compared against DuckDB every CI run by tests/test_driver_contract.py.
 _PRIORITY = [
-    # (1) new/changed in round 6
+    # (1) changed in round 7: large-table kernel BPE count, fast
+    #     trainer, guarded SemDeDup, the BIGINT-cast budget oracle
     "text_token_count_bpe", "text_bpe_train",
-    "training_token_budget", "training_sequence_packing",
-    "training_export", "training_budget_selection",
-    "text_pii_scrub", "corpus_blocklist_filter", "text_gopher_rules",
-    "text_rag_chunks", "jpeg_pixels_roundtrip", "warc_roundtrip",
-    "audio_g711_roundtrip", "audio_adpcm_roundtrip",
-    "webp_pixels_roundtrip", "video_mjpeg_roundtrip", "ann_pq_codes", "ann_pq_topk",
-    "corpus_mix_weights", "dedup_semantic",
-    # (2) the r05 rotated-out dedup/text family (16; the 17th,
-    #     text_token_count_bpe, leads group 1 as an r6 rewrite)
-    "text_lang_id", "text_fingerprint", "text_top_terms",
-    "text_winnow_fingerprint",
-    "dedup_exact", "dedup_paragraph", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_simhash_pairs32", "dedup_embedding_cosine",
-    "dedup_embedding_lsh", "dedup_embedding_lsh_adaptive",
-    "dedup_clusters", "dedup_keep_best",
-    # (3) core-extraction canaries (parser touched in r6)
+    "dedup_semantic", "training_budget_selection",
+    # (2) rotate-in: the full 30-query set last driver-checked in r05
+    #     (multimodal/PDF/table, ANN IVF/quantize, links/PageRank,
+    #     repetition/BM25/bigram, relational/manifest) — nothing goes
+    #     2+ rounds unchecked
+    "multimodal_decode_meta", "image_dims_decode", "audio_meta_decode",
+    "image_resize_plan", "video_frame_sample", "pdf_layout_parse",
+    "image_pixels_roundtrip", "audio_samples_roundtrip",
+    "video_frames_roundtrip", "pdf_text_extract", "table_extract",
+    "link_extract", "domain_outlinks", "link_pagerank",
+    "spans_reassembly", "size_buckets", "resume_anti_join",
+    "manifest_metrics", "events_stats", "events_hourly_window",
+    "text_token_count", "text_quality_score", "text_unigram_logprob",
+    "text_repetition", "text_bm25_keywords", "text_bigram_logprob",
+    "decontaminate", "ann_bruteforce_topk", "ann_ivf_topk",
+    "embedding_quantize",
+    # (3) core-extraction canaries
     "flagship_extract_spans", "golden_corpus_parity",
     "extract_roundtrip_text", "extract_roundtrip_numbers",
     "extract_roundtrip_vec", "extract_roundtrip_option_err",
     "extract_roundtrip_nth_text",
     "html_to_markdown", "interleaved_markdown",
     "boilerplate_strip", "boilerplate_chrome_ratio",
-    # (4) fillers: oldest-checked of the remaining green set
-    "corpus_curation", "corpus_stratified_sample",
-    "dedup_url", 
+    # (4) fillers: the touched-module insurance set (bpetokens /
+    #     curation changed this round; their oracles re-verify here)
+    "text_rag_chunks", "training_token_budget",
+    "training_sequence_packing", "training_export",
+    "corpus_mix_weights",
 ]
 
 

@@ -145,6 +145,79 @@ def train_from_word_counts(
     return base_chars, merges
 
 
+def train_from_word_counts_fast(
+    word_counts: dict[str, int], n_merges: int
+) -> tuple[str, list[tuple[int, int]]]:
+    """Indexed BPE trainer — identical output to
+    :func:`train_from_word_counts` (pinned by tests), O(changed words)
+    per merge instead of O(all words): a pair -> words inverted index
+    limits each merge's recount to the words that actually contain the
+    pair, and a lazy max-heap replaces the full argmin scan (stale
+    entries are discarded on pop; every count change pushes a fresh
+    entry). Same tie-break total order: (count desc, decoded left,
+    decoded right, id pair)."""
+    import heapq
+
+    base_chars = "".join(sorted({c for w in word_counts for c in w}))
+    char_id = {c: i for i, c in enumerate(base_chars)}
+    eow_id = len(base_chars)
+    vocab = list(base_chars) + [EOW_DISPLAY]
+    words = list(word_counts)
+    wcount = [word_counts[w] for w in words]
+    seqs = [[char_id[c] for c in w] + [eow_id] for w in words]
+
+    counts: dict[tuple[int, int], int] = {}
+    index: dict[tuple[int, int], set[int]] = {}
+    for wi, ids in enumerate(seqs):
+        c = wcount[wi]
+        for pair in zip(ids, ids[1:]):
+            counts[pair] = counts.get(pair, 0) + c
+            index.setdefault(pair, set()).add(wi)
+
+    # heap of (-count, decoded_l, decoded_r, pair); lazily invalidated
+    heap = [
+        (-n, vocab[p[0]], vocab[p[1]], p) for p, n in counts.items()
+    ]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, int]] = []
+    while len(merges) < n_merges and heap:
+        negn, _, _, pair = heapq.heappop(heap)
+        n = counts.get(pair, 0)
+        if n == 0 or -negn != n:
+            continue  # stale entry
+        if n < 2:
+            break
+        a, b = pair
+        new_id = len(vocab)
+        vocab.append(vocab[a] + vocab[b])
+        merges.append(pair)
+        touched: dict[tuple[int, int], int] = {}
+        for wi in index.get(pair, ()):  # only words containing the pair
+            ids = seqs[wi]
+            c = wcount[wi]
+            for p in zip(ids, ids[1:]):
+                touched[p] = touched.get(p, 0) - c
+            new_ids = _apply_pair(ids, a, b, new_id)
+            seqs[wi] = new_ids
+            for p in zip(new_ids, new_ids[1:]):
+                touched[p] = touched.get(p, 0) + c
+                index.setdefault(p, set()).add(wi)
+        for p, delta in touched.items():
+            if delta == 0:
+                continue
+            nn = counts.get(p, 0) + delta
+            if nn <= 0:
+                counts.pop(p, None)
+                index.pop(p, None)
+            else:
+                counts[p] = nn
+                heapq.heappush(heap, (-nn, vocab[p[0]], vocab[p[1]], p))
+        counts.pop(pair, None)
+        index.pop(pair, None)
+    return base_chars, merges
+
+
 def train_from_texts(texts, n_merges: int) -> tuple[str, list[tuple[int, int]]]:
     wc: dict[str, int] = {}
     for t in texts:
@@ -176,6 +249,65 @@ def encode_pua(
         s = s.replace(tok_char(a) + tok_char(b), tok_char(new_id))
         new_id += 1
     return s
+
+
+def encode_pua_batch(
+    texts,
+    base_chars: str,
+    merges: list[tuple[int, int]],
+    cache: dict | None = None,
+) -> list:
+    """Batch encode with per-distinct-word caching — the production
+    merge-table scale path (an Arrow batch at a time; ``None`` in,
+    ``None`` out).
+
+    Each DISTINCT pretoken is encoded once: unseen words are joined
+    with ``'\\n'`` (never present in a stripped PUA sequence) and every
+    merge runs as ONE C-level ``str.replace`` over that joined string,
+    so replay cost is O(merges x distinct-word bytes), not O(merges x
+    corpus bytes); rows then assemble by dict lookup. Pass a ``cache``
+    dict to amortize across batches (each Spark worker keeps its own).
+
+    Per-word replay equals the whole-document replay of
+    :func:`encode_pua` exactly: a trained merge's LEFT token can never
+    contain the end-of-word marker (pairs are counted within per-word
+    sequences, where only the final position carries EOW), so no merge
+    pattern can match across a word boundary — pinned corpus-wide by
+    tests/test_bpe.py."""
+    eow = tok_char(len(base_chars))
+    table = _translate_table(base_chars)
+    if cache is None:
+        cache = {}
+    toks_per_row: list = []
+    unseen = set()
+    for t in texts:
+        if t is None:
+            toks_per_row.append(None)
+            continue
+        ws = _PRETOKEN_C.findall(t)
+        toks_per_row.append(ws)
+        for w in ws:
+            if w not in cache:
+                unseen.add(w)
+    if unseen:
+        new = sorted(unseen)
+        segs = []
+        for w in new:
+            s = (w + eow).translate(table)
+            segs.append(_STRIP_C.sub("", s))
+        joined = "\n".join(segs)
+        new_id = len(base_chars) + 1
+        for a, b in merges:
+            joined = joined.replace(
+                tok_char(a) + tok_char(b), tok_char(new_id)
+            )
+            new_id += 1
+        for w, enc in zip(new, joined.split("\n")):
+            cache[w] = enc
+    return [
+        None if ws is None else "".join(cache[w] for w in ws)
+        for ws in toks_per_row
+    ]
 
 
 def encode_ids(
@@ -234,3 +366,46 @@ def duckdb_count_expr(
     col: str, base_chars: str, merges: list[tuple[int, int]]
 ) -> str:
     return f"length({duckdb_seq_expr(col, base_chars, merges)})::BIGINT"
+
+
+def duckdb_seq_expr_reduce(
+    col: str, base_chars: str, merges: list[tuple[int, int]]
+) -> str:
+    """The encode pipeline as a ``list_reduce`` fold — O(1) expression
+    DEPTH regardless of merge count (the nested :func:`duckdb_seq_expr`
+    form exceeds DuckDB's max_expression_depth near 1k merges).
+
+    Ops are literal strings folded left-to-right with the row string
+    prepended as the reduce seed: base-translation ops are 2 chars
+    (raw char, token char); merge ops are 3 chars (left token, right
+    token, new token). ``replace`` + sequential fold order give the
+    same semantics as the nested form, byte for byte."""
+    eow = tok_char(len(base_chars))
+    pre = (
+        f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+        f"coalesce(array_to_string(list_transform(regexp_extract_all({col}, "
+        f"'{PRETOKEN_RE}'), w -> w || '{eow}'), ''), '') END"
+    )
+    base_ops = ", ".join(
+        f"'{_sq(c)}{tok_char(i)}'" for i, c in enumerate(base_chars)
+    )
+    expr = (
+        f"list_reduce(list_prepend({pre}, [{base_ops}]), "
+        f"(acc, m) -> replace(acc, m[1:1], m[2:2]))"
+    )
+    expr = f"regexp_replace({expr}, '{STRIP_NON_PUA_RE}', '', 'g')"
+    merge_ops = ", ".join(
+        f"'{tok_char(a)}{tok_char(b)}{tok_char(len(base_chars) + 1 + r)}'"
+        for r, (a, b) in enumerate(merges)
+    )
+    expr = (
+        f"list_reduce(list_prepend({expr}, [{merge_ops}]), "
+        f"(acc, m) -> replace(acc, m[1:2], m[3:3]))"
+    )
+    return expr
+
+
+def duckdb_count_expr_reduce(
+    col: str, base_chars: str, merges: list[tuple[int, int]]
+) -> str:
+    return f"length({duckdb_seq_expr_reduce(col, base_chars, merges)})::BIGINT"

@@ -747,3 +747,14 @@ def avi_mjpeg_roundtrip_batch(doc_ids) -> list:
                     vals.append(rgb[((by * 8) * W + bx * 8) * 3])
         outs.append((NF, ",".join(str(v) for v in vals), bool(exact)))
     return outs
+
+
+def bpe_encode_batch(texts, base_chars, merges, cache=None):
+    """Merge-table BPE encode for one Arrow batch — the production
+    vocab path (h2spark/ops/bpetokens.py auto-selects it above the
+    codegen replace-chain's merge budget). Thin runner seam so the UDF
+    closure references only h2spark.core; the per-distinct-word cache
+    dict (one per worker) amortizes merge replay across batches."""
+    from h2spark.core.bpe import encode_pua_batch
+
+    return encode_pua_batch(texts, base_chars, merges, cache)

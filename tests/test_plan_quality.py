@@ -329,13 +329,35 @@ def test_blocklist_filter_broadcasts_blocklist(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_bpe_token_count_is_shuffle_free_codegen(spark):
+def test_bpe_token_count_large_table_is_kernel_not_chain(spark):
+    # round 7: the production-shape 2048-merge table auto-selects the
+    # Arrow-batched kernel — the plan must carry the table in a UDF
+    # closure (one ArrowEvalPython), NOT a 2k-expression replace chain
+    # (plan size O(1) in vocab), with no join/aggregate and only the
+    # presentation sort exchanging; the scan reads just (doc_id, text)
     from h2spark.ops import bpetokens
 
     plan = _formatted(bpetokens.q_token_count_bpe(spark, SF), spark)
-    # the whole merge replay is literal JVM string ops: no UDF, no
-    # join, no aggregate; only the presentation sort exchanges, and the
-    # scan reads just (doc_id, text)
+    assert "ArrowEvalPython" in plan
+    assert plan.count("replace(") < 50  # no merge-table chain in plan
+    assert len(plan) < 100_000
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_bpe_small_table_stays_shuffle_free_codegen(spark):
+    # the embedded 48-merge table still resolves to the pure-codegen
+    # replace chain: no UDF, no join, no aggregate (the budget/packing/
+    # streaming consumers all flow through this column builder)
+    from h2spark.ops import bpetokens
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = d.select(
+        "doc_id",
+        bpetokens.bpe_count_col(F.col("text")).alias("n"),
+    ).orderBy("doc_id")
+    plan = _formatted(df, spark)
     assert "Python" not in plan and "Arrow" not in plan
     assert "Join" not in plan and "HashAggregate" not in plan
     assert plan.count("Exchange (") == 1
