@@ -85,10 +85,13 @@ def _all_modules():
 # hash-green in the r05 driver window, unchanged in r6, and still
 # compared against DuckDB every CI run by tests/test_driver_contract.py.
 _PRIORITY = [
-    # (1) changed in round 7: large-table kernel BPE count, fast
-    #     trainer, guarded SemDeDup, the BIGINT-cast budget oracle
+    # (1) new/changed in round 7: large-table kernel BPE count, fast
+    #     trainer, guarded SemDeDup, the BIGINT-cast budget oracle,
+    #     token-id arrays, detokenize round-trip, interleaved pack
     "text_token_count_bpe", "text_bpe_train",
     "dedup_semantic", "training_budget_selection",
+    "training_token_ids", "text_detokenize",
+    "training_interleaved_pack", "training_packed_export",
     # (2) rotate-in: the full 30-query set last driver-checked in r05
     #     (multimodal/PDF/table, ANN IVF/quantize, links/PageRank,
     #     repetition/BM25/bigram, relational/manifest) — nothing goes
@@ -111,11 +114,10 @@ _PRIORITY = [
     "extract_roundtrip_nth_text",
     "html_to_markdown", "interleaved_markdown",
     "boilerplate_strip", "boilerplate_chrome_ratio",
-    # (4) fillers: the touched-module insurance set (bpetokens /
-    #     curation changed this round; their oracles re-verify here)
-    "text_rag_chunks", "training_token_budget",
-    "training_sequence_packing", "training_export",
-    "corpus_mix_weights",
+    # (4) filler: the touched-module insurance pick (curation's
+    #     export DAG re-verifies here; sequence_packing's two-level
+    #     scan is covered more deeply by training_packed_export)
+    "training_export",
 ]
 
 

@@ -316,6 +316,39 @@ def encode_ids(
     return [ord(c) - PUA_BASE for c in encode_pua(text, base_chars, merges)]
 
 
+def encode_ids_batch(
+    texts,
+    base_chars: str,
+    merges: list[tuple[int, int]],
+    cache: dict | None = None,
+) -> list:
+    """Batch token-ID encode (``None`` in, ``None`` out) — the PUA
+    sequences from :func:`encode_pua_batch` mapped chr -> id. One id
+    per char, so the map is a single ``ord`` subtraction per token."""
+    seqs = encode_pua_batch(texts, base_chars, merges, cache)
+    return [
+        None if s is None else [ord(c) - PUA_BASE for c in s]
+        for s in seqs
+    ]
+
+
+def decode_batch(
+    texts,
+    base_chars: str,
+    merges: list[tuple[int, int]],
+    cache: dict | None = None,
+) -> list:
+    """Batch encode-then-decode (``None`` in, ``None`` out): each PUA
+    token char maps to its decoded vocab string via one C-level
+    ``str.translate`` pass. Round-trips the tokenizer: the result is
+    the document's pretokens (OOV chars dropped) each terminated by
+    the ``</w>`` marker."""
+    vocab = build_vocab(base_chars, merges)
+    dec_table = {PUA_BASE + i: v for i, v in enumerate(vocab)}
+    seqs = encode_pua_batch(texts, base_chars, merges, cache)
+    return [None if s is None else s.translate(dec_table) for s in seqs]
+
+
 def count_tokens(
     text: str, base_chars: str, merges: list[tuple[int, int]]
 ) -> int:
@@ -409,3 +442,43 @@ def duckdb_count_expr_reduce(
     col: str, base_chars: str, merges: list[tuple[int, int]]
 ) -> str:
     return f"length({duckdb_seq_expr_reduce(col, base_chars, merges)})::BIGINT"
+
+
+def duckdb_ids_list_expr(seq_sql: str) -> str:
+    """LIST(BIGINT) of token ids from a PUA sequence expression: one
+    ``unicode() - PUA_BASE`` per character."""
+    return (
+        f"list_transform(regexp_extract_all({seq_sql}, '.'), "
+        f"c -> (unicode(c) - {PUA_BASE})::BIGINT)"
+    )
+
+
+def duckdb_ids_csv_expr(seq_sql: str) -> str:
+    """Comma-joined token ids from a PUA sequence expression: one
+    ``unicode() - PUA_BASE`` per character. ``coalesce`` keeps the
+    empty sequence as ``''`` (DuckDB's ``array_to_string([], ...)`` is
+    NULL) while a NULL sequence stays NULL."""
+    return (
+        f"CASE WHEN ({seq_sql}) IS NULL THEN NULL ELSE coalesce("
+        f"array_to_string(list_transform(regexp_extract_all("
+        f"{seq_sql}, '.'), c -> (unicode(c) - {PUA_BASE})::VARCHAR), "
+        f"','), '') END"
+    )
+
+
+def duckdb_decode_expr(
+    seq_sql: str, base_chars: str, merges: list[tuple[int, int]]
+) -> str:
+    """Decode a PUA sequence expression back to text as a
+    ``list_reduce`` fold: each op is ``<token char><decoded string>``
+    and replaces that single char with its vocab entry. Vocab strings
+    are plain text (never PUA), so ops cannot interfere regardless of
+    order."""
+    vocab = build_vocab(base_chars, merges)
+    ops = ", ".join(
+        f"'{tok_char(i)}{_sq(v)}'" for i, v in enumerate(vocab)
+    )
+    return (
+        f"list_reduce(list_prepend({seq_sql}, [{ops}]), "
+        f"(acc, m) -> replace(acc, m[1:1], m[2:]))"
+    )

@@ -758,3 +758,20 @@ def bpe_encode_batch(texts, base_chars, merges, cache=None):
     from h2spark.core.bpe import encode_pua_batch
 
     return encode_pua_batch(texts, base_chars, merges, cache)
+
+
+def bpe_encode_ids_batch(texts, base_chars, merges, cache=None):
+    """Token-id arrays for one Arrow batch (same caching as
+    bpe_encode_batch; ids are chr - PUA_BASE per sequence char)."""
+    from h2spark.core.bpe import encode_ids_batch
+
+    return encode_ids_batch(texts, base_chars, merges, cache)
+
+
+def bpe_decode_roundtrip_batch(texts, base_chars, merges, cache=None):
+    """Encode-then-decode for one Arrow batch: the tokenizer
+    round-trip (pretokens with OOV chars dropped, each terminated by
+    the </w> marker), one str.translate pass per row."""
+    from h2spark.core.bpe import decode_batch
+
+    return decode_batch(texts, base_chars, merges, cache)

@@ -321,3 +321,126 @@ ORACLE_RAG_CHUNKS = _rag_oracle()
 
 QUERIES["text_rag_chunks"] = q_rag_chunks
 ORACLES["text_rag_chunks"] = ORACLE_RAG_CHUNKS
+
+
+# --- training_token_ids: the token-id array surface ----------------------
+
+
+def bpe_ids_udf(base_chars, merges):
+    """Arrow-batched token-id encoder (array<bigint> per document) —
+    the surface a training-data exporter consumes. Same per-worker
+    distinct-word cache as :func:`bpe_kernel_udf`; ids are the PUA
+    sequence chars shifted to 0-based token ids."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import bpe_encode_ids_batch
+
+    merges = list(merges)
+    cache: dict = {}  # deserialized empty on each worker, then reused
+
+    @pandas_udf("array<bigint>")
+    def bpe_ids(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            bpe_encode_ids_batch(s.tolist(), base_chars, merges, cache),
+            dtype="object",
+        )
+
+    return bpe_ids
+
+
+def q_training_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token-id arrays with the production-shape
+    table — what a sequence-packing exporter actually writes. The
+    contract row stringifies the array (comma-joined) so the driver's
+    hash gate pins every id in order; consumers use the array column
+    from :func:`bpe_ids_udf` directly.
+
+    Scale shape: scan -> one ArrowEvalPython projection, no shuffle;
+    the id array is the only wide column and it is exactly the
+    training payload."""
+    d = _docs(spark, sf_dir)
+    ids = bpe_ids_udf(
+        bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+    )(F.col("text"))
+    return (
+        d.select("doc_id", ids.alias("ids"))
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform("ids", lambda x: x.cast("string")), ","
+            ).alias("ids_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SEQ_LARGE = bpe.duckdb_seq_expr_reduce(
+    "text", bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+)
+
+ORACLE_TRAINING_TOKEN_IDS = f"""
+SELECT doc_id,
+       length(seq)::BIGINT AS n_tokens,
+       {bpe.duckdb_ids_csv_expr('seq')} AS ids_csv
+FROM (SELECT doc_id, {_SEQ_LARGE} AS seq FROM documents)
+ORDER BY doc_id
+"""
+
+QUERIES["training_token_ids"] = q_training_token_ids
+ORACLES["training_token_ids"] = ORACLE_TRAINING_TOKEN_IDS
+
+
+# --- text_detokenize: tokenizer round-trip -------------------------------
+
+
+def bpe_decode_udf(base_chars, merges):
+    """Arrow-batched encode-then-decode (string per document): the
+    tokenizer round-trip surface. Decoded text is the document's
+    pretokens (OOV chars dropped) each terminated by ``</w>`` — the
+    exact inverse image the id arrays map back to."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import bpe_decode_roundtrip_batch
+
+    merges = list(merges)
+    cache: dict = {}
+
+    @pandas_udf("string")
+    def bpe_decode(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            bpe_decode_roundtrip_batch(
+                s.tolist(), base_chars, merges, cache
+            ),
+            dtype="object",
+        )
+
+    return bpe_decode
+
+
+def q_detokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> decode round-trip per document, cross-checked against
+    a DuckDB replay that decodes via a vocab-table ``list_reduce``
+    fold. Both engines independently encode AND decode, so any drift
+    in either direction (merge application, vocab construction, OOV
+    stripping) flips the driver hash. Pins the invariant a training
+    pipeline silently depends on: id arrays decode back to the exact
+    pretoken stream."""
+    d = _docs(spark, sf_dir)
+    dec = bpe_decode_udf(
+        bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+    )(F.col("text"))
+    return d.select("doc_id", dec.alias("decoded")).orderBy("doc_id")
+
+
+ORACLE_DETOKENIZE = f"""
+SELECT doc_id,
+       {bpe.duckdb_decode_expr(
+           'seq', bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+       )} AS decoded
+FROM (SELECT doc_id, {_SEQ_LARGE} AS seq FROM documents)
+ORDER BY doc_id
+"""
+
+QUERIES["text_detokenize"] = q_detokenize
+ORACLES["text_detokenize"] = ORACLE_DETOKENIZE

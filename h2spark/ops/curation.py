@@ -286,7 +286,10 @@ def packed_starts(
     # the totals branch aggregates straight off the scan: map-side
     # partial aggregation means it shuffles only ~langs x n_buckets
     # partial rows — the corpus itself is shuffled exactly once (the
-    # within-bucket window)
+    # within-bucket window). NOTE both branches re-execute df's plan;
+    # that is the right trade only when df is a cheap scan — callers
+    # with an expensive upstream DAG persist the narrow per-row ledger
+    # first (see q_training_interleaved_pack).
     dfw = df.withColumn("_cum", F.sum("n_tokens").over(wl))
     totals = df.groupBy("lang", "_bucket").agg(
         F.sum("n_tokens").alias("_btot")
@@ -670,3 +673,237 @@ ORDER BY source
 
 QUERIES["corpus_mix_weights"] = q_mix_weights
 ORACLES["corpus_mix_weights"] = ORACLE_MIX_WEIGHTS
+
+
+# --- training_interleaved_pack: multimodal sequence accounting -----------
+
+_MEDIA_PATCH_TOKENS = 64    # one 128x128 image = 8x8 patches of 16x16
+_INTERLEAVED_BLOCK = 2048   # tokens per packed multimodal sequence
+
+
+def q_training_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interleaved text+media training accountant, end-to-end: run
+    the REAL flagship extraction (offset-sorted span reassembly -> DOM
+    -> selectors -> typed span stream), budget every extracted span in
+    tokenizer-true units — text spans through the production-shape BPE
+    table, media spans as a fixed per-image patch-token cost — and
+    greedily pack documents into fixed 2048-token multimodal training
+    sequences (the :func:`packed_starts` two-level scan, per language).
+
+    This is the query the north rule's "interleaved text + media
+    documents" exist for: the output says, for every document, how
+    many text and media tokens it contributes and exactly where in
+    which packed sequence it lands.
+
+    Scale shape: scan -> salted extraction (one shuffle) -> per-span
+    kernel BPE (no shuffle) -> one groupBy(doc_id) -> the two-level
+    prefix scan (one window shuffle + a tiny broadcast). The oracle
+    recomputes the span enumeration and token budget from the source
+    columns, so extraction + tokenizer + packer are all under one
+    hash."""
+    from h2spark.core import bpe_table_large
+    from h2spark.ops import flagship
+    from h2spark.pipeline.kernel import make_extract_spans_udf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = d.select("doc_id", flagship.docs_to_interleaved_spans(d))
+    udf = make_extract_spans_udf(flagship.FLAGSHIP_SPEC)
+    spans = docs.select(
+        "doc_id", F.explode(udf("spans")["spans_out"]).alias("s")
+    )
+    seq = bpetokens.bpe_seq_col_for(
+        F.col("s.text"), bpe_table_large.BASE_CHARS,
+        bpe_table_large.MERGES,
+    )
+    per_span = spans.select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("stext"),
+        F.when(
+            F.col("s.kind") == "media",
+            F.lit(_MEDIA_PATCH_TOKENS).cast("long"),
+        ).otherwise(F.length(seq).cast("long")).alias("n_tok"),
+    )
+    per_doc = (
+        per_span.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("kind") == "lang_out:String", F.col("stext"))
+            ).alias("lang"),
+            F.sum(
+                F.when(F.col("kind") != "media", F.col("n_tok"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_text_tokens"),
+            F.sum(
+                F.when(F.col("kind") == "media", F.col("n_tok"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("n_media_tokens"),
+        )
+        .withColumn(
+            "n_tokens",
+            (F.col("n_text_tokens") + F.col("n_media_tokens")).cast(
+                "long"
+            ),
+        )
+    )
+    # packed_starts references its input in two branches (the window
+    # and the bucket-totals aggregate); per_doc's upstream is the full
+    # extraction + BPE kernel, so materialize the NARROW per-doc
+    # ledger (5 scalar columns) once instead of running extraction
+    # twice. At cluster scale the same seam is a checkpoint write —
+    # the ledger is the natural per-partition manifest payload.
+    per_doc = per_doc.persist()
+    packed = packed_starts(per_doc, bounds_df=d.select("doc_id"))
+    return (
+        packed.select(
+            "doc_id", "lang", "n_text_tokens", "n_media_tokens",
+            "n_tokens",
+            F.floor(F.col("start") / _INTERLEAVED_BLOCK).cast("long")
+            .alias("seq_id"),
+            (F.col("start") % _INTERLEAVED_BLOCK).cast("long")
+            .alias("seq_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_interleaved_pack() -> str:
+    from h2spark.core import bpe, bpe_table_large
+
+    def cnt(col: str) -> str:
+        return bpe.duckdb_count_expr_reduce(
+            col, bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+        )
+
+    return f"""
+WITH per AS (
+  SELECT doc_id, lang,
+         ({cnt('lang')} + {cnt('text')} + {cnt('source')}) AS n_text_tokens,
+         {_MEDIA_PATCH_TOKENS}::BIGINT AS n_media_tokens
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, n_text_tokens, n_media_tokens,
+         (n_text_tokens + n_media_tokens) AS n_tokens,
+         (sum(n_text_tokens + n_media_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING
+          ) - (n_text_tokens + n_media_tokens))::BIGINT AS start
+  FROM per
+)
+SELECT doc_id, lang, n_text_tokens, n_media_tokens, n_tokens,
+       (start // {_INTERLEAVED_BLOCK})::BIGINT AS seq_id,
+       (start % {_INTERLEAVED_BLOCK})::BIGINT AS seq_offset
+FROM s
+ORDER BY doc_id
+"""
+
+
+ORACLE_INTERLEAVED_PACK = _oracle_interleaved_pack()
+
+QUERIES["training_interleaved_pack"] = q_training_interleaved_pack
+ORACLES["training_interleaved_pack"] = ORACLE_INTERLEAVED_PACK
+
+
+# --- training_packed_export: the dataloader-facing artifact --------------
+
+
+def q_training_packed_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the PACKED SEQUENCES themselves — the final
+    artifact a dataloader reads: every document's id array (kernel
+    BPE, production-shape table) concatenated in deterministic
+    (lang, doc_id) order and chunked into {block}-token sequences.
+    Output is one row per (lang, seq_id) with its token count and the
+    md5 of the comma-joined ids IN ORDER, so the driver hash pins the
+    exact byte content of every training sequence, boundaries
+    included (documents straddle sequence edges; the trailing
+    sequence per language is partial).
+
+    Scale shape: scan -> one ArrowEvalPython (ids) -> persisted
+    narrow ledger -> two-level prefix scan -> posexplode ->
+    groupBy(lang, seq_id). Per-group state is bounded by the block
+    size (2048 ids), so collect_list can never exceed one sequence;
+    the explode fan-out is the token count, the same row volume any
+    tokenized-shard writer shuffles once.
+    """.format(block=_INTERLEAVED_BLOCK)
+    from h2spark.core import bpe_table_large
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = bpetokens.bpe_ids_udf(
+        bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+    )(F.col("text"))
+    per_doc = (
+        d.select("doc_id", "lang", ids.alias("ids"))
+        .withColumn("n_tokens", F.size("ids").cast("long"))
+    )
+    # packed_starts walks its input twice (window + totals); the
+    # upstream kernel encode is the expensive part, so persist the
+    # ledger (at cluster scale: the checkpointed token-shard write)
+    per_doc = per_doc.persist()
+    st = packed_starts(per_doc, bounds_df=d.select("doc_id"))
+    tok = (
+        st.select(
+            "lang", "start", F.posexplode("ids").alias("idx", "id")
+        )
+        .withColumn("gpos", (F.col("start") + F.col("idx")).cast("long"))
+        .withColumn(
+            "seq_id", F.expr(f"gpos DIV {_INTERLEAVED_BLOCK}").cast("long")
+        )
+    )
+    return (
+        tok.groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("gpos", "id"))
+                        ),
+                        lambda s: s["id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_hash"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+def _oracle_packed_export() -> str:
+    from h2spark.core import bpe, bpe_table_large
+
+    seq = bpe.duckdb_seq_expr_reduce(
+        "text", bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+    )
+    ids = bpe.duckdb_ids_list_expr("seq")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, {ids} AS ids
+  FROM (SELECT doc_id, lang, {seq} AS seq FROM documents)
+), st AS (
+  SELECT doc_id, lang, ids,
+         (sum(len(ids)) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING
+          ) - len(ids))::BIGINT AS start
+  FROM docs
+), tok AS (
+  SELECT lang,
+         start + unnest(range(len(ids))) AS gpos,
+         unnest(ids) AS id
+  FROM st
+)
+SELECT lang,
+       (gpos // {_INTERLEAVED_BLOCK})::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_tokens,
+       md5(string_agg(id::VARCHAR, ',' ORDER BY gpos)) AS ids_hash
+FROM tok
+GROUP BY lang, gpos // {_INTERLEAVED_BLOCK}
+ORDER BY lang, seq_id
+"""
+
+
+ORACLE_PACKED_EXPORT = _oracle_packed_export()
+
+QUERIES["training_packed_export"] = q_training_packed_export
+ORACLES["training_packed_export"] = ORACLE_PACKED_EXPORT

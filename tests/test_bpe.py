@@ -306,3 +306,57 @@ def test_spark_kernel_matches_codegen_and_python(spark):
             r["text"], L.BASE_CHARS, L.MERGES
         )
         assert r["k_large"] == ref, r["text"]
+
+
+def test_encode_ids_batch_equals_per_row():
+    from h2spark.core import bpe_table_large as L
+
+    texts = [
+        "Hello 42 world!", "", None, "the fast key ORDER 2024-01-03",
+        "unicode stays out: café ☃", "a" * 300,
+    ]
+    got = bpe.encode_ids_batch(texts, L.BASE_CHARS, L.MERGES)
+    for t, ids in zip(texts, got):
+        if t is None:
+            assert ids is None
+        else:
+            assert ids == bpe.encode_ids(t, L.BASE_CHARS, L.MERGES)
+
+
+def test_decode_batch_is_pretoken_stream():
+    from h2spark.core import bpe_table_large as L
+
+    texts = ["Hello 42 world!", "", None, "tab\tsep  and CAPS 7"]
+    got = bpe.decode_batch(texts, L.BASE_CHARS, L.MERGES)
+    for t, dec in zip(texts, got):
+        if t is None:
+            assert dec is None
+            continue
+        # expected: every pretoken, OOV chars dropped, '</w>'-terminated
+        keep = set(L.BASE_CHARS)
+        exp = "".join(
+            "".join(c for c in w if c in keep) + bpe.EOW_DISPLAY
+            for w in bpe._PRETOKEN_C.findall(t)
+        )
+        assert dec == exp
+    # digits and uppercase survive with the large table (the 48-merge
+    # toy table dropped them)
+    assert "42</w>" in got[0] and "Hello</w>" in got[0]
+
+
+def test_duckdb_ids_and_decode_match_python():
+    from h2spark.core import bpe_table_large as L
+
+    con = duckdb.connect()
+    for t in ["Hello 42 world!", "", "mixed: a1B2 c3-D4", "zzz qqq"]:
+        lit = "'" + t.replace("'", "''") + "'"
+        seq = bpe.duckdb_seq_expr_reduce(lit, L.BASE_CHARS, L.MERGES)
+        ids_csv = con.execute(
+            "SELECT " + bpe.duckdb_ids_csv_expr(seq)
+        ).fetchone()[0]
+        dec = con.execute(
+            "SELECT " + bpe.duckdb_decode_expr(seq, L.BASE_CHARS, L.MERGES)
+        ).fetchone()[0]
+        pids = bpe.encode_ids(t, L.BASE_CHARS, L.MERGES)
+        assert ids_csv == ",".join(str(i) for i in pids)
+        assert dec == bpe.decode_batch([t], L.BASE_CHARS, L.MERGES)[0]

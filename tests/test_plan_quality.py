@@ -407,3 +407,51 @@ def test_pq_adc_broadcasts_query_tables(spark):
     # into a sort-merge join
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_ids_is_single_kernel_pass_no_shuffle(spark):
+    # round 7: the id-array surface is scan -> one ArrowEvalPython ->
+    # projection; only the presentation sort exchanges, and the scan
+    # reads just (doc_id, text)
+    from h2spark.ops import bpetokens
+
+    plan = _formatted(bpetokens.q_training_token_ids(spark, SF), spark)
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_interleaved_pack_materializes_ledger_once(spark):
+    # packed_starts consumes its input twice (window + totals); the
+    # upstream here is the full extraction + BPE kernel, so the narrow
+    # per-doc ledger must be persisted — both branches read the cache
+    # (InMemoryTableScan) instead of re-running extraction — and the
+    # pack offsets stay broadcast (no sort-merge join)
+    from h2spark.ops import curation
+
+    df = curation.q_training_interleaved_pack(spark, SF)
+    plan = _formatted(df, spark)
+    try:
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan   # bucket offsets join
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_packed_export_ledger_persisted_and_bounded_groups(spark):
+    # the dataloader-facing packer: ids ledger persisted (kernel runs
+    # once), pack offsets broadcast, and the only wide state is the
+    # per-sequence collect_list which the block size bounds at 2048
+    from h2spark.ops import curation
+
+    df = curation.q_training_packed_export(spark, SF)
+    plan = _formatted(df, spark)
+    try:
+        assert "InMemoryTableScan" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "collect_list" in plan
+    finally:
+        spark.catalog.clearCache()
