@@ -114,10 +114,10 @@ _PRIORITY = [
     "extract_roundtrip_nth_text",
     "html_to_markdown", "interleaved_markdown",
     "boilerplate_strip", "boilerplate_chrome_ratio",
-    # (4) filler: the touched-module insurance pick (curation's
-    #     export DAG re-verifies here; sequence_packing's two-level
-    #     scan is covered more deeply by training_packed_export)
-    "training_export",
+    # (4) new this round: cross-document duplicated-passage ratio
+    #     (training_export, the former filler slot, is covered more
+    #     deeply by training_packed_export in section 1)
+    "text_dup_passage_ratio",
 ]
 
 

@@ -960,3 +960,146 @@ ORDER BY doc_id
 
 QUERIES["text_gopher_rules"] = q_gopher_rules
 ORACLES["text_gopher_rules"] = ORACLE_GOPHER_RULES
+
+
+# --- cross-document duplicated-passage ratio (RefinedWeb-style) ---------
+
+_PASSAGE_K = 8  # tokens per passage gram (longer than the winnow gram:
+                # a match means a verbatim 8-word run shared verbatim)
+
+
+def q_dup_passage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of passage grams duplicated ACROSS
+    documents — the passage-level dedup signal (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better";
+    RefinedWeb drops documents whose duplicated-passage share is
+    high): hash every 8-word gram, find hashes occurring in >= 2
+    distinct documents corpus-wide, and report each document's
+    duplicated-gram count and scaled-integer ratio.
+
+    Scale shape: the gram build is per-document windows only (the
+    winnowing machinery); corpus-wide duplication then aggregates
+    (h, doc_id) -> h with map-side combine at each level — groupBy,
+    never a window over the h partition, so a boilerplate gram shared
+    by 10^9 documents is combined map-side instead of streaming
+    through one task. The per-doc total gram count is recomputed as
+    pure codegen off the scan (greatest(tokens - K + 1, 0)), so the
+    expensive exploded gram relation is traversed ONCE. All-integer
+    output (ratio in e6 fixed point)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(_norm_text(), " ")).alias("pos", "tok"),
+    ).where(F.length("tok") > 0)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    toks = toks.withColumn("p", F.row_number().over(wdoc) - 1)
+    gram = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", i).over(wdoc) for i in range(1, _PASSAGE_K)],
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.md5(gram).alias("h"),
+            F.lead("tok", _PASSAGE_K - 1).over(wdoc).alias("last_tok"),
+        )
+        .where(F.col("last_tok").isNotNull())
+        .select("doc_id", "h")
+    )
+    g1 = grams.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    dups = (
+        g1.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    pdup = (
+        g1.join(dups, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_dup"))
+    )
+    kept_toks = F.size(
+        F.filter(
+            F.split(_norm_text(), " "), lambda x: F.length(x) > 0
+        )
+    )
+    ptot = d.select(
+        "doc_id",
+        F.greatest(
+            kept_toks - F.lit(_PASSAGE_K - 1), F.lit(0)
+        ).cast("long").alias("n_grams"),
+    )
+    return (
+        ptot.join(pdup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.expr(
+                "CASE WHEN n_grams > 0 "
+                "THEN (coalesce(n_dup, 0) * 1000000) div n_grams "
+                "ELSE 0 END"
+            ).cast("long").alias("dup_ratio_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DUP_PASSAGE = f"""
+WITH toks AS (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id,
+           generate_subscripts(regexp_split_to_array({_NORM_DUCK}, ' '), 1) AS pos,
+           unnest(regexp_split_to_array({_NORM_DUCK}, ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+renum AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+  FROM toks
+),
+grams AS (
+  SELECT doc_id,
+         md5(concat_ws(' ', tok,
+             {", ".join(f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY p)" for i in range(1, _PASSAGE_K))}
+         )) AS h,
+         lead(tok, {_PASSAGE_K - 1}) OVER (PARTITION BY doc_id ORDER BY p) AS last_tok
+  FROM renum
+),
+g1 AS (
+  SELECT h, doc_id, count(*)::BIGINT AS c
+  FROM grams WHERE last_tok IS NOT NULL
+  GROUP BY h, doc_id
+),
+dups AS (
+  SELECT h FROM g1 GROUP BY h HAVING count(*) >= 2
+),
+pdup AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_dup
+  FROM g1 SEMI JOIN dups USING (h)
+  GROUP BY doc_id
+),
+ptot AS (
+  SELECT doc_id,
+         greatest(len(list_filter(regexp_split_to_array({_NORM_DUCK}, ' '),
+                                  x -> length(x) > 0)) - {_PASSAGE_K - 1},
+                  0)::BIGINT AS n_grams
+  FROM documents
+)
+SELECT ptot.doc_id, n_grams,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_grams,
+       (CASE WHEN n_grams > 0
+             THEN (coalesce(n_dup, 0) * 1000000) // n_grams
+             ELSE 0 END)::BIGINT AS dup_ratio_e6
+FROM ptot LEFT JOIN pdup ON pdup.doc_id = ptot.doc_id
+ORDER BY ptot.doc_id
+"""
+
+QUERIES["text_dup_passage_ratio"] = q_dup_passage_ratio
+ORACLES["text_dup_passage_ratio"] = ORACLE_DUP_PASSAGE
