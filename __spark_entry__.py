@@ -113,11 +113,13 @@ _PRIORITY = [
     "extract_roundtrip_vec", "extract_roundtrip_option_err",
     "extract_roundtrip_nth_text",
     "html_to_markdown", "interleaved_markdown",
-    "boilerplate_strip", "boilerplate_chrome_ratio",
-    # (4) new this round: cross-document duplicated-passage ratio
-    #     (training_export, the former filler slot, is covered more
-    #     deeply by training_packed_export in section 1)
-    "text_dup_passage_ratio",
+    "boilerplate_strip",
+    # (4) new this round: cross-document duplicated-passage ratio and
+    #     image near-dup dHash mining (training_export and
+    #     boilerplate_chrome_ratio rotated out: the former is covered
+    #     more deeply by training_packed_export in section 1, the
+    #     latter was r6-green and its module is untouched this round)
+    "text_dup_passage_ratio", "image_dedup_dhash",
 ]
 
 

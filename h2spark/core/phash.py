@@ -1,0 +1,66 @@
+"""Perceptual image hashing (dHash) over decoded grayscale pixels.
+
+dHash ("difference hash") is the standard cheap perceptual fingerprint
+for image near-duplicate detection: box-average the image down to a
+(tw+? — here 9x8) grid of means, then emit one bit per horizontally
+adjacent pair (1 where the right mean is strictly greater than the
+left).  Two images whose content differs only by uniform brightness,
+re-encoding, or tiny local edits land within a few bits of each other,
+so LSH-style banding over the 64-bit hash finds near-dups without any
+all-pairs work — the same pigeonhole shape the text SimHash family
+uses (ops/dedup.py).
+
+Kept free of pyspark/pandas imports (CLAUDE.md hard rule); Spark UDF
+closures reach this through core/runner.py.
+"""
+
+from __future__ import annotations
+
+DHASH_GRID_W = 9   # 9 column means -> 8 horizontal comparisons per row
+DHASH_GRID_H = 8   # 8 rows -> 64 bits total
+DHASH_BANDS = 4    # 4 x 16-bit bands (pigeonhole: hamming <= 3 is
+                   # guaranteed to collide on at least one band)
+
+
+def box_mean_grid(w: int, h: int, px: bytes, tw: int, th: int) -> list:
+    """Integer box-mean downsample of a single-channel image to a
+    (tw x th) grid.  Target cell (tx, ty) averages the source box
+    x in [tx*w//tw, (tx+1)*w//tw), y likewise; the mean is FLOOR of
+    sum/count so the arithmetic replays exactly in SQL."""
+    grid = []
+    for ty in range(th):
+        y0, y1 = ty * h // th, (ty + 1) * h // th
+        for tx in range(tw):
+            x0, x1 = tx * w // tw, (tx + 1) * w // tw
+            s = 0
+            for y in range(y0, y1):
+                row = y * w
+                for x in range(x0, x1):
+                    s += px[row + x]
+            grid.append(s // ((y1 - y0) * (x1 - x0)))
+    return grid
+
+
+def dhash_bands(w: int, h: int, ch: int, px: bytes) -> tuple:
+    """64-bit dHash of a grayscale image, returned as DHASH_BANDS
+    16-bit integers (low band first).  Bit (x, y) — index y*8+x — is 1
+    when mean(x+1, y) > mean(x, y) on the 9x8 box-mean grid; band i
+    holds bits 16i..16i+15 with in-band position bit%16.  Band ints
+    (not one signed 64-bit value) keep every engine's arithmetic
+    non-negative: no sign-extension traps in Spark/DuckDB shifts."""
+    if ch != 1:
+        raise ValueError(f"dhash_bands expects grayscale, got ch={ch}")
+    grid = box_mean_grid(w, h, px, DHASH_GRID_W, DHASH_GRID_H)
+    bands = [0] * DHASH_BANDS
+    for y in range(DHASH_GRID_H):
+        row = y * DHASH_GRID_W
+        for x in range(DHASH_GRID_W - 1):
+            if grid[row + x + 1] > grid[row + x]:
+                bit = y * (DHASH_GRID_W - 1) + x
+                bands[bit // 16] |= 1 << (bit % 16)
+    return tuple(bands)
+
+
+def hamming_bands(a, b) -> int:
+    """Hamming distance between two band tuples."""
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))

@@ -775,3 +775,51 @@ def bpe_decode_roundtrip_batch(texts, base_chars, merges, cache=None):
     from h2spark.core.bpe import decode_batch
 
     return decode_batch(texts, base_chars, merges, cache)
+
+
+def png_dhash_bands_batch(doc_ids, w: int = 18, h: int = 16) -> list:
+    """REAL pixel path for image near-dup mining: per doc, synthesize
+    a deterministic 18x16 grayscale pattern, ENCODE it as a genuine
+    PNG (rows cycling all five filter types), DECODE it back with the
+    stdlib codec, box-mean it to the 9x8 dHash grid and emit the four
+    16-bit hash bands.  The SQL oracle re-derives the bands from the
+    pattern formula alone, so any encode/unfilter/box-mean/dhash bug
+    breaks the driver hash.
+
+    Pattern (shared with ORACLE_IMAGE_DEDUP_DHASH in ops/multimodal.py
+    — keep in lockstep): with g = d % 12 (near-dup group) and
+    k = d // 12 (member variant, 0..3),
+
+      base(x, y)  = (g*31 + x*7 + y*13) % 200      variants 0/1/3
+                    (g*31 + x*23 + y*5) % 200      variant 2 (far)
+      pixel(x, y) = base(x, y) + (k*17) % 50       uniform brightness
+                    [base forced to 0 on the 2x2 corner x<2, y<2
+                     for variant 3 — a local edit]
+
+    Uniform brightness cancels in dHash (it compares adjacent means),
+    so variants 0 and 1 hash identically despite different bytes;
+    variant 3's corner bump moves only mean(0,0) — at most 1 bit; and
+    variant 2 is a genuinely different texture.  Values stay < 256 so
+    nothing wraps."""
+    from h2spark.core.phash import dhash_bands
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        g, k = d % 12, d // 12
+        bright = (k * 17) % 50
+        px = bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                if k == 2:
+                    v = (g * 31 + x * 23 + y * 5) % 200
+                else:
+                    v = (g * 31 + x * 7 + y * 13) % 200
+                    if k == 3 and x < 2 and y < 2:
+                        v = 0
+                px[y * w + x] = v + bright
+        data = encode_png(w, h, 1, bytes(px), row_filter=lambda y: y % 5)
+        w2, h2, ch, dec = decode_png(data)
+        outs.append(dhash_bands(w2, h2, ch, dec))
+    return outs

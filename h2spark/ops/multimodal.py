@@ -1410,3 +1410,147 @@ ORACLE_VIDEO_MJPEG = _oracle_video_mjpeg()
 
 QUERIES["video_mjpeg_roundtrip"] = q_video_mjpeg_roundtrip
 ORACLES["video_mjpeg_roundtrip"] = ORACLE_VIDEO_MJPEG
+
+
+# --- image near-dup mining: dHash over REAL decoded pixels --------------
+#
+# The one dedup modality the text/embedding family doesn't cover: find
+# images that are the same picture re-encoded or lightly edited.  Same
+# pigeonhole shape as dedup_simhash_pairs (ops/dedup.py): 64-bit dHash
+# as 4 x 16-bit bands, band-bucket self-join carrying both signatures
+# (hamming <= 3 guarantees a shared band), exact hamming rescore on
+# candidates only — never all-pairs, so one viral image duplicated 10^9
+# times costs a big bucket (bounded by banding stats), not n^2 tasks.
+
+_DHASH_HAM_MAX = 3
+_DHASH_N_DOCS = 48
+
+
+def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over genuine PNG bytes: per doc a
+    deterministic 18x16 grayscale pattern (12 groups x 4 member
+    variants: brightness-shifted twin, local-edit corner, far texture)
+    is encoded as a real PNG, decoded back with the stdlib codec
+    (zlib inflate + all-five-filters unfiltering), box-meaned to the
+    9x8 dHash grid, and hashed; pairs within hamming 3 are mined via
+    the 4-band pigeonhole join.  The oracle replays pattern -> means
+    -> bits -> bands -> banded join -> hamming entirely in SQL, so
+    any codec or hash bug flips the driver hash.
+
+    Brightness shifts cancel in dHash (adjacent-mean comparisons), so
+    the twin variants pair at hamming 0 despite different bytes — the
+    perceptual-invariance property that byte/text dedup can't see.
+    """
+    from h2spark.core.runner import png_dhash_bands_batch
+
+    def compute(batches):
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            bands = png_dhash_bands_batch(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                    "b2": [b[2] for b in bands],
+                    "b3": [b[3] for b in bands],
+                }
+            )
+
+    hashes = spark.range(_DHASH_N_DOCS).repartition(4).mapInPandas(
+        compute, "doc_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    bands = hashes.select(
+        "doc_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("idx", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.b{i}").alias(f"a{i}") for i in range(4)],
+            *[F.col(f"b.b{i}").alias(f"c{i}") for i in range(4)],
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b", ham.cast("long").alias("hamming")
+        )
+        .where(F.col("hamming") <= _DHASH_HAM_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# DuckDB twin of the WHOLE chain: pattern formula -> 9x8 box means
+# (brightness omitted — it cancels in the comparisons) -> 64 dHash
+# bits -> 4 x 16-bit bands -> banded candidate join -> hamming filter.
+# Keep the pattern in lockstep with core/runner.png_dhash_bands_batch.
+ORACLE_IMAGE_DEDUP_DHASH = f"""
+WITH docs AS (
+  SELECT id, id % 12 AS g, id // 12 AS k FROM range(0, {_DHASH_N_DOCS}) t(id)
+),
+px AS (
+  SELECT d.id, c.x AS tx, r.y AS ty,
+         CAST(sum(
+           CASE WHEN d.k = 2
+                THEN (d.g*31 + (2*c.x + dx.i)*23 + (2*r.y + dy.i)*5) % 200
+                WHEN d.k = 3 AND 2*c.x + dx.i < 2 AND 2*r.y + dy.i < 2
+                THEN 0
+                ELSE (d.g*31 + (2*c.x + dx.i)*7 + (2*r.y + dy.i)*13) % 200
+           END) // 4 AS BIGINT) AS m
+  FROM docs d, range(0, 9) c(x), range(0, 8) r(y),
+       range(0, 2) dx(i), range(0, 2) dy(i)
+  GROUP BY d.id, c.x, r.y
+),
+bits AS (
+  SELECT a.id, (a.ty * 8 + a.tx) AS bit,
+         CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bv
+  FROM px a JOIN px b ON b.id = a.id AND b.ty = a.ty AND b.tx = a.tx + 1
+  WHERE a.tx < 8
+),
+bands AS (
+  SELECT id, (bit // 16) AS idx,
+         sum(bv * (1 << (bit % 16)))::BIGINT AS val
+  FROM bits GROUP BY id, bit // 16
+),
+hh AS (
+  SELECT id,
+         max(CASE WHEN idx = 0 THEN val END) AS b0,
+         max(CASE WHEN idx = 1 THEN val END) AS b1,
+         max(CASE WHEN idx = 2 THEN val END) AS b2,
+         max(CASE WHEN idx = 3 THEN val END) AS b3
+  FROM bands GROUP BY id
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.idx = b.idx AND a.val = b.val AND a.id < b.id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+         )::BIGINT AS hamming
+  FROM cand c
+  JOIN hh x ON x.id = c.doc_a
+  JOIN hh y ON y.id = c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM scored
+WHERE hamming <= {_DHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["image_dedup_dhash"] = q_image_dedup_dhash
+ORACLES["image_dedup_dhash"] = ORACLE_IMAGE_DEDUP_DHASH

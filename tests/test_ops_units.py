@@ -1153,3 +1153,74 @@ def test_mix_weight_formula_large_corpus_regime(spark):
         exact = t * 1_000_000 // tot
         assert abs(got[src] - exact) <= 2, (src, got[src], exact)
         assert got[src] > 0
+
+
+# --- dHash perceptual hashing (core/phash.py) ---------------------------
+
+
+def test_dhash_brightness_invariance():
+    """Uniform brightness shifts must not move a single hash bit —
+    the perceptual property the image near-dup miner relies on."""
+    from h2spark.core.phash import dhash_bands
+
+    w, h = 18, 16
+    base = bytes((x * 7 + y * 13) % 200 for y in range(h) for x in range(w))
+    ref = dhash_bands(w, h, 1, base)
+    for shift in (1, 25, 55):
+        px = bytes(v + shift for v in base)
+        assert dhash_bands(w, h, 1, px) == ref
+
+
+def test_dhash_band_pigeonhole():
+    """hamming <= 3 over 4 bands must share at least one exact band —
+    the guarantee the banded candidate join depends on."""
+    from h2spark.core.phash import dhash_bands, hamming_bands
+
+    w, h = 18, 16
+    a = bytes((x * 7 + y * 13) % 200 for y in range(h) for x in range(w))
+    ha = dhash_bands(w, h, 1, a)
+    rnd = 1
+    for trial in range(64):
+        # flip up to 3 pseudo-random pixels hard enough to move bits
+        px = bytearray(a)
+        rnd = (rnd * 1103515245 + 12345) % (1 << 31)
+        for j in range(1 + trial % 3):
+            rnd = (rnd * 1103515245 + 12345) % (1 << 31)
+            px[rnd % len(px)] = (px[rnd % len(px)] + 128) % 256
+        hb = dhash_bands(w, h, 1, bytes(px))
+        if hamming_bands(ha, hb) <= 3:
+            assert any(x == y for x, y in zip(ha, hb))
+
+
+def test_dhash_rejects_non_grayscale():
+    import pytest
+
+    from h2spark.core.phash import dhash_bands
+
+    with pytest.raises(ValueError):
+        dhash_bands(2, 2, 3, bytes(12))
+
+
+def test_box_mean_grid_floor_semantics():
+    from h2spark.core.phash import box_mean_grid
+
+    # 4x2 -> 2x1: each cell is a 2x2 box, floor mean
+    px = bytes([1, 2, 10, 20, 3, 4, 30, 40])
+    assert box_mean_grid(4, 2, px, 2, 1) == [(1 + 2 + 3 + 4) // 4,
+                                             (10 + 20 + 30 + 40) // 4]
+
+
+def test_png_dhash_variants_structure():
+    """Group members: brightness twin at hamming 0, corner edit
+    within 1 bit, far texture well outside the pairing threshold."""
+    from h2spark.core.phash import hamming_bands
+    from h2spark.core.runner import png_dhash_bands_batch
+
+    b = png_dhash_bands_batch(range(48))
+    for g in range(12):
+        twin = hamming_bands(b[g], b[g + 12])
+        edit = hamming_bands(b[g], b[g + 36])
+        far = hamming_bands(b[g], b[g + 24])
+        assert twin == 0
+        assert edit <= 1
+        assert far > 3
