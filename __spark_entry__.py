@@ -112,14 +112,17 @@ _PRIORITY = [
     "extract_roundtrip_text", "extract_roundtrip_numbers",
     "extract_roundtrip_vec", "extract_roundtrip_option_err",
     "extract_roundtrip_nth_text",
-    "html_to_markdown", "interleaved_markdown",
-    "boilerplate_strip",
-    # (4) new this round: cross-document duplicated-passage ratio and
-    #     image near-dup dHash mining (training_export and
-    #     boilerplate_chrome_ratio rotated out: the former is covered
-    #     more deeply by training_packed_export in section 1, the
-    #     latter was r6-green and its module is untouched this round)
+    "interleaved_markdown",
+    # (4) new this round: cross-document duplicated-passage ratio,
+    #     image near-dup dHash mining, incremental new-batch-vs-index
+    #     dedup — plus dedup_minhash_lsh as the canary for the
+    #     minhash_band_table refactor it shares. Rotated out to make
+    #     room (all r6-green, modules untouched this round):
+    #     training_export (covered by training_packed_export in
+    #     section 1), boilerplate_chrome_ratio, html_to_markdown,
+    #     boilerplate_strip.
     "text_dup_passage_ratio", "image_dedup_dhash",
+    "dedup_incremental", "dedup_minhash_lsh",
 ]
 
 

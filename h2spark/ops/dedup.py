@@ -241,22 +241,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(d)
 
 
-def minhash_pairs(d: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
-
-    signature[s] = min over shingles of g_s(shingle), with the
-    Kirsch-Mitzenmacher family g_s = (h1 + s*h2) mod 2^32 over the two
-    32-bit halves of ONE md5 per shingle — round 5: previously each of
-    the 16 positions hashed the shingle separately (16 md5s/row), and
-    string-valued min() aggregation buffers forced Spark into
-    SortAggregate (sort-based, no hash map); numeric signatures hash
-    once, aggregate via HashAggregate, and shuffle 8-byte longs
-    instead of 32-char strings. The arithmetic stays in [0, 2^36) so
-    neither engine can overflow a BIGINT.
-
-    band_key = md5 of the band's 4 signature values joined as decimal
-    strings.
-    """
+def minhash_band_table(d: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, band_key) — the banded MinHash signature
+    table shared by self-join pair mining (minhash_pairs) and
+    new-batch-vs-index incremental dedup (incremental_dup_report).
+    One md5 per shingle, all signature positions in ONE aggregation
+    (a single shuffle on doc_id), each band row carrying the full
+    numeric signature array so downstream joins compute est_jaccard
+    in place without re-joining the signature relation."""
     sh = _with_shingles(d)  # rows already distinct (array_distinct per doc)
     h = F.md5(F.col("shingle"))
     hashed = sh.select(
@@ -293,7 +285,7 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     # chain is built once (self-join reuses the exchange) instead of
     # three times (bands + two signature re-joins — measured 6.7s -> this
     # shape at sf0.1; the array is 16 md5 strings per doc, tiny)
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.array(*[F.col(f"m{s}") for s in range(_N_HASHES)]).alias("sig"),
         F.explode(F.array(*band_structs)).alias("bk"),
@@ -301,6 +293,25 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
         "doc_id", "sig",
         F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
     )
+
+
+def minhash_pairs(d: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+
+    signature[s] = min over shingles of g_s(shingle), with the
+    Kirsch-Mitzenmacher family g_s = (h1 + s*h2) mod 2^32 over the two
+    32-bit halves of ONE md5 per shingle — round 5: previously each of
+    the 16 positions hashed the shingle separately (16 md5s/row), and
+    string-valued min() aggregation buffers forced Spark into
+    SortAggregate (sort-based, no hash map); numeric signatures hash
+    once, aggregate via HashAggregate, and shuffle 8-byte longs
+    instead of 32-char strings. The arithmetic stays in [0, 2^36) so
+    neither engine can overflow a BIGINT.
+
+    band_key = md5 of the band's 4 signature values joined as decimal
+    strings.
+    """
+    bands = minhash_band_table(d)
     a = bands.alias("a")
     b = bands.alias("b")
     # matches = agreeing signature positions (identical on every band
@@ -1755,3 +1766,110 @@ ORDER BY j.doc_id
 
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
 ORACLES["dedup_keep_best"] = ORACLE_DEDUP_KEEP_BEST
+
+
+# --- incremental dedup: new batch vs existing corpus index --------------
+#
+# The production shape at 100 TB: a crawl lands daily and is deduped
+# AGAINST the existing corpus without re-pairing the corpus with
+# itself.  Candidate generation is the banded MinHash bucket join
+# restricted to (new x index) — the index side's signatures are
+# precomputed in practice (and with pipeline/bucketing.py the banded
+# index can live bucketed on band_key, making the join shuffle-free on
+# the big side); the quadratic self-join over the corpus never runs.
+
+_INC_SPLIT_MOD = 5       # doc_id % 5 == 0 plays the "new batch" (20%)
+_INC_MIN_MATCHES = 8     # >= 8/16 agreeing positions (est_jaccard 0.5)
+
+
+def incremental_dup_report(d: DataFrame, is_new) -> DataFrame:
+    """Per new-batch document: how many index docs share >= 1 MinHash
+    band, the best signature-agreement estimate among them, and the
+    dup verdict at est_jaccard >= 0.5.  `is_new` is a boolean Column
+    splitting d into the new batch (true) and the index (false)."""
+    bands = minhash_band_table(d)
+    n, i = bands.where(is_new).alias("n"), bands.where(~is_new).alias("i")
+    matches = sum(
+        F.when(
+            F.element_at(F.col("n.sig"), s + 1)
+            == F.element_at(F.col("i.sig"), s + 1),
+            1,
+        ).otherwise(0)
+        for s in range(_N_HASHES)
+    )
+    per_pair = (
+        n.join(
+            i,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.band_key") == F.col("i.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("idx_doc"),
+            matches.alias("m"),
+        )
+        .distinct()  # m is pair-determined: distinct collapses multi-band hits
+    )
+    rep = per_pair.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.max("m").alias("mm"),
+    )
+    newdocs = d.where(is_new).select("doc_id")
+    return (
+        newdocs.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.round(
+                F.coalesce(F.col("mm"), F.lit(0)) / F.lit(float(_N_HASHES)), 6
+            ).alias("max_est_jaccard"),
+            (F.coalesce(F.col("mm"), F.lit(0)) >= _INC_MIN_MATCHES).alias(
+                "is_dup"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return incremental_dup_report(
+        d, F.pmod(F.col("doc_id"), F.lit(_INC_SPLIT_MOD)) == 0
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_shingles_cte_duck()},
+{_SIG_BANDS_CTE},
+cand AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS idx_doc
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % {_INC_SPLIT_MOD} = 0 AND b.doc_id % {_INC_SPLIT_MOD} != 0
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT c.doc_id, c.idx_doc,
+         sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS m
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.idx_doc AND sb.seed = sa.seed
+  GROUP BY 1, 2
+),
+rep AS (
+  SELECT doc_id, count(*)::BIGINT AS n_candidates, max(m) AS mm
+  FROM m GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+       round(coalesce(mm, 0) / {float(_N_HASHES)}, 6) AS max_est_jaccard,
+       (coalesce(mm, 0) >= {_INC_MIN_MATCHES}) AS is_dup
+FROM documents d LEFT JOIN rep ON rep.doc_id = d.doc_id
+WHERE d.doc_id % {_INC_SPLIT_MOD} = 0
+ORDER BY d.doc_id
+"""
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+ORACLES["dedup_incremental"] = ORACLE_DEDUP_INCREMENTAL
