@@ -64,3 +64,35 @@ def dhash_bands(w: int, h: int, ch: int, px: bytes) -> tuple:
 def hamming_bands(a, b) -> int:
     """Hamming distance between two band tuples."""
     return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+# --- audio energy-delta fingerprint (the dHash analogue for PCM) --------
+
+AFP_FRAME = 4    # samples per frame
+AFP_BITS = 32    # 33 frames -> 32 adjacent-energy comparisons
+AFP_BANDS = 2    # 2 x 16-bit bands (pigeonhole: hamming <= 1 shares one)
+
+
+def audio_fp_bands(samples) -> tuple:
+    """32-bit audio fingerprint as AFP_BANDS 16-bit integers: frame
+    the PCM stream into AFP_FRAME-sample frames, take each frame's
+    absolute-amplitude sum, and emit one bit per adjacent frame pair
+    (1 where the later energy is strictly greater).  Uniform positive
+    gain scales every energy equally, so a louder re-encode of the
+    same signal fingerprints identically — the perceptual property
+    byte hashing can't see.  Needs (AFP_BITS+1)*AFP_FRAME samples;
+    extras are ignored."""
+    need = (AFP_BITS + 1) * AFP_FRAME
+    if len(samples) < need:
+        raise ValueError(
+            f"audio_fp_bands needs >= {need} samples, got {len(samples)}"
+        )
+    energies = [
+        sum(abs(samples[f * AFP_FRAME + j]) for j in range(AFP_FRAME))
+        for f in range(AFP_BITS + 1)
+    ]
+    bands = [0] * AFP_BANDS
+    for b in range(AFP_BITS):
+        if energies[b + 1] > energies[b]:
+            bands[b // 16] |= 1 << (b % 16)
+    return tuple(bands)

@@ -823,3 +823,56 @@ def png_dhash_bands_batch(doc_ids, w: int = 18, h: int = 16) -> list:
         w2, h2, ch, dec = decode_png(data)
         outs.append(dhash_bands(w2, h2, ch, dec))
     return outs
+
+
+def wav_fingerprint_bands_batch(doc_ids, n: int = 132, rate: int = 8000) -> list:
+    """REAL sample path for audio near-dup mining: per doc, synthesize
+    a deterministic 16-bit PCM pattern, serialize it as genuine
+    RIFF/WAVE bytes, decode it back with the stdlib parser, and emit
+    the two 16-bit energy-delta fingerprint bands.  The SQL oracle
+    re-derives the bands from the pattern formula alone.
+
+    Pattern (lockstep with ORACLE_AUDIO_DEDUP_FP in ops/multimodal.py):
+    with g = d % 12 (near-dup group) and k = d // 12 (variant),
+
+      base(i)   = ((g*13 + i*(37+24*g)) % 2000) - 1000   variants 0/1/3
+                  ((g*29 + i*(53+24*g)) % 2000) - 1000   variant 2 (far)
+      (the per-group stride keeps the 12 groups' energy orderings
+       mutually distinct — a shared stride made half the corpus
+       collide within the 32-bit fingerprint space)
+      sample(i) = base(i) * (2 if k == 1 else 1)    uniform gain
+                  [forced to 0 for i < 4 (the first frame) when k == 3]
+
+    Gain cancels in the adjacent-energy comparisons, so variant 1 is
+    a louder byte-different twin at hamming 0; zeroing the first frame
+    moves only energy(0) — at most 1 bit; variant 2 is a different
+    signal.  Amplitudes stay within +/-2000 so nothing clips."""
+    import struct
+
+    from h2spark.core.phash import audio_fp_bands
+    from h2spark.core.wavcodec import decode_wav_samples
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        g, k = d % 12, d // 12
+        gain = 2 if k == 1 else 1
+        samples = []
+        for i in range(n):
+            if k == 2:
+                v = ((g * 29 + i * (53 + 24 * g)) % 2000) - 1000
+            else:
+                v = ((g * 13 + i * (37 + 24 * g)) % 2000) - 1000
+                if k == 3 and i < 4:
+                    v = 0
+            samples.append(v * gain)
+        body = struct.pack(f"<{n}h", *samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        _, _, got = decode_wav_samples(wav)
+        outs.append(audio_fp_bands(got))
+    return outs

@@ -1554,3 +1554,127 @@ ORDER BY doc_a, doc_b
 
 QUERIES["image_dedup_dhash"] = q_image_dedup_dhash
 ORACLES["image_dedup_dhash"] = ORACLE_IMAGE_DEDUP_DHASH
+
+
+# --- audio near-dup mining: energy-delta fingerprint over REAL WAV ------
+
+_AFP_HAM_MAX = 1
+_AFP_N_DOCS = 48
+
+
+def q_audio_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs over genuine RIFF/WAVE bytes: per
+    doc a deterministic 132-sample PCM pattern (12 groups x 4 member
+    variants: 2x-gain twin, first-frame-zeroed local edit, different
+    signal) is serialized as a real WAV, decoded back with the stdlib
+    parser, and fingerprinted by adjacent-frame energy comparisons
+    (32 bits as 2 x 16-bit bands).  Pairs within hamming 1 are mined
+    via the 2-band pigeonhole join — candidates only, never all-pairs,
+    the same scale shape as image_dedup_dhash / dedup_simhash_pairs.
+
+    Gain cancels in energy comparisons, so the louder byte-different
+    twin pairs at hamming 0 — the perceptual property exact byte
+    dedup can't see.  The oracle replays pattern -> frame energies ->
+    bits -> bands -> banded join -> hamming entirely in SQL.
+    """
+    from h2spark.core.runner import wav_fingerprint_bands_batch
+
+    def compute(batches):
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            bands = wav_fingerprint_bands_batch(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "b0": [b[0] for b in bands],
+                    "b1": [b[1] for b in bands],
+                }
+            )
+
+    hashes = spark.range(_AFP_N_DOCS).repartition(4).mapInPandas(
+        compute, "doc_id long, b0 long, b1 long"
+    )
+    bands = hashes.select(
+        "doc_id", "b0", "b1",
+        F.posexplode(F.array("b0", "b1")).alias("idx", "val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.b0").alias("a0"), F.col("a.b1").alias("a1"),
+            F.col("b.b0").alias("c0"), F.col("b.b1").alias("c1"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+    )
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= _AFP_HAM_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# DuckDB twin of the whole chain; gain is omitted — it scales every
+# frame energy equally so the comparison bits are unchanged.  Keep the
+# pattern in lockstep with core/runner.wav_fingerprint_bands_batch.
+ORACLE_AUDIO_DEDUP_FP = f"""
+WITH docs AS (
+  SELECT id, id % 12 AS g, id // 12 AS k FROM range(0, {_AFP_N_DOCS}) t(id)
+),
+en AS (
+  SELECT d.id, f.f AS f,
+         sum(abs(CASE WHEN d.k = 2
+                      THEN ((d.g*29 + (f.f*4 + j.j)*(53 + 24*d.g)) % 2000) - 1000
+                      WHEN d.k = 3 AND f.f*4 + j.j < 4 THEN 0
+                      ELSE ((d.g*13 + (f.f*4 + j.j)*(37 + 24*d.g)) % 2000) - 1000
+                 END)) AS e
+  FROM docs d, range(0, 33) f(f), range(0, 4) j(j)
+  GROUP BY d.id, f.f
+),
+bits AS (
+  SELECT a.id, a.f AS bit, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bv
+  FROM en a JOIN en b ON b.id = a.id AND b.f = a.f + 1
+  WHERE a.f < 32
+),
+bands AS (
+  SELECT id, (bit // 16) AS idx,
+         sum(bv * (1 << (bit % 16)))::BIGINT AS val
+  FROM bits GROUP BY id, bit // 16
+),
+hh AS (
+  SELECT id,
+         max(CASE WHEN idx = 0 THEN val END) AS b0,
+         max(CASE WHEN idx = 1 THEN val END) AS b1
+  FROM bands GROUP BY id
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.idx = b.idx AND a.val = b.val AND a.id < b.id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         (bit_count(xor(x.b0, y.b0))
+          + bit_count(xor(x.b1, y.b1)))::BIGINT AS hamming
+  FROM cand c
+  JOIN hh x ON x.id = c.doc_a
+  JOIN hh y ON y.id = c.doc_b
+)
+SELECT doc_a, doc_b, hamming FROM scored
+WHERE hamming <= {_AFP_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["audio_dedup_fp"] = q_audio_dedup_fp
+ORACLES["audio_dedup_fp"] = ORACLE_AUDIO_DEDUP_FP

@@ -1224,3 +1224,35 @@ def test_png_dhash_variants_structure():
         assert twin == 0
         assert edit <= 1
         assert far > 3
+
+
+def test_audio_fp_gain_invariance():
+    """Uniform positive gain must not move a single fingerprint bit."""
+    from h2spark.core.phash import audio_fp_bands
+
+    base = [((i * 37) % 2000) - 1000 for i in range(132)]
+    ref = audio_fp_bands(base)
+    for gain in (2, 3, 7):
+        assert audio_fp_bands([s * gain for s in base]) == ref
+
+
+def test_audio_fp_needs_enough_samples():
+    import pytest
+
+    from h2spark.core.phash import audio_fp_bands
+
+    with pytest.raises(ValueError):
+        audio_fp_bands([0] * 131)
+
+
+def test_wav_fingerprint_variants_structure():
+    """Gain twin at hamming 0, first-frame edit within 1 bit, far
+    signal outside the pairing threshold — through REAL WAV bytes."""
+    from h2spark.core.phash import hamming_bands
+    from h2spark.core.runner import wav_fingerprint_bands_batch
+
+    b = wav_fingerprint_bands_batch(range(48))
+    for g in range(12):
+        assert hamming_bands(b[g], b[g + 12]) == 0
+        assert hamming_bands(b[g], b[g + 36]) <= 1
+        assert hamming_bands(b[g], b[g + 24]) > 1
