@@ -110,7 +110,7 @@ _PRIORITY = [
     # (3) core-extraction canaries
     "flagship_extract_spans", "golden_corpus_parity",
     "extract_roundtrip_numbers",
-    "extract_roundtrip_vec", "extract_roundtrip_option_err",
+    "extract_roundtrip_option_err",
     "extract_roundtrip_nth_text",
     "interleaved_markdown",
     # (4) new this round: cross-document duplicated-passage ratio,
@@ -120,11 +120,12 @@ _PRIORITY = [
     #     room (all r6-green, modules untouched this round):
     #     training_export (covered by training_packed_export in
     #     section 1), boilerplate_chrome_ratio, html_to_markdown,
-    #     boilerplate_strip, extract_roundtrip_text (text extraction
-    #     stays covered by flagship + golden corpus; parser untouched
+    #     boilerplate_strip, extract_roundtrip_text and
+    #     extract_roundtrip_vec (extraction stays covered by flagship,
+    #     golden corpus and four roundtrip canaries; parser untouched
     #     this round).
     "text_dup_passage_ratio", "image_dedup_dhash", "audio_dedup_fp",
-    "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_incremental", "dedup_minhash_lsh", "decontaminate_bloom",
 ]
 
 

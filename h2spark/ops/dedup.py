@@ -1873,3 +1873,113 @@ ORDER BY d.doc_id
 
 QUERIES["dedup_incremental"] = q_dedup_incremental
 ORACLES["dedup_incremental"] = ORACLE_DEDUP_INCREMENTAL
+
+
+# --- Bloom-prefiltered decontamination ----------------------------------
+#
+# q_decontaminate broadcasts the benchmark shingle RELATION — right
+# while the eval suite is small.  When the held-out side grows to 10^9
+# grams, the hash-join relation (32-char md5 strings + doc ids) stops
+# fitting in executor memory, but a Bloom filter at ~10 bits/element
+# still broadcasts (1.25 GB at 10^9 grams).  This variant builds the
+# Bloom bit array NATIVELY in Spark (distributed bit_or aggregation of
+# k probe positions into 64-bit words — no driver-side set, no Python
+# in the build), ships it as a one-row broadcast, probes every
+# training gram with pure codegen bit arithmetic, and only the grams
+# that pass (true matches + the ~0.1% false-positive tail) reach the
+# exact-verify join.  Bloom filters have NO false negatives, so the
+# final answer is exactly q_decontaminate's — the oracle is the same
+# exact-overlap SQL, which is what makes the prefilter testable.
+
+_BLOOM_M = 1 << 20   # bits (128 KiB) — sized for the sandbox bench set;
+                     # scale m with the gram count, it broadcasts as bytes
+_BLOOM_K = 5         # probes/gram: ~0.6% fpp at the sandbox load factor
+_BLOOM_WORDS = _BLOOM_M // 64
+
+
+def _bloom_positions(col, k: int | None = None, m: int | None = None) -> list:
+    """k probe positions for a gram: xxhash64 seeded per probe (the
+    seed rides as an extra hashed column), pmod m.  Codegen-only.
+    k/m resolve at call time so tests can shrink the filter and force
+    the false-positive path."""
+    k = _BLOOM_K if k is None else k
+    m = _BLOOM_M if m is None else m
+    return [
+        F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m)) for s in range(k)
+    ]
+
+
+def bloom_bits_row(grams: DataFrame, col: str = "shingle") -> DataFrame:
+    """One-row DataFrame holding the Bloom bit array as
+    array<bigint> (word w = bits 64w..64w+63).  Built distributedly:
+    explode the k positions, bit_or the position bits per word, then
+    densify the sparse (word, bits) pairs into the fixed-length array
+    via a map lookup — every step JVM-side."""
+    pos = grams.select(
+        F.explode(F.array(*_bloom_positions(F.col(col)))).alias("pos")
+    )
+    words = pos.groupBy(
+        (F.col("pos") / 64).cast("long").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(pos % 64 AS INT))")
+        ).alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))
+        ).alias("mp")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_M // 64 - 1)),
+            lambda i: F.coalesce(
+                F.element_at("mp", i.cast("long")), F.lit(0).cast("long")
+            ),
+        ).alias("bf")
+    )
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bench = _with_shingles(
+        d.where(F.col("doc_id") % _DECON_MOD == 0), _DECON_N
+    ).withColumnRenamed("doc_id", "bench_doc_id")
+    train = _with_shingles(
+        d.where(F.col("doc_id") % _DECON_MOD != 0), _DECON_N
+    )
+    bf = bloom_bits_row(bench.select("shingle"))
+    probed = train.crossJoin(F.broadcast(bf))
+    # one check per probe, all inside whole-stage codegen (variable
+    # shift amounts need the SQL form: the Python shiftrightunsigned
+    # helper only takes literal shift counts)
+    checks = [
+        f"((shiftrightunsigned(element_at(bf, "
+        f"cast(pmod(xxhash64(shingle, {s}), {_BLOOM_M}) div 64 AS INT)"
+        f" + 1), "
+        f"cast(pmod(xxhash64(shingle, {s}), {_BLOOM_M}) % 64 AS INT))"
+        f" & 1L) = 1)"
+        for s in range(_BLOOM_K)
+    ]
+    cand = probed.where(F.expr(" AND ".join(checks))).select(
+        "doc_id", "shingle"
+    )
+    # exact verify on the Bloom survivors only: at production scale
+    # this join SHUFFLES both sides (neither needs to broadcast — the
+    # candidate side is already down to true-matches + fp tail)
+    return (
+        cand.join(bench, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").cast("long").alias(
+                "n_shared_shingles"
+            ),
+            F.countDistinct("bench_doc_id").cast("long").alias(
+                "n_bench_docs"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+ORACLES["decontaminate_bloom"] = ORACLE_DECONTAMINATE

@@ -381,3 +381,63 @@ def test_shingles_udf_matches_expression_formulation(spark):
     lhs = {r["doc_id"]: list(r["s"]) for r in via_expr.collect()}
     rhs = {r["doc_id"]: list(r["s"]) for r in via_udf.collect()}
     assert lhs == rhs
+
+
+def test_bloom_prefilter_prunes_and_is_exact(spark):
+    """The Bloom stage must (a) pass every true match (no false
+    negatives -> output identical to exact decontaminate) and
+    (b) actually prune: candidate grams a small fraction of the
+    training gram stream."""
+    from h2spark.ops import dedup as dd
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        tuple(r) for r in dd.q_decontaminate(spark, sf).collect()
+    }
+    bloom = {
+        tuple(r) for r in dd.q_decontaminate_bloom(spark, sf).collect()
+    }
+    assert bloom == exact
+
+    d = dd._docs(spark, sf)
+    bench = dd._with_shingles(
+        d.where(F.col("doc_id") % dd._DECON_MOD == 0), dd._DECON_N
+    ).select("shingle")
+    train = dd._with_shingles(
+        d.where(F.col("doc_id") % dd._DECON_MOD != 0), dd._DECON_N
+    )
+    bf = dd.bloom_bits_row(bench)
+    checks = [
+        f"((shiftrightunsigned(element_at(bf, "
+        f"cast(pmod(xxhash64(shingle, {s}), {dd._BLOOM_M}) div 64 AS INT)"
+        f" + 1), "
+        f"cast(pmod(xxhash64(shingle, {s}), {dd._BLOOM_M}) % 64 AS INT))"
+        f" & 1L) = 1)"
+        for s in range(dd._BLOOM_K)
+    ]
+    total = train.count()
+    cand = (
+        train.crossJoin(F.broadcast(bf))
+        .where(F.expr(" AND ".join(checks)))
+        .count()
+    )
+    true_hits = train.join(F.broadcast(bench), "shingle", "left_semi").count()
+    assert true_hits <= cand  # no false negatives at the gram level
+    assert cand < total * 0.2  # the prefilter actually prunes
+
+
+def test_bloom_false_positives_swept_by_verify(spark, monkeypatch):
+    """Shrink the filter to 256 bits so nearly every gram collides:
+    the exact-verify join must still produce the exact answer."""
+    from h2spark.ops import dedup as dd
+
+    monkeypatch.setattr(dd, "_BLOOM_M", 256)
+    monkeypatch.setattr(dd, "_BLOOM_K", 2)
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        tuple(r) for r in dd.q_decontaminate(spark, sf).collect()
+    }
+    bloom = {
+        tuple(r) for r in dd.q_decontaminate_bloom(spark, sf).collect()
+    }
+    assert bloom == exact
