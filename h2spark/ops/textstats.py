@@ -1009,7 +1009,12 @@ def q_dup_passage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("last_tok").isNotNull())
         .select("doc_id", "h")
     )
-    g1 = grams.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    # g1 feeds BOTH the corpus-wide duplicate-hash set and the per-doc
+    # rollup; without materialization Spark re-runs the whole
+    # window-heavy gram build (scan + explode + two windows) for each
+    # consumer. Persist the narrow aggregated relation instead — the
+    # same ledger pattern as curation's packed export.
+    g1 = grams.groupBy("h", "doc_id").agg(F.count("*").alias("c")).persist()
     dups = (
         g1.groupBy("h")
         .agg(F.count("*").alias("nd"))

@@ -455,3 +455,53 @@ def test_packed_export_ledger_persisted_and_bounded_groups(spark):
         assert "collect_list" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_dup_passage_gram_relation_traversed_once(spark):
+    """The exploded gram relation must appear exactly once: the
+    per-doc total is recomputed as codegen off the scan, not by a
+    second traversal of the window-heavy gram build."""
+    from h2spark.ops import textstats
+
+    plan = _formatted(textstats.q_dup_passage_ratio(spark, SF), spark)
+    # the aggregated gram ledger is persisted: both consumers (dup-hash
+    # set + per-doc rollup) read the cache instead of re-running the
+    # scan + explode + two windows
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
+
+
+def test_bloom_probe_is_codegen_broadcast_only(spark):
+    """The Bloom probe stage: one-row bit-array broadcast, probes in
+    whole-stage codegen — no Python eval, and the bench relation is
+    only joined AFTER the prefilter (exact-verify)."""
+    from h2spark.ops import dedup
+
+    plan = _formatted(dedup.q_decontaminate_bloom(spark, SF), spark)
+    assert "BatchEvalPython" not in plan  # shingles are Arrow-vectorized
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bf attach
+    assert "shiftrightunsigned" in plan  # probes inlined in the join cond
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # exact-verify stays a hash join
+
+
+def test_media_fingerprint_pair_joins_are_hash_joins(spark):
+    """dHash / audio-fp candidate mining must pair via the banded
+    equi-join (hash join on band key), never a cartesian product."""
+    from h2spark.ops import multimodal
+
+    for q in (multimodal.q_image_dedup_dhash, multimodal.q_audio_dedup_fp):
+        plan = _formatted(q(spark, SF), spark)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" in plan
+
+
+def test_incremental_dedup_single_signature_build(spark):
+    """Both sides of the new-vs-index join come from ONE banded
+    signature build (the filter splits a shared relation): the
+    shingle->signature chain must not run twice from the scan."""
+    from h2spark.ops import dedup
+
+    plan = _formatted(dedup.q_dedup_incremental(spark, SF), spark)
+    assert "BatchEvalPython" not in plan
