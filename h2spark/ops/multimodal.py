@@ -1678,3 +1678,115 @@ ORDER BY doc_a, doc_b
 
 QUERIES["audio_dedup_fp"] = q_audio_dedup_fp
 ORACLES["audio_dedup_fp"] = ORACLE_AUDIO_DEDUP_FP
+
+
+# --- content-based media format sniffing (codegen, zero Python) ---------
+
+_SNIFF_KINDS = [
+    "png", "gif", "jpeg", "bmp", "wav",
+    "avi", "webp", "pdf", "gzip", "truncated",
+]
+_SNIFF_N_DOCS = 40
+
+
+def sniff_media_format(b) -> F.Column:
+    """Magic-byte format detection as a pure-codegen Column over a
+    binary column — the dispatch front door for the codec registry at
+    scale: route a 10^12-blob column by CONTENT (crawlers lie about
+    extensions) without a single Python invocation.  RIFF containers
+    (WAV/AVI/WebP) sub-dispatch on bytes 9-12."""
+    h2 = F.hex(F.substring(b, 1, 2))
+    h3 = F.hex(F.substring(b, 1, 3))
+    h4 = F.hex(F.substring(b, 1, 4))
+    riff = F.hex(F.substring(b, 9, 4))
+    return (
+        F.when(F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A", "png")
+        .when(h4 == "47494638", "gif")
+        .when(h3 == "FFD8FF", "jpeg")
+        .when((h4 == "52494646") & (riff == "57415645"), "wav")
+        .when((h4 == "52494646") & (riff == "41564920"), "avi")
+        .when((h4 == "52494646") & (riff == "57454250"), "webp")
+        .when(h4 == "25504446", "pdf")
+        .when(h2 == "424D", "bmp")
+        .when(h2 == "1F8B", "gzip")
+        .otherwise("unknown")
+    )
+
+
+def synth_magic_df(spark: SparkSession, n: int = _SNIFF_N_DOCS) -> DataFrame:
+    """Table of REAL format headers (genuine magic bytes + minimal
+    filler), one kind per id % 10; the 'truncated' kind is a 1-byte
+    blob that must sniff as unknown.  The declared extension in
+    media_ref deliberately comes from the NEXT kind — crawl blobs lie
+    about extensions, which is exactly why routing sniffs content."""
+    df = spark.range(n)
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _SNIFF_KINDS]),
+        (F.col("id") % 10 + 1).cast("int"),
+    )
+    lies = F.element_at(
+        F.array(*[F.lit(k) for k in _SNIFF_KINDS]),
+        ((F.col("id") + 1) % 10 + 1).cast("int"),
+    )
+    hexstr = (
+        F.when(kind == "png", F.lit("89504E470D0A1A0A0000000D"))
+        .when(kind == "gif", F.lit("474946383961100010000000"))
+        .when(kind == "jpeg", F.lit("FFD8FFE000104A4649460001"))
+        .when(kind == "bmp", F.lit("424D3600000000000000"))
+        .when(kind == "wav", F.lit("524946462400000057415645666D7420"))
+        .when(kind == "avi", F.lit("524946462400000041564920"))
+        .when(kind == "webp", F.lit("524946462400000057454250"))
+        .when(kind == "pdf", F.lit("255044462D312E370A25"))
+        .when(kind == "gzip", F.lit("1F8B08000000000000FF"))
+        .otherwise(F.lit("00"))  # truncated
+    )
+    ref = F.concat(
+        F.lit("crawl://blob/"), F.col("id").cast("string"),
+        F.lit("."), lies,
+    )
+    return df.select(
+        ref.alias("media_ref"), F.unhex(hexstr).alias("media_bytes")
+    )
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract query: content-based sniffing over genuine
+    magic bytes, with the extension in media_ref deliberately wrong —
+    output also flags the lie.  All codegen; the oracle replays the
+    expected format from the construction kind."""
+    d = synth_magic_df(spark)
+    sniffed = sniff_media_format(F.col("media_bytes"))
+    return (
+        d.select(
+            "media_ref",
+            sniffed.alias("fmt"),
+            (
+                F.element_at(F.split("media_ref", "\\."), -1) != sniffed
+            ).alias("ext_lies"),
+        )
+        .orderBy("media_ref")
+    )
+
+
+ORACLE_MEDIA_SNIFF = f"""
+WITH kinds AS (
+  SELECT unnest(['png','gif','jpeg','bmp','wav',
+                 'avi','webp','pdf','gzip','truncated']) AS k,
+         generate_subscripts(['png','gif','jpeg','bmp','wav',
+                 'avi','webp','pdf','gzip','truncated'], 1) - 1 AS i
+),
+base AS (
+  SELECT id,
+         (SELECT k FROM kinds WHERE i = id % 10) AS kind,
+         (SELECT k FROM kinds WHERE i = (id + 1) % 10) AS lies
+  FROM range(0, {_SNIFF_N_DOCS}) t(id)
+)
+SELECT 'crawl://blob/' || id || '.' || lies AS media_ref,
+       CASE WHEN kind = 'truncated' THEN 'unknown' ELSE kind END AS fmt,
+       (lies != CASE WHEN kind = 'truncated' THEN 'unknown' ELSE kind END)
+         AS ext_lies
+FROM base ORDER BY media_ref
+"""
+
+QUERIES["media_sniff"] = q_media_sniff
+ORACLES["media_sniff"] = ORACLE_MEDIA_SNIFF

@@ -1256,3 +1256,34 @@ def test_wav_fingerprint_variants_structure():
         assert hamming_bands(b[g], b[g + 12]) == 0
         assert hamming_bands(b[g], b[g + 36]) <= 1
         assert hamming_bands(b[g], b[g + 24]) > 1
+
+
+def test_sniff_real_codec_outputs(spark):
+    """The sniffer must route genuine full files produced by the real
+    encoders (not just synthesized headers)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from h2spark.core.pngcodec import encode_png
+    from h2spark.ops.multimodal import sniff_media_format
+
+    png = encode_png(4, 3, 1, bytes(range(12)), row_filter=lambda y: 0)
+    body = struct.pack("<4h", 1, -2, 3, -4)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    import gzip as _gzip
+
+    gz = _gzip.compress(b"payload")
+    rows = [(bytearray(png),), (bytearray(wav),), (bytearray(gz),), (b"",)]
+    df = spark.createDataFrame(rows, "media_bytes binary")
+    got = [
+        r[0]
+        for r in df.select(
+            sniff_media_format(F.col("media_bytes"))
+        ).collect()
+    ]
+    assert got == ["png", "wav", "gzip", "unknown"]

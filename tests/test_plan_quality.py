@@ -505,3 +505,13 @@ def test_incremental_dedup_single_signature_build(spark):
 
     plan = _formatted(dedup.q_dedup_incremental(spark, SF), spark)
     assert "BatchEvalPython" not in plan
+
+
+def test_media_sniff_is_pure_codegen(spark):
+    """Format routing over a 10^12-blob column must never leave the
+    JVM: no Python eval of any kind, no shuffle before the sort."""
+    from h2spark.ops import multimodal
+
+    plan = _formatted(multimodal.q_media_sniff(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # only the final global sort
