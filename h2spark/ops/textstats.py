@@ -1108,3 +1108,100 @@ ORDER BY ptot.doc_id
 
 QUERIES["text_dup_passage_ratio"] = q_dup_passage_ratio
 ORACLES["text_dup_passage_ratio"] = ORACLE_DUP_PASSAGE
+
+
+# --- hashed-n-gram document embeddings (the featurizer) -----------------
+
+_EMB_DIM = 64
+
+
+def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings: 64-dim signed-count vector
+    per document — dim j accumulates +/-1 per token occurrence, with
+    both the bucket (first 8 md5 hex digits mod 64) and the sign
+    (9th digit < 8) drawn from one md5 per token.  This is the
+    deterministic featurizer that PRODUCES an embedding column for
+    the ANN / SemDeDup / quantization family, so the whole
+    embedding-side pipeline no longer depends on embeddings arriving
+    from outside.
+
+    Scale shape: explode -> ONE map-side-combinable groupBy on
+    (doc_id, dim) -> per-doc densify via map lookup (a transform over
+    a 64-slot sequence — no cross join, no window, no Python).  Empty
+    documents keep an all-zero vector through the left join.
+    Output is the comma-joined vector (order pinned) plus the squared
+    L2 norm, so the driver hash covers every component."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = F.md5(F.col("tok"))
+    cells = toks.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+            F.lit(_EMB_DIM),
+        ).cast("int").alias("j"),
+        F.when(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("long") < 8, 1
+        ).otherwise(-1).alias("s"),
+    )
+    agg = cells.groupBy("doc_id", "j").agg(
+        F.sum("s").cast("long").alias("v")
+    )
+    mp = agg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("j", "v"))).alias("mp")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(_EMB_DIM - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("mp"), i.cast("int")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return (
+        d.select("doc_id").join(mp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(emb, lambda v: v.cast("string")), ","
+            ).alias("emb_csv"),
+            F.aggregate(
+                emb, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            ).alias("l2sq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_EMBED_HASH = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array({_NORM_DUCK}, ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+cells AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_EMB_DIM} AS j,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT < 8
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, j, sum(s)::BIGINT AS v FROM cells GROUP BY 1, 2
+),
+dims AS (
+  SELECT d.doc_id, dim.j, coalesce(a.v, 0)::BIGINT AS v
+  FROM documents d
+  CROSS JOIN range(0, {_EMB_DIM}) dim(j)
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = dim.j
+)
+SELECT doc_id,
+       string_agg(v::VARCHAR, ',' ORDER BY j) AS emb_csv,
+       sum(v * v)::BIGINT AS l2sq
+FROM dims GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["text_embed_hash"] = q_text_embed_hash
+ORACLES["text_embed_hash"] = ORACLE_TEXT_EMBED_HASH

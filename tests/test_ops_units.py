@@ -1287,3 +1287,16 @@ def test_sniff_real_codec_outputs(spark):
         ).collect()
     ]
     assert got == ["png", "wav", "gzip", "unknown"]
+
+
+def test_embed_hash_vector_shape_and_norm(spark):
+    """64 comma-joined ints per doc; l2sq equals the sum of squares of
+    the parsed components; empty docs keep an all-zero vector."""
+    from h2spark.ops.textstats import q_text_embed_hash
+
+    rows = q_text_embed_hash(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows[:50]:
+        comps = [int(x) for x in r.emb_csv.split(",")]
+        assert len(comps) == 64
+        assert sum(c * c for c in comps) == r.l2sq

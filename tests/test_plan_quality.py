@@ -515,3 +515,16 @@ def test_media_sniff_is_pure_codegen(spark):
     plan = _formatted(multimodal.q_media_sniff(spark, SF), spark)
     assert "EvalPython" not in plan
     assert plan.count("Exchange") <= 2  # only the final global sort
+
+
+def test_embed_hash_single_aggregation_chain_no_python(spark):
+    """The featurizer is explode -> one map-side-combinable groupBy ->
+    per-doc densify: no Python eval, no window, and the zero-fill is a
+    transform over the map — not a 64-way cross join."""
+    from h2spark.ops import textstats
+
+    plan = _formatted(textstats.q_text_embed_hash(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
