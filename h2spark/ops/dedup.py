@@ -1983,3 +1983,42 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
 ORACLES["decontaminate_bloom"] = ORACLE_DECONTAMINATE
+
+
+def minhash_band_cols():
+    """The 4 banded MinHash band keys as ROW-LOCAL columns (_bk0.._bk3)
+    over ``text`` — byte-identical to minhash_band_table's band_key,
+    but computed without any aggregation (the per-doc min runs as
+    array_min over the shingle array), so the whole signature build is
+    a stateless projection that runs unchanged under Structured
+    Streaming (streams cannot groupBy without watermark state; a
+    row-local formulation sidesteps state entirely)."""
+    words = F.split(F.expr(_NORM), " ")
+    sh = _shingles_udf(_SHINGLE_N)(words)
+    pairs = F.transform(
+        sh,
+        lambda x: F.struct(
+            F.conv(F.substring(F.md5(x), 1, 8), 16, 10)
+            .cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(x), 9, 8), 16, 10)
+            .cast("long").alias("h2"),
+        ),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                pairs,
+                lambda p: (p["h1"] + F.lit(s) * p["h2"])
+                % F.lit(4294967296),
+            )
+        )
+        for s in range(_N_HASHES)
+    ]
+    return [
+        F.md5(
+            F.concat_ws(
+                "|", *[mins[b * _BAND_ROWS + r] for r in range(_BAND_ROWS)]
+            )
+        ).alias(f"_bk{b}")
+        for b in range(_N_HASHES // _BAND_ROWS)
+    ]

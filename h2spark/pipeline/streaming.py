@@ -445,3 +445,69 @@ def run_streaming_token_meter(
     return _start_append_writer(
         token_meter(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- streaming near-dup gate (stream-static banded MinHash) --------------
+
+
+def near_dup_gate(df, index_bands):
+    """Admit only documents that are NOT near-dup candidates of the
+    existing corpus: compute the 4 banded MinHash keys row-locally
+    (ops/dedup.minhash_band_cols — a stateless projection, so it runs
+    identically on a batch DataFrame and a readStream) and require all
+    four to miss the static index via per-band stream-static LEFT
+    joins (each an equi HASH join against the distinct band-key set —
+    supported in append mode with zero state).  Conservative
+    candidate-level semantics: any shared band routes the doc OUT of
+    the fast path (to batch verification); at est_jaccard-level
+    precision use ops/dedup.incremental_dup_report batch-side.
+
+    ``index_bands`` is minhash_band_table output (or its stored twin
+    — with pipeline/bucketing.py the index can live bucketed on
+    band_key so rebuilding the gate costs no shuffle)."""
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.dedup import _BAND_ROWS, _N_HASHES, minhash_band_cols
+
+    n_bands = _N_HASHES // _BAND_ROWS
+    out = df.select("*", *minhash_band_cols())
+    for b in range(n_bands):
+        ib = (
+            index_bands.where(F.col("band") == b)
+            .select(F.col("band_key").alias(f"_ik{b}"))
+            .distinct()
+        )
+        out = out.join(
+            ib, out[f"_bk{b}"] == ib[f"_ik{b}"], "left"
+        )
+    keep = None
+    for b in range(n_bands):
+        c = F.col(f"_ik{b}").isNull()
+        keep = c if keep is None else (keep & c)
+    drop = [f"_bk{b}" for b in range(n_bands)] + [
+        f"_ik{b}" for b in range(n_bands)
+    ]
+    return out.where(keep).drop(*drop)
+
+
+def run_streaming_near_dup_gate(
+    spark: SparkSession,
+    input_dir: str,
+    index_bands,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental novelty filter over a growing documents directory:
+    only documents sharing no MinHash band with the static corpus
+    index reach the sink."""
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        near_dup_gate(stream, index_bands), out_dir, checkpoint_dir,
+        available_now,
+    )

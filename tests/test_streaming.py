@@ -393,3 +393,75 @@ def test_streaming_token_meter_matches_batch(spark, tmp_path):
     from h2spark.core.bpe_table import BASE_CHARS, MERGES
 
     assert got[0][0] == bpe.count_tokens(rows[0][1], BASE_CHARS, MERGES)
+
+
+def test_row_local_band_keys_match_band_table(spark):
+    """minhash_band_cols (the stateless streaming formulation) must be
+    byte-identical to minhash_band_table (the batch aggregation)."""
+    from h2spark.ops.dedup import minhash_band_cols, minhash_band_table
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row_local = {
+        r["doc_id"]: tuple(r[f"_bk{b}"] for b in range(4))
+        for r in d.select("doc_id", *minhash_band_cols()).collect()
+    }
+    table = {}
+    for r in minhash_band_table(d).collect():
+        table.setdefault(r["doc_id"], {})[r["band"]] = r["band_key"]
+    assert set(row_local) == set(table)
+    for doc, keys in row_local.items():
+        assert keys == tuple(table[doc][b] for b in range(4))
+
+
+def test_streaming_near_dup_gate_matches_batch(spark, tmp_path):
+    """The gate streamed over two micro-batch files must admit exactly
+    the docs the batch gate admits — and those are exactly the docs
+    incremental_dup_report finds zero candidates for."""
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.dedup import (
+        _INC_SPLIT_MOD, incremental_dup_report, minhash_band_table,
+    )
+    from h2spark.pipeline.streaming import (
+        near_dup_gate, run_streaming_near_dup_gate,
+    )
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    is_new = F.pmod(F.col("doc_id"), F.lit(_INC_SPLIT_MOD)) == 0
+    index = minhash_band_table(d.where(~is_new))
+    new = d.where(is_new)
+
+    batch_admitted = {
+        r["doc_id"] for r in near_dup_gate(new, index).collect()
+    }
+    zero_cand = {
+        r["doc_id"]
+        for r in incremental_dup_report(
+            spark.read.parquet(
+                "/root/testdata/sf0.001/documents.parquet"
+            ),
+            is_new,
+        ).collect()
+        if r["n_candidates"] == 0
+    }
+    assert batch_admitted == zero_cand
+
+    inp = tmp_path / "gate_in"
+    out = tmp_path / "gate_out"
+    half = new.where(F.col("doc_id") < 50)
+    rest = new.where(F.col("doc_id") >= 50)
+    half.coalesce(1).write.mode("append").parquet(str(inp))
+    rest.coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_near_dup_gate(
+        spark, str(inp), index, str(out), available_now=True
+    )
+    q.awaitTermination(180)
+    streamed = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out) + "/data").collect()
+    }
+    assert streamed == batch_admitted
+    assert 0 < len(streamed) < new.count()  # gate admits some, drops some
