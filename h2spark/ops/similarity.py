@@ -1134,3 +1134,97 @@ ORACLE_DEDUP_SEMANTIC = _oracle_dedup_semantic()
 
 QUERIES["dedup_semantic"] = q_dedup_semantic
 ORACLES["dedup_semantic"] = ORACLE_DEDUP_SEMANTIC
+
+
+# --- text-derived ANN: hashed-embedding dot-product top-k ---------------
+#
+# Composes the featurizer (textstats.hashed_embedding_df) with the ANN
+# ranking shape: the whole text -> embedding -> similarity path runs
+# inside the engine with no external vectors.  Integer dot products
+# are exact, so every engine ranks identically (no float-tie traps).
+
+_TXT_ANN_QUERIES = 3
+_TXT_ANN_K = 5
+
+
+def q_ann_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most similar documents per query doc (doc_id < 3) by
+    EXACT integer dot product over the 64-dim hashing-trick
+    embeddings.  Scale shape mirrors ann_bruteforce_topk: the query
+    side broadcasts; ranking is the per-query window (bounded by
+    n_queries partitions).  Ties break on cand_id."""
+    from h2spark.ops.textstats import hashed_embedding_df
+
+    e = hashed_embedding_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    q = e.where(F.col("doc_id") < _TXT_ANN_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    c = e.select(F.col("doc_id").alias("cand_id"), F.col("emb").alias("ce"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", dot.alias("dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TXT_ANN_K)
+        .select("query_id", "cand_id", F.col("dot").cast("long").alias("dot"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_TXT_EMB_NORM_DUCK = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+ORACLE_ANN_TEXT = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array({_TXT_EMB_NORM_DUCK}, ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+cells AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT < 8
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, j, sum(s)::BIGINT AS v FROM cells GROUP BY 1, 2
+),
+dims AS (
+  SELECT d.doc_id, dim.j, coalesce(a.v, 0)::BIGINT AS v
+  FROM documents d
+  CROSS JOIN range(0, 64) dim(j)
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = dim.j
+),
+scored AS (
+  SELECT qd.doc_id AS query_id, cd.doc_id AS cand_id,
+         sum(qd.v * cd.v)::BIGINT AS dot
+  FROM dims qd JOIN dims cd ON qd.j = cd.j
+  WHERE qd.doc_id < {_TXT_ANN_QUERIES} AND cd.doc_id <> qd.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, dot, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TXT_ANN_K}
+ORDER BY query_id, rank
+"""
+
+QUERIES["ann_text_topk"] = q_ann_text_topk
+ORACLES["ann_text_topk"] = ORACLE_ANN_TEXT

@@ -1115,23 +1115,11 @@ ORACLES["text_dup_passage_ratio"] = ORACLE_DUP_PASSAGE
 _EMB_DIM = 64
 
 
-def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashing-trick document embeddings: 64-dim signed-count vector
-    per document — dim j accumulates +/-1 per token occurrence, with
-    both the bucket (first 8 md5 hex digits mod 64) and the sign
-    (9th digit < 8) drawn from one md5 per token.  This is the
-    deterministic featurizer that PRODUCES an embedding column for
-    the ANN / SemDeDup / quantization family, so the whole
-    embedding-side pipeline no longer depends on embeddings arriving
-    from outside.
-
-    Scale shape: explode -> ONE map-side-combinable groupBy on
-    (doc_id, dim) -> per-doc densify via map lookup (a transform over
-    a 64-slot sequence — no cross join, no window, no Python).  Empty
-    documents keep an all-zero vector through the left join.
-    Output is the comma-joined vector (order pinned) plus the squared
-    L2 norm, so the driver hash covers every component."""
-    d = _docs(spark, sf_dir)
+def hashed_embedding_df(d: DataFrame) -> DataFrame:
+    """(doc_id, emb: array<bigint>) — the hashing-trick embedding for
+    every document of d (zero vector for empty docs).  Shared by the
+    contract query and the text-derived ANN ranking
+    (similarity.ann_text_topk)."""
     toks = d.select(
         "doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok")
     ).where(F.length("tok") > 0)
@@ -1159,9 +1147,32 @@ def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ),
     )
+    return d.select("doc_id").join(mp, "doc_id", "left").select(
+        "doc_id", emb.alias("emb")
+    )
+
+
+def q_text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings: 64-dim signed-count vector
+    per document — dim j accumulates +/-1 per token occurrence, with
+    both the bucket (first 8 md5 hex digits mod 64) and the sign
+    (9th digit < 8) drawn from one md5 per token.  This is the
+    deterministic featurizer that PRODUCES an embedding column for
+    the ANN / SemDeDup / quantization family, so the whole
+    embedding-side pipeline no longer depends on embeddings arriving
+    from outside.
+
+    Scale shape: explode -> ONE map-side-combinable groupBy on
+    (doc_id, dim) -> per-doc densify via map lookup (a transform over
+    a 64-slot sequence — no cross join, no window, no Python).  Empty
+    documents keep an all-zero vector through the left join.
+    Output is the comma-joined vector (order pinned) plus the squared
+    L2 norm, so the driver hash covers every component."""
+    d = _docs(spark, sf_dir)
+    emb_df = hashed_embedding_df(d)
+    emb = F.col("emb")
     return (
-        d.select("doc_id").join(mp, "doc_id", "left")
-        .select(
+        emb_df.select(
             "doc_id",
             F.array_join(
                 F.transform(emb, lambda v: v.cast("string")), ","
