@@ -876,3 +876,34 @@ def wav_fingerprint_bands_batch(doc_ids, n: int = 132, rate: int = 8000) -> list
         _, _, got = decode_wav_samples(wav)
         outs.append(audio_fp_bands(got))
     return outs
+
+
+def png_quarantine_batch(doc_ids, w: int = 8, h: int = 6) -> list:
+    """REAL decode-or-quarantine path: per doc, a genuine PNG is
+    encoded, then deterministically sabotaged for two of every four
+    docs (id%4==2: one IDAT byte flipped -> zlib/unfilter failure;
+    id%4==3: truncated after 20 bytes -> header failure).  The decode
+    runs under the quarantine contract: any exception classifies the
+    blob as 'quarantined' instead of failing the task — at 10^12
+    blobs SOME bytes are always corrupt, and one bad row must never
+    kill a 1000-executor stage.  Returns (status, width, height)
+    with dims None when quarantined."""
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        px = bytes((d * 7 + i) % 256 for i in range(w * h))
+        data = bytearray(encode_png(w, h, 1, px, row_filter=lambda y: y % 5))
+        if d % 4 == 2:
+            data[-10] ^= 0xFF  # corrupt inside IDAT/CRC tail
+        elif d % 4 == 3:
+            data = data[:20]  # truncated mid-IHDR
+        try:
+            w2, h2, ch, dec = decode_png(bytes(data))
+            if len(dec) != w2 * h2 * ch:
+                raise ValueError("short pixel buffer")
+            outs.append(("ok", w2, h2))
+        except Exception:
+            outs.append(("quarantined", None, None))
+    return outs

@@ -1790,3 +1790,53 @@ FROM base ORDER BY media_ref
 
 QUERIES["media_sniff"] = q_media_sniff
 ORACLES["media_sniff"] = ORACLE_MEDIA_SNIFF
+
+
+# --- decode-or-quarantine (corrupt bytes never kill the stage) ----------
+
+_QUAR_N_DOCS = 48
+
+
+def q_media_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust decode over a corpus where half the blobs are sabotaged
+    (flipped IDAT byte / truncated header): valid PNGs decode to their
+    real dimensions, broken ones are CLASSIFIED — never raised — so a
+    single corrupt row cannot fail a stage (dims -1 when quarantined).
+    The oracle replays the expected status and dims from the
+    construction (ids 0/1 mod 4 are intact, 2/3 are sabotaged)."""
+    from h2spark.core.runner import png_quarantine_batch
+
+    def decode(batches):
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            res = png_quarantine_batch(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "status": [r[0] for r in res],
+                    # -1 sentinel, not NULL: a nullable BIGINT fetched
+                    # through pandas degrades to float64 on the oracle
+                    # side and flips the driver hash
+                    "width": [-1 if r[1] is None else r[1] for r in res],
+                    "height": [-1 if r[2] is None else r[2] for r in res],
+                }
+            )
+
+    return (
+        spark.range(_QUAR_N_DOCS).repartition(4)
+        .mapInPandas(decode, "doc_id long, status string, width long, height long")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MEDIA_QUARANTINE = f"""
+SELECT id AS doc_id,
+       CASE WHEN id % 4 IN (2, 3) THEN 'quarantined' ELSE 'ok' END AS status,
+       CASE WHEN id % 4 IN (2, 3) THEN -1 ELSE 8 END::BIGINT AS width,
+       CASE WHEN id % 4 IN (2, 3) THEN -1 ELSE 6 END::BIGINT AS height
+FROM range(0, {_QUAR_N_DOCS}) t(id)
+ORDER BY doc_id
+"""
+
+QUERIES["media_quarantine"] = q_media_quarantine
+ORACLES["media_quarantine"] = ORACLE_MEDIA_QUARANTINE

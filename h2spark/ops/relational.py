@@ -255,3 +255,60 @@ ORDER BY hour_epoch, event_type
 
 QUERIES["events_hourly_window"] = q_events_hourly_window
 ORACLES["events_hourly_window"] = ORACLE_EVENTS_HOURLY
+
+
+# --- output compaction planning (the small-files problem) ---------------
+
+_TARGET_FILE_BYTES = 1 << 20  # sandbox target; production ~512 MiB
+
+
+def q_export_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language output file plan: estimated bytes (n_chars as the
+    serialized-size proxy), file count at the target file size, and
+    rows per file.  This is the arithmetic behind
+    ``df.repartitionByRange(n_files, ...)`` before a partitioned
+    write — at 10^12 docs an unplanned write emits one file per
+    shuffle partition per lang value and drowns the table in small
+    files; metadata-only planning like this (one narrow groupBy)
+    costs nothing and bounds both file count and file size.
+    All-integer output (ceil via div arithmetic), so the oracle is
+    exact."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = _TARGET_FILE_BYTES
+    agg = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("est_bytes"),
+    )
+    n_files = F.greatest(
+        F.expr(f"(est_bytes + {t - 1}) div {t}"), F.lit(1)
+    ).cast("long")
+    return (
+        agg.select(
+            "lang", "n_rows", "est_bytes",
+            n_files.alias("n_files"),
+            F.expr(
+                f"(n_rows + greatest((est_bytes + {t - 1}) div {t}, 1) - 1)"
+                f" div greatest((est_bytes + {t - 1}) div {t}, 1)"
+            ).cast("long").alias("rows_per_file"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_EXPORT_PARTITION_PLAN = f"""
+WITH agg AS (
+  SELECT lang, count(*)::BIGINT AS n_rows, sum(n_chars)::BIGINT AS est_bytes
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_rows, est_bytes,
+       greatest((est_bytes + {_TARGET_FILE_BYTES - 1}) // {_TARGET_FILE_BYTES},
+                1)::BIGINT AS n_files,
+       ((n_rows + greatest((est_bytes + {_TARGET_FILE_BYTES - 1})
+                           // {_TARGET_FILE_BYTES}, 1) - 1)
+        // greatest((est_bytes + {_TARGET_FILE_BYTES - 1})
+                    // {_TARGET_FILE_BYTES}, 1))::BIGINT AS rows_per_file
+FROM agg ORDER BY lang
+"""
+
+QUERIES["export_partition_plan"] = q_export_partition_plan
+ORACLES["export_partition_plan"] = ORACLE_EXPORT_PARTITION_PLAN
