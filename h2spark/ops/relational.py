@@ -312,3 +312,64 @@ FROM agg ORDER BY lang
 
 QUERIES["export_partition_plan"] = q_export_partition_plan
 ORACLES["export_partition_plan"] = ORACLE_EXPORT_PARTITION_PLAN
+
+
+# --- exact discrete percentiles (per-language length distribution) ------
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of document length per language:
+    rank rows inside each lang partition (deterministic (n_chars,
+    doc_id) order) and pick the value at rank ceil(p*n) — all-integer
+    rank arithmetic, so both engines agree to the bit.
+
+    Scale note: exact percentiles cost a per-lang sort (here a
+    window; the partition count is the number of languages, so skewed
+    lang sizes dominate a task each).  At 10^12 docs production uses
+    approx_percentile sketches on the same scan; this operator is the
+    exact gold standard those sketches are validated against."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang", "n_chars", "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    def pick(num: int, den: int, name: str):
+        # value at rank ceil(num*n/den), integer ceil
+        target = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return F.max(
+            F.when(F.col("rn") == target, F.col("n_chars"))
+        ).cast("long").alias(name)
+
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            pick(1, 2, "p50"),
+            pick(9, 10, "p90"),
+            pick(99, 100, "p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LENGTH_PERCENTILES = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       max(n)::BIGINT AS n_docs,
+       max(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END)::BIGINT AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)::BIGINT AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END)::BIGINT AS p99
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["length_percentiles"] = q_length_percentiles
+ORACLES["length_percentiles"] = ORACLE_LENGTH_PERCENTILES
