@@ -69,21 +69,14 @@ def _all_modules():
 
 
 # The driver's correctness run covers the FIRST 50 registered queries.
-# Round-6 rotation (VERDICT r5 next-round #5 — alternate, don't
-# accrete): (1) the 20 queries NEW or CHANGED in round 6 (real
-# merge-table BPE + trainer + the three rebased training queries + the
-# quality_e4 budget fix, PII scrub, blocklist filter, Gopher rules,
-# RAG chunking, progressive-JPEG roundtrip, WARC gzip skip member,
-# G.711 + ADPCM audio, WebP lossless, Motion-JPEG video, PQ codes +
-# ADC search, mixture weights, SemDeDup), then (2) the 16 dedup/text
-# queries rotated OUT of the
-# r05 window (driver-unchecked since r03/r04), then (3) the
-# core-extraction canaries (the parser changed this round:
-# force-quirks doctypes, fragment attr escaping), then (4) stale
-# fillers. Rotated out for r6: the multimodal/PDF/table codec family,
-# ANN/quantize, the link family and repetition/BM25/bigram — all
-# hash-green in the r05 driver window, unchanged in r6, and still
-# compared against DuckDB every CI run by tests/test_driver_contract.py.
+# Round-7 rotation (VERDICT r6 next-round #5 — alternate, don't
+# accrete): (1) the r7-new/changed set, (2) the full 30-query block
+# last driver-checked in r05 (rotation debt: nothing unchecked 2+
+# rounds), (3) extraction canaries, (4) this round's new operators.
+# Newest r7 queries past the 50 slots (media_sniff, text_embed_hash,
+# ann_text_topk, export_partition_plan, media_quarantine,
+# length_percentiles) are 0 rounds old, CI-oracle-checked every run
+# by tests/test_driver_contract.py, and rotate into the r8 window.
 _PRIORITY = [
     # (1) new/changed in round 7: large-table kernel BPE count, fast
     #     trainer, guarded SemDeDup, the BIGINT-cast budget oracle,
