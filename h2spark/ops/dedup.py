@@ -2022,3 +2022,52 @@ def minhash_band_cols():
         ).alias(f"_bk{b}")
         for b in range(_N_HASHES // _BAND_ROWS)
     ]
+
+
+# --- banding observability: bucket-size histogram -----------------------
+
+
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash band-bucket size distribution: per band, how many
+    buckets hold exactly s documents.  The banding-health monitor you
+    run BEFORE the pair join at scale: candidate-pair volume is
+    sum(s*(s-1)/2) per bucket, so a hot bucket (boilerplate corpus, a
+    viral page) shows up here as a long tail — the same pre-flight
+    role srp_bucket_volume / semantic_cell_volume play for their
+    families, but as a driver-contract query with an exact oracle.
+    Two narrow groupBys, both map-side combinable; output includes
+    the implied pair volume per (band, size) cohort."""
+    d = _docs(spark, sf_dir)
+    bands = minhash_band_table(d)
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count("*").alias("s")
+    )
+    return (
+        sizes.groupBy("band", "s")
+        .agg(F.count("*").cast("long").alias("n_buckets"))
+        .select(
+            F.col("band").cast("long").alias("band"),
+            F.col("s").cast("long").alias("bucket_size"),
+            "n_buckets",
+            F.expr("s * (s - 1) div 2 * n_buckets")
+            .cast("long").alias("pair_volume"),
+        )
+        .orderBy("band", "bucket_size")
+    )
+
+
+ORACLE_LSH_BUCKET_HISTOGRAM = f"""
+WITH {_shingles_cte_duck()},
+{_SIG_BANDS_CTE},
+sizes AS (
+  SELECT band, band_key, count(*)::BIGINT AS s
+  FROM bands GROUP BY 1, 2
+)
+SELECT band::BIGINT AS band, s AS bucket_size,
+       count(*)::BIGINT AS n_buckets,
+       (s * (s - 1) // 2 * count(*))::BIGINT AS pair_volume
+FROM sizes GROUP BY band, s ORDER BY band, bucket_size
+"""
+
+QUERIES["lsh_bucket_histogram"] = q_lsh_bucket_histogram
+ORACLES["lsh_bucket_histogram"] = ORACLE_LSH_BUCKET_HISTOGRAM
