@@ -912,9 +912,16 @@ class _Builder:
     def _foster_insert(self, node: Element) -> None:
         """Insert ``node`` immediately before the last open <table> —
         where content illegal inside a table lands (WHATWG "foster
-        parenting")."""
+        parenting").  Spec step one: if a <template> is on the stack
+        NEARER than any <table> (template contents being built with
+        table structure but no real table), the foster home is inside
+        the template contents, after its last child."""
         stack = self.stack
         for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == "template":
+                stack[i].append_child(node)
+                self._moved = True
+                return
             if stack[i].tag == "table":
                 table = stack[i]
                 parent = table.parent
@@ -932,6 +939,13 @@ class _Builder:
     def _foster_text(self, data: str) -> None:
         stack = self.stack
         for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == "template":
+                target = stack[i]
+                if target.children and type(target.children[-1]) is Text:
+                    target.children[-1].data += data
+                else:
+                    target.append_child(Text(data))
+                return
             if stack[i].tag == "table":
                 table = stack[i]
                 parent = table.parent
@@ -1489,7 +1503,30 @@ class _Builder:
                     # directly into the template contents — NO implied
                     # <table>/<tbody> — with clear-back rules bounded at
                     # the template fragment (row templates:
-                    # <template><tr><td>… is ubiquitous real-web HTML)
+                    # <template><tr><td>… is ubiquitous real-web HTML).
+                    # BUT only while the template is still in
+                    # table-building context: once non-table content
+                    # committed it to "in body" (spec: the template
+                    # insertion mode was popped for "in body"), a stray
+                    # tr/tbody is ignored exactly as in body — UNLESS a
+                    # cell is open, where the close-cell machinery
+                    # applies (<template><tr><td><div><tr> reopens).
+                    committed_to_body = False
+                    seen_nonstruct = False
+                    for e in reversed(self.stack):
+                        t = e.tag
+                        if t in ("td", "th"):
+                            break  # open cell: close-cell path applies
+                        if t == "template":
+                            committed_to_body = seen_nonstruct
+                            break
+                        if t not in (
+                            "tr", "tbody", "thead", "tfoot",
+                            "caption", "colgroup", "table",
+                        ):
+                            seen_nonstruct = True
+                    if committed_to_body:
+                        return True
                     if name in ("td", "th"):
                         self._close_li_like(("td", "th"))
                     elif name == "tr":
