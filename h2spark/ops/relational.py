@@ -318,34 +318,36 @@ ORACLES["export_partition_plan"] = ORACLE_EXPORT_PARTITION_PLAN
 
 
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact discrete p50/p90/p99 of document length per language:
-    rank rows inside each lang partition (deterministic (n_chars,
-    doc_id) order) and pick the value at rank ceil(p*n) — all-integer
-    rank arithmetic, so both engines agree to the bit.
-
-    Scale note: exact percentiles cost a per-lang sort (here a
-    window; the partition count is the number of languages, so skewed
-    lang sizes dominate a task each).  At 10^12 docs production uses
-    approx_percentile sketches on the same scan; this operator is the
-    exact gold standard those sketches are validated against."""
+    """Exact discrete p50/p90/p99 of document length per language via
+    the HISTOGRAM formulation: count docs per (lang, n_chars) — one
+    map-side-combinable groupBy over the scan — then a cumulative sum
+    over the DISTINCT values of each language.  The window is bounded
+    by value cardinality (thousands of distinct lengths), never by
+    document count, so the exact percentile of 10^12 docs costs one
+    narrow aggregation plus a tiny per-lang scan — no per-row sort.
+    The percentile value is the smallest length whose cumulative
+    count reaches rank ceil(p*n); all-integer ceil arithmetic, so
+    both engines agree to the bit (identical to ranking rows by
+    (n_chars, doc_id) and picking rank ceil(p*n))."""
     from pyspark.sql import Window
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    ranked = d.select(
-        "lang", "n_chars", "doc_id",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    hist = d.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    cum = hist.select(
+        "lang", "n_chars",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
     )
+
     def pick(num: int, den: int, name: str):
-        # value at rank ceil(num*n/den), integer ceil
         target = F.expr(f"({num} * n + {den - 1}) div {den}")
-        return F.max(
-            F.when(F.col("rn") == target, F.col("n_chars"))
+        return F.min(
+            F.when(F.col("cum") >= target, F.col("n_chars"))
         ).cast("long").alias(name)
 
     return (
-        ranked.groupBy("lang")
+        cum.groupBy("lang")
         .agg(
             F.max("n").cast("long").alias("n_docs"),
             pick(1, 2, "p50"),
@@ -357,18 +359,23 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LENGTH_PERCENTILES = """
-WITH ranked AS (
+WITH hist AS (
+  SELECT lang, n_chars, count(*)::BIGINT AS c
+  FROM documents GROUP BY lang, n_chars
+),
+cum AS (
   SELECT lang, n_chars,
-         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-         count(*) OVER (PARTITION BY lang) AS n
-  FROM documents
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY lang)::BIGINT AS n
+  FROM hist
 )
 SELECT lang,
        max(n)::BIGINT AS n_docs,
-       max(CASE WHEN rn = (1 * n + 1) // 2 THEN n_chars END)::BIGINT AS p50,
-       max(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END)::BIGINT AS p90,
-       max(CASE WHEN rn = (99 * n + 99) // 100 THEN n_chars END)::BIGINT AS p99
-FROM ranked GROUP BY lang ORDER BY lang
+       min(CASE WHEN cum >= (1 * n + 1) // 2 THEN n_chars END)::BIGINT AS p50,
+       min(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_chars END)::BIGINT AS p90,
+       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN n_chars END)::BIGINT AS p99
+FROM cum GROUP BY lang ORDER BY lang
 """
 
 QUERIES["length_percentiles"] = q_length_percentiles
