@@ -907,3 +907,22 @@ def png_quarantine_batch(doc_ids, w: int = 8, h: int = 6) -> list:
         except Exception:
             outs.append(("quarantined", None, None))
     return outs
+
+
+def fragment_items_batch(frags, context: str = "ul") -> list:
+    """Fragment (innerHTML) parse per row: parse each string as the
+    content of a ``context`` element and return the text of its
+    direct element children joined by '|' — the contract surface for
+    parse_fragment (snippet-level extraction).  Empty fragment ->
+    empty string."""
+    from h2spark.core.treebuilder import parse_fragment
+
+    outs: list = []
+    for f in frags:
+        ctx = parse_fragment(f if f is not None else "", context)
+        items = []
+        for ch in ctx.children:
+            if hasattr(ch, "text_contents"):
+                items.append("".join(ch.text_contents()))
+        outs.append("|".join(items))
+    return outs

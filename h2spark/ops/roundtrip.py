@@ -285,3 +285,64 @@ ORDER BY doc_id
 
 QUERIES["warc_roundtrip"] = q_warc_roundtrip
 ORACLES["warc_roundtrip"] = ORACLE_WARC_ROUNDTRIP
+
+
+# --- fragment (innerHTML) parsing round-trip ----------------------------
+
+
+def q_fragment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment parsing under the driver hash: per document, build a
+    <li> list fragment from the doc's first two normalized tokens
+    (HTML-escaped), parse it as ``ul`` content with the REAL
+    innerHTML entry point (parse_fragment: contextual document parse,
+    implied-end-tag li semantics), and return the items' text joined
+    by '|'.  The oracle replays the token split alone — escape ->
+    tokenize -> tree-build -> implied </li> -> text_contents must
+    round-trip every byte for the hash to match."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import fragment_items_batch
+    from h2spark.ops._shared import esc_html
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))),
+            " ",
+        ),
+        lambda t: F.length(t) > 0,
+    )
+    two = F.slice(toks, 1, 2)
+    frag = F.array_join(
+        F.transform(two, lambda t: F.concat(F.lit("<li>"), esc_html(t))),
+        "",
+    )
+
+    @pandas_udf("string")
+    def items_udf(frags: pd.Series) -> pd.Series:
+        return pd.Series(fragment_items_batch(list(frags)))
+
+    return (
+        d.select("doc_id", frag.alias("_frag"))
+        .select("doc_id", items_udf(F.col("_frag")).alias("items"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FRAGMENT_ROUNDTRIP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '
+           ), x -> length(x) > 0
+         ) AS w
+  FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(w[1:2], '|'), '') AS items
+FROM toks ORDER BY doc_id
+"""
+
+QUERIES["fragment_roundtrip"] = q_fragment_roundtrip
+ORACLES["fragment_roundtrip"] = ORACLE_FRAGMENT_ROUNDTRIP
