@@ -346,3 +346,89 @@ FROM toks ORDER BY doc_id
 
 QUERIES["fragment_roundtrip"] = q_fragment_roundtrip
 ORACLES["fragment_roundtrip"] = ORACLE_FRAGMENT_ROUNDTRIP
+
+
+# --- 6. meta-robots / canonical-link curation directives ----------------
+
+_RT_META_SPEC = StructSpec(
+    "HeadMeta",
+    [
+        Field(
+            "robots", Scalar("String"), OPTION,
+            select='meta[name="robots"]', attr="content",
+        ),
+        Field(
+            "canonical", Scalar("String"), OPTION,
+            select='link[rel="canonical"]', attr="href",
+        ),
+    ],
+)
+
+
+def q_meta_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation decision a real pipeline makes per page:
+    parse <meta name=robots> and <link rel=canonical> out of the head
+    with the REAL parser + attribute-selector machinery (both fields
+    OPTION — absence is a legal value, not an error), then derive the
+    indexable / nofollow verdicts and the canonical dedup key.  Five
+    synthesized variants per doc (absent / noindex,nofollow /
+    nofollow / none / index+canonical); the oracle replays the
+    variant construction, so selector matching on attribute values
+    and Option semantics sit under the driver hash."""
+    d = _docs(spark, sf_dir)
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    meta = (
+        F.when(v == 1, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(v == 2, F.lit('<meta name="robots" content="nofollow">'))
+        .when(v == 3, F.lit('<meta name="robots" content="none">'))
+        .when(v == 4, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    canon = F.when(
+        v == 4,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://ex.com/c/'),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"), meta, canon,
+        F.lit("</head><body>x</body></html>"),
+    )
+    udf = make_extract_typed_udf(_RT_META_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    robots = F.coalesce(F.col("o.value.robots"), F.lit(""))
+    return out.select(
+        "doc_id",
+        robots.alias("robots_content"),
+        (~(robots.contains("noindex") | (robots == "none"))).alias(
+            "indexable"
+        ),
+        (robots.contains("nofollow") | (robots == "none")).alias(
+            "nofollow"
+        ),
+        F.coalesce(F.col("o.value.canonical"), F.lit("")).alias(
+            "canonical"
+        ),
+    ).orderBy("doc_id")
+
+
+ORACLE_META_DIRECTIVES = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 1 THEN 'noindex, nofollow'
+            WHEN 2 THEN 'nofollow'
+            WHEN 3 THEN 'none'
+            WHEN 4 THEN 'index, follow'
+            ELSE '' END AS robots_content,
+       (doc_id % 5 NOT IN (1, 3)) AS indexable,
+       (doc_id % 5 IN (1, 2, 3)) AS nofollow,
+       CASE WHEN doc_id % 5 = 4
+            THEN 'https://ex.com/c/' || (doc_id % 7)
+            ELSE '' END AS canonical
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["meta_directives"] = q_meta_directives
+ORACLES["meta_directives"] = ORACLE_META_DIRECTIVES
