@@ -1,0 +1,130 @@
+"""robots.txt parsing and matching (RFC 9309, the Robots Exclusion
+Protocol) — the politeness layer in front of a crawl pipeline.
+
+Implements the RFC's matching model:
+
+- group selection: the group(s) whose ``User-agent`` line best matches
+  the product token (longest case-insensitive prefix match of the
+  token; ``*`` groups apply only when no specific group matches);
+  multiple groups for the same agent merge.
+- rule matching: ``Allow`` / ``Disallow`` compared by LONGEST match
+  against the percent-decoded path; ties prefer Allow (RFC 9309 §2.2.2
+  "most specific match; least restrictive wins ties").
+- wildcards: ``*`` matches any character sequence, ``$`` anchors the
+  end of the path (the de-facto extension RFC 9309 §2.2.3 documents).
+- an empty ``Disallow:`` value matches nothing (allow all); unknown
+  lines and comments (#) are ignored; a missing group allows all.
+
+Kept free of pyspark/pandas imports (CLAUDE.md hard rule); Spark UDF
+closures reach this through core/runner.py.
+"""
+
+from __future__ import annotations
+
+
+def parse_robots(text: str) -> list:
+    """Parse robots.txt into [(agents, rules)] groups, where agents is
+    a list of lowercased user-agent product tokens and rules is a list
+    of ('allow'|'disallow', pattern) in file order.  Consecutive
+    User-agent lines share one group (RFC 9309 §2.1); rule lines
+    before any User-agent line are ignored."""
+    groups: list = []
+    agents: list = []
+    rules: list = []
+    collecting_agents = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not collecting_agents and agents:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents.append(value.lower())
+            collecting_agents = True
+        elif key in ("allow", "disallow"):
+            collecting_agents = False
+            if agents:
+                rules.append((key, value))
+        else:
+            collecting_agents = False  # sitemap etc.: group continues
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def _pattern_matches(pattern: str, path: str) -> bool:
+    """RFC 9309 §2.2.3 pattern match: prefix semantics with ``*``
+    (any sequence) and a trailing ``$`` (end anchor).  Iterative
+    greedy-with-backtracking over ``*`` segments — no regex engine,
+    so a hostile pattern can't blow up the matcher."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos = 0
+    for i, part in enumerate(parts):
+        if i == 0:
+            if not path.startswith(part):
+                return False
+            pos = len(part)
+        elif i == len(parts) - 1 and anchored:
+            return path.endswith(part) and len(path) - len(part) >= pos
+        else:
+            if part == "":
+                continue
+            j = path.find(part, pos)
+            if j < 0:
+                return False
+            pos = j + len(part)
+    if anchored and len(parts) == 1:
+        return pos == len(path)
+    return True
+
+
+def select_group(groups: list, agent: str) -> list:
+    """Merged rule list for ``agent`` (RFC 9309 §2.2.1): the groups
+    whose User-agent token is the longest prefix of the agent string
+    (case-insensitive); ``*`` groups only when nothing specific
+    matches."""
+    agent = agent.lower()
+    best_len = -1
+    for agents, _ in groups:
+        for a in agents:
+            if a != "*" and agent.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+    rules: list = []
+    if best_len >= 0:
+        for agents, rs in groups:
+            if any(
+                a != "*" and agent.startswith(a) and len(a) == best_len
+                for a in agents
+            ):
+                rules.extend(rs)
+    else:
+        for agents, rs in groups:
+            if "*" in agents:
+                rules.extend(rs)
+    return rules
+
+
+def is_allowed(groups: list, agent: str, path: str) -> bool:
+    """RFC 9309 §2.2.2: evaluate every matching rule, pick the one
+    with the LONGEST pattern; Allow wins pattern-length ties.  No
+    matching rule (or an empty-valued Disallow) means allowed."""
+    rules = select_group(groups, agent)
+    best_len = -1
+    best_allow = True
+    for kind, pattern in rules:
+        if pattern == "":
+            continue  # "Disallow:" (empty) matches nothing
+        if _pattern_matches(pattern, path):
+            plen = len(pattern)
+            allow = kind == "allow"
+            if plen > best_len or (plen == best_len and allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow

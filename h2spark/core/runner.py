@@ -926,3 +926,40 @@ def fragment_items_batch(frags, context: str = "ul") -> list:
                 items.append("".join(ch.text_contents()))
         outs.append("|".join(items))
     return outs
+
+
+def robots_verdict_batch(domains, paths, agent: str = "h2bot/1.0") -> list:
+    """Politeness verdicts for one Arrow batch: per row, parse the
+    domain's robots.txt (synthesized deterministically from the
+    domain id — lockstep with ORACLE_ROBOTS_FILTER in
+    ops/textstats.py) and evaluate the RFC 9309 longest-match rules.
+    Parsed rule groups are cached per distinct domain within the
+    batch, the shape a real fetcher uses (robots.txt count ~ domains,
+    not documents)."""
+    from h2spark.core.robots import is_allowed, parse_robots
+
+    cache: dict = {}
+    outs: list = []
+    for dom, path in zip(domains, paths):
+        g = cache.get(dom)
+        if g is None:
+            policy = int(dom.lstrip("d")) % 3
+            if policy == 0:
+                txt = ""
+            elif policy == 1:
+                txt = (
+                    "User-agent: *\n"
+                    "Disallow: /p/\n"
+                    "Allow: /p/open/\n"
+                )
+            else:
+                txt = (
+                    "User-agent: h2bot\n"
+                    "Disallow: /d*.html$\n"
+                    "User-agent: *\n"
+                    "Disallow: /\n"
+                )
+            g = parse_robots(txt)
+            cache[dom] = g
+        outs.append(is_allowed(g, agent, path))
+    return outs

@@ -1216,3 +1216,71 @@ FROM dims GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["text_embed_hash"] = q_text_embed_hash
 ORACLES["text_embed_hash"] = ORACLE_TEXT_EMBED_HASH
+
+
+# --- robots.txt politeness filtering (RFC 9309) -------------------------
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness under the driver hash: per document a
+    (domain, path) pair is synthesized, the domain's robots.txt is
+    parsed with the real RFC 9309 matcher (core/robots.py: longest
+    pattern match, Allow wins ties, * / $ wildcards, user-agent
+    group selection with prefix tokens and *-fallback), and the
+    fetch verdict emitted.  The oracle replays the construction, so
+    group selection, wildcard anchoring and tie-breaking all sit
+    under the hash.  Scale shape: verdicts are per-row with rule
+    groups cached per domain inside each Arrow batch — robots state
+    scales with domain count, not document count."""
+    from h2spark.core.runner import robots_verdict_batch
+
+    d = _docs(spark, sf_dir)
+    domain = F.concat(F.lit("d"), F.pmod(F.col("doc_id"), F.lit(6)).cast("string"))
+    pv = F.pmod(F.col("doc_id"), F.lit(4))
+    path = (
+        F.when(pv == 0, F.concat(F.lit("/a/x"), F.pmod(F.col("doc_id"), F.lit(3)).cast("string")))
+        .when(pv == 1, F.lit("/p/x"))
+        .when(pv == 2, F.lit("/p/open/x"))
+        .otherwise(F.concat(F.lit("/d"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string"), F.lit(".html")))
+    )
+
+    def verdicts(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["allowed"] = robots_verdict_batch(
+                list(pdf["domain"]), list(pdf["path"])
+            )
+            yield pdf
+
+    return (
+        d.select("doc_id", domain.alias("domain"), path.alias("path"))
+        .mapInPandas(
+            verdicts,
+            "doc_id long, domain string, path string, allowed boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Verdict replay: policy = domain_id % 3.
+#  policy 0: no rules -> everything allowed
+#  policy 1 (*): Disallow /p/ , Allow /p/open/ (longer, wins)
+#  policy 2 (h2bot group selected; * group does NOT apply):
+#           Disallow /d*.html$ -> only the .html paths blocked
+ORACLE_ROBOTS_FILTER = """
+SELECT doc_id,
+       'd' || (doc_id % 6) AS domain,
+       CASE doc_id % 4
+            WHEN 0 THEN '/a/x' || (doc_id % 3)
+            WHEN 1 THEN '/p/x'
+            WHEN 2 THEN '/p/open/x'
+            ELSE '/d' || (doc_id % 5) || '.html' END AS path,
+       CASE (doc_id % 6) % 3
+            WHEN 0 THEN TRUE
+            WHEN 1 THEN (doc_id % 4) != 1
+            ELSE (doc_id % 4) != 3 END AS allowed
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["robots_filter"] = q_robots_filter
+ORACLES["robots_filter"] = ORACLE_ROBOTS_FILTER

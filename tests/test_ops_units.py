@@ -1300,3 +1300,66 @@ def test_embed_hash_vector_shape_and_norm(spark):
         comps = [int(x) for x in r.emb_csv.split(",")]
         assert len(comps) == 64
         assert sum(c * c for c in comps) == r.l2sq
+
+
+# --- robots.txt (RFC 9309) matcher --------------------------------------
+
+
+def test_robots_longest_match_and_tie_break():
+    from h2spark.core.robots import is_allowed, parse_robots
+
+    g = parse_robots(
+        "User-agent: *\nDisallow: /p\nAllow: /p/\nDisallow: /q/\nAllow: /q/"
+    )
+    assert is_allowed(g, "bot", "/p/x")       # longer Allow wins
+    assert not is_allowed(g, "bot", "/pq")    # /p disallow prefix
+    assert is_allowed(g, "bot", "/q/")        # equal length: Allow wins ties
+
+
+def test_robots_wildcards_and_anchor():
+    from h2spark.core.robots import is_allowed, parse_robots
+
+    g = parse_robots("User-agent: *\nDisallow: /*.pdf$\nDisallow: /a*b")
+    assert not is_allowed(g, "bot", "/x/y.pdf")
+    assert is_allowed(g, "bot", "/x/y.pdf.html")  # $ anchor
+    assert not is_allowed(g, "bot", "/aXXXb")
+    assert not is_allowed(g, "bot", "/aXXXbZZ")   # prefix semantics
+    assert is_allowed(g, "bot", "/aXXX")
+
+
+def test_robots_group_selection():
+    from h2spark.core.robots import is_allowed, parse_robots
+
+    g = parse_robots(
+        "User-agent: special\nDisallow: /s/\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # specific group shadows the * group entirely
+    assert is_allowed(g, "special/1.0", "/open")
+    assert not is_allowed(g, "special/1.0", "/s/x")
+    assert not is_allowed(g, "otherbot", "/open")
+
+
+def test_robots_merged_agent_lines_and_empty_disallow():
+    from h2spark.core.robots import is_allowed, parse_robots
+
+    g = parse_robots(
+        "User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+        "User-agent: c\nDisallow:\n"
+    )
+    assert not is_allowed(g, "b", "/x/1")
+    assert not is_allowed(g, "a", "/x/1")
+    assert is_allowed(g, "c", "/anything")  # empty Disallow = allow all
+    assert is_allowed(g, "zz", "/x/1")      # no * group: allowed
+
+
+def test_robots_comments_and_malformed_lines():
+    from h2spark.core.robots import is_allowed, parse_robots
+
+    g = parse_robots(
+        "# header comment\n"
+        "Disallow: /ignored-before-any-group/\n"
+        "User-agent: * # trailing comment\nDisallow: /z/ # why\nnonsense\n"
+    )
+    assert not is_allowed(g, "bot", "/z/1")
+    assert is_allowed(g, "bot", "/ignored-before-any-group/x")
