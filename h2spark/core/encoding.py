@@ -1,0 +1,180 @@
+"""HTML byte-stream encoding sniffing (WHATWG HTML 13.2.3) — the
+bytes -> str boundary in front of the parser.  Real crawls deliver
+bytes; h2s takes &str.  A 100 TB pipeline needs the standard sniff:
+
+1. BOM (13.2.3.1, takes precedence over everything): UTF-8 /
+   UTF-16BE / UTF-16LE.
+2. Prescan of the first 1024 bytes (13.2.3.2 "encoding sniffing
+   algorithm" step 6): find ``<meta charset=...>`` or
+   ``<meta http-equiv=content-type content="...; charset=...">``
+   using the spec's get-an-attribute tokenization (quoted/unquoted
+   values, ASCII-case-insensitive names, attributes without values);
+   comments and ordinary tags are skipped per the spec.  A declared
+   ``utf-16`` is remapped to utf-8 (spec: the document is being
+   prescanned as ASCII-compatible bytes, so a utf-16 label is a lie);
+   ``x-user-defined`` maps to windows-1252.
+3. Default: windows-1252 (the spec's implementation-defined default
+   for en locales).
+
+Kept free of pyspark/pandas imports (CLAUDE.md hard rule).
+"""
+
+from __future__ import annotations
+
+_WS = b"\t\n\x0c\r "
+
+_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "iso-8859-1": "windows-1252", "latin1": "windows-1252",
+    "iso8859-1": "windows-1252", "ascii": "windows-1252",
+    "us-ascii": "windows-1252", "l1": "windows-1252",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+    "x-user-defined": "windows-1252",
+    "iso-8859-15": "iso-8859-15", "latin9": "iso-8859-15",
+}
+
+
+def _normalize_label(label: str) -> str | None:
+    return _LABELS.get(label.strip().strip("\"'").lower())
+
+
+def _get_attribute(data: bytes, pos: int):
+    """WHATWG 13.2.3.2 'get an attribute': returns (name, value,
+    new_pos) or (None, None, pos) when no attribute remains."""
+    n = len(data)
+    while pos < n and (data[pos : pos + 1] in (b"/",) or data[pos] in _WS):
+        pos += 1
+    if pos >= n or data[pos : pos + 1] == b">":
+        return None, None, pos
+    name = bytearray()
+    value = bytearray()
+    while pos < n:
+        b = data[pos : pos + 1]
+        if b == b"=" and name:
+            pos += 1
+            break
+        if data[pos] in _WS:
+            while pos < n and data[pos] in _WS:
+                pos += 1
+            if pos < n and data[pos : pos + 1] == b"=":
+                pos += 1
+                break
+            return bytes(name).lower().decode("ascii", "replace"), "", pos
+        if b in (b"/", b">"):
+            return bytes(name).lower().decode("ascii", "replace"), "", pos
+        name += b.lower()
+        pos += 1
+    while pos < n and data[pos] in _WS:
+        pos += 1
+    if pos < n and data[pos : pos + 1] in (b'"', b"'"):
+        quote = data[pos : pos + 1]
+        pos += 1
+        while pos < n and data[pos : pos + 1] != quote:
+            value += data[pos : pos + 1].lower()
+            pos += 1
+        pos += 1
+    else:
+        while pos < n and data[pos] not in _WS and data[pos : pos + 1] != b">":
+            value += data[pos : pos + 1].lower()
+            pos += 1
+    return (
+        bytes(name).decode("ascii", "replace"),
+        bytes(value).decode("ascii", "replace"),
+        pos,
+    )
+
+
+def _charset_from_content(content: str) -> str | None:
+    """13.2.3.3 'extracting a character encoding from a meta element':
+    find 'charset', skip to '=', take the (possibly quoted) label."""
+    low = content.lower()
+    idx = low.find("charset")
+    if idx < 0:
+        return None
+    pos = idx + len("charset")
+    while pos < len(low) and low[pos] in " \t\n\x0c\r":
+        pos += 1
+    if pos >= len(low) or low[pos] != "=":
+        return None
+    pos += 1
+    while pos < len(low) and low[pos] in " \t\n\x0c\r":
+        pos += 1
+    rest = content[pos:]
+    if rest[:1] in ("\"", "'"):
+        end = rest.find(rest[0], 1)
+        rest = rest[1:end] if end > 0 else rest[1:]
+    else:
+        rest = rest.split(";")[0].strip()
+    return rest or None
+
+
+def prescan(data: bytes, limit: int = 1024) -> str | None:
+    """Prescan the first ``limit`` bytes for a meta-declared encoding;
+    returns a normalized codec name or None."""
+    data = data[:limit]
+    n = len(data)
+    pos = 0
+    while pos < n:
+        if data[pos : pos + 4] == b"<!--":
+            end = data.find(b"-->", pos + 4)
+            if end < 0:
+                return None
+            pos = end + 3
+            continue
+        if data[pos : pos + 1] == b"<":
+            if data[pos + 1 : pos + 5].lower() == b"meta" and (
+                pos + 5 >= n or data[pos + 5] in _WS or
+                data[pos + 5 : pos + 6] in (b"/", b">")
+            ):
+                pos += 5
+                attrs: dict = {}
+                while True:
+                    name, value, pos = _get_attribute(data, pos)
+                    if name is None:
+                        break
+                    attrs.setdefault(name, value)
+                if "charset" in attrs:
+                    enc = _normalize_label(attrs["charset"])
+                    if enc:
+                        return enc
+                elif (
+                    attrs.get("http-equiv", "").lower() == "content-type"
+                    and "content" in attrs
+                ):
+                    label = _charset_from_content(attrs["content"])
+                    if label:
+                        enc = _normalize_label(label)
+                        if enc:
+                            return enc
+                continue
+            # skip any other tag (incl. </...>) to its '>'
+            end = data.find(b">", pos + 1)
+            if end < 0:
+                return None
+            pos = end + 1
+            continue
+        pos += 1
+    return None
+
+
+def detect_encoding(data: bytes) -> tuple[str, int]:
+    """(codec name, BOM length).  BOM beats prescan beats the
+    windows-1252 default."""
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8", 3
+    if data[:2] == b"\xfe\xff":
+        return "utf-16-be", 2
+    if data[:2] == b"\xff\xfe":
+        return "utf-16-le", 2
+    enc = prescan(data)
+    return (enc or "windows-1252", 0)
+
+
+def decode_html(data: bytes) -> tuple[str, str]:
+    """(decoded text, codec name) — errors='replace', because at
+    10^12 documents SOME byte stream always lies about itself and
+    must not kill the stage."""
+    enc, bom = detect_encoding(data)
+    codec = {"windows-1252": "cp1252"}.get(enc, enc)
+    return data[bom:].decode(codec, errors="replace"), enc

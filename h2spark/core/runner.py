@@ -963,3 +963,33 @@ def robots_verdict_batch(domains, paths, agent: str = "h2bot/1.0") -> list:
             cache[dom] = g
         outs.append(is_allowed(g, agent, path))
     return outs
+
+
+def encoding_sniff_batch(doc_ids) -> list:
+    """REAL byte-stream decode path: per doc, genuine bytes are
+    produced in one of five encodings/declarations (UTF-8 BOM,
+    UTF-16LE BOM, meta charset=utf-8, meta charset=windows-1252,
+    undeclared windows-1252 default) and decoded back through the
+    WHATWG sniffing algorithm (core/encoding.py: BOM > prescan >
+    default).  Returns (encoding, text); the SQL oracle replays the
+    expected strings from the construction — lockstep with
+    ORACLE_ENCODING_SNIFF in ops/multimodal.py."""
+    from h2spark.core.encoding import decode_html
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        body = f"x{d}é©"  # é © — distinct in every codec
+        v = d % 5
+        if v == 0:
+            data = b"\xef\xbb\xbf" + body.encode("utf-8")
+        elif v == 1:
+            data = b"\xff\xfe" + body.encode("utf-16-le")
+        elif v == 2:
+            data = b'<meta charset="utf-8">' + body.encode("utf-8")
+        elif v == 3:
+            data = b"<meta charset=windows-1252>" + body.encode("cp1252")
+        else:
+            data = body.encode("cp1252")
+        outs.append(decode_html(data))
+    return outs

@@ -1840,3 +1840,56 @@ ORDER BY doc_id
 
 QUERIES["media_quarantine"] = q_media_quarantine
 ORACLES["media_quarantine"] = ORACLE_MEDIA_QUARANTINE
+
+
+# --- WHATWG encoding sniffing (bytes -> str boundary) -------------------
+
+_ENC_N_DOCS = 50
+
+
+def q_encoding_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bytes -> str boundary in front of the parser: genuine byte
+    streams in five encoding situations (BOMs, meta prescan
+    declarations, undeclared default) decoded via the WHATWG sniff
+    (BOM > 1024-byte meta prescan > windows-1252).  Real crawls
+    deliver bytes; everything downstream (tokenizer, extraction)
+    assumes str — this stage is where a 100 TB pipeline earns that
+    assumption.  The oracle replays the expected decoded strings."""
+    from h2spark.core.runner import encoding_sniff_batch
+
+    def sniff(batches):
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            res = encoding_sniff_batch(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text_out": [r[0] for r in res],
+                    "encoding": [r[1] for r in res],
+                }
+            )
+
+    return (
+        spark.range(_ENC_N_DOCS).repartition(4)
+        .mapInPandas(sniff, "doc_id long, text_out string, encoding string")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ENCODING_SNIFF = f"""
+SELECT id AS doc_id,
+       CASE id % 5
+            WHEN 2 THEN '<meta charset="utf-8">' || 'x' || id || 'é©'
+            WHEN 3 THEN '<meta charset=windows-1252>' || 'x' || id || 'é©'
+            ELSE 'x' || id || 'é©' END AS text_out,
+       CASE id % 5
+            WHEN 0 THEN 'utf-8'
+            WHEN 1 THEN 'utf-16-le'
+            WHEN 2 THEN 'utf-8'
+            ELSE 'windows-1252' END AS encoding
+FROM range(0, {_ENC_N_DOCS}) t(id)
+ORDER BY doc_id
+"""
+
+QUERIES["encoding_sniff"] = q_encoding_sniff
+ORACLES["encoding_sniff"] = ORACLE_ENCODING_SNIFF

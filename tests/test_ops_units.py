@@ -1363,3 +1363,45 @@ def test_robots_comments_and_malformed_lines():
     )
     assert not is_allowed(g, "bot", "/z/1")
     assert is_allowed(g, "bot", "/ignored-before-any-group/x")
+
+
+# --- WHATWG encoding sniffing -------------------------------------------
+
+
+def test_encoding_bom_beats_prescan():
+    from h2spark.core.encoding import decode_html
+
+    # lying meta after a UTF-8 BOM: BOM wins
+    data = b"\xef\xbb\xbf<meta charset=windows-1252>t\xc3\xa9"
+    text, enc = decode_html(data)
+    assert enc == "utf-8" and text.endswith("t\xe9")
+
+
+def test_encoding_prescan_attribute_forms():
+    from h2spark.core.encoding import prescan
+
+    assert prescan(b"<meta charset=utf-8>") == "utf-8"
+    assert prescan(b"<meta  charset = 'UTF-8' >") == "utf-8"
+    assert prescan(
+        b'<meta http-equiv=content-type content="text/html;charset=utf-8">'
+    ) == "utf-8"
+    assert prescan(b"<meta content='charset=utf-8'>") is None  # no http-equiv
+    assert prescan(b"<!--<meta charset=utf-8>--><p>") is None
+    assert prescan(b"<meta charset=utf-16le>") == "utf-8"  # spec remap
+    assert prescan(b"<meta charset=x-user-defined>") == "windows-1252"
+    assert prescan(b"<metax charset=utf-8>") is None  # not a meta tag
+
+
+def test_encoding_replace_never_raises():
+    from h2spark.core.encoding import decode_html
+
+    # declared utf-8 with invalid bytes: replacement, not an exception
+    text, enc = decode_html(b"<meta charset=utf-8>ok\xff\xfe!")
+    assert enc == "utf-8" and "ok" in text and "�" in text
+
+
+def test_encoding_prescan_limit():
+    from h2spark.core.encoding import prescan
+
+    far = b" " * 1100 + b"<meta charset=utf-8>"
+    assert prescan(far) is None  # beyond the 1024-byte prescan window
