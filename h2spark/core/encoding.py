@@ -158,23 +158,35 @@ def prescan(data: bytes, limit: int = 1024) -> str | None:
     return None
 
 
-def detect_encoding(data: bytes) -> tuple[str, int]:
-    """(codec name, BOM length).  BOM beats prescan beats the
-    windows-1252 default."""
+def detect_encoding(
+    data: bytes, transport_label: str | None = None
+) -> tuple[str, int]:
+    """(codec name, BOM length).  WHATWG 13.2.3 precedence: BOM beats
+    the transport layer (an HTTP Content-Type charset) beats the meta
+    prescan beats the windows-1252 default."""
     if data[:3] == b"\xef\xbb\xbf":
         return "utf-8", 3
     if data[:2] == b"\xfe\xff":
         return "utf-16-be", 2
     if data[:2] == b"\xff\xfe":
         return "utf-16-le", 2
+    if transport_label:
+        # a transport-layer utf-16 label without a BOM still maps to
+        # utf-8 (endianness is unknowable; matches the label table) —
+        # same remap the prescan applies
+        enc = _normalize_label(transport_label)
+        if enc:
+            return enc, 0
     enc = prescan(data)
     return (enc or "windows-1252", 0)
 
 
-def decode_html(data: bytes) -> tuple[str, str]:
+def decode_html(
+    data: bytes, transport_label: str | None = None
+) -> tuple[str, str]:
     """(decoded text, codec name) — errors='replace', because at
     10^12 documents SOME byte stream always lies about itself and
     must not kill the stage."""
-    enc, bom = detect_encoding(data)
+    enc, bom = detect_encoding(data, transport_label)
     codec = {"windows-1252": "cp1252"}.get(enc, enc)
     return data[bom:].decode(codec, errors="replace"), enc

@@ -89,10 +89,21 @@ def iter_html_responses(data: bytes):
         ctype = http_headers.get("content-type", "")
         if "html" not in ctype.lower():
             continue
+        # WHATWG sniff chain: BOM > the Content-Type charset param >
+        # meta prescan > windows-1252 (core/encoding.py) — crawls mix
+        # encodings and the header lies often enough that prescan and
+        # replacement decoding are load-bearing
+        label = None
+        for part in ctype.split(";")[1:]:
+            k, _, v = part.partition("=")
+            if k.strip().lower() == "charset":
+                label = v.strip()
+        from h2spark.core.encoding import decode_html
+
         yield (
             headers.get("warc-target-uri", ""),
             headers.get("warc-date", ""),
-            ent.decode("utf-8", errors="replace"),
+            decode_html(ent, label)[0],
         )
 
 

@@ -1405,3 +1405,37 @@ def test_encoding_prescan_limit():
 
     far = b" " * 1100 + b"<meta charset=utf-8>"
     assert prescan(far) is None  # beyond the 1024-byte prescan window
+
+
+def test_encoding_transport_precedence():
+    from h2spark.core.encoding import decode_html
+
+    # transport charset beats prescan, BOM beats transport
+    data = b"<meta charset=utf-8>t\xe9"
+    assert decode_html(data, "windows-1252")[1] == "windows-1252"
+    bom = b"\xef\xbb\xbf" + b"t\xc3\xa9"
+    assert decode_html(bom, "windows-1252")[1] == "utf-8"
+
+
+def test_warc_decodes_cp1252_body():
+    """A WARC response with charset=windows-1252 and 0xE9 bytes must
+    come out as 'é', not mojibake or replacement chars."""
+    from h2spark.core.warc import iter_html_responses
+
+    body = b"caf\xe9 body"
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=windows-1252\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    rows = list(iter_html_responses(rec))
+    assert rows and rows[0][2] == "caf\xe9 body"
