@@ -659,3 +659,65 @@ def test_fragment_context_attrs_roundtrip_amp_and_quotes():
     # and inside a wrapper-chain context (td splices into the chain)
     td = parse_fragment("cell", "td", {"colspan": "2", "t": "x&y"})
     assert td.attrs == {"colspan": "2", "t": "x&y"}
+
+
+def test_no_text_loss_wide_alphabet():
+    """Non-whitespace text must NEVER be lost, whatever tag soup
+    surrounds it (template/table/select/foreign/formatting mix —
+    the round-7 alphabet that exposed the template-AAA foster bug).
+    RCDATA contexts and frameset are excluded: those legitimately
+    transform or drop content.  Checks loss only (got >= expected):
+    foster parenting and select may relocate text, never erase it."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    tokens = [
+        "<template>", "</template>", "<table>", "</table>",
+        "<tr>", "<td>", "<div>", "</div>", "<a href='x'>",
+        "</a>", "<b>", "</b>", "<p>", "<li>", "<ul>",
+        "<select>", "</select>", "<option>", "<ruby>", "<rt>",
+        "<span>", "</span>", "<caption>", "<colgroup>",
+        "<col>", "<svg>", "</svg>", "<math>", "</math>",
+        "<button>", "</button>", "<form>", "</form>",
+        "alpha ", "beta ", "<!--c-->",
+    ]
+
+    def walk(root):
+        out = [root]
+        i = 0
+        while i < len(out):
+            el = out[i]
+            i += 1
+            tc = getattr(el, "template_contents", None)
+            if tc is not None:
+                out.append(tc)
+            for ch in el.children:
+                if hasattr(ch, "children"):
+                    out.append(ch)
+        return out
+
+    @settings(max_examples=250, deadline=None)
+    @given(st.lists(st.sampled_from(tokens), min_size=1, max_size=30))
+    def run(parts):
+        doc = parse_document("".join(parts))
+        expected = Counter(
+            c
+            for p in parts
+            if not p.startswith("<")
+            for c in p
+            if not c.isspace()
+        )
+        got = Counter()
+        for el in walk(doc.root_element()):
+            for ch in el.children:
+                if type(ch).__name__ == "Text":
+                    got.update(c for c in ch.data if not c.isspace())
+        missing = {
+            k: v - got.get(k, 0)
+            for k, v in expected.items()
+            if got.get(k, 0) < v
+        }
+        assert not missing, (parts, missing)
+
+    run()
