@@ -432,3 +432,75 @@ FROM documents ORDER BY doc_id
 
 QUERIES["meta_directives"] = q_meta_directives
 ORACLES["meta_directives"] = ORACLE_META_DIRECTIVES
+
+
+# --- 7. sitemap.xml extraction ------------------------------------------
+
+_RT_SITEMAP_SPEC = StructSpec(
+    "Sitemap",
+    [
+        Field("locs", Scalar("String"), VEC, select="url > loc"),
+        Field("mods", Scalar("String"), VEC, select="url > lastmod"),
+    ],
+)
+
+
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier feed: per document a sitemaps.org urlset (XML
+    prolog, namespace attr, three <url> entries) is synthesized and
+    extracted through the REAL parser + selector machinery — XML-ish
+    unknown elements must nest verbatim and the child combinator must
+    pair each loc with its url.  Output is one row per (doc, entry)
+    with the entry index; the oracle replays the construction, so
+    unknown-element tree building and VEC extraction order sit under
+    the driver hash."""
+    d = _docs(spark, sf_dir)
+    urls = [
+        F.concat(
+            F.lit("<url><loc>https://d"),
+            F.pmod(F.col("doc_id"), F.lit(6)).cast("string"),
+            F.lit(f"/p{i}-"), F.col("doc_id").cast("string"),
+            F.lit(f"</loc><lastmod>2026-0{i + 1}-0"),
+            (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"),
+            F.lit("</lastmod></url>"),
+        )
+        for i in range(3)
+    ]
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        *urls,
+        F.lit("</urlset>"),
+    )
+    udf = make_extract_typed_udf(_RT_SITEMAP_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(xml).alias("o"))
+    return (
+        out.select(
+            "doc_id",
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("o.value.locs").alias("loc"),
+                    F.col("o.value.mods").alias("lastmod"),
+                )
+            ).alias("ord", "e"),
+        )
+        .select(
+            "doc_id",
+            F.col("ord").cast("long").alias("ord"),
+            F.col("e.loc").alias("loc"),
+            F.col("e.lastmod").alias("lastmod"),
+        )
+        .orderBy("doc_id", "ord")
+    )
+
+
+ORACLE_SITEMAP_EXTRACT = """
+SELECT doc_id, i AS ord,
+       'https://d' || (doc_id % 6) || '/p' || i || '-' || doc_id AS loc,
+       '2026-0' || (i + 1) || '-0' || (doc_id % 9 + 1) AS lastmod
+FROM documents, (SELECT unnest([0, 1, 2])::BIGINT AS i)
+ORDER BY doc_id, ord
+"""
+
+QUERIES["sitemap_extract"] = q_sitemap_extract
+ORACLES["sitemap_extract"] = ORACLE_SITEMAP_EXTRACT
