@@ -2071,3 +2071,97 @@ FROM sizes GROUP BY band, s ORDER BY band, bucket_size
 
 QUERIES["lsh_bucket_histogram"] = q_lsh_bucket_histogram
 ORACLES["lsh_bucket_histogram"] = ORACLE_LSH_BUCKET_HISTOGRAM
+
+
+# --- dedup self-evaluation: estimated vs true Jaccard -------------------
+
+
+def q_dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality telemetry for the MinHash estimator: for every banded
+    candidate pair, the signature estimate next to the TRUE shingle
+    Jaccard (intersection over union, integer e6 fixed point) and the
+    absolute error.  This is how a production pipeline watches its
+    own dedup precision — thresholds get tuned against exactly this
+    table (computed on a sample at 10^12 docs; the exact-join cost is
+    per CANDIDATE pair, which banding already bounded).  All-integer
+    output; est_jaccard is an exact multiple of 1/16 so the e6
+    conversion is lossless in both engines."""
+    d = _docs(spark, sf_dir)
+    pairs = minhash_pairs(d).select("doc_a", "doc_b", "est_jaccard")
+    sh = _with_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    est_e6 = (F.col("est_jaccard") * 1000000).cast("long")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            est_e6.alias("est_e6"),
+            F.expr(
+                "coalesce(inter, 0) * 1000000 div "
+                "(sza + szb - coalesce(inter, 0))"
+            ).cast("long").alias("true_e6"),
+        )
+        .withColumn(
+            "abs_err_e6", F.abs(F.col("est_e6") - F.col("true_e6")).cast("long")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_DEDUP_EVAL_METRICS = f"""
+WITH {_shingles_cte_duck()},
+{_SIG_BANDS_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         (round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
+               / {float(_N_HASHES)}, 6) * 1000000)::BIGINT AS est_e6
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM shingles GROUP BY 1
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS inter
+  FROM pairs p
+  JOIN shingles x ON x.doc_id = p.doc_a
+  JOIN shingles y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.est_e6,
+       (coalesce(i.inter, 0) * 1000000
+        // (za.sz + zb.sz - coalesce(i.inter, 0)))::BIGINT AS true_e6,
+       abs(e.est_e6 - (coalesce(i.inter, 0) * 1000000
+        // (za.sz + zb.sz - coalesce(i.inter, 0))))::BIGINT AS abs_err_e6
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes za ON za.doc_id = e.doc_a
+JOIN sizes zb ON zb.doc_id = e.doc_b
+ORDER BY e.doc_a, e.doc_b
+"""
+
+QUERIES["dedup_eval_metrics"] = q_dedup_eval_metrics
+ORACLES["dedup_eval_metrics"] = ORACLE_DEDUP_EVAL_METRICS
