@@ -504,3 +504,74 @@ ORDER BY doc_id, ord
 
 QUERIES["sitemap_extract"] = q_sitemap_extract
 ORACLES["sitemap_extract"] = ORACLE_SITEMAP_EXTRACT
+
+
+# --- 8. JSON-LD structured data (HTML extract + JVM json parse) ---------
+
+_RT_JSONLD_SPEC = StructSpec(
+    "JsonLd",
+    [
+        Field(
+            "ld", Scalar("String"), OPTION,
+            select='script[type="application/ld+json"]',
+        ),
+    ],
+)
+
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema.org structured data, the way a real pipeline does it:
+    the <script type=application/ld+json> block comes out through the
+    REAL parser + attribute selector (script is a rawtext element —
+    its JSON body must survive tokenization verbatim), then
+    F.from_json parses it JVM-SIDE into typed fields (no Python
+    touches the JSON).  Docs with doc_id % 3 == 0 carry no block:
+    OPTION + null-safe from_json keep them as null rows instead of
+    errors.  The oracle replays the synthesized fields."""
+    d = _docs(spark, sf_dir)
+    has = F.pmod(F.col("doc_id"), F.lit(3)) != 0
+    payload = F.concat(
+        F.lit('{"@type": "Article", "headline": "h-'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "wordCount": '),
+        (F.pmod(F.col("doc_id"), F.lit(997)) * 3).cast("string"),
+        F.lit("}"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            has,
+            F.concat(
+                F.lit('<script type="application/ld+json">'),
+                payload, F.lit("</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    udf = make_extract_typed_udf(_RT_JSONLD_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    parsed = F.from_json(
+        F.col("o.value.ld"),
+        "`@type` STRING, headline STRING, wordCount LONG",
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(parsed["@type"], F.lit("")).alias("ld_type"),
+        F.coalesce(parsed["headline"], F.lit("")).alias("headline"),
+        F.coalesce(parsed["wordCount"], F.lit(-1)).cast("long").alias(
+            "word_count"
+        ),
+    ).orderBy("doc_id")
+
+
+ORACLE_JSONLD_EXTRACT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Article' END AS ld_type,
+       CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'h-' || doc_id END AS headline,
+       CASE WHEN doc_id % 3 = 0 THEN -1
+            ELSE (doc_id % 997) * 3 END::BIGINT AS word_count
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["jsonld_extract"] = q_jsonld_extract
+ORACLES["jsonld_extract"] = ORACLE_JSONLD_EXTRACT
