@@ -407,3 +407,59 @@ def test_pinned_parquet_snapshot_isolation(spark, tmp_path):
     assert load_docs(spark, src).count() == 150  # unpinned sees it
     pinned2 = pin_parquet_files(spark, src)
     assert parquet_snapshot_lineage(pinned2) != lineage1
+
+
+def test_bucketed_band_index_gate_join_shuffles_only_stream_side(
+    spark, tmp_path
+):
+    """The r7 incremental/streaming dedup story end-to-end: store the
+    corpus MinHash band index BUCKETED on band_key, and the gate's
+    per-band join must not exchange the index side — only the (small)
+    incoming batch moves.  This is what makes daily-crawl dedup
+    against a 10^12-doc index affordable: the index is read in place,
+    bucket-for-bucket."""
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.dedup import minhash_band_table
+    from h2spark.pipeline.bucketing import read_table, write_bucketed
+    from h2spark.pipeline.streaming import near_dup_gate
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    spark.sql("DROP TABLE IF EXISTS band_index_r7")
+    write_bucketed(
+        minhash_band_table(d.where(~is_new)).select("band", "band_key"),
+        "band_index_r7",
+        "band_key",
+        8,
+    )
+    try:
+        idx = read_table(spark, "band_index_r7")
+        gated = near_dup_gate(d.where(is_new), idx)
+        plan = gated._jdf.queryExecution().executedPlan().toString()
+        # the index is scanned 4x (one per band); none of those scans
+        # may sit under an Exchange — bucketing provides the
+        # hash-partitioning the join needs
+        import re
+
+        segs = plan.split("FileScan parquet")
+        idx_scans = [s for s in segs[1:] if "band_index_r7" in s.split("\n")[0]]
+        assert len(idx_scans) == 4
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        # stream side: 4 joins need the probe side exchanged at most
+        # once per join; the index side adds ZERO (8 would appear if
+        # both sides shuffled)
+        assert n_exchanges <= 4, plan[:4000]
+        # and the result is still correct
+        batch = {
+            r["doc_id"]
+            for r in near_dup_gate(
+                d.where(is_new), minhash_band_table(d.where(~is_new))
+            ).collect()
+        }
+        assert {r["doc_id"] for r in gated.collect()} == batch
+    finally:
+        spark.sql("DROP TABLE IF EXISTS band_index_r7")
