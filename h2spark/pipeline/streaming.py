@@ -511,3 +511,93 @@ def run_streaming_near_dup_gate(
         near_dup_gate(stream, index_bands), out_dir, checkpoint_dir,
         available_now,
     )
+
+
+# --- stateful token-budget tracker (stop-at-budget ingestion) -----------
+
+BUDGET_SCHEMA = (
+    "lang string, batch_docs long, batch_tokens long, cum_tokens long, "
+    "budget_reached boolean"
+)
+_BUDGET_STATE_SCHEMA = "cum long"
+
+
+def budget_tracker(docs, budget_tokens: int):
+    """Custom stateful operator: per-language RUNNING token total
+    across micro-batches via applyInPandasWithState (processing-time
+    semantics, no watermark — the total only grows).  Each batch
+    emits one row per language seen, carrying the batch's doc/token
+    counts, the cumulative total, and whether the language's token
+    budget is now met — the signal an ingestion controller uses to
+    stop admitting a language once its training-mix quota is filled.
+
+    Token counts are the tokenizer-true BPE counts computed JVM-side
+    BEFORE grouping (ops/bpetokens.bpe_count_col), so the stateful
+    stage reduces pre-aggregated (lang, n_docs, n_tokens) rows:
+    state is ONE long per language regardless of ingest rate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from h2spark.ops.bpetokens import bpe_count_col
+
+    pre = docs.withColumn("n_tok", bpe_count_col(F.col("text"))).select(
+        "lang", "n_tok"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (lang,) = key
+        n_docs = 0
+        n_tok = 0
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_tok += int(pdf["n_tok"].sum())
+        (cum,) = state.get if state.exists else (0,)
+        cum += n_tok
+        state.update((cum,))
+        yield pd.DataFrame(
+            {
+                "lang": [lang],
+                "batch_docs": [n_docs],
+                "batch_tokens": [n_tok],
+                "cum_tokens": [cum],
+                "budget_reached": [cum >= budget_tokens],
+            }
+        )
+
+    # outputMode "append": every emitted row is an immutable fact
+    # about one (lang, micro-batch) — it is never revised, so the
+    # rows append cleanly to the sink while the state keeps updating
+    return pre.groupBy("lang").applyInPandasWithState(
+        update,
+        BUDGET_SCHEMA,
+        _BUDGET_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_budget_tracker(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    budget_tokens: int = 10_000,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental per-language budget metering over a growing
+    documents directory."""
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per landed
+        # file: the budget check runs at file granularity, so the
+        # controller can stop admitting within one file of the quota
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        budget_tracker(stream, budget_tokens), out_dir, checkpoint_dir,
+        available_now,
+    )

@@ -465,3 +465,56 @@ def test_streaming_near_dup_gate_matches_batch(spark, tmp_path):
     }
     assert streamed == batch_admitted
     assert 0 < len(streamed) < new.count()  # gate admits some, drops some
+
+
+def test_streaming_budget_tracker_accumulates_across_batches(
+    spark, tmp_path
+):
+    """Two micro-batch files: cumulative totals must carry across the
+    batch boundary via state, equal the batch computation, and flip
+    budget_reached exactly when the running total crosses."""
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.bpetokens import bpe_count_col
+    from h2spark.pipeline.streaming import run_streaming_budget_tracker
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+    inp = tmp_path / "bt_in"
+    out = tmp_path / "bt_out"
+    d.where(F.col("doc_id") < 50).coalesce(1).write.mode("append").parquet(
+        str(inp)
+    )
+    d.where(F.col("doc_id") >= 50).coalesce(1).write.mode("append").parquet(
+        str(inp)
+    )
+    totals = {
+        r["lang"]: r["t"]
+        for r in d.withColumn("n", bpe_count_col(F.col("text")))
+        .groupBy("lang")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    budget = int(sorted(totals.values())[len(totals) // 2])  # median
+    q = run_streaming_budget_tracker(
+        spark, str(inp), str(out), budget_tokens=budget,
+        checkpoint_dir=str(tmp_path / "bt_ck"),
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    # final cumulative per lang == batch total
+    final = {}
+    for r in rows:
+        if r["lang"] not in final or r["cum_tokens"] > final[r["lang"]][0]:
+            final[r["lang"]] = (r["cum_tokens"], r["budget_reached"])
+    assert {k: v[0] for k, v in final.items()} == totals
+    for lang, (cum, reached) in final.items():
+        assert reached == (cum >= budget)
+    # state carried across batches: some lang must appear twice with
+    # increasing cumulative totals
+    from collections import Counter
+
+    per_lang = Counter(r["lang"] for r in rows)
+    assert max(per_lang.values()) >= 2
