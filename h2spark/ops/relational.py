@@ -380,3 +380,53 @@ FROM cum GROUP BY lang ORDER BY lang
 
 QUERIES["length_percentiles"] = q_length_percentiles
 ORACLES["length_percentiles"] = ORACLE_LENGTH_PERCENTILES
+
+
+# --- corpus report card (one-row health dashboard) ----------------------
+
+
+def q_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus health summary an ingestion dashboard
+    renders: document/language counts, size totals and bounds, and
+    exact-duplicate pressure (distinct normalized-content hashes vs
+    docs).  One pass over the scan: a single aggregation with
+    count_distinct — at 10^12 docs this is the cheapest possible
+    full-corpus observability query (all metrics map-side combinable
+    except the distinct, which shuffles 16-byte hashes)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    content = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    agg = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.countDistinct(content).cast("long").alias("n_distinct_contents"),
+    )
+    return agg.select(
+        "n_docs", "n_langs", "total_chars", "max_chars",
+        "n_distinct_contents",
+        (F.col("n_docs") - F.col("n_distinct_contents")).cast("long").alias(
+            "n_exact_dup_docs"
+        ),
+        F.expr("total_chars div n_docs").cast("long").alias("mean_chars"),
+    )
+
+
+ORACLE_CORPUS_REPORT_CARD = r"""
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       sum(n_chars)::BIGINT AS total_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       count(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))::BIGINT
+         AS n_distinct_contents,
+       (count(*) - count(DISTINCT
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))))::BIGINT
+         AS n_exact_dup_docs,
+       (sum(n_chars) // count(*))::BIGINT AS mean_chars
+FROM documents
+"""
+
+QUERIES["corpus_report_card"] = q_corpus_report_card
+ORACLES["corpus_report_card"] = ORACLE_CORPUS_REPORT_CARD
