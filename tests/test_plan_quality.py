@@ -528,3 +528,22 @@ def test_embed_hash_single_aggregation_chain_no_python(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jsonld_json_parse_stays_jvm_side(spark):
+    """Exactly one Python stage (the Arrow extraction kernel); the
+    JSON parse itself must be the JVM from_json, never Python."""
+    from h2spark.ops import roundtrip
+
+    plan = _formatted(roundtrip.q_jsonld_extract(spark, SF), spark)
+    assert plan.count("ArrowEvalPython") <= 2  # node + details lines
+    assert "BatchEvalPython" not in plan
+    assert "from_json" in plan
+
+
+def test_report_card_single_aggregation_no_python(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_corpus_report_card(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
