@@ -2165,3 +2165,63 @@ ORDER BY e.doc_a, e.doc_b
 
 QUERIES["dedup_eval_metrics"] = q_dedup_eval_metrics
 ORACLES["dedup_eval_metrics"] = ORACLE_DEDUP_EVAL_METRICS
+
+
+# --- crawl frontier partitioning (politeness scheduling) -----------------
+
+_FRONTIER_PARTS = 16
+
+
+def q_frontier_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling plan: per synthesized URL, the
+    politeness partition (hash of the HOST, so one site's fetches
+    land on one worker and per-host rate limits hold without any
+    coordination) and the crawl sequence number within the host
+    (deterministic (url, doc_id) order).  Pure codegen + one window
+    per host partition; at 10^12 URLs the window is bounded by the
+    largest single host, which is exactly the unit a politeness
+    scheduler must serialize anyway."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.lit("site"), F.pmod(F.col("doc_id"), F.lit(23)).cast("string"),
+        F.lit(".example"),
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    part = F.pmod(
+        F.conv(F.substring(F.md5(host), 1, 8), 16, 10).cast("long"),
+        F.lit(_FRONTIER_PARTS),
+    )
+    w = Window.partitionBy(host).orderBy(url, "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            host.alias("host"),
+            url.alias("url"),
+            part.cast("long").alias("partition"),
+            F.row_number().over(w).cast("long").alias("crawl_seq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FRONTIER_PLAN = """
+WITH u AS (
+  SELECT doc_id,
+         'site' || (doc_id % 23) || '.example' AS host,
+         'https://site' || (doc_id % 23) || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT doc_id, host, url,
+       (('0x' || substr(md5(host), 1, 8))::BIGINT % 16)::BIGINT AS partition,
+       row_number() OVER (PARTITION BY host ORDER BY url, doc_id)::BIGINT
+         AS crawl_seq
+FROM u ORDER BY doc_id
+"""
+
+QUERIES["frontier_plan"] = q_frontier_plan
+ORACLES["frontier_plan"] = ORACLE_FRONTIER_PLAN
