@@ -3,10 +3,15 @@
 ``entry(spark)`` runs the flagship interleaved-span extraction on
 sf0.001; ``queries()``/``oracle_sql()`` expose every implemented
 operator family (SURVEY.md §2), each with a DuckDB oracle twin — the
-multimodal/codec stages run REAL pure-stdlib decoders
-(PNG/GIF/BMP/baseline-JPEG pixels, WAV samples, AVI frames, WARC
-records, PDF text) over deterministic pattern inputs whose decoded
-values the SQL oracles re-derive from the construction formulas.
+multimodal/codec stages run REAL pure-stdlib decoders (PNG/GIF/BMP/
+JPEG incl. progressive, WebP-lossless pixels, WAV incl. G.711/ADPCM
+samples, AVI frames, WARC records with WHATWG encoding sniffing, PDF
+text) over deterministic pattern inputs whose decoded values the SQL
+oracles re-derive from the construction formulas; the crawl-layer ops
+(robots.txt, sitemaps, meta directives, JSON-LD, frontier planning)
+and training-data ops (dedup families incl. perceptual image/audio
+near-dup, BPE tokenization/packing/export, curation, ANN) follow the
+same contract.
 """
 
 from __future__ import annotations
