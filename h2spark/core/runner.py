@@ -993,3 +993,40 @@ def encoding_sniff_batch(doc_ids) -> list:
             data = body.encode("cp1252")
         outs.append(decode_html(data))
     return outs
+
+
+def _compression_doc(d: int) -> str:
+    """Deterministic per-doc text with doc-dependent redundancy
+    (lockstep with ops/textstats.ORACLE_COMPRESSION_RATIO's golden
+    generator): low doc_id % 4 -> highly repetitive (compresses
+    hard, the 'boilerplate' signal), high -> shuffled-ish varied
+    words (compresses poorly, the 'natural text' signal)."""
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma"]
+    v = d % 4
+    if v == 0:
+        return ("spam " * 60).strip()
+    parts = []
+    x = d * 2654435761 % 2**32
+    for i in range(60):
+        x = (x * 1103515245 + 12345) % 2**31
+        parts.append(words[x % (2 + v)])
+    return " ".join(parts)
+
+
+def compression_ratio_batch(doc_ids, level: int = 6) -> list:
+    """(n_raw, n_compressed, ratio_e6) per doc over REAL zlib: the
+    compression-ratio quality signal (highly-compressible text is
+    boilerplate/spam; Gopher- and Dolma-style pipelines gate on it).
+    Deterministic for a fixed zlib level and library version — the
+    golden oracle is generated at import time with the SAME zlib, so
+    the pin is engine-vs-engine, not version-vs-version."""
+    import zlib
+
+    outs: list = []
+    for d in doc_ids:
+        raw = _compression_doc(int(d)).encode("utf-8")
+        comp = zlib.compress(raw, level)
+        outs.append(
+            (len(raw), len(comp), len(comp) * 1_000_000 // len(raw))
+        )
+    return outs

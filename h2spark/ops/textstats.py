@@ -1284,3 +1284,66 @@ FROM documents ORDER BY doc_id
 
 QUERIES["robots_filter"] = q_robots_filter
 ORACLES["robots_filter"] = ORACLE_ROBOTS_FILTER
+
+
+# --- compression-ratio quality signal ------------------------------------
+
+_COMP_N_DOCS = 48
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression-ratio gate (highly-compressible text is
+    boilerplate/spam — the Gopher/Dolma signal): per doc, REAL zlib
+    over deterministic synthesized text with doc-dependent
+    redundancy; emits raw/compressed sizes and the e6 ratio.  The
+    oracle is a golden table generated AT IMPORT with the same zlib,
+    so the driver hash pins the Spark plumbing + kernel against an
+    independent computation of the identical bytes (the bpe_train
+    golden-table precedent; environment-tied to the zlib build, which
+    is shared by definition)."""
+    from h2spark.core.runner import compression_ratio_batch
+
+    def compress(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            res = compression_ratio_batch(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_raw": [r[0] for r in res],
+                    "n_compressed": [r[1] for r in res],
+                    "ratio_e6": [r[2] for r in res],
+                }
+            )
+
+    return (
+        spark.range(_COMP_N_DOCS).repartition(4)
+        .mapInPandas(
+            compress,
+            "doc_id long, n_raw long, n_compressed long, ratio_e6 long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _golden_compression_sql() -> str:
+    from h2spark.core.runner import compression_ratio_batch
+
+    rows = compression_ratio_batch(range(_COMP_N_DOCS))
+    values = ",\n  ".join(
+        f"({i}, {r[0]}, {r[1]}, {r[2]})" for i, r in enumerate(rows)
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {values}
+) t(doc_id, n_raw, n_compressed, ratio_e6)
+ORDER BY doc_id
+"""
+
+
+ORACLE_COMPRESSION_RATIO = _golden_compression_sql()
+
+QUERIES["text_compression_ratio"] = q_compression_ratio
+ORACLES["text_compression_ratio"] = ORACLE_COMPRESSION_RATIO
