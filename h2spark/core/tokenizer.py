@@ -40,7 +40,10 @@ RCDATA_ELEMENTS = frozenset({"title", "textarea"})
 
 _TAG_NAME_RE = re.compile(r"[a-zA-Z][^\t\n\f />]*")
 _WS_RE = re.compile(r"[\t\n\f\r ]*")
-_ATTR_NAME_RE = re.compile(r"[^\t\n\f\r />=]+|=")
+# a leading '=' is a parse error that STARTS the attribute name and
+# keeps consuming name chars (13.2.5.32 before-attribute-name):
+# <div =x> has ONE attribute named "=x", not "=" plus "x"
+_ATTR_NAME_RE = re.compile(r"=[^\t\n\f\r />=]*|[^\t\n\f\r />=]+")
 _UNQUOTED_VALUE_RE = re.compile(r"[^\t\n\f\r >]*")
 # fast path: attribute-less start tag, e.g. "<div>" / "<h2>" — the
 # overwhelmingly common shape; one regex, no attr scan loop
