@@ -54,7 +54,9 @@ _SIMPLE_END_RE = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
 # refs in the value, e.g. '<a href="/x">' / '<h1 class="t">'
 # (lowercase-only so no .lower() pass is needed; mixed case falls back)
 _ONE_ATTR_TAG_RE = re.compile(
-    r'<([a-z][a-z0-9]*)[ \t\n\f\r]+([a-z_:][a-z0-9_:.-]*)="([^"&]*)">'
+    # \x00 excluded: a NUL in the value must take the slow path's
+    # U+FFFD replacement (13.2.5.36)
+    r'<([a-z][a-z0-9]*)[ \t\n\f\r]+([a-z_:][a-z0-9_:.-]*)="([^"&\x00]*)">'
 )
 
 # comments close on "-->" or the incorrectly-closed "--!>" (spec)
@@ -340,7 +342,7 @@ def _scan_start_tag(s: str, pos: int):
         if am is None:  # defensive; '>' and '/' handled above
             i += 1
             continue
-        aname = am.group(0).lower()
+        aname = am.group(0).lower().replace("\x00", "\ufffd")
         i = am.end()
         i = _WS_RE.match(s, i).end()
         value = ""
@@ -351,11 +353,15 @@ def _scan_start_tag(s: str, pos: int):
                 endq = s.find(q, i + 1)
                 if endq < 0:
                     return None, n  # eof-in-attribute-value
-                value = decode_char_refs(s[i + 1:endq], in_attribute=True)
+                value = decode_char_refs(
+                    s[i + 1:endq], in_attribute=True
+                ).replace("\x00", "\ufffd")
                 i = endq + 1
             else:
                 vm = _UNQUOTED_VALUE_RE.match(s, i)
-                value = decode_char_refs(vm.group(0), in_attribute=True)
+                value = decode_char_refs(
+                    vm.group(0), in_attribute=True
+                ).replace("\x00", "\ufffd")
                 i = vm.end()
         if aname not in attrs:  # duplicate-attribute: first wins
             attrs[aname] = value
@@ -382,7 +388,7 @@ def _scan_script(s: str, pos: int, emit) -> int:
         m = _SCRIPT_EVENT.search(s, i)
         if m is None:
             if pos < n:
-                emit(("text", s[pos:]))
+                emit(("text", s[pos:].replace("\x00", "\ufffd")))
             return n
         ev = m.group(0).lower()
         if ev == "<!--":
@@ -408,7 +414,10 @@ def _scan_script(s: str, pos: int, emit) -> int:
                 i = m.end()
             else:
                 if pos < m.start():
-                    emit(("text", s[pos:m.start()]))
+                    emit(
+                        ("text",
+                         s[pos:m.start()].replace("\x00", "\ufffd"))
+                    )
                 end = _skip_tag_end(s, m.end())
                 emit(("end", "script"))
                 return n if end < 0 else end
@@ -428,11 +437,14 @@ def _scan_rawtext(s: str, pos: int, name: str, decode: bool, emit) -> int:
     if m is None:
         data = s[pos:]
         if data:
-            emit(("text", decode_char_refs(data) if decode else data))
+            data = decode_char_refs(data) if decode else data
+            # RAWTEXT/RCDATA/script-data states: NUL -> U+FFFD (13.2.5)
+            emit(("text", data.replace("\x00", "\ufffd")))
         return len(s)
     data = s[pos:m.start()]
     if data:
-        emit(("text", decode_char_refs(data) if decode else data))
+        data = decode_char_refs(data) if decode else data
+        emit(("text", data.replace("\x00", "\ufffd")))
     end = _skip_tag_end(s, m.end())
     emit(("end", name))
     return len(s) if end < 0 else end

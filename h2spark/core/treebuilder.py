@@ -1151,6 +1151,13 @@ class _Builder:
                 curtag = cur.tag
                 if curtag not in _TEXT_CONTENT or cur.ns is not None:
                     data = tok[1]
+                    if "\x00" in data:
+                        # 13.2.6.4.7 "in body": U+0000 character tokens
+                        # are a parse error and IGNORED (foreign content
+                        # replaces with U+FFFD instead — _foreign_token)
+                        data = data.replace("\x00", "")
+                        if not data:
+                            return
                     if self._frameset_ok and data.strip(_WS):
                         self._frameset_ok = False
                     if (
@@ -1435,9 +1442,16 @@ class _Builder:
             # the flip also lives in feed()'s fast path; this covers
             # tokens routed here by the mode machine (first body token,
             # reprocess from other modes)
-            if self._frameset_ok and tok[1].strip(_WS):
+            data = tok[1]
+            if "\x00" in data:
+                # 13.2.6.4.7 "in body": U+0000 is ignored (foreign
+                # content replaces with U+FFFD — _foreign_token)
+                data = data.replace("\x00", "")
+                if not data:
+                    return True
+            if self._frameset_ok and data.strip(_WS):
                 self._frameset_ok = False
-            self._insert_text_in_body(tok[1])
+            self._insert_text_in_body(data)
             return True
         if kind == "comment":
             self._current().append_child(Comment(tok[1]))

@@ -408,3 +408,45 @@ def test_attr_string_css_hex_escapes():
         e.inner_text()
         for e in CssSelector.parse('[title="\\41"]').select(root)
     ] == ["yes"]
+
+
+def test_nul_handling_per_state():
+    """Literal U+0000 semantics (13.2.5 + 13.2.6.4.7): dropped in
+    body content, U+FFFD in rawtext/RCDATA/script data and attribute
+    values, U+FFFD in foreign content — while a charref &#0; is the
+    tokenizer's numeric remap to U+FFFD everywhere."""
+    from h2spark.core.treebuilder import parse_document
+
+    def texts(html):
+        out = []
+
+        def walk(el):
+            for ch in el.children:
+                t = type(ch).__name__
+                if t == "Text":
+                    out.append(ch.data)
+                elif hasattr(ch, "children"):
+                    walk(ch)
+
+        walk(parse_document(html).root_element())
+        return out
+
+    assert texts("a\x00b") == ["ab"]
+    assert texts("<div>a\x00b</div>") == ["ab"]
+    assert texts("<script>x\x00y</script>") == ["x�y"]
+    assert texts("<style>x\x00y</style>") == ["x�y"]
+    assert texts("<textarea>x\x00y</textarea>") == ["x�y"]
+    assert texts("<svg>a\x00b</svg>") == ["a�b"]
+
+    doc = parse_document('<div a="x\x00y">t</div>')
+
+    def find(el):
+        for ch in el.children:
+            if hasattr(ch, "children"):
+                if ch.tag == "div":
+                    return ch
+                r = find(ch)
+                if r is not None:
+                    return r
+
+    assert find(doc.root_element()).attrs == {"a": "x�y"}
