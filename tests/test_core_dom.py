@@ -450,3 +450,39 @@ def test_nul_handling_per_state():
                     return r
 
     assert find(doc.root_element()).attrs == {"a": "x�y"}
+
+
+def test_selector_corner_matrix():
+    """One-shot matrix over the trickier selector forms (negative
+    an+b, nth-last/of-type, case-insensitivity flag, relative :has,
+    sibling combinators, attr operators) — probe-verified round 7."""
+    from h2spark.core.selector import CssSelector
+    from h2spark.core.treebuilder import parse_document
+
+    doc = parse_document(
+        '<ul><li id=a class="X">1</li><li id=b>2</li><li id=c>3</li>'
+        '<li id=d>4</li><li id=e>5</li></ul><p title="Hello">t</p>'
+    )
+    root = doc.root_element()
+
+    def ids(sel):
+        return [
+            e.attrs.get("id", e.attrs.get("title", e.tag))
+            for e in CssSelector.parse(sel).select(root)
+        ]
+
+    assert ids("li:nth-child(odd)") == ["a", "c", "e"]
+    assert ids("li:nth-child(-n+2)") == ["a", "b"]
+    assert ids("li:nth-child(2n+10)") == []
+    assert ids("li:nth-last-child(2)") == ["d"]
+    assert ids("li:not(:first-child)") == ["b", "c", "d", "e"]
+    assert ids("[class=x i]") == ["a"]  # case-insensitive flag
+    assert ids("[class=x]") == []      # without the flag: case matters
+    assert ids('[title^="He"]') == ["Hello"]
+    assert ids('[title$="lo"]') == ["Hello"]
+    assert ids("li:nth-of-type(2)") == ["b"]
+    assert ids("ul :is(li:first-child, li:last-child)") == ["a", "e"]
+    assert ids("li:has(+ li#c)") == ["b"]
+    assert ids("li#a ~ li") == ["b", "c", "d", "e"]
+    assert ids("[class~=X]") == ["a"]
+    assert ids("[title|=Hello]") == ["Hello"]
