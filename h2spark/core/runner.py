@@ -1030,3 +1030,83 @@ def compression_ratio_batch(doc_ids, level: int = 6) -> list:
             (len(raw), len(comp), len(comp) * 1_000_000 // len(raw))
         )
     return outs
+
+
+def crawl_increment_batch(doc_ids) -> list:
+    """The crawl-side flagship: per doc a genuine WARC record is
+    synthesized (cp1252-encoded body with a declared charset for odd
+    ids — the encoding-sniff path — utf-8 for even), read back with
+    the real record parser + WHATWG decode chain, the title and body
+    extracted through the REAL html5 parser + selectors, and the
+    URL's path gated by the RFC 9309 robots matcher (policy: the
+    /private/ prefix is disallowed, /private/ok$ re-allowed).  One
+    row per doc: (url, encoding_used, title, n_body_words, allowed) —
+    the oracle replays every field from the construction, so WARC
+    framing, sniffing, extraction and politeness sit under ONE hash.
+
+    Lockstep with ORACLE_CRAWL_INCREMENT in ops/multimodal.py."""
+    from h2spark.core.extract import compile_spec, extract_html
+    from h2spark.core.robots import is_allowed, parse_robots
+    from h2spark.core.spec import ONE, Field, Scalar, StructSpec
+    from h2spark.core.warc import iter_html_responses, write_warc_response
+
+    spec = StructSpec(
+        "Page",
+        [
+            Field("title", Scalar("String"), ONE, select="title"),
+            Field("body", Scalar("String"), ONE, select="p.main"),
+        ],
+    )
+    cs = compile_spec(spec)
+    groups = parse_robots(
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok$\n"
+    )
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        path = ["/a/", "/private/x", "/private/ok", "/b/"][d % 4]
+        url = f"https://inc.test{path}{'' if path.endswith('ok') else d}"
+        body = " ".join(f"w{i}é" for i in range(d % 5 + 1))
+        html = (
+            f"<html><head><title>t-{d}</title></head>"
+            f'<body><p class="main">{body}</p></body></html>'
+        )
+        rec = write_warc_response(url, "2026-01-01T00:00:00Z", html)
+        if d % 2 == 1:
+            # re-encode the entity as cp1252 with a declared charset:
+            # the reader must decode through the transport label (the
+            # é in every body word turns to mojibake if it doesn't,
+            # and first_word pins the exact bytes)
+            ent = html.encode("cp1252")
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=windows-1252\r\n"
+                b"Content-Length: " + str(len(ent)).encode() + b"\r\n\r\n"
+                + ent
+            )
+            rec = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                + f"WARC-Target-URI: {url}\r\n".encode()
+                + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+                + http + b"\r\n\r\n"
+            )
+        rows = list(iter_html_responses(rec))
+        got_url, _, text = rows[0]
+        value, _, err = extract_html(cs, text)
+        title = value["title"] if err is None else ""
+        words = value["body"].split() if err is None else []
+        upath = got_url.split("inc.test", 1)[1]
+        outs.append(
+            (
+                got_url,
+                "windows-1252" if d % 2 == 1 else "utf-8",
+                title,
+                words[0] if words else "",
+                len(words) if err is None else -1,
+                is_allowed(groups, "h2bot/1.0", upath),
+            )
+        )
+    return outs

@@ -1893,3 +1893,66 @@ ORDER BY doc_id
 
 QUERIES["encoding_sniff"] = q_encoding_sniff
 ORACLES["encoding_sniff"] = ORACLE_ENCODING_SNIFF
+
+
+# --- crawl-increment end-to-end (the crawl-side flagship) ---------------
+
+_CRAWL_INC_N = 48
+
+
+def q_crawl_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four real subsystems under ONE driver hash: genuine WARC
+    records (alternating utf-8 / transport-declared cp1252 bodies) ->
+    WHATWG decode chain -> real html5 parse + selector extraction
+    (title, body words — first_word pins the exact decoded bytes,
+    mojibake flips it) -> RFC 9309 robots gate on the URL path.  The
+    oracle replays every field from the construction."""
+    from h2spark.core.runner import crawl_increment_batch
+
+    def run(batches):
+        for pdf in batches:
+            ids = [int(v) for v in pdf["id"]]
+            res = crawl_increment_batch(ids)
+            import pandas as pd2
+
+            yield pd2.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": [r[0] for r in res],
+                    "encoding": [r[1] for r in res],
+                    "title": [r[2] for r in res],
+                    "first_word": [r[3] for r in res],
+                    "n_words": [r[4] for r in res],
+                    "allowed": [r[5] for r in res],
+                }
+            )
+
+    return (
+        spark.range(_CRAWL_INC_N).repartition(4)
+        .mapInPandas(
+            run,
+            "doc_id long, url string, encoding string, title string, "
+            "first_word string, n_words long, allowed boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CRAWL_INCREMENT = f"""
+SELECT id AS doc_id,
+       'https://inc.test' ||
+         CASE id % 4 WHEN 0 THEN '/a/' || id
+                     WHEN 1 THEN '/private/x' || id
+                     WHEN 2 THEN '/private/ok'
+                     ELSE '/b/' || id END AS url,
+       CASE WHEN id % 2 = 1 THEN 'windows-1252' ELSE 'utf-8' END AS encoding,
+       't-' || id AS title,
+       'w0é' AS first_word,
+       (id % 5 + 1)::BIGINT AS n_words,
+       (id % 4 != 1) AS allowed
+FROM range(0, {_CRAWL_INC_N}) t(id)
+ORDER BY doc_id
+"""
+
+QUERIES["crawl_increment_e2e"] = q_crawl_increment
+ORACLES["crawl_increment_e2e"] = ORACLE_CRAWL_INCREMENT
