@@ -110,7 +110,6 @@ _PRIORITY = [
     "extract_roundtrip_numbers",
     "extract_roundtrip_option_err",
     "extract_roundtrip_nth_text",
-    "interleaved_markdown",
     # (4) new this round: cross-document duplicated-passage ratio,
     #     image near-dup dHash mining, incremental new-batch-vs-index
     #     dedup — plus dedup_minhash_lsh as the canary for the
@@ -124,6 +123,7 @@ _PRIORITY = [
     #     this round).
     "text_dup_passage_ratio", "image_dedup_dhash", "audio_dedup_fp",
     "dedup_incremental", "dedup_minhash_lsh", "decontaminate_bloom",
+    "crawl_increment_e2e",
 ]
 
 
