@@ -1480,6 +1480,16 @@ class _Builder:
                     self._pop_until("select")
                     if name == "select":
                         return True
+                elif name in (
+                    "caption", "table", "tbody", "tfoot", "thead",
+                    "tr", "td", "th",
+                ) and self._table_in_scope():
+                    # "in select in table" (13.2.6.4.17): a table
+                    # structural start tag pops the select and is
+                    # REPROCESSED — <td><select><table> nests the
+                    # table in the cell, never inside the select
+                    self._pop_until("select")
+                    # fall through: reprocess this token below
                 else:
                     return True
             # flip AFTER the in-select routing: starts the select rules
@@ -1755,7 +1765,16 @@ class _Builder:
         if kind == "end":
             name = tok[1]
             if name not in _SELECT_END_SAFE and self._in_select():
-                return True  # spec "in select": any other end tag ignored
+                if name in (
+                    "caption", "table", "tbody", "tfoot", "thead",
+                    "tr", "td", "th",
+                ) and self._table_in_scope():
+                    # "in select in table" end tag: pop the select and
+                    # reprocess (</table> inside a select closes the
+                    # surrounding table)
+                    self._pop_until("select")
+                else:
+                    return True  # spec "in select": other end tags ignored
             if name in ("body", "html"):
                 if self._in_template():
                     return True  # ignored inside template contents (spec)
