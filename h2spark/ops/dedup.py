@@ -1941,9 +1941,12 @@ def bloom_bits_row(grams: DataFrame, col: str = "shingle") -> DataFrame:
 
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # the bench shingle relation feeds BOTH the Bloom build and the
+    # exact-verify join — persist it (held-out sets are small relative
+    # to the corpus; same ledger pattern as the dup-passage grams)
     bench = _with_shingles(
         d.where(F.col("doc_id") % _DECON_MOD == 0), _DECON_N
-    ).withColumnRenamed("doc_id", "bench_doc_id")
+    ).withColumnRenamed("doc_id", "bench_doc_id").persist()
     train = _with_shingles(
         d.where(F.col("doc_id") % _DECON_MOD != 0), _DECON_N
     )
