@@ -1913,9 +1913,7 @@ def q_crawl_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids = [int(v) for v in pdf["id"]]
             res = crawl_increment_batch(ids)
-            import pandas as pd2
-
-            yield pd2.DataFrame(
+            yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "url": [r[0] for r in res],
