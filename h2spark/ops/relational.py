@@ -430,3 +430,89 @@ FROM documents
 
 QUERIES["corpus_report_card"] = q_corpus_report_card
 ORACLES["corpus_report_card"] = ORACLE_CORPUS_REPORT_CARD
+
+
+# --- batch gap-sessionization (oracle twin of the streaming op) ----------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, in epoch micros
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessionization (a session ends after 30 min of
+    inactivity) as pure window arithmetic: lag -> gap flag -> running
+    sum = session index -> per-session aggregate.  This is the batch,
+    fully-oracle-checked twin of the streaming ``sessionize_events``
+    operator (h2spark/pipeline/streaming.py); the two are pinned equal
+    on the same input in tests/test_streaming.py.
+
+    Scale shape: ONE hash shuffle (on user_id, for the lag window); the
+    (user_id, session_idx) groupBy reuses it because
+    HashPartitioning(user_id) already clusters the superset key — no
+    second Exchange (plan-pinned in test_plan_quality.py).  Window
+    state is per-user, never global.  Timestamps are exported as epoch
+    micros, timezone-independent (same convention as
+    events_hourly_window's epoch seconds).
+    """
+    from pyspark.sql import Window
+
+    # ts is TIMESTAMP_NTZ: epoch micros via NTZ-to-NTZ timestampdiff —
+    # no cast through the session timezone, so the value is identical
+    # under any driver timezone setting (matches DuckDB's epoch_us on
+    # the naive parquet micros)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        us.alias("us"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("us") - prev > F.lit(_SESSION_GAP_US)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.withColumn(
+        "session_idx", F.sum(brk).over(run).cast("long")
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("us").cast("long").alias("session_start_us"),
+            F.max("us").cast("long").alias("session_end_us"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS us, value, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, us, value,
+         (sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+  FROM b
+)
+SELECT user_id, session_idx,
+       min(us)::BIGINT AS session_start_us,
+       max(us)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+QUERIES["events_sessionize"] = q_events_sessionize
+ORACLES["events_sessionize"] = ORACLE_EVENTS_SESSIONIZE

@@ -547,3 +547,17 @@ def test_report_card_single_aggregation_no_python(spark):
     plan = _formatted(relational.q_corpus_report_card(spark, SF), spark)
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_batch_sessionize_single_hash_shuffle(spark):
+    # lag window + running sum + (user_id, session_idx) groupBy must
+    # all ride ONE hashpartitioning(user_id) exchange —
+    # HashPartitioning(user_id) clusters the superset grouping key, so
+    # Catalyst may not insert a second hash exchange; only the
+    # presentation orderBy range-partitions. props must be pruned.
+    plan = _formatted(relational.q_events_sessionize(spark, SF), spark)
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("Exchange (") == 2  # hash + presentation range
+    assert "rangepartitioning" in plan
+    assert "props" not in plan  # column pruning reaches the scan
+    assert "Python" not in plan and "Arrow" not in plan

@@ -518,3 +518,64 @@ def test_streaming_budget_tracker_accumulates_across_batches(
 
     per_lang = Counter(r["lang"] for r in rows)
     assert max(per_lang.values()) >= 2
+
+
+def test_batch_sessionize_matches_streaming(spark, tmp_path):
+    """The batch window-arithmetic sessionizer (relational.py, full
+    DuckDB oracle) and the stateful streaming one must produce the
+    same sessions on the same input — including an exactly-at-gap
+    boundary (30:00 is NOT a break; both use strict >)."""
+    from datetime import datetime, timezone
+
+    from h2spark.ops.relational import q_events_sessionize
+    from h2spark.pipeline.streaming import run_streaming_sessions
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    rows = [
+        (0, t(0, 0), 1, "view", 1.0, "{}"),
+        (1, t(0, 10), 1, "click", 2.0, "{}"),
+        (2, t(1, 0), 1, "view", 4.0, "{}"),    # >30min after 00:10
+        (3, t(0, 5), 2, "view", 8.0, "{}"),
+        (4, t(0, 40), 2, "view", 1.5, "{}"),   # 35min gap: new session
+        (5, t(1, 5), 2, "click", 2.5, "{}"),   # 25min: same session
+        (6, t(0, 0), 3, "view", 0.5, "{}"),
+        (7, t(0, 30), 3, "view", 0.5, "{}"),   # exactly 30:00: no break
+    ]
+    sf = tmp_path / "sess_sf"
+    _write_events(spark, rows, str(sf / "events.parquet"))
+    batch = {}
+    for r in q_events_sessionize(spark, str(sf)).collect():
+        batch.setdefault(r["user_id"], []).append((
+            r["session_start_us"], r["session_end_us"],
+            r["n_events"], round(r["total_value"], 4),
+        ))
+
+    in_dir = str(tmp_path / "sess_in")
+    out_dir = str(tmp_path / "sess_out")
+    # sentinel user advances the watermark so all sessions finalize
+    _write_events(spark, rows + [(90, t(9, 0), 99, "view", 0.0, "{}")], in_dir)
+    q = run_streaming_sessions(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(180)
+    _write_events(spark, [(91, t(10, 0), 99, "view", 0.0, "{}")], in_dir)
+    q = run_streaming_sessions(spark, in_dir, out_dir, gap_minutes=30)
+    q.awaitTermination(180)
+
+    to_us = lambda dt: int(
+        dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+    )
+    stream = {}
+    for r in spark.read.parquet(f"{out_dir}/data").collect():
+        if r["user_id"] == 99:
+            continue
+        stream.setdefault(r["user_id"], []).append((
+            to_us(r["session_start"]), to_us(r["session_end"]),
+            r["n_events"], round(r["total_value"], 4),
+        ))
+    for sessions in batch.values():
+        sessions.sort()
+    for sessions in stream.values():
+        sessions.sort()
+    assert stream == batch
+    # boundary pins: user 3 is ONE session spanning the exact-gap pair
+    assert len(batch[3]) == 1 and batch[3][0][2] == 2
+    assert len(batch[2]) == 2
