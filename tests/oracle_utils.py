@@ -69,6 +69,33 @@ def _norm_cell(v):
     return v
 
 
+_INT_TYPES = (
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+)
+
+
+def null_int_degrades(con, oracle_sql: str, ddf) -> list[str]:
+    """Columns DuckDB DECLARES integer but pandas FETCHED as floating —
+    the NULL-in-integer-column degrade (round-7 trap: a nullable BIGINT
+    passes the DESCRIBE type audit, yet one NULL flips the whole
+    fetched column to float64 and the driver's typed hash with it).
+    The fix at the oracle: emit a sentinel (e.g. -1), never NULL, in
+    integer output columns."""
+    import pandas as pd
+
+    declared = {
+        c: str(t).upper()
+        for c, t, *_ in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    }
+    return [
+        c
+        for c in ddf.columns
+        if declared.get(c) in _INT_TYPES
+        and pd.api.types.is_float_dtype(ddf[c])
+    ]
+
+
 def compare_query(spark, sf_dir: str, query_fn, oracle_sql: str):
     """Return (ok, detail) comparing the Spark query with DuckDB."""
     sdf = query_fn(spark, sf_dir)
@@ -78,6 +105,13 @@ def compare_query(spark, sf_dir: str, query_fn, oracle_sql: str):
     )
     con = duckdb_conn(sf_dir)
     ddf = con.execute(oracle_sql).fetchdf()
+    degraded = null_int_degrades(con, oracle_sql, ddf)
+    if degraded:
+        return False, (
+            f"NULL-int degrade: integer oracle column(s) {degraded} "
+            "fetched as float64 (NULLs present) — use a sentinel, "
+            "never NULL, in integer oracle columns"
+        )
     dcols = sorted(ddf.columns)
     if scols != dcols:
         return False, f"schema mismatch: spark={scols} duckdb={dcols}"

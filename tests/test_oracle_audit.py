@@ -86,3 +86,40 @@ def test_norm_cell_numpy_matches_python():
     assert _norm_cell(np.int64(7)) == _norm_cell(7)
     assert _norm_cell(np.float64(7.25)) == _norm_cell(7.25)
     assert _norm_cell(np.float64(7.0)) != _norm_cell(7)
+
+
+def test_null_int_degrade_detected(con):
+    # Round-7 trap: declared BIGINT passes the type audit, but one
+    # NULL flips the fetched column to float64 (and the driver hash).
+    from oracle_utils import null_int_degrades
+
+    sql = (
+        "SELECT CASE WHEN x = 1 THEN NULL ELSE x END AS n "
+        "FROM (VALUES (1::BIGINT), (2::BIGINT)) t(x)"
+    )
+    ddf = con.execute(sql).fetchdf()
+    assert null_int_degrades(con, sql, ddf) == ["n"]
+
+
+def test_null_int_sentinel_passes(con):
+    from oracle_utils import null_int_degrades
+
+    sql = (
+        "SELECT coalesce(CASE WHEN x = 1 THEN NULL ELSE x END, -1)"
+        "::BIGINT AS n, 1.5::DOUBLE AS ok_float "
+        "FROM (VALUES (1::BIGINT), (2::BIGINT)) t(x)"
+    )
+    ddf = con.execute(sql).fetchdf()
+    assert null_int_degrades(con, sql, ddf) == []
+
+
+def test_no_registered_oracle_degrades_null_int(con):
+    from oracle_utils import null_int_degrades
+
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        ddf = con.execute(sql).fetchdf()
+        cols = null_int_degrades(con, sql, ddf)
+        if cols:
+            bad[name] = cols
+    assert not bad, f"NULL-degraded integer oracle columns: {bad}"
