@@ -907,3 +907,135 @@ ORACLE_PACKED_EXPORT = _oracle_packed_export()
 
 QUERIES["training_packed_export"] = q_training_packed_export
 ORACLES["training_packed_export"] = ORACLE_PACKED_EXPORT
+
+
+# --- domain_frequency_cap: per-domain head-domain smoothing ---------------
+
+_DOMAIN_CAP = 12  # kept docs per domain (sandbox-sized; a knob at scale)
+
+
+def q_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (the FineWeb/CCNet head-domain
+    smoothing step): a handful of mega-domains otherwise dominate a
+    crawl corpus, so each domain keeps at most ``_DOMAIN_CAP``
+    documents, chosen by a deterministic md5 order (an unbiased,
+    reproducible uniform downsample — production swaps in a quality
+    rank). Emits the kept docs with their in-domain rank and the
+    domain's pre-cap size, so downstream mixing can see how hard each
+    domain was cut.
+
+    Scale shape: both window functions share PARTITION BY source, so
+    Catalyst plans ONE hash exchange on the domain key. A true
+    mega-domain (billions of rows on one key) would skew that
+    exchange; the scale mitigation is a pre-filter pass — keep only
+    rows whose md5 falls below ~cap/n_domain_docs quantile estimated
+    from a first aggregate — then exact-rank the tiny survivor set.
+    At 10^12 docs the cap itself makes the survivor set bounded."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("n_domain_docs", F.count("*").over(wc).cast("long"))
+        .where(F.col("rnk") <= _DOMAIN_CAP)
+        .orderBy("source", "rnk")
+    )
+
+
+ORACLE_DOMAIN_CAP = f"""
+SELECT doc_id, source, rnk::BIGINT AS rnk,
+       n_domain_docs::BIGINT AS n_domain_docs
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk,
+         count(*) OVER (PARTITION BY source) AS n_domain_docs
+  FROM documents
+)
+WHERE rnk <= {_DOMAIN_CAP}
+ORDER BY source, rnk
+"""
+
+QUERIES["domain_frequency_cap"] = q_domain_frequency_cap
+ORACLES["domain_frequency_cap"] = ORACLE_DOMAIN_CAP
+
+
+# --- corpus_temperature_mix: temperature-scaled source sampling ----------
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the mT5/UniMax family):
+    sampling share proportional to p_i^(1/tau) with tau = 2, i.e.
+    sqrt of each source's tokenizer-true token mass — boosting
+    low-resource sources without letting them dominate. Complements
+    ``corpus_mix_weights`` (which targets a FIXED mixture); this one
+    reshapes the NATURAL mixture.
+
+    Exactness: sqrt is the one float op, and IEEE 754 requires it
+    correctly rounded, so floor(sqrt(n) * 1e6) is bit-identical in
+    Spark (Java Math.sqrt) and DuckDB (libm) — everything after is
+    the e6 integer-share arithmetic from corpus_mix_weights, with the
+    same two-regime int64 overflow guard (a 10^12-token source has
+    temp mass 1e6 * 1e6 = 1e12, so sum * 1e6 can pass 2^63 only past
+    ~9e6 such sources; the divide regime covers it).
+
+    Scale shape: one narrow groupBy(source) + 1-row broadcast totals
+    cross join — a single shuffle at any corpus size."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = (
+        d.select("source", bpetokens.bpe_count_col(F.col("text")).alias("t"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+    per = per.withColumn(
+        "temp_mass_e6",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0))
+        .cast("long"),
+    )
+    totals = per.agg(F.sum("temp_mass_e6").cast("long").alias("_tot"))
+    out = per.crossJoin(F.broadcast(totals))
+    out = out.withColumn(
+        "temp_share_e6",
+        F.expr(
+            "CASE WHEN _tot < 4000000000 "
+            "THEN (temp_mass_e6 * 1000000) div _tot "
+            "ELSE temp_mass_e6 div (_tot div 1000000) END"
+        ).cast("long"),
+    )
+    return out.select(
+        "source", "n_docs", "n_tokens", "temp_mass_e6", "temp_share_e6"
+    ).orderBy("source")
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum({bpe_count})::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), mass AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000.0) AS BIGINT)
+             AS temp_mass_e6
+  FROM per
+), tot AS (
+  SELECT sum(temp_mass_e6)::BIGINT AS t FROM mass
+)
+SELECT source, n_docs, n_tokens, temp_mass_e6,
+       (CASE WHEN t < 4000000000 THEN (temp_mass_e6 * 1000000) // t
+             ELSE temp_mass_e6 // (t // 1000000) END)::BIGINT
+           AS temp_share_e6
+FROM mass, tot
+ORDER BY source
+"""
+
+QUERIES["corpus_temperature_mix"] = q_temperature_mix
+ORACLES["corpus_temperature_mix"] = ORACLE_TEMPERATURE_MIX
