@@ -2228,3 +2228,111 @@ FROM u ORDER BY doc_id
 
 QUERIES["frontier_plan"] = q_frontier_plan
 ORACLES["frontier_plan"] = ORACLE_FRONTIER_PLAN
+
+
+# --- text_dedup_rewrite: duplicate-passage REMOVAL ------------------------
+
+# (doc_id, chunk_idx) packed into one int64 so "global first occurrence"
+# is a plain integer min. 16 bits for the index bounds docs at
+# 65536 * _PARA_W = ~524k words; 10^12 doc_ids still fit (1e12 * 2^16
+# < 2^63). Beyond that, swap in min(struct(doc_id, idx)) — same plan.
+_POS_SHIFT = 65536
+
+
+def q_text_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage REMOVAL (the Dolma/CCNet rewrite step —
+    ``dedup_paragraph`` only reports the ratio; this one emits the
+    cleaned corpus): every 8-word pseudo-paragraph keeps exactly its
+    globally-first occurrence, ordered by (doc_id, chunk_idx); later
+    occurrences — across documents AND repeats inside one document —
+    are cut, and each document's surviving chunks are stitched back
+    in order. Fully duplicated documents come out empty, which is the
+    correct training-data outcome.
+
+    Scale shape (10^12 docs): posexplode -> groupBy(chunk_hash) MIN —
+    map-side partial aggregation absorbs hot boilerplate chunks, so a
+    passage shared by a billion docs is no skew hazard — then a join
+    back on the SAME key (the exchange is reused: both sides hash-
+    partition on chunk_hash) and one doc-keyed groupBy to reassemble.
+    Chunk keys are md5, never text, so shuffle rows stay narrow; the
+    reassembly carries only kept text."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(words) / F.lit(_PARA_W)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * _PARA_W + 1, _PARA_W)),
+    )
+    ex = (
+        d.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+        .withColumn("chunk_hash", F.md5("chunk"))
+        .withColumn(
+            "pos",
+            F.col("doc_id") * F.lit(_POS_SHIFT) + F.col("idx"),
+        )
+    )
+    first = ex.groupBy("chunk_hash").agg(F.min("pos").alias("keeper_pos"))
+    kept = ex.join(first, "chunk_hash").where(
+        F.col("pos") == F.col("keeper_pos")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    tot = d.select("doc_id", nch.cast("long").alias("n_chunks"))
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_DEDUP_REWRITE = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), lst AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST(ceil(len(words) / {_PARA_W}.0) AS BIGINT)),
+           i -> array_to_string(
+             words[(i * {_PARA_W} + 1):(i * {_PARA_W} + {_PARA_W})], ' '
+           )
+         ) AS chunks
+  FROM base
+), ex AS (
+  SELECT doc_id,
+         unnest(range(len(chunks))) AS idx,
+         unnest(chunks) AS chunk,
+         md5(unnest(chunks)) AS chunk_hash,
+         doc_id * {_POS_SHIFT} + unnest(range(len(chunks))) AS pos
+  FROM lst
+), first AS (
+  SELECT chunk_hash, min(pos) AS keeper_pos FROM ex GROUP BY 1
+), kept AS (
+  SELECT ex.* FROM ex JOIN first USING (chunk_hash)
+  WHERE pos = keeper_pos
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.chunks)::BIGINT AS n_chunks,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(a.text_clean, '') AS text_clean
+FROM lst t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["text_dedup_rewrite"] = q_text_dedup_rewrite
+ORACLES["text_dedup_rewrite"] = ORACLE_TEXT_DEDUP_REWRITE

@@ -441,3 +441,34 @@ def test_bloom_false_positives_swept_by_verify(spark, monkeypatch):
         tuple(r) for r in dd.q_decontaminate_bloom(spark, sf).collect()
     }
     assert bloom == exact
+
+
+def test_dedup_rewrite_first_occurrence_wins(spark, tmp_path):
+    """Rewrite semantics: globally-first chunk occurrence (by doc_id,
+    idx) survives; later cross-doc AND within-doc repeats are cut;
+    fully-duplicated docs come out empty."""
+    from h2spark.ops import dedup as dd
+
+    A = "a1 a2 a3 a4 a5 a6 a7 a8"
+    B = "b1 b2 b3 b4 b5 b6 b7 b8"
+    C = "c1 c2 c3 c4 c5 c6 c7 c8"
+    D = "d1 d2 d3 d4 d5 d6 d7 d8"
+    rows = [
+        (0, f"{A} {B}"),      # all unique -> unchanged
+        (1, f"{A} {C}"),      # A already seen in doc 0 -> only C kept
+        (2, A),               # fully duplicated -> empty
+        (3, f"{D} {D}"),      # within-doc repeat -> one D kept
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.q_text_dedup_rewrite(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["text_clean"] == f"{A} {B}" and out[0]["n_kept"] == 2
+    assert out[1]["text_clean"] == C and out[1]["n_kept"] == 1
+    assert out[2]["text_clean"] == "" and out[2]["n_kept"] == 0
+    assert out[3]["text_clean"] == D and out[3]["n_kept"] == 1
+    assert all(out[i]["n_chunks"] == len(rows[i][1].split()) // 8
+               for i in range(4))
