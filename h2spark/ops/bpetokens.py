@@ -444,3 +444,93 @@ ORDER BY doc_id
 
 QUERIES["text_detokenize"] = q_detokenize
 ORACLES["text_detokenize"] = ORACLE_DETOKENIZE
+
+
+# --- tokenizer_fertility: tokens-per-word by language ---------------------
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the standard multilingual-
+    tokenizer health readout (tokens per whitespace word, chars per
+    token): a language whose fertility is 2x another's pays 2x the
+    context window for the same text, which is exactly what
+    temperature mixing and per-language budgets need to know. Counts
+    use the production-shape 2048-merge table, so the readout reflects
+    the real encoder, not the toy one.
+
+    Scale shape: per-doc columns are one scan (kernel encode + codegen
+    word count), then a single narrow groupBy(lang) — shuffle rows are
+    (lang, 3 longs). Ratios are e6 integer division, zero float
+    exposure."""
+    d = _docs(spark, sf_dir)
+    seq = bpe_seq_col_for(
+        F.col("text"), bpe_table_large.BASE_CHARS, bpe_table_large.MERGES
+    )
+    trimmed = F.trim(F.col("text"))
+    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    per = d.select(
+        "lang",
+        F.length(seq).cast("long").alias("t"),
+        n_words.cast("long").alias("w"),
+        F.length("text").cast("long").alias("c"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("n_bpe_tokens"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("c").cast("long").alias("n_chars"),
+    )
+    return (
+        agg.withColumn(
+            "fertility_e6",
+            F.expr(
+                "CASE WHEN n_words > 0 "
+                "THEN (n_bpe_tokens * 1000000) div n_words "
+                "ELSE CAST(0 AS LONG) END"
+            ).cast("long"),
+        )
+        .withColumn(
+            "chars_per_token_e6",
+            F.expr(
+                "CASE WHEN n_bpe_tokens > 0 "
+                "THEN (n_chars * 1000000) div n_bpe_tokens "
+                "ELSE CAST(0 AS LONG) END"
+            ).cast("long"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang,
+         {bpe.duckdb_count_expr_reduce(
+             'text', bpe_table_large.BASE_CHARS, bpe_table_large.MERGES)}
+             AS t,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+          END)::BIGINT AS w,
+         length(text)::BIGINT AS c
+  FROM documents
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(t)::BIGINT AS n_bpe_tokens,
+         sum(w)::BIGINT AS n_words,
+         sum(c)::BIGINT AS n_chars
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, n_bpe_tokens, n_words, n_chars,
+       (CASE WHEN n_words > 0
+             THEN (n_bpe_tokens * 1000000) // n_words
+             ELSE 0 END)::BIGINT AS fertility_e6,
+       (CASE WHEN n_bpe_tokens > 0
+             THEN (n_chars * 1000000) // n_bpe_tokens
+             ELSE 0 END)::BIGINT AS chars_per_token_e6
+FROM agg
+ORDER BY lang
+"""
+
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+ORACLES["tokenizer_fertility"] = ORACLE_TOKENIZER_FERTILITY

@@ -1347,3 +1347,103 @@ ORACLE_COMPRESSION_RATIO = _golden_compression_sql()
 
 QUERIES["text_compression_ratio"] = q_compression_ratio
 ORACLES["text_compression_ratio"] = ORACLE_COMPRESSION_RATIO
+
+
+# --- charset audit: mojibake + script-mix detection -----------------------
+#
+# Encoding damage survives every other filter: UTF-8 bytes decoded as
+# Latin-1 ("Ã©" where "é" belongs), U+FFFD replacement chars from
+# lossy transcodes, and unexpected-script runs are all strong
+# drop/requeue signals in a crawl pipeline. The corpus text is clean
+# ASCII, so the query injects deterministic damage per doc_id % 4 and
+# audits it — the oracle replays the construction, putting the
+# detector arithmetic itself under the driver hash.
+
+_MOJI = " Ã©Ã¨Ã¤"        # UTF-8-as-Latin-1 digraphs (é è ä)
+_REPL = " ��ok"  # replacement chars from a lossy transcode
+_CJK = " 你好世界"         # unexpected-script run
+
+
+def _occurrences(col, needle: str):
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def q_charset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset audit (pure codegen, one scan, zero shuffle before the
+    presentation sort): per document the non-ASCII count/ratio, the
+    Latin-1-mojibake marker count (lead byte 0xC3 read as 'Ã'), the
+    U+FFFD replacement-char count, a CJK code-point count, and the
+    mojibake verdict. Counting uses the replace-length trick for exact
+    literals and a printable-ASCII character class both regex engines
+    parse identically; lengths are code points in Spark and DuckDB
+    alike, so every column is integer-exact."""
+    d = _docs(spark, sf_dir)
+    sel = F.pmod(F.col("doc_id"), F.lit(4))
+    t = (
+        F.when(sel == 1, F.concat(F.col("text"), F.lit(_MOJI)))
+        .when(sel == 2, F.concat(F.col("text"), F.lit(_REPL)))
+        .when(sel == 3, F.concat(F.col("text"), F.lit(_CJK)))
+        .otherwise(F.col("text"))
+    )
+    d = d.select("doc_id", t.alias("t"))
+    n_ascii = F.length(F.regexp_replace(F.col("t"), "[^\t\n\r -~]", ""))
+    n_nonascii = (F.length("t") - n_ascii).cast("long")
+    n_moji = _occurrences(F.col("t"), "Ã")
+    n_repl = _occurrences(F.col("t"), "�")
+    n_cjk = (
+        F.length("t")
+        - F.length(F.regexp_replace(F.col("t"), "[一-鿿]", ""))
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            F.length("t").cast("long").alias("n_chars"),
+            n_nonascii.alias("n_nonascii"),
+            n_moji.alias("n_moji_markers"),
+            n_repl.alias("n_replacement"),
+            n_cjk.alias("n_cjk"),
+            (n_moji + n_repl > 0).alias("mojibake_flag"),
+        )
+        .withColumn(
+            "nonascii_ratio_e6",
+            F.expr("(n_nonascii * 1000000) div n_chars").cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CHARSET_AUDIT = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+              WHEN 1 THEN text || ' Ã©Ã¨Ã¤'
+              WHEN 2 THEN text || ' ��ok'
+              WHEN 3 THEN text || ' 你好世界'
+              ELSE text END AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id, length(t) AS n_chars,
+         (length(t) - length(regexp_replace(t, '[^\t\n\r -~]', '', 'g')))
+             AS n_nonascii,
+         (length(t) - length(replace(t, 'Ã', ''))) AS n_moji,
+         (length(t) - length(replace(t, '�', ''))) AS n_repl,
+         (length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')))
+             AS n_cjk
+  FROM injected
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars,
+       n_nonascii::BIGINT AS n_nonascii,
+       n_moji::BIGINT AS n_moji_markers,
+       n_repl::BIGINT AS n_replacement,
+       n_cjk::BIGINT AS n_cjk,
+       (n_moji + n_repl > 0) AS mojibake_flag,
+       ((n_nonascii * 1000000) // n_chars)::BIGINT AS nonascii_ratio_e6
+FROM counts
+ORDER BY doc_id
+"""
+
+QUERIES["text_charset_audit"] = q_charset_audit
+ORACLES["text_charset_audit"] = ORACLE_CHARSET_AUDIT
