@@ -761,70 +761,85 @@ def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _oracle_ann_pq() -> str:
+def _pq_chain_steps(prefix: str = "", qtab: str | None = None) -> list:
+    """The PQ replay CTE chain — quantize (unless an existing quantized
+    table name is passed via ``qtab``), md5-sampled per-subspace
+    training set, init, unrolled Lloyd iterations, full-corpus coding
+    (``{prefix}coded``) — consumed by the PQ-codes, PQ-ADC and (r7)
+    IVF-PQ oracles. ``prefix`` namespaces every CTE so the chain can
+    coexist with :func:`_ivf_chain_steps` (both use qtab/cent{{t}}/
+    a{{t}}/u{{t}} otherwise) in one composed oracle."""
     m, k, sub = _PQ_M, _PQ_K, 64 // _PQ_M
+    p = prefix
     l2 = ("(SELECT sum((x - y) * (x - y)) FROM "
           "(SELECT unnest(v.sub) AS x, unnest(c.cq) AS y))")
-    steps = [
-        f"""qtab AS (
+    steps = []
+    if qtab is None:
+        qtab = f"{p}qtab"
+        steps.append(f"""{qtab} AS (
   SELECT vec_id,
          list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_SCALE}.0) AS BIGINT)) AS q
   FROM embeddings
-)""",
-        f"""ranked AS (
+)""")
+    steps += [
+        f"""{p}ranked AS (
   SELECT vec_id, q, row_number() OVER (
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-  FROM qtab
+  FROM {qtab}
 )""",
-        f"""trainsub AS (
+        f"""{p}trainsub AS (
   SELECT vec_id, s.s,
          list_slice(q, s.s * {sub} + 1, (s.s + 1) * {sub}) AS sub
-  FROM ranked, range({m}) s(s) WHERE rn <= {_PQ_SAMPLE}
+  FROM {p}ranked, range({m}) s(s) WHERE rn <= {_PQ_SAMPLE}
 )""",
-        f"""cent0 AS (
+        f"""{p}cent0 AS (
   SELECT s.s, rn - 1 AS centroid_id,
          list_slice(q, s.s * {sub} + 1, (s.s + 1) * {sub}) AS cq
-  FROM ranked, range({m}) s(s) WHERE rn <= {k}
+  FROM {p}ranked, range({m}) s(s) WHERE rn <= {k}
 )""",
     ]
     for t in range(_PQ_ITERS):
-        steps.append(f"""a{t} AS (
+        steps.append(f"""{p}a{t} AS (
   SELECT vec_id, s, sub, centroid_id FROM (
     SELECT v.vec_id, v.s, v.sub, c.centroid_id,
            row_number() OVER (PARTITION BY v.vec_id, v.s
                               ORDER BY {l2}, c.centroid_id) AS rn
-    FROM trainsub v JOIN cent{t} c USING (s)
+    FROM {p}trainsub v JOIN {p}cent{t} c USING (s)
   ) WHERE rn = 1
 )""")
-        steps.append(f"""u{t} AS (
+        steps.append(f"""{p}u{t} AS (
   SELECT s, centroid_id, list(val ORDER BY i) AS cq FROM (
     SELECT a.s, a.centroid_id, r.i,
            CAST(floor(sum(a.sub[r.i + 1])::DOUBLE / count(*)) AS BIGINT)
              AS val
-    FROM a{t} a, range({sub}) r(i)
+    FROM {p}a{t} a, range({sub}) r(i)
     GROUP BY a.s, a.centroid_id, r.i
   ) GROUP BY s, centroid_id
 )""")
-        steps.append(f"""cent{t + 1} AS (
+        steps.append(f"""{p}cent{t + 1} AS (
   SELECT p.s, p.centroid_id, coalesce(n.cq, p.cq) AS cq
-  FROM cent{t} p LEFT JOIN u{t} n USING (s, centroid_id)
+  FROM {p}cent{t} p LEFT JOIN {p}u{t} n USING (s, centroid_id)
 )""")
     final = _PQ_ITERS
-    steps.append(f"""allsub AS (
+    steps.append(f"""{p}allsub AS (
   SELECT vec_id, s.s,
          list_slice(q, s.s * {sub} + 1, (s.s + 1) * {sub}) AS sub
-  FROM qtab, range({m}) s(s)
+  FROM {qtab}, range({m}) s(s)
 )""")
-    steps.append(f"""coded AS (
+    steps.append(f"""{p}coded AS (
   SELECT vec_id, s, centroid_id, dist FROM (
     SELECT v.vec_id, v.s, c.centroid_id, {l2} AS dist,
            row_number() OVER (PARTITION BY v.vec_id, v.s
                               ORDER BY {l2}, c.centroid_id) AS rn
-    FROM allsub v JOIN cent{final} c USING (s)
+    FROM {p}allsub v JOIN {p}cent{final} c USING (s)
   ) WHERE rn = 1
 )""")
-    body = ",\n".join(steps)
+    return steps
+
+
+def _oracle_ann_pq() -> str:
+    body = ",\n".join(_pq_chain_steps())
     return f"""
 WITH {body}
 SELECT vec_id,
@@ -917,9 +932,8 @@ def ann_pq_topk(
 
 
 def _oracle_ann_pq_topk() -> str:
-    base = ORACLE_ANN_PQ
-    # reuse the whole replay chain up to `coded`, then ADC + top-k
-    head = base[: base.rindex("SELECT vec_id,")].rstrip().rstrip(",")
+    # the whole replay chain up to `coded`, then ADC + top-k
+    head = "WITH " + ",\n".join(_pq_chain_steps())
     m, sub = _PQ_M, 64 // _PQ_M
     return f"""{head},
 codesagg AS (
@@ -957,6 +971,173 @@ ORACLE_ANN_PQ_TOPK = _oracle_ann_pq_topk()
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk
 ORACLES["ann_pq_topk"] = ORACLE_ANN_PQ_TOPK
+
+
+# --- IVF-PQ: coarse cells + ADC refine (round 7) --------------------------
+#
+# The production ANN composition (the FAISS IVFPQ shape, non-residual
+# variant): the IVF quantizer prunes the corpus to nprobe cells, PQ
+# codes stand in for the vectors inside them — so the index pages
+# through M bytes per candidate instead of 4*64, and only ~nprobe/K of
+# the corpus is touched per query. Both trainers and both assignment
+# kernels are reused verbatim from the standalone operators; the
+# oracle composes both replay chains (the PQ chain namespaced "pq"
+# so the CTE names coexist).
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_ivfpq_topk(_emb(spark, sf_dir))
+
+
+def ann_ivfpq_topk(
+    e: DataFrame,
+    k: int | None = None,
+    nprobe: int | None = None,
+    n_queries: int = _N_QUERIES,
+    top_k: int = _TOP_K,
+) -> DataFrame:
+    """IVF probe + PQ asymmetric-distance refine. Scale shape: the
+    corpus side is ONE scan producing (vec_id, cell, codes) — both
+    pandas UDFs evaluate in the same stage, no self-join — and carries
+    only the cell id plus M 4-bit codes per vector (the layout that
+    makes 10^12-vector indexes pageable). The query side (a handful of
+    rows) computes its M x K ADC distance table JVM-side and
+    broadcasts; candidates are the probed cells' members only, scored
+    by M integer table lookups, exact top-k by (adc_dist, cand_id)."""
+    if k is None or nprobe is None:
+        dk, dn = ivf_params(e.count())
+        k = dk if k is None else k
+        nprobe = dn if nprobe is None else nprobe
+    qe = e.select("vec_id", F.expr(_QUANT).alias("q"))
+    cents = train_ivf_centroids(qe, k=k)
+    books = train_pq_codebooks(qe)
+
+    corpus = qe.select(
+        "vec_id",
+        _ivf_assign_udf(cents)(F.col("q"))["cell"].alias("cell"),
+        F.split(
+            _pq_assign_udf(books)(F.col("q"))["codes"], ","
+        ).alias("carr"),
+    )
+    sub = 64 // _PQ_M
+    tables = []
+    for s in range(_PQ_M):
+        for ci, cent in enumerate(books[s]):
+            d = None
+            for j, cval in enumerate(cent):
+                term = (
+                    F.element_at(F.col("q"), s * sub + j + 1)
+                    - F.lit(int(cval))
+                )
+                term = term * term
+                d = term if d is None else d + term
+            tables.append(d.alias(f"d_{s}_{ci}"))
+    probes = (
+        qe.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                _ivf_assign_udf(cents, nprobe=nprobe)(F.col("q"))["probes"]
+            ).alias("cell"),
+            *tables,
+        )
+    )
+    joined = (
+        F.broadcast(probes)
+        .join(corpus, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    adc = None
+    for s in range(_PQ_M):
+        code_s = F.element_at(F.col("carr"), s + 1)
+        pick = F.when(code_s == "0", F.col(f"d_{s}_0"))
+        for ci in range(1, _PQ_K):
+            pick = pick.when(code_s == str(ci), F.col(f"d_{s}_{ci}"))
+        adc = pick if adc is None else adc + pick
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        adc.cast("long").alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_ann_ivfpq() -> str:
+    """Composed replay: the IVF chain (qtab/cent{t}/afinal) + the PQ
+    chain namespaced "pq" reusing the SAME quantized table, then the
+    IVF oracle's probe CTE and the PQ oracle's ADC + top-k over probed
+    cells only."""
+    nq, top = _N_QUERIES, _TOP_K
+    np_ = max(
+        1,
+        math.ceil(
+            math.log(1.0 - _IVF_TARGET_RECALL)
+            / math.log(1.0 - _IVF_CELL_HIT_RATE)
+        ),
+    )
+    k = _IVF_K_SQL
+    int_cos = _IVF_INT_COS
+    ct = f"cent{_IVF_ITERS}"
+    m, sub = _PQ_M, 64 // _PQ_M
+    steps = _ivf_chain_steps()
+    steps += _pq_chain_steps(prefix="pq", qtab="qtab")
+    steps.append(f"""probes AS (
+  SELECT vec_id AS query_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosim DESC, centroid_id) AS rn
+    FROM (
+      SELECT v.vec_id, c.centroid_id, {int_cos} AS cosim
+      FROM qtab v CROSS JOIN {ct} c WHERE v.vec_id < {nq}
+    )
+  ) WHERE rn <= least({np_}, {k})
+)""")
+    steps.append("""codesagg AS (
+  SELECT vec_id, list(centroid_id ORDER BY s) AS codes
+  FROM pqcoded GROUP BY vec_id
+)""")
+    steps.append(f"""adc AS (
+  SELECT p.query_id, c.vec_id AS cand_id,
+         (SELECT sum(dd) FROM (
+            SELECT (SELECT sum((x - y) * (x - y)) FROM (
+                      SELECT unnest(list_slice(q.q, s.s * {sub} + 1,
+                                               (s.s + 1) * {sub})) AS x,
+                             unnest(ct2.cq) AS y)) AS dd
+            FROM range({m}) s(s)
+            JOIN pqcent{_PQ_ITERS} ct2
+              ON ct2.s = s.s AND ct2.centroid_id = c.codes[s.s + 1]
+         )) AS adc_dist
+  FROM probes p
+  JOIN afinal a ON a.centroid_id = p.cell AND a.vec_id <> p.query_id
+  JOIN codesagg c ON c.vec_id = a.vec_id
+  JOIN qtab q ON q.vec_id = p.query_id
+)""")
+    steps.append("""ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, cand_id) AS rank
+  FROM adc
+)""")
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT query_id, cand_id, adc_dist::BIGINT AS adc_dist,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= {top}
+ORDER BY query_id, rank
+"""
+    )
+
+
+ORACLE_ANN_IVFPQ = _oracle_ann_ivfpq()
+
+QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq
+ORACLES["ann_ivfpq_topk"] = ORACLE_ANN_IVFPQ
 
 
 # --- SemDeDup: cluster-then-exact semantic dedup (round 6) ---------------

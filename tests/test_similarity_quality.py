@@ -365,3 +365,55 @@ def test_semantic_pairs_hot_cell_guard_matches_naive(spark):
     import math
     C = math.ceil(150 / 16)
     assert C == 10
+
+
+def test_ivfpq_clustered_shortlist_and_rerank(spark):
+    # IVF-PQ composition contract on a clustered corpus: the IVF probe
+    # must put (nearly) the whole same-cluster cohort into the probed
+    # cells, PQ-ADC must rank it into the 50-candidate shortlist, and
+    # an exact rerank of the shortlist must recover the true top-10.
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.similarity import _QUANT, ann_ivfpq_topk
+
+    rng = random.Random(13)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(12)
+    ]
+    rows = []
+    for vid in range(400):
+        c = centers[vid % 12]
+        rows.append((vid, [v + rng.uniform(-0.05, 0.05) for v in c]))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    qe = e.select("vec_id", F.expr(_QUANT).alias("q")).orderBy("vec_id")
+    qrows = qe.collect()
+    ids = [r["vec_id"] for r in qrows]
+    V = np.array([list(r["q"]) for r in qrows], dtype=np.int64)
+    truth = {}
+    for qi in range(5):
+        d = ((V - V[qi][None, :]) ** 2).sum(axis=1)
+        order = sorted(
+            (int(dist), ids[j]) for j, dist in enumerate(d) if j != qi
+        )
+        truth[ids[qi]] = {cid for _, cid in order[:10]}
+    short = {}
+    for r in ann_ivfpq_topk(e, top_k=50).collect():
+        short.setdefault(r["query_id"], []).append(r["cand_id"])
+    assert set(short) == set(range(5))
+    idx = {v: i for i, v in enumerate(ids)}
+    recalls = []
+    for qid, cands in short.items():
+        cohort = {v for v in ids if v % 12 == qid % 12 and v != qid}
+        cov = len(cohort & set(cands)) / len(cohort)
+        assert cov >= 0.8, (qid, cov)  # probe finds the cluster
+        d = ((V[[idx[c] for c in cands]] - V[idx[qid]][None, :]) ** 2
+             ).sum(axis=1)
+        rerank = [c for _, c in sorted(zip(d, cands))][:10]
+        recalls.append(len(set(rerank) & truth[qid]) / 10)
+        assert recalls[-1] >= 0.8, (qid, recalls[-1])
+    assert sum(recalls) / len(recalls) >= 0.9
