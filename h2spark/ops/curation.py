@@ -1039,3 +1039,156 @@ ORDER BY source
 
 QUERIES["corpus_temperature_mix"] = q_temperature_mix
 ORACLES["corpus_temperature_mix"] = ORACLE_TEMPERATURE_MIX
+
+
+# --- dsir_importance: hashed n-gram importance weights --------------------
+#
+# DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hash every word
+# unigram/bigram into a small feature space, model target and raw
+# corpora as bag-of-hashed-grams distributions, and weight each raw
+# document by its target/raw log-likelihood ratio. The target split
+# reuses the decontamination convention (doc_id % 10 == 0 is the
+# held-out "benchmark-like" domain).
+
+_DSIR_BUCKETS = 128
+_DSIR_TARGET_MOD = 10
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight over hashed unigram+bigram
+    features. The per-BUCKET log10 likelihood ratio (add-one
+    smoothed) is computed once, scaled to an e6 integer — so the
+    per-document aggregation is an ORDER-FREE integer sum, immune to
+    float summation-order divergence — and each raw document gets the
+    sum and length-normalized average of its grams' bucket scores.
+
+    Scale shape (10^12 docs): explode -> one 128-row conditional
+    groupBy(bucket) + a 1-row totals broadcast -> broadcast join back
+    to the gram stream -> one doc-keyed groupBy. Resampling itself
+    stays distributed at scale: weighted reservoir per partition, no
+    global rank/window anywhere."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(words, bigrams)
+    ex = d.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id"), F.lit(_DSIR_TARGET_MOD)) == 0)
+        .alias("is_target"),
+        F.explode(grams).alias("g"),
+    ).withColumn(
+        "b",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(_DSIR_BUCKETS),
+        ).cast("int"),
+    )
+    per_bucket = ex.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long").alias("c_t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+        .cast("long").alias("c_r"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_t").cast("long").alias("t_t"),
+        F.sum("c_r").cast("long").alias("t_r"),
+    )
+    nb = float(_DSIR_BUCKETS)
+    scored = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            (
+                F.log10(
+                    (F.col("c_t") + F.lit(1)).cast("double")
+                    / (F.col("t_t").cast("double") + F.lit(nb))
+                )
+                - F.log10(
+                    (F.col("c_r") + F.lit(1)).cast("double")
+                    / (F.col("t_r").cast("double") + F.lit(nb))
+                )
+            )
+            * F.lit(1000000.0)
+        ).cast("long").alias("score_e6"),
+    )
+    raw = ex.where(~F.col("is_target"))
+    agg = (
+        raw.join(F.broadcast(scored), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("score_e6").cast("long").alias("logw_e6"),
+        )
+    )
+    return (
+        agg.withColumn(
+            "avg_logw_e6",
+            F.expr(
+                "CASE WHEN logw_e6 >= 0 THEN logw_e6 div n_grams "
+                "ELSE -((-logw_e6) div n_grams) END"
+            ).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR_IMPORTANCE = f"""
+WITH base AS (
+  SELECT doc_id, (doc_id % {_DSIR_TARGET_MOD} = 0) AS is_target,
+         string_split(text, ' ') AS words
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target, unnest(
+           list_concat(
+             words,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(
+                    range(len(words) - 1),
+                    i -> words[i + 1] || ' ' || words[i + 2])
+                  ELSE [] END
+           )
+         ) AS g
+  FROM base
+), ex AS (
+  SELECT doc_id, is_target,
+         (('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_BUCKETS})::INT
+             AS b
+  FROM grams
+), per_bucket AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS c_t,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS c_r
+  FROM ex GROUP BY b
+), tot AS (
+  SELECT sum(c_t)::BIGINT AS t_t, sum(c_r)::BIGINT AS t_r FROM per_bucket
+), scored AS (
+  SELECT b,
+         CAST(floor((log10((c_t + 1)::DOUBLE / (t_t::DOUBLE + {_DSIR_BUCKETS}.0))
+                   - log10((c_r + 1)::DOUBLE / (t_r::DOUBLE + {_DSIR_BUCKETS}.0)))
+                    * 1000000.0) AS BIGINT) AS score_e6
+  FROM per_bucket, tot
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(score_e6)::BIGINT AS logw_e6
+  FROM ex JOIN scored USING (b)
+  WHERE NOT is_target
+  GROUP BY doc_id
+)
+SELECT doc_id, n_grams, logw_e6,
+       (CASE WHEN logw_e6 >= 0 THEN logw_e6 // n_grams
+             ELSE -((-logw_e6) // n_grams) END)::BIGINT AS avg_logw_e6
+FROM agg
+ORDER BY doc_id
+"""
+
+QUERIES["dsir_importance"] = q_dsir_importance
+ORACLES["dsir_importance"] = ORACLE_DSIR_IMPORTANCE

@@ -472,3 +472,29 @@ def test_dedup_rewrite_first_occurrence_wins(spark, tmp_path):
     assert out[3]["text_clean"] == D and out[3]["n_kept"] == 1
     assert all(out[i]["n_chunks"] == len(rows[i][1].split()) // 8
                for i in range(4))
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark, tmp_path):
+    """Raw documents sharing the target domain's vocabulary must get a
+    higher importance weight than raw documents that don't."""
+    from h2spark.ops import curation
+
+    target_text = "quantum physics entangled qubits decohere rapidly"
+    rows = []
+    for did in (0, 10, 20, 30):          # target split: doc_id % 10 == 0
+        rows.append((did, target_text))
+    for did in (1, 11, 21):              # target-like raw docs
+        rows.append((did, "entangled qubits decohere in quantum physics"))
+    for did in (2, 12, 22):              # off-domain raw docs
+        rows.append((did, "cheap shoes sale discount buy now free shipping"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r["avg_logw_e6"]
+        for r in curation.q_dsir_importance(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 11, 21, 2, 12, 22}  # raw docs only
+    like = min(out[d] for d in (1, 11, 21))
+    off = max(out[d] for d in (2, 12, 22))
+    assert like > off, (like, off)

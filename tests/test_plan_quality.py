@@ -561,3 +561,69 @@ def test_batch_sessionize_single_hash_shuffle(spark):
     assert "rangepartitioning" in plan
     assert "props" not in plan  # column pruning reaches the scan
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_charset_audit_pure_codegen(spark):
+    """Mojibake/script auditing over a 10^12-doc text column must be
+    a single codegen scan: no Python, no shuffle before the sort."""
+    from h2spark.ops import textstats
+
+    plan = _formatted(textstats.q_charset_audit(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_dedup_rewrite_no_window_no_python(spark):
+    """First-occurrence-wins must be the map-side-combinable
+    groupBy-MIN, never a window over chunk_hash (a boilerplate chunk
+    shared by a billion docs would pin one task), and no Python."""
+    from h2spark.ops import dedup
+
+    plan = _formatted(dedup.q_text_dedup_rewrite(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning(") <= 3
+
+
+def test_tokenizer_fertility_one_kernel_one_groupby(spark):
+    """One Arrow encode stage, one narrow groupBy(lang) exchange."""
+    from h2spark.ops import bpetokens
+
+    plan = _formatted(bpetokens.q_tokenizer_fertility(spark, SF), spark)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") <= 2  # node + details lines
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_domain_cap_single_exchange_for_both_windows(spark):
+    """row_number and the per-domain count share PARTITION BY source:
+    Catalyst must plan ONE hash exchange, and nothing leaves the JVM."""
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_domain_frequency_cap(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_temperature_mix_narrow_groupby_broadcast_totals(spark):
+    """One groupBy(source) shuffle + a 1-row broadcast totals join —
+    never a sort-merge join or a window."""
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_temperature_mix(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_dsir_bucket_scores_broadcast_back(spark):
+    """The 128-row bucket-score table must broadcast back onto the
+    gram stream (BroadcastHashJoin, no shuffled join), with no Python
+    and no global window anywhere."""
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_dsir_importance(spark, SF), spark)
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
