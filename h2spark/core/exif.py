@@ -1,0 +1,225 @@
+"""Exif/TIFF metadata: APP1 builder + parser (pure stdlib).
+
+Spec-derived, like the other codec modules: TIFF 6.0 (byte-order
+header, IFD entry layout, field types, left-justified inline values,
+ascending tag order) and Exif 2.3 / CIPA DC-008 (the APP1
+"Exif\\0\\0" envelope, the Exif-IFD pointer tag 0x8769, the
+PixelX/YDimension tags). Both byte orders ("II" little-endian,
+"MM" big-endian) are built and parsed.
+
+The reference engine has no media layer (SURVEY §2.2 multimodal
+addendum); this extends the binary-column story the same way the
+PNG/JPEG/WAV codecs do: deterministic construction in the Spark
+kernel, formula replay in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# IFD0 tags
+TAG_MAKE = 0x010F
+TAG_MODEL = 0x0110
+TAG_ORIENTATION = 0x0112
+TAG_XRESOLUTION = 0x011A
+TAG_DATETIME = 0x0132
+TAG_EXIF_IFD = 0x8769
+# Exif-IFD tags
+TAG_PIXEL_X = 0xA002
+TAG_PIXEL_Y = 0xA003
+
+_T_ASCII = 2
+_T_SHORT = 3
+_T_LONG = 4
+_T_RATIONAL = 5
+
+_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_RATIONAL: 8}
+
+
+def _endian(byte_order: str) -> str:
+    if byte_order == "II":
+        return "<"
+    if byte_order == "MM":
+        return ">"
+    raise ValueError("exif: bad byte order")
+
+
+def _entry_payload(e: str, typ: int, value) -> bytes:
+    """The raw value bytes for one IFD entry (before the inline-vs-
+    offset decision)."""
+    if typ == _T_ASCII:
+        return value.encode("ascii") + b"\x00"
+    if typ == _T_SHORT:
+        return struct.pack(e + "H", value)
+    if typ == _T_LONG:
+        return struct.pack(e + "I", value)
+    if typ == _T_RATIONAL:
+        return struct.pack(e + "II", value[0], value[1])
+    raise ValueError("exif: bad type")
+
+
+def _build_ifd(
+    e: str, entries: list, data_offset: int
+) -> tuple[bytes, bytes]:
+    """Serialize one IFD (entries MUST be ascending by tag — TIFF 6.0
+    requires it and the parser's consumers rely on determinism).
+    Returns (ifd_bytes, out_of_line_data); ``data_offset`` is where
+    the data area will sit, relative to the TIFF header start."""
+    out = struct.pack(e + "H", len(entries))
+    data = b""
+    for tag, typ, value in sorted(entries):
+        payload = _entry_payload(e, typ, value)
+        count = len(payload) if typ == _T_ASCII else 1
+        head = struct.pack(e + "HHI", tag, typ, count)
+        if len(payload) <= 4:
+            # left-justified in the 4-byte value field (TIFF 6.0 §2)
+            out += head + payload + b"\x00" * (4 - len(payload))
+        else:
+            out += head + struct.pack(e + "I", data_offset + len(data))
+            data += payload
+    out += struct.pack(e + "I", 0)  # no next IFD
+    return out, data
+
+
+def build_exif_app1(
+    make: str,
+    model: str,
+    orientation: int,
+    xres: tuple[int, int],
+    datetime: str,
+    pixel_x: int,
+    pixel_y: int,
+    byte_order: str = "II",
+) -> bytes:
+    """Full APP1 segment bytes (marker + length + Exif envelope +
+    TIFF blob with IFD0 and the Exif sub-IFD)."""
+    e = _endian(byte_order)
+    ifd0_entries = [
+        (TAG_MAKE, _T_ASCII, make),
+        (TAG_MODEL, _T_ASCII, model),
+        (TAG_ORIENTATION, _T_SHORT, orientation),
+        (TAG_XRESOLUTION, _T_RATIONAL, xres),
+        (TAG_DATETIME, _T_ASCII, datetime),
+        (TAG_EXIF_IFD, _T_LONG, 0),  # patched below
+    ]
+    exif_entries = [
+        (TAG_PIXEL_X, _T_LONG, pixel_x),
+        (TAG_PIXEL_Y, _T_LONG, pixel_y),
+    ]
+    ifd0_size = 2 + 12 * len(ifd0_entries) + 4
+    exif_size = 2 + 12 * len(exif_entries) + 4
+    exif_ifd_offset = 8 + ifd0_size
+    data_offset = exif_ifd_offset + exif_size
+    ifd0_entries[-1] = (TAG_EXIF_IFD, _T_LONG, exif_ifd_offset)
+    ifd0, data0 = _build_ifd(e, ifd0_entries, data_offset)
+    exif_ifd, data1 = _build_ifd(
+        e, exif_entries, data_offset + len(data0)
+    )
+    tiff = (
+        byte_order.encode("ascii")
+        + struct.pack(e + "HI", 42, 8)
+        + ifd0
+        + exif_ifd
+        + data0
+        + data1
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG (no SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def _read_value(e: str, typ: int, count: int, raw4: bytes, tiff: bytes):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return None  # unknown type: skip (TIFF readers must tolerate)
+    total = size * count
+    if total <= 4:
+        buf = raw4[:total]
+    else:
+        (off,) = struct.unpack(e + "I", raw4)
+        if off + total > len(tiff):
+            raise ValueError("exif: value offset out of range")
+        buf = tiff[off:off + total]
+    if typ == _T_ASCII:
+        return buf.split(b"\x00", 1)[0].decode("ascii", "replace")
+    if typ == _T_SHORT:
+        return struct.unpack(e + "H", buf[:2])[0]
+    if typ == _T_LONG:
+        return struct.unpack(e + "I", buf[:4])[0]
+    if typ == _T_RATIONAL:
+        return struct.unpack(e + "II", buf)
+    return None
+
+
+def _parse_ifd(e: str, tiff: bytes, offset: int) -> dict:
+    if offset + 2 > len(tiff):
+        raise ValueError("exif: IFD offset out of range")
+    (n,) = struct.unpack(e + "H", tiff[offset:offset + 2])
+    if offset + 2 + 12 * n + 4 > len(tiff):
+        raise ValueError("exif: truncated IFD")
+    out = {}
+    pos = offset + 2
+    for _ in range(n):
+        tag, typ, count = struct.unpack(e + "HHI", tiff[pos:pos + 8])
+        out[tag] = _read_value(e, typ, count, tiff[pos + 8:pos + 12], tiff)
+        pos += 12
+    return out
+
+
+def parse_exif_tiff(tiff: bytes) -> dict:
+    """Parse a TIFF blob (the bytes after "Exif\\0\\0"): byte order,
+    IFD0 tags of interest, and the Exif sub-IFD when pointed to."""
+    if len(tiff) < 8:
+        raise ValueError("exif: truncated TIFF header")
+    byte_order = tiff[:2].decode("ascii", "replace")
+    e = _endian(byte_order)
+    magic, ifd0_off = struct.unpack(e + "HI", tiff[2:8])
+    if magic != 42:
+        raise ValueError("exif: bad TIFF magic")
+    tags = _parse_ifd(e, tiff, ifd0_off)
+    fields = {
+        "byte_order": byte_order,
+        "make": tags.get(TAG_MAKE),
+        "model": tags.get(TAG_MODEL),
+        "orientation": tags.get(TAG_ORIENTATION),
+        "xres": tags.get(TAG_XRESOLUTION),
+        "datetime": tags.get(TAG_DATETIME),
+        "pixel_x": None,
+        "pixel_y": None,
+    }
+    sub = tags.get(TAG_EXIF_IFD)
+    if isinstance(sub, int) and sub:
+        subtags = _parse_ifd(e, tiff, sub)
+        fields["pixel_x"] = subtags.get(TAG_PIXEL_X)
+        fields["pixel_y"] = subtags.get(TAG_PIXEL_Y)
+    return fields
+
+
+def parse_exif_jpeg(jpeg: bytes) -> dict | None:
+    """Scan JPEG segments for the Exif APP1; None when the image has
+    no Exif envelope. Malformed structures raise ValueError (the
+    quarantine contract the other decoders follow)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError("exif: bad marker alignment")
+        marker = jpeg[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xDA:  # SOS: entropy data follows, no more APP1
+            break
+        (seglen,) = struct.unpack(">H", jpeg[pos + 2:pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(jpeg):
+            raise ValueError("exif: truncated segment")
+        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00":
+            return parse_exif_tiff(jpeg[pos + 10:pos + 2 + seglen])
+        pos += 2 + seglen
+    return None

@@ -1110,3 +1110,50 @@ def crawl_increment_batch(doc_ids) -> list:
             )
         )
     return outs
+
+
+def jpeg_exif_meta_batch(doc_ids) -> list:
+    """REAL Exif extraction chain per doc: encode a decodable baseline
+    JPEG (block-constant 8x8, all-ones luma table -> bit-exact), build
+    an Exif APP1 (core/exif.py — TIFF 6.0 IFDs, both byte orders,
+    inline + out-of-line values, Exif sub-IFD), splice it after SOI,
+    then parse the metadata back AND re-decode the image to prove the
+    splice kept the entropy stream intact. The DuckDB oracle replays
+    every field from the construction formulas."""
+    from h2spark.core.exif import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif_jpeg,
+    )
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    ones = [1] * 64
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        bo = "II" if d % 2 == 0 else "MM"
+        make = f"cam{d % 5}"
+        model = f"model-x{d % 7}"
+        orient = 1 + d % 8
+        xres = (72 + d % 4, 1 + d % 2)
+        dt = f"2026:0{1 + d % 9}:{1 + d % 28:02d} 0{d % 10}:00:00"
+        px = bytes([(d * 31 + 13) % 256]) * 64
+        jpg = encode_jpeg(8, 8, px, channels=1, qtab_luma=ones)
+        app1 = build_exif_app1(
+            make, model, orient, xres, dt,
+            16 + d % 8, 9 + d % 5, byte_order=bo,
+        )
+        f = parse_exif_jpeg(insert_app1(jpg, app1))
+        w, h, _, dec = decode_jpeg(insert_app1(jpg, app1))
+        intact = (w, h) == (8, 8) and bytes(dec) == px
+        outs.append(
+            (
+                f["byte_order"], f["make"], f["model"],
+                int(f["orientation"]),
+                int(f["xres"][0]), int(f["xres"][1]),
+                f["datetime"],
+                int(f["pixel_x"]), int(f["pixel_y"]),
+                bool(intact),
+            )
+        )
+    return outs

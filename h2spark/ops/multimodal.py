@@ -1954,3 +1954,78 @@ ORDER BY doc_id
 
 QUERIES["crawl_increment_e2e"] = q_crawl_increment
 ORACLES["crawl_increment_e2e"] = ORACLE_CRAWL_INCREMENT
+
+
+# --- image_exif_meta: Exif/TIFF metadata extraction (round 7) ------------
+
+
+def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exif extraction over a binary image column: per document a REAL
+    baseline JPEG gets an Exif APP1 spliced in (core/exif.py — TIFF
+    6.0 IFDs in BOTH byte orders, inline and out-of-line values, the
+    Exif sub-IFD for pixel dimensions), then the parser reads the
+    fields back and the image is re-decoded to prove the splice kept
+    the entropy stream intact. Camera metadata is what multimodal
+    training pipelines key dedup/provenance on, and this pins the
+    whole parse chain under the driver hash.
+
+    Scale shape: one Arrow-batched kernel pass per partition —
+    per-blob work, no shuffle before the presentation sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import jpeg_exif_meta_batch
+
+    @pandas_udf(
+        "struct<byte_order:string, make:string, model:string,"
+        " orientation:long, xres_num:long, xres_den:long,"
+        " datetime:string, pixel_x:long, pixel_y:long,"
+        " image_intact:boolean>"
+    )
+    def exif_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = jpeg_exif_meta_batch(ids)
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "byte_order", "make", "model", "orientation",
+                "xres_num", "xres_den", "datetime",
+                "pixel_x", "pixel_y", "image_intact",
+            ],
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select("doc_id", exif_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.byte_order").alias("byte_order"),
+        F.col("o.make").alias("make"),
+        F.col("o.model").alias("model"),
+        F.col("o.orientation").alias("orientation"),
+        F.col("o.xres_num").alias("xres_num"),
+        F.col("o.xres_den").alias("xres_den"),
+        F.col("o.datetime").alias("datetime"),
+        F.col("o.pixel_x").alias("pixel_x"),
+        F.col("o.pixel_y").alias("pixel_y"),
+        F.col("o.image_intact").alias("image_intact"),
+    ).orderBy("doc_id")
+
+
+ORACLE_IMAGE_EXIF = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       'cam' || (doc_id % 5) AS make,
+       'model-x' || (doc_id % 7) AS model,
+       (1 + doc_id % 8)::BIGINT AS orientation,
+       (72 + doc_id % 4)::BIGINT AS xres_num,
+       (1 + doc_id % 2)::BIGINT AS xres_den,
+       '2026:0' || (1 + doc_id % 9) || ':'
+         || lpad((1 + doc_id % 28)::VARCHAR, 2, '0')
+         || ' 0' || (doc_id % 10) || ':00:00' AS datetime,
+       (16 + doc_id % 8)::BIGINT AS pixel_x,
+       (9 + doc_id % 5)::BIGINT AS pixel_y,
+       TRUE AS image_intact
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["image_exif_meta"] = q_image_exif_meta
+ORACLES["image_exif_meta"] = ORACLE_IMAGE_EXIF

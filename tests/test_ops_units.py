@@ -1439,3 +1439,69 @@ def test_warc_decodes_cp1252_body():
     )
     rows = list(iter_html_responses(rec))
     assert rows and rows[0][2] == "caf\xe9 body"
+
+
+def test_exif_roundtrip_both_byte_orders_and_outofline():
+    import struct
+
+    from h2spark.core.exif import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif_jpeg,
+        parse_exif_tiff,
+    )
+
+    for bo in ("II", "MM"):
+        app1 = build_exif_app1(
+            "make-long-enough-to-spill",  # > 4 bytes: out-of-line ASCII
+            "m",                          # <= 4 bytes incl. NUL: inline
+            6, (300, 7), "2026:01:15 12:00:00", 1920, 1080,
+            byte_order=bo,
+        )
+        jpeg = insert_app1(b"\xff\xd8\xff\xd9", app1)
+        f = parse_exif_jpeg(jpeg)
+        assert f["byte_order"] == bo
+        assert f["make"] == "make-long-enough-to-spill"
+        assert f["model"] == "m"
+        assert f["orientation"] == 6
+        assert f["xres"] == (300, 7)  # RATIONAL is always out-of-line
+        assert f["pixel_x"] == 1920 and f["pixel_y"] == 1080
+        # IFD entries must be ascending by tag (TIFF 6.0)
+        tiff = app1[10:]
+        e = "<" if bo == "II" else ">"
+        (n,) = struct.unpack(e + "H", tiff[8:10])
+        tags = [
+            struct.unpack(e + "H", tiff[10 + 12 * i:12 + 12 * i])[0]
+            for i in range(n)
+        ]
+        assert tags == sorted(tags)
+
+    # a JPEG without an Exif APP1 parses to None (not an error)
+    assert parse_exif_jpeg(b"\xff\xd8\xff\xd9") is None
+    # other APPn segments are skipped, Exif still found after them
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"xx"
+    app1 = build_exif_app1("c", "m", 1, (72, 1), "d", 8, 8)
+    assert parse_exif_jpeg(b"\xff\xd8" + app0 + app1 + b"\xff\xd9")
+
+
+def test_exif_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from h2spark.core.exif import parse_exif_jpeg, parse_exif_tiff
+
+    with pytest.raises(ValueError):
+        parse_exif_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):  # truncated IFD entry table
+        parse_exif_tiff(b"II" + struct.pack("<HI", 42, 8)
+                        + struct.pack("<H", 5))
+    with pytest.raises(ValueError):  # bad TIFF magic
+        parse_exif_tiff(b"II" + struct.pack("<HI", 41, 8))
+    with pytest.raises(ValueError):  # value offset past the blob
+        tiff = (b"II" + struct.pack("<HI", 42, 8)
+                + struct.pack("<H", 1)
+                + struct.pack("<HHI", 0x010F, 2, 64)
+                + struct.pack("<I", 9999)
+                + struct.pack("<I", 0))
+        parse_exif_tiff(tiff)
