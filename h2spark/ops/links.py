@@ -298,3 +298,85 @@ ORACLE_LINK_PAGERANK = _oracle_pagerank()
 
 QUERIES["link_pagerank"] = q_link_pagerank
 ORACLES["link_pagerank"] = ORACLE_LINK_PAGERANK
+
+
+# --- redirect-chain resolution (round 7) ----------------------------------
+#
+# Crawl canonicalization: HTTP redirects form chains (and the frontier
+# must enqueue the FINAL url, attribute PageRank mass to it, and dedup
+# on it). Resolution is iterated pointer jumping — the same O(log
+# chain-length) doubling the dedup cluster operator uses — so a
+# 10^12-edge redirect graph resolves in ~40 self-joins total, never a
+# sequential walk. The DuckDB twin is a recursive CTE walking the same
+# deterministic redirect function.
+
+_REDIR_FINAL_MOD = 7   # doc_id % 7 == 0 terminates a chain
+_REDIR_ROUNDS = 4      # 2^4 = 16 >= the max chain length here
+
+
+def _redirect_parent(col):
+    """Deterministic redirect edge: non-final docs redirect to
+    greatest(0, id - (1 + id % 3)); finals self-loop."""
+    step = F.lit(1) + F.pmod(col, F.lit(3))
+    return F.when(
+        F.pmod(col, F.lit(_REDIR_FINAL_MOD)) == 0, col
+    ).otherwise(F.greatest(F.lit(0).cast("long"), col - step))
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every redirect chain to its final target + hop count.
+
+    Scale shape: pointer jumping. Round r maps each doc's known
+    ancestor-at-2^(r-1)-hops to the ancestor at 2^r hops via ONE
+    self-join on the ancestor id (hash-partitioned, no skew: ids are
+    dense), accumulating hop counts additively; finals self-loop with
+    hop contribution 0, so converged rows pass through unchanged.
+    ``_REDIR_ROUNDS`` = ceil(log2(max chain length)) — 4 joins here,
+    ~40 at a 10^12-length worst case, vs a sequential walk's 10^12."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = d.select(F.col("doc_id").cast("long").alias("id"))
+    is_final = F.pmod(F.col("id"), F.lit(_REDIR_FINAL_MOD)) == 0
+    state = ids.select(
+        "id",
+        _redirect_parent(F.col("id")).cast("long").alias("anc"),
+        F.when(is_final, F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("hops"),
+    )
+    for _ in range(_REDIR_ROUNDS):
+        nxt = state.select(
+            F.col("id").alias("_aid"),
+            F.col("anc").alias("_aanc"),
+            F.col("hops").alias("_ahops"),
+        )
+        state = (
+            state.join(nxt, state["anc"] == nxt["_aid"])
+            .select(
+                "id",
+                F.col("_aanc").alias("anc"),
+                (F.col("hops") + F.col("_ahops")).alias("hops"),
+            )
+        )
+    return state.select(
+        F.col("id").alias("doc_id"),
+        F.col("anc").alias("final_id"),
+        F.col("hops").alias("n_hops"),
+    ).orderBy("doc_id")
+
+
+ORACLE_REDIRECT_RESOLVE = f"""
+WITH RECURSIVE walk(id, cur, hops) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT id,
+         greatest(0, cur - (1 + cur % 3)),
+         hops + 1
+  FROM walk WHERE cur % {_REDIR_FINAL_MOD} <> 0
+)
+SELECT id AS doc_id, cur::BIGINT AS final_id, hops::BIGINT AS n_hops
+FROM walk
+WHERE cur % {_REDIR_FINAL_MOD} = 0
+ORDER BY doc_id
+"""
+
+QUERIES["redirect_resolve"] = q_redirect_resolve
+ORACLES["redirect_resolve"] = ORACLE_REDIRECT_RESOLVE
