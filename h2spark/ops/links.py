@@ -380,3 +380,62 @@ ORDER BY doc_id
 
 QUERIES["redirect_resolve"] = q_redirect_resolve
 ORACLES["redirect_resolve"] = ORACLE_REDIRECT_RESOLVE
+
+
+# --- anchor-text aggregation (round 7) ------------------------------------
+
+
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus per target URL — what a page's in-links call
+    it (retrieval/query-generation training data, and the classic
+    relevance signal). Built on the REAL extracted edges (spec engine
+    in the loop), then two map-side-combinable aggregations: first
+    (href, anchor) counts — this bounds state by DISTINCT anchor
+    variants, not by in-link count, so a page with 10^9 identical
+    in-links carries one row — then per-href top-5 variants by
+    (count desc, anchor asc). The per-href variant list is the only
+    unbounded collect; production caps it with a min-count filter on
+    the pair table (same plan, one extra WHERE)."""
+    edges = q_link_extract(spark, sf_dir)
+    pairs = edges.groupBy("href", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ranked = F.transform(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("cnt")).alias("nc"), "anchor"))
+            ),
+            1, 5,
+        ),
+        lambda s: s["anchor"],
+    )
+    return (
+        pairs.groupBy("href")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_refs"),
+            F.count("*").cast("long").alias("n_anchor_variants"),
+            F.array_join(ranked, "|").alias("top_anchors"),
+        )
+        .orderBy("href")
+    )
+
+
+ORACLE_ANCHOR_TEXT = f"""
+WITH edges AS ({ORACLE_LINK_EXTRACT.replace("ORDER BY doc_id, link_idx", "")}),
+pairs AS (
+  SELECT href, anchor, count(*)::BIGINT AS cnt
+  FROM edges GROUP BY href, anchor
+)
+SELECT href,
+       sum(cnt)::BIGINT AS n_refs,
+       count(*)::BIGINT AS n_anchor_variants,
+       array_to_string(
+         list_slice(list(anchor ORDER BY cnt DESC, anchor), 1, 5), '|'
+       ) AS top_anchors
+FROM pairs
+GROUP BY href
+ORDER BY href
+"""
+
+QUERIES["anchor_text_agg"] = q_anchor_text_agg
+ORACLES["anchor_text_agg"] = ORACLE_ANCHOR_TEXT
