@@ -80,8 +80,12 @@ def _all_modules():
 # rounds), (3) extraction canaries, (4) this round's new operators.
 # Newest r7 queries past the 50 slots (media_sniff, text_embed_hash,
 # ann_text_topk, export_partition_plan, media_quarantine,
-# length_percentiles) are 0 rounds old, CI-oracle-checked every run
-# by tests/test_driver_contract.py, and rotate into the r8 window.
+# length_percentiles, and the late-r7 batch: domain_frequency_cap,
+# corpus_temperature_mix, text_dedup_rewrite, text_charset_audit,
+# tokenizer_fertility, ann_ivfpq_topk, dsir_importance,
+# image_exif_meta, redirect_resolve, anchor_text_agg) are 0 rounds
+# old, CI-oracle-checked every run by tests/test_driver_contract.py,
+# and rotate into the r8 window.
 _PRIORITY = [
     # (1) new/changed in round 7: large-table kernel BPE count, fast
     #     trainer, guarded SemDeDup, the BIGINT-cast budget oracle,
