@@ -1157,3 +1157,79 @@ def jpeg_exif_meta_batch(doc_ids) -> list:
             )
         )
     return outs
+
+
+def _microdata_value(el) -> str:
+    """WHATWG microdata property value for a non-itemscope element:
+    content attr wins; a/link use href, img uses src; else text."""
+    if "content" in el.attrs:
+        return el.attrs["content"]
+    if el.tag in ("a", "link"):
+        return el.attrs.get("href", "")
+    if el.tag == "img":
+        return el.attrs.get("src", "")
+    return el.inner_text()
+
+
+def microdata_items_batch(doc_ids, langs, sources) -> list:
+    """Microdata (itemscope/itemprop) extraction through the REAL
+    parser + DOM walk: per doc a schema.org Product card with a NESTED
+    Brand item (the hierarchy is the point — each itemprop binds to
+    its NEAREST itemscope ancestor, and an element carrying both
+    itemscope and itemprop is a property of the outer item AND a new
+    item) plus a sibling Offer. Returns flat rows
+    (doc_id, item_idx, itemtype, prop_idx, prop, value)."""
+    from h2spark.core.dom import Element
+    from h2spark.core.treebuilder import parse_document
+
+    rows: list = []
+    for d, lang, source in zip(doc_ids, langs, sources):
+        d = int(d)
+        html = (
+            "<html><body>"
+            '<div itemscope itemtype="https://schema.org/Product">'
+            f'<span itemprop="name">p{d % 13}</span>'
+            f'<img itemprop="image" src="/img/{d % 5}.png">'
+            '<div itemprop="brand" itemscope'
+            ' itemtype="https://schema.org/Brand">'
+            f'<span itemprop="name">{source}</span>'
+            "</div>"
+            f'<meta itemprop="lang" content="{lang}">'
+            "</div>"
+            '<div itemscope itemtype="https://schema.org/Offer">'
+            f'<span itemprop="price">{d % 90}</span>'
+            "</div>"
+            "</body></html>"
+        )
+        doc = parse_document(html)
+        items: list = []  # (element, [(prop, value), ...]) doc order
+
+        def walk(el, scope):
+            for ch in el.children:
+                if type(ch) is not Element:
+                    continue
+                child_scope = scope
+                if "itemscope" in ch.attrs:
+                    items.append((ch, []))
+                    idx = len(items) - 1
+                    if "itemprop" in ch.attrs and scope is not None:
+                        items[scope][1].append(
+                            (ch.attrs["itemprop"], f"[item:{idx}]")
+                        )
+                    child_scope = idx
+                elif "itemprop" in ch.attrs and scope is not None:
+                    items[scope][1].append(
+                        (ch.attrs["itemprop"], _microdata_value(ch))
+                    )
+                walk(ch, child_scope)
+
+        walk(doc.root_element(), None)
+        for item_idx, (el, props) in enumerate(items):
+            for prop_idx, (prop, value) in enumerate(props):
+                rows.append(
+                    (
+                        d, item_idx, el.attrs.get("itemtype", ""),
+                        prop_idx, prop, value,
+                    )
+                )
+    return rows

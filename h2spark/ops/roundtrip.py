@@ -575,3 +575,76 @@ FROM documents ORDER BY doc_id
 
 QUERIES["jsonld_extract"] = q_jsonld_extract
 ORACLES["jsonld_extract"] = ORACLE_JSONLD_EXTRACT
+
+
+# --- microdata extraction (round 7) ----------------------------------------
+
+
+def q_microdata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata (itemscope/itemprop) extraction — the OTHER embedded
+    structured-data format next to JSON-LD, and the one that needs
+    the DOM hierarchy: every itemprop binds to its NEAREST itemscope
+    ancestor, and a nested itemscope is simultaneously a property of
+    the outer item and a new item. Per doc: a schema.org Product with
+    a nested Brand plus a sibling Offer, walked through the real
+    parser + DOM (core/runner.py:microdata_items_batch); the oracle
+    re-derives all six rows per document from the construction.
+
+    Scale shape: one Arrow-batched kernel pass, rows fan out inside
+    the batch (no explode shuffle); the presentation sort is the only
+    exchange."""
+    from h2spark.core.runner import microdata_items_batch
+
+    def items(batches):
+        for pdf in batches:
+            rows = microdata_items_batch(
+                list(pdf["doc_id"]), list(pdf["lang"]), list(pdf["source"])
+            )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "item_idx", "itemtype",
+                    "prop_idx", "prop", "value",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", "lang", "source")
+        .mapInPandas(
+            items,
+            "doc_id long, item_idx long, itemtype string,"
+            " prop_idx long, prop string, value string",
+        )
+        .orderBy("doc_id", "item_idx", "prop_idx")
+    )
+
+
+ORACLE_MICRODATA = """
+SELECT doc_id, item_idx::BIGINT AS item_idx, itemtype,
+       prop_idx::BIGINT AS prop_idx, prop, value
+FROM (
+  SELECT doc_id, 0 AS item_idx, 'https://schema.org/Product' AS itemtype,
+         0 AS prop_idx, 'name' AS prop, 'p' || (doc_id % 13) AS value
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 0, 'https://schema.org/Product', 1, 'image',
+         '/img/' || (doc_id % 5) || '.png' FROM documents
+  UNION ALL
+  SELECT doc_id, 0, 'https://schema.org/Product', 2, 'brand', '[item:1]'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 0, 'https://schema.org/Product', 3, 'lang', lang
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'https://schema.org/Brand', 0, 'name', source
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'https://schema.org/Offer', 0, 'price',
+         CAST(doc_id % 90 AS VARCHAR) FROM documents
+)
+ORDER BY doc_id, item_idx, prop_idx
+"""
+
+QUERIES["microdata_extract"] = q_microdata_extract
+ORACLES["microdata_extract"] = ORACLE_MICRODATA
