@@ -516,3 +516,96 @@ ORDER BY user_id, session_idx
 
 QUERIES["events_sessionize"] = q_events_sessionize
 ORACLES["events_sessionize"] = ORACLE_EVENTS_SESSIONIZE
+
+
+# --- events_funnel: ordered step analysis (round 7) ------------------------
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user — view -> click -> purchase, each step's
+    FIRST occurrence strictly after the previous step's time (the
+    classic product-analytics sequence match). Absent steps export the
+    -1 sentinel, never NULL (the driver's NULL-BIGINT hash trap).
+
+    Scale shape: three min-aggregations and two joins ALL keyed on
+    user_id, so Catalyst reuses one HashPartitioning(user_id) chain —
+    no window, no per-user sort, no Python. Timestamps are epoch
+    micros via the NTZ-safe timestampdiff (the events table is
+    TIMESTAMP_NTZ; unix_micros rejects NTZ and a cast would detour
+    through the session timezone)."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", us.alias("us")
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").cast("long").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").cast("long").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("us").cast("long").alias("t_purchase"))
+    )
+    steps = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t_view").alias("t_view_us"),
+            F.coalesce(F.col("t_click"), F.lit(-1))
+            .cast("long").alias("t_click_us"),
+            F.coalesce(F.col("t_purchase"), F.lit(-1))
+            .cast("long").alias("t_purchase_us"),
+            steps.cast("long").alias("steps_reached"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), v AS (
+  SELECT user_id, min(us) AS t_view FROM e
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.us) AS t_click
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.us > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.us) AS t_purchase
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t_view::BIGINT AS t_view_us,
+       coalesce(c.t_click, -1)::BIGINT AS t_click_us,
+       coalesce(p.t_purchase, -1)::BIGINT AS t_purchase_us,
+       (1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+           AS steps_reached
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+QUERIES["events_funnel"] = q_events_funnel
+ORACLES["events_funnel"] = ORACLE_EVENTS_FUNNEL
