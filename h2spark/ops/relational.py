@@ -609,3 +609,57 @@ ORDER BY user_id
 
 QUERIES["events_funnel"] = q_events_funnel
 ORACLES["events_funnel"] = ORACLE_EVENTS_FUNNEL
+
+
+# --- events_retention: day-N cohort retention (round 7) --------------------
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention cohorts: users grouped by first-activity day,
+    counted on each later active day — the analytics rollup every
+    event warehouse serves. All integer day arithmetic (epoch-micros
+    div 86400e6, values positive so Spark's truncating div and
+    DuckDB's floor // agree), NTZ-safe timestamps.
+
+    Scale shape: one groupBy(user_id) for cohort assignment, a join
+    back on the SAME key (exchange reused), then one
+    (cohort, offset) groupBy whose distinct-count is map-side
+    partial-aggregated. No window, no Python."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).cast("long").alias("day_idx"),
+    )
+    c = e.groupBy("user_id").agg(
+        F.min("day_idx").cast("long").alias("cohort")
+    )
+    return (
+        e.join(c, "user_id")
+        .groupBy(
+            F.col("cohort").alias("cohort_day_idx"),
+            (F.col("day_idx") - F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day_idx", "day_offset")
+    )
+
+
+ORACLE_EVENTS_RETENTION = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+), c AS (
+  SELECT user_id, min(day_idx) AS cohort FROM e GROUP BY user_id
+)
+SELECT c.cohort::BIGINT AS cohort_day_idx,
+       (e.day_idx - c.cohort)::BIGINT AS day_offset,
+       count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day_idx, day_offset
+"""
+
+QUERIES["events_retention"] = q_events_retention
+ORACLES["events_retention"] = ORACLE_EVENTS_RETENTION
