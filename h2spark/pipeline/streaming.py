@@ -601,3 +601,100 @@ def run_streaming_budget_tracker(
         budget_tracker(stream, budget_tokens), out_dir, checkpoint_dir,
         available_now,
     )
+
+
+# --- custom stateful operator: funnel tracker (round 7) --------------------
+
+FUNNEL_SCHEMA = (
+    "user_id long, t_view_us long, t_click_us long, t_purchase_us long, "
+    "steps_reached long"
+)
+_FUNNEL_STATE_SCHEMA = "t_view long, t_click long, t_purchase long"
+
+
+def funnel_tracker(events):
+    """Stateful streaming twin of ops/relational.q_events_funnel:
+    per-user view -> click -> purchase progression carried across
+    micro-batches via applyInPandasWithState. State is THREE longs per
+    user regardless of event rate; each batch a user appears in emits
+    the user's current funnel row (append-mode facts — the latest row
+    per user is the live funnel position, pinned equal to the batch
+    operator on the same input in tests/test_streaming.py).
+
+    Event-time caveat shared with every watermarkless funnel: steps
+    are matched in (ts, event_id) order within the arrived prefix, so
+    time-ordered arrival (the landing-file norm) reproduces the batch
+    semantics exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pre = events.select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        t_view, t_click, t_purchase = (
+            state.get if state.exists else (-1, -1, -1)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for et, u in zip(pdf["event_type"], pdf["us"]):
+                u = int(u)
+                if et == "view" and t_view < 0:
+                    t_view = u
+                elif (et == "click" and t_view >= 0 and u > t_view
+                        and t_click < 0):
+                    t_click = u
+                elif (et == "purchase" and t_click >= 0 and u > t_click
+                        and t_purchase < 0):
+                    t_purchase = u
+        state.update((t_view, t_click, t_purchase))
+        steps = (
+            (1 if t_view >= 0 else 0)
+            + (1 if t_click >= 0 else 0)
+            + (1 if t_purchase >= 0 else 0)
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "t_view_us": [t_view],
+                "t_click_us": [t_click],
+                "t_purchase_us": [t_purchase],
+                "steps_reached": [steps],
+            }
+        )
+
+    return pre.groupBy("user_id").applyInPandasWithState(
+        update,
+        FUNNEL_SCHEMA,
+        _FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental per-user funnel tracking over a growing events
+    directory (one micro-batch per landed file)."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        funnel_tracker(stream), out_dir, checkpoint_dir, available_now
+    )

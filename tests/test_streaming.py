@@ -579,3 +579,76 @@ def test_batch_sessionize_matches_streaming(spark, tmp_path):
     # boundary pins: user 3 is ONE session spanning the exact-gap pair
     assert len(batch[3]) == 1 and batch[3][0][2] == 2
     assert len(batch[2]) == 2
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Two time-ordered micro-batch files: each user's LAST emitted
+    funnel row must equal the batch operator's row on the full input —
+    including a click that only becomes valid once the second batch's
+    view..click ordering is seen, and users who never progress."""
+    from datetime import datetime
+
+    from h2spark.ops.relational import q_events_funnel
+    from h2spark.pipeline.streaming import run_streaming_funnel
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    batch1 = [
+        (0, t(0, 0), 1, "view", 1.0, "{}"),
+        (1, t(0, 5), 1, "click", 1.0, "{}"),
+        (2, t(0, 1), 2, "click", 1.0, "{}"),   # click BEFORE any view
+        (3, t(0, 2), 2, "view", 1.0, "{}"),
+        (4, t(0, 0), 3, "view", 1.0, "{}"),
+    ]
+    batch2 = [
+        (5, t(1, 0), 1, "purchase", 1.0, "{}"),
+        (6, t(1, 0), 2, "click", 1.0, "{}"),   # first valid click
+        (7, t(1, 5), 2, "purchase", 1.0, "{}"),
+        (8, t(1, 0), 3, "error", 1.0, "{}"),   # never progresses
+    ]
+    sf = tmp_path / "fun_sf"
+    _write_events(spark, batch1 + batch2, str(sf / "events.parquet"))
+    expected = {
+        r["user_id"]: (
+            r["t_view_us"], r["t_click_us"], r["t_purchase_us"],
+            r["steps_reached"],
+        )
+        for r in q_events_funnel(spark, str(sf)).collect()
+    }
+
+    in_dir = str(tmp_path / "fun_in")
+    out_dir = str(tmp_path / "fun_out")
+    # time-ordered arrival, ONE file per micro-batch: the funnel is
+    # watermarkless (the operator's documented caveat), so the test
+    # pins the in-order landing-file contract deterministically
+    import time as _time
+
+    for batch in (batch1, batch2):
+        spark.createDataFrame(
+            batch,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    q = run_streaming_funnel(
+        spark, in_dir, out_dir, checkpoint_dir=str(tmp_path / "fun_ck")
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(f"{out_dir}/data").collect()
+    # latest row per user = most steps, then latest step time
+    last = {}
+    for r in rows:
+        key = (r["steps_reached"], r["t_purchase_us"], r["t_click_us"],
+               r["t_view_us"])
+        if r["user_id"] not in last or key > last[r["user_id"]][0]:
+            last[r["user_id"]] = (key, (
+                r["t_view_us"], r["t_click_us"], r["t_purchase_us"],
+                r["steps_reached"],
+            ))
+    got = {u: v[1] for u, v in last.items()}
+    assert got == expected
+    # state carried across batches: user 1 appears in both
+    # micro-batches with progressing state (2 steps, then 3)
+    u1 = sorted(
+        r["steps_reached"] for r in rows if r["user_id"] == 1
+    )
+    assert u1 == [2, 3]
