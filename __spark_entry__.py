@@ -83,7 +83,8 @@ def _all_modules():
 # length_percentiles, and the late-r7 batch: domain_frequency_cap,
 # corpus_temperature_mix, text_dedup_rewrite, text_charset_audit,
 # tokenizer_fertility, ann_ivfpq_topk, dsir_importance,
-# image_exif_meta, redirect_resolve, anchor_text_agg) are 0 rounds
+# image_exif_meta, redirect_resolve, anchor_text_agg,
+# microdata_extract, events_funnel, events_retention) are 0 rounds
 # old, CI-oracle-checked every run by tests/test_driver_contract.py,
 # and rotate into the r8 window.
 _PRIORITY = [
