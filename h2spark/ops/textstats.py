@@ -1447,3 +1447,60 @@ ORDER BY doc_id
 
 QUERIES["text_charset_audit"] = q_charset_audit
 ORACLES["text_charset_audit"] = ORACLE_CHARSET_AUDIT
+
+
+# --- corpus vocabulary stats (Heaps-law readout) ---------------------------
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics — token mass, type count,
+    hapax count and the e6 type-token ratio. The Heaps-law readout
+    that sizes tokenizer training, spots synthetic/templated sources
+    (abnormally low TTR) and decides min-count floors for the LM
+    scorers.
+
+    Scale shape: explode -> (source, word) groupBy (map-side
+    combinable; the hot word 'the' partial-aggregates per task) ->
+    one narrow groupBy(source). Word strings leave the second shuffle
+    as counts only."""
+    d = _docs(spark, sf_dir)
+    ex = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.length("w") > 0)
+    wc = ex.groupBy("source", "w").agg(F.count("*").alias("c"))
+    agg = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("n_hapax"),
+    )
+    return (
+        agg.withColumn(
+            "ttr_e6",
+            F.expr("(n_types * 1000000) div n_tokens").cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_VOCAB_STATS = """
+WITH ex AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), f AS (
+  SELECT source, w FROM ex WHERE length(w) > 0
+), wc AS (
+  SELECT source, w, count(*) AS c FROM f GROUP BY source, w
+), agg AS (
+  SELECT source, sum(c)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+  FROM wc GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       ((n_types * 1000000) // n_tokens)::BIGINT AS ttr_e6
+FROM agg
+ORDER BY source
+"""
+
+QUERIES["corpus_vocab_stats"] = q_vocab_stats
+ORACLES["corpus_vocab_stats"] = ORACLE_VOCAB_STATS
