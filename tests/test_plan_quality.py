@@ -627,3 +627,48 @@ def test_dsir_bucket_scores_broadcast_back(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Design-for-scale proof: under the pipeline's AQE settings a
+    hot join key is SPLIT at runtime (SortMergeJoin(skew=true) +
+    AQEShuffleRead 'skewed') instead of pinning one task — the
+    mechanism the 100 TB plan relies on for residual skew that the
+    deterministic salting layer doesn't pre-handle."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            (F.col("id") % 64).alias("k"), F.col("id")
+        )
+        # 5/6 of all rows land on key 7 — a hot-domain shape
+        left = left.withColumn(
+            "k",
+            F.when(F.col("id") < 250_000, F.lit(7)).otherwise(F.col("k")),
+        )
+        right = spark.range(0, 64).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        )
+        df = left.join(right, "k").select(F.sum("id"))
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
