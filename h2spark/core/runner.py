@@ -1233,3 +1233,80 @@ def microdata_items_batch(doc_ids, langs, sources) -> list:
                     )
                 )
     return rows
+
+
+def zip_archive_meta_batch(doc_ids) -> list:
+    """REAL ZIP chain per doc: build an archive with the stdlib writer
+    (one stored text entry, one deflated binary entry, one stored JSON
+    manifest — fixed timestamps for determinism), then hand-parse the
+    central directory (core/zipmeta.py, PKWARE APPNOTE layout) and
+    verify every entry's CRC-32 and decompressed bytes. Emits
+    (doc_id, entry_idx, name, method_name, n_uncompressed, crc32,
+    content_md5, crc_ok) rows the oracle re-derives from the
+    construction formulas."""
+    import hashlib
+    import io
+    import zipfile
+
+    from h2spark.core.zipmeta import parse_zip_entries
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        entries = [
+            (f"a{d % 7}.txt", (f"alpha-{d % 13}" * (1 + d % 4)).encode(),
+             zipfile.ZIP_STORED),
+            (f"b{d % 5}.bin",
+             bytes(((d % 11) * 7 + i) % 256 for i in range(32)),
+             zipfile.ZIP_DEFLATED),
+            ("meta.json", f'{{"id":{d % 9}}}'.encode(),
+             zipfile.ZIP_STORED),
+        ]
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for name, content, method in entries:
+                zi = zipfile.ZipInfo(name, date_time=(2026, 1, 1, 0, 0, 0))
+                z.writestr(zi, content, compress_type=method)
+        parsed = parse_zip_entries(buf.getvalue())
+        for idx, e in enumerate(parsed):
+            rows.append(
+                (
+                    d, idx, e["name"], e["method_name"],
+                    int(e["n_uncompressed"]), int(e["crc32"]),
+                    hashlib.md5(e["content"]).hexdigest(),
+                    bool(e["crc_ok"]),
+                )
+            )
+    return rows
+
+
+def zip_entry_variants() -> dict:
+    """Import-time variant tables for the ZIP oracle: CRC-32 and md5
+    per construction formula branch (the compression-ratio golden-
+    oracle precedent — CRC and md5 are spec-deterministic)."""
+    import hashlib
+    import zlib
+
+    a = {}
+    for k13 in range(13):
+        for k4 in range(4):
+            c = (f"alpha-{k13}" * (1 + k4)).encode()
+            a[k13 * 4 + k4] = (
+                len(c), zlib.crc32(c) & 0xFFFFFFFF,
+                hashlib.md5(c).hexdigest(),
+            )
+    b = {}
+    for k11 in range(11):
+        c = bytes((k11 * 7 + i) % 256 for i in range(32))
+        b[k11] = (
+            len(c), zlib.crc32(c) & 0xFFFFFFFF,
+            hashlib.md5(c).hexdigest(),
+        )
+    m = {}
+    for k9 in range(9):
+        c = f'{{"id":{k9}}}'.encode()
+        m[k9] = (
+            len(c), zlib.crc32(c) & 0xFFFFFFFF,
+            hashlib.md5(c).hexdigest(),
+        )
+    return {"a": a, "b": b, "m": m}

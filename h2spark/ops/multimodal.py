@@ -2029,3 +2029,101 @@ ORDER BY doc_id
 
 QUERIES["image_exif_meta"] = q_image_exif_meta
 ORACLES["image_exif_meta"] = ORACLE_IMAGE_EXIF
+
+
+# --- archive_zip_meta: container-format scan (round 7) ---------------------
+
+
+def q_archive_zip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry metadata + integrity over ZIP archives — container
+    formats are how training shards arrive at 100 TB. Each doc builds
+    a real archive (stored + deflated entries, stdlib writer), then
+    the from-scratch central-directory parser (core/zipmeta.py) reads
+    it back and verifies CRC-32 + decompressed bytes. The oracle
+    re-derives sizes, CRCs and content md5s from the construction
+    formulas (CRC-32 and md5 are spec-deterministic — the golden
+    arithmetic is computed at import, the compression-ratio
+    precedent).
+
+    Scale shape: one Arrow-batched kernel pass, entry rows fan out
+    inside the batch; no shuffle before the presentation sort."""
+    from h2spark.core.runner import zip_archive_meta_batch
+
+    def entries(batches):
+        for pdf in batches:
+            rows = zip_archive_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "entry_idx", "name", "method_name",
+                    "n_uncompressed", "crc32", "content_md5", "crc_ok",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            entries,
+            "doc_id long, entry_idx long, name string,"
+            " method_name string, n_uncompressed long, crc32 long,"
+            " content_md5 string, crc_ok boolean",
+        )
+        .orderBy("doc_id", "entry_idx")
+    )
+
+
+def _oracle_archive_zip() -> str:
+    from h2spark.core.runner import zip_entry_variants
+
+    v = zip_entry_variants()
+
+    def case(key_expr, table, field):
+        whens = " ".join(
+            f"WHEN {k} THEN {repr(row[field]) if isinstance(row[field], str) else row[field]}"
+            for k, row in sorted(table.items())
+        )
+        return f"(CASE {key_expr} {whens} END)"
+
+    a_key = "(doc_id % 13) * 4 + (doc_id % 4)"
+    rows = []
+    rows.append(f"""
+  SELECT doc_id, 0 AS entry_idx, 'a' || (doc_id % 7) || '.txt' AS name,
+         'stored' AS method_name,
+         {case(a_key, {k: (r[0],) for k, r in v['a'].items()}, 0)}::BIGINT
+             AS n_uncompressed,
+         {case(a_key, {k: (r[1],) for k, r in v['a'].items()}, 0)}::BIGINT
+             AS crc32,
+         {case(a_key, {k: (r[2],) for k, r in v['a'].items()}, 0)}
+             AS content_md5,
+         TRUE AS crc_ok
+  FROM documents""")
+    rows.append(f"""
+  SELECT doc_id, 1, 'b' || (doc_id % 5) || '.bin', 'deflated',
+         32::BIGINT,
+         {case('doc_id % 11', {k: (r[1],) for k, r in v['b'].items()}, 0)}::BIGINT,
+         {case('doc_id % 11', {k: (r[2],) for k, r in v['b'].items()}, 0)},
+         TRUE
+  FROM documents""")
+    rows.append(f"""
+  SELECT doc_id, 2, 'meta.json', 'stored',
+         {case('doc_id % 9', {k: (r[0],) for k, r in v['m'].items()}, 0)}::BIGINT,
+         {case('doc_id % 9', {k: (r[1],) for k, r in v['m'].items()}, 0)}::BIGINT,
+         {case('doc_id % 9', {k: (r[2],) for k, r in v['m'].items()}, 0)},
+         TRUE
+  FROM documents""")
+    union = "\n  UNION ALL\n".join(rows)
+    return f"""
+SELECT doc_id, entry_idx::BIGINT AS entry_idx, name, method_name,
+       n_uncompressed, crc32, content_md5, crc_ok
+FROM (
+{union}
+)
+ORDER BY doc_id, entry_idx
+"""
+
+
+ORACLE_ARCHIVE_ZIP = _oracle_archive_zip()
+
+QUERIES["archive_zip_meta"] = q_archive_zip_meta
+ORACLES["archive_zip_meta"] = ORACLE_ARCHIVE_ZIP

@@ -1505,3 +1505,49 @@ def test_exif_rejects_malformed():
                 + struct.pack("<I", 9999)
                 + struct.pack("<I", 0))
         parse_exif_tiff(tiff)
+
+
+def test_zip_parser_roundtrip_and_rejections():
+    import io
+    import struct
+    import zipfile
+
+    import pytest
+
+    from h2spark.core.zipmeta import parse_zip_entries
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zi = zipfile.ZipInfo("x.txt", date_time=(2026, 1, 1, 0, 0, 0))
+        z.writestr(zi, b"hello world", compress_type=zipfile.ZIP_STORED)
+        zi = zipfile.ZipInfo("y.bin", date_time=(2026, 1, 1, 0, 0, 0))
+        z.writestr(zi, bytes(range(64)) * 8,
+                   compress_type=zipfile.ZIP_DEFLATED)
+    data = buf.getvalue()
+    es = parse_zip_entries(data)
+    assert [e["name"] for e in es] == ["x.txt", "y.bin"]
+    assert es[0]["method_name"] == "stored"
+    assert es[0]["content"] == b"hello world"
+    assert es[1]["method_name"] == "deflated"
+    assert es[1]["content"] == bytes(range(64)) * 8
+    assert all(e["crc_ok"] for e in es)
+    # EOCD found through a trailing archive comment
+    assert len(parse_zip_entries(data + b"")) == 2
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as z:
+        z.comment = b"trailing comment here"
+        zi = zipfile.ZipInfo("c.txt", date_time=(2026, 1, 1, 0, 0, 0))
+        z.writestr(zi, b"abc", compress_type=zipfile.ZIP_STORED)
+    assert parse_zip_entries(buf2.getvalue())[0]["content"] == b"abc"
+    # structural damage -> ValueError, never garbage
+    with pytest.raises(ValueError):
+        parse_zip_entries(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        parse_zip_entries(b"PK\x03\x04 not really")
+    # unsupported method rejected: patch method field in both headers
+    bad = bytearray(data)
+    eocd = bad.rindex(struct.pack("<I", 0x06054B50))
+    cd_off = struct.unpack_from("<I", bad, eocd + 16)[0]
+    struct.pack_into("<H", bad, cd_off + 10, 99)   # central method
+    with pytest.raises(ValueError):
+        parse_zip_entries(bytes(bad))
