@@ -60,6 +60,7 @@ def _all_modules():
         relational,
         roundtrip,
         scrub,
+        sketches,
         tableextract,
         similarity,
         textstats,
@@ -69,7 +70,7 @@ def _all_modules():
         multimodal, pdftext, tableextract,
         flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
         relational, textstats, bpetokens, dedup, similarity, curation,
-        scrub,
+        scrub, sketches,
     )
 
 

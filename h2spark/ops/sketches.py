@@ -1,0 +1,140 @@
+"""Mergeable cardinality sketches over ``events``.
+
+HyperLogLog (Flajolet et al. 2007) with md5-derived hashes and
+all-integer estimator arithmetic, so the DuckDB oracle replays the
+sketch bit-for-bit:
+
+- register index = first 32 md5 bits mod m (m = 64),
+- rho = leading-zero count of the NEXT 32 md5 bits + 1, computed as
+  33 - length(bin(v)) — ``bin`` renders the minimal binary string
+  identically in Spark (Long.toBinaryString) and DuckDB,
+- registers merge with MAX (the map-side-combinable property that
+  makes the sketch work on a 1000-executor cluster: per-partition
+  sketches combine without ever shuffling raw ids),
+- the raw estimate alpha_64 * m^2 / sum(2^-M[j]) is evaluated with
+  the exact common denominator 2^32: S = sum(2^(32 - M[j])) stays in
+  int64 (<= 64 * 2^32), and est = (709 * 4096 * 2^32) / (1000 * S)
+  in integral division. The small-range linear-counting correction
+  needs ln() — n_zero_registers is emitted so a consumer can apply
+  it; the exact distinct count is emitted alongside as the accuracy
+  readout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_HLL_M = 64           # registers (2^6)
+_HLL_ALPHA_E3 = 709   # alpha_64 = 0.709, in e3 fixed point
+
+
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via HyperLogLog, with the exact
+    count alongside.
+
+    Scale shape: one (event_type, register) groupBy-MAX — map-side
+    partial aggregation IS the sketch merge, so raw user ids never
+    cross the wire; densify via a tiny (types x 64) grid join; the
+    exact distinct (for the accuracy column) is the only id-carrying
+    aggregation and exists because the sandbox gate wants it pinned —
+    at 10^12 events the sketch columns are the product."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    idx = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_HLL_M)
+    )
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(v))
+    )
+    m = (
+        e.select("event_type", idx.alias("j"), rho.cast("long").alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("reg"))
+    )
+    grid = (
+        e.select("event_type").distinct()
+        .crossJoin(
+            spark.range(_HLL_M).select(F.col("id").alias("j"))
+        )
+    )
+    d = grid.join(m, ["event_type", "j"], "left").select(
+        "event_type", "j",
+        F.coalesce(F.col("reg"), F.lit(0)).cast("long").alias("m0"),
+    )
+    agg = d.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m0"))),
+                lambda s: s["m0"].cast("string"),
+            ),
+            ",",
+        ).alias("registers"),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0))
+        .cast("long").alias("n_zero_registers"),
+        F.sum(F.expr("CAST(power(2, 32 - m0) AS LONG)"))
+        .cast("long").alias("_s"),
+    )
+    est = F.expr(
+        f"({_HLL_ALPHA_E3} * {_HLL_M * _HLL_M} * 4294967296)"
+        " div (1000 * _s)"
+    ).cast("long")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        agg.withColumn("est_users", est)
+        .join(exact, "event_type")
+        .select(
+            "event_type", "registers", "n_zero_registers",
+            "est_users", "n_exact",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SKETCH_HLL = f"""
+WITH h AS (
+  SELECT event_type, user_id, md5(user_id::VARCHAR) AS hx FROM events
+), r AS (
+  SELECT event_type,
+         (('0x' || substr(hx, 1, 8))::BIGINT % {_HLL_M}) AS j,
+         ('0x' || substr(hx, 9, 8))::BIGINT AS v
+  FROM h
+), rho AS (
+  SELECT event_type, j,
+         CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rho
+  FROM r
+), m AS (
+  SELECT event_type, j, max(rho) AS reg FROM rho GROUP BY 1, 2
+), grid AS (
+  SELECT t.event_type, g.range AS j
+  FROM (SELECT DISTINCT event_type FROM events) t, range({_HLL_M}) g
+), d AS (
+  SELECT grid.event_type, grid.j,
+         coalesce(m.reg, 0)::BIGINT AS m0
+  FROM grid LEFT JOIN m ON m.event_type = grid.event_type
+                       AND m.j = grid.j
+), agg AS (
+  SELECT event_type,
+         string_agg(m0::VARCHAR, ',' ORDER BY j) AS registers,
+         sum(CASE WHEN m0 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_zero_registers,
+         sum(CAST(power(2, 32 - m0) AS BIGINT))::BIGINT AS s
+  FROM d GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT agg.event_type, registers, n_zero_registers,
+       (({_HLL_ALPHA_E3} * {_HLL_M * _HLL_M} * 4294967296)
+        // (1000 * s))::BIGINT AS est_users,
+       n_exact
+FROM agg JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+QUERIES = {"sketch_hll_users": q_sketch_hll_users}
+ORACLES = {"sketch_hll_users": ORACLE_SKETCH_HLL}
