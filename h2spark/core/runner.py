@@ -1310,3 +1310,59 @@ def zip_entry_variants() -> dict:
             hashlib.md5(c).hexdigest(),
         )
     return {"a": a, "b": b, "m": m}
+
+
+def tar_archive_meta_batch(doc_ids) -> list:
+    """REAL tar chain per doc: two entries written with the stdlib
+    tarfile writer (fixed mtime for determinism), parsed back with the
+    from-scratch ustar header parser (core/tarmeta.py — magic +
+    checksum verified), content md5'd. The oracle re-derives every
+    field from the construction formulas."""
+    import hashlib
+    import io
+    import tarfile
+
+    from h2spark.core.tarmeta import parse_tar_entries
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        entries = [
+            (f"docs/t{d % 7}.txt",
+             (f"tar-{d % 13}" * (1 + d % 3)).encode()),
+            (f"data/u{d % 5}.bin",
+             bytes(((d % 11) * 3 + i) % 256 for i in range(48))),
+        ]
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as t:
+            for name, content in entries:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(content)
+                ti.mtime = 1767225600  # 2026-01-01T00:00:00Z
+                t.addfile(ti, io.BytesIO(content))
+        parsed = parse_tar_entries(buf.getvalue())
+        for idx, e in enumerate(parsed):
+            rows.append(
+                (
+                    d, idx, e["name"], int(e["size"]), int(e["mtime"]),
+                    hashlib.md5(e["content"]).hexdigest(),
+                )
+            )
+    return rows
+
+
+def tar_entry_variants() -> dict:
+    """Import-time (size, md5) tables for the tar oracle."""
+    import hashlib
+
+    a = {}
+    for k13 in range(13):
+        for k3 in range(3):
+            c = (f"tar-{k13}" * (1 + k3)).encode()
+            a[k13 * 3 + k3] = (len(c), hashlib.md5(c).hexdigest())
+    b = {}
+    for k11 in range(11):
+        c = bytes((k11 * 3 + i) % 256 for i in range(48))
+        b[k11] = (len(c), hashlib.md5(c).hexdigest())
+    return {"a": a, "b": b}

@@ -1,0 +1,59 @@
+"""TAR (ustar) header parser (pure stdlib struct-free, spec-derived).
+
+POSIX.1-1988 ustar layout: 512-byte header blocks (name, octal size
+and mtime fields, checksum computed with the checksum field blanked,
+"ustar" magic), file data in 512-byte blocks, archive terminated by
+two zero blocks. Building uses the stdlib ``tarfile`` writer; parsing
+is from scratch so the byte layout sits under the tests — the ZIP
+module's division of labor.
+"""
+
+from __future__ import annotations
+
+_BLOCK = 512
+
+
+def _octal(field: bytes) -> int:
+    s = field.split(b"\x00", 1)[0].strip()
+    return int(s or b"0", 8)
+
+
+def parse_tar_entries(data: bytes) -> list[dict]:
+    """Per-entry metadata + content from a tar byte blob. Verifies the
+    ustar magic and the header checksum; structural damage raises
+    ValueError (the quarantine contract)."""
+    out: list[dict] = []
+    pos = 0
+    while pos + _BLOCK <= len(data):
+        block = data[pos:pos + _BLOCK]
+        if block == b"\x00" * _BLOCK:
+            return out  # end-of-archive marker
+        magic = block[257:263]
+        if magic not in (b"ustar\x00", b"ustar "):
+            raise ValueError("tar: bad magic")
+        recorded = _octal(block[148:156])
+        blanked = block[:148] + b" " * 8 + block[156:]
+        if sum(blanked) != recorded:
+            raise ValueError("tar: header checksum mismatch")
+        name = block[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        prefix = block[345:500].split(b"\x00", 1)[0].decode("utf-8")
+        if prefix:
+            name = prefix + "/" + name
+        size = _octal(block[124:136])
+        mtime = _octal(block[136:148])
+        typeflag = block[156:157]
+        nblocks = (size + _BLOCK - 1) // _BLOCK
+        content = data[pos + _BLOCK:pos + _BLOCK + size]
+        if len(content) != size:
+            raise ValueError("tar: truncated entry data")
+        if typeflag in (b"0", b"\x00"):
+            out.append(
+                {
+                    "name": name,
+                    "size": size,
+                    "mtime": mtime,
+                    "content": content,
+                }
+            )
+        pos += _BLOCK * (1 + nblocks)
+    raise ValueError("tar: missing end-of-archive marker")

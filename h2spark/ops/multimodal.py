@@ -2127,3 +2127,77 @@ ORACLE_ARCHIVE_ZIP = _oracle_archive_zip()
 
 QUERIES["archive_zip_meta"] = q_archive_zip_meta
 ORACLES["archive_zip_meta"] = ORACLE_ARCHIVE_ZIP
+
+
+# --- archive_tar_meta: the other shard container ---------------------------
+
+
+def q_archive_tar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry metadata over TAR (ustar) archives — the from-scratch
+    header parser (core/tarmeta.py) verifies magic + checksum on real
+    stdlib-written archives; same scale shape as the ZIP scan (one
+    Arrow-batched kernel pass, entry fan-out inside the batch)."""
+    from h2spark.core.runner import tar_archive_meta_batch
+
+    def entries(batches):
+        for pdf in batches:
+            rows = tar_archive_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "entry_idx", "name", "size", "mtime",
+                    "content_md5",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            entries,
+            "doc_id long, entry_idx long, name string, size long,"
+            " mtime long, content_md5 string",
+        )
+        .orderBy("doc_id", "entry_idx")
+    )
+
+
+def _oracle_archive_tar() -> str:
+    from h2spark.core.runner import tar_entry_variants
+
+    v = tar_entry_variants()
+
+    def case(key_expr, table, field):
+        whens = " ".join(
+            f"WHEN {k} THEN "
+            + (repr(row[field]) if isinstance(row[field], str)
+               else str(row[field]))
+            for k, row in sorted(table.items())
+        )
+        return f"(CASE {key_expr} {whens} END)"
+
+    a_key = "(doc_id % 13) * 3 + (doc_id % 3)"
+    return f"""
+SELECT doc_id, entry_idx::BIGINT AS entry_idx, name, size, mtime,
+       content_md5
+FROM (
+  SELECT doc_id, 0 AS entry_idx,
+         'docs/t' || (doc_id % 7) || '.txt' AS name,
+         {case(a_key, v['a'], 0)}::BIGINT AS size,
+         1767225600::BIGINT AS mtime,
+         {case(a_key, v['a'], 1)} AS content_md5
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'data/u' || (doc_id % 5) || '.bin',
+         48::BIGINT, 1767225600::BIGINT,
+         {case('doc_id % 11', v['b'], 1)}
+  FROM documents
+)
+ORDER BY doc_id, entry_idx
+"""
+
+
+ORACLE_ARCHIVE_TAR = _oracle_archive_tar()
+
+QUERIES["archive_tar_meta"] = q_archive_tar_meta
+ORACLES["archive_tar_meta"] = ORACLE_ARCHIVE_TAR

@@ -1551,3 +1551,42 @@ def test_zip_parser_roundtrip_and_rejections():
     struct.pack_into("<H", bad, cd_off + 10, 99)   # central method
     with pytest.raises(ValueError):
         parse_zip_entries(bytes(bad))
+
+
+def test_tar_parser_roundtrip_and_rejections():
+    import io
+    import tarfile
+
+    import pytest
+
+    from h2spark.core.tarmeta import parse_tar_entries
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        for name, content in [("a/b.txt", b"hello"),
+                              ("c.bin", bytes(range(200)) * 3)]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(content)
+            ti.mtime = 1767225600
+            t.addfile(ti, io.BytesIO(content))
+    data = buf.getvalue()
+    es = parse_tar_entries(data)
+    assert [(e["name"], e["size"]) for e in es] == [
+        ("a/b.txt", 5), ("c.bin", 600)
+    ]
+    assert es[0]["content"] == b"hello"
+    assert es[1]["mtime"] == 1767225600
+    # corrupt checksum byte -> rejected
+    bad = bytearray(data)
+    bad[0] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_tar_entries(bytes(bad))
+    # missing end-of-archive marker -> rejected
+    with pytest.raises(ValueError):
+        parse_tar_entries(data[:1024])
+    # bad magic -> rejected
+    bad2 = bytearray(data)
+    bad2[257:263] = b"notmag"
+    with pytest.raises(ValueError):
+        parse_tar_entries(bytes(bad2))
