@@ -85,9 +85,10 @@ def _all_modules():
 # corpus_temperature_mix, text_dedup_rewrite, text_charset_audit,
 # tokenizer_fertility, ann_ivfpq_topk, dsir_importance,
 # image_exif_meta, redirect_resolve, anchor_text_agg,
-# microdata_extract, events_funnel, events_retention) are 0 rounds
-# old, CI-oracle-checked every run by tests/test_driver_contract.py,
-# and rotate into the r8 window.
+# microdata_extract, events_funnel, events_retention,
+# corpus_vocab_stats, archive_zip_meta, archive_tar_meta,
+# sketch_hll_users) are 0 rounds old, CI-oracle-checked every run by
+# tests/test_driver_contract.py, and rotate into the r8 window.
 _PRIORITY = [
     # (1) new/changed in round 7: large-table kernel BPE count, fast
     #     trainer, guarded SemDeDup, the BIGINT-cast budget oracle,
