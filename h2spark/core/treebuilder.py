@@ -78,6 +78,15 @@ VOID_ELEMENTS = frozenset(
     }
 )
 
+# after-head metadata tags that re-enter the head element through the
+# head pointer (WHATWG 13.2.6.4.6 — noscript is NOT in this list)
+_AFTER_HEAD_REENTRY = frozenset(
+    {
+        "base", "basefont", "bgsound", "link", "meta", "title",
+        "noframes", "style", "script", "template",
+    }
+)
+
 _HEAD_ELEMENTS = frozenset(
     {
         "base", "basefont", "bgsound", "link", "meta", "title",
@@ -516,6 +525,7 @@ class _Builder:
     __slots__ = (
         "doc", "stack", "mode", "_saw_doctype", "afe", "_moved",
         "_template_modes", "_frameset_ok", "_form", "_quirks",
+        "_head_el", "_head_reentry",
     )
 
     def __init__(self) -> None:
@@ -533,6 +543,10 @@ class _Builder:
         # WHATWG form element pointer: while set (and no template open)
         # a nested <form> start tag is ignored entirely
         self._form = None
+        # WHATWG head element pointer: after-head metadata tags
+        # (13.2.6.4.6) re-enter the head through it
+        self._head_el = None
+        self._head_reentry = False
         # quirks mode: set by the doctype (or its absence) in the
         # initial insertion mode (13.2.6.4.1)
         self._quirks = False
@@ -598,7 +612,21 @@ class _Builder:
             return False
         if self._pop_until("template"):
             self.mode = self._template_modes.pop()
+        self._finish_head_reentry()
         return True
+
+    def _finish_head_reentry(self) -> None:
+        """Close an after-head metadata re-entry (13.2.6.4.6): once the
+        re-entered token's element is done and the head pointer is back
+        on top, remove it from the stack and return to 'after head'."""
+        if (
+            self._head_reentry
+            and self.stack
+            and self.stack[-1] is self._head_el
+        ):
+            self.stack.pop()
+            self._head_reentry = False
+            self.mode = "after_head"
 
     def _in_select(self) -> bool:
         """True when a <select> is open with only option/optgroup
@@ -1346,12 +1374,12 @@ class _Builder:
             self._merge_attrs(self.stack[0], tok[2])
             return True
         if kind == "start" and tok[1] == "head":
-            self._insert_element("head", tok[2])
+            self._head_el = self._insert_element("head", tok[2])
             self.mode = "in_head"
             return True
         if kind == "end" and tok[1] not in ("head", "body", "html", "br"):
             return True
-        self._insert_element("head", {})
+        self._head_el = self._insert_element("head", {})
         self.mode = "in_head"
         return self._mode_in_head(tok)
 
@@ -1390,10 +1418,11 @@ class _Builder:
                 return True
             if tok[1] not in ("body", "html", "br"):
                 # end tag whose element may be open in head (title etc.)
-                if self._pop_until(tok[1]):
-                    return True
+                self._pop_until(tok[1])
+                self._finish_head_reentry()
                 return True
         # anything else: pop head, reprocess in after_head
+        self._head_reentry = False
         self._pop_until("head")
         self.mode = "after_head"
         return self._mode_after_head(tok)
@@ -1430,6 +1459,20 @@ class _Builder:
                 self._insert_element("frameset", tok[2])
                 self.mode = "in_frameset"
                 return True
+            if name == "head":
+                return True  # second <head>: parse error, ignored
+            if name in _AFTER_HEAD_REENTRY and self._head_el is not None:
+                # 13.2.6.4.6: push the head pointer back onto the
+                # stack and process with the in-head rules; the head
+                # comes off again as soon as the re-entered element is
+                # complete (immediately for voids, at the end tag for
+                # rawtext elements, at </template> for templates)
+                self.stack.append(self._head_el)
+                self._head_reentry = True
+                self.mode = "in_head"
+                handled = self._mode_in_head(tok)
+                self._finish_head_reentry()
+                return handled
         elif kind == "end" and tok[1] not in ("body", "html", "br"):
             return True
         self._insert_element("body", {})
