@@ -138,3 +138,122 @@ ORDER BY event_type
 
 QUERIES = {"sketch_hll_users": q_sketch_hll_users}
 ORACLES = {"sketch_hll_users": ORACLE_SKETCH_HLL}
+
+
+# --- Count-Min sketch: heavy-hitter term counts ----------------------------
+#
+# Cormode & Muthukrishnan 2005: d hash rows x w counters, each
+# occurrence increments one counter per row, point estimate = min over
+# rows. Counters merge with SUM (map-side combinable — the same
+# mergeability story as the HLL registers), estimates overshoot only
+# (collisions add, never subtract), so est >= true always; the query
+# emits both so the overestimate guarantee sits under the driver hash.
+
+_CMS_D = 4    # hash rows
+_CMS_W = 64   # counters per row
+
+
+def q_sketch_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the corpus's top-12
+    terms. One (row, counter) groupBy builds the whole d x w sketch —
+    word strings never pass the shuffle, counter updates partial-
+    aggregate map-side — then the top terms (one exact groupBy,
+    bounded at 12) probe it with the same per-row md5 arithmetic.
+
+    Scale: the sketch is 256 longs total at ANY corpus size; the
+    exact side exists as the sandbox accuracy pin and is itself a
+    bounded top-k."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.length("w") > 0)
+    cells = []
+    for r in range(_CMS_D):
+        h = F.md5(F.concat(F.lit(f"r{r}:"), F.col("w")))
+        cells.append(
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                F.lit(_CMS_W),
+            ).alias(f"c{r}")
+        )
+    hashed = ex.select("w", *cells)
+    sketch = None
+    for r in range(_CMS_D):
+        rows = hashed.groupBy(F.col(f"c{r}").alias("j")).agg(
+            F.count("*").cast("long").alias("cnt")
+        ).select(F.lit(r).cast("long").alias("r"), "j", "cnt")
+        sketch = rows if sketch is None else sketch.unionByName(rows)
+    top = (
+        ex.groupBy("w").agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "w")
+        .limit(12)
+    )
+    probes = []
+    for r in range(_CMS_D):
+        h = F.md5(F.concat(F.lit(f"r{r}:"), F.col("w")))
+        probes.append(
+            F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                F.lit(_CMS_W),
+            ).alias(f"p{r}")
+        )
+    probed = top.select("w", "n_exact", *probes)
+    est = None
+    out = probed
+    for r in range(_CMS_D):
+        s = sketch.where(F.col("r") == r).select(
+            F.col("j").alias(f"p{r}"), F.col("cnt").alias(f"e{r}")
+        )
+        out = out.join(F.broadcast(s), f"p{r}")
+        e = F.col(f"e{r}")
+        est = e if est is None else F.least(est, e)
+    return (
+        out.select(
+            "w",
+            "n_exact",
+            est.cast("long").alias("n_est"),
+            (est >= F.col("n_exact")).alias("overestimate_ok"),
+        )
+        .orderBy(F.desc("n_exact"), "w")
+    )
+
+
+def _oracle_sketch_cms() -> str:
+    rows = []
+    for r in range(_CMS_D):
+        rows.append(
+            f"SELECT {r} AS r,"
+            f" (('0x' || substr(md5('r{r}:' || w), 1, 8))::BIGINT"
+            f" % {_CMS_W}) AS j, count(*) AS cnt"
+            " FROM f GROUP BY 1, 2"
+        )
+    sketch = "\nUNION ALL\n".join(rows)
+    mins = ", ".join(
+        f"(SELECT cnt FROM sketch s WHERE s.r = {r} AND s.j ="
+        f" (('0x' || substr(md5('r{r}:' || t.w), 1, 8))::BIGINT"
+        f" % {_CMS_W}))"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), f AS (
+  SELECT w FROM ex WHERE length(w) > 0
+), sketch AS (
+{sketch}
+), top AS (
+  SELECT w, count(*)::BIGINT AS n_exact FROM f GROUP BY w
+  ORDER BY n_exact DESC, w LIMIT 12
+)
+SELECT w, n_exact,
+       least({mins})::BIGINT AS n_est,
+       (least({mins}) >= n_exact) AS overestimate_ok
+FROM top t
+ORDER BY n_exact DESC, w
+"""
+
+
+ORACLE_SKETCH_CMS = _oracle_sketch_cms()
+
+QUERIES["sketch_cms_terms"] = q_sketch_cms_terms
+ORACLES["sketch_cms_terms"] = ORACLE_SKETCH_CMS
