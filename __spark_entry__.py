@@ -87,8 +87,9 @@ def _all_modules():
 # image_exif_meta, redirect_resolve, anchor_text_agg,
 # microdata_extract, events_funnel, events_retention,
 # corpus_vocab_stats, archive_zip_meta, archive_tar_meta,
-# sketch_hll_users) are 0 rounds old, CI-oracle-checked every run by
-# tests/test_driver_contract.py, and rotate into the r8 window.
+# sketch_hll_users, sketch_cms_terms) are 0 rounds old,
+# CI-oracle-checked every run by tests/test_driver_contract.py, and
+# rotate into the r8 window.
 _PRIORITY = [
     # (1) new/changed in round 7: large-table kernel BPE count, fast
     #     trainer, guarded SemDeDup, the BIGINT-cast budget oracle,
