@@ -1,0 +1,195 @@
+"""MP3 container metadata parser (pure stdlib, spec-derived).
+
+The last audio container family the registry listed as a gap
+(ops/multimodal.py registry hints): full MP3 *decode* needs DSP that
+does not fit the sandbox, but the container layer — MPEG audio frame
+headers (ISO/IEC 11172-3 §2.4.1.3 layout), ID3v2.3/2.4 tag frames
+(id3.org informal standards) and the fixed 128-byte ID3v1 trailer —
+is exactly what a crawl pipeline needs to sniff, deduplicate and
+duration-budget audio shards, and it is fully parseable with integer
+arithmetic.
+
+Scope: MPEG-1 Layer III frames (the overwhelmingly common case).
+Frame length = 144 * bitrate / sample_rate + padding; 1152 samples
+per frame. The parser walks the frame chain verifying the 11-bit
+sync word at every boundary, so a single corrupted length derails
+into ValueError (the quarantine contract shared with the other
+codecs). Version/layer combinations outside MPEG-1 Layer III raise
+rather than guess.
+
+ID3v2: header is "ID3" + version + flags + 28-bit syncsafe size;
+v2.3 frames carry plain big-endian sizes, v2.4 frames syncsafe ones.
+Text frames (T***) decode by their encoding byte (0 = latin-1,
+1 = UTF-16 with BOM, 3 = UTF-8). ID3v1: the trailing 128-byte "TAG"
+block, v1.1 track-in-comment variant included.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free, 15 =
+# forbidden) — ISO/IEC 11172-3 Table B.2.
+_BITRATE_KBPS = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+# MPEG-1 sample-rate table, index 0..2 (3 = reserved).
+_SAMPLE_RATE = (44100, 48000, 32000)
+_SAMPLES_PER_FRAME = 1152
+
+
+def _syncsafe(b: bytes) -> int:
+    """28-bit syncsafe integer: 4 bytes of 7 significant bits each."""
+    v = 0
+    for x in b:
+        if x & 0x80:
+            raise ValueError("mp3: non-syncsafe byte in syncsafe field")
+        v = (v << 7) | x
+    return v
+
+
+def _decode_text(body: bytes) -> str:
+    if not body:
+        return ""
+    enc, payload = body[0], body[1:]
+    if enc == 0:
+        s = payload.decode("latin-1")
+    elif enc == 1:
+        s = payload.decode("utf-16")  # BOM-led per spec
+    elif enc == 3:
+        s = payload.decode("utf-8")
+    else:
+        raise ValueError(f"mp3: unsupported ID3v2 text encoding {enc}")
+    return s.split("\x00", 1)[0]
+
+
+def parse_id3v2(data: bytes) -> tuple[dict, int]:
+    """Parse a leading ID3v2 tag. Returns ({frame_id: text}, total
+    tag size including header) — (empty, 0) when no tag is present."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return {}, 0
+    major = data[3]
+    if major not in (3, 4):
+        raise ValueError(f"mp3: unsupported ID3v2.{major}")
+    flags = data[5]
+    if flags & 0x80:
+        raise ValueError("mp3: ID3v2 unsynchronisation not supported")
+    size = _syncsafe(data[6:10])
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("mp3: ID3v2 size exceeds data")
+    tags: dict = {}
+    pos = 10
+    if flags & 0x40:  # extended header: skip by its own size field
+        ext = (
+            _syncsafe(data[pos:pos + 4]) if major == 4
+            else int.from_bytes(data[pos:pos + 4], "big") + 4
+        )
+        pos += ext
+    while pos + 10 <= end:
+        fid = data[pos:pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        fsize = (
+            _syncsafe(data[pos + 4:pos + 8]) if major == 4
+            else int.from_bytes(data[pos + 4:pos + 8], "big")
+        )
+        body = data[pos + 10:pos + 10 + fsize]
+        if len(body) != fsize:
+            raise ValueError("mp3: truncated ID3v2 frame")
+        name = fid.decode("latin-1")
+        if name.startswith("T"):
+            tags[name] = _decode_text(body)
+        pos += 10 + fsize
+    return tags, end
+
+
+def parse_id3v1(data: bytes) -> dict | None:
+    """Parse a trailing 128-byte ID3v1(.1) block, or None."""
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return None
+    blk = data[-128:]
+
+    def s(a: int, b: int) -> str:
+        return blk[a:b].split(b"\x00", 1)[0].decode("latin-1").rstrip()
+
+    out = {
+        "title": s(3, 33),
+        "artist": s(33, 63),
+        "album": s(63, 93),
+        "year": s(93, 97),
+        "track": None,
+    }
+    # v1.1: comment[28] == 0 marks byte 29 as the track number
+    if blk[125] == 0 and blk[126] != 0:
+        out["track"] = blk[126]
+    return out
+
+
+def parse_frame_header(b: bytes) -> dict:
+    """Decode one 4-byte MPEG audio frame header (MPEG-1 Layer III)."""
+    if len(b) < 4:
+        raise ValueError("mp3: truncated frame header")
+    h = int.from_bytes(b[:4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise ValueError("mp3: bad frame sync")
+    version = (h >> 19) & 0x3
+    layer = (h >> 17) & 0x3
+    if version != 0x3 or layer != 0x1:  # MPEG-1 = 11b, Layer III = 01b
+        raise ValueError("mp3: only MPEG-1 Layer III supported")
+    br_idx = (h >> 12) & 0xF
+    if br_idx in (0, 15):
+        raise ValueError("mp3: free/forbidden bitrate index")
+    sr_idx = (h >> 10) & 0x3
+    if sr_idx == 3:
+        raise ValueError("mp3: reserved sample-rate index")
+    padding = (h >> 9) & 0x1
+    bitrate = _BITRATE_KBPS[br_idx] * 1000
+    sample_rate = _SAMPLE_RATE[sr_idx]
+    return {
+        "bitrate_kbps": _BITRATE_KBPS[br_idx],
+        "sample_rate": sample_rate,
+        "padding": padding,
+        "channel_mode": (h >> 6) & 0x3,
+        "frame_len": 144 * bitrate // sample_rate + padding,
+    }
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Full container walk: ID3v2 header, the complete frame chain
+    (sync verified at every boundary), optional ID3v1 trailer.
+
+    Emits the metadata a shard pipeline budgets on: frame count,
+    first-frame bitrate/sample-rate, exact integer duration
+    (micros = frames * 1152 * 1e6 // rate) and the md5 of the raw
+    audio frame bytes (the tag-independent dedup key — re-tagged
+    copies of the same audio collapse to one hash)."""
+    tags, audio_start = parse_id3v2(data)
+    id3v1 = parse_id3v1(data)
+    audio_end = len(data) - (128 if id3v1 is not None else 0)
+    pos = audio_start
+    frames: list[dict] = []
+    first: dict | None = None
+    while pos < audio_end:
+        fh = parse_frame_header(data[pos:pos + 4])
+        if pos + fh["frame_len"] > audio_end:
+            raise ValueError("mp3: truncated frame body")
+        if first is None:
+            first = fh
+        frames.append(fh)
+        pos += fh["frame_len"]
+    if not frames:
+        raise ValueError("mp3: no audio frames")
+    assert first is not None
+    n = len(frames)
+    rate = first["sample_rate"]
+    return {
+        "id3v2": tags,
+        "id3v1": id3v1,
+        "n_frames": n,
+        "bitrate_kbps": first["bitrate_kbps"],
+        "sample_rate": rate,
+        "n_samples": n * _SAMPLES_PER_FRAME,
+        "duration_ms": n * _SAMPLES_PER_FRAME * 1000 // rate,
+        "audio_md5": hashlib.md5(data[audio_start:audio_end]).hexdigest(),
+    }

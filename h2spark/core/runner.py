@@ -1366,3 +1366,114 @@ def tar_entry_variants() -> dict:
         c = bytes((k11 * 3 + i) % 256 for i in range(48))
         b[k11] = (len(c), hashlib.md5(c).hexdigest())
     return {"a": a, "b": b}
+
+
+def _mp3_build(d: int) -> bytes:
+    """Assemble a real MP3 for doc ``d``: ID3v2.3 tag, 3 + d%4
+    MPEG-1 Layer III frames (headers packed bit-by-bit, alternating
+    padding), ID3v1.1 trailer. All fields are doc_id formulas so the
+    oracle re-derives them."""
+    br_idx = (5, 7, 9, 11)[d % 4]      # 64 / 96 / 128 / 192 kbps
+    sr_idx = d % 3                     # 44100 / 48000 / 32000
+    kbps = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)[br_idx]
+    rate = (44100, 48000, 32000)[sr_idx]
+    n_frames = 3 + d % 4
+    seed = d % 11
+
+    def text_frame(fid: str, value: str) -> bytes:
+        body = b"\x00" + value.encode("latin-1")
+        return (fid.encode("latin-1") + len(body).to_bytes(4, "big")
+                + b"\x00\x00" + body)
+
+    frames_v2 = (
+        text_frame("TIT2", f"Track {d % 7}")
+        + text_frame("TPE1", f"Artist {d % 5}")
+        + text_frame("TALB", "Corpus")
+        + text_frame("TRCK", str(d % 9 + 1))
+    )
+    size = len(frames_v2)
+    ss = bytes(
+        (size >> s) & 0x7F for s in (21, 14, 7, 0)
+    )
+    id3v2 = b"ID3\x03\x00\x00" + ss + frames_v2
+
+    audio = bytearray()
+    for i in range(n_frames):
+        pad = (d + i) % 2
+        h = (0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (1 << 16)
+        h |= (br_idx << 12) | (sr_idx << 10) | (pad << 9) | (0x3 << 6)
+        frame_len = 144 * kbps * 1000 // rate + pad
+        frame = bytearray(h.to_bytes(4, "big"))
+        frame.extend(
+            (seed * 17 + i * 7 + j) % 256 for j in range(frame_len - 4)
+        )
+        audio.extend(frame)
+
+    def f30(s: str) -> bytes:
+        return s.encode("latin-1")[:30].ljust(30, b"\x00")
+
+    id3v1 = (
+        b"TAG" + f30(f"Track {d % 7}") + f30(f"Artist {d % 5}")
+        + f30("Corpus") + b"2026" + b"\x00" * 28
+        + b"\x00" + bytes([d % 9 + 1]) + bytes([255])
+    )
+    return id3v2 + bytes(audio) + id3v1
+
+
+def mp3_meta_batch(doc_ids) -> list:
+    """REAL MP3 chain per doc: build the container (_mp3_build), parse
+    it back with the from-scratch header/tag parser (core/mp3meta.py),
+    cross-check the ID3v1 trailer against the ID3v2 frames, and emit
+    (doc_id, title, artist, track, bitrate_kbps, sample_rate,
+    n_frames, duration_ms, audio_md5, tags_consistent) rows the oracle
+    re-derives from the construction formulas."""
+    from h2spark.core.mp3meta import parse_mp3
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        m = parse_mp3(_mp3_build(d))
+        v1 = m["id3v1"]
+        consistent = (
+            v1 is not None
+            and v1["title"] == m["id3v2"].get("TIT2")
+            and v1["artist"] == m["id3v2"].get("TPE1")
+            and str(v1["track"]) == m["id3v2"].get("TRCK")
+        )
+        rows.append(
+            (
+                d, m["id3v2"]["TIT2"], m["id3v2"]["TPE1"],
+                int(m["id3v2"]["TRCK"]), int(m["bitrate_kbps"]),
+                int(m["sample_rate"]), int(m["n_frames"]),
+                int(m["duration_ms"]), m["audio_md5"], bool(consistent),
+            )
+        )
+    return rows
+
+
+def mp3_meta_variants() -> dict:
+    """Import-time audio-md5 table for the MP3 oracle, keyed
+    (d%4)*33 + (d%3)*11 + d%11 — bitrate + frame count ride d%4,
+    sample rate d%3, payload seed d%11, padding parity (d%4)%2, so
+    the triple fully determines the frame bytes."""
+    import hashlib
+
+    from h2spark.core.mp3meta import parse_id3v2
+
+    out = {}
+    for k4 in range(4):
+        for k3 in range(3):
+            for k11 in range(11):
+                # rebuild via _mp3_build with a doc id hitting exactly
+                # this residue triple (CRT over 4, 3, 11 — coprime)
+                d = next(
+                    x for x in range(132)
+                    if x % 4 == k4 and x % 3 == k3 and x % 11 == k11
+                )
+                blob = _mp3_build(d)
+                _, start = parse_id3v2(blob)
+                out[k4 * 33 + k3 * 11 + k11] = hashlib.md5(
+                    blob[start:len(blob) - 128]
+                ).hexdigest()
+    return out

@@ -2201,3 +2201,80 @@ ORACLE_ARCHIVE_TAR = _oracle_archive_tar()
 
 QUERIES["archive_tar_meta"] = q_archive_tar_meta
 ORACLES["archive_tar_meta"] = ORACLE_ARCHIVE_TAR
+
+
+# --- audio_mp3_meta: MP3 container sniff (round 7) --------------------------
+
+
+def q_audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 container metadata without decode — the audio-shard triage
+    a crawl pipeline runs before spending DSP: ID3v2.3 text frames,
+    MPEG-1 Layer III frame-chain walk (sync verified per frame,
+    alternating padding), integer duration, tag-independent audio md5
+    (the dedup key for re-tagged copies), ID3v1-vs-ID3v2 consistency.
+    Parser: core/mp3meta.py (ISO/IEC 11172-3 header layout + id3.org
+    v2.3/v1.1); closes the metadata layer of the MP3 registry gap.
+
+    Scale shape: one Arrow-batched kernel pass, zero shuffle before
+    the presentation sort."""
+    from h2spark.core.runner import mp3_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = mp3_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "title", "artist", "track",
+                    "bitrate_kbps", "sample_rate", "n_frames",
+                    "duration_ms", "audio_md5", "tags_consistent",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, title string, artist string, track long,"
+            " bitrate_kbps long, sample_rate long, n_frames long,"
+            " duration_ms long, audio_md5 string, tags_consistent"
+            " boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_audio_mp3() -> str:
+    from h2spark.core.runner import mp3_meta_variants
+
+    v = mp3_meta_variants()
+    whens = " ".join(
+        f"WHEN {k} THEN '{md5}'" for k, md5 in sorted(v.items())
+    )
+    return f"""
+SELECT doc_id,
+       'Track ' || (doc_id % 7) AS title,
+       'Artist ' || (doc_id % 5) AS artist,
+       (doc_id % 9 + 1)::BIGINT AS track,
+       (CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 96
+                        WHEN 2 THEN 128 ELSE 192 END)::BIGINT
+           AS bitrate_kbps,
+       (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                        ELSE 32000 END)::BIGINT AS sample_rate,
+       (3 + doc_id % 4)::BIGINT AS n_frames,
+       ((3 + doc_id % 4) * 1152 * 1000
+        // CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END)::BIGINT AS duration_ms,
+       (CASE (doc_id % 4) * 33 + (doc_id % 3) * 11 + (doc_id % 11)
+        {whens} END) AS audio_md5,
+       TRUE AS tags_consistent
+FROM documents
+ORDER BY doc_id
+"""
+
+
+ORACLE_AUDIO_MP3 = _oracle_audio_mp3()
+
+QUERIES["audio_mp3_meta"] = q_audio_mp3_meta
+ORACLES["audio_mp3_meta"] = ORACLE_AUDIO_MP3

@@ -1590,3 +1590,70 @@ def test_tar_parser_roundtrip_and_rejections():
     bad2[257:263] = b"notmag"
     with pytest.raises(ValueError):
         parse_tar_entries(bytes(bad2))
+
+
+def test_mp3_parser_roundtrip_and_rejections():
+    import pytest
+
+    from h2spark.core.mp3meta import (
+        parse_frame_header, parse_id3v1, parse_id3v2, parse_mp3,
+    )
+    from h2spark.core.runner import _mp3_build
+
+    m = parse_mp3(_mp3_build(5))
+    assert m["id3v2"] == {
+        "TIT2": "Track 5", "TPE1": "Artist 0", "TALB": "Corpus",
+        "TRCK": "6",
+    }
+    assert (m["bitrate_kbps"], m["sample_rate"]) == (96, 32000)
+    assert m["n_frames"] == 4
+    # 4 frames * 1152 samples at 32 kHz = 144 ms exactly
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 32000 == 144
+    assert m["id3v1"] == {
+        "title": "Track 5", "artist": "Artist 0", "album": "Corpus",
+        "year": "2026", "track": 6,
+    }
+    # audio md5 ignores tags: retagging (different title) keeps the key
+    blob_a = _mp3_build(5)
+    other = blob_a.replace(b"Track 5", b"Other 9", 1)
+    assert parse_mp3(other)["audio_md5"] == m["audio_md5"]
+
+    # frame header decode: 128 kbps, 44.1 kHz, padded
+    h = (0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (1 << 16) \
+        | (9 << 12) | (0 << 10) | (1 << 9) | (0x3 << 6)
+    fh = parse_frame_header(h.to_bytes(4, "big"))
+    assert (fh["bitrate_kbps"], fh["sample_rate"], fh["padding"],
+            fh["frame_len"]) == (128, 44100, 1, 418)
+
+    # ID3v2.4 syncsafe frame sizes parse too
+    body = b"\x03utf8 title"
+    fr = b"TIT2" + bytes([0, 0, 0, len(body)]) + b"\x00\x00" + body
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(fr)]) + fr
+    tags, end = parse_id3v2(tag + b"\xff\xfb")
+    assert tags == {"TIT2": "utf8 title"} and end == len(tag)
+    # UTF-16 text frame (encoding byte 1, BOM-led)
+    b16 = b"\x01" + "seizème".encode("utf-16")
+    fr16 = b"TIT2" + len(b16).to_bytes(4, "big") + b"\x00\x00" + b16
+    t16 = b"ID3\x03\x00\x00" + bytes(
+        (len(fr16) >> s) & 0x7F for s in (21, 14, 7, 0)
+    ) + fr16
+    assert parse_id3v2(t16)[0]["TIT2"] == "seizème"
+    assert parse_id3v1(b"x" * 10) is None
+
+    # rejections: bad sync, reserved sample rate, truncation, non-MPEG1
+    with pytest.raises(ValueError):
+        parse_frame_header(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        parse_frame_header(
+            ((0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (9 << 12)
+             | (0x3 << 10)).to_bytes(4, "big")
+        )
+    with pytest.raises(ValueError):
+        parse_frame_header(
+            ((0x7FF << 21) | (0x2 << 19) | (0x1 << 17) | (9 << 12))
+            .to_bytes(4, "big")
+        )
+    with pytest.raises(ValueError):
+        parse_mp3(_mp3_build(5)[:-200])  # chain derails into the cut
+    with pytest.raises(ValueError):
+        parse_mp3(b"ID3\x03\x00\x00\x00\x00\x00\xff rest")
