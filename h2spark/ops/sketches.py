@@ -257,3 +257,108 @@ ORACLE_SKETCH_CMS = _oracle_sketch_cms()
 
 QUERIES["sketch_cms_terms"] = q_sketch_cms_terms
 ORACLES["sketch_cms_terms"] = ORACLE_SKETCH_CMS
+
+
+# --- fixed-bin quantile histogram: the third mergeable sketch ---------------
+#
+# Length quantiles (p50/p90/p99) via a fixed-width histogram: per-bin
+# counts merge with SUM (map-side combinable like the HLL registers and
+# CMS counters), the quantile readout walks the cumulative bins. The
+# estimate brackets the true value inside one bin width — the exact
+# k-th smallest (from a value-level histogram, cardinality bounded by
+# max doc length, NOT corpus size) sits alongside as the accuracy pin.
+
+_QH_W = 64  # bin width, chars
+
+
+def q_sketch_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of document length from a mergeable fixed-bin
+    histogram, bracketed against the exact order statistic.
+
+    Scale shape: two bounded-cardinality groupBys (bins = max_len/64
+    rows; distinct lengths <= max_len rows) — the corpus never passes
+    a global window; the cumulative walks run over the tiny aggregated
+    tables, quantile probes join them broadcast."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("n_chars")
+    n1 = d.agg(F.count("*").cast("long").alias("n"))
+    hist = d.groupBy(
+        (F.col("n_chars") / _QH_W).cast("long").alias("bin")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hcum = hist.select("bin", F.sum("cnt").over(wb).alias("cum"))
+    vhist = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vhist.select("v", F.sum("cnt").over(wv).alias("cum"))
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q long").crossJoin(
+        F.broadcast(n1)
+    ).select("q", F.expr("(q * n + 99) div 100").cast("long").alias("k"))
+    est = (
+        qs.join(F.broadcast(hcum), F.col("cum") >= F.col("k"))
+        .groupBy("q", "k")
+        .agg(F.min("bin").alias("b"))
+        .select(
+            "q", "k",
+            (F.col("b") * _QH_W).cast("long").alias("est_lo"),
+            ((F.col("b") + 1) * _QH_W - 1).cast("long").alias("est_hi"),
+        )
+    )
+    exact = (
+        qs.join(F.broadcast(vcum), F.col("cum") >= F.col("k"))
+        .groupBy("q")
+        .agg(F.min("v").cast("long").alias("exact_len"))
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q", "k", "est_lo", "est_hi", "exact_len",
+            (
+                (F.col("exact_len") >= F.col("est_lo"))
+                & (F.col("exact_len") <= F.col("est_hi"))
+            ).alias("est_ok"),
+        )
+        .orderBy("q")
+    )
+
+
+ORACLE_SKETCH_QUANTILES = f"""
+WITH n1 AS (SELECT count(*)::BIGINT AS n FROM documents),
+hist AS (
+  SELECT (n_chars // {_QH_W})::BIGINT AS bin, count(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1
+), hcum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+  FROM hist
+), vhist AS (
+  SELECT n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1
+), vcum AS (
+  SELECT v, sum(cnt) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+  FROM vhist
+), qs AS (
+  SELECT q::BIGINT AS q, ((q * n + 99) // 100)::BIGINT AS k
+  FROM (VALUES (50), (90), (99)) t(q), n1
+), est AS (
+  SELECT q, k, (min(bin) * {_QH_W})::BIGINT AS est_lo,
+         ((min(bin) + 1) * {_QH_W} - 1)::BIGINT AS est_hi
+  FROM qs JOIN hcum ON hcum.cum >= qs.k GROUP BY q, k
+), ex AS (
+  SELECT q, min(v)::BIGINT AS exact_len
+  FROM qs JOIN vcum ON vcum.cum >= qs.k GROUP BY q
+)
+SELECT est.q, k, est_lo, est_hi, exact_len,
+       (exact_len BETWEEN est_lo AND est_hi) AS est_ok
+FROM est JOIN ex USING (q)
+ORDER BY q
+"""
+
+QUERIES["sketch_len_quantiles"] = q_sketch_len_quantiles
+ORACLES["sketch_len_quantiles"] = ORACLE_SKETCH_QUANTILES

@@ -1657,3 +1657,27 @@ def test_mp3_parser_roundtrip_and_rejections():
         parse_mp3(_mp3_build(5)[:-200])  # chain derails into the cut
     with pytest.raises(ValueError):
         parse_mp3(b"ID3\x03\x00\x00\x00\x00\x00\xff rest")
+
+
+def test_sketch_len_quantiles_brackets_exact(spark):
+    """The fixed-bin histogram estimate must bracket the true order
+    statistic (one bin width), and the exact column must equal the
+    k-th smallest computed independently."""
+    from h2spark.ops.sketches import q_sketch_len_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["q"]: r for r in
+            q_sketch_len_quantiles(spark, sf).collect()}
+    lens = sorted(
+        r["n_chars"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("n_chars").collect()
+    )
+    n = len(lens)
+    for q in (50, 90, 99):
+        r = rows[q]
+        k = -(-q * n // 100)  # ceil
+        assert r["k"] == k
+        assert r["exact_len"] == lens[k - 1]
+        assert r["est_lo"] <= r["exact_len"] <= r["est_hi"]
+        assert r["est_ok"]
