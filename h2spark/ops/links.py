@@ -439,3 +439,147 @@ ORDER BY href
 
 QUERIES["anchor_text_agg"] = q_anchor_text_agg
 ORACLES["anchor_text_agg"] = ORACLE_ANCHOR_TEXT
+
+
+# --- HITS hubs & authorities (round 7) --------------------------------------
+#
+# Kleinberg 1999: auth(v) = sum of hub over in-edges, hub(u) = sum of
+# auth over out-edges, normalized each half-step. MAX normalization in
+# e6 fixed point (a standard HITS variant) keeps every value an int64
+# in [0, 1e6] at ANY node count — L1-norm would starve integer
+# resolution at 1e12 nodes, and the textbook L2 norm drags sqrt floats
+# in. Sums of ints are order-free, so the oracle replays bit-exactly
+# (the corpus_mix_weights precedent).
+
+_HITS_ITERS = 2
+_HITS_E6 = 1_000_000
+
+
+def _hits_edges(d: DataFrame, n: int) -> DataFrame:
+    """The pagerank graph shape: every doc links to two arithmetic
+    targets (dense ids; sparse/real graphs densify via densify_ids)."""
+    return d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 13) % F.lit(n)).alias("dst"),
+    ).union(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 31 + 5) % F.lit(n)).alias("dst"),
+        )
+    )
+
+
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two HITS iterations over the deterministic doc->doc graph.
+
+    Scale shape per half-step: one groupBy on the edge key carrying a
+    single long, plus a broadcast 1-row max for the normalization —
+    no window, no collect. Int64 headroom: scores live in [0, 1e6],
+    raw sums are bounded by in-degree * 1e6, and the normalize
+    multiply tops out at degree * 1e12 — safe for any real web graph
+    and independent of corpus size."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    edges = _hits_edges(d, n)
+    hub = d.select(
+        F.col("doc_id").alias("nid"),
+        F.lit(_HITS_E6).cast("long").alias("s"),
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            edges.join(hub, edges.src == hub.nid)
+            .groupBy("dst").agg(F.sum("s").alias("raw"))
+        )
+        araw = d.join(
+            araw, d.doc_id == araw.dst, "left"
+        ).select(
+            F.col("doc_id").alias("nid"),
+            F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("raw"),
+        )
+        atot = F.broadcast(
+            araw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        )
+        auth = araw.crossJoin(atot).select(
+            "nid",
+            F.expr(f"raw * {_HITS_E6} div mx").cast("long").alias("s"),
+        )
+        hraw = (
+            edges.join(auth, edges.dst == auth.nid)
+            .groupBy("src").agg(F.sum("s").alias("raw"))
+        )
+        hraw = d.join(
+            hraw, d.doc_id == hraw.src, "left"
+        ).select(
+            F.col("doc_id").alias("nid"),
+            F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("raw"),
+        )
+        htot = F.broadcast(
+            hraw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        )
+        hub = hraw.crossJoin(htot).select(
+            "nid",
+            F.expr(f"raw * {_HITS_E6} div mx").cast("long").alias("s"),
+        )
+    return (
+        auth.select(F.col("nid").alias("doc_id"),
+                    F.col("s").alias("auth_e6"))
+        .join(hub.select(F.col("nid").alias("doc_id"),
+                         F.col("s").alias("hub_e6")), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_hits() -> str:
+    steps = []
+    prev_hub = "h0"
+    prev_auth = None
+    for k in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+ar{k} AS (
+  SELECT d.doc_id, coalesce(sum({prev_hub}.s), 0)::BIGINT AS raw
+  FROM documents d
+  LEFT JOIN e ON e.dst = d.doc_id
+  LEFT JOIN {prev_hub} ON {prev_hub}.doc_id = e.src
+  GROUP BY d.doc_id
+), a{k} AS (
+  SELECT doc_id,
+         (raw * {_HITS_E6}
+          // greatest((SELECT max(raw) FROM ar{k}), 1))::BIGINT AS s
+  FROM ar{k}
+), hr{k} AS (
+  SELECT d.doc_id, coalesce(sum(a{k}.s), 0)::BIGINT AS raw
+  FROM documents d
+  LEFT JOIN e ON e.src = d.doc_id
+  LEFT JOIN a{k} ON a{k}.doc_id = e.dst
+  GROUP BY d.doc_id
+), h{k} AS (
+  SELECT doc_id,
+         (raw * {_HITS_E6}
+          // greatest((SELECT max(raw) FROM hr{k}), 1))::BIGINT AS s
+  FROM hr{k}
+)""")
+        prev_hub = f"h{k}"
+        prev_auth = f"a{k}"
+    return f"""
+WITH e AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + 13) % (SELECT count(*) FROM documents) AS dst
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (doc_id * 31 + 5) % (SELECT count(*) FROM documents)
+  FROM documents
+),
+h0 AS (SELECT doc_id, {_HITS_E6}::BIGINT AS s FROM documents),
+{",".join(steps)}
+SELECT {prev_auth}.doc_id, {prev_auth}.s AS auth_e6, {prev_hub}.s AS hub_e6
+FROM {prev_auth} JOIN {prev_hub} USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+ORACLE_LINK_HITS = _oracle_hits()
+
+QUERIES["link_hits"] = q_link_hits
+ORACLES["link_hits"] = ORACLE_LINK_HITS

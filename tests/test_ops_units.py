@@ -1681,3 +1681,18 @@ def test_sketch_len_quantiles_brackets_exact(spark):
         assert r["exact_len"] == lens[k - 1]
         assert r["est_lo"] <= r["exact_len"] <= r["est_hi"]
         assert r["est_ok"]
+
+
+def test_link_hits_max_norm_bounds(spark):
+    """Max-normalized HITS: every score in [0, 1e6], at least one node
+    pegged at exactly 1e6 on each side — the property that keeps
+    integer resolution constant at any corpus size."""
+    from h2spark.ops.links import q_link_hits
+
+    rows = q_link_hits(spark, "/root/testdata/sf0.001").collect()
+    auths = [r["auth_e6"] for r in rows]
+    hubs = [r["hub_e6"] for r in rows]
+    assert max(auths) == 1_000_000 and max(hubs) == 1_000_000
+    assert min(auths) >= 0 and min(hubs) >= 0
+    # graph has out-degree 2 everywhere: no hub can be zero
+    assert min(hubs) > 0
