@@ -583,3 +583,155 @@ ORACLE_LINK_HITS = _oracle_hits()
 
 QUERIES["link_hits"] = q_link_hits
 ORACLES["link_hits"] = ORACLE_LINK_HITS
+
+
+# --- URL canonicalization + SURT (round 7) ----------------------------------
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL + SURT key from deliberately messy synthesized
+    URLs (uppercase scheme/host, www. prefix, default ports, doubled
+    slashes, trailing slash, unsorted query with utm_*/fbclid tracking
+    params, fragments) — the normalize-before-dedup step every crawl
+    pipeline runs before url_dedup / frontier scheduling. Path case is
+    preserved (URL paths are case-sensitive); the SURT key reverses
+    host labels so a domain's URLs sort together.
+
+    Scale shape: pure codegen string expressions, zero shuffle before
+    the presentation sort; whole-stage-codegen friendly like the
+    textstats family."""
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    raw = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.Site"), (k % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(k % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        F.lit("/A/b"), (k % 7).cast("string"), F.lit("//c/"),
+        F.lit("?utm_source=feed&z="), (k % 3).cast("string"),
+        F.lit("&utm_campaign=w&a="), (k % 2).cast("string"),
+        F.when(k % 4 == 0, F.lit("&fbclid=xyz")).otherwise(F.lit("")),
+        F.lit("#sec"), (k % 3).cast("string"),
+    )
+    nofrag = F.regexp_replace(raw, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, "^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(nofrag, "^[A-Za-z]+://", "")
+    hostport = F.regexp_extract(rest, "^([^/?]+)", 1)
+    path_q = F.regexp_replace(rest, "^[^/?]+", "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, ":[0-9]+$", "")),
+        "^www\\.", "",
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port_keep = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(path_q, "^([^?]*)", 1)
+    path_c = F.regexp_replace(path, "/{2,}", "/")
+    path_c = F.regexp_replace(path_c, "(.)/$", "$1")
+    path_c = F.when(path_c == "", F.lit("/")).otherwise(path_c)
+    query = F.regexp_extract(path_q, "\\?(.*)$", 1)
+    params = F.split(query, "&")
+    kept = F.filter(
+        params,
+        lambda p: ~p.rlike("^(utm_[^=]*|fbclid|gclid)="),
+    )
+    qs = F.array_join(F.sort_array(kept), "&")
+    qpart = F.when(qs == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), qs)
+    )
+    canon = F.concat(scheme, F.lit("://"), host, port_keep, path_c, qpart)
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")"), path_c, qpart,
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("url_raw"),
+        canon.alias("url_canon"),
+        surt.alias("surt"),
+        host.alias("host"),
+        (F.size(params) - F.size(kept)).cast("long").alias(
+            "n_params_dropped"
+        ),
+    ).orderBy("doc_id")
+
+
+ORACLE_URL_CANON = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+         || '://WWW.Site' || (doc_id % 5) || '.Example.COM'
+         || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+         || '/A/b' || (doc_id % 7) || '//c/'
+         || '?utm_source=feed&z=' || (doc_id % 3)
+         || '&utm_campaign=w&a=' || (doc_id % 2)
+         || (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END)
+         || '#sec' || (doc_id % 3) AS url_raw
+  FROM documents
+), parts AS (
+  SELECT doc_id, url_raw,
+         regexp_replace(url_raw, '#.*$', '', 'g') AS nofrag
+  FROM raw
+), split1 AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(nofrag, '^[A-Za-z]+://', '') AS rest
+  FROM parts
+), split2 AS (
+  SELECT doc_id, url_raw, scheme,
+         regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+         regexp_replace(rest, '^[^/?]+', '') AS path_q
+  FROM split1
+), split3 AS (
+  SELECT doc_id, url_raw, scheme, path_q,
+         regexp_replace(
+           lower(regexp_replace(hostport, ':[0-9]+$', '')),
+           '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port
+  FROM split2
+), split4 AS (
+  SELECT doc_id, url_raw, scheme, host,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END AS port_keep,
+         CASE WHEN regexp_replace(
+                regexp_replace(regexp_extract(path_q, '^([^?]*)', 1),
+                               '/{2,}', '/', 'g'),
+                '(.)/$', '\\1') = ''
+              THEN '/'
+              ELSE regexp_replace(
+                regexp_replace(regexp_extract(path_q, '^([^?]*)', 1),
+                               '/{2,}', '/', 'g'),
+                '(.)/$', '\\1') END AS path_c,
+         string_split(regexp_extract(path_q, '\\?(.*)$', 1), '&')
+             AS params
+  FROM split3
+), split5 AS (
+  SELECT doc_id, url_raw, scheme, host, port_keep, path_c, params,
+         array_to_string(
+           list_sort(list_filter(params,
+             p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)='))),
+           '&') AS qs,
+         len(params) - len(list_filter(params,
+             p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')))
+             AS n_dropped
+  FROM split4
+)
+SELECT doc_id, url_raw,
+       scheme || '://' || host || port_keep || path_c
+       || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_canon,
+       array_to_string(list_reverse(string_split(host, '.')), ',')
+       || ')' || path_c
+       || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS surt,
+       host,
+       n_dropped::BIGINT AS n_params_dropped
+FROM split5
+ORDER BY doc_id
+"""
+
+QUERIES["url_canonicalize"] = q_url_canonicalize
+ORACLES["url_canonicalize"] = ORACLE_URL_CANON

@@ -1696,3 +1696,24 @@ def test_link_hits_max_norm_bounds(spark):
     assert min(auths) >= 0 and min(hubs) >= 0
     # graph has out-degree 2 everywhere: no hub can be zero
     assert min(hubs) > 0
+
+
+def test_url_canonicalize_collapses_variants(spark):
+    """Tracking params / case / default ports / doubled slashes /
+    fragments all wash out: doc 2 and doc 212 share every URL
+    component mod (2,5,7,3) but differ mod 4 (fbclid present on 212),
+    so their raws differ and their canonical forms collapse."""
+    from h2spark.ops.links import q_url_canonicalize
+
+    rows = {
+        r["doc_id"]: r
+        for r in q_url_canonicalize(
+            spark, "/root/testdata/sf0.001"
+        ).where("doc_id in (2, 212)").collect()
+    }
+    assert rows[2]["url_raw"] != rows[212]["url_raw"]
+    assert rows[2]["url_canon"] == rows[212]["url_canon"]
+    assert rows[2]["surt"] == rows[212]["surt"]
+    assert rows[212]["n_params_dropped"] == 3
+    # SURT key leads with the reversed registrable domain
+    assert rows[2]["surt"].startswith("com,example,site2)")
