@@ -1477,3 +1477,108 @@ def mp3_meta_variants() -> dict:
                     blob[start:len(blob) - 128]
                 ).hexdigest()
     return out
+
+
+def _warc_cdx_file(d: int) -> bytes:
+    """Two-record per-record-gzip WARC for doc ``d`` (the Common Crawl
+    layout): an html response whose url/body ride small doc_id residues
+    (so the oracle's offset/length/digest variant tables stay bounded)
+    and an image/png response. mtime=0 keeps gzip deterministic."""
+    import gzip
+    import io
+
+    from h2spark.core.warc import write_warc_response
+
+    def member(raw: bytes) -> bytes:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(raw)
+        return buf.getvalue()
+
+    html = "<html><body><p>" + "cdx " * (1 + d % 7) + "</p></body></html>"
+    rec_a = write_warc_response(
+        f"https://crawl.test/p{d % 13}", "2026-01-01T00:00:00Z", html
+    )
+    png_body = bytes(((d % 5) * 11 + i) % 256 for i in range(24 + d % 5))
+    http_b = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n"
+        + b"Content-Length: " + str(len(png_body)).encode() + b"\r\n\r\n"
+        + png_body
+    )
+    hdr_b = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: https://crawl.test/img/q{d % 3}.png\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http_b)}\r\n\r\n"
+    ).encode("latin-1")
+    rec_b = hdr_b + http_b + b"\r\n\r\n"
+    return member(rec_a) + member(rec_b)
+
+
+def _surt_key(url: str) -> str:
+    """SURT urlkey matching ops/links.py url_canonicalize convention:
+    reversed host labels joined with ',' + ')' + path."""
+    rest = url.split("://", 1)[1]
+    host, _, path = rest.partition("/")
+    return ",".join(reversed(host.split("."))) + ")/" + path
+
+
+def warc_cdx_batch(doc_ids) -> list:
+    """CDX index rows from real WARC bytes: walk gzip member
+    boundaries (core/warc.py iter_gzip_members — offsets + compressed
+    lengths are what lets a consumer range-fetch one record), parse
+    each member's WARC record, digest the HTTP entity. Emits (doc_id,
+    rec_idx, urlkey, timestamp14, mime, offset, comp_len,
+    entity_md5)."""
+    import hashlib
+
+    from h2spark.core.warc import (
+        http_response_body, iter_gzip_members, iter_warc_records,
+    )
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        blob = _warc_cdx_file(d)
+        for idx, (off, clen, raw) in enumerate(iter_gzip_members(blob)):
+            (headers, body), = list(iter_warc_records(raw))
+            http_headers, ent = http_response_body(body)
+            ts = (
+                headers["warc-date"].replace("-", "").replace(":", "")
+                .replace("T", "").replace("Z", "")
+            )
+            rows.append(
+                (
+                    d, idx, _surt_key(headers["warc-target-uri"]), ts,
+                    http_headers.get("content-type", "").split(";")[0],
+                    off, clen, hashlib.md5(ent).hexdigest(),
+                )
+            )
+    return rows
+
+
+def warc_cdx_variants() -> dict:
+    """Import-time variant tables for the CDX oracle: member-A
+    compressed length keyed (d%13)*7 + d%7 (url residue x body
+    residue), member-B length keyed (d%3)*5 + d%5, entity digests
+    keyed d%7 (html) and d%5 (png)."""
+    import hashlib
+
+    from h2spark.core.warc import iter_gzip_members
+
+    len_a, len_b, dig_a, dig_b = {}, {}, {}, {}
+    for d in range(3 * 5 * 7 * 13):
+        blob = _warc_cdx_file(d)
+        (oa, la, _), (ob, lb, _) = list(iter_gzip_members(blob))
+        len_a[(d % 13) * 7 + d % 7] = la
+        len_b[(d % 3) * 5 + d % 5] = lb
+    for k7 in range(7):
+        html = ("<html><body><p>" + "cdx " * (1 + k7)
+                + "</p></body></html>").encode()
+        dig_a[k7] = hashlib.md5(html).hexdigest()
+    for k5 in range(5):
+        png = bytes((k5 * 11 + i) % 256 for i in range(24 + k5))
+        dig_b[k5] = hashlib.md5(png).hexdigest()
+    return {"len_a": len_a, "len_b": len_b, "dig_a": dig_a,
+            "dig_b": dig_b}

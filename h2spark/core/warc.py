@@ -147,3 +147,24 @@ def write_warc_file(
         else:
             out += raw
     return bytes(out)
+
+
+def iter_gzip_members(data: bytes):
+    """Yield (offset, compressed_length, raw_bytes) per gzip member of
+    a concatenated-member file — the boundary walk a CDX indexer runs
+    over Common Crawl WARCs (each record = one member, so (offset,
+    length) ranges let a consumer fetch single records over HTTP).
+    Implemented with zlib's unconsumed-tail accounting; a short final
+    member raises ValueError (truncated shard quarantine)."""
+    import zlib
+
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError("gzip: truncated member")
+        consumed = n - pos - len(d.unused_data)
+        yield pos, consumed, raw
+        pos += consumed

@@ -648,3 +648,86 @@ ORDER BY doc_id, item_idx, prop_idx
 
 QUERIES["microdata_extract"] = q_microdata_extract
 ORACLES["microdata_extract"] = ORACLE_MICRODATA
+
+# --- WARC CDX index (round 7) --------------------------------------------
+
+
+def q_warc_cdx_index(spark, sf_dir: str):
+    """CDX indexing over per-record-gzip WARC files — the (urlkey,
+    timestamp, offset, length, digest) rows Common Crawl publishes so
+    consumers can range-fetch single records. Offsets/lengths come
+    from a real gzip member-boundary walk (core/warc.py
+    iter_gzip_members), urlkeys are SURT (host labels reversed, the
+    url_canonicalize convention), digests are of the HTTP entity.
+
+    Scale shape: one Arrow-batched kernel pass, record rows fan out
+    inside the batch; at production scale the file axis parallelizes
+    (WARC is not splittable — the documented Common Crawl shape)."""
+    from h2spark.core.runner import warc_cdx_batch
+
+    def cdx(batches):
+        for pdf in batches:
+            rows = warc_cdx_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec_idx", "urlkey", "ts14", "mime",
+                    "offset", "comp_len", "entity_md5",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            cdx,
+            "doc_id long, rec_idx long, urlkey string, ts14 string,"
+            " mime string, offset long, comp_len long, entity_md5"
+            " string",
+        )
+        .orderBy("doc_id", "rec_idx")
+    )
+
+
+def _oracle_warc_cdx() -> str:
+    from h2spark.core.runner import warc_cdx_variants
+
+    v = warc_cdx_variants()
+
+    def case(key_expr, table):
+        whens = " ".join(
+            f"WHEN {k} THEN "
+            + (f"'{val}'" if isinstance(val, str) else str(val))
+            for k, val in sorted(table.items())
+        )
+        return f"(CASE {key_expr} {whens} END)"
+
+    ka = "(doc_id % 13) * 7 + (doc_id % 7)"
+    kb = "(doc_id % 3) * 5 + (doc_id % 5)"
+    return f"""
+SELECT doc_id, rec_idx::BIGINT AS rec_idx, urlkey, ts14, mime,
+       "offset", comp_len, entity_md5
+FROM (
+  SELECT doc_id, 0 AS rec_idx,
+         'test,crawl)/p' || (doc_id % 13) AS urlkey,
+         '20260101000000' AS ts14, 'text/html' AS mime,
+         0::BIGINT AS "offset",
+         {case(ka, v["len_a"])}::BIGINT AS comp_len,
+         {case("doc_id % 7", v["dig_a"])} AS entity_md5
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'test,crawl)/img/q' || (doc_id % 3) || '.png',
+         '20260101000000', 'image/png',
+         {case(ka, v["len_a"])}::BIGINT,
+         {case(kb, v["len_b"])}::BIGINT,
+         {case("doc_id % 5", v["dig_b"])}
+  FROM documents
+)
+ORDER BY doc_id, rec_idx
+"""
+
+
+ORACLE_WARC_CDX = _oracle_warc_cdx()
+
+QUERIES["warc_cdx_index"] = q_warc_cdx_index
+ORACLES["warc_cdx_index"] = ORACLE_WARC_CDX

@@ -1717,3 +1717,32 @@ def test_url_canonicalize_collapses_variants(spark):
     assert rows[212]["n_params_dropped"] == 3
     # SURT key leads with the reversed registrable domain
     assert rows[2]["surt"].startswith("com,example,site2)")
+
+
+def test_gzip_member_walk_and_cdx_range_fetch():
+    """The CDX promise: (offset, comp_len) ranges cut from the file
+    decompress to exactly one record — plus truncation quarantine."""
+    import gzip
+    import io
+
+    import pytest
+
+    from h2spark.core.runner import _warc_cdx_file, warc_cdx_batch
+    from h2spark.core.warc import (
+        iter_gzip_members, iter_warc_records,
+    )
+
+    blob = _warc_cdx_file(9)
+    rows = warc_cdx_batch([9])
+    assert [r[1] for r in rows] == [0, 1]
+    for r in rows:
+        off, clen = r[5], r[6]
+        raw = gzip.GzipFile(
+            fileobj=io.BytesIO(blob[off:off + clen])
+        ).read()
+        (headers, _), = list(iter_warc_records(raw))
+        assert headers["warc-target-uri"].startswith("https://crawl.test")
+    assert rows[0][2] == "test,crawl)/p9"
+    assert rows[1][4] == "image/png"
+    with pytest.raises(ValueError):
+        list(iter_gzip_members(blob[:-3]))
