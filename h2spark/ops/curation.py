@@ -1192,3 +1192,78 @@ ORDER BY doc_id
 
 QUERIES["dsir_importance"] = q_dsir_importance
 ORACLES["dsir_importance"] = ORACLE_DSIR_IMPORTANCE
+
+
+# --- SFT chat-template rendering + loss masks (round 7) ---------------------
+
+
+def q_sft_render_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning assembly: render (system, user, assistant)
+    turns into one ChatML-style training string and emit the
+    assistant-only loss-mask span — the offsets an SFT dataloader uses
+    to zero loss on prompt tokens. User turn is a real slice of the
+    document text; mask coverage is reported in e6 fixed point.
+
+    Scale shape: pure codegen concat/length arithmetic, zero shuffle
+    before the presentation sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sys_t = F.lit("You are a helpful assistant.")
+    user_t = F.substring(F.col("text"), 1, 40)
+    asst_t = F.concat(
+        F.lit("Answer about "), F.col("source"), F.lit(" #"),
+        (F.col("doc_id") % 17).cast("string"),
+    )
+    prefix = F.concat(
+        F.lit("<|im_start|>system\n"), sys_t,
+        F.lit("<|im_end|>\n<|im_start|>user\n"), user_t,
+        F.lit("<|im_end|>\n<|im_start|>assistant\n"),
+    )
+    rendered = F.concat(prefix, asst_t, F.lit("<|im_end|>"))
+    mask_start = F.length(prefix).cast("long")
+    mask_len = F.length(asst_t).cast("long")
+    return d.select(
+        "doc_id",
+        rendered.alias("rendered"),
+        F.length(rendered).cast("long").alias("n_chars_rendered"),
+        mask_start.alias("mask_start"),
+        (mask_start + mask_len).alias("mask_end"),
+        F.size(F.split(asst_t, " ")).cast("long").alias("n_mask_words"),
+        (mask_len * 1_000_000).cast("long").alias("_num"),
+    ).withColumn(
+        "mask_frac_e6",
+        F.expr("_num div n_chars_rendered").cast("long"),
+    ).drop("_num").orderBy("doc_id")
+
+
+ORACLE_SFT_RENDER = """
+WITH t AS (
+  SELECT doc_id,
+         'You are a helpful assistant.' AS sys_t,
+         substr(text, 1, 40) AS user_t,
+         'Answer about ' || source || ' #' || (doc_id % 17) AS asst_t
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         '<|im_start|>system' || chr(10) || sys_t
+         || '<|im_end|>' || chr(10) || '<|im_start|>user' || chr(10)
+         || user_t || '<|im_end|>' || chr(10)
+         || '<|im_start|>assistant' || chr(10) AS prefix,
+         asst_t
+  FROM t
+)
+SELECT doc_id,
+       prefix || asst_t || '<|im_end|>' AS rendered,
+       length(prefix || asst_t || '<|im_end|>')::BIGINT
+           AS n_chars_rendered,
+       length(prefix)::BIGINT AS mask_start,
+       (length(prefix) + length(asst_t))::BIGINT AS mask_end,
+       len(string_split(asst_t, ' '))::BIGINT AS n_mask_words,
+       (length(asst_t) * 1000000
+        // length(prefix || asst_t || '<|im_end|>'))::BIGINT
+           AS mask_frac_e6
+FROM r
+ORDER BY doc_id
+"""
+
+QUERIES["sft_render_mask"] = q_sft_render_mask
+ORACLES["sft_render_mask"] = ORACLE_SFT_RENDER

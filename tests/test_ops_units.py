@@ -1746,3 +1746,17 @@ def test_gzip_member_walk_and_cdx_range_fetch():
     assert rows[1][4] == "image/png"
     with pytest.raises(ValueError):
         list(iter_gzip_members(blob[:-3]))
+
+
+def test_sft_render_mask_span_is_assistant_only(spark):
+    """The mask span must cut exactly the assistant text out of the
+    rendered string — the property the SFT dataloader relies on."""
+    from h2spark.ops.curation import q_sft_render_mask
+
+    rows = q_sft_render_mask(spark, "/root/testdata/sf0.001").take(20)
+    for r in rows:
+        span = r["rendered"][r["mask_start"]:r["mask_end"]]
+        assert span.startswith("Answer about ")
+        assert r["rendered"][r["mask_end"]:] == "<|im_end|>"
+        assert "<|im_start|>" not in span
+        assert 0 < r["mask_frac_e6"] < 1_000_000
