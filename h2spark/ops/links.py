@@ -735,3 +735,70 @@ ORDER BY doc_id
 
 QUERIES["url_canonicalize"] = q_url_canonicalize
 ORACLES["url_canonicalize"] = ORACLE_URL_CANON
+
+
+# --- crawl politeness schedule (round 7) ------------------------------------
+
+
+def q_crawl_politeness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch scheduling — the step between robots filtering
+    and the fetcher fleet: URLs queue per host in deterministic md5
+    order (no favoritism, stable across runs), each host's slots are
+    spaced by its crawl-delay, and hosts shard onto 64 fetcher workers
+    by host hash so one worker owns a host's whole queue (politeness
+    needs per-host serialization; sharding by host keeps it local).
+
+    Scale shape: ONE HashPartitioning(host) carries both the
+    row_number window and the implicit worker assignment — per-host
+    sequencing is inherent to politeness, and host cardinality (not
+    URL count) bounds the window state."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
+    delay_ms = ((F.col("doc_id") % 23 % 4) * 500 + 250).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("ord", "doc_id")
+    return (
+        d.select(
+            "doc_id", host.alias("host"), delay_ms.alias("delay_ms"),
+            F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        )
+        .withColumn("slot", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "doc_id", "host", "delay_ms", "slot",
+            (F.col("slot") * F.col("delay_ms")).cast("long").alias(
+                "fetch_at_ms"
+            ),
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10)
+                .cast("long"),
+                F.lit(64),
+            ).cast("long").alias("worker"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CRAWL_POLITENESS = """
+WITH q AS (
+  SELECT doc_id,
+         'h' || (doc_id % 23) AS host,
+         ((doc_id % 23 % 4) * 500 + 250)::BIGINT AS delay_ms,
+         md5(doc_id::VARCHAR) AS ord
+  FROM documents
+), s AS (
+  SELECT doc_id, host, delay_ms,
+         (row_number() OVER (PARTITION BY host ORDER BY ord, doc_id)
+          - 1)::BIGINT AS slot
+  FROM q
+)
+SELECT doc_id, host, delay_ms, slot,
+       (slot * delay_ms)::BIGINT AS fetch_at_ms,
+       (('0x' || substr(md5(host), 1, 8))::BIGINT % 64)::BIGINT
+           AS worker
+FROM s
+ORDER BY doc_id
+"""
+
+QUERIES["crawl_politeness_plan"] = q_crawl_politeness_plan
+ORACLES["crawl_politeness_plan"] = ORACLE_CRAWL_POLITENESS

@@ -1760,3 +1760,25 @@ def test_sft_render_mask_span_is_assistant_only(spark):
         assert r["rendered"][r["mask_end"]:] == "<|im_end|>"
         assert "<|im_start|>" not in span
         assert 0 < r["mask_frac_e6"] < 1_000_000
+
+
+def test_crawl_politeness_per_host_spacing(spark):
+    """Within a host, consecutive slots are spaced by exactly the
+    host's crawl delay, and the whole host queue lands on one worker."""
+    from collections import defaultdict
+
+    from h2spark.ops.links import q_crawl_politeness_plan
+
+    rows = q_crawl_politeness_plan(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r["host"]].append(r)
+    assert len(by_host) == 23
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in rs] == list(range(len(rs)))
+        assert len({r["worker"] for r in rs}) == 1
+        d = rs[0]["delay_ms"]
+        assert all(r["fetch_at_ms"] == r["slot"] * d for r in rs)
