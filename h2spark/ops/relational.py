@@ -663,3 +663,103 @@ ORDER BY cohort_day_idx, day_offset
 
 QUERIES["events_retention"] = q_events_retention
 ORACLES["events_retention"] = ORACLE_EVENTS_RETENTION
+
+
+# --- media-span alignment (interleaved-doc context windows, round 7) --------
+
+
+def q_media_span_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Align each media span of an interleaved document with its
+    surrounding text — the context-window pairing an interleaved
+    image-text training recipe needs (caption-side text for each
+    image). Spans are the hint-shaped array (thirds + two media spans
+    at the third boundaries); alignment is GENERIC array logic, not
+    the construction formula: previous text span = max-offset text
+    span with offset <= media offset (text renders before media at
+    equal offsets, the reassembly tie-break), next = min-offset text
+    span strictly after; emit 12-char tail/head context.
+
+    Scale shape: nested higher-order functions entirely inside the
+    row — no explode-then-window, no shuffle before the presentation
+    sort; span counts are per-doc bounded."""
+    d = _docs(spark, sf_dir)
+    third = "cast(length(text)/3 as int)"
+    spans = f"""array(
+      struct('text' as kind, substring(text, 1, {third}) as text,
+             '' as media_ref, 0 as offset),
+      struct('text' as kind,
+             substring(text, 2 * {third} + 1, length(text)) as text,
+             '' as media_ref, 2 * {third} as offset),
+      struct('media' as kind, '' as text,
+             concat('media://img/', doc_id) as media_ref,
+             {third} as offset),
+      struct('text' as kind,
+             substring(text, {third} + 1, {third}) as text,
+             '' as media_ref, {third} as offset),
+      struct('media' as kind, '' as text,
+             concat('media://vid/', doc_id) as media_ref,
+             2 * {third} as offset)
+    )"""
+    aligned = """transform(
+      filter(spans, s -> s.kind = 'media'),
+      m -> struct(
+        m.media_ref as media_ref,
+        m.offset as offset,
+        right(aggregate(
+          filter(spans, s -> s.kind = 'text' AND s.offset <= m.offset),
+          struct(cast(-1 as int) as off, '' as txt),
+          (acc, s) -> if(s.offset >= acc.off,
+                         struct(s.offset as off, s.text as txt), acc)
+        ).txt, 12) as prev_tail,
+        left(aggregate(
+          filter(spans, s -> s.kind = 'text' AND s.offset > m.offset),
+          struct(cast(2147483647 as int) as off, '' as txt),
+          (acc, s) -> if(s.offset < acc.off,
+                         struct(s.offset as off, s.text as txt), acc)
+        ).txt, 12) as next_head
+      ))"""
+    return (
+        d.select("doc_id", F.expr(spans).alias("spans"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(aligned)).alias("media_idx", "a"),
+        )
+        .select(
+            "doc_id",
+            F.col("media_idx").cast("long").alias("media_idx"),
+            F.col("a.media_ref").alias("media_ref"),
+            F.col("a.offset").cast("long").alias("offset"),
+            F.col("a.prev_tail").alias("prev_tail"),
+            F.col("a.next_head").alias("next_head"),
+        )
+        .orderBy("doc_id", "media_idx")
+    )
+
+
+ORACLE_MEDIA_SPAN_ALIGN = """
+WITH t AS (
+  SELECT doc_id, text, (length(text) // 3)::INT AS third
+  FROM documents
+)
+SELECT doc_id, media_idx, media_ref, "offset", prev_tail, next_head
+FROM (
+  SELECT doc_id, 0::BIGINT AS media_idx,
+         'media://img/' || doc_id AS media_ref,
+         third::BIGINT AS "offset",
+         right(substr(text, third + 1, third), 12) AS prev_tail,
+         left(substr(text, 2 * third + 1, length(text)), 12)
+             AS next_head
+  FROM t
+  UNION ALL
+  SELECT doc_id, 1::BIGINT,
+         'media://vid/' || doc_id,
+         (2 * third)::BIGINT,
+         right(substr(text, 2 * third + 1, length(text)), 12),
+         ''
+  FROM t
+)
+ORDER BY doc_id, media_idx
+"""
+
+QUERIES["media_span_align"] = q_media_span_align
+ORACLES["media_span_align"] = ORACLE_MEDIA_SPAN_ALIGN

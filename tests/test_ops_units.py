@@ -1782,3 +1782,34 @@ def test_crawl_politeness_per_host_spacing(spark):
         assert len({r["worker"] for r in rs}) == 1
         d = rs[0]["delay_ms"]
         assert all(r["fetch_at_ms"] == r["slot"] * d for r in rs)
+
+
+def test_media_span_align_context_windows(spark):
+    """The generic array alignment must hand each media span the text
+    that actually surrounds it in offset order: img (at third) gets
+    the middle third's tail and the last third's head; vid (at
+    2*third, nothing after) gets the last third's tail and ''."""
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_media_span_align
+
+    sf = "/root/testdata/sf0.001"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text").limit(10).collect()
+    }
+    rows = q_media_span_align(spark, sf).where(
+        F.col("doc_id").isin(*texts)
+    ).collect()
+    assert len(rows) == 2 * len(texts)
+    for r in rows:
+        t = texts[r["doc_id"]]
+        third = len(t) // 3
+        s1, s2 = t[third:2 * third], t[2 * third:]
+        if r["media_ref"].startswith("media://img/"):
+            assert r["offset"] == third
+            assert r["prev_tail"] == s1[-12:] and r["next_head"] == s2[:12]
+        else:
+            assert r["offset"] == 2 * third
+            assert r["prev_tail"] == s2[-12:] and r["next_head"] == ""
