@@ -672,3 +672,51 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_url_canonicalize_is_shuffle_free_codegen(spark):
+    from h2spark.ops import links
+
+    plan = _formatted(links.q_url_canonicalize(spark, SF), spark)
+    # pure string-expression projection: only the presentation sort
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("Exchange (") == 1
+    assert "rangepartitioning" in plan
+    # column pruning: built from doc_id alone
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_sft_render_mask_is_shuffle_free_codegen(spark):
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_sft_render_mask(spark, SF), spark)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert plan.count("Exchange (") == 1
+    # pruning: text/source/doc_id only — n_chars/lang must not be read
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" \
+        in plan
+
+
+def test_media_span_align_is_shuffle_free(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_media_span_align(spark, SF), spark)
+    # in-row HOF alignment + explode: no join, no aggregate exchange
+    assert "Join" not in plan
+    assert "hashpartitioning(" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_crawl_politeness_single_host_exchange(spark):
+    from h2spark.ops import links
+
+    plan = _formatted(links.q_crawl_politeness_plan(spark, SF), spark)
+    # ONE hash exchange on host carries the slot window; the worker
+    # assignment is computed on the same partitioning
+    assert plan.count("hashpartitioning(host") == 1
+    assert "Window" in plan
