@@ -1267,3 +1267,79 @@ ORDER BY doc_id
 
 QUERIES["sft_render_mask"] = q_sft_render_mask
 ORACLES["sft_render_mask"] = ORACLE_SFT_RENDER
+
+
+# --- z-order export clustering plan (round 7) --------------------------------
+#
+# The lakehouse OPTIMIZE-ZORDER shape: interleave the bits of two
+# cluster dimensions (source-hash bucket x log-size bucket) so rows
+# close in either dimension land in the same output file, and per-file
+# parquet min/max stats prune scans on BOTH columns. Pure integer
+# arithmetic (shift-free: div/mod by powers of two) so the DuckDB twin
+# replays bit-for-bit.
+
+_Z_BITS = 4
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({xcol} div {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({ycol} div {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def q_export_zorder_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order file assignment for the export: 4-bit source bucket
+    interleaved with a capped 4-bit size bucket -> 8-bit z-value ->
+    16 output files of 16 consecutive z-values each. Emits the per-doc
+    plan plus the z-locality readout a writer needs.
+
+    Scale shape: pure codegen projection (the md5 bucket and the bit
+    interleave are integer expressions); the actual write would
+    repartitionByRange(file_id) — no shuffle here."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    x = F.expr(
+        "pmod(cast(conv(substring(md5(source), 1, 8), 16, 10) as long),"
+        f" {1 << _Z_BITS})"
+    ).cast("long")
+    y = F.least(
+        F.floor(F.log2(F.col("n_chars") + F.lit(2))).cast("long"),
+        F.lit((1 << _Z_BITS) - 1),
+    )
+    out = d.select(
+        "doc_id",
+        x.alias("x_src"),
+        y.alias("y_size"),
+    ).withColumn(
+        "zorder", F.expr(_z_interleave_sql("x_src", "y_size")).cast("long")
+    )
+    return out.select(
+        "doc_id", "x_src", "y_size", "zorder",
+        F.expr("zorder div 16").cast("long").alias("file_id"),
+    ).orderBy("doc_id")
+
+
+def _oracle_zorder() -> str:
+    z = _z_interleave_sql("x_src", "y_size").replace("div", "//")
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(source), 1, 8))::BIGINT
+          % {1 << _Z_BITS})::BIGINT AS x_src,
+         least(floor(log2(n_chars + 2))::BIGINT,
+               {(1 << _Z_BITS) - 1})::BIGINT AS y_size
+  FROM documents
+)
+SELECT doc_id, x_src, y_size,
+       ({z})::BIGINT AS zorder,
+       (({z}) // 16)::BIGINT AS file_id
+FROM b
+ORDER BY doc_id
+"""
+
+
+ORACLE_EXPORT_ZORDER = _oracle_zorder()
+
+QUERIES["export_zorder_plan"] = q_export_zorder_plan
+ORACLES["export_zorder_plan"] = ORACLE_EXPORT_ZORDER

@@ -763,3 +763,64 @@ ORDER BY doc_id, media_idx
 
 QUERIES["media_span_align"] = q_media_span_align
 ORACLES["media_span_align"] = ORACLE_MEDIA_SPAN_ALIGN
+
+
+# --- k-anonymity release gate (round 7) --------------------------------------
+
+_KANON_K = 5
+
+
+def q_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous stats release: per (event_type, day) cell, user and
+    event counts are published only when the cell covers >= k distinct
+    users; smaller cells are suppressed to -1 sentinels (NEVER NULLs —
+    the engine-portability rule) with the flag kept so a consumer can
+    account for suppressed mass. The standard privacy gate before
+    usage dashboards leave the warehouse.
+
+    Scale shape: one (event_type, day) groupBy with map-side partial
+    aggregation; the k test is a post-aggregation projection. NTZ-safe
+    integer day arithmetic (the events_retention pattern)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).cast("long").alias("day_idx"),
+    )
+    g = e.groupBy("event_type", "day_idx").agg(
+        F.countDistinct("user_id").cast("long").alias("_nu"),
+        F.count("*").cast("long").alias("_ne"),
+    )
+    ok = F.col("_nu") >= _KANON_K
+    return g.select(
+        "event_type", "day_idx",
+        F.when(ok, F.col("_nu")).otherwise(F.lit(-1))
+        .cast("long").alias("n_users"),
+        F.when(ok, F.col("_ne")).otherwise(F.lit(-1))
+        .cast("long").alias("n_events"),
+        (~ok).alias("suppressed"),
+    ).orderBy("event_type", "day_idx")
+
+
+ORACLE_KANON_RELEASE = f"""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day_idx,
+         count(DISTINCT user_id)::BIGINT AS nu,
+         count(*)::BIGINT AS ne
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_idx,
+       (CASE WHEN nu >= {_KANON_K} THEN nu ELSE -1 END)::BIGINT
+           AS n_users,
+       (CASE WHEN nu >= {_KANON_K} THEN ne ELSE -1 END)::BIGINT
+           AS n_events,
+       (nu < {_KANON_K}) AS suppressed
+FROM g
+ORDER BY event_type, day_idx
+"""
+
+QUERIES["kanon_release"] = q_kanon_release
+ORACLES["kanon_release"] = ORACLE_KANON_RELEASE

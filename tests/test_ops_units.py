@@ -1813,3 +1813,21 @@ def test_media_span_align_context_windows(spark):
         else:
             assert r["offset"] == 2 * third
             assert r["prev_tail"] == s2[-12:] and r["next_head"] == ""
+
+
+def test_zorder_interleave_matches_python_reference(spark):
+    """The div/mod bit interleave must equal the classic z-curve."""
+    from h2spark.ops.curation import q_export_zorder_plan
+
+    def z_ref(x, y):
+        z = 0
+        for i in range(4):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    rows = q_export_zorder_plan(spark, "/root/testdata/sf0.001").take(200)
+    for r in rows:
+        assert r["zorder"] == z_ref(r["x_src"], r["y_size"])
+        assert r["file_id"] == r["zorder"] // 16
+        assert 0 <= r["zorder"] < 256
