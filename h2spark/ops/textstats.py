@@ -1504,3 +1504,93 @@ ORDER BY source
 
 QUERIES["corpus_vocab_stats"] = q_vocab_stats
 ORACLES["corpus_vocab_stats"] = ORACLE_VOCAB_STATS
+
+
+# --- code detection heuristics (round 7) -------------------------------------
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing — pretraining pipelines split code into
+    its own mixture bucket before tokenization. A code-looking payload
+    is injected into every third document (def/braces/semicolons/
+    indented lines), then purely-relational heuristics score the mixed
+    column: symbol density, indented-line share, keyword hits. The
+    verdict rule (2 of 3 signals) sits under the driver hash with both
+    outcomes exercised by construction.
+
+    Scale shape: pure codegen string arithmetic, zero shuffle before
+    the presentation sort (the textstats family contract)."""
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    code = F.concat(
+        F.lit("def f"), (k % 9).cast("string"),
+        F.lit("(x):\n  y = x + "), (k % 7).cast("string"),
+        F.lit(";\n  return {y};\n"),
+    )
+    body = F.when(k % 3 == 0, F.concat(code, F.col("text"))).otherwise(
+        F.col("text")
+    )
+    n = F.length(body)
+    semis = n - F.length(F.regexp_replace(body, ";", ""))
+    braces = n - F.length(F.regexp_replace(body, "[{}]", ""))
+    lines = F.split(body, "\n")
+    indented = F.size(
+        F.filter(lines, lambda l: l.startswith("  "))
+    ).cast("long")
+    sym_e6 = ((semis + braces) * 1_000_000).cast("long")
+    return d.select(
+        "doc_id",
+        semis.cast("long").alias("n_semicolons"),
+        braces.cast("long").alias("n_braces"),
+        indented.alias("n_indented_lines"),
+        sym_e6.alias("_sym"),
+        n.cast("long").alias("_n"),
+        (
+            (semis >= 2).cast("int")
+            + (braces >= 2).cast("int")
+            + (indented >= 2).cast("int")
+            >= 2
+        ).alias("is_code"),
+    ).withColumn(
+        "symbol_ppm", F.expr("_sym div _n").cast("long")
+    ).select(
+        "doc_id", "n_semicolons", "n_braces", "n_indented_lines",
+        "symbol_ppm", "is_code",
+    ).orderBy("doc_id")
+
+
+ORACLE_CODE_DETECT = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           'def f' || (doc_id % 9) || '(x):' || chr(10)
+           || '  y = x + ' || (doc_id % 7) || ';' || chr(10)
+           || '  return {y};' || chr(10) || text
+         ELSE text END AS body
+  FROM documents
+), f AS (
+  SELECT doc_id, body,
+         length(body) - length(replace(body, ';', ''))
+             AS n_semicolons,
+         length(body)
+         - length(regexp_replace(body, '[{}]', '', 'g')) AS n_braces,
+         len(list_filter(string_split(body, chr(10)),
+                         l -> l LIKE '  %')) AS n_indented_lines
+  FROM b
+)
+SELECT doc_id,
+       n_semicolons::BIGINT AS n_semicolons,
+       n_braces::BIGINT AS n_braces,
+       n_indented_lines::BIGINT AS n_indented_lines,
+       ((n_semicolons + n_braces) * 1000000 // length(body))::BIGINT
+           AS symbol_ppm,
+       ((CASE WHEN n_semicolons >= 2 THEN 1 ELSE 0 END
+         + CASE WHEN n_braces >= 2 THEN 1 ELSE 0 END
+         + CASE WHEN n_indented_lines >= 2 THEN 1 ELSE 0 END) >= 2)
+           AS is_code
+FROM f
+ORDER BY doc_id
+"""
+
+QUERIES["code_detect"] = q_code_detect
+ORACLES["code_detect"] = ORACLE_CODE_DETECT
