@@ -474,3 +474,56 @@ def test_bpe_replace_chain_equals_classic_property(text):
     assert bpe.encode_ids(text, BASE_CHARS, MERGES) == _classic_encode_ids(
         text
     )
+
+
+_LATIN1_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
+                           exclude_characters="\x7f"),
+    min_size=0, max_size=40,
+)
+
+
+@given(
+    title=_LATIN1_TEXT,
+    artist=_LATIN1_TEXT,
+    br_idx=st.integers(min_value=1, max_value=14),
+    sr_idx=st.integers(min_value=0, max_value=2),
+    n_frames=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp3_container_roundtrip_property(
+    title, artist, br_idx, sr_idx, n_frames, seed
+):
+    # any ID3v2.3 text + any legal MPEG-1 Layer III frame geometry
+    # must survive the container roundtrip byte-exactly
+    from h2spark.core.mp3meta import parse_mp3
+
+    kbps = (None, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)[br_idx]
+    rate = (44100, 48000, 32000)[sr_idx]
+
+    def frame(fid, value):
+        body = b"\x00" + value.encode("latin-1")
+        return (fid.encode() + len(body).to_bytes(4, "big")
+                + b"\x00\x00" + body)
+
+    frames = frame("TIT2", title) + frame("TPE1", artist)
+    ss = bytes((len(frames) >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = b"ID3\x03\x00\x00" + ss + frames
+    audio = bytearray()
+    for i in range(n_frames):
+        pad = (seed + i) % 2
+        h = (0x7FF << 21) | (0x3 << 19) | (0x1 << 17) | (1 << 16)
+        h |= (br_idx << 12) | (sr_idx << 10) | (pad << 9) | (0x3 << 6)
+        flen = 144 * kbps * 1000 // rate + pad
+        audio += h.to_bytes(4, "big")
+        audio += bytes((seed + i + j) % 256 for j in range(flen - 4))
+    m = parse_mp3(tag + bytes(audio))
+    # \x00 terminates an ID3v2 text frame (spec) — compare the prefix
+    assert m["id3v2"]["TIT2"] == title.split("\x00", 1)[0]
+    assert m["id3v2"]["TPE1"] == artist.split("\x00", 1)[0]
+    assert m["n_frames"] == n_frames
+    assert m["bitrate_kbps"] == kbps
+    assert m["sample_rate"] == rate
+    assert m["duration_ms"] == n_frames * 1152 * 1000 // rate
