@@ -1,0 +1,114 @@
+"""AAC ADTS container metadata parser (pure stdlib, spec-derived).
+
+The sibling of core/mp3meta.py for the other ubiquitous crawl audio
+format: ADTS (ISO/IEC 13818-7 §6.2) frames a raw AAC stream with
+7-byte headers (9 with CRC) carrying an explicit 13-bit frame length —
+unlike MP3, the length is stored, not derived from bitrate tables.
+Each raw data block is 1024 samples, so the frame walk gives an exact
+integer duration without decoding a single spectral coefficient.
+
+Header layout (no-CRC form): 12-bit syncword 0xFFF, 1-bit MPEG id,
+2-bit layer (00), 1-bit protection_absent, 2-bit profile (AAC
+Main/LC/SSR/LTP), 4-bit sampling-frequency index, 1-bit private,
+3-bit channel configuration, 2 scratch bits, 13-bit frame length
+(header included), 11-bit buffer fullness (0x7FF = VBR), 2-bit
+number_of_raw_data_blocks_in_frame minus one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+_SAMPLE_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+_PROFILES = ("Main", "LC", "SSR", "LTP")
+_SAMPLES_PER_BLOCK = 1024
+
+
+def parse_adts_header(b: bytes) -> dict:
+    """Decode one ADTS frame header (the 7-byte no-CRC form)."""
+    if len(b) < 7:
+        raise ValueError("adts: truncated header")
+    if b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
+        raise ValueError("adts: bad syncword")
+    if (b[1] >> 1) & 0x3 != 0:
+        raise ValueError("adts: layer must be 00")
+    protection_absent = b[1] & 0x1
+    profile = (b[2] >> 6) & 0x3
+    sr_idx = (b[2] >> 2) & 0xF
+    if sr_idx >= len(_SAMPLE_RATES):
+        raise ValueError("adts: reserved sampling-frequency index")
+    channels = ((b[2] & 0x1) << 2) | ((b[3] >> 6) & 0x3)
+    frame_len = ((b[3] & 0x3) << 11) | (b[4] << 3) | ((b[5] >> 5) & 0x7)
+    fullness = ((b[5] & 0x1F) << 6) | ((b[6] >> 2) & 0x3F)
+    n_blocks = (b[6] & 0x3) + 1
+    header_len = 7 if protection_absent else 9
+    if frame_len < header_len:
+        raise ValueError("adts: frame length smaller than header")
+    return {
+        "profile_name": _PROFILES[profile],
+        "sample_rate": _SAMPLE_RATES[sr_idx],
+        "channels": channels,
+        "frame_len": frame_len,
+        "header_len": header_len,
+        "vbr": fullness == 0x7FF,
+        "n_blocks": n_blocks,
+    }
+
+
+def parse_adts(data: bytes) -> dict:
+    """Walk the whole ADTS frame chain (sync verified per boundary)
+    and emit the shard-triage metadata: frame count, exact integer
+    duration, profile/rate/channels of the first frame, md5 of the
+    raw stream (the dedup key)."""
+    pos = 0
+    n = len(data)
+    frames = []
+    first: dict | None = None
+    blocks = 0
+    while pos < n:
+        fh = parse_adts_header(data[pos:pos + 7])
+        if pos + fh["frame_len"] > n:
+            raise ValueError("adts: truncated frame body")
+        if first is None:
+            first = fh
+        frames.append(fh)
+        blocks += fh["n_blocks"]
+        pos += fh["frame_len"]
+    if not frames:
+        raise ValueError("adts: no frames")
+    assert first is not None
+    rate = first["sample_rate"]
+    return {
+        "profile_name": first["profile_name"],
+        "sample_rate": rate,
+        "channels": first["channels"],
+        "n_frames": len(frames),
+        "n_samples": blocks * _SAMPLES_PER_BLOCK,
+        "duration_ms": blocks * _SAMPLES_PER_BLOCK * 1000 // rate,
+        "vbr": first["vbr"],
+        "audio_md5": hashlib.md5(data).hexdigest(),
+    }
+
+
+def build_adts_frame(
+    profile: int, sr_idx: int, channels: int, payload: bytes,
+    vbr: bool = True,
+) -> bytes:
+    """Assemble one no-CRC ADTS frame bit-by-bit (the paired writer —
+    there is no stdlib AAC writer, so construction is explicit)."""
+    frame_len = 7 + len(payload)
+    if frame_len >= 1 << 13:
+        raise ValueError("adts: frame too long for the 13-bit field")
+    fullness = 0x7FF if vbr else 0
+    h = bytearray(7)
+    h[0] = 0xFF
+    h[1] = 0xF0 | (0 << 3) | (0 << 1) | 1  # MPEG-4, layer 00, no CRC
+    h[2] = (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 0x1)
+    h[3] = ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3)
+    h[4] = (frame_len >> 3) & 0xFF
+    h[5] = ((frame_len & 0x7) << 5) | ((fullness >> 6) & 0x1F)
+    h[6] = ((fullness & 0x3F) << 2) | 0  # one raw data block
+    return bytes(h) + payload

@@ -1582,3 +1582,64 @@ def warc_cdx_variants() -> dict:
         dig_b[k5] = hashlib.md5(png).hexdigest()
     return {"len_a": len_a, "len_b": len_b, "dig_a": dig_a,
             "dig_b": dig_b}
+
+
+def adts_meta_batch(doc_ids) -> list:
+    """REAL ADTS chain per doc: build 2 + d%3 AAC-LC frames with the
+    paired bit-packer (core/adtsmeta.py build_adts_frame), parse the
+    chain back, emit (doc_id, profile_name, sample_rate, channels,
+    n_frames, duration_ms, vbr, audio_md5). Construction residues:
+    rate index rides d%3 (48000/44100/16000), channels 1 + d%2,
+    payload length 40 + (d%5)*9 with seed d%5."""
+    from h2spark.core.adtsmeta import build_adts_frame, parse_adts
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        sr_idx = (3, 4, 8)[d % 3]
+        channels = 1 + d % 2
+        n_frames = 2 + d % 3
+        blob = b"".join(
+            build_adts_frame(
+                1, sr_idx, channels,
+                bytes(((d % 5) * 7 + i * 3 + j) % 256
+                      for j in range(40 + (d % 5) * 9)),
+            )
+            for i in range(n_frames)
+        )
+        m = parse_adts(blob)
+        rows.append(
+            (
+                d, m["profile_name"], int(m["sample_rate"]),
+                int(m["channels"]), int(m["n_frames"]),
+                int(m["duration_ms"]), bool(m["vbr"]), m["audio_md5"],
+            )
+        )
+    return rows
+
+
+def adts_meta_variants() -> dict:
+    """Import-time audio-md5 table keyed (d%3)*10 + (d%5)*2 + d%2 —
+    rate + frame count ride d%3, payload length/seed d%5, channels
+    d%2, so the triple fully determines the stream bytes."""
+    import hashlib
+
+    from h2spark.core.adtsmeta import build_adts_frame
+
+    out = {}
+    for k3 in range(3):
+        for k5 in range(5):
+            for k2 in range(2):
+                sr_idx = (3, 4, 8)[k3]
+                blob = b"".join(
+                    build_adts_frame(
+                        1, sr_idx, 1 + k2,
+                        bytes((k5 * 7 + i * 3 + j) % 256
+                              for j in range(40 + k5 * 9)),
+                    )
+                    for i in range(2 + k3)
+                )
+                out[k3 * 10 + k5 * 2 + k2] = hashlib.md5(
+                    blob
+                ).hexdigest()
+    return out

@@ -2278,3 +2278,73 @@ ORACLE_AUDIO_MP3 = _oracle_audio_mp3()
 
 QUERIES["audio_mp3_meta"] = q_audio_mp3_meta
 ORACLES["audio_mp3_meta"] = ORACLE_AUDIO_MP3
+
+
+# --- audio_aac_meta: ADTS container sniff (round 7) --------------------------
+
+
+def q_audio_aac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC/ADTS container metadata without decode — the MP3 sniff's
+    sibling: frame-chain walk over the explicit 13-bit length fields
+    (sync verified per boundary), exact 1024-samples-per-block integer
+    duration, VBR flag from the buffer-fullness sentinel, stream md5
+    dedup key. Parser: core/adtsmeta.py (ISO/IEC 13818-7 §6.2 header
+    layout + paired bit-packer).
+
+    Scale shape: one Arrow-batched kernel pass, zero shuffle before
+    the presentation sort."""
+    from h2spark.core.runner import adts_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = adts_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "profile_name", "sample_rate", "channels",
+                    "n_frames", "duration_ms", "vbr", "audio_md5",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, profile_name string, sample_rate long,"
+            " channels long, n_frames long, duration_ms long,"
+            " vbr boolean, audio_md5 string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_audio_aac() -> str:
+    from h2spark.core.runner import adts_meta_variants
+
+    v = adts_meta_variants()
+    whens = " ".join(
+        f"WHEN {k} THEN '{md5}'" for k, md5 in sorted(v.items())
+    )
+    return f"""
+SELECT doc_id,
+       'LC' AS profile_name,
+       (CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                        ELSE 16000 END)::BIGINT AS sample_rate,
+       (1 + doc_id % 2)::BIGINT AS channels,
+       (2 + doc_id % 3)::BIGINT AS n_frames,
+       ((2 + doc_id % 3) * 1024 * 1000
+        // CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                           ELSE 16000 END)::BIGINT AS duration_ms,
+       TRUE AS vbr,
+       (CASE (doc_id % 3) * 10 + (doc_id % 5) * 2 + (doc_id % 2)
+        {whens} END) AS audio_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+ORACLE_AUDIO_AAC = _oracle_audio_aac()
+
+QUERIES["audio_aac_meta"] = q_audio_aac_meta
+ORACLES["audio_aac_meta"] = ORACLE_AUDIO_AAC

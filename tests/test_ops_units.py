@@ -1831,3 +1831,40 @@ def test_zorder_interleave_matches_python_reference(spark):
         assert r["zorder"] == z_ref(r["x_src"], r["y_size"])
         assert r["file_id"] == r["zorder"] // 16
         assert 0 <= r["zorder"] < 256
+
+
+def test_adts_parser_roundtrip_and_rejections():
+    import pytest
+
+    from h2spark.core.adtsmeta import (
+        build_adts_frame, parse_adts, parse_adts_header,
+    )
+
+    f1 = build_adts_frame(1, 4, 2, b"\xAA" * 50)          # LC 44.1k st
+    f2 = build_adts_frame(1, 4, 2, b"\xBB" * 30)
+    m = parse_adts(f1 + f2)
+    assert (m["profile_name"], m["sample_rate"], m["channels"]) == (
+        "LC", 44100, 2,
+    )
+    assert m["n_frames"] == 2 and m["n_samples"] == 2048
+    assert m["duration_ms"] == 2048 * 1000 // 44100 == 46
+    assert m["vbr"]
+    # header decode field-by-field
+    h = parse_adts_header(f1[:7])
+    assert h["frame_len"] == 57 and h["header_len"] == 7
+    # CBR fullness is not the VBR sentinel
+    cbr = build_adts_frame(1, 4, 2, b"\xAA" * 50, vbr=False)
+    assert not parse_adts(cbr)["vbr"]
+    # rejections: bad sync, reserved rate, truncated body, bad layer
+    with pytest.raises(ValueError):
+        parse_adts_header(b"\x00" * 7)
+    with pytest.raises(ValueError):
+        parse_adts_header(build_adts_frame(1, 13, 2, b"x")[:7])
+    with pytest.raises(ValueError):
+        parse_adts(f1[:-5])
+    bad = bytearray(f1)
+    bad[1] |= 0x02  # layer bits nonzero
+    with pytest.raises(ValueError):
+        parse_adts_header(bytes(bad))
+    with pytest.raises(ValueError):
+        build_adts_frame(1, 4, 2, b"x" * 9000)  # 13-bit overflow
