@@ -1,0 +1,122 @@
+"""MP4 / ISO-BMFF box-structure parser (pure stdlib, spec-derived).
+
+ISO/IEC 14496-12: an MP4 file is a tree of boxes, each a 32-bit
+big-endian size + 4-char type, with size==1 escaping to a 64-bit
+largesize and size==0 meaning to-end-of-file; container boxes (moov,
+trak, mdia, ...) nest child boxes directly in their payload. The
+duration metadata a video-shard pipeline budgets on lives in the
+``mvhd`` FullBox (timescale + duration) and per-track ``tkhd`` boxes.
+
+Parsing walks the tree recursively with strict bounds checks (a box
+overrunning its parent raises ValueError — the quarantine contract);
+a paired writer assembles the same layout for tests, since no stdlib
+MP4 writer exists.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta",
+}
+
+
+def iter_boxes(data: bytes, start: int = 0, end: int | None = None,
+               path: str = ""):
+    """Yield (path, type, payload_offset, payload_size) depth-first."""
+    pos = start
+    if end is None:
+        end = len(data)
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("mp4: box overruns parent")
+        name = f"{path}/{btype.decode('latin-1')}" if path else (
+            btype.decode("latin-1")
+        )
+        yield name, btype, pos + hdr, size - hdr
+        if btype in _CONTAINERS:
+            yield from iter_boxes(data, pos + hdr, pos + size, name)
+        pos += size
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Walk the box tree and emit shard-triage metadata: major brand,
+    movie timescale/duration (mvhd v0), per-track ids + durations
+    (tkhd v0), the flat box-path list, and the mdat payload size."""
+    brand = None
+    timescale = duration = None
+    tracks: list[tuple[int, int]] = []
+    paths: list[str] = []
+    mdat_size = 0
+    for name, btype, off, size in iter_boxes(data):
+        paths.append(name)
+        if btype == b"ftyp":
+            brand = data[off:off + 4].decode("latin-1")
+        elif btype == b"mvhd":
+            ver = data[off]
+            if ver != 0:
+                raise ValueError("mp4: only mvhd version 0 supported")
+            timescale, duration = struct.unpack_from(
+                ">II", data, off + 12
+            )
+        elif btype == b"tkhd":
+            ver = data[off]
+            if ver != 0:
+                raise ValueError("mp4: only tkhd version 0 supported")
+            track_id = struct.unpack_from(">I", data, off + 12)[0]
+            tdur = struct.unpack_from(">I", data, off + 20)[0]
+            tracks.append((track_id, tdur))
+        elif btype == b"mdat":
+            mdat_size += size
+    if brand is None or timescale is None:
+        raise ValueError("mp4: missing ftyp or mvhd")
+    return {
+        "brand": brand,
+        "timescale": timescale,
+        "duration": duration,
+        "duration_ms": duration * 1000 // timescale,
+        "tracks": tracks,
+        "box_paths": paths,
+        "mdat_size": mdat_size,
+    }
+
+
+# --- paired writer (tests / fixtures) --------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def build_mp4(duration: int, n_tracks: int, mdat: bytes,
+              timescale: int = 1000) -> bytes:
+    """Minimal ISO-BMFF file: ftyp + moov(mvhd + n trak(tkhd)) + mdat."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
+    mvhd = _box(
+        b"mvhd",
+        bytes(4) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration) + bytes(80),
+    )
+    traks = b""
+    for t in range(n_tracks):
+        tkhd = _box(
+            b"tkhd",
+            bytes(4) + struct.pack(">II", 0, 0)
+            + struct.pack(">I", t + 1) + bytes(4)
+            + struct.pack(">I", duration - t * 40) + bytes(60),
+        )
+        traks += _box(b"trak", tkhd)
+    return ftyp + _box(b"moov", mvhd + traks) + _box(b"mdat", mdat)

@@ -1643,3 +1643,45 @@ def adts_meta_variants() -> dict:
                     blob
                 ).hexdigest()
     return out
+
+
+def mp4_meta_batch(doc_ids) -> list:
+    """REAL MP4 chain per doc: build a minimal ISO-BMFF tree (paired
+    writer, core/mp4meta.py), walk it back with the recursive box
+    parser, emit (doc_id, brand, timescale, duration_ms, n_tracks,
+    track_durations, n_boxes, box_paths, mdat_size, mdat_md5).
+    Construction: duration 900 + (d%11)*100 at timescale 1000,
+    1 + d%2 tracks, mdat of 20 + d%7 bytes seeded by d%7."""
+    import hashlib
+
+    from h2spark.core.mp4meta import build_mp4, parse_mp4
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        mdat = bytes(((d % 7) * 13 + j * 5) % 256
+                     for j in range(20 + d % 7))
+        blob = build_mp4(900 + (d % 11) * 100, 1 + d % 2, mdat)
+        m = parse_mp4(blob)
+        rows.append(
+            (
+                d, m["brand"], int(m["timescale"]),
+                int(m["duration_ms"]), len(m["tracks"]),
+                ",".join(str(t[1]) for t in m["tracks"]),
+                len(m["box_paths"]), ",".join(m["box_paths"]),
+                int(m["mdat_size"]), hashlib.md5(mdat).hexdigest(),
+            )
+        )
+    return rows
+
+
+def mp4_mdat_variants() -> dict:
+    """Import-time mdat md5 table keyed d%7."""
+    import hashlib
+
+    return {
+        k7: hashlib.md5(
+            bytes((k7 * 13 + j * 5) % 256 for j in range(20 + k7))
+        ).hexdigest()
+        for k7 in range(7)
+    }

@@ -2348,3 +2348,78 @@ ORACLE_AUDIO_AAC = _oracle_audio_aac()
 
 QUERIES["audio_aac_meta"] = q_audio_aac_meta
 ORACLES["audio_aac_meta"] = ORACLE_AUDIO_AAC
+
+
+# --- video_mp4_boxes: ISO-BMFF container scan (round 7) ----------------------
+
+
+def q_video_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 box-tree scan without decode — the dominant video container
+    at crawl scale: recursive box walk with strict parent-bounds
+    checks (core/mp4meta.py, ISO/IEC 14496-12), mvhd timescale/
+    duration, per-track tkhd durations, the flat box-path inventory a
+    transcoding planner routes on, and the mdat payload digest.
+
+    Scale shape: one Arrow-batched kernel pass, zero shuffle before
+    the presentation sort."""
+    from h2spark.core.runner import mp4_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = mp4_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "timescale", "duration_ms",
+                    "n_tracks", "track_durations", "n_boxes",
+                    "box_paths", "mdat_size", "mdat_md5",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, brand string, timescale long,"
+            " duration_ms long, n_tracks long, track_durations string,"
+            " n_boxes long, box_paths string, mdat_size long,"
+            " mdat_md5 string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_video_mp4() -> str:
+    from h2spark.core.runner import mp4_mdat_variants
+
+    v = mp4_mdat_variants()
+    whens = " ".join(f"WHEN {k} THEN '{m}'" for k, m in sorted(v.items()))
+    one = "'ftyp,moov,moov/mvhd,moov/trak,moov/trak/tkhd,mdat'"
+    two = ("'ftyp,moov,moov/mvhd,moov/trak,moov/trak/tkhd,"
+           "moov/trak,moov/trak/tkhd,mdat'")
+    return f"""
+SELECT doc_id,
+       'isom' AS brand,
+       1000::BIGINT AS timescale,
+       (900 + (doc_id % 11) * 100)::BIGINT AS duration_ms,
+       (1 + doc_id % 2)::BIGINT AS n_tracks,
+       (CASE WHEN doc_id % 2 = 0
+             THEN (900 + (doc_id % 11) * 100)::VARCHAR
+             ELSE (900 + (doc_id % 11) * 100)::VARCHAR || ','
+                  || (860 + (doc_id % 11) * 100)::VARCHAR END)
+           AS track_durations,
+       (6 + 2 * (doc_id % 2))::BIGINT AS n_boxes,
+       (CASE WHEN doc_id % 2 = 0 THEN {one} ELSE {two} END)
+           AS box_paths,
+       (20 + doc_id % 7)::BIGINT AS mdat_size,
+       (CASE doc_id % 7 {whens} END) AS mdat_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+ORACLE_VIDEO_MP4 = _oracle_video_mp4()
+
+QUERIES["video_mp4_boxes"] = q_video_mp4_boxes
+ORACLES["video_mp4_boxes"] = ORACLE_VIDEO_MP4

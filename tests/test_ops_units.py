@@ -1868,3 +1868,42 @@ def test_adts_parser_roundtrip_and_rejections():
         parse_adts_header(bytes(bad))
     with pytest.raises(ValueError):
         build_adts_frame(1, 4, 2, b"x" * 9000)  # 13-bit overflow
+
+
+def test_mp4_box_parser_roundtrip_and_rejections():
+    import struct
+
+    import pytest
+
+    from h2spark.core.mp4meta import build_mp4, iter_boxes, parse_mp4
+
+    blob = build_mp4(1300, 2, b"\x11" * 33)
+    m = parse_mp4(blob)
+    assert (m["brand"], m["timescale"], m["duration_ms"]) == (
+        "isom", 1000, 1300,
+    )
+    assert m["tracks"] == [(1, 1300), (2, 1260)]
+    assert m["mdat_size"] == 33
+    assert m["box_paths"] == [
+        "ftyp", "moov", "moov/mvhd", "moov/trak", "moov/trak/tkhd",
+        "moov/trak", "moov/trak/tkhd", "mdat",
+    ]
+    # largesize (size==1 escape) parses
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 5) \
+        + b"hello"
+    boxes = list(iter_boxes(big))
+    assert boxes == [("mdat", b"mdat", 16, 5)]
+    # size==0 means to-EOF
+    eof = struct.pack(">I", 0) + b"mdat" + b"xyz"
+    assert list(iter_boxes(eof))[0][3] == 3
+    # rejections: truncation, child overrunning parent
+    with pytest.raises(ValueError):
+        parse_mp4(blob[:-10])
+    bad = bytearray(blob)
+    # inflate the mvhd child size beyond its moov parent
+    i = blob.index(b"mvhd") - 4
+    struct.pack_into(">I", bad, i, 10_000)
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_mp4(blob[:6])  # shorter than one box header
