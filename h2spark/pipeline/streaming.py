@@ -698,3 +698,75 @@ def run_streaming_funnel(
     return _start_append_writer(
         funnel_tracker(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- stateful crawl politeness pacer (round 7) -------------------------------
+
+FRONTIER_DDL = "url_id long, host string, delay_ms long"
+PACER_SCHEMA = (
+    "url_id long, host string, delay_ms long, slot long, fetch_at_ms long"
+)
+_PACER_STATE_SCHEMA = "next_slot long"
+
+
+def politeness_pacer(frontier):
+    """Streaming twin of ops/links.q_crawl_politeness_plan's slot
+    arithmetic: per-host fetch slots carried ACROSS micro-batches via
+    applyInPandasWithState — a new frontier batch continues the host's
+    queue where the previous batch left it (state is ONE long per
+    host). Within a batch, urls are paced in (url_id) order — the
+    arrival-order contract of a frontier feed; the batch operator's
+    md5 ordering is a full-corpus convention, so the pin here is slot
+    continuity + spacing, not row-for-row batch equality (documented
+    difference)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (host,) = key
+        (next_slot,) = state.get if state.exists else (0,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url_id")
+            for uid, dms in zip(pdf["url_id"], pdf["delay_ms"]):
+                out.append(
+                    (int(uid), host, int(dms), next_slot,
+                     next_slot * int(dms))
+                )
+                next_slot += 1
+        state.update((next_slot,))
+        yield pd.DataFrame(
+            out,
+            columns=["url_id", "host", "delay_ms", "slot",
+                     "fetch_at_ms"],
+        )
+
+    return frontier.groupBy("host").applyInPandasWithState(
+        update,
+        PACER_SCHEMA,
+        _PACER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_politeness(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental politeness pacing over a growing frontier directory
+    (one micro-batch per landed file)."""
+    stream = (
+        spark.readStream.schema(FRONTIER_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        politeness_pacer(stream), out_dir, checkpoint_dir, available_now
+    )

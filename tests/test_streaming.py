@@ -652,3 +652,38 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         r["steps_reached"] for r in rows if r["user_id"] == 1
     )
     assert u1 == [2, 3]
+
+
+def test_streaming_politeness_pacer_state_continuity(spark, tmp_path):
+    """Slots must continue across micro-batches per host (a host's
+    queue position is durable state), spacing must stay slot*delay,
+    and a host first seen in batch 2 starts at slot 0."""
+    import time as _time
+
+    from h2spark.pipeline.streaming import run_streaming_politeness
+
+    batch1 = [(1, "a.com", 500), (2, "a.com", 500), (3, "b.net", 250)]
+    batch2 = [(4, "a.com", 500), (5, "c.org", 100), (6, "b.net", 250)]
+    in_dir = str(tmp_path / "pol_in")
+    for batch in (batch1, batch2):
+        spark.createDataFrame(
+            batch, "url_id long, host string, delay_ms long"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+    out_dir = str(tmp_path / "pol_out")
+    q = run_streaming_politeness(
+        spark, in_dir, out_dir, checkpoint_dir=str(tmp_path / "pol_ck")
+    )
+    q.awaitTermination(180)
+    rows = {
+        r["url_id"]: (r["host"], r["slot"], r["fetch_at_ms"])
+        for r in spark.read.parquet(f"{out_dir}/data").collect()
+    }
+    assert rows == {
+        1: ("a.com", 0, 0),
+        2: ("a.com", 1, 500),
+        3: ("b.net", 0, 0),
+        4: ("a.com", 2, 1000),   # continued from batch 1's state
+        5: ("c.org", 0, 0),      # new host starts at slot 0
+        6: ("b.net", 1, 250),
+    }
