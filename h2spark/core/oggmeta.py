@@ -1,0 +1,162 @@
+"""Ogg container + Vorbis identification-header parser (pure stdlib).
+
+RFC 3533: an Ogg physical stream is a sequence of pages, each
+"OggS" + version 0 + header-type flags (continuation / BOS / EOS) +
+64-bit granule position + serial + sequence + CRC + a segment table
+of 255-byte lanes. The page CRC is CRC-32 with polynomial 0x04C11DB7,
+no bit reflection, zero init/xorout, computed with the CRC field
+blanked — verified here per page (the quarantine contract).
+
+The first packet of a Vorbis stream is the identification header
+(\\x01 + "vorbis" + version + channels + sample rate + bitrates +
+blocksizes + framing bit) — enough for duration/channel triage: the
+last page's granule position is the absolute sample count, so
+duration is exact integer arithmetic without decoding audio.
+
+A paired writer assembles the same layout (no stdlib Ogg writer).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _crc_table() -> list[int]:
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                else (r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_CRC = _crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def iter_ogg_pages(data: bytes):
+    """Yield per-page dicts, CRC-verified, with reassembled payload."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 4] != b"OggS":
+            raise ValueError("ogg: bad capture pattern")
+        if pos + 27 > n:
+            raise ValueError("ogg: truncated page header")
+        if data[pos + 4] != 0:
+            raise ValueError("ogg: unsupported stream structure version")
+        htype = data[pos + 5]
+        granule, serial, seq, crc = struct.unpack_from(
+            "<qIII", data, pos + 6
+        )
+        nsegs = data[pos + 26]
+        seg_end = pos + 27 + nsegs
+        if seg_end > n:
+            raise ValueError("ogg: truncated segment table")
+        lanes = data[pos + 27:seg_end]
+        body_len = sum(lanes)
+        page_end = seg_end + body_len
+        if page_end > n:
+            raise ValueError("ogg: truncated page body")
+        page = bytearray(data[pos:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(page)) != crc:
+            raise ValueError("ogg: page CRC mismatch")
+        yield {
+            "continued": bool(htype & 0x1),
+            "bos": bool(htype & 0x2),
+            "eos": bool(htype & 0x4),
+            "granule": granule,
+            "serial": serial,
+            "seq": seq,
+            "body": data[seg_end:page_end],
+        }
+        pos = page_end
+
+
+def parse_vorbis_id(packet: bytes) -> dict:
+    if packet[:7] != b"\x01vorbis":
+        raise ValueError("ogg: not a vorbis identification header")
+    version, channels = struct.unpack_from("<IB", packet, 7)
+    if version != 0:
+        raise ValueError("ogg: unsupported vorbis version")
+    (rate,) = struct.unpack_from("<I", packet, 12)
+    if rate == 0 or channels == 0:
+        raise ValueError("ogg: zero rate/channels")
+    return {"channels": channels, "sample_rate": rate}
+
+
+def parse_ogg_vorbis(data: bytes) -> dict:
+    """Full walk: BOS page carries the id header; the final granule
+    position is the absolute PCM sample count -> exact duration."""
+    pages = list(iter_ogg_pages(data))
+    if not pages or not pages[0]["bos"]:
+        raise ValueError("ogg: missing BOS page")
+    if not pages[-1]["eos"]:
+        raise ValueError("ogg: missing EOS page")
+    ident = parse_vorbis_id(pages[0]["body"])
+    serial = pages[0]["serial"]
+    for i, p in enumerate(pages):
+        if p["serial"] != serial:
+            raise ValueError("ogg: multiplexed streams not supported")
+        if p["seq"] != i:
+            raise ValueError("ogg: page sequence gap")
+    n_samples = pages[-1]["granule"]
+    rate = ident["sample_rate"]
+    return {
+        "channels": ident["channels"],
+        "sample_rate": rate,
+        "n_pages": len(pages),
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // rate,
+        "serial": serial,
+    }
+
+
+# --- paired writer ----------------------------------------------------------
+
+
+def build_ogg_page(body: bytes, *, granule: int, serial: int, seq: int,
+                   bos: bool = False, eos: bool = False) -> bytes:
+    if len(body) >= 255 * 255:
+        raise ValueError("ogg: body too long for one page")
+    lanes = [255] * (len(body) // 255) + [len(body) % 255]
+    htype = (0x2 if bos else 0) | (0x4 if eos else 0)
+    hdr = b"OggS\x00" + bytes([htype]) + struct.pack(
+        "<qIII", granule, serial, seq, 0
+    ) + bytes([len(lanes)]) + bytes(lanes)
+    page = bytearray(hdr + body)
+    crc = ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def build_ogg_vorbis(channels: int, rate: int, n_samples: int,
+                     payload_pages: list[bytes],
+                     serial: int = 0xDA7A) -> bytes:
+    ident = (
+        b"\x01vorbis" + struct.pack("<IB", 0, channels)
+        + struct.pack("<I", rate) + struct.pack("<iii", 0, 128000, 0)
+        + b"\x66\x01"
+    )
+    out = [build_ogg_page(ident, granule=0, serial=serial, seq=0,
+                          bos=True)]
+    step = n_samples // max(len(payload_pages), 1)
+    for i, body in enumerate(payload_pages):
+        last = i == len(payload_pages) - 1
+        out.append(
+            build_ogg_page(
+                body,
+                granule=n_samples if last else (i + 1) * step,
+                serial=serial, seq=i + 1, eos=last,
+            )
+        )
+    return b"".join(out)

@@ -1685,3 +1685,37 @@ def mp4_mdat_variants() -> dict:
         ).hexdigest()
         for k7 in range(7)
     }
+
+
+def ogg_meta_batch(doc_ids) -> list:
+    """REAL Ogg chain per doc: build a Vorbis-framed stream with the
+    paired writer (core/oggmeta.py — page CRCs computed with the
+    0x04C11DB7 table), walk it back with CRC verification per page,
+    emit (doc_id, channels, sample_rate, n_pages, n_samples,
+    duration_ms, serial). Construction: channels 1 + d%2, rate
+    (48000, 44100, 16000)[d%3], samples rate * (1 + d%4) / 2 (exact
+    halves keep duration integral), 1 + d%3 payload pages seeded d%7."""
+    from h2spark.core.oggmeta import build_ogg_vorbis, parse_ogg_vorbis
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        rate = (48000, 44100, 16000)[d % 3]
+        n_samples = rate * (1 + d % 4) // 2
+        pages = [
+            bytes(((d % 7) * 11 + i * 5 + j) % 256
+                  for j in range(30 + (d % 7) * 4))
+            for i in range(1 + d % 3)
+        ]
+        m = parse_ogg_vorbis(
+            build_ogg_vorbis(1 + d % 2, rate, n_samples, pages,
+                             serial=1000 + d % 13)
+        )
+        rows.append(
+            (
+                d, int(m["channels"]), int(m["sample_rate"]),
+                int(m["n_pages"]), int(m["n_samples"]),
+                int(m["duration_ms"]), int(m["serial"]),
+            )
+        )
+    return rows

@@ -2423,3 +2423,66 @@ ORACLE_VIDEO_MP4 = _oracle_video_mp4()
 
 QUERIES["video_mp4_boxes"] = q_video_mp4_boxes
 ORACLES["video_mp4_boxes"] = ORACLE_VIDEO_MP4
+
+
+# --- audio_ogg_meta: Ogg/Vorbis container sniff (round 7) --------------------
+
+
+def q_audio_ogg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Vorbis container metadata without decode — the third audio
+    container next to MP3 and ADTS: RFC 3533 page walk with per-page
+    CRC-32 (0x04C11DB7, unreflected) verification, Vorbis id-header
+    channels/rate, exact duration from the EOS granule position
+    (absolute sample count). Parser: core/oggmeta.py.
+
+    Scale shape: one Arrow-batched kernel pass, zero shuffle before
+    the presentation sort. Every emitted field is a construction
+    formula, so the oracle is fully closed-form — the CRC machinery
+    sits under the test suite instead."""
+    from h2spark.core.runner import ogg_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = ogg_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "sample_rate", "n_pages",
+                    "n_samples", "duration_ms", "serial",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, channels long, sample_rate long,"
+            " n_pages long, n_samples long, duration_ms long,"
+            " serial long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_AUDIO_OGG = """
+WITH p AS (
+  SELECT doc_id,
+         (CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                          ELSE 16000 END)::BIGINT AS rate
+  FROM documents
+)
+SELECT doc_id,
+       (1 + doc_id % 2)::BIGINT AS channels,
+       rate AS sample_rate,
+       (2 + doc_id % 3)::BIGINT AS n_pages,
+       (rate * (1 + doc_id % 4) // 2)::BIGINT AS n_samples,
+       ((rate * (1 + doc_id % 4) // 2) * 1000 // rate)::BIGINT
+           AS duration_ms,
+       (1000 + doc_id % 13)::BIGINT AS serial
+FROM p
+ORDER BY doc_id
+"""
+
+QUERIES["audio_ogg_meta"] = q_audio_ogg_meta
+ORACLES["audio_ogg_meta"] = ORACLE_AUDIO_OGG

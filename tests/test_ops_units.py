@@ -1907,3 +1907,48 @@ def test_mp4_box_parser_roundtrip_and_rejections():
         parse_mp4(bytes(bad))
     with pytest.raises(ValueError):
         parse_mp4(blob[:6])  # shorter than one box header
+
+
+def test_ogg_parser_roundtrip_and_rejections():
+    import struct
+
+    import pytest
+
+    from h2spark.core.oggmeta import (
+        build_ogg_page, build_ogg_vorbis, parse_ogg_vorbis,
+    )
+
+    blob = build_ogg_vorbis(2, 44100, 44100 * 3,
+                            [b"\x01" * 300, b"\x02" * 10])
+    m = parse_ogg_vorbis(blob)
+    assert (m["channels"], m["sample_rate"]) == (2, 44100)
+    assert m["n_pages"] == 3 and m["duration_ms"] == 3000
+    # a 300-byte body spans two segment lanes (255 + 45)
+    assert blob.count(b"OggS") == 3
+
+    # CRC actually bites: flip one payload byte
+    bad = bytearray(blob)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_ogg_vorbis(bytes(bad))
+    # bad capture pattern
+    with pytest.raises(ValueError):
+        parse_ogg_vorbis(b"NotO" + blob[4:])
+    # page sequence gap: renumber the middle page (and re-CRC it so
+    # the sequence check, not the CRC, is what fires)
+    p1 = blob.index(b"OggS", 4)
+    p2 = blob.index(b"OggS", p1 + 4)
+    page = bytearray(blob[p1:p2])
+    struct.pack_into("<I", page, 18, 9)
+    page[22:26] = b"\x00" * 4
+    from h2spark.core.oggmeta import ogg_crc
+    struct.pack_into("<I", page, 22, ogg_crc(bytes(page)))
+    with pytest.raises(ValueError):
+        parse_ogg_vorbis(blob[:p1] + bytes(page) + blob[p2:])
+    # missing EOS: drop the last page
+    with pytest.raises(ValueError):
+        parse_ogg_vorbis(blob[:p2])
+    # multiplexed second serial rejected
+    other = build_ogg_page(b"x", granule=5, serial=99, seq=1, eos=True)
+    with pytest.raises(ValueError):
+        parse_ogg_vorbis(blob[:p2] + other)
