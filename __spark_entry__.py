@@ -87,7 +87,11 @@ def _all_modules():
 # image_exif_meta, redirect_resolve, anchor_text_agg,
 # microdata_extract, events_funnel, events_retention,
 # corpus_vocab_stats, archive_zip_meta, archive_tar_meta,
-# sketch_hll_users, sketch_cms_terms) are 0 rounds old,
+# sketch_hll_users, sketch_cms_terms, and the session-3 batch:
+# audio_mp3_meta, audio_aac_meta, audio_ogg_meta, video_mp4_boxes,
+# warc_cdx_index, sketch_len_quantiles, link_hits, url_canonicalize,
+# crawl_politeness_plan, sft_render_mask, media_span_align,
+# kanon_release, export_zorder_plan, code_detect) are 0 rounds old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and
 # rotate into the r8 window.
 _PRIORITY = [

@@ -527,3 +527,65 @@ def test_mp3_container_roundtrip_property(
     assert m["bitrate_kbps"] == kbps
     assert m["sample_rate"] == rate
     assert m["duration_ms"] == n_frames * 1152 * 1000 // rate
+
+
+_ENTRY_NAME = st.text(
+    alphabet="abcdefghijklmnop0123456789_-", min_size=1, max_size=20,
+)
+
+
+@given(
+    entries=st.lists(
+        st.tuples(_ENTRY_NAME, st.binary(max_size=300),
+                  st.booleans()),
+        min_size=1, max_size=5, unique_by=lambda e: e[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_zip_parser_roundtrip_property(entries):
+    # any stdlib-written archive (stored or deflated per entry) must
+    # parse back name/content/CRC-exact in order
+    import io
+    import zipfile
+
+    from h2spark.core.zipmeta import parse_zip_entries
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content, deflate in entries:
+            zi = zipfile.ZipInfo(name, date_time=(2026, 1, 1, 0, 0, 0))
+            z.writestr(
+                zi, content,
+                compress_type=zipfile.ZIP_DEFLATED if deflate
+                else zipfile.ZIP_STORED,
+            )
+    got = parse_zip_entries(buf.getvalue())
+    assert [(e["name"], e["content"]) for e in got] == [
+        (n, c) for n, c, _ in entries
+    ]
+    assert all(e["crc_ok"] for e in got)
+
+
+@given(
+    entries=st.lists(
+        st.tuples(_ENTRY_NAME, st.binary(max_size=700)),
+        min_size=1, max_size=4, unique_by=lambda e: e[0],
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_tar_parser_roundtrip_property(entries):
+    import io
+    import tarfile
+
+    from h2spark.core.tarmeta import parse_tar_entries
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        for name, content in entries:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(content)
+            ti.mtime = 1767225600
+            t.addfile(ti, io.BytesIO(content))
+    got = parse_tar_entries(buf.getvalue())
+    assert [(e["name"], e["content"]) for e in got] == entries
