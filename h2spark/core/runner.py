@@ -1719,3 +1719,42 @@ def ogg_meta_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def sfnt_meta_batch(doc_ids) -> list:
+    """REAL font chain per doc: build a TrueType container (paired
+    writer, core/sfntmeta.py — spec search hints + per-table
+    checksums), parse + verify it back, emit (doc_id, n_tables, tags,
+    total_len, is_truetype). Construction: head + cmap (17 + d%9
+    bytes) + glyf (40 + (d%13)*3 bytes) + optional name table when
+    d%2 = 1, bodies seeded by the same residues."""
+    from h2spark.core.sfntmeta import build_sfnt, parse_sfnt
+    import struct
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        head = struct.pack(
+            ">IIII", 0x00010000, 0, 0x5F0F3CF5, 0
+        ) + bytes(38)
+        tables = [
+            ("head", head),
+            ("cmap", bytes(((d % 9) * 5 + j) % 256
+                           for j in range(17 + d % 9))),
+            ("glyf", bytes(((d % 13) * 7 + j * 3) % 256
+                           for j in range(40 + (d % 13) * 3))),
+        ]
+        if d % 2 == 1:
+            tables.append(
+                ("name", bytes((d % 5 + j) % 256 for j in range(22)))
+            )
+        m = parse_sfnt(build_sfnt(tables))
+        rows.append(
+            (
+                d, int(m["n_tables"]),
+                ",".join(t["tag"] for t in m["tables"]),
+                int(sum(t["length"] for t in m["tables"])),
+                bool(m["is_truetype"]),
+            )
+        )
+    return rows

@@ -1,0 +1,107 @@
+"""SFNT (TrueType/OpenType) table-directory parser (pure stdlib).
+
+Fonts are a first-class crawl asset (webfonts ship with every page);
+the SFNT container (OpenType spec "Organization of an OpenType Font")
+is a 12-byte offset table — sfntVersion (0x00010000 TrueType / 'OTTO'
+CFF), numTables and binary-search hints — followed by 16-byte table
+records (tag, checkSum, offset, length). Table checksums are the sum
+of the table's big-endian uint32s (zero-padded to a 4-byte boundary),
+verified here per table; the 'head' table is special-cased upstream
+via checkSumAdjustment, so its record checksum is verified with the
+adjustment field zeroed (the spec's own procedure).
+
+A paired writer assembles the same layout with spec-correct search
+hints and checksums.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_TT_VERSION = 0x00010000
+
+
+def _table_checksum(data: bytes) -> int:
+    pad = (-len(data)) % 4
+    data = data + b"\x00" * pad
+    s = 0
+    for (v,) in struct.iter_unpack(">I", data):
+        s = (s + v) & 0xFFFFFFFF
+    return s
+
+
+def parse_sfnt(data: bytes) -> dict:
+    """Parse the offset table + table directory, verify every table's
+    checksum and the binary-search hints. Structural damage raises
+    ValueError (the quarantine contract)."""
+    if len(data) < 12:
+        raise ValueError("sfnt: truncated offset table")
+    version, num, search_range, entry_sel, range_shift = (
+        struct.unpack_from(">IHHHH", data, 0)
+    )
+    if version != _TT_VERSION and version != 0x4F54544F:  # 'OTTO'
+        raise ValueError("sfnt: unknown sfntVersion")
+    if num == 0:
+        raise ValueError("sfnt: zero tables")
+    # search hints are pure functions of numTables — verify them
+    p = 1
+    while p * 2 <= num:
+        p *= 2
+    if (search_range, entry_sel, range_shift) != (
+        p * 16, p.bit_length() - 1, num * 16 - p * 16
+    ):
+        raise ValueError("sfnt: bad binary-search hints")
+    tables = []
+    for i in range(num):
+        off = 12 + i * 16
+        if off + 16 > len(data):
+            raise ValueError("sfnt: truncated table directory")
+        tag = data[off:off + 4].decode("latin-1")
+        csum, toff, tlen = struct.unpack_from(">III", data, off + 4)
+        if toff + tlen > len(data):
+            raise ValueError("sfnt: table overruns file")
+        body = data[toff:toff + tlen]
+        if tag == "head":
+            if tlen < 12:
+                raise ValueError("sfnt: head table too short")
+            body = body[:8] + b"\x00\x00\x00\x00" + body[12:]
+        if _table_checksum(body) != csum:
+            raise ValueError(f"sfnt: checksum mismatch in '{tag}'")
+        tables.append({"tag": tag, "offset": toff, "length": tlen})
+    return {
+        "version": version,
+        "n_tables": num,
+        "tables": tables,
+        "is_truetype": version == _TT_VERSION,
+    }
+
+
+# --- paired writer ----------------------------------------------------------
+
+
+def build_sfnt(tables: list[tuple[str, bytes]]) -> bytes:
+    """Minimal TrueType container from (tag, body) pairs — correct
+    search hints, per-table checksums ('head' with a zeroed
+    checkSumAdjustment), 4-byte table alignment."""
+    num = len(tables)
+    p = 1
+    while p * 2 <= num:
+        p *= 2
+    hdr = struct.pack(
+        ">IHHHH", _TT_VERSION, num, p * 16, p.bit_length() - 1,
+        num * 16 - p * 16,
+    )
+    directory = b""
+    bodies = b""
+    offset = 12 + num * 16
+    for tag, body in tables:
+        csum_body = body
+        if tag == "head":
+            csum_body = body[:8] + b"\x00\x00\x00\x00" + body[12:]
+        pad = (-len(body)) % 4
+        directory += tag.encode("latin-1").ljust(4) + struct.pack(
+            ">III", _table_checksum(csum_body), offset, len(body)
+        )
+        bodies += body + b"\x00" * pad
+        offset += len(body) + pad
+    return hdr + directory + bodies

@@ -2486,3 +2486,58 @@ ORDER BY doc_id
 
 QUERIES["audio_ogg_meta"] = q_audio_ogg_meta
 ORACLES["audio_ogg_meta"] = ORACLE_AUDIO_OGG
+
+
+# --- font_sfnt_meta: webfont container scan (round 7) ------------------------
+
+
+def q_font_sfnt_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrueType/OpenType table-directory scan — webfonts ship with
+    every crawled page and their table inventory (cmap/glyf/name/...)
+    is what a rendering or subsetting pipeline routes on. Every table
+    checksum is verified on parse (head via the spec's zeroed
+    checkSumAdjustment procedure), binary-search hints validated.
+    Parser: core/sfntmeta.py.
+
+    Scale shape: one Arrow-batched kernel pass, zero shuffle before
+    the presentation sort; closed-form oracle."""
+    from h2spark.core.runner import sfnt_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = sfnt_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_tables", "tags", "total_len",
+                    "is_truetype",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_tables long, tags string, total_len long,"
+            " is_truetype boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FONT_SFNT = """
+SELECT doc_id,
+       (3 + doc_id % 2)::BIGINT AS n_tables,
+       (CASE WHEN doc_id % 2 = 0 THEN 'head,cmap,glyf'
+             ELSE 'head,cmap,glyf,name' END) AS tags,
+       (54 + (17 + doc_id % 9) + (40 + (doc_id % 13) * 3)
+        + (CASE WHEN doc_id % 2 = 1 THEN 22 ELSE 0 END))::BIGINT
+           AS total_len,
+       TRUE AS is_truetype
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["font_sfnt_meta"] = q_font_sfnt_meta
+ORACLES["font_sfnt_meta"] = ORACLE_FONT_SFNT

@@ -1952,3 +1952,41 @@ def test_ogg_parser_roundtrip_and_rejections():
     other = build_ogg_page(b"x", granule=5, serial=99, seq=1, eos=True)
     with pytest.raises(ValueError):
         parse_ogg_vorbis(blob[:p2] + other)
+
+
+def test_sfnt_parser_roundtrip_and_rejections():
+    import struct
+
+    import pytest
+
+    from h2spark.core.sfntmeta import build_sfnt, parse_sfnt
+
+    head = struct.pack(">IIII", 0x00010000, 0, 0x5F0F3CF5, 0) \
+        + bytes(38)
+    blob = build_sfnt(
+        [("head", head), ("cmap", b"\x01" * 27), ("glyf", b"gh" * 40)]
+    )
+    m = parse_sfnt(blob)
+    assert m["n_tables"] == 3 and m["is_truetype"]
+    assert [t["tag"] for t in m["tables"]] == ["head", "cmap", "glyf"]
+    assert m["tables"][1]["length"] == 27  # pre-padding length kept
+    # head checkSumAdjustment is EXCLUDED from its checksum: writing a
+    # real adjustment must not break verification
+    adj = bytearray(blob)
+    hoff = m["tables"][0]["offset"]
+    struct.pack_into(">I", adj, hoff + 8, 0xDEADBEEF)
+    assert parse_sfnt(bytes(adj))["n_tables"] == 3
+    # table-body corruption bites
+    bad = bytearray(blob)
+    bad[-1] ^= 1
+    with pytest.raises(ValueError):
+        parse_sfnt(bytes(bad))
+    # corrupt search hints bite
+    hints = bytearray(blob)
+    struct.pack_into(">H", hints, 6, 999)
+    with pytest.raises(ValueError):
+        parse_sfnt(bytes(hints))
+    with pytest.raises(ValueError):
+        parse_sfnt(blob[:8])
+    with pytest.raises(ValueError):
+        parse_sfnt(b"WOFF" + blob[4:])  # compressed WOFF is not SFNT
