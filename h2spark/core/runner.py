@@ -1758,3 +1758,35 @@ def sfnt_meta_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def webvtt_cues_batch(doc_ids) -> list:
+    """REAL WebVTT chain per doc: render a .vtt (NOTE block + 2 + d%3
+    cues; cue i starts at i * (1000 + (d%7) * 250) ms and lasts
+    900 + (d%5) * 100 ms; long-form timestamps), parse it back
+    (core/webvtt.py) and emit (doc_id, cue_idx, start_ms, end_ms,
+    text) rows the oracle re-derives in closed form."""
+    from h2spark.core.webvtt import parse_webvtt
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        n_cues = 2 + d % 3
+        parts = ["WEBVTT", "", "NOTE synthetic track", ""]
+        for i in range(n_cues):
+            start = i * (1000 + (d % 7) * 250)
+            end = start + 900 + (d % 5) * 100
+
+            def ts(ms):
+                return (f"{ms // 3600000:02d}:"
+                        f"{ms // 60000 % 60:02d}:"
+                        f"{ms // 1000 % 60:02d}.{ms % 1000:03d}")
+
+            parts += [f"cue{i}", f"{ts(start)} --> {ts(end)}",
+                      f"line {d % 11}-{i}", ""]
+        cues = parse_webvtt("\n".join(parts))
+        for c in cues:
+            rows.append(
+                (d, c["idx"], c["start_ms"], c["end_ms"], c["text"])
+            )
+    return rows

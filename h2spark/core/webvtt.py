@@ -1,0 +1,80 @@
+"""WebVTT subtitle parser (pure stdlib, W3C WebVTT spec subset).
+
+Subtitle tracks are the aligned text for audio/video training pairs —
+a crawl's .vtt files give (start, end, text) spans synchronized to
+media timelines. Parsed here: the WEBVTT signature line, NOTE/STYLE/
+REGION comment blocks (skipped), optional cue identifier lines, cue
+timing lines in both timestamp forms (HH:MM:SS.mmm and MM:SS.mmm,
+milliseconds mandatory, '-->' separator, trailing cue settings
+ignored), and multi-line cue payloads terminated by blank lines.
+Timings convert to exact integer milliseconds; a cue whose end does
+not exceed its start, or a malformed timing line, raises ValueError
+(the quarantine contract).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TS = re.compile(r"^(?:(\d{2,}):)?(\d{2}):(\d{2})\.(\d{3})$")
+
+
+def parse_timestamp_ms(s: str) -> int:
+    m = _TS.match(s)
+    if not m:
+        raise ValueError(f"webvtt: bad timestamp {s!r}")
+    h, mnt, sec, ms = m.groups()
+    mnt, sec, ms = int(mnt), int(sec), int(ms)
+    if mnt > 59 and h is not None:
+        raise ValueError("webvtt: minutes out of range")
+    if sec > 59:
+        raise ValueError("webvtt: seconds out of range")
+    return ((int(h or 0) * 60 + mnt) * 60 + sec) * 1000 + ms
+
+
+def parse_webvtt(text: str) -> list[dict]:
+    """Return [{idx, cue_id, start_ms, end_ms, text}] in file order."""
+    lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    if not lines or not lines[0].startswith("WEBVTT"):
+        raise ValueError("webvtt: missing WEBVTT signature")
+    cues: list[dict] = []
+    i = 1
+    n = len(lines)
+    while i < n:
+        if not lines[i].strip():
+            i += 1
+            continue
+        # comment blocks: skip through the next blank line
+        if lines[i].startswith(("NOTE", "STYLE", "REGION")):
+            while i < n and lines[i].strip():
+                i += 1
+            continue
+        cue_id = ""
+        if "-->" not in lines[i]:
+            cue_id = lines[i].strip()
+            i += 1
+            if i >= n or "-->" not in lines[i]:
+                raise ValueError("webvtt: identifier without timings")
+        timing = lines[i].split("-->")
+        if len(timing) != 2:
+            raise ValueError("webvtt: malformed timing line")
+        start = parse_timestamp_ms(timing[0].strip())
+        end_part = timing[1].strip().split(None, 1)[0]  # drop settings
+        end = parse_timestamp_ms(end_part)
+        if end <= start:
+            raise ValueError("webvtt: cue end not after start")
+        i += 1
+        payload: list[str] = []
+        while i < n and lines[i].strip():
+            payload.append(lines[i])
+            i += 1
+        cues.append(
+            {
+                "idx": len(cues),
+                "cue_id": cue_id,
+                "start_ms": start,
+                "end_ms": end,
+                "text": "\n".join(payload),
+            }
+        )
+    return cues

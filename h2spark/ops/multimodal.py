@@ -2541,3 +2541,58 @@ ORDER BY doc_id
 
 QUERIES["font_sfnt_meta"] = q_font_sfnt_meta
 ORACLES["font_sfnt_meta"] = ORACLE_FONT_SFNT
+
+
+# --- text_webvtt_cues: subtitle-track extraction (round 7) -------------------
+
+
+def q_text_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT cue extraction — subtitle tracks are the time-aligned
+    text for audio/video training pairs. Real .vtt bytes are rendered
+    and parsed back per doc (core/webvtt.py: both timestamp forms,
+    NOTE blocks, identifier lines, settings dropped, exact integer
+    milliseconds); cue rows fan out inside the Arrow batch.
+
+    Scale shape: one kernel pass, zero shuffle before the
+    presentation sort; closed-form oracle."""
+    from h2spark.core.runner import webvtt_cues_batch
+
+    def cues(batches):
+        for pdf in batches:
+            rows = webvtt_cues_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "cue_idx", "start_ms", "end_ms", "text",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            cues,
+            "doc_id long, cue_idx long, start_ms long, end_ms long,"
+            " text string",
+        )
+        .orderBy("doc_id", "cue_idx")
+    )
+
+
+ORACLE_TEXT_WEBVTT = """
+WITH g AS (
+  SELECT doc_id, range AS cue_idx
+  FROM documents, range(0, 5) g
+  WHERE range < 2 + doc_id % 3
+)
+SELECT doc_id, cue_idx::BIGINT AS cue_idx,
+       (cue_idx * (1000 + (doc_id % 7) * 250))::BIGINT AS start_ms,
+       (cue_idx * (1000 + (doc_id % 7) * 250)
+        + 900 + (doc_id % 5) * 100)::BIGINT AS end_ms,
+       'line ' || (doc_id % 11) || '-' || cue_idx AS text
+FROM g
+ORDER BY doc_id, cue_idx
+"""
+
+QUERIES["text_webvtt_cues"] = q_text_webvtt_cues
+ORACLES["text_webvtt_cues"] = ORACLE_TEXT_WEBVTT

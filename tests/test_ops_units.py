@@ -1990,3 +1990,34 @@ def test_sfnt_parser_roundtrip_and_rejections():
         parse_sfnt(blob[:8])
     with pytest.raises(ValueError):
         parse_sfnt(b"WOFF" + blob[4:])  # compressed WOFF is not SFNT
+
+
+def test_webvtt_parser_forms_and_rejections():
+    import pytest
+
+    from h2spark.core.webvtt import parse_timestamp_ms, parse_webvtt
+
+    # both timestamp forms, settings dropped, multi-line payload,
+    # NOTE skipped, identifier captured
+    vtt = (
+        "WEBVTT\n\nNOTE a comment\nstill the comment\n\n"
+        "intro\n00:01.000 --> 00:02.500 align:start\nhello\nworld\n\n"
+        "01:02:03.004 --> 01:02:04.000\nbye\n"
+    )
+    cues = parse_webvtt(vtt)
+    assert len(cues) == 2
+    assert cues[0]["cue_id"] == "intro"
+    assert (cues[0]["start_ms"], cues[0]["end_ms"]) == (1000, 2500)
+    assert cues[0]["text"] == "hello\nworld"
+    assert cues[1]["start_ms"] == 3723004
+    assert parse_timestamp_ms("123:00:00.000") == 123 * 3600000
+    with pytest.raises(ValueError):
+        parse_webvtt("not a vtt")
+    with pytest.raises(ValueError):
+        parse_webvtt("WEBVTT\n\n00:02.000 --> 00:01.000\nbackwards\n")
+    with pytest.raises(ValueError):
+        parse_webvtt("WEBVTT\n\n00:99.000 --> 01:40.000\nbad secs\n")
+    with pytest.raises(ValueError):
+        parse_timestamp_ms("00:00:00")  # milliseconds mandatory
+    with pytest.raises(ValueError):
+        parse_webvtt("WEBVTT\n\norphan identifier\n")
