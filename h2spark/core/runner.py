@@ -1790,3 +1790,43 @@ def webvtt_cues_batch(doc_ids) -> list:
                 (d, c["idx"], c["start_ms"], c["end_ms"], c["text"])
             )
     return rows
+
+
+def woff_meta_batch(doc_ids) -> list:
+    """REAL WOFF chain per doc: wrap head + cmap/glyf(/name when
+    d%2=1) tables (periodic >=40-byte payloads, so zlib always
+    shrinks them — n_compressed == n_tables is part of the contract),
+    parse + checksum-verify after inflation (core/sfntmeta.py), emit
+    (doc_id, n_tables, n_compressed, tags, total_orig_len,
+    total_sfnt_size)."""
+    import struct
+
+    from h2spark.core.sfntmeta import build_woff, parse_woff
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        head = struct.pack(
+            ">IIII", 0x00010000, 0, 0x5F0F3CF5, 0
+        ) + bytes(38)
+        tables = [
+            ("head", head),
+            ("cmap", bytes(((d % 9) * 5 + j % 6) % 256
+                           for j in range(40 + d % 9))),
+            ("glyf", bytes(((d % 13) * 7 + j % 5) % 256
+                           for j in range(40 + (d % 13) * 3))),
+        ]
+        if d % 2 == 1:
+            tables.append(
+                ("name", bytes((d % 5 + j % 4) % 256 for j in range(44)))
+            )
+        m = parse_woff(build_woff(tables))
+        rows.append(
+            (
+                d, int(m["n_tables"]), int(m["n_compressed"]),
+                ",".join(t["tag"] for t in m["tables"]),
+                int(sum(t["length"] for t in m["tables"])),
+                int(m["total_sfnt_size"]),
+            )
+        )
+    return rows

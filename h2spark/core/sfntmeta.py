@@ -105,3 +105,88 @@ def build_sfnt(tables: list[tuple[str, bytes]]) -> bytes:
         bodies += body + b"\x00" * pad
         offset += len(body) + pad
     return hdr + directory + bodies
+
+
+# --- WOFF 1.0 (the compressed webfont wrapper) -------------------------------
+#
+# W3C WOFF 1.0: a 44-byte header ('wOFF', the wrapped sfnt flavor,
+# numTables, totalSfntSize) + 20-byte directory entries (tag,
+# offset, compLength, origLength, origChecksum), each table body
+# zlib-compressed individually — stored raw when compression does
+# not shrink it. origChecksum is the UNCOMPRESSED table's SFNT
+# checksum, verified after inflation.
+
+
+def parse_woff(data: bytes) -> dict:
+    import zlib
+
+    if len(data) < 44 or data[:4] != b"wOFF":
+        raise ValueError("woff: bad signature")
+    flavor, length, num = struct.unpack_from(">IIH", data, 4)
+    if length != len(data):
+        raise ValueError("woff: header length mismatch")
+    (total_sfnt,) = struct.unpack_from(">I", data, 16)
+    tables = []
+    n_compressed = 0
+    for i in range(num):
+        off = 44 + i * 20
+        if off + 20 > len(data):
+            raise ValueError("woff: truncated directory")
+        tag = data[off:off + 4].decode("latin-1")
+        toff, comp_len, orig_len, orig_csum = struct.unpack_from(
+            ">IIII", data, off + 4
+        )
+        if toff + comp_len > len(data):
+            raise ValueError("woff: table overruns file")
+        raw = data[toff:toff + comp_len]
+        if comp_len < orig_len:
+            body = zlib.decompress(raw)
+            n_compressed += 1
+        elif comp_len == orig_len:
+            body = raw
+        else:
+            raise ValueError("woff: compLength exceeds origLength")
+        if len(body) != orig_len:
+            raise ValueError("woff: inflated size mismatch")
+        check = body
+        if tag == "head":
+            check = body[:8] + b"\x00\x00\x00\x00" + body[12:]
+        if _table_checksum(check) != orig_csum:
+            raise ValueError(f"woff: checksum mismatch in '{tag}'")
+        tables.append({"tag": tag, "length": orig_len, "body": body})
+    return {
+        "flavor": flavor,
+        "n_tables": num,
+        "n_compressed": n_compressed,
+        "total_sfnt_size": total_sfnt,
+        "tables": tables,
+    }
+
+
+def build_woff(tables: list[tuple[str, bytes]]) -> bytes:
+    import zlib
+
+    num = len(tables)
+    entries = b""
+    bodies = b""
+    offset = 44 + num * 20
+    total_sfnt = 12 + num * 16
+    for tag, body in tables:
+        check = body
+        if tag == "head":
+            check = body[:8] + b"\x00\x00\x00\x00" + body[12:]
+        comp = zlib.compress(body, 9)
+        stored = comp if len(comp) < len(body) else body
+        pad = (-len(stored)) % 4
+        entries += tag.encode("latin-1").ljust(4) + struct.pack(
+            ">IIII", offset, len(stored), len(body),
+            _table_checksum(check),
+        )
+        bodies += stored + b"\x00" * pad
+        offset += len(stored) + pad
+        total_sfnt += len(body) + (-len(body)) % 4
+    hdr = b"wOFF" + struct.pack(
+        ">IIHHIHHIIIII", _TT_VERSION, 44 + num * 20 + len(bodies), num,
+        0, total_sfnt, 1, 0, 0, 0, 0, 0, 0,
+    )
+    return hdr + entries + bodies

@@ -2596,3 +2596,70 @@ ORDER BY doc_id, cue_idx
 
 QUERIES["text_webvtt_cues"] = q_text_webvtt_cues
 ORACLES["text_webvtt_cues"] = ORACLE_TEXT_WEBVTT
+
+
+# --- font_woff_meta: compressed webfont wrapper (round 7) --------------------
+
+
+def q_font_woff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOFF 1.0 scan — the wire format webfonts actually ship in:
+    per-table zlib inflation with post-inflation SFNT checksum
+    verification, reconstructed-sfnt size accounting. Parser:
+    core/sfntmeta.py parse_woff; construction guarantees every table
+    compresses, so the n_compressed column pins the inflate path
+    under the driver hash.
+
+    Scale shape: one Arrow-batched kernel pass, zero shuffle before
+    the presentation sort; closed-form oracle."""
+    from h2spark.core.runner import woff_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = woff_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_tables", "n_compressed", "tags",
+                    "total_orig_len", "total_sfnt_size",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_tables long, n_compressed long,"
+            " tags string, total_orig_len long, total_sfnt_size long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FONT_WOFF = """
+WITH t AS (
+  SELECT doc_id,
+         (3 + doc_id % 2)::BIGINT AS n_tables,
+         54 + (40 + doc_id % 9) + (40 + (doc_id % 13) * 3)
+         + (CASE WHEN doc_id % 2 = 1 THEN 44 ELSE 0 END)
+             AS total_orig,
+         -- sfnt size: 12 + n*16 + per-table 4-byte-padded lengths
+         12 + (3 + doc_id % 2) * 16
+         + 56 + ((40 + doc_id % 9 + 3) // 4) * 4
+         + ((40 + (doc_id % 13) * 3 + 3) // 4) * 4
+         + (CASE WHEN doc_id % 2 = 1 THEN 44 ELSE 0 END)
+             AS total_sfnt
+  FROM documents
+)
+SELECT doc_id, n_tables,
+       n_tables AS n_compressed,
+       (CASE WHEN doc_id % 2 = 0 THEN 'head,cmap,glyf'
+             ELSE 'head,cmap,glyf,name' END) AS tags,
+       total_orig::BIGINT AS total_orig_len,
+       total_sfnt::BIGINT AS total_sfnt_size
+FROM t
+ORDER BY doc_id
+"""
+
+QUERIES["font_woff_meta"] = q_font_woff_meta
+ORACLES["font_woff_meta"] = ORACLE_FONT_WOFF

@@ -2021,3 +2021,43 @@ def test_webvtt_parser_forms_and_rejections():
         parse_timestamp_ms("00:00:00")  # milliseconds mandatory
     with pytest.raises(ValueError):
         parse_webvtt("WEBVTT\n\norphan identifier\n")
+
+
+def test_woff_parser_roundtrip_and_rejections():
+    import struct
+    import zlib
+
+    import pytest
+
+    from h2spark.core.sfntmeta import build_woff, parse_woff
+
+    head = struct.pack(">IIII", 0x00010000, 0, 0x5F0F3CF5, 0) \
+        + bytes(38)
+    # an incompressible table (pseudo-random bytes) must take the
+    # stored-raw branch; the compressible one the inflate branch
+    rnd = bytes((j * 97 + j * j * 31 + 7) % 256 for j in range(64))
+    blob = build_woff([("head", head), ("glyf", rnd)])
+    m = parse_woff(blob)
+    assert m["n_tables"] == 2
+    assert m["tables"][1]["body"] == rnd
+    assert m["n_compressed"] < 2  # rnd stored raw (head may compress)
+    # checksum bite after inflation
+    comp_blob = build_woff([("head", head), ("glyf", b"ab" * 60)])
+    assert parse_woff(comp_blob)["n_compressed"] == 2
+    # flip a byte INSIDE glyf's compressed stream (directory entry 1
+    # holds its offset/compLength; trailing file bytes are padding)
+    goff, gcomp = struct.unpack_from(">II", comp_blob, 44 + 20 + 4)
+    bad = bytearray(comp_blob)
+    bad[goff + gcomp // 2] ^= 0xFF
+    with pytest.raises((ValueError, zlib.error)):
+        parse_woff(bytes(bad))
+    # compLength > origLength rejected
+    bad2 = bytearray(comp_blob)
+    struct.pack_into(">I", bad2, 44 + 8, 10_000)  # head compLength
+    with pytest.raises(ValueError):
+        parse_woff(bytes(bad2))
+    # header length mismatch + signature
+    with pytest.raises(ValueError):
+        parse_woff(comp_blob + b"x")
+    with pytest.raises(ValueError):
+        parse_woff(b"wOF2" + comp_blob[4:])
