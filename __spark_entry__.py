@@ -91,7 +91,9 @@ def _all_modules():
 # audio_mp3_meta, audio_aac_meta, audio_ogg_meta, video_mp4_boxes,
 # warc_cdx_index, sketch_len_quantiles, link_hits, url_canonicalize,
 # crawl_politeness_plan, sft_render_mask, media_span_align,
-# kanon_release, export_zorder_plan, code_detect) are 0 rounds old,
+# kanon_release, export_zorder_plan, code_detect, font_sfnt_meta,
+# font_woff_meta, text_webvtt_cues, training_epoch_plan) are 0 rounds
+# old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and
 # rotate into the r8 window.
 _PRIORITY = [

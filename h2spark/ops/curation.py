@@ -1343,3 +1343,78 @@ ORACLE_EXPORT_ZORDER = _oracle_zorder()
 
 QUERIES["export_zorder_plan"] = q_export_zorder_plan
 ORACLES["export_zorder_plan"] = ORACLE_EXPORT_ZORDER
+
+
+# --- data-constrained epoch planning (round 7) -------------------------------
+
+_EPOCH_CAP_E3 = 4000  # max 4 epochs over any source (data-constrained
+                      # scaling: repeated tokens decay in value beyond
+                      # ~4 epochs)
+
+
+def q_training_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeat factors under an equal-share token budget —
+    the data-constrained scaling question (how many epochs over each
+    source before repetition stops paying): budget = 4x the corpus
+    total (a compute-rich, data-constrained run), target per source =
+    an equal split, epochs_e3 = target/available
+    in e3 fixed point capped at 4 epochs, served = what the cap
+    actually yields. All-integer arithmetic.
+
+    Scale shape: one (source) groupBy carrying a single long + a
+    broadcast 1-row total; whitespace token counts stay codegen-side."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    avail = d.select(F.col("source"), tok.alias("t")).groupBy(
+        "source"
+    ).agg(F.sum("t").alias("avail_tokens"))
+    tot = F.broadcast(
+        avail.agg(
+            F.sum("avail_tokens").alias("total"),
+            F.count("*").alias("n_sources"),
+        )
+    )
+    out = avail.crossJoin(tot).select(
+        "source",
+        F.col("avail_tokens").cast("long").alias("avail_tokens"),
+        F.expr("4 * total div n_sources").cast("long").alias(
+            "target_tokens"
+        ),
+    )
+    epochs = F.expr("target_tokens * 1000 div avail_tokens")
+    return out.select(
+        "source", "avail_tokens", "target_tokens",
+        F.least(epochs, F.lit(_EPOCH_CAP_E3)).cast("long").alias(
+            "epochs_e3"
+        ),
+        (epochs > _EPOCH_CAP_E3).alias("capped"),
+        F.least(
+            F.col("target_tokens"),
+            F.expr(f"avail_tokens * {_EPOCH_CAP_E3} div 1000"),
+        ).cast("long").alias("served_tokens"),
+    ).orderBy("source")
+
+
+ORACLE_TRAINING_EPOCH_PLAN = f"""
+WITH a AS (
+  SELECT source,
+         sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT sum(avail_tokens) AS total, count(*) AS n_sources FROM a
+)
+SELECT source, avail_tokens,
+       (4 * total // n_sources)::BIGINT AS target_tokens,
+       least((4 * total // n_sources) * 1000 // avail_tokens,
+             {_EPOCH_CAP_E3})::BIGINT AS epochs_e3,
+       ((4 * total // n_sources) * 1000 // avail_tokens
+        > {_EPOCH_CAP_E3}) AS capped,
+       least(4 * total // n_sources,
+             avail_tokens * {_EPOCH_CAP_E3} // 1000)::BIGINT
+           AS served_tokens
+FROM a, t
+ORDER BY source
+"""
+
+QUERIES["training_epoch_plan"] = q_training_epoch_plan
+ORACLES["training_epoch_plan"] = ORACLE_TRAINING_EPOCH_PLAN
