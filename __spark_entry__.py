@@ -92,7 +92,8 @@ def _all_modules():
 # warc_cdx_index, sketch_len_quantiles, link_hits, url_canonicalize,
 # crawl_politeness_plan, sft_render_mask, media_span_align,
 # kanon_release, export_zorder_plan, code_detect, font_sfnt_meta,
-# font_woff_meta, text_webvtt_cues, training_epoch_plan) are 0 rounds
+# font_woff_meta, text_webvtt_cues, training_epoch_plan,
+# events_asof_join, events_range_join) are 0 rounds
 # old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and
 # rotate into the r8 window.

@@ -824,3 +824,151 @@ ORDER BY event_type, day_idx
 
 QUERIES["kanon_release"] = q_kanon_release
 ORACLES["kanon_release"] = ORACLE_KANON_RELEASE
+
+
+# --- as-of join (round 7) -----------------------------------------------------
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every purchase, the most recent PRIOR view by
+    the same user: the temporal-join primitive feature pipelines use
+    for point-in-time-correct attribution. Spark-first shape: union
+    both event kinds, ONE window over HashPartitioning(user_id)
+    ordered by (ts, event_id) carrying the running max of view
+    timestamps (timestamps ascend, so prefix-MAX == last non-null —
+    an engine-portable stand-in for last_value IGNORE NULLS), then
+    keep purchases. No self-join, no per-row search; -1 sentinels for
+    never-viewed users.
+
+    Scale shape: one hash exchange on user_id total; window state is
+    one long."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long").alias("us"),
+    ).where(F.col("event_type").isin("view", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    prior_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(w)
+    return (
+        e.withColumn("t_prior_view_us", prior_view)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.col("us").alias("t_purchase_us"),
+            F.coalesce(F.col("t_prior_view_us"), F.lit(-1))
+            .cast("long").alias("t_prior_view_us"),
+            F.when(
+                F.col("t_prior_view_us").isNull(), F.lit(-1)
+            ).otherwise(F.col("us") - F.col("t_prior_view_us"))
+            .cast("long").alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'purchase')
+), w AS (
+  SELECT event_id, user_id, event_type, us,
+         max(CASE WHEN event_type = 'view' THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS t_prior
+  FROM e
+)
+SELECT event_id, user_id, us::BIGINT AS t_purchase_us,
+       coalesce(t_prior, -1)::BIGINT AS t_prior_view_us,
+       (CASE WHEN t_prior IS NULL THEN -1 ELSE us - t_prior END)::BIGINT
+           AS gap_us
+FROM w WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+QUERIES["events_asof_join"] = q_events_asof_join
+ORACLES["events_asof_join"] = ORACLE_EVENTS_ASOF
+
+
+# --- range join (round 7) ------------------------------------------------------
+
+_RANGE_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join — per purchase, how many views the same user made in
+    the preceding hour (attribution windows, feature lookbacks). The
+    equi-key (user_id) carries the hash join; the range predicate
+    filters inside each key group, so pair volume is bounded by
+    per-user activity, never corpus x corpus.
+
+    Scale shape: one hash join on user_id + a left join back for
+    zero-view purchases; no global window."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long").alias("us"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("us").alias("p_us")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("us").alias("v_us")
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (v.v_us >= p.p_us - _RANGE_WINDOW_US)
+        & (v.v_us < p.p_us),
+    ).groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        p.join(joined, "event_id", "left")
+        .select(
+            "event_id", "user_id",
+            F.col("p_us").alias("t_purchase_us"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+                "n_views_1h"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EVENTS_RANGE = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+), p AS (
+  SELECT event_id, user_id, us AS p_us FROM e
+  WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id AS v_user, us AS v_us FROM e
+  WHERE event_type = 'view'
+), j AS (
+  SELECT p.event_id, count(*) AS n
+  FROM p JOIN v ON p.user_id = v.v_user
+                AND v.v_us >= p.p_us - {_RANGE_WINDOW_US}
+                AND v.v_us < p.p_us
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id, p.p_us::BIGINT AS t_purchase_us,
+       coalesce(j.n, 0)::BIGINT AS n_views_1h
+FROM p LEFT JOIN j USING (event_id)
+ORDER BY p.event_id
+"""
+
+QUERIES["events_range_join"] = q_events_range_join
+ORACLES["events_range_join"] = ORACLE_EVENTS_RANGE

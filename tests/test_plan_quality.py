@@ -720,3 +720,24 @@ def test_crawl_politeness_single_host_exchange(spark):
     # assignment is computed on the same partitioning
     assert plan.count("hashpartitioning(host") == 1
     assert "Window" in plan
+
+
+def test_asof_join_single_user_exchange(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_asof_join(spark, SF), spark)
+    # the whole as-of resolves on ONE hash exchange over user_id — no
+    # self-join, no per-row probe
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_keyed(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_range_join(spark, SF), spark)
+    # the user_id equi-key must carry the join; the range predicate is
+    # a filter inside key groups, never a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
