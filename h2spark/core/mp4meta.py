@@ -116,7 +116,7 @@ def build_mp4(duration: int, n_tracks: int, mdat: bytes,
             b"tkhd",
             bytes(4) + struct.pack(">II", 0, 0)
             + struct.pack(">I", t + 1) + bytes(4)
-            + struct.pack(">I", duration - t * 40) + bytes(60),
+            + struct.pack(">I", max(duration - t * 40, 0)) + bytes(60),
         )
         traks += _box(b"trak", tkhd)
     return ftyp + _box(b"moov", mvhd + traks) + _box(b"mdat", mdat)

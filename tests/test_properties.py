@@ -589,3 +589,40 @@ def test_tar_parser_roundtrip_property(entries):
             t.addfile(ti, io.BytesIO(content))
     got = parse_tar_entries(buf.getvalue())
     assert [(e["name"], e["content"]) for e in got] == entries
+
+
+@given(
+    br_idx=st.integers(min_value=1, max_value=14),
+    sr_idx=st.integers(min_value=0, max_value=11),
+    channels=st.integers(min_value=1, max_value=7),
+    payloads=st.lists(st.binary(min_size=0, max_size=120),
+                      min_size=1, max_size=5),
+)
+@settings(max_examples=80, deadline=None)
+def test_adts_chain_roundtrip_property(br_idx, sr_idx, channels,
+                                       payloads):
+    del br_idx  # ADTS stores lengths; bitrate index is MP3-only
+    from h2spark.core.adtsmeta import build_adts_frame, parse_adts
+
+    blob = b"".join(
+        build_adts_frame(1, sr_idx, channels, p) for p in payloads
+    )
+    m = parse_adts(blob)
+    assert m["n_frames"] == len(payloads)
+    assert m["channels"] == channels
+    assert m["n_samples"] == 1024 * len(payloads)
+
+
+@given(
+    duration=st.integers(min_value=100, max_value=10_000_000),
+    n_tracks=st.integers(min_value=1, max_value=6),
+    mdat=st.binary(min_size=0, max_size=200),
+)
+@settings(max_examples=80, deadline=None)
+def test_mp4_roundtrip_property(duration, n_tracks, mdat):
+    from h2spark.core.mp4meta import build_mp4, parse_mp4
+
+    m = parse_mp4(build_mp4(duration, n_tracks, mdat))
+    assert m["duration"] == duration
+    assert [t[0] for t in m["tracks"]] == list(range(1, n_tracks + 1))
+    assert m["mdat_size"] == len(mdat)
