@@ -61,6 +61,7 @@ def _all_modules():
         roundtrip,
         scrub,
         sketches,
+        storage,
         tableextract,
         similarity,
         textstats,
@@ -70,7 +71,7 @@ def _all_modules():
         multimodal, pdftext, tableextract,
         flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
         relational, textstats, bpetokens, dedup, similarity, curation,
-        scrub, sketches,
+        scrub, sketches, storage,
     )
 
 

@@ -1,0 +1,340 @@
+"""Parquet footer parser (pure stdlib, Thrift compact protocol).
+
+The Parquet file tail is ``[FileMetaData thrift][4-byte LE length]
+[b"PAR1"]``; FileMetaData is a Thrift *compact-protocol* struct
+(parquet-format/src/main/thrift/parquet.thrift).  This module
+implements a from-scratch generic compact-protocol reader and maps the
+fields this engine needs: file row count, row groups, per-column-chunk
+value/null counts, codec, byte sizes, and min/max statistics for plain
+integer columns.
+
+Why a footer parser in a 100 TB pipeline: partition planning, skew
+audits and incremental-scan manifests want row-group geometry and
+column stats WITHOUT reading data pages — a bounded ~KB ranged read
+per file regardless of file size.  The Spark-side operator distributes
+file paths and each task reads only the tail (`read_footer_tail`).
+
+Parity notes: output matches DuckDB ``parquet_metadata()`` /
+``parquet_file_metadata()`` on the same files (oracle + tests), and
+pyarrow's ``ParquetFile.metadata`` in property tests.
+
+No pyspark/pandas imports (CLAUDE.md hard rule): everything a UDF
+closure references goes through core/runner.py.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+MAGIC = b"PAR1"
+
+# Thrift compact-protocol element type codes
+_T_BOOL_TRUE = 1
+_T_BOOL_FALSE = 2
+_T_BYTE = 3
+_T_I16 = 4
+_T_I32 = 5
+_T_I64 = 6
+_T_DOUBLE = 7
+_T_BINARY = 8
+_T_LIST = 9
+_T_SET = 10
+_T_MAP = 11
+_T_STRUCT = 12
+
+# Parquet physical types (parquet.thrift enum Type)
+PHYSICAL = {
+    0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96",
+    4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY",
+}
+
+CODECS = {
+    0: "UNCOMPRESSED", 1: "SNAPPY", 2: "GZIP", 3: "LZO",
+    4: "BROTLI", 5: "LZ4", 6: "ZSTD", 7: "LZ4_RAW",
+}
+
+# ConvertedType values that annotate INT32/INT64 as something other
+# than a plain integer — parquet.thrift: 5=DECIMAL 6=DATE
+# 7=TIME_MILLIS 8=TIME_MICROS 9=TIMESTAMP_MILLIS 10=TIMESTAMP_MICROS
+# (INT_8..UINT_64 = 15..22 stay plain).
+_NON_PLAIN_CONVERTED = {5, 6, 7, 8, 9, 10}
+# LogicalType union field ids that are non-plain for INT32/INT64
+_NON_PLAIN_LOGICAL = {5, 6, 7, 8}  # DECIMAL=5 DATE=6 TIME=7 TIMESTAMP=8
+
+
+class _Reader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("parquet: varint overflow")
+
+    def zigzag(self) -> int:
+        n = self.varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def binary(self) -> bytes:
+        n = self.varint()
+        if self.pos + n > len(self.data):
+            raise ValueError("parquet: binary length out of range")
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def value(self, tcode: int):
+        if tcode == _T_BOOL_TRUE:
+            return True
+        if tcode == _T_BOOL_FALSE:
+            return False
+        if tcode == _T_BYTE:
+            return self._i8()
+        if tcode in (_T_I16, _T_I32, _T_I64):
+            return self.zigzag()
+        if tcode == _T_DOUBLE:
+            v = struct.unpack_from("<d", self.data, self.pos)[0]
+            self.pos += 8
+            return v
+        if tcode == _T_BINARY:
+            return self.binary()
+        if tcode == _T_LIST or tcode == _T_SET:
+            return self.list_()
+        if tcode == _T_MAP:
+            return self.map_()
+        if tcode == _T_STRUCT:
+            return self.struct_()
+        raise ValueError(f"parquet: unknown thrift type {tcode}")
+
+    def _i8(self) -> int:
+        v = struct.unpack_from("b", self.data, self.pos)[0]
+        self.pos += 1
+        return v
+
+    def list_(self) -> list:
+        hdr = self.byte()
+        size = hdr >> 4
+        etype = hdr & 0x0F
+        if size == 15:
+            size = self.varint()
+        out = []
+        for _ in range(size):
+            if etype in (_T_BOOL_TRUE, _T_BOOL_FALSE):
+                out.append(self.byte() == 1)
+            else:
+                out.append(self.value(etype))
+        return out
+
+    def map_(self) -> dict:
+        size = self.varint()
+        if size == 0:
+            return {}
+        kv = self.byte()
+        ktype, vtype = kv >> 4, kv & 0x0F
+        out = {}
+        for _ in range(size):
+            k = self.value(ktype)
+            out[k] = self.value(vtype)
+        return out
+
+    def struct_(self) -> dict:
+        """Generic struct decode: {field_id: python value}. Unknown
+        fields decode fine (the protocol is self-describing)."""
+        out: dict[int, object] = {}
+        last_id = 0
+        while True:
+            hdr = self.byte()
+            if hdr == 0:
+                return out
+            delta = hdr >> 4
+            tcode = hdr & 0x0F
+            fid = last_id + delta if delta else self.zigzag()
+            last_id = fid
+            if tcode == _T_BOOL_TRUE:
+                out[fid] = True
+            elif tcode == _T_BOOL_FALSE:
+                out[fid] = False
+            else:
+                out[fid] = self.value(tcode)
+
+
+def _decode_stat_int(raw: bytes | None, physical: str):
+    """Plain-encoded statistics value for INT32/INT64 columns."""
+    if raw is None:
+        return None
+    if physical == "INT32" and len(raw) == 4:
+        return struct.unpack("<i", raw)[0]
+    if physical == "INT64" and len(raw) == 8:
+        return struct.unpack("<q", raw)[0]
+    return None
+
+
+def _schema_columns(schema: list[dict]) -> list[dict]:
+    """Flatten the SchemaElement list into leaf columns with dotted
+    paths.  Field ids: 1=type 4=name 5=num_children 6=converted_type
+    10=logicalType (union struct)."""
+    cols: list[dict] = []
+
+    idx = 1  # element 0 is the root
+
+    def walk(prefix: list[str], n_children: int):
+        nonlocal idx
+        for _ in range(n_children):
+            el = schema[idx]
+            idx += 1
+            name = el.get(4, b"").decode("utf-8")
+            kids = el.get(5, 0)
+            if kids:
+                walk(prefix + [name], kids)
+            else:
+                logical = el.get(10, {})
+                cols.append({
+                    "path": ".".join(prefix + [name]),
+                    "physical": PHYSICAL.get(el.get(1), "UNKNOWN"),
+                    "converted_type": el.get(6),
+                    "logical_fields": set(logical) if isinstance(logical, dict) else set(),
+                })
+
+    root = schema[0]
+    walk([], root.get(5, 0))
+    return cols
+
+
+def plain_int_columns(footer: dict) -> list[str]:
+    """Leaf columns whose physical type is INT32/INT64 with no
+    date/time/timestamp/decimal annotation — the ones whose footer
+    min/max equal the true integer min/max of the data."""
+    out = []
+    for c in footer["columns"]:
+        if c["physical"] not in ("INT32", "INT64"):
+            continue
+        if c["converted_type"] in _NON_PLAIN_CONVERTED:
+            continue
+        if c["logical_fields"] & _NON_PLAIN_LOGICAL:
+            continue
+        out.append(c["path"])
+    return out
+
+
+def parse_footer_bytes(tail: bytes) -> dict:
+    """Parse a parquet FileMetaData from the file tail (any byte
+    string ending with the footer + length + magic)."""
+    if len(tail) < 8 or tail[-4:] != MAGIC:
+        raise ValueError("parquet: bad trailing magic")
+    flen = struct.unpack("<I", tail[-8:-4])[0]
+    if flen + 8 > len(tail):
+        raise ValueError("parquet: footer longer than provided tail")
+    meta = _Reader(tail[len(tail) - 8 - flen:len(tail) - 8]).struct_()
+    # FileMetaData: 1=version 2=schema 3=num_rows 4=row_groups 6=created_by
+    schema = meta.get(2, [])
+    columns = _schema_columns(schema)
+    row_groups = []
+    for rg in meta.get(4, []):
+        # RowGroup: 1=columns 2=total_byte_size 3=num_rows
+        chunks = []
+        for cc in rg.get(1, []):
+            md = cc.get(3, {})
+            # ColumnMetaData: 1=type 3=path_in_schema 4=codec
+            # 5=num_values 6=total_uncompressed 7=total_compressed
+            # 12=statistics (1=max 2=min 3=null_count 5=max_value 6=min_value)
+            st = md.get(12, {})
+            physical = PHYSICAL.get(md.get(1), "UNKNOWN")
+            raw_min = st.get(6, st.get(2))
+            raw_max = st.get(5, st.get(1))
+            chunks.append({
+                "path": ".".join(p.decode("utf-8") for p in md.get(3, [])),
+                "physical": physical,
+                "codec": CODECS.get(md.get(4), "UNKNOWN"),
+                "num_values": md.get(5, 0),
+                "total_uncompressed_size": md.get(6, 0),
+                "total_compressed_size": md.get(7, 0),
+                "null_count": st.get(3),
+                "min_int": _decode_stat_int(raw_min, physical),
+                "max_int": _decode_stat_int(raw_max, physical),
+            })
+        row_groups.append({
+            "num_rows": rg.get(3, 0),
+            "total_byte_size": rg.get(2, 0),
+            "columns": chunks,
+        })
+    return {
+        "version": meta.get(1),
+        "num_rows": meta.get(3, 0),
+        "created_by": (meta.get(6) or b"").decode("utf-8", "replace"),
+        "columns": columns,
+        "row_groups": row_groups,
+    }
+
+
+# Tail window: footers of real files are KBs; 1 MiB covers very wide
+# schemas while keeping the ranged read bounded.
+TAIL_BYTES = 1 << 20
+
+
+def read_footer_tail(path: str) -> dict:
+    """Ranged read of the file tail only — O(footer), not O(file)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        if size > TAIL_BYTES:
+            f.seek(size - TAIL_BYTES)
+        tail = f.read()
+    if len(tail) >= 8 and tail[-4:] == MAGIC:
+        flen = struct.unpack("<I", tail[-8:-4])[0]
+        if flen + 8 > len(tail):  # huge footer: one exact re-read
+            with open(path, "rb") as f:
+                f.seek(size - flen - 8)
+                tail = f.read()
+    return parse_footer_bytes(tail)
+
+
+def int_column_audit(path: str) -> list[dict]:
+    """One row per plain-int leaf column: footer-derived counts and
+    min/max aggregated across row groups.  These are exactly the facts
+    re-derivable from the data itself (the oracle recomputes them with
+    COUNT/MIN/MAX over the table)."""
+    footer = read_footer_tail(path)
+    keep = set(plain_int_columns(footer))
+    agg: dict[str, dict] = {}
+    for rg in footer["row_groups"]:
+        for cc in rg["columns"]:
+            if cc["path"] not in keep:
+                continue
+            a = agg.setdefault(cc["path"], {
+                "num_values": 0, "null_count": 0,
+                "min_int": None, "max_int": None,
+            })
+            a["num_values"] += cc["num_values"]
+            if cc["null_count"] is not None:
+                a["null_count"] += cc["null_count"]
+            if cc["min_int"] is not None:
+                a["min_int"] = cc["min_int"] if a["min_int"] is None else min(a["min_int"], cc["min_int"])
+            if cc["max_int"] is not None:
+                a["max_int"] = cc["max_int"] if a["max_int"] is None else max(a["max_int"], cc["max_int"])
+    out = []
+    for path_, a in sorted(agg.items()):
+        out.append({
+            "col": path_,
+            "n_rows": footer["num_rows"],
+            "n_row_groups": len(footer["row_groups"]),
+            "num_values": a["num_values"],
+            "null_count": a["null_count"],
+            "min_int": a["min_int"],
+            "max_int": a["max_int"],
+        })
+    return out

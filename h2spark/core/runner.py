@@ -1830,3 +1830,25 @@ def woff_meta_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def parquet_footer_audit_batch(tabs, paths) -> list:
+    """Footer zone-map audit per file: ranged tail read, Thrift
+    compact parse (core/parqmeta.py), one row per plain-int column
+    with footer row/null counts and min/max aggregated across row
+    groups.  IO is O(footer bytes) per file — the shape that audits a
+    million-shard lake without a scan."""
+    from h2spark.core.parqmeta import int_column_audit
+
+    rows: list = []
+    for tab, path in zip(tabs, paths):
+        for r in int_column_audit(str(path)):
+            rows.append(
+                (
+                    str(tab), r["col"], int(r["n_rows"]),
+                    int(r["null_count"]),
+                    None if r["min_int"] is None else int(r["min_int"]),
+                    None if r["max_int"] is None else int(r["max_int"]),
+                )
+            )
+    return rows

@@ -1,0 +1,101 @@
+"""Storage-introspection operators: parquet footer audits.
+
+At 100 TB a pipeline plans scans, audits skew, and builds incremental
+manifests from FOOTER metadata — row counts, null counts, column
+min/max zone maps — without touching data pages.  The kernel
+(core/parqmeta.py) is a from-scratch Thrift compact-protocol parser;
+each task does a bounded ranged read of the file tail (~KB regardless
+of file size), so auditing a million-shard table costs a million
+small reads fanned across executors, not a scan.
+
+Scale shape: the file listing is the distributed axis (here 10 paths;
+on a real lake, millions of shard paths from the catalog), one
+mapInPandas pass, no shuffle before the presentation sort.  The
+oracle recomputes every emitted fact from the data itself
+(COUNT/MIN/MAX over the same tables), which is exactly the zone-map
+invariant the footer promises.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def q_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map audit: for every plain-integer column of every table,
+    parse the parquet footer (Thrift compact protocol, ranged tail
+    read) and emit the footer's row count, null count and min/max —
+    the facts a scan planner trusts for partition pruning.  Timestamp/
+    date/decimal-annotated INT columns are excluded (their stats are
+    logical values, not plain integers)."""
+    from h2spark.core.runner import parquet_footer_audit_batch
+
+    def audit(batches):
+        for pdf in batches:
+            rows = parquet_footer_audit_batch(
+                list(pdf["tab"]), list(pdf["path"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tab", "col", "n_rows", "null_count",
+                    "min_int", "max_int",
+                ],
+            )
+
+    paths = [(t, f"{sf_dir}/{t}.parquet") for t in _TABLES]
+    files = spark.createDataFrame(paths, "tab string, path string")
+    return (
+        files.repartition(len(paths))
+        .mapInPandas(
+            audit,
+            "tab string, col string, n_rows long, null_count long,"
+            " min_int long, max_int long",
+        )
+        .orderBy("tab", "col")
+    )
+
+
+# The plain-int column inventory per table (fixed testdata schema).
+_INT_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey", "p_size"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id", "n_chars"],
+    "embeddings": ["vec_id", "label"],
+}
+
+
+def _oracle_footer_audit() -> str:
+    selects = []
+    for tab, cols in _INT_COLS.items():
+        for c in cols:
+            selects.append(
+                f"  SELECT '{tab}' AS tab, '{c}' AS col,\n"
+                f"         count(*)::BIGINT AS n_rows,\n"
+                f"         (count(*) - count({c}))::BIGINT AS null_count,\n"
+                f"         min({c})::BIGINT AS min_int,\n"
+                f"         max({c})::BIGINT AS max_int\n"
+                f"  FROM {tab}"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return f"{union}\nORDER BY tab, col"
+
+
+ORACLE_FOOTER_AUDIT = _oracle_footer_audit()
+
+QUERIES["parquet_footer_audit"] = q_parquet_footer_audit
+ORACLES["parquet_footer_audit"] = ORACLE_FOOTER_AUDIT

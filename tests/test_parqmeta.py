@@ -1,0 +1,177 @@
+"""Parquet footer parser (core/parqmeta.py) vs pyarrow + DuckDB.
+
+The parser is a from-scratch Thrift compact-protocol reader; these
+tests pin it against two independent implementations on files WE
+write with varied geometry: multiple row groups, nulls, codecs,
+nested columns, wide schemas, and timestamp-annotated ints (which
+must be excluded from the plain-int audit)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from h2spark.core.parqmeta import (
+    int_column_audit,
+    parse_footer_bytes,
+    plain_int_columns,
+    read_footer_tail,
+)
+
+
+def _write(tmp_path, table, name="t.parquet", **kw):
+    p = str(tmp_path / name)
+    pq.write_table(table, p, **kw)
+    return p
+
+
+def test_basic_counts_and_stats(tmp_path):
+    t = pa.table({
+        "a": pa.array([3, 1, 4, 1, 5], pa.int64()),
+        "b": pa.array([None, 2, None, 4, 5], pa.int32()),
+        "s": pa.array(["x", "y", "z", "w", "v"]),
+    })
+    p = _write(tmp_path, t)
+    f = read_footer_tail(p)
+    assert f["num_rows"] == 5
+    assert len(f["row_groups"]) == 1
+    assert plain_int_columns(f) == ["a", "b"]
+    audit = {r["col"]: r for r in int_column_audit(p)}
+    assert audit["a"]["min_int"] == 1 and audit["a"]["max_int"] == 5
+    assert audit["a"]["null_count"] == 0
+    assert audit["b"]["min_int"] == 2 and audit["b"]["max_int"] == 5
+    assert audit["b"]["null_count"] == 2
+    assert audit["b"]["num_values"] == 5  # num_values counts nulls too
+
+
+def test_multiple_row_groups_aggregate(tmp_path):
+    t = pa.table({"a": pa.array(range(1000), pa.int64())})
+    p = _write(tmp_path, t, row_group_size=100)
+    f = read_footer_tail(p)
+    assert len(f["row_groups"]) == 10
+    assert all(rg["num_rows"] == 100 for rg in f["row_groups"])
+    (row,) = int_column_audit(p)
+    assert row["n_rows"] == 1000
+    assert row["n_row_groups"] == 10
+    assert row["num_values"] == 1000
+    assert row["min_int"] == 0 and row["max_int"] == 999
+
+
+def test_timestamp_and_date_ints_excluded(tmp_path):
+    t = pa.table({
+        "plain": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1, 2], pa.timestamp("us")),
+        "d": pa.array([1, 2], pa.date32()),
+    })
+    p = _write(tmp_path, t)
+    assert plain_int_columns(read_footer_tail(p)) == ["plain"]
+
+
+def test_nested_paths_flattened(tmp_path):
+    t = pa.table({
+        "outer": pa.array([{"x": 1, "y": "a"}, {"x": 2, "y": "b"}],
+                          pa.struct([("x", pa.int64()), ("y", pa.string())])),
+        "top": pa.array([7, 8], pa.int32()),
+    })
+    p = _write(tmp_path, t)
+    f = read_footer_tail(p)
+    paths = {c["path"] for c in f["columns"]}
+    assert "outer.x" in paths and "outer.y" in paths and "top" in paths
+    assert sorted(plain_int_columns(f)) == ["outer.x", "top"]
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd", "gzip"])
+def test_codecs_parse(tmp_path, codec):
+    t = pa.table({"a": pa.array(range(50), pa.int64())})
+    p = _write(tmp_path, t, f"c_{codec}.parquet", compression=codec)
+    f = read_footer_tail(p)
+    cc = f["row_groups"][0]["columns"][0]
+    expected = "UNCOMPRESSED" if codec == "none" else codec.upper()
+    assert cc["codec"] == expected
+    assert cc["num_values"] == 50
+
+
+def test_matches_duckdb_parquet_metadata(tmp_path):
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        "k": pa.array(rng.randint(-10**9, 10**9, 777), pa.int64()),
+        "v": pa.array(rng.randint(0, 100, 777), pa.int32()),
+        "s": pa.array([f"s{i%13}" for i in range(777)]),
+    })
+    p = _write(tmp_path, t, row_group_size=200)
+    con = duckdb.connect()
+    dd = {
+        r[0]: r[1:]
+        for r in con.execute(
+            "SELECT path_in_schema, sum(num_values),"
+            " sum(stats_null_count), min(stats_min::BIGINT),"
+            " max(stats_max::BIGINT)"
+            f" FROM parquet_metadata('{p}')"
+            " WHERE type IN ('INT32','INT64') GROUP BY 1"
+        ).fetchall()
+    }
+    for row in int_column_audit(p):
+        nv, nc, lo, hi = dd[row["col"]]
+        assert row["num_values"] == nv
+        assert row["null_count"] == nc
+        assert row["min_int"] == lo
+        assert row["max_int"] == hi
+    n, nrg = con.execute(
+        f"SELECT num_rows, num_row_groups FROM parquet_file_metadata('{p}')"
+    ).fetchone()
+    f = read_footer_tail(p)
+    assert f["num_rows"] == n and len(f["row_groups"]) == nrg
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError):
+        parse_footer_bytes(b"not a parquet file")
+    with pytest.raises(ValueError):
+        parse_footer_bytes(b"\x00" * 8 + b"PAR2")
+
+
+def test_truncated_footer_rejected(tmp_path):
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    p = _write(tmp_path, t)
+    data = open(p, "rb").read()
+    with pytest.raises(ValueError):
+        parse_footer_bytes(data[-12:])  # length field points past tail
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    rg=st.integers(min_value=1, max_value=97),
+    null_every=st.integers(min_value=0, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_property_roundtrip_vs_pyarrow(tmp_path_factory, n, rg, null_every, seed):
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(-2**62, 2**62, n).astype(object)
+    if null_every:
+        vals = [None if i % (null_every + 1) == 0 else int(v)
+                for i, v in enumerate(vals)]
+    else:
+        vals = [int(v) for v in vals]
+    t = pa.table({
+        "a": pa.array(vals, pa.int64()),
+        "tag": pa.array([f"t{i%3}" for i in range(n)]),
+    })
+    tmp = tmp_path_factory.mktemp("pm")
+    p = _write(tmp, t, row_group_size=rg)
+    md = pq.ParquetFile(p).metadata
+    f = read_footer_tail(p)
+    assert f["num_rows"] == md.num_rows
+    assert len(f["row_groups"]) == md.num_row_groups
+    (row,) = int_column_audit(p)
+    nonnull = [v for v in vals if v is not None]
+    assert row["num_values"] == n
+    assert row["null_count"] == n - len(nonnull)
+    if nonnull:
+        assert row["min_int"] == min(nonnull)
+        assert row["max_int"] == max(nonnull)
