@@ -1418,3 +1418,98 @@ ORDER BY source
 
 QUERIES["training_epoch_plan"] = q_training_epoch_plan
 ORACLES["training_epoch_plan"] = ORACLE_TRAINING_EPOCH_PLAN
+
+
+# --- DPO preference-pair construction (round 7) --------------------------
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training: within each
+    (lang, source) candidate group, pair the best-scored document
+    (chosen) against the worst (rejected), keeping only pairs with a
+    positive quality margin.  Score is the shared quality_expr as an
+    exact e4 integer (the budget-selection precedent); ties break on
+    doc_id so the pairing is deterministic.
+
+    Scale shape: ONE map-side-combinable groupBy with struct MIN/MAX
+    aggregates — argmax-by-composite-key without a window, so a group
+    with 10^9 candidates costs a partial aggregate, not a per-group
+    sort.  The oracle replays it with two rank windows."""
+    from h2spark.ops.textstats import quality_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.round(quality_expr() * 10_000, 0).cast("long").alias("q_e4"),
+    )
+    # struct ordering = lexicographic: (q, -doc_id) MAX -> highest
+    # quality then lowest doc_id; (q, doc_id) MIN -> lowest quality
+    # then lowest doc_id
+    agg = base.groupBy("lang", "source").agg(
+        F.max(
+            F.struct(F.col("q_e4").alias("q"),
+                     (-F.col("doc_id")).alias("nd"))
+        ).alias("hi"),
+        F.min(
+            F.struct(F.col("q_e4").alias("q"),
+                     F.col("doc_id").alias("d"))
+        ).alias("lo"),
+        F.count("*").alias("n_docs"),
+    )
+    return (
+        agg.select(
+            "lang", "source",
+            (-F.col("hi.nd")).alias("chosen_doc"),
+            F.col("lo.d").alias("rejected_doc"),
+            F.col("hi.q").alias("chosen_e4"),
+            F.col("lo.q").alias("rejected_e4"),
+            (F.col("hi.q") - F.col("lo.q")).alias("margin_e4"),
+            "n_docs",
+        )
+        .where(F.col("margin_e4") >= 1)
+        .orderBy("lang", "source")
+    )
+
+
+_QUALITY_E4_SQL = """CAST(round(round(least((CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::DOUBLE / 100.0, 1.0) * 0.4
+             + (CASE WHEN length(trim(text)) > 0
+                THEN length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g'))::DOUBLE
+                     / length(trim(text)) ELSE 0.0 END) * 0.4
+             + (1.0 - least((CASE WHEN length(trim(text)) > 0
+                THEN length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g'))::DOUBLE
+                     / length(trim(text)) ELSE 0.0 END) * 10, 1.0)) * 0.2,
+             4) * 10000) AS BIGINT)"""
+
+ORACLE_PREFERENCE_PAIRS = f"""
+WITH q AS (
+  SELECT doc_id, lang, source, {_QUALITY_E4_SQL} AS q_e4
+  FROM documents
+), hi AS (
+  SELECT lang, source, doc_id AS chosen_doc, q_e4 AS chosen_e4,
+         row_number() OVER (
+           PARTITION BY lang, source ORDER BY q_e4 DESC, doc_id ASC
+         ) AS rn
+  FROM q
+), lo AS (
+  SELECT lang, source, doc_id AS rejected_doc, q_e4 AS rejected_e4,
+         row_number() OVER (
+           PARTITION BY lang, source ORDER BY q_e4 ASC, doc_id ASC
+         ) AS rn
+  FROM q
+), n AS (
+  SELECT lang, source, count(*) AS n_docs FROM q GROUP BY 1, 2
+)
+SELECT h.lang, h.source, h.chosen_doc, l.rejected_doc,
+       h.chosen_e4, l.rejected_e4,
+       (h.chosen_e4 - l.rejected_e4)::BIGINT AS margin_e4,
+       n.n_docs::BIGINT AS n_docs
+FROM hi h
+JOIN lo l ON h.lang = l.lang AND h.source = l.source AND l.rn = 1
+JOIN n ON h.lang = n.lang AND h.source = n.source
+WHERE h.rn = 1 AND h.chosen_e4 - l.rejected_e4 >= 1
+ORDER BY h.lang, h.source
+"""
+
+QUERIES["preference_pairs"] = q_preference_pairs
+ORACLES["preference_pairs"] = ORACLE_PREFERENCE_PAIRS

@@ -972,3 +972,78 @@ ORDER BY p.event_id
 
 QUERIES["events_range_join"] = q_events_range_join
 ORACLES["events_range_join"] = ORACLE_EVENTS_RANGE
+
+
+# --- shuffle skew audit + salt plan (round 7) ---------------------------
+
+
+_SKEW_PARTS = 32       # planned shuffle parallelism P
+_SKEW_FACTOR = 2       # heavy = key carries > FACTOR x fair share
+
+
+def q_shuffle_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven salt plan: find shuffle keys whose row share exceeds
+    2x the fair per-partition share at P=32 and recommend a salt
+    factor (the fan-out pipeline/salting.py applies).  Audits two key
+    spaces over events — event_type (5 values, all heavy: the
+    classic low-cardinality shuffle trap) and user_id (exercises the
+    no-heavy-keys branch).
+
+    All-integer math: share_e6 = cnt*1e6 div N, salt_factor =
+    ceil(cnt*P/N).  Scale shape: two map-side-combinable groupBy
+    counts over one scan, totals attached as a 1-row broadcast — the
+    audit itself never shuffles more than (distinct keys) rows, which
+    is exactly why you run it BEFORE the real join at 10^12 rows."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = e.groupBy().agg(F.count("*").alias("n_total"))
+
+    def audit(keyed: DataFrame) -> DataFrame:
+        per_key = keyed.groupBy("key_space", "key").agg(
+            F.count("*").alias("cnt")
+        )
+        j = per_key.crossJoin(F.broadcast(total))
+        heavy = j.where(
+            F.col("cnt") * _SKEW_PARTS > _SKEW_FACTOR * F.col("n_total")
+        )
+        # integer `div`, not `/`+cast: float64 loses exactness past
+        # 2^53, which cnt*1e6 crosses at ~10^10 rows
+        return heavy.select(
+            "key_space", "key", "cnt",
+            F.expr("cnt * 1000000L div n_total").alias("share_e6"),
+            F.expr(
+                f"(cnt * {_SKEW_PARTS}L + n_total - 1) div n_total"
+            ).alias("salt_factor"),
+        )
+
+    by_type = e.select(
+        F.lit("event_type").alias("key_space"),
+        F.col("event_type").alias("key"),
+    )
+    by_user = e.select(
+        F.lit("user_id").alias("key_space"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    return audit(by_type.unionByName(by_user)).orderBy("key_space", "key")
+
+
+ORACLE_SHUFFLE_SKEW = f"""
+WITH keyed AS (
+  SELECT 'event_type' AS key_space, event_type AS key FROM events
+  UNION ALL
+  SELECT 'user_id', user_id::VARCHAR FROM events
+), t AS (
+  SELECT count(*) AS n_total FROM events
+), per_key AS (
+  SELECT key_space, key, count(*) AS cnt FROM keyed GROUP BY 1, 2
+)
+SELECT key_space, key, cnt::BIGINT AS cnt,
+       (cnt * 1000000 // n_total)::BIGINT AS share_e6,
+       ((cnt * {_SKEW_PARTS} + n_total - 1) // n_total)::BIGINT
+           AS salt_factor
+FROM per_key, t
+WHERE cnt * {_SKEW_PARTS} > {_SKEW_FACTOR} * n_total
+ORDER BY key_space, key
+"""
+
+QUERIES["shuffle_skew_plan"] = q_shuffle_skew_plan
+ORACLES["shuffle_skew_plan"] = ORACLE_SHUFFLE_SKEW

@@ -2061,3 +2061,79 @@ def test_woff_parser_roundtrip_and_rejections():
         parse_woff(comp_blob + b"x")
     with pytest.raises(ValueError):
         parse_woff(b"wOF2" + comp_blob[4:])
+
+
+# --- shuffle skew plan + preference pairs (round 7) ----------------------
+
+
+def test_shuffle_skew_plan_values(spark):
+    from h2spark.ops.relational import (
+        _SKEW_FACTOR, _SKEW_PARTS, q_shuffle_skew_plan,
+    )
+
+    rows = q_shuffle_skew_plan(spark, "/root/testdata/sf0.001").collect()
+    # sf0.001 events: 1000 rows, 5 event types (~200 each), 15 users
+    # (~66 each).  fair share = 1000/32 ~ 31; heavy needs > 62 rows:
+    # every event_type qualifies, users sit at ~66 > 62 too at this
+    # tiny sf — recompute from the raw data instead of hardcoding.
+    import duckdb
+
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT event_type, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet' GROUP BY 1"
+    ).fetchall()
+    n_total = sum(c for _, c in raw)
+    expected_types = {
+        k: c for k, c in raw if c * _SKEW_PARTS > _SKEW_FACTOR * n_total
+    }
+    got_types = {r["key"]: r for r in rows if r["key_space"] == "event_type"}
+    assert set(got_types) == set(expected_types)
+    for k, c in expected_types.items():
+        r = got_types[k]
+        assert r["cnt"] == c
+        assert r["share_e6"] == c * 1_000_000 // n_total
+        assert r["salt_factor"] == (c * _SKEW_PARTS + n_total - 1) // n_total
+        assert r["salt_factor"] >= _SKEW_FACTOR  # heavy => salt > fair
+
+
+def test_preference_pairs_invariants(spark):
+    from h2spark.ops.curation import q_preference_pairs
+
+    rows = q_preference_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 must yield at least one preference pair"
+    for r in rows:
+        assert r["chosen_doc"] != r["rejected_doc"]
+        assert r["chosen_e4"] > r["rejected_e4"]
+        assert r["margin_e4"] == r["chosen_e4"] - r["rejected_e4"]
+        assert r["margin_e4"] >= 1
+        assert r["n_docs"] >= 2
+
+
+def test_preference_pairs_tiebreak_deterministic(spark):
+    """Equal-quality candidates: chosen = lowest doc_id among the max
+    scores, rejected = lowest doc_id among the min scores."""
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.curation import q_preference_pairs
+    import h2spark.ops.curation as cur
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "s", "good clean text with many fine words here"),
+            (2, "en", "s", "good clean text with many fine words here"),
+            (3, "en", "s", "!!!!"),
+            (4, "en", "s", "!!!!"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    import unittest.mock as mock
+    from pyspark.sql.readwriter import DataFrameReader
+
+    with mock.patch.object(
+        DataFrameReader, "parquet", lambda self, *_: df
+    ):
+        out = q_preference_pairs(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0]["chosen_doc"] == 1      # max score, lowest doc_id
+    assert out[0]["rejected_doc"] == 3    # min score, lowest doc_id

@@ -741,3 +741,36 @@ def test_range_join_is_equi_keyed(spark):
     # a filter inside key groups, never a cartesian product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_plan_is_partial_agg_plus_broadcast_totals(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_shuffle_skew_plan(spark, SF), spark)
+    # per-key counts must partial-aggregate map-side (the audit
+    # shuffles distinct keys, not rows), totals attach via broadcast
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_preference_pairs_is_single_agg_no_window(spark):
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_preference_pairs(spark, SF), spark)
+    # argmax-by-struct: ONE groupBy aggregation, no rank window (a
+    # per-group sort would serialize 10^9-candidate groups)
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning(lang") == 1
+    assert "partial_max" in plan and "partial_min" in plan
+
+
+def test_footer_audit_has_no_shuffle_before_sort(spark):
+    from h2spark.ops import storage
+
+    plan = _formatted(storage.q_parquet_footer_audit(spark, SF), spark)
+    # one kernel pass over the file list; the only exchanges are the
+    # file-list round robin and the presentation sort
+    assert "MapInPandas" in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
