@@ -1852,3 +1852,15 @@ def parquet_footer_audit_batch(tabs, paths) -> list:
                 )
             )
     return rows
+
+
+def nfc_normalize_batch(texts) -> list:
+    """Unicode NFC normalization (stdlib unicodedata) — the kernel for
+    the normalization audit; DuckDB's nfc_normalize is the oracle twin
+    (verified identical incl. singleton mappings like U+212B)."""
+    import unicodedata
+
+    return [
+        None if t is None else unicodedata.normalize("NFC", str(t))
+        for t in texts
+    ]

@@ -1594,3 +1594,76 @@ ORDER BY doc_id
 
 QUERIES["code_detect"] = q_code_detect
 ORACLES["code_detect"] = ORACLE_CODE_DETECT
+
+
+# --- unicode NFC normalization audit (round 7) ---------------------------
+
+_U_DECOMP = " éÅñ"   # combining marks; NFC -> " éÅñ"
+_U_PRECOMP = " éÅñ"     # already NFC
+_U_SINGLETON = " Åﬁ"         # ANGSTROM -> U+00C5 (same length);
+                                       # fi-ligature is NFC-invariant
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization audit: inject decomposed / precomposed /
+    singleton forms by doc_id, NFC-normalize in an Arrow-batched
+    kernel (stdlib unicodedata), and report code-point counts before/
+    after plus the combining-mark count and a changed flag.  Corpora
+    mix normalization forms in the wild; dedup and tokenization both
+    silently fracture on NFD-vs-NFC twins, so normalize-first is a
+    standard corpus pass.
+
+    The kernel is the only non-codegen step; DuckDB's nfc_normalize
+    replays it exactly (verified incl. the U+212B singleton, which
+    changes the string without changing its length — why `changed`
+    compares strings, not lengths)."""
+    from h2spark.pipeline.kernel import make_nfc_udf
+
+    d = _docs(spark, sf_dir)
+    sel = F.pmod(F.col("doc_id"), F.lit(4))
+    t = (
+        F.when(sel == 1, F.concat(F.col("text"), F.lit(_U_DECOMP)))
+        .when(sel == 2, F.concat(F.col("text"), F.lit(_U_PRECOMP)))
+        .when(sel == 3, F.concat(F.col("text"), F.lit(_U_SINGLETON)))
+        .otherwise(F.col("text"))
+    )
+    nfc = make_nfc_udf()
+    base = d.select("doc_id", t.alias("t")).withColumn("nfc", nfc("t"))
+    n_comb = (
+        F.length("t")
+        - F.length(F.regexp_replace(F.col("t"), "[̀-ͯ]", ""))
+    ).cast("long")
+    return (
+        base.select(
+            "doc_id",
+            F.length("t").cast("long").alias("n_raw"),
+            n_comb.alias("n_combining"),
+            F.length("nfc").cast("long").alias("n_nfc"),
+            (F.col("nfc") != F.col("t")).alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNICODE_NORMALIZE = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+              WHEN 1 THEN text || '{_U_DECOMP}'
+              WHEN 2 THEN text || '{_U_PRECOMP}'
+              WHEN 3 THEN text || '{_U_SINGLETON}'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       length(t)::BIGINT AS n_raw,
+       (length(t) - length(regexp_replace(t, '[̀-ͯ]', '', 'g')))::BIGINT
+           AS n_combining,
+       length(nfc_normalize(t))::BIGINT AS n_nfc,
+       nfc_normalize(t) <> t AS changed
+FROM injected
+ORDER BY doc_id
+"""
+
+QUERIES["text_unicode_normalize"] = q_unicode_normalize
+ORACLES["text_unicode_normalize"] = ORACLE_UNICODE_NORMALIZE

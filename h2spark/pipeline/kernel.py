@@ -138,3 +138,15 @@ def make_main_text_udf(input_kind: str = "spans"):
         return pd.DataFrame({"main_text": texts, "error": errors})
 
     return main_text
+
+
+def make_nfc_udf():
+    """UDF: string -> NFC-normalized string (Arrow-batched; the only
+    non-codegen step of the unicode normalization audit)."""
+    from h2spark.core.runner import nfc_normalize_batch
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        return pd.Series(nfc_normalize_batch(col))
+
+    return nfc

@@ -2137,3 +2137,21 @@ def test_preference_pairs_tiebreak_deterministic(spark):
     assert len(out) == 1
     assert out[0]["chosen_doc"] == 1      # max score, lowest doc_id
     assert out[0]["rejected_doc"] == 3    # min score, lowest doc_id
+
+
+def test_unicode_normalize_branches(spark):
+    from h2spark.ops.textstats import q_unicode_normalize
+
+    rows = q_unicode_normalize(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        m = r["doc_id"] % 4
+        if m == 0:        # untouched ASCII corpus text
+            assert not r["changed"] and r["n_combining"] == 0
+            assert r["n_nfc"] == r["n_raw"]
+        elif m == 1:      # decomposed: 3 combining marks fold away
+            assert r["changed"] and r["n_combining"] == 3
+            assert r["n_nfc"] == r["n_raw"] - 3
+        elif m == 2:      # precomposed: already NFC
+            assert not r["changed"] and r["n_combining"] == 0
+        else:             # U+212B singleton: changes, same length
+            assert r["changed"] and r["n_nfc"] == r["n_raw"]

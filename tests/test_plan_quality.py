@@ -774,3 +774,11 @@ def test_footer_audit_has_no_shuffle_before_sort(spark):
     # file-list round robin and the presentation sort
     assert "MapInPandas" in plan
     assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_unicode_normalize_single_pass_arrow(spark):
+    plan = _formatted(textstats.q_unicode_normalize(spark, SF), spark)
+    # one scan -> Arrow-batched kernel -> codegen counters; no shuffle
+    # before the presentation sort
+    assert "ArrowEvalPython" in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
