@@ -1,0 +1,326 @@
+"""FLAC container + verbatim-subframe codec (pure stdlib, spec-derived).
+
+Layout per the FLAC format spec (xiph.org/flac/format.html): "fLaC"
+magic, METADATA_BLOCK chain (STREAMINFO required first; PADDING
+supported), then audio frames.  Each frame: 14-bit sync + header
+fields + UTF-8-coded frame number + CRC-8, per-channel subframes,
+CRC-16 footer over the whole frame.  This profile WRITES verbatim
+subframes only (uncompressed PCM — the container is the point, not
+the predictor) and the parser verifies every CRC plus the STREAMINFO
+MD5 of the unencoded little-endian sample stream.
+
+Builder and parser are both from scratch; the builder exists so the
+byte layout sits under the tests (the ZIP/TAR/WOFF division).  The
+parser enforces the quarantine contract: structural damage raises
+ValueError, it never limps.
+
+CRC-8 poly 0x07 and CRC-16 poly 0x8005 (both init 0, MSB-first) are
+pinned against published check values in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+MAGIC = b"fLaC"
+
+_BLOCK_STREAMINFO = 0
+_BLOCK_PADDING = 1
+
+# sample-size (bits-per-sample) encoding in the frame header, bits 0b100
+_BPS_BITS = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+_BPS_FROM_BITS = {v: k for k, v in _BPS_BITS.items()}
+
+
+def crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_number(n: int) -> bytes:
+    """FLAC's UTF-8-style variable-length integer (frame number)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    bits = n.bit_length()
+    n_bytes = 2
+    while bits > (7 - n_bytes) + 6 * (n_bytes - 1) and n_bytes < 7:
+        n_bytes += 1
+    shift = 6 * (n_bytes - 1)
+    lead_mask = (0xFF << (8 - n_bytes)) & 0xFF
+    out.append(lead_mask | (n >> shift))
+    for i in range(n_bytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_number(data: bytes, pos: int) -> tuple[int, int]:
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    n_bytes = 0
+    mask = 0x80
+    while b0 & mask:
+        n_bytes += 1
+        mask >>= 1
+    if n_bytes < 2 or n_bytes > 7:
+        raise ValueError("flac: bad utf8-coded number")
+    val = b0 & (0x7F >> n_bytes)
+    for i in range(1, n_bytes):
+        b = data[pos + i]
+        if b & 0xC0 != 0x80:
+            raise ValueError("flac: bad utf8 continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val, pos + n_bytes
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("flac: bitstream truncated")
+            out = (out << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return out
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+def build_flac(
+    channels: list[list[int]],
+    sample_rate: int = 8000,
+    bps: int = 16,
+    block_size: int = 256,
+    padding: int = 0,
+) -> bytes:
+    """Serialize PCM channels as a real FLAC file (verbatim subframes,
+    fixed-blocksize strategy, frame-number coding)."""
+    n_ch = len(channels)
+    if not 1 <= n_ch <= 2:
+        raise ValueError("flac: this profile writes 1-2 channels")
+    if bps not in _BPS_BITS:
+        raise ValueError("flac: unsupported bits per sample")
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("flac: channel length mismatch")
+
+    # STREAMINFO md5: interleaved samples, little-endian, signed
+    md = hashlib.md5()
+    nbytes = bps // 8
+    for i in range(n):
+        for c in channels:
+            md.update(int(c[i]).to_bytes(nbytes, "little", signed=True))
+
+    if n == 0:
+        raise ValueError("flac: empty sample stream")
+    frames = []
+    frame_no = 0
+    pos = 0
+    min_fs = max_fs = 0
+    bs_seen: list[int] = []
+    while pos < n:
+        bs = min(block_size, n - pos)
+        bs_seen.append(bs)
+        hdr = bytearray([0xFF, 0xF8, 0x70,
+                         ((n_ch - 1) << 4) | (_BPS_BITS[bps] << 1)])
+        hdr += _utf8_number(frame_no)
+        hdr += struct.pack(">H", bs - 1)
+        hdr.append(crc8(bytes(hdr)))
+        body = bytearray(hdr)
+        for c in channels:
+            body.append(0x02)  # subframe header: verbatim, no wasted bits
+            for s in c[pos:pos + bs]:
+                v = int(s) & ((1 << bps) - 1)
+                body += v.to_bytes(nbytes, "big")
+        body += struct.pack(">H", crc16(bytes(body)))
+        frames.append(bytes(body))
+        fs = len(body)
+        min_fs = fs if not min_fs else min(min_fs, fs)
+        max_fs = max(max_fs, fs)
+        frame_no += 1
+        pos += bs
+
+    info = bytearray()
+    info += struct.pack(">HH", min(bs_seen), max(bs_seen))
+    info += min_fs.to_bytes(3, "big") + max_fs.to_bytes(3, "big")
+    packed = (sample_rate << 44) | ((n_ch - 1) << 41) | ((bps - 1) << 36) | n
+    info += packed.to_bytes(8, "big")
+    info += md.digest()
+    assert len(info) == 34
+
+    out = bytearray(MAGIC)
+    last = padding <= 0
+    out.append((0x80 if last else 0) | _BLOCK_STREAMINFO)
+    out += (34).to_bytes(3, "big")
+    out += info
+    if padding > 0:
+        out.append(0x80 | _BLOCK_PADDING)
+        out += padding.to_bytes(3, "big")
+        out += bytes(padding)
+    for f in frames:
+        out += f
+    return bytes(out)
+
+
+_BLOCKSIZE_TABLE = {
+    0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304, 0b0101: 4608,
+    0b1000: 256, 0b1001: 512, 0b1010: 1024, 0b1011: 2048, 0b1100: 4096,
+    0b1101: 8192, 0b1110: 16384, 0b1111: 32768,
+}
+
+
+def parse_flac(data: bytes) -> dict:
+    """Walk metadata + frames, verify CRC-8/CRC-16 per frame, decode
+    verbatim subframes, and check the STREAMINFO MD5.  Returns
+    sample_rate, channels, bps, total_samples, n_frames, block sizes,
+    decoded per-channel samples, md5_ok, n_padding_bytes."""
+    if data[:4] != MAGIC:
+        raise ValueError("flac: bad magic")
+    pos = 4
+    streaminfo = None
+    n_padding = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated metadata header")
+        hdr = data[pos]
+        blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+        btype = hdr & 0x7F
+        body = data[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("flac: truncated metadata block")
+        if btype == _BLOCK_STREAMINFO:
+            if blen != 34:
+                raise ValueError("flac: bad STREAMINFO length")
+            packed = int.from_bytes(body[10:18], "big")
+            streaminfo = {
+                "min_blocksize": struct.unpack(">H", body[0:2])[0],
+                "max_blocksize": struct.unpack(">H", body[2:4])[0],
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bps": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+                "md5": body[18:34],
+            }
+        elif btype == _BLOCK_PADDING:
+            if any(body):
+                raise ValueError("flac: nonzero padding block")
+            n_padding += blen
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("flac: missing STREAMINFO")
+    sr, n_ch, bps = (streaminfo["sample_rate"], streaminfo["channels"],
+                     streaminfo["bps"])
+    if bps not in _BPS_FROM_BITS.values():
+        raise ValueError("flac: unsupported bits per sample")
+
+    out_channels: list[list[int]] = [[] for _ in range(n_ch)]
+    n_frames = 0
+    block_sizes = []
+    while pos < len(data):
+        start = pos
+        if data[pos] != 0xFF or (data[pos + 1] >> 1) != 0x7C:
+            raise ValueError("flac: lost frame sync")
+        if data[pos + 1] & 1:
+            raise ValueError("flac: variable-blocksize strategy unsupported")
+        bs_bits = data[pos + 2] >> 4
+        sr_bits = data[pos + 2] & 0x0F
+        ch_assign = data[pos + 3] >> 4
+        size_bits = (data[pos + 3] >> 1) & 0x7
+        if ch_assign >= 8:
+            raise ValueError("flac: stereo decorrelation unsupported")
+        if ch_assign + 1 != n_ch:
+            raise ValueError("flac: channel count mismatch")
+        if _BPS_FROM_BITS.get(size_bits, 0) != bps:
+            raise ValueError("flac: frame/STREAMINFO bps mismatch")
+        if sr_bits not in (0b0000,):
+            raise ValueError("flac: non-STREAMINFO sample rate unsupported")
+        pos += 4
+        _, pos = _read_utf8_number(data, pos)
+        if bs_bits == 0b0110:
+            bs = data[pos] + 1
+            pos += 1
+        elif bs_bits == 0b0111:
+            bs = struct.unpack_from(">H", data, pos)[0] + 1
+            pos += 2
+        elif bs_bits in _BLOCKSIZE_TABLE:
+            bs = _BLOCKSIZE_TABLE[bs_bits]
+        else:
+            raise ValueError("flac: reserved blocksize code")
+        if crc8(data[start:pos]) != data[pos]:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        pos += 1
+        rd = _BitReader(data, pos)
+        frame_samples = []
+        for _ in range(n_ch):
+            if rd.read(1) != 0:
+                raise ValueError("flac: bad subframe padding bit")
+            if rd.read(6) != 0b000001:
+                raise ValueError("flac: only verbatim subframes supported")
+            if rd.read(1) != 0:
+                raise ValueError("flac: wasted bits unsupported")
+            ch = [_signed(rd.read(bps), bps) for _ in range(bs)]
+            frame_samples.append(ch)
+        rd.align()
+        pos = rd.pos
+        if crc16(data[start:pos]) != struct.unpack_from(">H", data, pos)[0]:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        pos += 2
+        for i, ch in enumerate(frame_samples):
+            out_channels[i].extend(ch)
+        block_sizes.append(bs)
+        n_frames += 1
+
+    total = len(out_channels[0]) if out_channels else 0
+    if total != streaminfo["total_samples"]:
+        raise ValueError("flac: decoded sample count mismatch")
+    md = hashlib.md5()
+    nbytes = bps // 8
+    for i in range(total):
+        for c in out_channels:
+            md.update(int(c[i]).to_bytes(nbytes, "little", signed=True))
+    return {
+        "sample_rate": sr,
+        "channels": n_ch,
+        "bps": bps,
+        "total_samples": total,
+        "n_frames": n_frames,
+        "block_sizes": block_sizes,
+        "samples": out_channels,
+        "md5_ok": md.digest() == streaminfo["md5"],
+        "n_padding_bytes": n_padding,
+    }

@@ -1864,3 +1864,34 @@ def nfc_normalize_batch(texts) -> list:
         None if t is None else unicodedata.normalize("NFC", str(t))
         for t in texts
     ]
+
+
+def flac_pattern_meta_batch(doc_ids) -> list:
+    """REAL FLAC chain per doc: build a file (verbatim subframes,
+    doc-keyed geometry: mono/stereo, 64/128/256 block sizes), then the
+    from-scratch parser walks metadata + frames, verifies CRC-8/16 per
+    frame and the STREAMINFO md5, and re-emits sample stats the oracle
+    re-derives from the pattern formulas."""
+    from h2spark.core.flaccodec import build_flac, parse_flac
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        n = 300 + (d % 7) * 40
+        left = [((d * 13 + i * 37) % 2000) - 1000 for i in range(n)]
+        chans = [left]
+        if d % 2:
+            chans.append([((d * 17 + i * 29) % 1600) - 800
+                          for i in range(n)])
+        bs = 64 << (d % 3)
+        m = parse_flac(build_flac(chans, sample_rate=8000, block_size=bs))
+        abs_sum = sum(abs(s) for c in m["samples"] for s in c)
+        peak = max(abs(s) for c in m["samples"] for s in c)
+        rows.append(
+            (
+                d, int(m["channels"]), int(m["total_samples"]),
+                int(m["n_frames"]), bool(m["md5_ok"]),
+                int(abs_sum), int(peak),
+            )
+        )
+    return rows

@@ -2663,3 +2663,74 @@ ORDER BY doc_id
 
 QUERIES["font_woff_meta"] = q_font_woff_meta
 ORACLES["font_woff_meta"] = ORACLE_FONT_WOFF
+
+
+# --- audio_flac_meta: lossless audio container (round 7) -------------------
+
+
+def q_audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata + integrity: each doc builds a real FLAC file
+    (verbatim subframes; doc-keyed mono/stereo and block-size
+    geometry), the from-scratch parser (core/flaccodec.py) verifies
+    every frame CRC-8/CRC-16 and the STREAMINFO md5 of the decoded
+    stream, and the oracle re-derives channel/frame geometry and
+    sample stats from the construction formulas.
+
+    Scale shape: one Arrow-batched kernel pass, no shuffle before the
+    presentation sort — the WAV/MP3/AAC/Ogg precedent, completing the
+    audio container family with the lossless member."""
+    from h2spark.core.runner import flac_pattern_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = flac_pattern_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "total_samples", "n_frames",
+                    "md5_ok", "abs_sum", "peak",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, channels int, total_samples long,"
+            " n_frames long, md5_ok boolean, abs_sum long, peak long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_AUDIO_FLAC = """
+WITH g AS (
+  SELECT doc_id,
+         300 + (doc_id % 7) * 40 AS n,
+         1 + (doc_id % 2) AS channels,
+         (64 << (doc_id % 3)) AS bs
+  FROM documents
+), s AS (
+  SELECT doc_id, n, channels, bs,
+         list_transform(range(n),
+           i -> abs(((doc_id * 13 + i * 37) % 2000) - 1000)) AS la,
+         CASE WHEN channels = 2
+              THEN list_transform(range(n),
+                i -> abs(((doc_id * 17 + i * 29) % 1600) - 800))
+              ELSE [] END AS ra
+  FROM g
+)
+SELECT doc_id,
+       channels::INT AS channels,
+       n::BIGINT AS total_samples,
+       ((n + bs - 1) // bs)::BIGINT AS n_frames,
+       TRUE AS md5_ok,
+       (list_sum(la) + coalesce(list_sum(ra), 0))::BIGINT AS abs_sum,
+       greatest(list_max(la), coalesce(list_max(ra), 0))::BIGINT AS peak
+FROM s
+ORDER BY doc_id
+"""
+
+QUERIES["audio_flac_meta"] = q_audio_flac_meta
+ORACLES["audio_flac_meta"] = ORACLE_AUDIO_FLAC

@@ -1,0 +1,112 @@
+"""FLAC builder/parser (core/flaccodec.py): CRC pins, roundtrips,
+corruption handling, and property tests over random sample streams."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from h2spark.core.flaccodec import (
+    _read_utf8_number,
+    _utf8_number,
+    build_flac,
+    crc8,
+    crc16,
+    parse_flac,
+)
+
+
+def test_crc_published_check_values():
+    # CRC-8/SMBUS (poly 0x07, init 0) and CRC-16/BUYPASS (poly 0x8005,
+    # init 0, no reflection): published check values over "123456789"
+    assert crc8(b"123456789") == 0xF4
+    assert crc16(b"123456789") == 0xFEE8
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 2047, 2048, 65535, 65536,
+                               2**21 - 1, 2**21, 2**31, 2**36 - 1])
+def test_utf8_number_roundtrip(n):
+    enc = _utf8_number(n)
+    val, pos = _read_utf8_number(enc, 0)
+    assert val == n and pos == len(enc)
+
+
+def test_mono_roundtrip():
+    samples = [((i * 37) % 2000) - 1000 for i in range(700)]
+    blob = build_flac([samples], sample_rate=8000, block_size=256)
+    m = parse_flac(blob)
+    assert m["sample_rate"] == 8000
+    assert m["channels"] == 1 and m["bps"] == 16
+    assert m["total_samples"] == 700
+    assert m["n_frames"] == 3
+    assert m["block_sizes"] == [256, 256, 188]
+    assert m["samples"][0] == samples
+    assert m["md5_ok"]
+
+
+def test_stereo_roundtrip_with_padding():
+    left = [((i * 13) % 400) - 200 for i in range(300)]
+    right = [((i * 7) % 300) - 150 for i in range(300)]
+    blob = build_flac([left, right], sample_rate=44100, block_size=128,
+                      padding=64)
+    m = parse_flac(blob)
+    assert m["channels"] == 2
+    assert m["samples"] == [left, right]
+    assert m["md5_ok"]
+    assert m["n_padding_bytes"] == 64
+    assert m["block_sizes"] == [128, 128, 44]
+
+
+def test_corruption_detected():
+    samples = [i % 100 for i in range(200)]
+    blob = bytearray(build_flac([samples], block_size=64))
+    # flip a sample byte inside the first frame body: CRC-16 must bite
+    frame_start = blob.index(0xFF, 4)
+    bad = bytearray(blob)
+    bad[frame_start + 10] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        parse_flac(bytes(bad))
+    # flip a header byte: CRC-8 must bite
+    bad2 = bytearray(blob)
+    bad2[frame_start + 2] ^= 0x10
+    with pytest.raises(ValueError):
+        parse_flac(bytes(bad2))
+    # bad magic
+    with pytest.raises(ValueError, match="magic"):
+        parse_flac(b"fLaX" + bytes(blob[4:]))
+    # truncation mid-frame
+    with pytest.raises(ValueError):
+        parse_flac(bytes(blob[:-6]))
+
+
+def test_md5_mismatch_reported_not_raised():
+    samples = [i % 50 for i in range(100)]
+    blob = bytearray(build_flac([samples], block_size=100))
+    # STREAMINFO md5 lives at offset 4+4+18 .. +34; corrupt one byte.
+    blob[4 + 4 + 18] ^= 0xFF
+    m = parse_flac(bytes(blob))
+    assert m["samples"][0] == samples  # frames themselves are intact
+    assert not m["md5_ok"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=600),
+    bs=st.integers(min_value=1, max_value=300),
+    stereo=st.booleans(),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_property_roundtrip(n, bs, stereo, seed):
+    def gen(salt):
+        return [(((seed + salt) * 131 + i * 37) % 65536) - 32768
+                for i in range(n)]
+
+    chans = [gen(0), gen(1)] if stereo else [gen(0)]
+    m = parse_flac(build_flac(chans, block_size=bs))
+    assert m["samples"] == chans
+    assert m["total_samples"] == n
+    assert m["n_frames"] == (n + bs - 1) // bs
+    assert m["md5_ok"]
