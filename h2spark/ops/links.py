@@ -802,3 +802,63 @@ ORDER BY doc_id
 
 QUERIES["crawl_politeness_plan"] = q_crawl_politeness_plan
 ORACLES["crawl_politeness_plan"] = ORACLE_CRAWL_POLITENESS
+
+
+# --- contrastive retrieval pairs (round 7) --------------------------------
+
+
+def q_retrieval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text weak supervision for retrieval/embedding training:
+    mine (query, positive, hard-negative) triples from the link graph.
+    The query is the REAL extracted anchor text of each page's first
+    link (spec engine, Vec field over ``a``), the link target group is
+    parsed out of the extracted href, the positive is that group's
+    representative document, and the hard negative is the
+    representative of a fixed-offset sibling group (41 is coprime to
+    97, so negative != positive for every group).
+
+    Scale shape: scan -> Arrow extraction UDF; the representative
+    table is a tiny groupBy-MIN broadcast on both join sides — no
+    corpus-sized shuffle, which is the whole trick for pair mining at
+    10^12 docs (the representative/index side is always the small
+    one)."""
+    d = _docs(spark, sf_dir)
+    udf = make_extract_typed_udf(_LINK_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(_page(d)).alias("o"))
+    first = out.select(
+        "doc_id",
+        F.col("o.value.hrefs").getItem(0).alias("href"),
+        F.col("o.value.anchors").getItem(0).alias("query"),
+    )
+    grp = F.regexp_extract("href", r"/p/(\d+)$", 1).cast("long")
+    q = first.select("doc_id", "query", grp.alias("grp"))
+    reps = d.groupBy((F.col("doc_id") % 97).alias("grp")).agg(
+        F.min("doc_id").alias("pos_doc")
+    )
+    negs = reps.select(
+        F.col("grp").alias("ngrp"), F.col("pos_doc").alias("neg_doc")
+    )
+    return (
+        q.join(F.broadcast(reps), "grp")
+        .join(F.broadcast(negs), (q["grp"] + 41) % 97 == negs["ngrp"])
+        .select("doc_id", "query", "grp", "pos_doc", "neg_doc")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_RETRIEVAL_PAIRS = """
+WITH reps AS (
+  SELECT doc_id % 97 AS grp, min(doc_id) AS pos_doc
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.source AS query,
+       (d.doc_id % 97)::BIGINT AS grp,
+       r.pos_doc, n.pos_doc AS neg_doc
+FROM documents d
+JOIN reps r ON d.doc_id % 97 = r.grp
+JOIN reps n ON (d.doc_id % 97 + 41) % 97 = n.grp
+ORDER BY d.doc_id
+"""
+
+QUERIES["retrieval_pairs"] = q_retrieval_pairs
+ORACLES["retrieval_pairs"] = ORACLE_RETRIEVAL_PAIRS

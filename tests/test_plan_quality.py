@@ -782,3 +782,13 @@ def test_unicode_normalize_single_pass_arrow(spark):
     # before the presentation sort
     assert "ArrowEvalPython" in plan
     assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_retrieval_pairs_broadcasts_representatives(spark):
+    from h2spark.ops import links
+
+    plan = _formatted(links.q_retrieval_pairs(spark, SF), spark)
+    # both pair sides join against the tiny representative table via
+    # broadcast — the corpus side must never shuffle for the join
+    assert plan.count("BroadcastHashJoin Inner") == 2
+    assert "SortMergeJoin" not in plan
