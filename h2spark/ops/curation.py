@@ -1513,3 +1513,88 @@ ORDER BY h.lang, h.source
 
 QUERIES["preference_pairs"] = q_preference_pairs
 ORACLES["preference_pairs"] = ORACLE_PREFERENCE_PAIRS
+
+
+# --- T5/UL2 span-corruption plan (round 7) --------------------------------
+
+_CORRUPT_RATE_PCT = 15   # fraction of tokens masked
+_MEAN_SPAN = 3           # tokens per corrupted span
+_SENTINEL_BASE = 32000   # first sentinel token id
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoising-objective planner (T5 span corruption): per document,
+    mask ~15% of whitespace tokens in mean-length-3 spans and emit one
+    row per span (start, length, sentinel id).  This deterministic
+    variant anchors span k at the start of the k-th equal stride, with
+    remainder tokens distributed to the leading spans — replayable
+    end-to-end, which is what a data pipeline wants for resumable
+    pretraining shards (the RNG lives in the trainer, not the corpus).
+
+    Stride >= ~6.7x mean span length by construction, so spans never
+    overlap.  Scale shape: pure codegen — token count, integer span
+    arithmetic, one explode over sequence(); zero shuffle before the
+    presentation sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.trim(F.col("text"))
+    n_tokens = F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    base = d.select("doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "n_corrupt",
+        F.expr(f"n_tokens * {_CORRUPT_RATE_PCT} div 100"),
+    ).withColumn(
+        "n_spans",
+        F.expr(f"(n_corrupt + {_MEAN_SPAN - 1}) div {_MEAN_SPAN}"),
+    ).where(F.col("n_spans") >= 1)
+    spans = base.select(
+        "doc_id", "n_tokens", "n_corrupt", "n_spans",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int"))
+        ).alias("span_idx"),
+    )
+    return (
+        spans.select(
+            "doc_id",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.expr("span_idx * (n_tokens div n_spans)").alias("start_tok"),
+            F.expr(
+                "n_corrupt div n_spans"
+                " + (CASE WHEN span_idx < n_corrupt % n_spans"
+                " THEN 1 ELSE 0 END)"
+            ).alias("len_tok"),
+            (F.lit(_SENTINEL_BASE) + F.col("span_idx"))
+            .cast("long").alias("sentinel_id"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+ORACLE_SPAN_CORRUPTION = f"""
+WITH s AS (
+  SELECT doc_id,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+          END)::BIGINT AS n_tokens
+  FROM documents
+), p AS (
+  SELECT doc_id, n_tokens,
+         n_tokens * {_CORRUPT_RATE_PCT} // 100 AS n_corrupt,
+         (n_tokens * {_CORRUPT_RATE_PCT} // 100 + {_MEAN_SPAN - 1})
+             // {_MEAN_SPAN} AS n_spans
+  FROM s
+)
+SELECT doc_id,
+       k::BIGINT AS span_idx,
+       (k * (n_tokens // n_spans))::BIGINT AS start_tok,
+       (n_corrupt // n_spans
+        + (CASE WHEN k < n_corrupt % n_spans THEN 1 ELSE 0 END))::BIGINT
+           AS len_tok,
+       ({_SENTINEL_BASE} + k)::BIGINT AS sentinel_id
+FROM p, unnest(range(n_spans)) AS u(k)
+WHERE n_spans >= 1
+ORDER BY doc_id, span_idx
+"""
+
+QUERIES["span_corruption_plan"] = q_span_corruption_plan
+ORACLES["span_corruption_plan"] = ORACLE_SPAN_CORRUPTION

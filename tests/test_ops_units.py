@@ -2155,3 +2155,29 @@ def test_unicode_normalize_branches(spark):
             assert not r["changed"] and r["n_combining"] == 0
         else:             # U+212B singleton: changes, same length
             assert r["changed"] and r["n_nfc"] == r["n_raw"]
+
+
+def test_span_corruption_plan_invariants(spark):
+    from collections import defaultdict
+
+    from h2spark.ops.curation import (
+        _CORRUPT_RATE_PCT, _MEAN_SPAN, q_span_corruption_plan,
+    )
+
+    rows = q_span_corruption_plan(spark, "/root/testdata/sf0.001").collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    assert by_doc
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r["span_idx"])
+        total = sum(r["len_tok"] for r in spans)
+        # lengths differ by at most 1 and sum to the corruption budget
+        lens = {r["len_tok"] for r in spans}
+        assert max(lens) - min(lens) <= 1
+        assert max(lens) <= _MEAN_SPAN
+        # spans never overlap: each starts at its stride anchor, after
+        # the previous span ends
+        for a, b in zip(spans, spans[1:]):
+            assert a["start_tok"] + a["len_tok"] <= b["start_tok"]
+        assert spans[0]["sentinel_id"] == 32000
