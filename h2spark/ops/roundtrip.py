@@ -731,3 +731,87 @@ ORACLE_WARC_CDX = _oracle_warc_cdx()
 
 QUERIES["warc_cdx_index"] = q_warc_cdx_index
 ORACLES["warc_cdx_index"] = ORACLE_WARC_CDX
+
+
+# --- jsonl_ingest: semi-structured sidecar parsing (round 7) ---------------
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sidecar ingestion: metadata arrives as JSON lines next to
+    100 TB shards; this op parses them typed with ``from_json`` (a
+    JVM-side Catalyst expression — schema-on-read WITHOUT a Python
+    kernel) including a nested struct and an array, and quarantines
+    malformed records (1 in 7 docs gets a truncated line; from_json
+    yields NULL, surfaced as is_valid=false with -1/'' sentinels — the
+    nullable-BIGINT degrade rule).
+
+    The oracle replays with DuckDB's JSON functions: json_valid +
+    json_extract on the same constructed lines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    line = F.concat(
+        F.lit('{"id":'), F.col("doc_id"),
+        F.lit(',"meta":{"lang":"'), F.col("lang"),
+        F.lit('","n":'), F.col("n_chars"),
+        F.lit('},"tags":["t'), F.col("doc_id") % 3, F.lit('","x"]}'),
+    )
+    bad = F.concat(F.lit('{"id":'), F.col("doc_id"), F.lit(',"meta":'))
+    j = F.when(F.col("doc_id") % 7 == 3, bad).otherwise(line)
+    # PERMISSIVE from_json yields a struct of NULLs (not a NULL
+    # struct) on malformed input; validity is detected via the
+    # corrupt-record column instead
+    parsed = F.from_json(
+        j,
+        "id long, meta struct<lang:string,n:long>,"
+        " tags array<string>, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    base = d.select("doc_id", parsed.alias("p"))
+    ok = F.col("p._corrupt").isNull()
+    return (
+        base.select(
+            "doc_id",
+            ok.alias("is_valid"),
+            F.coalesce(F.col("p.id"), F.lit(-1)).alias("id_parsed"),
+            F.coalesce(F.col("p.meta.lang"), F.lit("")).alias("lang_parsed"),
+            F.coalesce(F.col("p.meta.n"), F.lit(-1)).alias("n_parsed"),
+            F.coalesce(F.col("p.tags").getItem(0), F.lit(""))
+            .alias("tag0"),
+            F.coalesce(F.size("p.tags"), F.lit(-1))
+            .cast("long").alias("n_tags"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_JSONL_INGEST = """
+WITH lines AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3
+              THEN '{"id":' || doc_id || ',"meta":'
+              ELSE '{"id":' || doc_id || ',"meta":{"lang":"' || lang
+                   || '","n":' || n_chars || '},"tags":["t'
+                   || (doc_id % 3) || '","x"]}'
+         END AS j
+  FROM documents
+)
+SELECT doc_id,
+       json_valid(j) AS is_valid,
+       CASE WHEN json_valid(j)
+            THEN json_extract(j, '$.id')::BIGINT ELSE -1 END AS id_parsed,
+       CASE WHEN json_valid(j)
+            THEN json_extract_string(j, '$.meta.lang') ELSE '' END
+           AS lang_parsed,
+       CASE WHEN json_valid(j)
+            THEN json_extract(j, '$.meta.n')::BIGINT ELSE -1 END
+           AS n_parsed,
+       CASE WHEN json_valid(j)
+            THEN json_extract_string(j, '$.tags[0]') ELSE '' END AS tag0,
+       CASE WHEN json_valid(j)
+            THEN json_array_length(j, '$.tags')::BIGINT ELSE -1 END
+           AS n_tags
+FROM lines
+ORDER BY doc_id
+"""
+
+QUERIES["jsonl_ingest"] = q_jsonl_ingest
+ORACLES["jsonl_ingest"] = ORACLE_JSONL_INGEST

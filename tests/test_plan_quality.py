@@ -792,3 +792,14 @@ def test_retrieval_pairs_broadcasts_representatives(spark):
     # broadcast — the corpus side must never shuffle for the join
     assert plan.count("BroadcastHashJoin Inner") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_jsonl_ingest_is_jvm_side_codegen(spark):
+    from h2spark.ops import roundtrip
+
+    plan = _formatted(roundtrip.q_jsonl_ingest(spark, SF), spark)
+    # from_json is a Catalyst expression: no Python evaluation node,
+    # no shuffle before the presentation sort
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "from_json" in plan
