@@ -1,0 +1,130 @@
+"""ICO (favicon) container parser + builder (pure stdlib struct).
+
+Layout per the Windows ICO format: ICONDIR header (reserved=0,
+type=1, count), ICONDIRENTRY directory (16 bytes each: width/height
+with 0 encoding 256, color count, planes, bit depth, byte size, file
+offset), then members — each either an embedded PNG (sniffed by
+signature, decoded with core/pngcodec.py) or a DIB: BITMAPINFOHEADER
+whose biHeight is DOUBLED (XOR color rows + 1-bpp AND transparency
+mask), 32-bpp BGRA rows stored bottom-up, mask rows padded to 32
+bits.
+
+Favicons are the ICO consumer in a crawl pipeline (link rel=icon);
+per-member dims + pixel checksums are the scan-side facts.  The
+parser enforces the quarantine contract: structural damage raises
+ValueError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from h2spark.core.pngcodec import decode_png, encode_png
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
+
+
+def build_ico(members: list[dict]) -> bytes:
+    """Serialize members as a real ICO.  Each member dict: kind
+    ("png" | "bmp"), width, height, pixels (RGBA bytes, row-major,
+    top-down)."""
+    if not 1 <= len(members) <= 0xFFFF:
+        raise ValueError("ico: bad member count")
+    blobs = []
+    for m in members:
+        w, h, px = m["width"], m["height"], m["pixels"]
+        if len(px) != w * h * 4:
+            raise ValueError("ico: pixel buffer size mismatch")
+        if m["kind"] == "png":
+            blobs.append(encode_png(w, h, 4, px))
+        elif m["kind"] == "bmp":
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+                w * h * 4, 0, 0, 0, 0,
+            )
+            body = bytearray(hdr)
+            # XOR rows: BGRA, bottom-up
+            for y in range(h - 1, -1, -1):
+                for x in range(w):
+                    r, g, b, a = px[(y * w + x) * 4:(y * w + x) * 4 + 4]
+                    body += bytes((b, g, r, a))
+            # AND mask: 1 bpp, rows padded to 32 bits, bottom-up; all
+            # opaque (alpha carries transparency at 32 bpp)
+            mask_stride = ((w + 31) // 32) * 4
+            body += bytes(mask_stride * h)
+            blobs.append(bytes(body))
+        else:
+            raise ValueError(f"ico: unknown member kind {m['kind']!r}")
+    out = bytearray(struct.pack("<HHH", 0, 1, len(members)))
+    offset = 6 + 16 * len(members)
+    for m, blob in zip(members, blobs):
+        w, h = m["width"], m["height"]
+        if w > 256 or h > 256:
+            raise ValueError("ico: member larger than 256px")
+        out += struct.pack(
+            "<BBBBHHII",
+            0 if w == 256 else w, 0 if h == 256 else h,
+            0, 0, 1, 32, len(blob), offset,
+        )
+        offset += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def parse_ico(data: bytes) -> list[dict]:
+    """Directory walk + member decode.  Returns one dict per member:
+    kind, width/height (from the member itself, cross-checked against
+    the directory), bpp, n_bytes, px_sum (sum of RGBA bytes)."""
+    if len(data) < 6:
+        raise ValueError("ico: too short")
+    reserved, ftype, count = struct.unpack_from("<HHH", data, 0)
+    if reserved != 0 or ftype != 1:
+        raise ValueError("ico: bad ICONDIR header")
+    if len(data) < 6 + 16 * count:
+        raise ValueError("ico: truncated directory")
+    out = []
+    for i in range(count):
+        bw, bh, _colors, res, _planes, bpp, nbytes, off = struct.unpack_from(
+            "<BBBBHHII", data, 6 + 16 * i
+        )
+        if res != 0:
+            raise ValueError("ico: bad directory entry reserved byte")
+        dir_w, dir_h = bw or 256, bh or 256
+        if off + nbytes > len(data):
+            raise ValueError("ico: member out of range")
+        blob = data[off:off + nbytes]
+        if blob[:8] == _PNG_SIG:
+            w, h, ch, px = decode_png(blob)
+            if ch != 4:
+                raise ValueError("ico: png member must be RGBA")
+            px_sum = sum(px)
+            kind = "png"
+        else:
+            (bi_size, w, h2, planes, bpp_m, comp, _sz, _xp, _yp, _cu,
+             _ci) = struct.unpack_from("<IiiHHIIiiII", blob, 0)
+            if bi_size != 40 or comp != 0 or planes != 1:
+                raise ValueError("ico: unsupported DIB member")
+            if bpp_m != 32:
+                raise ValueError("ico: only 32-bpp DIB members supported")
+            if h2 % 2:
+                raise ValueError("ico: DIB height must be doubled")
+            h = h2 // 2
+            mask_stride = ((w + 31) // 32) * 4
+            need = 40 + w * h * 4 + mask_stride * h
+            if len(blob) < need:
+                raise ValueError("ico: truncated DIB member")
+            px_sum = 0
+            pos = 40
+            for _y in range(h):
+                row = blob[pos:pos + w * 4]
+                px_sum += sum(row)
+                pos += w * 4
+            kind = "bmp"
+        if (w, h) != (dir_w, dir_h):
+            raise ValueError("ico: directory/member dimension mismatch")
+        out.append({
+            "kind": kind, "width": w, "height": h, "bpp": bpp or 32,
+            "n_bytes": nbytes, "px_sum": px_sum,
+        })
+    return out

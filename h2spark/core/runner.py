@@ -1895,3 +1895,40 @@ def flac_pattern_meta_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def ico_meta_batch(doc_ids) -> list:
+    """REAL ICO chain per doc: build a favicon container (16x16 32-bpp
+    DIB member with doubled-height XOR/AND layout; odd docs add an
+    8x8 embedded-PNG member), then the from-scratch directory parser
+    (core/icometa.py) decodes every member and emits dims + RGBA byte
+    sums the oracle re-derives from the pixel formulas."""
+    from h2spark.core.icometa import build_ico, parse_ico
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        px0 = bytearray()
+        for i in range(16 * 16):
+            px0 += bytes((
+                (d * 7 + i * 3) % 251, (d * 11 + i * 5) % 251,
+                (d * 13 + i * 7) % 251, 255,
+            ))
+        members = [{"kind": "bmp", "width": 16, "height": 16,
+                    "pixels": bytes(px0)}]
+        if d % 2:
+            px1 = bytearray()
+            for i in range(8 * 8):
+                px1 += bytes((
+                    (d * 17 + i * 29) % 256, (d * 19 + i * 23) % 256,
+                    (d * 23 + i * 19) % 256, (d * 29 + i * 17) % 256,
+                ))
+            members.append({"kind": "png", "width": 8, "height": 8,
+                            "pixels": bytes(px1)})
+        parsed = parse_ico(build_ico(members))
+        for idx, m in enumerate(parsed):
+            rows.append(
+                (d, idx, m["kind"], int(m["width"]), int(m["height"]),
+                 int(m["px_sum"]))
+            )
+    return rows

@@ -2734,3 +2734,66 @@ ORDER BY doc_id
 
 QUERIES["audio_flac_meta"] = q_audio_flac_meta
 ORACLES["audio_flac_meta"] = ORACLE_AUDIO_FLAC
+
+
+# --- image_ico_meta: favicon container scan (round 7) ----------------------
+
+
+def q_image_ico_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Favicon (ICO) metadata: each doc builds a real ICO — a 16x16
+    32-bpp DIB member (doubled-height XOR/AND mask layout) plus, for
+    odd docs, an embedded-PNG 8x8 member — and the from-scratch
+    parser (core/icometa.py) walks the directory, decodes both member
+    kinds and cross-checks directory-vs-member dims.  The oracle
+    re-derives member geometry and RGBA byte sums from the pixel
+    formulas.
+
+    Crawl relevance: rel=icon targets are ICO at enormous frequency;
+    dims + checksum is the favicon dedup/sniff fact pair.  Scale
+    shape: one Arrow-batched kernel pass, entry rows fan out inside
+    the batch, no shuffle before the presentation sort."""
+    from h2spark.core.runner import ico_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = ico_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "entry_idx", "kind", "width", "height",
+                    "px_sum",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, entry_idx long, kind string, width int,"
+            " height int, px_sum long",
+        )
+        .orderBy("doc_id", "entry_idx")
+    )
+
+
+ORACLE_IMAGE_ICO = """
+SELECT doc_id, 0::BIGINT AS entry_idx, 'bmp' AS kind,
+       16 AS width, 16 AS height,
+       list_sum(list_transform(range(256), i ->
+         (doc_id * 7 + i * 3) % 251 + (doc_id * 11 + i * 5) % 251
+         + (doc_id * 13 + i * 7) % 251 + 255))::BIGINT AS px_sum
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'png', 8, 8,
+       list_sum(list_transform(range(64), i ->
+         (doc_id * 17 + i * 29) % 256 + (doc_id * 19 + i * 23) % 256
+         + (doc_id * 23 + i * 19) % 256
+         + (doc_id * 29 + i * 17) % 256))::BIGINT
+FROM documents
+WHERE doc_id % 2 = 1
+ORDER BY doc_id, entry_idx
+"""
+
+QUERIES["image_ico_meta"] = q_image_ico_meta
+ORACLES["image_ico_meta"] = ORACLE_IMAGE_ICO

@@ -2181,3 +2181,50 @@ def test_span_corruption_plan_invariants(spark):
         for a, b in zip(spans, spans[1:]):
             assert a["start_tok"] + a["len_tok"] <= b["start_tok"]
         assert spans[0]["sentinel_id"] == 32000
+
+
+def test_ico_roundtrip_and_quarantine():
+    import struct
+
+    import pytest
+
+    from h2spark.core.icometa import build_ico, parse_ico
+
+    def rgba(n, salt):
+        return bytes((salt * 31 + j) % 256 for j in range(n * 4))
+
+    members = [
+        {"kind": "bmp", "width": 16, "height": 16, "pixels": rgba(256, 1)},
+        {"kind": "png", "width": 8, "height": 8, "pixels": rgba(64, 2)},
+        {"kind": "bmp", "width": 33, "height": 5, "pixels": rgba(165, 3)},
+    ]
+    blob = build_ico(members)
+    parsed = parse_ico(blob)
+    assert [(m["kind"], m["width"], m["height"]) for m in parsed] == [
+        ("bmp", 16, 16), ("png", 8, 8), ("bmp", 33, 5),
+    ]
+    for src, got in zip(members, parsed):
+        assert got["px_sum"] == sum(src["pixels"])
+    # bad ICONDIR type
+    bad = bytearray(blob)
+    bad[2] = 9
+    with pytest.raises(ValueError):
+        parse_ico(bytes(bad))
+    # truncated member
+    with pytest.raises(ValueError):
+        parse_ico(blob[:-10])
+    # directory/member dims disagree
+    bad2 = bytearray(blob)
+    bad2[6] = 15  # first entry width 16 -> 15
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        parse_ico(bytes(bad2))
+    # 256px encoding: width byte 0 means 256
+    wide = build_ico(
+        [{"kind": "bmp", "width": 256, "height": 1,
+          "pixels": rgba(256, 4)}]
+    )
+    assert wide[6] == 0 and parse_ico(wide)[0]["width"] == 256
+    # pixel buffer size mismatch rejected at build time
+    with pytest.raises(ValueError):
+        build_ico([{"kind": "bmp", "width": 4, "height": 4,
+                    "pixels": b"xx"}])
