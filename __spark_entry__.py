@@ -94,7 +94,10 @@ def _all_modules():
 # crawl_politeness_plan, sft_render_mask, media_span_align,
 # kanon_release, export_zorder_plan, code_detect, font_sfnt_meta,
 # font_woff_meta, text_webvtt_cues, training_epoch_plan,
-# events_asof_join, events_range_join) are 0 rounds
+# events_asof_join, events_range_join, and the session-4 batch:
+# parquet_footer_audit, shuffle_skew_plan, preference_pairs,
+# text_unicode_normalize, audio_flac_meta, retrieval_pairs,
+# span_corruption_plan, jsonl_ingest, image_ico_meta) are 0 rounds
 # old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and
 # rotate into the r8 window.
