@@ -1932,3 +1932,29 @@ def ico_meta_batch(doc_ids) -> list:
                  int(m["px_sum"]))
             )
     return rows
+
+
+def heading_outline_batch(doc_ids, htmls) -> list:
+    """Document-outline extraction through the REAL parser: h1-h6 in
+    document order, each with its outline parent (the nearest
+    preceding heading of smaller level, -1 for top-level).  Heading
+    hierarchy is the section structure a training pipeline keeps when
+    flattening HTML (markdown headers, RAG section boundaries)."""
+    _HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+    rows: list = []
+    for d, html in zip(doc_ids, htmls):
+        d = int(d)
+        doc = parse_document(str(html))
+        root = doc.root_element()
+        stack: list = []  # [(idx, level)] open outline path
+        idx = 0
+        for el in root.iter_descendants():
+            if el.ns is None and el.tag in _HEADINGS:
+                level = _HEADINGS[el.tag]
+                while stack and stack[-1][1] >= level:
+                    stack.pop()
+                parent = stack[-1][0] if stack else -1
+                rows.append((d, idx, level, el.inner_text(), parent))
+                stack.append((idx, level))
+                idx += 1
+    return rows

@@ -104,3 +104,89 @@ ORACLES = {
     "boilerplate_strip": ORACLE_BOILERPLATE,
     "boilerplate_chrome_ratio": ORACLE_CHROME_RATIO,
 }
+
+
+# --- heading outline (round 7) --------------------------------------------
+
+
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-structure extraction: h1-h6 walked in document order
+    through the real parser, each heading bound to its outline parent
+    (nearest preceding smaller level, -1 at top) — the hierarchy a
+    pipeline keeps for markdown headers and RAG section boundaries.
+
+    The page nests 1-3 <h2> sections under one <h1>, interleaving
+    <h3> subsections for odd docs, so indices and parents depend on
+    both branches; the oracle re-derives every row from the
+    construction arithmetic.  Scale shape: scan -> Arrow kernel
+    fan-out, no shuffle before the presentation sort."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir)
+    n_h2 = 1 + F.col("doc_id") % 3          # 1..3 sections
+    sub = F.col("doc_id") % 2 == 1          # odd docs get h3 subs
+
+    def seg(k):
+        block = F.concat(
+            F.lit(f"<h2>s{k}</h2><p>body</p>"),
+            F.when(sub, F.lit(f"<h3>d{k}</h3><p>deep</p>"))
+            .otherwise(F.lit("")),
+        )
+        return F.when(n_h2 >= k + 1, block).otherwise(F.lit(""))
+
+    html = F.concat(
+        F.lit("<html><body><h1>"), _esc(F.col("source")),
+        F.lit("</h1><p>intro</p>"), seg(0), seg(1), seg(2),
+        F.lit("</body></html>"),
+    )
+
+    from h2spark.core.runner import heading_outline_batch
+
+    def outline(batches):
+        for pdf in batches:
+            rows = heading_outline_batch(list(pdf["doc_id"]),
+                                         list(pdf["html"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "idx", "level", "text", "parent_idx"],
+            )
+
+    return (
+        d.select("doc_id", html.alias("html"))
+        .mapInPandas(
+            outline,
+            "doc_id long, idx long, level long, text string,"
+            " parent_idx long",
+        )
+        .orderBy("doc_id", "idx")
+    )
+
+
+ORACLE_HEADING_OUTLINE = """
+WITH g AS (
+  SELECT doc_id, source,
+         1 + doc_id % 3 AS n_h2,
+         doc_id % 2 AS m              -- 1 = h3 subsection per section
+  FROM documents
+), h1 AS (
+  SELECT doc_id, 0 AS idx, 1 AS level, source AS text, -1 AS parent_idx
+  FROM g
+), h2 AS (
+  SELECT doc_id, 1 + k * (1 + m) AS idx, 2 AS level,
+         's' || k AS text, 0 AS parent_idx
+  FROM g, unnest(range(n_h2)) AS u(k)
+), h3 AS (
+  SELECT doc_id, 2 + k * 2 AS idx, 3 AS level,
+         'd' || k AS text, (1 + k * 2) AS parent_idx
+  FROM g, unnest(range(n_h2)) AS u(k)
+  WHERE m = 1
+)
+SELECT doc_id, idx::BIGINT AS idx, level::BIGINT AS level, text,
+       parent_idx::BIGINT AS parent_idx
+FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2 UNION ALL
+      SELECT * FROM h3)
+ORDER BY doc_id, idx
+"""
+
+QUERIES["heading_outline"] = q_heading_outline
+ORACLES["heading_outline"] = ORACLE_HEADING_OUTLINE

@@ -2228,3 +2228,24 @@ def test_ico_roundtrip_and_quarantine():
     with pytest.raises(ValueError):
         build_ico([{"kind": "bmp", "width": 4, "height": 4,
                     "pixels": b"xx"}])
+
+
+def test_heading_outline_walk_skipped_levels():
+    from h2spark.core.runner import heading_outline_batch
+
+    html = (
+        "<html><body><h1>A</h1><h3>B</h3><h2>C</h2><h4>D</h4>"
+        "<h4>E</h4><h1>F</h1><h6>G</h6></body></html>"
+    )
+    rows = heading_outline_batch([7], [html])
+    # (doc, idx, level, text, parent): skipped levels attach to the
+    # nearest smaller ancestor; a new h1 resets the path
+    assert rows == [
+        (7, 0, 1, "A", -1),
+        (7, 1, 3, "B", 0),
+        (7, 2, 2, "C", 0),
+        (7, 3, 4, "D", 2),
+        (7, 4, 4, "E", 2),
+        (7, 5, 1, "F", -1),
+        (7, 6, 6, "G", 5),
+    ]
