@@ -2336,3 +2336,84 @@ ORDER BY doc_id
 
 QUERIES["text_dedup_rewrite"] = q_text_dedup_rewrite
 ORACLES["text_dedup_rewrite"] = ORACLE_TEXT_DEDUP_REWRITE
+
+
+# --- cross-source duplication matrix (round 7) -----------------------------
+
+
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where duplication comes FROM: roll the MinHash-LSH candidate
+    pairs up to (source, source) cells — pair counts and mean
+    estimated Jaccard per source pair.  The matrix is how a curation
+    team decides which dump overlaps which (CommonCrawl-vs-C4 style
+    contamination accounting) before picking a keep order.
+
+    est_jaccard is matches/16 (exact in 6dp), so matches recovers
+    exactly and the mean stays integer (e6).  Scale shape: the pair
+    table (already bounded by banding) joins doc->source on doc_id,
+    then one tiny groupBy; source pairs are ordered canonically so
+    the matrix is upper-triangular."""
+    d = _docs(spark, sf_dir)
+    pairs = minhash_pairs(d).withColumn(
+        "m", F.round(F.col("est_jaccard") * _N_HASHES).cast("long")
+    )
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"),
+                       F.col("source").alias("src_a")), "doc_a")
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("src_b")), "doc_b")
+    )
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("m").cast("long").alias("sum_matches"),
+        )
+        .withColumn(
+            "avg_jaccard_e6",
+            F.expr(
+                f"sum_matches * 1000000 div ({_N_HASHES} * n_pairs)"
+            ),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+ORACLE_DEDUP_CROSS_SOURCE = f"""
+WITH {_shingles_cte_duck()},
+{_SIG_BANDS_CTE},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT p.doc_a, p.doc_b,
+         sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS matches
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.seed = sa.seed
+  GROUP BY 1, 2
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       count(*)::BIGINT AS n_pairs,
+       sum(m.matches)::BIGINT AS sum_matches,
+       (sum(m.matches) * 1000000 // ({_N_HASHES} * count(*)))::BIGINT
+           AS avg_jaccard_e6
+FROM m
+JOIN documents da ON da.doc_id = m.doc_a
+JOIN documents db ON db.doc_id = m.doc_b
+GROUP BY 1, 2
+ORDER BY source_lo, source_hi
+"""
+
+QUERIES["dedup_cross_source"] = q_dedup_cross_source
+ORACLES["dedup_cross_source"] = ORACLE_DEDUP_CROSS_SOURCE
