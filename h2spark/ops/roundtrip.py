@@ -815,3 +815,58 @@ ORDER BY doc_id
 
 QUERIES["jsonl_ingest"] = q_jsonl_ingest
 ORACLES["jsonl_ingest"] = ORACLE_JSONL_INGEST
+
+
+# --- csv_ingest: delimited sidecar parsing (round 7) ------------------------
+
+
+def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sidecar ingestion twin of jsonl_ingest: typed ``from_csv``
+    (JVM-side univocity parser) over constructed lines with a quoted
+    field CONTAINING the delimiter, plus a truncated-line injection
+    (1 in 9 docs).  from_csv's PERMISSIVE semantics (pinned by probe):
+    too-few fields sets the corrupt-record column but still parses the
+    leading fields — so corrupt rows surface doc_id/lang parsed, the
+    missing tail as sentinels.  The oracle replays the construction
+    (it never parses CSV; ground truth is the source columns)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    good = F.concat(
+        F.col("doc_id"), F.lit(","), F.col("lang"), F.lit(","),
+        F.col("n_chars"), F.lit(',"'), F.col("source"), F.lit(',x"'),
+    )
+    bad = F.concat(F.col("doc_id"), F.lit(","), F.col("lang"))
+    line = F.when(F.col("doc_id") % 9 == 4, bad).otherwise(good)
+    parsed = F.from_csv(
+        line,
+        "id long, lang string, n long, src string, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    base = d.select("doc_id", parsed.alias("p"))
+    ok = F.col("p._corrupt").isNull()
+    return (
+        base.select(
+            "doc_id",
+            ok.alias("is_valid"),
+            F.coalesce(F.col("p.id"), F.lit(-1)).alias("id_parsed"),
+            F.coalesce(F.col("p.lang"), F.lit("")).alias("lang_parsed"),
+            F.coalesce(F.col("p.n"), F.lit(-1)).alias("n_parsed"),
+            F.coalesce(F.col("p.src"), F.lit("")).alias("src_parsed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CSV_INGEST = """
+SELECT doc_id,
+       (doc_id % 9 <> 4) AS is_valid,
+       doc_id AS id_parsed,
+       lang AS lang_parsed,
+       CASE WHEN doc_id % 9 = 4 THEN -1 ELSE n_chars END AS n_parsed,
+       CASE WHEN doc_id % 9 = 4 THEN '' ELSE source || ',x' END
+           AS src_parsed
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["csv_ingest"] = q_csv_ingest
+ORACLES["csv_ingest"] = ORACLE_CSV_INGEST
