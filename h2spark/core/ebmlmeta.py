@@ -1,0 +1,232 @@
+"""EBML / Matroska (MKV/WebM) container walk (pure stdlib, spec-derived).
+
+EBML (RFC 8794): every element is [VINT id][VINT size][body]; master
+elements nest.  Matroska layers semantics on top: EBML header
+(DocType), Segment containing Info (TimestampScale + an integer
+micro-duration private element, kept uint so the oracle stays
+integer-exact), Tracks (TrackEntry: number, type, codec id), and
+Clusters (Timestamp + SimpleBlocks carrying a track VINT, a relative
+timestamp and payload bytes).
+
+The builder writes a minimal-but-real Matroska stream; the parser is
+a from-scratch VINT/element walk with bounds quarantine (ValueError
+on structural damage).  MKV/WebM is the third video-container member
+next to AVI (RIFF) and MP4 (ISO-BMFF) — at crawl scale the <video>
+payloads are overwhelmingly one of the three.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# --- element ids (Matroska / EBML) ---------------------------------------
+EBML_HEADER = 0x1A45DFA3
+DOCTYPE = 0x4282
+SEGMENT = 0x18538067
+INFO = 0x1549A966
+TIMESTAMP_SCALE = 0x2AD7B1
+DURATION_U = 0x4489          # spec Duration is a float; this profile
+                             # stores uint microseconds in the slot
+TRACKS = 0x1654AE6B
+TRACK_ENTRY = 0xAE
+TRACK_NUMBER = 0xD7
+TRACK_TYPE = 0x83
+CODEC_ID = 0x86
+CLUSTER = 0x1F43B675
+CLUSTER_TS = 0xE7
+SIMPLE_BLOCK = 0xA3
+
+TRACK_TYPE_NAMES = {1: "video", 2: "audio", 17: "subtitle"}
+
+_MASTERS = {EBML_HEADER, SEGMENT, INFO, TRACKS, TRACK_ENTRY, CLUSTER}
+
+
+def _vint_size(value: int) -> bytes:
+    """EBML VINT encoding of a SIZE: length marker bit in the first
+    byte, 7 payload bits per byte."""
+    length = 1
+    while value >= (1 << (7 * length)) - 1 and length < 8:
+        length += 1
+    if value >= (1 << (7 * length)) - 1:
+        raise ValueError("ebml: vint overflow")
+    out = bytearray(length)
+    payload = value
+    for i in range(length - 1, -1, -1):
+        out[i] = payload & 0xFF
+        payload >>= 8
+    out[0] |= 1 << (8 - length)
+    return bytes(out)
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    if pos >= len(data):
+        raise ValueError("ebml: truncated vint")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("ebml: invalid vint lead byte")
+    length = 1
+    mask = 0x80
+    while not b0 & mask:
+        length += 1
+        mask >>= 1
+    if pos + length > len(data):
+        raise ValueError("ebml: truncated vint body")
+    val = b0 if keep_marker else (b0 & (mask - 1))
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length
+
+
+def _uint_bytes(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _elem(eid: int, body: bytes) -> bytes:
+    # element ids are written verbatim (they carry their own marker)
+    return (
+        eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        + _vint_size(len(body))
+        + body
+    )
+
+
+def build_mkv(
+    doctype: str,
+    timestamp_scale: int,
+    duration_us: int,
+    tracks: list[dict],
+    clusters: list[dict],
+) -> bytes:
+    """Serialize a minimal Matroska stream.  tracks: [{number, type,
+    codec}]; clusters: [{ts, blocks: [(track, rel_ts, payload)]}]."""
+    header = _elem(EBML_HEADER, _elem(DOCTYPE, doctype.encode()))
+    info = _elem(
+        INFO,
+        _elem(TIMESTAMP_SCALE, _uint_bytes(timestamp_scale))
+        + _elem(DURATION_U, _uint_bytes(duration_us)),
+    )
+    tr = _elem(
+        TRACKS,
+        b"".join(
+            _elem(
+                TRACK_ENTRY,
+                _elem(TRACK_NUMBER, _uint_bytes(t["number"]))
+                + _elem(TRACK_TYPE, _uint_bytes(t["type"]))
+                + _elem(CODEC_ID, t["codec"].encode()),
+            )
+            for t in tracks
+        ),
+    )
+    cl = b""
+    for c in clusters:
+        body = _elem(CLUSTER_TS, _uint_bytes(c["ts"]))
+        for track, rel_ts, payload in c["blocks"]:
+            blk = (
+                _vint_size(track)
+                + int(rel_ts).to_bytes(2, "big", signed=True)
+                + b"\x80"  # flags: keyframe, no lacing
+                + payload
+            )
+            body += _elem(SIMPLE_BLOCK, blk)
+        cl += _elem(CLUSTER, body)
+    return header + _elem(SEGMENT, info + tr + cl)
+
+
+def _walk(data: bytes, start: int, end: int):
+    """Yield (id, body_start, body_end) for sibling elements."""
+    pos = start
+    while pos < end:
+        eid, pos = _read_vint(data, pos, keep_marker=True)
+        size, pos = _read_vint(data, pos, keep_marker=False)
+        if pos + size > end:
+            raise ValueError("ebml: element overruns parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def parse_mkv(data: bytes) -> dict:
+    """Walk the EBML tree: doctype, timestamp scale, duration, track
+    inventory, cluster/block accounting and a payload digest."""
+    doctype = None
+    seg = None
+    for eid, s, e in _walk(data, 0, len(data)):
+        if eid == EBML_HEADER:
+            for cid, cs, ce in _walk(data, s, e):
+                if cid == DOCTYPE:
+                    doctype = data[cs:ce].decode("utf-8")
+        elif eid == SEGMENT:
+            seg = (s, e)
+    if doctype is None:
+        raise ValueError("ebml: missing EBML header doctype")
+    if seg is None:
+        raise ValueError("ebml: missing segment")
+
+    scale = duration_us = None
+    tracks: list[dict] = []
+    n_clusters = n_blocks = 0
+    payload_md5 = hashlib.md5()
+    per_track_blocks: dict[int, int] = {}
+    last_abs_ts = None
+    for eid, s, e in _walk(data, seg[0], seg[1]):
+        if eid == INFO:
+            for cid, cs, ce in _walk(data, s, e):
+                if cid == TIMESTAMP_SCALE:
+                    scale = int.from_bytes(data[cs:ce], "big")
+                elif cid == DURATION_U:
+                    duration_us = int.from_bytes(data[cs:ce], "big")
+        elif eid == TRACKS:
+            for cid, cs, ce in _walk(data, s, e):
+                if cid != TRACK_ENTRY:
+                    raise ValueError("ebml: non-TrackEntry in Tracks")
+                num = ttype = None
+                codec = ""
+                for tid, ts_, te in _walk(data, cs, ce):
+                    if tid == TRACK_NUMBER:
+                        num = int.from_bytes(data[ts_:te], "big")
+                    elif tid == TRACK_TYPE:
+                        ttype = int.from_bytes(data[ts_:te], "big")
+                    elif tid == CODEC_ID:
+                        codec = data[ts_:te].decode("utf-8")
+                if num is None or ttype is None:
+                    raise ValueError("ebml: incomplete TrackEntry")
+                tracks.append({
+                    "number": num,
+                    "type": ttype,
+                    "type_name": TRACK_TYPE_NAMES.get(ttype, "other"),
+                    "codec": codec,
+                })
+        elif eid == CLUSTER:
+            n_clusters += 1
+            cluster_ts = None
+            for cid, cs, ce in _walk(data, s, e):
+                if cid == CLUSTER_TS:
+                    cluster_ts = int.from_bytes(data[cs:ce], "big")
+                elif cid == SIMPLE_BLOCK:
+                    if cluster_ts is None:
+                        raise ValueError("ebml: block before cluster ts")
+                    track, p = _read_vint(data, cs, keep_marker=False)
+                    rel = int.from_bytes(data[p:p + 2], "big", signed=True)
+                    flags = data[p + 2]
+                    if flags & 0x06:
+                        raise ValueError("ebml: lacing unsupported")
+                    payload = data[p + 3:ce]
+                    n_blocks += 1
+                    per_track_blocks[track] = per_track_blocks.get(track, 0) + 1
+                    payload_md5.update(payload)
+                    last_abs_ts = cluster_ts + rel
+    if scale is None:
+        raise ValueError("ebml: missing TimestampScale")
+    known = {t["number"] for t in tracks}
+    if set(per_track_blocks) - known:
+        raise ValueError("ebml: block references unknown track")
+    return {
+        "doctype": doctype,
+        "timestamp_scale": scale,
+        "duration_us": duration_us,
+        "tracks": tracks,
+        "n_clusters": n_clusters,
+        "n_blocks": n_blocks,
+        "per_track_blocks": per_track_blocks,
+        "payload_md5": payload_md5.hexdigest(),
+        "last_abs_ts": last_abs_ts,
+    }

@@ -1958,3 +1958,66 @@ def heading_outline_batch(doc_ids, htmls) -> list:
                 stack.append((idx, level))
                 idx += 1
     return rows
+
+
+def _mkv_doc_parts(d: int):
+    """Deterministic Matroska construction for doc d — shared by the
+    kernel and the oracle's import-time md5 variant table (payloads
+    depend on d only through d % 66 = CRT(d%11, d%3, d%2))."""
+    r = d % 11
+    n_vid = 2 + d % 3
+    n_aud = 1 + d % 2
+    vid = [bytes((r * 7 + j * 13 + i) % 256 for i in range(16))
+           for j in range(n_vid)]
+    aud = [bytes((r * 5 + k * 17 + i + 1) % 256 for i in range(16))
+           for k in range(n_aud)]
+    return n_vid, n_aud, vid, aud
+
+
+def mkv_payload_md5_variants() -> dict:
+    """doc_id % 66 -> md5 of the payload stream in parse order."""
+    import hashlib
+
+    out = {}
+    for key in range(66):
+        _nv, _na, vid, aud = _mkv_doc_parts(key)
+        md = hashlib.md5()
+        for p in vid:
+            md.update(p)
+        for p in aud:
+            md.update(p)
+        out[key] = md.hexdigest()
+    return out
+
+
+def mkv_meta_batch(doc_ids) -> list:
+    """REAL Matroska chain per doc: build an EBML stream (video+audio
+    tracks, two clusters of SimpleBlocks, doc-keyed doctype/payloads),
+    then the from-scratch VINT walker (core/ebmlmeta.py) re-reads
+    tracks, blocks and the payload digest."""
+    from h2spark.core.ebmlmeta import build_mkv, parse_mkv
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        n_vid, n_aud, vid, aud = _mkv_doc_parts(d)
+        blob = build_mkv(
+            "webm" if d % 2 else "matroska",
+            1_000_000,
+            (2 + d % 3) * 40_000,
+            [{"number": 1, "type": 1, "codec": "V_RAW"},
+             {"number": 2, "type": 2, "codec": "A_PCM"}],
+            [{"ts": 0, "blocks": [(1, j, p) for j, p in enumerate(vid)]},
+             {"ts": 1000, "blocks": [(2, k, p) for k, p in enumerate(aud)]}],
+        )
+        m = parse_mkv(blob)
+        rows.append(
+            (
+                d, m["doctype"], len(m["tracks"]), int(m["n_clusters"]),
+                int(m["n_blocks"]),
+                int(m["per_track_blocks"].get(1, 0)),
+                int(m["per_track_blocks"].get(2, 0)),
+                int(m["duration_us"]), m["payload_md5"],
+            )
+        )
+    return rows

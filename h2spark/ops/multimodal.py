@@ -2797,3 +2797,73 @@ ORDER BY doc_id, entry_idx
 
 QUERIES["image_ico_meta"] = q_image_ico_meta
 ORACLES["image_ico_meta"] = ORACLE_IMAGE_ICO
+
+
+# --- video_mkv_meta: EBML/Matroska container (round 7) ---------------------
+
+
+def q_video_mkv_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM metadata: each doc builds a real EBML stream
+    (doc-keyed doctype, two tracks, two clusters of SimpleBlocks) and
+    the from-scratch VINT walker (core/ebmlmeta.py) re-reads track
+    inventory, block accounting, duration and the payload digest —
+    completing the AVI/MP4/MKV video-container trio.
+
+    Oracle: construction geometry closed-form + an import-time
+    66-variant md5 table (payloads depend on doc_id only through
+    doc_id % 66).  Scale shape: one Arrow-batched kernel pass, no
+    shuffle before the presentation sort."""
+    from h2spark.core.runner import mkv_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = mkv_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "doctype", "n_tracks", "n_clusters",
+                    "n_blocks", "video_blocks", "audio_blocks",
+                    "duration_us", "payload_md5",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, doctype string, n_tracks int, n_clusters long,"
+            " n_blocks long, video_blocks long, audio_blocks long,"
+            " duration_us long, payload_md5 string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_video_mkv() -> str:
+    from h2spark.core.runner import mkv_payload_md5_variants
+
+    v = mkv_payload_md5_variants()
+    whens = " ".join(
+        f"WHEN {k} THEN '{h}'" for k, h in sorted(v.items())
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'webm' ELSE 'matroska' END
+           AS doctype,
+       2 AS n_tracks,
+       2::BIGINT AS n_clusters,
+       (3 + doc_id % 3 + doc_id % 2)::BIGINT AS n_blocks,
+       (2 + doc_id % 3)::BIGINT AS video_blocks,
+       (1 + doc_id % 2)::BIGINT AS audio_blocks,
+       ((2 + doc_id % 3) * 40000)::BIGINT AS duration_us,
+       (CASE doc_id % 66 {whens} END) AS payload_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+ORACLE_VIDEO_MKV = _oracle_video_mkv()
+
+QUERIES["video_mkv_meta"] = q_video_mkv_meta
+ORACLES["video_mkv_meta"] = ORACLE_VIDEO_MKV

@@ -1,0 +1,100 @@
+"""EBML/Matroska walker (core/ebmlmeta.py): VINT edges, roundtrips,
+corruption quarantine, property tests over random geometries."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from h2spark.core.ebmlmeta import (
+    _read_vint,
+    _vint_size,
+    build_mkv,
+    parse_mkv,
+)
+
+
+@pytest.mark.parametrize("v", [0, 1, 126, 127, 128, 16382, 16383, 16384,
+                               2**21 - 3, 2**28 - 2, 2**35])
+def test_vint_size_roundtrip(v):
+    enc = _vint_size(v)
+    got, pos = _read_vint(enc, 0, keep_marker=False)
+    assert got == v and pos == len(enc)
+
+
+def test_vint_reserved_all_ones_rejected_as_longer():
+    # 0x7F..FF in 1 byte would be the reserved all-ones pattern; the
+    # encoder must widen instead of emitting it
+    assert len(_vint_size(127)) == 2
+    assert len(_vint_size(16383)) == 3
+
+
+def _sample():
+    return build_mkv(
+        "matroska", 1_000_000, 80_000,
+        [{"number": 1, "type": 1, "codec": "V_RAW"},
+         {"number": 2, "type": 2, "codec": "A_PCM"}],
+        [{"ts": 0, "blocks": [(1, 0, b"v0"), (2, 4, b"a0")]},
+         {"ts": 500, "blocks": [(1, -2, b"v1" * 100)]}],  # >127B payload
+    )
+
+
+def test_roundtrip_and_accounting():
+    m = parse_mkv(_sample())
+    assert m["doctype"] == "matroska"
+    assert [t["type_name"] for t in m["tracks"]] == ["video", "audio"]
+    assert m["n_clusters"] == 2 and m["n_blocks"] == 3
+    assert m["per_track_blocks"] == {1: 2, 2: 1}
+    assert m["last_abs_ts"] == 498
+    assert m["duration_us"] == 80_000
+
+
+def test_corruption_quarantine():
+    blob = _sample()
+    with pytest.raises(ValueError):
+        parse_mkv(blob[:-5])          # truncated element
+    with pytest.raises(ValueError):
+        parse_mkv(blob[9:])           # missing EBML header
+    # block on a track absent from Tracks
+    bad = build_mkv(
+        "matroska", 1_000_000, 10_000,
+        [{"number": 1, "type": 1, "codec": "V_RAW"}],
+        [{"ts": 0, "blocks": [(3, 0, b"x")]}],
+    )
+    with pytest.raises(ValueError, match="unknown track"):
+        parse_mkv(bad)
+    # zero lead byte = invalid VINT
+    with pytest.raises(ValueError):
+        parse_mkv(b"\x00" + blob[1:])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_vid=st.integers(min_value=0, max_value=6),
+    n_aud=st.integers(min_value=0, max_value=4),
+    plen=st.integers(min_value=0, max_value=300),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_property_roundtrip(n_vid, n_aud, plen, seed):
+    vid = [bytes((seed + j * 31 + i) % 256 for i in range(plen))
+           for j in range(n_vid)]
+    aud = [bytes((seed + k * 17 + i + 1) % 256 for i in range(plen))
+           for k in range(n_aud)]
+    blob = build_mkv(
+        "webm", 1_000_000, 1 + seed % 10**6,
+        [{"number": 1, "type": 1, "codec": "V_RAW"},
+         {"number": 2, "type": 2, "codec": "A_PCM"}],
+        [{"ts": 0, "blocks": [(1, j, p) for j, p in enumerate(vid)]},
+         {"ts": 7, "blocks": [(2, k, p) for k, p in enumerate(aud)]}],
+    )
+    m = parse_mkv(blob)
+    assert m["n_blocks"] == n_vid + n_aud
+    assert m["per_track_blocks"].get(1, 0) == n_vid
+    assert m["per_track_blocks"].get(2, 0) == n_aud
+    import hashlib
+
+    md = hashlib.md5()
+    for p in vid + aud:
+        md.update(p)
+    assert m["payload_md5"] == md.hexdigest()
