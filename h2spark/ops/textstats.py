@@ -1667,3 +1667,67 @@ ORDER BY doc_id
 
 QUERIES["text_unicode_normalize"] = q_unicode_normalize
 ORACLES["text_unicode_normalize"] = ORACLE_UNICODE_NORMALIZE
+
+
+# --- sentence segmentation stats (round 7) --------------------------------
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation (split on terminal punctuation
+    + whitespace — deliberately lookaround-free so Java regex and RE2
+    agree token-for-token) with per-doc stats: sentence count, mean
+    sentence length (chars, e2 integer), longest sentence in words.
+    Sentence geometry feeds readability/quality gates and chunking
+    policies; at 100 TB it stays pure codegen — split + in-row HOF
+    aggregates, zero shuffle before the presentation sort."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.col("text"))
+    sents = F.split(t, r"[.!?]+\s+")
+    n = F.size(sents).cast("long")
+    sum_chars = F.aggregate(
+        sents, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+    )
+    max_words = F.array_max(
+        F.transform(sents, lambda s: F.size(F.split(s, r"\s+")))
+    ).cast("long")
+    empty = F.length(t) == 0
+    return (
+        d.select(
+            "doc_id",
+            F.when(empty, F.lit(0)).otherwise(n).alias("n_sentences"),
+            F.when(empty, F.lit(0)).otherwise(sum_chars).alias("sum_chars"),
+            F.when(empty, F.lit(0)).otherwise(max_words).alias("max_words"),
+        )
+        .withColumn(
+            "avg_chars_e2",
+            F.expr("CASE WHEN n_sentences = 0 THEN 0"
+                   " ELSE sum_chars * 100 div n_sentences END"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SENTENCE_STATS = r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '[.!?]+\s+') END
+             AS sents
+  FROM documents
+)
+SELECT doc_id,
+       len(sents)::BIGINT AS n_sentences,
+       coalesce(list_sum(list_transform(sents, x -> length(x))), 0)::BIGINT
+           AS sum_chars,
+       coalesce(list_max(list_transform(sents,
+           x -> len(regexp_split_to_array(x, '\s+')))), 0)::BIGINT
+           AS max_words,
+       (CASE WHEN len(sents) = 0 THEN 0
+             ELSE list_sum(list_transform(sents, x -> length(x)))
+                  * 100 // len(sents) END)::BIGINT AS avg_chars_e2
+FROM s
+ORDER BY doc_id
+"""
+
+QUERIES["text_sentence_stats"] = q_sentence_stats
+ORACLES["text_sentence_stats"] = ORACLE_SENTENCE_STATS
