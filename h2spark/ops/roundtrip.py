@@ -736,18 +736,11 @@ ORACLES["warc_cdx_index"] = ORACLE_WARC_CDX
 # --- jsonl_ingest: semi-structured sidecar parsing (round 7) ---------------
 
 
-def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL sidecar ingestion: metadata arrives as JSON lines next to
-    100 TB shards; this op parses them typed with ``from_json`` (a
-    JVM-side Catalyst expression — schema-on-read WITHOUT a Python
-    kernel) including a nested struct and an array, and quarantines
-    malformed records (1 in 7 docs gets a truncated line; from_json
-    yields NULL, surfaced as is_valid=false with -1/'' sentinels — the
-    nullable-BIGINT degrade rule).
-
-    The oracle replays with DuckDB's JSON functions: json_valid +
-    json_extract on the same constructed lines."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def jsonl_parse(d: DataFrame) -> DataFrame:
+    """The pure-projection core of jsonl_ingest, factored so the
+    streaming sidecar gate applies the identical parse: build the JSON
+    line from (doc_id, lang, n_chars), parse with from_json, surface
+    validity via the corrupt-record column."""
     line = F.concat(
         F.lit('{"id":'), F.col("doc_id"),
         F.lit(',"meta":{"lang":"'), F.col("lang"),
@@ -779,8 +772,24 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.size("p.tags"), F.lit(-1))
             .cast("long").alias("n_tags"),
         )
-        .orderBy("doc_id")
     )
+
+
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sidecar ingestion: metadata arrives as JSON lines next to
+    100 TB shards; this op parses them typed with ``from_json`` (a
+    JVM-side Catalyst expression — schema-on-read WITHOUT a Python
+    kernel) including a nested struct and an array, and quarantines
+    malformed records (1 in 7 docs gets a truncated line), surfaced as
+    is_valid=false with -1/'' sentinels — the nullable-BIGINT degrade
+    rule.  PERMISSIVE from_json yields a struct of NULLs (not a NULL
+    struct) on malformed input, so validity comes from the
+    corrupt-record column.
+
+    The oracle replays with DuckDB's JSON functions: json_valid +
+    json_extract on the same constructed lines."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jsonl_parse(d).orderBy("doc_id")
 
 
 ORACLE_JSONL_INGEST = """

@@ -770,3 +770,41 @@ def run_streaming_politeness(
     return _start_append_writer(
         politeness_pacer(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- streaming JSONL sidecar gate (round 7) --------------------------------
+
+SIDECAR_DDL = "doc_id long, lang string, n_chars long, source string"
+
+
+def sidecar_gate(df):
+    """Round-7 ingest instrumentation as a STATELESS streaming
+    transform: the typed from_json sidecar parse (the exact
+    ops/roundtrip.py jsonl_parse projection) applied at ingest time —
+    corrupt metadata lines are flagged before anything lands.  Pure
+    Catalyst expressions, so batch and readStream rows are identical;
+    this is the proof the schema-on-read path runs unchanged under
+    Structured Streaming."""
+    from h2spark.ops.roundtrip import jsonl_parse
+
+    return jsonl_parse(df)
+
+
+def run_streaming_sidecar_gate(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental sidecar validation over a growing metadata
+    directory."""
+    stream = (
+        spark.readStream.schema(SIDECAR_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        sidecar_gate(stream), out_dir, checkpoint_dir, available_now
+    )

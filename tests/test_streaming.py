@@ -687,3 +687,39 @@ def test_streaming_politeness_pacer_state_continuity(spark, tmp_path):
         5: ("c.org", 0, 0),      # new host starts at slot 0
         6: ("b.net", 1, 250),
     }
+
+
+def test_streaming_sidecar_gate_matches_batch(spark, tmp_path):
+    # from_json with a corrupt-record column is a pure projection: the
+    # streamed validity flags and parsed fields must equal the batch
+    # computation row-for-row (12th streaming operator)
+    from h2spark.pipeline.streaming import (
+        run_streaming_sidecar_gate, sidecar_gate,
+    )
+
+    rows = [
+        (0, "en", 42, "src0"),    # valid
+        (3, "de", 7, "src3"),     # doc_id%7==3 -> truncated line
+        (10, "zh", 99, "src1"),   # doc_id%7==3 -> truncated line
+        (12, "es", 5, "src2"),    # valid
+    ]
+    inp = tmp_path / "sg_in"
+    out = tmp_path / "sg_out"
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long, source string"
+    )
+    df.coalesce(1).write.mode("append").parquet(str(inp))
+    batch = {r["doc_id"]: r.asDict() for r in sidecar_gate(df).collect()}
+    q = run_streaming_sidecar_gate(
+        spark, str(inp), str(out), available_now=True
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.read.parquet(str(out) + "/data").collect()
+    }
+    assert got == batch
+    assert got[0]["is_valid"] and got[12]["is_valid"]
+    assert not got[3]["is_valid"] and not got[10]["is_valid"]
+    assert got[3]["n_parsed"] == -1 and got[3]["tag0"] == ""
+    assert got[0]["n_parsed"] == 42 and got[0]["tag0"] == "t0"
