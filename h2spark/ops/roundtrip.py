@@ -879,3 +879,77 @@ ORDER BY doc_id
 
 QUERIES["csv_ingest"] = q_csv_ingest
 ORACLES["csv_ingest"] = ORACLE_CSV_INGEST
+
+
+# --- svg foreign-content extraction (round 7) -------------------------------
+
+_SVG_SPEC = StructSpec(
+    "Svg",
+    [
+        Field("w", Scalar("u32"), ONE, select="svg", attr="width"),
+        Field("h", Scalar("u32"), ONE, select="svg", attr="height"),
+        Field("title", Scalar("String"), ONE, select="svg > title"),
+        Field("radii", Scalar("u32"), VEC, select="circle", attr="r"),
+    ],
+)
+
+
+def q_svg_foreign_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-content extraction at table scale: inline SVG (the
+    WHATWG 13.2.6.5 foreign-content insertion path — namespaced
+    elements, integration points) parsed by the real tree builder and
+    queried through the spec engine — svg attributes, a child <title>,
+    and a Vec of circle radii with typed u32 parses.  The conformance
+    corpus pins foreign content per-case; this op pins it over 60k
+    documents with a SQL-derivable answer."""
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")  # 1..4 circles
+    circles = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), k),
+            lambda i: F.concat(
+                F.lit('<circle r="'),
+                (F.lit(1) + F.pmod(F.col("doc_id") + i, F.lit(9))),
+                F.lit('"/>'),
+            ),
+        ),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    html = F.concat(
+        F.lit('<html><body><p>before</p><svg width="'),
+        (F.lit(32) + F.pmod(F.col("doc_id"), F.lit(7)) * 8),
+        F.lit('" height="'),
+        (F.lit(16) + F.pmod(F.col("doc_id"), F.lit(5)) * 4),
+        F.lit('"><title>logo-'), F.col("source"), F.lit("</title>"),
+        circles,
+        F.lit("</svg><p>after</p></body></html>"),
+    )
+    udf = make_extract_typed_udf(_SVG_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.value.w").cast("long").alias("svg_w"),
+        F.col("o.value.h").cast("long").alias("svg_h"),
+        F.col("o.value.title").alias("title"),
+        F.size("o.value.radii").cast("long").alias("n_circles"),
+        F.aggregate(
+            "o.value.radii", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("r_sum"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SVG_FOREIGN = """
+SELECT doc_id,
+       (32 + (doc_id % 7) * 8)::BIGINT AS svg_w,
+       (16 + (doc_id % 5) * 4)::BIGINT AS svg_h,
+       'logo-' || source AS title,
+       (1 + doc_id % 4)::BIGINT AS n_circles,
+       list_sum(list_transform(range(1 + (doc_id % 4)::INT),
+                i -> 1 + (doc_id + i) % 9))::BIGINT AS r_sum
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["svg_foreign_extract"] = q_svg_foreign_extract
+ORACLES["svg_foreign_extract"] = ORACLE_SVG_FOREIGN
