@@ -2021,3 +2021,36 @@ def mkv_meta_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def dom_stats_batch(doc_ids, htmls) -> list:
+    """Structural complexity through the REAL parser: max element
+    depth, element count, text-node count, max fan-out.  DOM shape is
+    a standard quality signal (boilerplate-heavy pages run deep and
+    wide) and a skew predictor for extraction cost."""
+    rows: list = []
+    for d, html in zip(doc_ids, htmls):
+        doc = parse_document(str(html))
+        root = doc.root_element()
+        max_depth = 1
+        n_elements = 1
+        n_text = 0
+        max_fanout = 0
+        stack = [(root, 1)]
+        while stack:
+            el, depth = stack.pop()
+            fan = 0
+            for ch in el.children:
+                tname = type(ch).__name__
+                if tname == "Element":
+                    fan += 1
+                    n_elements += 1
+                    if depth + 1 > max_depth:
+                        max_depth = depth + 1
+                    stack.append((ch, depth + 1))
+                elif tname == "Text":
+                    n_text += 1
+            if fan > max_fanout:
+                max_fanout = fan
+        rows.append((int(d), max_depth, n_elements, n_text, max_fanout))
+    return rows

@@ -190,3 +190,75 @@ ORDER BY doc_id, idx
 
 QUERIES["heading_outline"] = q_heading_outline
 ORACLES["heading_outline"] = ORACLE_HEADING_OUTLINE
+
+
+# --- DOM structural stats (round 7) -----------------------------------------
+
+
+def q_dom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM shape metrics over the real parser: max depth, element and
+    text-node counts, max fan-out.  The page nests a doc-keyed chain
+    of divs (2 + doc_id%5 deep) around a paragraph and adds a flat run
+    of 1 + doc_id%3 span siblings, so every metric is
+    construction-derivable.  Structural complexity is a quality
+    signal (chrome-heavy pages run deep/wide) and predicts extraction
+    cost skew — the salting input at 100 TB."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 5 + 2).cast("int")   # nested div chain
+    m = (F.col("doc_id") % 3 + 1).cast("int")   # flat span run
+    nest_open = F.aggregate(
+        F.sequence(F.lit(1), k), F.lit(""),
+        lambda acc, _i: F.concat(acc, F.lit("<div>")),
+    )
+    nest_close = F.aggregate(
+        F.sequence(F.lit(1), k), F.lit(""),
+        lambda acc, _i: F.concat(acc, F.lit("</div>")),
+    )
+    spans = F.aggregate(
+        F.sequence(F.lit(1), m), F.lit(""),
+        lambda acc, i: F.concat(acc, F.lit("<span>s"), i, F.lit("</span>")),
+    )
+    html = F.concat(
+        F.lit("<html><body>"), nest_open, F.lit("<p>x</p>"), nest_close,
+        spans, F.lit("</body></html>"),
+    )
+
+    from h2spark.core.runner import dom_stats_batch
+
+    def stats(batches):
+        for pdf in batches:
+            rows = dom_stats_batch(list(pdf["doc_id"]), list(pdf["html"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "max_depth", "n_elements",
+                         "n_text_nodes", "max_fanout"],
+            )
+
+    return (
+        d.select("doc_id", html.alias("html"))
+        .mapInPandas(
+            stats,
+            "doc_id long, max_depth long, n_elements long,"
+            " n_text_nodes long, max_fanout long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# html(1) > body(2) > div-chain(k) > p — depth 2 + k + 1; elements:
+# html + head + body + k divs + p + m spans; text: "x" + m span texts;
+# fan-out: body holds (first div | p when k=0) + m spans = 1 + m
+ORACLE_DOM_STATS = """
+SELECT doc_id,
+       (2 + (doc_id % 5 + 2) + 1)::BIGINT AS max_depth,
+       (3 + (doc_id % 5 + 2) + 1 + (doc_id % 3 + 1))::BIGINT AS n_elements,
+       (1 + doc_id % 3 + 1)::BIGINT AS n_text_nodes,
+       (1 + doc_id % 3 + 1)::BIGINT AS max_fanout
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["dom_stats"] = q_dom_stats
+ORACLES["dom_stats"] = ORACLE_DOM_STATS

@@ -862,3 +862,107 @@ ORDER BY d.doc_id
 
 QUERIES["retrieval_pairs"] = q_retrieval_pairs
 ORACLES["retrieval_pairs"] = ORACLE_RETRIEVAL_PAIRS
+
+
+# --- crawl-trap detection (round 7) -----------------------------------------
+
+_TRAP_MAX_DEPTH = 6          # path segments before a URL is suspect
+_TRAP_REPEAT_MIN = 3         # identical consecutive segments = loop
+
+
+def q_crawl_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap triage: flag frontier URLs whose path shape marks a
+    spider trap — calendar/session loops repeat a segment, generated
+    trees run absurdly deep.  One in five docs gets a looping URL
+    (same segment repeated 3+ times), one in seven a deep chain; the
+    rest are normal.  Pure codegen string ops (split, array filters),
+    zero shuffle before the presentation sort — this gate runs on the
+    frontier BEFORE fetch slots are spent, which is why it must be
+    scan-cheap at 10^12 URLs."""
+    d = _docs(spark, sf_dir)
+    seg = F.concat(F.lit("s"), (F.col("doc_id") % 9).cast("string"))
+    loop_url = F.concat(
+        F.lit("https://h"), F.col("doc_id") % 13, F.lit(".example/"),
+        seg, F.lit("/"), seg, F.lit("/"), seg, F.lit("/page"),
+    )
+    deep_url = F.concat(
+        F.lit("https://h"), F.col("doc_id") % 13,
+        F.lit(".example/a/b/c/d/e/f/g/h"),
+    )
+    normal_url = F.concat(
+        F.lit("https://h"), F.col("doc_id") % 13, F.lit(".example/p/"),
+        (F.col("doc_id") % 97).cast("string"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 5 == 2, loop_url)
+        .when(F.col("doc_id") % 7 == 3, deep_url)
+        .otherwise(normal_url)
+    )
+    base = d.select("doc_id", url.alias("url"))
+    path = F.regexp_replace("url", r"^https?://[^/]+", "")
+    segs = F.filter(F.split(path, "/"), lambda s: F.length(s) > 0)
+    depth = F.size(segs).cast("long")
+    # max consecutive-repeat run via zip_with against the shifted array
+    shifted = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(1)))
+    pairs = F.zip_with(
+        F.slice(segs, 1, F.greatest(F.size(segs) - 1, F.lit(1))),
+        shifted,
+        lambda a, b: (a == b).cast("int"),
+    )
+    n_repeats = F.when(
+        F.size(segs) >= 2, F.aggregate(pairs, F.lit(0), lambda x, y: x + y)
+    ).otherwise(F.lit(0)).cast("long")
+    looped = n_repeats >= _TRAP_REPEAT_MIN - 1
+    deep = depth > _TRAP_MAX_DEPTH
+    return (
+        base.select(
+            "doc_id", "url",
+            depth.alias("path_depth"),
+            n_repeats.alias("n_repeat_pairs"),
+            looped.alias("loop_trap"),
+            deep.alias("depth_trap"),
+            (looped | deep).alias("quarantine"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CRAWL_TRAP = f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 5 = 2 THEN
+             'https://h' || (doc_id % 13) || '.example/'
+             || 's' || (doc_id % 9) || '/s' || (doc_id % 9)
+             || '/s' || (doc_id % 9) || '/page'
+           WHEN doc_id % 7 = 3 THEN
+             'https://h' || (doc_id % 13) || '.example/a/b/c/d/e/f/g/h'
+           ELSE 'https://h' || (doc_id % 13) || '.example/p/'
+                || (doc_id % 97)
+         END AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, url,
+         list_filter(string_split(
+             regexp_replace(url, '^https?://[^/]+', ''), '/'),
+             x -> length(x) > 0) AS segs
+  FROM u
+), m AS (
+  SELECT doc_id, url, len(segs)::BIGINT AS path_depth,
+         (CASE WHEN len(segs) >= 2 THEN
+            list_sum(list_transform(range(1, len(segs)),
+              i -> CASE WHEN segs[i] = segs[i + 1] THEN 1 ELSE 0 END))
+          ELSE 0 END)::BIGINT AS n_repeat_pairs
+  FROM s
+)
+SELECT doc_id, url, path_depth, n_repeat_pairs,
+       n_repeat_pairs >= {_TRAP_REPEAT_MIN - 1} AS loop_trap,
+       path_depth > {_TRAP_MAX_DEPTH} AS depth_trap,
+       (n_repeat_pairs >= {_TRAP_REPEAT_MIN - 1}
+        OR path_depth > {_TRAP_MAX_DEPTH}) AS quarantine
+FROM m
+ORDER BY doc_id
+"""
+
+QUERIES["crawl_trap_detect"] = q_crawl_trap_detect
+ORACLES["crawl_trap_detect"] = ORACLE_CRAWL_TRAP
