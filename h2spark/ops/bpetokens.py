@@ -534,3 +534,81 @@ ORDER BY lang
 
 QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
 ORACLES["tokenizer_fertility"] = ORACLE_TOKENIZER_FERTILITY
+
+
+# --- tokenizer OOV audit (round 7) -------------------------------------------
+
+_OOV_INJECT_A = " é漢"   # accented latin + CJK
+_OOV_INJECT_B = " …™"    # non-ASCII punctuation
+
+
+def q_tokenizer_oov_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit for the production BPE table: its
+    94-char base vocab is exactly the non-space printable ASCII set,
+    so every character outside ``[!-~]`` and whitespace is silently
+    DROPPED by the tokenizer.  This op measures the blind spot per
+    document (counts + e6 ratio + affected flag) over injected
+    non-ASCII — the number every token-budget query inherits as
+    error.  Pure codegen counting (replace-length trick), zero
+    shuffle before the presentation sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = F.pmod(F.col("doc_id"), F.lit(3))
+    t = (
+        F.when(sel == 1, F.concat(F.col("text"), F.lit(_OOV_INJECT_A)))
+        .when(sel == 2, F.concat(F.col("text"), F.lit(_OOV_INJECT_B)))
+        .otherwise(F.col("text"))
+    )
+    base = d.select("doc_id", t.alias("t"))
+    n_chars = F.length("t").cast("long")
+    n_ws = (
+        F.length("t") - F.length(F.regexp_replace(F.col("t"), r"\s", ""))
+    ).cast("long")
+    n_vocab = F.length(
+        F.regexp_replace(F.col("t"), "[^!-~]", "")
+    ).cast("long")
+    return (
+        base.select(
+            "doc_id",
+            n_chars.alias("n_chars"),
+            n_ws.alias("n_ws"),
+            n_vocab.alias("n_vocab"),
+            (n_chars - n_ws - n_vocab).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio_e6",
+            F.expr("CASE WHEN n_chars = 0 THEN 0"
+                   " ELSE n_oov * 1000000 div n_chars END"),
+        )
+        .withColumn("lossy", F.col("n_oov") > 0)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKENIZER_OOV = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+              WHEN 1 THEN text || '{_OOV_INJECT_A}'
+              WHEN 2 THEN text || '{_OOV_INJECT_B}'
+              ELSE text END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         length(t)::BIGINT AS n_chars,
+         (length(t) - length(regexp_replace(t, '\\s', '', 'g')))::BIGINT
+             AS n_ws,
+         length(regexp_replace(t, '[^!-~]', '', 'g'))::BIGINT AS n_vocab
+  FROM injected
+)
+SELECT doc_id, n_chars, n_ws, n_vocab,
+       (n_chars - n_ws - n_vocab)::BIGINT AS n_oov,
+       (CASE WHEN n_chars = 0 THEN 0
+             ELSE (n_chars - n_ws - n_vocab) * 1000000 // n_chars
+        END)::BIGINT AS oov_ratio_e6,
+       (n_chars - n_ws - n_vocab) > 0 AS lossy
+FROM c
+ORDER BY doc_id
+"""
+
+QUERIES["tokenizer_oov_audit"] = q_tokenizer_oov_audit
+ORACLES["tokenizer_oov_audit"] = ORACLE_TOKENIZER_OOV
