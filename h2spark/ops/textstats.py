@@ -1731,3 +1731,79 @@ ORDER BY doc_id
 
 QUERIES["text_sentence_stats"] = q_sentence_stats
 ORACLES["text_sentence_stats"] = ORACLE_SENTENCE_STATS
+
+
+# --- hashed linear quality classifier (round 7) ------------------------------
+
+_HLC_BUCKETS = 64
+_HLC_THRESHOLD = 0  # score > 0 => keep
+
+
+def q_quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-shaped quality scoring with the hashing trick: each
+    word hashes (md5) into one of 64 buckets whose fixed integer
+    weight is a deterministic function of the bucket id — the exact
+    runtime shape of a fastText-style linear filter (CCNet/FineWeb
+    style), with the learned weights replaced by a reproducible table
+    so the oracle can replay bit-for-bit (a deployed model would
+    broadcast its real weights into the same expression).
+
+    Scale shape: the whole score is an IN-ROW HOF aggregate over the
+    split words — no explode, no groupBy, zero shuffle; this is the
+    cheapest possible form of a per-document classifier at 10^12
+    docs."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+    def weight(w):
+        bucket = F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") \
+            % _HLC_BUCKETS
+        return (bucket * 37 % 21) - 10
+
+    score = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+    )
+    n_words = F.size(words).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            score.alias("score"),
+        )
+        .withColumn(
+            "mean_e3",
+            F.expr("CASE WHEN n_words = 0 THEN 0"
+                   " ELSE score * 1000 div n_words END"),
+        )
+        .withColumn("keep", F.col("score") > _HLC_THRESHOLD)
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_LINEAR = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         coalesce(list_sum(list_transform(words,
+           x -> (('0x' || substr(md5(x), 1, 8))::BIGINT
+                 % {_HLC_BUCKETS}) * 37 % 21 - 10)), 0)::BIGINT AS score
+  FROM w
+)
+SELECT doc_id, n_words, score,
+       (CASE WHEN n_words = 0 THEN 0
+             ELSE score * 1000 // n_words END)::BIGINT AS mean_e3,
+       score > {_HLC_THRESHOLD} AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+QUERIES["quality_linear_score"] = q_quality_linear_score
+ORACLES["quality_linear_score"] = ORACLE_QUALITY_LINEAR

@@ -803,3 +803,25 @@ def test_jsonl_ingest_is_jvm_side_codegen(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
     assert "from_json" in plan
+
+
+def test_round7_codegen_ops_zero_shuffle(spark):
+    # the session's pure-codegen claims: no hash exchange, no Python
+    # nodes anywhere in these plans (the only exchange allowed is the
+    # final orderBy's range partitioning)
+    from h2spark.ops import bpetokens, links, textstats as ts
+
+    for q in (ts.q_sentence_stats, ts.q_quality_linear_score,
+              bpetokens.q_tokenizer_oov_audit, links.q_crawl_trap_detect):
+        plan = _formatted(q(spark, SF), spark)
+        assert "hashpartitioning(" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "BatchEvalPython" not in plan, q.__name__
+
+
+def test_dom_stats_single_kernel_pass(spark):
+    from h2spark.ops import boilerplate
+
+    plan = _formatted(boilerplate.q_dom_stats(spark, SF), spark)
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(" not in plan
