@@ -2054,3 +2054,31 @@ def dom_stats_batch(doc_ids, htmls) -> list:
                 max_fanout = fan
         rows.append((int(d), max_depth, n_elements, n_text, max_fanout))
     return rows
+
+
+def tiff_pixels_batch(doc_ids) -> list:
+    """REAL TIFF chain per doc: build a baseline RGB TIFF (doc-keyed
+    dims, byte order alternating II/MM, rows_per_strip=3 so strip
+    tables go out of line), decode strips back (core/tiffpix.py) and
+    emit geometry + pixel stats the oracle re-derives from the pixel
+    formula."""
+    from h2spark.core.tiffpix import build_tiff_rgb, parse_tiff_rgb
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        w = 8 + d % 5
+        h = 6 + d % 4
+        px = bytes(((d % 23) * 11 + i * 7) % 256 for i in range(w * h * 3))
+        bo = "MM" if d % 2 else "II"
+        m = parse_tiff_rgb(build_tiff_rgb(w, h, px, bo, rows_per_strip=3))
+        if m["pixels"] != px:
+            raise ValueError("tiff roundtrip mismatch")
+        rows.append(
+            (
+                d, m["byte_order"], int(m["width"]), int(m["height"]),
+                int(m["n_strips"]), int(sum(m["pixels"])),
+                int(max(m["pixels"])),
+            )
+        )
+    return rows

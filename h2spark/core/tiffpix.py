@@ -1,0 +1,204 @@
+"""Baseline TIFF 6.0 RGB build + strip pixel decode (pure stdlib).
+
+Complements core/exif.py (which walks Exif/TIFF *metadata* IFDs) with
+the actual raster path: a real baseline RGB TIFF writer (both byte
+orders, multi-strip) and a from-scratch reader that walks IFD0,
+validates the baseline-RGB requirement set (TIFF 6.0 §8: ImageWidth/
+Length, BitsPerSample 8,8,8, Compression=1, Photometric=2 RGB,
+SamplesPerPixel=3, strip offsets/counts), and reassembles pixels from
+the strips.  Structural damage raises ValueError (the quarantine
+contract).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_T_SHORT = 3
+_T_LONG = 4
+
+TAG_WIDTH = 0x0100
+TAG_LENGTH = 0x0101
+TAG_BITS = 0x0102
+TAG_COMPRESSION = 0x0103
+TAG_PHOTOMETRIC = 0x0106
+TAG_STRIP_OFFSETS = 0x0111
+TAG_SAMPLES = 0x0115
+TAG_ROWS_PER_STRIP = 0x0116
+TAG_STRIP_COUNTS = 0x0117
+
+
+def _e(byte_order: str) -> str:
+    if byte_order == "II":
+        return "<"
+    if byte_order == "MM":
+        return ">"
+    raise ValueError("tiff: bad byte order")
+
+
+def build_tiff_rgb(
+    width: int,
+    height: int,
+    pixels: bytes,
+    byte_order: str = "II",
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Serialize interleaved 8-bit RGB pixels as a baseline TIFF."""
+    e = _e(byte_order)
+    if len(pixels) != width * height * 3:
+        raise ValueError("tiff: pixel buffer size mismatch")
+    n_strips = (height + rows_per_strip - 1) // rows_per_strip
+    strips = []
+    for s in range(n_strips):
+        y0 = s * rows_per_strip
+        rows = min(rows_per_strip, height - y0)
+        strips.append(pixels[y0 * width * 3:(y0 + rows) * width * 3])
+
+    entries = [
+        (TAG_WIDTH, _T_LONG, 1, None),
+        (TAG_LENGTH, _T_LONG, 1, None),
+        (TAG_BITS, _T_SHORT, 3, None),
+        (TAG_COMPRESSION, _T_SHORT, 1, None),
+        (TAG_PHOTOMETRIC, _T_SHORT, 1, None),
+        (TAG_STRIP_OFFSETS, _T_LONG, n_strips, None),
+        (TAG_SAMPLES, _T_SHORT, 1, None),
+        (TAG_ROWS_PER_STRIP, _T_LONG, 1, None),
+        (TAG_STRIP_COUNTS, _T_LONG, n_strips, None),
+    ]
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_area = 8 + ifd_size       # out-of-line values start here
+    # out-of-line payloads: bits (3 shorts = 6 bytes), offsets/counts
+    # arrays when n_strips > 1
+    bits_off = data_area
+    ool = struct.pack(e + "HHH", 8, 8, 8)
+    arr_bytes = 4 * n_strips
+    if n_strips > 1:
+        offsets_off = bits_off + 6
+        counts_off = offsets_off + arr_bytes
+        strip_data_off = counts_off + arr_bytes
+    else:
+        offsets_off = counts_off = None
+        strip_data_off = bits_off + 6
+    strip_offsets = []
+    pos = strip_data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    if n_strips > 1:
+        ool += b"".join(struct.pack(e + "I", o) for o in strip_offsets)
+        ool += b"".join(struct.pack(e + "I", len(s)) for s in strips)
+
+    def value_field(tag, typ, count):
+        if tag == TAG_WIDTH:
+            return struct.pack(e + "I", width)
+        if tag == TAG_LENGTH:
+            return struct.pack(e + "I", height)
+        if tag == TAG_BITS:
+            return struct.pack(e + "I", bits_off)
+        if tag == TAG_COMPRESSION:
+            return struct.pack(e + "H", 1) + b"\x00\x00"
+        if tag == TAG_PHOTOMETRIC:
+            return struct.pack(e + "H", 2) + b"\x00\x00"
+        if tag == TAG_STRIP_OFFSETS:
+            if count == 1:
+                return struct.pack(e + "I", strip_offsets[0])
+            return struct.pack(e + "I", offsets_off)
+        if tag == TAG_SAMPLES:
+            return struct.pack(e + "H", 3) + b"\x00\x00"
+        if tag == TAG_ROWS_PER_STRIP:
+            return struct.pack(e + "I", rows_per_strip)
+        if tag == TAG_STRIP_COUNTS:
+            if count == 1:
+                return struct.pack(e + "I", len(strips[0]))
+            return struct.pack(e + "I", counts_off)
+        raise AssertionError(tag)
+
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, count, _ in entries:
+        ifd += struct.pack(e + "HHI", tag, typ, count)
+        ifd += value_field(tag, typ, count)
+    ifd += struct.pack(e + "I", 0)
+
+    return (
+        byte_order.encode("ascii")
+        + struct.pack(e + "HI", 42, 8)
+        + ifd
+        + ool
+        + b"".join(strips)
+    )
+
+
+def parse_tiff_rgb(data: bytes) -> dict:
+    """IFD0 walk + strip reassembly for baseline RGB TIFFs."""
+    if len(data) < 8:
+        raise ValueError("tiff: too short")
+    bo = data[:2].decode("latin-1")
+    e = _e(bo)
+    magic, ifd_off = struct.unpack_from(e + "HI", data, 2)
+    if magic != 42:
+        raise ValueError("tiff: bad magic number")
+    if ifd_off + 2 > len(data):
+        raise ValueError("tiff: IFD offset out of range")
+    (n_entries,) = struct.unpack_from(e + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    pos = ifd_off + 2
+    if pos + 12 * n_entries + 4 > len(data):
+        raise ValueError("tiff: truncated IFD")
+    for _ in range(n_entries):
+        tag, typ, count = struct.unpack_from(e + "HHI", data, pos)
+        raw4 = data[pos + 8:pos + 12]
+        pos += 12
+        if typ == _T_SHORT:
+            width_b, fmt = 2, "H"
+        elif typ == _T_LONG:
+            width_b, fmt = 4, "I"
+        else:
+            continue  # baseline RGB needs only SHORT/LONG tags
+        total = width_b * count
+        if total <= 4:
+            buf, off = raw4, 0
+        else:
+            (off,) = struct.unpack(e + "I", raw4)
+            if off + total > len(data):
+                raise ValueError("tiff: value out of range")
+            buf = data
+        tags[tag] = [
+            struct.unpack_from(e + fmt, buf, off + i * width_b)[0]
+            for i in range(count)
+        ]
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"tiff: missing required tag {tag:#06x}")
+            return default
+        return v[0]
+
+    width = one(TAG_WIDTH)
+    height = one(TAG_LENGTH)
+    if one(TAG_COMPRESSION, 1) != 1:
+        raise ValueError("tiff: only uncompressed strips supported")
+    if one(TAG_PHOTOMETRIC) != 2:
+        raise ValueError("tiff: only RGB photometric supported")
+    if one(TAG_SAMPLES, 3) != 3 or tags.get(TAG_BITS, [8, 8, 8]) != [8, 8, 8]:
+        raise ValueError("tiff: only 8-bit RGB supported")
+    offsets = tags.get(TAG_STRIP_OFFSETS)
+    counts = tags.get(TAG_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: bad strip tables")
+    pixels = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(data):
+            raise ValueError("tiff: strip out of range")
+        pixels += data[off:off + cnt]
+    if len(pixels) != width * height * 3:
+        raise ValueError("tiff: strip bytes != image size")
+    return {
+        "byte_order": bo,
+        "width": width,
+        "height": height,
+        "n_strips": len(offsets),
+        "rows_per_strip": one(TAG_ROWS_PER_STRIP, height),
+        "pixels": bytes(pixels),
+    }

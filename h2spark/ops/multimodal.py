@@ -2867,3 +2867,65 @@ ORACLE_VIDEO_MKV = _oracle_video_mkv()
 
 QUERIES["video_mkv_meta"] = q_video_mkv_meta
 ORACLES["video_mkv_meta"] = ORACLE_VIDEO_MKV
+
+
+# --- image_tiff_pixels: baseline TIFF raster decode (round 7) ---------------
+
+
+def q_image_tiff_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF raster path: build a real multi-strip RGB TIFF
+    per doc (both byte orders; strip tables out of line), decode the
+    strips from scratch (core/tiffpix.py) and verify every pixel
+    against the construction formula inside the kernel; the oracle
+    re-derives sums from the same formula.  TIFF joins PNG/GIF/BMP/
+    JPEG/WebP in the decoded-raster family (scans and scientific
+    imagery arrive as TIFF).
+
+    Scale shape: one Arrow-batched kernel pass, zero shuffle before
+    the presentation sort."""
+    from h2spark.core.runner import tiff_pixels_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = tiff_pixels_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_order", "width", "height",
+                    "n_strips", "px_sum", "px_max",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, byte_order string, width int, height int,"
+            " n_strips long, px_sum long, px_max long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_TIFF = """
+WITH g AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS w,
+         6 + doc_id % 4 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+       w::INT AS width, h::INT AS height,
+       ((h + 2) // 3)::BIGINT AS n_strips,
+       list_sum(list_transform(range(w * h * 3),
+         i -> ((doc_id % 23) * 11 + i * 7) % 256))::BIGINT AS px_sum,
+       list_max(list_transform(range(w * h * 3),
+         i -> ((doc_id % 23) * 11 + i * 7) % 256))::BIGINT AS px_max
+FROM g
+ORDER BY doc_id
+"""
+
+QUERIES["image_tiff_pixels"] = q_image_tiff_pixels
+ORACLES["image_tiff_pixels"] = ORACLE_IMAGE_TIFF

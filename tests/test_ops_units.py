@@ -2249,3 +2249,32 @@ def test_heading_outline_walk_skipped_levels():
         (7, 5, 1, "F", -1),
         (7, 6, 6, "G", 5),
     ]
+
+
+def test_tiff_rgb_roundtrip_and_quarantine():
+    import pytest
+
+    from h2spark.core.tiffpix import build_tiff_rgb, parse_tiff_rgb
+
+    w, h = 7, 9
+    px = bytes((i * 13 + 5) % 256 for i in range(w * h * 3))
+    for bo in ("II", "MM"):
+        for rps in (1, 3, 9, 16):
+            m = parse_tiff_rgb(build_tiff_rgb(w, h, px, bo, rps))
+            assert m["pixels"] == px
+            assert m["byte_order"] == bo
+            assert m["n_strips"] == (h + rps - 1) // rps
+    blob = bytearray(build_tiff_rgb(w, h, px, "II", 3))
+    # bad magic number
+    import struct
+
+    struct.pack_into("<H", blob, 2, 43)
+    with pytest.raises(ValueError, match="magic"):
+        parse_tiff_rgb(bytes(blob))
+    # strip data truncated
+    good = build_tiff_rgb(w, h, px, "II", 3)
+    with pytest.raises(ValueError):
+        parse_tiff_rgb(good[:-4])
+    # buffer size mismatch rejected at build time
+    with pytest.raises(ValueError):
+        build_tiff_rgb(4, 4, b"xy")
