@@ -97,7 +97,10 @@ def _all_modules():
 # events_asof_join, events_range_join, and the session-4 batch:
 # parquet_footer_audit, shuffle_skew_plan, preference_pairs,
 # text_unicode_normalize, audio_flac_meta, retrieval_pairs,
-# span_corruption_plan, jsonl_ingest, image_ico_meta) are 0 rounds
+# span_corruption_plan, jsonl_ingest, image_ico_meta, heading_outline,
+# dedup_cross_source, csv_ingest, video_mkv_meta, text_sentence_stats,
+# svg_foreign_extract, dom_stats, crawl_trap_detect,
+# tokenizer_oov_audit, quality_linear_score, image_tiff_pixels) are 0 rounds
 # old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and
 # rotate into the r8 window.
