@@ -808,3 +808,73 @@ def run_streaming_sidecar_gate(
     return _start_append_writer(
         sidecar_gate(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- streaming skew monitor (round 7, 13th operator) ------------------------
+
+SKEW_SCHEMA = (
+    "key string, cnt long, salt_factor long"
+)
+_SKEW_STATE_SCHEMA = "cnt long"
+_SKEW_MON_PARTS = 32          # mirrors ops/relational._SKEW_PARTS
+_SKEW_MON_TARGET = 500        # rows per task before salting kicks in
+
+
+def skew_monitor(events):
+    """Stateful streaming twin of ops/relational.q_shuffle_skew_plan:
+    cumulative per-key row counts carried across micro-batches (ONE
+    long of state per key) with a live salt-factor recommendation —
+    ceil(cnt / target rows-per-task).  An ingest pipeline watches this
+    to re-salt hot keys BEFORE the nightly batch join melts; each
+    batch a key appears in emits its current (cnt, salt_factor) row,
+    so the latest row per key is the live plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = events.select(F.col("event_type").alias("key"))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (k,) = key
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame(
+            {
+                "key": [k],
+                "cnt": [cnt],
+                "salt_factor": [
+                    (cnt + _SKEW_MON_TARGET - 1) // _SKEW_MON_TARGET
+                ],
+            }
+        )
+
+    return pre.groupBy("key").applyInPandasWithState(
+        update,
+        SKEW_SCHEMA,
+        _SKEW_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_skew_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Cumulative key-count monitoring over a growing events
+    directory."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        skew_monitor(stream), out_dir, checkpoint_dir, available_now
+    )

@@ -723,3 +723,56 @@ def test_streaming_sidecar_gate_matches_batch(spark, tmp_path):
     assert not got[3]["is_valid"] and not got[10]["is_valid"]
     assert got[3]["n_parsed"] == -1 and got[3]["tag0"] == ""
     assert got[0]["n_parsed"] == 42 and got[0]["tag0"] == "t0"
+
+
+def test_streaming_skew_monitor_accumulates(spark, tmp_path):
+    # cumulative per-key counts must carry across micro-batches; the
+    # latest row per key after batch 2 equals the whole-input batch
+    # count (13th streaming operator)
+    import time
+
+    from pyspark.sql import functions as F
+
+    from h2spark.pipeline.streaming import (
+        _SKEW_MON_TARGET, run_streaming_skew_monitor,
+    )
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 00:00:{i % 60:02d}", i % 5, et, 1.0, "{}")
+             for i, et in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    inp = tmp_path / "sm_in"
+    out = tmp_path / "sm_out"
+    ck = tmp_path / "sm_ck"
+    b1 = [(i, "view") for i in range(600)] + [(1000 + i, "click")
+                                              for i in range(10)]
+    b2 = [(2000 + i, "view") for i in range(300)] + [(3000 + i, "error")
+                                                     for i in range(7)]
+    events(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_skew_monitor(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)  # distinct mtime for deterministic arrival order
+    events(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_skew_monitor(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    latest = {}
+    for r in rows:  # append mode: keep the max cnt per key (monotone)
+        if r["key"] not in latest or r["cnt"] > latest[r["key"]]["cnt"]:
+            latest[r["key"]] = r
+    assert latest["view"]["cnt"] == 900
+    assert latest["view"]["salt_factor"] == (900 + _SKEW_MON_TARGET - 1) \
+        // _SKEW_MON_TARGET
+    assert latest["click"]["cnt"] == 10
+    assert latest["click"]["salt_factor"] == 1
+    assert latest["error"]["cnt"] == 7
