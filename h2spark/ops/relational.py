@@ -1047,3 +1047,65 @@ ORDER BY key_space, key
 
 QUERIES["shuffle_skew_plan"] = q_shuffle_skew_plan
 ORACLES["shuffle_skew_plan"] = ORACLE_SHUFFLE_SKEW
+
+
+# --- per-user daily rate-spike detection (round 7) --------------------------
+
+_SPIKE_MIN_CNT = 3  # absolute floor: tiny users never flag
+
+
+def q_events_daily_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest anomaly triage: flag (user, day) cells whose event count
+    exceeds 1.5x that user's median daily count — bot bursts and
+    replay storms surface here before they skew downstream stats.
+    Exact integer math: med2 = 2 * exact interpolated median (always
+    an integer for integer counts; Spark `percentile` and DuckDB
+    `quantile_cont` interpolate identically), spike iff
+    4*cnt > 3*med2 with an absolute floor.
+
+    Scale shape: one (user_id, day) count, one per-user exact-median
+    aggregate, one equi-join back on user_id — three hash exchanges on
+    the same key family, no window over raw events."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    per_day = (
+        e.select("user_id", day.alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("cnt"))
+    )
+    med = per_day.groupBy("user_id").agg(
+        F.expr("CAST(percentile(cnt, 0.5) * 2 AS BIGINT)").alias("med2")
+    )
+    return (
+        per_day.join(med, "user_id")
+        .where(
+            (F.col("cnt") * 4 > F.col("med2") * 3)
+            & (F.col("cnt") >= _SPIKE_MIN_CNT)
+        )
+        .select("user_id", "day", "cnt", "med2")
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_EVENTS_DAILY_SPIKE = f"""
+WITH per_day AS (
+  SELECT user_id,
+         (epoch_us(ts::TIMESTAMP) // 86400000000)::BIGINT AS day,
+         count(*)::BIGINT AS cnt
+  FROM events
+  GROUP BY 1, 2
+), med AS (
+  SELECT user_id, CAST(quantile_cont(cnt, 0.5) * 2 AS BIGINT) AS med2
+  FROM per_day GROUP BY 1
+)
+SELECT p.user_id, p.day, p.cnt, m.med2
+FROM per_day p JOIN med m USING (user_id)
+WHERE p.cnt * 4 > m.med2 * 3 AND p.cnt >= {_SPIKE_MIN_CNT}
+ORDER BY p.user_id, p.day
+"""
+
+QUERIES["events_daily_spike"] = q_events_daily_spike
+ORACLES["events_daily_spike"] = ORACLE_EVENTS_DAILY_SPIKE
