@@ -1109,3 +1109,69 @@ ORDER BY p.user_id, p.day
 
 QUERIES["events_daily_spike"] = q_events_daily_spike
 ORACLES["events_daily_spike"] = ORACLE_EVENTS_DAILY_SPIKE
+
+
+# --- event-type transition matrix (round 7) ----------------------------------
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov matrix: counts of consecutive event-type
+    pairs within each user's time-ordered stream, plus the e6 row
+    share (transition probability).  Product analytics and bot
+    detection both read this table; at scale it is ONE window over
+    hashpartitioning(user_id) (lag) feeding a tiny groupBy — raw
+    events shuffle once.
+
+    Determinism: (ts, event_id) orders ties exactly like the funnel
+    operators; integer e6 shares, no floats."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = e.select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            F.col("event_type").alias("next_type"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("cnt * 1000000 div row_total").alias("share_e6"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+ORACLE_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts::TIMESTAMP), event_id
+         ) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS cnt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT prev_type, sum(cnt) AS row_total FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.cnt,
+       (p.cnt * 1000000 // t.row_total)::BIGINT AS share_e6
+FROM pairs p JOIN totals t USING (prev_type)
+ORDER BY p.prev_type, p.next_type
+"""
+
+QUERIES["events_transitions"] = q_events_transitions
+ORACLES["events_transitions"] = ORACLE_EVENTS_TRANSITIONS

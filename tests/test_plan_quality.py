@@ -825,3 +825,13 @@ def test_dom_stats_single_kernel_pass(spark):
     plan = _formatted(boilerplate.q_dom_stats(spark, SF), spark)
     assert "MapInPandas" in plan
     assert "hashpartitioning(" not in plan
+
+
+def test_transitions_single_user_exchange(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_transitions(spark, SF), spark)
+    # raw events shuffle exactly once (the lag window on user_id); the
+    # pair rollup shuffles only distinct pairs and totals broadcast
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "BroadcastHashJoin" in plan
