@@ -1139,9 +1139,12 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("cnt"))
     )
-    totals = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("row_total"))
+    # row totals as a window over the TINY pair table (|types|^2 rows)
+    # — a totals join would duplicate the expensive user-window branch
+    # in the plan; this keeps one lineage, one big shuffle
+    tw = Window.partitionBy("prev_type")
     return (
-        pairs.join(F.broadcast(totals), "prev_type")
+        pairs.withColumn("row_total", F.sum("cnt").over(tw))
         .select(
             "prev_type",
             F.col("event_type").alias("next_type"),

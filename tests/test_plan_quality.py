@@ -831,7 +831,8 @@ def test_transitions_single_user_exchange(spark):
     from h2spark.ops import relational
 
     plan = _formatted(relational.q_events_transitions(spark, SF), spark)
-    # raw events shuffle exactly once (the lag window on user_id); the
-    # pair rollup shuffles only distinct pairs and totals broadcast
+    # raw events shuffle exactly once (the lag window on user_id); row
+    # totals come from a window over the tiny pair table, never a join
+    # that would duplicate the user-window branch
     assert plan.count("hashpartitioning(user_id") == 1
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
