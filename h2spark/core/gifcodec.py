@@ -243,3 +243,130 @@ def encode_gif(
         )
         + bytes([min_code]) + bytes(blocks) + b"\x3B"
     )
+
+
+# --- animation container walk (round 7) -------------------------------------
+
+
+def build_gif_animation(
+    width: int,
+    height: int,
+    palette: bytes,
+    frames: list[tuple[bytes, int]],
+    loop_count: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a writer: NETSCAPE2.0 loop extension, one
+    Graphic Control Extension (delay in centiseconds) per frame,
+    frames sharing the global color table.  Reuses the single-frame
+    writer's LZW encoder, so animation bytes are as real as the
+    still-image path."""
+    if not frames:
+        raise PngError("GIF animation needs at least one frame")
+    npal = len(palette) // 3
+    bits = max(2, (npal - 1).bit_length())
+    padded = palette + b"\x00" * (3 * (1 << bits) - len(palette))
+    flags = 0x80 | (bits - 1)
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, flags, 0, 0)
+    out += padded
+    # NETSCAPE2.0 application extension: loop count (0 = forever)
+    out += b"\x21\xFF\x0BNETSCAPE2.0\x03\x01"
+    out += struct.pack("<H", loop_count) + b"\x00"
+    for indices, delay_cs in frames:
+        if len(indices) != width * height:
+            raise PngError("GIF frame index buffer size mismatch")
+        out += b"\x21\xF9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([min_code])
+        lzw = _lzw_encode(bytes(indices), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3B"
+    return bytes(out)
+
+
+def gif_animation_meta(data: bytes) -> dict:
+    """Animation container walk WITHOUT decoding extra frames: frame
+    count, per-frame delays (from GCEs), NETSCAPE loop count, logical
+    screen dims.  O(container structure) — the sub-block chains are
+    skipped by length, so a 10k-frame banner costs a header scan, not
+    a pixel decode.  Structural damage raises (quarantine)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise PngError("not a GIF")
+    if len(data) < 13:
+        raise PngError("GIF truncated before logical screen descriptor")
+    width, height, flags = struct.unpack_from("<HHB", data, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (1 << ((flags & 0x07) + 1))
+    n_frames = 0
+    delays: list[int] = []
+    loop_count = None
+    pending_delay = 0
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(data):
+                raise PngError("GIF sub-block chain truncated")
+            n = data[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while True:
+        if pos >= len(data):
+            raise PngError("GIF missing trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(data):
+                raise PngError("GIF extension truncated")
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                if data[pos] != 4:
+                    raise PngError("GIF bad GCE length")
+                pending_delay = struct.unpack_from("<H", data, pos + 2)[0]
+                pos = skip_subblocks(pos)
+            elif label == 0xFF:  # application
+                blen = data[pos]
+                app = data[pos + 1:pos + 1 + blen]
+                if app == b"NETSCAPE2.0":
+                    sub = pos + 1 + blen
+                    if data[sub] == 3 and data[sub + 1] == 1:
+                        loop_count = struct.unpack_from(
+                            "<H", data, sub + 2
+                        )[0]
+                pos = skip_subblocks(pos)
+            else:
+                pos = skip_subblocks(pos)
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(data):
+                raise PngError("GIF image descriptor truncated")
+            iflags = data[pos + 8]
+            pos += 9
+            if iflags & 0x80:
+                pos += 3 * (1 << ((iflags & 0x07) + 1))
+            pos += 1  # LZW min code size
+            pos = skip_subblocks(pos)
+            n_frames += 1
+            delays.append(pending_delay)
+            pending_delay = 0
+        else:
+            raise PngError(f"GIF unknown block 0x{block:02x}")
+    if n_frames == 0:
+        raise PngError("GIF contains no image frame")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "delays_cs": delays,
+        "total_delay_cs": sum(delays),
+        "loop_count": loop_count,
+    }

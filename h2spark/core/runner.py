@@ -2082,3 +2082,37 @@ def tiff_pixels_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def gif_anim_meta_batch(doc_ids) -> list:
+    """REAL animated-GIF chain per doc: build a multi-frame GIF89a
+    (doc-keyed frame count/delays/loop, shared 4-color table), walk
+    the container (core/gifcodec.py) WITHOUT decoding extra frames,
+    and verify the first frame still pixel-decodes."""
+    from h2spark.core.gifcodec import (
+        build_gif_animation, decode_gif, gif_animation_meta,
+    )
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        w, h = 6 + d % 3, 4 + d % 2
+        n = 1 + d % 4
+        frames = [
+            (bytes((d + f + i) % 4 for i in range(w * h)), 4 + (d + f) % 6)
+            for f in range(n)
+        ]
+        blob = build_gif_animation(w, h, pal, frames,
+                                   loop_count=d % 5)
+        m = gif_animation_meta(blob)
+        fw, fh, _ch, _px = decode_gif(blob)
+        if (fw, fh) != (w, h):
+            raise ValueError("gif first-frame decode mismatch")
+        rows.append(
+            (
+                d, int(m["width"]), int(m["height"]), int(m["n_frames"]),
+                int(m["total_delay_cs"]), int(m["loop_count"]),
+            )
+        )
+    return rows

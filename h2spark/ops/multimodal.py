@@ -2929,3 +2929,58 @@ ORDER BY doc_id
 
 QUERIES["image_tiff_pixels"] = q_image_tiff_pixels
 ORACLES["image_tiff_pixels"] = ORACLE_IMAGE_TIFF
+
+
+# --- image_gif_anim_meta: animated GIF container walk (round 7) -------------
+
+
+def q_image_gif_anim_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF metadata: each doc builds a real multi-frame
+    GIF89a (doc-keyed frame count, per-frame GCE delays, NETSCAPE
+    loop count) and the container walk (core/gifcodec.py) counts
+    frames and sums delays WITHOUT decoding extra frames — O(header)
+    per animation, which is what a crawl needs to triage million-
+    frame banner spam.  The kernel also re-decodes frame 0 to pin
+    that animation bytes stay first-frame-decodable.
+
+    Oracle: closed-form over the construction arithmetic (delay sum
+    over the frame index range)."""
+    from h2spark.core.runner import gif_anim_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = gif_anim_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "total_delay_cs", "loop_count",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, width int, height int, n_frames long,"
+            " total_delay_cs long, loop_count long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_GIF_ANIM = """
+SELECT doc_id,
+       (6 + doc_id % 3)::INT AS width,
+       (4 + doc_id % 2)::INT AS height,
+       (1 + doc_id % 4)::BIGINT AS n_frames,
+       list_sum(list_transform(range(1 + (doc_id % 4)::INT),
+                f -> 4 + (doc_id + f) % 6))::BIGINT AS total_delay_cs,
+       (doc_id % 5)::BIGINT AS loop_count
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["image_gif_anim_meta"] = q_image_gif_anim_meta
+ORACLES["image_gif_anim_meta"] = ORACLE_IMAGE_GIF_ANIM

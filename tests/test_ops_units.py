@@ -2278,3 +2278,40 @@ def test_tiff_rgb_roundtrip_and_quarantine():
     # buffer size mismatch rejected at build time
     with pytest.raises(ValueError):
         build_tiff_rgb(4, 4, b"xy")
+
+
+def test_gif_animation_roundtrip_and_quarantine():
+    import pytest
+
+    from h2spark.core.gifcodec import (
+        build_gif_animation, decode_gif, gif_animation_meta,
+    )
+    from h2spark.core.pngcodec import PngError
+
+    pal = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    frames = [(bytes((f + i) % 4 for i in range(8 * 5)), 10 * (f + 1))
+              for f in range(4)]
+    blob = build_gif_animation(8, 5, pal, frames, loop_count=3)
+    m = gif_animation_meta(blob)
+    assert m["n_frames"] == 4
+    assert m["delays_cs"] == [10, 20, 30, 40]
+    assert m["total_delay_cs"] == 100
+    assert m["loop_count"] == 3
+    # animation bytes stay first-frame-decodable, pixel-exact
+    w, h, ch, px = decode_gif(blob)
+    assert (w, h, ch) == (8, 5, 3)
+    assert bytes(px) == b"".join(
+        pal[3 * (i % 4):3 * (i % 4) + 3] for i in range(40)
+    )
+    # single-frame animation still parses; delay defaults apply
+    single = build_gif_animation(2, 2, pal, [(bytes(4), 0)])
+    assert gif_animation_meta(single)["n_frames"] == 1
+    # structural damage raises
+    with pytest.raises(PngError):
+        gif_animation_meta(blob[:-1])  # trailer gone
+    with pytest.raises(PngError):
+        gif_animation_meta(b"GIF89a" + blob[6:20])  # truncated walk
+    with pytest.raises(PngError):
+        build_gif_animation(2, 2, pal, [])
+    with pytest.raises(PngError):
+        build_gif_animation(2, 2, pal, [(b"x", 0)])
