@@ -1,0 +1,141 @@
+"""APNG (animated PNG) build + container walk (pure stdlib).
+
+APNG layers animation onto PNG with three chunk types: ``acTL``
+(frame count + play count, before the first IDAT), ``fcTL`` (one per
+frame: sequence number, geometry, delay fraction), and ``fdAT``
+(sequence number + an IDAT-format compressed stream for frames after
+the first; frame 0 reuses the plain IDAT).  The builder splices real
+per-frame compressed streams produced by the still-image encoder
+(core/pngcodec.py), so the animation bytes decode as a valid PNG in
+any baseline viewer; the walker verifies every chunk CRC and the
+APNG sequence-number contiguity without decompressing extra frames —
+O(container), the triage cost profile.
+
+Structural damage raises PngError (the quarantine contract).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from h2spark.core.pngcodec import PngError, encode_png
+
+_SIG = b"\x89PNG\r\n\x1a\x0a"
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _idat_payload(png: bytes) -> bytes:
+    """Concatenated IDAT stream of a still PNG (our encoder emits
+    exactly one IDAT)."""
+    pos = 8
+    out = b""
+    while pos < len(png):
+        (ln,) = struct.unpack_from(">I", png, pos)
+        ctype = png[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            out += png[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+    return out
+
+
+def build_apng(
+    width: int,
+    height: int,
+    channels: int,
+    frames: list[tuple[bytes, int, int]],
+    num_plays: int = 0,
+) -> bytes:
+    """frames: [(pixels, delay_num, delay_den)]; frame 0 becomes the
+    default image (IDAT), the rest fdAT chunks."""
+    if not frames:
+        raise PngError("APNG needs at least one frame")
+    base = encode_png(width, height, channels, frames[0][0])
+    ihdr = base[8:8 + 25]                        # len+type+13+crc
+    idat_body = _idat_payload(base)
+    out = bytearray(_SIG)
+    out += ihdr
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), num_plays))
+    seq = 0
+    fc0 = struct.pack(
+        ">IIIIIHHBB", seq, width, height, 0, 0,
+        frames[0][1], frames[0][2], 0, 0,
+    )
+    out += _chunk(b"fcTL", fc0)
+    seq += 1
+    out += _chunk(b"IDAT", idat_body)
+    for pixels, dnum, dden in frames[1:]:
+        fc = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, dnum, dden, 0, 0,
+        )
+        out += _chunk(b"fcTL", fc)
+        seq += 1
+        stream = _idat_payload(encode_png(width, height, channels, pixels))
+        out += _chunk(b"fdAT", struct.pack(">I", seq) + stream)
+        seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_meta(data: bytes) -> dict:
+    """Chunk walk with CRC verification: frame count (acTL vs fcTL
+    cross-checked), per-frame delay fractions, play count, dims."""
+    if data[:8] != _SIG:
+        raise PngError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    actl = None
+    fctl: list[tuple[int, int, int]] = []  # (seq, delay_num, delay_den)
+    seqs: list[int] = []
+    n_fdat = 0
+    saw_iend = False
+    while pos < len(data):
+        if pos + 12 > len(data):
+            raise PngError("APNG chunk header truncated")
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > len(data):
+            raise PngError("APNG chunk body truncated")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise PngError(f"APNG {ctype!r} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            width, height = struct.unpack_from(">II", body, 0)
+        elif ctype == b"acTL":
+            actl = struct.unpack(">II", body)
+        elif ctype == b"fcTL":
+            seq, _w, _h, _x, _y, dnum, dden = struct.unpack_from(
+                ">IIIIIHH", body, 0
+            )
+            fctl.append((seq, dnum, dden))
+            seqs.append(seq)
+        elif ctype == b"fdAT":
+            (seq,) = struct.unpack_from(">I", body, 0)
+            seqs.append(seq)
+            n_fdat += 1
+        elif ctype == b"IEND":
+            saw_iend = True
+        pos += 12 + ln
+    if not saw_iend:
+        raise PngError("APNG missing IEND")
+    if actl is None:
+        raise PngError("not an APNG (no acTL)")
+    n_frames, num_plays = actl
+    if n_frames != len(fctl):
+        raise PngError("APNG acTL frame count != fcTL count")
+    if sorted(seqs) != list(range(len(seqs))):
+        raise PngError("APNG sequence numbers not contiguous")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "num_plays": num_plays,
+        "delays": [(d, den) for _s, d, den in fctl],
+        "total_delay_num": sum(d for _s, d, _den in fctl),
+        "n_fdat": n_fdat,
+    }

@@ -2116,3 +2116,36 @@ def gif_anim_meta_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def apng_meta_batch(doc_ids) -> list:
+    """REAL APNG chain per doc: build an animated PNG (doc-keyed frame
+    count, delay fractions, play count; every frame a real encoded
+    stream), walk the container with CRC + sequence verification, and
+    pin that the default image still pixel-decodes as plain PNG."""
+    from h2spark.core.apngmeta import apng_meta, build_apng
+    from h2spark.core.pngcodec import decode_png
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        w, h = 5 + d % 3, 4 + d % 2
+        n = 1 + d % 3
+        frames = [
+            (bytes((d + f * 7 + i) % 256 for i in range(w * h * 3)),
+             2 + (d + f) % 5, 100)
+            for f in range(n)
+        ]
+        blob = build_apng(w, h, 3, frames, num_plays=d % 4)
+        m = apng_meta(blob)
+        fw, fh, _ch, px = decode_png(blob)
+        if (fw, fh) != (w, h) or bytes(px) != frames[0][0]:
+            raise ValueError("apng default-image decode mismatch")
+        rows.append(
+            (
+                d, int(m["width"]), int(m["height"]), int(m["n_frames"]),
+                int(m["num_plays"]), int(m["total_delay_num"]),
+                int(m["n_fdat"]),
+            )
+        )
+    return rows

@@ -2984,3 +2984,58 @@ ORDER BY doc_id
 
 QUERIES["image_gif_anim_meta"] = q_image_gif_anim_meta
 ORACLES["image_gif_anim_meta"] = ORACLE_IMAGE_GIF_ANIM
+
+
+# --- image_apng_meta: animated PNG container walk (round 7) -----------------
+
+
+def q_image_apng_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-PNG metadata: each doc builds a real APNG
+    (core/apngmeta.py — acTL/fcTL/fdAT with per-frame encoded
+    streams) and the walker verifies chunk CRCs + sequence
+    contiguity and reports frame/delay/play geometry WITHOUT
+    decompressing extra frames; the kernel also re-decodes the
+    default image as plain PNG (APNG's compatibility contract).
+    Completes the animation pair with image_gif_anim_meta.
+
+    Oracle: closed-form construction arithmetic."""
+    from h2spark.core.runner import apng_meta_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = apng_meta_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "num_plays", "total_delay_num", "n_fdat",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, width int, height int, n_frames long,"
+            " num_plays long, total_delay_num long, n_fdat long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_APNG = """
+SELECT doc_id,
+       (5 + doc_id % 3)::INT AS width,
+       (4 + doc_id % 2)::INT AS height,
+       (1 + doc_id % 3)::BIGINT AS n_frames,
+       (doc_id % 4)::BIGINT AS num_plays,
+       list_sum(list_transform(range(1 + (doc_id % 3)::INT),
+                f -> 2 + (doc_id + f) % 5))::BIGINT AS total_delay_num,
+       (doc_id % 3)::BIGINT AS n_fdat
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["image_apng_meta"] = q_image_apng_meta
+ORACLES["image_apng_meta"] = ORACLE_IMAGE_APNG

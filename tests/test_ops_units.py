@@ -2315,3 +2315,47 @@ def test_gif_animation_roundtrip_and_quarantine():
         build_gif_animation(2, 2, pal, [])
     with pytest.raises(PngError):
         build_gif_animation(2, 2, pal, [(b"x", 0)])
+
+
+def test_apng_roundtrip_and_quarantine():
+    import struct
+
+    import pytest
+
+    from h2spark.core.apngmeta import apng_meta, build_apng
+    from h2spark.core.pngcodec import PngError, decode_png
+
+    frames = [(bytes((f * 3 + i) % 256 for i in range(7 * 5 * 3)),
+               f + 1, 50) for f in range(4)]
+    blob = build_apng(7, 5, 3, frames, num_plays=2)
+    m = apng_meta(blob)
+    assert m["n_frames"] == 4 and m["n_fdat"] == 3
+    assert m["delays"] == [(1, 50), (2, 50), (3, 50), (4, 50)]
+    assert m["total_delay_num"] == 10 and m["num_plays"] == 2
+    # APNG compatibility contract: default image decodes as plain PNG
+    w, h, ch, px = decode_png(blob)
+    assert (w, h, ch) == (7, 5, 3) and bytes(px) == frames[0][0]
+    # CRC bite on a flipped byte inside a chunk body
+    bad = bytearray(blob)
+    bad[len(blob) // 2] ^= 0xFF
+    with pytest.raises(PngError):
+        apng_meta(bytes(bad))
+    # acTL count vs fcTL count mismatch
+    bad2 = bytearray(blob)
+    actl_at = blob.index(b"acTL")
+    struct.pack_into(">I", bad2, actl_at + 4, 9)
+    # re-CRC the tampered acTL so the count check (not CRC) bites
+    import zlib
+
+    body = bytes(bad2[actl_at + 4:actl_at + 12])
+    struct.pack_into(
+        ">I", bad2, actl_at + 12,
+        zlib.crc32(b"acTL" + body) & 0xFFFFFFFF,
+    )
+    with pytest.raises(PngError, match="frame count"):
+        apng_meta(bytes(bad2))
+    # a plain PNG is not an APNG
+    from h2spark.core.pngcodec import encode_png
+
+    with pytest.raises(PngError, match="acTL"):
+        apng_meta(encode_png(2, 2, 3, bytes(12)))
