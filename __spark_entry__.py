@@ -101,7 +101,8 @@ def _all_modules():
 # dedup_cross_source, csv_ingest, video_mkv_meta, text_sentence_stats,
 # svg_foreign_extract, dom_stats, crawl_trap_detect,
 # tokenizer_oov_audit, quality_linear_score, image_tiff_pixels,
-# events_daily_spike, events_transitions) are 0 rounds
+# events_daily_spike, events_transitions, image_gif_anim_meta,
+# image_apng_meta) are 0 rounds
 # old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and
 # rotate into the r8 window.
