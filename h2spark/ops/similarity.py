@@ -1409,3 +1409,105 @@ ORDER BY query_id, rank
 
 QUERIES["ann_text_topk"] = q_ann_text_topk
 ORACLES["ann_text_topk"] = ORACLE_ANN_TEXT
+
+
+# --- bitext mining (round 7) -------------------------------------------------
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus candidate mining (LASER/CCMatrix shape): for
+    every English document, the best-matching non-English document
+    from the SAME source by exact integer dot product over the
+    hashing-trick embeddings — (pivot, candidate, lang, score)
+    triples feeding translation-pair training.  Ties break on
+    cand_doc, so the mining is fully deterministic (integer scores:
+    no float-tie traps across engines).
+
+    Scale shape: the pairing key is `source` (one shuffle each side);
+    at web scale a source is a hot key, so the production variant
+    pre-buckets candidates with the SRP-LSH family (dedup.py) and
+    pairs within (source, band) — same plan, one more key column.
+    Ranking is a per-pivot window, bounded by pivot count."""
+    from h2spark.ops.textstats import hashed_embedding_df
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = hashed_embedding_df(d).join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    )
+    piv = e.where(F.col("lang") == "en").select(
+        F.col("source").alias("src"), F.col("doc_id").alias("en_doc"),
+        F.col("emb").alias("pe"),
+    )
+    cand = e.where(F.col("lang") != "en").select(
+        F.col("source").alias("src"), F.col("doc_id").alias("cand_doc"),
+        F.col("lang").alias("cand_lang"), F.col("emb").alias("ce"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = piv.join(cand, "src").select(
+        "src", "en_doc", "cand_doc", "cand_lang", dot.alias("dot")
+    )
+    w = Window.partitionBy("en_doc").orderBy(
+        F.col("dot").desc(), F.col("cand_doc")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("src", "en_doc", "cand_doc", "cand_lang",
+                F.col("dot").cast("long").alias("dot"))
+        .orderBy("en_doc")
+    )
+
+
+ORACLE_BITEXT_MINE = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+               AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+cells AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT < 8
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, j, sum(s)::BIGINT AS v FROM cells GROUP BY 1, 2
+),
+dims AS (
+  SELECT d.doc_id, dim.j, coalesce(a.v, 0)::BIGINT AS v
+  FROM documents d
+  CROSS JOIN range(0, 64) dim(j)
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = dim.j
+),
+scored AS (
+  SELECT dp.source AS src, dp.doc_id AS en_doc, dc.doc_id AS cand_doc,
+         dc.lang AS cand_lang, sum(pd.v * cd.v)::BIGINT AS dot
+  FROM documents dp
+  JOIN documents dc ON dc.source = dp.source AND dc.lang <> 'en'
+  JOIN dims pd ON pd.doc_id = dp.doc_id
+  JOIN dims cd ON cd.doc_id = dc.doc_id AND cd.j = pd.j
+  WHERE dp.lang = 'en'
+  GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY en_doc ORDER BY dot DESC, cand_doc
+  ) AS rk
+  FROM scored
+)
+SELECT src, en_doc, cand_doc, cand_lang, dot
+FROM ranked WHERE rk = 1
+ORDER BY en_doc
+"""
+
+QUERIES["bitext_mine"] = q_bitext_mine
+ORACLES["bitext_mine"] = ORACLE_BITEXT_MINE
