@@ -109,6 +109,8 @@ class _Reader:
         if tcode in (_T_I16, _T_I32, _T_I64):
             return self.zigzag()
         if tcode == _T_DOUBLE:
+            if self.pos + 8 > len(self.data):
+                raise ValueError("parquet: double value truncated")
             v = struct.unpack_from("<d", self.data, self.pos)[0]
             self.pos += 8
             return v
@@ -123,6 +125,8 @@ class _Reader:
         raise ValueError(f"parquet: unknown thrift type {tcode}")
 
     def _i8(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("parquet: byte value truncated")
         v = struct.unpack_from("b", self.data, self.pos)[0]
         self.pos += 1
         return v
@@ -174,10 +178,44 @@ class _Reader:
                 out[fid] = self.value(tcode)
 
 
-def _decode_stat_int(raw: bytes | None, physical: str):
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    if not isinstance(v, list):
+        raise ValueError("parquet: footer field is not a list")
+    return v
+
+
+def _as_dict(v) -> dict:
+    if v is None:
+        return {}
+    if not isinstance(v, dict):
+        raise ValueError("parquet: footer field is not a struct")
+    return v
+
+
+def _as_int(v, default: int = 0) -> int:
+    if v is None:
+        return default
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise ValueError("parquet: footer field is not an integer")
+    return v
+
+
+def _as_bytes(v) -> bytes:
+    if v is None:
+        return b""
+    if not isinstance(v, bytes):
+        raise ValueError("parquet: footer field is not binary")
+    return v
+
+
+def _decode_stat_int(raw, physical: str):
     """Plain-encoded statistics value for INT32/INT64 columns."""
     if raw is None:
         return None
+    if not isinstance(raw, bytes):
+        raise ValueError("parquet: statistics value is not binary")
     if physical == "INT32" and len(raw) == 4:
         return struct.unpack("<i", raw)[0]
     if physical == "INT64" and len(raw) == 8:
@@ -196,10 +234,12 @@ def _schema_columns(schema: list[dict]) -> list[dict]:
     def walk(prefix: list[str], n_children: int):
         nonlocal idx
         for _ in range(n_children):
-            el = schema[idx]
+            if idx >= len(schema):
+                raise ValueError("parquet: schema child count overruns list")
+            el = _as_dict(schema[idx])
             idx += 1
-            name = el.get(4, b"").decode("utf-8")
-            kids = el.get(5, 0)
+            name = _as_bytes(el.get(4)).decode("utf-8", "replace")
+            kids = _as_int(el.get(5))
             if kids:
                 walk(prefix + [name], kids)
             else:
@@ -211,8 +251,10 @@ def _schema_columns(schema: list[dict]) -> list[dict]:
                     "logical_fields": set(logical) if isinstance(logical, dict) else set(),
                 })
 
-    root = schema[0]
-    walk([], root.get(5, 0))
+    if not schema:
+        return cols
+    root = _as_dict(schema[0])
+    walk([], _as_int(root.get(5)))
     return cols
 
 
@@ -242,41 +284,52 @@ def parse_footer_bytes(tail: bytes) -> dict:
         raise ValueError("parquet: footer longer than provided tail")
     meta = _Reader(tail[len(tail) - 8 - flen:len(tail) - 8]).struct_()
     # FileMetaData: 1=version 2=schema 3=num_rows 4=row_groups 6=created_by
-    schema = meta.get(2, [])
+    # A flipped byte can re-type any field (thrift carries type codes
+    # per field), so every access validates shape — quarantine, never
+    # a TypeError out of the blue (fuzz-pinned).
+    schema = _as_list(meta.get(2))
     columns = _schema_columns(schema)
     row_groups = []
-    for rg in meta.get(4, []):
+    for rg in _as_list(meta.get(4)):
+        rg = _as_dict(rg)
         # RowGroup: 1=columns 2=total_byte_size 3=num_rows
         chunks = []
-        for cc in rg.get(1, []):
-            md = cc.get(3, {})
+        for cc in _as_list(rg.get(1)):
+            cc = _as_dict(cc)
+            md = _as_dict(cc.get(3))
             # ColumnMetaData: 1=type 3=path_in_schema 4=codec
             # 5=num_values 6=total_uncompressed 7=total_compressed
             # 12=statistics (1=max 2=min 3=null_count 5=max_value 6=min_value)
-            st = md.get(12, {})
+            st = _as_dict(md.get(12))
             physical = PHYSICAL.get(md.get(1), "UNKNOWN")
             raw_min = st.get(6, st.get(2))
             raw_max = st.get(5, st.get(1))
+            null_count = st.get(3)
+            if null_count is not None:
+                null_count = _as_int(null_count)
             chunks.append({
-                "path": ".".join(p.decode("utf-8") for p in md.get(3, [])),
+                "path": ".".join(
+                    _as_bytes(p).decode("utf-8", "replace")
+                    for p in _as_list(md.get(3))
+                ),
                 "physical": physical,
                 "codec": CODECS.get(md.get(4), "UNKNOWN"),
-                "num_values": md.get(5, 0),
-                "total_uncompressed_size": md.get(6, 0),
-                "total_compressed_size": md.get(7, 0),
-                "null_count": st.get(3),
+                "num_values": _as_int(md.get(5)),
+                "total_uncompressed_size": _as_int(md.get(6)),
+                "total_compressed_size": _as_int(md.get(7)),
+                "null_count": null_count,
                 "min_int": _decode_stat_int(raw_min, physical),
                 "max_int": _decode_stat_int(raw_max, physical),
             })
         row_groups.append({
-            "num_rows": rg.get(3, 0),
-            "total_byte_size": rg.get(2, 0),
+            "num_rows": _as_int(rg.get(3)),
+            "total_byte_size": _as_int(rg.get(2)),
             "columns": chunks,
         })
     return {
         "version": meta.get(1),
-        "num_rows": meta.get(3, 0),
-        "created_by": (meta.get(6) or b"").decode("utf-8", "replace"),
+        "num_rows": _as_int(meta.get(3)),
+        "created_by": _as_bytes(meta.get(6)).decode("utf-8", "replace"),
         "columns": columns,
         "row_groups": row_groups,
     }

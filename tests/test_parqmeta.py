@@ -175,3 +175,56 @@ def test_property_roundtrip_vs_pyarrow(tmp_path_factory, n, rg, null_every, seed
     if nonnull:
         assert row["min_int"] == min(nonnull)
         assert row["max_int"] == max(nonnull)
+
+
+@settings(max_examples=80, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200),
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_adversarial_tails_never_hang(junk, seed):
+    """Random bytes dressed as a parquet tail must raise ValueError
+    (or IndexError from truncated reads wrapped upstream) — never
+    hang, never return garbage silently."""
+    import struct
+
+    rng = np.random.RandomState(seed)
+    flen = int(rng.randint(0, 300))
+    tail = junk + struct.pack("<I", flen) + b"PAR1"
+    try:
+        parse_footer_bytes(tail)
+    except (ValueError, IndexError):
+        pass  # quarantine contract
+    # if it parsed, the junk happened to be valid thrift — acceptable,
+    # but the parse must have terminated (reaching here proves it)
+
+
+def test_flipped_bytes_in_real_footer_bounded_behavior(tmp_path):
+    """Single-byte corruption inside a real footer must terminate
+    with either a quarantine error or a WELL-FORMED result (parquet
+    footers carry no checksum, so a flip in a field this parser does
+    not extract may legitimately parse identically — the contract is
+    bounded behavior, never a hang or a malformed dict)."""
+    t = pa.table({"a": pa.array(range(64), pa.int64()),
+                  "s": pa.array([f"x{i}" for i in range(64)])})
+    p = _write(tmp_path, t, row_group_size=16)
+    data = open(p, "rb").read()
+    import struct
+
+    flen = struct.unpack("<I", data[-8:-4])[0]
+    start = len(data) - flen - 8
+    rng = np.random.RandomState(3)
+    for _ in range(60):
+        i = int(rng.randint(start, len(data) - 8))
+        bad = bytearray(data)
+        bad[i] ^= 0xFF
+        try:
+            got = parse_footer_bytes(bytes(bad[-(flen + 8):]))
+        except (ValueError, IndexError, OverflowError):
+            continue
+        assert set(got) == {"version", "num_rows", "created_by",
+                            "columns", "row_groups"}
+        assert isinstance(got["num_rows"], int)
+    # the length field itself is structural: oversize raises
+    bad = bytearray(data)
+    struct.pack_into("<I", bad, len(bad) - 8, flen + 10_000)
+    with pytest.raises(ValueError):
+        parse_footer_bytes(bytes(bad[-(flen + 8):]))
