@@ -151,6 +151,10 @@ class _Reader:
             return {}
         kv = self.byte()
         ktype, vtype = kv >> 4, kv & 0x0F
+        if ktype in (_T_LIST, _T_SET, _T_MAP, _T_STRUCT):
+            # container-typed keys are unhashable in Python and never
+            # appear in parquet.thrift — structural damage (fuzz-pinned)
+            raise ValueError("parquet: map key is a container type")
         out = {}
         for _ in range(size):
             k = self.value(ktype)

@@ -1,0 +1,114 @@
+"""Quarantine-contract fuzz across the binary container parsers.
+
+Every from-scratch parser promises: structural damage raises a
+quarantine error (ValueError / PngError / IndexError) — never an
+arbitrary exception (TypeError/struct.error were real escapes fixed
+in parqmeta) and never a hang.  This file pins that for the round-7
+container family by (a) flipping bytes in REAL built files and (b)
+feeding random garbage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from h2spark.core.apngmeta import apng_meta, build_apng
+from h2spark.core.ebmlmeta import build_mkv, parse_mkv
+from h2spark.core.flaccodec import build_flac, parse_flac
+from h2spark.core.gifcodec import build_gif_animation, gif_animation_meta
+from h2spark.core.icometa import build_ico, parse_ico
+from h2spark.core.parqmeta import parse_footer_bytes
+from h2spark.core.pngcodec import PngError
+from h2spark.core.tiffpix import build_tiff_rgb, parse_tiff_rgb
+
+_QUARANTINE = (ValueError, IndexError, PngError)
+
+_PAL = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+
+def _blob_flac():
+    return build_flac(
+        [[((i * 37) % 2000) - 1000 for i in range(300)]], block_size=64
+    )
+
+
+def _blob_mkv():
+    return build_mkv(
+        "webm", 1_000_000, 1000,
+        [{"number": 1, "type": 1, "codec": "V"}],
+        [{"ts": 0, "blocks": [(1, 0, b"xy" * 30)]}],
+    )
+
+
+def _blob_ico():
+    return build_ico(
+        [{"kind": "bmp", "width": 8, "height": 8, "pixels": bytes(256)}]
+    )
+
+
+def _blob_tiff():
+    return build_tiff_rgb(8, 6, bytes(8 * 6 * 3), "II", 3)
+
+
+def _blob_apng():
+    return build_apng(4, 4, 3, [(bytes(48), 1, 10), (bytes(48), 2, 10)])
+
+
+def _blob_gif_anim():
+    return build_gif_animation(
+        6, 4, _PAL, [(bytes(24), 5), (bytes(24), 6)], loop_count=1
+    )
+
+
+_TARGETS = [
+    ("flac", _blob_flac, parse_flac),
+    ("mkv", _blob_mkv, parse_mkv),
+    ("ico", _blob_ico, parse_ico),
+    ("tiff", _blob_tiff, parse_tiff_rgb),
+    ("apng", _blob_apng, apng_meta),
+    ("gif_anim", _blob_gif_anim, gif_animation_meta),
+]
+
+
+@pytest.mark.parametrize("name,mk,parse", _TARGETS,
+                         ids=[t[0] for t in _TARGETS])
+def test_flipped_bytes_stay_quarantined(name, mk, parse):
+    base = mk()
+    rng = np.random.RandomState(11)
+    for trial in range(600):
+        bad = bytearray(base)
+        for _ in range(1 + trial % 3):
+            bad[int(rng.randint(len(bad)))] = int(rng.randint(256))
+        try:
+            parse(bytes(bad))
+        except _QUARANTINE:
+            pass  # the contract
+
+
+@pytest.mark.parametrize("name,mk,parse", _TARGETS,
+                         ids=[t[0] for t in _TARGETS])
+def test_garbage_stays_quarantined(name, mk, parse):
+    rng = np.random.RandomState(13)
+    for _ in range(300):
+        g = bytes(
+            rng.randint(0, 256, int(rng.randint(0, 160))).astype("uint8")
+        )
+        try:
+            parse(g)
+        except _QUARANTINE:
+            pass
+
+
+def test_parquet_garbage_stays_quarantined():
+    import struct
+
+    rng = np.random.RandomState(17)
+    for _ in range(400):
+        junk = bytes(
+            rng.randint(0, 256, int(rng.randint(0, 160))).astype("uint8")
+        )
+        tail = junk + struct.pack("<I", int(rng.randint(0, 200))) + b"PAR1"
+        try:
+            parse_footer_bytes(tail)
+        except (ValueError, IndexError):
+            pass
