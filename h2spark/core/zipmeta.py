@@ -53,6 +53,10 @@ def parse_zip_entries(data: bytes) -> list[dict]:
     out: list[dict] = []
     pos = cd_off
     for _ in range(n_entries):
+        # corrupted counts/offsets must quarantine (ValueError), never
+        # leak struct.error from an out-of-range unpack (fuzz-pinned)
+        if pos + 46 > len(data):
+            raise ValueError("zip: central header out of range")
         if struct.unpack_from("<I", data, pos)[0] != _CDH_SIG:
             raise ValueError("zip: bad central header signature")
         (
@@ -65,6 +69,8 @@ def parse_zip_entries(data: bytes) -> list[dict]:
         # local header: re-read lengths (they may differ from the
         # central copy only via data descriptors, which this profile
         # does not emit)
+        if lfh_off + 30 > len(data):
+            raise ValueError("zip: local header out of range")
         if struct.unpack_from("<I", data, lfh_off)[0] != _LFH_SIG:
             raise ValueError("zip: bad local header signature")
         l_name, l_extra = struct.unpack_from("<HH", data, lfh_off + 26)

@@ -112,3 +112,99 @@ def test_parquet_garbage_stays_quarantined():
             parse_footer_bytes(tail)
         except (ValueError, IndexError):
             pass
+
+
+# --- the pre-session-4 container family under the same contract -----------
+
+import io as _io
+import struct as _struct
+import zipfile as _zipfile
+import tarfile as _tarfile
+import zlib as _zlib
+
+from h2spark.core.adtsmeta import build_adts_frame, parse_adts
+from h2spark.core.exif import build_exif_app1, parse_exif_tiff
+from h2spark.core.mp4meta import build_mp4, parse_mp4
+from h2spark.core.oggmeta import build_ogg_vorbis, parse_ogg_vorbis
+from h2spark.core.sfntmeta import (
+    build_sfnt, build_woff, parse_sfnt, parse_woff,
+)
+from h2spark.core.tarmeta import parse_tar_entries
+from h2spark.core.zipmeta import parse_zip_entries
+
+_QUARANTINE_Z = _QUARANTINE + (_zlib.error,)
+
+
+def _blob_zip():
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w") as z:
+        zi = _zipfile.ZipInfo("a.txt", date_time=(2026, 1, 1, 0, 0, 0))
+        z.writestr(zi, b"hello" * 10, compress_type=_zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+def _blob_tar():
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w") as t:
+        ti = _tarfile.TarInfo("a.txt")
+        data = b"x" * 100
+        ti.size = len(data)
+        ti.mtime = 0
+        t.addfile(ti, _io.BytesIO(data))
+    return buf.getvalue()
+
+
+_SFNT_HEAD = _struct.pack(
+    ">IIII", 0x00010000, 0, 0x5F0F3CF5, 0
+) + bytes(38)
+
+
+def _blob_exif_tiff():
+    app1 = build_exif_app1(
+        "Mk", "Md", 1, (72, 1), "2026:01:01 00:00:00", 64, 48
+    )
+    return app1[10:]  # strip marker+len+Exif\0\0 envelope
+
+
+_OLD_TARGETS = [
+    ("zip", _blob_zip, parse_zip_entries),
+    ("tar", _blob_tar, parse_tar_entries),
+    ("adts", lambda: build_adts_frame(1, 4, 2, bytes(64)) * 3, parse_adts),
+    ("ogg", lambda: build_ogg_vorbis(2, 8000, 1024, [bytes(50), bytes(60)]),
+     parse_ogg_vorbis),
+    ("mp4", lambda: build_mp4(2000, 2, bytes(40)), parse_mp4),
+    ("sfnt", lambda: build_sfnt([("head", _SFNT_HEAD), ("glyf", bytes(30))]),
+     parse_sfnt),
+    ("woff", lambda: build_woff([("head", _SFNT_HEAD), ("glyf", b"ab" * 40)]),
+     parse_woff),
+    ("exif", _blob_exif_tiff, parse_exif_tiff),
+]
+
+
+@pytest.mark.parametrize("name,mk,parse", _OLD_TARGETS,
+                         ids=[t[0] for t in _OLD_TARGETS])
+def test_flipped_bytes_stay_quarantined_legacy(name, mk, parse):
+    base = mk()
+    rng = np.random.RandomState(19)
+    for trial in range(500):
+        bad = bytearray(base)
+        for _ in range(1 + trial % 3):
+            bad[int(rng.randint(len(bad)))] = int(rng.randint(256))
+        try:
+            parse(bytes(bad))
+        except _QUARANTINE_Z:
+            pass
+
+
+@pytest.mark.parametrize("name,mk,parse", _OLD_TARGETS,
+                         ids=[t[0] for t in _OLD_TARGETS])
+def test_garbage_stays_quarantined_legacy(name, mk, parse):
+    rng = np.random.RandomState(23)
+    for _ in range(250):
+        g = bytes(
+            rng.randint(0, 256, int(rng.randint(0, 200))).astype("uint8")
+        )
+        try:
+            parse(g)
+        except _QUARANTINE_Z:
+            pass
