@@ -1598,3 +1598,86 @@ ORDER BY doc_id, span_idx
 
 QUERIES["span_corruption_plan"] = q_span_corruption_plan
 ORACLES["span_corruption_plan"] = ORACLE_SPAN_CORRUPTION
+
+
+# --- small-file compaction planning (round 7) ---------------------------
+
+_COMPACT_TARGET = 2000  # target output-file payload (chars) per bin —
+                        # the lakehouse maintenance knob; at production
+                        # scale this is 128-512 MB
+
+
+def q_export_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the Iceberg/lakehouse maintenance
+    op a 10^12-doc table needs continuously: treat each document as a
+    data file (file_id = doc_id, payload = length(text)), and within
+    each table partition (source) bin-pack files in id order into
+    target-sized output bins by exclusive-prefix-sum div target.  One
+    row per (partition, bin): file count, payload, id range, and an
+    undersized flag (the trailing remainder bin a compactor would
+    defer).
+
+    Scale shape: the plan runs over file METADATA (one row per file,
+    ~10^6 rows for a 100 TB table), not data — a single window over
+    the partition key ordered by file id, then a groupBy; both shuffle
+    the tiny manifest relation only.  All-integer arithmetic
+    (`div`, never `/` — float64 breaks past 2^53)."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = d.select(
+        F.col("source").alias("part"),
+        F.col("doc_id").alias("file_id"),
+        F.length("text").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "cum_excl", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn(
+        "bin_id", F.expr(f"cum_excl div {_COMPACT_TARGET}").cast("long")
+    )
+    return (
+        binned.groupBy("part", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.min("file_id").cast("long").alias("first_file"),
+            F.max("file_id").cast("long").alias("last_file"),
+        )
+        .withColumn(
+            "undersized", F.col("bin_bytes") * 2 < F.lit(_COMPACT_TARGET)
+        )
+        .orderBy("part", "bin_id")
+    )
+
+
+ORACLE_EXPORT_COMPACTION = f"""
+WITH f AS (
+  SELECT source AS part, doc_id AS file_id,
+         length(text)::BIGINT AS bytes
+  FROM documents
+), b AS (
+  SELECT part, file_id, bytes,
+         coalesce(sum(bytes) OVER (
+             PARTITION BY part ORDER BY file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS cum_excl
+  FROM f
+)
+SELECT part, (cum_excl // {_COMPACT_TARGET})::BIGINT AS bin_id,
+       count(*)::BIGINT AS n_files,
+       sum(bytes)::BIGINT AS bin_bytes,
+       min(file_id)::BIGINT AS first_file,
+       max(file_id)::BIGINT AS last_file,
+       (sum(bytes) * 2 < {_COMPACT_TARGET}) AS undersized
+FROM b
+GROUP BY part, bin_id
+ORDER BY part, bin_id
+"""
+
+QUERIES["export_compaction_plan"] = q_export_compaction_plan
+ORACLES["export_compaction_plan"] = ORACLE_EXPORT_COMPACTION

@@ -953,3 +953,105 @@ ORDER BY doc_id
 
 QUERIES["svg_foreign_extract"] = q_svg_foreign_extract
 ORACLES["svg_foreign_extract"] = ORACLE_SVG_FOREIGN
+
+
+# --- 26. Atom feed extraction (RCDATA-in-body + void link) ---------------
+
+_RT_FEED_SPEC = StructSpec(
+    "Feed",
+    [
+        Field("subtitle", Scalar("String"), OPTION,
+              select="feed > subtitle"),
+        Field("titles", Scalar("String"), VEC, select="entry > title"),
+        Field("hrefs", Scalar("String"), VEC, select="entry > link",
+              attr="href"),
+        Field("ids", Scalar("String"), VEC, select="entry > id"),
+    ],
+)
+
+
+def q_feed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier feed discovery: per document an Atom feed (RFC
+    4287 shape) with 1-3 entries is synthesized and extracted through
+    the real parser + selectors.  Atom is deliberately hostile to an
+    HTML5 parser: ``<title>`` is RCDATA (the in-body start tag routes
+    through the in-head rules — WHATWG 13.2.6.4.7 — so the element
+    must still nest under its ``<entry>`` and character references
+    must decode inside RCDATA), ``<link>`` is a void element (the
+    href attribute is the only payload, exactly Atom's shape), and
+    the feed-level ``<title>`` must be excluded by the ``entry >``
+    child combinator.  OPTION subtitle is absent for every 4th doc.
+    The oracle replays the construction formulas."""
+    d = _docs(spark, sf_dir)
+    n = F.pmod(F.col("doc_id"), F.lit(3)) + 1  # 1..3 entries
+    did = F.col("doc_id").cast("string")
+
+    def entry(i: int):
+        body = F.concat(
+            F.lit(f"<entry><title>E{i}: doc "), did,
+            F.lit(" &amp; co</title>"),
+            F.lit('<link href="https://d'),
+            F.pmod(F.col("doc_id"), F.lit(6)).cast("string"),
+            F.lit(f"/a{i}-"), did, F.lit('"/>'),
+            F.lit(f"<id>urn:doc:"), did, F.lit(f":{i}</id>"),
+            F.lit(f"<updated>2026-0{i + 1}-0"),
+            (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"),
+            F.lit("</updated></entry>"),
+        )
+        return F.when(F.lit(i) < n, body).otherwise(F.lit(""))
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="utf-8"?>'
+              '<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>Feed of "),
+        F.col("source"),
+        F.lit("</title>"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) != 0,
+            F.concat(F.lit("<subtitle>sub "), did, F.lit("</subtitle>")),
+        ).otherwise(F.lit("")),
+        entry(0), entry(1), entry(2),
+        F.lit("</feed>"),
+    )
+    udf = make_extract_typed_udf(_RT_FEED_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(xml).alias("o"))
+    return (
+        out.select(
+            "doc_id",
+            F.coalesce(F.col("o.value.subtitle"), F.lit("")).alias(
+                "subtitle"
+            ),
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("o.value.titles").alias("title"),
+                    F.col("o.value.hrefs").alias("href"),
+                    F.col("o.value.ids").alias("eid"),
+                )
+            ).alias("ord", "e"),
+        )
+        .select(
+            "doc_id",
+            F.col("ord").cast("long").alias("ord"),
+            F.col("e.title").alias("title"),
+            F.col("e.href").alias("href"),
+            F.col("e.eid").alias("eid"),
+            "subtitle",
+        )
+        .orderBy("doc_id", "ord")
+    )
+
+
+ORACLE_FEED_EXTRACT = """
+SELECT doc_id, i AS ord,
+       'E' || i || ': doc ' || doc_id || ' & co' AS title,
+       'https://d' || (doc_id % 6) || '/a' || i || '-' || doc_id AS href,
+       'urn:doc:' || doc_id || ':' || i AS eid,
+       CASE WHEN doc_id % 4 != 0 THEN 'sub ' || doc_id ELSE '' END
+           AS subtitle
+FROM documents, (SELECT unnest([0, 1, 2])::BIGINT AS i)
+WHERE i < doc_id % 3 + 1
+ORDER BY doc_id, ord
+"""
+
+QUERIES["feed_extract"] = q_feed_extract
+ORACLES["feed_extract"] = ORACLE_FEED_EXTRACT

@@ -289,3 +289,36 @@ def test_all_reference_parseable_types_present():
         "SocketAddr", "SocketAddrV4", "SocketAddrV6", "OsString",
     }
     assert set(PARSERS) == expected
+
+
+def test_atom_feed_shape():
+    # Atom through an HTML5 parser (q_feed_extract's invariants):
+    # <title> in body is RCDATA via the in-head rules but must nest
+    # under its <entry>; <link> is void with the href payload; the
+    # feed-level <title> is excluded by the child combinator; charrefs
+    # decode inside RCDATA.
+    spec = StructSpec(
+        "Feed",
+        [
+            Field("subtitle", Scalar("String"), OPTION,
+                  select="feed > subtitle"),
+            Field("titles", Scalar("String"), VEC,
+                  select="entry > title"),
+            Field("hrefs", Scalar("String"), VEC,
+                  select="entry > link", attr="href"),
+        ],
+    )
+    xml = (
+        '<?xml version="1.0"?><feed><title>Top</title>'
+        "<entry><title>A &amp; B</title>"
+        '<link href="https://x/1"/><id>u:1</id></entry>'
+        '<entry><title>C</title><link href="https://x/2"/></entry>'
+        "</feed>"
+    )
+    v, _, err = extract_html(compile_spec(spec), xml)
+    assert err is None
+    assert v == {
+        "subtitle": None,
+        "titles": ["A & B", "C"],
+        "hrefs": ["https://x/1", "https://x/2"],
+    }

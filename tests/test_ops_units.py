@@ -2359,3 +2359,62 @@ def test_apng_roundtrip_and_quarantine():
 
     with pytest.raises(PngError, match="acTL"):
         apng_meta(encode_png(2, 2, 3, bytes(12)))
+
+
+def test_compaction_plan_invariants(spark):
+    from collections import defaultdict
+
+    from h2spark.ops.curation import (
+        _COMPACT_TARGET, q_export_compaction_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_export_compaction_plan(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").selectExpr(
+        "source AS part", "cast(length(text) AS long) AS bytes"
+    ).collect()
+    total = defaultdict(int)
+    for r in docs:
+        total[r["part"]] += r["bytes"]
+    by_part = defaultdict(list)
+    for r in rows:
+        by_part[r["part"]].append(r)
+    assert set(by_part) == set(total)
+    for part, bins in by_part.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        # payload conserved, file-id ranges ordered and disjoint
+        assert sum(r["bin_bytes"] for r in bins) == total[part]
+        assert bins[0]["bin_id"] == 0
+        for a, b in zip(bins, bins[1:]):
+            assert a["bin_id"] < b["bin_id"]
+            assert a["last_file"] < b["first_file"]
+        for r in bins:
+            assert r["first_file"] <= r["last_file"]
+            assert (r["bin_bytes"] * 2 < _COMPACT_TARGET) == r["undersized"]
+
+
+def test_compaction_plan_oversized_file_skips_bins(spark):
+    # a single file far above target advances the exclusive prefix sum
+    # by several targets: the NEXT file's bin id jumps, no bin splits
+    # a file
+    from h2spark.ops import curation as C
+
+    df = spark.createDataFrame(
+        [("s", 1, "a" * 10), ("s", 2, "b" * (C._COMPACT_TARGET * 3)),
+         ("s", 3, "c" * 10)],
+        "source string, doc_id long, text string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = sorted(
+            C.q_export_compaction_plan(spark, td).collect(),
+            key=lambda r: r["bin_id"],
+        )
+    # file 1+2 share bin 0 (file 2 starts below the boundary); file 3
+    # lands past three targets
+    assert [r["bin_id"] for r in rows] == [0, 3]
+    assert rows[0]["n_files"] == 2 and rows[1]["n_files"] == 1
+    assert rows[0]["bin_bytes"] == 10 + C._COMPACT_TARGET * 3
