@@ -362,3 +362,171 @@ ORDER BY q
 
 QUERIES["sketch_len_quantiles"] = q_sketch_len_quantiles
 ORACLES["sketch_len_quantiles"] = ORACLE_SKETCH_QUANTILES
+
+
+# --- bottom-k (KMV) vocabulary-overlap sketch ---------------------------
+
+_KMV_K = 64       # sketch size per source
+_KMV_SALTS = 16   # level-1 fan-out for the per-source top-k
+
+
+def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary overlap via bottom-k (KMV) sketches
+    (Beyer et al. 2007): per source keep the K smallest md5 hashes of
+    its distinct lowercased word BIGRAMS (the unigram pool is shared
+    corpus-wide; bigrams carry the per-source signal); for each source
+    pair, estimated Jaccard = |both| / k over the k smallest of the
+    sketch union — the contamination/overlap readout a mixture
+    designer needs without ever joining vocabularies.
+
+    Scale shape: the only corpus-sized aggregation is
+    groupBy(source, hash) — map-side combinable; the per-source
+    bottom-k then runs TWO-LEVEL (rank within (source, salt) buckets
+    first, then over the <= K*SALTS survivors) so no window partition
+    ever holds a full vocabulary — a 10^10-word source never streams
+    through one task. Pairing happens on sketches only
+    (sources x K rows). All-integer output; the estimate is exactly
+    replayable, ties impossible (distinct md5s)."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda w: F.length(w) > 0,
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) "
+        "ELSE array() END"
+    )
+    toks = (
+        d.select("source", ws.alias("ws"))
+        .select("source", F.explode(bigrams).alias("w"))
+    )
+    dh = toks.groupBy("source", F.md5("w").alias("h")).agg(
+        F.count("*").alias("_c")
+    ).drop("_c")
+    nsrc = dh.groupBy("source").agg(F.count("*").alias("n_distinct"))
+    salt = F.pmod(
+        F.conv(F.substring("h", 1, 4), 16, 10).cast("long"),
+        F.lit(_KMV_SALTS),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    lvl1 = (
+        dh.withColumn("salt", salt)
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= _KMV_K)
+    )
+    w2 = Window.partitionBy("source").orderBy("h")
+    sketch = (
+        lvl1.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= _KMV_K)
+        .select("source", "h")
+    )
+    a = sketch.alias("a")
+    b = sketch.alias("b")
+    both = (
+        a.join(b, F.col("a.source") < F.col("b.source"), "inner")
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+    )
+    # union of the two sketches per pair, flagged by membership
+    u = (
+        both.select(
+            "sa", "sb", F.col("ha").alias("h"), F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"),
+        )
+        .union(
+            both.select(
+                "sa", "sb", F.col("hb").alias("h"),
+                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    na = nsrc.select(
+        F.col("source").alias("sa"), F.col("n_distinct").alias("nda")
+    )
+    nb = nsrc.select(
+        F.col("source").alias("sb"), F.col("n_distinct").alias("ndb")
+    )
+    ranked = u.withColumn("rk", F.row_number().over(wp)).join(
+        F.broadcast(na), "sa"
+    ).join(F.broadcast(nb), "sb")
+    keff = F.least(F.lit(_KMV_K), F.col("nda"), F.col("ndb"))
+    agg = (
+        ranked.where(F.col("rk") <= keff)
+        .groupBy("sa", "sb")
+        .agg(
+            F.max(keff).cast("long").alias("k_eff"),
+            F.sum(
+                (F.col("in_a") * F.col("in_b")).cast("long")
+            ).alias("n_common"),
+        )
+    )
+    return agg.select(
+        "sa", "sb", "k_eff", "n_common",
+        F.expr("n_common * 1000000 div k_eff").cast("long").alias(
+            "jaccard_e6"
+        ),
+    ).orderBy("sa", "sb")
+
+
+ORACLE_CORPUS_OVERLAP_KMV = f"""
+WITH ws AS (
+  SELECT source,
+         list_filter(string_split(lower(text), ' '),
+                     w -> length(w) > 0) AS ws
+  FROM documents
+), toks AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS w
+  FROM ws WHERE len(ws) >= 2
+), dh AS (
+  SELECT DISTINCT source, md5(w) AS h FROM toks
+), nsrc AS (
+  SELECT source, count(*)::BIGINT AS n_distinct FROM dh GROUP BY source
+), sk AS (
+  SELECT source, h
+  FROM (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM dh)
+  WHERE rk <= {_KMV_K}
+), u AS (
+  SELECT a.source AS sa, b.source AS sb, x.h,
+         max(CASE WHEN x.tag = 'a' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN x.tag = 'b' THEN 1 ELSE 0 END) AS in_b
+  FROM (SELECT DISTINCT source FROM sk) a
+  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+  JOIN LATERAL (
+    SELECT h, 'a' AS tag FROM sk WHERE sk.source = a.source
+    UNION ALL
+    SELECT h, 'b' AS tag FROM sk WHERE sk.source = b.source
+  ) x ON true
+  GROUP BY a.source, b.source, x.h
+), ranked AS (
+  SELECT u.*, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk,
+         least({_KMV_K}, na.n_distinct, nb.n_distinct) AS k_eff
+  FROM u
+  JOIN nsrc na ON na.source = u.sa
+  JOIN nsrc nb ON nb.source = u.sb
+)
+SELECT sa, sb, max(k_eff)::BIGINT AS k_eff,
+       sum(in_a * in_b)::BIGINT AS n_common,
+       (sum(in_a * in_b) * 1000000 // max(k_eff))::BIGINT AS jaccard_e6
+FROM ranked
+WHERE rk <= k_eff
+GROUP BY sa, sb
+ORDER BY sa, sb
+"""
+
+QUERIES["corpus_overlap_kmv"] = q_corpus_overlap_kmv
+ORACLES["corpus_overlap_kmv"] = ORACLE_CORPUS_OVERLAP_KMV

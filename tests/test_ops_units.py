@@ -2418,3 +2418,44 @@ def test_compaction_plan_oversized_file_skips_bins(spark):
     assert [r["bin_id"] for r in rows] == [0, 3]
     assert rows[0]["n_files"] == 2 and rows[1]["n_files"] == 1
     assert rows[0]["bin_bytes"] == 10 + C._COMPACT_TARGET * 3
+
+
+def test_kmv_overlap_extremes_and_accuracy(spark):
+    # identical sources -> jaccard exactly 1.0; disjoint -> exactly 0;
+    # partial overlap -> estimate within KMV error (~1/sqrt(K))
+    import os
+    import tempfile
+
+    from h2spark.ops.sketches import _KMV_K, q_corpus_overlap_kmv
+
+    def text(lo, hi):
+        # bigram vocab = (w_lo..w_hi-1) consecutive pairs
+        return " ".join(f"w{i}" for i in range(lo, hi))
+
+    rows = [
+        ("same_a", 1, text(0, 300)),
+        ("same_b", 2, text(0, 300)),
+        ("disj", 3, text(1000, 1300)),
+        ("half", 4, text(150, 450)),  # ~50% bigram overlap with same_*
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            (r["sa"], r["sb"]): r
+            for r in q_corpus_overlap_kmv(spark, td).collect()
+        }
+    assert len(out) == 6
+    r = out[("same_a", "same_b")]
+    assert r["jaccard_e6"] == 1_000_000 and r["k_eff"] == _KMV_K
+    assert out[("disj", "same_a")]["jaccard_e6"] == 0
+    # true bigram jaccard(same, half) = 149/449 ~ 0.332; KMV with K=64
+    # has std ~ 1/8 — accept a generous band, determinism is the pin
+    est = out[("half", "same_a")]["jaccard_e6"] / 1e6
+    assert 0.10 < est < 0.60
+    assert (
+        out[("half", "same_a")]["jaccard_e6"]
+        == out[("half", "same_b")]["jaccard_e6"]
+    )
