@@ -1178,3 +1178,73 @@ ORDER BY p.prev_type, p.next_type
 
 QUERIES["events_transitions"] = q_events_transitions
 ORACLES["events_transitions"] = ORACLE_EVENTS_TRANSITIONS
+
+
+# --- CDC merge compaction (lakehouse MERGE INTO shape) -------------------
+
+
+def q_events_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed compaction — the kernel of a lakehouse MERGE
+    INTO: treat events as an ordered upsert stream keyed by user_id
+    ('error' rows are DELETE tombstones), and materialize the final
+    table state: for each key the LATEST change wins; keys whose
+    latest change is a tombstone vanish.  Emits the surviving state
+    plus per-key change-volume metrics a compactor reports.
+
+    Scale shape: ONE groupBy(user_id) with struct-MAX argmax (ordered
+    by ts, event_id) — map-side combinable, no window, no join; at
+    10^12 changes this is the same single-shuffle shape Delta/Iceberg
+    CDF compaction uses.  value is surfaced in exact e2 fixed point
+    (the feed carries 2-decimal doubles; both engines round the same
+    IEEE double)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    last = F.max(
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type"),
+            F.col("value"),
+        )
+    ).alias("last")
+    g = e.groupBy("user_id").agg(
+        last,
+        F.count("*").cast("long").alias("n_changes"),
+        F.sum(
+            (F.col("event_type") == "error").cast("long")
+        ).alias("n_tombstones"),
+    )
+    return (
+        g.where(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.event_id").cast("long").alias("last_event_id"),
+            F.col("last.event_type").alias("last_type"),
+            F.round(F.col("last.value") * 100).cast("long").alias(
+                "value_e2"
+            ),
+            "n_changes",
+            "n_tombstones",
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_CDC_MERGE = """
+WITH g AS (
+  SELECT user_id,
+         max(struct_pack(ts := ts, eid := event_id,
+                         typ := event_type, val := value)) AS last,
+         count(*)::BIGINT AS n_changes,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+             AS n_tombstones
+  FROM events GROUP BY user_id
+)
+SELECT user_id, (last.eid)::BIGINT AS last_event_id,
+       last.typ AS last_type,
+       round(last.val * 100)::BIGINT AS value_e2,
+       n_changes, n_tombstones
+FROM g
+WHERE last.typ != 'error'
+ORDER BY user_id
+"""
+
+QUERIES["events_cdc_merge"] = q_events_cdc_merge
+ORACLES["events_cdc_merge"] = ORACLE_EVENTS_CDC_MERGE

@@ -2459,3 +2459,40 @@ def test_kmv_overlap_extremes_and_accuracy(spark):
         out[("half", "same_a")]["jaccard_e6"]
         == out[("half", "same_b")]["jaccard_e6"]
     )
+
+
+def test_cdc_merge_tombstone_semantics(spark):
+    # last change wins: a key whose final change is a tombstone
+    # vanishes; a tombstone followed by an upsert resurrects the key
+    import datetime as dt
+    import os
+    import tempfile
+
+    from h2spark.ops.relational import q_events_cdc_merge
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, uid, typ, val):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, typ, val, "{}")
+
+    rows = [
+        ev(1, 0, 100, "view", 1.0),
+        ev(2, 10, 100, "error", 0.0),   # 100 deleted last -> gone
+        ev(3, 0, 200, "error", 0.0),
+        ev(4, 10, 200, "click", 2.5),   # 200 resurrected
+        ev(5, 10, 300, "view", 3.0),
+        ev(6, 10, 300, "buy", 4.0),     # ts tie -> higher event_id wins
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["user_id"]: r for r in q_events_cdc_merge(spark, td).collect()}
+    assert 100 not in out
+    assert out[200]["last_type"] == "click"
+    assert out[200]["n_tombstones"] == 1 and out[200]["n_changes"] == 2
+    assert out[200]["value_e2"] == 250
+    assert out[300]["last_event_id"] == 6 and out[300]["last_type"] == "buy"

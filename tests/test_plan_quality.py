@@ -836,3 +836,44 @@ def test_transitions_single_user_exchange(spark):
     # that would duplicate the user-window branch
     assert plan.count("hashpartitioning(user_id") == 1
     assert "Join" not in plan
+
+
+def test_cdc_merge_single_agg_no_window(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_cdc_merge(spark, SF), spark)
+    # MERGE compaction: ONE groupBy(user_id) struct-argmax — map-side
+    # combinable; no rank window, no self-join
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "partial_max" in plan
+
+
+def test_compaction_plan_metadata_sized_shuffles(spark):
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_export_compaction_plan(spark, SF), spark)
+    # one window over the file manifest + one groupBy — the scan reads
+    # only (source, doc_id, text); no join
+    assert "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" \
+        in plan
+
+
+def test_kmv_sketch_joins_sketches_not_vocabularies(spark):
+    from h2spark.ops import sketches
+
+    plan = _formatted(sketches.q_corpus_overlap_kmv(spark, SF), spark)
+    # the pair build must join bounded sketch relations; the count
+    # joins must broadcast (never shuffle the pair relation on a
+    # sort-merge)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_feed_extract_kernel_reads_pruned_columns(spark):
+    from h2spark.ops import roundtrip
+
+    plan = _formatted(roundtrip.q_feed_extract(spark, SF), spark)
+    # the synthesized feed needs only doc_id + source
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
