@@ -1248,3 +1248,141 @@ ORDER BY user_id
 
 QUERIES["events_cdc_merge"] = q_events_cdc_merge
 ORACLES["events_cdc_merge"] = ORACLE_EVENTS_CDC_MERGE
+
+
+# --- data-quality constraint report (Deequ-style verification suite) ----
+
+
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality verification suite over the warehouse
+    tables: completeness, key uniqueness, domain membership, numeric
+    compliance, and referential integrity, each emitted as a
+    (check, metric_e6, threshold_e6, passed) row.  Two checks fail on
+    this corpus by design (customer balances go negative; lineitem
+    quantities exceed 40) so the report exercises both verdicts.
+
+    Scale shape: ONE full-scan aggregate per table (all conditional
+    counts fused into a single map-side-combinable pass — Deequ's own
+    scan-sharing trick) plus ONE anti-join for referential integrity;
+    the three 1-row aggregate results cross-join (1x1x1) and explode
+    into the report.  Metrics are exact e6 integer fractions
+    (``x * 1000000 div n`` — no float division in either engine)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def n_if(cond):
+        return F.sum(cond.cast("long"))
+
+    oagg = o.agg(
+        F.count("*").alias("n_o"),
+        F.count("o_custkey").alias("o_cust_nn"),
+        F.count_distinct("o_orderkey").alias("o_key_dist"),
+        n_if(F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "o_status_ok"
+        ),
+    )
+    lagg = li.agg(
+        F.count("*").alias("n_l"),
+        n_if(
+            (F.col("l_discount") >= 0) & (F.col("l_discount") <= 0.1)
+        ).alias("l_disc_ok"),
+        n_if(F.col("l_quantity") <= 40).alias("l_qty_ok"),
+    )
+    cagg = c.agg(
+        F.count("*").alias("n_c"),
+        n_if(F.col("c_acctbal") >= 0).alias("c_bal_ok"),
+    )
+    ri = (
+        o.select("o_custkey")
+        .join(
+            c.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("ri_missing"))
+    )
+    one = oagg.crossJoin(lagg).crossJoin(cagg).crossJoin(ri)
+    checks = [
+        ("completeness_o_custkey", "o_cust_nn", "n_o"),
+        ("uniqueness_o_orderkey", "o_key_dist", "n_o"),
+        ("domain_o_orderstatus", "o_status_ok", "n_o"),
+        ("compliance_l_discount_0_to_0.1", "l_disc_ok", "n_l"),
+        ("compliance_l_quantity_le_40", "l_qty_ok", "n_l"),
+        ("compliance_c_acctbal_nonneg", "c_bal_ok", "n_c"),
+        ("ri_orders_customer", "n_o - ri_missing", "n_o"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.expr(f"(({sat}) * 1000000) div ({tot})")
+                .cast("long")
+                .alias("metric_e6"),
+            )
+            for name, sat, tot in checks
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.check").alias("check"),
+            F.col("r.metric_e6").alias("metric_e6"),
+            F.lit(1000000).cast("long").alias("threshold_e6"),
+            (F.col("r.metric_e6") >= 1000000).alias("passed"),
+        )
+        .orderBy("check")
+    )
+
+
+ORACLE_DQ_CONSTRAINT_REPORT = """
+WITH oagg AS (
+  SELECT count(*)::BIGINT AS n_o,
+         count(o_custkey)::BIGINT AS o_cust_nn,
+         count(DISTINCT o_orderkey)::BIGINT AS o_key_dist,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0
+             END)::BIGINT AS o_status_ok
+  FROM orders
+), lagg AS (
+  SELECT count(*)::BIGINT AS n_l,
+         sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1 THEN 1
+             ELSE 0 END)::BIGINT AS l_disc_ok,
+         sum(CASE WHEN l_quantity <= 40 THEN 1 ELSE 0 END)::BIGINT
+             AS l_qty_ok
+  FROM lineitem
+), cagg AS (
+  SELECT count(*)::BIGINT AS n_c,
+         sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)::BIGINT
+             AS c_bal_ok
+  FROM customer
+), ri AS (
+  SELECT count(*)::BIGINT AS ri_missing
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+), one AS (
+  SELECT * FROM oagg, lagg, cagg, ri
+), rep AS (
+  SELECT 'completeness_o_custkey' AS check_name,
+         (o_cust_nn * 1000000) // n_o AS metric_e6 FROM one
+  UNION ALL SELECT 'uniqueness_o_orderkey',
+         (o_key_dist * 1000000) // n_o FROM one
+  UNION ALL SELECT 'domain_o_orderstatus',
+         (o_status_ok * 1000000) // n_o FROM one
+  UNION ALL SELECT 'compliance_l_discount_0_to_0.1',
+         (l_disc_ok * 1000000) // n_l FROM one
+  UNION ALL SELECT 'compliance_l_quantity_le_40',
+         (l_qty_ok * 1000000) // n_l FROM one
+  UNION ALL SELECT 'compliance_c_acctbal_nonneg',
+         (c_bal_ok * 1000000) // n_c FROM one
+  UNION ALL SELECT 'ri_orders_customer',
+         ((n_o - ri_missing) * 1000000) // n_o FROM one
+)
+SELECT check_name AS "check", metric_e6::BIGINT AS metric_e6,
+       1000000::BIGINT AS threshold_e6,
+       metric_e6 >= 1000000 AS passed
+FROM rep
+ORDER BY check_name
+"""
+
+QUERIES["dq_constraint_report"] = q_dq_constraint_report
+ORACLES["dq_constraint_report"] = ORACLE_DQ_CONSTRAINT_REPORT

@@ -447,6 +447,7 @@ def unigram_logprob(
     d: DataFrame,
     min_count: int = _UNI_MIN_COUNT,
     broadcast_vocab_max: int = _UNI_BROADCAST_MAX,
+    extra_keys: tuple = (),
 ) -> DataFrame:
     """Per-document average unigram log-probability — the relational
     analog of a KenLM perplexity filter: score every document by how
@@ -467,7 +468,8 @@ def unigram_logprob(
     vocabulary groupBy, one (possibly broadcast) join, one doc-keyed
     groupBy."""
     ex = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        "doc_id", *extra_keys,
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
     )
     vocab = ex.groupBy("w").agg(F.count("*").alias("c"))
     stats = vocab.agg(
@@ -486,7 +488,7 @@ def unigram_logprob(
     floor_logp = F.log10(F.lit(1.0) / F.lit(total))
     return (
         ex.join(scored_vocab, "w", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *extra_keys)
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             F.round(
@@ -519,6 +521,107 @@ ORDER BY ex.doc_id
 
 QUERIES["text_unigram_logprob"] = q_unigram_logprob
 ORACLES["text_unigram_logprob"] = ORACLE_UNIGRAM_LOGPROB
+
+
+# --- CCNet perplexity terciles (head / middle / tail per language) ------
+
+
+def q_quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: per language, split the corpus
+    into head / middle / tail terciles of the LM score (CCNet uses
+    KenLM perplexity; here the in-repo unigram log-probability — high
+    score = typical text = head).  Downstream mixtures then sample
+    head-heavy, exactly as CCNet/ccnet-derived corpora do.
+
+    Scale shape: scoring is the unigram_logprob pipeline (bounded
+    vocab broadcast); cutpoints are ONE per-language aggregate whose
+    tiny (lang, cut1, cut2) result broadcast-joins back — no per-lang
+    global sort or ntile window.  Exactness: scores are e6 integers
+    (raw doubles match across engines per the float audit), and
+    tercile cutpoints use the integer-recovery trick — 3*quantile_cont
+    at p=1/3 over integers is mathematically an integer, so
+    round(3*q) absorbs both engines' ulp noise (Spark `percentile` ==
+    DuckDB `quantile_cont`).  At production scale the exact percentile
+    swaps for approx_percentile with the same plan shape."""
+    d = _docs(spark, sf_dir)
+    s = unigram_logprob(d, extra_keys=("lang",)).select(
+        "lang",
+        "doc_id",
+        F.round(F.col("avg_logprob") * 1_000_000)
+        .cast("long")
+        .alias("score_e6"),
+    )
+    cuts = s.groupBy("lang").agg(
+        F.expr(
+            "cast(round(3 * percentile(score_e6, cast(1 as double)/3))"
+            " as bigint)"
+        ).alias("cut1_x3"),
+        F.expr(
+            "cast(round(3 * percentile(score_e6, cast(2 as double)/3))"
+            " as bigint)"
+        ).alias("cut2_x3"),
+    )
+    x3 = F.col("score_e6") * 3
+    bucket = (
+        F.when(x3 <= F.col("cut1_x3"), "tail")
+        .when(x3 <= F.col("cut2_x3"), "middle")
+        .otherwise(F.lit("head"))
+    )
+    return (
+        s.join(F.broadcast(cuts), "lang")
+        .select("lang", bucket.alias("bucket"), "score_e6")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("score_e6").alias("min_score_e6"),
+            F.max("score_e6").alias("max_score_e6"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+ORACLE_QUALITY_PPL_BUCKETS = f"""
+WITH ex AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS c FROM ex GROUP BY 1
+), t AS (
+  SELECT sum(c)::DOUBLE AS total FROM v
+), kept AS (
+  SELECT w, c FROM v WHERE c >= {_UNI_MIN_COUNT}
+), sc AS (
+  SELECT ex.doc_id, ex.lang,
+         round(round(avg(CASE WHEN kept.c IS NOT NULL
+                          THEN log10(kept.c / t.total)
+                          ELSE log10(1.0 / t.total) END), 6)
+               * 1000000)::BIGINT AS score_e6
+  FROM ex LEFT JOIN kept USING (w), t
+  GROUP BY ex.doc_id, ex.lang
+), cuts AS (
+  SELECT lang,
+         round(3 * quantile_cont(score_e6, (1::DOUBLE)/3))::BIGINT
+             AS cut1_x3,
+         round(3 * quantile_cont(score_e6, (2::DOUBLE)/3))::BIGINT
+             AS cut2_x3
+  FROM sc GROUP BY lang
+), b AS (
+  SELECT sc.lang,
+         CASE WHEN score_e6 * 3 <= cut1_x3 THEN 'tail'
+              WHEN score_e6 * 3 <= cut2_x3 THEN 'middle'
+              ELSE 'head' END AS bucket,
+         score_e6
+  FROM sc JOIN cuts USING (lang)
+)
+SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+       min(score_e6) AS min_score_e6, max(score_e6) AS max_score_e6
+FROM b
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+QUERIES["quality_ppl_buckets"] = q_quality_ppl_buckets
+ORACLES["quality_ppl_buckets"] = ORACLE_QUALITY_PPL_BUCKETS
 
 
 # --- Gopher-style repetition signals ------------------------------------
@@ -1594,6 +1697,118 @@ ORDER BY doc_id
 
 QUERIES["code_detect"] = q_code_detect
 ORACLES["code_detect"] = ORACLE_CODE_DETECT
+
+
+# --- license-header detection (code-corpus compliance routing) ----------
+
+
+def q_code_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-header audit for a code corpus — code pretraining sets
+    (The Stack / StarCoder shape) route files by license before
+    inclusion: an SPDX tag wins outright, else famous license
+    preamble phrases classify, else 'none'.  Headers of all five
+    classes (SPDX MIT, SPDX Apache, Apache preamble, MIT preamble,
+    GPL preamble) are injected deterministically by doc_id so every
+    branch of the classifier sits under the driver hash.
+
+    Scale shape: detection reads only the first 300 chars of each file
+    (headers live at the top — the scan never regexes whole blobs) and
+    is pure codegen string work; ONE (source, license) groupBy is the
+    only shuffle."""
+    d = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 6
+    header = (
+        F.when(k == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(k == 1, F.lit("# SPDX-License-Identifier: Apache-2.0\n"))
+        .when(
+            k == 2,
+            F.lit(
+                "/*\n * Licensed under the Apache License,"
+                " Version 2.0\n */\n"
+            ),
+        )
+        .when(
+            k == 3,
+            F.lit("// Permission is hereby granted, free of charge\n"),
+        )
+        .when(
+            k == 4,
+            F.lit(
+                "# This program is free software: see the GNU"
+                " General Public License\n"
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    head = F.substring(F.concat(header, F.col("text")), 1, 300)
+    spdx = F.lower(
+        F.regexp_extract(
+            head, r"SPDX-License-Identifier: ([A-Za-z0-9.+-]+)", 1
+        )
+    )
+    lic = (
+        F.when(spdx != "", spdx)
+        .when(
+            head.contains("Apache License, Version 2.0"), "apache-2.0"
+        )
+        .when(head.contains("Permission is hereby granted"), "mit")
+        .when(head.contains("GNU General Public License"), "gpl")
+        .otherwise(F.lit("none"))
+    )
+    permissive = lic.isin("mit", "apache-2.0", "bsd-2-clause",
+                          "bsd-3-clause", "isc", "unlicense")
+    return (
+        d.select("source", lic.alias("license"),
+                 permissive.alias("permissive"))
+        .groupBy("source", "license", "permissive")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("source", "license")
+    )
+
+
+ORACLE_CODE_LICENSE_DETECT = """
+WITH h AS (
+  SELECT doc_id, source,
+         CASE doc_id % 6
+           WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+           WHEN 1 THEN '# SPDX-License-Identifier: Apache-2.0'
+                       || chr(10)
+           WHEN 2 THEN '/*' || chr(10)
+                       || ' * Licensed under the Apache License,'
+                       || ' Version 2.0' || chr(10) || ' */' || chr(10)
+           WHEN 3 THEN '// Permission is hereby granted,'
+                       || ' free of charge' || chr(10)
+           WHEN 4 THEN '# This program is free software: see the GNU'
+                       || ' General Public License' || chr(10)
+           ELSE '' END || text AS content
+  FROM documents
+), d AS (
+  SELECT source, substring(content, 1, 300) AS head FROM h
+), c AS (
+  SELECT source,
+         CASE
+           WHEN regexp_extract(head,
+                'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1) != ''
+             THEN lower(regexp_extract(head,
+                  'SPDX-License-Identifier: ([A-Za-z0-9.+-]+)', 1))
+           WHEN head LIKE '%Apache License, Version 2.0%'
+             THEN 'apache-2.0'
+           WHEN head LIKE '%Permission is hereby granted%' THEN 'mit'
+           WHEN head LIKE '%GNU General Public License%' THEN 'gpl'
+           ELSE 'none' END AS license
+  FROM d
+)
+SELECT source, license,
+       license IN ('mit','apache-2.0','bsd-2-clause','bsd-3-clause',
+                   'isc','unlicense') AS permissive,
+       count(*)::BIGINT AS n_docs
+FROM c
+GROUP BY source, license, permissive
+ORDER BY source, license
+"""
+
+QUERIES["code_license_detect"] = q_code_license_detect
+ORACLES["code_license_detect"] = ORACLE_CODE_LICENSE_DETECT
 
 
 # --- unicode NFC normalization audit (round 7) ---------------------------

@@ -2496,3 +2496,119 @@ def test_cdc_merge_tombstone_semantics(spark):
     assert out[200]["n_tombstones"] == 1 and out[200]["n_changes"] == 2
     assert out[200]["value_e2"] == 250
     assert out[300]["last_event_id"] == 6 and out[300]["last_type"] == "buy"
+
+
+def test_dq_constraint_report_verdicts(spark):
+    # a null FK, a duplicated PK, and an orphan custkey must each
+    # drive the matching constraint metric below threshold
+    import os
+    import tempfile
+
+    import datetime as dt
+
+    from h2spark.ops.relational import q_dq_constraint_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 5.0, t0, "1-URGENT"),
+            (1, 10, "F", 6.0, t0, "5-LOW"),      # dup orderkey
+            (2, None, "P", 7.0, t0, "5-LOW"),    # null custkey
+            (3, 99, "O", 8.0, t0, "5-LOW"),      # orphan custkey
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 1, 10.0, 1.0, 0.05, 0.0, "N", "O", t0)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(10, "a", 1, 3.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.parquet(os.path.join(td, "orders.parquet"))
+        lineitem.write.parquet(os.path.join(td, "lineitem.parquet"))
+        customer.write.parquet(os.path.join(td, "customer.parquet"))
+        out = {
+            r["check"]: r
+            for r in q_dq_constraint_report(spark, td).collect()
+        }
+    assert out["completeness_o_custkey"]["metric_e6"] == 750000
+    assert not out["completeness_o_custkey"]["passed"]
+    assert out["uniqueness_o_orderkey"]["metric_e6"] == 750000
+    # orphan (99) and NULL custkey both count as RI misses: 2/4 survive
+    assert out["ri_orders_customer"]["metric_e6"] == 500000
+    assert out["compliance_l_quantity_le_40"]["passed"]
+    assert out["compliance_c_acctbal_nonneg"]["passed"]
+
+
+def test_license_detect_priority_and_classes(spark):
+    # SPDX tag must win over preamble keywords; every class maps to
+    # its label; permissive flag follows the license
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_code_license_detect
+
+    rows = [
+        # doc_id % 6 selects the injected header
+        (0, "x", "en", "s", 1),   # SPDX MIT
+        (1, "x", "en", "s", 1),   # SPDX Apache-2.0
+        (2, "x", "en", "s", 1),   # Apache preamble
+        (3, "x", "en", "s", 1),   # MIT preamble
+        (4, "x", "en", "s", 1),   # GPL preamble
+        (5, "x", "en", "s", 1),   # none
+        # SPDX + MIT preamble in text: SPDX wins
+        (6, "Permission is hereby granted, free of charge", "en",
+         "s2", 44),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_code_license_detect(spark, td).collect()
+    by = {(r["source"], r["license"]): r for r in out}
+    assert by[("s", "mit")]["n_docs"] == 2        # SPDX MIT + preamble
+    assert by[("s", "apache-2.0")]["n_docs"] == 2
+    assert by[("s", "gpl")]["permissive"] is False
+    assert by[("s", "none")]["permissive"] is False
+    # doc 6: header is SPDX MIT (6 % 6 == 0) and text carries the MIT
+    # preamble — the SPDX branch must classify, not fall through
+    assert by[("s2", "mit")]["n_docs"] == 1
+
+
+def test_ppl_buckets_tercile_assignment(spark):
+    # 3 distinct scores -> one doc per bucket; ordering head=highest
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_quality_ppl_buckets
+
+    # common words score high; rare words (below min_count=2) take the
+    # OOV floor, dragging the doc's average down
+    rows = [
+        (0, "aa aa aa aa", "en", "s", 11),            # all common
+        (1, "aa aa rare1 rare2", "en", "s", 17),      # half OOV
+        (2, "rare3 rare4 rare5 rare6", "en", "s", 23),  # all OOV
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["bucket"]: r for r in
+               q_quality_ppl_buckets(spark, td).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert all(r["n_docs"] == 1 for r in out.values())
+    assert (out["head"]["min_score_e6"] > out["middle"]["max_score_e6"]
+            > out["tail"]["max_score_e6"])

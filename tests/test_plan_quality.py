@@ -877,3 +877,35 @@ def test_feed_extract_kernel_reads_pruned_columns(spark):
     plan = _formatted(roundtrip.q_feed_extract(spark, SF), spark)
     # the synthesized feed needs only doc_id + source
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_dq_report_fused_scans_no_window(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_dq_constraint_report(spark, SF), spark)
+    # Deequ-style scan sharing: all conditional metrics fuse into one
+    # hash aggregate per table; RI is the only real join (anti)
+    assert "Window" not in plan
+    assert plan.count("LeftAnti") >= 1
+    assert "partial_count" in plan
+
+
+def test_license_detect_single_shuffle_no_join(spark):
+    from h2spark.ops import textstats
+
+    plan = _formatted(textstats.q_code_license_detect(spark, SF), spark)
+    # pure codegen classify + one groupBy: no join, one hash exchange
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(source") == 1
+
+
+def test_ppl_buckets_no_ntile_window(spark):
+    from h2spark.ops import textstats
+
+    plan = _formatted(textstats.q_quality_ppl_buckets(spark, SF), spark)
+    # tercile assignment must come from broadcast cutpoints, not an
+    # ntile window (a global per-lang sort at scale); an ntile would
+    # surface as a Window node ("ntile" itself is a substring of
+    # "percentile", so match the node name)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
