@@ -104,7 +104,8 @@ def _all_modules():
 # events_daily_spike, events_transitions, image_gif_anim_meta,
 # image_apng_meta, bitext_mine, and the session-5 batch: feed_extract,
 # export_compaction_plan, corpus_overlap_kmv, events_cdc_merge,
-# dq_constraint_report, code_license_detect, quality_ppl_buckets) are
+# dq_constraint_report, code_license_detect, quality_ppl_buckets,
+# retrieval_hard_negatives) are
 # 0 rounds
 # old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and

@@ -734,26 +734,18 @@ _BM25_B = 0.75
 _BM25_TOP = 3
 
 
-def q_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k BM25 keywords per document — the relational keyword
-    extractor (tf saturation + length normalization + rare-term idf)
-    used for dataset exploration, topic tagging and retrieval-based
-    decontamination at corpus scale.
-
-    Scale shape: ONE corpus scan feeds everything — explode ->
-    (doc_id, w) tf groupBy, then document length and document
-    frequency are WINDOWS over the tf table (narrow rows; partitioned
-    by doc_id and by w respectively) rather than joins whose branches
-    would each re-run the corpus explode; avgdl attaches as a 1-row
-    broadcast scalar (sum(tf)/n_docs — algebraically avg document
-    length, computed without a dl materialization). Ranking uses the
-    ROUND-6 score in both engines so rank order is
-    engine-independent (ties break on the word).
-    """
+def bm25_scores(d: DataFrame, n_docs: int) -> DataFrame:
+    """(doc_id, w, bm25) per-term BM25 contributions (idf * saturated
+    tf) — the shared core of keyword extraction and hard-negative
+    mining.  ONE corpus scan: explode -> (doc_id, w) tf groupBy, then
+    document length and document frequency are WINDOWS over the tf
+    table (narrow rows; partitioned by doc_id and by w respectively)
+    rather than joins whose branches would each re-run the corpus
+    explode; avgdl attaches as a 1-row broadcast scalar.  bm25 is
+    ROUND-6 in both engines so downstream ranking is
+    engine-independent."""
     from pyspark.sql import Window
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = d.count()
     ex = d.select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("w"))
     tf = ex.groupBy("doc_id", "w").agg(F.count("*").cast("double").alias("tf"))
     wd = Window.partitionBy("doc_id")
@@ -765,7 +757,7 @@ def q_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avgdl")
         )
     )
-    scored = (
+    return (
         tf.withColumn("dl", F.sum("tf").over(wd))
         .withColumn("df", F.count(F.lit(1)).over(ww).cast("double"))
         .crossJoin(avgdl)
@@ -790,6 +782,19 @@ def q_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25"),
         )
     )
+
+
+def q_bm25_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 keywords per document — the relational keyword
+    extractor (tf saturation + length normalization + rare-term idf)
+    used for dataset exploration, topic tagging and retrieval-based
+    decontamination at corpus scale.  Scoring core and scale shape in
+    :func:`bm25_scores`; ranking ties break on the word."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    scored = bm25_scores(d, n_docs)
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("bm25").desc(), F.col("w")
     )
@@ -834,6 +839,128 @@ ORDER BY doc_id, rank
 
 QUERIES["text_bm25_keywords"] = q_bm25_keywords
 ORACLES["text_bm25_keywords"] = ORACLE_BM25_KEYWORDS
+
+
+# --- BM25 hard-negative mining (DPR/ANCE-style) -------------------------
+
+_HN_QUERY_MOD = 50  # every 50th doc acts as a training query
+
+
+def q_retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining — the DPR/ANCE recipe: for each
+    training query, the top-ranked NON-positive document under sparse
+    retrieval becomes the hard negative (random negatives are too
+    easy; BM25-close-but-wrong is what teaches the bi-encoder).
+    Queries are every ``_HN_QUERY_MOD``-th document, represented by
+    their top-3 BM25 terms; candidates score by the classic additive
+    rule score(q,d) = sum of d's per-term BM25 over q's terms, the
+    query document itself is excluded (it is the positive), and the
+    argmax candidate wins (ties on doc_id).
+
+    Scale shape: the term-score table is the inverted index; the
+    query-term side (bounded: training query sets are ~10^6-10^7, far
+    below the corpus) BROADCASTS into the postings join, candidate
+    totals are one (q_doc, cand_doc) groupBy, and the winner is a
+    struct-argmax over that — no corpus-sized window.  Scores sum in
+    e6 INTEGER space (per-term round-6 doubles are bit-identical
+    across engines; integer sums are order-free, dodging double
+    non-associativity)."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = d.count()
+    scored = bm25_scores(d, n_docs)
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("w")
+    )
+    qterms = (
+        scored.where(F.col("doc_id") % _HN_QUERY_MOD == 0)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= _BM25_TOP)
+        .select(F.col("doc_id").alias("q_doc"), "w")
+    )
+    postings = scored.select(
+        F.col("doc_id").alias("cand_doc"),
+        "w",
+        F.round(F.col("bm25") * 1_000_000).cast("long").alias("term_e6"),
+    )
+    cand = (
+        postings.join(F.broadcast(qterms), "w")
+        .where(F.col("cand_doc") != F.col("q_doc"))
+        .groupBy("q_doc", "cand_doc")
+        .agg(
+            F.count("*").cast("long").alias("n_shared"),
+            F.sum("term_e6").alias("score_e6"),
+        )
+    )
+    best = cand.groupBy("q_doc").agg(
+        F.max(
+            F.struct(
+                F.col("score_e6"),
+                (-F.col("cand_doc")).alias("neg_cand"),
+                F.col("n_shared"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "q_doc",
+        (-F.col("b.neg_cand")).cast("long").alias("neg_doc"),
+        F.col("b.n_shared").alias("n_shared_terms"),
+        F.col("b.score_e6").alias("score_e6"),
+    ).orderBy("q_doc")
+
+
+ORACLE_RETRIEVAL_HARD_NEGATIVES = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*)::DOUBLE AS tf FROM ex GROUP BY 1, 2
+), stats AS (
+  SELECT sum(tf) / count(DISTINCT doc_id)::DOUBLE AS avgdl FROM tf
+), scored AS (
+  SELECT doc_id, w,
+         round(ln(1.0 + ((SELECT count(*) FROM documents)::DOUBLE
+                         - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1))
+               / (tf + {_BM25_K1}
+                  * (1 - {_BM25_B} + {_BM25_B} * dl / stats.avgdl)),
+               6) AS bm25
+  FROM (
+    SELECT doc_id, w, tf,
+           sum(tf) OVER (PARTITION BY doc_id) AS dl,
+           count(*) OVER (PARTITION BY w)::DOUBLE AS df
+    FROM tf
+  ), stats
+), qt AS (
+  SELECT doc_id AS q_doc, w FROM (
+    SELECT doc_id, w, row_number() OVER (
+        PARTITION BY doc_id ORDER BY bm25 DESC, w) AS r
+    FROM scored WHERE doc_id % {_HN_QUERY_MOD} = 0
+  ) WHERE r <= {_BM25_TOP}
+), cand AS (
+  SELECT qt.q_doc, s.doc_id AS cand_doc,
+         count(*)::BIGINT AS n_shared,
+         sum(round(s.bm25 * 1000000)::BIGINT)::BIGINT AS score_e6
+  FROM scored s JOIN qt USING (w)
+  WHERE s.doc_id != qt.q_doc
+  GROUP BY 1, 2
+), best AS (
+  SELECT q_doc,
+         max(struct_pack(score_e6 := score_e6,
+                         neg_cand := -cand_doc,
+                         n_shared := n_shared)) AS b
+  FROM cand GROUP BY q_doc
+)
+SELECT q_doc, (-(b.neg_cand))::BIGINT AS neg_doc,
+       (b.n_shared)::BIGINT AS n_shared_terms,
+       (b.score_e6)::BIGINT AS score_e6
+FROM best
+ORDER BY q_doc
+"""
+
+QUERIES["retrieval_hard_negatives"] = q_retrieval_hard_negatives
+ORACLES["retrieval_hard_negatives"] = ORACLE_RETRIEVAL_HARD_NEGATIVES
 
 
 # --- bigram LM scoring (the step past unigram toward real perplexity) ---

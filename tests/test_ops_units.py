@@ -2612,3 +2612,30 @@ def test_ppl_buckets_tercile_assignment(spark):
     assert all(r["n_docs"] == 1 for r in out.values())
     assert (out["head"]["min_score_e6"] > out["middle"]["max_score_e6"]
             > out["tail"]["max_score_e6"])
+
+
+def test_hard_negative_picks_bm25_closest_nonself(spark):
+    # the near-duplicate of the query doc must win as hard negative;
+    # the query doc itself (the positive) is excluded
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_retrieval_hard_negatives
+
+    rows = [
+        (0, "apple banana cherry", "en", "s", 19),   # query (0 % 50)
+        (1, "apple banana cherry", "en", "s", 19),   # near-dup
+        (2, "dog egg fig", "en", "s", 11),           # unrelated
+        (3, "apple dog dog", "en", "s", 13),         # partial overlap
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_retrieval_hard_negatives(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["q_doc"] == 0 and r["neg_doc"] == 1
+    assert r["n_shared_terms"] == 3

@@ -909,3 +909,17 @@ def test_ppl_buckets_no_ntile_window(spark):
     # "percentile", so match the node name)
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_hard_negatives_broadcast_queries_argmax_no_rank_window(spark):
+    from h2spark.ops import textstats
+
+    plan = _formatted(
+        textstats.q_retrieval_hard_negatives(spark, SF), spark
+    )
+    # the bounded query-term side broadcasts into the postings join;
+    # the winner is a struct-argmax AGGREGATE (map-side combinable),
+    # not a per-query rank window over the candidate table
+    assert "BroadcastHashJoin" in plan
+    assert "partial_max" in plan
+    assert "SortMergeJoin" not in plan
