@@ -1761,9 +1761,14 @@ class _Builder:
             if name in _HEADINGS and self._current().tag in _HEADINGS:
                 self.stack.pop()
             if name == "li":
+                # WHATWG li rule: the auto-close loop runs FIRST, then
+                # an open <p> in button scope closes (the loop itself
+                # walks past p — _LI_SCOPE_STOP excludes it)
                 self._close_li_like(("li",))
+                self._close_p()
             elif name in ("dd", "dt"):
                 self._close_li_like(("dd", "dt"))
+                self._close_p()
             elif name == "option" and self._current().tag == "option":
                 self.stack.pop()
             elif name == "optgroup":
