@@ -1081,7 +1081,15 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each gate is emitted separately (the way pipeline dashboards track
     per-rule rejection rates), all as exact integers/booleans — no
     float output, no ulp exposure. ``kept`` = every gate passes."""
-    d = _docs(spark, sf_dir)
+    return gopher_frame(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def gopher_frame(d: DataFrame, extra: dict | None = None) -> DataFrame:
+    """Per-document Gopher gates (shared by the rules query and the
+    calibration op).  ``extra`` maps name -> Column computed from the
+    SAME scan (functions of ``text``), so a consumer that needs both
+    the gates and another text-derived signal stays ONE pass — no
+    corpus self-join."""
     t = F.trim(F.col("text"))
     words = F.split(t, r"\s+")
     n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(
@@ -1108,6 +1116,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_symbols.alias("n_symbols"),
         n_alpha_words.alias("n_alpha_words"),
         n_stop.alias("n_stopwords"),
+        *[col.alias(nm) for nm, col in (extra or {}).items()],
     )
     # mean word length scaled x100 — integral `div`, never a double
     # division + floor (the ulp hazard BENCH.md's audit note warns
@@ -1137,7 +1146,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         g_alpha.alias("gate_alpha"),
         g_stop.alias("gate_stopwords"),
         (g_words & g_wlen & g_sym & g_alpha & g_stop).alias("kept"),
-    ).orderBy("doc_id")
+        *list(extra or ()),
+    )
 
 
 _GOPHER_STOP_SQL = " + ".join(
@@ -2149,3 +2159,112 @@ ORDER BY doc_id
 
 QUERIES["quality_linear_score"] = q_quality_linear_score
 ORACLES["quality_linear_score"] = ORACLE_QUALITY_LINEAR
+
+
+# --- classifier calibration bins (reliability diagram) ------------------
+
+_CAL_BIN_W = 2000   # mean_e3 in [-10000, 10000] -> 10 fixed bins
+_CAL_BINS = 10
+
+
+def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the hashed linear quality scorer: bin
+    documents by classifier score (mean_e3, fixed-width bins over its
+    bounded [-10000, 10000] range) and report how often each bin's
+    documents actually pass the Gopher rule gate — the calibration
+    readout every production quality filter ships before its keep
+    threshold is trusted.
+
+    Scale shape: ONE corpus pass — the linear score rides through
+    :func:`gopher_frame`'s ``extra`` hook so gates and score come off
+    the same scan (no corpus self-join), then one tiny groupBy(bin).
+    Fixed bin edges mean no global min/max pre-pass; agreement rates
+    are exact e6 integer fractions."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+
+    def weight(w):
+        bucket = F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") \
+            % _HLC_BUCKETS
+        return (bucket * 37 % 21) - 10
+
+    extra = {
+        "lin_n": F.size(words).cast("long"),
+        "lin_score": F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+        ),
+    }
+    g = gopher_frame(d, extra=extra).withColumn(
+        "mean_e3",
+        F.expr("CASE WHEN lin_n = 0 THEN 0"
+               " ELSE lin_score * 1000 div lin_n END").cast("long"),
+    )
+    bin_id = F.least(
+        F.expr(f"(mean_e3 + 10000) div {_CAL_BIN_W}"),
+        F.lit(_CAL_BINS - 1),
+    ).cast("long")
+    return (
+        g.select(bin_id.alias("bin_id"), "kept")
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * _CAL_BIN_W - 10000).cast("long").alias(
+                "bin_lo_e3"
+            ),
+            "n_docs",
+            "n_kept",
+            F.expr("(n_kept * 1000000) div n_docs").cast("long").alias(
+                "kept_rate_e6"
+            ),
+        )
+        .orderBy("bin_id")
+    )
+
+
+ORACLE_QUALITY_CALIBRATION = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS words
+  FROM documents
+), lin AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS lin_n,
+         coalesce(list_sum(list_transform(words,
+           x -> (('0x' || substr(md5(x), 1, 8))::BIGINT
+                 % {_HLC_BUCKETS}) * 37 % 21 - 10)), 0)::BIGINT AS lin_score
+  FROM w
+), gop AS (
+  SELECT doc_id, kept FROM ({ORACLE_GOPHER_RULES.replace("ORDER BY doc_id", "")})
+), j AS (
+  SELECT gop.kept,
+         (CASE WHEN lin.lin_n = 0 THEN 0
+               ELSE lin.lin_score * 1000 // lin.lin_n END)::BIGINT
+             AS mean_e3
+  FROM gop JOIN lin USING (doc_id)
+), b AS (
+  SELECT least((mean_e3 + 10000) // {_CAL_BIN_W},
+               {_CAL_BINS - 1})::BIGINT AS bin_id,
+         kept
+  FROM j
+)
+SELECT bin_id,
+       (bin_id * {_CAL_BIN_W} - 10000)::BIGINT AS bin_lo_e3,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       ((sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000)
+        // count(*))::BIGINT AS kept_rate_e6
+FROM b
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+QUERIES["quality_calibration_bins"] = q_quality_calibration_bins
+ORACLES["quality_calibration_bins"] = ORACLE_QUALITY_CALIBRATION

@@ -2639,3 +2639,29 @@ def test_hard_negative_picks_bm25_closest_nonself(spark):
     r = out[0]
     assert r["q_doc"] == 0 and r["neg_doc"] == 1
     assert r["n_shared_terms"] == 3
+
+
+def test_calibration_bins_fixed_edges_and_labels(spark):
+    # empty text scores 0 -> the middle bin [0, 2000); a stopword-free
+    # short doc fails the gopher gate so n_kept stays 0
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_quality_calibration_bins
+
+    rows = [
+        (0, "", "en", "s", 0),
+        (1, "zz qq", "en", "s", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["bin_id"]: r for r in
+               q_quality_calibration_bins(spark, td).collect()}
+    assert out[5]["bin_lo_e3"] == 0       # 0 falls in [0, 2000)
+    assert out[5]["n_kept"] == 0          # empty text fails gopher
+    assert sum(r["n_docs"] for r in out.values()) == 2
+    assert all(r["kept_rate_e6"] == 0 for r in out.values())

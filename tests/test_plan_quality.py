@@ -923,3 +923,17 @@ def test_hard_negatives_broadcast_queries_argmax_no_rank_window(spark):
     assert "BroadcastHashJoin" in plan
     assert "partial_max" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_calibration_single_scan_no_self_join(spark):
+    from h2spark.ops import textstats
+
+    plan = _formatted(
+        textstats.q_quality_calibration_bins(spark, SF), spark
+    )
+    # gates + classifier score come off ONE scan via gopher_frame's
+    # extra hook — a corpus self-join here would double the 100 TB read
+    assert "Join" not in plan
+    # formatted plans print each node twice (tree + details section)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("hashpartitioning(bin_id") == 1
