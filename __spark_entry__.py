@@ -105,7 +105,8 @@ def _all_modules():
 # image_apng_meta, bitext_mine, and the session-5 batch: feed_extract,
 # export_compaction_plan, corpus_overlap_kmv, events_cdc_merge,
 # dq_constraint_report, code_license_detect, quality_ppl_buckets,
-# retrieval_hard_negatives, quality_calibration_bins) are
+# retrieval_hard_negatives, quality_calibration_bins,
+# corpus_prune_prototypes) are
 # 0 rounds
 # old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and

@@ -1317,6 +1317,131 @@ QUERIES["dedup_semantic"] = q_dedup_semantic
 ORACLES["dedup_semantic"] = ORACLE_DEDUP_SEMANTIC
 
 
+# --- D4 / SSL-prototypes pruning (Abbas et al. 2023 / Sorscher 2022) ----
+
+
+def _proto_assign_udf(cents: list[list[int]]):
+    """pandas UDF: quantized vector -> struct<cell:int, cos_e6:long> —
+    the assignment matmul of :func:`_ivf_assign_udf` (same int64 dots,
+    same double cosine op order, same exact round-6, argmax ties to
+    the smallest id) ALSO surfacing the winning cosine as an exact e6
+    integer (round-6 doubles scale to integers losslessly)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64)
+    cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell: int, cos_e6: long>")
+    def assign(q: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(q) == 0:
+            return pd.DataFrame(
+                {"cell": pd.Series([], dtype="int32"),
+                 "cos_e6": pd.Series([], dtype="int64")}
+            )
+        Q = np.array(q.tolist(), dtype=np.int64)
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        cos = (Q @ C.T).astype(np.float64) / (qn[:, None] * cn[None, :])
+        cosr = _round6_matrix(cos)
+        cell = np.argmax(cosr, axis=1)
+        best = cosr[np.arange(len(cosr)), cell]
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"),
+             "cos_e6": np.rint(best * 1e6).astype("int64")}
+        )
+
+    return assign
+
+
+def q_corpus_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (the D4 / SSL-prototypes recipe): after
+    SemDeDup-style clustering, the vectors CLOSEST to their cluster
+    centroid are the most redundant — prune each cell's top quartile
+    by centroid cosine (data-pruning keeps the informative tail, the
+    opposite end from outlier removal).  Emits the per-cell pruning
+    report: members, pruned count, and the quartile cutpoint.
+
+    Scale shape: bounded-sample k-means training + one Arrow-matmul
+    assignment pass (shared IVF machinery, K capped at _IVF_MAX_K);
+    the quartile cutpoint is ONE per-cell aggregate whose tiny
+    (cell, cut) result broadcast-joins back — no per-cell rank window.
+    Exactness: cosines are e6 integers, and 4*quantile_cont at p=3/4
+    over integers is mathematically an integer, so round(4*q) absorbs
+    engine ulp noise (the ppl-buckets integer-recovery trick); the
+    strictly-above rule prunes ~25% and keeps whole tie groups."""
+    e = _emb(spark, sf_dir)
+    k, _ = ivf_params(e.count())
+    qe = e.select("vec_id", "embedding", F.expr(_QUANT).alias("q"))
+    cents = train_ivf_centroids(qe, k=k)
+    a = qe.select(
+        "vec_id", _proto_assign_udf(cents)("q").alias("a")
+    ).select(
+        "vec_id",
+        F.col("a.cell").cast("long").alias("cell"),
+        F.col("a.cos_e6").alias("cos_e6"),
+    )
+    cuts = a.groupBy("cell").agg(
+        F.expr(
+            "cast(round(4 * percentile(cos_e6, cast(3 as double)/4))"
+            " as bigint)"
+        ).alias("cut_x4")
+    )
+    j = a.join(F.broadcast(cuts), "cell")
+    return (
+        j.groupBy("cell", "cut_x4")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(
+                (F.col("cos_e6") * 4 > F.col("cut_x4")).cast("long")
+            ).alias("n_pruned"),
+        )
+        .select("cell", "n_vecs", "n_pruned", "cut_x4")
+        .orderBy("cell")
+    )
+
+
+def _oracle_prune_prototypes() -> str:
+    ct = f"cent{_IVF_ITERS}"
+    head = "WITH " + ",\n".join(_ivf_chain_steps())
+    return f"""{head},
+aproto AS (
+  SELECT vec_id, centroid_id,
+         round(cosim * 1000000)::BIGINT AS cos_e6
+  FROM (
+    SELECT vec_id, centroid_id, cosim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cosim DESC, centroid_id) AS rn
+    FROM (
+      SELECT v.vec_id, c.centroid_id, {_IVF_INT_COS} AS cosim
+      FROM qtab v CROSS JOIN {ct} c
+    )
+  ) WHERE rn = 1
+),
+cuts AS (
+  SELECT centroid_id,
+         round(4 * quantile_cont(cos_e6, (3::DOUBLE)/4))::BIGINT AS cut_x4
+  FROM aproto GROUP BY centroid_id
+)
+SELECT a.centroid_id::BIGINT AS cell,
+       count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN a.cos_e6 * 4 > c.cut_x4 THEN 1 ELSE 0 END)::BIGINT
+           AS n_pruned,
+       c.cut_x4
+FROM aproto a JOIN cuts c USING (centroid_id)
+GROUP BY a.centroid_id, c.cut_x4
+ORDER BY cell
+"""
+
+
+ORACLE_PRUNE_PROTOTYPES = _oracle_prune_prototypes()
+
+QUERIES["corpus_prune_prototypes"] = q_corpus_prune_prototypes
+ORACLES["corpus_prune_prototypes"] = ORACLE_PRUNE_PROTOTYPES
+
+
 # --- text-derived ANN: hashed-embedding dot-product top-k ---------------
 #
 # Composes the featurizer (textstats.hashed_embedding_df) with the ANN

@@ -937,3 +937,15 @@ def test_calibration_single_scan_no_self_join(spark):
     # formatted plans print each node twice (tree + details section)
     assert plan.count("Scan parquet") == 2
     assert plan.count("hashpartitioning(bin_id") == 1
+
+
+def test_prototype_pruning_no_rank_window(spark):
+    from h2spark.ops import similarity
+
+    plan = _formatted(
+        similarity.q_corpus_prune_prototypes(spark, SF), spark
+    )
+    # quartile cutpoints are a broadcast aggregate, not a per-cell
+    # rank window over the full assignment table
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -417,3 +417,20 @@ def test_ivfpq_clustered_shortlist_and_rerank(spark):
         recalls.append(len(set(rerank) & truth[qid]) / 10)
         assert recalls[-1] >= 0.8, (qid, recalls[-1])
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_prototype_pruning_quartile_bound(spark):
+    # strictly-above-the-75th-percentile pruning: each cell prunes at
+    # most ~a quarter of its members (ties kept), and the corpus-level
+    # prune rate lands near 25%
+    from h2spark.ops.similarity import q_corpus_prune_prototypes
+
+    rows = q_corpus_prune_prototypes(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total = sum(r["n_vecs"] for r in rows)
+    pruned = sum(r["n_pruned"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_pruned"] <= r["n_vecs"] // 4 + 1, r
+    assert 0 < pruned <= total // 3
