@@ -878,3 +878,89 @@ def run_streaming_skew_monitor(
     return _start_append_writer(
         skew_monitor(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- stateful CDC compaction (streaming twin of events_cdc_merge) --------
+
+CDC_SCHEMA = (
+    "user_id long, last_event_id long, last_type string,"
+    " value_e2 long, alive boolean, n_changes long"
+)
+_CDC_STATE_SCHEMA = "ts_us long, eid long, typ string, val double, cnt long"
+
+
+def cdc_state(events):
+    """Stateful streaming twin of ops/relational.q_events_cdc_merge:
+    per-key latest-change-wins upsert state (the live materialized view
+    a lakehouse MERGE INTO compacts in batch).  State is ONE compact
+    tuple per key — (ts_us, event_id, type, value, n_changes) — merged
+    with each micro-batch by the identical (ts, event_id) struct-max
+    ordering; every batch a key appears in emits its current compacted
+    row, with ``alive=false`` when the latest change is a DELETE
+    tombstone ('error'), so the latest row per key IS the table state
+    and a resurrecting upsert flips alive back on."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = events.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (uid,) = key
+        if state.exists:
+            ts_us, eid, typ, val, cnt = state.get
+        else:
+            ts_us, eid, typ, val, cnt = -1, -1, "", 0.0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            cnt += len(pdf)
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            cur_us = int(pd.Timestamp(top["ts"]).value // 1000)
+            if (cur_us, int(top["event_id"])) > (ts_us, eid):
+                ts_us, eid = cur_us, int(top["event_id"])
+                typ, val = str(top["event_type"]), float(top["value"])
+        state.update((ts_us, eid, typ, val, cnt))
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "last_event_id": [eid],
+                "last_type": [typ],
+                # the feed carries 2-decimal doubles: val*100 is
+                # within 1 ulp of an integer, so every rounding mode
+                # (incl. the batch op's HALF_UP) agrees
+                "value_e2": [int(round(val * 100))],
+                "alive": [typ != "error"],
+                "n_changes": [cnt],
+            }
+        )
+
+    return pre.groupBy("user_id").applyInPandasWithState(
+        update,
+        CDC_SCHEMA,
+        _CDC_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_cdc_state(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Live MERGE-INTO state over a growing events directory."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        cdc_state(stream), out_dir, checkpoint_dir, available_now
+    )

@@ -776,3 +776,67 @@ def test_streaming_skew_monitor_accumulates(spark, tmp_path):
     assert latest["click"]["cnt"] == 10
     assert latest["click"]["salt_factor"] == 1
     assert latest["error"]["cnt"] == 7
+
+
+def test_streaming_cdc_state_matches_batch_merge(spark, tmp_path):
+    # 14th streaming operator: latest-change state across micro-batches
+    # must equal the batch MERGE compaction on the full input —
+    # including a tombstone in batch 1 resurrected by batch 2 and a
+    # live key tombstoned by batch 2
+    import time
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_cdc_merge
+    from h2spark.pipeline.streaming import run_streaming_cdc_state
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(eid, f"2024-01-01 00:00:{sec:02d}", uid, et, val, "{}")
+             for eid, sec, uid, et, val in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = [
+        (1, 0, 100, "view", 1.25),
+        (2, 10, 100, "error", 0.0),    # 100 tombstoned...
+        (3, 5, 200, "click", 2.0),
+        (4, 7, 300, "view", 3.5),
+    ]
+    b2 = [
+        (5, 20, 100, "buy", 9.75),     # ...and resurrected
+        (6, 30, 300, "error", 0.0),    # 300 deleted last
+        (7, 25, 200, "view", 4.0),
+    ]
+    inp, out, ck = (tmp_path / d for d in ("cdc_in", "cdc_out", "cdc_ck"))
+    events(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_cdc_state(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)
+    events(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_cdc_state(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    latest = {}
+    for r in rows:  # append mode: latest row per key wins (max cnt)
+        if (r["user_id"] not in latest
+                or r["n_changes"] > latest[r["user_id"]]["n_changes"]):
+            latest[r["user_id"]] = r
+    # batch twin over the SAME full input
+    batch_dir = tmp_path / "cdc_batch"
+    events(b1 + b2).write.parquet(str(batch_dir / "events.parquet"))
+    batch = {r["user_id"]: r
+             for r in q_events_cdc_merge(spark, str(batch_dir)).collect()}
+    alive = {u: r for u, r in latest.items() if r["alive"]}
+    assert set(alive) == set(batch) == {100, 200}
+    for u in alive:
+        for col in ("last_event_id", "last_type", "value_e2", "n_changes"):
+            assert alive[u][col] == batch[u][col], (u, col)
+    assert not latest[300]["alive"]   # tombstoned key visible as dead
