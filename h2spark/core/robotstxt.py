@@ -1,0 +1,125 @@
+"""robots.txt parsing + URL gating (RFC 9309 Robots Exclusion Protocol).
+
+The crawl-pipeline step that sits BEFORE politeness scheduling
+(`ops/links.py:q_crawl_politeness_plan`): every fetch candidate is
+checked against its host's robots.txt, under the crawler's product
+token, before it may enter the frontier.
+
+Semantics implemented (RFC 9309 + the de-facto extensions every large
+crawler honors):
+
+- line syntax: ``field: value``; ``#`` starts a comment; field names
+  are case-insensitive; unknown fields are ignored (§2.2.4).
+- groups: one or more consecutive ``User-agent`` lines start a group;
+  ``Allow``/``Disallow`` lines attach to the most recent group; rules
+  appearing before any group are ignored.  Multiple groups naming the
+  same product token are merged (§2.2.1).
+- group selection: the matching group with the LONGEST agent token
+  wins (token compared case-insensitively as a prefix of the
+  crawler's product token); ``*`` only when no specific group
+  matches; no group at all -> everything allowed.
+- rule matching: patterns match from the start of the path; ``*``
+  matches any octet sequence; a trailing ``$`` anchors the end
+  (§2.2.2 "special characters").  Empty patterns match nothing (an
+  empty ``Disallow:`` allows everything).
+- precedence: the matching rule with the MOST OCTETS in its pattern
+  wins; at equal length Allow beats Disallow (§2.2.2).
+- ``Crawl-delay`` (non-RFC but ubiquitous): integer seconds kept per
+  group.
+
+Pure stdlib — this module must stay importable without pyspark
+(CLAUDE.md hard rule); Spark kernels reach it through
+``core/runner.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["parse_robots", "robots_decision"]
+
+
+def _pattern_regex(pattern: str) -> "re.Pattern[str]":
+    """Compile a robots path pattern: anchored at the start, ``*`` is
+    any sequence, a single trailing ``$`` anchors the end (a ``$``
+    anywhere else is a literal octet, per RFC 9309 ABNF)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+def parse_robots(text: str) -> list[dict]:
+    """Parse robots.txt into groups:
+    ``[{"agents": [token...], "rules": [(allow, pattern)...],
+    "delay": int | None}]``.  Agent tokens are lower-cased; rule
+    patterns keep their original octets (paths are case-sensitive)."""
+    groups: list[dict] = []
+    cur: dict | None = None
+    last_was_ua = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_ua:
+                cur = {"agents": [], "rules": [], "delay": None}
+                groups.append(cur)
+            cur["agents"].append(value.lower())
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if cur is None:
+            continue  # rules before any User-agent line are invalid
+        if field in ("allow", "disallow"):
+            if value:  # empty pattern matches nothing (no-op rule)
+                cur["rules"].append((field == "allow", value))
+        elif field == "crawl-delay":
+            try:
+                cur["delay"] = int(value)
+            except ValueError:
+                pass
+    return groups
+
+
+def robots_decision(
+    text: str, agent: str, path: str
+) -> tuple[bool, str, int | None, str]:
+    """Gate ``path`` for product token ``agent``.
+
+    Returns ``(allowed, rule, crawl_delay, group)`` where ``rule`` is
+    the winning pattern ('' when no rule matched), ``crawl_delay`` is
+    the selected group's delay (None if unset / no group), and
+    ``group`` is the agent token of the selected group ('*' for the
+    fallback, '' when the file has no applicable group)."""
+    groups = parse_robots(text)
+    agent_l = agent.lower()
+    best_tok = ""
+    for g in groups:
+        for a in g["agents"]:
+            if a != "*" and agent_l.startswith(a) and len(a) > len(best_tok):
+                best_tok = a
+    if best_tok:
+        sel = [g for g in groups if best_tok in g["agents"]]
+        group_name = best_tok
+    else:
+        sel = [g for g in groups if "*" in g["agents"]]
+        group_name = "*" if sel else ""
+    delay: int | None = None
+    best: tuple[int, bool, str] | None = None  # (octets, allow, pattern)
+    for g in sel:
+        if delay is None and g["delay"] is not None:
+            delay = g["delay"]
+        for allow, pattern in g["rules"]:
+            if _pattern_regex(pattern).match(path) is None:
+                continue
+            cand = (len(pattern), allow, pattern)
+            # longest pattern wins; at equal length Allow (True) wins
+            if best is None or cand[:2] > best[:2]:
+                best = cand
+    if best is None:
+        return True, "", delay, group_name
+    return best[1], best[2], delay, group_name

@@ -2149,3 +2149,23 @@ def apng_meta_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def robots_gate_batch(texts, agents, paths) -> list:
+    """Robots-exclusion gate (RFC 9309) over (robots.txt, agent, path)
+    triples -> (allowed, rule, crawl_delay_s, agent_group) per row.
+    Parser lives in core/robotstxt.py; one parse per row keeps the
+    kernel stateless (real pipelines cache per-host parses — at Arrow
+    batch granularity the parse is microseconds on kilobyte files)."""
+    from h2spark.core.robotstxt import robots_decision
+
+    rows: list = []
+    for text, agent, path in zip(texts, agents, paths):
+        allowed, rule, delay, group = robots_decision(
+            str(text), str(agent), str(path)
+        )
+        rows.append(
+            (bool(allowed), rule, -1 if delay is None else int(delay),
+             group)
+        )
+    return rows

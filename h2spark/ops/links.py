@@ -966,3 +966,140 @@ ORDER BY doc_id
 
 QUERIES["crawl_trap_detect"] = q_crawl_trap_detect
 ORACLES["crawl_trap_detect"] = ORACLE_CRAWL_TRAP
+
+
+# --- robots.txt crawl gate (round 7) -----------------------------------------
+
+
+def q_robots_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-exclusion gate — the step before
+    q_crawl_politeness_plan in every crawl pipeline: each fetch
+    candidate is checked against its host's robots.txt under the
+    crawler's product token ("h2bot").
+
+    Each host's robots.txt is synthesized as REAL text (comment lines,
+    a host-dependent specific group with prefix + wildcard-``$`` rules
+    and a Crawl-delay, a ``*`` fallback group) and parsed by the
+    from-scratch parser in core/robotstxt.py inside the Arrow kernel;
+    paths hit every decision branch: default-allow, prefix Disallow,
+    longer-Allow override, ``/*.pdf$`` wildcard-anchor Disallow, and
+    the ``*``-group fallback for hosts with no specific group.  The
+    oracle replays the decisions closed-form from the construction
+    arithmetic — so parser, group selection, longest-match precedence
+    and delay extraction all sit under the hash.
+
+    Scale shape: scan -> pure-codegen text synthesis -> mapInPandas
+    kernel, zero shuffle before the presentation sort; per-host
+    robots text would be a broadcast-joined dim table in production
+    (23 hosts here, fetched once per host, never per URL)."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    k = (F.col("doc_id") % 23).cast("long")
+    m = (F.col("doc_id") % 5).cast("long")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    robots = F.concat(
+        F.lit("# robots for h"), s(k), F.lit("\n"),
+        F.when(
+            k % 5 != 4,
+            F.concat(
+                F.lit("User-Agent: h2bot\nDisallow: /private/\n"),
+                F.when(
+                    k % 2 == 0,
+                    F.concat(F.lit("Allow: /private/ok"), s(k % 3),
+                             F.lit("\n")),
+                ).otherwise(F.lit("")),
+                F.when(k % 3 == 0, F.lit("Disallow: /*.pdf$\n"))
+                .otherwise(F.lit("")),
+                F.lit("Crawl-delay: "), s(k % 4 + 1), F.lit("\n\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /search\nCrawl-delay: 10\n"),
+    )
+    path = (
+        F.when(m == 0, F.concat(F.lit("/search/q"), s(F.col("doc_id") % 7)))
+        .when(m == 1, F.concat(F.lit("/private/doc"), s(F.col("doc_id") % 7)))
+        .when(m == 2, F.concat(F.lit("/private/ok"), s(k % 3), F.lit("z")))
+        .when(m == 3, F.concat(F.lit("/files/f"), s(F.col("doc_id") % 2),
+                               F.lit(".pdf")))
+        .otherwise(F.lit("/"))
+    )
+
+    from h2spark.core.runner import robots_gate_batch
+
+    def gate(batches):
+        for pdf in batches:
+            rows = robots_gate_batch(
+                list(pdf["robots"]), ["h2bot"] * len(pdf), list(pdf["path"])
+            )
+            out = pd.DataFrame(
+                rows, columns=["allowed", "rule", "crawl_delay_s",
+                               "agent_group"],
+            )
+            out.insert(0, "doc_id", list(pdf["doc_id"]))
+            out.insert(1, "host", list(pdf["host"]))
+            out.insert(2, "path", list(pdf["path"]))
+            yield out
+
+    return (
+        d.select(
+            "doc_id",
+            F.concat(F.lit("h"), s(k)).alias("host"),
+            path.alias("path"),
+            robots.alias("robots"),
+        )
+        .mapInPandas(
+            gate,
+            "doc_id long, host string, path string, allowed boolean,"
+            " rule string, crawl_delay_s long, agent_group string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ROBOTS_GATE = """
+WITH g AS (
+  SELECT doc_id, doc_id % 23 AS k, doc_id % 5 AS m
+  FROM documents
+), d AS (
+  SELECT doc_id, k, m,
+         'h' || k AS host,
+         CASE m
+           WHEN 0 THEN '/search/q' || (doc_id % 7)
+           WHEN 1 THEN '/private/doc' || (doc_id % 7)
+           WHEN 2 THEN '/private/ok' || (k % 3) || 'z'
+           WHEN 3 THEN '/files/f' || (doc_id % 2) || '.pdf'
+           ELSE '/'
+         END AS path,
+         k % 5 = 4 AS fallback
+  FROM g
+)
+SELECT doc_id, host, path,
+       CASE WHEN fallback THEN m <> 0
+            ELSE CASE m
+              WHEN 1 THEN FALSE
+              WHEN 2 THEN k % 2 = 0
+              WHEN 3 THEN k % 3 <> 0
+              ELSE TRUE
+            END
+       END AS allowed,
+       CASE WHEN fallback THEN (CASE WHEN m = 0 THEN '/search' ELSE '' END)
+            ELSE CASE m
+              WHEN 1 THEN '/private/'
+              WHEN 2 THEN CASE WHEN k % 2 = 0
+                               THEN '/private/ok' || (k % 3)
+                               ELSE '/private/' END
+              WHEN 3 THEN CASE WHEN k % 3 = 0 THEN '/*.pdf$' ELSE '' END
+              ELSE ''
+            END
+       END AS rule,
+       (CASE WHEN fallback THEN 10 ELSE k % 4 + 1 END)::BIGINT
+           AS crawl_delay_s,
+       CASE WHEN fallback THEN '*' ELSE 'h2bot' END AS agent_group
+FROM d
+ORDER BY doc_id
+"""
+
+QUERIES["robots_crawl_gate"] = q_robots_crawl_gate
+ORACLES["robots_crawl_gate"] = ORACLE_ROBOTS_GATE

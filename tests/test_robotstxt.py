@@ -1,0 +1,109 @@
+"""RFC 9309 robots.txt parser/matcher unit pins (core-only, no Spark).
+
+Each test pins a rule of the Robots Exclusion Protocol the crawl gate
+relies on: group formation and selection, longest-match precedence,
+wildcard/anchor patterns, and the de-facto Crawl-delay extension.
+"""
+
+from h2spark.core.robotstxt import parse_robots, robots_decision
+
+
+def test_basic_groups_and_rules():
+    g = parse_robots(
+        "User-agent: a\nDisallow: /x\n\nUser-agent: *\nAllow: /y\n"
+    )
+    assert [gr["agents"] for gr in g] == [["a"], ["*"]]
+    assert g[0]["rules"] == [(False, "/x")]
+    assert g[1]["rules"] == [(True, "/y")]
+
+
+def test_stacked_user_agents_share_one_group():
+    g = parse_robots("User-agent: a\nUser-agent: b\nDisallow: /x\n")
+    assert len(g) == 1 and g[0]["agents"] == ["a", "b"]
+    assert robots_decision(
+        "User-agent: a\nUser-agent: b\nDisallow: /x\n", "b", "/x/1"
+    )[0] is False
+
+
+def test_rules_before_any_group_are_ignored():
+    assert parse_robots("Disallow: /x\nUser-agent: *\nAllow: /y\n")[0][
+        "rules"
+    ] == [(True, "/y")]
+
+
+def test_comments_case_and_unknown_fields():
+    text = (
+        "# header comment\n"
+        "USER-AGENT: Bot  # trailing comment\n"
+        "DisAllow: /a\n"
+        "Sitemap: https://e.com/s.xml\n"  # unknown field ignored
+        "Crawl-Delay: 7\n"
+    )
+    g = parse_robots(text)
+    assert g[0]["agents"] == ["bot"]
+    assert g[0]["rules"] == [(False, "/a")]
+    assert g[0]["delay"] == 7
+
+
+def test_empty_disallow_allows_everything():
+    allowed, rule, _, grp = robots_decision(
+        "User-agent: *\nDisallow:\n", "x", "/anything"
+    )
+    assert allowed and rule == "" and grp == "*"
+
+
+def test_specific_group_beats_star_and_longest_token_wins():
+    text = (
+        "User-agent: bot\nDisallow: /a\n\n"
+        "User-agent: botlong\nDisallow: /b\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    # product token 'botlong-news/1.0' prefix-matches both; longest wins
+    assert robots_decision(text, "botlong-news/1.0", "/a")[0] is True
+    assert robots_decision(text, "botlong-news/1.0", "/b")[0] is False
+    assert robots_decision(text, "bot", "/b")[0] is True
+    # unknown agent falls to * (deny-all here)
+    allowed, rule, _, grp = robots_decision(text, "other", "/a")
+    assert not allowed and rule == "/" and grp == "*"
+
+
+def test_same_token_groups_merge():
+    text = (
+        "User-agent: a\nDisallow: /x\n\n"
+        "User-agent: a\nDisallow: /y\nCrawl-delay: 3\n"
+    )
+    assert robots_decision(text, "a", "/y/z") == (False, "/y", 3, "a")
+
+
+def test_longest_match_wins_and_tie_prefers_allow():
+    text = (
+        "User-agent: *\nDisallow: /p/\nAllow: /p/public\n"
+    )
+    assert robots_decision(text, "x", "/p/public/1")[0] is True
+    assert robots_decision(text, "x", "/p/secret")[0] is False
+    # equal-length patterns: Allow wins the tie (RFC 9309 §2.2.2)
+    tie = "User-agent: *\nDisallow: /dir\nAllow: /dir\n"
+    assert robots_decision(tie, "x", "/dir/a")[0] is True
+
+
+def test_wildcard_and_dollar_anchor():
+    text = "User-agent: *\nDisallow: /*.pdf$\n"
+    assert robots_decision(text, "x", "/f/a.pdf")[0] is False
+    assert robots_decision(text, "x", "/f/a.pdfx")[0] is True  # anchored
+    assert robots_decision(text, "x", "/f/a.html")[0] is True
+    # '$' not at the end is a literal octet, not an anchor
+    lit = "User-agent: *\nDisallow: /a$b\n"
+    assert robots_decision(lit, "x", "/a$b/c")[0] is False
+    assert robots_decision(lit, "x", "/ab/c")[0] is True
+
+
+def test_no_groups_or_empty_file_allows():
+    assert robots_decision("", "x", "/a") == (True, "", None, "")
+    assert robots_decision("# nothing here\n", "x", "/a") == (
+        True, "", None, "",
+    )
+
+
+def test_delay_parse_failures_ignored():
+    g = parse_robots("User-agent: *\nCrawl-delay: soon\n")
+    assert g[0]["delay"] is None
