@@ -2417,3 +2417,92 @@ ORDER BY source_lo, source_hi
 
 QUERIES["dedup_cross_source"] = q_dedup_cross_source
 ORACLES["dedup_cross_source"] = ORACLE_DEDUP_CROSS_SOURCE
+
+
+# --- blocked edit-distance near-dup (round 7) ---------------------------------
+
+
+def q_title_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-duplicate mining over short strings —
+    the record-linkage workhorse for titles/product names where
+    shingle-based MinHash is too coarse (a one-character typo flips
+    most shingles of a 15-char title).  Candidate pairs form ONLY
+    inside a cheap deterministic block (here: the digit skeleton —
+    entity-id blocking), then exact edit distance prunes to dist<=2;
+    `is_dup` marks the tighter dist<=1 tier.
+
+    Titles are synthesized in five variants per entity (clean, suffix
+    add, doubled letter, leading deletion, and a completely different
+    phrasing that shares the block but fails the distance gate), so
+    blocking recall, the threshold boundary and the dup tiers all sit
+    under the hash.  Levenshtein runs BUILT-IN on both engines (Spark
+    `levenshtein` / DuckDB `levenshtein`) — zero Python in the pair
+    loop.
+
+    Scale shape: one equi-shuffle self-join on the block key; per-task
+    work is bounded by block volume (m^2/2 within a block) — the same
+    hazard class as LSH buckets, handled the same way in production:
+    the `srp_bucket_volume`-style pre-flight (`dedup.py`) caps or
+    splits mega-blocks before the join."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    g = (F.col("doc_id") % 50).cast("string")
+    # variant from doc_id div 50 — doc_id % 5 would be constant inside
+    # a block (both mod the block key); integer `div`, never `/`+cast
+    v = F.expr("doc_id div 50") % 5
+    title = (
+        F.when(v == 0, F.concat(F.lit("guide to topic "), g))
+        .when(v == 1, F.concat(F.lit("guide to topic "), g, F.lit("s")))
+        .when(v == 2, F.concat(F.lit("guidee to topic "), g))
+        .when(v == 3, F.concat(F.lit("gide to topic "), g))
+        .otherwise(F.concat(F.lit("notes on subject "), g))
+    )
+    t = d.select(
+        "doc_id",
+        title.alias("title"),
+        F.regexp_replace(title, "[^0-9]", "").alias("block_key"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("title").alias("title_a"),
+        "block_key",
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("title").alias("title_b"),
+        F.col("block_key").alias("bk2"),
+    )
+    return (
+        a.join(b, (F.col("block_key") == F.col("bk2"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("dist",
+                    F.levenshtein("title_a", "title_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("block_key", "doc_a", "doc_b", "title_a", "title_b",
+                "dist", (F.col("dist") <= 1).alias("is_dup"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_TITLE_EDITDIST = """
+WITH t AS (
+  SELECT doc_id,
+         CASE (doc_id // 50) % 5
+           WHEN 0 THEN 'guide to topic ' || (doc_id % 50)
+           WHEN 1 THEN 'guide to topic ' || (doc_id % 50) || 's'
+           WHEN 2 THEN 'guidee to topic ' || (doc_id % 50)
+           WHEN 3 THEN 'gide to topic ' || (doc_id % 50)
+           ELSE 'notes on subject ' || (doc_id % 50)
+         END AS title,
+         (doc_id % 50)::VARCHAR AS block_key
+  FROM documents
+)
+SELECT a.block_key, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.title AS title_a, b.title AS title_b,
+       levenshtein(a.title, b.title)::BIGINT AS dist,
+       levenshtein(a.title, b.title) <= 1 AS is_dup
+FROM t a JOIN t b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["title_dedup_editdist"] = q_title_dedup_editdist
+ORACLES["title_dedup_editdist"] = ORACLE_TITLE_EDITDIST
