@@ -1681,3 +1681,96 @@ ORDER BY part, bin_id
 
 QUERIES["export_compaction_plan"] = q_export_compaction_plan
 ORACLES["export_compaction_plan"] = ORACLE_EXPORT_COMPACTION
+
+
+# --- inter-annotator agreement (round 7) --------------------------------------
+
+
+def q_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per source — the labeling-QA gate every
+    human-annotated training set (RLHF preference labels, quality
+    ratings, toxicity tags) runs before labels are trusted: raw
+    agreement alone flatters annotators on skewed label
+    distributions, so kappa subtracts chance agreement from the
+    confusion marginals.
+
+    Two synthetic annotators assign one of 3 classes per document
+    (annotator 2 agrees ~70% and errs deterministically otherwise);
+    per source we emit n, raw agreement, and EXACT integer e6
+    readouts: po_e6 = (1e6*agree) div n, pe_e6 = (1e6*sum_k a_k*b_k)
+    div n^2, kappa_e6 = (1e6*(n*agree - sum a_k b_k)) div
+    (n^2 - sum a_k b_k) — truncating integer division agrees between
+    Spark `div` and DuckDB `//` (both toward zero), so no float
+    crosses the hash. Exactness bound: 1e6*n^2 must fit int64
+    (n <= ~3e6 per group) — at larger n a pipeline computes kappa on
+    a per-group stratified label sample, which is also the standard
+    IAA practice.
+
+    Scale shape: ONE narrow groupBy(source) carrying nine conditional
+    counts (map-side partial aggregation; all-integer codegen, no
+    window, no join)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ann1 = (F.col("doc_id") % 3).cast("long")
+    # agreement/error draws come from doc_id div 20 — raw doc_id mods
+    # would be constant inside a source (source ~ doc_id % 20), making
+    # every per-source kappa degenerate
+    # agree rate 40-70% depending on doc_id % 4 (constant per source,
+    # so sources get DIFFERENT kappas and the oracle can tell them apart)
+    ann2 = F.when(
+        F.expr("doc_id div 20") % 10 < 4 + F.col("doc_id") % 4, ann1
+    ).otherwise((ann1 + 1 + F.expr("doc_id div 20") % 2) % 3)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    g = (
+        d.select("source", ann1.alias("a"), ann2.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            cnt(F.col("a") == F.col("b")).alias("n_agree"),
+            *[cnt(F.col("a") == k).alias(f"a{k}") for k in range(3)],
+            *[cnt(F.col("b") == k).alias(f"b{k}") for k in range(3)],
+        )
+        .withColumn("pe_num", F.expr("a0*b0 + a1*b1 + a2*b2"))
+    )
+    return g.select(
+        "source", "n_docs", "n_agree",
+        F.expr("(1000000 * n_agree) div n_docs").alias("po_e6"),
+        F.expr("(1000000 * pe_num) div (n_docs * n_docs)").alias("pe_e6"),
+        F.expr(
+            "(1000000 * (n_docs * n_agree - pe_num))"
+            " div (n_docs * n_docs - pe_num)"
+        ).alias("kappa_e6"),
+    ).orderBy("source")
+
+
+ORACLE_ANNOTATION_AGREEMENT = """
+WITH lab AS (
+  SELECT source,
+         doc_id % 3 AS a,
+         CASE WHEN (doc_id // 20) % 10 < 4 + doc_id % 4 THEN doc_id % 3
+              ELSE ((doc_id % 3) + 1 + ((doc_id // 20) % 2)) % 3
+         END AS b
+  FROM documents
+), g AS (
+  SELECT source,
+         count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+         (sum(CASE WHEN a = 0 THEN 1 ELSE 0 END)
+            * sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN a = 1 THEN 1 ELSE 0 END)
+            * sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN a = 2 THEN 1 ELSE 0 END)
+            * sum(CASE WHEN b = 2 THEN 1 ELSE 0 END))::BIGINT AS pe_num
+  FROM lab
+  GROUP BY source
+)
+SELECT source, n_docs, n_agree,
+       ((1000000 * n_agree) // n_docs)::BIGINT AS po_e6,
+       ((1000000 * pe_num) // (n_docs * n_docs))::BIGINT AS pe_e6,
+       ((1000000 * (n_docs * n_agree - pe_num))
+        // (n_docs * n_docs - pe_num))::BIGINT AS kappa_e6
+FROM g
+ORDER BY source
+"""
+
+QUERIES["annotation_agreement"] = q_annotation_agreement
+ORACLES["annotation_agreement"] = ORACLE_ANNOTATION_AGREEMENT
