@@ -2169,3 +2169,54 @@ def robots_gate_batch(texts, agents, paths) -> list:
              group)
         )
     return rows
+
+
+def audio_clip_stats_batch(doc_ids, n: int = 96, rate: int = 8000) -> list:
+    """Audio QC gate over the REAL WAV path: per doc a 16-bit PCM
+    pattern with a DC offset and deterministically-placed clipped
+    samples (full-scale +/-32767/-32768 every (7 + d%5)-th position)
+    is serialized as genuine RIFF bytes and decoded back; the QC
+    stats — clipped-sample count, ppm, DC sum, energy, peak — come
+    from the DECODED samples, so codec and gate sit under one oracle.
+    The clean pattern stays under |1200|, far from the 32760 clip
+    sill, so clip detection can't false-positive."""
+    import struct
+
+    from h2spark.core.wavcodec import decode_wav_samples
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        p = 7 + d % 5
+        dc = (d % 5) * 40
+        samples = [
+            (32767 if (d + i) % 2 == 0 else -32768)
+            if (d + i) % p == 0
+            else ((d * 13 + i * 37) % 2000) - 1000 + dc
+            for i in range(n)
+        ]
+        body = struct.pack(f"<{n}h", *samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        decoded = decode_wav_samples(wav)
+        if decoded is None:
+            outs.append((d, 0, 0, 0, 0, 0, 0))
+            continue
+        _, _, got = decoded
+        n_clip = sum(1 for s in got if abs(s) >= 32760)
+        outs.append(
+            (
+                d,
+                len(got),
+                n_clip,
+                (1000000 * n_clip) // len(got),
+                sum(got),
+                sum(s * s for s in got),
+                max(abs(s) for s in got),
+            )
+        )
+    return outs

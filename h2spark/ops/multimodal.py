@@ -3039,3 +3039,77 @@ ORDER BY doc_id
 
 QUERIES["image_apng_meta"] = q_image_apng_meta
 ORACLES["image_apng_meta"] = ORACLE_IMAGE_APNG
+
+
+# --- audio clipping / QC gate (round 7) ---------------------------------------
+
+
+def q_audio_clip_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gate — the speech-corpus triage step that drops
+    clipped or DC-biased recordings before ASR/TTS training: decode
+    the REAL WAV bytes (core/wavcodec.py), count full-scale samples
+    (|s| >= 32760), and emit exact integer QC stats (clip ppm, DC sum,
+    energy, peak) plus the pass verdict at the 10%% clip budget.  The
+    synthesized pattern clips every (7 + d%%5)-th sample, so docs
+    straddle the gate deterministically; the clean signal stays under
+    |1200|, so detection can't false-positive.  Oracle re-derives
+    every stat from the pattern formula via unnest(range()).
+
+    Scale shape: scan -> Arrow kernel, zero shuffle before the
+    presentation sort — same shape as the other codec roundtrips."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import audio_clip_stats_batch
+
+    @pandas_udf(
+        "struct<doc_id:long, n_samples:long, n_clipped:long,"
+        " clip_ppm:long, dc_sum:long, energy:long, peak:long>"
+    )
+    def clip_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = audio_clip_stats_batch(ids)
+        return pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "n_clipped", "clip_ppm",
+                     "dc_sum", "energy", "peak"],
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select(clip_udf(F.col("doc_id")).alias("o")).select("o.*")
+    return out.select(
+        "doc_id", "n_samples", "n_clipped", "clip_ppm", "dc_sum",
+        "energy", "peak",
+        (F.col("clip_ppm") <= 100000).alias("pass_gate"),
+    ).orderBy("doc_id")
+
+
+ORACLE_AUDIO_CLIP = """
+WITH s AS (
+  SELECT doc_id, k,
+         CASE WHEN (doc_id + k) % (7 + doc_id % 5) = 0
+              THEN CASE WHEN (doc_id + k) % 2 = 0
+                        THEN 32767 ELSE -32768 END
+              ELSE ((doc_id * 13 + k * 37) % 2000) - 1000
+                   + (doc_id % 5) * 40
+         END AS v
+  FROM documents, unnest(range(96)) AS u(k)
+), g AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_samples,
+         sum(CASE WHEN abs(v) >= 32760 THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped,
+         sum(v)::BIGINT AS dc_sum,
+         sum(v * v)::BIGINT AS energy,
+         max(abs(v))::BIGINT AS peak
+  FROM s
+  GROUP BY doc_id
+)
+SELECT doc_id, n_samples, n_clipped,
+       ((1000000 * n_clipped) // n_samples)::BIGINT AS clip_ppm,
+       dc_sum, energy, peak,
+       (1000000 * n_clipped) // n_samples <= 100000 AS pass_gate
+FROM g
+ORDER BY doc_id
+"""
+
+QUERIES["audio_clip_detect"] = q_audio_clip_detect
+ORACLES["audio_clip_detect"] = ORACLE_AUDIO_CLIP
