@@ -1,0 +1,70 @@
+"""Magic-byte MIME sniffing (WHATWG MIME Sniffing pattern tables).
+
+The content-type audit step of a crawl pipeline: servers lie about
+Content-Type, so binary payloads are routed by their leading octets,
+not their labels.  Implements the WHATWG §6 pattern-plus-mask scheme
+for the image/audio-video/font tables this repo has real builders
+for, plus the archive/document magics the multimodal family parses
+(ZIP, PDF, EBML, Ogg).  MP4 uses the spec's box rule (size-prefixed
+``ftyp`` at offset 4) rather than a fixed-offset pattern.
+
+Pure stdlib — importable without pyspark (CLAUDE.md hard rule);
+Spark kernels reach it through ``core/runner.py``.
+"""
+
+from __future__ import annotations
+
+__all__ = ["sniff_mime"]
+
+# (pattern, mask, mime) applied at offset 0 — WHATWG-style: a byte
+# matches when (data[i] & mask[i]) == pattern[i].
+_P = []
+
+
+def _pat(pattern: bytes, mime: str, mask: bytes | None = None) -> None:
+    _P.append((pattern, mask or b"\xff" * len(pattern), mime))
+
+
+_pat(b"\x89PNG\r\n\x1a\n", "image/png")
+_pat(b"GIF87a", "image/gif")
+_pat(b"GIF89a", "image/gif")
+_pat(b"\xff\xd8\xff", "image/jpeg")
+_pat(b"RIFF\x00\x00\x00\x00WAVE", "audio/wave",
+     b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff")
+_pat(b"RIFF\x00\x00\x00\x00AVI ", "video/avi",
+     b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff")
+_pat(b"fLaC", "audio/flac")
+_pat(b"ID3", "audio/mpeg")
+_pat(b"OggS\x00", "application/ogg")
+_pat(b"\x00\x00\x01\x00", "image/x-icon")
+_pat(b"\x00\x00\x02\x00", "image/x-icon")  # CUR
+_pat(b"II*\x00", "image/tiff")
+_pat(b"MM\x00*", "image/tiff")
+_pat(b"%PDF-", "application/pdf")
+_pat(b"PK\x03\x04", "application/zip")
+_pat(b"\x1f\x8b\x08", "application/x-gzip")
+_pat(b"\x1aE\xdf\xa3", "video/webm")
+_pat(b"wOFF", "font/woff")
+_pat(b"OTTO", "font/otf")
+_pat(b"ttcf", "font/collection")
+_pat(b"\x00\x01\x00\x00", "font/ttf")
+_pat(b"RIFF\x00\x00\x00\x00WEBPVP8", "image/webp",
+     b"\xff\xff\xff\xff\x00\x00\x00\x00\xff\xff\xff\xff\xff\xff\xff")
+
+
+def sniff_mime(data: bytes) -> str:
+    """Return the sniffed MIME type, or ``application/octet-stream``
+    when no pattern matches.  ICO's ``00 00 01 00`` is checked before
+    TTF's ``00 01 00 00`` (distinct offsets of the 01 octet keep them
+    unambiguous); the MP4 box rule runs after the fixed tables, as in
+    the WHATWG ordering."""
+    data = bytes(data)
+    for pattern, mask, mime in _P:
+        if len(data) >= len(pattern) and all(
+            (data[i] & mask[i]) == pattern[i] for i in range(len(pattern))
+        ):
+            return mime
+    # ISO-BMFF: 32-bit box size then 'ftyp' at offset 4 (§6.2.1)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "video/mp4"
+    return "application/octet-stream"

@@ -2220,3 +2220,58 @@ def audio_clip_stats_batch(doc_ids, n: int = 96, rate: int = 8000) -> list:
             )
         )
     return outs
+
+
+_SNIFF_MIMES = [
+    "image/png", "image/gif", "image/jpeg", "audio/wave", "audio/flac",
+    "image/x-icon", "image/tiff", "video/mp4",
+]
+
+
+def mime_sniff_batch(doc_ids) -> list:
+    """Content-type audit over REAL container bytes: per doc one of 8
+    genuine files (built by the repo's own writers, rotated by
+    doc_id % 8) is sniffed by core/mimesniff.py and compared against
+    the CLAIMED type — every 11th doc is deliberately mislabeled
+    (claimed = type[(t+3) % 8]), the lie a crawl pipeline catches by
+    sniffing.  Returns (doc_id, claimed, sniffed, n_bytes)."""
+    from h2spark.core.flaccodec import build_flac
+    from h2spark.core.gifcodec import encode_gif
+    from h2spark.core.icometa import build_ico
+    from h2spark.core.jpegcodec import encode_jpeg
+    from h2spark.core.mimesniff import sniff_mime
+    from h2spark.core.mp4meta import build_mp4
+    from h2spark.core.pngcodec import encode_png
+    from h2spark.core.tiffpix import build_tiff_rgb
+    from h2spark.core.wavcodec import encode_wav
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        t = d % 8
+        px12 = bytes((d + i) % 256 for i in range(12))
+        if t == 0:
+            blob = encode_png(2, 2, 3, px12)
+        elif t == 1:
+            blob = encode_gif(2, 2, bytes((d + i) % 256 for i in range(6)),
+                              bytes([0, 1, 1, 0]))
+        elif t == 2:
+            blob = encode_jpeg(8, 8, bytes((d + i) % 256 for i in range(64)),
+                               channels=1)
+        elif t == 3:
+            blob = encode_wav(8000, 1, [((d + i) % 200) - 100
+                                        for i in range(16)])
+        elif t == 4:
+            blob = build_flac([[((d + i) % 64) - 32 for i in range(8)]])
+        elif t == 5:
+            blob = build_ico([{"kind": "bmp", "width": 2, "height": 2,
+                               "pixels": bytes((d + i) % 256
+                                               for i in range(16))}])
+        elif t == 6:
+            blob = build_tiff_rgb(2, 2, px12)
+        else:
+            blob = build_mp4(1000 + d % 7, 1, bytes(8))
+        claimed = _SNIFF_MIMES[(t + 3) % 8] if d % 11 == 0 \
+            else _SNIFF_MIMES[t]
+        rows.append((d, claimed, sniff_mime(blob), len(blob)))
+    return rows

@@ -3113,3 +3113,68 @@ ORDER BY doc_id
 
 QUERIES["audio_clip_detect"] = q_audio_clip_detect
 ORACLES["audio_clip_detect"] = ORACLE_AUDIO_CLIP
+
+
+# --- MIME sniff audit (round 7) ------------------------------------------------
+
+
+def q_mime_sniff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type audit — the crawl-ingest step that routes binary
+    payloads by their leading octets because Content-Type headers lie:
+    8 genuine container files (built by this repo's own PNG/GIF/JPEG/
+    WAV/FLAC/ICO/TIFF/MP4 writers, rotated per doc) are sniffed by the
+    WHATWG pattern-mask tables in core/mimesniff.py and compared to
+    the claimed label; every 11th doc is deliberately mislabeled and
+    must surface as a mismatch.  The oracle replays claim and sniff
+    from the rotation arithmetic, so a sniffer that misfires on any
+    real magic flips the hash.
+
+    Scale shape: scan -> Arrow kernel, zero shuffle before the
+    presentation sort; the mismatch flag is relational codegen."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import mime_sniff_batch
+
+    @pandas_udf(
+        "struct<doc_id:long, claimed_mime:string, sniffed_mime:string>"
+    )
+    def sniff_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = mime_sniff_batch(ids)
+        return pd.DataFrame(
+            [r[:3] for r in rows],
+            columns=["doc_id", "claimed_mime", "sniffed_mime"],
+        )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = d.select(sniff_udf(F.col("doc_id")).alias("o")).select("o.*")
+    return out.select(
+        "doc_id", "claimed_mime", "sniffed_mime",
+        (F.col("claimed_mime") == F.col("sniffed_mime")).alias("label_ok"),
+    ).orderBy("doc_id")
+
+
+ORACLE_MIME_SNIFF = """
+WITH m AS (
+  SELECT * FROM (VALUES
+    (0, 'image/png'), (1, 'image/gif'), (2, 'image/jpeg'),
+    (3, 'audio/wave'), (4, 'audio/flac'), (5, 'image/x-icon'),
+    (6, 'image/tiff'), (7, 'video/mp4')
+  ) AS t(k, mime)
+), d AS (
+  SELECT doc_id, doc_id % 8 AS t,
+         CASE WHEN doc_id % 11 = 0 THEN (doc_id % 8 + 3) % 8
+              ELSE doc_id % 8 END AS ct
+  FROM documents
+)
+SELECT d.doc_id,
+       mc.mime AS claimed_mime,
+       ms.mime AS sniffed_mime,
+       d.ct = d.t AS label_ok
+FROM d
+JOIN m mc ON mc.k = d.ct
+JOIN m ms ON ms.k = d.t
+ORDER BY d.doc_id
+"""
+
+QUERIES["mime_sniff_audit"] = q_mime_sniff_audit
+ORACLES["mime_sniff_audit"] = ORACLE_MIME_SNIFF

@@ -1,0 +1,68 @@
+"""Magic-byte MIME sniffing pins (core-only, no Spark).
+
+Table-scale rotation (q_mime_sniff_audit) covers the 8 built types;
+these pins cover the rest of the pattern table, the mask semantics,
+the MP4 box rule, and the fallbacks.
+"""
+
+from h2spark.core.mimesniff import sniff_mime
+
+
+def test_real_builders_sniff_correctly():
+    from h2spark.core.avicodec import encode_avi
+    from h2spark.core.ebmlmeta import build_mkv
+    from h2spark.core.oggmeta import build_ogg_vorbis
+    from h2spark.core.sfntmeta import build_sfnt, build_woff
+    from h2spark.core.vp8lcodec import encode_webp_lossless
+
+    assert sniff_mime(
+        encode_avi(2, 2, [bytes(12)], fps=5)) == "video/avi"
+    assert sniff_mime(
+        build_mkv("matroska", 1000000, 1000, [], [])) == "video/webm"
+    assert sniff_mime(build_ogg_vorbis(1, 8000, 256, [bytes(8)])) == \
+        "application/ogg"
+    tables = [("cmap", bytes(12)), ("glyf", bytes(8))]
+    assert sniff_mime(build_sfnt(tables)) == "font/ttf"
+    assert sniff_mime(build_woff(tables)) == "font/woff"
+    assert sniff_mime(
+        encode_webp_lossless(2, 2, bytes(range(16)))) == "image/webp"
+
+
+def test_riff_mask_distinguishes_wav_avi_webp():
+    # same RIFF prefix, any size bytes (masked out), different tag
+    assert sniff_mime(b"RIFF\xde\xad\xbe\xefWAVEfmt ") == "audio/wave"
+    assert sniff_mime(b"RIFF\x00\x00\x00\x00AVI LIST") == "video/avi"
+    assert sniff_mime(b"RIFF\x12\x00\x00\x00WEBPVP8L") == "image/webp"
+    # unknown RIFF tag falls through
+    assert sniff_mime(b"RIFF\x00\x00\x00\x00ACON????") == \
+        "application/octet-stream"
+
+
+def test_document_and_archive_magics():
+    assert sniff_mime(b"%PDF-1.7\n%\xe2\xe3") == "application/pdf"
+    assert sniff_mime(b"PK\x03\x04\x14\x00") == "application/zip"
+    assert sniff_mime(b"\x1f\x8b\x08\x00rest") == "application/x-gzip"
+    assert sniff_mime(b"ID3\x03\x00rest") == "audio/mpeg"
+    assert sniff_mime(b"OTTO\x00\x08") == "font/otf"
+    assert sniff_mime(b"ttcf\x00\x01") == "font/collection"
+
+
+def test_ico_vs_ttf_disambiguation():
+    assert sniff_mime(b"\x00\x00\x01\x00\x01\x00") == "image/x-icon"
+    assert sniff_mime(b"\x00\x00\x02\x00\x01\x00") == "image/x-icon"
+    assert sniff_mime(b"\x00\x01\x00\x00\x00\x0c") == "font/ttf"
+
+
+def test_mp4_box_rule_needs_offset4_ftyp():
+    assert sniff_mime(b"\x00\x00\x00\x18ftypisom\x00\x00\x00\x00") == \
+        "video/mp4"
+    assert sniff_mime(b"ftypisom\x00\x00\x00\x00") == \
+        "application/octet-stream"
+    assert sniff_mime(b"\x00\x00\x00\x18ftyp") == \
+        "application/octet-stream"  # too short for the box rule
+
+
+def test_fallback_and_short_inputs():
+    assert sniff_mime(b"") == "application/octet-stream"
+    assert sniff_mime(b"\x89PN") == "application/octet-stream"
+    assert sniff_mime(b"hello world") == "application/octet-stream"
