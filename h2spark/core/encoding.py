@@ -190,3 +190,26 @@ def decode_html(
     enc, bom = detect_encoding(data, transport_label)
     codec = {"windows-1252": "cp1252"}.get(enc, enc)
     return data[bom:].decode(codec, errors="replace"), enc
+
+
+def fix_mojibake(text: str) -> tuple[str, bool]:
+    """Repair the classic mojibake class: UTF-8 bytes that some
+    upstream stage wrongly decoded as windows-1252 ("café" shipped as
+    "cafÃ©").  The ftfy core move: re-encode the text as cp1252 and
+    try a UTF-8 decode — accept the repair ONLY when both conversions
+    succeed cleanly and the result differs (clean text with real
+    accents fails the UTF-8 step and passes through untouched, so the
+    repair can't corrupt healthy documents).  One pass only — the
+    doubly-mangled case needs iteration a pipeline applies by calling
+    this to a fixpoint.  Returns (text, repaired?)."""
+    try:
+        raw = text.encode("cp1252")
+    except UnicodeEncodeError:
+        return text, False
+    try:
+        fixed = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return text, False
+    if fixed != text:
+        return fixed, True
+    return text, False

@@ -2275,3 +2275,11 @@ def mime_sniff_batch(doc_ids) -> list:
             else _SNIFF_MIMES[t]
         rows.append((d, claimed, sniff_mime(blob), len(blob)))
     return rows
+
+
+def mojibake_repair_batch(texts) -> list:
+    """ftfy-style mojibake repair (core/encoding.py:fix_mojibake)
+    over a text column -> (text_out, repaired) per row."""
+    from h2spark.core.encoding import fix_mojibake
+
+    return [fix_mojibake(str(t)) for t in texts]

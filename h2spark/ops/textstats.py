@@ -2268,3 +2268,80 @@ ORDER BY bin_id
 
 QUERIES["quality_calibration_bins"] = q_quality_calibration_bins
 ORACLES["quality_calibration_bins"] = ORACLE_QUALITY_CALIBRATION
+
+
+# --- mojibake repair (round 7) -------------------------------------------------
+
+
+def q_text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair audit — the ftfy pass every web corpus runs:
+    UTF-8 text that an upstream stage wrongly decoded as windows-1252
+    ("cafÃ©") is detected and re-decoded; healthy text with REAL
+    accents must pass through untouched (the repair requires a clean
+    cp1252 re-encode AND a clean UTF-8 decode, so it cannot corrupt
+    what isn't mojibake).
+
+    Three deterministic doc classes: mangled accents (repairable),
+    clean accents (must not change), plain ASCII (must not change);
+    the oracle replays input and output strings from the construction
+    arithmetic, so both the repair and the two no-touch guarantees
+    sit under the hash.
+
+    Scale shape: scan -> Arrow kernel (one pandas UDF), zero shuffle
+    before the presentation sort."""
+    from h2spark.core.runner import mojibake_repair_batch
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (F.col("doc_id") % 7).cast("string")
+    text_in = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("cafÃ© "), n, F.lit(" naÃ¯ve Â©")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("café "), n, F.lit(" naïve ©")))
+        .otherwise(F.concat(F.lit("plain "), n))
+    )
+
+    def repair(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = mojibake_repair_batch(list(pdf["text_in"]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": list(pdf["doc_id"]),
+                    "text_in": list(pdf["text_in"]),
+                    "text_out": [r[0] for r in rows],
+                    "repaired": [r[1] for r in rows],
+                }
+            )
+
+    return (
+        d.select("doc_id", text_in.alias("text_in"))
+        .mapInPandas(
+            repair,
+            "doc_id long, text_in string, text_out string,"
+            " repaired boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MOJIBAKE = """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'cafÃ© ' || (doc_id % 7) || ' naÃ¯ve Â©'
+         WHEN 1 THEN 'café ' || (doc_id % 7) || ' naïve ©'
+         ELSE 'plain ' || (doc_id % 7)
+       END AS text_in,
+       CASE doc_id % 3
+         WHEN 0 THEN 'café ' || (doc_id % 7) || ' naïve ©'
+         WHEN 1 THEN 'café ' || (doc_id % 7) || ' naïve ©'
+         ELSE 'plain ' || (doc_id % 7)
+       END AS text_out,
+       doc_id % 3 = 0 AS repaired
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["text_mojibake_repair"] = q_text_mojibake_repair
+ORACLES["text_mojibake_repair"] = ORACLE_MOJIBAKE

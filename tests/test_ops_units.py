@@ -2665,3 +2665,41 @@ def test_calibration_bins_fixed_edges_and_labels(spark):
     assert out[5]["n_kept"] == 0          # empty text fails gopher
     assert sum(r["n_docs"] for r in out.values()) == 2
     assert all(r["kept_rate_e6"] == 0 for r in out.values())
+
+
+# --- mojibake repair (core/encoding.py:fix_mojibake) --------------------------
+
+
+def test_fix_mojibake_repairs_utf8_as_cp1252():
+    from h2spark.core.encoding import fix_mojibake
+
+    clean = "café naïve © — ñ"
+    mangled = clean.encode("utf-8").decode("cp1252")
+    assert fix_mojibake(mangled) == (clean, True)
+
+
+def test_fix_mojibake_never_touches_clean_or_ascii():
+    from h2spark.core.encoding import fix_mojibake
+
+    # real accents: cp1252 re-encode yields lone high bytes -> not UTF-8
+    assert fix_mojibake("café") == ("café", False)
+    assert fix_mojibake("plain ascii 123") == ("plain ascii 123", False)
+    # 'Ã' followed by a non-continuation byte is NOT valid mojibake
+    assert fix_mojibake("Ã x") == ("Ã x", False)
+    # chars outside cp1252 (e.g. CJK) can't re-encode -> untouched
+    assert fix_mojibake("漢字") == ("漢字", False)
+
+
+def test_fix_mojibake_fixpoint_handles_double_mangle():
+    from h2spark.core.encoding import fix_mojibake
+
+    clean = "café"
+    double = (
+        clean.encode("utf-8").decode("cp1252")
+        .encode("utf-8").decode("cp1252")
+    )
+    once, rep1 = fix_mojibake(double)
+    assert rep1
+    twice, rep2 = fix_mojibake(once)
+    assert rep2 and twice == clean
+    assert fix_mojibake(twice) == (clean, False)
