@@ -1774,3 +1774,156 @@ ORDER BY source
 
 QUERIES["annotation_agreement"] = q_annotation_agreement
 ORACLES["annotation_agreement"] = ORACLE_ANNOTATION_AGREEMENT
+
+
+# --- deterministic eval split (round 7) ----------------------------------------
+
+
+def q_eval_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + stratification audit
+    — the split every training pipeline needs to be STABLE under
+    re-runs and incremental ingest: membership is a pure function of
+    the document key (md5 bucket 0-99 -> 90/5/5), never of row order,
+    partition count or sampling state, so adding data never flips an
+    existing doc across the eval boundary (the classic leakage bug
+    with `randomSplit`).
+
+    Output is the per-(source, split) audit table: doc counts and the
+    exact e6 share of each source that landed in each split — the
+    stratification readout reviewed before training (a source whose
+    val share drifts far from 5% signals key skew).
+
+    Scale shape: one narrow groupBy(source, split) with map-side
+    combine, then a tiny window over source (group count = sources x
+    3, not corpus-sized) for the shares."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    g = (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return (
+        g.withColumn("n_source", F.sum("n_docs").over(w))
+        .select(
+            "source", "split", "n_docs",
+            F.expr("(1000000 * n_docs) div n_source").alias("share_e6"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_EVAL_SPLIT = """
+WITH a AS (
+  SELECT source,
+         CASE
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                % 100 < 90 THEN 'train'
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+), g AS (
+  SELECT source, split, count(*)::BIGINT AS n_docs
+  FROM a GROUP BY source, split
+)
+SELECT source, split, n_docs,
+       ((1000000 * n_docs)
+        // sum(n_docs) OVER (PARTITION BY source))::BIGINT AS share_e6
+FROM g
+ORDER BY source, split
+"""
+
+QUERIES["eval_split_assign"] = q_eval_split_assign
+ORACLES["eval_split_assign"] = ORACLE_EVAL_SPLIT
+
+
+# --- length-bucketed batch padding plan (round 7) -------------------------------
+
+
+def q_batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching — the
+    seq2seq/encoder training prep step: documents are bucketed by
+    estimated token length (width-16 buckets, capped at the 256-token
+    batch capacity), every sequence in a bucket pads to the bucket
+    ceiling, and each batch holds `capacity div bucket_hi` rows; the
+    plan reports exact padded-token totals and waste ppm per bucket —
+    the number a pipeline compares against pad-to-global-max to
+    justify bucketing.  Unlike most synthesized inputs this runs off
+    the REAL n_chars column (tokens ~ chars/4), so the bucket
+    histogram is data-shaped.
+
+    All-integer arithmetic (ceil as (n+r-1) div r, truncating div on
+    both engines); ONE narrow groupBy(bucket) with map-side combine —
+    scale-safe at any corpus size since group count = 16 buckets."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.expr(
+        "least(greatest(n_chars div 4, 1), 256)"
+    ).alias("t")
+    g = (
+        d.select(t)
+        .withColumn("bucket_hi", F.expr("((t + 15) div 16) * 16"))
+        .groupBy("bucket_hi")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("sum_tokens"),
+        )
+        .withColumn("rows_per_batch", F.expr("256 div bucket_hi"))
+        .withColumn(
+            "n_batches",
+            F.expr("(n_docs + rows_per_batch - 1) div rows_per_batch"),
+        )
+        .withColumn(
+            "padded_tokens",
+            F.expr("n_batches * rows_per_batch * bucket_hi"),
+        )
+    )
+    return g.select(
+        "bucket_hi", "n_docs", "sum_tokens", "rows_per_batch",
+        "n_batches", "padded_tokens",
+        F.expr(
+            "(1000000 * (padded_tokens - sum_tokens)) div padded_tokens"
+        ).alias("waste_ppm"),
+    ).orderBy("bucket_hi")
+
+
+ORACLE_BATCH_PADDING = """
+WITH t AS (
+  SELECT least(greatest(n_chars // 4, 1), 256) AS t
+  FROM documents
+), g AS (
+  SELECT ((t + 15) // 16) * 16 AS bucket_hi,
+         count(*)::BIGINT AS n_docs,
+         sum(t)::BIGINT AS sum_tokens
+  FROM t GROUP BY 1
+), p AS (
+  SELECT bucket_hi, n_docs, sum_tokens,
+         (256 // bucket_hi)::BIGINT AS rows_per_batch,
+         ((n_docs + (256 // bucket_hi) - 1)
+          // (256 // bucket_hi))::BIGINT AS n_batches
+  FROM g
+)
+SELECT bucket_hi::BIGINT AS bucket_hi, n_docs, sum_tokens,
+       rows_per_batch, n_batches,
+       (n_batches * rows_per_batch * bucket_hi)::BIGINT AS padded_tokens,
+       ((1000000 * (n_batches * rows_per_batch * bucket_hi - sum_tokens))
+        // (n_batches * rows_per_batch * bucket_hi))::BIGINT AS waste_ppm
+FROM p
+ORDER BY bucket_hi
+"""
+
+QUERIES["batch_padding_plan"] = q_batch_padding_plan
+ORACLES["batch_padding_plan"] = ORACLE_BATCH_PADDING
