@@ -949,3 +949,53 @@ def test_prototype_pruning_no_rank_window(spark):
     # rank window over the full assignment table
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_editdist_join_is_equi_hash_not_cartesian(spark):
+    # blocked Levenshtein: the block key must drive a hash-based
+    # equi-join; a planner fallback to nested-loop/cartesian would be
+    # the all-pairs blowup the blocking exists to prevent — and the
+    # distance must evaluate JVM-side (built-in levenshtein, no
+    # Python eval node in the pair loop)
+    from h2spark.ops import dedup
+
+    plan = _formatted(dedup.q_title_dedup_editdist(spark, SF), spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "levenshtein" in plan
+
+
+def test_annotation_agreement_is_single_aggregate_no_join(spark):
+    # kappa = one narrow groupBy(source) with partial aggregation;
+    # no join, no window, all marginals in one pass
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_annotation_agreement(spark, SF), spark)
+    # formatted plans print each node name twice (tree + detail):
+    # 4 hits = 2 nodes = partial + final
+    assert plan.count("HashAggregate") == 4
+    assert "Join" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_batch_padding_plan_is_single_aggregate(spark):
+    from h2spark.ops import curation
+
+    plan = _formatted(curation.q_batch_padding_plan(spark, SF), spark)
+    assert plan.count("HashAggregate") == 4  # 2 nodes (tree + detail)
+    assert "Join" not in plan and "EvalPython" not in plan
+    # token estimate must prune to the one column it needs
+    assert "ReadSchema: struct<n_chars:bigint>" in plan
+
+
+def test_robots_gate_single_kernel_no_shuffle_before_sort(spark):
+    # scan -> codegen text synthesis -> ONE Arrow kernel; the only
+    # Exchange is the presentation sort's range partitioning
+    from h2spark.ops import links
+
+    plan = _formatted(links.q_robots_crawl_gate(spark, SF), spark)
+    assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 2
+    assert plan.count("Exchange") == 2  # 1 node (tree + detail)
+    assert "rangepartitioning" in plan.lower()
