@@ -964,3 +964,94 @@ def run_streaming_cdc_state(
     return _start_append_writer(
         cdc_state(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- late-data monitor (15th streaming op) --------------------------------
+
+LATE_SCHEMA = (
+    "event_type string, max_ts_us long, n_total long, n_late long,"
+    " late_ppm long"
+)
+_LATE_STATE_SCHEMA = "max_ts_us long, n_total long, n_late long"
+_LATE_THRESHOLD_US = 60_000_000  # 60s — the watermark a prod job would set
+
+
+def late_data_monitor(events):
+    """Late-arrival audit — the observability twin of a watermark:
+    Structured Streaming DROPS rows older than the watermark silently,
+    so a pipeline that cares about completeness first MEASURES how
+    much data a given threshold would discard.  Per event_type the
+    state carries (max event ts, totals); a row is late when its ts
+    is more than 60s behind the max ts ALREADY SEEN at the start of
+    its batch (the same one-sided race a real watermark has: the max
+    advances only between batches).  Each batch emits the running
+    (n_total, n_late, late_ppm) — the number that decides whether
+    60s of watermark is safe or a reprocess is needed.
+
+    State is 3 longs per key; batches are processed in ts order
+    inside the pandas loop, so intra-batch disorder never counts as
+    late (matching watermark semantics, which bound only cross-batch
+    lateness)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = events.select(
+        "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (etype,) = key
+        if state.exists:
+            max_us, n_total, n_late = state.get
+        else:
+            max_us, n_total, n_late = -1, 0, 0
+        # the cutoff is fixed at batch start, like a real watermark
+        cutoff = max_us - _LATE_THRESHOLD_US
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_total += len(pdf)
+            n_late += int((pdf["ts_us"] < cutoff).sum())
+            batch_max = int(pdf["ts_us"].max())
+            if batch_max > max_us:
+                max_us = batch_max
+        state.update((max_us, n_total, n_late))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "max_ts_us": [max_us],
+                "n_total": [n_total],
+                "n_late": [n_late],
+                "late_ppm": [(1_000_000 * n_late) // n_total
+                             if n_total else 0],
+            }
+        )
+
+    return pre.groupBy("event_type").applyInPandasWithState(
+        update,
+        LATE_SCHEMA,
+        _LATE_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_late_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Live late-arrival audit over a growing events directory."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        late_data_monitor(stream), out_dir, checkpoint_dir, available_now
+    )

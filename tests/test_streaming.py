@@ -840,3 +840,59 @@ def test_streaming_cdc_state_matches_batch_merge(spark, tmp_path):
         for col in ("last_event_id", "last_type", "value_e2", "n_changes"):
             assert alive[u][col] == batch[u][col], (u, col)
     assert not latest[300]["alive"]   # tombstoned key visible as dead
+
+
+def test_streaming_late_data_monitor_counts_cross_batch_lateness(
+    spark, tmp_path
+):
+    # 15th streaming operator: rows >60s older than the max ts seen in
+    # PRIOR batches count as late; intra-batch disorder never does
+    import time
+
+    from pyspark.sql import functions as F
+
+    from h2spark.pipeline.streaming import run_streaming_late_monitor
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(eid, f"2024-01-01 00:{mm:02d}:{ss:02d}", 1, et, 0.0, "{}")
+             for eid, mm, ss, et in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # batch 1: disordered but within one batch -> nothing late
+    b1 = [(1, 10, 0, "view"), (2, 5, 0, "view"), (3, 12, 0, "view"),
+          (4, 10, 10, "click")]
+    # batch 2: view@12:30 (fresh), view@10:50 (70s late vs 12:00 max),
+    #          view@11:30 (30s behind -> NOT late); click@9:00 (70s
+    #          late vs 10:10), click@9:10 (EXACTLY 60s behind -> NOT
+    #          late: the boundary is strict, like a watermark's)
+    b2 = [(5, 12, 30, "view"), (6, 10, 50, "view"), (7, 11, 30, "view"),
+          (8, 9, 0, "click"), (9, 9, 10, "click")]
+    inp, out, ck = (tmp_path / d for d in ("lt_in", "lt_out", "lt_ck"))
+    events(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_late_monitor(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)
+    events(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_late_monitor(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    latest = {}
+    for r in rows:  # append mode: latest row per key wins (max total)
+        if (r["event_type"] not in latest
+                or r["n_total"] > latest[r["event_type"]]["n_total"]):
+            latest[r["event_type"]] = r
+    v = latest["view"]
+    assert (v["n_total"], v["n_late"]) == (6, 1)
+    assert v["late_ppm"] == 166666
+    assert v["max_ts_us"] // 1_000_000 % 3600 == 12 * 60 + 30
+    c = latest["click"]
+    assert (c["n_total"], c["n_late"]) == (3, 1)
