@@ -1386,3 +1386,88 @@ ORDER BY check_name
 
 QUERIES["dq_constraint_report"] = q_dq_constraint_report
 ORACLES["dq_constraint_report"] = ORACLE_DQ_CONSTRAINT_REPORT
+
+
+# --- l-diversity release gate (round 7) -----------------------------------------
+
+_LDIV_L = 3
+_LDIV_K = 8   # stricter than _KANON_K: quadrant cells are smaller
+
+
+def q_ldiv_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate — the standard hardening of k-anonymity
+    (q_kanon_release): a cell can cover many users yet still leak if
+    they all share one sensitive value, so publication additionally
+    requires >= l DISTINCT sensitive values per cell — here the
+    finer (event_type, day, 6h-quadrant) cells a dashboard actually
+    wants, which is exactly where both gates start firing.  The sensitive attribute here is the spend band
+    (value_e2 div 2500); both gates must pass, suppressed cells keep
+    -1 sentinels (NEVER NULLs — the engine-portability rule) plus the
+    which-gate-failed flags an auditor needs.
+
+    Scale shape: one (event_type, day) groupBy carrying two distinct
+    counts + one plain count with map-side partials; gating is a
+    post-aggregation projection."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400000000"
+        ).cast("long").alias("day_idx"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 21600000000 % 4"
+        ).cast("long").alias("quad"),
+        F.expr(
+            "cast(round(value * 100, 0) as bigint) div 2500"
+        ).alias("band"),
+    )
+    g = e.groupBy("event_type", "day_idx", "quad").agg(
+        F.countDistinct("user_id").cast("long").alias("_nu"),
+        F.countDistinct("band").cast("long").alias("_nb"),
+        F.count("*").cast("long").alias("_ne"),
+    )
+    kok = F.col("_nu") >= _LDIV_K
+    lok = F.col("_nb") >= _LDIV_L
+    ok = kok & lok
+    return g.select(
+        "event_type", "day_idx", "quad",
+        F.when(ok, F.col("_nu")).otherwise(F.lit(-1))
+        .cast("long").alias("n_users"),
+        F.when(ok, F.col("_ne")).otherwise(F.lit(-1))
+        .cast("long").alias("n_events"),
+        F.when(ok, F.col("_nb")).otherwise(F.lit(-1))
+        .cast("long").alias("n_bands"),
+        (~kok).alias("k_failed"),
+        (~lok).alias("l_failed"),
+    ).orderBy("event_type", "day_idx", "quad")
+
+
+ORACLE_LDIV_RELEASE = f"""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day_idx,
+         ((epoch_us(ts) // 21600000000) % 4)::BIGINT AS quad,
+         count(DISTINCT user_id)::BIGINT AS nu,
+         count(DISTINCT round(value * 100, 0)::BIGINT // 2500)::BIGINT
+             AS nb,
+         count(*)::BIGINT AS ne
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day_idx, quad,
+       (CASE WHEN nu >= {_LDIV_K} AND nb >= {_LDIV_L}
+             THEN nu ELSE -1 END)::BIGINT AS n_users,
+       (CASE WHEN nu >= {_LDIV_K} AND nb >= {_LDIV_L}
+             THEN ne ELSE -1 END)::BIGINT AS n_events,
+       (CASE WHEN nu >= {_LDIV_K} AND nb >= {_LDIV_L}
+             THEN nb ELSE -1 END)::BIGINT AS n_bands,
+       nu < {_LDIV_K} AS k_failed,
+       nb < {_LDIV_L} AS l_failed
+FROM g
+ORDER BY event_type, day_idx, quad
+"""
+
+QUERIES["ldiv_release"] = q_ldiv_release
+ORACLES["ldiv_release"] = ORACLE_LDIV_RELEASE
