@@ -1471,3 +1471,127 @@ ORDER BY event_type, day_idx, quad
 
 QUERIES["ldiv_release"] = q_ldiv_release
 ORACLES["ldiv_release"] = ORACLE_LDIV_RELEASE
+
+
+# --- grouping-sets rollup cube (round 7, session 6) -------------------------
+
+
+def q_events_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, epoch day): every subtotal combination a
+    reporting layer wants — per cell, per type, per day, grand total —
+    in ONE aggregation pass.  This is the grouping-sets operator class
+    (`df.cube`), which the contract did not cover until now.
+
+    Scale shape: Catalyst expands CUBE(a, b) to a 4-way Expand node
+    BEFORE the hash aggregate, so partial (map-side) aggregation still
+    applies and the single shuffle carries pre-combined partials —
+    there is no per-grouping-set rescan of the fact table.  Expansion
+    factor is 2^dims = 4 here; at 100 TB you bound dims, never rescan.
+
+    Determinism: grouped-out dimensions are materialized as sentinels
+    ('(all)' / -1) via grouping(), so no NULL-typed cells reach the
+    driver hash; money is exact integer cents."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    cells = e.select(
+        "event_type", day.alias("day"), cents.alias("cents")
+    )
+    # grouping() is only legal inside the cube's agg list, so the
+    # sentinel rewrite happens there too
+    agg = cells.cube("event_type", "day").agg(
+        (F.grouping("event_type") * 2 + F.grouping("day"))
+        .cast("long")
+        .alias("gid"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+    return (
+        agg.select(
+            "gid",
+            F.when(F.col("gid") >= 2, F.lit("(all)"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.col("gid") % 2 == 1, F.lit(-1))
+            .otherwise(F.col("day"))
+            .cast("long")
+            .alias("day"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("gid", "event_type", "day")
+    )
+
+
+ORACLE_EVENTS_ROLLUP_CUBE = """
+SELECT (GROUPING(event_type) * 2 + GROUPING(day))::BIGINT AS gid,
+       CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+            ELSE event_type END AS event_type,
+       (CASE WHEN GROUPING(day) = 1 THEN -1 ELSE day END)::BIGINT AS day,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100, 0)::BIGINT)::BIGINT AS value_cents
+FROM (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 86400000000)::BIGINT AS day,
+         value
+  FROM events
+)
+GROUP BY CUBE (event_type, day)
+ORDER BY gid, event_type, day
+"""
+
+QUERIES["events_rollup_cube"] = q_events_rollup_cube
+ORACLES["events_rollup_cube"] = ORACLE_EVENTS_ROLLUP_CUBE
+
+
+# --- pivot: long-to-wide daily matrix (round 7, session 6) ------------------
+
+# pinned pivot columns: never let pivot() run its implicit
+# collect-distinct job — at 100 TB that is a full extra scan before the
+# real one, and nondeterministic column order besides
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-to-wide pivot: one row per epoch day, one event-count
+    column per event type — the dashboard/feature-store matrix shape.
+
+    Scale shape: `groupBy(day).pivot(type, VALUES)` with the value
+    list pinned compiles to a single hash aggregate whose buffer holds
+    |VALUES| counters per day; no second scan, no shuffle beyond the
+    one on day.  Unknown types are dropped by the pinned list (audited
+    separately by dq/report operators)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    wide = (
+        e.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in _PIVOT_TYPES
+    ]
+    return wide.select("day", *cols).orderBy("day")
+
+
+ORACLE_EVENTS_PIVOT_DAILY = """
+SELECT (epoch_us(ts::TIMESTAMP) // 86400000000)::BIGINT AS day,
+       count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS n_view
+FROM events
+GROUP BY 1 ORDER BY day
+"""
+
+QUERIES["events_pivot_daily"] = q_events_pivot_daily
+ORACLES["events_pivot_daily"] = ORACLE_EVENTS_PIVOT_DAILY

@@ -999,3 +999,30 @@ def test_robots_gate_single_kernel_no_shuffle_before_sort(spark):
     assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 2
     assert plan.count("Exchange") == 2  # 1 node (tree + detail)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_cube_expands_before_single_partial_agg(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_rollup_cube(spark, SF), spark)
+    # CUBE(a,b) must be one Expand feeding ONE hash aggregate with
+    # map-side partials — not 4 scans, not a union of grouping sets
+    # (node names appear twice in formatted plans: tree + detail)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("(3) Expand") == 1
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_pivot_pinned_values_single_scan_no_extra_job(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_pivot_daily(spark, SF), spark)
+    # value list pinned => no collect-distinct pre-job; Spark compiles
+    # pivot to a two-phase aggregate — (day, type) counts, then
+    # pivot_first on day — ONE scan, both phases map-side combinable,
+    # every exchange keyed day-first (skew-resistant two-level shape)
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("hashpartitioning(day") == 2
+    assert "pivot_first" in plan or "pivotfirst" in plan.lower()
+    assert "Join" not in plan and "Window" not in plan
