@@ -1595,3 +1595,200 @@ GROUP BY 1 ORDER BY day
 
 QUERIES["events_pivot_daily"] = q_events_pivot_daily
 ORACLES["events_pivot_daily"] = ORACLE_EVENTS_PIVOT_DAILY
+
+
+# --- snapshot reconciliation via FULL OUTER join (round 7, session 6) -------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the lakehouse diff operator: compare
+    two per-(user, day) aggregate snapshots with a FULL OUTER join and
+    classify every cell added / removed / changed / unchanged.  The
+    contract covered inner/left/semi/anti/asof/range joins but not the
+    full-outer class until now.  Snapshots are derived deterministically
+    from the events table (even vs odd event_id), so single-event cells
+    genuinely appear on only one side.
+
+    Scale shape: both sides pre-aggregate to (user_id, day) BEFORE the
+    join — the full outer join runs on the two compacted snapshots,
+    never on raw facts; join and both aggregates share the same key
+    family.  Missing-side counts surface as -1 sentinels, never NULL
+    ints (NULL ints degrade to float64 through pandas)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    cells = e.select(
+        "user_id", day.alias("day"), "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def snap(side_even: bool) -> DataFrame:
+        keep = (F.col("event_id") % 2 == 0) if side_even else (
+            F.col("event_id") % 2 == 1
+        )
+        return (
+            cells.where(keep)
+            .groupBy("user_id", "day")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+
+    a = snap(True).select(
+        "user_id", "day",
+        F.col("cnt").alias("a_cnt"), F.col("cents").alias("a_cents"),
+    )
+    b = snap(False).select(
+        "user_id", "day",
+        F.col("cnt").alias("b_cnt"), F.col("cents").alias("b_cents"),
+    )
+    j = a.join(b, ["user_id", "day"], "full_outer")
+    status = (
+        F.when(F.col("a_cnt").isNull(), F.lit("added"))
+        .when(F.col("b_cnt").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a_cnt") != F.col("b_cnt"))
+            | (F.col("a_cents") != F.col("b_cents")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            "user_id", "day", status.alias("status"),
+            F.coalesce("a_cnt", F.lit(-1)).cast("long").alias("a_cnt"),
+            F.coalesce("b_cnt", F.lit(-1)).cast("long").alias("b_cnt"),
+            F.coalesce("a_cents", F.lit(0)).cast("long").alias("a_cents"),
+            F.coalesce("b_cents", F.lit(0)).cast("long").alias("b_cents"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH cells AS (
+  SELECT user_id,
+         (epoch_us(ts::TIMESTAMP) // 86400000000)::BIGINT AS day,
+         event_id,
+         round(value * 100, 0)::BIGINT AS cents
+  FROM events
+), a AS (
+  SELECT user_id, day, count(*)::BIGINT AS a_cnt,
+         sum(cents)::BIGINT AS a_cents
+  FROM cells WHERE event_id % 2 = 0 GROUP BY 1, 2
+), b AS (
+  SELECT user_id, day, count(*)::BIGINT AS b_cnt,
+         sum(cents)::BIGINT AS b_cents
+  FROM cells WHERE event_id % 2 = 1 GROUP BY 1, 2
+)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(a.day, b.day) AS day,
+       CASE WHEN a.a_cnt IS NULL THEN 'added'
+            WHEN b.b_cnt IS NULL THEN 'removed'
+            WHEN a.a_cnt != b.b_cnt OR a.a_cents != b.b_cents
+                 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(a.a_cnt, -1)::BIGINT AS a_cnt,
+       coalesce(b.b_cnt, -1)::BIGINT AS b_cnt,
+       coalesce(a.a_cents, 0)::BIGINT AS a_cents,
+       coalesce(b.b_cents, 0)::BIGINT AS b_cents
+FROM a FULL OUTER JOIN b USING (user_id, day)
+ORDER BY user_id, day
+"""
+
+# --- SCD2 interval build (gaps-and-islands, round 7, session 6) -------------
+
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    time-ordered event_type stream into state intervals
+    (valid_from_us, valid_to_us, is_current) — the gaps-and-islands
+    operator every warehouse dimension load needs.
+
+    Scale shape: raw events shuffle ONCE on user_id (the lag + running
+    count windows share partitioning and ordering, so Catalyst fuses
+    them into a single Window node); the island groupBy and the
+    valid_to lead window then run on the compacted runs table.  Ties
+    ordered by (us, event_id) — same discipline as funnel/transitions.
+
+    Sentinels: the open interval's valid_to_us is -1, never NULL."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = (
+        e.select("user_id", "event_type", us.alias("us"), "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("chg").over(w))
+    )
+    runs = seq.groupBy("user_id", "island", "event_type").agg(
+        F.min("us").alias("valid_from_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    rw = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return (
+        runs.withColumn("next_from", F.lead("valid_from_us").over(rw))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("valid_from_us").cast("long").alias("valid_from_us"),
+            F.coalesce("next_from", F.lit(-1))
+            .cast("long")
+            .alias("valid_to_us"),
+            F.col("next_from").isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+ORACLE_SCD2_DIMENSION = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         epoch_us(ts::TIMESTAMP) AS us, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP),
+               event_id)
+), isl AS (
+  SELECT user_id, event_type, us,
+         sum(CASE WHEN prev_type IS NULL OR prev_type != event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id) AS island
+  FROM seq
+), runs AS (
+  SELECT user_id, island, event_type,
+         min(us)::BIGINT AS valid_from_us,
+         count(*)::BIGINT AS n_events
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT user_id, event_type AS state, valid_from_us,
+       coalesce(lead(valid_from_us)
+                  OVER (PARTITION BY user_id ORDER BY valid_from_us),
+                -1)::BIGINT AS valid_to_us,
+       lead(valid_from_us)
+         OVER (PARTITION BY user_id ORDER BY valid_from_us)
+         IS NULL AS is_current,
+       n_events
+FROM runs
+ORDER BY user_id, valid_from_us
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+QUERIES["scd2_dimension"] = q_scd2_dimension
+ORACLES["scd2_dimension"] = ORACLE_SCD2_DIMENSION

@@ -1026,3 +1026,26 @@ def test_pivot_pinned_values_single_scan_no_extra_job(spark):
     assert plan.count("hashpartitioning(day") == 2
     assert "pivot_first" in plan or "pivotfirst" in plan.lower()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_snapshot_diff_joins_compacted_snapshots(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_snapshot_diff(spark, SF), spark)
+    # the FULL OUTER join must run on the two pre-aggregated
+    # snapshots, never on raw facts: every join input is a
+    # HashAggregate, and the join is keyed (user_id, day)
+    assert "FullOuter" in plan
+    assert plan.count("partial_count") == 2  # both sides pre-combine
+    assert "Window" not in plan
+
+
+def test_scd2_fuses_lag_and_island_windows(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_scd2_dimension(spark, SF), spark)
+    # lag + running island count share (user_id, (us, event_id)) so
+    # Catalyst fuses them: raw events shuffle exactly once on user_id;
+    # the lead window runs on the compacted runs table
+    assert plan.count("hashpartitioning(user_id") <= 3
+    assert "Join" not in plan
