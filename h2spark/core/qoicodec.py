@@ -1,0 +1,187 @@
+"""QOI ("Quite OK Image") encode/decode, pure stdlib.
+
+Clean-room implementation of the public one-page specification
+(qoiformat.org, "Specification Version 1.0, 2022.01.05").  QOI shows
+up in game-asset and screenshot corpora; for the pipeline it is the
+cheapest real compressed-raster format — O(n) encode/decode, no
+entropy coder — which makes it the perfect worker-side codec for
+shipping intermediate rasters between pipeline stages.
+
+Ops (tag in the high bits of the first byte):
+  QOI_OP_RGB   1111_1110  + r, g, b
+  QOI_OP_RGBA  1111_1111  + r, g, b, a
+  QOI_OP_INDEX 00ii_iiii  64-slot seen-pixel array, hash (3r+5g+7b+11a)%64
+  QOI_OP_DIFF  01dr_dg_db 2-bit channel diffs, bias 2, wrapping
+  QOI_OP_LUMA  10gg_gggg  dg bias 32; next byte (dr-dg|db-dg) bias 8
+  QOI_OP_RUN   11rr_rrrr  run 1..62 (bias -1; 63/64 reserved for RGB/RGBA)
+
+Structural damage raises ValueError (the quarantine contract shared by
+every codec in core/).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = b"qoif"
+_END = b"\x00" * 7 + b"\x01"
+
+_OP_RGB = 0xFE
+_OP_RGBA = 0xFF
+_OP_INDEX = 0x00
+_OP_DIFF = 0x40
+_OP_LUMA = 0x80
+_OP_RUN = 0xC0
+
+
+def _hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    colorspace: int = 0,
+) -> bytes:
+    """Encode interleaved 8-bit pixels (RGB or RGBA) as QOI."""
+    if channels not in (3, 4):
+        raise ValueError("qoi: channels must be 3 or 4")
+    if len(pixels) != width * height * channels:
+        raise ValueError("qoi: pixel buffer size mismatch")
+    out = bytearray(_MAGIC)
+    out += struct.pack(">IIBB", width, height, channels, colorspace)
+
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    for p in range(width * height):
+        o = p * channels
+        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+        a = pixels[o + 3] if channels == 4 else pa
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62:
+                out.append(_OP_RUN | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(_OP_RUN | (run - 1))
+                run = 0
+            h = _hash(r, g, b, a)
+            if index[h] == (r, g, b, a):
+                out.append(_OP_INDEX | h)
+            else:
+                index[h] = (r, g, b, a)
+                if a == pa:
+                    dr = (r - pr + 2) % 256
+                    dg = (g - pg + 2) % 256
+                    db = (b - pb + 2) % 256
+                    vg = (g - pg + 32) % 256
+                    dr_dg = (r - pr - (g - pg) + 8) % 256
+                    db_dg = (b - pb - (g - pg) + 8) % 256
+                    if dr < 4 and dg < 4 and db < 4:
+                        out.append(_OP_DIFF | (dr << 4) | (dg << 2) | db)
+                    elif vg < 64 and dr_dg < 16 and db_dg < 16:
+                        out.append(_OP_LUMA | vg)
+                        out.append((dr_dg << 4) | db_dg)
+                    else:
+                        out += bytes((_OP_RGB, r, g, b))
+                else:
+                    out += bytes((_OP_RGBA, r, g, b, a))
+        pr, pg, pb, pa = r, g, b, a
+    if run:
+        out.append(_OP_RUN | (run - 1))
+    out += _END
+    return bytes(out)
+
+
+def decode_qoi(data: bytes) -> dict:
+    """Decode a QOI image; returns width/height/channels/colorspace,
+    the interleaved pixel bytes, and per-op usage counts."""
+    if len(data) < 14 + len(_END) or data[:4] != _MAGIC:
+        raise ValueError("qoi: bad magic")
+    width, height, channels, colorspace = struct.unpack(
+        ">IIBB", data[4:14]
+    )
+    if channels not in (3, 4):
+        raise ValueError("qoi: bad channels")
+    if colorspace not in (0, 1):
+        raise ValueError("qoi: bad colorspace")
+    if data[-8:] != _END:
+        raise ValueError("qoi: bad end marker")
+    n_px = width * height
+    # plausibility bound BEFORE allocating the raster: one body byte
+    # yields at most 62 pixels (QOI_OP_RUN), so a flipped header byte
+    # claiming a multi-GB image on a tiny stream is structural damage,
+    # not a big allocation (fuzz-caught hazard)
+    if n_px > (len(data) - 14 - 8) * 62:
+        raise ValueError("qoi: dimensions exceed stream capacity")
+    out = bytearray(n_px * channels)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    ops = {"rgb": 0, "rgba": 0, "index": 0, "diff": 0, "luma": 0,
+           "run": 0}
+    pos, p = 14, 0
+    body_end = len(data) - 8
+    while p < n_px:
+        if pos >= body_end:
+            raise ValueError("qoi: truncated stream")
+        byte = data[pos]
+        pos += 1
+        run = 1
+        if byte == _OP_RGB:
+            if pos + 3 > body_end:
+                raise ValueError("qoi: truncated stream")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+            ops["rgb"] += 1
+        elif byte == _OP_RGBA:
+            if pos + 4 > body_end:
+                raise ValueError("qoi: truncated stream")
+            r, g, b, a = (
+                data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            )
+            pos += 4
+            ops["rgba"] += 1
+        elif byte >> 6 == _OP_INDEX >> 6:
+            r, g, b, a = index[byte & 0x3F]
+            ops["index"] += 1
+        elif byte >> 6 == _OP_DIFF >> 6:
+            r = (r + ((byte >> 4) & 3) - 2) % 256
+            g = (g + ((byte >> 2) & 3) - 2) % 256
+            b = (b + (byte & 3) - 2) % 256
+            ops["diff"] += 1
+        elif byte >> 6 == _OP_LUMA >> 6:
+            if pos + 1 > body_end:
+                raise ValueError("qoi: truncated stream")
+            dg = (byte & 0x3F) - 32
+            b2 = data[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (b2 & 0xF) - 8) % 256
+            ops["luma"] += 1
+        else:  # QOI_OP_RUN
+            run = (byte & 0x3F) + 1
+            ops["run"] += 1
+        if p + run > n_px:
+            raise ValueError("qoi: run past end of image")
+        index[_hash(r, g, b, a)] = (r, g, b, a)
+        for _ in range(run):
+            o = p * channels
+            out[o], out[o + 1], out[o + 2] = r, g, b
+            if channels == 4:
+                out[o + 3] = a
+            p += 1
+    if pos != body_end:
+        raise ValueError("qoi: trailing bytes before end marker")
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "colorspace": colorspace,
+        "pixels": bytes(out),
+        "ops": ops,
+    }

@@ -2283,3 +2283,54 @@ def mojibake_repair_batch(texts) -> list:
     from h2spark.core.encoding import fix_mojibake
 
     return [fix_mojibake(str(t)) for t in texts]
+
+
+_QOI_K = (7, 1, 8)
+_QOI_J = (50, 0, 0)
+
+
+def qoi_pixel_formula(d: int, w: int, h: int) -> bytes:
+    """Doc-keyed pixel family designed to exercise every RGB-side QOI
+    op: 3-pixel flat groups (RUN), +(7,1,8) group steps (LUMA), a +50
+    red jump every 7 groups (RGB), a +(1,1,1) step group every 5
+    (DIFF), and a recurring doc-base color every 11 groups (INDEX).
+    The oracle re-derives px_sum/px_max from this same closed form."""
+    base = (d % 23) * 11
+    out = bytearray(w * h * 3)
+    for i in range(w * h * 3):
+        g, c = i // 9, i % 3
+        if g % 11 == 10:
+            v = base % 256
+        elif g % 5 == 4:
+            v = (base + (g - 1) * _QOI_K[c]
+                 + ((g - 1) // 7) * _QOI_J[c] + 1) % 256
+        else:
+            v = (base + g * _QOI_K[c] + (g // 7) * _QOI_J[c]) % 256
+        out[i] = v
+    return bytes(out)
+
+
+def qoi_pixels_batch(doc_ids) -> list:
+    """REAL QOI chain per doc: generate the formula raster, encode it
+    as QOI (core/qoicodec.py), decode it back, verify every pixel, and
+    emit geometry + pixel stats the oracle re-derives in SQL (encoded
+    size and op mix are pinned in pytest — not SQL-derivable)."""
+    from h2spark.core.qoicodec import decode_qoi, encode_qoi
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        w = 10 + d % 6
+        h = 5 + d % 5
+        px = qoi_pixel_formula(d, w, h)
+        m = decode_qoi(encode_qoi(w, h, px, 3))
+        if m["pixels"] != px or (m["width"], m["height"]) != (w, h):
+            raise ValueError("qoi roundtrip mismatch")
+        rows.append(
+            (
+                d, int(m["width"]), int(m["height"]),
+                int(w * h * 3), int(sum(m["pixels"])),
+                int(max(m["pixels"])),
+            )
+        )
+    return rows

@@ -3178,3 +3178,83 @@ ORDER BY d.doc_id
 
 QUERIES["mime_sniff_audit"] = q_mime_sniff_audit
 ORACLES["mime_sniff_audit"] = ORACLE_MIME_SNIFF
+
+
+# --- image_qoi_pixels: QOI raster roundtrip (round 7, session 6) ------------
+
+
+def q_image_qoi_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI raster path: generate a doc-keyed formula raster chosen to
+    hit every RGB-side QOI op (RUN/LUMA/DIFF/RGB/INDEX), encode it
+    with the from-scratch QOI codec (core/qoicodec.py — public
+    one-page spec), decode it back and verify every pixel inside the
+    kernel; the oracle re-derives the pixel stats from the same closed
+    form.  QOI joins PNG/GIF/BMP/JPEG/WebP/TIFF in the decoded-raster
+    family — it is the cheapest real compressed format (O(n), no
+    entropy coder), the natural worker-side interchange raster.
+
+    Scale shape: one Arrow-batched kernel pass over doc_id only, zero
+    shuffle before the presentation sort."""
+    from h2spark.core.runner import qoi_pixels_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = qoi_pixels_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_bytes_raw",
+                    "px_sum", "px_max",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, width int, height int, n_bytes_raw long,"
+            " px_sum long, px_max long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_QOI = """
+WITH g AS (
+  SELECT doc_id, 10 + doc_id % 6 AS w, 5 + doc_id % 5 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         list_transform(range(w * h * 3), i ->
+           CASE
+             WHEN (i // 9) % 11 = 10 THEN ((doc_id % 23) * 11) % 256
+             WHEN (i // 9) % 5 = 4 THEN
+               ((doc_id % 23) * 11
+                + ((i // 9) - 1)
+                  * (CASE i % 3 WHEN 0 THEN 7 WHEN 1 THEN 1
+                     ELSE 8 END)
+                + (((i // 9) - 1) // 7)
+                  * (CASE WHEN i % 3 = 0 THEN 50 ELSE 0 END)
+                + 1) % 256
+             ELSE
+               ((doc_id % 23) * 11
+                + (i // 9)
+                  * (CASE i % 3 WHEN 0 THEN 7 WHEN 1 THEN 1
+                     ELSE 8 END)
+                + ((i // 9) // 7)
+                  * (CASE WHEN i % 3 = 0 THEN 50 ELSE 0 END)
+               ) % 256
+           END) AS vals
+  FROM g
+)
+SELECT doc_id, w::INT AS width, h::INT AS height,
+       (w * h * 3)::BIGINT AS n_bytes_raw,
+       list_sum(vals)::BIGINT AS px_sum,
+       list_max(vals)::BIGINT AS px_max
+FROM px
+ORDER BY doc_id
+"""
+
+QUERIES["image_qoi_pixels"] = q_image_qoi_pixels
+ORACLES["image_qoi_pixels"] = ORACLE_IMAGE_QOI

@@ -1,0 +1,163 @@
+"""QOI codec (core/qoicodec.py): roundtrip, spec semantics, op mix,
+and the quarantine contract for structural damage."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from h2spark.core.qoicodec import decode_qoi, encode_qoi
+from h2spark.core.runner import qoi_pixel_formula, qoi_pixels_batch
+
+
+def test_header_fields_roundtrip():
+    enc = encode_qoi(3, 2, bytes(18), 3, colorspace=1)
+    assert enc[:4] == b"qoif"
+    w, h, ch, cs = struct.unpack(">IIBB", enc[4:14])
+    assert (w, h, ch, cs) == (3, 2, 3, 1)
+    assert enc.endswith(b"\x00" * 7 + b"\x01")
+    m = decode_qoi(enc)
+    assert (m["width"], m["height"], m["channels"], m["colorspace"]) == (
+        3, 2, 3, 1,
+    )
+
+
+def test_all_black_is_one_run_op():
+    # (0,0,0) equals the implicit previous pixel (0,0,0,255) in RGB
+    # mode, so a small black image is pure RUN ops
+    m = decode_qoi(encode_qoi(4, 4, bytes(48), 3))
+    assert m["pixels"] == bytes(48)
+    assert m["ops"]["run"] == 1 and m["ops"]["rgb"] == 0
+
+
+def test_run_longer_than_62_splits():
+    px = bytes(70 * 3)  # 70 identical pixels > max run 62
+    m = decode_qoi(encode_qoi(70, 1, px, 3))
+    assert m["pixels"] == px
+    assert m["ops"]["run"] == 2
+
+
+def test_rgba_alpha_changes_use_rgba_op():
+    px = bytes([10, 20, 30, 255, 10, 20, 30, 128, 10, 20, 30, 128])
+    m = decode_qoi(encode_qoi(3, 1, px, 4))
+    assert m["pixels"] == px
+    assert m["ops"]["rgba"] >= 1 and m["ops"]["run"] == 1
+
+
+def test_index_op_fires_on_recurrence():
+    # A B A : third pixel equals the first -> INDEX (hash slot intact)
+    a, b = (10, 20, 30), (200, 100, 50)
+    px = bytes(a + b + a)
+    m = decode_qoi(encode_qoi(3, 1, px, 3))
+    assert m["pixels"] == px
+    assert m["ops"]["index"] == 1
+
+
+def test_diff_and_luma_windows():
+    # +1 per channel -> DIFF; +10 on g with small dr-dg/db-dg -> LUMA
+    px = bytes([100, 100, 100, 101, 101, 101, 104, 111, 112])
+    m = decode_qoi(encode_qoi(3, 1, px, 3))
+    assert m["pixels"] == px
+    assert m["ops"]["diff"] >= 1 and m["ops"]["luma"] >= 1
+
+
+def test_wrapping_diff_across_256():
+    px = bytes([255, 255, 255, 0, 0, 0])  # +1 wrapping on every channel
+    m = decode_qoi(encode_qoi(2, 1, px, 3))
+    assert m["pixels"] == px
+
+
+def test_random_roundtrip_rgb_and_rgba():
+    rng = random.Random(7)
+    for _ in range(60):
+        w, h = rng.randint(1, 17), rng.randint(1, 13)
+        ch = rng.choice([3, 4])
+        px = bytearray()
+        for p in range(w * h):
+            if rng.random() < 0.4 and p:
+                px += px[-ch:]  # flat stretches
+            else:
+                px += bytes(rng.randrange(256) for _ in range(ch))
+        m = decode_qoi(encode_qoi(w, h, bytes(px), ch))
+        assert m["pixels"] == bytes(px)
+        assert m["channels"] == ch
+
+
+def test_formula_family_exercises_every_rgb_op():
+    tot = {"rgb": 0, "rgba": 0, "index": 0, "diff": 0, "luma": 0,
+           "run": 0}
+    for d in range(24):
+        w, h = 10 + d % 6, 5 + d % 5
+        px = qoi_pixel_formula(d, w, h)
+        m = decode_qoi(encode_qoi(w, h, px, 3))
+        assert m["pixels"] == px
+        for k, v in m["ops"].items():
+            tot[k] += v
+    for op in ("rgb", "index", "diff", "luma", "run"):
+        assert tot[op] > 0, (op, tot)
+
+
+def test_batch_matches_formula_stats():
+    rows = qoi_pixels_batch([0, 5, 13])
+    for d, w, h, n_raw, px_sum, px_max in rows:
+        px = qoi_pixel_formula(d, w, h)
+        assert (w, h) == (10 + d % 6, 5 + d % 5)
+        assert n_raw == len(px) == w * h * 3
+        assert px_sum == sum(px) and px_max == max(px)
+
+
+def test_encoded_size_beats_raw_on_formula_family():
+    # RUN-heavy family: the whole point of the worker-side codec
+    for d in (0, 7, 19):
+        w, h = 10 + d % 6, 5 + d % 5
+        px = qoi_pixel_formula(d, w, h)
+        assert len(encode_qoi(w, h, px, 3)) < len(px)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda e: e[:10],
+        lambda e: b"nope" + e[4:],
+        lambda e: e[:-8],
+        lambda e: e[:-1] + b"\x02",
+        lambda e: e[:12] + b"\x05" + e[13:],          # bad channels
+        lambda e: e[:13] + b"\x09" + e[14:],          # bad colorspace
+        lambda e: e[:14] + b"\xfe\x01" + e[14:],      # truncated RGB op
+    ],
+)
+def test_structural_damage_quarantined(mutate):
+    enc = encode_qoi(2, 2, bytes(12), 3)
+    with pytest.raises(ValueError):
+        decode_qoi(mutate(enc))
+
+
+def test_fuzz_flipped_bytes_stay_quarantined():
+    import numpy as np
+
+    base = encode_qoi(6, 5, qoi_pixel_formula(3, 6, 5), 3)
+    rng = np.random.RandomState(17)
+    for trial in range(600):
+        bad = bytearray(base)
+        for _ in range(1 + trial % 3):
+            bad[int(rng.randint(len(bad)))] = int(rng.randint(256))
+        try:
+            decode_qoi(bytes(bad))
+        except ValueError:
+            pass  # the quarantine contract — never another exception
+
+
+def test_fuzz_garbage_stays_quarantined():
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    for _ in range(300):
+        g = bytes(
+            rng.randint(0, 256, int(rng.randint(0, 160))).astype("uint8")
+        )
+        try:
+            decode_qoi(g)
+        except ValueError:
+            pass
