@@ -1103,3 +1103,130 @@ ORDER BY doc_id
 
 QUERIES["robots_crawl_gate"] = q_robots_crawl_gate
 ORACLES["robots_crawl_gate"] = ORACLE_ROBOTS_GATE
+
+
+# --- triangle counting / clustering coefficient (round 7, session 6) --------
+
+
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting with per-node clustering coefficients over
+    the co-citation graph (URLs cited by the same document are
+    connected) — the community-structure metric link-spam and
+    site-cluster detectors read.  Runs on the REAL extracted edges
+    (the spec-engine UDF), like PageRank/HITS.
+
+    Scale shape: the degree-ordered node-iterator algorithm — every
+    undirected edge is oriented from its lower-(degree, id) endpoint,
+    so a celebrity node of degree D generates wedges only from its
+    LOW-degree neighbors and per-task wedge fan-out is bounded by
+    arboricity, not by max degree (the classic skew bound).  Cost is
+    the wedge self-join plus one closing-edge semi-join; every join is
+    an equi-hash join on node keys — no cartesian anywhere.  Any total
+    order enumerates each triangle exactly once, so the oracle can use
+    plain lexicographic order and match."""
+    d = _docs(spark, sf_dir)
+    udf = make_extract_typed_udf(_LINK_SPEC, input_kind="html")
+    hrefs = (
+        d.select("doc_id", udf(_page(d)).alias("o"))
+        .select("doc_id", F.explode(F.col("o.value.hrefs")).alias("url"))
+    )
+    # co-citation pairs inside each doc (u < v), then global distinct
+    pairs = (
+        hrefs.alias("l")
+        .join(hrefs.alias("r"), "doc_id")
+        .where(F.col("l.url") < F.col("r.url"))
+        .select(F.col("l.url").alias("u"), F.col("r.url").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient each edge from lower (deg, node) to higher
+    du = deg.select(
+        F.col("node").alias("u"), F.col("deg").alias("du")
+    )
+    dv = deg.select(
+        F.col("node").alias("v"), F.col("deg").alias("dv")
+    )
+    ed = pairs.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    # wedges anchored at the low end; close them against the edge set
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = (
+        w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    )
+    closing = pairs.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"])  # (a, x, y) triangles
+    per_node = (
+        tris.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("url"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "coalesce(n_triangles, 0) * 2000000"
+                    " div (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_e6"),
+        )
+        .orderBy("url")
+    )
+
+
+ORACLE_LINK_TRIANGLES = f"""
+WITH edges AS ({ORACLE_LINK_EXTRACT.replace("ORDER BY doc_id, link_idx", "")}),
+pairs AS (
+  SELECT DISTINCT l.href AS u, r.href AS v
+  FROM edges l JOIN edges r ON l.doc_id = r.doc_id AND l.href < r.href
+), deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY 1
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+), per_node AS (
+  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY 1
+)
+SELECT d.node AS url, d.deg,
+       coalesce(p.n_triangles, 0)::BIGINT AS n_triangles,
+       (CASE WHEN d.deg >= 2
+             THEN coalesce(p.n_triangles, 0) * 2000000
+                  // (d.deg * (d.deg - 1))
+             ELSE 0 END)::BIGINT AS clustering_e6
+FROM deg d LEFT JOIN per_node p USING (node)
+ORDER BY url
+"""
+
+QUERIES["link_triangles"] = q_link_triangles
+ORACLES["link_triangles"] = ORACLE_LINK_TRIANGLES

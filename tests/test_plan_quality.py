@@ -1049,3 +1049,15 @@ def test_scd2_fuses_lag_and_island_windows(spark):
     # the lead window runs on the compacted runs table
     assert plan.count("hashpartitioning(user_id") <= 3
     assert "Join" not in plan
+
+
+def test_triangles_all_joins_are_equi_hash(spark):
+    from h2spark.ops import links
+
+    plan = _formatted(links.q_link_triangles(spark, SF), spark)
+    # degree-ordered node-iterator: every join is an equi join on node
+    # keys — a cartesian/BNLJ here would be the all-pairs anti-pattern
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the co-citation pair builder joins inside doc_id
+    assert "doc_id" in plan
