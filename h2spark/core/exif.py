@@ -27,6 +27,12 @@ TAG_EXIF_IFD = 0x8769
 # Exif-IFD tags
 TAG_PIXEL_X = 0xA002
 TAG_PIXEL_Y = 0xA003
+# GPS (Exif 2.3 §4.6.6: IFD0 pointer tag + GPS-IFD tags)
+TAG_GPS_IFD = 0x8825
+GPS_LAT_REF = 0x0001
+GPS_LAT = 0x0002
+GPS_LON_REF = 0x0003
+GPS_LON = 0x0004
 
 _T_ASCII = 2
 _T_SHORT = 3
@@ -90,9 +96,12 @@ def build_exif_app1(
     pixel_x: int,
     pixel_y: int,
     byte_order: str = "II",
+    gps: tuple | None = None,
 ) -> bytes:
     """Full APP1 segment bytes (marker + length + Exif envelope +
-    TIFF blob with IFD0 and the Exif sub-IFD)."""
+    TIFF blob with IFD0, the Exif sub-IFD, and — when ``gps`` is
+    given as (lat_ref, (lat_num, lat_den), lon_ref,
+    (lon_num, lon_den)) — a GPS sub-IFD (Exif 2.3 §4.6.6)."""
     e = _endian(byte_order)
     ifd0_entries = [
         (TAG_MAKE, _T_ASCII, make),
@@ -100,28 +109,49 @@ def build_exif_app1(
         (TAG_ORIENTATION, _T_SHORT, orientation),
         (TAG_XRESOLUTION, _T_RATIONAL, xres),
         (TAG_DATETIME, _T_ASCII, datetime),
-        (TAG_EXIF_IFD, _T_LONG, 0),  # patched below
     ]
     exif_entries = [
         (TAG_PIXEL_X, _T_LONG, pixel_x),
         (TAG_PIXEL_Y, _T_LONG, pixel_y),
     ]
-    ifd0_size = 2 + 12 * len(ifd0_entries) + 4
+    gps_entries = []
+    if gps is not None:
+        lat_ref, lat, lon_ref, lon = gps
+        gps_entries = [
+            (GPS_LAT_REF, _T_ASCII, lat_ref),
+            (GPS_LAT, _T_RATIONAL, lat),
+            (GPS_LON_REF, _T_ASCII, lon_ref),
+            (GPS_LON, _T_RATIONAL, lon),
+        ]
+    n0 = len(ifd0_entries) + 1 + (1 if gps_entries else 0)
+    ifd0_size = 2 + 12 * n0 + 4
     exif_size = 2 + 12 * len(exif_entries) + 4
+    gps_size = (2 + 12 * len(gps_entries) + 4) if gps_entries else 0
     exif_ifd_offset = 8 + ifd0_size
-    data_offset = exif_ifd_offset + exif_size
-    ifd0_entries[-1] = (TAG_EXIF_IFD, _T_LONG, exif_ifd_offset)
+    gps_ifd_offset = exif_ifd_offset + exif_size
+    data_offset = gps_ifd_offset + gps_size
+    ifd0_entries.append((TAG_EXIF_IFD, _T_LONG, exif_ifd_offset))
+    if gps_entries:
+        ifd0_entries.append((TAG_GPS_IFD, _T_LONG, gps_ifd_offset))
     ifd0, data0 = _build_ifd(e, ifd0_entries, data_offset)
     exif_ifd, data1 = _build_ifd(
         e, exif_entries, data_offset + len(data0)
     )
+    gps_ifd = b""
+    data2 = b""
+    if gps_entries:
+        gps_ifd, data2 = _build_ifd(
+            e, gps_entries, data_offset + len(data0) + len(data1)
+        )
     tiff = (
         byte_order.encode("ascii")
         + struct.pack(e + "HI", 42, 8)
         + ifd0
         + exif_ifd
+        + gps_ifd
         + data0
         + data1
+        + data2
     )
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
@@ -198,6 +228,14 @@ def parse_exif_tiff(tiff: bytes) -> dict:
         subtags = _parse_ifd(e, tiff, sub)
         fields["pixel_x"] = subtags.get(TAG_PIXEL_X)
         fields["pixel_y"] = subtags.get(TAG_PIXEL_Y)
+    fields["gps"] = None
+    gps_off = tags.get(TAG_GPS_IFD)
+    if isinstance(gps_off, int) and gps_off:
+        g = _parse_ifd(e, tiff, gps_off)
+        fields["gps"] = (
+            g.get(GPS_LAT_REF), g.get(GPS_LAT),
+            g.get(GPS_LON_REF), g.get(GPS_LON),
+        )
     return fields
 
 
@@ -223,3 +261,47 @@ def parse_exif_jpeg(jpeg: bytes) -> dict | None:
             return parse_exif_tiff(jpeg[pos + 10:pos + 2 + seglen])
         pos += 2 + seglen
     return None
+
+
+def strip_app1(jpeg: bytes) -> bytes:
+    """Remove the Exif APP1 segment (if any) from a JPEG, leaving
+    every other segment byte-identical."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG (no SOI)")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError("exif: bad marker alignment")
+        marker = jpeg[pos + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        (seglen,) = struct.unpack(">H", jpeg[pos + 2:pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(jpeg):
+            raise ValueError("exif: truncated segment")
+        seg = jpeg[pos:pos + 2 + seglen]
+        if not (marker == 0xE1
+                and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00"):
+            out += seg
+        pos += 2 + seglen
+    out += jpeg[pos:]
+    return bytes(out)
+
+
+def scrub_gps_jpeg(jpeg: bytes) -> tuple[bytes, bool]:
+    """GPS-scrub a JPEG: if its Exif holds a GPS IFD, REBUILD the APP1
+    from the parsed non-GPS fields and splice the clean segment in
+    (parse -> filter -> rebuild, so no orphaned GPS bytes can survive
+    in the out-of-line data area — the failure mode of in-place
+    pointer NULLing).  Returns (jpeg_out, had_gps); GPS-free images
+    pass through byte-identical."""
+    f = parse_exif_jpeg(jpeg)
+    if f is None or f.get("gps") is None:
+        return jpeg, False
+    app1 = build_exif_app1(
+        f["make"], f["model"], int(f["orientation"]),
+        (int(f["xres"][0]), int(f["xres"][1])), f["datetime"],
+        int(f["pixel_x"]), int(f["pixel_y"]),
+        byte_order=f["byte_order"],
+    )
+    return insert_app1(strip_app1(jpeg), app1), True

@@ -2334,3 +2334,55 @@ def qoi_pixels_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def exif_gps_scrub_batch(doc_ids) -> list:
+    """REAL GPS-scrub chain per doc: build a decodable JPEG, splice an
+    Exif APP1 (GPS sub-IFD on 2 of 3 docs), run scrub_gps_jpeg, then
+    prove the privacy contract — GPS gone, every other tag preserved,
+    entropy stream intact, GPS-free images byte-identical."""
+    from h2spark.core.exif import (
+        build_exif_app1, insert_app1, parse_exif_jpeg, scrub_gps_jpeg,
+    )
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    ones = [1] * 64
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        bo = "II" if d % 2 == 0 else "MM"
+        make = f"cam{d % 5}"
+        model = f"model-x{d % 7}"
+        orient = 1 + d % 8
+        gps = None
+        if d % 3 != 0:
+            gps = (
+                "N" if d % 2 == 0 else "S",
+                (40_000_000 + (d * 137) % 9_000_000, 1_000_000),
+                "E" if d % 5 < 3 else "W",
+                (7_000_000 + (d * 211) % 170_000_000, 1_000_000),
+            )
+        px = bytes([(d * 29 + 7) % 256]) * 64
+        jpg = encode_jpeg(8, 8, px, channels=1, qtab_luma=ones)
+        app1 = build_exif_app1(
+            make, model, orient, (72, 1), "2026:01:01 00:00:00",
+            16 + d % 8, 9 + d % 5, byte_order=bo, gps=gps,
+        )
+        blob = insert_app1(jpg, app1)
+        out, had = scrub_gps_jpeg(blob)
+        f = parse_exif_jpeg(out)
+        w, h, _, dec = decode_jpeg(out)
+        intact = (w, h) == (8, 8) and bytes(dec) == px
+        kept = (
+            f is not None and f["gps"] is None
+            and f["make"] == make and f["model"] == model
+            and int(f["orientation"]) == orient
+            and int(f["pixel_x"]) == 16 + d % 8
+        )
+        if gps is None and out != blob:
+            raise ValueError("gps scrub touched a GPS-free image")
+        rows.append(
+            (d, bool(had), make, int(orient), int(16 + d % 8),
+             bool(kept), bool(intact))
+        )
+    return rows

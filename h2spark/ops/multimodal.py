@@ -3258,3 +3258,60 @@ ORDER BY doc_id
 
 QUERIES["image_qoi_pixels"] = q_image_qoi_pixels
 ORACLES["image_qoi_pixels"] = ORACLE_IMAGE_QOI
+
+
+# --- exif_gps_scrub: multimodal PII removal (round 7, session 6) ------------
+
+
+def q_exif_gps_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal PII scrub: drop the Exif GPS sub-IFD from JPEGs by
+    parse -> filter -> REBUILD (core/exif.py:scrub_gps_jpeg) — the
+    text pipeline has text_pii_scrub; this is its image twin, a
+    release gate no public multimodal corpus ships without.  Rebuild
+    beats pointer-NULLing because no orphaned GPS rationals can
+    survive in the out-of-line data area; the kernel additionally
+    pins the no-touch guarantee (GPS-free images pass through
+    byte-identical) and re-decodes the entropy stream.
+
+    Scale shape: one Arrow-batched kernel pass over doc_id only, zero
+    shuffle before the presentation sort."""
+    from h2spark.core.runner import exif_gps_scrub_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = exif_gps_scrub_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "had_gps", "make", "orientation",
+                    "pixel_x", "tags_kept", "image_intact",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, had_gps boolean, make string,"
+            " orientation long, pixel_x long, tags_kept boolean,"
+            " image_intact boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_EXIF_GPS_SCRUB = """
+SELECT doc_id,
+       doc_id % 3 != 0 AS had_gps,
+       'cam' || (doc_id % 5) AS make,
+       (1 + doc_id % 8)::BIGINT AS orientation,
+       (16 + doc_id % 8)::BIGINT AS pixel_x,
+       true AS tags_kept,
+       true AS image_intact
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["exif_gps_scrub"] = q_exif_gps_scrub
+ORACLES["exif_gps_scrub"] = ORACLE_EXIF_GPS_SCRUB

@@ -2703,3 +2703,58 @@ def test_fix_mojibake_fixpoint_handles_double_mangle():
     twice, rep2 = fix_mojibake(once)
     assert rep2 and twice == clean
     assert fix_mojibake(twice) == (clean, False)
+
+
+def test_exif_gps_build_parse_and_scrub():
+    import struct
+
+    from h2spark.core.exif import (
+        build_exif_app1, insert_app1, parse_exif_jpeg, scrub_gps_jpeg,
+        strip_app1,
+    )
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+
+    px = bytes([55]) * 64
+    jpg = encode_jpeg(8, 8, px, channels=1, qtab_luma=[1] * 64)
+    gps = ("N", (47123456, 1000000), "W", (8123456, 1000000))
+    for bo in ("II", "MM"):
+        blob = insert_app1(jpg, build_exif_app1(
+            "cam1", "mx", 3, (72, 1), "2026:01:02 03:00:00",
+            17, 11, byte_order=bo, gps=gps,
+        ))
+        f = parse_exif_jpeg(blob)
+        assert f["gps"] == gps
+        out, had = scrub_gps_jpeg(blob)
+        assert had
+        f2 = parse_exif_jpeg(out)
+        # GPS gone; every other tag preserved
+        assert f2["gps"] is None
+        assert (f2["make"], f2["model"], f2["orientation"]) == (
+            "cam1", "mx", 3,
+        )
+        assert (f2["pixel_x"], f2["pixel_y"]) == (17, 11)
+        # no orphaned GPS rationals anywhere in the scrubbed bytes
+        for e in ("<", ">"):
+            assert struct.pack(e + "II", 47123456, 1000000) not in out
+        # entropy stream intact
+        w, h, _, dec = decode_jpeg(out)
+        assert (w, h) == (8, 8) and bytes(dec) == px
+        # no-touch guarantee for GPS-free images
+        nog = insert_app1(jpg, build_exif_app1(
+            "c", "m", 1, (72, 1), "d", 8, 8, byte_order=bo,
+        ))
+        out2, had2 = scrub_gps_jpeg(nog)
+        assert not had2 and out2 == nog
+        # strip_app1 removes only the Exif segment
+        assert strip_app1(blob) == jpg
+
+
+def test_exif_gps_scrub_batch_formula():
+    from h2spark.core.runner import exif_gps_scrub_batch
+
+    rows = exif_gps_scrub_batch([0, 1, 2, 3, 4, 5])
+    for d, had, make, orient, pixel_x, kept, intact in rows:
+        assert had == (d % 3 != 0)
+        assert make == f"cam{d % 5}" and orient == 1 + d % 8
+        assert pixel_x == 16 + d % 8
+        assert kept and intact
