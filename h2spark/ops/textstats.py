@@ -2345,3 +2345,95 @@ ORDER BY doc_id
 
 QUERIES["text_mojibake_repair"] = q_text_mojibake_repair
 ORACLES["text_mojibake_repair"] = ORACLE_MOJIBAKE
+
+
+# --- Flesch readability (round 7, session 6) --------------------------------
+
+
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade as exact e3
+    integers — the classic readability gate edu-quality corpus
+    filters (and CEFR-ish difficulty bucketing) are built on.
+    Syllables are approximated as vowel-group runs ([aeiouy]+, the
+    standard heuristic); runs are counted with the engine-agnostic
+    length-difference trick (replace each run with one char vs delete
+    it) so Java regex and DuckDB RE2 agree byte-for-byte.  Negative
+    scores clamp to 0 BEFORE the integer division — Spark `div`
+    truncates toward zero while DuckDB `//` floors, so a negative
+    numerator would silently diverge by 1.
+
+    Scale shape: pure codegen over (doc_id, text), zero shuffle
+    before the presentation sort."""
+    d = _docs(spark, sf_dir)
+    t = F.trim(F.lower(F.col("text")))
+    v_del = F.regexp_replace(t, "[aeiouy]+", "")
+    v_one = F.regexp_replace(t, "[aeiouy]+", "V")
+    syl = (F.length(v_one) - F.length(v_del)).cast("long")
+    w_del = F.regexp_replace(t, r"\S+", "")
+    w_one = F.regexp_replace(t, r"\S+", "W")
+    words = (F.length(w_one) - F.length(w_del)).cast("long")
+    s_del = F.regexp_replace(t, r"[.!?]+", "")
+    s_one = F.regexp_replace(t, r"[.!?]+", "S")
+    sents = F.greatest(
+        (F.length(s_one) - F.length(s_del)).cast("long"), F.lit(1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.greatest(words, F.lit(1)).alias("n_words"),
+            sents.alias("n_sentences"),
+            syl.alias("n_syllables"),
+        )
+        .withColumn(
+            "fre_e3",
+            F.expr(
+                "greatest(0, 206835 * n_sentences * n_words"
+                " - 1015 * n_words * n_words"
+                " - 84600 * n_syllables * n_sentences)"
+                " div (n_sentences * n_words)"
+            ),
+        )
+        .withColumn(
+            "fk_grade_e3",
+            F.expr(
+                "greatest(0, 390 * n_words * n_words"
+                " + 11800 * n_syllables * n_sentences"
+                " - 15590 * n_sentences * n_words)"
+                " div (n_sentences * n_words)"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_READABILITY = r"""
+WITH t AS (
+  SELECT doc_id, trim(lower(text)) AS s FROM documents
+), c AS (
+  SELECT doc_id,
+         greatest(length(regexp_replace(s, '\S+', 'W', 'g'))
+                  - length(regexp_replace(s, '\S+', '', 'g')),
+                  1)::BIGINT AS n_words,
+         greatest(length(regexp_replace(s, '[.!?]+', 'S', 'g'))
+                  - length(regexp_replace(s, '[.!?]+', '', 'g')),
+                  1)::BIGINT AS n_sentences,
+         (length(regexp_replace(s, '[aeiouy]+', 'V', 'g'))
+          - length(regexp_replace(s, '[aeiouy]+', '', 'g')))::BIGINT
+             AS n_syllables
+  FROM t
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (greatest(0, 206835 * n_sentences * n_words
+                    - 1015 * n_words * n_words
+                    - 84600 * n_syllables * n_sentences)
+        // (n_sentences * n_words))::BIGINT AS fre_e3,
+       (greatest(0, 390 * n_words * n_words
+                    + 11800 * n_syllables * n_sentences
+                    - 15590 * n_sentences * n_words)
+        // (n_sentences * n_words))::BIGINT AS fk_grade_e3
+FROM c
+ORDER BY doc_id
+"""
+
+QUERIES["text_readability"] = q_text_readability
+ORACLES["text_readability"] = ORACLE_TEXT_READABILITY

@@ -812,6 +812,7 @@ def test_round7_codegen_ops_zero_shuffle(spark):
     from h2spark.ops import bpetokens, links, textstats as ts
 
     for q in (ts.q_sentence_stats, ts.q_quality_linear_score,
+              ts.q_text_readability,
               bpetokens.q_tokenizer_oov_audit, links.q_crawl_trap_detect):
         plan = _formatted(q(spark, SF), spark)
         assert "hashpartitioning(" not in plan, q.__name__
