@@ -1792,3 +1792,78 @@ QUERIES["snapshot_diff"] = q_snapshot_diff
 ORACLES["snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
 QUERIES["scd2_dimension"] = q_scd2_dimension
 ORACLES["scd2_dimension"] = ORACLE_SCD2_DIMENSION
+
+
+# --- rank-family windows: daily leaderboards (round 7, session 6) -----------
+
+
+def q_events_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window coverage (rank / dense_rank / percent-rank /
+    decile) as exact integers: per (event_type, epoch-day) cell, rank
+    events by spend — the daily-leaderboard shape.  percent_rank and
+    the decile are integer formulas over (rank, n) rather than the
+    built-in double-valued percent_rank()/ntile(), so the driver hash
+    is float-free.
+
+    Scale shape: ONE window shuffle keyed (event_type, day) — ranking
+    inside day cells keeps partitions bounded (a rank partitioned by
+    event_type alone would sort a fifth of the corpus in one task at
+    100 TB); rank/count share the same window frame so Catalyst plans
+    a single Window node."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.select(
+        "event_id", "event_type", day.alias("day"), cents.alias("cents")
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.col("cents").desc(), "event_id"
+    )
+    wn = Window.partitionBy("event_type", "day")
+    return (
+        base.withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("dense_rnk", F.dense_rank().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            "event_id", "event_type", "day", "cents", "rnk", "dense_rnk",
+            F.expr(
+                "CASE WHEN n > 1 THEN (rnk - 1) * 1000000 div (n - 1)"
+                " ELSE 0 END"
+            ).cast("long").alias("pct_rank_e6"),
+            F.expr("(rnk - 1) * 10 div n").cast("long").alias("decile"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EVENTS_VALUE_RANKS = """
+WITH base AS (
+  SELECT event_id, event_type,
+         (epoch_us(ts::TIMESTAMP) // 86400000000)::BIGINT AS day,
+         round(value * 100, 0)::BIGINT AS cents
+  FROM events
+), r AS (
+  SELECT event_id, event_type, day, cents,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS dense_rnk,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM base
+  WINDOW w AS (PARTITION BY event_type, day
+               ORDER BY cents DESC, event_id)
+)
+SELECT event_id, event_type, day, cents,
+       rnk::BIGINT AS rnk, dense_rnk::BIGINT AS dense_rnk,
+       (CASE WHEN n > 1 THEN (rnk - 1) * 1000000 // (n - 1)
+             ELSE 0 END)::BIGINT AS pct_rank_e6,
+       ((rnk - 1) * 10 // n)::BIGINT AS decile
+FROM r
+ORDER BY event_id
+"""
+
+QUERIES["events_value_ranks"] = q_events_value_ranks
+ORACLES["events_value_ranks"] = ORACLE_EVENTS_VALUE_RANKS

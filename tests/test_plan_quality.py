@@ -1062,3 +1062,15 @@ def test_triangles_all_joins_are_equi_hash(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the co-citation pair builder joins inside doc_id
     assert "doc_id" in plan
+
+
+def test_value_ranks_single_window_node(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_value_ranks(spark, SF), spark)
+    # rank + dense_rank + count share (event_type, day) partitioning;
+    # the raw events shuffle once and at most two Window nodes appear
+    # (ordered frame + unordered count frame), never one per function
+    assert plan.count("hashpartitioning(event_type") <= 1
+    assert plan.count("(4) Window") + plan.count("(5) Window") <= 2
+    assert "Join" not in plan
