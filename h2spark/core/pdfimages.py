@@ -1,0 +1,141 @@
+"""PDF embedded-image build + extract (pure stdlib).
+
+The PDF->image path multimodal ingestion needs: a writer that embeds
+Image XObjects (ISO 32000-1 §8.9.5: /Subtype /Image dictionaries with
+/DCTDecode for JPEG-in-PDF or /FlateDecode for raw rasters) into a
+genuine xref'd single-page PDF, and a from-scratch extractor that
+walks the object table and returns every image's geometry, filter and
+decoded payload bytes.  Complements ops/pdftext.py (text/layout) the
+way the raster codecs complement the container walkers.
+
+Structural damage raises ValueError (the shared quarantine contract).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+) 0 obj\b")
+_NUM_RE = {
+    "width": re.compile(rb"/Width\s+(\d+)"),
+    "height": re.compile(rb"/Height\s+(\d+)"),
+    "length": re.compile(rb"/Length\s+(\d+)"),
+    "bpc": re.compile(rb"/BitsPerComponent\s+(\d+)"),
+}
+_NAME_RE = {
+    "colorspace": re.compile(rb"/ColorSpace\s*/(\w+)"),
+    "filter": re.compile(rb"/Filter\s*/(\w+)"),
+}
+
+
+def build_pdf_with_images(images: list[dict]) -> bytes:
+    """Single-page PDF embedding each image as an Image XObject.
+
+    Each image dict: width, height, colorspace ("DeviceGray" |
+    "DeviceRGB"), filter ("DCTDecode" | "FlateDecode"), data (the
+    already-encoded stream bytes)."""
+    objs: list[bytes] = []
+    n_img = len(images)
+    res = " ".join(f"/Im{i} {4 + i} 0 R" for i in range(n_img))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs.append(
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /XObject << {res} >> >> "
+            f"/Contents {4 + n_img} 0 R >>"
+        ).encode()
+    )
+    for i, im in enumerate(images):
+        if im["filter"] not in ("DCTDecode", "FlateDecode"):
+            raise ValueError("pdfimg: unsupported filter")
+        if im["colorspace"] not in ("DeviceGray", "DeviceRGB"):
+            raise ValueError("pdfimg: unsupported colorspace")
+        data = im["data"]
+        head = (
+            f"<< /Type /XObject /Subtype /Image "
+            f"/Width {im['width']} /Height {im['height']} "
+            f"/ColorSpace /{im['colorspace']} /BitsPerComponent 8 "
+            f"/Filter /{im['filter']} /Length {len(data)} >>"
+        ).encode()
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    draw = " ".join(
+        f"q {120 + 8 * i} 0 0 90 {40 + 130 * i} 600 cm /Im{i} Do Q"
+        for i in range(n_img)
+    ).encode()
+    objs.append(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(draw), draw)
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i + 1, o)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def parse_pdf_images(data: bytes) -> list[dict]:
+    """Extract every Image XObject: geometry, colorspace, filter, and
+    the payload with /FlateDecode already inflated (/DCTDecode data is
+    returned as-is — the JPEG codec owns that decode)."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("pdfimg: not a PDF")
+    images: list[dict] = []
+    for m in _OBJ_RE.finditer(data):
+        start = m.end()
+        end = data.find(b"endobj", start)
+        if end < 0:
+            raise ValueError("pdfimg: unterminated object")
+        body = data[start:end]
+        if b"/Subtype /Image" not in body and \
+                b"/Subtype/Image" not in body:
+            continue
+        nums = {}
+        for key, rx in _NUM_RE.items():
+            mm = rx.search(body)
+            if mm is None and key != "bpc":
+                raise ValueError(f"pdfimg: image missing /{key}")
+            nums[key] = int(mm.group(1)) if mm else 8
+        names = {}
+        for key, rx in _NAME_RE.items():
+            mm = rx.search(body)
+            if mm is None:
+                raise ValueError(f"pdfimg: image missing /{key}")
+            names[key] = mm.group(1).decode("ascii")
+        s = body.find(b"stream\n")
+        if s < 0:
+            raise ValueError("pdfimg: image without stream")
+        s += len(b"stream\n")
+        raw = body[s:s + nums["length"]]
+        if len(raw) != nums["length"]:
+            raise ValueError("pdfimg: truncated image stream")
+        if names["filter"] == "FlateDecode":
+            try:
+                payload = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError("pdfimg: bad Flate stream") from exc
+        elif names["filter"] == "DCTDecode":
+            payload = raw
+        else:
+            raise ValueError("pdfimg: unsupported filter")
+        images.append(
+            {
+                "width": nums["width"],
+                "height": nums["height"],
+                "bits": nums["bpc"],
+                "colorspace": names["colorspace"],
+                "filter": names["filter"],
+                "data": payload,
+            }
+        )
+    return images

@@ -2386,3 +2386,53 @@ def exif_gps_scrub_batch(doc_ids) -> list:
              bool(kept), bool(intact))
         )
     return rows
+
+
+def pdf_images_batch(doc_ids) -> list:
+    """REAL PDF->image chain per doc: embed a decodable DCT (JPEG)
+    gray image and a Flate raw gray image as XObjects in a genuine
+    xref'd PDF, extract both back (core/pdfimages.py), decode the
+    JPEG through the real codec, and emit per-image geometry + pixel
+    stats the oracle re-derives from the construction formulas."""
+    import zlib
+
+    from h2spark.core.jpegcodec import decode_jpeg, encode_jpeg
+    from h2spark.core.pdfimages import (
+        build_pdf_with_images, parse_pdf_images,
+    )
+
+    ones = [1] * 64
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        jv = (d * 29 + 11) % 256
+        jpx = bytes([jv]) * 64
+        jpg = encode_jpeg(8, 8, jpx, channels=1, qtab_luma=ones)
+        w1, h1 = 4 + d % 3, 3 + d % 2
+        rpx = bytes(((d % 13) * 7 + i * 5) % 256 for i in range(w1 * h1))
+        pdf = build_pdf_with_images(
+            [
+                {"width": 8, "height": 8, "colorspace": "DeviceGray",
+                 "filter": "DCTDecode", "data": jpg},
+                {"width": w1, "height": h1, "colorspace": "DeviceGray",
+                 "filter": "FlateDecode",
+                 "data": zlib.compress(rpx, 6)},
+            ]
+        )
+        imgs = parse_pdf_images(pdf)
+        if len(imgs) != 2:
+            raise ValueError("pdfimg: expected 2 images")
+        dw, dh, _, dec = decode_jpeg(imgs[0]["data"])
+        if (dw, dh) != (8, 8) or bytes(dec) != jpx:
+            raise ValueError("pdfimg: DCT payload corrupted in transit")
+        if imgs[1]["data"] != rpx:
+            raise ValueError("pdfimg: Flate payload corrupted in transit")
+        for idx, im, px in ((0, imgs[0], jpx), (1, imgs[1], rpx)):
+            rows.append(
+                (
+                    d, idx, int(im["width"]), int(im["height"]),
+                    im["filter"], im["colorspace"],
+                    int(sum(px)), int(max(px)),
+                )
+            )
+    return rows

@@ -479,3 +479,71 @@ ORDER BY doc_ref, page, y DESC
 
 QUERIES = {"pdf_text_extract": q_pdf_text}
 ORACLES = {"pdf_text_extract": ORACLE_PDF_TEXT}
+
+
+# --- pdf_image_extract: embedded Image XObjects (round 7, session 6) --------
+
+
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF->image ingestion: embed DCTDecode (JPEG-in-PDF) and
+    FlateDecode (raw raster) Image XObjects in genuine xref'd PDFs,
+    extract them back (core/pdfimages.py), push the JPEG payload
+    through the real codec, and emit per-image geometry + pixel stats
+    — the path a VLM-corpus builder runs over scanned-document dumps.
+
+    Scale shape: one Arrow-batched kernel pass keyed on doc_id, zero
+    shuffle before the presentation sort."""
+    from h2spark.core.runner import pdf_images_batch
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf_images_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "img_idx", "width", "height", "filter",
+                    "colorspace", "px_sum", "px_max",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, img_idx int, width int, height int,"
+            " filter string, colorspace string, px_sum long,"
+            " px_max long",
+        )
+        .orderBy("doc_id", "img_idx")
+    )
+
+
+ORACLE_PDF_IMAGES = """
+WITH two AS (
+  SELECT doc_id, unnest([0, 1]) AS img_idx FROM documents
+)
+SELECT doc_id, img_idx::INT AS img_idx,
+       (CASE WHEN img_idx = 0 THEN 8
+             ELSE 4 + doc_id % 3 END)::INT AS width,
+       (CASE WHEN img_idx = 0 THEN 8
+             ELSE 3 + doc_id % 2 END)::INT AS height,
+       CASE WHEN img_idx = 0 THEN 'DCTDecode'
+            ELSE 'FlateDecode' END AS filter,
+       'DeviceGray' AS colorspace,
+       (CASE WHEN img_idx = 0 THEN 64 * ((doc_id * 29 + 11) % 256)
+             ELSE list_sum(list_transform(
+                    range((4 + doc_id % 3) * (3 + doc_id % 2)),
+                    i -> ((doc_id % 13) * 7 + i * 5) % 256))
+        END)::BIGINT AS px_sum,
+       (CASE WHEN img_idx = 0 THEN (doc_id * 29 + 11) % 256
+             ELSE list_max(list_transform(
+                    range((4 + doc_id % 3) * (3 + doc_id % 2)),
+                    i -> ((doc_id % 13) * 7 + i * 5) % 256))
+        END)::BIGINT AS px_max
+FROM two
+ORDER BY doc_id, img_idx
+"""
+
+QUERIES["pdf_image_extract"] = q_pdf_images
+ORACLES["pdf_image_extract"] = ORACLE_PDF_IMAGES

@@ -2758,3 +2758,68 @@ def test_exif_gps_scrub_batch_formula():
         assert make == f"cam{d % 5}" and orient == 1 + d % 8
         assert pixel_x == 16 + d % 8
         assert kept and intact
+
+
+def test_pdf_images_build_and_extract():
+    import zlib
+
+    from h2spark.core.pdfimages import (
+        build_pdf_with_images, parse_pdf_images,
+    )
+
+    raw = bytes(range(12))
+    pdf = build_pdf_with_images([
+        {"width": 4, "height": 3, "colorspace": "DeviceGray",
+         "filter": "FlateDecode", "data": zlib.compress(raw)},
+        {"width": 2, "height": 2, "colorspace": "DeviceRGB",
+         "filter": "DCTDecode", "data": b"\xff\xd8fakejpeg\xff\xd9"},
+    ])
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    imgs = parse_pdf_images(pdf)
+    assert len(imgs) == 2
+    assert (imgs[0]["width"], imgs[0]["height"]) == (4, 3)
+    assert imgs[0]["filter"] == "FlateDecode"
+    assert imgs[0]["data"] == raw  # inflated for the caller
+    assert imgs[1]["colorspace"] == "DeviceRGB"
+    assert imgs[1]["data"] == b"\xff\xd8fakejpeg\xff\xd9"  # passthrough
+
+
+def test_pdf_images_quarantine():
+    import zlib
+
+    import pytest as _pytest
+
+    from h2spark.core.pdfimages import (
+        build_pdf_with_images, parse_pdf_images,
+    )
+
+    with _pytest.raises(ValueError):
+        parse_pdf_images(b"not a pdf")
+    pdf = build_pdf_with_images([
+        {"width": 2, "height": 2, "colorspace": "DeviceGray",
+         "filter": "FlateDecode", "data": zlib.compress(bytes(4))},
+    ])
+    # corrupt the Flate payload
+    bad = pdf.replace(zlib.compress(bytes(4)), b"XX" * 4)
+    with _pytest.raises(ValueError):
+        parse_pdf_images(bad)
+    with _pytest.raises(ValueError):
+        build_pdf_with_images([
+            {"width": 1, "height": 1, "colorspace": "DeviceGray",
+             "filter": "LZWDecode", "data": b""},
+        ])
+
+
+def test_pdf_images_batch_roundtrips_real_jpeg():
+    from h2spark.core.runner import pdf_images_batch
+
+    rows = pdf_images_batch([0, 1, 5])
+    assert len(rows) == 6
+    for d, idx, w, h, filt, cs, px_sum, px_max in rows:
+        assert cs == "DeviceGray"
+        if idx == 0:
+            assert (w, h, filt) == (8, 8, "DCTDecode")
+            assert px_sum == 64 * ((d * 29 + 11) % 256)
+        else:
+            assert (w, h) == (4 + d % 3, 3 + d % 2)
+            assert filt == "FlateDecode"

@@ -208,3 +208,37 @@ def test_garbage_stays_quarantined_legacy(name, mk, parse):
             parse(g)
         except _QUARANTINE_Z:
             pass
+
+
+def _blob_pdf_images():
+    import zlib
+
+    from h2spark.core.pdfimages import build_pdf_with_images
+
+    return build_pdf_with_images([
+        {"width": 4, "height": 3, "colorspace": "DeviceGray",
+         "filter": "FlateDecode", "data": zlib.compress(bytes(range(12)))},
+    ])
+
+
+def test_pdf_images_fuzz_stays_quarantined():
+    from h2spark.core.pdfimages import parse_pdf_images
+
+    base = _blob_pdf_images()
+    rng = np.random.RandomState(23)
+    for trial in range(600):
+        bad = bytearray(base)
+        for _ in range(1 + trial % 3):
+            bad[int(rng.randint(len(bad)))] = int(rng.randint(256))
+        try:
+            parse_pdf_images(bytes(bad))
+        except _QUARANTINE:
+            pass
+    for _ in range(300):
+        g = bytes(
+            rng.randint(0, 256, int(rng.randint(0, 160))).astype("uint8")
+        )
+        try:
+            parse_pdf_images(g)
+        except _QUARANTINE:
+            pass
