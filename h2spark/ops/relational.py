@@ -1867,3 +1867,134 @@ ORDER BY event_id
 
 QUERIES["events_value_ranks"] = q_events_value_ranks
 ORACLES["events_value_ranks"] = ORACLE_EVENTS_VALUE_RANKS
+
+
+# --- JSON props analytics (round 7, session 6) ------------------------------
+
+
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column analytics: pull `$.k` out of the props
+    JSON string with get_json_object (JVM codegen — no Python, no
+    from_json schema round-trip needed for single-path reads) and roll
+    integer stats per event type.  jsonl_ingest covers full-schema
+    parsing; this is the single-path fast lane every event warehouse
+    uses for ad-hoc prop slicing.
+
+    Scale shape: scan -> codegen JSON path -> ONE map-side-combinable
+    groupBy on event_type; nothing else."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_PROPS_STATS = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum
+FROM events
+GROUP BY 1 ORDER BY event_type
+"""
+
+QUERIES["events_props_stats"] = q_events_props_stats
+ORACLES["events_props_stats"] = ORACLE_EVENTS_PROPS_STATS
+
+
+# --- calendar gap fill + forward fill (round 7, session 6) ------------------
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: build each user's complete daily
+    spine with sequence()+explode between their first and last active
+    day, mark the gap days, and forward-fill the last observed daily
+    spend — the resample/ffill operator every metrics warehouse and
+    feature store needs before windowed models.
+
+    Scale shape: everything is keyed on user_id — the daily rollup,
+    the min/max spine aggregate, the spine-to-facts join, and the
+    forward-fill window all share one hash family, so the raw events
+    shuffle once and the rest reuses compacted per-user tables.  The
+    spine explode is bounded by the calendar span, never by event
+    count."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_day = (
+        e.select("user_id", day.alias("day"), cents.alias("cents"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("day_cents"),
+        )
+    )
+    spine = (
+        per_day.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(per_day, ["user_id", "day"], "left")
+    return (
+        joined.select(
+            "user_id", "day",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+            F.col("cnt").isNull().alias("is_gap"),
+            F.last("day_cents", ignorenulls=True)
+            .over(w)
+            .cast("long")
+            .alias("ffill_cents"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_EVENTS_GAP_FILL = """
+WITH per_day AS (
+  SELECT user_id,
+         (epoch_us(ts::TIMESTAMP) // 86400000000)::BIGINT AS day,
+         count(*)::BIGINT AS cnt,
+         sum(round(value * 100, 0)::BIGINT)::BIGINT AS day_cents
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(generate_series(min(day), max(day)))::BIGINT
+             AS day
+  FROM per_day GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       coalesce(p.cnt, 0)::BIGINT AS cnt,
+       p.cnt IS NULL AS is_gap,
+       (last_value(p.day_cents IGNORE NULLS) OVER (
+          PARTITION BY s.user_id ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ))::BIGINT AS ffill_cents
+FROM spine s LEFT JOIN per_day p USING (user_id, day)
+ORDER BY s.user_id, s.day
+"""
+
+QUERIES["events_gap_fill"] = q_events_gap_fill
+ORACLES["events_gap_fill"] = ORACLE_EVENTS_GAP_FILL

@@ -1074,3 +1074,27 @@ def test_value_ranks_single_window_node(spark):
     assert plan.count("hashpartitioning(event_type") <= 1
     assert plan.count("(4) Window") + plan.count("(5) Window") <= 2
     assert "Join" not in plan
+
+
+def test_props_stats_is_codegen_single_agg(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_props_stats(spark, SF), spark)
+    # single-path JSON read stays JVM-side: no Python nodes, one
+    # map-side-combinable aggregate, nothing else
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial_count" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_gap_fill_stays_in_one_key_family(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_gap_fill(spark, SF), spark)
+    # rollup, spine aggregate, join and ffill window all key on
+    # user_id — no exchange on any other column
+    import re
+
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys <= {"user_id"}, keys
+    assert "Generate" in plan  # the sequence() spine explode
