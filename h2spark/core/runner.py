@@ -2436,3 +2436,55 @@ def pdf_images_batch(doc_ids) -> list:
                 )
             )
     return rows
+
+
+def parquet_prune_batch(doc_ids) -> list:
+    """REAL zone-map pruning chain per doc: write a multi-row-group
+    parquet file in memory (pyarrow, PLAIN int64, 10-row groups over a
+    monotonic doc-keyed column), parse the footer back with OUR Thrift
+    compact-protocol reader (core/parqmeta.py), and decide per row
+    group whether a `v >= threshold` scan can skip it from min/max
+    alone — the O(footer) planning step that makes a 100 TB scan read
+    1% of its files.  The oracle replays the decisions from the
+    monotonic construction formula; the kernel cross-checks them
+    against an actual scan of the values."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from h2spark.core.parqmeta import parse_footer_bytes
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        n_rg = 3 + d % 4
+        base = (d % 23) * 10
+        vals = [base + i for i in range(10 * n_rg)]
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table({"v": pa.array(vals, pa.int64())}),
+            buf, row_group_size=10, use_dictionary=False,
+            compression="NONE", write_statistics=True,
+        )
+        data = buf.getvalue()
+        footer = parse_footer_bytes(data[-65536:])
+        t = base + d % (10 * n_rg)
+        n_pruned = rows_scanned = 0
+        for rg in footer["row_groups"]:
+            (cc,) = rg["columns"]
+            if cc["min_int"] is None or cc["max_int"] is None:
+                raise ValueError("prune: footer missing zone map")
+            if cc["max_int"] < t:
+                n_pruned += 1
+            else:
+                rows_scanned += cc["num_values"]
+        matching = sum(1 for v in vals if v >= t)
+        # the plan must be sound: scanned rows cover every match
+        if rows_scanned < matching:
+            raise ValueError("prune: plan dropped matching rows")
+        rows.append(
+            (d, int(n_rg), int(n_pruned), len(vals),
+             int(rows_scanned), int(matching))
+        )
+    return rows

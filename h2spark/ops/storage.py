@@ -99,3 +99,67 @@ ORACLE_FOOTER_AUDIT = _oracle_footer_audit()
 
 QUERIES["parquet_footer_audit"] = q_parquet_footer_audit
 ORACLES["parquet_footer_audit"] = ORACLE_FOOTER_AUDIT
+
+
+# --- zone-map row-group pruning planner (round 7, session 6) ----------------
+
+
+def q_parquet_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group pruning planner: write a multi-row-group parquet file
+    per doc in memory, parse its zone maps back with OUR Thrift footer
+    reader, and decide which row groups a `v >= t` predicate scan can
+    skip — min/max pruning is the single biggest lever a 100 TB scan
+    has, and this pins the decision logic (not just the footer walk,
+    which parquet_footer_audit covers) under the driver hash.  The
+    kernel also proves plan soundness against an actual value scan.
+
+    Scale shape: per-file O(footer) planning fanned over the file
+    axis, zero shuffle before the presentation sort."""
+    from h2spark.core.runner import parquet_prune_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = parquet_prune_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_rgs", "n_pruned", "rows_total",
+                    "rows_scanned", "rows_matching",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_rgs int, n_pruned int, rows_total long,"
+            " rows_scanned long, rows_matching long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PARQUET_PRUNE = """
+WITH g AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS n_rg,
+         doc_id % ((3 + doc_id % 4) * 10) AS t
+  FROM documents
+), rg AS (
+  SELECT doc_id, n_rg, t, unnest(range(n_rg)) AS j FROM g
+)
+SELECT doc_id,
+       n_rg::INT AS n_rgs,
+       count(*) FILTER (10 * j + 9 < t)::INT AS n_pruned,
+       (n_rg * 10)::BIGINT AS rows_total,
+       (10 * (n_rg - count(*) FILTER (10 * j + 9 < t)))::BIGINT
+           AS rows_scanned,
+       (n_rg * 10 - t)::BIGINT AS rows_matching
+FROM rg
+GROUP BY doc_id, n_rg, t
+ORDER BY doc_id
+"""
+
+QUERIES["parquet_prune_plan"] = q_parquet_prune_plan
+ORACLES["parquet_prune_plan"] = ORACLE_PARQUET_PRUNE

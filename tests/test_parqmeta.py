@@ -228,3 +228,18 @@ def test_flipped_bytes_in_real_footer_bounded_behavior(tmp_path):
     struct.pack_into("<I", bad, len(bad) - 8, flen + 10_000)
     with pytest.raises(ValueError):
         parse_footer_bytes(bytes(bad[-(flen + 8):]))
+
+
+def test_prune_batch_sound_and_effective():
+    from h2spark.core.runner import parquet_prune_batch
+
+    rows = parquet_prune_batch(list(range(30)))
+    pruned_any = False
+    for d, n_rg, n_pruned, total, scanned, matching in rows:
+        assert n_rg == 3 + d % 4 and total == 10 * n_rg
+        # soundness: every matching row is inside a scanned group
+        assert scanned >= matching
+        # the plan never scans a fully-prunable group
+        assert scanned == 10 * (n_rg - n_pruned)
+        pruned_any = pruned_any or n_pruned > 0
+    assert pruned_any  # the planner genuinely skips row groups
