@@ -1055,3 +1055,128 @@ ORDER BY doc_id, ord
 
 QUERIES["feed_extract"] = q_feed_extract
 ORACLES["feed_extract"] = ORACLE_FEED_EXTRACT
+
+
+# --- form-field extraction (round 7, session 6) ------------------------------
+
+_FORM_SPEC = StructSpec(
+    "FormPage",
+    [
+        Field("action", Scalar("String"), ONE, select="form",
+              attr="action"),
+        Field("in_names", Scalar("String"), VEC, select="input",
+              attr="name"),
+        Field("in_types", Scalar("String"), VEC, select="input",
+              attr="type"),
+        Field("in_values", Scalar("String"), VEC, select="input",
+              attr="value"),
+        Field("sel_name", Scalar("String"), ONE, select="select",
+              attr="name"),
+        Field("options", Scalar("String"), VEC, select="option"),
+        Field("ta_name", Scalar("String"), ONE, select="textarea",
+              attr="name"),
+        Field("ta_text", Scalar("String"), ONE, select="textarea"),
+    ],
+)
+
+
+def q_form_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Form-surface extraction: action URL, input name/type/value
+    triples, select options and textarea content through the REAL
+    parser + selector engine — the page family SFT/agent-trajectory
+    corpora mine for UI structure.  Forms exercise parser paths the
+    link/table ops don't: void elements (<input>) and the textarea
+    raw-text content model.
+
+    One row per control via a single posexplode over an in-row struct
+    array (one kernel branch in the plan — a per-control UNION would
+    re-run the extraction UDF once per branch).  DuckDB replays every
+    control from the construction formulas."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<form action="/submit/'), F.col("doc_id") % 13,
+        F.lit('"><input type="text" name="q'), F.col("doc_id") % 5,
+        F.lit('" value="'), F.col("source"),
+        F.lit('"><input type="hidden" name="tok" value="'),
+        F.col("lang"),
+        F.lit('"><select name="s"><option>o0</option><option>o'),
+        F.col("doc_id") % 3,
+        F.lit('</option></select><textarea name="msg">m'),
+        F.col("doc_id") % 7,
+        F.lit("</textarea></form>"),
+    )
+    udf = make_extract_typed_udf(_FORM_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    v = F.col("o.value")
+    ctl = F.array(
+        F.struct(
+            F.lit("input").alias("tag"),
+            F.element_at(v["in_names"], 1).alias("name"),
+            F.element_at(v["in_types"], 1).alias("in_type"),
+            F.element_at(v["in_values"], 1).alias("value"),
+        ),
+        F.struct(
+            F.lit("input").alias("tag"),
+            F.element_at(v["in_names"], 2).alias("name"),
+            F.element_at(v["in_types"], 2).alias("in_type"),
+            F.element_at(v["in_values"], 2).alias("value"),
+        ),
+        F.struct(
+            F.lit("select").alias("tag"),
+            v["sel_name"].alias("name"),
+            F.lit("").alias("in_type"),
+            F.array_join(v["options"], "|").alias("value"),
+        ),
+        F.struct(
+            F.lit("textarea").alias("tag"),
+            v["ta_name"].alias("name"),
+            F.lit("").alias("in_type"),
+            v["ta_text"].alias("value"),
+        ),
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.col("o.value.action").alias("action"),
+            F.posexplode(ctl).alias("ctrl_idx", "c"),
+        )
+        .select(
+            "doc_id", "action",
+            F.col("ctrl_idx").cast("int").alias("ctrl_idx"),
+            F.col("c.tag").alias("tag"),
+            F.col("c.name").alias("name"),
+            F.col("c.in_type").alias("in_type"),
+            F.col("c.value").alias("value"),
+        )
+        .orderBy("doc_id", "ctrl_idx")
+    )
+
+
+ORACLE_FORM_EXTRACT = """
+WITH c AS (
+  SELECT doc_id, source, lang, unnest([0, 1, 2, 3]) AS ctrl_idx
+  FROM documents
+)
+SELECT doc_id,
+       '/submit/' || (doc_id % 13) AS action,
+       ctrl_idx::INT AS ctrl_idx,
+       CASE WHEN ctrl_idx <= 1 THEN 'input'
+            WHEN ctrl_idx = 2 THEN 'select'
+            ELSE 'textarea' END AS tag,
+       CASE WHEN ctrl_idx = 0 THEN 'q' || (doc_id % 5)
+            WHEN ctrl_idx = 1 THEN 'tok'
+            WHEN ctrl_idx = 2 THEN 's'
+            ELSE 'msg' END AS name,
+       CASE WHEN ctrl_idx = 0 THEN 'text'
+            WHEN ctrl_idx = 1 THEN 'hidden'
+            ELSE '' END AS in_type,
+       CASE WHEN ctrl_idx = 0 THEN source
+            WHEN ctrl_idx = 1 THEN lang
+            WHEN ctrl_idx = 2 THEN 'o0|o' || (doc_id % 3)
+            ELSE 'm' || (doc_id % 7) END AS value
+FROM c
+ORDER BY doc_id, ctrl_idx
+"""
+
+QUERIES["form_extract"] = q_form_extract
+ORACLES["form_extract"] = ORACLE_FORM_EXTRACT

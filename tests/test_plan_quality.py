@@ -1098,3 +1098,14 @@ def test_gap_fill_stays_in_one_key_family(spark):
     keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
     assert keys <= {"user_id"}, keys
     assert "Generate" in plan  # the sequence() spine explode
+
+
+def test_form_extract_single_kernel_branch(spark):
+    from h2spark.ops import roundtrip
+
+    plan = _formatted(roundtrip.q_form_extract(spark, SF), spark)
+    # one extraction UDF evaluation feeding one posexplode — a
+    # per-control UNION would re-run the kernel once per branch
+    assert plan.count("ArrowEvalPython") == 2  # tree + detail listing
+    assert "Union" not in plan
+    assert "hashpartitioning(" not in plan
