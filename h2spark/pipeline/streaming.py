@@ -1055,3 +1055,70 @@ def run_streaming_late_monitor(
     return _start_append_writer(
         late_data_monitor(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- stream-static enrichment join (round 7, 16th operator) -----------------
+
+ENRICH_SCHEMA = (
+    "event_id long, user_id long, event_type string, cents long,"
+    " tier string, tier_mult long, score_cents long"
+)
+
+
+def user_tier_dim(spark: SparkSession):
+    """The static dimension: a deterministic user->tier table
+    (re-derivable in SQL, so batch-equality tests need no fixture).
+    At 100 TB this is the classic broadcast side — a few million rows
+    against a boundless stream."""
+    from pyspark.sql import functions as F
+
+    return spark.range(0, 4096).select(
+        F.col("id").alias("user_id"),
+        F.expr("CASE id % 3 WHEN 0 THEN 'free' WHEN 1 THEN 'pro'"
+               " ELSE 'team' END").alias("tier"),
+        F.expr("CAST(CASE id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3"
+               " ELSE 5 END AS BIGINT)").alias("tier_mult"),
+    )
+
+
+def enrich_join(events, dim):
+    """Stream-static LEFT join: every micro-batch re-joins against the
+    (broadcastable) dimension — the Structured Streaming enrichment
+    pattern.  Stateless by construction (no watermark, no state
+    store), so streamed output must equal the batch join row-for-row;
+    unknown users degrade to tier='unknown', mult=1, never NULLs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_id", "user_id", "event_type", cents.alias("cents")
+    )
+    return (
+        base.join(broadcast(dim), "user_id", "left")
+        .select(
+            "event_id", "user_id", "event_type", "cents",
+            F.coalesce("tier", F.lit("unknown")).alias("tier"),
+            F.coalesce("tier_mult", F.lit(1)).cast("long")
+            .alias("tier_mult"),
+            (F.col("cents") * F.coalesce("tier_mult", F.lit(1)))
+            .cast("long")
+            .alias("score_cents"),
+        )
+    )
+
+
+def run_streaming_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental enrichment over a growing events directory."""
+    stream = _read_events_stream(spark, input_dir)
+    return _start_append_writer(
+        enrich_join(stream, user_tier_dim(spark)),
+        out_dir, checkpoint_dir, available_now,
+    )

@@ -896,3 +896,56 @@ def test_streaming_late_data_monitor_counts_cross_batch_lateness(
     assert v["max_ts_us"] // 1_000_000 % 3600 == 12 * 60 + 30
     c = latest["click"]
     assert (c["n_total"], c["n_late"]) == (3, 1)
+
+
+def test_streaming_enrich_join_matches_batch(spark, tmp_path):
+    # stream-static LEFT broadcast join is stateless: streamed output
+    # across two micro-batches equals the batch join row-for-row, and
+    # unknown users degrade to sentinels (16th streaming operator)
+    import datetime as _dt
+
+    from h2spark.pipeline.streaming import (
+        enrich_join, run_streaming_enrich, user_tier_dim,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows1 = [
+        (0, t0, 0, "view", 1.00, "{}"),      # tier free (mult 1)
+        (1, t0, 1, "click", 2.00, "{}"),     # tier pro  (mult 3)
+        (2, t0, 5000, "view", 3.00, "{}"),   # unknown user
+    ]
+    rows2 = [
+        (3, t0, 2, "purchase", 4.00, "{}"),  # tier team (mult 5)
+    ]
+    ddl = ("event_id long, ts timestamp, user_id long,"
+           " event_type string, value double, props string")
+    inp, out = tmp_path / "en_in", tmp_path / "en_out"
+    df1 = spark.createDataFrame(rows1, ddl)
+    df1.coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_enrich(
+        spark, str(inp), str(out),
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(120)
+    df2 = spark.createDataFrame(rows2, ddl)
+    df2.coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_enrich(
+        spark, str(inp), str(out),
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: r.asDict()
+        for r in spark.read.parquet(str(out) + "/data").collect()
+    }
+    allb = df1.unionAll(df2)
+    batch = {
+        r["event_id"]: r.asDict()
+        for r in enrich_join(allb, user_tier_dim(spark)).collect()
+    }
+    assert got == batch
+    assert got[0]["tier"] == "free" and got[0]["score_cents"] == 100
+    assert got[1]["tier"] == "pro" and got[1]["score_cents"] == 600
+    assert got[2]["tier"] == "unknown" and got[2]["tier_mult"] == 1
+    assert got[3]["tier"] == "team" and got[3]["score_cents"] == 2000
