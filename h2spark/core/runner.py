@@ -2488,3 +2488,68 @@ def parquet_prune_batch(doc_ids) -> list:
              int(rows_scanned), int(matching))
         )
     return rows
+
+
+def warc_wet_batch(doc_ids) -> list:
+    """REAL WARC->WET derivation per doc: build a 2-page crawl WARC
+    (nav boilerplate + <main> payload), derive the WET file with the
+    REAL parser+selector extraction policy (main text only), re-parse
+    the WET with the record reader, and emit facts the oracle replays
+    from the construction formulas."""
+    from h2spark.core.selector import CssSelector
+    from h2spark.core.warc import (
+        iter_warc_records, warc_to_wet, write_warc_file,
+    )
+
+    sel = CssSelector.parse("main")
+
+    def extract_main(html: str) -> str:
+        doc = parse_document(html)
+        els = sel.select(doc.root_element())
+        return "".join("".join(e.text_contents()) for e in els)
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        ta = f"alpha {d} " * (1 + d % 3)
+        tb = f"beta {d % 7}"
+        recs = [
+            (
+                f"https://crawl.test/{d}/a",
+                "2026-01-01T00:00:00Z",
+                f"<html><body><nav>menu {d}</nav>"
+                f"<main>{ta}</main></body></html>",
+            ),
+            (
+                f"https://crawl.test/{d}/b",
+                "2026-01-01T00:00:00Z",
+                f"<html><body><main>{tb}</main>"
+                f"<footer>foot</footer></body></html>",
+            ),
+        ]
+        warc = write_warc_file(recs, per_record_gzip=(d % 2 == 0))
+        wet = warc_to_wet(warc, extract_main)
+        parsed = list(iter_warc_records(wet))
+        if parsed[0][0].get("warc-type") != "warcinfo":
+            raise ValueError("wet: missing warcinfo header record")
+        convs = [
+            (h, b) for h, b in parsed
+            if h.get("warc-type") == "conversion"
+        ]
+        if len(convs) != 2:
+            raise ValueError("wet: expected 2 conversion records")
+        (ha, ba), (hb, bb) = convs
+        if ba.decode() != ta or bb.decode() != tb:
+            raise ValueError("wet: conversion text mismatch")
+        refers_ok = all(
+            h.get("warc-refers-to")
+            == f"<response:{h.get('warc-target-uri')}>"
+            for h, _ in convs
+        )
+        rows.append(
+            (
+                d, len(convs), len(ba), len(bb),
+                ha.get("warc-target-uri"), bool(refers_ok),
+            )
+        )
+    return rows

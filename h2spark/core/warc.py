@@ -168,3 +168,44 @@ def iter_gzip_members(data: bytes):
         consumed = n - pos - len(d.unused_data)
         yield pos, consumed, raw
         pos += consumed
+
+
+def write_wet_conversion(
+    url: str, date: str, text: str, refers_to: str
+) -> bytes:
+    """One uncompressed WARC/1.0 "conversion" record — the WET shape
+    (plain-text payload, WARC-Refers-To the source response record)."""
+    ent = text.encode("utf-8")
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Refers-To: {refers_to}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(ent)}\r\n\r\n"
+    ).encode("latin-1")
+    return hdr + ent + b"\r\n\r\n"
+
+
+def warc_to_wet(data: bytes, extract_text) -> bytes:
+    """Derive a WET file from a WARC file: one warcinfo header record,
+    then one conversion record per HTML response, with the text
+    produced by ``extract_text(html) -> str`` (the caller owns the
+    extraction policy — boilerplate rules live above this layer).
+    Mirrors the Common Crawl WARC->WET derivation."""
+    info_body = b"software: h2spark-wet\r\n"
+    out = bytearray(
+        (
+            "WARC/1.0\r\n"
+            "WARC-Type: warcinfo\r\n"
+            "Content-Type: application/warc-fields\r\n"
+            f"Content-Length: {len(info_body)}\r\n\r\n"
+        ).encode("latin-1")
+    )
+    out += info_body + b"\r\n\r\n"
+    for url, date, html in iter_html_responses(data):
+        out += write_wet_conversion(
+            url, date, extract_text(html), f"<response:{url}>"
+        )
+    return bytes(out)

@@ -1180,3 +1180,65 @@ ORDER BY doc_id, ctrl_idx
 
 QUERIES["form_extract"] = q_form_extract
 ORACLES["form_extract"] = ORACLE_FORM_EXTRACT
+
+
+# --- WARC -> WET derivation (round 7, session 6) -----------------------------
+
+
+def q_warc_wet_export(spark, sf_dir: str):
+    """The Common Crawl WARC->WET derivation under the driver oracle:
+    per doc a 2-page crawl WARC (gzip members on even doc_ids) is
+    converted to a WET file — warcinfo header + one `conversion`
+    record per HTML response, text produced by the REAL
+    parser+selector policy (<main> contents only, nav/footer
+    boilerplate dropped) — then re-parsed with the same record reader;
+    the oracle replays lengths and URIs from the construction
+    formulas.  WET is what most public text-corpus pipelines actually
+    ingest, so the derivation itself belongs under the gate.
+
+    Scale shape: per-file kernel work on the file axis (like the WARC
+    reader), zero shuffle before the presentation sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import warc_wet_batch
+
+    @pandas_udf(
+        "struct<n_conversion:int, len_a:long, len_b:long,"
+        " first_uri:string, refers_ok:boolean>"
+    )
+    def wet_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = warc_wet_batch(ids)
+        return pd.DataFrame(
+            [r[1:] for r in rows],
+            columns=[
+                "n_conversion", "len_a", "len_b", "first_uri",
+                "refers_ok",
+            ],
+        )
+
+    d = _docs(spark, sf_dir)
+    out = d.select("doc_id", wet_udf(F.col("doc_id")).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.n_conversion").alias("n_conversion"),
+        F.col("o.len_a").alias("len_a"),
+        F.col("o.len_b").alias("len_b"),
+        F.col("o.first_uri").alias("first_uri"),
+        F.col("o.refers_ok").alias("refers_ok"),
+    ).orderBy("doc_id")
+
+
+ORACLE_WARC_WET = """
+SELECT doc_id,
+       2 AS n_conversion,
+       ((7 + length(doc_id::VARCHAR)) * (1 + doc_id % 3))::BIGINT
+           AS len_a,
+       6::BIGINT AS len_b,
+       'https://crawl.test/' || doc_id || '/a' AS first_uri,
+       true AS refers_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["warc_wet_export"] = q_warc_wet_export
+ORACLES["warc_wet_export"] = ORACLE_WARC_WET

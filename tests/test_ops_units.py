@@ -2823,3 +2823,43 @@ def test_pdf_images_batch_roundtrips_real_jpeg():
         else:
             assert (w, h) == (4 + d % 3, 3 + d % 2)
             assert filt == "FlateDecode"
+
+
+def test_warc_to_wet_derivation():
+    import re
+
+    from h2spark.core.warc import (
+        iter_warc_records, warc_to_wet, write_warc_file,
+    )
+
+    warc = write_warc_file([
+        ("https://x/a", "2026-01-01T00:00:00Z",
+         "<html><body><nav>m</nav><p>hello world</p></body></html>"),
+        ("https://x/b", "2026-01-01T00:00:00Z",
+         "<html><body><p>second page</p></body></html>"),
+    ], per_record_gzip=True)
+    wet = warc_to_wet(
+        warc, lambda h: re.search(r"<p>(.*?)</p>", h).group(1)
+    )
+    recs = list(iter_warc_records(wet))
+    assert recs[0][0]["warc-type"] == "warcinfo"
+    convs = [(h, b) for h, b in recs if h["warc-type"] == "conversion"]
+    assert [b.decode() for _, b in convs] == ["hello world", "second page"]
+    assert convs[0][0]["warc-refers-to"] == "<response:https://x/a>"
+    assert convs[0][0]["content-type"] == "text/plain"
+    # WET of a WARC with no HTML responses is just the header record
+    wet2 = warc_to_wet(b"", lambda h: h)
+    assert [h["warc-type"] for h, _ in iter_warc_records(wet2)] == [
+        "warcinfo",
+    ]
+
+
+def test_warc_wet_batch_drops_boilerplate():
+    from h2spark.core.runner import warc_wet_batch
+
+    rows = warc_wet_batch([0, 1, 2, 15])
+    for d, n_conv, la, lb, uri, refers_ok in rows:
+        assert n_conv == 2 and refers_ok
+        assert la == (7 + len(str(d))) * (1 + d % 3)
+        assert lb == 6
+        assert uri == f"https://crawl.test/{d}/a"
