@@ -1242,3 +1242,53 @@ ORDER BY doc_id
 
 QUERIES["warc_wet_export"] = q_warc_wet_export
 ORACLES["warc_wet_export"] = ORACLE_WARC_WET
+
+
+# --- jsonl_export: schema-on-write twin of jsonl_ingest (round 7, s6) -------
+
+
+def q_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL EXPORT lane (the write half of the sidecar story):
+    to_json over a typed struct, byte-exact against DuckDB's to_json
+    — key order follows struct field order in both engines and the
+    escape tables agree (verified for quote/backslash/newline/tab via
+    the esc field, which injects all four).  A training-data pipeline
+    that cannot serialize its manifests deterministically cannot be
+    diffed, resumed, or content-addressed; this pins the bytes.
+
+    Scale shape: pure codegen projection, zero shuffle before the
+    presentation sort."""
+    d = _docs(spark, sf_dir)
+    esc = F.concat(
+        F.lit('q"'), F.col("lang"), F.lit("\\t:\n\tend")
+    )
+    j = F.to_json(
+        F.struct(
+            "doc_id", "lang", "source", "n_chars", esc.alias("esc")
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            j.alias("line"),
+            F.length(j).cast("long").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_JSONL_EXPORT = r"""
+WITH j AS (
+  SELECT doc_id,
+         to_json({'doc_id': doc_id, 'lang': lang, 'source': source,
+                  'n_chars': n_chars,
+                  'esc': 'q"' || lang || '\t:' || chr(10) || chr(9)
+                         || 'end'}) AS line
+  FROM documents
+)
+SELECT doc_id, line, length(line)::BIGINT AS n_bytes
+FROM j ORDER BY doc_id
+"""
+
+QUERIES["jsonl_export"] = q_jsonl_export
+ORACLES["jsonl_export"] = ORACLE_JSONL_EXPORT
