@@ -1636,3 +1636,103 @@ ORDER BY en_doc
 
 QUERIES["bitext_mine"] = q_bitext_mine
 ORACLES["bitext_mine"] = ORACLE_BITEXT_MINE
+
+
+# --- int4 nibble-packed quantization (round 7, session 6) -------------------
+
+
+def q_embedding_quantize_int4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric int4 quantization with nibble packing — two dims per
+    byte, the 8x storage transform coarse rerank tiers use.  Codes map
+    through floor(v/scale*7 + 0.5) with the same explicit-double IEEE
+    discipline as the int8 op (bit-identical in both engines); each
+    code +8 becomes an unsigned nibble (1..15 — 0 is never produced,
+    so it can serve as an odd-dim pad sentinel), and adjacent dims
+    pack as hi<<4 | lo.
+
+    Scale shape: scan-only projection, zero shuffle before the
+    presentation sort."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = e.select(
+        "vec_id", "embedding",
+        F.array_max(
+            F.transform(F.col("embedding"), lambda v: F.abs(v))
+        ).cast("double").alias("absmax"),
+    )
+    absmax = F.col("absmax")
+    nib = F.when(
+        absmax == 0.0,
+        F.transform(F.col("embedding"), lambda v: F.lit(8)),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda v: (
+                F.floor(
+                    v.cast("double") / (absmax / F.lit(7.0)) + F.lit(0.5)
+                ).cast("int")
+                + F.lit(8)
+            ),
+        )
+    )
+    d = F.size("embedding")
+    half = ((d + 1) / 2).cast("int")
+    packed = F.transform(
+        F.sequence(F.lit(1), half),
+        lambda i: (
+            F.element_at(F.col("nib"), i * 2 - 1) * 16
+            + F.coalesce(
+                F.when(i * 2 <= d, F.element_at(F.col("nib"), i * 2)),
+                F.lit(0),
+            )
+        ).cast("int"),
+    )
+    return (
+        e.withColumn("nib", nib)
+        .select(
+            "vec_id",
+            d.cast("long").alias("n_dims"),
+            half.cast("long").alias("n_bytes"),
+            F.array_join(
+                F.transform(packed, lambda b: b.cast("string")), ","
+            ).alias("packed"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_EMBEDDING_QUANTIZE_INT4 = """
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(v)))::DOUBLE
+           AS absmax,
+         len(embedding) AS d
+  FROM embeddings
+), nibs AS (
+  SELECT vec_id, d,
+         CASE WHEN absmax = 0.0
+              THEN list_transform(embedding, v -> 8)
+              ELSE list_transform(
+                embedding,
+                v -> CAST(floor(v::DOUBLE / (absmax / 7.0) + 0.5)
+                          AS INT) + 8)
+         END AS nib
+  FROM base
+)
+SELECT vec_id,
+       d::BIGINT AS n_dims,
+       ((d + 1) // 2)::BIGINT AS n_bytes,
+       array_to_string(
+         list_transform(
+           range(1, ((d + 1) // 2)::INT + 1),
+           i -> CAST(nib[2 * i - 1] * 16
+                     + CASE WHEN 2 * i <= d THEN nib[2 * i]
+                            ELSE 0 END AS VARCHAR)),
+         ',') AS packed
+FROM nibs
+ORDER BY vec_id
+"""
+
+QUERIES["embedding_quantize_int4"] = q_embedding_quantize_int4
+ORACLES["embedding_quantize_int4"] = ORACLE_EMBEDDING_QUANTIZE_INT4

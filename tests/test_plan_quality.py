@@ -1109,3 +1109,13 @@ def test_form_extract_single_kernel_branch(spark):
     assert plan.count("ArrowEvalPython") == 2  # tree + detail listing
     assert "Union" not in plan
     assert "hashpartitioning(" not in plan
+
+
+def test_quantize_int4_is_scan_only_projection(spark):
+    from h2spark.ops import similarity as sim
+
+    plan = _formatted(sim.q_embedding_quantize_int4(spark, SF), spark)
+    # nibble packing is pure per-row HOF work: no hash exchange, no
+    # Python nodes
+    assert "hashpartitioning(" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
