@@ -2437,3 +2437,112 @@ ORDER BY doc_id
 
 QUERIES["text_readability"] = q_text_readability
 ORACLES["text_readability"] = ORACLE_TEXT_READABILITY
+
+
+# --- content-defined chunking (round 7, session 6) --------------------------
+
+# 8-byte polynomial rolling hash, base 33: P[k] = 33^k
+_CDC_P = [33 ** k for k in range(8)]
+_CDC_MASK = 64          # expected chunk length
+_CDC_TARGET = 7
+
+
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the text column: boundaries fall
+    where an 8-char polynomial rolling hash hits a target residue, so
+    they move WITH the content — insert a byte and only the local
+    chunk resplits, which is what makes CDC the storage-dedup chunker
+    (rsync/LBFS lineage) while fixed-size chunking reshifts every
+    downstream block.  Winnowing (q_winnow_fingerprint) picks
+    fingerprints; this derives the chunk geometry itself.
+
+    Scale shape: entirely JVM-side HOF expressions (no Python, no
+    shuffle) — O(8n) integer work per row inside codegen."""
+    d = _docs(spark, sf_dir)
+    n = F.length(F.col("text"))
+    # h(i) = sum_k codes[i-k] * 33^k over the trailing 8 chars
+    # powers as BIGINT literals: code * 33^7 overflows INT under ANSI
+    terms = " + ".join(
+        f"element_at(codes, CAST(i - {k} AS INT)) * {p}L"
+        for k, p in enumerate(_CDC_P)
+    )
+    base = d.select("doc_id", "text", n.alias("n")).withColumn(
+        "codes",
+        F.expr(
+            "transform(sequence(1, greatest(n, 1)),"
+            " i -> ascii(substring(text, CAST(i AS INT), 1)))"
+        ),
+    )
+    bounds = F.expr(
+        f"CASE WHEN n < 8 THEN array()"
+        f" ELSE filter(sequence(8, n),"
+        f" i -> ({terms}) % {_CDC_MASK} = {_CDC_TARGET}) END"
+    )
+    b2 = F.expr("concat(array(0L), bounds, array(CAST(n AS LONG)))")
+    lens = F.expr(
+        "transform(sequence(1, size(b2) - 1),"
+        " j -> element_at(b2, CAST(j + 1 AS INT))"
+        " - element_at(b2, CAST(j AS INT)))"
+    )
+    return (
+        base.withColumn("bounds", bounds)
+        .withColumn("b2", b2)
+        .withColumn("lens", lens)
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            (F.size("bounds") + 1).cast("long").alias("n_chunks"),
+            F.array_max("lens").cast("long").alias("max_chunk"),
+            F.expr("n * 100 div (size(bounds) + 1)")
+            .cast("long")
+            .alias("mean_chunk_e2"),
+            F.coalesce(
+                F.expr("try_element_at(bounds, 1)"), F.lit(-1)
+            )
+            .cast("long")
+            .alias("first_boundary"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_cdc() -> str:
+    terms = " + ".join(
+        f"codes[(i - {k})::INT]::BIGINT * {p}"
+        for k, p in enumerate(_CDC_P)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(range(1, greatest(length(text), 1) + 1),
+                        i -> ascii(substr(text, i::INT, 1))) AS codes
+  FROM documents
+), b AS (
+  SELECT doc_id, n,
+         CASE WHEN n < 8 THEN []
+              ELSE list_filter(range(8, n + 1),
+                     i -> ({terms}) % {_CDC_MASK} = {_CDC_TARGET})
+         END AS bounds
+  FROM base
+), c AS (
+  SELECT doc_id, n, bounds,
+         list_concat(list_concat([0], bounds), [n]) AS b2
+  FROM b
+)
+SELECT doc_id,
+       n::BIGINT AS n_chars,
+       (len(bounds) + 1)::BIGINT AS n_chunks,
+       list_max(list_transform(range(1, len(b2)),
+                               j -> b2[(j + 1)::INT] - b2[j::INT]
+                               ))::BIGINT AS max_chunk,
+       (n * 100 // (len(bounds) + 1))::BIGINT AS mean_chunk_e2,
+       coalesce(bounds[1], -1)::BIGINT AS first_boundary
+FROM c
+ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_CDC = _oracle_cdc()
+
+QUERIES["text_cdc_chunks"] = q_text_cdc_chunks
+ORACLES["text_cdc_chunks"] = ORACLE_TEXT_CDC

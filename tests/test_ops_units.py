@@ -2863,3 +2863,29 @@ def test_warc_wet_batch_drops_boilerplate():
         assert la == (7 + len(str(d))) * (1 + d % 3)
         assert lb == 6
         assert uri == f"https://crawl.test/{d}/a"
+
+
+def test_cdc_chunks_shift_resistance():
+    # the defining CDC property: inserting one char near the front
+    # moves every later boundary by exactly one — it never reshuffles
+    # the boundary pattern the way fixed-size chunking does
+    from h2spark.ops.textstats import _CDC_MASK, _CDC_P, _CDC_TARGET
+
+    def bounds(s: str):
+        codes = [ord(c) for c in s]
+        out = []
+        for i in range(8, len(s) + 1):  # 1-based i, trailing window
+            h = sum(codes[i - 1 - k] * _CDC_P[k] for k in range(8))
+            if h % _CDC_MASK == _CDC_TARGET:
+                out.append(i)
+        return out
+
+    s = "the fast key order sort table scan merge part window " * 4
+    p = 10
+    s2 = s[:p] + "X" + s[p:]
+    b1, b2 = bounds(s), bounds(s2)
+    assert b1  # the hash genuinely produces boundaries
+    shifted = {b + 1 for b in b1 if b >= p + 8}
+    assert shifted <= set(b2)
+    # and boundaries well before the edit are untouched
+    assert {b for b in b1 if b < p} == {b for b in b2 if b < p}

@@ -1119,3 +1119,11 @@ def test_quantize_int4_is_scan_only_projection(spark):
     # Python nodes
     assert "hashpartitioning(" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cdc_chunks_stay_jvm_side_zero_shuffle(spark):
+    from h2spark.ops import textstats as ts
+
+    plan = _formatted(ts.q_text_cdc_chunks(spark, SF), spark)
+    assert "hashpartitioning(" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
