@@ -2553,3 +2553,112 @@ def warc_wet_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def audio_vad_batch(doc_ids, rate: int = 8000) -> list:
+    """Energy VAD over the REAL WAV path: per doc a PCM pattern with
+    voiced frames (|s| up to ~1000) and silence frames (|s| <= 10,
+    every third frame) is serialized as RIFF bytes, decoded back, and
+    the gate runs on DECODED samples: 80-sample frames, abs-sum energy
+    vs a fixed sill (8000) with a wide margin on both sides.  The
+    oracle replays voiced counts and abs-sums from the formulas."""
+    import struct
+
+    from h2spark.core.wavcodec import decode_wav_samples
+
+    frame = 80
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        n_frames = 4 + d % 3
+        n = frame * n_frames
+        samples = []
+        for i in range(n):
+            if (i // frame) % 3 == 1:
+                samples.append(((d + i) % 21) - 10)
+            else:
+                samples.append(((d * 13 + i * 37) % 2000) - 1000)
+        body = struct.pack(f"<{n}h", *samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        _, _, dec = decode_wav_samples(wav)
+        if list(dec) != samples:
+            raise ValueError("vad: wav roundtrip mismatch")
+        voiced = 0
+        voiced_abs = 0
+        total_abs = 0
+        for f in range(n_frames):
+            e = sum(abs(s) for s in dec[f * frame:(f + 1) * frame])
+            total_abs += e
+            if e > 8000:
+                voiced += 1
+                voiced_abs += e
+        outs.append(
+            (d, int(n_frames), int(voiced), int(total_abs),
+             int(voiced_abs))
+        )
+    return outs
+
+
+def webdataset_shard_batch(doc_ids) -> list:
+    """WebDataset-style shard per doc: 3 samples x (.txt + .cls)
+    entries written with the stdlib tarfile writer (USTAR, mtime 0),
+    parsed back with OUR ustar header parser (core/tarmeta.py), then
+    regrouped by the WebDataset key rule (basename before the first
+    dot, entries of one sample contiguous).  The oracle replays entry
+    counts and byte totals from the construction formulas."""
+    import io
+    import tarfile
+
+    from h2spark.core.tarmeta import parse_tar_entries
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        buf = io.BytesIO()
+        payloads = {}
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as t:
+            for k in range(3):
+                key = f"{d:06d}-{k}"
+                txt = (f"sample {d} {k} " * (1 + k)).encode()
+                cls = str((d + k) % 10).encode()
+                for ext, data in ((".txt", txt), (".cls", cls)):
+                    ti = tarfile.TarInfo(key + ext)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    t.addfile(ti, io.BytesIO(data))
+                    payloads[key + ext] = data
+        shard = buf.getvalue()
+        entries = parse_tar_entries(shard)
+        if len(entries) != 6:
+            raise ValueError("wds: expected 6 entries")
+        # WebDataset grouping: key = name before first '.', entries of
+        # a sample must be adjacent in the stream
+        groups: list = []
+        for e in entries:
+            key = e["name"].split(".", 1)[0]
+            if not groups or groups[-1][0] != key:
+                groups.append((key, []))
+            groups[-1][1].append(e)
+        if len(groups) != 3 or any(len(g[1]) != 2 for g in groups):
+            raise ValueError("wds: sample entries not contiguous")
+        for key, es in groups:
+            exts = sorted(e["name"].split(".", 1)[1] for e in es)
+            if exts != ["cls", "txt"]:
+                raise ValueError("wds: sample missing parts")
+            for e in es:
+                if e["size"] != len(payloads[e["name"]]):
+                    raise ValueError("wds: size mismatch")
+        txt_bytes = sum(
+            len(v) for nm, v in payloads.items() if nm.endswith(".txt")
+        )
+        rows.append(
+            (d, len(groups), len(entries), int(txt_bytes),
+             len(shard) // 512)
+        )
+    return rows

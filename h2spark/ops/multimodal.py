@@ -3315,3 +3315,71 @@ ORDER BY doc_id
 
 QUERIES["exif_gps_scrub"] = q_exif_gps_scrub
 ORACLES["exif_gps_scrub"] = ORACLE_EXIF_GPS_SCRUB
+
+
+# --- audio_vad_detect: energy VAD (round 7, session 6) ----------------------
+
+
+def q_audio_vad_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity detection over the REAL WAV
+    decode path — the first gate every speech-corpus pipeline runs
+    (silence trimming, speech-ratio filters).  Frames are 80 samples;
+    the abs-sum energy sill (8000) sits an order of magnitude from
+    both the voiced and the silence pattern, so the decision is
+    decode-exact, and every emitted number is replayed by the oracle
+    from the construction formulas.
+
+    Scale shape: one Arrow-batched kernel pass over doc_id, zero
+    shuffle before the presentation sort."""
+    from h2spark.core.runner import audio_vad_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = audio_vad_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_voiced", "total_abs",
+                    "voiced_abs",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_frames int, n_voiced int, total_abs long,"
+            " voiced_abs long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_AUDIO_VAD = """
+WITH g AS (
+  SELECT doc_id, 4 + doc_id % 3 AS nf FROM documents
+), s AS (
+  SELECT doc_id, nf,
+         list_transform(range(nf * 80), i ->
+           CASE WHEN (i // 80) % 3 = 1
+                THEN abs((doc_id + i) % 21 - 10)
+                ELSE abs((doc_id * 13 + i * 37) % 2000 - 1000) END
+         ) AS a,
+         list_transform(range(nf * 80), i ->
+           CASE WHEN (i // 80) % 3 = 1 THEN 0
+                ELSE abs((doc_id * 13 + i * 37) % 2000 - 1000) END
+         ) AS va
+  FROM g
+)
+SELECT doc_id,
+       nf::INT AS n_frames,
+       (nf - (nf + 1) // 3)::INT AS n_voiced,
+       list_sum(a)::BIGINT AS total_abs,
+       list_sum(va)::BIGINT AS voiced_abs
+FROM s
+ORDER BY doc_id
+"""
+
+QUERIES["audio_vad_detect"] = q_audio_vad_detect
+ORACLES["audio_vad_detect"] = ORACLE_AUDIO_VAD

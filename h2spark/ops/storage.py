@@ -163,3 +163,57 @@ ORDER BY doc_id
 
 QUERIES["parquet_prune_plan"] = q_parquet_prune_plan
 ORACLES["parquet_prune_plan"] = ORACLE_PARQUET_PRUNE
+
+
+# --- WebDataset shard export (round 7, session 6) ---------------------------
+
+
+def q_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard export: 3 samples x (.txt + .cls) per
+    doc written as a USTAR tar shard, re-parsed with OUR ustar header
+    parser, and regrouped by the WebDataset key rule (basename before
+    the first dot, sample parts contiguous in the stream) — tar
+    shards are the de-facto container multimodal training loaders
+    stream, and the grouping invariant is what makes them seekable-
+    free.  The oracle replays entry counts and byte totals from the
+    construction formulas.
+
+    Scale shape: per-shard kernel work on the doc axis, zero shuffle
+    before the presentation sort."""
+    from h2spark.core.runner import webdataset_shard_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = webdataset_shard_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_entries", "txt_bytes",
+                    "shard_blocks",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_samples int, n_entries int,"
+            " txt_bytes long, shard_blocks long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_WEBDATASET = """
+SELECT doc_id,
+       3 AS n_samples,
+       6 AS n_entries,
+       ((10 + length(doc_id::VARCHAR)) * 6)::BIGINT AS txt_bytes,
+       20::BIGINT AS shard_blocks
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["webdataset_export"] = q_webdataset_export
+ORACLES["webdataset_export"] = ORACLE_WEBDATASET

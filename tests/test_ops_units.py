@@ -2889,3 +2889,25 @@ def test_cdc_chunks_shift_resistance():
     assert shifted <= set(b2)
     # and boundaries well before the edit are untouched
     assert {b for b in b1 if b < p} == {b for b in b2 if b < p}
+
+
+def test_audio_vad_energy_margins():
+    from h2spark.core.runner import audio_vad_batch
+
+    for d, nf, nv, tot, va in audio_vad_batch([0, 1, 2, 9]):
+        assert nf == 4 + d % 3
+        # every third frame is silence; the rest pass the sill
+        assert nv == nf - (nf + 1) // 3
+        # silence frames contribute only the tiny residual
+        assert tot - va <= ((nf + 1) // 3) * 80 * 10
+        assert va > 8000 * nv  # voiced frames clear the sill
+
+
+def test_webdataset_shard_grouping_and_sizes():
+    from h2spark.core.runner import webdataset_shard_batch
+
+    for d, n_samples, n_entries, txt_bytes, blocks in \
+            webdataset_shard_batch([0, 7, 123]):
+        assert (n_samples, n_entries) == (3, 6)
+        assert txt_bytes == (10 + len(str(d))) * 6
+        assert blocks == 20  # USTAR record padding (10240 bytes)
