@@ -2662,3 +2662,46 @@ def webdataset_shard_batch(doc_ids) -> list:
              len(shard) // 512)
         )
     return rows
+
+
+def video_scene_cuts_batch(doc_ids) -> list:
+    """Scene-cut detection over the REAL AVI path: 3-frame scenes
+    whose base intensity jumps ±~100 at shot boundaries while
+    intra-scene frames drift by 1, serialized as uncompressed DIB AVI
+    and decoded frame-by-frame; a cut is a consecutive-frame abs-diff
+    above 20/pixel.  Margins are decode-exact (1 vs ~100), and the
+    oracle replays diffs and cut counts from the formulas."""
+    from h2spark.core.avicodec import decode_avi_frame, encode_avi
+
+    w, h, fps = 8, 6, 10
+    px = w * h * 3
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        n = 6 + d % 3
+        vals = [(d * 31 + (f // 3) * 97) % 200 + f % 3 for f in range(n)]
+        frames = [bytes([v]) * px for v in vals]
+        avi = encode_avi(w, h, frames, fps=fps, codec="DIB")
+        dec = []
+        for f in range(n):
+            fw, fh, fr = decode_avi_frame(avi, f * 1000 // fps)
+            if (fw, fh) != (w, h):
+                raise ValueError("scene: bad decoded geometry")
+            dec.append(fr)
+        if [bytes([v]) * px for v in vals] != dec:
+            raise ValueError("scene: frame roundtrip mismatch")
+        n_cuts = 0
+        sum_diff = 0
+        first_cut = -1
+        for f in range(1, n):
+            diff = sum(
+                abs(a - b) for a, b in zip(dec[f], dec[f - 1])
+            )
+            sum_diff += diff
+            if diff > 20 * px:
+                n_cuts += 1
+                if first_cut < 0:
+                    first_cut = f
+        rows.append((d, int(n), int(n_cuts), int(sum_diff),
+                     int(first_cut)))
+    return rows

@@ -3383,3 +3383,73 @@ ORDER BY doc_id
 
 QUERIES["audio_vad_detect"] = q_audio_vad_detect
 ORACLES["audio_vad_detect"] = ORACLE_AUDIO_VAD
+
+
+# --- video_scene_cuts: shot-boundary detection (round 7, session 6) ---------
+
+
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the REAL AVI decode path —
+    keyframe selection and clip segmentation both start here in a
+    video-corpus pipeline.  Consecutive-frame abs-diff against a
+    20/pixel sill with decode-exact margins (intra-scene drift 1,
+    scene jumps ~100); every number replays from the construction
+    formulas in SQL.
+
+    Scale shape: one Arrow-batched kernel pass per doc, zero shuffle
+    before the presentation sort."""
+    from h2spark.core.runner import video_scene_cuts_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = video_scene_cuts_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_cuts", "sum_diff",
+                    "first_cut",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_frames int, n_cuts int, sum_diff long,"
+            " first_cut long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_VIDEO_SCENE_CUTS = """
+WITH g AS (
+  SELECT doc_id, 6 + doc_id % 3 AS n FROM documents
+), v AS (
+  SELECT doc_id, n,
+         list_transform(range(n), f ->
+           (doc_id * 31 + (f // 3) * 97) % 200 + f % 3) AS vals
+  FROM g
+), diffs AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n::INT), f ->
+           abs(vals[f + 1] - vals[f]) * 144) AS dl
+  FROM v
+)
+SELECT doc_id,
+       n::INT AS n_frames,
+       len(list_filter(dl, x -> x > 2880))::INT AS n_cuts,
+       list_sum(dl)::BIGINT AS sum_diff,
+       coalesce(list_filter(
+           list_transform(range(1, n::INT),
+                          f -> CASE WHEN abs(vals[f + 1] - vals[f])
+                                         * 144 > 2880
+                                    THEN f ELSE -1 END),
+           x -> x > 0)[1], -1)::BIGINT AS first_cut
+FROM diffs JOIN v USING (doc_id, n)
+ORDER BY doc_id
+"""
+
+QUERIES["video_scene_cuts"] = q_video_scene_cuts
+ORACLES["video_scene_cuts"] = ORACLE_VIDEO_SCENE_CUTS

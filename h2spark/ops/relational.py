@@ -1998,3 +1998,61 @@ ORDER BY s.user_id, s.day
 
 QUERIES["events_gap_fill"] = q_events_gap_fill
 ORACLES["events_gap_fill"] = ORACLE_EVENTS_GAP_FILL
+
+
+# --- set operations (round 7, session 6) ------------------------------------
+
+
+def q_corpus_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset-semantics coverage for the set-operation family:
+    UNION ALL / UNION DISTINCT / INTERSECT [ALL] / EXCEPT [ALL]
+    between two overlapping language multisets (docs with even ids vs
+    ids divisible by 3).  ALL-variants follow SQL multiset semantics
+    (min multiplicity for INTERSECT ALL, multiset difference for
+    EXCEPT ALL) in both engines — a dedup/reconcile pipeline that
+    assumes DISTINCT semantics here silently drops rows.
+
+    Scale shape: each branch is one map-side-combinable aggregate;
+    the final crossJoin glues eight 1-row aggregates."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = d.where(F.col("doc_id") % 2 == 0).select("lang")
+    b = d.where(F.col("doc_id") % 3 == 0).select("lang")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    return (
+        cnt(a, "n_a")
+        .crossJoin(cnt(b, "n_b"))
+        .crossJoin(cnt(a.unionAll(b), "n_union_all"))
+        .crossJoin(cnt(a.union(b).distinct(), "n_union_distinct"))
+        .crossJoin(cnt(a.intersect(b), "n_intersect"))
+        .crossJoin(cnt(a.intersectAll(b), "n_intersect_all"))
+        .crossJoin(cnt(a.exceptAll(b), "n_except_all"))
+        .crossJoin(cnt(a.subtract(b), "n_except"))
+    )
+
+
+ORACLE_CORPUS_SET_OPS = """
+WITH a AS (SELECT lang FROM documents WHERE doc_id % 2 = 0),
+     b AS (SELECT lang FROM documents WHERE doc_id % 3 = 0)
+SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+       (SELECT count(*) FROM b)::BIGINT AS n_b,
+       (SELECT count(*) FROM (SELECT * FROM a UNION ALL
+                              SELECT * FROM b))::BIGINT AS n_union_all,
+       (SELECT count(*) FROM (SELECT * FROM a UNION
+                              SELECT * FROM b))::BIGINT
+           AS n_union_distinct,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT
+                              SELECT * FROM b))::BIGINT AS n_intersect,
+       (SELECT count(*) FROM (SELECT * FROM a INTERSECT ALL
+                              SELECT * FROM b))::BIGINT
+           AS n_intersect_all,
+       (SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL
+                              SELECT * FROM b))::BIGINT AS n_except_all,
+       (SELECT count(*) FROM (SELECT * FROM a EXCEPT
+                              SELECT * FROM b))::BIGINT AS n_except
+"""
+
+QUERIES["corpus_set_ops"] = q_corpus_set_ops
+ORACLES["corpus_set_ops"] = ORACLE_CORPUS_SET_OPS

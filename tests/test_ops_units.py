@@ -2911,3 +2911,14 @@ def test_webdataset_shard_grouping_and_sizes():
         assert (n_samples, n_entries) == (3, 6)
         assert txt_bytes == (10 + len(str(d))) * 6
         assert blocks == 20  # USTAR record padding (10240 bytes)
+
+
+def test_video_scene_cuts_margins():
+    from h2spark.core.runner import video_scene_cuts_batch
+
+    for d, n, n_cuts, sum_diff, first_cut in \
+            video_scene_cuts_batch([0, 1, 2, 8]):
+        assert n == 6 + d % 3
+        # scenes are 3 frames: cuts at f=3 (and f=6 when n>6)
+        assert n_cuts == (n - 1) // 3
+        assert first_cut == 3
