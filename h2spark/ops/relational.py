@@ -2056,3 +2056,133 @@ SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
 
 QUERIES["corpus_set_ops"] = q_corpus_set_ops
 ORACLES["corpus_set_ops"] = ORACLE_CORPUS_SET_OPS
+
+
+# --- rolling window frames: ROWS vs RANGE (round 7, session 6) --------------
+
+
+def q_events_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-feature frames with both frame semantics side by side:
+    per user-day, the trailing-3-day spend as a RANGE frame (value
+    window — missing days genuinely shrink the sum) and the
+    last-3-rows spend as a ROWS frame (they differ exactly on
+    calendar gaps, which is the classic feature-store bug this op
+    exists to pin).  Exact integer cents.
+
+    Scale shape: ONE shuffle on user_id — the daily pre-aggregate and
+    both window frames share partitioning, and both frames hang off
+    the same Window node ordering."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_day = (
+        e.select("user_id", day.alias("day"), cents.alias("cents"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").cast("long").alias("day_cents"))
+    )
+    wr = (
+        Window.partitionBy("user_id").orderBy("day").rangeBetween(-2, 0)
+    )
+    wn = Window.partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
+    return (
+        per_day.select(
+            "user_id", "day", "day_cents",
+            F.sum("day_cents").over(wr).cast("long")
+            .alias("range_3d_cents"),
+            F.sum("day_cents").over(wn).cast("long")
+            .alias("rows_3_cents"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_EVENTS_ROLLING_SPEND = """
+WITH per_day AS (
+  SELECT user_id,
+         (epoch_us(ts::TIMESTAMP) // 86400000000)::BIGINT AS day,
+         sum(round(value * 100, 0)::BIGINT)::BIGINT AS day_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, day_cents,
+       sum(day_cents) OVER (
+         PARTITION BY user_id ORDER BY day
+         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+       )::BIGINT AS range_3d_cents,
+       sum(day_cents) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       )::BIGINT AS rows_3_cents
+FROM per_day
+ORDER BY user_id, day
+"""
+
+QUERIES["events_rolling_spend"] = q_events_rolling_spend
+ORACLES["events_rolling_spend"] = ORACLE_EVENTS_ROLLING_SPEND
+
+
+# --- sliding event-time windows (round 7, session 6) ------------------------
+
+
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2 h length, 1 h slide) via
+    F.window — each event lands in exactly two overlapping windows,
+    the shape streaming dashboards aggregate on (events_hourly_window
+    covers the tumbling case).  Window bounds are emitted as epoch
+    hours so the driver hash stays integer-only.
+
+    Scale shape: Catalyst expands each row to its two windows before
+    ONE map-side-combinable aggregate — no join, no second scan."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = F.window("ts", "2 hours", "1 hour")
+    agg = (
+        e.select(win.alias("w"), "event_type", "value")
+        .groupBy("w", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    hour_of = (
+        lambda c: F.expr(
+            f"timestampdiff(MICROSECOND,"
+            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {c})"
+        )
+        / F.lit(3_600_000_000)
+    )
+    return (
+        agg.select(
+            hour_of("w.start").cast("long").alias("start_hour"),
+            hour_of("w.end").cast("long").alias("end_hour"),
+            "event_type", "n_events", "cents",
+        )
+        .orderBy("start_hour", "event_type")
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH x AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS hr,
+         event_type,
+         round(value * 100, 0)::BIGINT AS cents,
+         unnest([0, 1]) AS k
+  FROM events
+)
+SELECT (hr - k)::BIGINT AS start_hour,
+       (hr - k + 2)::BIGINT AS end_hour,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       sum(cents)::BIGINT AS cents
+FROM x
+GROUP BY 1, 2, 3
+ORDER BY start_hour, event_type
+"""
+
+QUERIES["events_sliding_windows"] = q_events_sliding_windows
+ORACLES["events_sliding_windows"] = ORACLE_EVENTS_SLIDING

@@ -1127,3 +1127,30 @@ def test_cdc_chunks_stay_jvm_side_zero_shuffle(spark):
     plan = _formatted(ts.q_text_cdc_chunks(spark, SF), spark)
     assert "hashpartitioning(" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rolling_spend_single_user_shuffle_two_frames(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_rolling_spend(spark, SF), spark)
+    # every exchange keys user_id-first (pre-agg on (user_id, day),
+    # window on user_id — one key family), no join, and BOTH frames
+    # hang off a single Window node
+    import re
+
+    args = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert args and set(args) == {"user_id"}, args
+    assert "Join" not in plan
+    assert plan.count("(8) Window") + plan.count("(7) Window") == 1
+    assert "specifiedwindowframe(RangeFrame" in plan
+    assert "specifiedwindowframe(RowFrame" in plan
+
+
+def test_sliding_windows_expand_then_single_agg(spark):
+    from h2spark.ops import relational
+
+    plan = _formatted(relational.q_events_sliding_windows(spark, SF), spark)
+    # F.window slide expansion -> ONE aggregate, no join/second scan
+    assert plan.count("Scan parquet") == 2  # tree + detail, one scan
+    assert "partial_count" in plan
+    assert "Join" not in plan
