@@ -2546,3 +2546,67 @@ ORACLE_TEXT_CDC = _oracle_cdc()
 
 QUERIES["text_cdc_chunks"] = q_text_cdc_chunks
 ORACLES["text_cdc_chunks"] = ORACLE_TEXT_CDC
+
+
+# --- regex entity extraction (round 7, session 6) ---------------------------
+
+_ENT_EMAIL = "[a-z0-9._]+@[a-z0-9-]+[.][a-z]{2,}"
+_ENT_URL = "https?://[a-z0-9./_-]+"
+
+
+def q_text_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all entity lane: plant doc-keyed emails and URLs
+    into the text and pull them back out — the contact-info/citation
+    miner (and the recall half of PII auditing; text_pii_scrub is the
+    removal half).  Patterns are deliberately lookaround-free and
+    backreference-free so Java regex (Spark) and RE2 (DuckDB) agree
+    match-for-match.
+
+    Scale shape: pure codegen projection, zero shuffle before the
+    presentation sort."""
+    d = _docs(spark, sf_dir)
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact: u"), F.col("doc_id") % 7,
+        F.lit("@ex"), F.col("doc_id") % 5,
+        F.lit(".com see https://site"), F.col("doc_id") % 3,
+        F.lit(".test/p/"), F.col("doc_id") % 11,
+        F.lit(" or u"), F.col("doc_id") % 7, F.lit("b@ex2.org"),
+    )
+    emails = F.regexp_extract_all(body, F.lit(_ENT_EMAIL), 0)
+    urls = F.regexp_extract_all(body, F.lit(_ENT_URL), 0)
+    return (
+        d.select(
+            "doc_id",
+            F.size(emails).cast("long").alias("n_emails"),
+            F.array_join(emails, ",").alias("emails_csv"),
+            F.size(urls).cast("long").alias("n_urls"),
+            F.array_join(urls, ",").alias("urls_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_ENTITY = f"""
+WITH b AS (
+  SELECT doc_id,
+         text || ' contact: u' || (doc_id % 7) || '@ex' ||
+         (doc_id % 5) || '.com see https://site' || (doc_id % 3) ||
+         '.test/p/' || (doc_id % 11) || ' or u' || (doc_id % 7) ||
+         'b@ex2.org' AS body
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(body, '{_ENT_EMAIL}'))::BIGINT
+           AS n_emails,
+       array_to_string(regexp_extract_all(body, '{_ENT_EMAIL}'), ',')
+           AS emails_csv,
+       len(regexp_extract_all(body, '{_ENT_URL}'))::BIGINT AS n_urls,
+       array_to_string(regexp_extract_all(body, '{_ENT_URL}'), ',')
+           AS urls_csv
+FROM b
+ORDER BY doc_id
+"""
+
+QUERIES["text_entity_extract"] = q_text_entity_extract
+ORACLES["text_entity_extract"] = ORACLE_TEXT_ENTITY
