@@ -106,9 +106,20 @@ def _all_modules():
 # export_compaction_plan, corpus_overlap_kmv, events_cdc_merge,
 # dq_constraint_report, code_license_detect, quality_ppl_buckets,
 # retrieval_hard_negatives, quality_calibration_bins,
-# corpus_prune_prototypes) are
-# 0 rounds
-# old,
+# corpus_prune_prototypes, the session-5b batch: feed/atom, KMV,
+# CDC-merge/compaction, DQ report, SPDX routing, CCNet terciles, BM25
+# negatives, calibration bins, prototype pruning, robots_crawl_gate,
+# title_dedup_editdist, annotation_agreement, audio_clip_detect,
+# mime_sniff_audit, text_mojibake_repair, eval_split_assign,
+# batch_padding_plan, ldiv_release, and the session-6 batch:
+# events_rollup_cube, events_pivot_daily, snapshot_diff,
+# scd2_dimension, image_qoi_pixels, link_triangles, exif_gps_scrub,
+# text_readability, events_value_ranks, events_props_stats,
+# events_gap_fill, pdf_image_extract, form_extract, warc_wet_export,
+# jsonl_export, embedding_quantize_int4, text_cdc_chunks,
+# parquet_prune_plan, audio_vad_detect, webdataset_export,
+# corpus_set_ops, video_scene_cuts, events_rolling_spend,
+# events_sliding_windows, text_entity_extract) are 0 rounds old,
 # CI-oracle-checked every run by tests/test_driver_contract.py, and
 # rotate into the r8 window.
 _PRIORITY = [
