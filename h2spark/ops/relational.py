@@ -2186,3 +2186,95 @@ ORDER BY start_hour, event_type
 
 QUERIES["events_sliding_windows"] = q_events_sliding_windows
 ORACLES["events_sliding_windows"] = ORACLE_EVENTS_SLIDING
+
+
+# --- access-log parsing (round 7, session 6) --------------------------------
+
+_CLF_RE = (
+    r'^(\d+\.\d+\.\d+\.\d+) - - \[([^\]]+)\] '
+    r'"([A-Z]+) ([^ ]+) HTTP/1\.1" (\d+) (\d+)$'
+)
+
+
+def q_access_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-log ETL lane: synthesize Common-Log-Format lines from
+    the events table, parse them back with regexp_extract groups
+    (JVM codegen), and roll up per (method, status) — the
+    smoke-every-webserver pipeline.  The group regex is RE2-safe so
+    both engines split identically; the rollup proves the parsed
+    columns, not just the line shape.
+
+    Scale shape: scan -> codegen regex -> ONE map-side-combinable
+    groupBy."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ip = F.concat_ws(
+        ".",
+        (F.col("user_id") % 223 + 1).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+        ((F.col("event_id") / 256).cast("long") % 256).cast("string"),
+        (F.col("user_id") % 256).cast("string"),
+    )
+    method = F.when(F.col("event_type") == "purchase", "POST").otherwise(
+        "GET"
+    )
+    status = (
+        F.when(F.col("event_type") == "error", 500)
+        .when(F.col("event_type") == "signup", 201)
+        .otherwise(200)
+    )
+    nbytes = F.round(F.col("value") * 100).cast("long") + 512
+    line = F.concat(
+        ip, F.lit(" - - [01/Jan/2024:00:00:00 +0000] \""), method,
+        F.lit(" /p/"), F.col("event_id") % 97,
+        F.lit(" HTTP/1.1\" "), status, F.lit(" "), nbytes,
+    )
+    logs = e.select(line.alias("line"))
+    parsed = logs.select(
+        F.regexp_extract("line", _CLF_RE, 3).alias("method"),
+        F.regexp_extract("line", _CLF_RE, 5).cast("long")
+        .alias("status"),
+        F.regexp_extract("line", _CLF_RE, 6).cast("long")
+        .alias("nbytes"),
+        F.regexp_extract("line", _CLF_RE, 4).alias("path"),
+    )
+    return (
+        parsed.groupBy("method", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_requests"),
+            F.sum("nbytes").cast("long").alias("bytes_total"),
+            F.countDistinct("path").cast("long").alias("n_paths"),
+        )
+        .orderBy("method", "status")
+    )
+
+
+ORACLE_ACCESS_LOG = f"""
+WITH lines AS (
+  SELECT ((user_id % 223 + 1) || '.' || (event_id % 256) || '.' ||
+          ((event_id // 256) % 256) || '.' || (user_id % 256)) ||
+         ' - - [01/Jan/2024:00:00:00 +0000] "' ||
+         (CASE WHEN event_type = 'purchase' THEN 'POST'
+               ELSE 'GET' END) ||
+         ' /p/' || (event_id % 97) || ' HTTP/1.1" ' ||
+         (CASE WHEN event_type = 'error' THEN 500
+               WHEN event_type = 'signup' THEN 201 ELSE 200 END) ||
+         ' ' || (round(value * 100, 0)::BIGINT + 512) AS line
+  FROM events
+), parsed AS (
+  SELECT regexp_extract(line, '{_CLF_RE}', 3) AS method,
+         regexp_extract(line, '{_CLF_RE}', 5)::BIGINT AS status,
+         regexp_extract(line, '{_CLF_RE}', 6)::BIGINT AS nbytes,
+         regexp_extract(line, '{_CLF_RE}', 4) AS path
+  FROM lines
+)
+SELECT method, status,
+       count(*)::BIGINT AS n_requests,
+       sum(nbytes)::BIGINT AS bytes_total,
+       count(DISTINCT path)::BIGINT AS n_paths
+FROM parsed
+GROUP BY 1, 2
+ORDER BY method, status
+"""
+
+QUERIES["access_log_parse"] = q_access_log_parse
+ORACLES["access_log_parse"] = ORACLE_ACCESS_LOG
