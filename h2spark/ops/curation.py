@@ -1927,3 +1927,70 @@ ORDER BY bucket_hi
 
 QUERIES["batch_padding_plan"] = q_batch_padding_plan
 ORACLES["batch_padding_plan"] = ORACLE_BATCH_PADDING
+
+
+# --- group-aware eval split (round 7, session 6) ----------------------------
+
+
+def q_eval_split_group_aware(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUP-aware train/val/test split: the md5 bucket is computed on
+    the GROUP key (source), not the document, so every document of a
+    source lands in the same split — the leakage guard doc-level
+    splitting can't give you (near-duplicates and templated pages
+    cluster within a source; splitting them across train and test
+    inflates eval).  Emits the per-source assignment plus a leakage
+    audit column proving each source occupies exactly one split.
+
+    Scale shape: split is a pure codegen function of the source
+    string (no shuffle to assign); the audit is one narrow
+    groupBy(source)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.min("split").alias("split"),
+        )
+        .select(
+            "source", "split", "n_docs",
+            (F.col("n_splits") == 1).alias("leak_free"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_EVAL_SPLIT_GROUP = """
+WITH s AS (
+  SELECT source,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT source,
+           ('0x' || substr(md5(source), 1, 8))::BIGINT % 100 AS b
+    FROM documents
+  )
+)
+SELECT source, min(split) AS split,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT split) = 1 AS leak_free
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["eval_split_group_aware"] = q_eval_split_group_aware
+ORACLES["eval_split_group_aware"] = ORACLE_EVAL_SPLIT_GROUP
