@@ -2705,3 +2705,54 @@ def video_scene_cuts_batch(doc_ids) -> list:
         rows.append((d, int(n), int(n_cuts), int(sum_diff),
                      int(first_cut)))
     return rows
+
+
+def image_border_batch(doc_ids) -> list:
+    """Letterbox/border detection over the REAL PNG path: a grayscale
+    raster with a uniform border band (width 1 + d%3, value < 20)
+    around a varying interior (values >= 30) roundtrips through the
+    PNG codec; the detector scans DECODED rows/columns inward from
+    each edge.  The oracle replays geometry from the formulas."""
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        w = 12 + d % 5
+        h = 9 + d % 4
+        b = 1 + d % 3
+        bv = (d * 11) % 20
+        px = bytearray(w * h)
+        for y in range(h):
+            for x in range(w):
+                if x < b or x >= w - b or y < b or y >= h - b:
+                    px[y * w + x] = bv
+                else:
+                    px[y * w + x] = (d + x * 7 + y * 13) % 200 + 30
+        dw, dh, ch, dec = decode_png(encode_png(w, h, 1, bytes(px)))
+        if (dw, dh, ch) != (w, h, 1) or bytes(dec) != bytes(px):
+            raise ValueError("border: png roundtrip mismatch")
+
+        def row_uniform(y):
+            return all(dec[y * w + x] == bv for x in range(w))
+
+        def col_uniform(x):
+            return all(dec[y * w + x] == bv for y in range(h))
+
+        top = 0
+        while top < h and row_uniform(top):
+            top += 1
+        bot = 0
+        while bot < h - top and row_uniform(h - 1 - bot):
+            bot += 1
+        left = 0
+        while left < w and col_uniform(left):
+            left += 1
+        right = 0
+        while right < w - left and col_uniform(w - 1 - right):
+            right += 1
+        rows.append(
+            (d, w, h, top, bot, left, right,
+             w - left - right, h - top - bot)
+        )
+    return rows

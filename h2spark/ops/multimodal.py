@@ -3453,3 +3453,60 @@ ORDER BY doc_id
 
 QUERIES["video_scene_cuts"] = q_video_scene_cuts
 ORACLES["video_scene_cuts"] = ORACLE_VIDEO_SCENE_CUTS
+
+
+# --- image_border_detect: letterbox/crop plan (round 7, session 6) ----------
+
+
+def q_image_border_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-border (letterbox) detection over the REAL PNG decode
+    path — the crop-plan step image-curation pipelines run before
+    dedup/embedding (borders dominate hashes and waste tokens).  The
+    detector scans decoded rows/columns inward from each edge; the
+    construction separates border (<20) from interior (>=30) so the
+    decision is decode-exact, and the oracle replays the geometry.
+
+    Scale shape: one Arrow-batched kernel pass over doc_id, zero
+    shuffle before the presentation sort."""
+    from h2spark.core.runner import image_border_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = image_border_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "b_top", "b_bottom",
+                    "b_left", "b_right", "crop_w", "crop_h",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, width int, height int, b_top int,"
+            " b_bottom int, b_left int, b_right int, crop_w int,"
+            " crop_h int",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_BORDER = """
+SELECT doc_id,
+       (12 + doc_id % 5)::INT AS width,
+       (9 + doc_id % 4)::INT AS height,
+       (1 + doc_id % 3)::INT AS b_top,
+       (1 + doc_id % 3)::INT AS b_bottom,
+       (1 + doc_id % 3)::INT AS b_left,
+       (1 + doc_id % 3)::INT AS b_right,
+       (12 + doc_id % 5 - 2 * (1 + doc_id % 3))::INT AS crop_w,
+       (9 + doc_id % 4 - 2 * (1 + doc_id % 3))::INT AS crop_h
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["image_border_detect"] = q_image_border_detect
+ORACLES["image_border_detect"] = ORACLE_IMAGE_BORDER
