@@ -65,13 +65,14 @@ def _all_modules():
         tableextract,
         similarity,
         textstats,
+        tpch,
     )
 
     return (
         multimodal, pdftext, tableextract,
         flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
         relational, textstats, bpetokens, dedup, similarity, curation,
-        scrub, sketches, storage,
+        scrub, sketches, storage, tpch,
     )
 
 

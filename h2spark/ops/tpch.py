@@ -1,0 +1,148 @@
+"""TPC-H classics through the spark.sql surface.
+
+The warehouse star schema (region/nation/customer/supplier/part/
+orders/lineitem) was only exercised by DQ/footer/manifest ops until
+now; these are the canonical analytical shapes — pricing summary
+(Q1), shipping priority (Q3), local-supplier volume (Q5), revenue
+forecast (Q6) — expressed as SQL text so the contract covers the SQL
+API surface too, not just the DataFrame builder.
+
+Money math is exact integers end to end: prices/discounts/taxes have
+two decimals in this corpus, so cents (e2), discounted price (e4 =
+cents x (100 - disc_e2)) and charge (e6) are integer products —
+no float aggregation on either engine, which is what keeps the
+driver hash stable.  Spark `div` == DuckDB `//` on the non-negative
+sums used here.
+
+Scale shapes: Q1/Q6 are single-scan map-side-combinable aggregates
+with the date filter pushed to the parquet scan; Q3/Q5 join a big
+fact against small dimensions — the dims broadcast (plan-pinned), so
+the fact table never shuffles for the join, only for the final
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem",
+)
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+
+
+_Q1_BODY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+       CAST(sum(cents * (100 - disc_e2)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(cents * (100 - disc_e2) * (100 + tax_e2)) AS BIGINT)
+           AS sum_charge_e6,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(qty) * 100 {div} count(*) AS BIGINT) AS avg_qty_e2,
+       CAST(sum(cents) {div} count(*) AS BIGINT) AS avg_price_cents,
+       CAST(sum(disc_e2) * 10000 {div} count(*) AS BIGINT)
+           AS avg_disc_e6
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_e2,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax_e2
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+)
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(_Q1_BODY.format(div="div"))
+
+
+_Q3_BODY = """
+SELECT o.o_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(_Q3_BODY)
+
+
+_Q5_BODY = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue_e4 DESC, n_name
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(_Q5_BODY)
+
+
+_Q6_BODY = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND round(l_discount * 100) BETWEEN 4 AND 8
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir)
+    return spark.sql(_Q6_BODY)
+
+
+QUERIES["tpch_q1_pricing"] = q_tpch_q1
+QUERIES["tpch_q3_priority"] = q_tpch_q3
+QUERIES["tpch_q5_volume"] = q_tpch_q5
+QUERIES["tpch_q6_forecast"] = q_tpch_q6
+
+ORACLES["tpch_q1_pricing"] = _Q1_BODY.format(div="//")
+ORACLES["tpch_q3_priority"] = _Q3_BODY
+ORACLES["tpch_q5_volume"] = _Q5_BODY
+ORACLES["tpch_q6_forecast"] = _Q6_BODY

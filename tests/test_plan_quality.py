@@ -1154,3 +1154,25 @@ def test_sliding_windows_expand_then_single_agg(spark):
     assert plan.count("Scan parquet") == 2  # tree + detail, one scan
     assert "partial_count" in plan
     assert "Join" not in plan
+
+
+def test_tpch_q1_pushes_date_filter_to_scan(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q1(spark, SF), spark)
+    # single-scan map-side-combinable aggregate; shipdate predicate
+    # reaches the parquet scan
+    assert plan.count("Scan parquet") == 2  # tree + detail, one scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" \
+        in plan
+    assert "partial_sum" in plan and "Join" not in plan
+
+
+def test_tpch_q5_broadcasts_every_dimension(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q5(spark, SF), spark)
+    # the fact table must never shuffle for the join: every dim side
+    # broadcasts, no sort-merge join at this scale
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
