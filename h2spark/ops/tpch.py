@@ -146,3 +146,61 @@ ORACLES["tpch_q1_pricing"] = _Q1_BODY.format(div="//")
 ORACLES["tpch_q3_priority"] = _Q3_BODY
 ORACLES["tpch_q5_volume"] = _Q5_BODY
 ORACLES["tpch_q6_forecast"] = _Q6_BODY
+
+
+_Q4_BODY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (order-priority checking), adapted to this schema: orders
+    with at least one line shipped >90 days after the order date —
+    the correlated-EXISTS class, which Catalyst rewrites to a LEFT
+    SEMI join on l_orderkey (plan-pinned: the lineitem scan is
+    consumed by a semi join, never a full join + distinct)."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q4_BODY)
+
+
+_Q18_BODY = """
+SELECT c.c_name, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY total_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (large-volume customers), adapted threshold: the
+    IN-subquery + HAVING class — an aggregate-derived key set
+    filtering a 3-table join."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q18_BODY)
+
+
+QUERIES["tpch_q4_late_orders"] = q_tpch_q4
+QUERIES["tpch_q18_big_orders"] = q_tpch_q18
+ORACLES["tpch_q4_late_orders"] = _Q4_BODY
+ORACLES["tpch_q18_big_orders"] = _Q18_BODY

@@ -1176,3 +1176,13 @@ def test_tpch_q5_broadcasts_every_dimension(spark):
     # broadcasts, no sort-merge join at this scale
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q4(spark, SF), spark)
+    # correlated EXISTS must plan as LEFT SEMI — never a full join
+    # followed by distinct
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
