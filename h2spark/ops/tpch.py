@@ -204,3 +204,65 @@ QUERIES["tpch_q4_late_orders"] = q_tpch_q4
 QUERIES["tpch_q18_big_orders"] = q_tpch_q18
 ORACLES["tpch_q4_late_orders"] = _Q4_BODY
 ORACLES["tpch_q18_big_orders"] = _Q18_BODY
+
+
+_Q14_BODY = """
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN cents * (100 - disc_e2) ELSE 0 END)
+            * 1000000
+            {div} sum(cents * (100 - disc_e2)) AS BIGINT)
+           AS promo_share_e6,
+       CAST(sum(cents * (100 - disc_e2)) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_e2
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+) l
+JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 (promotion effect): conditional-aggregate revenue share
+    over a fact-dim join, as an exact e6 integer ratio.  The part
+    side broadcasts; the date filter pushes to the lineitem scan."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q14_BODY.format(div="div"))
+
+
+_Q22_BODY = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM customer c
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                    {div} count(*) AS BIGINT)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (global sales opportunity), adapted: customers above the
+    positive-balance average (scalar aggregate subquery, computed as
+    exact integer cents) who never ordered (NOT EXISTS -> LEFT ANTI
+    join) — the two remaining subquery classes in one query."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q22_BODY.format(div="div"))
+
+
+QUERIES["tpch_q14_promo"] = q_tpch_q14
+QUERIES["tpch_q22_opportunity"] = q_tpch_q22
+ORACLES["tpch_q14_promo"] = _Q14_BODY.format(div="//")
+ORACLES["tpch_q22_opportunity"] = _Q22_BODY.format(div="//")

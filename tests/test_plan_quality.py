@@ -1186,3 +1186,13 @@ def test_tpch_q4_exists_becomes_semi_join(spark):
     # followed by distinct
     assert "LeftSemi" in plan
     assert "Distinct" not in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_subquery(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q22(spark, SF), spark)
+    # NOT EXISTS -> LEFT ANTI; the average is a scalar subquery
+    # (reused aggregate), never a per-row correlated rescan
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan or "scalar-subquery" in plan
