@@ -246,7 +246,9 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
         FROM customer WHERE c_acctbal > 0.0
       )
   AND NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
       )
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -256,8 +258,9 @@ ORDER BY c_mktsegment
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22 (global sales opportunity), adapted: customers above the
     positive-balance average (scalar aggregate subquery, computed as
-    exact integer cents) who never ordered (NOT EXISTS -> LEFT ANTI
-    join) — the two remaining subquery classes in one query."""
+    exact integer cents) with no order since 1999 (NOT EXISTS ->
+    LEFT ANTI join) — the two remaining subquery classes in one
+    query, with a non-empty answer at every test SF."""
     _register(spark, sf_dir)
     return spark.sql(_Q22_BODY.format(div="div"))
 
