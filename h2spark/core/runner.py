@@ -2756,3 +2756,92 @@ def image_border_batch(doc_ids) -> list:
              w - left - right, h - top - bot)
         )
     return rows
+
+
+def _dom_diff(a, b) -> dict:
+    """Positional tree diff between two elements: pair children by
+    index, compare tags/attrs/text, count added/removed subtree
+    nodes.  A tag mismatch at a position counts the whole old subtree
+    removed and the new one added (the rsync-style conservative
+    rule)."""
+    from h2spark.core.dom import Element, Text
+
+    def subtree_nodes(n) -> int:
+        if type(n) is Text:
+            return 1
+        if type(n) is not Element:
+            return 0
+        return 1 + sum(subtree_nodes(c) for c in n.children)
+
+    out = {"added": 0, "removed": 0, "text_changed": 0,
+           "attr_changed": 0}
+
+    def walk(x, y):
+        if dict(x.attrs) != dict(y.attrs):
+            out["attr_changed"] += 1
+        ax = [c for c in x.children if type(c) in (Element, Text)]
+        ay = [c for c in y.children if type(c) in (Element, Text)]
+        for cx, cy in zip(ax, ay):
+            tx, ty = type(cx), type(cy)
+            if tx is Text and ty is Text:
+                if cx.data != cy.data:
+                    out["text_changed"] += 1
+            elif tx is Element and ty is Element and cx.tag == cy.tag:
+                walk(cx, cy)
+            else:
+                out["removed"] += subtree_nodes(cx)
+                out["added"] += subtree_nodes(cy)
+        for cx in ax[len(ay):]:
+            out["removed"] += subtree_nodes(cx)
+        for cy in ay[len(ax):]:
+            out["added"] += subtree_nodes(cy)
+
+    walk(a, b)
+    return out
+
+
+def dom_diff_batch(doc_ids) -> list:
+    """REAL DOM-diff chain per doc: parse two versions of a page with
+    the real parser and diff the body subtrees — the change detector
+    an incremental crawler runs to decide re-extraction.  v2 edits
+    one section's text, conditionally changes one section's class and
+    appends one section; the oracle replays every count."""
+    from h2spark.core.dom import Element
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        k = 3 + d % 2
+
+        def page(v2: bool) -> str:
+            secs = []
+            n = k + (1 if (v2 and d % 2 == 1) else 0)
+            for i in range(n):
+                cls = f"c{i}"
+                if v2 and i == (d + 1) % 3 and d % 5 < 2:
+                    cls = f"c{i}x"
+                text = f"t {d} {i}"
+                if v2 and i == d % 3:
+                    text += " v2"
+                secs.append(
+                    f'<div id="s{i}" class="{cls}"><p>{text}</p></div>'
+                )
+            return "<html><body>" + "".join(secs) + "</body></html>"
+
+        da = parse_document(page(False))
+        db = parse_document(page(True))
+
+        def body(doc):
+            for ch in doc.root_element().children:
+                if type(ch) is Element and ch.tag == "body":
+                    return ch
+            raise ValueError("dom diff: no body")
+
+        diff = _dom_diff(body(da), body(db))
+        rows.append(
+            (
+                d, int(k), diff["added"], diff["removed"],
+                diff["text_changed"], diff["attr_changed"],
+            )
+        )
+    return rows

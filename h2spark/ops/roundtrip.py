@@ -1292,3 +1292,58 @@ FROM j ORDER BY doc_id
 
 QUERIES["jsonl_export"] = q_jsonl_export
 ORACLES["jsonl_export"] = ORACLE_JSONL_EXPORT
+
+
+# --- DOM diff: incremental-crawl change detection (round 7, s6) --------------
+
+
+def q_dom_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM tree diff between two crawled versions of a page, through
+    the REAL parser twice: positional child pairing, text/attr change
+    counts, conservative added/removed subtree accounting — the
+    change detector an incremental crawler runs to decide whether to
+    re-extract.  v2 edits one section's text, conditionally changes
+    one class and appends one section; the oracle replays every count
+    from the construction rules.
+
+    Scale shape: one Arrow-batched kernel pass over doc_id, zero
+    shuffle before the presentation sort."""
+    from h2spark.core.runner import dom_diff_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = dom_diff_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_sections", "added", "removed",
+                    "text_changed", "attr_changed",
+                ],
+            )
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_sections int, added int, removed int,"
+            " text_changed int, attr_changed int",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DOM_DIFF = """
+SELECT doc_id,
+       (3 + doc_id % 2)::INT AS n_sections,
+       (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 0 END)::INT AS added,
+       0::INT AS removed,
+       1::INT AS text_changed,
+       (CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END)::INT
+           AS attr_changed
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["dom_diff"] = q_dom_diff
+ORACLES["dom_diff"] = ORACLE_DOM_DIFF

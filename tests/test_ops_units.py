@@ -2922,3 +2922,41 @@ def test_video_scene_cuts_margins():
         # scenes are 3 frames: cuts at f=3 (and f=6 when n>6)
         assert n_cuts == (n - 1) // 3
         assert first_cut == 3
+
+
+def test_dom_diff_counts():
+    from h2spark.core.runner import dom_diff_batch
+
+    for d, k, added, removed, text_chg, attr_chg in \
+            dom_diff_batch([0, 1, 4, 5, 9]):
+        assert k == 3 + d % 2
+        assert added == (3 if d % 2 == 1 else 0)
+        assert removed == 0 and text_chg == 1
+        assert attr_chg == (1 if d % 5 < 2 else 0)
+
+
+def test_dom_diff_identical_pages_zero():
+    from h2spark.core.runner import _dom_diff
+    from h2spark.core.treebuilder import parse_document
+
+    html = '<html><body><div id="a"><p>x</p></div></body></html>'
+    a = parse_document(html).root_element()
+    b = parse_document(html).root_element()
+    assert _dom_diff(a, b) == {
+        "added": 0, "removed": 0, "text_changed": 0, "attr_changed": 0,
+    }
+
+
+def test_dom_diff_tag_mismatch_is_subtree_swap():
+    from h2spark.core.runner import _dom_diff
+    from h2spark.core.treebuilder import parse_document
+
+    a = parse_document(
+        "<html><body><div><p>x</p></div></body></html>"
+    ).root_element()
+    b = parse_document(
+        "<html><body><section><p>x</p></section></body></html>"
+    ).root_element()
+    d = _dom_diff(a, b)
+    # div(1) + p(1) + text(1) out; section subtree in
+    assert d["removed"] == 3 and d["added"] == 3
