@@ -269,3 +269,67 @@ QUERIES["tpch_q14_promo"] = q_tpch_q14
 QUERIES["tpch_q22_opportunity"] = q_tpch_q22
 ORACLES["tpch_q14_promo"] = _Q14_BODY.format(div="//")
 ORACLES["tpch_q22_opportunity"] = _Q22_BODY.format(div="//")
+
+
+_Q7_BODY = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(cents * (100 - disc_e2)) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l.l_discount * 100) AS BIGINT) AS disc_e2
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+      OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (volume shipping): nation-pair trade by ship year — the
+    disjunctive join-predicate + date-part extraction class
+    (`year()` agrees across engines on timestamps)."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q7_BODY)
+
+
+_Q10_BODY = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS lost_revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue_e4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 (returned-item reporting): top-20 customers by returned
+    revenue — fact-dim join + TakeOrdered ranking."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q10_BODY)
+
+
+QUERIES["tpch_q7_trade"] = q_tpch_q7
+QUERIES["tpch_q10_returns"] = q_tpch_q10
+ORACLES["tpch_q7_trade"] = _Q7_BODY
+ORACLES["tpch_q10_returns"] = _Q10_BODY
