@@ -26,19 +26,43 @@ def package_archive(path: str | None = None) -> str:
     ``spark-submit --py-files h2spark.zip job.py``; in-process sessions
     get the same effect via ``sc.addPyFile`` (ship_package below), so
     executor Python workers can import h2spark regardless of cwd.
+
+    The default path is CONTENT-ADDRESSED (source digest in the file
+    name): Spark errors if an addPyFile source changes under a live
+    session, so two concurrent sessions running different working
+    trees must never share one fixed /tmp path — same code hits the
+    cached archive, different code gets its own.
     """
+    import hashlib
+
     import h2spark
 
     pkg_dir = os.path.dirname(os.path.abspath(h2spark.__file__))
     root = os.path.dirname(pkg_dir)
+    sources = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+        for fn in filenames:
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                sources.append((os.path.relpath(full, root), full))
+    sources.sort()
     if path is None:
-        path = os.path.join(tempfile.gettempdir(), "h2spark-pyfiles.zip")
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
-            for fn in filenames:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    zf.write(full, os.path.relpath(full, root))
+        h = hashlib.md5()
+        for rel, full in sources:
+            h.update(rel.encode())
+            with open(full, "rb") as f:
+                h.update(f.read())
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"h2spark-pyfiles-{h.hexdigest()[:12]}.zip",
+        )
+        if os.path.exists(path):
+            return path
+    tmp = path + f".tmp{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, full in sources:
+            zf.write(full, rel)
+    os.replace(tmp, path)
     return path
 
 
