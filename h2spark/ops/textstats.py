@@ -2610,3 +2610,90 @@ ORDER BY doc_id
 
 QUERIES["text_entity_extract"] = q_text_entity_extract
 ORACLES["text_entity_extract"] = ORACLE_TEXT_ENTITY
+
+
+# --- mixed-script / homoglyph spoof audit (round 7, session 6) --------------
+
+# the two highest-traffic confusable sources (UTS #39): Cyrillic and
+# Greek lookalikes inside otherwise-Latin tokens
+_SPOOF_WORDS = ["pаypаl", "gооgle",
+                "αpple"]  # а/о Cyrillic, α Greek
+
+
+def q_text_script_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph / mixed-script audit: count Cyrillic and Greek
+    characters and Latin words carrying non-Latin lookalikes — the
+    UTS #39 confusable signal SEO-spam and phishing-text filters key
+    on (spoofed brand tokens survive ASCII-only PII/quality gates
+    untouched).  Docs are planted with a doc-keyed spoof token so
+    every branch is exercised; patterns use LITERAL character ranges
+    (never \\u escapes — Java regex and RE2 disagree on escape
+    syntax but agree on literal ranges).
+
+    Scale shape: pure codegen projection, zero shuffle before the
+    presentation sort."""
+    spoof = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_SPOOF_WORDS[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_SPOOF_WORDS[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_SPOOF_WORDS[2]))
+        .otherwise(F.lit("clean"))
+    )
+    d = _docs(spark, sf_dir)
+    body = F.concat(F.col("text"), F.lit(" "), spoof)
+    n_cyr = F.length(body) - F.length(
+        F.regexp_replace(body, "[Ѐ-ӿ]", "")
+    )
+    n_greek = F.length(body) - F.length(
+        F.regexp_replace(body, "[Ͱ-Ͽ]", "")
+    )
+    words = F.split(body, r"\s+")
+    mixed = F.size(
+        F.filter(
+            words,
+            lambda w: w.rlike("[a-z]")
+            & w.rlike("[Ͱ-ϿЀ-ӿ]"),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_cyr.cast("long").alias("n_cyrillic"),
+            n_greek.cast("long").alias("n_greek"),
+            mixed.cast("long").alias("n_mixed_words"),
+            (mixed > 0).alias("has_spoof"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_SCRIPT_AUDIT = """
+WITH b AS (
+  SELECT doc_id,
+         text || ' ' ||
+         CASE WHEN doc_id % 4 = 0 THEN 'pаypаl'
+              WHEN doc_id % 4 = 1 THEN 'gооgle'
+              WHEN doc_id % 4 = 2 THEN 'αpple'
+              ELSE 'clean' END AS body
+  FROM documents
+)
+SELECT doc_id,
+       (length(body) - length(regexp_replace(body, '[Ѐ-ӿ]',
+                                             '', 'g')))::BIGINT
+           AS n_cyrillic,
+       (length(body) - length(regexp_replace(body, '[Ͱ-Ͽ]',
+                                             '', 'g')))::BIGINT
+           AS n_greek,
+       len(list_filter(regexp_split_to_array(body, '\\s+'),
+           w -> regexp_matches(w, '[a-z]')
+                AND regexp_matches(w, '[Ͱ-ϿЀ-ӿ]')
+           ))::BIGINT AS n_mixed_words,
+       len(list_filter(regexp_split_to_array(body, '\\s+'),
+           w -> regexp_matches(w, '[a-z]')
+                AND regexp_matches(w, '[Ͱ-ϿЀ-ӿ]')
+           )) > 0 AS has_spoof
+FROM b
+ORDER BY doc_id
+"""
+
+QUERIES["text_script_audit"] = q_text_script_audit
+ORACLES["text_script_audit"] = ORACLE_TEXT_SCRIPT_AUDIT
