@@ -234,3 +234,22 @@ def html_to_markdown(html: str) -> str:
     blocks: list = []
     _render(body, blocks)
     return "\n\n".join(blocks)
+
+
+def parse_markdown_table(block: str) -> list[list[str]]:
+    """Inverse of _render_table for well-formed pipe tables: returns
+    the cell grid (header row first), skipping the `---` separator
+    row.  Cells are the trimmed text between pipes; escaped pipes are
+    not produced by the renderer so none are interpreted here."""
+    rows: list[list[str]] = []
+    for line in block.splitlines():
+        line = line.strip()
+        if not (line.startswith("|") and line.endswith("|")):
+            raise ValueError("markdown table: row must be pipe-framed")
+        cells = [c.strip() for c in line[1:-1].split("|")]
+        if cells and all(
+            c and set(c) <= {"-"} and len(c) >= 3 for c in cells
+        ):
+            continue  # the header separator row
+        rows.append(cells)
+    return rows

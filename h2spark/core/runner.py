@@ -2845,3 +2845,46 @@ def dom_diff_batch(doc_ids) -> list:
             )
         )
     return rows
+
+
+def table_markdown_roundtrip_batch(doc_ids) -> list:
+    """REAL table round-trip per doc: build an HTML table (doc-keyed
+    geometry, header + data rows), render it to a markdown pipe table
+    through the full html_to_markdown pipeline, parse the pipe table
+    BACK (core/markdown.py:parse_markdown_table) and verify the grid
+    equals the source cells — the lossless-table guarantee a
+    table-QA corpus build depends on."""
+    from h2spark.core.markdown import html_to_markdown, parse_markdown_table
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        nc = 2 + d % 3
+        nr = 1 + d % 4  # data rows
+        header = [f"h{c}" for c in range(nc)]
+        data = [
+            [f"v{d % 17}-{r}-{c}" for c in range(nc)]
+            for r in range(nr)
+        ]
+        body = "".join(
+            "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+            for row in data
+        )
+        html = (
+            "<html><body><table><thead><tr>"
+            + "".join(f"<th>{h}</th>" for h in header)
+            + "</tr></thead><tbody>" + body
+            + "</tbody></table></body></html>"
+        )
+        md = html_to_markdown(html)
+        block = next(
+            (b for b in md.split("\n\n") if b.startswith("|")), None
+        )
+        if block is None:
+            raise ValueError("table md roundtrip: no table block")
+        grid = parse_markdown_table(block)
+        ok = grid == [header] + data
+        if not ok:
+            raise ValueError("table md roundtrip: grid mismatch")
+        rows.append((d, int(nc), int(nr) + 1, len(block)))
+    return rows

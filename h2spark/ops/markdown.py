@@ -162,3 +162,63 @@ ORACLES = {
     "html_to_markdown": ORACLE_HTML_TO_MARKDOWN,
     "interleaved_markdown": ORACLE_INTERLEAVED_MARKDOWN,
 }
+
+
+# --- table -> markdown -> grid round-trip (round 7, session 6) --------------
+
+
+def q_table_markdown_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lossless-table guarantee under the driver hash: HTML table ->
+    full html_to_markdown pipeline -> pipe-table text -> parsed BACK
+    to a grid (core/markdown.py:parse_markdown_table) that must equal
+    the source cells.  Table-QA corpus builds assume this round-trip;
+    a renderer that mangles one cell silently poisons every derived
+    example.  The oracle replays geometry and the exact block length
+    from the construction formulas.
+
+    Scale shape: one Arrow-batched kernel pass over doc_id, zero
+    shuffle before the presentation sort."""
+    import pandas as pd
+
+    from h2spark.core.runner import table_markdown_roundtrip_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = table_markdown_roundtrip_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_cols", "n_rows", "md_len"],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, n_cols int, n_rows int, md_len long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TABLE_MD_ROUNDTRIP = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS nc,
+         1 + doc_id % 4 AS nr,
+         5 + length((doc_id % 17)::VARCHAR) AS cl
+  FROM documents
+)
+SELECT doc_id,
+       nc::INT AS n_cols,
+       (nr + 1)::INT AS n_rows,
+       ((1 + 5 * nc) + (1 + 6 * nc) + nr * (1 + nc * (cl + 3))
+        + nr + 1)::BIGINT AS md_len
+FROM g
+ORDER BY doc_id
+"""
+
+QUERIES["table_markdown_roundtrip"] = q_table_markdown_roundtrip
+ORACLES["table_markdown_roundtrip"] = ORACLE_TABLE_MD_ROUNDTRIP

@@ -167,3 +167,23 @@ def test_nested_inline_trailing_br_degrades_to_separator():
     # the outer run's whitespace collapse turns it into a separator
     assert md("<p>line1 <b>x<br></b>line2</p>") == "line1 **x **line2"
     assert md("<p>a <em>e<br></em>after</p>") == "a *e *after"
+
+
+def test_parse_markdown_table_inverse():
+    from h2spark.core.markdown import parse_markdown_table
+
+    b = "| a | b |\n| --- | --- |\n| 1 | 2 |\n| 3 | 4 |"
+    assert parse_markdown_table(b) == [["a", "b"], ["1", "2"],
+                                       ["3", "4"]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_markdown_table("not a table row")
+
+
+def test_table_markdown_roundtrip_batch():
+    from h2spark.core.runner import table_markdown_roundtrip_batch
+
+    for d, nc, nr, md_len in table_markdown_roundtrip_batch([0, 3, 9]):
+        assert nc == 2 + d % 3 and nr == 1 + d % 4 + 1
+        assert md_len > 0
