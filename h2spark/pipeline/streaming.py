@@ -1122,3 +1122,80 @@ def run_streaming_enrich(
         enrich_join(stream, user_tier_dim(spark)),
         out_dir, checkpoint_dir, available_now,
     )
+
+
+# --- stream-stream event-time join (round 7, 17th operator) -----------------
+
+ATTRIB_SCHEMA = (
+    "click_id long, purchase_id long, user_id long,"
+    " click_us long, purchase_us long, lag_us long"
+)
+
+
+def attribution_join(clicks, purchases):
+    """Stream-stream INNER join with an event-time range constraint:
+    each purchase joins every click by the same user in the preceding
+    hour — last-touch attribution's candidate set.  Both sides carry
+    1-hour watermarks, and the range predicate bounds the state the
+    join keeps per side (without it a stream-stream join buffers
+    forever); output is append-safe because a match is final once
+    both watermarks pass the window.
+
+    Works identically on batch DataFrames (the equality pin)."""
+    from pyspark.sql import functions as F
+
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    us = lambda col: F.expr(  # noqa: E731
+        f"timestampdiff(MICROSECOND,"
+        f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+    j = c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    return j.select(
+        "click_id", "purchase_id",
+        F.col("c_user").alias("user_id"),
+        us("c_ts").cast("long").alias("click_us"),
+        us("p_ts").cast("long").alias("purchase_us"),
+        (us("p_ts") - us("c_ts")).cast("long").alias("lag_us"),
+    )
+
+
+def run_streaming_attribution(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental attribution over a growing events directory: the
+    click and purchase sides are two watermarked readers over the
+    same stream, joined stream-to-stream."""
+    clicks = (
+        _read_events_stream(spark, input_dir)
+        .where("event_type = 'click'")
+        .withWatermark("ts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, input_dir)
+        .where("event_type = 'purchase'")
+        .withWatermark("ts", "1 hour")
+    )
+    return _start_append_writer(
+        attribution_join(clicks, purchases),
+        out_dir, checkpoint_dir, available_now,
+    )

@@ -949,3 +949,56 @@ def test_streaming_enrich_join_matches_batch(spark, tmp_path):
     assert got[1]["tier"] == "pro" and got[1]["score_cents"] == 600
     assert got[2]["tier"] == "unknown" and got[2]["tier_mult"] == 1
     assert got[3]["tier"] == "team" and got[3]["score_cents"] == 2000
+
+
+def test_streaming_attribution_join_matches_batch(spark, tmp_path):
+    # stream-stream inner join with watermarks + event-time range:
+    # the streamed matches must equal the batch join row-for-row once
+    # everything is processed (17th streaming operator)
+    import datetime as _dt
+
+    from h2spark.pipeline.streaming import (
+        attribution_join, run_streaming_attribution,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(mins):
+        return t0 + _dt.timedelta(minutes=mins)
+
+    rows = [
+        (0, at(0), 1, "click", 1.0, "{}"),
+        (1, at(30), 1, "purchase", 5.0, "{}"),   # joins click 0
+        (2, at(90), 1, "purchase", 5.0, "{}"),   # outside 1h window
+        (3, at(10), 2, "click", 1.0, "{}"),
+        (4, at(20), 2, "click", 1.0, "{}"),
+        (5, at(40), 2, "purchase", 7.0, "{}"),   # joins clicks 3 AND 4
+        (6, at(50), 3, "purchase", 9.0, "{}"),   # no click: no match
+    ]
+    ddl = ("event_id long, ts timestamp, user_id long,"
+           " event_type string, value double, props string")
+    inp, out = tmp_path / "at_in", tmp_path / "at_out"
+    df = spark.createDataFrame(rows, ddl)
+    df.coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_attribution(
+        spark, str(inp), str(out),
+        checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["click_id"], r["purchase_id"], r["lag_us"])
+        for r in spark.read.parquet(str(out) + "/data").collect()
+    )
+    batch = sorted(
+        (r["click_id"], r["purchase_id"], r["lag_us"])
+        for r in attribution_join(
+            df.where("event_type = 'click'"),
+            df.where("event_type = 'purchase'"),
+        ).collect()
+    )
+    assert got == batch
+    assert got == [
+        (0, 1, 30 * 60 * 1_000_000),
+        (3, 5, 30 * 60 * 1_000_000),
+        (4, 5, 20 * 60 * 1_000_000),
+    ]
