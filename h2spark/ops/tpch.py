@@ -333,3 +333,63 @@ QUERIES["tpch_q7_trade"] = q_tpch_q7
 QUERIES["tpch_q10_returns"] = q_tpch_q10
 ORACLES["tpch_q7_trade"] = _Q7_BODY
 ORACLES["tpch_q10_returns"] = _Q10_BODY
+
+
+_Q17_BODY = """
+SELECT CAST(sum(cents) AS BIGINT) AS small_order_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty
+  FROM lineitem l
+) l
+WHERE qty * 5 < (
+  SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT)) AS BIGINT)
+  FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 (small-quantity-order revenue), adapted: lines whose
+    quantity is under a fifth of their part's total quantity — the
+    CORRELATED SCALAR AGGREGATE subquery class (Catalyst de-correlates
+    it into an aggregate + join; the predicate is kept integral —
+    qty*5 < total — so no avg rounding divergence exists)."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q17_BODY)
+
+
+_Q15_BODY = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): a named revenue view consumed twice — once
+    joined, once reduced to a scalar max — the CTE-reuse + scalar
+    aggregate shape."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q15_BODY)
+
+
+QUERIES["tpch_q17_small_orders"] = q_tpch_q17
+QUERIES["tpch_q15_top_supplier"] = q_tpch_q15
+ORACLES["tpch_q17_small_orders"] = _Q17_BODY
+ORACLES["tpch_q15_top_supplier"] = _Q15_BODY
