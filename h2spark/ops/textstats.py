@@ -2697,3 +2697,61 @@ ORDER BY doc_id
 
 QUERIES["text_script_audit"] = q_text_script_audit
 ORACLES["text_script_audit"] = ORACLE_TEXT_SCRIPT_AUDIT
+
+
+# --- language confusion matrix (round 7, session 6) -------------------------
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix: roll the
+    per-doc lang_id output up to (declared, predicted) cells with
+    exact e6 recall shares — the drift report that catches mislabeled
+    sources and detector regressions in one table (the per-doc op
+    stays the debugging view; this is the monitoring view).
+
+    Scale shape: the lang_id projection is pure codegen; the rollup
+    is one narrow groupBy plus a window over the tiny cell table
+    (|langs|^2 rows)."""
+    from pyspark.sql import Window
+
+    per_doc = q_lang_id(spark, sf_dir)
+    cells = (
+        per_doc.groupBy("lang_label", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_label")
+    return (
+        cells.withColumn("row_total", F.sum("n_docs").over(w))
+        .select(
+            "lang_label", "lang_pred", "n_docs",
+            F.expr("n_docs * 1000000 div row_total")
+            .cast("long")
+            .alias("recall_share_e6"),
+            (F.col("lang_label") == F.col("lang_pred")).alias("agree"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )
+
+
+def _oracle_lang_confusion() -> str:
+    base = ORACLES["text_lang_id"].replace("ORDER BY doc_id", "")
+    return f"""
+WITH per_doc AS ({base}),
+cells AS (
+  SELECT lang_label, lang_pred, count(*)::BIGINT AS n_docs
+  FROM per_doc GROUP BY 1, 2
+), tot AS (
+  SELECT lang_label, sum(n_docs) AS row_total FROM cells GROUP BY 1
+)
+SELECT c.lang_label, c.lang_pred, c.n_docs,
+       (c.n_docs * 1000000 // t.row_total)::BIGINT AS recall_share_e6,
+       c.lang_label = c.lang_pred AS agree
+FROM cells c JOIN tot t USING (lang_label)
+ORDER BY c.lang_label, c.lang_pred
+"""
+
+
+ORACLE_LANG_CONFUSION = _oracle_lang_confusion()
+
+QUERIES["lang_confusion_matrix"] = q_lang_confusion
+ORACLES["lang_confusion_matrix"] = ORACLE_LANG_CONFUSION
