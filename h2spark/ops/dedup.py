@@ -2506,3 +2506,97 @@ ORDER BY doc_a, doc_b
 
 QUERIES["title_dedup_editdist"] = q_title_dedup_editdist
 ORACLES["title_dedup_editdist"] = ORACLE_TITLE_EDITDIST
+
+
+# --- containment near-dup (round 7, session 6) ------------------------------
+
+_CONTAIN_THRESHOLD_E6 = 500_000
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity over the shared shingle machinery:
+    C(a,b) = |A∩B| / min(|A|, |B|) as an exact e6 integer — the
+    quote-inclusion detector.  A short doc fully embedded in a long
+    one has tiny Jaccard (the union is huge) but containment ~1, so
+    Jaccard-thresholded dedup ships the duplication; containment is
+    the standard fix (Broder's resemblance vs containment pair).
+
+    Scale shape: identical to the Jaccard op — df-capped shingle
+    self-join (worst task bounded by the df cap), integer division,
+    no floats anywhere."""
+    d = _docs(spark, sf_dir)
+    sh = _with_shingles(d)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sz_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment_e6",
+            F.expr("n_common * 1000000 div least(sz_a, sz_b)"),
+        )
+        .where(F.col("containment_e6") >= _CONTAIN_THRESHOLD_E6)
+        .select(
+            "doc_a", "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("containment_e6").cast("long").alias("containment_e6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {_shingles_cte_duck()},
+capped AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN (SELECT shingle FROM shingles GROUP BY shingle
+        HAVING count(*) <= {_MAX_SHINGLE_DF}) hot USING (shingle)
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common::BIGINT AS n_common,
+       (n_common * 1000000 // least(sa.n_sh, sb.n_sh))::BIGINT
+           AS containment_e6
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 1000000 // least(sa.n_sh, sb.n_sh)
+      >= {_CONTAIN_THRESHOLD_E6}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["dedup_containment"] = q_dedup_containment
+ORACLES["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
