@@ -2888,3 +2888,40 @@ def table_markdown_roundtrip_batch(doc_ids) -> list:
             raise ValueError("table md roundtrip: grid mismatch")
         rows.append((d, int(nc), int(nr) + 1, len(block)))
     return rows
+
+
+def rag_sectioned_chunks_batch(doc_ids) -> list:
+    """Section-titled RAG chunks through the REAL parser: walk the
+    body in document order tracking the nearest preceding heading,
+    emit one chunk per <p> carrying (section_title, heading_level,
+    text) — the metadata RAG retrieval quality depends on (a chunk
+    without its section title loses the context rerankers key on)."""
+    from h2spark.core.dom import Element
+
+    rows: list = []
+    for d in doc_ids:
+        d = int(d)
+        n_secs = 2 + d % 3
+        parts = [f"<p>intro {d}</p>"]
+        for s in range(n_secs):
+            lvl = 2 if s % 2 == 0 else 3
+            parts.append(f"<h{lvl}>Sec {d % 7}-{s}</h{lvl}>")
+            for p in range(1 + (d + s) % 2):
+                parts.append(f"<p>body {d} {s} {p}</p>")
+        html = "<html><body>" + "".join(parts) + "</body></html>"
+        doc = parse_document(html)
+        title, level = "", 0
+        chunk_idx = 0
+        for el in doc.root_element().iter_descendants():
+            if type(el) is not Element or el.ns is not None:
+                continue
+            if el.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                title = el.inner_text()
+                level = int(el.tag[1])
+            elif el.tag == "p":
+                text = el.inner_text()
+                rows.append(
+                    (d, chunk_idx, title, level, text, len(text))
+                )
+                chunk_idx += 1
+    return rows

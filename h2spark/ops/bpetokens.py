@@ -612,3 +612,75 @@ ORDER BY doc_id
 
 QUERIES["tokenizer_oov_audit"] = q_tokenizer_oov_audit
 ORACLES["tokenizer_oov_audit"] = ORACLE_TOKENIZER_OOV
+
+
+# --- RAG chunks with section titles (round 7, session 6) --------------------
+
+
+def q_rag_sectioned_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-titled RAG chunking through the REAL parser: every
+    chunk carries the nearest preceding heading (title + level) — the
+    retrieval-metadata best practice plain text_rag_chunks cannot
+    give you (a chunk stripped of its section context loses what
+    rerankers and citation UIs key on).  The oracle replays the whole
+    chunk table from the construction rules.
+
+    Scale shape: one Arrow-batched kernel pass over doc_id, zero
+    shuffle before the presentation sort."""
+    import pandas as pd
+
+    from h2spark.core.runner import rag_sectioned_chunks_batch
+
+    def meta(batches):
+        for pdf in batches:
+            rows = rag_sectioned_chunks_batch(list(pdf["doc_id"]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "chunk_idx", "section_title",
+                    "heading_level", "text", "n_chars",
+                ],
+            )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            meta,
+            "doc_id long, chunk_idx int, section_title string,"
+            " heading_level int, text string, n_chars int",
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_RAG_SECTIONED = """
+WITH g AS (
+  SELECT doc_id, 2 + doc_id % 3 AS ns FROM documents
+), secs AS (
+  SELECT doc_id, ns, unnest(range(-1, ns)) AS s FROM g
+), paras AS (
+  SELECT doc_id, s,
+         unnest(range(CASE WHEN s = -1 THEN 1
+                           ELSE 1 + (doc_id + s) % 2 END)) AS p
+  FROM secs
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY s, p)
+        - 1)::INT AS chunk_idx,
+       CASE WHEN s = -1 THEN ''
+            ELSE 'Sec ' || (doc_id % 7) || '-' || s END
+           AS section_title,
+       (CASE WHEN s = -1 THEN 0
+             WHEN s % 2 = 0 THEN 2 ELSE 3 END)::INT AS heading_level,
+       CASE WHEN s = -1 THEN 'intro ' || doc_id
+            ELSE 'body ' || doc_id || ' ' || s || ' ' || p END AS text,
+       length(CASE WHEN s = -1 THEN 'intro ' || doc_id
+                   ELSE 'body ' || doc_id || ' ' || s || ' ' || p
+              END)::INT AS n_chars
+FROM paras
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["rag_sectioned_chunks"] = q_rag_sectioned_chunks
+ORACLES["rag_sectioned_chunks"] = ORACLE_RAG_SECTIONED
