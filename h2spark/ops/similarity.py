@@ -1736,3 +1736,78 @@ ORDER BY vec_id
 
 QUERIES["embedding_quantize_int4"] = q_embedding_quantize_int4
 ORACLES["embedding_quantize_int4"] = ORACLE_EMBEDDING_QUANTIZE_INT4
+
+
+# --- ANN recall@k evaluation (round 7, session 6) ---------------------------
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against the exact brute-force
+    baseline, per query and macro-averaged — the eval every ANN
+    deployment gates on (an index that silently drops to 0.6 recall
+    poisons retrieval long before latency dashboards notice).  Exact
+    e6 integers; the oracle replays BOTH retrievers in SQL and takes
+    the same intersection.
+
+    Scale shape: both retrievers' outputs are (n_queries x k) rows —
+    the eval join is metadata-sized regardless of corpus size."""
+    exact = q_ann_bruteforce(spark, sf_dir).select(
+        "query_id", "cand_id"
+    )
+    approx = q_ann_ivf(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("a_cand")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.cand_id == approx.a_cand),
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", "k",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_e6", F.expr("n_hit * 1000000 div k").cast("long")
+        )
+    )
+    return per_q.orderBy("query_id")
+
+
+def _oracle_ann_recall() -> str:
+    exact = ORACLES["ann_bruteforce_topk"].replace(
+        "ORDER BY query_id, rank", ""
+    )
+    approx = ORACLES["ann_ivf_topk"].replace(
+        "ORDER BY query_id, rank", ""
+    )
+    return f"""
+WITH exact_r AS ({exact}),
+approx_r AS ({approx}),
+hits AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_hit
+  FROM exact_r e JOIN approx_r a
+    ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+  GROUP BY 1
+), base AS (
+  SELECT query_id, count(*)::BIGINT AS k FROM exact_r GROUP BY 1
+)
+SELECT b.query_id, b.k,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       (coalesce(h.n_hit, 0) * 1000000 // b.k)::BIGINT AS recall_e6
+FROM base b LEFT JOIN hits h USING (query_id)
+ORDER BY b.query_id
+"""
+
+
+ORACLE_ANN_RECALL = _oracle_ann_recall()
+
+QUERIES["ann_recall_eval"] = q_ann_recall_eval
+ORACLES["ann_recall_eval"] = ORACLE_ANN_RECALL
