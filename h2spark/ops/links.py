@@ -1230,3 +1230,91 @@ ORDER BY url
 
 QUERIES["link_triangles"] = q_link_triangles
 ORACLES["link_triangles"] = ORACLE_LINK_TRIANGLES
+
+
+# --- page resource audit (round 7, session 6) --------------------------------
+
+_RES_SPEC = StructSpec(
+    "PageResources",
+    [
+        Field("scripts", Scalar("String"), VEC, select="script",
+              attr="src"),
+        Field("imgs", Scalar("String"), VEC, select="img", attr="src"),
+        Field("iframes", Scalar("String"), VEC, select="iframe",
+              attr="src"),
+    ],
+)
+
+
+def q_page_resource_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-party resource audit: script/img/iframe srcs through the
+    REAL parser + selectors, rolled into per-doc counts and the
+    external-host tally — the tracker/supply-chain surface a privacy
+    or security review of a crawl starts from.  First-party =
+    same host as the page (cdn{d%3}.page{d%7}.site is first-party to
+    page{d%7}.site only when the registrable suffix matches — kept
+    literal here: first-party means host == page host).
+
+    Scale shape: scan -> one Arrow kernel -> in-row HOF counting,
+    zero shuffle before the presentation sort."""
+    d = _docs(spark, sf_dir)
+    page_host = F.concat(F.lit("page"), F.col("doc_id") % 7,
+                         F.lit(".site"))
+    html = F.concat(
+        F.lit('<html><body><script src="https://page'),
+        F.col("doc_id") % 7, F.lit('.site/app.js"></script>'),
+        F.lit('<script src="https://tracker'), F.col("doc_id") % 5,
+        F.lit('.net/t.js"></script>'),
+        F.lit('<img src="https://page'), F.col("doc_id") % 7,
+        F.lit('.site/i'), F.col("doc_id") % 11, F.lit('.png">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<iframe src="https://ads'), F.col("doc_id") % 2,
+                F.lit('.example/f"></iframe>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    udf = make_extract_typed_udf(_RES_SPEC, input_kind="html")
+    out = d.select(
+        "doc_id", page_host.alias("page_host"),
+        udf(html).alias("o"),
+    )
+    allsrc = F.concat(
+        F.col("o.value.scripts"), F.col("o.value.imgs"),
+        F.col("o.value.iframes"),
+    )
+    host_of = lambda u: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(u, "^[a-z]+://", ""), "/.*$", ""
+    )
+    n_external = F.size(
+        F.filter(allsrc, lambda u: host_of(u) != F.col("page_host"))
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.size("o.value.scripts").cast("int").alias("n_scripts"),
+            F.size("o.value.imgs").cast("int").alias("n_imgs"),
+            F.size("o.value.iframes").cast("int").alias("n_iframes"),
+            n_external.cast("int").alias("n_external"),
+            (n_external > 0).alias("has_third_party"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PAGE_RESOURCES = """
+SELECT doc_id,
+       2::INT AS n_scripts,
+       1::INT AS n_imgs,
+       (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_iframes,
+       (1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::INT
+           AS n_external,
+       true AS has_third_party
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["page_resource_audit"] = q_page_resource_audit
+ORACLES["page_resource_audit"] = ORACLE_PAGE_RESOURCES
