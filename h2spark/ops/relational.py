@@ -2278,3 +2278,72 @@ ORDER BY method, status
 
 QUERIES["access_log_parse"] = q_access_log_parse
 ORACLES["access_log_parse"] = ORACLE_ACCESS_LOG
+
+
+# --- churn label derivation (round 7, session 6) ----------------------------
+
+_CHURN_QUIET_DAYS = 14
+
+
+def q_user_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-label engineering: a user is labeled churned when
+    their last event precedes the corpus horizon (global max day) by
+    more than 14 days — the target-derivation step every retention
+    model starts from, expressed so the label is a pure function of
+    the data (re-runs and backfills can never flip it).
+
+    Scale shape: one per-user aggregate + a broadcast 1-row horizon;
+    the label join is metadata-sized."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    day = (us / F.lit(86_400_000_000)).cast("long")
+    per_user = (
+        e.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+    horizon = per_user.agg(
+        F.max("last_day").alias("horizon_day")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id", "n_events",
+            F.col("first_day").cast("long").alias("first_day"),
+            F.col("last_day").cast("long").alias("last_day"),
+            (F.col("horizon_day") - F.col("last_day"))
+            .cast("long")
+            .alias("quiet_days"),
+            (
+                F.col("horizon_day") - F.col("last_day")
+                > F.lit(_CHURN_QUIET_DAYS)
+            ).alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_CHURN = f"""
+WITH per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         min((epoch_us(ts::TIMESTAMP) // 86400000000))::BIGINT
+             AS first_day,
+         max((epoch_us(ts::TIMESTAMP) // 86400000000))::BIGINT
+             AS last_day
+  FROM events GROUP BY 1
+), h AS (SELECT max(last_day) AS horizon_day FROM per_user)
+SELECT user_id, n_events, first_day, last_day,
+       (h.horizon_day - last_day)::BIGINT AS quiet_days,
+       h.horizon_day - last_day > {_CHURN_QUIET_DAYS} AS churned
+FROM per_user, h
+ORDER BY user_id
+"""
+
+QUERIES["user_churn_label"] = q_user_churn_label
+ORACLES["user_churn_label"] = ORACLE_USER_CHURN

@@ -1347,3 +1347,80 @@ ORDER BY doc_id
 
 QUERIES["dom_diff"] = q_dom_diff
 ORACLES["dom_diff"] = ORACLE_DOM_DIFF
+
+
+# --- fenced code-block extraction (round 7, session 6) ----------------------
+
+_CODE_SPEC = StructSpec(
+    "CodePage",
+    [
+        Field("langs", Scalar("String"), VEC, select="pre > code",
+              attr="class"),
+        Field("bodies", Scalar("String"), VEC, select="pre > code"),
+    ],
+)
+
+
+def q_code_block_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-block mining: <pre><code class="language-X"> blocks
+    through the REAL parser + the child combinator — the extraction
+    step every code-corpus build runs over documentation and blog
+    crawls (inline <code> spans must NOT match, which is exactly what
+    `pre > code` pins).  Emits one row per block with the language
+    tag stripped from the class attribute.
+
+    Scale shape: scan -> one Arrow kernel -> posexplode, zero shuffle
+    before the presentation sort."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><p>see <code>inline()</code></p>'
+              '<pre><code class="language-py'),
+        F.col("doc_id") % 3,
+        F.lit('">def f():\n    return '), F.col("doc_id") % 13,
+        F.lit("</code></pre>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit('<pre><code class="language-sql">SELECT '),
+                F.col("doc_id") % 7,
+                F.lit("</code></pre>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    udf = make_extract_typed_udf(_CODE_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    z = F.arrays_zip(F.col("o.value.langs"), F.col("o.value.bodies"))
+    return (
+        out.select("doc_id", F.posexplode(z).alias("block_idx", "b"))
+        .select(
+            "doc_id",
+            F.col("block_idx").cast("int").alias("block_idx"),
+            F.regexp_replace(F.col("b.langs"), "^language-", "")
+            .alias("lang_tag"),
+            F.col("b.bodies").alias("code"),
+            F.length("b.bodies").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id", "block_idx")
+    )
+
+
+ORACLE_CODE_BLOCKS = """
+WITH blocks AS (
+  SELECT doc_id, 0 AS block_idx,
+         'py' || (doc_id % 3) AS lang_tag,
+         'def f():' || chr(10) || '    return ' || (doc_id % 13)
+             AS code
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'sql', 'SELECT ' || (doc_id % 7)
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, block_idx::INT AS block_idx, lang_tag, code,
+       length(code)::BIGINT AS n_chars
+FROM blocks
+ORDER BY doc_id, block_idx
+"""
+
+QUERIES["code_block_extract"] = q_code_block_extract
+ORACLES["code_block_extract"] = ORACLE_CODE_BLOCKS
