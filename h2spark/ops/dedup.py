@@ -2600,3 +2600,83 @@ ORDER BY doc_a, doc_b
 
 QUERIES["dedup_containment"] = q_dedup_containment
 ORACLES["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
+
+
+# --- cross-method dedup summary (round 7, session 6) ------------------------
+
+
+def q_dedup_method_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-tuning table: pair yield and docs-affected for
+    each near-dup method (exact n-gram Jaccard, containment, MinHash
+    LSH, SimHash) side by side — what an engineer reads to see which
+    detector fires where before picking production thresholds (LSH
+    recall vs the exact baseline, containment's extra quote-inclusion
+    catches, SimHash's orthogonal bit-level hits).
+
+    Scale shape: each method keeps its own bounded plan; the summary
+    is a union of four pair tables reduced to per-method aggregates —
+    metadata-sized regardless of corpus size."""
+    methods = [
+        ("jaccard", q_dedup_ngram_jaccard(spark, sf_dir)),
+        ("containment", q_dedup_containment(spark, sf_dir)),
+        ("minhash_lsh", q_dedup_minhash_lsh(spark, sf_dir)),
+        ("simhash", q_dedup_simhash_pairs(spark, sf_dir)),
+    ]
+    parts = [
+        df.select(
+            F.lit(name).alias("method"),
+            F.col("doc_a"), F.col("doc_b"),
+        )
+        for name, df in methods
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    docs = u.select(
+        "method", F.explode(F.array("doc_a", "doc_b")).alias("d")
+    )
+    pairs = u.groupBy("method").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    affected = docs.groupBy("method").agg(
+        F.countDistinct("d").cast("long").alias("n_docs_affected")
+    )
+    return (
+        pairs.join(affected, "method")
+        .orderBy("method")
+    )
+
+
+def _oracle_method_summary() -> str:
+    def cte(name: str) -> str:
+        sql = ORACLES[name].strip()
+        sql = sql.replace("ORDER BY doc_a, doc_b", "")
+        return sql
+
+    return f"""
+WITH jac AS ({cte("dedup_ngram_jaccard")}),
+con AS ({cte("dedup_containment")}),
+mh AS ({cte("dedup_minhash_lsh")}),
+sh AS ({cte("dedup_simhash_pairs")}),
+u AS (
+  SELECT 'jaccard' AS method, doc_a, doc_b FROM jac
+  UNION ALL SELECT 'containment', doc_a, doc_b FROM con
+  UNION ALL SELECT 'minhash_lsh', doc_a, doc_b FROM mh
+  UNION ALL SELECT 'simhash', doc_a, doc_b FROM sh
+)
+SELECT method,
+       count(*)::BIGINT AS n_pairs,
+       (SELECT count(DISTINCT d) FROM (
+          SELECT doc_a AS d FROM u u2 WHERE u2.method = u.method
+          UNION ALL SELECT doc_b FROM u u3 WHERE u3.method = u.method
+        ))::BIGINT AS n_docs_affected
+FROM u
+GROUP BY method
+ORDER BY method
+"""
+
+
+ORACLE_DEDUP_METHOD_SUMMARY = _oracle_method_summary()
+
+QUERIES["dedup_method_summary"] = q_dedup_method_summary
+ORACLES["dedup_method_summary"] = ORACLE_DEDUP_METHOD_SUMMARY
