@@ -393,3 +393,219 @@ QUERIES["tpch_q17_small_orders"] = q_tpch_q17
 QUERIES["tpch_q15_top_supplier"] = q_tpch_q15
 ORACLES["tpch_q17_small_orders"] = _Q17_BODY
 ORACLES["tpch_q15_top_supplier"] = _Q15_BODY
+
+
+# --- round 7, session 7: the remaining partsupp-free classics ---------------
+#
+# Q2/Q11/Q16/Q20 need the partsupp relation, which this corpus does
+# not carry — they stay out of scope.  Q8/Q9/Q12/Q13/Q19/Q21 are the
+# remaining canonical shapes and all fit this schema (Q9/Q12/Q13/Q19/
+# Q21 with documented column adaptations where the corpus lacks
+# shipmode/commitdate/receiptdate/comment/container).
+
+_Q8_BODY = """
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4
+                     ELSE 0 END) * 1000000 {div} sum(rev_e4)
+            AS BIGINT) AS mkt_share_e6,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+             AS rev_e4,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (national market share): NATION_3's share of EUROPE's PROMO
+    revenue by order year — the deepest join tree in the suite
+    (7 relations, nation joined twice under different roles).  Every
+    dimension broadcasts; only the lineitem fact ever shuffles, and
+    only for the final 2-group aggregate.  The share is an exact e6
+    integer ratio (Spark `div` == DuckDB `//` on non-negative sums)."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q8_BODY.format(div="div"))
+
+
+_Q9_BODY = """
+SELECT nation_name, o_year,
+       CAST(sum(rev_e4 - cost_e4) AS BIGINT) AS profit_e4
+FROM (
+  SELECT n.n_name AS nation_name,
+         CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+             AS rev_e4,
+         CAST(round(p.p_retailprice * 100) AS BIGINT)
+           * CAST(round(l.l_quantity) AS BIGINT) * 100 AS cost_e4
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+)
+GROUP BY nation_name, o_year
+ORDER BY nation_name, o_year DESC
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (product-type profit), adapted: the corpus has no partsupp,
+    so unit cost is p_retailprice instead of ps_supplycost (profit =
+    discounted revenue minus retail cost of the quantity shipped,
+    exact e4 integers; the sum may legitimately go negative — signed
+    BIGINT on both engines).  Keeps Q9's signature shapes: a LIKE
+    filter on the part name and a supplier-nation x order-year
+    rollup."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q9_BODY)
+
+
+_Q12_BODY = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                          ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (shipping modes / order priority), adapted: the corpus has
+    no l_shipmode/l_commitdate/l_receiptdate, so the category is
+    l_linestatus and "late" is shipped >30 days after the order date.
+    Keeps Q12's signature shape: a join-side date-arithmetic filter
+    plus the two complementary CASE counts in one aggregate pass."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q12_BODY)
+
+
+_Q13_BODY = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 (customer order-count distribution), adapted: the corpus
+    has no o_comment, so the exclusion predicate is an order-priority
+    class instead of `NOT LIKE '%special%requests%'`.  Keeps Q13's
+    signature shapes: a LEFT OUTER join with the filter in the join
+    condition (zero-order customers must survive with c_count = 0)
+    feeding a second-level distribution aggregate."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q13_BODY)
+
+
+_Q19_BODY = """
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 (discounted revenue), adapted: no p_container/
+    l_shipinstruct/l_shipmode in this corpus, so the three disjunct
+    arms are brand x size-range x quantity-range.  Keeps Q19's
+    signature shape: an OR-of-ANDs predicate mixing both join sides —
+    Catalyst must still push the per-side residuals (brand/size down
+    to the part scan, quantity down to the lineitem scan) while
+    evaluating the cross-side disjunction post-join."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q19_BODY)
+
+
+_Q21_BODY = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (suppliers who kept orders waiting), adapted: "late" is
+    shipped >60 days after the order date (no commit/receipt dates in
+    this corpus).  Keeps Q21's signature shape — the only classic
+    with BOTH a correlated EXISTS and a correlated NOT EXISTS against
+    the same fact table: the sole late supplier on a finished
+    multi-supplier order.  Catalyst plans them as a LEFT SEMI and a
+    LEFT ANTI join on l_orderkey; the NOT EXISTS correlates on an
+    outer column from *orders* (o_orderdate), which forces the anti
+    join to carry the date through — a decorrelation shape none of
+    the other classics exercise."""
+    _register(spark, sf_dir)
+    return spark.sql(_Q21_BODY)
+
+
+QUERIES["tpch_q8_mkt_share"] = q_tpch_q8
+QUERIES["tpch_q9_profit"] = q_tpch_q9
+QUERIES["tpch_q12_late_priority"] = q_tpch_q12
+QUERIES["tpch_q13_order_dist"] = q_tpch_q13
+QUERIES["tpch_q19_disjunct_revenue"] = q_tpch_q19
+QUERIES["tpch_q21_waiting_supplier"] = q_tpch_q21
+
+ORACLES["tpch_q8_mkt_share"] = _Q8_BODY.format(div="//")
+ORACLES["tpch_q9_profit"] = _Q9_BODY
+ORACLES["tpch_q12_late_priority"] = _Q12_BODY
+ORACLES["tpch_q13_order_dist"] = _Q13_BODY
+ORACLES["tpch_q19_disjunct_revenue"] = _Q19_BODY
+ORACLES["tpch_q21_waiting_supplier"] = _Q21_BODY

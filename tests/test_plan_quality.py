@@ -1196,3 +1196,48 @@ def test_tpch_q22_anti_join_and_scalar_subquery(spark):
     # (reused aggregate), never a per-row correlated rescan
     assert "LeftAnti" in plan
     assert "Subquery" in plan or "scalar-subquery" in plan
+
+
+def test_tpch_q8_all_dims_broadcast_deep_tree(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q8(spark, SF), spark)
+    # 7-relation tree: the lineitem fact is the only non-broadcast
+    # side; region/nation/type filters reach their scans
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 7
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "EqualTo(r_name,EUROPE)" in plan
+
+
+def test_tpch_q19_pushes_disjunct_residuals_both_sides(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q19(spark, SF), spark)
+    # the OR-of-ANDs mixes both join sides: Catalyst must derive and
+    # push the per-side residual disjunctions into BOTH parquet scans
+    assert "Or(Or(And(EqualTo(p_brand,Brand#11)" in plan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q13_left_outer_survives(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q13(spark, SF), spark)
+    # zero-order customers must survive: the join stays LeftOuter
+    # (never rewritten Inner), the priority filter pushes to the
+    # orders scan, and the distribution is two aggregates
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in plan
+    assert plan.count("HashAggregate") >= 4  # 2 levels x partial/final
+
+
+def test_tpch_q21_semi_and_anti_same_fact(spark):
+    from h2spark.ops import tpch
+
+    plan = _formatted(tpch.q_tpch_q21(spark, SF), spark)
+    # the EXISTS and NOT EXISTS against lineitem must decorrelate to
+    # one LEFT SEMI and one LEFT ANTI join — never a rescan loop
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
