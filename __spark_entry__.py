@@ -56,6 +56,7 @@ def _all_modules():
         links,
         markdown,
         multimodal,
+        pageextract,
         pdftext,
         relational,
         roundtrip,
@@ -70,7 +71,8 @@ def _all_modules():
 
     return (
         multimodal, pdftext, tableextract,
-        flagship, golden_e2e, links, markdown, roundtrip, boilerplate,
+        flagship, golden_e2e, links, markdown, roundtrip, pageextract,
+        boilerplate,
         relational, textstats, bpetokens, dedup, similarity, curation,
         scrub, sketches, storage, tpch,
     )

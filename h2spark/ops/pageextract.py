@@ -1,0 +1,426 @@
+"""Page-structure extraction: captions, lists, OpenGraph, srcset,
+hreflang — through the REAL parser + selector engine.
+
+Same contract as ``ops/roundtrip.py``: each query builds deterministic
+HTML from the ``documents`` table with pure SQL expressions, runs the
+real extraction kernel (tokenizer → tree builder → CSS selectors →
+typed extractors, SURVEY.md §2.1) over it in Spark, and the DuckDB
+oracle replays the construction rules — any selector/attribute/tree
+bug breaks the match on 60k documents.
+
+This module covers the attribute-selector surface the other e2e
+modules don't: presence tests (``img[srcset]``), value tests
+(``link[rel=alternate][hreflang]``) and prefix tests
+(``meta[property^="og:"]``) — reference grammar parity
+``/root/reference/core/src/selector.rs`` (h2s selects with
+descendants-only scope; these run under the same semantics).
+
+Scale shape (all five): parquet scan → one Arrow-batched kernel pass →
+posexplode, zero shuffle before the presentation sort; the srcset
+microsyntax split stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from h2spark.core.spec import ONE, VEC, Field, Scalar, StructSpec
+from h2spark.pipeline.kernel import make_extract_typed_udf
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- 1. image-caption pair mining -------------------------------------------
+
+_CAPTION_SPEC = StructSpec(
+    "CaptionPage",
+    [
+        Field("fig_refs", Scalar("String"), VEC, select="figure > img",
+              attr="src"),
+        Field("fig_caps", Scalar("String"), VEC,
+              select="figure > figcaption"),
+        Field("alt_refs", Scalar("String"), VEC, select="p > img",
+              attr="src"),
+        Field("alt_caps", Scalar("String"), VEC, select="p > img",
+              attr="alt"),
+    ],
+)
+
+
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image, caption) pair mining for multimodal training: a
+    <figure><img>+<figcaption> pair and an inline <img alt=...> per
+    document, with an UNCAPTIONED <div><img> decoy that neither
+    selector may match.  figcaption pairs index first, alt pairs
+    after — the order a reader sees them."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><figure><img src="media://img/'),
+        F.col("doc_id"), F.lit('/0"><figcaption>Figure '),
+        F.col("doc_id") % 7, F.lit(": "), F.col("lang"),
+        F.lit(" sample</figcaption></figure>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit('<p>inline <img src="media://img/'),
+                F.col("doc_id"), F.lit('/1" alt="thumb '),
+                F.col("doc_id") % 5, F.lit('"></p>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<div><img src="media://img/'), F.col("doc_id"),
+        F.lit('/2"></div></body></html>'),
+    )
+    udf = make_extract_typed_udf(_CAPTION_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    # one concatenated (ref, cap, source) stream — figcaption pairs
+    # first, alt pairs after — zipped ONCE so the UDF column appears
+    # exactly once in the explode argument (a lambda-nested size()
+    # reference would defeat Catalyst's python-UDF dedup between the
+    # Generate's implicit pre-filter and the projection, running the
+    # kernel twice; plan-pinned below)
+    refs = F.concat(F.col("o.value.fig_refs"), F.col("o.value.alt_refs"))
+    caps = F.concat(F.col("o.value.fig_caps"), F.col("o.value.alt_caps"))
+    srcs = F.concat(
+        F.transform(F.col("o.value.fig_refs"),
+                    lambda _: F.lit("figcaption")),
+        F.transform(F.col("o.value.alt_refs"), lambda _: F.lit("alt")),
+    )
+    z = F.arrays_zip(refs.alias("r"), caps.alias("c"), srcs.alias("s"))
+    return (
+        out.select("doc_id", F.posexplode(z).alias("pair_idx", "p"))
+        .select(
+            "doc_id",
+            F.col("pair_idx").cast("int").alias("pair_idx"),
+            F.col("p.r").alias("media_ref"),
+            F.col("p.c").alias("caption"),
+            F.col("p.s").alias("caption_source"),
+        )
+        .orderBy("doc_id", "pair_idx")
+    )
+
+
+ORACLE_CAPTION_PAIRS = """
+WITH pairs AS (
+  SELECT doc_id, 0 AS pair_idx,
+         'media://img/' || doc_id || '/0' AS media_ref,
+         'Figure ' || (doc_id % 7) || ': ' || lang || ' sample'
+             AS caption,
+         'figcaption' AS caption_source
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'media://img/' || doc_id || '/1',
+         'thumb ' || (doc_id % 5), 'alt'
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, pair_idx::INT AS pair_idx, media_ref, caption,
+       caption_source
+FROM pairs ORDER BY doc_id, pair_idx
+"""
+
+QUERIES["multimodal_caption_pairs"] = q_caption_pairs
+ORACLES["multimodal_caption_pairs"] = ORACLE_CAPTION_PAIRS
+
+
+# --- 2. list extraction ------------------------------------------------------
+
+_LIST_SPEC = StructSpec(
+    "ListPage",
+    [
+        Field("ul_items", Scalar("String"), VEC, select="ul > li"),
+        Field("ol_items", Scalar("String"), VEC, select="ol > li"),
+    ],
+)
+
+
+def q_list_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulleted/numbered list mining (the structure markdown
+    conversion and outline chunkers consume): one <ul> with 2-3 items
+    and one <ol> with 2, through the child combinator so nothing
+    outside a list container can match."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><ul><li>alpha "), F.col("doc_id") % 3,
+        F.lit("</li><li>beta "), F.col("doc_id") % 5, F.lit("</li>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("<li>gamma "), F.col("doc_id") % 7,
+                     F.lit("</li>")),
+        ).otherwise(F.lit("")),
+        F.lit("</ul><ol><li>step "), F.col("doc_id") % 4,
+        F.lit("</li><li>step "), F.col("doc_id") % 6,
+        F.lit("</li></ol></body></html>"),
+    )
+    udf = make_extract_typed_udf(_LIST_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    items = F.concat(
+        F.transform(
+            F.col("o.value.ul_items"),
+            lambda t, i: F.struct(
+                F.lit("ul").alias("list_kind"), i.alias("item_idx"),
+                t.alias("item_text"),
+            ),
+        ),
+        F.transform(
+            F.col("o.value.ol_items"),
+            lambda t, i: F.struct(
+                F.lit("ol").alias("list_kind"), i.alias("item_idx"),
+                t.alias("item_text"),
+            ),
+        ),
+    )
+    return (
+        out.select("doc_id", F.explode(items).alias("it"))
+        .select(
+            "doc_id", "it.list_kind",
+            F.col("it.item_idx").cast("int").alias("item_idx"),
+            "it.item_text",
+            F.length("it.item_text").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id", "list_kind", "item_idx")
+    )
+
+
+ORACLE_LIST_EXTRACT = """
+WITH items AS (
+  SELECT doc_id, 'ul' AS list_kind, 0 AS item_idx,
+         'alpha ' || (doc_id % 3) AS item_text FROM documents
+  UNION ALL
+  SELECT doc_id, 'ul', 1, 'beta ' || (doc_id % 5) FROM documents
+  UNION ALL
+  SELECT doc_id, 'ul', 2, 'gamma ' || (doc_id % 7)
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id, 'ol', 0, 'step ' || (doc_id % 4) FROM documents
+  UNION ALL
+  SELECT doc_id, 'ol', 1, 'step ' || (doc_id % 6) FROM documents
+)
+SELECT doc_id, list_kind, item_idx::INT AS item_idx, item_text,
+       length(item_text)::BIGINT AS n_chars
+FROM items ORDER BY doc_id, list_kind, item_idx
+"""
+
+QUERIES["list_extract"] = q_list_extract
+ORACLES["list_extract"] = ORACLE_LIST_EXTRACT
+
+
+# --- 3. OpenGraph metadata ---------------------------------------------------
+
+_OG_SPEC = StructSpec(
+    "OgPage",
+    [
+        Field("props", Scalar("String"), VEC,
+              select='meta[property^="og:"]', attr="property"),
+        Field("contents", Scalar("String"), VEC,
+              select='meta[property^="og:"]', attr="content"),
+    ],
+)
+
+
+def q_opengraph_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph social-card metadata: the [attr^=value] PREFIX
+    selector over <meta property="og:*">, with a plain
+    <meta name="description"> decoy that must not match.  The page
+    card is what crawl curation keys share de-dup and content-type
+    routing on."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Title '),
+        F.col("doc_id") % 11,
+        F.lit('"><meta property="og:type" content="'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("article"))
+        .otherwise(F.lit("video")),
+        F.lit('"><meta property="og:image" content="media://img/'),
+        F.col("doc_id"), F.lit('/0">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<meta property="og:locale" content="'),
+                     F.col("lang"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit('<meta name="description" content="ignored">'
+              "</head><body></body></html>"),
+    )
+    udf = make_extract_typed_udf(_OG_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    z = F.arrays_zip(F.col("o.value.props"), F.col("o.value.contents"))
+    return (
+        out.select("doc_id", F.posexplode(z).alias("tag_idx", "t"))
+        .select(
+            "doc_id", F.col("tag_idx").cast("int").alias("tag_idx"),
+            F.regexp_replace(F.col("t.props"), "^og:", "")
+            .alias("og_key"),
+            F.col("t.contents").alias("og_value"),
+        )
+        .orderBy("doc_id", "tag_idx")
+    )
+
+
+ORACLE_OPENGRAPH = """
+WITH tags AS (
+  SELECT doc_id, 0 AS tag_idx, 'title' AS og_key,
+         'Title ' || (doc_id % 11) AS og_value FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'type',
+         CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'video' END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'image', 'media://img/' || doc_id || '/0'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3, 'locale', lang
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, tag_idx::INT AS tag_idx, og_key, og_value
+FROM tags ORDER BY doc_id, tag_idx
+"""
+
+QUERIES["opengraph_extract"] = q_opengraph_extract
+ORACLES["opengraph_extract"] = ORACLE_OPENGRAPH
+
+
+# --- 4. srcset audit ---------------------------------------------------------
+
+_SRCSET_SPEC = StructSpec(
+    "SrcsetPage",
+    [
+        Field("srcset", Scalar("String"), ONE, select="img[srcset]",
+              attr="srcset"),
+    ],
+)
+
+
+def q_image_srcset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Responsive-image srcset audit: the [attr] PRESENCE selector
+    picks the one <img srcset=...> (a plain <img src> decoy must not
+    match), then the srcset microsyntax — comma-separated
+    "url NNNw" candidates — is split in pure Catalyst.  This is the
+    media-variant inventory an image-harvest pipeline ranks before
+    fetching."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><img src="media://img/'), F.col("doc_id"),
+        F.lit('/base"><img srcset="media://img/'), F.col("doc_id"),
+        F.lit("/w320 320w, media://img/"), F.col("doc_id"),
+        F.lit("/w640 640w"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit(", media://img/"), F.col("doc_id"),
+                     F.lit("/w1280 1280w")),
+        ).otherwise(F.lit("")),
+        F.lit('" src="media://img/'), F.col("doc_id"),
+        F.lit('/fallback"></body></html>'),
+    )
+    udf = make_extract_typed_udf(_SRCSET_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    cand = F.transform(
+        F.split(F.col("o.value.srcset"), ",\\s*"),
+        lambda c, i: F.struct(
+            i.alias("cand_idx"),
+            F.split(F.trim(c), "\\s+")[0].alias("url"),
+            F.regexp_replace(F.split(F.trim(c), "\\s+")[1], "w$", "")
+            .cast("long").alias("width_w"),
+        ),
+    )
+    return (
+        out.select("doc_id", F.explode(cand).alias("c"))
+        .select(
+            "doc_id", F.col("c.cand_idx").cast("int").alias("cand_idx"),
+            "c.url", "c.width_w",
+        )
+        .orderBy("doc_id", "cand_idx")
+    )
+
+
+ORACLE_SRCSET = """
+WITH cands AS (
+  SELECT doc_id, 0 AS cand_idx,
+         'media://img/' || doc_id || '/w320' AS url, 320 AS width_w
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'media://img/' || doc_id || '/w640', 640
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'media://img/' || doc_id || '/w1280', 1280
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, cand_idx::INT AS cand_idx, url,
+       width_w::BIGINT AS width_w
+FROM cands ORDER BY doc_id, cand_idx
+"""
+
+QUERIES["image_srcset_audit"] = q_image_srcset_audit
+ORACLES["image_srcset_audit"] = ORACLE_SRCSET
+
+
+# --- 5. hreflang alternates --------------------------------------------------
+
+_HREFLANG_SPEC = StructSpec(
+    "HreflangPage",
+    [
+        Field("langs", Scalar("String"), VEC,
+              select="link[rel=alternate][hreflang]", attr="hreflang"),
+        Field("hrefs", Scalar("String"), VEC,
+              select="link[rel=alternate][hreflang]", attr="href"),
+    ],
+)
+
+
+def q_hreflang_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-language map: COMPOUND attribute selector
+    ([rel=alternate][hreflang] — both must hold; a stylesheet <link>
+    and a bare rel=alternate feed link must not match).  This is the
+    page-level parallel-corpus signal bitext mining starts from."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="en" '
+              'href="https://ex.org/'), F.col("doc_id"),
+        F.lit('/en"><link rel="alternate" hreflang="'), F.col("lang"),
+        F.lit('" href="https://ex.org/'), F.col("doc_id"), F.lit("/"),
+        F.col("lang"), F.lit('">'),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="x-default" '
+                      'href="https://ex.org/'), F.col("doc_id"),
+                F.lit('/">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" href="/s.css">'
+              '<link rel="alternate" type="application/rss+xml" '
+              'href="/feed.xml"></head><body></body></html>'),
+    )
+    udf = make_extract_typed_udf(_HREFLANG_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    z = F.arrays_zip(F.col("o.value.langs"), F.col("o.value.hrefs"))
+    return (
+        out.select("doc_id", F.posexplode(z).alias("alt_idx", "a"))
+        .select(
+            "doc_id", F.col("alt_idx").cast("int").alias("alt_idx"),
+            F.col("a.langs").alias("hreflang"),
+            F.col("a.hrefs").alias("href"),
+        )
+        .orderBy("doc_id", "alt_idx")
+    )
+
+
+ORACLE_HREFLANG = """
+WITH alts AS (
+  SELECT doc_id, 0 AS alt_idx, 'en' AS hreflang,
+         'https://ex.org/' || doc_id || '/en' AS href FROM documents
+  UNION ALL
+  SELECT doc_id, 1, lang, 'https://ex.org/' || doc_id || '/' || lang
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'x-default', 'https://ex.org/' || doc_id || '/'
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id, alt_idx::INT AS alt_idx, hreflang, href
+FROM alts ORDER BY doc_id, alt_idx
+"""
+
+QUERIES["hreflang_map"] = q_hreflang_map
+ORACLES["hreflang_map"] = ORACLE_HREFLANG

@@ -6,6 +6,7 @@ sides must broadcast, and the extraction stage must not silently
 collapse its parallelism. These tests pin that.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from h2spark.ops import relational, similarity, textstats
@@ -1241,3 +1242,22 @@ def test_tpch_q21_semi_and_anti_same_fact(spark):
     # one LEFT SEMI and one LEFT ANTI join — never a rescan loop
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize("qname", [
+    "multimodal_caption_pairs", "list_extract", "opengraph_extract",
+    "image_srcset_audit", "hreflang_map",
+])
+def test_pageextract_single_kernel_pass_no_preshuffle(spark, qname):
+    from h2spark.ops import pageextract
+
+    plan = _formatted(pageextract.QUERIES[qname](spark, SF), spark)
+    # the extraction kernel must run ONCE per row (the explode
+    # pre-filter is not allowed to duplicate the python UDF), over a
+    # single scan, with no exchange before the presentation sort
+    assert plan.count("ArrowEvalPython") == 2  # tree + detail, one node
+    assert plan.count("Scan parquet") == 2  # tree + detail, one scan
+    tree = plan.split("(1) Scan parquet")[0]
+    gen = tree.find("Generate")
+    exch = tree.find("Exchange")
+    assert gen != -1 and exch != -1 and exch < gen  # sort-only exchange above
