@@ -53,6 +53,7 @@ def _all_modules():
         dedup,
         flagship,
         golden_e2e,
+        iceberg,
         links,
         markdown,
         multimodal,
@@ -74,7 +75,7 @@ def _all_modules():
         flagship, golden_e2e, links, markdown, roundtrip, pageextract,
         boilerplate,
         relational, textstats, bpetokens, dedup, similarity, curation,
-        scrub, sketches, storage, tpch,
+        scrub, sketches, storage, iceberg, tpch,
     )
 
 

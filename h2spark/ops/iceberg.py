@@ -1,0 +1,512 @@
+"""Iceberg-style table-metadata planning: snapshot lineage, live-file
+reconciliation, time travel, manifest pruning, snapshot expiry.
+
+The north-star pipeline runs over Iceberg tables; before any data page
+is read, the client plans the scan from METADATA — a snapshot DAG plus
+per-snapshot manifest entries (file path, ADDED/DELETED status,
+partition value, record count, column bounds).  This module models that
+plane exactly:
+
+- The snapshot DAG is a tiny literal (``_SNAPSHOTS``) walked on the
+  DRIVER, which is faithful to Iceberg's own architecture: the client
+  reads ``metadata.json`` driver-side and resolves ancestry before
+  planning distributed work.  The DuckDB oracles do NOT trust that
+  walk — they re-derive ancestry with ``WITH RECURSIVE`` and must
+  agree.
+- The manifest-entry ledger is the DISTRIBUTED axis (millions of files
+  on a real lake).  It is synthesized deterministically from the
+  ``documents`` table: one groupBy pass builds per-file stats, then
+  entries are emitted via array-filter-explode — ONE scan, ONE
+  shuffle, no union-of-rescans.
+- Live-set reconciliation (ADDED in ancestry minus DELETED in
+  ancestry) is a single conditional-aggregate groupBy per query —
+  never an anti-join chain — so each query stays one-shuffle no matter
+  how many snapshots participate.
+
+The DAG has a dangling branch (snapshot 5 was abandoned by a rollback:
+6's parent is 4) so ancestry is genuinely exercised — naive
+``snap <= current`` would wrongly include the branch.
+
+Ledger shape: file_id = doc_id DIV 5 (~N/5 files, scales with SF),
+add_snap = 1 + file_id % 3, row-deletes at snapshot 4 for
+file_id % 7 = 0, branch-only phantom files (+100000) at snapshot 5 for
+file_id % 10 = 0, and a compaction at snapshot 7 rewriting
+file_id % 7 = 3 into +50000 files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# (snapshot_id, parent_id (-1 = root), operation).  Snapshot 5 is a
+# dangling branch: the table was rolled back to 4 and appended as 6.
+_SNAPSHOTS = [
+    (1, -1, "append"),
+    (2, 1, "append"),
+    (3, 2, "append"),
+    (4, 3, "delete"),
+    (5, 4, "append"),
+    (6, 4, "append"),
+    (7, 6, "replace"),
+]
+_CURRENT = 7
+_PARENT = {s: p for s, p, _ in _SNAPSHOTS}
+
+
+def _ancestry(root: int) -> list[int]:
+    """Driver-side lineage walk (Iceberg clients do exactly this over
+    metadata.json before planning the scan)."""
+    chain, cur = [], root
+    while cur != -1:
+        chain.append(cur)
+        cur = _PARENT[cur]
+    return chain
+
+
+def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-entry ledger: one documents scan, one groupBy
+    shuffle, entries emitted by filtering a per-file candidate array."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    files = (
+        docs.groupBy(F.expr("doc_id DIV 5").alias("file_id"))
+        .agg(
+            F.count("*").cast("long").alias("record_count"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .withColumn("part_bucket", (F.col("file_id") % 8).cast("int"))
+    )
+
+    def ent(fid, snap, status, emit):
+        return F.struct(
+            fid.cast("long").alias("file_id"),
+            snap.cast("int").alias("snap"),
+            status.alias("status"),
+            F.col("record_count").alias("record_count"),
+            F.col("min_doc").alias("min_doc"),
+            F.col("max_doc").alias("max_doc"),
+            F.col("part_bucket").alias("part_bucket"),
+            emit.alias("emit"),
+        )
+
+    f = F.col("file_id")
+    cand = F.array(
+        ent(f, F.lit(1) + f % 3, F.lit("ADDED"), F.lit(True)),
+        ent(f, F.lit(4), F.lit("DELETED"), f % 7 == 0),
+        ent(f + 100000, F.lit(5), F.lit("ADDED"), f % 10 == 0),
+        ent(f, F.lit(7), F.lit("DELETED"), f % 7 == 3),
+        ent(f + 50000, F.lit(7), F.lit("ADDED"), f % 7 == 3),
+    )
+    return (
+        files.select(F.explode(F.filter(cand, lambda e: e.emit)).alias("e"))
+        .select("e.*")
+        .drop("emit")
+    )
+
+
+# The shared oracle CTE text: ledger derivation + recursive ancestry.
+_SQL_SNAPSHOTS = ", ".join(f"({s}, {p}, '{o}')" for s, p, o in _SNAPSHOTS)
+_SQL_BASE = f"""
+snaps(snapshot_id, parent_id, op) AS (VALUES {_SQL_SNAPSHOTS}),
+files AS (
+  SELECT doc_id // 5 AS file_id, count(*)::BIGINT AS record_count,
+         min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc,
+         ((doc_id // 5) % 8)::INT AS part_bucket
+  FROM documents GROUP BY 1, 5
+),
+entries AS (
+  SELECT file_id, (1 + file_id % 3)::INT AS snap, 'ADDED' AS status,
+         record_count, min_doc, max_doc, part_bucket FROM files
+  UNION ALL
+  SELECT file_id, 4, 'DELETED', record_count, min_doc, max_doc,
+         part_bucket FROM files WHERE file_id % 7 = 0
+  UNION ALL
+  SELECT file_id + 100000, 5, 'ADDED', record_count, min_doc, max_doc,
+         part_bucket FROM files WHERE file_id % 10 = 0
+  UNION ALL
+  SELECT file_id, 7, 'DELETED', record_count, min_doc, max_doc,
+         part_bucket FROM files WHERE file_id % 7 = 3
+  UNION ALL
+  SELECT file_id + 50000, 7, 'ADDED', record_count, min_doc, max_doc,
+         part_bucket FROM files WHERE file_id % 7 = 3
+),
+anc AS (
+  SELECT snapshot_id, parent_id, op, 0 AS depth FROM snaps
+  WHERE snapshot_id = {_CURRENT}
+  UNION ALL
+  SELECT s.snapshot_id, s.parent_id, s.op, a.depth + 1
+  FROM snaps s JOIN anc a ON s.snapshot_id = a.parent_id
+)
+"""
+
+
+# --- 1. snapshot ancestry ----------------------------------------------------
+
+
+def q_snapshot_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The current snapshot's lineage (branch snapshot 5 excluded),
+    with per-snapshot manifest deltas: files/records added, files
+    logically deleted.  Lineage is driver metadata (broadcast); the
+    per-snapshot deltas are one conditional-agg pass over the ledger."""
+    chain = _ancestry(_CURRENT)
+    lineage = spark.createDataFrame(
+        [
+            (d, s, _PARENT[s], dict((i, o) for i, _, o in _SNAPSHOTS)[s])
+            for d, s in enumerate(chain)
+        ],
+        "depth int, snapshot_id int, parent_id int, op string",
+    )
+    agg = (
+        _entries(spark, sf_dir)
+        .filter(F.col("snap").isin(chain))
+        .groupBy("snap")
+        .agg(
+            F.sum(F.when(F.col("status") == "ADDED", 1).otherwise(0))
+            .cast("long").alias("n_added_files"),
+            F.sum(F.when(F.col("status") == "DELETED", 1).otherwise(0))
+            .cast("long").alias("n_deleted_files"),
+            F.sum(
+                F.when(F.col("status") == "ADDED", F.col("record_count"))
+                .otherwise(0)
+            ).cast("long").alias("added_records"),
+        )
+    )
+    return (
+        F.broadcast(lineage)
+        .join(agg, lineage.snapshot_id == agg.snap, "left")
+        .select(
+            "depth", "snapshot_id", "parent_id", "op",
+            F.coalesce("n_added_files", F.lit(0)).cast("long")
+            .alias("n_added_files"),
+            F.coalesce("n_deleted_files", F.lit(0)).cast("long")
+            .alias("n_deleted_files"),
+            F.coalesce("added_records", F.lit(0)).cast("long")
+            .alias("added_records"),
+        )
+        .orderBy("depth")
+    )
+
+
+ORACLE_ANCESTRY = f"""
+WITH RECURSIVE {_SQL_BASE},
+agg AS (
+  SELECT snap,
+         count(*) FILTER (WHERE status = 'ADDED')::BIGINT
+             AS n_added_files,
+         count(*) FILTER (WHERE status = 'DELETED')::BIGINT
+             AS n_deleted_files,
+         COALESCE(sum(record_count) FILTER (WHERE status = 'ADDED'),
+                  0)::BIGINT AS added_records
+  FROM entries GROUP BY snap
+)
+SELECT a.depth::INT AS depth, a.snapshot_id::INT AS snapshot_id,
+       a.parent_id::INT AS parent_id, a.op,
+       COALESCE(g.n_added_files, 0)::BIGINT AS n_added_files,
+       COALESCE(g.n_deleted_files, 0)::BIGINT AS n_deleted_files,
+       COALESCE(g.added_records, 0)::BIGINT AS added_records
+FROM anc a LEFT JOIN agg g ON g.snap = a.snapshot_id
+ORDER BY depth
+"""
+
+QUERIES["iceberg_snapshot_ancestry"] = q_snapshot_ancestry
+ORACLES["iceberg_snapshot_ancestry"] = ORACLE_ANCESTRY
+
+
+def _live(entries: DataFrame, chain: list[int], tag: str) -> DataFrame:
+    """Live-file reconciliation at one snapshot: ADDED in ancestry and
+    not DELETED in ancestry — one conditional-agg groupBy, no anti-join
+    chain (stays one shuffle at a million manifest entries)."""
+    added = F.col("status") == "ADDED"
+    in_anc = F.col("snap").isin(chain)
+    return (
+        entries.groupBy("file_id")
+        .agg(
+            F.max(F.when(added & in_anc, F.col("snap")))
+            .alias(f"added_snap_{tag}"),
+            F.max(F.when(~added & in_anc, 1)).alias(f"del_{tag}"),
+            F.max("record_count").alias("record_count"),
+            F.max("min_doc").alias("min_doc"),
+            F.max("max_doc").alias("max_doc"),
+            F.max("part_bucket").alias("part_bucket"),
+        )
+        .filter(
+            F.col(f"added_snap_{tag}").isNotNull()
+            & F.col(f"del_{tag}").isNull()
+        )
+    )
+
+
+# --- 2. live-file ledger at the current snapshot -----------------------------
+
+
+def q_live_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scan-planning input: every data file live at the current
+    snapshot (branch-only and deleted files reconciled away,
+    compaction outputs in)."""
+    live = _live(_entries(spark, sf_dir), _ancestry(_CURRENT), "cur")
+    return live.select(
+        "file_id", "part_bucket",
+        F.col("added_snap_cur").cast("int").alias("added_snap"),
+        "record_count", "min_doc", "max_doc",
+    ).orderBy("file_id")
+
+
+ORACLE_LIVE = f"""
+WITH RECURSIVE {_SQL_BASE},
+live AS (
+  SELECT file_id,
+         max(CASE WHEN status = 'ADDED' AND snap IN
+                  (SELECT snapshot_id FROM anc) THEN snap END)
+             AS added_snap,
+         max(CASE WHEN status = 'DELETED' AND snap IN
+                  (SELECT snapshot_id FROM anc) THEN 1 END) AS del_f,
+         max(record_count) AS record_count, max(min_doc) AS min_doc,
+         max(max_doc) AS max_doc, max(part_bucket) AS part_bucket
+  FROM entries GROUP BY file_id
+)
+SELECT file_id, part_bucket, added_snap::INT AS added_snap,
+       record_count, min_doc, max_doc
+FROM live WHERE added_snap IS NOT NULL AND del_f IS NULL
+ORDER BY file_id
+"""
+
+QUERIES["iceberg_live_files"] = q_live_files
+ORACLES["iceberg_live_files"] = ORACLE_LIVE
+
+
+# --- 3. time travel ----------------------------------------------------------
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition diff between the table AS OF snapshot 3 and the
+    current snapshot — both live sets from ONE conditional-agg pass
+    (membership at each snapshot is just another filtered max)."""
+    anc_old, anc_cur = _ancestry(3), _ancestry(_CURRENT)
+    e = _entries(spark, sf_dir)
+    added = F.col("status") == "ADDED"
+    per_file = e.groupBy("file_id").agg(
+        (
+            F.max(F.when(added & F.col("snap").isin(anc_old), 1))
+            .isNotNull()
+            & F.max(F.when(~added & F.col("snap").isin(anc_old), 1))
+            .isNull()
+        ).alias("live_old"),
+        (
+            F.max(F.when(added & F.col("snap").isin(anc_cur), 1))
+            .isNotNull()
+            & F.max(F.when(~added & F.col("snap").isin(anc_cur), 1))
+            .isNull()
+        ).alias("live_cur"),
+        F.max("record_count").alias("record_count"),
+        F.max("part_bucket").alias("part_bucket"),
+    )
+    b = F.col("part_bucket")
+    return (
+        per_file.filter(F.col("live_old") | F.col("live_cur"))
+        .groupBy(b.alias("part_bucket"))
+        .agg(
+            F.sum(F.when(F.col("live_old"), 1).otherwise(0))
+            .cast("long").alias("files_asof"),
+            F.sum(F.when(F.col("live_old"), F.col("record_count"))
+                  .otherwise(0)).cast("long").alias("records_asof"),
+            F.sum(F.when(F.col("live_cur"), 1).otherwise(0))
+            .cast("long").alias("files_now"),
+            F.sum(F.when(F.col("live_cur"), F.col("record_count"))
+                  .otherwise(0)).cast("long").alias("records_now"),
+            F.sum(F.when(F.col("live_cur") & ~F.col("live_old"), 1)
+                  .otherwise(0)).cast("long").alias("files_added"),
+            F.sum(F.when(F.col("live_old") & ~F.col("live_cur"), 1)
+                  .otherwise(0)).cast("long").alias("files_removed"),
+        )
+        .orderBy("part_bucket")
+    )
+
+
+ORACLE_TIME_TRAVEL = f"""
+WITH RECURSIVE {_SQL_BASE},
+anc_old AS (
+  SELECT snapshot_id, parent_id FROM snaps WHERE snapshot_id = 3
+  UNION ALL
+  SELECT s.snapshot_id, s.parent_id FROM snaps s
+  JOIN anc_old a ON s.snapshot_id = a.parent_id
+),
+per_file AS (
+  SELECT file_id,
+         (max(CASE WHEN status = 'ADDED' AND snap IN
+                   (SELECT snapshot_id FROM anc_old) THEN 1 END)
+              IS NOT NULL
+          AND max(CASE WHEN status = 'DELETED' AND snap IN
+                   (SELECT snapshot_id FROM anc_old) THEN 1 END)
+              IS NULL) AS live_old,
+         (max(CASE WHEN status = 'ADDED' AND snap IN
+                   (SELECT snapshot_id FROM anc) THEN 1 END)
+              IS NOT NULL
+          AND max(CASE WHEN status = 'DELETED' AND snap IN
+                   (SELECT snapshot_id FROM anc) THEN 1 END)
+              IS NULL) AS live_cur,
+         max(record_count) AS record_count,
+         max(part_bucket) AS part_bucket
+  FROM entries GROUP BY file_id
+)
+SELECT part_bucket,
+       sum(CASE WHEN live_old THEN 1 ELSE 0 END)::BIGINT AS files_asof,
+       sum(CASE WHEN live_old THEN record_count ELSE 0 END)::BIGINT
+           AS records_asof,
+       sum(CASE WHEN live_cur THEN 1 ELSE 0 END)::BIGINT AS files_now,
+       sum(CASE WHEN live_cur THEN record_count ELSE 0 END)::BIGINT
+           AS records_now,
+       sum(CASE WHEN live_cur AND NOT live_old THEN 1 ELSE 0 END)
+           ::BIGINT AS files_added,
+       sum(CASE WHEN live_old AND NOT live_cur THEN 1 ELSE 0 END)
+           ::BIGINT AS files_removed
+FROM per_file WHERE live_old OR live_cur
+GROUP BY part_bucket ORDER BY part_bucket
+"""
+
+QUERIES["iceberg_time_travel"] = q_time_travel
+ORACLES["iceberg_time_travel"] = ORACLE_TIME_TRAVEL
+
+
+# --- 4. manifest-level partition pruning -------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = 123, 307  # non-empty at every SF (>=500 docs)
+
+
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level scan planning: for the predicate
+    ``doc_id BETWEEN 123 AND 307``, decide per LIVE file whether its
+    zone-map bounds overlap (read) or prove exclusion (skip), plus the
+    upper-bound row count the scan commits to.  This is the manifest
+    tier above ops/storage.py's row-group pruning — on a real lake it
+    eliminates whole files before any footer is fetched."""
+    live = _live(_entries(spark, sf_dir), _ancestry(_CURRENT), "cur")
+    overlap = ~(
+        (F.col("max_doc") < _PRUNE_LO) | (F.col("min_doc") > _PRUNE_HI)
+    )
+    return live.select(
+        "file_id", "part_bucket", "min_doc", "max_doc",
+        F.when(overlap, F.lit("read")).otherwise(F.lit("skip"))
+        .alias("decision"),
+        F.when(overlap, F.col("record_count")).otherwise(0)
+        .cast("long").alias("rows_ub"),
+    ).orderBy("file_id")
+
+
+ORACLE_PRUNE = f"""
+WITH RECURSIVE {_SQL_BASE},
+live AS (
+  SELECT file_id,
+         max(CASE WHEN status = 'ADDED' AND snap IN
+                  (SELECT snapshot_id FROM anc) THEN snap END)
+             AS added_snap,
+         max(CASE WHEN status = 'DELETED' AND snap IN
+                  (SELECT snapshot_id FROM anc) THEN 1 END) AS del_f,
+         max(record_count) AS record_count, max(min_doc) AS min_doc,
+         max(max_doc) AS max_doc, max(part_bucket) AS part_bucket
+  FROM entries GROUP BY file_id
+)
+SELECT file_id, part_bucket, min_doc, max_doc,
+       CASE WHEN max_doc < {_PRUNE_LO} OR min_doc > {_PRUNE_HI}
+            THEN 'skip' ELSE 'read' END AS decision,
+       CASE WHEN max_doc < {_PRUNE_LO} OR min_doc > {_PRUNE_HI}
+            THEN 0 ELSE record_count END::BIGINT AS rows_ub
+FROM live WHERE added_snap IS NOT NULL AND del_f IS NULL
+ORDER BY file_id
+"""
+
+QUERIES["iceberg_partition_prune"] = q_partition_prune
+ORACLES["iceberg_partition_prune"] = ORACLE_PRUNE
+
+
+# --- 5. snapshot expiry / orphan files ---------------------------------------
+
+_RETAINED = [4, 6, 7]  # expire {1,2,3} (age) and 5 (dangling branch)
+
+
+def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry planning: after retaining only snapshots
+    {4,6,7}, list the data files no retained snapshot can reach —
+    branch-only files and files whose delete predates every retained
+    lineage.  One conditional-agg pass computes liveness at ALL
+    retained snapshots at once (a per-snapshot loop would rescan the
+    ledger once per snapshot)."""
+    e = _entries(spark, sf_dir)
+    added = F.col("status") == "ADDED"
+    aggs = []
+    for s in _RETAINED:
+        chain = _ancestry(s)
+        aggs.append(
+            (
+                F.max(F.when(added & F.col("snap").isin(chain), 1))
+                .isNotNull()
+                & F.max(F.when(~added & F.col("snap").isin(chain), 1))
+                .isNull()
+            ).alias(f"live_{s}")
+        )
+    per_file = e.groupBy("file_id").agg(
+        *aggs,
+        F.max(F.when(added, F.col("snap"))).alias("added_snap"),
+        F.max("record_count").alias("record_count"),
+    )
+    referenced = None
+    for s in _RETAINED:
+        c = F.col(f"live_{s}")
+        referenced = c if referenced is None else (referenced | c)
+    return (
+        per_file.filter(~referenced & F.col("added_snap").isNotNull())
+        .select(
+            "file_id", "record_count",
+            F.when(F.col("added_snap") == 5, F.lit("branch_only"))
+            .otherwise(F.lit("deleted_before_retained"))
+            .alias("orphan_reason"),
+        )
+        .orderBy("file_id")
+    )
+
+
+ORACLE_EXPIRE = f"""
+WITH RECURSIVE {_SQL_BASE},
+ranc AS (
+  SELECT snapshot_id AS root, snapshot_id AS snap, parent_id
+  FROM snaps WHERE snapshot_id IN ({", ".join(map(str, _RETAINED))})
+  UNION ALL
+  SELECT r.root, s.snapshot_id, s.parent_id
+  FROM snaps s JOIN ranc r ON s.snapshot_id = r.parent_id
+),
+per_file AS (
+  SELECT file_id,
+         max(CASE WHEN status = 'ADDED' THEN snap END) AS added_snap,
+         max(record_count) AS record_count
+  FROM entries GROUP BY file_id
+),
+lively AS (
+  SELECT x.root, e.file_id,
+         (max(CASE WHEN e.status = 'ADDED'
+                   AND e.snap IN (SELECT snap FROM ranc r2
+                                  WHERE r2.root = x.root)
+              THEN 1 END) IS NOT NULL
+          AND max(CASE WHEN e.status = 'DELETED'
+                   AND e.snap IN (SELECT snap FROM ranc r2
+                                  WHERE r2.root = x.root)
+              THEN 1 END) IS NULL) AS is_live
+  FROM entries e
+  CROSS JOIN (SELECT DISTINCT root FROM ranc) x
+  GROUP BY x.root, e.file_id
+),
+referenced AS (
+  SELECT DISTINCT file_id FROM lively WHERE is_live
+)
+SELECT p.file_id, p.record_count,
+       CASE WHEN p.added_snap = 5 THEN 'branch_only'
+            ELSE 'deleted_before_retained' END AS orphan_reason
+FROM per_file p
+WHERE p.added_snap IS NOT NULL
+  AND p.file_id NOT IN (SELECT file_id FROM referenced)
+ORDER BY p.file_id
+"""
+
+QUERIES["iceberg_expire_snapshots"] = q_expire_snapshots
+ORACLES["iceberg_expire_snapshots"] = ORACLE_EXPIRE

@@ -1261,3 +1261,43 @@ def test_pageextract_single_kernel_pass_no_preshuffle(spark, qname):
     gen = tree.find("Generate")
     exch = tree.find("Exchange")
     assert gen != -1 and exch != -1 and exch < gen  # sort-only exchange above
+
+
+def test_iceberg_ancestry_excludes_branch():
+    from h2spark.ops.iceberg import _ancestry
+
+    # snapshot 5 dangles (rollback to 4, re-append as 6): the current
+    # lineage must skip it, and the old branch must still resolve
+    assert _ancestry(7) == [7, 6, 4, 3, 2, 1]
+    assert _ancestry(5) == [5, 4, 3, 2, 1]
+    assert _ancestry(3) == [3, 2, 1]
+
+
+@pytest.mark.parametrize("qname", [
+    "iceberg_live_files", "iceberg_time_travel",
+    "iceberg_expire_snapshots",
+])
+def test_iceberg_ledger_single_scan_single_agg_pass(spark, qname):
+    from h2spark.ops import iceberg
+
+    plan = _formatted(iceberg.QUERIES[qname](spark, SF), spark)
+    # the manifest ledger derives from ONE documents scan (entries are
+    # emitted by array-filter-explode, not a union of re-aggregations),
+    # and liveness at every snapshot comes from conditional aggregates
+    # in ONE groupBy pass — no anti-join rescans of the ledger
+    assert plan.count("Scan parquet") == 2  # tree + detail, one scan
+    assert "Join" not in plan  # liveness via conditional aggs only
+    # file-stats agg + per-file agg (+ bucket agg) + sort, nothing more
+    assert plan.count("Exchange") <= 8
+    assert plan.count("ReadSchema: struct<doc_id:bigint>") >= 1
+
+
+def test_iceberg_ancestry_lineage_broadcasts(spark):
+    from h2spark.ops import iceberg
+
+    plan = _formatted(
+        iceberg.QUERIES["iceberg_snapshot_ancestry"](spark, SF), spark)
+    # snapshot lineage is driver metadata joined broadcast-side; the
+    # per-snapshot deltas aggregate the ledger exactly once
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert plan.count("Scan parquet") == 2
