@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from h2spark.core.spec import ONE, VEC, Field, Scalar, StructSpec
+from h2spark.core.spec import ONE, OPTION, VEC, Field, Scalar, StructSpec
 from h2spark.pipeline.kernel import make_extract_typed_udf
 
 QUERIES: dict = {}
@@ -424,3 +424,392 @@ FROM alts ORDER BY doc_id, alt_idx
 
 QUERIES["hreflang_map"] = q_hreflang_map
 ORACLES["hreflang_map"] = ORACLE_HREFLANG
+
+
+# --- 6. breadcrumb trails ----------------------------------------------------
+
+_CRUMB_SPEC = StructSpec(
+    "CrumbPage",
+    [
+        Field("crumbs", Scalar("String"), VEC, select="nav > ol > li"),
+    ],
+)
+
+
+def q_breadcrumb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadcrumb-trail mining (site-hierarchy signal for URL
+    clustering and topic taxonomies): a chained child combinator
+    ``nav > ol > li`` walks exactly the trail; a footer <ol> outside
+    <nav> and a <ul> menu inside <nav> are decoys that must not
+    match."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><nav><ol><li>Home</li><li>Section "),
+        F.col("doc_id") % 5, F.lit("</li>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.lit("<li>Sub "), F.col("doc_id") % 3,
+                     F.lit("</li>")),
+        ).otherwise(F.lit("")),
+        F.lit("<li>Page "), F.col("doc_id"),
+        F.lit("</li></ol><ul><li>menu decoy</li></ul></nav>"
+              "<ol><li>footer decoy</li></ol></body></html>"),
+    )
+    udf = make_extract_typed_udf(_CRUMB_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    crumbs = F.col("o.value.crumbs")
+    # trail_len rides INSIDE the transform so the UDF column stays a
+    # single expression (a separate F.size(crumbs) output column would
+    # defeat Catalyst's python-UDF dedup and run the kernel twice)
+    z = F.transform(
+        crumbs,
+        lambda c, i: F.struct(
+            c.alias("crumb"), F.size(crumbs).alias("n")),
+    )
+    return (
+        out.select("doc_id", F.posexplode(z).alias("crumb_idx", "t"))
+        .select(
+            "doc_id", F.col("crumb_idx").cast("int").alias("crumb_idx"),
+            F.col("t.crumb").alias("crumb"),
+            F.col("t.n").cast("int").alias("trail_len"),
+            (F.col("crumb_idx") == F.col("t.n") - 1).alias("is_leaf"),
+        )
+        .orderBy("doc_id", "crumb_idx")
+    )
+
+
+ORACLE_BREADCRUMB = """
+WITH crumbs AS (
+  SELECT doc_id, 0 AS crumb_idx, 'Home' AS crumb FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'Section ' || (doc_id % 5) FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'Sub ' || (doc_id % 3)
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END,
+         'Page ' || doc_id FROM documents
+)
+SELECT doc_id, crumb_idx::INT AS crumb_idx, crumb,
+       (CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END)::INT AS trail_len,
+       crumb_idx = CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 2 END AS is_leaf
+FROM crumbs ORDER BY doc_id, crumb_idx
+"""
+
+QUERIES["breadcrumb_extract"] = q_breadcrumb_extract
+ORACLES["breadcrumb_extract"] = ORACLE_BREADCRUMB
+
+
+# --- 7. definition lists -----------------------------------------------------
+
+_DL_SPEC = StructSpec(
+    "DlPage",
+    [
+        Field("terms", Scalar("String"), VEC, select="dl > dt"),
+        Field("defs", Scalar("String"), VEC, select="dl > dd"),
+    ],
+)
+
+
+def q_definition_list_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glossary mining from <dl>: dt/dd extracted as parallel vectors
+    through the child combinator (a "term: definition" paragraph decoy
+    stays untouched) and zipped positionally — the (term, definition)
+    pairs instruction-tuning QA generators consume."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><dl><dt>alpha</dt><dd>first "),
+        F.col("doc_id") % 4, F.lit("</dd><dt>beta</dt><dd>second "),
+        F.col("doc_id") % 6, F.lit("</dd>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<dt>gamma</dt><dd>third "),
+                     F.col("doc_id") % 9, F.lit("</dd>")),
+        ).otherwise(F.lit("")),
+        F.lit("</dl><p>decoy: not a definition</p></body></html>"),
+    )
+    udf = make_extract_typed_udf(_DL_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    z = F.arrays_zip(F.col("o.value.terms"), F.col("o.value.defs"))
+    return (
+        out.select("doc_id", F.posexplode(z).alias("pair_idx", "p"))
+        .select(
+            "doc_id", F.col("pair_idx").cast("int").alias("pair_idx"),
+            F.col("p.terms").alias("term"),
+            F.col("p.defs").alias("definition"),
+        )
+        .orderBy("doc_id", "pair_idx")
+    )
+
+
+ORACLE_DL = """
+WITH pairs AS (
+  SELECT doc_id, 0 AS pair_idx, 'alpha' AS term,
+         'first ' || (doc_id % 4) AS definition FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'beta', 'second ' || (doc_id % 6) FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'gamma', 'third ' || (doc_id % 9)
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, pair_idx::INT AS pair_idx, term, definition
+FROM pairs ORDER BY doc_id, pair_idx
+"""
+
+QUERIES["definition_list_extract"] = q_definition_list_extract
+ORACLES["definition_list_extract"] = ORACLE_DL
+
+
+# --- 8. pagination rel links -------------------------------------------------
+
+_PAGINATION_SPEC = StructSpec(
+    "PaginationPage",
+    [
+        Field("prev_href", Scalar("String"), OPTION,
+              select="link[rel=prev]", attr="href"),
+        Field("next_href", Scalar("String"), OPTION,
+              select="link[rel=next]", attr="href"),
+        Field("canonical", Scalar("String"), ONE,
+              select="link[rel=canonical]", attr="href"),
+    ],
+)
+
+
+def q_pagination_rel_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination stitching: rel=prev/next are OPTIONAL fields (a
+    first page has no prev, a last page no next — Option semantics,
+    not errors), rel=canonical is mandatory.  The output is the edge
+    list a crawler uses to assemble multi-page articles in order."""
+    d = _docs(spark, sf_dir)
+    page = F.col("doc_id") % 4  # position within a 4-page article
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            page > 0,
+            F.concat(F.lit('<link rel="prev" href="/a/'),
+                     F.col("doc_id") - 1, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            page < 3,
+            F.concat(F.lit('<link rel="next" href="/a/'),
+                     F.col("doc_id") + 1, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="canonical" href="https://ex.org/a/'),
+        F.col("doc_id") - page,
+        F.lit('"><link rel="stylesheet" href="/s.css">'
+              "</head><body></body></html>"),
+    )
+    udf = make_extract_typed_udf(_PAGINATION_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    edges = F.filter(
+        F.array(
+            F.struct(F.lit("prev").alias("rel"),
+                     F.col("o.value.prev_href").alias("href")),
+            F.struct(F.lit("next").alias("rel"),
+                     F.col("o.value.next_href").alias("href")),
+            F.struct(F.lit("canonical").alias("rel"),
+                     F.col("o.value.canonical").alias("href")),
+        ),
+        lambda e: e.href.isNotNull(),
+    )
+    return (
+        out.select("doc_id", F.explode(edges).alias("e"))
+        .select("doc_id", "e.rel", "e.href")
+        .orderBy("doc_id", "rel")
+    )
+
+
+ORACLE_PAGINATION = """
+WITH edges AS (
+  SELECT doc_id, 'prev' AS rel, '/a/' || (doc_id - 1) AS href
+  FROM documents WHERE doc_id % 4 > 0
+  UNION ALL
+  SELECT doc_id, 'next', '/a/' || (doc_id + 1)
+  FROM documents WHERE doc_id % 4 < 3
+  UNION ALL
+  SELECT doc_id, 'canonical',
+         'https://ex.org/a/' || (doc_id - doc_id % 4)
+  FROM documents
+)
+SELECT doc_id, rel, href FROM edges ORDER BY doc_id, rel
+"""
+
+QUERIES["pagination_rel_links"] = q_pagination_rel_links
+ORACLES["pagination_rel_links"] = ORACLE_PAGINATION
+
+
+# --- 9. media <source> variants ----------------------------------------------
+
+_MEDIA_SRC_SPEC = StructSpec(
+    "MediaSourcePage",
+    [
+        Field("v_srcs", Scalar("String"), VEC, select="video > source",
+              attr="src"),
+        Field("v_types", Scalar("String"), VEC, select="video > source",
+              attr="type"),
+        Field("a_srcs", Scalar("String"), VEC, select="audio > source",
+              attr="src"),
+        Field("a_types", Scalar("String"), VEC, select="audio > source",
+              attr="type"),
+    ],
+)
+
+
+def q_media_source_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-variant inventory: <video>/<audio> children <source>
+    elements with MIME types, plus codec preference resolved in
+    Catalyst — the first webm variant if present, else the first
+    listed (the browser algorithm a harvester mirrors to fetch exactly
+    one variant per element)."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><video><source src="media://v/'),
+        F.col("doc_id"), F.lit('/mp4" type="video/mp4">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<source src="media://v/'), F.col("doc_id"),
+                     F.lit('/webm" type="video/webm">')),
+        ).otherwise(F.lit("")),
+        F.lit('</video><audio><source src="media://a/'),
+        F.col("doc_id"), F.lit('/ogg" type="audio/ogg">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<source src="media://a/'), F.col("doc_id"),
+                     F.lit('/mp3" type="audio/mpeg">')),
+        ).otherwise(F.lit("")),
+        F.lit('</audio><img src="media://i/decoy"></body></html>'),
+    )
+    udf = make_extract_typed_udf(_MEDIA_SRC_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+
+    def variants(srcs, types, kind, preferred):
+        # array_position is 0 (not NULL) when absent — fall back to
+        # the first listed variant explicitly
+        raw_pos = F.array_position(types, preferred)
+        pref_pos = F.when(raw_pos > 0, raw_pos).otherwise(F.lit(1))
+        return F.transform(
+            F.arrays_zip(srcs.alias("s"), types.alias("t")),
+            lambda v, i: F.struct(
+                F.lit(kind).alias("element"), i.alias("variant_idx"),
+                v.s.alias("src"), v.t.alias("mime"),
+                (i == pref_pos - 1).alias("preferred"),
+            ),
+        )
+
+    allv = F.concat(
+        variants(F.col("o.value.v_srcs"), F.col("o.value.v_types"),
+                 "video", "video/webm"),
+        variants(F.col("o.value.a_srcs"), F.col("o.value.a_types"),
+                 "audio", "audio/mpeg"),
+    )
+    return (
+        out.select("doc_id", F.explode(allv).alias("v"))
+        .select(
+            "doc_id", "v.element",
+            F.col("v.variant_idx").cast("int").alias("variant_idx"),
+            "v.src", "v.mime", "v.preferred",
+        )
+        .orderBy("doc_id", "element", "variant_idx")
+    )
+
+
+ORACLE_MEDIA_SOURCE = """
+WITH vari AS (
+  SELECT doc_id, 'video' AS element, 0 AS variant_idx,
+         'media://v/' || doc_id || '/mp4' AS src, 'video/mp4' AS mime,
+         doc_id % 2 <> 0 AS preferred
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'video', 1, 'media://v/' || doc_id || '/webm',
+         'video/webm', TRUE
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'audio', 0, 'media://a/' || doc_id || '/ogg',
+         'audio/ogg', doc_id % 3 <> 0
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'audio', 1, 'media://a/' || doc_id || '/mp3',
+         'audio/mpeg', TRUE
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, element, variant_idx::INT AS variant_idx, src, mime,
+       preferred
+FROM vari ORDER BY doc_id, element, variant_idx
+"""
+
+QUERIES["media_source_extract"] = q_media_source_extract
+ORACLES["media_source_extract"] = ORACLE_MEDIA_SOURCE
+
+
+# --- 10. base-href resolution ------------------------------------------------
+
+_BASE_SPEC = StructSpec(
+    "BasePage",
+    [
+        Field("base", Scalar("String"), ONE, select="base", attr="href"),
+        Field("hrefs", Scalar("String"), VEC, select="a", attr="href"),
+    ],
+)
+
+
+def q_base_href_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-URL resolution against <base href>: absolute links
+    pass through, root-relative links join the base ORIGIN, relative
+    links join the base DIRECTORY — all in whole-stage codegen after
+    one kernel pass.  Link-graph construction is wrong without this
+    step (the same page markup yields different absolute edges under
+    different bases)."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><base href="https://cdn'),
+        F.col("doc_id") % 3,
+        F.lit('.ex.org/base/"></head><body><a href="https://other.org/x'),
+        F.col("doc_id"), F.lit('">abs</a><a href="/r/'),
+        F.col("doc_id"), F.lit('">root</a><a href="p/'),
+        F.col("doc_id"), F.lit('.html">rel</a></body></html>'),
+    )
+    udf = make_extract_typed_udf(_BASE_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    base = F.col("o.value.base")
+    origin = F.regexp_extract(base, "^(https://[^/]+)", 1)
+    resolved = F.transform(
+        F.col("o.value.hrefs"),
+        lambda h, i: F.struct(
+            i.alias("link_idx"), h.alias("raw_href"),
+            F.when(h.startswith("https://"), h)
+            .when(h.startswith("/"), F.concat(origin, h))
+            .otherwise(F.concat(base, h)).alias("resolved_url"),
+        ),
+    )
+    return (
+        out.select("doc_id", F.explode(resolved).alias("r"))
+        .select(
+            "doc_id", F.col("r.link_idx").cast("int").alias("link_idx"),
+            "r.raw_href", "r.resolved_url",
+        )
+        .orderBy("doc_id", "link_idx")
+    )
+
+
+ORACLE_BASE_HREF = """
+WITH links AS (
+  SELECT doc_id, 0 AS link_idx,
+         'https://other.org/x' || doc_id AS raw_href,
+         'https://other.org/x' || doc_id AS resolved_url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, '/r/' || doc_id,
+         'https://cdn' || (doc_id % 3) || '.ex.org/r/' || doc_id
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'p/' || doc_id || '.html',
+         'https://cdn' || (doc_id % 3) || '.ex.org/base/p/' || doc_id
+             || '.html'
+  FROM documents
+)
+SELECT doc_id, link_idx::INT AS link_idx, raw_href, resolved_url
+FROM links ORDER BY doc_id, link_idx
+"""
+
+QUERIES["base_href_resolve"] = q_base_href_resolve
+ORACLES["base_href_resolve"] = ORACLE_BASE_HREF

@@ -1247,6 +1247,9 @@ def test_tpch_q21_semi_and_anti_same_fact(spark):
 @pytest.mark.parametrize("qname", [
     "multimodal_caption_pairs", "list_extract", "opengraph_extract",
     "image_srcset_audit", "hreflang_map",
+    "breadcrumb_extract", "definition_list_extract",
+    "pagination_rel_links", "media_source_extract",
+    "base_href_resolve",
 ])
 def test_pageextract_single_kernel_pass_no_preshuffle(spark, qname):
     from h2spark.ops import pageextract
