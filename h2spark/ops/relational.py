@@ -2347,3 +2347,72 @@ ORDER BY user_id
 
 QUERIES["user_churn_label"] = q_user_churn_label
 ORACLES["user_churn_label"] = ORACLE_USER_CHURN
+
+
+# --- MAD-based robust anomaly detection (round 7, session 7) -----------------
+
+
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging per event type: median / median-absolute
+    -deviation instead of mean/stddev, so heavy-tailed spend values
+    can't drag their own threshold (the classic z-score failure that
+    makes every big-spend type self-normalize).
+
+    Determinism across engines: values are integerized first
+    (floor(value*1000)) so every median interpolation lands on an
+    exact binary fraction — the med/mad/threshold doubles are
+    bit-identical in Spark and DuckDB, never rounding-boundary floats.
+
+    Scale shape: two tiny per-type aggregates (one for the median, one
+    for the MAD over deviations) broadcast back onto the event stream
+    — the detail table is never shuffled, only scanned."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(v_milli, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v_milli") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            "event_id", "event_type", "v_milli", "med", "mad", "dev",
+            F.when(F.col("v_milli") > F.col("med"), F.lit("high"))
+            .otherwise(F.lit("low")).alias("side"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+ORACLE_EVENTS_ANOMALY_MAD = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(v_milli, 0.5) AS med
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_id, e.event_type, e.v_milli, m.med,
+         abs(e.v_milli - m.med) AS dev
+  FROM e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.v_milli, d.med, m.mad, d.dev,
+       CASE WHEN d.v_milli > d.med THEN 'high' ELSE 'low' END AS side
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev > 3 * m.mad
+ORDER BY d.event_type, d.event_id
+"""
+
+QUERIES["events_anomaly_mad"] = q_events_anomaly_mad
+ORACLES["events_anomaly_mad"] = ORACLE_EVENTS_ANOMALY_MAD

@@ -1811,3 +1811,177 @@ ORACLE_ANN_RECALL = _oracle_ann_recall()
 
 QUERIES["ann_recall_eval"] = q_ann_recall_eval
 ORACLES["ann_recall_eval"] = ORACLE_ANN_RECALL
+
+
+# --- matryoshka truncation recall (round 7, session 7) -----------------------
+
+_MAT_DIM = 16  # keep the first 16 of 64 dims (MRL-style prefix)
+
+
+def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding evaluation: rank the same query set with
+    only the first 16 of 64 dimensions and report, for every full-dim
+    top-k hit, where the truncated index ranks it (-1 = lost), plus
+    per-query recall as an exact integer percentage.
+
+    This is the go/no-go measurement for prefix-truncated ANN at
+    scale: a 4x dimension cut is a 4x drop in shuffle bytes and
+    index RAM, worth it only if recall@k holds.  Both rankings reuse
+    the brute-force kernel (broadcast query side, one shuffle for the
+    rank window); the truncated side slices the array BEFORE the join
+    so the pruned width is what crosses the wire."""
+    e = _emb(spark, sf_dir)
+    full = ann_bruteforce_topk(e).select(
+        "query_id", "rank", "cand_id")
+    e16 = e.select(
+        "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("embedding"))
+    trunc = ann_bruteforce_topk(e16).select(
+        F.col("query_id").alias("tq"), F.col("cand_id").alias("tc"),
+        F.col("rank").alias("trunc_rank"),
+    )
+    joined = full.join(
+        trunc,
+        (F.col("query_id") == F.col("tq")) & (F.col("cand_id") == F.col("tc")),
+        "left",
+    ).select(
+        "query_id", "rank", "cand_id",
+        F.coalesce("trunc_rank", F.lit(-1)).cast("long")
+        .alias("trunc_rank"),
+    )
+    w = Window.partitionBy("query_id")
+    return (
+        joined.withColumn(
+            "recall_pct",
+            (F.lit(100) * F.sum(
+                F.when(F.col("trunc_rank") != -1, 1).otherwise(0)
+            ).over(w) / _TOP_K).cast("long"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_MATRYOSHKA = f"""
+WITH scored_full AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_COS_DUCK.format(a="q.embedding", b="c.embedding")}, 6)
+             AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked_full AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored_full
+),
+scored_tr AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round({_COS_DUCK.format(a=f"q.embedding[1:{_MAT_DIM}]",
+                                 b=f"c.embedding[1:{_MAT_DIM}]")}, 6)
+             AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked_tr AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored_tr
+),
+joined AS (
+  SELECT f.query_id, f.rank, f.cand_id,
+         COALESCE(t.rank, -1)::BIGINT AS trunc_rank
+  FROM ranked_full f
+  LEFT JOIN (SELECT * FROM ranked_tr WHERE rank <= {_TOP_K}) t
+    ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+  WHERE f.rank <= {_TOP_K}
+)
+SELECT query_id, rank::BIGINT AS rank, cand_id, trunc_rank,
+       (100 * count(*) FILTER (WHERE trunc_rank <> -1)
+            OVER (PARTITION BY query_id) / {_TOP_K})::BIGINT
+           AS recall_pct
+FROM joined ORDER BY query_id, rank
+"""
+
+QUERIES["ann_matryoshka_recall"] = q_ann_matryoshka_recall
+ORACLES["ann_matryoshka_recall"] = ORACLE_ANN_MATRYOSHKA
+
+
+# --- kNN label vote (round 7, session 7) -------------------------------------
+
+_KNN_QUERIES = 50
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the embedding table: each query vector
+    takes the majority label of its 10 nearest neighbors (ties break
+    toward the smaller label id) — the standard label-propagation /
+    weak-annotation pass a curation pipeline runs before training a
+    real classifier.  Same broadcast + single-rank-shuffle shape as
+    the brute-force retriever; the vote adds one tiny aggregation on
+    the already-partitioned (query_id) stream."""
+    e = _emb(spark, sf_dir)
+    scored = ann_bruteforce_topk(e, n_queries=_KNN_QUERIES)
+    votes = (
+        scored.join(
+            F.broadcast(
+                e.select(F.col("vec_id").alias("cand_id"),
+                         F.col("label").alias("n_label"))),
+            "cand_id",
+        )
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("n_label"))
+    best = votes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1)
+    truth = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    ).where(F.col("query_id") < _KNN_QUERIES)
+    return (
+        best.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("n_label").cast("int").alias("pred_label"),
+            "votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_KNN_VOTE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS n_label,
+         round({_COS_DUCK.format(a="q.embedding", b="c.embedding")}, 6)
+             AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_KNN_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT query_id, n_label, count(*)::BIGINT AS votes
+  FROM ranked WHERE rank <= {_TOP_K}
+  GROUP BY query_id, n_label
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, n_label) AS rn
+  FROM votes
+)
+SELECT b.query_id, e.label::INT AS true_label,
+       b.n_label::INT AS pred_label, b.votes,
+       b.n_label = e.label AS correct
+FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+WHERE b.rn = 1 ORDER BY b.query_id
+"""
+
+QUERIES["knn_label_vote"] = q_knn_label_vote
+ORACLES["knn_label_vote"] = ORACLE_KNN_VOTE

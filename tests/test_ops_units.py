@@ -2960,3 +2960,81 @@ def test_dom_diff_tag_mismatch_is_subtree_swap():
     d = _dom_diff(a, b)
     # div(1) + p(1) + text(1) out; section subtree in
     assert d["removed"] == 3 and d["added"] == 3
+
+
+def test_events_anomaly_mad_flags_outlier_not_bulk(spark):
+    # MAD is the point: one extreme value must NOT inflate its own
+    # threshold (the z-score failure), so the outlier is flagged and
+    # the tight bulk is not
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_anomaly_mad
+
+    rows = [(i, "2024-01-01 00:00:00", i, "buy", 10.0 + (i % 3) * 0.001,
+             "{}") for i in range(20)]
+    rows.append((99, "2024-01-01 00:00:00", 99, "buy", 500.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = q_events_anomaly_mad(spark, td).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert out[0]["side"] == "high"
+    assert out[0]["dev"] > 3 * out[0]["mad"]
+
+
+def test_matryoshka_recall_consistent_with_lost_ranks(spark):
+    # recall_pct must be exactly the surviving-rank fraction per query,
+    # and full-dim output stays k rows per query regardless of losses
+    from collections import Counter
+
+    from h2spark.ops.similarity import _TOP_K, q_ann_matryoshka_recall
+
+    out = q_ann_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    per_q = Counter(r["query_id"] for r in out)
+    assert all(n == _TOP_K for n in per_q.values())
+    for qid in per_q:
+        rows = [r for r in out if r["query_id"] == qid]
+        found = sum(1 for r in rows if r["trunc_rank"] != -1)
+        assert all(r["recall_pct"] == 100 * found // _TOP_K for r in rows)
+        for r in rows:
+            assert r["trunc_rank"] == -1 or 1 <= r["trunc_rank"] <= _TOP_K
+
+
+def test_knn_vote_matches_driver_side_recount(spark):
+    # the vote must equal a plain python majority over the brute-force
+    # top-k neighbor labels (ties toward the smaller label id)
+    from collections import Counter
+
+    from h2spark.ops.similarity import (
+        _KNN_QUERIES,
+        _TOP_K,
+        _emb,
+        ann_bruteforce_topk,
+        q_knn_label_vote,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf)
+    labels = {r["vec_id"]: r["label"] for r in
+              e.select("vec_id", "label").collect()}
+    topk = ann_bruteforce_topk(e, n_queries=_KNN_QUERIES).collect()
+    neigh: dict[int, list[int]] = {}
+    for r in topk:
+        neigh.setdefault(r["query_id"], []).append(labels[r["cand_id"]])
+    out = {r["query_id"]: r for r in
+           q_knn_label_vote(spark, sf).collect()}
+    assert set(out) == set(neigh) and len(out) == _KNN_QUERIES
+    for qid, ls in neigh.items():
+        assert len(ls) == _TOP_K
+        votes = Counter(ls)
+        best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out[qid]["pred_label"] == best[0]
+        assert out[qid]["votes"] == best[1]
+        assert out[qid]["true_label"] == labels[qid]
+        assert out[qid]["correct"] == (best[0] == labels[qid])
