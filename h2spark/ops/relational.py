@@ -2416,3 +2416,160 @@ ORDER BY d.event_type, d.event_id
 
 QUERIES["events_anomaly_mad"] = q_events_anomaly_mad
 ORACLES["events_anomaly_mad"] = ORACLE_EVENTS_ANOMALY_MAD
+
+
+# --- exact EWMA smoothing (round 7, session 7) --------------------------------
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 1/2) over the trailing 8 events — the standard smoothing
+    pass a monitoring pipeline runs before thresholding.
+
+    Exactness across engines: the classic recursive EWMA accumulates
+    float error, so instead each window materializes its trailing
+    frame and computes the weighted sum with BINARY weights 2^i over
+    milli-integer values — every intermediate is an exact BIGINT, and
+    the reported average is an integer division (num div denom), so
+    Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: one shuffle on user_id (the same partitioning every
+    per-user op shares); the frame is ROWS-bounded at 8, so per-row
+    state is constant regardless of user history length."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    frame = e.withColumn("frame", F.collect_list("v_milli").over(w))
+    return (
+        frame.select(
+            "event_id", "user_id", "v_milli",
+            F.expr(
+                "aggregate(transform(frame, (x, i) -> x * shiftleft(1L, i)),"
+                " 0L, (a, x) -> a + x)"
+            ).alias("ewma_num"),
+            (F.expr("shiftleft(1L, size(frame))") - 1).alias("ewma_denom"),
+        )
+        .withColumn(
+            "ewma_milli", F.expr("ewma_num div ewma_denom").cast("long"))
+        .orderBy("user_id", "event_id")
+        .select("event_id", "user_id", "v_milli",
+                "ewma_num", "ewma_denom", "ewma_milli")
+    )
+
+
+ORACLE_EVENTS_EWMA = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000) AS BIGINT) AS v_milli
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, v_milli,
+         list(v_milli) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame
+  FROM e
+)
+SELECT event_id, user_id, v_milli,
+       list_sum(list_transform(frame, (x, i) -> x * (1::BIGINT << (i - 1))))::BIGINT
+           AS ewma_num,
+       ((1::BIGINT << len(frame)) - 1)::BIGINT AS ewma_denom,
+       (list_sum(list_transform(frame, (x, i) -> x * (1::BIGINT << (i - 1))))
+            // ((1::BIGINT << len(frame)) - 1))::BIGINT AS ewma_milli
+FROM framed
+ORDER BY user_id, event_id
+"""
+
+QUERIES["events_ewma"] = q_events_ewma
+ORACLES["events_ewma"] = ORACLE_EVENTS_EWMA
+
+
+# --- association rules over per-user event baskets (round 7, session 7) ------
+
+
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining over event types: for every unordered type
+    pair, the number of users doing both, plus integer-e6 confidence
+    (P(b|a)) and lift (joint over independence) — the co-occurrence
+    table a recommender or anomaly rule-miner starts from.
+
+    Scale shape: the basket table is distinct (user, type) — already
+    tiny relative to the event stream — and the pair join is per-user
+    with a bounded basket (types-per-user <= |event_type| which is a
+    small enum), so the self-join output is O(users * k^2), never
+    quadratic in events.  Per-type counts and the user total attach
+    as broadcasts; all arithmetic is exact BIGINT e6."""
+    baskets = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type").distinct()
+    )
+    totals = baskets.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+    per_type = baskets.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_type"))
+    a = baskets.select("user_id", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n_type", "n_a")), "type_a")
+        .join(
+            F.broadcast(per_type.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n_type", "n_b")), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.expr("(1000000L * n_both) div n_a").alias("conf_a_to_b_e6"),
+            F.expr("(1000000L * n_both * n_users) div (n_a * n_b)")
+            .alias("lift_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_EVENTS_ASSOC = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+totals AS (
+  SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM baskets
+),
+per_type AS (
+  SELECT event_type, count(*)::BIGINT AS n_type FROM baskets GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ta.n_type AS n_a, tb.n_type AS n_b,
+       ((1000000::BIGINT * p.n_both) // ta.n_type)::BIGINT
+           AS conf_a_to_b_e6,
+       ((1000000::BIGINT * p.n_both * t.n_users)
+            // (ta.n_type * tb.n_type))::BIGINT AS lift_e6
+FROM pairs p
+JOIN per_type ta ON ta.event_type = p.type_a
+JOIN per_type tb ON tb.event_type = p.type_b
+CROSS JOIN totals t
+ORDER BY p.type_a, p.type_b
+"""
+
+QUERIES["events_assoc_rules"] = q_events_assoc_rules
+ORACLES["events_assoc_rules"] = ORACLE_EVENTS_ASSOC

@@ -3038,3 +3038,64 @@ def test_knn_vote_matches_driver_side_recount(spark):
         assert out[qid]["votes"] == best[1]
         assert out[qid]["true_label"] == labels[qid]
         assert out[qid]["correct"] == (best[0] == labels[qid])
+
+
+def test_events_ewma_binary_weights_exact(spark):
+    # hand-computed frame: weights double toward the newest event, the
+    # denominator is 2^n - 1, and everything stays integral
+    import os
+    import tempfile
+
+    from h2spark.ops.relational import q_events_ewma
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:00:02", 7, "view", 2.0, "{}"),
+        (3, "2024-01-01 00:00:03", 7, "view", 4.0, "{}"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_id"]: r for r in q_events_ewma(spark, td).collect()}
+    assert (out[1]["ewma_num"], out[1]["ewma_denom"]) == (1000, 1)
+    assert (out[2]["ewma_num"], out[2]["ewma_denom"]) == (1000 + 4000, 3)
+    assert (out[3]["ewma_num"], out[3]["ewma_denom"]) == (
+        1000 + 4000 + 16000, 7)
+    assert out[3]["ewma_milli"] == 21000 // 7 == 3000
+
+
+def test_events_assoc_rules_lift_and_confidence(spark):
+    # 4 users: two do both a+b, one a-only, one b-only ->
+    # lift = 2*4/(3*3), confidence(a->b) = 2/3, floored at e6
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_assoc_rules
+
+    rows = []
+    eid = 0
+    for uid, types in ((1, "ab"), (2, "ab"), (3, "a"), (4, "b")):
+        for t in types:
+            for _ in range(2):  # duplicates must not inflate baskets
+                rows.append((eid, "2024-01-01 00:00:00", uid, t, 1.0, "{}"))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = q_events_assoc_rules(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["conf_a_to_b_e6"] == 1000000 * 2 // 3
+    assert r["lift_e6"] == 1000000 * 2 * 4 // 9
