@@ -1994,3 +1994,67 @@ ORDER BY source
 
 QUERIES["eval_split_group_aware"] = q_eval_split_group_aware
 ORACLES["eval_split_group_aware"] = ORACLE_EVAL_SPLIT_GROUP
+
+
+# --- curriculum ordering (round 7, session 7) ---------------------------------
+
+_CURR_BATCH = 8       # documents per training step
+_CURR_BAND_TOKENS = 32  # band width on the difficulty axis
+
+
+def q_training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum scheduling: order documents easy-to-hard
+    (shorter = easier, the standard length curriculum) and assign each
+    a global training step and within-step position at a fixed batch
+    size — the deterministic schedule a curriculum-learning run
+    consumes instead of a random shuffle.
+
+    Scale shape: the global rank is NOT a single-task window — it runs
+    two-level like q_budget_selection, banded on the order value
+    itself (band = n_tokens div 32 is monotone in the sort key, and
+    ties can't straddle a boundary: equal n_tokens = equal band).
+    Within-band row_numbers shuffle on the band key; the tiny
+    band-count table broadcasts cumulative offsets back. Composition
+    is bit-identical to the single-window oracle."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(
+        "doc_id",
+        bpetokens.bpe_count_col(F.col("text")).alias("n_tokens"),
+    ).withColumn(
+        "_band", F.expr(f"n_tokens div {_CURR_BAND_TOKENS}").cast("long"))
+    wl = Window.partitionBy("_band").orderBy("n_tokens", "doc_id")
+    rn = base.withColumn("_rn", F.row_number().over(wl).cast("long"))
+    counts = base.groupBy("_band").agg(F.count("*").cast("long").alias("_n"))
+    wo = (
+        Window.orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "_band", (F.sum("_n").over(wo) - F.col("_n")).alias("_off"))
+    ranked = rn.join(F.broadcast(offsets), "_band").withColumn(
+        "rank", (F.col("_off") + F.col("_rn")).cast("long"))
+    return ranked.select(
+        "doc_id", "n_tokens", "rank",
+        F.expr(f"(rank - 1) div {_CURR_BATCH}").cast("long").alias("step"),
+        ((F.col("rank") - 1) % _CURR_BATCH).cast("long").alias("pos_in_step"),
+    ).orderBy("rank")
+
+
+ORACLE_CURRICULUM_ORDER = f"""
+WITH q AS (
+  SELECT doc_id, {bpe_count} AS n_tokens FROM documents
+), r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id)::BIGINT AS rank
+  FROM q
+)
+SELECT doc_id, n_tokens, rank,
+       ((rank - 1) // {_CURR_BATCH})::BIGINT AS step,
+       ((rank - 1) % {_CURR_BATCH})::BIGINT AS pos_in_step
+FROM r ORDER BY rank
+"""
+
+QUERIES["training_curriculum_order"] = q_training_curriculum_order
+ORACLES["training_curriculum_order"] = ORACLE_CURRICULUM_ORDER

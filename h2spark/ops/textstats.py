@@ -2755,3 +2755,94 @@ ORACLE_LANG_CONFUSION = _oracle_lang_confusion()
 
 QUERIES["lang_confusion_matrix"] = q_lang_confusion
 ORACLES["lang_confusion_matrix"] = ORACLE_LANG_CONFUSION
+
+
+# --- collocation mining via PMI (round 7, session 7) ----------------------
+
+_PMI_MIN_COUNT = 5  # collocations need support; rare pairs have wild PMI
+
+
+def q_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information
+    over adjacent word pairs — PMI = log10(N * c(w1,w2) /
+    (c(w1,_) * c(_,w2))) with a minimum-support floor, the standard
+    multi-word-expression detector ("new york"-style units a tokenizer
+    or phrase-aware dedup wants to know about).
+
+    Scale shape: one explode into bigram rows, then three vocab-keyed
+    aggregations (pair, left-slot, right-slot) joined pair-to-margin —
+    every shuffle is keyed by words (bounded skew: a hot word's margin
+    row is still one row), the 1-row bigram total attaches via
+    broadcast crossJoin, and no corpus-wide state exists. PMI doubles
+    are computed from exact BIGINT counts with one log10 and rounded
+    to 6, identical in both engines."""
+    d = _docs(spark, sf_dir)
+    ws = d.select(F.split(_norm_text(), " ").alias("ws"))
+    grams = ws.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 2),
+                lambda i: F.struct(
+                    F.element_at("ws", i + 1).alias("w1"),
+                    F.element_at("ws", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair = grams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pair"))
+    left = grams.groupBy("w1").agg(
+        F.count("*").cast("long").alias("n_left"))
+    right = grams.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n_right"))
+    total = grams.agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        pair.where(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "n_pair", "n_left", "n_right",
+            F.round(
+                F.log10(
+                    F.col("n_total").cast("double")
+                    * F.col("n_pair").cast("double")
+                    / (F.col("n_left").cast("double")
+                       * F.col("n_right").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+    )
+
+
+ORACLE_COLLOCATION_PMI = f"""
+WITH ws AS (
+  SELECT string_split({_NORM_DUCK}, ' ') AS ws FROM documents
+), grams AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM ws, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+  WHERE len(ws) >= 2
+), pair AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_pair FROM grams GROUP BY 1, 2
+), lft AS (
+  SELECT w1, count(*)::BIGINT AS n_left FROM grams GROUP BY 1
+), rgt AS (
+  SELECT w2, count(*)::BIGINT AS n_right FROM grams GROUP BY 1
+), total AS (
+  SELECT count(*)::BIGINT AS n_total FROM grams
+)
+SELECT p.w1, p.w2, p.n_pair, l.n_left, r.n_right,
+       round(log10(t.n_total::DOUBLE * p.n_pair::DOUBLE
+                   / (l.n_left::DOUBLE * r.n_right::DOUBLE)), 6) AS pmi
+FROM pair p
+JOIN lft l USING (w1)
+JOIN rgt r USING (w2)
+CROSS JOIN total t
+WHERE p.n_pair >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, p.w1, p.w2
+"""
+
+QUERIES["text_collocation_pmi"] = q_collocation_pmi
+ORACLES["text_collocation_pmi"] = ORACLE_COLLOCATION_PMI

@@ -3099,3 +3099,57 @@ def test_events_assoc_rules_lift_and_confidence(spark):
     assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 3, 3)
     assert r["conf_a_to_b_e6"] == 1000000 * 2 // 3
     assert r["lift_e6"] == 1000000 * 2 * 4 // 9
+
+
+def test_collocation_pmi_flags_fixed_phrase(spark):
+    # a pair that always co-occurs ("new york") must out-PMI a pair of
+    # independent common words, and support below the floor is dropped
+    import math
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_collocation_pmi
+
+    docs = ["new york " * 5 + "the cat the dog the cow the pig the hen"] * 2
+    docs.append("rare pair")  # support 1 < floor -> excluded
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {(r["w1"], r["w2"]): r for r in
+               q_collocation_pmi(spark, td).collect()}
+    assert ("rare", "pair") not in out
+    ny = out[("new", "york")]
+    assert ny["n_pair"] == 10
+    # exact: every "new" is followed by "york"
+    n_total = sum(len(t.split()) - 1 for t in docs)
+    expect = math.log10(
+        n_total * ny["n_pair"] / (ny["n_left"] * ny["n_right"]))
+    assert ny["pmi"] == round(expect, 6)
+    assert all(ny["pmi"] >= r["pmi"] for r in out.values())
+
+
+def test_curriculum_order_banded_rank_is_global(spark):
+    # ranks must be the dense 1..n global length order even when docs
+    # straddle band boundaries; steps fill in batch-size blocks
+    import os
+    import tempfile
+
+    from h2spark.ops.curation import _CURR_BATCH, q_training_curriculum_order
+
+    rows = [(i, "w " * (3 * i + 1), "en", "s", 3 * i + 1)
+            for i in range(40)]  # lengths cross several 32-token bands
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_training_curriculum_order(spark, td).collect()
+    assert [r["rank"] for r in out] == list(range(1, 41))
+    toks = [r["n_tokens"] for r in out]
+    assert toks == sorted(toks)
+    for r in out:
+        assert r["step"] == (r["rank"] - 1) // _CURR_BATCH
+        assert r["pos_in_step"] == (r["rank"] - 1) % _CURR_BATCH
