@@ -1985,3 +1985,164 @@ WHERE b.rn = 1 ORDER BY b.query_id
 
 QUERIES["knn_label_vote"] = q_knn_label_vote
 ORACLES["knn_label_vote"] = ORACLE_KNN_VOTE
+
+
+# --- dead-dimension variance audit (round 7, session 7) -----------------------
+
+_DIM_PRUNE_N = 8  # bottom-variance dims nominated for pruning
+
+
+def q_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance audit over the embedding table: exact
+    integer variance numerators (n*Σx² − (Σx)²) on e3-quantized
+    values, with the lowest-variance dimensions nominated as prune
+    candidates — the measurement behind "drop the dead dims before
+    indexing" (a near-zero-variance dimension spends index RAM and
+    shuffle bytes to discriminate nothing).
+
+    Scale shape: one posexplode into (dim, value) rows and one 64-key
+    groupBy — integer sums are order-independent so the shuffle is a
+    plain partial-aggregated HashAggregate; the final ranking window
+    runs over exactly one row per dimension.  The e3 quantization
+    bounds n*Σx² under int64 through corpus sizes ~10^9 rows; past
+    that a production audit switches the numerator to DOUBLE (noted
+    here rather than hidden)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    vals = e.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("dim0", "v_e3")
+    ).select((F.col("dim0") + 1).cast("long").alias("dim"), "v_e3")
+    agg = vals.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_e3").cast("long").alias("sum_e3"),
+        F.sum(F.col("v_e3") * F.col("v_e3")).cast("long").alias("sumsq_e3"),
+    )
+    var_num = (F.col("n") * F.col("sumsq_e3")
+               - F.col("sum_e3") * F.col("sum_e3"))
+    w = Window.orderBy(F.col("var_num"), F.col("dim"))
+    return (
+        agg.withColumn("var_num", var_num.cast("long"))
+        .withColumn("var_rank", F.row_number().over(w).cast("long"))
+        .withColumn("prune_candidate", F.col("var_rank") <= _DIM_PRUNE_N)
+        .select("dim", "n", "sum_e3", "sumsq_e3", "var_num",
+                "var_rank", "prune_candidate")
+        .orderBy("dim")
+    )
+
+
+ORACLE_DIM_VARIANCE = f"""
+WITH vals AS (
+  SELECT i AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS v_e3
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+agg AS (
+  SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+         sum(v_e3)::BIGINT AS sum_e3,
+         sum(v_e3 * v_e3)::BIGINT AS sumsq_e3
+  FROM vals GROUP BY 1
+),
+ranked AS (
+  SELECT *, (n * sumsq_e3 - sum_e3 * sum_e3)::BIGINT AS var_num
+  FROM agg
+)
+SELECT dim, n, sum_e3, sumsq_e3, var_num,
+       row_number() OVER (ORDER BY var_num, dim)::BIGINT AS var_rank,
+       row_number() OVER (ORDER BY var_num, dim) <= {_DIM_PRUNE_N}
+           AS prune_candidate
+FROM ranked ORDER BY dim
+"""
+
+QUERIES["embedding_dim_variance"] = q_embedding_dim_variance
+ORACLES["embedding_dim_variance"] = ORACLE_DIM_VARIANCE
+
+
+# --- per-label centroid drift between corpus halves (round 7, session 7) -----
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: split the corpus into two halves
+    (vec_id parity stands in for old-batch/new-batch) and measure, per
+    (label, dimension), how far the label centroid moved — the check a
+    pipeline runs before trusting an index or classifier trained on
+    the old half.
+
+    Exactness: means are rationals, so the mean difference is carried
+    as the cross-multiplied integer numerator s_a·n_b − s_b·n_a over
+    denominator n_a·n_b (never dividing a possibly-negative value —
+    Spark div truncates toward zero while DuckDB // floors, so signed
+    division is an engine-divergence trap); the reported magnitude
+    divides only the absolute numerator.
+
+    Scale shape: one posexplode and one (label, dim, split)-keyed
+    conditional aggregation — bounded keys, partial aggregation, no
+    broadcast of anything corpus-sized."""
+    e = _emb(spark, sf_dir)
+    vals = e.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+            )
+        ).alias("dim0", "v_e3"),
+    ).select("label", "half",
+             (F.col("dim0") + 1).cast("long").alias("dim"), "v_e3")
+    agg = vals.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v_e3"))
+              .otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("v_e3"))
+              .otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    diff_num = F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    return (
+        agg.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn("diff_num", diff_num.cast("long"))
+        .withColumn(
+            "drift_abs_e3",
+            F.expr("(1000 * abs(diff_num)) div (n_a * n_b)").cast("long"),
+        )
+        .select("label", "dim", "s_a", "n_a", "s_b", "n_b",
+                "diff_num", "drift_abs_e3")
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_CENTROID_DRIFT = """
+WITH vals AS (
+  SELECT label, (vec_id % 2)::INT AS half, i::BIGINT AS dim,
+         CAST(floor(embedding[i]::DOUBLE * 1000) AS BIGINT) AS v_e3
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+),
+agg AS (
+  SELECT label, dim,
+         sum(CASE WHEN half = 0 THEN v_e3 ELSE 0 END)::BIGINT AS s_a,
+         count(*) FILTER (WHERE half = 0)::BIGINT AS n_a,
+         sum(CASE WHEN half = 1 THEN v_e3 ELSE 0 END)::BIGINT AS s_b,
+         count(*) FILTER (WHERE half = 1)::BIGINT AS n_b
+  FROM vals GROUP BY 1, 2
+)
+SELECT label, dim, s_a, n_a, s_b, n_b,
+       (s_a * n_b - s_b * n_a)::BIGINT AS diff_num,
+       ((1000 * abs(s_a * n_b - s_b * n_a)) // (n_a * n_b))::BIGINT
+           AS drift_abs_e3
+FROM agg
+WHERE n_a > 0 AND n_b > 0
+ORDER BY label, dim
+"""
+
+QUERIES["embedding_centroid_drift"] = q_embedding_centroid_drift
+ORACLES["embedding_centroid_drift"] = ORACLE_CENTROID_DRIFT

@@ -434,3 +434,60 @@ def test_prototype_pruning_quartile_bound(spark):
     for r in rows:
         assert 0 <= r["n_pruned"] <= r["n_vecs"] // 4 + 1, r
     assert 0 < pruned <= total // 3
+
+
+def test_dim_variance_finds_planted_dead_dim(spark):
+    # a constant dimension must rank first for pruning; variance
+    # numerators must equal the exact integer formula
+    from pyspark.sql import Row
+
+    from h2spark.ops.similarity import q_embedding_dim_variance
+
+    import os
+    import tempfile
+
+    rows = []
+    for i in range(40):
+        vec = [((i * 7 + d * 13) % 100) / 100.0 for d in range(8)]
+        vec[3] = 0.25  # planted dead dim
+        rows.append(Row(vec_id=i, embedding=vec, label=i % 2))
+    df = spark.createDataFrame(rows)
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = {r["dim"]: r for r in
+               q_embedding_dim_variance(spark, td).collect()}
+    assert out[4]["var_num"] == 0          # dim index is 1-based
+    assert out[4]["var_rank"] == 1 and out[4]["prune_candidate"]
+    for d, r in out.items():
+        vs = [int((((i * 7 + (d - 1) * 13) % 100) / 100.0
+                   if d != 4 else 0.25) * 1000) for i in range(40)]
+        assert r["var_num"] == 40 * sum(v * v for v in vs) - sum(vs) ** 2
+
+
+def test_centroid_drift_zero_for_mirrored_halves(spark):
+    # identical vectors in both halves -> zero drift everywhere;
+    # a planted shift in one label/dim shows up there and only there
+    from pyspark.sql import Row
+
+    from h2spark.ops.similarity import q_embedding_centroid_drift
+
+    import os
+    import tempfile
+
+    rows = []
+    for i in range(20):
+        # odd vec_ids mirror the even half exactly...
+        base = [((i // 2) * 3 + d) / 50.0 for d in range(4)]
+        if i % 2 == 1 and (i // 2) % 2 == 0:  # ...except label 0, dim 2
+            base[1] += 0.5
+        rows.append(Row(vec_id=i, embedding=base, label=(i // 2) % 2))
+    df = spark.createDataFrame(rows)
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = {(r["label"], r["dim"]): r for r in
+               q_embedding_centroid_drift(spark, td).collect()}
+    # label 1 saw no shift: every dim drift-free
+    assert all(out[(1, d)]["diff_num"] == 0 for d in range(1, 5))
+    # label 0 dim 2 drifted by exactly 0.5 (=500 e3 units); others not
+    assert out[(0, 2)]["drift_abs_e3"] == 500_000
+    assert all(out[(0, d)]["diff_num"] == 0 for d in (1, 3, 4))
