@@ -813,3 +813,90 @@ FROM links ORDER BY doc_id, link_idx
 
 QUERIES["base_href_resolve"] = q_base_href_resolve
 ORACLES["base_href_resolve"] = ORACLE_BASE_HREF
+
+
+# --- 10. accessibility audit ---------------------------------------------------
+
+_A11Y_SPEC = StructSpec(
+    "A11yPage",
+    [
+        Field("imgs", Scalar("String"), VEC, select="img", attr="src"),
+        Field("imgs_alt", Scalar("String"), VEC, select="img[alt]",
+              attr="src"),
+        Field("h1s", Scalar("String"), VEC, select="h1"),
+        Field("h2s", Scalar("String"), VEC, select="h2"),
+        Field("h3s", Scalar("String"), VEC, select="h3"),
+        Field("input_ids", Scalar("String"), VEC, select="input",
+              attr="id"),
+        Field("label_fors", Scalar("String"), VEC, select="label[for]",
+              attr="for"),
+    ],
+)
+
+
+def q_a11y_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accessibility audit through the real parser + selector engine:
+    per page, alt-text coverage over <img> (presence selector
+    ``img[alt]``), heading-level skips (an <h3> directly under an
+    <h1> with no <h2>), and form inputs without a matching
+    <label for=...> — the three checks an a11y crawler reports first.
+    Pages vary the defects by doc_id: every page has one alt-less
+    image, odd pages drop a second alt, doc_id%3==0 pages skip the
+    h2 level, doc_id%4==0 pages leave every input unlabeled.
+
+    Scale shape: scan → one Arrow-batched kernel pass → pure codegen
+    array arithmetic (size / array_intersect), zero shuffle before
+    the presentation sort."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><body><h1>T"), F.col("doc_id"), F.lit("</h1>"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("<h3>Skipped</h3>"))
+        .otherwise(F.lit("<h2>Section</h2>")),
+        F.lit('<img src="i1" alt="a1">'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit('<img src="i2" alt="a2">'))
+        .otherwise(F.lit('<img src="i2">')),
+        F.lit('<img src="i3"><form>'),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.lit('<label for="f1">Name</label><input id="f1">'),
+        ).otherwise(F.lit("")),
+        F.lit('<input id="f2"></form></body></html>'),
+    )
+    udf = make_extract_typed_udf(_A11Y_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    n_imgs = F.size("o.value.imgs").cast("long")
+    n_alt = F.size("o.value.imgs_alt").cast("long")
+    return (
+        out.select(
+            "doc_id",
+            n_imgs.alias("n_imgs"),
+            n_alt.alias("n_imgs_alt"),
+            (F.lit(100) * n_alt / n_imgs).cast("long").alias("alt_pct"),
+            (
+                (F.size("o.value.h1s") > 0)
+                & (F.size("o.value.h2s") == 0)
+                & (F.size("o.value.h3s") > 0)
+            ).alias("heading_skip"),
+            F.size("o.value.input_ids").cast("long").alias("n_inputs"),
+            F.size(
+                F.array_intersect("o.value.input_ids", "o.value.label_fors")
+            ).cast("long").alias("n_labeled"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_A11Y_AUDIT = """
+SELECT doc_id,
+       3::BIGINT AS n_imgs,
+       (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_imgs_alt,
+       (CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 33 END)::BIGINT AS alt_pct,
+       doc_id % 3 = 0 AS heading_skip,
+       (CASE WHEN doc_id % 4 <> 0 THEN 2 ELSE 1 END)::BIGINT AS n_inputs,
+       (CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_labeled
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["a11y_audit"] = q_a11y_audit
+ORACLES["a11y_audit"] = ORACLE_A11Y_AUDIT

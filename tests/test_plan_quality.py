@@ -1304,3 +1304,15 @@ def test_iceberg_ancestry_lineage_broadcasts(spark):
     # per-snapshot deltas aggregate the ledger exactly once
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_a11y_audit_kernel_once_no_shuffle(spark):
+    """One Arrow kernel pass; the array arithmetic (size /
+    array_intersect) stays JVM-side and nothing shuffles before the
+    presentation sort."""
+    from h2spark.ops import pageextract
+
+    plan = _formatted(pageextract.q_a11y_audit(spark, SF), spark)
+    assert plan.count("ArrowEvalPython") <= 2  # node + details lines
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # only the global orderBy range
