@@ -1199,3 +1199,126 @@ def run_streaming_attribution(
         attribution_join(clicks, purchases),
         out_dir, checkpoint_dir, available_now,
     )
+
+
+# --- custom stateful operator: exact EWMA monitor (18th streaming op) -------
+
+EWMA_SCHEMA = (
+    "event_id long, user_id long, v_milli long, "
+    "ewma_num long, ewma_denom long, ewma_milli long"
+)
+# sorted per-user buffer; the first n_ctx rows are already-emitted
+# frame context (at most 7 — the trailing window minus the row itself)
+_EWMA_STATE_SCHEMA = "ts array<long>, eid array<long>, v array<long>, n_ctx int"
+
+
+def ewma_monitor(events, watermark: str = "2 hours"):
+    """Streaming twin of ops/relational.q_events_ewma: per-user
+    binary-weight EWMA (alpha=1/2, trailing 8 rows, exact BIGINT
+    arithmetic) computed incrementally with applyInPandasWithState.
+
+    Finality argument: a row's frame contains only events with
+    (ts, event_id) at or before it, so once the watermark passes the
+    user's buffered maximum — the event-time timeout — no admissible
+    arrival can land inside any buffered row's frame (a surviving
+    event's ts is >= the watermark, hence sorts after everything
+    buffered), and every buffered row is emitted in one batch,
+    byte-equal to the batch operator.  The last 7 rows stay in state
+    as frame CONTEXT for the user's next burst; context rows are
+    never re-emitted.
+
+    State is O(events per user per lateness horizon) while a burst is
+    in flight and exactly 7 rows once it flushes; like sessionize, a
+    user that streams without pause defers emission until their first
+    watermark-length gap (the documented cost of exact frames)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+
+        def emit(ts, eid, v, n_ctx):
+            rows = []
+            for j in range(n_ctx, len(v)):
+                lo = max(0, j - 7)
+                frame = v[lo:j + 1]
+                num = int(sum(int(x) << i for i, x in enumerate(frame)))
+                denom = (1 << len(frame)) - 1
+                rows.append((int(eid[j]), int(user_id), int(v[j]),
+                             num, denom, num // denom))
+            return pd.DataFrame(
+                rows, columns=["event_id", "user_id", "v_milli",
+                               "ewma_num", "ewma_denom", "ewma_milli"])
+
+        if state.hasTimedOut:
+            ts, eid, v, n_ctx = state.get
+            ts = np.asarray(ts, dtype="int64")
+            eid = np.asarray(eid, dtype="int64")
+            v = np.asarray(v, dtype="int64")
+            out = emit(ts, eid, v, n_ctx)
+            keep = min(len(v), 7)
+            state.update((ts[-keep:].tolist(), eid[-keep:].tolist(),
+                          v[-keep:].tolist(), keep))
+            # no new timeout: the kept rows are pure context until the
+            # user's next burst arrives
+            yield out
+            return
+        chunks = [(pdf["ts_us"].to_numpy(dtype="int64"),
+                   pdf["event_id"].to_numpy(dtype="int64"),
+                   pdf["v_milli"].to_numpy(dtype="int64"))
+                  for pdf in pdfs]
+        ts = np.concatenate([c[0] for c in chunks])
+        eid = np.concatenate([c[1] for c in chunks])
+        v = np.concatenate([c[2] for c in chunks])
+        n_ctx = 0
+        if state.exists:
+            old_ts, old_eid, old_v, n_ctx = state.get
+            ts = np.concatenate([np.asarray(old_ts, dtype="int64"), ts])
+            eid = np.concatenate([np.asarray(old_eid, dtype="int64"), eid])
+            v = np.concatenate([np.asarray(old_v, dtype="int64"), v])
+        # batch-op order: (ts, event_id); context rows already sorted
+        # and strictly below the watermark, so they stay the prefix
+        order = np.lexsort((eid[n_ctx:], ts[n_ctx:])) + n_ctx
+        head = np.arange(n_ctx)
+        idx = np.concatenate([head, order])
+        ts, eid, v = ts[idx], eid[idx], v[idx]
+        state.update((ts.tolist(), eid.tolist(), v.tolist(), int(n_ctx)))
+        state.setTimeoutTimestamp(int(ts.max()) // 1000 + 1)
+        return
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+            F.col("ts"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_streaming_ewma(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental exact EWMA over a growing events directory."""
+    return _start_append_writer(
+        ewma_monitor(_read_events_stream(spark, input_dir),
+                     watermark=watermark),
+        out_dir, checkpoint_dir, available_now,
+    )

@@ -1002,3 +1002,61 @@ def test_streaming_attribution_join_matches_batch(spark, tmp_path):
         (3, 5, 30 * 60 * 1_000_000),
         (4, 5, 20 * 60 * 1_000_000),
     ]
+
+
+def test_streaming_ewma_matches_batch_across_bursts(spark, tmp_path):
+    """18th streaming operator: the stateful EWMA must equal the batch
+    q_events_ewma row-for-row on the same input — including rows in a
+    SECOND burst whose trailing-8 frame reaches back into the first
+    (already-emitted) burst, proving the kept context survives the
+    flush; out-of-order arrival within a burst must sort into frame
+    order before emission."""
+    from datetime import datetime
+
+    from h2spark.ops.relational import q_events_ewma
+    from h2spark.pipeline.streaming import run_streaming_ewma
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    burst1 = [
+        (0, t(0, 0), 1, "view", 1.0, "{}"),
+        (2, t(0, 2), 1, "view", 4.0, "{}"),     # arrives before eid 1...
+        (1, t(0, 1), 1, "view", 2.0, "{}"),     # ...but frames by (ts, eid)
+        (3, t(0, 3), 1, "view", 8.0, "{}"),
+        (10, t(0, 0), 2, "view", 3.0, "{}"),
+        (11, t(0, 5), 2, "view", 5.0, "{}"),
+    ]
+    burst2 = [  # frames reach back into burst 1's context
+        (4, t(6, 0), 1, "view", 16.0, "{}"),
+        (5, t(6, 1), 1, "view", 32.0, "{}"),
+    ]
+    sf = tmp_path / "ewma_sf"
+    _write_events(spark, burst1 + burst2, str(sf / "events.parquet"))
+    batch = {r["event_id"]: (r["user_id"], r["v_milli"], r["ewma_num"],
+                             r["ewma_denom"], r["ewma_milli"])
+             for r in q_events_ewma(spark, str(sf)).collect()}
+
+    in_dir = str(tmp_path / "ewma_in")
+    out_dir = str(tmp_path / "ewma_out")
+    # pass 1: burst 1 + sentinel advancing the watermark past it
+    _write_events(spark, burst1 + [(90, t(4, 0), 99, "view", 0.0, "{}")],
+                  in_dir)
+    q = run_streaming_ewma(spark, in_dir, out_dir)
+    q.awaitTermination(180)
+    # pass 2: burst 2 + sentinel flushing it
+    _write_events(spark, burst2 + [(91, t(12, 0), 99, "view", 0.0, "{}")],
+                  in_dir)
+    q = run_streaming_ewma(spark, in_dir, out_dir)
+    q.awaitTermination(180)
+
+    stream = {r["event_id"]: (r["user_id"], r["v_milli"], r["ewma_num"],
+                              r["ewma_denom"], r["ewma_milli"])
+              for r in spark.read.parquet(f"{out_dir}/data").collect()
+              if r["user_id"] != 99}
+    assert stream == batch
+    # frame-order pin: eid 3's frame is (1000,2000,4000,8000) in ts
+    # order even though eid 2 arrived before eid 1
+    assert batch[3][2] == 1000 + 2 * 2000 + 4 * 4000 + 8 * 8000
+    # cross-burst pin: eid 4's frame reaches back over all of burst 1
+    assert batch[4][2] == (1000 + 2 * 2000 + 4 * 4000 + 8 * 8000
+                           + 16 * 16000)
+    assert batch[4][3] == 31
