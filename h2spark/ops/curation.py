@@ -2058,3 +2058,90 @@ FROM r ORDER BY rank
 
 QUERIES["training_curriculum_order"] = q_training_curriculum_order
 ORACLES["training_curriculum_order"] = ORACLE_CURRICULUM_ORDER
+
+
+# --- exact ROC-AUC evaluation (round 7, session 7) -----------------------------
+
+
+def q_eval_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a scorer against binary labels via the
+    Mann-Whitney U statistic — the standard "is this quality score
+    actually predictive" check before a scorer gates real data.
+    Scorer under test: the first embedding dimension (e3-quantized);
+    positives: odd labels.  Ties take average ranks, carried as
+    2x-integers so the whole computation stays exact BIGINT:
+    AUC = (Σ_pos 2·avgrank − n_pos(n_pos+1)) / (2·n_pos·n_neg).
+
+    Scale shape: one groupBy collapses the corpus to <=2001 distinct
+    e3 scores BEFORE any ranking — the cumulative window then runs
+    over the tiny score table, never the corpus (the banded-rank
+    trick degenerates to "aggregate first" because the quantized
+    score IS the band).  Totals attach via 1-row broadcast."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scored = e.select(
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long").alias("score_e3"),
+        (F.col("label") % 2 == 1).cast("long").alias("is_pos"),
+    )
+    g = scored.groupBy("score_e3").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+    )
+    w = (
+        Window.orderBy("score_e3")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.withColumn(
+        "smaller", (F.sum("n").over(w) - F.col("n")).cast("long"))
+    # each positive in this score group has 2*avgrank = 2*smaller + n + 1
+    per_group = cum.select(
+        (F.col("n_pos") * (2 * F.col("smaller") + F.col("n") + 1))
+        .alias("sum2r"),
+        "n_pos", "n",
+    )
+    totals = per_group.agg(
+        F.sum("sum2r").cast("long").alias("sum2r"),
+        F.sum("n_pos").cast("long").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("nn"),
+    )
+    return totals.select(
+        "np", "nn",
+        (F.col("sum2r") - F.col("np") * (F.col("np") + 1))
+        .cast("long").alias("u2"),
+        F.expr("(1000000L * (sum2r - np * (np + 1))) div (2 * np * nn)")
+        .cast("long").alias("auc_e6"),
+    )
+
+
+ORACLE_EVAL_AUC = """
+WITH scored AS (
+  SELECT CAST(floor(embedding[1]::DOUBLE * 1000) AS BIGINT) AS score_e3,
+         (CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS is_pos
+  FROM embeddings
+),
+g AS (
+  SELECT score_e3, count(*)::BIGINT AS n, sum(is_pos)::BIGINT AS n_pos
+  FROM scored GROUP BY 1
+),
+cum AS (
+  SELECT *, (sum(n) OVER (ORDER BY score_e3 ROWS UNBOUNDED PRECEDING)
+             - n)::BIGINT AS smaller
+  FROM g
+),
+t AS (
+  SELECT sum(n_pos * (2 * smaller + n + 1))::BIGINT AS sum2r,
+         sum(n_pos)::BIGINT AS np,
+         (sum(n) - sum(n_pos))::BIGINT AS nn
+  FROM cum
+)
+SELECT np, nn,
+       (sum2r - np * (np + 1))::BIGINT AS u2,
+       ((1000000::BIGINT * (sum2r - np * (np + 1)))
+            // (2 * np * nn))::BIGINT AS auc_e6
+FROM t
+"""
+
+QUERIES["eval_auc_score"] = q_eval_auc_score
+ORACLES["eval_auc_score"] = ORACLE_EVAL_AUC

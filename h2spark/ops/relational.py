@@ -2573,3 +2573,69 @@ ORDER BY p.type_a, p.type_b
 
 QUERIES["events_assoc_rules"] = q_events_assoc_rules
 ORACLES["events_assoc_rules"] = ORACLE_EVENTS_ASSOC
+
+
+# --- DP-style noised release (round 7, session 7) ------------------------------
+
+_DP_SUPPRESS_K = 10  # suppress groups smaller than k before release
+
+
+def q_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-SHAPED release of per-(event_type, day)
+    counts: small groups are suppressed (k-anonymity floor), surviving
+    counts get integer noise in [-5, +5] and clamp at zero — the
+    release pipeline a stats endpoint runs over user-derived counts.
+
+    The noise here is DETERMINISTIC (derived from md5 of the group
+    key) so the DuckDB oracle can replay it bit-for-bit; a production
+    release swaps the hash for a calibrated Laplace/discrete-Gaussian
+    sampler — the pipeline shape (aggregate, suppress, noise, clamp)
+    is what this operator pins, not the sampler.
+
+    Scale shape: one partial-aggregated groupBy; the noise is pure
+    codegen on the group key, zero extra shuffles."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = e.groupBy(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_true"))
+    key = F.concat(F.col("event_type"), F.lit("|"), F.col("day"))
+    noise = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 11 - 5
+    )
+    return (
+        g.withColumn("suppressed", F.col("n_true") < _DP_SUPPRESS_K)
+        .withColumn("noise", F.when(F.col("suppressed"), 0)
+                    .otherwise(noise).cast("long"))
+        .withColumn(
+            "n_released",
+            F.when(F.col("suppressed"), 0)
+            .otherwise(F.greatest(F.lit(0), F.col("n_true") + F.col("noise")))
+            .cast("long"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_DP_RELEASE = f"""
+WITH g AS (
+  SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day,
+         count(*)::BIGINT AS n_true
+  FROM events GROUP BY 1, 2
+),
+noised AS (
+  SELECT *,
+         n_true < {_DP_SUPPRESS_K} AS suppressed,
+         (CASE WHEN n_true < {_DP_SUPPRESS_K} THEN 0
+          ELSE ('0x' || substr(md5(event_type || '|' || day), 1, 8)
+               )::BIGINT % 11 - 5 END)::BIGINT AS noise
+  FROM g
+)
+SELECT event_type, day, n_true, suppressed, noise,
+       (CASE WHEN suppressed THEN 0
+        ELSE greatest(0, n_true + noise) END)::BIGINT AS n_released
+FROM noised ORDER BY event_type, day
+"""
+
+QUERIES["dp_noised_release"] = q_dp_noised_release
+ORACLES["dp_noised_release"] = ORACLE_DP_RELEASE

@@ -3153,3 +3153,57 @@ def test_curriculum_order_banded_rank_is_global(spark):
     for r in out:
         assert r["step"] == (r["rank"] - 1) // _CURR_BATCH
         assert r["pos_in_step"] == (r["rank"] - 1) % _CURR_BATCH
+
+
+def test_eval_auc_perfect_and_tied_scorers(spark):
+    # a scorer that perfectly separates labels must score auc_e6 =
+    # 1_000_000; an all-ties scorer must land exactly at 500_000
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from h2spark.ops.curation import q_eval_auc_score
+
+    def run(vec_fn):
+        rows = [Row(vec_id=i, embedding=[vec_fn(i), 0.0], label=i % 2)
+                for i in range(20)]
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(rows).write.parquet(
+                os.path.join(td, "embeddings.parquet"))
+            return q_eval_auc_score(spark, td).collect()[0]
+
+    perfect = run(lambda i: 0.9 if i % 2 == 1 else 0.1)
+    assert (perfect["np"], perfect["nn"]) == (10, 10)
+    assert perfect["auc_e6"] == 1_000_000
+    ties = run(lambda i: 0.5)
+    assert ties["auc_e6"] == 500_000
+
+
+def test_dp_release_suppresses_and_clamps(spark):
+    # groups under k vanish to 0/suppressed; surviving noise is in
+    # [-5, 5] and the release never goes negative
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import _DP_SUPPRESS_K, q_dp_noised_release
+
+    rows = [(i, "2024-01-01 00:00:00", i, "big", 1.0, "{}")
+            for i in range(_DP_SUPPRESS_K + 2)]
+    rows += [(100 + i, "2024-01-01 00:00:00", i, "tiny", 1.0, "{}")
+             for i in range(_DP_SUPPRESS_K - 1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_type"]: r for r in
+               q_dp_noised_release(spark, td).collect()}
+    assert out["tiny"]["suppressed"] and out["tiny"]["n_released"] == 0
+    big = out["big"]
+    assert not big["suppressed"]
+    assert -5 <= big["noise"] <= 5
+    assert big["n_released"] == max(0, big["n_true"] + big["noise"])
