@@ -2146,3 +2146,97 @@ ORDER BY label, dim
 
 QUERIES["embedding_centroid_drift"] = q_embedding_centroid_drift
 ORACLES["embedding_centroid_drift"] = ORACLE_CENTROID_DRIFT
+
+
+# --- binary sign quantization + Hamming top-k (round 7, session 7) -----------
+
+
+def _sign_words():
+    """Two 32-bit sign words per 64-dim vector (bit d set iff the
+    dimension is >= 0) — 8 bytes/vector, the 32x compression binary
+    ANN rides on.  Two words rather than one keeps every shift < 32
+    (both engines refuse a shift into the BIGINT sign bit)."""
+    def word(lo: int) -> Column:
+        return F.expr(
+            f"aggregate(transform(slice(embedding, {lo}, 32),"
+            " (x, i) -> IF(cast(x as double) >= 0.0d, shiftleft(1L, i),"
+            " 0L)), 0L, (a, x) -> a + x)"
+        )
+    return word(1), word(33)
+
+
+_SIGN_WORD_DUCK = (
+    "list_sum(list_transform(embedding[{lo}:{hi}],"
+    " (x, i) -> CASE WHEN x >= 0 THEN (1::BIGINT << (i - 1))"
+    " ELSE 0::BIGINT END))::BIGINT"
+)
+
+
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ANN: sign-quantize every embedding to a 64-bit signature
+    (two 32-bit words) and rank candidates per query by Hamming
+    distance — the cheapest retrieval tier (popcount over 8
+    bytes/vector; SimHash's retrieval twin, and the shortlist stage a
+    binary-then-rerank pipeline starts with).
+
+    Scale shape: signatures are computed scan-side (the float array
+    never leaves the scan), the query side broadcasts, and the only
+    shuffle is the per-query rank window — same shape as
+    ann_bruteforce_topk but moving 8 bytes instead of 256 per
+    candidate.  All arithmetic is integer popcount: exact in any
+    engine, no floats anywhere."""
+    e = _emb(spark, sf_dir)
+    w0, w1 = _sign_words()
+    sigs = e.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+    q = sigs.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"), F.col("w1").alias("q1"),
+    )
+    c = sigs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("w0").alias("c0"), F.col("w1").alias("c1"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            (F.bit_count(F.expr("q0 ^ c0"))
+             + F.bit_count(F.expr("q1 ^ c1")))
+            .cast("long").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_HAMMING = f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {_SIGN_WORD_DUCK.format(lo=1, hi=32)} AS w0,
+         {_SIGN_WORD_DUCK.format(lo=33, hi=64)} AS w1
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         (bit_count(xor(q.w0, c.w0))
+          + bit_count(xor(q.w1, c.w1)))::BIGINT AS hamming
+  FROM sigs q JOIN sigs c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, hamming, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+QUERIES["ann_hamming_topk"] = q_ann_hamming_topk
+ORACLES["ann_hamming_topk"] = ORACLE_ANN_HAMMING

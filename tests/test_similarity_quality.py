@@ -491,3 +491,35 @@ def test_centroid_drift_zero_for_mirrored_halves(spark):
     # label 0 dim 2 drifted by exactly 0.5 (=500 e3 units); others not
     assert out[(0, 2)]["drift_abs_e3"] == 500_000
     assert all(out[(0, d)]["diff_num"] == 0 for d in (1, 3, 4))
+
+
+def test_hamming_topk_planted_sign_twin_ranks_first(spark):
+    # a vector whose SIGN pattern matches the query exactly must rank
+    # 1 with hamming 0 even when magnitudes differ wildly; flipping
+    # exactly one sign costs exactly one bit
+    import os
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from h2spark.ops.similarity import q_ann_hamming_topk
+
+    def signs(i):
+        return [1.0 if (i >> (d % 8)) & 1 else -1.0 for d in range(64)]
+
+    rows = [Row(vec_id=i, embedding=signs(i + 2), label=0)
+            for i in range(2, 30)]
+    # query 0; vec 100 = same signs, scaled by 0.001; vec 101 = one flip
+    rows.append(Row(vec_id=0, embedding=signs(40), label=0))
+    twin = [v * 0.001 for v in signs(40)]
+    rows.append(Row(vec_id=100, embedding=twin, label=0))
+    flip = signs(40)
+    flip[7] = -flip[7]
+    rows.append(Row(vec_id=101, embedding=flip, label=0))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows).write.parquet(
+            os.path.join(td, "embeddings.parquet"))
+        out = [r for r in q_ann_hamming_topk(spark, td).collect()
+               if r["query_id"] == 0]
+    assert (out[0]["cand_id"], out[0]["hamming"]) == (100, 0)
+    assert (out[1]["cand_id"], out[1]["hamming"]) == (101, 1)
