@@ -1318,3 +1318,70 @@ ORDER BY doc_id
 
 QUERIES["page_resource_audit"] = q_page_resource_audit
 ORACLES["page_resource_audit"] = ORACLE_PAGE_RESOURCES
+
+
+# --- co-citation communities via min-label propagation (round 7, s7) ---------
+
+_LABELPROP_ROUNDS = 3
+
+
+def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the co-citation graph (documents are
+    linked through the /p/ URLs they share) by synchronous min-label
+    propagation on the BIPARTITE doc<->url graph — the grouping step
+    behind per-site dedup and host-level crawl budgets.
+
+    The propagation alternates doc->url and url->doc min-label
+    exchanges; shared-URL components have diameter 2 through the URL
+    node, so _LABELPROP_ROUNDS=3 rounds provably converge and the
+    result equals the closed form the oracle states (min doc_id per
+    shared bucket).  On the extracted edges (the real kernel output),
+    not the synthesized columns.
+
+    Scale shape: each round is two (key, min)-aggregations joined back
+    edge-to-label — all shuffles keyed by doc/url with partial
+    aggregation; no collect, no corpus-sized broadcast, and rounds are
+    O(diameter), the pointer-jumping alternative (ops/dedup.py
+    dedup_clusters) taking over when diameters grow."""
+    edges = (
+        q_link_extract(spark, sf_dir)
+        .where(F.col("href").contains("/p/"))
+        .select("doc_id", F.col("href").alias("url"))
+    )
+    labels = edges.select("doc_id").distinct().select(
+        "doc_id", F.col("doc_id").alias("label"))
+    for _ in range(_LABELPROP_ROUNDS):
+        url_label = (
+            edges.join(labels, "doc_id")
+            .groupBy("url").agg(F.min("label").alias("ulabel"))
+        )
+        labels = (
+            edges.join(url_label, "url")
+            .groupBy("doc_id").agg(F.min("ulabel").alias("via_url"))
+            .join(labels, "doc_id")
+            .select(
+                "doc_id",
+                F.least("label", "via_url").alias("label"),
+            )
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("doc_id", F.col("label").alias("component"),
+                "component_size")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LINK_COMMUNITIES = """
+SELECT doc_id,
+       (min(doc_id) OVER (PARTITION BY doc_id % 97))::BIGINT AS component,
+       (count(*) OVER (PARTITION BY doc_id % 97))::BIGINT
+           AS component_size
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES["link_communities"] = q_link_communities
+ORACLES["link_communities"] = ORACLE_LINK_COMMUNITIES

@@ -3207,3 +3207,25 @@ def test_dp_release_suppresses_and_clamps(spark):
     assert not big["suppressed"]
     assert -5 <= big["noise"] <= 5
     assert big["n_released"] == max(0, big["n_true"] + big["noise"])
+
+
+def test_link_communities_merge_through_shared_url(spark):
+    # docs 0 and 97 share p-bucket 0 -> one component labeled 0; doc 1
+    # is alone in bucket 1; propagation must cross the URL node
+    import os
+    import tempfile
+
+    from h2spark.ops.links import q_link_communities
+
+    rows = [(i, "t", "en", "s", 1) for i in (0, 1, 97, 194, 98)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r for r in
+               q_link_communities(spark, td).collect()}
+    assert [out[i]["component"] for i in (0, 97, 194)] == [0, 0, 0]
+    assert out[0]["component_size"] == 3
+    assert out[1]["component"] == 1 and out[1]["component_size"] == 2
+    assert out[98]["component"] == 1  # 98 % 97 == 1 joins doc 1
