@@ -2925,3 +2925,31 @@ def rag_sectioned_chunks_batch(doc_ids) -> list:
                 )
                 chunk_idx += 1
     return rows
+
+
+def png_histogram_batch(doc_ids, w: int = 8, h: int = 8) -> list:
+    """Row loop proving decoded-pixel STATISTICS end-to-end: build the
+    deterministic grayscale pattern per doc, encode as a real PNG
+    (filter types cycling), decode back through zlib inflate +
+    unfiltering, then histogram the DECODED bytes into four 64-wide
+    buckets plus min/max — which the SQL oracle re-derives from the
+    pattern formula alone.  Returns (b0, b1, b2, b3, px_min, px_max)
+    tuples."""
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        px = bytes(
+            (d * 31 + x * 7 + y * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        data = encode_png(w, h, 1, px, row_filter=lambda y: y % 5)
+        _, _, _, dec = decode_png(data)
+        buckets = [0, 0, 0, 0]
+        for b in dec:
+            buckets[b // 64] += 1
+        outs.append((buckets[0], buckets[1], buckets[2], buckets[3],
+                     min(dec), max(dec)))
+    return outs

@@ -3510,3 +3510,64 @@ ORDER BY doc_id
 
 QUERIES["image_border_detect"] = q_image_border_detect
 ORACLES["image_border_detect"] = ORACLE_IMAGE_BORDER
+
+
+# --- REAL decoded-pixel histogram stats (round 7, session 7) -----------------
+
+_HIST_W, _HIST_H = 8, 8
+
+
+def q_image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brightness-distribution stats over REAL decoded pixels: per
+    document an 8x8 pattern PNG is encoded (filters cycling), decoded
+    back through the pure-stdlib codec, and the DECODED bytes are
+    histogrammed into four 64-wide buckets plus min/max — the
+    exposure/contrast screen an image-curation pass runs (all-dark,
+    all-blown, low-dynamic-range images get dropped before training).
+    The oracle re-derives every bucket count from the pattern formula
+    with a LATERAL pixel grid, so any unfilter/inflate bug breaks 500
+    rows at once.
+
+    Scale shape: one Arrow-batched pandas UDF over the scan, zero
+    shuffles before the presentation sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import png_histogram_batch
+
+    @pandas_udf(
+        "struct<b0:long, b1:long, b2:long, b3:long, px_min:int, px_max:int>"
+    )
+    def hist_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = png_histogram_batch(ids, w=_HIST_W, h=_HIST_H)
+        return pd.DataFrame(
+            rows, columns=["b0", "b1", "b2", "b3", "px_min", "px_max"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", hist_udf(F.col("doc_id")).alias("s"))
+        .select("doc_id", "s.b0", "s.b1", "s.b2", "s.b3",
+                "s.px_min", "s.px_max")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_HISTOGRAM = f"""
+WITH grid AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::INT AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(range({_HIST_W})) AS x) x,
+       LATERAL (SELECT unnest(range({_HIST_H})) AS y) y
+)
+SELECT doc_id,
+       count(*) FILTER (WHERE v // 64 = 0)::BIGINT AS b0,
+       count(*) FILTER (WHERE v // 64 = 1)::BIGINT AS b1,
+       count(*) FILTER (WHERE v // 64 = 2)::BIGINT AS b2,
+       count(*) FILTER (WHERE v // 64 = 3)::BIGINT AS b3,
+       min(v)::INT AS px_min,
+       max(v)::INT AS px_max
+FROM grid GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["image_histogram_stats"] = q_image_histogram_stats
+ORACLES["image_histogram_stats"] = ORACLE_IMAGE_HISTOGRAM

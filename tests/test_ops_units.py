@@ -3229,3 +3229,18 @@ def test_link_communities_merge_through_shared_url(spark):
     assert out[0]["component_size"] == 3
     assert out[1]["component"] == 1 and out[1]["component_size"] == 2
     assert out[98]["component"] == 1  # 98 % 97 == 1 joins doc 1
+
+
+def test_png_histogram_batch_counts_decoded_bytes():
+    # the histogram must be over DECODED pixels (sum of buckets = w*h)
+    # and match a direct recount of the pattern formula
+    from h2spark.core.runner import png_histogram_batch
+
+    (out,) = png_histogram_batch([7], w=8, h=8)
+    b0, b1, b2, b3, mn, mx = out
+    vals = [(7 * 31 + x * 7 + y * 13) % 256
+            for y in range(8) for x in range(8)]
+    assert (b0, b1, b2, b3) == tuple(
+        sum(1 for v in vals if v // 64 == k) for k in range(4))
+    assert b0 + b1 + b2 + b3 == 64
+    assert (mn, mx) == (min(vals), max(vals))
