@@ -2639,3 +2639,67 @@ FROM noised ORDER BY event_type, day
 
 QUERIES["dp_noised_release"] = q_dp_noised_release
 ORACLES["dp_noised_release"] = ORACLE_DP_RELEASE
+
+
+# --- seasonal-naive forecast backtest (round 7, session 7) ---------------------
+
+
+def q_events_forecast_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict each day's
+    event count with the count from 7 days earlier — the baseline
+    every real forecaster must beat): per (event_type, day) the
+    actual, the prediction, the absolute error, and the integer-e2
+    percentage error — the standing capacity-planning sanity check
+    over the event stream.
+
+    Scale shape: one (type, day) groupBy collapses the stream to a
+    tiny calendar table; the lag attaches via an equi-join of that
+    table to itself shifted 7 days — a day-keyed join on an
+    already-aggregated input, never on raw events.  Day is emitted as
+    a string (engine DATE objects don't normalize across Spark/pandas
+    fetch paths)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").cast("long").alias("n"))
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.date_add(F.col("d"), 7).alias("p_d"),
+        F.col("n").alias("predicted"),
+    )
+    return (
+        daily.join(
+            prev,
+            (F.col("event_type") == F.col("p_type"))
+            & (F.col("d") == F.col("p_d")),
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            F.col("n").alias("actual"),
+            "predicted",
+            F.abs(F.col("n") - F.col("predicted")).cast("long")
+            .alias("abs_err"),
+            F.expr("(100 * abs(n - predicted)) div predicted")
+            .cast("long").alias("err_pct"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+ORACLE_EVENTS_FORECAST = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, strftime(a.d, '%Y-%m-%d') AS day,
+       a.n AS actual, p.n AS predicted,
+       abs(a.n - p.n)::BIGINT AS abs_err,
+       ((100 * abs(a.n - p.n)) // p.n)::BIGINT AS err_pct
+FROM daily a
+JOIN daily p ON p.event_type = a.event_type AND p.d = a.d - 7
+ORDER BY a.event_type, day
+"""
+
+QUERIES["events_forecast_naive"] = q_events_forecast_naive
+ORACLES["events_forecast_naive"] = ORACLE_EVENTS_FORECAST

@@ -2240,3 +2240,83 @@ ORDER BY query_id, rank
 
 QUERIES["ann_hamming_topk"] = q_ann_hamming_topk
 ORACLES["ann_hamming_topk"] = ORACLE_ANN_HAMMING
+
+
+# --- retrieval MRR evaluation (round 7, session 7) ----------------------------
+
+
+def q_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank evaluation of the brute-force retriever
+    against the label ground truth (a neighbor is RELEVANT iff it
+    shares the query's label): per query the rank of the first
+    relevant hit in the top-10 and its reciprocal as an exact e6
+    integer (1e6 div rank; 0 when no hit) — the second standard
+    retrieval metric next to recall (ann_recall_eval), weighting
+    early hits the way a RAG pipeline experiences them.
+
+    Scale shape: reuses the broadcast + single-rank-window retriever;
+    the first-hit reduction is a per-query min on the already
+    query-partitioned stream, and labels attach via broadcast of the
+    tiny (vec_id, label) projection."""
+    e = _emb(spark, sf_dir)
+    topk = ann_bruteforce_topk(e)
+    labels = e.select("vec_id", "label")
+    j = (
+        topk.join(
+            F.broadcast(labels.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(labels.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("label").alias("c_label"))),
+            "cand_id",
+        )
+    )
+    hits = j.groupBy("query_id").agg(
+        F.min(F.when(F.col("c_label") == F.col("q_label"), F.col("rank")))
+        .alias("first_hit_rank_raw"))
+    return (
+        hits.select(
+            "query_id",
+            F.coalesce("first_hit_rank_raw", F.lit(-1)).cast("long")
+            .alias("first_hit_rank"),
+            F.when(F.col("first_hit_rank_raw").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000L div first_hit_rank_raw"))
+            .cast("long").alias("rr_e6"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_RETRIEVAL_MRR = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         c.vec_id AS cand_id, c.label AS c_label,
+         round({_COS_DUCK.format(a="q.embedding", b="c.embedding")}, 6)
+             AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rank
+  FROM scored
+),
+hits AS (
+  SELECT query_id,
+         min(CASE WHEN c_label = q_label THEN rank END) AS fh
+  FROM ranked WHERE rank <= {_TOP_K}
+  GROUP BY query_id
+)
+SELECT query_id,
+       COALESCE(fh, -1)::BIGINT AS first_hit_rank,
+       (CASE WHEN fh IS NULL THEN 0
+        ELSE 1000000 // fh END)::BIGINT AS rr_e6
+FROM hits ORDER BY query_id
+"""
+
+QUERIES["retrieval_mrr_eval"] = q_retrieval_mrr_eval
+ORACLES["retrieval_mrr_eval"] = ORACLE_RETRIEVAL_MRR

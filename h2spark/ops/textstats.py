@@ -2846,3 +2846,91 @@ ORDER BY pmi DESC, p.w1, p.w2
 
 QUERIES["text_collocation_pmi"] = q_collocation_pmi
 ORACLES["text_collocation_pmi"] = ORACLE_COLLOCATION_PMI
+
+
+# --- corpus novelty curve (round 7, session 7) ----------------------------
+
+_NOVELTY_N = 5  # shingle width in words
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty in corpus order: the fraction of a doc's
+    5-gram shingles whose FIRST occurrence (lowest doc_id) is this doc
+    — the marginal-contribution curve that tells a curation pass when
+    additional data stops adding content (novelty decays toward zero
+    as the corpus saturates).
+
+    Scale shape: explode to (shingle, doc) rows, one shingle-keyed
+    min-aggregation for first owners, one join back keyed the same
+    way, one per-doc count — every shuffle is shingle- or doc-keyed
+    with partial aggregation; no global state, no broadcast of
+    anything corpus-sized.  Percentages are integer-e2 (floor), docs
+    with fewer than 5 words report -1 (sentinel, never NULL, so the
+    integer column survives the pandas fetch)."""
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split(_norm_text(), " ").alias("ws"))
+    sh = ws.where(F.size("ws") >= _NOVELTY_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - _NOVELTY_N),
+                lambda i: F.array_join(
+                    F.slice("ws", i + 1, _NOVELTY_N), " "),
+            )
+        ).alias("g"),
+    ).distinct()
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long")
+            .alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(-1)
+            ).otherwise(
+                F.expr("(100 * n_novel) div n_shingles")
+            ).cast("long").alias("novel_pct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH ws AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i:i + {_NOVELTY_N - 1}], ' ') AS g
+  FROM ws, LATERAL (SELECT unnest(range(1, len(ws) - {_NOVELTY_N - 2})) AS i)
+  WHERE len(ws) >= {_NOVELTY_N}
+), first AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+), per_doc AS (
+  SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel
+  FROM sh JOIN first f USING (g) GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0)::BIGINT AS n_shingles,
+       COALESCE(p.n_novel, 0)::BIGINT AS n_novel,
+       (CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN -1
+        ELSE (100 * p.n_novel) // p.n_shingles END)::BIGINT AS novel_pct
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES["text_ngram_novelty"] = q_text_ngram_novelty
+ORACLES["text_ngram_novelty"] = ORACLE_NGRAM_NOVELTY

@@ -3244,3 +3244,86 @@ def test_png_histogram_batch_counts_decoded_bytes():
         sum(1 for v in vals if v // 64 == k) for k in range(4))
     assert b0 + b1 + b2 + b3 == 64
     assert (mn, mx) == (min(vals), max(vals))
+
+
+def test_ngram_novelty_duplicate_doc_adds_nothing(spark):
+    # an exact duplicate of an earlier doc must be 0% novel; the
+    # original keeps 100%; a short doc reports the -1 sentinel
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_text_ngram_novelty
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s", 30),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 30),
+        (2, "one two three four five six", "en", "s", 20),
+        (3, "tiny doc", "en", "s", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r for r in
+               q_text_ngram_novelty(spark, td).collect()}
+    assert out[0]["novel_pct"] == 100 and out[0]["n_shingles"] == 2
+    assert out[1]["novel_pct"] == 0 and out[1]["n_novel"] == 0
+    assert out[2]["novel_pct"] == 100
+    assert out[3]["novel_pct"] == -1 and out[3]["n_shingles"] == 0
+
+
+def test_retrieval_mrr_matches_manual_first_hit(spark):
+    # recompute first relevant hit from the brute-force top-k directly
+    from h2spark.ops.similarity import (
+        _emb,
+        ann_bruteforce_topk,
+        q_retrieval_mrr_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf)
+    labels = {r["vec_id"]: r["label"] for r in
+              e.select("vec_id", "label").collect()}
+    manual = {}
+    for r in ann_bruteforce_topk(e).collect():
+        if labels[r["cand_id"]] == labels[r["query_id"]]:
+            manual.setdefault(r["query_id"], r["rank"])
+    out = {r["query_id"]: r for r in
+           q_retrieval_mrr_eval(spark, sf).collect()}
+    for qid, r in out.items():
+        fh = manual.get(qid, -1)
+        assert r["first_hit_rank"] == fh
+        assert r["rr_e6"] == (0 if fh == -1 else 1_000_000 // fh)
+
+
+def test_forecast_naive_known_lag_pairs(spark):
+    # day 8 predicted by day 1's count; no pair for days 2-7
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_forecast_naive
+
+    rows = []
+    eid = 0
+    for day, n in ((1, 4), (2, 6), (8, 5), (9, 9)):
+        for _ in range(n):
+            rows.append((eid, f"2024-01-{day:02d} 10:00:00", 1, "buy",
+                         1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["day"]: r for r in
+               q_events_forecast_naive(spark, td).collect()}
+    assert set(out) == {"2024-01-08", "2024-01-09"}
+    r8 = out["2024-01-08"]
+    assert (r8["actual"], r8["predicted"], r8["abs_err"]) == (5, 4, 1)
+    assert r8["err_pct"] == 100 * 1 // 4
+    r9 = out["2024-01-09"]
+    assert (r9["actual"], r9["predicted"], r9["abs_err"]) == (9, 6, 3)
