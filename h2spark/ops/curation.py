@@ -2145,3 +2145,83 @@ FROM t
 
 QUERIES["eval_auc_score"] = q_eval_auc_score
 ORACLES["eval_auc_score"] = ORACLE_EVAL_AUC
+
+
+# --- fill-in-middle split plan (round 7, session 7) ----------------------------
+
+
+def q_training_fim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle training-split plan (the code-model recipe:
+    reorder each document as prefix/suffix/middle so the model learns
+    infilling): two deterministic md5-derived cut points per document
+    over its BPE token count, the three segment lengths, and the
+    alternating PSM/SPM mode flag — the metadata a FIM data loader
+    consumes (the token reordering itself is training_token_ids'
+    job; this op pins WHERE to cut).
+
+    Scale shape: pure scan-side codegen (token count + two hashes per
+    row), zero shuffles before the presentation sort; docs too short
+    to split (fewer than 2 tokens) emit -1 sentinels."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = bpetokens.bpe_count_col(F.col("text"))
+    h1 = F.conv(F.substring(
+        F.md5(F.concat(F.lit("fim1:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(
+        F.md5(F.concat(F.lit("fim2:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    base = d.select("doc_id", n.alias("n_tokens"),
+                    h1.alias("_h1"), h2.alias("_h2"))
+    # greatest(.,1): a 0/1-token doc takes the sentinel branch, but
+    # Spark still evaluates this expression there — % 0 is an ANSI error
+    denom = F.greatest(F.col("n_tokens") - 1, F.lit(1))
+    a = 1 + F.col("_h1") % denom
+    b = 1 + F.col("_h2") % denom
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+    splittable = F.col("n_tokens") >= 2
+    return base.select(
+        "doc_id", "n_tokens",
+        F.when(splittable, lo).otherwise(F.lit(-1)).cast("long")
+        .alias("prefix_len"),
+        F.when(splittable, hi - lo).otherwise(F.lit(-1)).cast("long")
+        .alias("middle_len"),
+        F.when(splittable, F.col("n_tokens") - hi).otherwise(F.lit(-1))
+        .cast("long").alias("suffix_len"),
+        F.when(~splittable, F.lit("raw"))
+        .when(F.col("doc_id") % 2 == 0, F.lit("psm"))
+        .otherwise(F.lit("spm")).alias("fim_mode"),
+    ).orderBy("doc_id")
+
+
+ORACLE_FIM_PLAN = f"""
+WITH base AS (
+  SELECT doc_id, {bpe_count} AS n_tokens,
+         ('0x' || substr(md5('fim1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             AS h1,
+         ('0x' || substr(md5('fim2:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             AS h2
+  FROM documents
+),
+cuts AS (
+  SELECT doc_id, n_tokens,
+         1 + h1 % (n_tokens - 1) AS a,
+         1 + h2 % (n_tokens - 1) AS b
+  FROM base WHERE n_tokens >= 2
+)
+SELECT b.doc_id, b.n_tokens,
+       (CASE WHEN c.doc_id IS NULL THEN -1
+        ELSE least(c.a, c.b) END)::BIGINT AS prefix_len,
+       (CASE WHEN c.doc_id IS NULL THEN -1
+        ELSE greatest(c.a, c.b) - least(c.a, c.b) END)::BIGINT
+           AS middle_len,
+       (CASE WHEN c.doc_id IS NULL THEN -1
+        ELSE b.n_tokens - greatest(c.a, c.b) END)::BIGINT AS suffix_len,
+       CASE WHEN c.doc_id IS NULL THEN 'raw'
+            WHEN b.doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS fim_mode
+FROM base b LEFT JOIN cuts c USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+QUERIES["training_fim_plan"] = q_training_fim_plan
+ORACLES["training_fim_plan"] = ORACLE_FIM_PLAN

@@ -900,3 +900,79 @@ FROM documents ORDER BY doc_id
 
 QUERIES["a11y_audit"] = q_a11y_audit
 ORACLES["a11y_audit"] = ORACLE_A11Y_AUDIT
+
+
+# --- 11. footnote / citation extraction ----------------------------------------
+
+_FOOTNOTE_SPEC = StructSpec(
+    "FootnotePage",
+    [
+        Field("refs", Scalar("String"), VEC, select="sup > a",
+              attr="href"),
+        Field("marks", Scalar("String"), VEC, select="sup > a"),
+        Field("notes", Scalar("String"), VEC, select="ol > li"),
+    ],
+)
+
+
+def q_footnote_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation mining: inline footnote markers (<sup><a href="#fnN">)
+    paired with their footnote bodies (<ol><li id="fnN">) by document
+    order — the (claim-site, source) pairs a citation-quality or
+    claim-verification pipeline starts from.  Even pages carry two
+    footnotes, odd pages one, so the pairing has to track genuinely
+    variable cardinality; a bare <a> decoy outside <sup> must not
+    match the child-combinator selector.
+
+    Scale shape: scan → one Arrow-batched kernel pass → zipped
+    posexplode, zero shuffle before the presentation sort."""
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><body><p>claim one<sup><a href="#fn1">1</a></sup>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(' and claim two<sup><a href="#fn2">2</a></sup>'),
+        ).otherwise(F.lit("")),
+        F.lit(' with a <a href="/plain">plain link</a> decoy.</p>'),
+        F.lit('<ol class="footnotes"><li id="fn1">Source A '),
+        F.col("doc_id") % 7,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('</li><li id="fn2">Source B '), F.col("lang")),
+        ).otherwise(F.lit("")),
+        F.lit("</li></ol></body></html>"),
+    )
+    udf = make_extract_typed_udf(_FOOTNOTE_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    z = F.arrays_zip(
+        F.col("o.value.refs").alias("r"),
+        F.col("o.value.marks").alias("m"),
+        F.col("o.value.notes").alias("n"),
+    )
+    return (
+        out.select("doc_id", F.posexplode(z).alias("fn_idx", "p"))
+        .select(
+            "doc_id",
+            F.col("fn_idx").cast("int").alias("fn_idx"),
+            F.col("p.r").alias("ref"),
+            F.col("p.m").alias("mark"),
+            F.col("p.n").alias("note"),
+        )
+        .orderBy("doc_id", "fn_idx")
+    )
+
+
+ORACLE_FOOTNOTE_EXTRACT = """
+SELECT doc_id, fn_idx::INT AS fn_idx, ref, mark, note FROM (
+  SELECT doc_id, 0 AS fn_idx, '#fn1' AS ref, '1' AS mark,
+         'Source A ' || (doc_id % 7) AS note
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, '#fn2', '2', 'Source B ' || lang
+  FROM documents WHERE doc_id % 2 = 0
+)
+ORDER BY doc_id, fn_idx
+"""
+
+QUERIES["footnote_extract"] = q_footnote_extract
+ORACLES["footnote_extract"] = ORACLE_FOOTNOTE_EXTRACT

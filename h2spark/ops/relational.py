@@ -2703,3 +2703,84 @@ ORDER BY a.event_type, day
 
 QUERIES["events_forecast_naive"] = q_events_forecast_naive
 ORACLES["events_forecast_naive"] = ORACLE_EVENTS_FORECAST
+
+
+# --- cohort LTV revenue matrix (round 7, session 7) -----------------------------
+
+
+def q_user_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-activity
+    week, PURCHASE revenue summed per week offset, with the running
+    cumulative LTV per cohort — retention's revenue twin (events
+    _retention counts heads; this follows the money).  All integer:
+    cents via floor(value*100), week index via epoch-day div 7
+    (positive, so truncating div == floor in both engines).
+
+    Scale shape: one groupBy(user_id) for cohort assignment, a join
+    back on the same key (exchange reused), one (cohort, offset)
+    aggregation, and the cumulative window runs per-cohort over the
+    tiny matrix — never over raw events."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 604800000000"
+        ).cast("long").alias("week_idx"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = e.groupBy("user_id").agg(
+        F.min("week_idx").cast("long").alias("cohort_week"))
+    m = (
+        e.join(c, "user_id")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_buyers"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.withColumn("cum_revenue_cents",
+                     F.sum("revenue_cents").over(w).cast("long"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_USER_LTV = """
+WITH e AS (
+  SELECT user_id, event_type,
+         (epoch_us(ts) // 604800000000) AS week_idx,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT user_id, min(week_idx) AS cohort_week FROM e GROUP BY user_id
+),
+m AS (
+  SELECT c.cohort_week::BIGINT AS cohort_week,
+         (e.week_idx - c.cohort_week)::BIGINT AS week_offset,
+         count(DISTINCT e.user_id)::BIGINT AS n_buyers,
+         sum(e.cents)::BIGINT AS revenue_cents
+  FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_buyers, revenue_cents,
+       (sum(revenue_cents) OVER (
+          PARTITION BY cohort_week ORDER BY week_offset
+          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_revenue_cents
+FROM m ORDER BY cohort_week, week_offset
+"""
+
+QUERIES["user_ltv_cohorts"] = q_user_ltv_cohorts
+ORACLES["user_ltv_cohorts"] = ORACLE_USER_LTV

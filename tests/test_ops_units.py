@@ -3327,3 +3327,88 @@ def test_forecast_naive_known_lag_pairs(spark):
     assert r8["err_pct"] == 100 * 1 // 4
     r9 = out["2024-01-09"]
     assert (r9["actual"], r9["predicted"], r9["abs_err"]) == (9, 6, 3)
+
+
+def test_fim_plan_segments_sum_and_modes(spark):
+    # segment lengths must partition n_tokens; too-short docs emit the
+    # raw sentinel; modes alternate by parity
+    import os
+    import tempfile
+
+    from h2spark.ops.curation import q_training_fim_plan
+
+    rows = [(0, "a b c d e f g h", "en", "s", 15),
+            (1, "w x y z q r", "en", "s", 11),
+            (2, "", "en", "s", 0),   # 0 BPE tokens -> raw sentinel
+            (3, "a", "en", "s", 1)]  # 1 token: % guard, still raw-able?
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r for r in
+               q_training_fim_plan(spark, td).collect()}
+    for i in (0, 1):
+        r = out[i]
+        assert (r["prefix_len"] + r["middle_len"] + r["suffix_len"]
+                == r["n_tokens"])
+        assert r["prefix_len"] >= 1 and r["suffix_len"] >= 0
+    assert out[0]["fim_mode"] == "psm" and out[1]["fim_mode"] == "spm"
+    assert out[2]["fim_mode"] == "raw" and out[2]["prefix_len"] == -1
+    assert out[3]["fim_mode"] == "raw" and out[3]["middle_len"] == -1
+
+
+def test_footnote_extract_skips_plain_link_decoy(spark):
+    # only <sup><a> markers pair with footnote bodies; the bare <a>
+    # decoy must not produce a row
+    import os
+    import tempfile
+
+    from h2spark.ops.pageextract import q_footnote_extract
+
+    rows = [(2, "t", "fr", "s", 1), (3, "t", "de", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_footnote_extract(spark, td).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(
+            (r["ref"], r["mark"], r["note"]))
+    assert by[2] == [("#fn1", "1", "Source A 2"),
+                     ("#fn2", "2", "Source B fr")]
+    assert by[3] == [("#fn1", "1", "Source A 3")]
+
+
+def test_ltv_cohort_cumulative_revenue(spark):
+    # one cohort, purchases across two weeks: the cumulative column
+    # must accumulate exactly; non-purchase events contribute nothing
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_user_ltv_cohorts
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "purchase", 10.00, "{}"),
+        (1, "2024-01-02 00:00:00", 1, "view", 99.0, "{}"),
+        (2, "2024-01-09 00:00:00", 1, "purchase", 2.50, "{}"),
+        (3, "2024-01-09 00:00:00", 2, "purchase", 1.25, "{}"),  # week-1 cohort
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {(r["cohort_week"], r["week_offset"]): r for r in
+               q_user_ltv_cohorts(spark, td).collect()}
+    weeks = sorted({k[0] for k in out})
+    w0 = weeks[0]
+    assert out[(w0, 0)]["revenue_cents"] == 1000
+    assert out[(w0, 1)]["revenue_cents"] == 250
+    assert out[(w0, 1)]["cum_revenue_cents"] == 1250
+    assert out[(weeks[1], 0)]["revenue_cents"] == 125
