@@ -2953,3 +2953,31 @@ def png_histogram_batch(doc_ids, w: int = 8, h: int = 8) -> list:
         outs.append((buckets[0], buckets[1], buckets[2], buckets[3],
                      min(dec), max(dec)))
     return outs
+
+
+def av_sync_batch(doc_ids) -> list:
+    """Row loop proving a CROSS-MODAL audit end-to-end: per doc a real
+    16-bit PCM WAV (1 kHz sample rate, 400+(d%5)*50 samples) and a
+    real DIB AVI (10 fps, 4+(d%3) frames) are encoded, decoded back
+    through their stdlib codecs, and the two container-reported
+    durations compared — the A/V desync screen a video-curation pass
+    runs.  Returns (audio_ms, video_ms, drift_ms, in_sync)."""
+    from h2spark.core.avicodec import decode_avi_meta, encode_avi
+    from h2spark.core.wavcodec import decode_wav_samples, encode_wav
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        n_a = 400 + (d % 5) * 50
+        samples = [((d * 7 + i * 11) % 512) - 256 for i in range(n_a)]
+        wav = encode_wav(1000, 1, samples)
+        rate, _ch, dec_samples = decode_wav_samples(wav)
+        audio_ms = len(dec_samples) * 1000 // rate
+        n_v = 4 + (d % 3)
+        frames = [bytes(((d + k) % 256,)) * 12 for k in range(n_v)]
+        avi = encode_avi(2, 2, frames, fps=10)
+        meta = decode_avi_meta(avi)
+        video_ms = meta["n_frames"] * 1000 * meta["scale"] // meta["rate"]
+        drift = audio_ms - video_ms
+        outs.append((audio_ms, video_ms, drift, abs(drift) <= 40))
+    return outs

@@ -3571,3 +3571,55 @@ FROM grid GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["image_histogram_stats"] = q_image_histogram_stats
 ORACLES["image_histogram_stats"] = ORACLE_IMAGE_HISTOGRAM
+
+
+# --- cross-modal A/V sync audit (round 7, session 7) ---------------------------
+
+
+def q_av_sync_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V desync screen over REAL containers: per document a genuine
+    PCM WAV and a genuine DIB AVI are encoded and decoded back through
+    the stdlib codecs, and their container-reported durations compared
+    — the cross-modal integrity check a video-curation pass runs
+    before pairing audio with frames (a mismatched mux is a corrupt
+    training example).  The oracle re-derives both durations from the
+    construction formulas; in_sync tolerates 40 ms (one frame at
+    25 fps).
+
+    Scale shape: one Arrow-batched pandas UDF over the scan, zero
+    shuffles before the presentation sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import av_sync_batch
+
+    @pandas_udf(
+        "struct<audio_ms:long, video_ms:long, drift_ms:long,"
+        " in_sync:boolean>"
+    )
+    def sync_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = av_sync_batch(ids)
+        return pd.DataFrame(
+            rows, columns=["audio_ms", "video_ms", "drift_ms", "in_sync"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", sync_udf(F.col("doc_id")).alias("s"))
+        .select("doc_id", "s.audio_ms", "s.video_ms", "s.drift_ms",
+                "s.in_sync")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_AV_SYNC = """
+SELECT doc_id,
+       (400 + (doc_id % 5) * 50)::BIGINT AS audio_ms,
+       ((4 + doc_id % 3) * 100)::BIGINT AS video_ms,
+       ((400 + (doc_id % 5) * 50) - (4 + doc_id % 3) * 100)::BIGINT
+           AS drift_ms,
+       abs((400 + (doc_id % 5) * 50) - (4 + doc_id % 3) * 100) <= 40
+           AS in_sync
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["av_sync_audit"] = q_av_sync_audit
+ORACLES["av_sync_audit"] = ORACLE_AV_SYNC

@@ -3412,3 +3412,13 @@ def test_ltv_cohort_cumulative_revenue(spark):
     assert out[(w0, 1)]["revenue_cents"] == 250
     assert out[(w0, 1)]["cum_revenue_cents"] == 1250
     assert out[(weeks[1], 0)]["revenue_cents"] == 125
+
+
+def test_av_sync_batch_durations_from_real_containers():
+    # durations must come from the DECODED containers, not the inputs:
+    # doc 0 is exactly in sync (400ms both); doc 1 drifts -50ms
+    from h2spark.core.runner import av_sync_batch
+
+    out = av_sync_batch([0, 1])
+    assert out[0] == (400, 400, 0, True)
+    assert out[1] == (450, 500, -50, False)
