@@ -2784,3 +2784,73 @@ FROM m ORDER BY cohort_week, week_offset
 
 QUERIES["user_ltv_cohorts"] = q_user_ltv_cohorts
 ORACLES["user_ltv_cohorts"] = ORACLE_USER_LTV
+
+
+# --- Benford first-digit audit (round 7, session 7) -----------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9
+_BENFORD_E6 = (301030, 176091, 124939, 96910, 79181,
+               66947, 57992, 51153, 45757)
+
+
+def q_events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over transaction values: observed
+    first-digit shares of the cent amounts vs the Benford expectation,
+    as exact e6 integers with absolute deviations — the standing
+    fabricated-data / fraud smoke test over any money column.
+
+    Scale shape: one groupBy on nine keys with partial aggregation;
+    the total attaches via 1-row broadcast crossJoin; the expectation
+    is a literal lookup (array indexed by digit), no join."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    g = (
+        e.where(cents > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = g.agg(F.sum("n").cast("long").alias("n_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(v) for v in _BENFORD_E6]), F.col("digit").cast("int")
+    ).cast("long")
+    return (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "digit", "n", "n_total",
+            F.expr("(1000000L * n) div n_total").alias("share_e6"),
+            expected.alias("benford_e6"),
+        )
+        .withColumn(
+            "abs_dev_e6",
+            F.abs(F.col("share_e6") - F.col("benford_e6")).cast("long"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d + 1} THEN {v}" for d, v in enumerate(_BENFORD_E6)
+)
+
+ORACLE_EVENTS_BENFORD = f"""
+WITH g AS (
+  SELECT (substr(CAST(floor(value * 100) AS BIGINT)::VARCHAR, 1, 1))::BIGINT
+             AS digit,
+         count(*)::BIGINT AS n
+  FROM events WHERE floor(value * 100) > 0
+  GROUP BY 1
+),
+t AS (SELECT sum(n)::BIGINT AS n_total FROM g)
+SELECT digit, n, t.n_total,
+       ((1000000::BIGINT * n) // t.n_total)::BIGINT AS share_e6,
+       (CASE digit {_BENFORD_CASE} END)::BIGINT AS benford_e6,
+       abs((1000000::BIGINT * n) // t.n_total
+           - (CASE digit {_BENFORD_CASE} END))::BIGINT AS abs_dev_e6
+FROM g CROSS JOIN t
+ORDER BY digit
+"""
+
+QUERIES["events_benford_audit"] = q_events_benford_audit
+ORACLES["events_benford_audit"] = ORACLE_EVENTS_BENFORD

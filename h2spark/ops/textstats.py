@@ -2934,3 +2934,109 @@ ORDER BY d.doc_id
 
 QUERIES["text_ngram_novelty"] = q_text_ngram_novelty
 ORACLES["text_ngram_novelty"] = ORACLE_NGRAM_NOVELTY
+
+
+# --- vocabulary growth / Heaps curve (round 7, session 7) ----------------------
+
+_VOCAB_BAND_DOCS = 50  # doc_id band width for the two-level cumsum
+
+
+def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: per document (in corpus
+    order) the number of word types seen for the FIRST time, plus
+    running totals of vocabulary and tokens — the saturation curve
+    that tells a data buyer when more of the same source stops adding
+    vocabulary.
+
+    Scale shape: first-occurrence attribution is a word-keyed
+    min-aggregation (same shape as text_ngram_novelty); the two
+    running totals are banded two-level prefix sums on doc_id (band =
+    doc_id div 50 is monotone in the order key), never a single-task
+    global window."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    ws = d.select("doc_id", F.split(_norm_text(), " ").alias("ws"))
+    words = ws.select("doc_id", F.explode("ws").alias("w")).where(
+        F.col("w") != "")
+    per_doc_tokens = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"))
+    first = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_words = first.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count("*").cast("long").alias("new_words"))
+    base = (
+        d.select("doc_id")
+        .join(per_doc_tokens, "doc_id", "left")
+        .join(new_words, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("new_words", F.lit(0)).cast("long")
+            .alias("new_words"),
+        )
+        .withColumn(
+            "_band",
+            F.expr(f"doc_id div {_VOCAB_BAND_DOCS}").cast("long"),
+        )
+    )
+    wl = (
+        Window.partitionBy("_band").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn(
+        "_cw", F.sum("n_words").over(wl)
+    ).withColumn("_cv", F.sum("new_words").over(wl))
+    totals = base.groupBy("_band").agg(
+        F.sum("n_words").alias("_bw"), F.sum("new_words").alias("_bv"))
+    wo = (
+        Window.orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "_band",
+        (F.sum("_bw").over(wo) - F.col("_bw")).alias("_ow"),
+        (F.sum("_bv").over(wo) - F.col("_bv")).alias("_ov"),
+    )
+    return (
+        cum.join(F.broadcast(offsets), "_band")
+        .select(
+            "doc_id", "n_words", "new_words",
+            (F.col("_ov") + F.col("_cv")).cast("long").alias("cum_vocab"),
+            (F.col("_ow") + F.col("_cw")).cast("long").alias("cum_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH ws AS (
+  SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS ws FROM documents
+), words AS (
+  SELECT doc_id, w FROM ws, LATERAL (SELECT unnest(ws) AS w)
+  WHERE w <> ''
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words FROM words GROUP BY 1
+), first AS (
+  SELECT w, min(doc_id) AS first_doc FROM words GROUP BY 1
+), nw AS (
+  SELECT first_doc AS doc_id, count(*)::BIGINT AS new_words
+  FROM first GROUP BY 1
+), base AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_words, 0)::BIGINT AS n_words,
+         COALESCE(n.new_words, 0)::BIGINT AS new_words
+  FROM documents d
+  LEFT JOIN per_doc p USING (doc_id)
+  LEFT JOIN nw n USING (doc_id)
+)
+SELECT doc_id, n_words, new_words,
+       (sum(new_words) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       )::BIGINT AS cum_vocab,
+       (sum(n_words) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       )::BIGINT AS cum_words
+FROM base ORDER BY doc_id
+"""
+
+QUERIES["corpus_vocab_growth"] = q_corpus_vocab_growth
+ORACLES["corpus_vocab_growth"] = ORACLE_VOCAB_GROWTH

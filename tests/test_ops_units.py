@@ -3422,3 +3422,60 @@ def test_av_sync_batch_durations_from_real_containers():
     out = av_sync_batch([0, 1])
     assert out[0] == (400, 400, 0, True)
     assert out[1] == (450, 500, -50, False)
+
+
+def test_benford_shares_and_deviation_formula(spark):
+    # planted digits: 30x first-digit-1, 10x first-digit-2; zero-cent
+    # rows excluded; shares/deviations must follow the integer formula
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import _BENFORD_E6, q_events_benford_audit
+
+    rows = [(i, "2024-01-01 00:00:00", 1, "buy", 1.50, "{}")
+            for i in range(30)]
+    rows += [(100 + i, "2024-01-01 00:00:00", 1, "buy", 25.00, "{}")
+             for i in range(10)]
+    rows.append((999, "2024-01-01 00:00:00", 1, "buy", 0.001, "{}"))  # 0 cents
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["digit"]: r for r in
+               q_events_benford_audit(spark, td).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n"] == 30 and out[1]["n_total"] == 40
+    assert out[1]["share_e6"] == 1_000_000 * 30 // 40
+    assert out[1]["benford_e6"] == _BENFORD_E6[0]
+    assert out[2]["abs_dev_e6"] == abs(1_000_000 * 10 // 40
+                                       - _BENFORD_E6[1])
+
+
+def test_vocab_growth_cumulative_and_first_occurrence(spark):
+    # doc 0 coins 3 types; doc 1 repeats them (0 new); doc 2 adds 1;
+    # cumulative vocab/token curves must be exact
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_corpus_vocab_growth
+
+    rows = [
+        (0, "alpha beta gamma", "en", "s", 16),
+        (1, "alpha beta alpha", "en", "s", 16),
+        (2, "alpha delta", "en", "s", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r for r in
+               q_corpus_vocab_growth(spark, td).collect()}
+    assert (out[0]["new_words"], out[1]["new_words"],
+            out[2]["new_words"]) == (3, 0, 1)
+    assert out[2]["cum_vocab"] == 4
+    assert out[2]["cum_words"] == 3 + 3 + 2
