@@ -79,3 +79,72 @@ ORDER BY doc_id, table_idx, row_idx, col_idx
 
 QUERIES = {"table_extract": q_table_extract}
 ORACLES = {"table_extract": ORACLE_TABLE_EXTRACT}
+
+
+# --- numeric table profiling (round 7, session 7) ------------------------------
+
+
+def q_table_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric profiling of extracted table columns: cells come out of
+    the REAL parser, then try_cast partitions them into numeric /
+    non-numeric and the numeric ones aggregate to per-document
+    count/sum/min/max — the typed-ingestion step that turns scraped
+    HTML tables into usable columns (and flags the n/a cells that
+    poison a naive cast).  Every fifth page plants a non-numeric cell
+    in the value column.
+
+    Scale shape: one kernel pass, explode, one per-doc aggregation;
+    try_cast is pure codegen (never an exception path)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html><body><table>"
+              "<tr><td>a</td><td>"), F.col("doc_id") % 100,
+        F.lit("</td></tr><tr><td>b</td><td>"), (F.col("doc_id") * 7) % 1000,
+        F.lit("</td></tr><tr><td>c</td><td>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("n/a"))
+        .otherwise(((F.col("doc_id") * 13) % 500).cast("string")),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    udf = make_tables_udf()
+    out = d.select("doc_id", udf(html).alias("o"))
+    cells = (
+        out.select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        .where(F.col("c.col_idx") == 1)
+        .select("doc_id",
+                F.expr("try_cast(c.cell as bigint)").alias("v"))
+    )
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.count("v").cast("long").alias("n_numeric"),
+            F.coalesce(F.sum("v"), F.lit(-1)).cast("long").alias("sum_v"),
+            F.coalesce(F.min("v"), F.lit(-1)).cast("long").alias("min_v"),
+            F.coalesce(F.max("v"), F.lit(-1)).cast("long").alias("max_v"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TABLE_NUMERIC = """
+WITH cells AS (
+  SELECT doc_id, (doc_id % 100)::BIGINT AS v FROM documents
+  UNION ALL
+  SELECT doc_id, ((doc_id * 7) % 1000)::BIGINT FROM documents
+  UNION ALL
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE ((doc_id * 13) % 500)::BIGINT END
+  FROM documents
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_cells,
+       count(v)::BIGINT AS n_numeric,
+       COALESCE(sum(v), -1)::BIGINT AS sum_v,
+       COALESCE(min(v), -1)::BIGINT AS min_v,
+       COALESCE(max(v), -1)::BIGINT AS max_v
+FROM cells GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["table_numeric_profile"] = q_table_numeric_profile
+ORACLES["table_numeric_profile"] = ORACLE_TABLE_NUMERIC
