@@ -2680,3 +2680,107 @@ ORACLE_DEDUP_METHOD_SUMMARY = _oracle_method_summary()
 
 QUERIES["dedup_method_summary"] = q_dedup_method_summary
 ORACLES["dedup_method_summary"] = ORACLE_DEDUP_METHOD_SUMMARY
+
+
+# --- SimHash bit-profile monitor (round 7, session 7) ---------------------------
+
+
+def q_simhash_bit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-drift monitor over the SimHash signature space: per
+    (source, bit position) the share of documents with that signature
+    bit set, as exact e6 integers.  A healthy diverse corpus sits near
+    500000 per bit; a source whose bits polarize toward 0/1 has
+    collapsed onto a template (the early-warning signal before
+    near-dup rates spike).  Built on the production 64-bit signatures
+    (q_dedup_simhash64), so the monitor watches exactly what the
+    deduper sees.
+
+    Scale shape: signatures are one token-keyed aggregation (shared
+    with the dedup path), the bit explode is x64 on the already
+    per-doc table, and the profile is a (source, bit)-keyed partial
+    aggregation — bounded keys, no broadcast."""
+    sim = q_dedup_simhash64(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source")
+    bits = sim.join(src, "doc_id").select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "sim_hi", "sim_lo",
+    ).select(
+        "source", "bit",
+        # SQL shiftright takes a column shift; the pyspark wrapper
+        # insists on a literal
+        F.expr(
+            "CASE WHEN bit < 32 THEN shiftright(sim_hi, 31 - bit) & 1"
+            " ELSE shiftright(sim_lo, 63 - bit) & 1 END"
+        ).cast("long").alias("b"),
+    )
+    return (
+        bits.groupBy("source", "bit")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("n_ones"),
+        )
+        .select(
+            "source", F.col("bit").cast("long").alias("bit"),
+            "n_docs", "n_ones",
+            F.expr("(1000000L * n_ones) div n_docs").alias("ones_e6"),
+        )
+        .orderBy("source", "bit")
+    )
+
+
+def _oracle_simhash_bit_profile() -> str:
+    """Reuses the generated toks/votes/sim construction (same loops
+    and constants as _oracle_simhash64_pairs) and profiles the bits."""
+    bit_exprs = []
+    for j in range(_SIMHASH64_BITS):
+        digit = j // 4
+        shift = 3 - (j % 4)
+        bit_exprs.append(
+            f"sum(((strpos('0123456789abcdef', h[{digit + 1}:{digit + 1}]) - 1) "
+            f">> {shift}) & 1) AS b{j}"
+        )
+    bits = ",\n         ".join(bit_exprs)
+    accs = []
+    for lo_bit in (0, 32):
+        acc = "0::BIGINT"
+        for j in range(lo_bit, lo_bit + 32):
+            acc = f"({acc}) * 2 + (CASE WHEN b{j} * 2 >= n_tok THEN 1 ELSE 0 END)"
+        accs.append(acc)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array({_NORM_DUCK}, ' '))) AS h
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, count(*) AS n_tok,
+         {bits}
+  FROM toks GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, ({accs[0]})::BIGINT AS sim_hi, ({accs[1]})::BIGINT AS sim_lo
+  FROM votes
+),
+bitval AS (
+  SELECT d.source, t.bit,
+         (CASE WHEN t.bit < 32 THEN (s.sim_hi >> (31 - t.bit)) & 1
+          ELSE (s.sim_lo >> (63 - t.bit)) & 1 END)::BIGINT AS b
+  FROM sim s
+  JOIN documents d USING (doc_id),
+       (SELECT unnest(range(0, 64)) AS bit) t
+)
+SELECT source, bit::BIGINT AS bit,
+       count(*)::BIGINT AS n_docs,
+       sum(b)::BIGINT AS n_ones,
+       ((1000000::BIGINT * sum(b)) // count(*))::BIGINT AS ones_e6
+FROM bitval
+GROUP BY source, bit
+ORDER BY source, bit
+"""
+
+
+ORACLE_SIMHASH_BIT_PROFILE = _oracle_simhash_bit_profile()
+
+QUERIES["simhash_bit_profile"] = q_simhash_bit_profile
+ORACLES["simhash_bit_profile"] = ORACLE_SIMHASH_BIT_PROFILE

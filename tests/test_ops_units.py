@@ -3528,3 +3528,38 @@ def test_injection_screen_planted_and_clean(spark):
     assert out[0]["flagged"]
     assert not out[1]["flagged"]
     assert out[2]["n_role_hijack"] == 1 and out[2]["flagged"]
+
+
+def test_simhash_bit_profile_polarized_and_grouped(spark):
+    # identical docs within a source polarize every bit to 0 or 1e6;
+    # the profile must agree bit-for-bit with the production signature
+    import os
+    import tempfile
+
+    from h2spark.ops.dedup import q_dedup_simhash64, q_simhash_bit_profile
+
+    rows = [(i, "the quick brown fox jumps", "en", "a", 25) for i in range(3)]
+    rows += [(10 + i, "zebra quilt under violet sky", "en", "b", 28)
+             for i in range(2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        prof = q_simhash_bit_profile(spark, td).collect()
+        sig = {r["doc_id"]: r for r in
+               q_dedup_simhash64(spark, td).collect()}
+    by_src = {}
+    for r in prof:
+        by_src.setdefault(r["source"], []).append(r)
+    assert sorted(by_src) == ["a", "b"]
+    assert len(by_src["a"]) == 64 and len(by_src["b"]) == 64
+    hi, lo = sig[0]["sim_hi"], sig[0]["sim_lo"]
+    for r in by_src["a"]:
+        assert r["n_docs"] == 3
+        expect = ((hi >> (31 - r["bit"])) if r["bit"] < 32
+                  else (lo >> (63 - r["bit"]))) & 1
+        assert r["n_ones"] == 3 * expect
+        assert r["ones_e6"] in (0, 1_000_000)
+    for r in by_src["b"]:
+        assert r["n_ones"] in (0, 2) and r["n_docs"] == 2
