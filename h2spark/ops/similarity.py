@@ -2320,3 +2320,107 @@ FROM hits ORDER BY query_id
 
 QUERIES["retrieval_mrr_eval"] = q_retrieval_mrr_eval
 ORACLES["retrieval_mrr_eval"] = ORACLE_RETRIEVAL_MRR
+
+
+# --- reciprocal-rank-fusion hybrid retrieval (round 7, session 7) -------------
+#
+# Production retrieval is hybrid: a lexical leg and a vector leg, fused
+# by reciprocal rank (Cormack et al., SIGIR'09: score = sum 1/(k+rank),
+# k=60).  Both legs already exist in this engine -- the hashed-text
+# dot-product retriever (ann_text_topk) and the embedding cosine
+# retriever (ann_bruteforce_topk) -- so the fusion treats doc i and
+# vec i as the same corpus item (the synthetic tables are aligned by
+# id) and re-ranks the union of both top-k lists.
+
+_RRF_K = 60
+_RRF_QUERIES = 3   # intersection of both legs' query sets
+_RRF_TOP = 5
+
+
+def q_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF-fused hybrid top-5 per query: full-outer join of the lexical
+    and vector legs on (query, candidate), score = sum of
+    1e6 div (60 + rank) over the legs that returned the candidate,
+    missing-leg ranks carried as -1 sentinels (never NULL ints).
+
+    Scale shape: each leg is (n_queries x k) rows no matter the corpus
+    size, so the fusion join, scoring and re-rank are metadata-sized;
+    all heavy lifting stays inside the two legs' own scale shapes."""
+    txt = q_ann_text_topk(spark, sf_dir).where(
+        F.col("query_id") < _RRF_QUERIES
+    ).select("query_id", "cand_id", F.col("rank").alias("text_rank"))
+    vec = (
+        ann_bruteforce_topk(_emb(spark, sf_dir))
+        .where((F.col("query_id") < _RRF_QUERIES) & (F.col("rank") <= _RRF_TOP))
+        .select("query_id", "cand_id", F.col("rank").alias("vec_rank"))
+    )
+    fused = (
+        txt.join(vec, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id", "cand_id",
+            F.coalesce("text_rank", F.lit(-1)).cast("long").alias("text_rank"),
+            F.coalesce("vec_rank", F.lit(-1)).cast("long").alias("vec_rank"),
+        )
+        .withColumn(
+            "rrf_e6",
+            (
+                F.expr(f"CASE WHEN text_rank >= 0 THEN 1000000 div ({_RRF_K} + text_rank) ELSE 0 END")
+                + F.expr(f"CASE WHEN vec_rank >= 0 THEN 1000000 div ({_RRF_K} + vec_rank) ELSE 0 END")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _oracle_rrf_fusion() -> str:
+    txt = ORACLES["ann_text_topk"].replace("ORDER BY query_id, rank", "")
+    vec = ORACLES["ann_bruteforce_topk"].replace("ORDER BY query_id, rank", "")
+    return f"""
+WITH txt_leg AS ({txt}),
+vec_leg AS ({vec}),
+txt_f AS (
+  SELECT query_id, cand_id, rank AS text_rank FROM txt_leg
+  WHERE query_id < {_RRF_QUERIES}
+),
+vec_f AS (
+  SELECT query_id, cand_id, rank AS vec_rank FROM vec_leg
+  WHERE query_id < {_RRF_QUERIES} AND rank <= {_RRF_TOP}
+),
+fused AS (
+  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+         coalesce(t.cand_id, v.cand_id) AS cand_id,
+         coalesce(t.text_rank, -1)::BIGINT AS text_rank,
+         coalesce(v.vec_rank, -1)::BIGINT AS vec_rank
+  FROM txt_f t FULL OUTER JOIN vec_f v
+    ON t.query_id = v.query_id AND t.cand_id = v.cand_id
+),
+scored AS (
+  SELECT *,
+         ((CASE WHEN text_rank >= 0 THEN 1000000 // ({_RRF_K} + text_rank) ELSE 0 END)
+          + (CASE WHEN vec_rank >= 0 THEN 1000000 // ({_RRF_K} + vec_rank) ELSE 0 END)
+         )::BIGINT AS rrf_e6
+  FROM fused
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_e6 DESC, cand_id) AS fused_rank
+  FROM scored
+)
+SELECT query_id, cand_id, text_rank, vec_rank, rrf_e6,
+       fused_rank::BIGINT AS fused_rank
+FROM ranked WHERE fused_rank <= {_RRF_TOP}
+ORDER BY query_id, fused_rank
+"""
+
+
+ORACLE_RRF_FUSION = _oracle_rrf_fusion()
+
+QUERIES["retrieval_rrf_fusion"] = q_retrieval_rrf_fusion
+ORACLES["retrieval_rrf_fusion"] = ORACLE_RRF_FUSION

@@ -3563,3 +3563,43 @@ def test_simhash_bit_profile_polarized_and_grouped(spark):
         assert r["ones_e6"] in (0, 1_000_000)
     for r in by_src["b"]:
         assert r["n_ones"] in (0, 2) and r["n_docs"] == 2
+
+
+def test_rrf_fusion_legs_consistent_and_sentinels():
+    # every fused row must carry exactly the rank each leg assigned
+    # (or the -1 sentinel), and the score must be the RRF formula
+    from pyspark.sql import SparkSession
+
+    from h2spark.ops.similarity import (
+        _RRF_QUERIES, _RRF_TOP, _emb, ann_bruteforce_topk,
+        q_ann_text_topk, q_retrieval_rrf_fusion,
+    )
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    sf = "/root/testdata/sf0.001"
+    fused = q_retrieval_rrf_fusion(spark, sf).collect()
+    txt = {(r["query_id"], r["cand_id"]): r["rank"]
+           for r in q_ann_text_topk(spark, sf).collect()
+           if r["query_id"] < _RRF_QUERIES}
+    vec = {(r["query_id"], r["cand_id"]): r["rank"]
+           for r in ann_bruteforce_topk(_emb(spark, sf)).collect()
+           if r["query_id"] < _RRF_QUERIES and r["rank"] <= _RRF_TOP}
+    assert len(fused) == _RRF_QUERIES * _RRF_TOP
+    for r in fused:
+        key = (r["query_id"], r["cand_id"])
+        assert r["text_rank"] == txt.get(key, -1)
+        assert r["vec_rank"] == vec.get(key, -1)
+        expect = 0
+        if r["text_rank"] >= 0:
+            expect += 1_000_000 // (60 + r["text_rank"])
+        if r["vec_rank"] >= 0:
+            expect += 1_000_000 // (60 + r["vec_rank"])
+        assert r["rrf_e6"] == expect > 0
+    # fused order is (rrf desc, cand asc) within each query
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["fused_rank"])
+        keys = [(-r["rrf_e6"], r["cand_id"]) for r in rows]
+        assert keys == sorted(keys)
