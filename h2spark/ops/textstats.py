@@ -3040,3 +3040,121 @@ FROM base ORDER BY doc_id
 
 QUERIES["corpus_vocab_growth"] = q_corpus_vocab_growth
 ORACLES["corpus_vocab_growth"] = ORACLE_VOCAB_GROWTH
+
+
+# --- exact two-sample KS drift per source (round 7, session 7) ----------------
+#
+# Distribution drift is the monitor every ingestion pipeline wants
+# before a new source contaminates the mix: the two-sample
+# Kolmogorov-Smirnov statistic between each source's length
+# distribution and the rest of the corpus.  D = max_x |F1(x) - F2(x)|
+# is carried as the EXACT integer cross-product |c1*n2 - c2*n1| (no
+# float ECDFs), so every engine agrees bit-for-bit.
+
+
+def q_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: exact two-sample KS D (e6 integer) of its n_chars
+    distribution vs the complement corpus, plus the arg-max length.
+
+    Scale shape: one (source, n_chars) partial aggregation; the ECDF
+    grid is sources x distinct-lengths (bounded by the length cap, not
+    the corpus), cumulated in a per-source window whose partition holds
+    at most |distinct lengths| rows.  Overflow note: c*n products need
+    n_total < ~3e9 per side in int64; beyond that, rescale counts to a
+    fixed ECDF bucket grid first (same max, coarser x)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = d.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    vals = d.select("n_chars").distinct()
+    srcs = per.groupBy("source").agg(F.sum("c").cast("long").alias("n1"))
+    tot = d.count()
+    from pyspark.sql import Window
+
+    grid = (
+        F.broadcast(srcs).crossJoin(vals)
+        .join(per, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_chars", "n1",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("n_chars")
+    gvals = (
+        d.groupBy("n_chars").agg(F.count("*").cast("long").alias("g"))
+        .withColumn("cumg", F.sum("g").over(Window.orderBy("n_chars")).cast("long"))
+        .select("n_chars", "cumg")
+    )
+    ecdf = grid.withColumn("cum1", F.sum("c").over(w).cast("long")).join(
+        F.broadcast(gvals), "n_chars"
+    )
+    stat = ecdf.select(
+        "source", "n_chars", "n1", "cum1",
+        (F.col("cumg") - F.col("cum1")).alias("cum2"),
+        (F.lit(int(tot)) - F.col("n1")).alias("n2"),
+    ).withColumn(
+        "d_num",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+        .cast("long"),
+    )
+    wbest = Window.partitionBy("source").orderBy(
+        F.col("d_num").desc(), F.col("n_chars")
+    )
+    return (
+        stat.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "source", "n1", F.col("n2").cast("long").alias("n2"),
+            F.col("n_chars").alias("argmax_len"), "d_num",
+            F.expr("1000000 * d_num div (n1 * n2)").cast("long").alias("d_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_DRIFT_KS = """
+WITH per AS (
+  SELECT source, n_chars, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+srcs AS (SELECT source, sum(c)::BIGINT AS n1 FROM per GROUP BY 1),
+vals AS (SELECT DISTINCT n_chars FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+gvals AS (
+  SELECT n_chars,
+         (sum(count(*)) OVER (ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS cumg
+  FROM documents GROUP BY n_chars
+),
+grid AS (
+  SELECT s.source, v.n_chars, s.n1, coalesce(p.c, 0)::BIGINT AS c
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN per p ON p.source = s.source AND p.n_chars = v.n_chars
+),
+ecdf AS (
+  SELECT g.source, g.n_chars, g.n1,
+         (sum(g.c) OVER (PARTITION BY g.source ORDER BY g.n_chars
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS cum1,
+         gv.cumg
+  FROM grid g JOIN gvals gv USING (n_chars)
+),
+stat AS (
+  SELECT source, n_chars, n1,
+         (SELECT n FROM tot) - n1 AS n2,
+         abs(cum1 * ((SELECT n FROM tot) - n1)
+             - (cumg - cum1) * n1)::BIGINT AS d_num
+  FROM ecdf
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY d_num DESC, n_chars) AS rn
+  FROM stat
+)
+SELECT source, n1, n2::BIGINT AS n2, n_chars AS argmax_len, d_num,
+       (1000000 * d_num // (n1 * n2))::BIGINT AS d_e6
+FROM best WHERE rn = 1
+ORDER BY source
+"""
+
+QUERIES["source_drift_ks"] = q_source_drift_ks
+ORACLES["source_drift_ks"] = ORACLE_SOURCE_DRIFT_KS

@@ -3603,3 +3603,32 @@ def test_rrf_fusion_legs_consistent_and_sentinels():
         rows.sort(key=lambda r: r["fused_rank"])
         keys = [(-r["rrf_e6"], r["cand_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_source_drift_ks_planted_distributions(spark):
+    # a: all length 10, b: all length 20 -> D = 1.0 exactly vs the
+    # complement; c mirrors the complement mix exactly -> D = 0
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_source_drift_ks
+
+    rows = [(i, "t", "en", "a", 10) for i in range(4)]
+    rows += [(10 + i, "t", "en", "b", 20) for i in range(4)]
+    rows += [(20, "t", "en", "c", 10), (21, "t", "en", "c", 20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["source"]: r for r in
+               q_source_drift_ks(spark, td).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["n1"], a["n2"]) == (4, 6)
+    # at x=10: cum_a=4, complement cum=1 (c's 10) -> |4*6 - 1*4| = 20
+    assert a["d_num"] == 20 and a["argmax_len"] == 10
+    assert a["d_e6"] == 1_000_000 * 20 // 24
+    # b at x=10: cum_b=0, complement=5 -> |0 - 5*4| = 20
+    assert b["d_num"] == 20 and b["argmax_len"] == 10
+    # c's mix (1@10, 1@20) == complement mix (4@10, 4@20) -> D = 0
+    assert c["d_num"] == 0 and c["d_e6"] == 0 and c["argmax_len"] == 10
