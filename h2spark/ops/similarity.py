@@ -2424,3 +2424,191 @@ ORACLE_RRF_FUSION = _oracle_rrf_fusion()
 
 QUERIES["retrieval_rrf_fusion"] = q_retrieval_rrf_fusion
 ORACLES["retrieval_rrf_fusion"] = ORACLE_RRF_FUSION
+
+
+# --- MMR diversified re-rank (round 7, session 7) -----------------------------
+#
+# Maximal-marginal-relevance (Carbonell & Goldstein, SIGIR'98): greedy
+# re-rank of a retrieval pool that trades relevance against redundancy,
+# the standard fix for near-duplicate hits crowding a RAG context
+# window.  All scores are exact integer dots over the hashing-trick
+# embeddings (lambda = 0.7 carried as the 7/3 integer split), so the
+# greedy path is bit-identical in every engine.
+
+_MMR_QUERIES = 3
+_MMR_POOL = 8
+_MMR_K = 4
+
+
+def q_retrieval_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over the top-8 lexical-retrieval pool: pick 4 of 8
+    maximizing 7*rel - 3*max_sim_to_selected (exact integers, ties to
+    the smaller cand_id).
+
+    Scale shape: retrieval pool is (n_queries x 8) rows; the greedy
+    loop runs per query over <=8 candidates inside one applyInPandas
+    group — work is queries x pool^2 x k, independent of corpus size.
+    The corpus-scale work stays in the retrieval leg's own shape."""
+    from h2spark.ops.textstats import hashed_embedding_df
+
+    e = hashed_embedding_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    q = e.where(F.col("doc_id") < _MMR_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    c = e.select(F.col("doc_id").alias("cand_id"), F.col("emb").alias("ce"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", dot.alias("rel"), "ce")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    pool = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _MMR_POOL
+    ).select("query_id", "cand_id", "rel", "ce")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["cand_id"]).reset_index(drop=True)
+        E = np.array(pdf["ce"].tolist(), dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        cand = pdf["cand_id"].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        sims = E @ E.T
+        picked: list[int] = []
+        maxsim = np.zeros(n, dtype=np.int64)
+        out = []
+        for pick in range(1, min(_MMR_K, n) + 1):
+            mmr = 7 * rel - 3 * maxsim
+            best = -1
+            for i in range(n):
+                if i in picked:
+                    continue
+                if best < 0 or mmr[i] > mmr[best] or (
+                    mmr[i] == mmr[best] and cand[i] < cand[best]
+                ):
+                    best = i
+            out.append((int(pdf["query_id"][0]), pick, int(cand[best]),
+                        int(rel[best]), int(mmr[best])))
+            picked.append(best)
+            maxsim = np.maximum(maxsim, sims[:, best])
+        return pd.DataFrame(
+            out, columns=["query_id", "pick", "cand_id", "rel", "mmr"]
+        )
+
+    return (
+        pool.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id long, pick long, cand_id long, rel long, mmr long",
+        )
+        .orderBy("query_id", "pick")
+    )
+
+
+def _oracle_mmr_diversify() -> str:
+    from h2spark.ops.textstats import _EMB_DIM  # noqa: F401  (doc link)
+
+    dims = f"""
+toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array({_TXT_EMB_NORM_DUCK}, ' ')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 0
+),
+cells AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS j,
+         CASE WHEN ('0x' || substr(md5(tok), 9, 1))::BIGINT < 8
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, j, sum(s)::BIGINT AS v FROM cells GROUP BY 1, 2
+),
+dims AS (
+  SELECT d.doc_id, dim.j, coalesce(a.v, 0)::BIGINT AS v
+  FROM documents d
+  CROSS JOIN range(0, 64) dim(j)
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.j = dim.j
+)"""
+    steps = []
+    sel_union = "SELECT query_id, cand_id FROM sel1"
+    for s in range(2, _MMR_K + 1):
+        steps.append(f"""
+selall{s} AS ({sel_union}),
+cand{s} AS (
+  SELECT p.query_id, p.cand_id, p.rel,
+         (7 * p.rel - 3 * max(pr.dot))::BIGINT AS mmr
+  FROM pool p
+  LEFT JOIN selall{s} sa
+    ON sa.query_id = p.query_id AND sa.cand_id = p.cand_id
+  JOIN pairs pr ON pr.query_id = p.query_id AND pr.c1 = p.cand_id
+  JOIN selall{s} s2 ON s2.query_id = pr.query_id AND s2.cand_id = pr.c2
+  WHERE sa.cand_id IS NULL
+  GROUP BY 1, 2, 3
+),
+sel{s} AS (
+  SELECT query_id, cand_id, rel, mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY mmr DESC, cand_id) AS rn
+    FROM cand{s}
+  ) WHERE rn = 1
+)""")
+        sel_union += f" UNION ALL SELECT query_id, cand_id FROM sel{s}"
+    finals = ["SELECT query_id, 1::BIGINT AS pick, cand_id, rel, mmr FROM sel1"]
+    finals += [
+        f"SELECT query_id, {s}::BIGINT AS pick, cand_id, rel, mmr FROM sel{s}"
+        for s in range(2, _MMR_K + 1)
+    ]
+    return f"""
+WITH {dims.strip()},
+scored AS (
+  SELECT qd.doc_id AS query_id, cd.doc_id AS cand_id,
+         sum(qd.v * cd.v)::BIGINT AS rel
+  FROM dims qd JOIN dims cd ON qd.j = cd.j
+  WHERE qd.doc_id < {_MMR_QUERIES} AND cd.doc_id <> qd.doc_id
+  GROUP BY 1, 2
+),
+pool AS (
+  SELECT query_id, cand_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_MMR_POOL}
+),
+pairs AS (
+  SELECT p1.query_id, p1.cand_id AS c1, p2.cand_id AS c2,
+         sum(d1.v * d2.v)::BIGINT AS dot
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id <> p2.cand_id
+  JOIN dims d1 ON d1.doc_id = p1.cand_id
+  JOIN dims d2 ON d2.doc_id = p2.cand_id AND d1.j = d2.j
+  GROUP BY 1, 2, 3
+),
+sel1 AS (
+  SELECT query_id, cand_id, rel, (7 * rel)::BIGINT AS mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, cand_id) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),{",".join(steps)}
+SELECT * FROM ({" UNION ALL ".join(finals)})
+ORDER BY query_id, pick
+"""
+
+
+ORACLE_MMR_DIVERSIFY = _oracle_mmr_diversify()
+
+QUERIES["retrieval_mmr_diversify"] = q_retrieval_mmr_diversify
+ORACLES["retrieval_mmr_diversify"] = ORACLE_MMR_DIVERSIFY

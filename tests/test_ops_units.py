@@ -3632,3 +3632,76 @@ def test_source_drift_ks_planted_distributions(spark):
     assert b["d_num"] == 20 and b["argmax_len"] == 10
     # c's mix (1@10, 1@20) == complement mix (4@10, 4@20) -> D = 0
     assert c["d_num"] == 0 and c["d_e6"] == 0 and c["argmax_len"] == 10
+
+
+def test_mmr_diversify_matches_independent_greedy(spark):
+    # independent Python recompute (md5 hashing-trick embeddings +
+    # greedy MMR) must agree row-for-row; a redundant identical twin
+    # must be demoted below a diverse candidate
+    import hashlib
+    import os
+    import tempfile
+
+    from h2spark.ops.similarity import q_retrieval_mmr_diversify
+
+    base = "alpha beta gamma delta"
+    texts = {
+        0: base,                      # the query doc
+        1: " ".join([base] * 3),      # twin A: very relevant
+        2: " ".join([base] * 3),      # twin B: redundant with A
+        3: "alpha beta epsilon zeta",
+        4: "eta theta iota kappa",
+        5: "lam mu nu xi",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+
+    def emb(text):
+        v = [0] * 64
+        for tok in text.split():
+            h = hashlib.md5(tok.encode()).hexdigest()
+            j = int(h[:8], 16) % 64
+            v[j] += 1 if int(h[8], 16) < 8 else -1
+        return v
+
+    E = {i: emb(t) for i, t in texts.items()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    expected = {}
+    for qid in (0, 1, 2):
+        pool = sorted(
+            ((dot(E[qid], E[c]), c) for c in texts if c != qid),
+            key=lambda rc: (-rc[0], rc[1]),
+        )[:8]
+        picked, maxsim, out = [], {c: 0 for _, c in pool}, []
+        for pick in range(1, 5):
+            best = None
+            for rel, c in pool:
+                if c in picked:
+                    continue
+                m = 7 * rel - 3 * maxsim[c]
+                if best is None or m > best[0] or (m == best[0] and c < best[2]):
+                    best = (m, rel, c)
+            out.append((pick, best[2], best[1], best[0]))
+            picked.append(best[2])
+            for _, c in pool:
+                maxsim[c] = max(maxsim[c], dot(E[c], E[best[2]]))
+        expected[qid] = out
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = q_retrieval_mmr_diversify(spark, td).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["pick"], r["cand_id"], r["rel"], r["mmr"]))
+    assert {q: sorted(v) for q, v in by_q.items()} == {
+        q: sorted(v) for q, v in expected.items()}
+    # diversity: after picking one twin for query 0, the other twin's
+    # mmr goes negative, so it is NOT pick 2
+    picks_q0 = [c for _, c, _, _ in sorted(by_q[0])]
+    assert picks_q0[0] in (1, 2) and picks_q0[1] not in (1, 2)
