@@ -28,6 +28,30 @@ _HLL_M = 64           # registers (2^6)
 _HLL_ALPHA_E3 = 709   # alpha_64 = 0.709, in e3 fixed point
 
 
+def hll_register_cols():
+    """(register index, rho) column pair over ``user_id`` — the one
+    hash/register derivation shared by the batch sketch and its
+    streaming twin (pipeline/streaming.hll_sketch_stream), so the two
+    can never drift."""
+    h = F.md5(F.col("user_id").cast("string"))
+    idx = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_HLL_M)
+    )
+    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(v))
+    )
+    return idx, rho
+
+
+def hll_estimate_int(regs: list[int]) -> tuple[int, int]:
+    """(n_zero_registers, est) from a dense 64-register list with the
+    batch op's exact integer estimator (common denominator 2^32)."""
+    s = sum(1 << (32 - int(r)) for r in regs)
+    est = (_HLL_ALPHA_E3 * _HLL_M * _HLL_M * 4294967296) // (1000 * s)
+    return sum(1 for r in regs if r == 0), est
+
+
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via HyperLogLog, with the exact
     count alongside.
@@ -41,14 +65,7 @@ def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", "user_id"
     )
-    h = F.md5(F.col("user_id").cast("string"))
-    idx = F.pmod(
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(_HLL_M)
-    )
-    v = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-    rho = F.when(v == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.bin(v))
-    )
+    idx, rho = hll_register_cols()
     m = (
         e.select("event_type", idx.alias("j"), rho.cast("long").alias("rho"))
         .groupBy("event_type", "j")

@@ -1322,3 +1322,94 @@ def run_streaming_ewma(
                      watermark=watermark),
         out_dir, checkpoint_dir, available_now,
     )
+
+
+# --- streaming HyperLogLog sketch (19th streaming operator) ----------------
+
+HLL_STREAM_SCHEMA = (
+    "event_type string, registers string, n_zero_registers long,"
+    " est_users long"
+)
+_HLL_STREAM_STATE_SCHEMA = "regs array<long>"
+
+
+def hll_sketch_stream(events):
+    """Streaming twin of ops/sketches.q_sketch_hll_users: per
+    event_type a 64-register HyperLogLog maintained in EXACTLY 64
+    longs of state per key — the register derivation is the shared
+    `hll_register_cols` expression pair (JVM-side), the state merge is
+    an elementwise max, and the emitted estimate uses the batch op's
+    exact integer estimator.  Registers are monotone, so each
+    micro-batch a key appears in emits its current sketch row and the
+    latest row per key equals the batch sketch over everything
+    ingested so far (`n_exact` is the one batch column a bounded-state
+    stream cannot carry — by design).
+
+    Scale note: state is O(64) per key regardless of traffic; the
+    hash-to-register derivation runs JVM-side, so what crosses into
+    Python is (j, rho) pairs — two small ints per event, never raw
+    user ids — folded into the registers with one numpy
+    maximum.reduceat-free scatter per Arrow batch.  (A JVM-side
+    per-batch combine would be a second stateful operator in this
+    query; the batch op keeps that map-side-merge story.)"""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from h2spark.ops.sketches import (
+        _HLL_M, hll_estimate_int, hll_register_cols,
+    )
+
+    idx, rho = hll_register_cols()
+    pre = events.select(
+        "event_type", idx.alias("j"), rho.cast("long").alias("rho")
+    )
+
+    def update(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        (event_type,) = key
+        regs = (np.asarray(state.get[0], dtype="int64")
+                if state.exists else np.zeros(_HLL_M, dtype="int64"))
+        for pdf in pdfs:
+            j = pdf["j"].to_numpy(dtype="int64")
+            r = pdf["rho"].to_numpy(dtype="int64")
+            np.maximum.at(regs, j, r)
+        regs = regs.tolist()
+        state.update((regs,))
+        n_zero, est = hll_estimate_int(regs)
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "registers": [",".join(str(int(r)) for r in regs)],
+                "n_zero_registers": [n_zero],
+                "est_users": [est],
+            }
+        )
+
+    return pre.groupBy("event_type").applyInPandasWithState(
+        update,
+        HLL_STREAM_SCHEMA,
+        _HLL_STREAM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_hll_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental distinct-user sketching over a growing events
+    directory."""
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        hll_sketch_stream(stream), out_dir, checkpoint_dir, available_now
+    )

@@ -1060,3 +1060,67 @@ def test_streaming_ewma_matches_batch_across_bursts(spark, tmp_path):
     assert batch[4][2] == (1000 + 2 * 2000 + 4 * 4000 + 8 * 8000
                            + 16 * 16000)
     assert batch[4][3] == 31
+
+
+def test_streaming_hll_sketch_matches_batch(spark, tmp_path):
+    # 19th streaming operator: per-key 64-register HLL carried across
+    # micro-batches; latest row per key must equal the batch sketch
+    # over the combined input (registers, zero count, integer estimate)
+    import time
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.sketches import q_sketch_hll_users
+    from h2spark.pipeline.streaming import run_streaming_hll_sketch
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 00:00:{i % 60:02d}", uid, et, 1.0, "{}")
+             for i, uid, et in rows],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    inp = tmp_path / "hs_in"
+    out = tmp_path / "hs_out"
+    ck = tmp_path / "hs_ck"
+    b1 = [(i, i % 37, "view") for i in range(300)] + \
+         [(1000 + i, i, "click") for i in range(50)]
+    b2 = [(2000 + i, 100 + i % 61, "view") for i in range(200)] + \
+         [(3000 + i, i % 3, "error") for i in range(9)]
+    events(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_hll_sketch(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)
+    events(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_hll_sketch(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # batch sketch over the full combined input
+    batch_dir = tmp_path / "hs_batch"
+    events(b1 + b2).write.parquet(str(batch_dir / "events.parquet"))
+    batch = {r["event_type"]: r for r in
+             q_sketch_hll_users(spark, str(batch_dir)).collect()}
+
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    latest = {}
+    for r in rows:  # registers are monotone: keep the max-est row,
+        # ties resolved by the lexicographically largest registers
+        key = r["event_type"]
+        cur = latest.get(key)
+        mine = [int(x) for x in r["registers"].split(",")]
+        if cur is None or mine >= [int(x) for x in
+                                   cur["registers"].split(",")]:
+            latest[key] = r
+    assert set(latest) == set(batch) == {"view", "click", "error"}
+    for k, b in batch.items():
+        s = latest[k]
+        assert s["registers"] == b["registers"], k
+        assert s["n_zero_registers"] == b["n_zero_registers"], k
+        assert s["est_users"] == b["est_users"], k
