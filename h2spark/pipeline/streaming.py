@@ -1413,3 +1413,91 @@ def run_streaming_hll_sketch(
     return _start_append_writer(
         hll_sketch_stream(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- streaming exact length quantiles (20th streaming operator) -------------
+
+QUANTILE_STREAM_SCHEMA = (
+    "lang string, n_docs long, p50 long, p90 long, p99 long"
+)
+_QUANTILE_STREAM_STATE_SCHEMA = "vals array<long>, cnts array<long>"
+
+
+def length_quantile_stream(docs):
+    """Streaming twin of ops/relational.q_length_percentiles: exact
+    discrete p50/p90/p99 of document length per language from a value
+    HISTOGRAM carried in state — (vals, cnts) arrays bounded by the
+    distinct-length cardinality (the length cap), never by document
+    count, the same bound that makes the batch operator scale.  Each
+    micro-batch a language appears in emits its current row; the
+    latest row per language equals the batch operator over everything
+    ingested (identical ceil-rank pick: smallest length whose
+    cumulative count reaches ceil(p*n))."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = docs.select("lang", "n_chars")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (lang,) = key
+        hist: dict[int, int] = {}
+        if state.exists:
+            vals, cnts = state.get
+            hist = dict(zip((int(v) for v in vals),
+                            (int(c) for c in cnts)))
+        for pdf in pdfs:
+            for v in pdf["n_chars"]:
+                v = int(v)
+                hist[v] = hist.get(v, 0) + 1
+        items = sorted(hist.items())
+        state.update(([v for v, _ in items], [c for _, c in items]))
+        n = sum(hist.values())
+
+        def pick(num: int, den: int) -> int:
+            target = (num * n + den - 1) // den
+            cum = 0
+            for v, c in items:
+                cum += c
+                if cum >= target:
+                    return v
+            return items[-1][0]
+
+        yield pd.DataFrame(
+            {
+                "lang": [lang],
+                "n_docs": [n],
+                "p50": [pick(1, 2)],
+                "p90": [pick(9, 10)],
+                "p99": [pick(99, 100)],
+            }
+        )
+
+    return pre.groupBy("lang").applyInPandasWithState(
+        update,
+        QUANTILE_STREAM_SCHEMA,
+        _QUANTILE_STREAM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_length_quantiles(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental exact length-quantile monitoring over a growing
+    document-metadata directory."""
+    stream = (
+        spark.readStream.schema(SIDECAR_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        length_quantile_stream(stream), out_dir, checkpoint_dir,
+        available_now,
+    )

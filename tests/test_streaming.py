@@ -1124,3 +1124,59 @@ def test_streaming_hll_sketch_matches_batch(spark, tmp_path):
         assert s["registers"] == b["registers"], k
         assert s["n_zero_registers"] == b["n_zero_registers"], k
         assert s["est_users"] == b["est_users"], k
+
+
+def test_streaming_length_quantiles_match_batch(spark, tmp_path):
+    # 20th streaming operator: histogram state across micro-batches;
+    # the latest row per lang must equal q_length_percentiles on the
+    # combined input (exact ceil-rank picks)
+    import time
+
+    from h2spark.ops.relational import q_length_percentiles
+    from h2spark.pipeline.streaming import run_streaming_length_quantiles
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long, source string"
+        )
+
+    inp = tmp_path / "lq_in"
+    out = tmp_path / "lq_out"
+    ck = tmp_path / "lq_ck"
+    b1 = [(i, "en", 10 + (i * 7) % 90, "s") for i in range(200)] + \
+         [(1000 + i, "de", 5 + i % 3, "s") for i in range(40)]
+    b2 = [(2000 + i, "en", 500 + i, "s") for i in range(30)] + \
+         [(3000 + i, "fr", 77, "s") for i in range(5)]
+    docs(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_length_quantiles(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)
+    docs(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_length_quantiles(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    batch_dir = tmp_path / "lq_batch"
+    docs(b1 + b2).select(
+        "doc_id", "lang", "n_chars", "source"
+    ).withColumn("text", F.lit("t")).write.parquet(
+        str(batch_dir / "documents.parquet"))
+    batch = {r["lang"]: r for r in
+             q_length_percentiles(spark, str(batch_dir)).collect()}
+
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    latest = {}
+    for r in rows:  # n_docs is monotone: keep the max-count row
+        if r["lang"] not in latest or r["n_docs"] > \
+                latest[r["lang"]]["n_docs"]:
+            latest[r["lang"]] = r
+    assert set(latest) == set(batch) == {"en", "de", "fr"}
+    for k, b in batch.items():
+        s = latest[k]
+        assert (s["n_docs"], s["p50"], s["p90"], s["p99"]) == \
+            (b["n_docs"], b["p50"], b["p90"], b["p99"]), k
