@@ -2981,3 +2981,54 @@ def av_sync_batch(doc_ids) -> list:
         drift = audio_ms - video_ms
         outs.append((audio_ms, video_ms, drift, abs(drift) <= 40))
     return outs
+
+
+def audio_frame_features_batch(doc_ids, n: int = 96, frame: int = 32,
+                               rate: int = 8000) -> list:
+    """Frame-level audio features over the REAL WAV path — the front
+    end of every VAD/ASR triage stack: the same deterministic PCM
+    pattern as :func:`audio_clip_stats_batch` is serialized as genuine
+    RIFF bytes, decoded back, split into ``frame``-sample frames, and
+    each frame yields exact integers — zero-crossing count (strict
+    sign flips between consecutive decoded samples within the frame),
+    energy (sum of squares) and peak.  One output row per
+    (doc, frame)."""
+    import struct
+
+    from h2spark.core.wavcodec import decode_wav_samples
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        p = 7 + d % 5
+        dc = (d % 5) * 40
+        samples = [
+            (32767 if (d + i) % 2 == 0 else -32768)
+            if (d + i) % p == 0
+            else ((d * 13 + i * 37) % 2000) - 1000 + dc
+            for i in range(n)
+        ]
+        body = struct.pack(f"<{n}h", *samples)
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        decoded = decode_wav_samples(wav)
+        if decoded is None:
+            continue
+        _, _, got = decoded
+        for f in range(len(got) // frame):
+            seg = got[f * frame:(f + 1) * frame]
+            zcr = sum(
+                1 for i in range(1, len(seg)) if seg[i - 1] * seg[i] < 0
+            )
+            outs.append(
+                (
+                    d, f, len(seg), zcr,
+                    sum(s * s for s in seg),
+                    max(abs(s) for s in seg),
+                )
+            )
+    return outs

@@ -3623,3 +3623,68 @@ FROM documents ORDER BY doc_id
 
 QUERIES["av_sync_audit"] = q_av_sync_audit
 ORACLES["av_sync_audit"] = ORACLE_AV_SYNC
+
+
+# --- frame-level audio features (round 7, session 7) -------------------------
+
+
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio front end over REAL WAV bytes — zero-crossing
+    rate, energy and peak for each 32-sample frame (3 frames/doc), the
+    features VAD/ASR triage orders recordings by.  Same deterministic
+    PCM pattern as audio_clip_detect, so the oracle re-derives every
+    frame from the formula with a lag window for the sign flips.
+
+    Scale shape: scan -> Arrow kernel -> in-row explode; zero shuffle
+    before the presentation sort, one row per (doc, frame)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import audio_frame_features_batch
+
+    @pandas_udf(
+        "array<struct<doc_id:long, frame:long, n_samples:long,"
+        " zcr:long, energy:long, peak:long>>"
+    )
+    def feat_udf(ids: pd.Series) -> pd.Series:
+        rows = audio_frame_features_batch(ids)
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r[0], []).append(r)
+        return pd.Series([by_doc.get(int(d), []) for d in ids])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(F.explode(feat_udf(F.col("doc_id"))).alias("o"))
+        .select("o.*")
+        .orderBy("doc_id", "frame")
+    )
+
+
+ORACLE_AUDIO_FRAMES = """
+WITH s AS (
+  SELECT doc_id, k, (k // 32) AS frame,
+         CASE WHEN (doc_id + k) % (7 + doc_id % 5) = 0
+              THEN CASE WHEN (doc_id + k) % 2 = 0
+                        THEN 32767 ELSE -32768 END
+              ELSE ((doc_id * 13 + k * 37) % 2000) - 1000
+                   + (doc_id % 5) * 40
+         END AS v
+  FROM documents, unnest(range(96)) AS u(k)
+), lagged AS (
+  SELECT doc_id, frame, k, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+  FROM s
+)
+SELECT doc_id, frame::BIGINT AS frame,
+       count(*)::BIGINT AS n_samples,
+       sum(CASE WHEN k % 32 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END
+       )::BIGINT AS zcr,
+       sum(v * v)::BIGINT AS energy,
+       max(abs(v))::BIGINT AS peak
+FROM lagged
+GROUP BY doc_id, frame
+ORDER BY doc_id, frame
+"""
+
+QUERIES["audio_frame_features"] = q_audio_frame_features
+ORACLES["audio_frame_features"] = ORACLE_AUDIO_FRAMES

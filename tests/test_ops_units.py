@@ -3705,3 +3705,39 @@ def test_mmr_diversify_matches_independent_greedy(spark):
     # mmr goes negative, so it is NOT pick 2
     picks_q0 = [c for _, c, _, _ in sorted(by_q[0])]
     assert picks_q0[0] in (1, 2) and picks_q0[1] not in (1, 2)
+
+
+def test_audio_frame_features_formula_recompute(spark):
+    # independent recompute straight from the PCM pattern formula
+    # (no wavcodec) must match the decoded-path op for the first docs
+    import os
+    import tempfile
+
+    from h2spark.ops.multimodal import q_audio_frame_features
+
+    rows = [(i, "t", "en", "s", 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {(r["doc_id"], r["frame"]): r for r in
+               q_audio_frame_features(spark, td).collect()}
+
+    def sample(d, i):
+        p = 7 + d % 5
+        if (d + i) % p == 0:
+            return 32767 if (d + i) % 2 == 0 else -32768
+        return ((d * 13 + i * 37) % 2000) - 1000 + (d % 5) * 40
+
+    for d in range(4):
+        s = [sample(d, i) for i in range(96)]
+        for f in range(3):
+            seg = s[f * 32:(f + 1) * 32]
+            r = got[(d, f)]
+            assert r["n_samples"] == 32
+            assert r["zcr"] == sum(
+                1 for i in range(1, 32) if seg[i - 1] * seg[i] < 0)
+            assert r["energy"] == sum(x * x for x in seg)
+            assert r["peak"] == max(abs(x) for x in seg)
+    assert len(got) == 12
