@@ -3158,3 +3158,105 @@ ORDER BY source
 
 QUERIES["source_drift_ks"] = q_source_drift_ks
 ORACLES["source_drift_ks"] = ORACLE_SOURCE_DRIFT_KS
+
+
+# --- extractive summary by sentence centrality (round 7, session 7) ----------
+
+
+def q_text_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank-lite snippet selection: per document the 2 most
+    central sentences, where centrality = sum over the doc's OTHER
+    sentences of shared distinct-token counts (the degree row-sum of
+    the sentence-similarity graph — one power-iteration step from
+    uniform, the classic cheap extractive baseline).  The synthetic
+    corpus carries no punctuation, so sentences are 12-token chunks
+    (documented stand-in; the chunking is identical in both engines).
+    Exact integers end to end; ties resolve to the earlier sentence.
+
+    Scale shape: the overlap self-join keys on (doc_id, token), so
+    pairs never cross documents — per-doc work is bounded by sentence
+    count x shared vocabulary, and the corpus-level plan is two
+    keyed shuffles (token join + top-2 window in per-doc cells)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks_all = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    pos = d.select(
+        "doc_id", F.posexplode(toks_all).alias("pos", "tok")
+    ).select(
+        "doc_id", F.expr("pos div 12").cast("long").alias("sidx"), "tok"
+    )
+    toks = pos.distinct()
+    a, b = toks.alias("a"), toks.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sidx") != F.col("b.sidx")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sidx").alias("sidx"),
+        )
+        .agg(F.count("*").cast("long").alias("score"))
+    )
+    scored = (
+        pos.select("doc_id", "sidx").distinct()
+        .join(ov, ["doc_id", "sidx"], "left")
+        .select(
+            "doc_id", "sidx",
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("sidx")
+    )
+    return (
+        scored.withColumn("pick", F.row_number().over(w).cast("long"))
+        .where(F.col("pick") <= 2)
+        .select(
+            "doc_id", "pick", F.col("sidx").cast("long").alias("sidx"),
+            "score",
+        )
+        .orderBy("doc_id", "pick")
+    )
+
+
+ORACLE_EXTRACTIVE_SUMMARY = r"""
+WITH toks_arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+tk AS (
+  SELECT DISTINCT doc_id, ((i - 1) // 12)::BIGINT AS sidx, toks[i] AS tok
+  FROM toks_arr, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+sents AS (SELECT DISTINCT doc_id, sidx FROM tk),
+ov AS (
+  SELECT a.doc_id, a.sidx, count(*)::BIGINT AS score
+  FROM tk a JOIN tk b
+    ON a.doc_id = b.doc_id AND a.tok = b.tok AND a.sidx <> b.sidx
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT s.doc_id, s.sidx, coalesce(ov.score, 0)::BIGINT AS score
+  FROM sents s LEFT JOIN ov ON ov.doc_id = s.doc_id AND ov.sidx = s.sidx
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, sidx) AS pick
+  FROM scored
+)
+SELECT doc_id, pick::BIGINT AS pick, sidx, score
+FROM ranked WHERE pick <= 2
+ORDER BY doc_id, pick
+"""
+
+QUERIES["text_extractive_summary"] = q_text_extractive_summary
+ORACLES["text_extractive_summary"] = ORACLE_EXTRACTIVE_SUMMARY

@@ -3741,3 +3741,34 @@ def test_audio_frame_features_formula_recompute(spark):
             assert r["energy"] == sum(x * x for x in seg)
             assert r["peak"] == max(abs(x) for x in seg)
     assert len(got) == 12
+
+
+def test_extractive_summary_overlap_scores(spark):
+    # three 12-token chunks with planted overlaps: s0 shares {w0,w1,w2}
+    # with s1 and {w0} with s2 (score 4); s1 also shares {w0,u0} with
+    # s2 (score 5); s2 scores 3 — picks are s1 then s0; a short doc
+    # yields its single chunk with score 0
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_text_extractive_summary
+
+    s0 = [f"w{i}" for i in range(12)]
+    s1 = ["w0", "w1", "w2"] + [f"u{i}" for i in range(9)]
+    s2 = ["w0", "u0"] + [f"v{i}" for i in range(10)]
+    rows = [
+        (0, " ".join(s0 + s1 + s2), "en", "s", 1),
+        (1, "solo tokens only", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_text_extractive_summary(spark, td).collect()
+    d0 = [(r["pick"], r["sidx"], r["score"])
+          for r in out if r["doc_id"] == 0]
+    d1 = [(r["pick"], r["sidx"], r["score"])
+          for r in out if r["doc_id"] == 1]
+    assert d0 == [(1, 1, 5), (2, 0, 4)]
+    assert d1 == [(1, 0, 0)]
