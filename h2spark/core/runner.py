@@ -3032,3 +3032,57 @@ def audio_frame_features_batch(doc_ids, n: int = 96, frame: int = 32,
                 )
             )
     return outs
+
+
+# integer fixed-point DCT-II basis for the perceptual hash: round
+# half-up of 1024*cos((2x+1)*u*pi/16) — generated once here and
+# embedded as literals in the SQL oracle, so both engines share the
+# exact same table
+import math as _math
+
+PHASH_CT = [
+    [int(_math.floor(1024.0 * _math.cos((2 * x + 1) * u * _math.pi / 16.0)
+                     + 0.5)) for x in range(8)]
+    for u in range(8)
+]
+
+
+def png_phash_batch(doc_ids, w: int = 8, h: int = 8) -> list:
+    """Perceptual hash (pHash) over REAL decoded PNG pixels: the
+    deterministic pattern is encoded as a genuine PNG, decoded back
+    through zlib inflate + unfiltering, and the DECODED bytes go
+    through an exact fixed-point 2-D DCT — low 4x4 block minus DC,
+    thresholded at the exact median (8th smallest by (c, u, v)) into
+    a 15-bit signature.  Returns (phash, n_ones, med) tuples."""
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        px = bytes(
+            (d * 31 + x * 7 + y * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        data = encode_png(w, h, 1, px, row_filter=lambda y: y % 5)
+        _, _, _, dec = decode_png(data)
+        coeffs = []
+        for u in range(4):
+            for v in range(4):
+                if u == 0 and v == 0:
+                    continue
+                c = sum(
+                    dec[y * w + x] * PHASH_CT[u][x] * PHASH_CT[v][y]
+                    for y in range(h)
+                    for x in range(w)
+                )
+                coeffs.append((c, u, v))
+        med = sorted(coeffs)[7][0]
+        phash = 0
+        n_ones = 0
+        for c, u, v in coeffs:
+            if c > med:
+                phash += 1 << (15 - (u * 4 + v))
+                n_ones += 1
+        outs.append((phash, n_ones, med))
+    return outs

@@ -3688,3 +3688,88 @@ ORDER BY doc_id, frame
 
 QUERIES["audio_frame_features"] = q_audio_frame_features
 ORACLES["audio_frame_features"] = ORACLE_AUDIO_FRAMES
+
+
+# --- DCT perceptual hash over real decoded pixels (round 7, session 7) -------
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash signatures over REAL decoded PNG pixels — the
+    frequency-domain near-dup detector that survives brightness and
+    small pixel perturbations where dHash (image_dedup_dhash) sees a
+    new image.  2-D DCT with an exact fixed-point integer basis
+    (core/runner.PHASH_CT — the SAME literal table is embedded in the
+    DuckDB oracle), low 4x4 block minus DC thresholded at the exact
+    median into a 15-bit signature.
+
+    Scale shape: one Arrow-batched pandas UDF over the scan, zero
+    shuffles before the presentation sort; signatures are 2 bytes per
+    image, so downstream near-dup mining is a hash-groupBy."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import png_phash_batch
+
+    @pandas_udf("struct<phash:long, n_ones:long, med:long>")
+    def phash_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = png_phash_batch(ids)
+        return pd.DataFrame(rows, columns=["phash", "n_ones", "med"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", phash_udf(F.col("doc_id")).alias("s"))
+        .select("doc_id", "s.phash", "s.n_ones", "s.med")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_image_phash() -> str:
+    from h2spark.core.runner import PHASH_CT
+
+    vals = ",\n         ".join(
+        f"({u}, {x}, {PHASH_CT[u][x]})"
+        for u in range(4)
+        for x in range(8)
+    )
+    return f"""
+WITH ct(u, x, c) AS (
+  VALUES {vals}
+),
+grid AS (
+  SELECT d.doc_id, x.x, y.y,
+         ((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::BIGINT AS val
+  FROM documents d,
+       LATERAL (SELECT unnest(range(8)) AS x) x,
+       LATERAL (SELECT unnest(range(8)) AS y) y
+),
+coef AS (
+  SELECT g.doc_id, tu.u AS u, tv.u AS v,
+         sum(g.val * tu.c * tv.c)::BIGINT AS c
+  FROM grid g
+  JOIN ct tu ON tu.x = g.x
+  JOIN ct tv ON tv.x = g.y
+  WHERE NOT (tu.u = 0 AND tv.u = 0)
+  GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT doc_id, c AS med FROM (
+    SELECT doc_id, c,
+           row_number() OVER (PARTITION BY doc_id ORDER BY c, u, v) AS rn
+    FROM coef
+  ) WHERE rn = 8
+)
+SELECT coef.doc_id,
+       sum(CASE WHEN coef.c > med.med
+                THEN (1::BIGINT << (15 - (coef.u * 4 + coef.v)))
+                ELSE 0 END)::BIGINT AS phash,
+       sum(CASE WHEN coef.c > med.med THEN 1 ELSE 0 END)::BIGINT AS n_ones,
+       min(med.med)::BIGINT AS med
+FROM coef JOIN med ON med.doc_id = coef.doc_id
+GROUP BY coef.doc_id
+ORDER BY coef.doc_id
+"""
+
+
+ORACLE_IMAGE_PHASH = _oracle_image_phash()
+
+QUERIES["image_phash"] = q_image_phash
+ORACLES["image_phash"] = ORACLE_IMAGE_PHASH

@@ -3772,3 +3772,41 @@ def test_extractive_summary_overlap_scores(spark):
           for r in out if r["doc_id"] == 1]
     assert d0 == [(1, 1, 5), (2, 0, 4)]
     assert d1 == [(1, 0, 0)]
+
+
+def test_image_phash_recompute_and_brightness_invariance():
+    # independent numpy DCT recompute from the pattern formula must
+    # match the PNG-decode kernel; the AC basis rows sum to exactly 0,
+    # so a +const brightness shift provably never flips a bit
+    import numpy as np
+
+    from h2spark.core.runner import PHASH_CT, png_phash_batch
+
+    T = np.asarray(PHASH_CT, dtype=np.int64)
+    assert all(int(T[u].sum()) == 0 for u in range(1, 4))
+
+    def phash_of(P):
+        coeffs = []
+        for u in range(4):
+            for v in range(4):
+                if u == 0 and v == 0:
+                    continue
+                c = int((P * np.outer(T[v], T[u])).sum())  # P[y, x]
+                coeffs.append((c, u, v))
+        med = sorted(coeffs)[7][0]
+        bits = sum(1 << (15 - (u * 4 + v))
+                   for c, u, v in coeffs if c > med)
+        ones = sum(1 for c, _, _ in coeffs if c > med)
+        return bits, ones, med
+
+    got = png_phash_batch(range(10))
+    for d, (phash, n_ones, med) in enumerate(got):
+        P = np.fromfunction(
+            lambda y, x: (d * 31 + x * 7 + y * 13) % 256, (8, 8),
+            dtype=np.int64)
+        assert (phash, n_ones, med) == phash_of(P), d
+        assert bin(phash).count("1") == n_ones <= 7
+        # brightness shift: all 15 AC coefficients are exactly const-
+        # invariant, so the signature cannot move
+        b2, o2, _ = phash_of(P + 37)
+        assert (b2, o2) == (phash, n_ones)
