@@ -2854,3 +2854,62 @@ ORDER BY digit
 
 QUERIES["events_benford_audit"] = q_events_benford_audit
 ORACLES["events_benford_audit"] = ORACLE_EVENTS_BENFORD
+
+
+# --- burstiness (Fano factor) per event type (round 7, session 7) ------------
+
+
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-shape monitor: per event type the Fano factor
+    (variance/mean of hourly counts) as an exact e6 integer —
+    dispersion ~1e6 is Poisson-like, far above means bursty/bot-like
+    arrivals.  Variance numerator is the cross-multiplied integer
+    identity n*sum(x^2) - sum(x)^2 over the OCCUPIED-hour series, so
+    no float moments exist anywhere.
+
+    Scale shape: one (type, hour) pre-aggregation then a per-type
+    rollup over bounded hour counts; both keyed, map-side combinable."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("long").alias("x"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_hours"),
+            F.sum("x").cast("long").alias("n_events"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_x2"),
+        )
+        .select(
+            "event_type", "n_hours", "n_events", "sum_x2",
+            # fano = var/mean = (n*sum_x2 - s^2) / (n * s)  (e6 ints)
+            F.expr(
+                "(1000000 * (n_hours * sum_x2 - n_events * n_events))"
+                " div (n_hours * n_events)"
+            ).cast("long").alias("fano_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_BURSTINESS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_hours,
+         sum(x)::BIGINT AS n_events,
+         sum(x * x)::BIGINT AS sum_x2
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n_hours, n_events, sum_x2,
+       ((1000000 * (n_hours * sum_x2 - n_events * n_events))
+        // (n_hours * n_events))::BIGINT AS fano_e6
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["events_burstiness"] = q_events_burstiness
+ORACLES["events_burstiness"] = ORACLE_EVENTS_BURSTINESS

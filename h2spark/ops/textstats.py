@@ -3260,3 +3260,68 @@ ORDER BY doc_id, pick
 
 QUERIES["text_extractive_summary"] = q_text_extractive_summary
 ORACLES["text_extractive_summary"] = ORACLE_EXTRACTIVE_SUMMARY
+
+
+# --- chi-square lang x source independence screen (round 7, session 7) -------
+
+
+def q_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination screen: per (source, lang) cell the exact-integer
+    chi-square contribution for the independence test — a source whose
+    language mix diverges from the corpus shows up as a fat term
+    before dashboards notice.  The per-cell term
+    (o*N - row*col)^2 / (N*row*col) is carried e6-scaled with integer
+    division, so both engines agree bit-for-bit (no float expected
+    counts).
+
+    Scale shape: one (source, lang) aggregation (bounded cells), two
+    1-row/1-col marginal joins broadcast; nothing scales with corpus
+    size after the first groupBy.  Overflow note: o*N products need
+    N < ~3e9 in int64; beyond that, divide all four counts by a
+    common 10^k first (the statistic is scale-invariant up to the e6
+    rounding)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    rows_m = cells.groupBy("source").agg(
+        F.sum("o").cast("long").alias("row_n"))
+    cols_m = cells.groupBy("lang").agg(
+        F.sum("o").cast("long").alias("col_n"))
+    n = d.count()
+    return (
+        cells.join(F.broadcast(rows_m), "source")
+        .join(F.broadcast(cols_m), "lang")
+        .select(
+            "source", "lang", "o", "row_n", "col_n",
+            F.expr(
+                f"(1000000 * (o * {int(n)} - row_n * col_n)"
+                f" * (o * {int(n)} - row_n * col_n))"
+                f" div ({int(n)} * row_n * col_n)"
+            ).cast("long").alias("term_e6"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_SOURCE_LANG_CHI2 = """
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS o
+  FROM documents GROUP BY 1, 2
+),
+rows_m AS (SELECT source, sum(o)::BIGINT AS row_n FROM cells GROUP BY 1),
+cols_m AS (SELECT lang, sum(o)::BIGINT AS col_n FROM cells GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT c.source, c.lang, c.o, r.row_n, l.col_n,
+       ((1000000 * (c.o * t.n - r.row_n * l.col_n)
+                 * (c.o * t.n - r.row_n * l.col_n))
+        // (t.n * r.row_n * l.col_n))::BIGINT AS term_e6
+FROM cells c
+JOIN rows_m r USING (source)
+JOIN cols_m l USING (lang)
+CROSS JOIN tot t
+ORDER BY c.source, c.lang
+"""
+
+QUERIES["source_lang_chi2"] = q_source_lang_chi2
+ORACLES["source_lang_chi2"] = ORACLE_SOURCE_LANG_CHI2

@@ -3810,3 +3810,74 @@ def test_image_phash_recompute_and_brightness_invariance():
         # invariant, so the signature cannot move
         b2, o2, _ = phash_of(P + 37)
         assert (b2, o2) == (phash, n_ones)
+
+
+def test_source_lang_chi2_independent_and_skewed(spark):
+    # a perfectly independent 2x2 table yields all-zero terms; a
+    # fully-skewed source yields the hand-computed chi2 contribution
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_source_lang_chi2
+
+    rows = []
+    did = 0
+    # source a: 10 en, 10 de; source b: 10 en, 10 de  (independent)
+    for src in ("a", "b"):
+        for lang in ("en", "de"):
+            for _ in range(10):
+                rows.append((did, "t", lang, src, 1)); did += 1
+    # source c: 20 en only (skewed)
+    for _ in range(20):
+        rows.append((did, "t", "en", "c", 1)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {(r["source"], r["lang"]): r for r in
+               q_source_lang_chi2(spark, td).collect()}
+    n = 60
+    # c/en: o=20, row=20, col=40 -> (20*60 - 20*40)^2 = 160000
+    c_en = out[("c", "en")]
+    assert (c_en["o"], c_en["row_n"], c_en["col_n"]) == (20, 20, 40)
+    assert c_en["term_e6"] == 1_000_000 * 160000 // (n * 20 * 40)
+    # a/en: o=10, row=20, col=40 -> (600 - 800)^2 = 40000
+    a_en = out[("a", "en")]
+    assert a_en["term_e6"] == 1_000_000 * 40000 // (n * 20 * 40)
+    assert ("c", "de") not in out  # zero cells don't materialize
+
+
+def test_events_burstiness_constant_vs_bursty(spark):
+    # constant 4/hour -> variance 0 -> fano 0; one 8-burst hour plus
+    # empty-of-type hours -> hand-computed positive fano
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_burstiness
+
+    rows = []
+    eid = 0
+    for h in range(5):
+        for k in range(4):
+            rows.append((eid, f"2024-01-01 {h:02d}:{k * 7:02d}:00",
+                         1, "steady", 1.0, "{}")); eid += 1
+    rows += [(1000 + i, "2024-01-02 03:00:00", 2, "bursty", 1.0, "{}")
+             for i in range(8)]
+    rows.append((2000, "2024-01-02 09:00:00", 2, "bursty", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_type"]: r for r in
+               q_events_burstiness(spark, td).collect()}
+    s, b = out["steady"], out["bursty"]
+    assert (s["n_hours"], s["n_events"], s["sum_x2"]) == (5, 20, 80)
+    assert s["fano_e6"] == 0
+    # bursty: hours [8, 1] -> n=2, s=9, sum_x2=65
+    assert (b["n_hours"], b["n_events"], b["sum_x2"]) == (2, 9, 65)
+    assert b["fano_e6"] == 1_000_000 * (2 * 65 - 81) // (2 * 9)
