@@ -2913,3 +2913,78 @@ FROM agg ORDER BY event_type
 
 QUERIES["events_burstiness"] = q_events_burstiness
 ORACLES["events_burstiness"] = ORACLE_EVENTS_BURSTINESS
+
+
+# --- spend-concentration Gini per event type (round 7, session 7) ------------
+
+
+def q_events_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-concentration monitor: per event type the exact Gini
+    coefficient of per-user spend (cents), via the rank identity
+    G = (2*sum(i*x_i) - (n+1)*S) / (n*S) over ascending spend — all
+    integers, e6-scaled.  Tied spends make sum(i*x_i) order-invariant,
+    so no tiebreak ambiguity exists between engines.
+
+    Scale shape: per-(type, user) pre-aggregation, then ranking inside
+    per-type cells (bounded by the user population, the same cell
+    bound events_value_ranks relies on)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+        .cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "user_id")
+    ranked = per_user.withColumn(
+        "i", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).cast("long").alias("rank_dot"),
+        )
+        .select(
+            "event_type", "n_users", "total_cents",
+            F.expr(
+                "CASE WHEN total_cents = 0 THEN 0"
+                " ELSE (1000000 * (2 * rank_dot"
+                " - (n_users + 1) * total_cents))"
+                " div (n_users * total_cents) END"
+            ).cast("long").alias("gini_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_SPEND_GINI = """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         sum((floor(value * 100))::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, user_id)::BIGINT AS i
+  FROM per_user
+),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_users,
+         sum(cents)::BIGINT AS total_cents,
+         sum(i * cents)::BIGINT AS rank_dot
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_users, total_cents,
+       (CASE WHEN total_cents = 0 THEN 0
+             ELSE (1000000 * (2 * rank_dot
+                  - (n_users + 1) * total_cents))
+                  // (n_users * total_cents) END)::BIGINT AS gini_e6
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["events_spend_gini"] = q_events_spend_gini
+ORACLES["events_spend_gini"] = ORACLE_EVENTS_SPEND_GINI

@@ -3325,3 +3325,117 @@ ORDER BY c.source, c.lang
 
 QUERIES["source_lang_chi2"] = q_source_lang_chi2
 ORACLES["source_lang_chi2"] = ORACLE_SOURCE_LANG_CHI2
+
+
+# --- vocabulary concentration + hapax richness (round 7, session 7) ----------
+
+
+def q_corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-without-logs: the exact Gini coefficient of the corpus
+    token-frequency distribution (one row), plus vocab/token totals —
+    the concentration readout that flags template-flooded corpora
+    (Gini -> 1) vs balanced ones.  Same integer rank identity as
+    events_spend_gini; tied counts make the rank dot product
+    order-invariant.
+
+    Scale shape: token-keyed count (map-side combinable), then one
+    vocab-bounded global window — the same bound text_top_terms
+    documents (vocabulary, not corpus, cardinality)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.split(_norm_text(), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("c", "tok")
+    ranked = counts.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("i") * F.col("c")).cast("long").alias("rank_dot"),
+    ).select(
+        "n_types", "n_tokens",
+        F.expr(
+            "(1000000 * (2 * rank_dot - (n_types + 1) * n_tokens))"
+            " div (n_types * n_tokens)"
+        ).cast("long").alias("gini_e6"),
+    )
+
+
+ORACLE_CORPUS_TOKEN_GINI = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array({_NORM_DUCK}, ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks
+  WHERE length(tok) > 0 GROUP BY 1
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, tok)::BIGINT AS i FROM counts
+)
+SELECT count(*)::BIGINT AS n_types,
+       sum(c)::BIGINT AS n_tokens,
+       ((1000000 * (2 * sum(i * c) - (count(*) + 1) * sum(c)))
+        // (count(*) * sum(c)))::BIGINT AS gini_e6
+FROM ranked
+"""
+
+QUERIES["corpus_token_gini"] = q_corpus_token_gini
+ORACLES["corpus_token_gini"] = ORACLE_CORPUS_TOKEN_GINI
+
+
+def q_source_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness screen per source: type count, hapax count
+    (types occurring exactly once within the source) and the e6 hapax
+    share — machine-generated/template sources show collapsed hapax
+    shares long before perplexity models notice.
+
+    Scale shape: one (source, token) count then a source rollup —
+    both keyed partial aggregations, nothing corpus-bounded."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(F.split(_norm_text(), " ")).alias("tok")
+    ).where(F.length("tok") > 0)
+    counts = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source", "n_types", "n_tokens", "n_hapax",
+            F.expr("(1000000 * n_hapax) div n_types")
+            .cast("long").alias("hapax_share_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_HAPAX = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array({_NORM_DUCK}, ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM toks
+  WHERE length(tok) > 0 GROUP BY 1, 2
+)
+SELECT source,
+       count(*)::BIGINT AS n_types,
+       sum(c)::BIGINT AS n_tokens,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       ((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS hapax_share_e6
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["source_hapax_ratio"] = q_source_hapax_ratio
+ORACLES["source_hapax_ratio"] = ORACLE_SOURCE_HAPAX

@@ -3881,3 +3881,62 @@ def test_events_burstiness_constant_vs_bursty(spark):
     # bursty: hours [8, 1] -> n=2, s=9, sum_x2=65
     assert (b["n_hours"], b["n_events"], b["sum_x2"]) == (2, 9, 65)
     assert b["fano_e6"] == 1_000_000 * (2 * 65 - 81) // (2 * 9)
+
+
+def test_spend_gini_equality_and_whale(spark):
+    # equal spenders -> gini 0; one whale among zeros -> hand value
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_spend_gini
+
+    rows = [(i, "2024-01-01 00:00:00", i, "equal", 2.00, "{}")
+            for i in range(4)]
+    rows += [(100 + i, "2024-01-01 00:00:00", 10 + i, "whale",
+              100.00 if i == 3 else 0.00, "{}") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_type"]: r for r in
+               q_events_spend_gini(spark, td).collect()}
+    assert out["equal"]["gini_e6"] == 0
+    w = out["whale"]
+    # x = [0,0,0,10000]: G = (2*4*10000 - 5*10000)/(4*10000) = 0.75
+    assert (w["n_users"], w["total_cents"]) == (4, 10000)
+    assert w["gini_e6"] == 750_000
+
+
+def test_token_gini_uniform_and_hapax_shares(spark):
+    # all-distinct tokens -> gini 0 and hapax share 1e6; a repeated
+    # token halves the hapax share
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import (
+        q_corpus_token_gini, q_source_hapax_ratio,
+    )
+
+    rows = [
+        (0, "aa bb cc dd", "en", "uniq", 11),
+        (1, "xx xx yy", "en", "rep", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        g = q_corpus_token_gini(spark, td).collect()[0]
+        h = {r["source"]: r for r in
+             q_source_hapax_ratio(spark, td).collect()}
+    # counts: aa bb cc dd yy = 1, xx = 2 -> n=6 types, 7 tokens
+    assert (g["n_types"], g["n_tokens"]) == (6, 7)
+    # ascending: [1,1,1,1,1,2] -> rank_dot = 1+2+3+4+5+12 = 27
+    assert g["gini_e6"] == 1_000_000 * (2 * 27 - 7 * 7) // (6 * 7)
+    assert h["uniq"]["hapax_share_e6"] == 1_000_000
+    assert (h["rep"]["n_types"], h["rep"]["n_hapax"]) == (2, 1)
+    assert h["rep"]["hapax_share_e6"] == 500_000
