@@ -3086,3 +3086,28 @@ def png_phash_batch(doc_ids, w: int = 8, h: int = 8) -> list:
                 n_ones += 1
         outs.append((phash, n_ones, med))
     return outs
+
+
+def table_grids_batch(items) -> tuple:
+    """Row loop for HTML -> span-normalized dense table grids: each
+    row yields (table_idx, row, col, origin_row, origin_col, cell,
+    spanned) dicts honoring rowspan/colspan."""
+    from h2spark.core.tables import extract_table_grids
+
+    recs: list = []
+    errors: list = []
+    for item in items:
+        if item is None:
+            recs.append(None)
+            errors.append("document error: null input")
+            continue
+        recs.append(
+            [
+                {"table_idx": t, "row": r, "col": c, "orow": orow,
+                 "ocol": ocol, "cell": s, "spanned": sp}
+                for t, r, c, orow, ocol, s, sp in
+                extract_table_grids(item)
+            ]
+        )
+        errors.append(None)
+    return recs, errors

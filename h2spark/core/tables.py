@@ -66,3 +66,74 @@ def extract_tables(html: str) -> list[tuple[int, int, int, str]]:
             for c_idx, cell in enumerate(row):
                 out.append((t_idx, r_idx, c_idx, cell))
     return out
+
+
+def _span_attr(el: Element, name: str) -> int:
+    """colspan/rowspan attribute as the HTML layout algorithm reads
+    it: leading-digit parse, minimum 1 (rowspan=0 "to end of group"
+    is treated as 1 — documented simplification), capped at 1000 so a
+    hostile attribute can't allocate a giant grid."""
+    raw = el.attribute(name)
+    if raw is None:
+        return 1
+    m = re.match(r"[ \t\n\f\r]*(\d+)", raw)
+    if not m:
+        return 1
+    return max(1, min(1000, int(m.group(1))))
+
+
+def table_grid(tbl: Element, cell_fn=None) -> list[tuple]:
+    """Dense (row, col) grid of ``tbl`` honoring rowspan/colspan via
+    the HTML table layout waitlist algorithm: each tr places its
+    cells left-to-right skipping slots occupied by spans from earlier
+    rows.  Returns (row, col, origin_row, origin_col, text, spanned)
+    tuples sorted by (row, col); ``spanned`` marks slots filled by a
+    span rather than an originating cell."""
+    if cell_fn is None:
+        cell_fn = _cell_text
+    trs: list[Element] = []
+
+    def walk(e: Element) -> None:
+        for ch in e.children:
+            if type(ch) is not Element:
+                continue
+            if ch.tag == "tr":
+                trs.append(ch)
+            elif ch.tag in ("thead", "tbody", "tfoot"):
+                walk(ch)
+
+    walk(tbl)
+    occupied: dict[tuple[int, int], tuple[int, int, str]] = {}
+    for r, tr in enumerate(trs):
+        col = 0
+        for c_el in (
+            c for c in tr.children
+            if type(c) is Element and c.tag in ("td", "th")
+        ):
+            while (r, col) in occupied:
+                col += 1
+            cs = _span_attr(c_el, "colspan")
+            rs = _span_attr(c_el, "rowspan")
+            text = cell_fn(c_el)
+            for dr in range(rs):
+                for dc in range(cs):
+                    occupied.setdefault((r + dr, col + dc),
+                                        (r, col, text))
+            col += cs
+    return [
+        (r, c, orow, ocol, text, not (r == orow and c == ocol))
+        for (r, c), (orow, ocol, text) in sorted(occupied.items())
+    ]
+
+
+def extract_table_grids(html: str) -> list[tuple]:
+    """(table_idx, row, col, origin_row, origin_col, cell, spanned)
+    for every table in document order, span-normalized."""
+    root = parse_document(html).root_element()
+    out: list[tuple] = []
+    for t_idx, tbl in enumerate(
+        el for el in root.iter_descendants() if el.tag == "table"
+    ):
+        for rec in table_grid(tbl):
+            out.append((t_idx, *rec))
+    return out

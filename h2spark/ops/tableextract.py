@@ -148,3 +148,94 @@ FROM cells GROUP BY doc_id ORDER BY doc_id
 
 QUERIES["table_numeric_profile"] = q_table_numeric_profile
 ORACLES["table_numeric_profile"] = ORACLE_TABLE_NUMERIC
+
+
+# --- rowspan/colspan dense-grid normalization (round 7, session 7) -----------
+
+
+def q_table_span_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-aware table understanding through the real parser: every
+    table cell placed on its dense (row, col) grid slot by the HTML
+    layout waitlist algorithm (core/tables.py:table_grid), with
+    rowspan/colspan continuation slots carrying the originating cell's
+    text and position plus a `spanned` flag — the normalization every
+    table-QA corpus needs before a table can become (row, col, value)
+    training records.  The synthesized page alternates a colspan=2
+    header with a plain 3-header row on doc parity and always carries
+    a rowspan=2 lead cell, so both span axes are exercised on every
+    parity; the oracle re-derives all 9 grid slots declaratively.
+
+    Scale shape: one scan, one Arrow-batched UDF, one explode — no
+    shuffle before the presentation sort."""
+    from h2spark.pipeline.kernel import make_table_grid_udf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.col("text"), " ")
+    d = d.where(F.size(w) >= 2)
+    w1, w2 = w.getItem(0), w.getItem(1)
+    html = F.concat(
+        F.lit("<html><body><table><tr>"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit('<th colspan="2">h</th>')
+        ).otherwise(F.lit("<th>h</th><th>m</th>")),
+        F.lit('<th>k</th></tr><tr><td rowspan="2">lead</td><td>'),
+        w1,
+        F.lit("</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>"), w2,
+        F.lit("</td><td>"), F.col("source"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    udf = make_table_grid_udf()
+    out = d.select("doc_id", udf(html).alias("o"))
+    return (
+        out.select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.row").cast("long").alias("row"),
+            F.col("c.col").cast("long").alias("col"),
+            F.col("c.orow").cast("long").alias("orow"),
+            F.col("c.ocol").cast("long").alias("ocol"),
+            F.col("c.cell").alias("cell"),
+            F.col("c.spanned").alias("spanned"),
+        )
+        .orderBy("doc_id", "row", "col")
+    )
+
+
+ORACLE_TABLE_SPAN_NORMALIZE = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+)
+SELECT doc_id, row, col, orow, ocol, cell, spanned FROM (
+  SELECT doc_id, 0::BIGINT AS row, 0::BIGINT AS col,
+         0::BIGINT AS orow, 0::BIGINT AS ocol,
+         'h' AS cell, false AS spanned FROM w
+  UNION ALL
+  SELECT doc_id, 0, 1,
+         0, CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END,
+         CASE WHEN doc_id % 2 = 0 THEN 'h' ELSE 'm' END,
+         doc_id % 2 = 0 FROM w
+  UNION ALL
+  SELECT doc_id, 0, 2, 0, 2, 'k', false FROM w
+  UNION ALL
+  SELECT doc_id, 1, 0, 1, 0, 'lead', false FROM w
+  UNION ALL
+  SELECT doc_id, 1, 1, 1, 1, w1, false FROM w
+  UNION ALL
+  SELECT doc_id, 1, 2, 1, 2, lang, false FROM w
+  UNION ALL
+  SELECT doc_id, 2, 0, 1, 0, 'lead', true FROM w
+  UNION ALL
+  SELECT doc_id, 2, 1, 2, 1, w2, false FROM w
+  UNION ALL
+  SELECT doc_id, 2, 2, 2, 2, source, false FROM w
+)
+ORDER BY doc_id, row, col
+"""
+
+QUERIES["table_span_normalize"] = q_table_span_normalize
+ORACLES["table_span_normalize"] = ORACLE_TABLE_SPAN_NORMALIZE

@@ -150,3 +150,19 @@ def make_nfc_udf():
         return pd.Series(nfc_normalize_batch(col))
 
     return nfc
+
+
+def make_table_grid_udf():
+    """UDF: html -> struct<cells:array<struct<...>>, error:string> —
+    rowspan/colspan-normalized dense table grids."""
+    from h2spark.core.runner import table_grids_batch
+
+    @pandas_udf(
+        "struct<cells:array<struct<table_idx:int,row:int,col:int,"
+        "orow:int,ocol:int,cell:string,spanned:boolean>>, error:string>"
+    )
+    def to_grids(col: pd.Series) -> pd.DataFrame:
+        recs, errors = table_grids_batch(col)
+        return pd.DataFrame({"cells": recs, "error": errors})
+
+    return to_grids

@@ -3940,3 +3940,40 @@ def test_token_gini_uniform_and_hapax_shares(spark):
     assert h["uniq"]["hapax_share_e6"] == 1_000_000
     assert (h["rep"]["n_types"], h["rep"]["n_hapax"]) == (2, 1)
     assert h["rep"]["hapax_share_e6"] == 500_000
+
+
+def test_table_grid_span_edge_cases():
+    # waitlist collisions, garbage span attrs, clamping, tbody
+    # boundaries — pure-core checks, no Spark
+    from h2spark.core.tables import extract_table_grids
+
+    # (1) rowspan collision: row 1's first cell must skip col 0
+    html = ('<table><tr><td rowspan="2">a</td><td>b</td></tr>'
+            '<tr><td>c</td></tr></table>')
+    grid = {(r, c): (orow, ocol, s, sp)
+            for _, r, c, orow, ocol, s, sp in extract_table_grids(html)}
+    assert grid[(1, 0)] == (0, 0, "a", True)
+    assert grid[(1, 1)] == (1, 1, "c", False)
+
+    # (2) garbage attrs: 'abc' -> 1, '0' -> 1, '2x' -> 2, clamp 5000
+    html = ('<table><tr><td colspan="abc">a</td><td rowspan="0">b</td>'
+            '<td colspan="2x">c</td></tr><tr><td>d</td></tr></table>')
+    grid = {(r, c): (s, sp)
+            for _, r, c, _, _, s, sp in extract_table_grids(html)}
+    assert grid[(0, 0)] == ("a", False)
+    assert grid[(0, 1)] == ("b", False)      # rowspan 0 -> 1
+    assert grid[(0, 2)] == ("c", False)
+    assert grid[(0, 3)] == ("c", True)       # colspan '2x' -> 2
+    assert grid[(1, 0)] == ("d", False)      # b did not extend down
+
+    from h2spark.core.dom import Element
+    from h2spark.core.tables import _span_attr
+    e = Element("td", {"colspan": "5000"})
+    assert _span_attr(e, "colspan") == 1000  # hostile attr clamped
+
+    # (3) spans cross thead/tbody walk but tbody rows renumber below
+    html = ('<table><thead><tr><th colspan="2">h</th></tr></thead>'
+            '<tbody><tr><td>x</td><td>y</td></tr></tbody></table>')
+    rows = extract_table_grids(html)
+    assert [(r, c, s) for _, r, c, _, _, s, _ in rows] == [
+        (0, 0, "h"), (0, 1, "h"), (1, 0, "x"), (1, 1, "y")]
