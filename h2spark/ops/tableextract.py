@@ -239,3 +239,93 @@ ORDER BY doc_id, row, col
 
 QUERIES["table_span_normalize"] = q_table_span_normalize
 ORACLES["table_span_normalize"] = ORACLE_TABLE_SPAN_NORMALIZE
+
+
+# --- header association records (round 7, session 7) -------------------------
+
+
+def q_table_header_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-QA records through the real parser: every data slot of
+    the span-normalized grid paired with its COLUMN HEADER — the
+    payoff of dense-grid normalization, because a colspan=2 header
+    covers both its columns only after the waitlist expansion (on
+    even docs, cols 0 and 1 both answer to header 'h'; on odd docs
+    col 1 answers to 'm').  Spanned continuation slots keep their
+    origin's value, so every (row, col) is answerable.
+
+    Scale shape: grid extraction is the scan-side UDF; the header
+    attach is a (doc_id, col)-keyed self-join (per-doc cells only),
+    then the presentation sort."""
+    from h2spark.pipeline.kernel import make_table_grid_udf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.col("text"), " ")
+    d = d.where(F.size(w) >= 2)
+    w1, w2 = w.getItem(0), w.getItem(1)
+    html = F.concat(
+        F.lit("<html><body><table><tr>"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit('<th colspan="2">h</th>')
+        ).otherwise(F.lit("<th>h</th><th>m</th>")),
+        F.lit('<th>k</th></tr><tr><td rowspan="2">lead</td><td>'),
+        w1,
+        F.lit("</td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>"), w2,
+        F.lit("</td><td>"), F.col("source"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    udf = make_table_grid_udf()
+    cells = (
+        d.select("doc_id", udf(html).alias("o"))
+        .select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.row").cast("long").alias("row"),
+            F.col("c.col").cast("long").alias("col"),
+            F.col("c.cell").alias("cell"),
+        )
+    )
+    headers = cells.where(F.col("row") == 0).select(
+        "doc_id", "col", F.col("cell").alias("header")
+    )
+    data = cells.where(F.col("row") > 0)
+    return (
+        data.join(headers, ["doc_id", "col"])
+        .select("doc_id", "row", "col", "header",
+                F.col("cell").alias("value"))
+        .orderBy("doc_id", "row", "col")
+    )
+
+
+ORACLE_TABLE_HEADER_MAP = """
+WITH w AS (
+  SELECT doc_id, lang, source,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+hdr AS (
+  SELECT doc_id, 0::BIGINT AS col, 'h' AS header FROM w
+  UNION ALL
+  SELECT doc_id, 1,
+         CASE WHEN doc_id % 2 = 0 THEN 'h' ELSE 'm' END FROM w
+  UNION ALL
+  SELECT doc_id, 2, 'k' FROM w
+),
+data AS (
+  SELECT doc_id, 1::BIGINT AS row, 0::BIGINT AS col, 'lead' AS value
+  FROM w
+  UNION ALL SELECT doc_id, 1, 1, w1 FROM w
+  UNION ALL SELECT doc_id, 1, 2, lang FROM w
+  UNION ALL SELECT doc_id, 2, 0, 'lead' FROM w
+  UNION ALL SELECT doc_id, 2, 1, w2 FROM w
+  UNION ALL SELECT doc_id, 2, 2, source FROM w
+)
+SELECT d.doc_id, d.row, d.col, h.header, d.value
+FROM data d JOIN hdr h ON h.doc_id = d.doc_id AND h.col = d.col
+ORDER BY d.doc_id, d.row, d.col
+"""
+
+QUERIES["table_header_map"] = q_table_header_map
+ORACLES["table_header_map"] = ORACLE_TABLE_HEADER_MAP

@@ -3977,3 +3977,28 @@ def test_table_grid_span_edge_cases():
     rows = extract_table_grids(html)
     assert [(r, c, s) for _, r, c, _, _, s, _ in rows] == [
         (0, 0, "h"), (0, 1, "h"), (1, 0, "x"), (1, 1, "y")]
+
+
+def test_table_header_map_colspan_coverage(spark):
+    # the point of dense-grid headers: on an even doc the colspan=2
+    # 'h' header must answer for BOTH col 0 and col 1
+    import os
+    import tempfile
+
+    from h2spark.ops.tableextract import q_table_header_map
+
+    rows = [(0, "wa wb", "en", "s", 5), (1, "wc wd", "de", "s", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {(r["doc_id"], r["row"], r["col"]): (r["header"], r["value"])
+               for r in q_table_header_map(spark, td).collect()}
+    assert out[(0, 1, 0)] == ("h", "lead")
+    assert out[(0, 1, 1)] == ("h", "wa")     # colspan covers col 1
+    assert out[(0, 2, 1)] == ("h", "wb")
+    assert out[(1, 1, 1)] == ("m", "wc")     # odd doc: plain header
+    assert out[(0, 1, 2)] == ("k", "en")
+    assert out[(1, 2, 0)] == ("h", "lead")   # rowspan continuation
+    assert len(out) == 12
