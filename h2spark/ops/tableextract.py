@@ -42,7 +42,10 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_tables_udf()
     out = d.select("doc_id", udf(html).alias("o"))
     return (
-        out.select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        out.select(
+            "doc_id", F.explode_outer(F.col("o.cells")).alias("c")
+        )
+        .where(F.col("c").isNotNull())
         .select(
             "doc_id",
             F.col("c.table_idx").alias("table_idx"),
@@ -108,7 +111,10 @@ def q_table_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_tables_udf()
     out = d.select("doc_id", udf(html).alias("o"))
     cells = (
-        out.select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        out.select(
+            "doc_id", F.explode_outer(F.col("o.cells")).alias("c")
+        )
+        .where(F.col("c").isNotNull())
         .where(F.col("c.col_idx") == 1)
         .select("doc_id",
                 F.expr("try_cast(c.cell as bigint)").alias("v"))
@@ -188,7 +194,10 @@ def q_table_span_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_table_grid_udf()
     out = d.select("doc_id", udf(html).alias("o"))
     return (
-        out.select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        out.select(
+            "doc_id", F.explode_outer(F.col("o.cells")).alias("c")
+        )
+        .where(F.col("c").isNotNull())
         .select(
             "doc_id",
             F.col("c.row").cast("long").alias("row"),
@@ -253,9 +262,13 @@ def q_table_header_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     col 1 answers to 'm').  Spanned continuation slots keep their
     origin's value, so every (row, col) is answerable.
 
-    Scale shape: grid extraction is the scan-side UDF; the header
-    attach is a (doc_id, col)-keyed self-join (per-doc cells only),
-    then the presentation sort."""
+    Scale shape: grid extraction is ONE scan-side UDF pass (a
+    self-join formulation would re-parse every page on the second
+    branch); the header attaches via a (doc_id, col) window over the
+    already-exploded 9-row cells — per-doc cells only, one keyed
+    shuffle."""
+    from pyspark.sql import Window
+
     from h2spark.pipeline.kernel import make_table_grid_udf
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -277,7 +290,10 @@ def q_table_header_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_table_grid_udf()
     cells = (
         d.select("doc_id", udf(html).alias("o"))
-        .select("doc_id", F.explode(F.col("o.cells")).alias("c"))
+        .select(
+            "doc_id", F.explode_outer(F.col("o.cells")).alias("c")
+        )
+        .where(F.col("c").isNotNull())
         .select(
             "doc_id",
             F.col("c.row").cast("long").alias("row"),
@@ -285,12 +301,16 @@ def q_table_header_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.cell").alias("cell"),
         )
     )
-    headers = cells.where(F.col("row") == 0).select(
-        "doc_id", "col", F.col("cell").alias("header")
-    )
-    data = cells.where(F.col("row") > 0)
+    wcol = Window.partitionBy("doc_id", "col")
     return (
-        data.join(headers, ["doc_id", "col"])
+        cells.withColumn(
+            "header",
+            F.first(
+                F.when(F.col("row") == 0, F.col("cell")),
+                ignorenulls=True,
+            ).over(wcol),
+        )
+        .where(F.col("row") > 0)
         .select("doc_id", "row", "col", "header",
                 F.col("cell").alias("value"))
         .orderBy("doc_id", "row", "col")

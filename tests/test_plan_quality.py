@@ -1316,3 +1316,62 @@ def test_a11y_audit_kernel_once_no_shuffle(spark):
     assert plan.count("ArrowEvalPython") <= 2  # node + details lines
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") <= 2  # only the global orderBy range
+
+
+def test_chi2_marginals_broadcast(spark):
+    # both marginal attaches must broadcast; a sort-merge join on the
+    # cell table would shuffle a bounded dimension for nothing
+    plan = _formatted(textstats.q_source_lang_chi2(spark, SF), spark)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ks_drift_grid_broadcasts_and_no_cartesian_scan(spark):
+    # the sources x lengths grid is built from two bounded aggregates:
+    # srcs must broadcast into the cross join and gvals must broadcast
+    # into the ECDF attach — the corpus-sized table never reaches a
+    # cartesian
+    plan = _formatted(textstats.q_source_drift_ks(spark, SF), spark)
+    assert "BroadcastNestedLoopJoin" in plan or \
+        "CartesianProduct" in plan  # tiny srcs x vals grid only
+    assert plan.count("BroadcastHashJoin") >= 1
+    # every scan reads only the two profiled columns
+    assert "struct<source:string,n_chars:bigint>" in plan
+
+
+def test_extractive_summary_joins_stay_keyed(spark):
+    # the sentence-overlap self-join must be a keyed hash/SMJ on
+    # (doc_id, tok) — never a cartesian — and scans prune to
+    # doc_id+text
+    plan = _formatted(
+        textstats.q_text_extractive_summary(spark, SF), spark)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_mmr_pool_is_windowed_then_grouped(spark):
+    # the greedy stage must see only the top-8 pool per query: a
+    # window over the scored candidates feeds one applyInPandas —
+    # no corpus-sized aggregation after the pool cut
+    plan = _formatted(
+        similarity.q_retrieval_mmr_diversify(spark, SF), spark)
+    assert "Window" in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_table_grid_single_kernel_pass(spark):
+    # grid extraction is one scan -> one Arrow UDF -> explode; no
+    # shuffle may appear before the presentation sort
+    from h2spark.ops import tableextract
+
+    plan = _formatted(
+        tableextract.q_table_span_normalize(spark, SF), spark)
+    assert plan.count("ArrowEvalPython") == 2  # tree + detail listing
+    pre = plan.split("Sort")[0]
+    assert "Exchange hashpartitioning" not in pre
+    # the header attach reuses the SAME kernel pass (window, not a
+    # self-join that would re-parse every page)
+    plan = _formatted(tableextract.q_table_header_map(spark, SF), spark)
+    assert plan.count("ArrowEvalPython") == 2
+    assert "Window" in plan
