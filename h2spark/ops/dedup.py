@@ -122,11 +122,18 @@ def _shingles_udf(n: int):
 
 
 def _with_shingles(d: DataFrame, n: int = _SHINGLE_N) -> DataFrame:
-    """doc_id + exploded distinct word n-gram shingles."""
+    """doc_id + exploded distinct word n-gram shingles.
+
+    Persisted: every consumer (df-cap + self-join sides, union sizes)
+    references this table several times, and without the persist each
+    reference re-runs the shingling kernel over the corpus (the
+    round-7 plan sweep counted up to 8 evals per query, 36 in the
+    method-summary composition).  At 10^12 docs a production pipeline
+    materializes the shingle table for exactly this reason."""
     words = F.split(F.expr(_NORM), " ")
     return d.select(
         "doc_id", F.explode(_shingles_udf(n)(words)).alias("shingle")
-    )
+    ).persist()
 
 
 def _shingles_cte_duck(n: int = _SHINGLE_N) -> str:

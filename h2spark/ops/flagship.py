@@ -80,7 +80,15 @@ def q_flagship_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_extract_spans_udf(FLAGSHIP_SPEC)
     out = docs.select("doc_id", udf("spans").alias("o"))
     return (
-        out.select("doc_id", F.explode("o.spans_out").alias("s"))
+        # explode_outer: a plain explode lets Catalyst infer a
+        # size()>0 filter on the UDF output BELOW the Generate, which
+        # re-evaluates the extraction kernel per document (verified in
+        # the formatted plan, round 7) — outer + null-drop keeps one
+        # kernel pass
+        out.select(
+            "doc_id", F.explode_outer("o.spans_out").alias("s")
+        )
+        .where(F.col("s").isNotNull())
         .select(
             "doc_id",
             F.col("s.kind").alias("kind"),

@@ -829,7 +829,9 @@ def q_retrieval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("o.value.hrefs").getItem(0).alias("href"),
         F.col("o.value.anchors").getItem(0).alias("query"),
-    )
+        # persist: the join-key isnotnull inference would otherwise
+        # re-run the extraction kernel (round-7 plan sweep)
+    ).persist()
     grp = F.regexp_extract("href", r"/p/(\d+)$", 1).cast("long")
     q = first.select("doc_id", "query", grp.alias("grp"))
     reps = d.groupBy((F.col("doc_id") % 97).alias("grp")).agg(
@@ -1129,6 +1131,10 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hrefs = (
         d.select("doc_id", udf(_page(d)).alias("o"))
         .select("doc_id", F.explode(F.col("o.value.hrefs")).alias("url"))
+        # the wedge pipeline references the extracted hrefs from many
+        # join branches; persist so the kernel runs once (the round-7
+        # plan sweep counted 52 evals without it)
+        .persist()
     )
     # co-citation pairs inside each doc (u < v), then global distinct
     pairs = (
@@ -1137,6 +1143,7 @@ def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l.url") < F.col("r.url"))
         .select(F.col("l.url").alias("u"), F.col("r.url").alias("v"))
         .distinct()
+        .persist()
     )
     deg = (
         pairs.select(F.col("u").alias("node"))
@@ -1347,6 +1354,10 @@ def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_link_extract(spark, sf_dir)
         .where(F.col("href").contains("/p/"))
         .select("doc_id", F.col("href").alias("url"))
+        # every propagation round references edges twice; without the
+        # persist each reference re-runs the extraction kernel (the
+        # round-7 plan sweep counted 44 kernel evals for 3 rounds)
+        .persist()
     )
     labels = edges.select("doc_id").distinct().select(
         "doc_id", F.col("doc_id").alias("label"))

@@ -1459,7 +1459,9 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashes = spark.range(_DHASH_N_DOCS).repartition(4).mapInPandas(
         compute, "doc_id long, b0 long, b1 long, b2 long, b3 long"
-    )
+    ).persist()  # same single-kernel-pass persist
+    # as audio_dedup_fp (banded self-join reads this table twice)
+
     bands = hashes.select(
         "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("idx", "val"),
@@ -1593,7 +1595,10 @@ def q_audio_dedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashes = spark.range(_AFP_N_DOCS).repartition(4).mapInPandas(
         compute, "doc_id long, b0 long, b1 long"
-    )
+    ).persist()  # banded self-join: both sides
+    # reference this table — persist keeps the fingerprint kernel at
+    # one pass (round-7 plan sweep)
+
     bands = hashes.select(
         "doc_id", "b0", "b1",
         F.posexplode(F.array("b0", "b1")).alias("idx", "val"),

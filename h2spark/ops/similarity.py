@@ -369,10 +369,13 @@ def ann_ivf_topk(
     cents = train_ivf_centroids(qe, k=k)
 
     # corpus pass: argmax cell only (no probe sort) — one NumPy matmul
-    # per Arrow batch, plan size independent of K
+    # per Arrow batch, plan size independent of K.  persist: the probe
+    # join infers isnotnull(cell) below the project, which would
+    # re-run the corpus-wide assignment a second time (round-7 plan
+    # sweep); the cached table is 2 ints per vector
     assigned = qe.select(
         "vec_id", _ivf_assign_udf(cents)("q")["cell"].alias("cell")
-    )
+    ).persist()
     # query pass: filter first (a handful of rows), then rank all K
     # cells inside the UDF and explode the top-nprobe probe list
     probes = (
@@ -1018,7 +1021,9 @@ def ann_ivfpq_topk(
         F.split(
             _pq_assign_udf(books)(F.col("q"))["codes"], ","
         ).alias("carr"),
-    )
+        # persist: the probe join's isnotnull(cell) inference would
+        # re-run the corpus assignment matmul (round-7 plan sweep)
+    ).persist()
     sub = 64 // _PQ_M
     tables = []
     for s in range(_PQ_M):
@@ -1382,7 +1387,9 @@ def q_corpus_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("a.cell").cast("long").alias("cell"),
         F.col("a.cos_e6").alias("cos_e6"),
-    )
+        # persist: cut derivation + the join-back both read this —
+        # without it the assignment matmul ran 4x (round-7 plan sweep)
+    ).persist()
     cuts = a.groupBy("cell").agg(
         F.expr(
             "cast(round(4 * percentile(cos_e6, cast(3 as double)/4))"
