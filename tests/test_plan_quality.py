@@ -1375,3 +1375,47 @@ def test_table_grid_single_kernel_pass(spark):
     plan = _formatted(tableextract.q_table_header_map(spark, SF), spark)
     assert plan.count("ArrowEvalPython") == 2
     assert "Window" in plan
+
+
+_KERNEL_EVAL_RE = None
+
+
+def _kernel_evals(df, spark):
+    """Counts of Python-kernel plan nodes by callee name."""
+    import re
+    from collections import Counter
+
+    plan = _formatted(df, spark)
+    nodes = re.findall(
+        r"\(\d+\) (?:ArrowEvalPython|MapInPandas|"
+        r"FlatMapGroupsInPandas)\s*\nInput.*?\nArguments: \[?(\w+)\(",
+        plan)
+    return Counter(nodes)
+
+
+@pytest.mark.parametrize(
+    "qname,callee,max_evals",
+    [
+        ("flagship_extract_spans", "extract_spans", 1),
+        ("link_communities", "extract_typed", 1),
+        ("link_triangles", "extract_typed", 2),   # cached twice-printed
+        ("retrieval_pairs", "extract_typed", 1),
+        ("dedup_ngram_jaccard", "shingles", 1),
+        ("dedup_method_summary", "shingles", 1),
+        ("ann_ivf_topk", "ivf_assign", 2),        # corpus + query legs
+        ("ann_ivfpq_topk", "ivf_assign", 2),
+        ("corpus_prune_prototypes", "assign", 1),
+        ("image_dedup_dhash", "compute", 1),
+        ("audio_dedup_fp", "compute", 1),
+    ],
+)
+def test_single_kernel_pass_regression(spark, qname, callee, max_evals):
+    # round-7 sweep: Catalyst's inferred isnotnull/size filters were
+    # re-running Python kernels (52 evals on link_triangles). These
+    # pins keep every fixed query at its minimal kernel-pass count.
+    import importlib
+
+    m = importlib.import_module("__spark_entry__")
+    df = m.queries()[qname](spark, SF)
+    c = _kernel_evals(df, spark)
+    assert c[callee] <= max_evals, (qname, dict(c))
