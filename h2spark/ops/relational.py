@@ -2988,3 +2988,76 @@ FROM agg ORDER BY event_type
 
 QUERIES["events_spend_gini"] = q_events_spend_gini
 ORACLES["events_spend_gini"] = ORACLE_EVENTS_SPEND_GINI
+
+
+# --- audience overlap between event types (round 7, session 7) ---------------
+
+
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard (e6) of the user sets of
+    every event-type pair — the cross-sell/cannibalization readout, and
+    the same inclusion-exclusion shape (|A|+|B|-|A∩B|) every sketch
+    union is later validated against.
+
+    Scale shape: distinct (type, user) once, then a (user)-keyed
+    self-join to count intersections — pairs exist only through shared
+    users, so work is sum over users of (their type count)^2, bounded
+    by the type universe, never |users|^2."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tu = e.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_shared",
+            F.expr(
+                "(1000000 * n_shared) div (n_a + n_b - n_shared)"
+            ).cast("long").alias("jaccard_e6"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_EVENTS_AUDIENCE_OVERLAP = """
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM tu GROUP BY 1
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_shared
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       sa.n AS n_a, sb.n AS n_b, i.n_shared,
+       ((1000000 * i.n_shared) // (sa.n + sb.n - i.n_shared))::BIGINT
+           AS jaccard_e6
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+"""
+
+QUERIES["events_audience_overlap"] = q_events_audience_overlap
+ORACLES["events_audience_overlap"] = ORACLE_EVENTS_AUDIENCE_OVERLAP

@@ -4002,3 +4002,41 @@ def test_table_header_map_colspan_coverage(spark):
     assert out[(0, 1, 2)] == ("k", "en")
     assert out[(1, 2, 0)] == ("h", "lead")   # rowspan continuation
     assert len(out) == 12
+
+
+def test_audience_overlap_disjoint_nested_partial(spark):
+    # disjoint audiences -> 0; nested -> |B|/|A|; partial -> hand value
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_audience_overlap
+
+    rows = []
+    eid = 0
+    def add(t, users):
+        nonlocal eid
+        for u in users:
+            rows.append((eid, "2024-01-01 00:00:00", u, t, 1.0, "{}"))
+            eid += 1
+    add("a", [1, 2, 3, 4])
+    add("b", [2, 3])          # nested in a
+    add("c", [9, 10])         # disjoint from a
+    add("d", [1, 9])          # one shared with each
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {(r["type_a"], r["type_b"]): r for r in
+               q_events_audience_overlap(spark, td).collect()}
+    assert ("a", "c") not in out            # zero intersection: no row
+    ab = out[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["n_shared"]) == (4, 2, 2)
+    assert ab["jaccard_e6"] == 1_000_000 * 2 // 4
+    ad = out[("a", "d")]
+    assert ad["jaccard_e6"] == 1_000_000 * 1 // 5
+    cd = out[("c", "d")]
+    assert cd["n_shared"] == 1 and cd["jaccard_e6"] == 1_000_000 // 3
