@@ -3439,3 +3439,117 @@ FROM counts GROUP BY 1 ORDER BY 1
 
 QUERIES["source_hapax_ratio"] = q_source_hapax_ratio
 ORACLES["source_hapax_ratio"] = ORACLE_SOURCE_HAPAX
+
+
+# --- Wasserstein-1 source drift (round 7, session 7) --------------------------
+
+
+def q_source_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (Wasserstein-1) drift per source vs the complement
+    corpus over the length distribution — the integral companion to
+    q_source_drift_ks's sup statistic (KS sees the worst point, W1
+    sees total displaced mass; a long small bias passes KS and fails
+    W1).  Discrete exact form: sum over adjacent value gaps of
+    gap * |c1*n2 - c2*n1|, scaled e6 by (n1*n2) with integer division
+    — no float ECDF anywhere.
+
+    Scale shape and overflow bound identical to q_source_drift_ks
+    (bounded value grid, cross-multiplied int64 counts)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = d.groupBy("source", "n_chars").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    vals = d.select("n_chars").distinct()
+    srcs = per.groupBy("source").agg(F.sum("c").cast("long").alias("n1"))
+    tot = d.count()
+    from pyspark.sql import Window
+
+    grid = (
+        F.broadcast(srcs).crossJoin(vals)
+        .join(per, ["source", "n_chars"], "left")
+        .select(
+            "source", "n_chars", "n1",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("n_chars")
+    gvals = (
+        d.groupBy("n_chars").agg(F.count("*").cast("long").alias("g"))
+        .withColumn(
+            "cumg",
+            F.sum("g").over(Window.orderBy("n_chars")).cast("long"),
+        )
+        .select("n_chars", "cumg")
+    )
+    ecdf = (
+        grid.withColumn("cum1", F.sum("c").over(w).cast("long"))
+        .withColumn("next_v", F.lead("n_chars").over(w))
+        .join(F.broadcast(gvals), "n_chars")
+    )
+    stat = ecdf.select(
+        "source", "n1",
+        (F.lit(int(tot)) - F.col("n1")).alias("n2"),
+        (
+            F.coalesce(F.col("next_v") - F.col("n_chars"), F.lit(0))
+            * F.abs(
+                F.col("cum1") * (F.lit(int(tot)) - F.col("n1"))
+                - (F.col("cumg") - F.col("cum1")) * F.col("n1")
+            )
+        ).cast("long").alias("term"),
+    )
+    return (
+        stat.groupBy("source", "n1", "n2")
+        .agg(F.sum("term").cast("long").alias("w1_num"))
+        .select(
+            "source", "n1", F.col("n2").cast("long").alias("n2"),
+            "w1_num",
+            F.expr("1000000 * w1_num div (n1 * n2)").cast("long")
+            .alias("w1_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_DRIFT_W1 = """
+WITH per AS (
+  SELECT source, n_chars, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+),
+srcs AS (SELECT source, sum(c)::BIGINT AS n1 FROM per GROUP BY 1),
+vals AS (SELECT DISTINCT n_chars FROM documents),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+gvals AS (
+  SELECT n_chars,
+         (sum(count(*)) OVER (ORDER BY n_chars
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS cumg
+  FROM documents GROUP BY n_chars
+),
+grid AS (
+  SELECT s.source, v.n_chars, s.n1, coalesce(p.c, 0)::BIGINT AS c
+  FROM srcs s CROSS JOIN vals v
+  LEFT JOIN per p ON p.source = s.source AND p.n_chars = v.n_chars
+),
+ecdf AS (
+  SELECT g.source, g.n_chars, g.n1,
+         (sum(g.c) OVER (PARTITION BY g.source ORDER BY g.n_chars
+                         ROWS UNBOUNDED PRECEDING))::BIGINT AS cum1,
+         lead(g.n_chars) OVER (PARTITION BY g.source
+                               ORDER BY g.n_chars) AS next_v,
+         gv.cumg
+  FROM grid g JOIN gvals gv USING (n_chars)
+),
+stat AS (
+  SELECT source, n1, (SELECT n FROM tot) - n1 AS n2,
+         (coalesce(next_v - n_chars, 0)
+          * abs(cum1 * ((SELECT n FROM tot) - n1)
+                - (cumg - cum1) * n1))::BIGINT AS term
+  FROM ecdf
+)
+SELECT source, n1, n2::BIGINT AS n2,
+       sum(term)::BIGINT AS w1_num,
+       ((1000000 * sum(term)) // (n1 * n2))::BIGINT AS w1_e6
+FROM stat GROUP BY source, n1, n2 ORDER BY source
+"""
+
+QUERIES["source_drift_w1"] = q_source_drift_w1
+ORACLES["source_drift_w1"] = ORACLE_SOURCE_DRIFT_W1

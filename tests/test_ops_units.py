@@ -4040,3 +4040,29 @@ def test_audience_overlap_disjoint_nested_partial(spark):
     assert ad["jaccard_e6"] == 1_000_000 * 1 // 5
     cd = out[("c", "d")]
     assert cd["n_shared"] == 1 and cd["jaccard_e6"] == 1_000_000 // 3
+
+
+def test_source_drift_w1_planted_displacement(spark):
+    # a: all length 10, b: all length 20 (gap 10) -> per-value term
+    # 10 * |c1*n2 - c2*n1| at x=10 only; c mirrors the complement -> 0
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_source_drift_w1
+
+    rows = [(i, "t", "en", "a", 10) for i in range(4)]
+    rows += [(10 + i, "t", "en", "b", 20) for i in range(4)]
+    rows += [(20, "t", "en", "c", 10), (21, "t", "en", "c", 20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["source"]: r for r in
+               q_source_drift_w1(spark, td).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    # a at x=10: cum1=4, cum2=1, |4*6-1*4| = 20, gap to 20 is 10
+    assert a["w1_num"] == 10 * 20
+    assert a["w1_e6"] == 1_000_000 * 200 // (4 * 6)
+    assert b["w1_num"] == 10 * 20
+    assert c["w1_num"] == 0 and c["w1_e6"] == 0
