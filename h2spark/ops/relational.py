@@ -3061,3 +3061,56 @@ ORDER BY i.type_a, i.type_b
 
 QUERIES["events_audience_overlap"] = q_events_audience_overlap
 ORACLES["events_audience_overlap"] = ORACLE_EVENTS_AUDIENCE_OVERLAP
+
+
+# --- day-of-week seasonality profile (round 7, session 7) --------------------
+
+
+def q_events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per event type: count and e6 share
+    per ISO day-of-week plus the deviation from a uniform 1/7 — the
+    shape the forecast backtest (events_forecast_naive) assumes, made
+    inspectable.  dayofweek() is engine-identical (Sunday=1 in both
+    Spark and DuckDB's dayofweek+1 idiom — pinned here with isodow to
+    avoid the off-by-one trap: Spark dayofweek = DuckDB dayofweek+1,
+    so BOTH sides emit ISO Monday=1..Sunday=7 explicitly).
+
+    Scale shape: one (type, dow) partial aggregation + broadcast
+    totals; bounded 7x|types| output."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ISO dow: Monday=1..Sunday=7 (Spark: weekday() is Monday=0)
+    per = e.groupBy(
+        "event_type", (F.weekday(F.col("ts")) + 1).cast("long").alias("dow")
+    ).agg(F.count("*").cast("long").alias("n"))
+    tots = per.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_total"))
+    return (
+        per.join(F.broadcast(tots), "event_type")
+        .select(
+            "event_type", "dow", "n", "n_total",
+            F.expr("(1000000 * n) div n_total").cast("long")
+            .alias("share_e6"),
+            F.expr("abs((1000000 * n) div n_total - 1000000 div 7)")
+            .cast("long").alias("dev_e6"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+ORACLE_EVENTS_DOW = """
+WITH per AS (
+  SELECT event_type, isodow(ts)::BIGINT AS dow, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+tots AS (
+  SELECT event_type, sum(n)::BIGINT AS n_total FROM per GROUP BY 1
+)
+SELECT p.event_type, p.dow, p.n, t.n_total,
+       ((1000000 * p.n) // t.n_total)::BIGINT AS share_e6,
+       abs((1000000 * p.n) // t.n_total - 1000000 // 7)::BIGINT AS dev_e6
+FROM per p JOIN tots t USING (event_type)
+ORDER BY p.event_type, p.dow
+"""
+
+QUERIES["events_dow_seasonality"] = q_events_dow_seasonality
+ORACLES["events_dow_seasonality"] = ORACLE_EVENTS_DOW

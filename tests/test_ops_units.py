@@ -4066,3 +4066,31 @@ def test_source_drift_w1_planted_displacement(spark):
     assert a["w1_e6"] == 1_000_000 * 200 // (4 * 6)
     assert b["w1_num"] == 10 * 20
     assert c["w1_num"] == 0 and c["w1_e6"] == 0
+
+
+def test_dow_seasonality_iso_numbering(spark):
+    # 2024-01-01 was a Monday -> ISO dow 1; 2024-01-07 a Sunday -> 7;
+    # shares and uniform deviations are exact integers
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_dow_seasonality
+
+    rows = [(0, "2024-01-01 10:00:00", 1, "t", 1.0, "{}"),
+            (1, "2024-01-01 11:00:00", 1, "t", 1.0, "{}"),
+            (2, "2024-01-07 10:00:00", 2, "t", 1.0, "{}"),
+            (3, "2024-01-03 10:00:00", 3, "t", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["dow"]: r for r in
+               q_events_dow_seasonality(spark, td).collect()}
+    assert set(out) == {1, 3, 7}
+    assert out[1]["n"] == 2 and out[1]["share_e6"] == 500_000
+    assert out[7]["n"] == 1
+    assert out[7]["dev_e6"] == abs(1_000_000 // 4 - 1_000_000 // 7)
