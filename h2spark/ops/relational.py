@@ -3114,3 +3114,100 @@ ORDER BY p.event_type, p.dow
 
 QUERIES["events_dow_seasonality"] = q_events_dow_seasonality
 ORACLES["events_dow_seasonality"] = ORACLE_EVENTS_DOW
+
+
+# --- bot-behavior screen (round 7, session 7) ---------------------------------
+
+
+def q_user_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation screen per user: event count, min/median inter-event
+    gap (seconds), share of sub-5s gaps (e6) and the bot flag (>=50%
+    fast gaps over >=3 events) — the traffic-quality gate run before
+    events feed engagement metrics or training labels.  The median is
+    the exact lower-median order statistic (rank (n+1) div 2 by
+    (gap, event order)), so both engines agree without float
+    percentiles.
+
+    Scale shape: gaps via one per-user lag window (user-bounded
+    cells), then a per-user rollup + one rank pick — all keyed."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id", "event_id",
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    wg = Window.partitionBy("user_id").orderBy("gap_s", "event_id")
+    ranked = gaps.withColumn("rn", F.row_number().over(wg))
+    stats = gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.sum((F.col("gap_s") < 5).cast("long")).cast("long")
+        .alias("n_fast"),
+    )
+    med = (
+        ranked.join(F.broadcast(stats.select("user_id", "n_gaps")),
+                    "user_id")
+        .where(F.col("rn") == F.expr("(n_gaps + 1) div 2"))
+        .select("user_id", F.col("gap_s").cast("long").alias("med_gap_s"))
+    )
+    n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").groupBy(
+        "user_id").agg(F.count("*").cast("long").alias("n_events"))
+    return (
+        stats.join(med, "user_id")
+        .join(F.broadcast(n_ev), "user_id")
+        .select(
+            "user_id", "n_events", "n_gaps", "min_gap_s", "med_gap_s",
+            F.expr("(1000000 * n_fast) div n_gaps").cast("long")
+            .alias("fast_share_e6"),
+            F.expr(
+                "n_events >= 3 AND (1000000 * n_fast) div n_gaps"
+                " >= 500000"
+            ).alias("bot_flag"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_BOT_SCREEN = """
+WITH gaps AS (
+  SELECT user_id, event_id,
+         (floor(epoch(ts))::BIGINT
+          - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)))::BIGINT)
+             AS gap_s
+  FROM events
+),
+g AS (SELECT * FROM gaps WHERE gap_s IS NOT NULL),
+ranked AS (
+  SELECT user_id, gap_s,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY gap_s, event_id) AS rn
+  FROM g
+),
+stats AS (
+  SELECT user_id, count(*)::BIGINT AS n_gaps,
+         min(gap_s)::BIGINT AS min_gap_s,
+         sum(CASE WHEN gap_s < 5 THEN 1 ELSE 0 END)::BIGINT AS n_fast
+  FROM g GROUP BY 1
+),
+med AS (
+  SELECT r.user_id, r.gap_s::BIGINT AS med_gap_s
+  FROM ranked r JOIN stats s USING (user_id)
+  WHERE r.rn = (s.n_gaps + 1) // 2
+),
+n_ev AS (
+  SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1
+)
+SELECT s.user_id, e.n_events, s.n_gaps, s.min_gap_s, m.med_gap_s,
+       ((1000000 * s.n_fast) // s.n_gaps)::BIGINT AS fast_share_e6,
+       (e.n_events >= 3
+        AND (1000000 * s.n_fast) // s.n_gaps >= 500000) AS bot_flag
+FROM stats s JOIN med m USING (user_id) JOIN n_ev e USING (user_id)
+ORDER BY s.user_id
+"""
+
+QUERIES["user_bot_screen"] = q_user_bot_screen
+ORACLES["user_bot_screen"] = ORACLE_USER_BOT_SCREEN

@@ -287,3 +287,86 @@ FROM planted ORDER BY doc_id
 
 QUERIES["text_injection_screen"] = q_text_injection_screen
 ORACLES["text_injection_screen"] = ORACLE_INJECTION_SCREEN
+
+
+# --- secret/credential scanning (round 7, session 7) --------------------------
+#
+# RE2-safe patterns (no lookaround — Spark's Java regex and DuckDB's
+# RE2 must count identically).
+
+_SEC_AWS = "akia[0-9a-z]{16}"                     # AWS access key id
+_SEC_GH = "ghp_[0-9a-za-z]{36}"                   # GitHub PAT
+_SEC_PEM = "-----begin [a-z ]*private key-----"   # PEM block header
+_SEC_JWT = "eyj[0-9a-z_-]+[.][0-9a-z_-]+[.][0-9a-z_-]+"  # JWT shape
+
+
+def q_text_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential leak screen — the code-corpus curation gate that
+    keeps live keys out of training data (models memorize and emit
+    them): counts per secret family (AWS key id, GitHub PAT, PEM
+    private-key block, JWT) and the quarantine flag.  Every 13th doc
+    plants an AWS key, every 17th a PEM header, every 19th a JWT, so
+    the detectors stay non-vacuous at every SF and the oracle replays
+    the planting exactly.
+
+    Scale shape: pure codegen regexp_count over the scan, zero
+    shuffles before the presentation sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plant = (
+        "concat(text,"
+        " IF(doc_id % 13 = 0, ' akiaabcdefghij0123456789', ''),"
+        " IF(doc_id % 17 = 0,"
+        " ' -----begin rsa private key----- x', ''),"
+        " IF(doc_id % 19 = 0,"
+        " ' eyjhbgcio.eyjzdwiio.sflkxwrjw', ''))"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.expr(f"regexp_count(lower({plant}), '{_SEC_AWS}')")
+            .cast("long").alias("n_aws"),
+            F.expr(f"regexp_count(lower({plant}), '{_SEC_GH}')")
+            .cast("long").alias("n_ghp"),
+            F.expr(f"regexp_count(lower({plant}), '{_SEC_PEM}')")
+            .cast("long").alias("n_pem"),
+            F.expr(f"regexp_count(lower({plant}), '{_SEC_JWT}')")
+            .cast("long").alias("n_jwt"),
+        )
+        .withColumn(
+            "quarantine",
+            (F.col("n_aws") + F.col("n_ghp") + F.col("n_pem")
+             + F.col("n_jwt")) > 0,
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_SECRET_SCAN = f"""
+WITH planted AS (
+  SELECT doc_id,
+         lower(text
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' akiaabcdefghij0123456789' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0
+                       THEN ' -----begin rsa private key----- x'
+                       ELSE '' END
+               || CASE WHEN doc_id % 19 = 0
+                       THEN ' eyjhbgcio.eyjzdwiio.sflkxwrjw'
+                       ELSE '' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_SEC_AWS}'))::BIGINT AS n_aws,
+       len(regexp_extract_all(t, '{_SEC_GH}'))::BIGINT AS n_ghp,
+       len(regexp_extract_all(t, '{_SEC_PEM}'))::BIGINT AS n_pem,
+       len(regexp_extract_all(t, '{_SEC_JWT}'))::BIGINT AS n_jwt,
+       (len(regexp_extract_all(t, '{_SEC_AWS}'))
+        + len(regexp_extract_all(t, '{_SEC_GH}'))
+        + len(regexp_extract_all(t, '{_SEC_PEM}'))
+        + len(regexp_extract_all(t, '{_SEC_JWT}'))) > 0 AS quarantine
+FROM planted
+ORDER BY doc_id
+"""
+
+QUERIES["text_secret_scan"] = q_text_secret_scan
+ORACLES["text_secret_scan"] = ORACLE_TEXT_SECRET_SCAN
