@@ -1424,3 +1424,60 @@ ORDER BY doc_id, block_idx
 
 QUERIES["code_block_extract"] = q_code_block_extract
 ORACLES["code_block_extract"] = ORACLE_CODE_BLOCKS
+
+
+# --- [T; N] array-cardinality roundtrip (round 7, session 7) -----------------
+
+from h2spark.core.spec import ARRAY as _ARRAY
+
+_RT_ARR_SPEC = StructSpec(
+    "Arr",
+    [
+        Field("a", Scalar("String"), _ARRAY, n=3, select="b.x"),
+    ],
+)
+
+
+def q_extract_roundtrip_array_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T; 3] cardinality at table scale: doc_id%3==0 -> exactly 3
+    matches (values join back), %3==1 -> 2 matches, %3==2 -> 4
+    matches — both error arms render the byte-exact h2s string
+    (display.rs:44-55 via the same field/selector prefix as the other
+    roundtrips), proving Vec->[T;N] parity (SURVEY §2.1 #20) over the
+    whole table, not just the unit corpus."""
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    one = lambda i: F.concat(  # noqa: E731
+        F.lit('<b class="x">v'), F.lit(str(i)), F.lit("-"),
+        F.col("doc_id"), F.lit("</b>"))
+    html = F.concat(
+        F.lit("<div>"),
+        one(0), one(1),
+        F.when(m != 1, one(2)).otherwise(F.lit("")),
+        F.when(m == 2, one(3)).otherwise(F.lit("")),
+        F.lit("</div>"),
+    )
+    udf = make_extract_typed_udf(_RT_ARR_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("o.value.a"), ",").alias("joined_arr"),
+        F.col("o.error").alias("err"),
+    ).orderBy("doc_id")
+
+
+ORACLE_RT_ARRAY_ERR = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN
+         'v0-' || doc_id || ',v1-' || doc_id || ',v2-' || doc_id
+       ELSE NULL END AS joined_arr,
+       CASE WHEN doc_id % 3 = 1 THEN
+         'a: mismatched number of selected elements by "b.x": expected 3 elements, but found 2 elements'
+       WHEN doc_id % 3 = 2 THEN
+         'a: mismatched number of selected elements by "b.x": expected 3 elements, but found 4 elements'
+       ELSE NULL END AS err
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["extract_roundtrip_array_err"] = q_extract_roundtrip_array_err
+ORACLES["extract_roundtrip_array_err"] = ORACLE_RT_ARRAY_ERR
