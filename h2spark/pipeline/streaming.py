@@ -1501,3 +1501,106 @@ def run_streaming_length_quantiles(
         length_quantile_stream(stream), out_dir, checkpoint_dir,
         available_now,
     )
+
+
+# --- streaming KS drift monitor (21st streaming operator) -------------------
+
+KS_STREAM_SCHEMA = (
+    "source string, n1 long, n2 long, argmax_len long, d_num long,"
+    " d_e6 long"
+)
+_KS_STREAM_STATE_SCHEMA = (
+    "srcs array<string>, vals array<long>, cnts array<long>"
+)
+
+
+def ks_drift_stream(docs):
+    """Streaming twin of ops/textstats.q_source_drift_ks: per source
+    the exact two-sample KS statistic of its length distribution vs
+    the complement of everything ingested so far.  The complement
+    couples every source, so the monitor runs as ONE keyed group whose
+    state is the (source, length)-histogram — bounded by
+    sources x distinct lengths (the batch operator's own grid bound),
+    NOT by document count; at web scale this state is kilobytes while
+    the stream is petabytes, which is what makes a single monitor task
+    acceptable.  Each micro-batch emits every source's current KS row;
+    the latest row per source equals the batch operator over the
+    ingested prefix (same integer cross-product ECDF, same
+    (d_num desc, length) argmax pick)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = docs.select(F.lit(1).alias("_g"), "source", "n_chars")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        hist: dict = {}
+        if state.exists:
+            srcs, vals, cnts = state.get
+            for s, v, c in zip(srcs, vals, cnts):
+                hist[(s, int(v))] = int(c)
+        for pdf in pdfs:
+            for s, v in zip(pdf["source"], pdf["n_chars"]):
+                k = (s, int(v))
+                hist[k] = hist.get(k, 0) + 1
+        items = sorted(hist.items())
+        state.update((
+            [s for (s, _), _ in items],
+            [v for (_, v), _ in items],
+            [c for _, c in items],
+        ))
+        tot = sum(hist.values())
+        per_src: dict = {}
+        for (s, v), c in hist.items():
+            per_src.setdefault(s, {})[v] = c
+        all_vals = sorted({v for (_, v) in hist})
+        gcum = {}
+        acc = 0
+        for v in all_vals:
+            acc += sum(per_src[s].get(v, 0) for s in per_src)
+            gcum[v] = acc
+        rows = []
+        for s in sorted(per_src):
+            n1 = sum(per_src[s].values())
+            n2 = tot - n1
+            cum1 = 0
+            best = None
+            for v in all_vals:
+                cum1 += per_src[s].get(v, 0)
+                d_num = abs(cum1 * n2 - (gcum[v] - cum1) * n1)
+                if best is None or d_num > best[0]:
+                    best = (d_num, v)
+            d_num, argmax = best
+            rows.append((s, n1, n2, argmax, d_num,
+                         (1_000_000 * d_num) // (n1 * n2) if n2 else 0))
+        yield pd.DataFrame(
+            rows, columns=["source", "n1", "n2", "argmax_len",
+                           "d_num", "d_e6"])
+
+    return pre.groupBy("_g").applyInPandasWithState(
+        update,
+        KS_STREAM_SCHEMA,
+        _KS_STREAM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_ks_drift(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental source-drift monitoring over a growing
+    document-metadata directory."""
+    stream = (
+        spark.readStream.schema(SIDECAR_DDL)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(input_dir)
+    )
+    return _start_append_writer(
+        ks_drift_stream(stream), out_dir, checkpoint_dir, available_now
+    )

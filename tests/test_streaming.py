@@ -1180,3 +1180,59 @@ def test_streaming_length_quantiles_match_batch(spark, tmp_path):
         s = latest[k]
         assert (s["n_docs"], s["p50"], s["p90"], s["p99"]) == \
             (b["n_docs"], b["p50"], b["p90"], b["p99"]), k
+
+
+def test_streaming_ks_drift_matches_batch(spark, tmp_path):
+    # 21st streaming operator: histogram state across micro-batches;
+    # the latest row per source must equal q_source_drift_ks on the
+    # combined input (exact integer ECDF cross-products)
+    import time
+
+    from h2spark.ops.textstats import q_source_drift_ks
+    from h2spark.pipeline.streaming import run_streaming_ks_drift
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long, source string"
+        ).select("doc_id", "lang", "n_chars", "source")
+
+    inp = tmp_path / "ks_in"
+    out = tmp_path / "ks_out"
+    ck = tmp_path / "ks_ck"
+    b1 = [(i, "en", 10 + i % 7, "a") for i in range(60)] + \
+         [(100 + i, "en", 40 + i % 3, "b") for i in range(30)]
+    b2 = [(200 + i, "en", 10 + i % 11, "a") for i in range(40)] + \
+         [(300 + i, "en", 90, "c") for i in range(9)]
+    docs(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_ks_drift(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)
+    docs(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_ks_drift(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    batch_dir = tmp_path / "ks_batch"
+    docs(b1 + b2).withColumn("text", F.lit("t")).write.parquet(
+        str(batch_dir / "documents.parquet"))
+    batch = {r["source"]: r for r in
+             q_source_drift_ks(spark, str(batch_dir)).collect()}
+
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    latest = {}
+    for r in rows:  # n1+n2 is monotone: keep the max-total row
+        tot = r["n1"] + r["n2"]
+        cur = latest.get(r["source"])
+        if cur is None or tot > cur["n1"] + cur["n2"]:
+            latest[r["source"]] = r
+    assert set(latest) == set(batch) == {"a", "b", "c"}
+    for k, b in batch.items():
+        s = latest[k]
+        assert (s["n1"], s["n2"], s["argmax_len"], s["d_num"],
+                s["d_e6"]) == \
+            (b["n1"], b["n2"], b["argmax_len"], b["d_num"], b["d_e6"]), k
