@@ -1419,3 +1419,18 @@ def test_single_kernel_pass_regression(spark, qname, callee, max_evals):
     df = m.queries()[qname](spark, SF)
     c = _kernel_evals(df, spark)
     assert c[callee] <= max_evals, (qname, dict(c))
+
+
+def test_tpch_partsupp_derived_shapes(spark):
+    # Q16's NOT IN must compile to a (null-aware) anti join, Q20's IN
+    # to a semi join, and Q2's dimension tree must broadcast — the
+    # derived-partsupp queries keep the canonical physical shapes
+    from h2spark.ops import tpch
+
+    p16 = _formatted(tpch.q_tpch_q16(spark, SF), spark)
+    assert "LeftAnti" in p16
+    p20 = _formatted(tpch.q_tpch_q20(spark, SF), spark)
+    assert "LeftSemi" in p20
+    p2 = _formatted(tpch.q_tpch_q2(spark, SF), spark)
+    assert p2.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p2
