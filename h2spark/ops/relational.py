@@ -3211,3 +3211,155 @@ ORDER BY s.user_id
 
 QUERIES["user_bot_screen"] = q_user_bot_screen
 ORACLES["user_bot_screen"] = ORACLE_USER_BOT_SCREEN
+
+
+# --- right-to-be-forgotten erasure plan (round 7, session 7) -----------------
+
+
+def q_user_erasure_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance deletion manifest: for a deterministic erasure
+    cohort (user/customer key % 101 == 0 — the stand-in for an actual
+    request list), the per-table count of affected rows and the e6
+    share of that table — the audit artifact a GDPR/CCPA delete job
+    emits BEFORE rewriting files, and the number the legal side signs.
+
+    Scale shape: per-table one scan + one filter-aggregate; the
+    erasure set is a predicate (at production scale a broadcast
+    list), so nothing joins corpus-to-corpus."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def audit(df: DataFrame, table: str, key: str) -> DataFrame:
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum((F.col(key) % 101 == 0).cast("long")).cast("long")
+            .alias("n_affected"),
+        ).select(
+            "table_name", "n_rows", "n_affected",
+            F.expr("(1000000 * n_affected) div n_rows").cast("long")
+            .alias("share_e6"),
+        )
+
+    return (
+        audit(ev, "events", "user_id")
+        .unionAll(audit(cu, "customer", "c_custkey"))
+        .unionAll(audit(od, "orders", "o_custkey"))
+        .orderBy("table_name")
+    )
+
+
+ORACLE_USER_ERASURE_PLAN = """
+SELECT * FROM (
+  SELECT 'events' AS table_name, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN user_id % 101 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_affected,
+         ((1000000 * sum(CASE WHEN user_id % 101 = 0 THEN 1 ELSE 0 END))
+          // count(*))::BIGINT AS share_e6
+  FROM events
+  UNION ALL
+  SELECT 'customer', count(*)::BIGINT,
+         sum(CASE WHEN c_custkey % 101 = 0 THEN 1 ELSE 0 END)::BIGINT,
+         ((1000000 * sum(CASE WHEN c_custkey % 101 = 0 THEN 1 ELSE 0 END))
+          // count(*))::BIGINT
+  FROM customer
+  UNION ALL
+  SELECT 'orders', count(*)::BIGINT,
+         sum(CASE WHEN o_custkey % 101 = 0 THEN 1 ELSE 0 END)::BIGINT,
+         ((1000000 * sum(CASE WHEN o_custkey % 101 = 0 THEN 1 ELSE 0 END))
+          // count(*))::BIGINT
+  FROM orders
+)
+ORDER BY table_name
+"""
+
+QUERIES["user_erasure_plan"] = q_user_erasure_plan
+ORACLES["user_erasure_plan"] = ORACLE_USER_ERASURE_PLAN
+
+
+# --- star-schema referential-integrity audit (round 7, session 7) ------------
+
+
+def q_warehouse_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity scorecard over the warehouse star: orphan
+    counts per foreign-key edge (lineitem->orders, lineitem->part,
+    lineitem->supplier, orders->customer, customer->nation,
+    supplier->nation) — the ingest gate that catches a broken dim load
+    before every downstream join silently drops rows.
+
+    Scale shape: each edge is one LEFT ANTI against its dimension
+    (small side broadcasts); counts roll up to a 6-row scorecard."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def edge(fact, fk, dim, pk, name):
+        orphans = fact.join(
+            F.broadcast(dim.select(pk).distinct()),
+            fact[fk] == dim[pk], "left_anti"
+        )
+        return fact.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count("*").cast("long").alias("n_fact"),
+        ).crossJoin(
+            orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+        ).select("fk_edge", "n_fact", "n_orphans",
+                 (F.col("n_orphans") == 0).alias("intact"))
+
+    out = edge(li, "l_orderkey", od, "o_orderkey", "lineitem->orders")
+    for args in (
+        (li, "l_partkey", pa, "p_partkey", "lineitem->part"),
+        (li, "l_suppkey", su, "s_suppkey", "lineitem->supplier"),
+        (od, "o_custkey", cu, "c_custkey", "orders->customer"),
+        (cu, "c_nationkey", na, "n_nationkey", "customer->nation"),
+        (su, "s_nationkey", na, "n_nationkey", "supplier->nation"),
+    ):
+        out = out.unionAll(edge(*args))
+    return out.orderBy("fk_edge")
+
+
+ORACLE_WAREHOUSE_RI = """
+SELECT fk_edge, n_fact, n_orphans, n_orphans = 0 AS intact FROM (
+  SELECT 'lineitem->orders' AS fk_edge,
+         (SELECT count(*) FROM lineitem)::BIGINT AS n_fact,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+             AS n_orphans
+  UNION ALL
+  SELECT 'lineitem->part', (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))::BIGINT
+  UNION ALL
+  SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem)::BIGINT,
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+  UNION ALL
+  SELECT 'orders->customer', (SELECT count(*) FROM orders)::BIGINT,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))::BIGINT
+  UNION ALL
+  SELECT 'customer->nation', (SELECT count(*) FROM customer)::BIGINT,
+         (SELECT count(*) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))::BIGINT
+  UNION ALL
+  SELECT 'supplier->nation', (SELECT count(*) FROM supplier)::BIGINT,
+         (SELECT count(*) FROM supplier s
+          WHERE NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey))::BIGINT
+)
+ORDER BY fk_edge
+"""
+
+QUERIES["user_erasure_plan"] = q_user_erasure_plan
+ORACLES["user_erasure_plan"] = ORACLE_USER_ERASURE_PLAN
+QUERIES["warehouse_ri_audit"] = q_warehouse_ri_audit
+ORACLES["warehouse_ri_audit"] = ORACLE_WAREHOUSE_RI
