@@ -3363,3 +3363,100 @@ QUERIES["user_erasure_plan"] = q_user_erasure_plan
 ORACLES["user_erasure_plan"] = ORACLE_USER_ERASURE_PLAN
 QUERIES["warehouse_ri_audit"] = q_warehouse_ri_audit
 ORACLES["warehouse_ri_audit"] = ORACLE_WAREHOUSE_RI
+
+
+# --- Markov next-event backtest (round 7, session 7) --------------------------
+
+
+def q_events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction backtest: train a first-order Markov
+    argmax predictor (most frequent successor per event type, ties to
+    the lexicographically smaller successor) on the FIRST HALF of each
+    user's ordered events, score it on the second half — the honest
+    eval for "do transitions carry signal", with train/test split by
+    position so no transition leaks.  Emits per event type the test
+    count, hits, and e6 accuracy.
+
+    Scale shape: transitions via one per-user lag window (bounded
+    cells), the model is a types x types aggregate (broadcast back),
+    scoring is one more window pass — nothing corpus-squared."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    train = seq.where(F.col("rn") * 2 <= F.col("n"))
+    test = seq.where(F.col("rn") * 2 > F.col("n"))
+    model = (
+        train.groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn(
+            "pick",
+            F.row_number().over(
+                Window.partitionBy("event_type")
+                .orderBy(F.col("c").desc(), "next_type")
+            ),
+        )
+        .where(F.col("pick") == 1)
+        .select("event_type", F.col("next_type").alias("pred"))
+    )
+    scored = test.join(F.broadcast(model), "event_type", "left")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum((F.col("next_type") == F.col("pred")).cast("long"))
+            .cast("long").alias("n_hit"),
+            F.min(F.coalesce("pred", F.lit(""))).alias("pred"),
+        )
+        .select(
+            "event_type", "pred", "n_test", "n_hit",
+            F.expr("(1000000 * n_hit) div n_test").cast("long")
+            .alias("acc_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+base AS (SELECT * FROM seq WHERE next_type IS NOT NULL),
+model AS (
+  SELECT event_type, next_type AS pred FROM (
+    SELECT event_type, next_type, count(*)::BIGINT AS c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY count(*) DESC, next_type) AS pick
+    FROM base WHERE rn * 2 <= n
+    GROUP BY event_type, next_type
+  ) WHERE pick = 1
+),
+scored AS (
+  SELECT t.event_type, t.next_type, m.pred
+  FROM base t LEFT JOIN model m USING (event_type)
+  WHERE t.rn * 2 > t.n
+)
+SELECT event_type,
+       min(coalesce(pred, '')) AS pred,
+       count(*)::BIGINT AS n_test,
+       sum(CASE WHEN next_type = pred THEN 1 ELSE 0 END)::BIGINT
+           AS n_hit,
+       ((1000000 * sum(CASE WHEN next_type = pred THEN 1 ELSE 0 END))
+        // count(*))::BIGINT AS acc_e6
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_markov_backtest"] = q_events_markov_backtest
+ORACLES["events_markov_backtest"] = ORACLE_EVENTS_MARKOV

@@ -3553,3 +3553,82 @@ FROM stat GROUP BY source, n1, n2 ORDER BY source
 
 QUERIES["source_drift_w1"] = q_source_drift_w1
 ORACLES["source_drift_w1"] = ORACLE_SOURCE_DRIFT_W1
+
+
+# --- inverted-index export (round 7, session 7) --------------------------------
+
+
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-infrastructure export: per (rare-ish) term the posting
+    list "doc:pos,pos;doc:pos" (docs ascending, positions ascending),
+    document frequency and collection frequency — the inverted-index
+    build that turns a corpus into a retrieval service, built here for
+    one 20-document shard (real index builds are per-shard; the tiny
+    synthetic vocabulary would otherwise make every posting list
+    corpus-length).
+
+    Scale shape: tokenize-with-position explode, one (term, doc)
+    grouping, one term grouping; posting strings assembled with
+    sort_array so ordering is deterministic — all keyed partial
+    aggregations on term."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 20)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(_norm_text(), " ")).alias("pos", "term"),
+    ).where(F.length("term") > 0)
+    per_doc = toks.groupBy("term", "doc_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))), ","
+        ).alias("positions"),
+        F.count("*").cast("long").alias("tf"),
+    )
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "positions"))
+                    ),
+                    lambda s: F.concat(
+                        s["doc_id"].cast("string"), F.lit(":"),
+                        s["positions"],
+                    ),
+                ),
+                ";",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+ORACLE_TEXT_INVERTED_INDEX = f"""
+WITH arrs AS (
+  SELECT doc_id,
+         regexp_split_to_array({_NORM_DUCK}, ' ') AS arr
+  FROM documents WHERE doc_id < 20
+),
+toks AS (
+  SELECT doc_id, arr[u.i] AS term, u.i - 1 AS pos
+  FROM arrs, unnest(range(1, len(arr) + 1)) AS u(i)
+  WHERE length(arr[u.i]) > 0
+),
+per_doc AS (
+  SELECT term, doc_id,
+         string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions,
+         count(*)::BIGINT AS tf
+  FROM toks GROUP BY term, doc_id
+)
+SELECT term,
+       count(*)::BIGINT AS df,
+       sum(tf)::BIGINT AS cf,
+       string_agg(doc_id::VARCHAR || ':' || positions, ';'
+                  ORDER BY doc_id) AS postings
+FROM per_doc GROUP BY term
+ORDER BY term
+"""
+
+QUERIES["text_inverted_index"] = q_text_inverted_index
+ORACLES["text_inverted_index"] = ORACLE_TEXT_INVERTED_INDEX

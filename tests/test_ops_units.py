@@ -4152,3 +4152,57 @@ def test_bot_screen_fast_vs_human(spark):
     assert bot["fast_share_e6"] == 1_000_000 and bot["bot_flag"]
     assert (human["n_gaps"], human["med_gap_s"]) == (3, 3600)
     assert human["fast_share_e6"] == 0 and not human["bot_flag"]
+
+
+def test_inverted_index_postings_exact(spark):
+    # hand-checkable postings: term positions and doc order exact
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_text_inverted_index
+
+    rows = [
+        (0, "apple banana apple", "en", "s", 18),
+        (1, "banana cherry", "en", "s", 13),
+        (25, "apple apple", "en", "s", 11),   # outside the shard
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["term"]: r for r in
+               q_text_inverted_index(spark, td).collect()}
+    assert set(out) == {"apple", "banana", "cherry"}
+    a = out["apple"]
+    assert (a["df"], a["cf"], a["postings"]) == (1, 2, "0:0,2")
+    b = out["banana"]
+    assert (b["df"], b["cf"], b["postings"]) == (2, 2, "0:1;1:0")
+    assert out["cherry"]["postings"] == "1:1"
+
+
+def test_markov_backtest_planted_transitions(spark):
+    # user pattern a->b a->b | a->b a->c: trained on the first half
+    # (a->b), tested on the second (one hit a->b, one miss a->c)
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_markov_backtest
+
+    types = ["a", "b", "a", "b", "a", "b", "a", "c", "x"]
+    rows = [(i, f"2024-01-01 00:00:{i:02d}", 1, t, 1.0, "{}")
+            for i, t in enumerate(types)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_type"]: r for r in
+               q_events_markov_backtest(spark, td).collect()}
+    a = out["a"]
+    assert a["pred"] == "b"
+    assert (a["n_test"], a["n_hit"]) == (2, 1)
+    assert a["acc_e6"] == 500_000
