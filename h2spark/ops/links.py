@@ -187,16 +187,22 @@ def pagerank(
     ``n_nodes`` skips the node count() when the caller already knows it.
     The dangling mass is attached as a broadcast 1-row aggregate per
     iteration (kept lazy — no per-iteration driver action)."""
+    # edges/nodes/outdeg are referenced EVERY iteration; without the
+    # persists the full upstream lineage (scan + any extraction) is
+    # re-planned and re-executed per reference — the round-7 scan
+    # sweep counted 103 scans for 3 iterations
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("nid"))
         .union(edges.select(F.col("dst").alias("nid")))
         .distinct()
+        .persist()
     )
     if n_nodes is None:
         n_nodes = nodes.count()
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("outdeg")
-    )
+    ).persist()
     ranks = nodes.select("nid", F.lit(1.0 / n_nodes).alias("rank"))
     for it in range(iters):
         contrib = (
@@ -226,6 +232,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # each round reads ranks three times (contrib, dangling,
+        # rebuild): persist bounds the re-execution at one compute of
+        # the previous vector instead of 3^iters
+        ranks = ranks.persist()
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
@@ -478,9 +488,9 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw sums are bounded by in-degree * 1e6, and the normalize
     multiply tops out at degree * 1e12 — safe for any real web graph
     and independent of corpus size."""
-    d = _docs(spark, sf_dir).select("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id").persist()
     n = d.count()
-    edges = _hits_edges(d, n)
+    edges = _hits_edges(d, n).persist()
     hub = d.select(
         F.col("doc_id").alias("nid"),
         F.lit(_HITS_E6).cast("long").alias("s"),
@@ -497,6 +507,7 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("nid"),
             F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("raw"),
         )
+        araw = araw.persist()  # read by the max agg AND the rescale
         atot = F.broadcast(
             araw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
         )
@@ -514,6 +525,7 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("nid"),
             F.coalesce(F.col("raw"), F.lit(0)).cast("long").alias("raw"),
         )
+        hraw = hraw.persist()  # same two-reader shape as araw
         htot = F.broadcast(
             hraw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
         )

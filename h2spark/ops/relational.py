@@ -3153,11 +3153,11 @@ def q_user_bot_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == F.expr("(n_gaps + 1) div 2"))
         .select("user_id", F.col("gap_s").cast("long").alias("med_gap_s"))
     )
-    n_ev = spark.read.parquet(f"{sf_dir}/events.parquet").groupBy(
-        "user_id").agg(F.count("*").cast("long").alias("n_events"))
+    # n_events = n_gaps + 1 for every user that has gaps at all — no
+    # second scan of the fact table
     return (
         stats.join(med, "user_id")
-        .join(F.broadcast(n_ev), "user_id")
+        .withColumn("n_events", (F.col("n_gaps") + 1).cast("long"))
         .select(
             "user_id", "n_events", "n_gaps", "min_gap_s", "med_gap_s",
             F.expr("(1000000 * n_fast) div n_gaps").cast("long")
@@ -3198,15 +3198,17 @@ med AS (
   FROM ranked r JOIN stats s USING (user_id)
   WHERE r.rn = (s.n_gaps + 1) // 2
 ),
-n_ev AS (
-  SELECT user_id, count(*)::BIGINT AS n_events FROM events GROUP BY 1
+f AS (
+  SELECT s.user_id, (s.n_gaps + 1)::BIGINT AS n_events, s.n_gaps,
+         s.min_gap_s, m.med_gap_s, s.n_fast
+  FROM stats s JOIN med m USING (user_id)
 )
-SELECT s.user_id, e.n_events, s.n_gaps, s.min_gap_s, m.med_gap_s,
-       ((1000000 * s.n_fast) // s.n_gaps)::BIGINT AS fast_share_e6,
-       (e.n_events >= 3
-        AND (1000000 * s.n_fast) // s.n_gaps >= 500000) AS bot_flag
-FROM stats s JOIN med m USING (user_id) JOIN n_ev e USING (user_id)
-ORDER BY s.user_id
+SELECT user_id, n_events, n_gaps, min_gap_s, med_gap_s,
+       ((1000000 * n_fast) // n_gaps)::BIGINT AS fast_share_e6,
+       (n_events >= 3
+        AND (1000000 * n_fast) // n_gaps >= 500000) AS bot_flag
+FROM f
+ORDER BY user_id
 """
 
 QUERIES["user_bot_screen"] = q_user_bot_screen

@@ -1434,3 +1434,21 @@ def test_tpch_partsupp_derived_shapes(spark):
     p2 = _formatted(tpch.q_tpch_q2(spark, SF), spark)
     assert p2.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in p2
+
+
+def test_iterative_link_ops_scan_once(spark):
+    # round-7 scan sweep: pagerank re-scanned documents 103x and HITS
+    # 156x (3^iters lineage fan-out). The persists must hold the scan
+    # count at the per-reference minimum.
+    import re
+    from collections import Counter
+
+    from h2spark.ops import links
+
+    for fn, cap in ((links.q_link_pagerank, 2), (links.q_link_hits, 3)):
+        plan = _formatted(fn(spark, SF), spark)
+        locs = re.findall(
+            r"\(\d+\) Scan parquet ?\n.*?Location: "
+            r"InMemoryFileIndex \[file:([^\]]+)\]", plan, re.S)
+        c = Counter(l.strip().split("/")[-1] for l in locs)
+        assert c.get("documents.parquet", 0) <= cap, dict(c)
