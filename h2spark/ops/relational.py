@@ -2015,8 +2015,10 @@ def q_corpus_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each branch is one map-side-combinable aggregate;
     the final crossJoin glues eight 1-row aggregates."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    a = d.where(F.col("doc_id") % 2 == 0).select("lang")
-    b = d.where(F.col("doc_id") % 3 == 0).select("lang")
+    # 8 operator branches read each operand: persist holds the corpus
+    # at ONE scan per side instead of 14 (round-7 scan sweep)
+    a = d.where(F.col("doc_id") % 2 == 0).select("lang").persist()
+    b = d.where(F.col("doc_id") % 3 == 0).select("lang").persist()
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count("*").cast("long").alias(name))
@@ -3004,7 +3006,9 @@ def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     users, so work is sum over users of (their type count)^2, bounded
     by the type universe, never |users|^2."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    tu = e.select("event_type", "user_id").distinct()
+    # sizes + both self-join sides read this distinct (a shuffle each
+    # without the persist)
+    tu = e.select("event_type", "user_id").distinct().persist()
     sizes = tu.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n")
     )

@@ -1470,7 +1470,8 @@ def q_ann_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = hashed_embedding_df(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-    )
+    ).persist()  # query + candidate sides both read the two-shuffle
+    # featurizer output; persist keeps it at one pass
     q = e.where(F.col("doc_id") < _TXT_ANN_QUERIES).select(
         F.col("doc_id").alias("query_id"), F.col("emb").alias("qe")
     )
