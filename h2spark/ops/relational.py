@@ -3466,3 +3466,170 @@ FROM scored GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_markov_backtest"] = q_events_markov_backtest
 ORACLES["events_markov_backtest"] = ORACLE_EVENTS_MARKOV
+
+
+# --- RFM segmentation (round 7, session 7) ------------------------------------
+
+
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation with
+    exact integer quartile boundaries: per user the days since last
+    event (vs the corpus max day), event count, and spend cents, each
+    scored 1-4 by the same ceil-rank order statistic the percentile
+    operators use (smallest value whose cumulative count reaches
+    ceil(q*n)), ties resolved by value — no float percentiles, so both
+    engines cut identically.  R scores invert (most recent = 4).
+
+    Scale shape: one per-user aggregate, three value-histogram
+    cumulative walks (bounded by distinct metric values), boundary
+    rows broadcast back — the length_percentiles machinery applied
+    three times."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").cast("long").alias("freq"),
+            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+            .cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("mx"), F.col("last_day")).cast("long")
+            .alias("recency_d"),
+            "freq", "cents",
+        )
+        .persist()  # three quartile walks + the final scoring read it
+    )
+
+    def buckets(col: str) -> DataFrame:
+        hist = per.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col)
+        cum = hist.select(
+            F.col(col).alias("v"),
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("n"),
+        )
+        picks = []
+        for q in (1, 2, 3):
+            picks.append(
+                cum.where(
+                    F.col("cum") >= F.expr(f"({q} * n + 3) div 4")
+                ).agg(F.min("v").alias(f"q{q}"))
+            )
+        b = picks[0].crossJoin(picks[1]).crossJoin(picks[2])
+        return F.broadcast(b)
+
+    def score(col: str, q1: str, q2: str, q3: str):
+        return (
+            F.when(F.col(col) <= F.col(q1), 1)
+            .when(F.col(col) <= F.col(q2), 2)
+            .when(F.col(col) <= F.col(q3), 3)
+            .otherwise(4)
+        ).cast("long")
+
+    rb = buckets("recency_d").select(
+        F.col("q1").alias("rq1"), F.col("q2").alias("rq2"),
+        F.col("q3").alias("rq3"))
+    fb = buckets("freq").select(
+        F.col("q1").alias("fq1"), F.col("q2").alias("fq2"),
+        F.col("q3").alias("fq3"))
+    mb = buckets("cents").select(
+        F.col("q1").alias("mq1"), F.col("q2").alias("mq2"),
+        F.col("q3").alias("mq3"))
+    return (
+        per.crossJoin(rb).crossJoin(fb).crossJoin(mb)
+        .select(
+            "user_id", "recency_d", "freq", "cents",
+            (F.lit(5) - score("recency_d", "rq1", "rq2", "rq3"))
+            .cast("long").alias("r_score"),
+            score("freq", "fq1", "fq2", "fq3").alias("f_score"),
+            score("cents", "mq1", "mq2", "mq3").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(F.col("r_score"), F.col("f_score"),
+                     F.col("m_score")),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_RFM = """
+WITH per AS (
+  SELECT user_id,
+         (date_diff('day', max(ts::DATE),
+                    (SELECT max(ts::DATE) FROM events)))::BIGINT
+             AS recency_d,
+         count(*)::BIGINT AS freq,
+         sum((floor(value * 100))::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY user_id
+),
+n AS (SELECT count(*)::BIGINT AS n FROM per),
+rq AS (
+  SELECT
+    min(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS q1,
+    min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS q2,
+    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+  FROM (SELECT recency_d AS v,
+               sum(count(*)) OVER (ORDER BY recency_d
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT n FROM n) AS n
+        FROM per GROUP BY recency_d)
+),
+fq AS (
+  SELECT
+    min(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS q1,
+    min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS q2,
+    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+  FROM (SELECT freq AS v,
+               sum(count(*)) OVER (ORDER BY freq
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT n FROM n) AS n
+        FROM per GROUP BY freq)
+),
+mq AS (
+  SELECT
+    min(CASE WHEN cum >= (1 * n + 3) // 4 THEN v END) AS q1,
+    min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS q2,
+    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS q3
+  FROM (SELECT cents AS v,
+               sum(count(*)) OVER (ORDER BY cents
+                                   ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT n FROM n) AS n
+        FROM per GROUP BY cents)
+)
+SELECT p.user_id, p.recency_d, p.freq, p.cents,
+       (5 - (CASE WHEN p.recency_d <= rq.q1 THEN 1
+                  WHEN p.recency_d <= rq.q2 THEN 2
+                  WHEN p.recency_d <= rq.q3 THEN 3 ELSE 4 END))::BIGINT
+           AS r_score,
+       (CASE WHEN p.freq <= fq.q1 THEN 1
+             WHEN p.freq <= fq.q2 THEN 2
+             WHEN p.freq <= fq.q3 THEN 3 ELSE 4 END)::BIGINT AS f_score,
+       (CASE WHEN p.cents <= mq.q1 THEN 1
+             WHEN p.cents <= mq.q2 THEN 2
+             WHEN p.cents <= mq.q3 THEN 3 ELSE 4 END)::BIGINT AS m_score,
+       ((5 - (CASE WHEN p.recency_d <= rq.q1 THEN 1
+                   WHEN p.recency_d <= rq.q2 THEN 2
+                   WHEN p.recency_d <= rq.q3 THEN 3 ELSE 4 END))::VARCHAR
+        || (CASE WHEN p.freq <= fq.q1 THEN 1
+                 WHEN p.freq <= fq.q2 THEN 2
+                 WHEN p.freq <= fq.q3 THEN 3 ELSE 4 END)::VARCHAR
+        || (CASE WHEN p.cents <= mq.q1 THEN 1
+                 WHEN p.cents <= mq.q2 THEN 2
+                 WHEN p.cents <= mq.q3 THEN 3 ELSE 4 END)::VARCHAR)
+           AS segment
+FROM per p, rq, fq, mq
+ORDER BY p.user_id
+"""
+
+QUERIES["user_rfm_segments"] = q_user_rfm_segments
+ORACLES["user_rfm_segments"] = ORACLE_USER_RFM

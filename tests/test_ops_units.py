@@ -4206,3 +4206,36 @@ def test_markov_backtest_planted_transitions(spark):
     assert a["pred"] == "b"
     assert (a["n_test"], a["n_hit"]) == (2, 1)
     assert a["acc_e6"] == 500_000
+
+
+def test_rfm_segments_quartile_cuts(spark):
+    # 4 users with strictly increasing freq/spend and decreasing
+    # recency: quartile scores must be 1..4 (R inverted)
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_user_rfm_segments
+
+    rows = []
+    eid = 0
+    # user u: u+1 events on day 10+u, each worth (u+1) dollars
+    for u in range(4):
+        for k in range(u + 1):
+            rows.append((eid, f"2024-01-{10 + u:02d} 0{k}:00:00",
+                         u, "t", float(u + 1), "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["user_id"]: r for r in
+               q_user_rfm_segments(spark, td).collect()}
+    # recency: user 3 most recent (0 days) -> r 4; user 0 oldest -> 1
+    assert [out[u]["r_score"] for u in range(4)] == [1, 2, 3, 4]
+    assert [out[u]["f_score"] for u in range(4)] == [1, 2, 3, 4]
+    assert [out[u]["m_score"] for u in range(4)] == [1, 2, 3, 4]
+    assert out[3]["segment"] == "444" and out[0]["segment"] == "111"
