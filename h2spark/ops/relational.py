@@ -3633,3 +3633,75 @@ ORDER BY p.user_id
 
 QUERIES["user_rfm_segments"] = q_user_rfm_segments
 ORACLES["user_rfm_segments"] = ORACLE_USER_RFM
+
+
+# --- order-total reconciliation audit (round 7, session 7) --------------------
+
+
+def q_orders_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial reconciliation: recompute each order's total from its
+    line items (sum of extendedprice cents) and compare against the
+    header's o_totalprice cents — the close-of-books audit that
+    catches partial loads and double-applied discounts.  Emits a
+    per-orderstatus scorecard: order counts, exact-match counts,
+    headers without lines, and the summed absolute drift in cents.
+
+    Scale shape: one lineitem aggregation keyed by orderkey, one join
+    to headers (both sides keyed on o_orderkey), bounded scorecard."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sums = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long").alias("line_cents")
+    )
+    j = od.select(
+        "o_orderkey", "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        .alias("hdr_cents"),
+    ).join(sums, "o_orderkey", "left")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("line_cents").isNull().cast("long"))
+            .cast("long").alias("n_no_lines"),
+            F.sum((F.col("line_cents") == F.col("hdr_cents"))
+                  .cast("long")).cast("long").alias("n_exact"),
+            F.sum(
+                F.when(
+                    F.col("line_cents").isNotNull(),
+                    F.abs(F.col("hdr_cents") - F.col("line_cents")),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("abs_drift_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_ORDERS_RECONCILIATION = """
+WITH sums AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum((round(l_extendedprice * 100))::BIGINT)::BIGINT
+             AS line_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus,
+         (round(o.o_totalprice * 100))::BIGINT AS hdr_cents,
+         s.line_cents
+  FROM orders o LEFT JOIN sums s USING (o_orderkey)
+)
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_no_lines,
+       sum(CASE WHEN line_cents = hdr_cents THEN 1 ELSE 0 END)::BIGINT
+           AS n_exact,
+       sum(CASE WHEN line_cents IS NOT NULL
+                THEN abs(hdr_cents - line_cents) ELSE 0 END)::BIGINT
+           AS abs_drift_cents
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_reconciliation"] = q_orders_reconciliation
+ORACLES["orders_reconciliation"] = ORACLE_ORDERS_RECONCILIATION

@@ -4239,3 +4239,39 @@ def test_rfm_segments_quartile_cuts(spark):
     assert [out[u]["f_score"] for u in range(4)] == [1, 2, 3, 4]
     assert [out[u]["m_score"] for u in range(4)] == [1, 2, 3, 4]
     assert out[3]["segment"] == "444" and out[0]["segment"] == "111"
+
+
+def test_orders_reconciliation_exact_drift_and_orphan_header(spark):
+    # one exactly-reconciling order, one 2-cent drift, one header
+    # without lines
+    import os
+    import tempfile
+
+    from h2spark.ops.relational import q_orders_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 30.00, "2024-01-01", "1-URGENT"),
+         (2, 11, "O", 10.00, "2024-01-01", "1-URGENT"),
+         (3, 12, "F", 5.00, "2024-01-01", "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string,"
+        " o_orderpriority string")
+    lines = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 10.00, 0.0, 0.0, "N", "O", "2024-01-01"),
+         (1, 1, 1, 2, 1.0, 20.00, 0.0, 0.0, "N", "O", "2024-01-01"),
+         (2, 1, 1, 1, 1.0, 10.02, 0.0, 0.0, "N", "O", "2024-01-01")],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate string")
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.parquet(os.path.join(td, "orders.parquet"))
+        lines.write.parquet(os.path.join(td, "lineitem.parquet"))
+        out = {r["o_orderstatus"]: r for r in
+               q_orders_reconciliation(spark, td).collect()}
+    o = out["O"]
+    assert (o["n_orders"], o["n_exact"], o["n_no_lines"]) == (2, 1, 0)
+    assert o["abs_drift_cents"] == 2
+    f = out["F"]
+    assert (f["n_orders"], f["n_no_lines"], f["abs_drift_cents"]) == \
+        (1, 1, 0)
