@@ -3705,3 +3705,87 @@ FROM j GROUP BY 1 ORDER BY 1
 
 QUERIES["orders_reconciliation"] = q_orders_reconciliation
 ORACLES["orders_reconciliation"] = ORACLE_ORDERS_RECONCILIATION
+
+
+# --- Pareto 80/20 concentration (round 7, session 7) --------------------------
+
+
+def q_events_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per event type: the smallest number of
+    top-spending users covering >= 80% of that type's spend (integer
+    test 5*cum >= 4*total — no float shares), their exact combined
+    cents, and the e6 fraction of the user base they represent — the
+    "how concentrated is revenue" readout next to the Gini score.
+    Descending ties resolve by user_id so both engines cut the same
+    prefix.
+
+    Scale shape: per-(type, user) aggregate, then ranking inside
+    per-type cells (user-bounded), one row out per type."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+        .cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), "user_id"
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = per.select(
+        "event_type", "cents",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum"),
+        F.sum("cents").over(wt).cast("long").alias("total"),
+        F.count("*").over(wt).cast("long").alias("n_users"),
+    )
+    return (
+        ranked.where(F.col("cum") * 5 >= F.col("total") * 4)
+        .groupBy("event_type", "n_users", "total")
+        .agg(
+            F.min("rk").cast("long").alias("k80"),
+            F.min(F.when(F.col("cum") * 5 >= F.col("total") * 4,
+                         F.col("cum"))).cast("long").alias("cents80"),
+        )
+        .select(
+            "event_type", "n_users",
+            F.col("total").alias("total_cents"), "k80", "cents80",
+            F.expr("(1000000 * k80) div n_users").cast("long")
+            .alias("user_share_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_PARETO = """
+WITH per AS (
+  SELECT event_type, user_id,
+         sum((floor(value * 100))::BIGINT)::BIGINT AS cents
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, user_id)::BIGINT AS rk,
+         sum(cents) OVER (PARTITION BY event_type
+                          ORDER BY cents DESC, user_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(cents) OVER (PARTITION BY event_type)::BIGINT AS total,
+         count(*) OVER (PARTITION BY event_type)::BIGINT AS n_users
+  FROM per
+)
+SELECT event_type, n_users, total AS total_cents,
+       min(rk)::BIGINT AS k80,
+       min(CASE WHEN cum * 5 >= total * 4 THEN cum END)::BIGINT
+           AS cents80,
+       ((1000000 * min(rk)) // n_users)::BIGINT AS user_share_e6
+FROM ranked
+WHERE cum * 5 >= total * 4
+GROUP BY event_type, n_users, total
+ORDER BY event_type
+"""
+
+QUERIES["events_pareto_8020"] = q_events_pareto_8020
+ORACLES["events_pareto_8020"] = ORACLE_EVENTS_PARETO

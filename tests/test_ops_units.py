@@ -4275,3 +4275,33 @@ def test_orders_reconciliation_exact_drift_and_orphan_header(spark):
     f = out["F"]
     assert (f["n_orders"], f["n_no_lines"], f["abs_drift_cents"]) == \
         (1, 1, 0)
+
+
+def test_pareto_8020_whale_and_uniform(spark):
+    # one whale covering 80% exactly -> k80 = 1; uniform 5 users ->
+    # k80 = 4 (5*cum >= 4*total first at the 4th)
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_pareto_8020
+
+    rows = [(0, "2024-01-01 00:00:00", 0, "whale", 80.00, "{}")]
+    rows += [(1 + i, "2024-01-01 00:00:00", 10 + i, "whale", 5.00, "{}")
+             for i in range(4)]
+    rows += [(100 + i, "2024-01-01 00:00:00", 20 + i, "flat", 10.00,
+              "{}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_type"]: r for r in
+               q_events_pareto_8020(spark, td).collect()}
+    w = out["whale"]
+    assert (w["k80"], w["cents80"]) == (1, 8000)
+    assert w["user_share_e6"] == 1_000_000 // 5
+    f = out["flat"]
+    assert (f["k80"], f["cents80"]) == (4, 4000)
