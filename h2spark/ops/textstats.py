@@ -3632,3 +3632,53 @@ ORDER BY term
 
 QUERIES["text_inverted_index"] = q_text_inverted_index
 ORACLES["text_inverted_index"] = ORACLE_TEXT_INVERTED_INDEX
+
+
+# --- language diversity per source (round 7, session 7) ------------------------
+
+
+def q_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson language diversity per source: 1 - sum(p_i^2) as
+    the exact integer (n^2 - sum(c_i^2)) * 1e6 div n^2 — the diversity
+    index that needs no logarithm, so it stays bit-exact across
+    engines (Shannon entropy would drag in float logs).  A monolingual
+    source scores 0; uniform over k languages scores 1e6*(k-1)/k.
+
+    Scale shape: one (source, lang) count, one source rollup — keyed
+    partial aggregations only."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c"))
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_langs"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+        )
+        .select(
+            "source", "n_langs", "n_docs",
+            F.expr(
+                "(1000000 * (n_docs * n_docs - sum_c2))"
+                " div (n_docs * n_docs)"
+            ).cast("long").alias("diversity_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_LANG_DIVERSITY = """
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       count(*)::BIGINT AS n_langs,
+       sum(c)::BIGINT AS n_docs,
+       ((1000000 * (sum(c) * sum(c) - sum(c * c)))
+        // (sum(c) * sum(c)))::BIGINT AS diversity_e6
+FROM cells GROUP BY source ORDER BY source
+"""
+
+QUERIES["source_lang_diversity"] = q_source_lang_diversity
+ORACLES["source_lang_diversity"] = ORACLE_SOURCE_LANG_DIVERSITY

@@ -4305,3 +4305,26 @@ def test_pareto_8020_whale_and_uniform(spark):
     assert w["user_share_e6"] == 1_000_000 // 5
     f = out["flat"]
     assert (f["k80"], f["cents80"]) == (4, 4000)
+
+
+def test_lang_diversity_mono_and_uniform(spark):
+    # monolingual -> 0; uniform over 4 langs -> 750000 exactly
+    import os
+    import tempfile
+
+    from h2spark.ops.textstats import q_source_lang_diversity
+
+    rows = [(i, "t", "en", "mono", 1) for i in range(5)]
+    rows += [(10 + i, "t", ["en", "de", "fr", "es"][i % 4], "multi", 1)
+             for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["source"]: r for r in
+               q_source_lang_diversity(spark, td).collect()}
+    assert out["mono"]["diversity_e6"] == 0
+    m = out["multi"]
+    assert (m["n_langs"], m["n_docs"]) == (4, 8)
+    assert m["diversity_e6"] == 1_000_000 * (64 - 16) // 64
