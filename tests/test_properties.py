@@ -626,3 +626,46 @@ def test_mp4_roundtrip_property(duration, n_tracks, mdat):
     assert m["duration"] == duration
     assert [t[0] for t in m["tracks"]] == list(range(1, n_tracks + 1))
     assert m["mdat_size"] == len(mdat)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),   # colspan
+                st.integers(min_value=1, max_value=3),   # rowspan
+                st.text(alphabet="abcxyz", min_size=0, max_size=3),
+            ),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_table_grid_invariants(rows):
+    # random rowspan/colspan tables: every slot filled exactly once,
+    # origins equal the cell count, continuation slots carry their
+    # origin's text, and the grid is stable under re-parse
+    from h2spark.core.tables import extract_table_grids
+
+    body = "".join(
+        "<tr>" + "".join(
+            f'<td colspan="{cs}" rowspan="{rs}">{txt}</td>'
+            for cs, rs, txt in row
+        ) + "</tr>"
+        for row in rows
+    )
+    html = f"<table>{body}</table>"
+    grid = extract_table_grids(html)
+    slots = [(r, c) for _, r, c, _, _, _, _ in grid]
+    assert len(slots) == len(set(slots))          # no double occupancy
+    origins = [(r, c) for _, r, c, orow, ocol, _, sp in grid
+               if (r, c) == (orow, ocol)]
+    assert len(origins) == sum(len(row) for row in rows)
+    by_slot = {(r, c): (orow, ocol, txt, sp)
+               for _, r, c, orow, ocol, txt, sp in grid}
+    for (r, c), (orow, ocol, txt, sp) in by_slot.items():
+        assert sp == ((r, c) != (orow, ocol))
+        # continuation slots carry the origin's text
+        assert by_slot[(orow, ocol)][2] == txt
+    assert extract_table_grids(html) == grid      # deterministic
