@@ -1604,3 +1604,101 @@ def run_streaming_ks_drift(
     return _start_append_writer(
         ks_drift_stream(stream), out_dir, checkpoint_dir, available_now
     )
+
+
+# --- streaming heavy hitters (22nd streaming operator) ----------------------
+
+HH_STREAM_SCHEMA = (
+    "event_type string, rank long, user_id long, cnt long, n_total long"
+)
+_HH_STREAM_STATE_SCHEMA = "ids array<long>, cnts array<long>, n long"
+_HH_CAPACITY = 64
+_HH_TOPK = 5
+
+
+def heavy_hitter_stream(events, capacity: int = _HH_CAPACITY,
+                        top_k: int = _HH_TOPK):
+    """Space-saving heavy hitters (Metwally et al. 2005) per event
+    type: state is EXACTLY ``capacity`` (user, count) slots — when
+    full, the minimum-count slot is evicted and the newcomer inherits
+    min+1 (the classic overestimate bound: count error <= n/capacity).
+    While distinct users per key <= capacity the sketch is EXACT, so
+    the batch-equality pin holds in that regime (the test's regime and
+    the monitor's design point: you size capacity >> k for the top-k
+    you report).  Each micro-batch a key appears in emits its current
+    top-k (count desc, user asc); rows carry the sketch's counts.
+
+    Scale note: state is O(capacity) per key forever; arrival order
+    inside a micro-batch is made deterministic by pre-aggregating the
+    batch per user and merging users in (count desc, user) order."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pre = events.select("event_type", "user_id")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (event_type,) = key
+        slots: dict[int, int] = {}
+        n_total = 0
+        if state.exists:
+            ids, cnts, n_total = state.get
+            n_total = int(n_total)
+            slots = dict(zip((int(i) for i in ids),
+                             (int(c) for c in cnts)))
+        batch: dict[int, int] = {}
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                u = int(u)
+                batch[u] = batch.get(u, 0) + 1
+        # deterministic merge order: big arrivals first, ties by id
+        for u, c in sorted(batch.items(), key=lambda kv: (-kv[1], kv[0])):
+            if u in slots:
+                slots[u] += c
+            elif len(slots) < capacity:
+                slots[u] = c
+            else:
+                # evict the (min count, max id) slot; inherit its count
+                evict = min(slots.items(), key=lambda kv: (kv[1], -kv[0]))
+                del slots[evict[0]]
+                slots[u] = evict[1] + c
+        n_total += sum(batch.values())
+        items = sorted(slots.items())
+        state.update(([u for u, _ in items], [c for _, c in items],
+                      n_total))
+        top = sorted(slots.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(top),
+                "rank": [i + 1 for i in range(len(top))],
+                "user_id": [u for u, _ in top],
+                "cnt": [c for _, c in top],
+                "n_total": [n_total] * len(top),
+            }
+        )
+
+    return pre.groupBy("event_type").applyInPandasWithState(
+        update,
+        HH_STREAM_SCHEMA,
+        _HH_STREAM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_heavy_hitters(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    capacity: int = _HH_CAPACITY,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental top-user tracking over a growing events directory."""
+    return _start_append_writer(
+        heavy_hitter_stream(
+            _read_events_stream(spark, input_dir), capacity=capacity
+        ),
+        out_dir, checkpoint_dir, available_now,
+    )

@@ -1236,3 +1236,60 @@ def test_streaming_ks_drift_matches_batch(spark, tmp_path):
         assert (s["n1"], s["n2"], s["argmax_len"], s["d_num"],
                 s["d_e6"]) == \
             (b["n1"], b["n2"], b["argmax_len"], b["d_num"], b["d_e6"]), k
+
+
+def test_streaming_heavy_hitters_exact_regime(spark, tmp_path):
+    # 22nd streaming operator: with capacity >= distinct users the
+    # space-saving sketch is exact — the latest emission per type must
+    # equal the batch top-5 by true count (ties user asc) over the
+    # combined input; a second batch must reorder the leaders
+    import time
+
+    from pyspark.sql import functions as F
+
+    from h2spark.pipeline.streaming import run_streaming_heavy_hitters
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 00:00:{i % 60:02d}", uid, et, 1.0, "{}")
+             for i, (uid, et) in enumerate(rows, start=len(rows) * 7)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    inp = tmp_path / "hh_in"
+    out = tmp_path / "hh_out"
+    ck = tmp_path / "hh_ck"
+    b1 = [(1, "view")] * 5 + [(2, "view")] * 3 + [(3, "view")] * 3 + \
+         [(9, "click")] * 2
+    b2 = [(3, "view")] * 4 + [(4, "view")] * 1 + [(9, "click")] * 1
+    events(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_heavy_hitters(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)
+    events(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_heavy_hitters(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    # n_total is monotone per key: the final emission = max n_total
+    def final_emission(key):
+        mine = [r for r in rows if r["event_type"] == key]
+        mx = max(r["n_total"] for r in mine)
+        return {r["rank"]: r for r in mine if r["n_total"] == mx}
+
+    view = final_emission("view")
+    # true counts over both batches: u3 = 7, u1 = 5, u2 = 3, u4 = 1
+    assert (view[1]["user_id"], view[1]["cnt"]) == (3, 7)
+    assert (view[2]["user_id"], view[2]["cnt"]) == (1, 5)
+    assert (view[3]["user_id"], view[3]["cnt"]) == (2, 3)
+    assert (view[4]["user_id"], view[4]["cnt"]) == (4, 1)
+    assert view[1]["n_total"] == 16
+    click = final_emission("click")
+    assert (click[1]["user_id"], click[1]["cnt"]) == (9, 3)
