@@ -3111,3 +3111,36 @@ def table_grids_batch(items) -> tuple:
         )
         errors.append(None)
     return recs, errors
+
+
+def png_complexity_batch(doc_ids, w: int = 8, h: int = 8) -> list:
+    """Image complexity screen over REAL decoded PNG pixels: distinct
+    byte values, the longest constant run (row-major over the decoded
+    buffer), and the count of adjacent changes — the cheap flat-image/
+    icon filter an image-curation pass runs before perceptual hashing.
+    Returns (n_distinct, max_run, n_changes) per doc."""
+    from h2spark.core.pngcodec import decode_png, encode_png
+
+    outs: list = []
+    for d in doc_ids:
+        d = int(d)
+        px = bytes(
+            (d * 31 + x * 7 + y * 13) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        data = encode_png(w, h, 1, px, row_filter=lambda y: y % 5)
+        _, _, _, dec = decode_png(data)
+        n_distinct = len(set(dec))
+        max_run = run = 1
+        n_changes = 0
+        for i in range(1, len(dec)):
+            if dec[i] == dec[i - 1]:
+                run += 1
+                if run > max_run:
+                    max_run = run
+            else:
+                n_changes += 1
+                run = 1
+        outs.append((n_distinct, max_run, n_changes))
+    return outs

@@ -3778,3 +3778,76 @@ ORACLE_IMAGE_PHASH = _oracle_image_phash()
 
 QUERIES["image_phash"] = q_image_phash
 ORACLES["image_phash"] = ORACLE_IMAGE_PHASH
+
+
+# --- image complexity screen (round 7, session 7) ------------------------------
+
+
+def q_image_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-image/icon filter over REAL decoded pixels: distinct byte
+    values, longest constant run, and adjacent-change count per
+    document — near-constant images (max_run ~ n_pixels) are logos and
+    solid fills that pollute vision training sets.  The oracle
+    re-derives all three stats from the pattern formula with a lag
+    window over the row-major pixel order.
+
+    Scale shape: one Arrow-batched pandas UDF over the scan, zero
+    shuffles before the presentation sort."""
+    from pyspark.sql.functions import pandas_udf
+
+    from h2spark.core.runner import png_complexity_batch
+
+    @pandas_udf("struct<n_distinct:long, max_run:long, n_changes:long>")
+    def cx_udf(ids: pd.Series) -> pd.DataFrame:
+        rows = png_complexity_batch(ids)
+        return pd.DataFrame(
+            rows, columns=["n_distinct", "max_run", "n_changes"])
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select("doc_id", cx_udf(F.col("doc_id")).alias("s"))
+        .select("doc_id", "s.n_distinct", "s.max_run", "s.n_changes")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_COMPLEXITY = """
+WITH px AS (
+  SELECT d.doc_id, y.y * 8 + x.x AS i,
+         ((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::BIGINT AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(range(8)) AS x) x,
+       LATERAL (SELECT unnest(range(8)) AS y) y
+),
+lagged AS (
+  SELECT doc_id, i, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM px
+),
+runs AS (
+  SELECT doc_id, i, v,
+         sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM lagged
+)
+SELECT r.doc_id,
+       count(DISTINCT r.v)::BIGINT AS n_distinct,
+       max(rl.rl)::BIGINT AS max_run,
+       (64 - count(DISTINCT r.run_id))::BIGINT AS n_changes_neg,
+       count(DISTINCT r.run_id)::BIGINT - 1 AS n_changes
+FROM runs r
+JOIN (
+  SELECT doc_id, run_id, count(*)::BIGINT AS rl
+  FROM runs GROUP BY 1, 2
+) rl ON rl.doc_id = r.doc_id
+GROUP BY r.doc_id
+ORDER BY r.doc_id
+"""
+# drop the helper column: the engine output has exactly 4 columns
+ORACLE_IMAGE_COMPLEXITY = ORACLE_IMAGE_COMPLEXITY.replace(
+    "       (64 - count(DISTINCT r.run_id))::BIGINT AS n_changes_neg,\n",
+    "")
+
+QUERIES["image_complexity"] = q_image_complexity
+ORACLES["image_complexity"] = ORACLE_IMAGE_COMPLEXITY

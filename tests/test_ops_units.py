@@ -4328,3 +4328,25 @@ def test_lang_diversity_mono_and_uniform(spark):
     m = out["multi"]
     assert (m["n_langs"], m["n_docs"]) == (4, 8)
     assert m["diversity_e6"] == 1_000_000 * (64 - 16) // 64
+
+
+def test_image_complexity_formula_recompute():
+    # independent recompute from the pattern (no PNG path) must agree;
+    # sanity: a varying pattern has runs of 1 and 63 changes unless
+    # adjacent formula values collide
+    from h2spark.core.runner import png_complexity_batch
+
+    got = png_complexity_batch(range(6))
+    for d, (n_distinct, max_run, n_changes) in enumerate(got):
+        dec = [(d * 31 + x * 7 + y * 13) % 256
+               for y in range(8) for x in range(8)]
+        assert n_distinct == len(set(dec))
+        runs, mx, ch = 1, 1, 0
+        for i in range(1, 64):
+            if dec[i] == dec[i - 1]:
+                runs += 1
+                mx = max(mx, runs)
+            else:
+                ch += 1
+                runs = 1
+        assert (max_run, n_changes) == (mx, ch), d
