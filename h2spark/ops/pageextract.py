@@ -976,3 +976,65 @@ ORDER BY doc_id, fn_idx
 
 QUERIES["footnote_extract"] = q_footnote_extract
 ORACLES["footnote_extract"] = ORACLE_FOOTNOTE_EXTRACT
+
+
+# --- :has()/:not() structural selection (round 7, session 7) ------------------
+
+_HAS_SPEC = StructSpec(
+    "HasSel",
+    [
+        Field("rich", Scalar("String"), ONE,
+              select="section:has(h2) > p"),
+        Field("plain", Scalar("String"), ONE,
+              select="section:not(:has(h2)) > p"),
+    ],
+)
+
+
+def q_has_selector_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-4 structural selection at table scale: the paragraph of
+    the section that HAS a heading vs the one that does not —
+    `:has()` with a relative child selector and `:not(:has(...))`
+    nesting, the selector forms content-extraction policies actually
+    use ("only sections with headings are article body").  An ad div
+    with its own <p> is planted on odd docs and must never match
+    either field.
+
+    Scale shape: one scan, one Arrow kernel pass, zero shuffle before
+    the presentation sort."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    d = d.where(F.size(w) >= 2)
+    w1, w2 = w.getItem(0), w.getItem(1)
+    html = F.concat(
+        F.lit("<html><body><section><h2>t</h2><p>"), w1,
+        F.lit("</p></section><section><p>"), w2,
+        F.lit("</p></section>"),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit('<div class="ad"><p>skip</p></div>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    udf = make_extract_typed_udf(_HAS_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.value.rich").alias("rich"),
+        F.col("o.value.plain").alias("plain"),
+        F.col("o.error").alias("err"),
+    ).orderBy("doc_id")
+
+
+ORACLE_HAS_SELECTOR = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS rich,
+       string_split(text, ' ')[2] AS plain,
+       NULL::VARCHAR AS err
+FROM documents
+WHERE len(string_split(text, ' ')) >= 2
+ORDER BY doc_id
+"""
+
+QUERIES["has_selector_extract"] = q_has_selector_extract
+ORACLES["has_selector_extract"] = ORACLE_HAS_SELECTOR
