@@ -1038,3 +1038,65 @@ ORDER BY doc_id
 
 QUERIES["has_selector_extract"] = q_has_selector_extract
 ORACLES["has_selector_extract"] = ORACLE_HAS_SELECTOR
+
+
+# --- nth-child structural indexing (round 7, session 7) ------------------------
+
+_NTH_SPEC = StructSpec(
+    "NthSel",
+    [
+        Field("odds", Scalar("String"), VEC,
+              select="ul > li:nth-child(odd)"),
+        Field("last", Scalar("String"), ONE,
+              select="ul > li:nth-last-child(1)"),
+        Field("evens", Scalar("String"), VEC,
+              select="ul > li:nth-child(2n)"),
+    ],
+)
+
+
+def q_nth_child_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural position selectors at table scale: odd/even list
+    items and the :nth-last-child(1) tail over a 4-item list built
+    from document words — the zebra-row/last-cell machinery (An+B
+    parsing + the O(1) nth-child element index) driver-hash-protected
+    on every document, with a comment node planted between items that
+    must not disturb element indexing.
+
+    Scale shape: one scan, one Arrow kernel pass, zero shuffle before
+    the presentation sort."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    d = d.where(F.size(w) >= 4)
+    items = [w.getItem(i) for i in range(4)]
+    html = F.concat(
+        F.lit("<html><body><ul><li>"), items[0],
+        F.lit("</li><!-- x --><li>"), items[1],
+        F.lit("</li><li>"), items[2],
+        F.lit("</li><li>"), items[3],
+        F.lit("</li></ul></body></html>"),
+    )
+    udf = make_extract_typed_udf(_NTH_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("o.value.odds"), ",").alias("odds"),
+        F.array_join(F.col("o.value.evens"), ",").alias("evens"),
+        F.col("o.value.last").alias("last_item"),
+    ).orderBy("doc_id")
+
+
+ORACLE_NTH_CHILD = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  WHERE len(string_split(text, ' ')) >= 4
+)
+SELECT doc_id,
+       a[1] || ',' || a[3] AS odds,
+       a[2] || ',' || a[4] AS evens,
+       a[4] AS last_item
+FROM w ORDER BY doc_id
+"""
+
+QUERIES["nth_child_extract"] = q_nth_child_extract
+ORACLES["nth_child_extract"] = ORACLE_NTH_CHILD
