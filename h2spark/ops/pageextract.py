@@ -1100,3 +1100,55 @@ FROM w ORDER BY doc_id
 
 QUERIES["nth_child_extract"] = q_nth_child_extract
 ORACLES["nth_child_extract"] = ORACLE_NTH_CHILD
+
+
+# --- sibling combinators (round 7, session 7) ----------------------------------
+
+_SIB_SPEC = StructSpec(
+    "SibSel",
+    [
+        Field("lede", Scalar("String"), ONE, select="h2 + p"),
+        Field("body", Scalar("String"), VEC, select="h2 ~ p"),
+    ],
+)
+
+
+def q_sibling_combinator_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling combinators at table scale: the lede paragraph
+    (`h2 + p`, adjacent) and all following sibling paragraphs
+    (`h2 ~ p`) — the "first paragraph after the heading" policy every
+    summarizer starts from.  A nested `<div><p>` decoy shares no
+    parent with the h2 and must not match either selector; a comment
+    between h2 and the first p must not break adjacency.
+
+    Scale shape: one scan, one Arrow kernel pass, zero shuffle before
+    the presentation sort."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    d = d.where(F.size(w) >= 2)
+    w1, w2 = w.getItem(0), w.getItem(1)
+    html = F.concat(
+        F.lit("<html><body><h2>t</h2><!-- c --><p>"), w1,
+        F.lit("</p><p>"), w2,
+        F.lit("</p><div><p>decoy</p></div></body></html>"),
+    )
+    udf = make_extract_typed_udf(_SIB_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.col("o.value.lede").alias("lede"),
+        F.array_join(F.col("o.value.body"), ",").alias("body"),
+    ).orderBy("doc_id")
+
+
+ORACLE_SIBLING_COMBINATOR = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+)
+SELECT doc_id, a[1] AS lede, a[1] || ',' || a[2] AS body
+FROM w ORDER BY doc_id
+"""
+
+QUERIES["sibling_combinator_extract"] = q_sibling_combinator_extract
+ORACLES["sibling_combinator_extract"] = ORACLE_SIBLING_COMBINATOR
