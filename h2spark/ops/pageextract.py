@@ -1152,3 +1152,65 @@ FROM w ORDER BY doc_id
 
 QUERIES["sibling_combinator_extract"] = q_sibling_combinator_extract
 ORACLES["sibling_combinator_extract"] = ORACLE_SIBLING_COMBINATOR
+
+
+# --- attribute-operator selectors (round 7, session 7) -------------------------
+
+_ATTR_SPEC = StructSpec(
+    "AttrSel",
+    [
+        Field("secure", Scalar("String"), VEC,
+              select='a[href^="https://"]', attr="href"),
+        Field("pdfs", Scalar("String"), VEC,
+              select='a[href$=".pdf"]', attr="href"),
+        Field("tagged", Scalar("String"), VEC,
+              select='a[rel~="nofollow"]', attr="href"),
+        Field("internal", Scalar("String"), VEC,
+              select='a[href*="example.com"]', attr="href"),
+    ],
+)
+
+
+def q_attr_operator_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-operator selectors at table scale: prefix (^=,
+    protocol policy), suffix ($=, file-type routing), word-list (~=,
+    rel tokens — must match whole whitespace-delimited words, so
+    rel="nofollower" may NOT match) and substring (*=, host policy) —
+    the selector algebra crawl frontier policies are written in.
+
+    Scale shape: one scan, one Arrow kernel pass, zero shuffle before
+    the presentation sort."""
+    d = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 9).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="https://example.com/d/'), g,
+        F.lit('.pdf" rel="ugc nofollow">a</a>'),
+        F.lit('<a href="http://example.com/p/'), g,
+        F.lit('" rel="nofollower">b</a>'),
+        F.lit('<a href="https://other.net/'), g,
+        F.lit('">c</a></body></html>'),
+    )
+    udf = make_extract_typed_udf(_ATTR_SPEC, input_kind="html")
+    out = d.select("doc_id", udf(html).alias("o"))
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("o.value.secure"), ",").alias("secure"),
+        F.array_join(F.col("o.value.pdfs"), ",").alias("pdfs"),
+        F.array_join(F.col("o.value.tagged"), ",").alias("tagged"),
+        F.array_join(F.col("o.value.internal"), ",").alias("internal"),
+    ).orderBy("doc_id")
+
+
+ORACLE_ATTR_OPERATOR = """
+SELECT doc_id,
+       'https://example.com/d/' || (doc_id % 9) || '.pdf,'
+           || 'https://other.net/' || (doc_id % 9) AS secure,
+       'https://example.com/d/' || (doc_id % 9) || '.pdf' AS pdfs,
+       'https://example.com/d/' || (doc_id % 9) || '.pdf' AS tagged,
+       'https://example.com/d/' || (doc_id % 9) || '.pdf,'
+           || 'http://example.com/p/' || (doc_id % 9) AS internal
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["attr_operator_extract"] = q_attr_operator_extract
+ORACLES["attr_operator_extract"] = ORACLE_ATTR_OPERATOR
