@@ -3789,3 +3789,104 @@ ORDER BY event_type
 
 QUERIES["events_pareto_8020"] = q_events_pareto_8020
 ORACLES["events_pareto_8020"] = ORACLE_EVENTS_PARETO
+
+
+# --- Spearman rank correlation (round 7, session 7) ----------------------------
+
+
+def q_customer_spend_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between customer account
+    balance and realized order spend — "does the balance field predict
+    behavior" as a single auditable number, computed entirely in
+    integers: tied values get 2x-average-ranks (2*cnt_less + cnt_eq
+    + 1 — the events_auc trick), so sum(d^2) over doubled ranks is an
+    integer and rho_e6 = 1e6 - (6e6 * sum_d2) div (4n(n^2-1)).
+
+    Scale shape: one per-customer spend aggregate, two value-histogram
+    rank tables broadcast back (bounded by distinct values), one final
+    1-row reduce.  Overflow note: 6e6 * sum_d2 needs n < ~2e5 in
+    int64; shard-and-average or rescale ranks beyond."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long").alias("y")
+    )
+    base = cu.select(
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("x"),
+    ).join(spend, cu.c_custkey == spend.o_custkey).select(
+        "c_custkey", "x", "y"
+    ).persist()
+
+    def ranks2x(col: str, alias: str) -> DataFrame:
+        h = base.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        from pyspark.sql import Window
+
+        w = Window.orderBy(col)
+        return h.select(
+            F.col(col).alias(f"_{alias}_v"),
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1)
+            .cast("long").alias(alias),
+        )
+
+    rx = ranks2x("x", "rx2")
+    ry = ranks2x("y", "ry2")
+    j = (
+        base.join(F.broadcast(rx), base.x == rx["_rx2_v"])
+        .join(F.broadcast(ry), base.y == ry["_ry2_v"])
+        .select((F.col("rx2") - F.col("ry2")).alias("d2x"))
+    )
+    return j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("d2x") * F.col("d2x")).cast("long").alias("sum_d2_4x"),
+    ).select(
+        "n", "sum_d2_4x",
+        F.expr(
+            "CASE WHEN n < 2 THEN 0 ELSE"
+            " 1000000 - (6 * 1000000 * sum_d2_4x)"
+            " div (4 * n * (n * n - 1)) END"
+        ).cast("long").alias("rho_e6"),
+    )
+
+
+ORACLE_CUSTOMER_SPEND_RANK_CORR = """
+WITH base AS (
+  SELECT c.c_custkey,
+         (round(c.c_acctbal * 100))::BIGINT AS x,
+         s.y
+  FROM customer c
+  JOIN (SELECT o_custkey,
+               sum((round(o_totalprice * 100))::BIGINT)::BIGINT AS y
+        FROM orders GROUP BY 1) s
+    ON s.o_custkey = c.c_custkey
+),
+rx AS (
+  SELECT x AS v,
+         (2 * (sum(count(*)) OVER (ORDER BY x
+                                   ROWS UNBOUNDED PRECEDING)
+               - count(*)) + count(*) + 1)::BIGINT AS rx2
+  FROM base GROUP BY x
+),
+ry AS (
+  SELECT y AS v,
+         (2 * (sum(count(*)) OVER (ORDER BY y
+                                   ROWS UNBOUNDED PRECEDING)
+               - count(*)) + count(*) + 1)::BIGINT AS ry2
+  FROM base GROUP BY y
+),
+d AS (
+  SELECT (rx.rx2 - ry.ry2) AS d2x
+  FROM base b JOIN rx ON rx.v = b.x JOIN ry ON ry.v = b.y
+)
+SELECT count(*)::BIGINT AS n,
+       sum(d2x * d2x)::BIGINT AS sum_d2_4x,
+       (CASE WHEN count(*) < 2 THEN 0 ELSE
+        1000000 - (6 * 1000000 * sum(d2x * d2x))
+        // (4 * count(*) * (count(*) * count(*) - 1)) END)::BIGINT
+           AS rho_e6
+FROM d
+"""
+
+QUERIES["customer_spend_rank_corr"] = q_customer_spend_rank_corr
+ORACLES["customer_spend_rank_corr"] = ORACLE_CUSTOMER_SPEND_RANK_CORR

@@ -4350,3 +4350,37 @@ def test_image_complexity_formula_recompute():
                 ch += 1
                 runs = 1
         assert (max_run, n_changes) == (mx, ch), d
+
+
+def test_spearman_perfect_and_reversed(spark):
+    # perfectly monotone -> rho 1e6; perfectly reversed -> -1e6
+    # (scaled integers, no float ranks)
+    import os
+    import tempfile
+
+    from h2spark.ops.relational import q_customer_spend_rank_corr
+
+    def run(pairs, td):
+        cust = spark.createDataFrame(
+            [(k, f"c{k}", 0, float(x) / 100, "SEG") for k, (x, _) in
+             enumerate(pairs)],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string")
+        orders = spark.createDataFrame(
+            [(k, k, "O", float(y) / 100, "2024-01-01", "1")
+             for k, (_, y) in enumerate(pairs)],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string")
+        cust.write.mode("overwrite").parquet(
+            os.path.join(td, "customer.parquet"))
+        orders.write.mode("overwrite").parquet(
+            os.path.join(td, "orders.parquet"))
+        return q_customer_spend_rank_corr(spark, td).collect()[0]
+
+    with tempfile.TemporaryDirectory() as td:
+        r = run([(100, 10), (200, 20), (300, 30), (400, 40)], td)
+        assert (r["n"], r["rho_e6"]) == (4, 1_000_000)
+    with tempfile.TemporaryDirectory() as td:
+        r = run([(100, 40), (200, 30), (300, 20), (400, 10)], td)
+        assert r["rho_e6"] == -1_000_000
