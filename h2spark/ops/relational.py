@@ -3890,3 +3890,79 @@ FROM d
 
 QUERIES["customer_spend_rank_corr"] = q_customer_spend_rank_corr
 ORACLES["customer_spend_rank_corr"] = ORACLE_CUSTOMER_SPEND_RANK_CORR
+
+
+# --- daily-volume trend (exact OLS slope, round 7, session 7) ------------------
+
+
+def q_events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic trend per event type: the least-squares slope of daily
+    counts over the day index, carried as the exact rational
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) in e6 integer division — the
+    "is this stream growing or dying" number, with the growth flag at
+    slope > 0.  Day indexes are datediff from the corpus min day, so
+    both engines agree on x without timezone drift.
+
+    Scale shape: one (type, day) pre-aggregation, then a per-type
+    5-sum reduce — all map-side combinable; output is one row per
+    type.  Overflow: sums are day-index-bounded (x <= corpus days),
+    far inside int64 at any realistic retention."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    anchor = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    daily = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long")
+            .alias("x"),
+        )
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return (
+        agg.select(
+            "event_type", "n_days", "sy",
+            F.expr(
+                "CASE WHEN n_days * sxx - sx * sx = 0 THEN 0 ELSE"
+                " (1000000 * (n_days * sxy - sx * sy))"
+                " div (n_days * sxx - sx * sx) END"
+            ).cast("long").alias("slope_e6"),
+        )
+        .withColumn("growing", F.col("slope_e6") > 0)
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_DAILY_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', (SELECT min(ts::DATE) FROM events),
+                   ts::DATE)::BIGINT AS x,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n_days,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days, sy,
+       (CASE WHEN n_days * sxx - sx * sx = 0 THEN 0 ELSE
+        (1000000 * (n_days * sxy - sx * sy))
+        // (n_days * sxx - sx * sx) END)::BIGINT AS slope_e6,
+       (CASE WHEN n_days * sxx - sx * sx = 0 THEN 0 ELSE
+        (1000000 * (n_days * sxy - sx * sy))
+        // (n_days * sxx - sx * sx) END) > 0 AS growing
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["events_daily_trend"] = q_events_daily_trend
+ORACLES["events_daily_trend"] = ORACLE_EVENTS_DAILY_TREND

@@ -4384,3 +4384,34 @@ def test_spearman_perfect_and_reversed(spark):
     with tempfile.TemporaryDirectory() as td:
         r = run([(100, 40), (200, 30), (300, 20), (400, 10)], td)
         assert r["rho_e6"] == -1_000_000
+
+
+def test_daily_trend_known_slope(spark):
+    # counts 2,4,6 on days 0,1,2 -> slope exactly 2e6; flat -> 0
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_daily_trend
+
+    rows = []
+    eid = 0
+    for day, n in ((1, 2), (2, 4), (3, 6)):
+        for _ in range(n):
+            rows.append((eid, f"2024-01-0{day} 10:00:00", 1, "up",
+                         1.0, "{}")); eid += 1
+    for day in (1, 2, 3):
+        for _ in range(3):
+            rows.append((1000 + eid, f"2024-01-0{day} 10:00:00", 1,
+                         "flat", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["event_type"]: r for r in
+               q_events_daily_trend(spark, td).collect()}
+    assert out["up"]["slope_e6"] == 2_000_000 and out["up"]["growing"]
+    assert out["flat"]["slope_e6"] == 0 and not out["flat"]["growing"]
