@@ -2620,3 +2620,120 @@ ORACLE_MMR_DIVERSIFY = _oracle_mmr_diversify()
 
 QUERIES["retrieval_mmr_diversify"] = q_retrieval_mmr_diversify
 ORACLES["retrieval_mmr_diversify"] = ORACLE_MMR_DIVERSIFY
+
+
+# --- label silhouette-lite (round 7, session 7) --------------------------------
+
+
+def q_embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality scorecard per label: mean squared distance of
+    member vectors to their OWN integer centroid (cohesion) vs the
+    closest OTHER label's centroid (separation), ratio e6 — the
+    label-noise screen for classification corpora (a label whose
+    members sit closer to a different centroid is mislabeled or
+    duplicated).  Everything is exact int64: vectors quantize via the
+    house floor(x*1e6), centroids are truncated integer means
+    (sum div count — identical truncation in both engines), distances
+    are integer sums of squares.
+
+    Scale shape: centroids are one (label, dim) aggregation (bounded
+    10x64); the distance pass joins the exploded vector dims to the
+    broadcast centroid table — per-vector work is labels x dims, the
+    brute-force-assignment shape (swap in the IVF numpy kernel path
+    beyond sandbox label counts)."""
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        "vec_id", "label",
+        F.posexplode(F.expr(_QUANT)).alias("j", "qv"),
+    )
+    cents = q.groupBy(F.col("label").alias("clabel"), "j").agg(
+        F.expr("sum(qv) div count(*)").cast("long").alias("cv")
+    )
+    d = (
+        q.join(F.broadcast(cents), "j")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+            ).cast("long").alias("dist"),
+        )
+    )
+    pair_means = d.groupBy("label", "clabel").agg(
+        F.expr("sum(dist) div count(*)").cast("long").alias("mean_d"),
+        F.count("*").cast("long").alias("n_vecs"),
+    )
+    intra = pair_means.where(F.col("label") == F.col("clabel")).select(
+        "label", F.col("mean_d").alias("intra_mean"),
+        F.col("n_vecs").alias("n_vecs"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("label").orderBy("mean_d", "clabel")
+    inter = (
+        pair_means.where(F.col("label") != F.col("clabel"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "label", F.col("clabel").alias("nearest_label"),
+            F.col("mean_d").alias("inter_mean"),
+        )
+    )
+    return (
+        intra.join(inter, "label")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs", "intra_mean",
+            F.col("nearest_label").cast("long").alias("nearest_label"),
+            "inter_mean",
+            F.expr("(1000000 * inter_mean) div intra_mean")
+            .cast("long").alias("separation_e6"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_LABEL_SILHOUETTE = """
+WITH q AS (
+  SELECT vec_id, label, u.j - 1 AS j,
+         (floor(embedding[u.j]::DOUBLE * 1000000))::BIGINT AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(j)
+),
+cents AS (
+  SELECT label AS clabel, j,
+         (sum(qv) // count(*))::BIGINT AS cv
+  FROM q GROUP BY 1, 2
+),
+d AS (
+  SELECT q.vec_id, q.label, c.clabel,
+         sum((q.qv - c.cv) * (q.qv - c.cv))::BIGINT AS dist
+  FROM q JOIN cents c ON c.j = q.j
+  GROUP BY 1, 2, 3
+),
+pair_means AS (
+  SELECT label, clabel,
+         (sum(dist) // count(*))::BIGINT AS mean_d,
+         count(*)::BIGINT AS n_vecs
+  FROM d GROUP BY 1, 2
+),
+intra AS (
+  SELECT label, mean_d AS intra_mean, n_vecs
+  FROM pair_means WHERE label = clabel
+),
+inter AS (
+  SELECT label, clabel AS nearest_label, mean_d AS inter_mean
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY label
+                                 ORDER BY mean_d, clabel) AS rn
+    FROM pair_means WHERE label <> clabel
+  ) WHERE rn = 1
+)
+SELECT i.label::BIGINT AS label, i.n_vecs, i.intra_mean,
+       e.nearest_label::BIGINT AS nearest_label, e.inter_mean,
+       ((1000000 * e.inter_mean) // i.intra_mean)::BIGINT
+           AS separation_e6
+FROM intra i JOIN inter e USING (label)
+ORDER BY label
+"""
+
+QUERIES["embedding_label_silhouette"] = q_embedding_label_silhouette
+ORACLES["embedding_label_silhouette"] = ORACLE_LABEL_SILHOUETTE

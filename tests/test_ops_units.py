@@ -4415,3 +4415,32 @@ def test_daily_trend_known_slope(spark):
                q_events_daily_trend(spark, td).collect()}
     assert out["up"]["slope_e6"] == 2_000_000 and out["up"]["growing"]
     assert out["flat"]["slope_e6"] == 0 and not out["flat"]["growing"]
+
+
+def test_label_silhouette_tight_vs_mislabeled(spark):
+    # two tight, well-separated labels -> separation >> 1e6; negative
+    # centroid sums exercise the div-vs-// agreement on negatives
+    # (verified: both engines truncate toward zero on BIGINT)
+    import os
+    import tempfile
+
+    from h2spark.ops.similarity import q_embedding_label_silhouette
+
+    rows = []
+    vid = 0
+    for base, label in ((-1.0, 0), (1.0, 1)):
+        for k in range(4):
+            emb = [base + (0.001 * ((vid + j) % 3)) for j in range(8)]
+            rows.append((vid, emb, label)); vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = {r["label"]: r for r in
+               q_embedding_label_silhouette(spark, td).collect()}
+    for lab in (0, 1):
+        r = out[lab]
+        assert r["n_vecs"] == 4
+        assert r["nearest_label"] == 1 - lab
+        assert r["inter_mean"] > r["intra_mean"]
+        assert r["separation_e6"] > 10_000_000  # >10x separation
