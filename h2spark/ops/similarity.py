@@ -2640,11 +2640,15 @@ def q_embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     10x64); the distance pass joins the exploded vector dims to the
     broadcast centroid table — per-vector work is labels x dims, the
     brute-force-assignment shape (swap in the IVF numpy kernel path
-    beyond sandbox label counts)."""
+    beyond sandbox label counts).  Quantization is e3 (not the house
+    e6): squared-distance sums then stay ~1e8, so the final e6 ratio
+    multiply keeps 4 decades of int64 headroom under ANSI."""
     e = _emb(spark, sf_dir)
+    quant3 = ("transform(embedding, x ->"
+              " cast(floor(cast(x as double) * 1000.0) as bigint))")
     q = e.select(
         "vec_id", "label",
-        F.posexplode(F.expr(_QUANT)).alias("j", "qv"),
+        F.posexplode(F.expr(quant3)).alias("j", "qv"),
     )
     cents = q.groupBy(F.col("label").alias("clabel"), "j").agg(
         F.expr("sum(qv) div count(*)").cast("long").alias("cv")
@@ -2695,7 +2699,7 @@ def q_embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LABEL_SILHOUETTE = """
 WITH q AS (
   SELECT vec_id, label, u.j - 1 AS j,
-         (floor(embedding[u.j]::DOUBLE * 1000000))::BIGINT AS qv
+         (floor(embedding[u.j]::DOUBLE * 1000))::BIGINT AS qv
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(j)
 ),
 cents AS (
