@@ -3966,3 +3966,102 @@ FROM agg ORDER BY event_type
 
 QUERIES["events_daily_trend"] = q_events_daily_trend
 ORACLES["events_daily_trend"] = ORACLE_EVENTS_DAILY_TREND
+
+
+# --- first-touch attribution (round 7, session 7) ------------------------------
+
+
+def q_user_first_touch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: users grouped by their FIRST event's
+    type, with cohort size, total lifetime cents, exact mean LTV
+    (div) and the share of users whose first touch converts within
+    the same day — the acquisition-channel scorecard.  First event =
+    min (ts, event_id) per user, so ties are deterministic.
+
+    Scale shape: one per-user window pass (user-bounded cells) + one
+    per-user aggregate + a bounded per-type rollup."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = e.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    ).select(
+        "user_id", F.col("event_type").alias("first_type"),
+        F.to_date("ts").alias("first_day"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+        .cast("long").alias("ltv_cents"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    same_day = (
+        e.select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .join(first, "user_id")
+        .where(
+            (F.col("d") == F.col("first_day"))
+            & (F.col("event_type") == "buy")
+        )
+        .select("user_id").distinct()
+        .withColumn("converted", F.lit(1).cast("long"))
+    )
+    base = first.join(per_user, "user_id").join(
+        same_day, "user_id", "left"
+    ).select(
+        "first_type", "ltv_cents", "n_events",
+        F.coalesce("converted", F.lit(0)).alias("converted"),
+    )
+    return (
+        base.groupBy("first_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("ltv_cents").cast("long").alias("total_cents"),
+            F.expr("sum(ltv_cents) div count(*)").cast("long")
+            .alias("mean_ltv_cents"),
+            F.sum("converted").cast("long").alias("n_day1_buyers"),
+            F.expr("(1000000 * sum(converted)) div count(*)")
+            .cast("long").alias("day1_buy_e6"),
+        )
+        .orderBy("first_type")
+    )
+
+
+ORACLE_USER_FIRST_TOUCH = """
+WITH first AS (
+  SELECT user_id, event_type AS first_type, ts::DATE AS first_day
+  FROM (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+per_user AS (
+  SELECT user_id,
+         sum((floor(value * 100))::BIGINT)::BIGINT AS ltv_cents,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+),
+same_day AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.ts::DATE = f.first_day AND e.event_type = 'buy'
+)
+SELECT f.first_type,
+       count(*)::BIGINT AS n_users,
+       sum(p.ltv_cents)::BIGINT AS total_cents,
+       (sum(p.ltv_cents) // count(*))::BIGINT AS mean_ltv_cents,
+       sum(CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_day1_buyers,
+       ((1000000 * sum(CASE WHEN s.user_id IS NOT NULL
+                            THEN 1 ELSE 0 END)) // count(*))::BIGINT
+           AS day1_buy_e6
+FROM first f
+JOIN per_user p USING (user_id)
+LEFT JOIN same_day s ON s.user_id = f.user_id
+GROUP BY f.first_type
+ORDER BY f.first_type
+"""
+
+QUERIES["user_first_touch_value"] = q_user_first_touch_value
+ORACLES["user_first_touch_value"] = ORACLE_USER_FIRST_TOUCH

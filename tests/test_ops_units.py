@@ -4444,3 +4444,37 @@ def test_label_silhouette_tight_vs_mislabeled(spark):
         assert r["nearest_label"] == 1 - lab
         assert r["inter_mean"] > r["intra_mean"]
         assert r["separation_e6"] > 10_000_000  # >10x separation
+
+
+def test_first_touch_attribution_cohorts(spark):
+    # user 1: first touch view, buys same day; user 2: first touch
+    # view, buys next day; user 3: first touch buy
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_user_first_touch_value
+
+    rows = [
+        (0, "2024-01-01 09:00:00", 1, "view", 0.00, "{}"),
+        (1, "2024-01-01 10:00:00", 1, "buy", 5.00, "{}"),
+        (2, "2024-01-01 09:00:00", 2, "view", 0.00, "{}"),
+        (3, "2024-01-02 10:00:00", 2, "buy", 7.00, "{}"),
+        (4, "2024-01-01 08:00:00", 3, "buy", 3.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "events.parquet"))
+        out = {r["first_type"]: r for r in
+               q_user_first_touch_value(spark, td).collect()}
+    v = out["view"]
+    assert (v["n_users"], v["total_cents"]) == (2, 1200)
+    assert v["mean_ltv_cents"] == 600
+    assert v["n_day1_buyers"] == 1           # user 1 only
+    assert v["day1_buy_e6"] == 500_000
+    b = out["buy"]
+    assert (b["n_users"], b["n_day1_buyers"]) == (1, 1)
