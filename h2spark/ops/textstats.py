@@ -3682,3 +3682,70 @@ FROM cells GROUP BY source ORDER BY source
 
 QUERIES["source_lang_diversity"] = q_source_lang_diversity
 ORACLES["source_lang_diversity"] = ORACLE_SOURCE_LANG_DIVERSITY
+
+
+# --- corpus mass concentration (round 7, session 7) ----------------------------
+
+
+def q_corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mass concentration: the exact Gini of document lengths
+    per source plus corpus-wide ('*') — "does 1% of documents carry
+    half the characters", the skew readout that decides whether
+    token budgets can be per-doc uniform.  Same integer rank identity
+    as the other Ginis; per-source ranking runs in source-bounded
+    cells, the corpus row reuses the machinery over one cell.
+
+    Scale note: ranking by length within a source is a source-bounded
+    window; the '*' row is vocabulary-free but corpus-wide — at true
+    web scale swap it for the histogram formulation (distinct lengths
+    are bounded), same identity."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = d.select("source", "n_chars", "doc_id").unionAll(
+        d.select(F.lit("*").alias("source"), "n_chars", "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = both.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.col("i") * F.col("n_chars")).cast("long")
+            .alias("rank_dot"),
+        )
+        .select(
+            "source", "n_docs", "total_chars",
+            F.expr(
+                "(1000000 * (2 * rank_dot - (n_docs + 1) * total_chars))"
+                " div (n_docs * total_chars)"
+            ).cast("long").alias("gini_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_LENGTH_GINI = """
+WITH allrows AS (
+  SELECT source, n_chars, doc_id FROM documents
+  UNION ALL
+  SELECT '*', n_chars, doc_id FROM documents
+),
+ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id)::BIGINT AS i
+  FROM allrows
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       ((1000000 * (2 * sum(i * n_chars)
+                    - (count(*) + 1) * sum(n_chars)))
+        // (count(*) * sum(n_chars)))::BIGINT AS gini_e6
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+QUERIES["corpus_length_gini"] = q_corpus_length_gini
+ORACLES["corpus_length_gini"] = ORACLE_CORPUS_LENGTH_GINI
