@@ -1702,3 +1702,77 @@ def run_streaming_heavy_hitters(
         ),
         out_dir, checkpoint_dir, available_now,
     )
+
+
+# --- streaming Benford monitor (23rd streaming operator) --------------------
+
+BENFORD_STREAM_SCHEMA = (
+    "digit long, n long, n_total long, share_e6 long, benford_e6 long,"
+    " abs_dev_e6 long"
+)
+_BENFORD_STREAM_STATE_SCHEMA = "counts array<long>"
+
+
+def benford_stream(events):
+    """Streaming twin of ops/relational.q_events_benford_audit: the
+    first-digit distribution of transaction cents held in EXACTLY
+    nine longs of state, emitting the full nine-row audit (shares,
+    Benford expectations, absolute deviations — same integer math as
+    the batch operator) every micro-batch — the always-on fabricated-
+    data tripwire over a payments stream.  Digit extraction runs
+    JVM-side; zero-cent rows are excluded like the batch op; the
+    latest emission equals the batch audit over everything ingested."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from h2spark.ops.relational import _BENFORD_E6
+
+    cents = F.floor(F.col("value") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    pre = events.where(cents > 0).select(
+        F.lit(1).alias("_g"), digit.alias("digit")
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        counts = (list(state.get[0]) if state.exists else [0] * 9)
+        for pdf in pdfs:
+            for d in pdf["digit"]:
+                counts[int(d) - 1] += 1
+        state.update((counts,))
+        total = sum(counts)
+        rows = []
+        for d in range(1, 10):
+            n = counts[d - 1]
+            if n == 0:
+                continue
+            share = (1_000_000 * n) // total
+            exp = _BENFORD_E6[d - 1]
+            rows.append((d, n, total, share, exp, abs(share - exp)))
+        yield pd.DataFrame(
+            rows, columns=["digit", "n", "n_total", "share_e6",
+                           "benford_e6", "abs_dev_e6"])
+
+    return pre.groupBy("_g").applyInPandasWithState(
+        update,
+        BENFORD_STREAM_SCHEMA,
+        _BENFORD_STREAM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_benford(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental first-digit fraud monitoring over a growing events
+    directory."""
+    return _start_append_writer(
+        benford_stream(_read_events_stream(spark, input_dir)),
+        out_dir, checkpoint_dir, available_now,
+    )

@@ -1293,3 +1293,57 @@ def test_streaming_heavy_hitters_exact_regime(spark, tmp_path):
     assert view[1]["n_total"] == 16
     click = final_emission("click")
     assert (click[1]["user_id"], click[1]["cnt"]) == (9, 3)
+
+
+def test_streaming_benford_matches_batch(spark, tmp_path):
+    # 23rd streaming operator: nine longs of digit state; the latest
+    # emission must equal q_events_benford_audit on the combined input
+    import time
+
+    from pyspark.sql import functions as F
+
+    from h2spark.ops.relational import q_events_benford_audit
+    from h2spark.pipeline.streaming import run_streaming_benford
+
+    def events(rows):
+        return spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", 1, "buy", v, "{}")
+             for i, v in enumerate(rows, start=len(rows) * 31)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    inp = tmp_path / "bf_in"
+    out = tmp_path / "bf_out"
+    ck = tmp_path / "bf_ck"
+    b1 = [1.50] * 6 + [2.50] * 3 + [0.001]          # zero-cent excluded
+    b2 = [1.23] * 2 + [9.99] * 1 + [35.00] * 2
+    events(b1).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_benford(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    time.sleep(1.1)
+    events(b2).coalesce(1).write.mode("append").parquet(str(inp))
+    q = run_streaming_benford(
+        spark, str(inp), str(out), checkpoint_dir=str(ck),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    batch_dir = tmp_path / "bf_batch"
+    events(b1 + b2).write.parquet(str(batch_dir / "events.parquet"))
+    batch = {r["digit"]: r for r in
+             q_events_benford_audit(spark, str(batch_dir)).collect()}
+
+    rows = spark.read.parquet(str(out) + "/data").collect()
+    mx = max(r["n_total"] for r in rows)
+    final = {r["digit"]: r for r in rows if r["n_total"] == mx}
+    assert set(final) == set(batch)
+    for d, b in batch.items():
+        s = final[d]
+        assert (s["n"], s["n_total"], s["share_e6"], s["benford_e6"],
+                s["abs_dev_e6"]) == \
+            (b["n"], b["n_total"], b["share_e6"], b["benford_e6"],
+             b["abs_dev_e6"]), d
