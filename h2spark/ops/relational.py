@@ -4065,3 +4065,47 @@ ORDER BY f.first_type
 
 QUERIES["user_first_touch_value"] = q_user_first_touch_value
 ORACLES["user_first_touch_value"] = ORACLE_USER_FIRST_TOUCH
+
+
+# --- exact heavy hitters (round 7, session 7) ----------------------------------
+
+
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 users per event type by event count (ties to the
+    smaller user id) — the batch ground truth the streaming
+    space-saving sketch (pipeline/streaming.heavy_hitter_stream) is
+    pinned against, exposed as its own contract row so the driver
+    hash covers the ranking semantics too.
+
+    Scale shape: per-(type, user) count then a top-k window in
+    per-type cells — user-bounded, one row out per (type, rank)."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), "user_id"
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "rank", "user_id", "cnt")
+        .orderBy("event_type", "rank")
+    )
+
+
+ORACLE_EVENTS_HEAVY_HITTERS = """
+SELECT event_type, rank, user_id, cnt FROM (
+  SELECT event_type, user_id, count(*)::BIGINT AS cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id)::BIGINT
+             AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 5
+ORDER BY event_type, rank
+"""
+
+QUERIES["events_heavy_hitters"] = q_events_heavy_hitters
+ORACLES["events_heavy_hitters"] = ORACLE_EVENTS_HEAVY_HITTERS
