@@ -130,6 +130,11 @@ def _with_shingles(d: DataFrame, n: int = _SHINGLE_N) -> DataFrame:
     round-7 plan sweep counted up to 8 evals per query, 36 in the
     method-summary composition).  At 10^12 docs a production pipeline
     materializes the shingle table for exactly this reason."""
+    from h2spark.pipeline.salting import ensure_min_parallelism
+
+    # r8: the sf documents scan is ONE task (single row group), so the
+    # shingling kernel ran on one of N cores; no-op at scale
+    d = ensure_min_parallelism(d)
     words = F.split(F.expr(_NORM), " ")
     return d.select(
         "doc_id", F.explode(_shingles_udf(n)(words)).alias("shingle")
@@ -1112,6 +1117,15 @@ def cosine_lsh_pairs(
     if rows is None:
         rows, _ = srp_params(threshold, bits=bits)
     bands_all = None
+    if strategy == "auto":
+        # r8 shortcut: when the whole corpus fits the bucket cap, no
+        # (band, band_key) bucket can exceed it — the bucket strategy
+        # is safe by construction. ONE cheap count (parquet metadata on
+        # scan inputs) replaces the pre-flight aggregation AND the
+        # (vector x bands) localCheckpoint materialization (two jobs;
+        # ~15% of q6 wall at sf0.1, interleaved A/B, identical rows).
+        if e.count() <= max_bucket_rows:
+            strategy = "bucket"
     if strategy == "auto":
         # materialize the band rows ONCE (localCheckpoint) so the
         # pre-flight aggregation and the chosen strategy share them —

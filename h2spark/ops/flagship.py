@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from h2spark.core.spec import ONE, Field, Scalar, StructSpec
-from h2spark.pipeline.kernel import make_extract_spans_udf
 
 FLAGSHIP_SPEC = StructSpec(
     "Doc",
@@ -75,19 +74,29 @@ def docs_to_interleaved_spans(d: DataFrame) -> DataFrame:
 
 
 def q_flagship_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from h2spark.pipeline.kernel import extract_spans_arrow
+    from h2spark.pipeline.salting import ensure_min_parallelism
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r8: (a) spread the kernel over every core — the sf documents
+    # table is one row group, so without this the whole extraction ran
+    # in ONE scan task (no-op at scale, see ensure_min_parallelism);
+    # the raw text is shuffled BEFORE the span structs are built so the
+    # exchange carries each byte once
+    d = ensure_min_parallelism(d)
     docs = d.select("doc_id", docs_to_interleaved_spans(d))
-    udf = make_extract_spans_udf(FLAGSHIP_SPEC)
-    out = docs.select("doc_id", udf("spans").alias("o"))
+    # r8: (b) mapInArrow kernel instead of the scalar pandas UDF — the
+    # Arrow->pandas materialization of the nested spans input cost ~1.7x
+    # the whole kernel stage (interleaved A/B, BENCH.md r8); rows are
+    # bit-identical (pinned by the oracle hash)
+    out = extract_spans_arrow(docs, FLAGSHIP_SPEC)
     return (
         # explode_outer: a plain explode lets Catalyst infer a
         # size()>0 filter on the UDF output BELOW the Generate, which
         # re-evaluates the extraction kernel per document (verified in
         # the formatted plan, round 7) — outer + null-drop keeps one
         # kernel pass
-        out.select(
-            "doc_id", F.explode_outer("o.spans_out").alias("s")
-        )
+        out.select("doc_id", F.explode_outer("spans_out").alias("s"))
         .where(F.col("s").isNotNull())
         .select(
             "doc_id",

@@ -45,6 +45,42 @@ def with_salt(df: DataFrame, doc_id_col: str = "doc_id", n_salts: int = 64) -> D
     )
 
 
+def ensure_min_parallelism(
+    df: DataFrame, key_col: str = "doc_id", min_parts: int | None = None
+) -> DataFrame:
+    """Spread a CPU-heavy kernel input over at least ``min_parts``
+    (default: defaultParallelism) tasks — ONLY when the scan itself
+    yields fewer.
+
+    Single-file/single-row-group parquet inputs (the sandbox sf tables)
+    produce ONE scan task, so a Python kernel downstream runs on one of
+    N cores (r8 measurement: the flagship kernel stage was 1 task at
+    every sf). At production scale the scan already has thousands of
+    splits and this is a NO-OP — the partition-count check is what
+    keeps the extra exchange from ever touching a corpus-sized input.
+    The repartition key is the deterministic salted hash of ``key_col``
+    (same rationale as :func:`salted_repartition`: ~32 keys per target
+    partition, reproducible across runs).
+    """
+    sc = df.sparkSession.sparkContext
+    n = min_parts or sc.defaultParallelism
+    # guard: only act on scan-shaped plans. On lineage containing an
+    # exchange, .rdd under AQE eagerly executes query stages (a job at
+    # plan-build time), and such inputs are already shuffle-partitioned
+    # anyway.
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    if any(
+        t in lp
+        for t in ("Join", "Repartition", "Aggregate", "Sort", "Window")
+    ):
+        return df
+    # .rdd on an exchange-free scan plan is pure planning, no job
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n * 32)).cast("int")
+    return df.repartition(n, key)
+
+
 def salted_repartition(
     df: DataFrame,
     n_partitions: int,

@@ -1387,7 +1387,7 @@ def _kernel_evals(df, spark):
 
     plan = _formatted(df, spark)
     nodes = re.findall(
-        r"\(\d+\) (?:ArrowEvalPython|MapInPandas|"
+        r"\(\d+\) (?:ArrowEvalPython|MapInPandas|MapInArrow|"
         r"FlatMapGroupsInPandas)\s*\nInput.*?\nArguments: \[?(\w+)\(",
         plan)
     return Counter(nodes)
@@ -1396,7 +1396,7 @@ def _kernel_evals(df, spark):
 @pytest.mark.parametrize(
     "qname,callee,max_evals",
     [
-        ("flagship_extract_spans", "extract_spans", 1),
+        ("flagship_extract_spans", "mapper", 1),  # r8: MapInArrow kernel
         ("link_communities", "extract_typed", 1),
         ("link_triangles", "extract_typed", 2),   # cached twice-printed
         ("retrieval_pairs", "extract_typed", 1),
