@@ -130,11 +130,10 @@ def _with_shingles(d: DataFrame, n: int = _SHINGLE_N) -> DataFrame:
     round-7 plan sweep counted up to 8 evals per query, 36 in the
     method-summary composition).  At 10^12 docs a production pipeline
     materializes the shingle table for exactly this reason."""
-    from h2spark.pipeline.salting import ensure_min_parallelism
-
-    # r8: the sf documents scan is ONE task (single row group), so the
-    # shingling kernel ran on one of N cores; no-op at scale
-    d = ensure_min_parallelism(d)
+    # r8 note: an ensure_min_parallelism(d) repartition before the
+    # kernel was tried and REVERTED — interleaved A/B showed 1.6x
+    # slower (the shingling kernel is cheap; the extra exchange plus
+    # eager planning cost more than the single-task kernel saved)
     words = F.split(F.expr(_NORM), " ")
     return d.select(
         "doc_id", F.explode(_shingles_udf(n)(words)).alias("shingle")
@@ -990,6 +989,134 @@ def srp_bucket_volume(e: DataFrame, rows: int, bits: int = _SRP_BITS) -> DataFra
     )
 
 
+def _rescore_bucket_np(V, ids, threshold: float, max_pair_block: int):
+    """All within-bucket pairs of the m x dim matrix ``V`` scored with
+    the exact left-to-right per-dimension fold — the shared kernel of
+    the applyInPandas bucket rescore and the r8 mapInArrow stream
+    (identical arithmetic by construction; per-pair values are
+    independent of row order within the bucket). Returns a list of
+    (vec_a, vec_b, cosine) ndarray triples."""
+    import numpy as np
+
+    m = len(ids)
+    outs = []
+    block = max(1, max_pair_block // m)
+    for lo in range(0, m - 1, block):
+        hi = min(lo + block, m - 1)
+        # pairs (i, j) with lo <= i < hi, i < j < m
+        counts = m - 1 - np.arange(lo, hi)
+        I = np.repeat(np.arange(lo, hi), counts)
+        J = np.concatenate([np.arange(i + 1, m) for i in range(lo, hi)])
+        dot = np.zeros(len(I))
+        na = np.zeros(len(I))
+        nb = np.zeros(len(I))
+        for d in range(V.shape[1]):
+            dot += V[I, d] * V[J, d]
+            na += V[I, d] * V[I, d]
+            nb += V[J, d] * V[J, d]
+        cos = dot / (np.sqrt(na) * np.sqrt(nb))
+        # keep anything that could round up to the threshold; the
+        # exact Spark-side round(·, 6) >= threshold filter runs after
+        keep = cos >= threshold - 1e-6
+        if keep.any():
+            a, b = ids[I[keep]], ids[J[keep]]
+            outs.append((np.minimum(a, b), np.maximum(a, b), cos[keep]))
+    return outs
+
+
+def _bucket_rescore_stream_func(
+    threshold: float, max_pair_block: int = 4_000_000
+):
+    """mapInArrow twin of :func:`_bucket_rescore_func`: ONE Arrow
+    stream per task over rows hash-partitioned by (band, band_key) and
+    sorted within the partition, buckets detected as key runs.
+
+    Same per-bucket math (``_rescore_bucket_np``), but without
+    applyInPandas's one-Arrow-batch-plus-one-pandas-frame PER GROUP:
+    at sf0.1 the adaptive banding makes 2,688 tiny buckets (avg 31
+    rows) and the per-group overhead was ~80% of the rescore stage
+    (r8 measurement). Memory stays O(largest bucket) — the stream
+    buffers exactly one bucket run at a time, the same bound the
+    grouped kernel had."""
+
+    def stream(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        out_schema = pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()),
+             ("cosine", pa.float64())]
+        )
+        # one bucket buffered at a time (runs can span batch bounds)
+        cur_key = None
+        cur_ids: list = []   # np slices, concatenated at flush
+        cur_vecs: list = []
+        outs: list = []
+
+        def flush():
+            if cur_ids and sum(len(x) for x in cur_ids) >= 2:
+                # float32 -> float64 widening is exact, matching the
+                # grouped kernel's np.array(tolist, dtype=float64)
+                V = np.concatenate(cur_vecs).astype(np.float64)
+                ids = np.concatenate(cur_ids)
+                outs.extend(
+                    _rescore_bucket_np(V, ids, threshold, max_pair_block)
+                )
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            bands = b.column("band").to_pylist()
+            keys = b.column("band_key").to_pylist()
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = b.column("embedding")
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            dims = np.diff(offs)
+            if len(dims) and (dims == dims[0]).all() and dims[0] > 0:
+                flat = emb.values.to_numpy(zero_copy_only=False)
+                V_all = flat[offs[0]:offs[-1]].reshape(
+                    b.num_rows, int(dims[0])
+                )
+            else:  # ragged/degenerate fallback: per-row object path
+                V_all = np.array(emb.to_pylist(), dtype=object)
+            # run boundaries of the (band, band_key) key, rows arrive
+            # sorted within the partition
+            bounds = [0]
+            for i in range(1, b.num_rows):
+                if bands[i] != bands[i - 1] or keys[i] != keys[i - 1]:
+                    bounds.append(i)
+            bounds.append(b.num_rows)
+            for s, e in zip(bounds, bounds[1:]):
+                k = (bands[s], keys[s])
+                if k != cur_key:
+                    flush()
+                    cur_key = k
+                    cur_ids = []
+                    cur_vecs = []
+                cur_ids.append(ids[s:e])
+                cur_vecs.append(V_all[s:e])
+        flush()
+        if outs:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+                    pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+                    pa.array(
+                        np.concatenate([o[2] for o in outs]), pa.float64()
+                    ),
+                ],
+                schema=out_schema,
+            )
+        else:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()),
+                 pa.array([], pa.float64())],
+                schema=out_schema,
+            )
+
+    return stream
+
+
 def _bucket_rescore_func(threshold: float, max_pair_block: int = 4_000_000):
     """applyInPandas kernel: exact cosines for all pairs WITHIN one
     (band, band_key) bucket. The fold is one vectorized add per
@@ -1021,36 +1148,12 @@ def _bucket_rescore_func(threshold: float, max_pair_block: int = 4_000_000):
             return empty
         V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy(dtype="int64")
-        block = max(1, max_pair_block // m)
-        outs = []
-        for lo in range(0, m - 1, block):
-            hi = min(lo + block, m - 1)
-            # pairs (i, j) with lo <= i < hi, i < j < m
-            counts = m - 1 - np.arange(lo, hi)
-            I = np.repeat(np.arange(lo, hi), counts)
-            J = np.concatenate([np.arange(i + 1, m) for i in range(lo, hi)])
-            dot = np.zeros(len(I))
-            na = np.zeros(len(I))
-            nb = np.zeros(len(I))
-            for d in range(V.shape[1]):
-                dot += V[I, d] * V[J, d]
-                na += V[I, d] * V[I, d]
-                nb += V[J, d] * V[J, d]
-            cos = dot / (np.sqrt(na) * np.sqrt(nb))
-            # keep anything that could round up to the threshold; the
-            # exact Spark-side round(·, 6) >= threshold filter runs after
-            keep = cos >= threshold - 1e-6
-            if keep.any():
-                a, b = ids[I[keep]], ids[J[keep]]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "vec_a": np.minimum(a, b),
-                            "vec_b": np.maximum(a, b),
-                            "cosine": cos[keep],
-                        }
-                    )
-                )
+        outs = [
+            pd.DataFrame({"vec_a": a, "vec_b": b, "cosine": c})
+            for a, b, c in _rescore_bucket_np(
+                V, ids, threshold, max_pair_block
+            )
+        ]
         if not outs:
             return empty
         return pd.concat(outs, ignore_index=True)
@@ -1150,9 +1253,21 @@ def cosine_lsh_pairs(
             if bands_all is not None
             else srp_bands(e, rows, bits, with_embedding=True)
         )
-        scored = bsrc.groupBy("band", "band_key").applyInPandas(
-            _bucket_rescore_func(threshold),
-            "vec_a long, vec_b long, cosine double",
+        # r8: stream the buckets through ONE mapInArrow per task
+        # (hash-partitioned by the bucket key, key-sorted within the
+        # partition, runs detected in the stream) instead of
+        # groupBy().applyInPandas — adaptive banding makes thousands
+        # of tiny buckets and the per-group Arrow batch + pandas frame
+        # was ~80% of the rescore stage. Same per-bucket math
+        # (_rescore_bucket_np), same O(largest bucket) task memory.
+        n_shuf = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        scored = (
+            bsrc.repartition(n_shuf, "band", "band_key")
+            .sortWithinPartitions("band", "band_key")
+            .mapInArrow(
+                _bucket_rescore_stream_func(threshold),
+                "vec_a long, vec_b long, cosine double",
+            )
         )
         return (
             scored.select(

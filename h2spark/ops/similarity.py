@@ -140,7 +140,10 @@ def ann_bruteforce_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(_cos("qe", "ce"), 6).alias("cosine"),
+            # r8: vectorized exact fold (same left-to-right double
+            # accumulation as cos_expr, bit-identical — see cos_udf);
+            # the interpreted HOF chain was the stage's hot spot
+            F.round(_cos_udf()("qe", "ce"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -245,15 +248,19 @@ def train_ivf_centroids(
     )
     V = np.array([list(r["q"]) for r in rows], dtype=np.int64)
     vn = np.sqrt((V * V).sum(axis=1).astype(np.float64))
-    round6 = np.vectorize(_round6, otypes=[np.float64])
     k = min(k, len(V))  # degrade gracefully on tiny corpora
     cents = [[int(x) for x in V[ki]] for ki in range(k)]
     for _ in range(iters):
         C = np.asarray(cents, dtype=np.int64)
         cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
         cos = (V @ C.T).astype(np.float64) / (vn[:, None] * cn[None, :])
-        # np.argmax returns the FIRST max — ties to the smallest cell id
-        cell = np.argmax(round6(cos), axis=1)
+        # np.argmax returns the FIRST max — ties to the smallest cell
+        # id. r8: _round6_matrix (the exact vectorized twin already
+        # used by the assignment UDF, Decimal fallback on the boundary
+        # band) replaces np.vectorize(_round6) — the per-element
+        # Decimal path was ~92k Python round-trips, half of q7's
+        # training wall; centroids are bit-identical by construction
+        cell = np.argmax(_round6_matrix(cos), axis=1)
         new = []
         for ki in range(k):
             members = V[cell == ki]

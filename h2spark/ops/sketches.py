@@ -47,7 +47,11 @@ def hll_register_cols():
 def hll_estimate_int(regs: list[int]) -> tuple[int, int]:
     """(n_zero_registers, est) from a dense 64-register list with the
     batch op's exact integer estimator (common denominator 2^32)."""
-    s = sum(1 << (32 - int(r)) for r in regs)
+    # r=33 (hash low word == 0) must contribute 0, mirroring the batch
+    # SQL's power(2, -1) -> 0 truncation — 1 << -1 raises instead
+    # (r8, advisor finding: the streaming twin crashed on that input,
+    # and kept crashing from checkpointed state)
+    s = sum((1 << (32 - int(r))) if int(r) <= 32 else 0 for r in regs)
     est = (_HLL_ALPHA_E3 * _HLL_M * _HLL_M * 4294967296) // (1000 * s)
     return sum(1 for r in regs if r == 0), est
 

@@ -1126,6 +1126,23 @@ def test_streaming_hll_sketch_matches_batch(spark, tmp_path):
         assert s["est_users"] == b["est_users"], k
 
 
+def test_hll_estimate_int_register_33_matches_batch_truncation():
+    # r8 advisor finding: rho=33 (the hash's low 32 bits all zero) made
+    # 1 << (32 - r) raise ValueError('negative shift count') in the
+    # streaming estimator while the batch SQL truncates power(2, -1)
+    # to 0 — and the 33 persists in checkpointed state, so the stream
+    # crashed on every restart. The estimator must treat r=33 as a
+    # zero contribution.
+    from h2spark.ops.sketches import _HLL_ALPHA_E3, _HLL_M, hll_estimate_int
+
+    regs = [0] * (_HLL_M - 1) + [33]
+    n_zero, est = hll_estimate_int(regs)  # must not raise
+    assert n_zero == _HLL_M - 1
+    # the 33-register contributes exactly 0 to the 2^32-denominator sum
+    s = (_HLL_M - 1) * 4294967296
+    assert est == (_HLL_ALPHA_E3 * _HLL_M * _HLL_M * 4294967296) // (1000 * s)
+
+
 def test_streaming_length_quantiles_match_batch(spark, tmp_path):
     # 20th streaming operator: histogram state across micro-batches;
     # the latest row per lang must equal q_length_percentiles on the
