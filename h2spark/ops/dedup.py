@@ -269,28 +269,27 @@ def minhash_band_table(d: DataFrame) -> DataFrame:
     )
     # all N signature positions in ONE aggregation: no seed explosion,
     # a single shuffle on doc_id (16x less shuffle traffic than the
-    # naive (doc, seed) cross-join formulation)
+    # naive (doc, seed) cross-join formulation). r8: expressions are
+    # built as SQL strings — the nested-Column formulation cost ~250
+    # Py4J round-trips PER PLAN BUILD (~0.3s of driver wall per q3
+    # call, profiled); semantics identical.
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(
-                (F.col("h1") + F.lit(s) * F.col("h2")) % F.lit(4294967296)
-            ).alias(f"m{s}")
+            F.expr(f"min((h1 + {s} * h2) % 4294967296) AS m{s}")
             for s in range(_N_HASHES)
         ]
     )
     n_bands = _N_HASHES // _BAND_ROWS
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"m{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)],
-                )
-            ).alias("band_key"),
+    band_structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', {cols})) AS band_key)".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)
+            ),
         )
         for b in range(n_bands)
-    ]
+    )
+    sig_cols = ", ".join(f"m{s}" for s in range(_N_HASHES))
     # each band row CARRIES the full signature array: the self-join then
     # computes est_jaccard in place and the expensive shingle->signature
     # chain is built once (self-join reuses the exchange) instead of
@@ -298,8 +297,8 @@ def minhash_band_table(d: DataFrame) -> DataFrame:
     # shape at sf0.1; the array is 16 md5 strings per doc, tiny)
     return sig.select(
         "doc_id",
-        F.array(*[F.col(f"m{s}") for s in range(_N_HASHES)]).alias("sig"),
-        F.explode(F.array(*band_structs)).alias("bk"),
+        F.expr(f"array({sig_cols})").alias("sig"),
+        F.expr(f"explode(array({band_structs}))").alias("bk"),
     ).select(
         "doc_id", "sig",
         F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
@@ -326,14 +325,15 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     # matches = agreeing signature positions (identical on every band
-    # row of a pair, so first() under the groupBy is deterministic)
-    matches = sum(
-        F.when(
-            F.element_at(F.col("a.sig"), s + 1)
-            == F.element_at(F.col("b.sig"), s + 1),
-            1,
-        ).otherwise(0)
-        for s in range(_N_HASHES)
+    # row of a pair, so first() under the groupBy is deterministic).
+    # r8: one SQL string instead of 16 nested when() Column builds —
+    # same CASE arithmetic, ~100 fewer Py4J round-trips per plan build
+    matches = F.expr(
+        " + ".join(
+            f"(CASE WHEN element_at(a.sig, {s + 1}) = "
+            f"element_at(b.sig, {s + 1}) THEN 1 ELSE 0 END)"
+            for s in range(_N_HASHES)
+        )
     )
     pairs = (
         a.join(

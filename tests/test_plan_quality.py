@@ -70,6 +70,23 @@ def test_salted_repartition_keeps_requested_parallelism(spark):
     assert max(counts.values()) <= 2 * mean
 
 
+def test_salted_repartition_clamps_tiny_parquet_scan(spark, tmp_path):
+    # r8: on a parquet input whose size estimate is tiny, the requested
+    # partition count is a CAP — the effective count floors at
+    # defaultParallelism so per-task Arrow/worker overhead doesn't
+    # dominate (64 -> 32 tasks was a 30% q2 win). At production sizes
+    # ceil(bytes/target) exceeds any sane request and nothing changes.
+    from h2spark.fixtures import corpus_df
+    from h2spark.pipeline.salting import salted_repartition
+
+    p = str(tmp_path / "tiny_corpus")
+    corpus_df(spark, 200, n_partitions=2).write.parquet(p)
+    docs = spark.read.parquet(p)
+    dp = spark.sparkContext.defaultParallelism
+    sal = salted_repartition(docs, 4096)
+    assert sal.rdd.getNumPartitions() == dp
+
+
 def test_top_terms_is_take_ordered_not_global_window(spark):
     plan = _formatted(textstats.q_top_terms(spark, SF), spark)
     # the vocabulary top-50 must be a per-partition top-k + merge, never
