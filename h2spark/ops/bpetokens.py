@@ -53,7 +53,16 @@ ORACLES: dict = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from h2spark.pipeline.salting import ensure_min_parallelism
+
+    # r8: every query in this module runs a heavy per-doc encoder
+    # (2048-merge Arrow kernel, 48-deep codegen replace chain, or
+    # pretoken explode) and the single-row-group sf scan fed them ONE
+    # task (sweep: text_token_count_bpe 6.7s at sf0.1, ~all of it
+    # single-core). No-op at scale (see ensure_min_parallelism).
+    return ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 # Codegen replace-chain budget: one Catalyst expression per base char

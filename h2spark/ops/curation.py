@@ -703,13 +703,19 @@ def q_training_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash."""
     from h2spark.core import bpe_table_large
     from h2spark.ops import flagship
-    from h2spark.pipeline.kernel import make_extract_spans_udf
+    from h2spark.pipeline.kernel import extract_spans_arrow
+    from h2spark.pipeline.salting import ensure_min_parallelism
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs = d.select("doc_id", flagship.docs_to_interleaved_spans(d))
-    udf = make_extract_spans_udf(flagship.FLAGSHIP_SPEC)
-    spans = docs.select(
-        "doc_id", F.explode(udf("spans")["spans_out"]).alias("s")
+    # r8: same two fixes as the flagship query — spread the kernels
+    # (extraction + per-span BPE) past the single-row-group scan, and
+    # use the mapInArrow extraction kernel instead of the pandas UDF
+    # (identical spans_out; the plain explode's null/empty-drop
+    # semantics are unchanged)
+    dr = ensure_min_parallelism(d)
+    docs = dr.select("doc_id", flagship.docs_to_interleaved_spans(dr))
+    spans = extract_spans_arrow(docs, flagship.FLAGSHIP_SPEC).select(
+        "doc_id", F.explode("spans_out").alias("s")
     )
     seq = bpetokens.bpe_seq_col_for(
         F.col("s.text"), bpe_table_large.BASE_CHARS,

@@ -789,7 +789,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(_cos_expr("ea", "eb"), 6)
+    # r8: vectorized exact fold (bit-identical to cos_expr, see
+    # cos_udf) — the interpreted HOF chain cost 61s for the 2M-pair
+    # all-pairs baseline at sf0.1 in the round-8 sweep, vs ~2s
+    cos = F.round(_cos_udf()("ea", "eb"), 6)
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= _COS_THRESHOLD)
@@ -2061,18 +2064,19 @@ def bloom_bits_row(grams: DataFrame, col: str = "shingle") -> DataFrame:
             F.expr("shiftleft(1L, cast(pos % 64 AS INT))")
         ).alias("bits")
     )
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("w", "bits"))
-        ).alias("mp")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_BLOOM_M // 64 - 1)),
-            lambda i: F.coalesce(
-                F.element_at("mp", i.cast("long")), F.lit(0).cast("long")
-            ),
-        ).alias("bf")
+    # r8: densify via a word-index join + ONE ordered collect — the
+    # previous map_from_entries + per-index element_at was an O(W^2)
+    # interpreted scan (map lookup is linear in Spark): ~134M
+    # comparisons = 14s of the old decontaminate_bloom wall at any sf.
+    idx = grams.sparkSession.range(_BLOOM_M // 64).select(
+        F.col("id").alias("w")
     )
+    dense = idx.join(words, "w", "left").select(
+        "w", F.coalesce("bits", F.lit(0)).cast("long").alias("bits")
+    )
+    return dense.agg(
+        F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("sp")
+    ).select(F.expr("transform(sp, x -> x.bits)").alias("bf"))
 
 
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2086,17 +2090,32 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = _with_shingles(
         d.where(F.col("doc_id") % _DECON_MOD != 0), _DECON_N
     )
-    bf = bloom_bits_row(bench.select("shingle"))
-    probed = train.crossJoin(F.broadcast(bf))
-    # one check per probe, all inside whole-stage codegen (variable
-    # shift amounts need the SQL form: the Python shiftrightunsigned
-    # helper only takes literal shift counts)
+    # r8: collect the FIXED-SIZE bit set (bounded by the filter
+    # constant _BLOOM_M, independent of corpus size) and bind it as ONE
+    # BinaryType literal, one byte per bit. Two measured pathologies
+    # forced this shape:
+    #  - the previous crossJoin(broadcast(1-row-df)) pushed the probe
+    #    predicate into a BroadcastNestedLoopJoin CONDITION, which
+    #    Spark evaluates on the INTERPRETED expression path — 17.4s for
+    #    the filter alone at sf0.1 vs 0.6s in whole-stage codegen;
+    #  - binding the bits as an array(...) SQL literal is a 16k-node
+    #    expression tree that PySpark's eager analyzer re-walks on
+    #    every subsequent DataFrame op (~16s of driver wall).
+    # A bytes literal is a single Literal node; the probe is an O(1)
+    # binary substring, fully codegen. Collect-then-embed is the
+    # canonical Bloom pre-filter shape (guide §3.2: build the filter,
+    # broadcast it, drop rows before any shuffle).
+    bits = bloom_bits_row(bench.select("shingle")).first()["bf"]
+    raw = bytes(
+        bytearray(
+            (int(bits[p >> 6]) >> (p & 63)) & 1 for p in range(_BLOOM_M)
+        )
+    )
+    probed = train.withColumn("bfbin", F.lit(raw))
     checks = [
-        f"((shiftrightunsigned(element_at(bf, "
-        f"cast(pmod(xxhash64(shingle, {s}), {_BLOOM_M}) div 64 AS INT)"
-        f" + 1), "
-        f"cast(pmod(xxhash64(shingle, {s}), {_BLOOM_M}) % 64 AS INT))"
-        f" & 1L) = 1)"
+        f"(substring(bfbin, "
+        f"cast(pmod(xxhash64(shingle, {s}), {_BLOOM_M}) AS INT) + 1, 1)"
+        f" = X'01')"
         for s in range(_BLOOM_K)
     ]
     cand = probed.where(F.expr(" AND ".join(checks))).select(

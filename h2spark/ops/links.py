@@ -1378,7 +1378,7 @@ def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(labels, "doc_id")
             .groupBy("url").agg(F.min("label").alias("ulabel"))
         )
-        labels = (
+        new_labels = (
             edges.join(url_label, "url")
             .groupBy("doc_id").agg(F.min("ulabel").alias("via_url"))
             .join(labels, "doc_id")
@@ -1386,7 +1386,16 @@ def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 F.least("label", "via_url").alias("label"),
             )
+            # r8: each round references the previous labels TWICE, so
+            # an uncached chain re-evaluates earlier rounds ~2^r times
+            # (sweep: 12.8s at sf0.1; the dedup_clusters loop already
+            # caches for the same reason). cache + eager count, then
+            # drop the superseded table — 2 longs/doc while live.
+            .cache()
         )
+        new_labels.count()
+        labels.unpersist()
+        labels = new_labels
     sizes = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("component_size"))
     return (

@@ -2697,9 +2697,15 @@ def q_audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
+    from h2spark.pipeline.salting import ensure_min_parallelism
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        d.select("doc_id")
+        # r8: the FLAC build+parse kernel (CRC-8/16 + md5 per frame) is
+        # ~4ms/doc and the single-row-group scan fed it ONE task —
+        # 19.8s single-core at sf0.1 in the sweep; the repartition of
+        # bare doc_ids is microseconds (no-op at scale)
+        ensure_min_parallelism(d.select("doc_id"))
         .mapInPandas(
             meta,
             "doc_id long, channels int, total_samples long,"

@@ -867,6 +867,41 @@ QUERIES["ann_pq_codes"] = q_ann_pq_codes
 ORACLES["ann_pq_codes"] = ORACLE_ANN_PQ
 
 
+def _pq_adc_table_exprs(books, sub: int) -> list:
+    """Query-side ADC distance-table columns d_{s}_{ci} as SQL-string
+    expressions. r8: the nested-Column formulation created ~3,000
+    Column objects (M*K table columns x sub terms + M K-branch CASEs)
+    — the Py4J round-trips alone were seconds of driver wall per plan
+    build (sweep: ann_pq_topk 16.2s, ann_ivfpq_topk 10.2s at sf0.1).
+    Identical expression semantics, oracle hashes unchanged."""
+    tables = []
+    for s in range(_PQ_M):
+        for ci, cent in enumerate(books[s]):
+            terms = " + ".join(
+                "((element_at(q, {i}) - {c}) * (element_at(q, {i}) - {c}))"
+                .format(i=s * sub + j + 1, c=int(cval))
+                for j, cval in enumerate(cent)
+            )
+            tables.append(F.expr(f"{terms} AS d_{s}_{ci}"))
+    return tables
+
+
+def _pq_adc_pick_expr() -> Column:
+    """Sum over subspaces of the code-selected table entry (simple
+    CASE on the candidate's code string, no ELSE — NULL on an
+    impossible code, as the when-chain it replaces)."""
+    return F.expr(
+        " + ".join(
+            "(CASE element_at(carr, {sp1}) ".format(sp1=s + 1)
+            + " ".join(
+                f"WHEN '{ci}' THEN d_{s}_{ci}" for ci in range(_PQ_K)
+            )
+            + " END)"
+            for s in range(_PQ_M)
+        )
+    ).cast("long")
+
+
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance search (ADC) — the query path that makes
     the codebooks an ANN method, not just storage: per query vector a
@@ -903,18 +938,7 @@ def ann_pq_topk(
     # query-side ADC tables: dist[s][code] as a flat map built JVM-side
     # from the broadcast-small query rows
     qrows = qe.where(F.col("vec_id") < n_queries)
-    tables = []
-    for s in range(_PQ_M):
-        for ci, cent in enumerate(books[s]):
-            d = None
-            for j, cval in enumerate(cent):
-                term = (
-                    F.element_at(F.col("q"), s * sub + j + 1)
-                    - F.lit(int(cval))
-                )
-                term = term * term
-                d = term if d is None else d + term
-            tables.append(d.alias(f"d_{s}_{ci}"))
+    tables = _pq_adc_table_exprs(books, sub)
     qtab = qrows.select(F.col("vec_id").alias("query_id"), *tables)
     cand = coded.select(
         F.col("vec_id").alias("cand_id"),
@@ -923,15 +947,8 @@ def ann_pq_topk(
     joined = F.broadcast(qtab).join(
         cand, F.col("query_id") != F.col("cand_id")
     )
-    adc = None
-    for s in range(_PQ_M):
-        code_s = F.element_at(F.col("carr"), s + 1)
-        pick = F.when(code_s == "0", F.col(f"d_{s}_0"))
-        for ci in range(1, _PQ_K):
-            pick = pick.when(code_s == str(ci), F.col(f"d_{s}_{ci}"))
-        adc = pick if adc is None else adc + pick
     scored = joined.select(
-        "query_id", "cand_id", adc.cast("long").alias("adc_dist")
+        "query_id", "cand_id", _pq_adc_pick_expr().alias("adc_dist")
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
@@ -1032,18 +1049,8 @@ def ann_ivfpq_topk(
         # re-run the corpus assignment matmul (round-7 plan sweep)
     ).persist()
     sub = 64 // _PQ_M
-    tables = []
-    for s in range(_PQ_M):
-        for ci, cent in enumerate(books[s]):
-            d = None
-            for j, cval in enumerate(cent):
-                term = (
-                    F.element_at(F.col("q"), s * sub + j + 1)
-                    - F.lit(int(cval))
-                )
-                term = term * term
-                d = term if d is None else d + term
-            tables.append(d.alias(f"d_{s}_{ci}"))
+    # r8: SQL-string expression build, see _pq_adc_table_exprs
+    tables = _pq_adc_table_exprs(books, sub)
     probes = (
         qe.where(F.col("vec_id") < n_queries)
         .select(
@@ -1059,17 +1066,10 @@ def ann_ivfpq_topk(
         .join(corpus, "cell")
         .where(F.col("query_id") != F.col("vec_id"))
     )
-    adc = None
-    for s in range(_PQ_M):
-        code_s = F.element_at(F.col("carr"), s + 1)
-        pick = F.when(code_s == "0", F.col(f"d_{s}_0"))
-        for ci in range(1, _PQ_K):
-            pick = pick.when(code_s == str(ci), F.col(f"d_{s}_{ci}"))
-        adc = pick if adc is None else adc + pick
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        adc.cast("long").alias("adc_dist"),
+        _pq_adc_pick_expr().alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return (
@@ -1255,7 +1255,10 @@ def semantic_pairs(
         & (F.col("vec_a") < F.col("vec_b"))
         & ((F.col("_ti") == F.col("_tj")) | (F.col("_ka") != F.col("_kb"))),
     )
-    cos = F.round(_cos("ea", "eb"), 6)
+    # r8: vectorized exact fold (bit-identical to cos_expr, see
+    # cos_udf) — the interpreted HOF rescore was most of
+    # dedup_semantic's 9.9s in the round-8 sweep
+    cos = F.round(_cos_udf()("ea", "eb"), 6)
     return (
         pairs.select(
             F.col("cell").cast("long").alias("cell"),
