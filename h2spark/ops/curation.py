@@ -1074,7 +1074,16 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the gram stream -> one doc-keyed groupBy. Resampling itself
     stays distributed at scale: weighted reservoir per partition, no
     global rank/window anywhere."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from h2spark.pipeline.salting import ensure_min_parallelism
+
+    # r8: the gram stream (interpreted bigram HOF + explode + md5) is
+    # evaluated twice (bucket stats + rescore) and ran on ONE scan
+    # task — 3.0s -> 0.61s per eval once spread (no-op at scale); the
+    # at-scale recompute-over-persist trade for the per-GRAM stream
+    # stays as adjudicated in r7 (the ledger would be corpus-sized)
+    d = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     words = F.split(F.col("text"), " ")
     bigrams = F.when(
         F.size(words) >= 2,
