@@ -3365,8 +3365,6 @@ SELECT fk_edge, n_fact, n_orphans, n_orphans = 0 AS intact FROM (
 ORDER BY fk_edge
 """
 
-QUERIES["user_erasure_plan"] = q_user_erasure_plan
-ORACLES["user_erasure_plan"] = ORACLE_USER_ERASURE_PLAN
 QUERIES["warehouse_ri_audit"] = q_warehouse_ri_audit
 ORACLES["warehouse_ri_audit"] = ORACLE_WAREHOUSE_RI
 
