@@ -140,10 +140,14 @@ def ann_bruteforce_topk(
         .select(
             "query_id",
             "cand_id",
-            # r8: vectorized exact fold (same left-to-right double
-            # accumulation as cos_expr, bit-identical — see cos_udf);
-            # the interpreted HOF chain was the stage's hot spot
-            F.round(_cos_udf()("qe", "ce"), 6).alias("cosine"),
+            # r8 note: a cos_udf swap (bit-identical) was tried and
+            # REVERTED — two interleaved A/B sessions read 0.92 and
+            # 1.09 (a wash with window variance at this corpus size;
+            # the Arrow round-trip of both embedding arrays offsets
+            # the interpreted-HOF saving). The heavy pair-mining paths
+            # (embedding all-pairs, SemDeDup, LSH rescore) keep the
+            # vectorized kernel where it is a 10-50x win.
+            F.round(_cos("qe", "ce"), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
