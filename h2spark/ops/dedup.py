@@ -778,7 +778,7 @@ ORACLE_DEDUP_SIMHASH64_PAIRS = _oracle_simhash64_pairs()
 _COS_THRESHOLD = 0.35
 
 
-from h2spark.ops._shared import cos_expr as _cos_expr, cos_udf as _cos_udf
+from h2spark.ops._shared import cos_udf as _cos_udf
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1038,9 +1038,11 @@ def _bucket_rescore_stream_func(
     applyInPandas's one-Arrow-batch-plus-one-pandas-frame PER GROUP:
     at sf0.1 the adaptive banding makes 2,688 tiny buckets (avg 31
     rows) and the per-group overhead was ~80% of the rescore stage
-    (r8 measurement). Memory stays O(largest bucket) — the stream
-    buffers exactly one bucket run at a time, the same bound the
-    grouped kernel had."""
+    (r8 measurement). Memory stays O(largest bucket) on the input side
+    (the stream buffers exactly one bucket run at a time) and
+    O(batch's pair output) on the output side (results are emitted
+    per input batch, not accumulated to end-of-stream) — the same
+    bounds the grouped kernel had."""
 
     def stream(batches):
         import numpy as np
@@ -1058,14 +1060,48 @@ def _bucket_rescore_stream_func(
 
         def flush():
             if cur_ids and sum(len(x) for x in cur_ids) >= 2:
-                # float32 -> float64 widening is exact, matching the
-                # grouped kernel's np.array(tolist, dtype=float64)
-                V = np.concatenate(cur_vecs).astype(np.float64)
-                ids = np.concatenate(cur_ids)
+                if all(
+                    isinstance(v, np.ndarray) and v.ndim == 2
+                    for v in cur_vecs
+                ):
+                    # float32 -> float64 widening is exact, matching
+                    # the grouped kernel's np.array(tolist, float64)
+                    V = np.concatenate(cur_vecs).astype(np.float64)
+                else:
+                    # ragged/degenerate fallback: rebuild per-row.
+                    # A malformed bucket (null / wrong-dim embedding)
+                    # raises HERE, for THIS bucket only — the same
+                    # blast radius the grouped kernel had (r8 review:
+                    # the earlier object-array concatenate crashed on
+                    # every bucket sharing the batch)
+                    rows: list = []
+                    for v in cur_vecs:
+                        rows.extend(list(r) for r in v)
+                    V = np.array(rows, dtype=np.float64)
+                ids = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in cur_ids]
+                )
                 outs.extend(
                     _rescore_bucket_np(V, ids, threshold, max_pair_block)
                 )
 
+        def drain():
+            if not outs:
+                return None
+            rb = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
+                    pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
+                    pa.array(
+                        np.concatenate([o[2] for o in outs]), pa.float64()
+                    ),
+                ],
+                schema=out_schema,
+            )
+            outs.clear()
+            return rb
+
+        emitted = False
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -1098,19 +1134,18 @@ def _bucket_rescore_stream_func(
                     cur_vecs = []
                 cur_ids.append(ids[s:e])
                 cur_vecs.append(V_all[s:e])
+            # emit completed buckets per input batch: output memory is
+            # bounded by one batch's pair volume, not the partition's
+            rb = drain()
+            if rb is not None:
+                emitted = True
+                yield rb
         flush()
-        if outs:
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate([o[0] for o in outs]), pa.int64()),
-                    pa.array(np.concatenate([o[1] for o in outs]), pa.int64()),
-                    pa.array(
-                        np.concatenate([o[2] for o in outs]), pa.float64()
-                    ),
-                ],
-                schema=out_schema,
-            )
-        else:
+        rb = drain()
+        if rb is not None:
+            emitted = True
+            yield rb
+        if not emitted:
             yield pa.RecordBatch.from_arrays(
                 [pa.array([], pa.int64()), pa.array([], pa.int64()),
                  pa.array([], pa.float64())],
@@ -1230,7 +1265,12 @@ def cosine_lsh_pairs(
         # scan inputs) replaces the pre-flight aggregation AND the
         # (vector x bands) localCheckpoint materialization (two jobs;
         # ~15% of q6 wall at sf0.1, interleaved A/B, identical rows).
-        if e.count() <= max_bucket_rows:
+        # Scan-shaped inputs only (r8 review): on derived lineage the
+        # count would be a full extra evaluation at plan-build time,
+        # so those keep the materialize-once pre-flight below.
+        from h2spark.pipeline.salting import _is_scan_shaped
+
+        if _is_scan_shaped(e) and e.count() <= max_bucket_rows:
             strategy = "bucket"
     if strategy == "auto":
         # materialize the band rows ONCE (localCheckpoint) so the

@@ -1396,6 +1396,9 @@ def q_link_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels.count()
         labels.unpersist()
         labels = new_labels
+    # the FINAL round's cache stays live for the returned DataFrame's
+    # lifetime (it cannot be released before the caller's action);
+    # like edges.persist() above this is LRU-evictable, 2 longs/doc
     sizes = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("component_size"))
     return (

@@ -74,17 +74,31 @@ def ensure_min_parallelism(
     # exchange, .rdd under AQE eagerly executes query stages (a job at
     # plan-build time), and such inputs are already shuffle-partitioned
     # anyway.
-    lp = df._jdf.queryExecution().optimizedPlan().toString()
-    if any(
-        t in lp
-        for t in ("Join", "Repartition", "Aggregate", "Sort", "Window")
-    ):
+    if not _is_scan_shaped(df):
         return df
     # .rdd on an exchange-free scan plan is pure planning, no job
     if df.rdd.getNumPartitions() >= n:
         return df
     key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n * 32)).cast("int")
     return df.repartition(n, key)
+
+
+def _is_scan_shaped(df: DataFrame) -> bool:
+    """True when the optimized logical plan is just projections/filters
+    over a relation — no shuffle-introducing node. Node names are
+    matched at LINE STARTS of the plan tree (r8 review: a raw substring
+    test false-positived on column names / paths containing e.g.
+    'sort_key' or '.../joined/')."""
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    blockers = (
+        "Join", "Repartition", "Aggregate", "Sort", "Window",
+        "Distinct", "Deduplicate", "Expand", "GlobalLimit",
+    )
+    for line in lp.splitlines():
+        node = line.lstrip(" +-:*!'")
+        if node.startswith(blockers):
+            return False
+    return True
 
 
 def salted_repartition(
@@ -128,12 +142,19 @@ def salted_repartition(
     df = with_doc_stats(df, spans_col)
     n_eff = n_partitions
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        qe = df._jdf.queryExecution().optimizedPlan()
+        size = int(qe.stats().sizeInBytes())
+        # r8 review: LocalRelation (createDataFrame-from-rows) reports
+        # a real byte size too, but bytes are a poor proxy for the
+        # kernel cost of hand-built test/driver frames — clamp only
+        # FILE-backed inputs, where the estimate is the scan size
+        is_local = any(
+            ln.lstrip(" +-:*!'").startswith("LocalRelation")
+            for ln in qe.toString().splitlines()
         )
     except Exception:
-        size = None
-    if size is not None and 0 < size < (1 << 60):  # a real estimate
+        size, is_local = None, True
+    if size is not None and not is_local and 0 < size < (1 << 60):
         dp = df.sparkSession.sparkContext.defaultParallelism
         n_eff = min(
             n_partitions,

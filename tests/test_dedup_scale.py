@@ -347,6 +347,81 @@ def test_bucket_rescore_blocking_matches_unblocked():
     assert len(big) == 17 * 16 / 2
 
 
+def test_bucket_rescore_stream_matches_grouped_and_handles_ragged():
+    # r8: the mapInArrow stream twin must (a) reproduce the grouped
+    # kernel's pairs on a uniform batch and (b) survive a batch whose
+    # buckets have DIFFERENT embedding dims (the ragged fallback must
+    # rescore per bucket, not crash the whole batch — review finding)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from h2spark.ops import dedup
+
+    def h01(s):
+        import hashlib
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+
+    def run_stream(rows, threshold=-1.0):
+        batch = pa.RecordBatch.from_pydict(
+            {
+                "band": pa.array([r[0] for r in rows], pa.int32()),
+                "band_key": pa.array([r[1] for r in rows], pa.string()),
+                "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[3] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        )
+        out = list(dedup._bucket_rescore_stream_func(threshold)([batch]))
+        return sorted(
+            (int(a), int(b), float(c))
+            for rb in out
+            for a, b, c in zip(
+                rb.column(0).to_pylist(),
+                rb.column(1).to_pylist(),
+                rb.column(2).to_pylist(),
+            )
+        )
+
+    # (a) uniform dims: one 5-row bucket + one 3-row bucket, sorted.
+    # values pre-rounded to float32 so the pandas twin sees the same
+    # bytes the Arrow float32 column carries
+    emb = lambda v: np.array(
+        [h01(f"{v}:{i}") - 0.5 for i in range(8)], dtype=np.float32
+    ).tolist()
+    rows = [(0, "k0", v, emb(v)) for v in range(5)] + [
+        (0, "k1", v, emb(v)) for v in range(5, 8)
+    ]
+    got = run_stream(rows)
+    pdf = pd.DataFrame(
+        {"vec_id": list(range(5)), "embedding": [emb(v) for v in range(5)]}
+    )
+    pdf2 = pd.DataFrame(
+        {"vec_id": [5, 6, 7], "embedding": [emb(v) for v in (5, 6, 7)]}
+    )
+    grouped = pd.concat(
+        [dedup._bucket_rescore_func(-1.0)(pdf),
+         dedup._bucket_rescore_func(-1.0)(pdf2)]
+    )
+    want = sorted(
+        (int(r.vec_a), int(r.vec_b), float(r.cosine))
+        for r in grouped.itertuples()
+    )
+    assert got == want and len(got) == 10 + 3
+
+    # (b) per-bucket-uniform but batch-ragged dims: both buckets must
+    # still produce their pairs through the fallback path
+    emb4 = lambda v: np.array(
+        [h01(f"{v}:{i}") - 0.5 for i in range(4)], dtype=np.float32
+    ).tolist()
+    rows = [(0, "k0", v, emb(v)) for v in range(3)] + [
+        (0, "k1", v, emb4(v)) for v in (10, 11, 12)
+    ]
+    got = run_stream(rows)
+    assert len(got) == 3 + 3  # all pairs of both buckets at thr=-1
+
+
 def test_cos_udf_null_embedding_yields_null(spark):
     from h2spark.ops._shared import cos_expr, cos_udf
 
